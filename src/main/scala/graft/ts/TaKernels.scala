@@ -1,0 +1,112 @@
+package graft.ts
+
+/** Pure recursive indicator kernels (no Spark dependency).
+  *
+  * These are the reference's "UDAF surface" — the indicators whose
+  * recurrences a window frame cannot express (SURVEY.md §2.6 I2–I4):
+  * the reference escapes to pandas + the C# `stock_indicators` library
+  * per symbol (/root/reference/modules/common/calculate_market_indicators.py:29-54,
+  * airflow/etl_scripts/pyspark/D_Create_crypto_ind_day_001.py:59-113).
+  * Here they are plain array-in/array-out functions over one symbol's
+  * date-sorted closes, applied distributedly via
+  * [[graft.ts.Recursive]].
+  *
+  * Convention: `Double.NaN` marks warm-up rows (promoted to SQL NULL at
+  * the DataFrame edge). All arithmetic is Double; the defining
+  * recurrences are written in exactly the shape the DuckDB oracle CTEs
+  * use so results agree bit-for-bit before the final float cast.
+  */
+object TaKernels {
+
+  /** EMA(n), seeded with the simple average of the first n closes at
+    * index n-1: ema_i = α·close_i + (1-α)·ema_{i-1}, α = 2/(n+1).
+    */
+  def ema(closes: Array[Double], n: Int): Array[Double] = {
+    val out = Array.fill(closes.length)(Double.NaN)
+    if (closes.length >= n) {
+      var seed = 0.0
+      var i = 0
+      while (i < n) { seed += closes(i); i += 1 }
+      out(n - 1) = seed / n
+      val alpha = 2.0 / (n + 1)
+      i = n
+      while (i < closes.length) {
+        out(i) = alpha * closes(i) + (1 - alpha) * out(i - 1)
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** EMA over a series whose leading entries may be NaN (used for the
+    * MACD signal line): the seed is the simple average of the first n
+    * defined values, the recurrence runs from there.
+    */
+  private def emaOverDefined(xs: Array[Double], n: Int): Array[Double] = {
+    val out = Array.fill(xs.length)(Double.NaN)
+    val first = xs.indexWhere(!_.isNaN)
+    if (first >= 0 && xs.length - first >= n) {
+      var seed = 0.0
+      var i = first
+      while (i < first + n) { seed += xs(i); i += 1 }
+      out(first + n - 1) = seed / n
+      val alpha = 2.0 / (n + 1)
+      i = first + n
+      while (i < xs.length) {
+        out(i) = alpha * xs(i) + (1 - alpha) * out(i - 1)
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** MACD(fast, slow, signal): macd = EMA(fast) − EMA(slow) once both
+    * are defined; signal = EMA(signal) of the macd series; hist = macd −
+    * signal. Returns (macd, signal, hist).
+    */
+  def macd(closes: Array[Double], fast: Int = 12, slow: Int = 26,
+      sig: Int = 9): (Array[Double], Array[Double], Array[Double]) = {
+    val ef = ema(closes, fast)
+    val es = ema(closes, slow)
+    val m = Array.tabulate(closes.length) { i =>
+      if (ef(i).isNaN || es(i).isNaN) Double.NaN else ef(i) - es(i)
+    }
+    val s = emaOverDefined(m, sig)
+    val h = Array.tabulate(closes.length) { i =>
+      if (m(i).isNaN || s(i).isNaN) Double.NaN else m(i) - s(i)
+    }
+    (m, s, h)
+  }
+
+  /** RSI(n) with Wilder smoothing: seed = simple average of the first n
+    * gains/losses; then avg = (prev·(n−1) + cur)/n. avgLoss == 0 →
+    * RSI = 100 exactly.
+    */
+  def rsi(closes: Array[Double], n: Int = 14): Array[Double] = {
+    val out = Array.fill(closes.length)(Double.NaN)
+    if (closes.length > n) {
+      var sg = 0.0
+      var sl = 0.0
+      var i = 1
+      while (i <= n) {
+        val d = closes(i) - closes(i - 1)
+        if (d > 0) sg += d else sl -= d
+        i += 1
+      }
+      var ag = sg / n
+      var al = sl / n
+      out(n) = if (al == 0.0) 100.0 else 100.0 - 100.0 / (1 + ag / al)
+      i = n + 1
+      while (i < closes.length) {
+        val d = closes(i) - closes(i - 1)
+        val g = if (d > 0) d else 0.0
+        val l = if (d < 0) -d else 0.0
+        ag = (ag * (n - 1) + g) / n
+        al = (al * (n - 1) + l) / n
+        out(i) = if (al == 0.0) 100.0 else 100.0 - 100.0 / (1 + ag / al)
+        i += 1
+      }
+    }
+    out
+  }
+}
