@@ -1,5 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
+
+/** Benchmark main — runs every registered query on SPARK_GRAFT_SF_DIR
+  * and emits ONE JSON line the driver parses.
+  *
+  * Each query is forced end-to-end with a full-column hash aggregate
+  * (`bit_xor(xxhash64(struct(*)))`) rather than `.count()`: under `count()`
+  * Catalyst prunes every projected column, so projection-only queries
+  * (q02, q13, …) would measure only scan metadata. The hash sink reads,
+  * computes, and reduces every output column while collecting just one
+  * row to the driver.
+  *
+  * Failures are NOT swallowed: a throwing query is recorded with
+  * `-1` in the per-query map, listed under `"failed"`, and the process
+  * exits nonzero so the driver can tell a fast run from a broken one.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,20 +23,37 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    var failed = List.empty[String]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try {
+          // bit_xor (not sum): xxhash64 values span the full long range
+          // and ANSI mode (Spark 4 default) faults on sum overflow.
+          val df = fn(spark, sfDir)
+            .select(xxhash64(struct(col("*"))).as("h"))
+          df.agg(expr("bit_xor(h)")).collect()
+          true
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            failed ::= name
+            false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -52,7 +52,9 @@ object CloseStats {
     val perRange = ranges.map { n =>
       val lagN = col(s"lag_$n")
       struct(
-        lit(s"${n}_day").as("stat_range"),
+        // Reference emits the bare range number ('1', '3', …) —
+        // crypto_daily_close_stats.sql close_stats_N CTEs.
+        lit(n.toString).as("stat_range"),
         col("close").cast("float").as("close_today"),
         col(s"avg_$n").cast("float").as("avg_close"),
         when(lagN.isNotNull, (col("close") - lagN) / lagN * 100)
@@ -78,7 +80,7 @@ object CloseStats {
         .stripMargin
     }.mkString(",\n         ")
     val unions = ranges.map { n =>
-      s"""SELECT id AS symbol_id, '${n}_day' AS stat_range,
+      s"""SELECT id AS symbol_id, '$n' AS stat_range,
          |       CAST(close AS REAL) AS close_today,
          |       CAST(a$n AS REAL) AS avg_close,
          |       CAST(CASE WHEN l$n IS NOT NULL
