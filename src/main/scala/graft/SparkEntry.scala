@@ -14,7 +14,8 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
     graft.queries.Relational,
-    graft.queries.Mart)
+    graft.queries.Mart,
+    graft.queries.Indicators)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's analytical centerpiece: crypto_daily_close_stats

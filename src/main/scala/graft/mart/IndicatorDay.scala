@@ -1,0 +1,228 @@
+package graft.mart
+
+import graft.ts.{Bars, Recursive}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** `crypto_indicator_day` mart — the reference's primary batch product.
+  *
+  * Reference: airflow/etl_scripts/pyspark/D_Create_crypto_ind_day_001.py
+  * :29-246 (per-symbol driver loop + pandas + C# `stock_indicators`),
+  * modules/common/calculate_market_indicators.py:29-54 (fixed params:
+  * MACD(12,26,9), Bollinger(20,2), Ichimoku(9,26,52), Stoch(14,3,3),
+  * RSI(14), OBV, Aroon(25), SMA/EMA 5/10/30), output contract
+  * ddl/hive/crypto_mart/crypto_indicator_day.ddl:3-44.
+  *
+  * Spark-native rewrite: instead of collect-per-symbol + pandas, ONE
+  * distributed pass —
+  *   - every frame-expressible indicator (SMA, Bollinger, OBV, Stoch,
+  *     Ichimoku, Aroon) evaluates over a single
+  *     `Window.partitionBy(id).orderBy(t)` sort: one shuffle, all
+  *     frames share it;
+  *   - the recursive indicators (EMA/MACD/RSI — not expressible as
+  *     frame aggregates) run per-symbol via
+  *     `groupByKey(id).flatMapGroups` ([[Recursive]]): one shuffle on
+  *     the same key, group size bounded by bars-per-symbol;
+  *   - the two sides join on (id, t) — co-partitioned hash join, no
+  *     broadcast needed, no driver hop anywhere.
+  * At 1000 executors this scales with the number of symbols; no stage
+  * depends on total history size in one task beyond one symbol's bars.
+  *
+  * Faithfully-reproduced reference quirks (they ARE the output
+  * contract; citations in-line):
+  *   - `float(x) if x else None` (D_Create_crypto_ind_day_001.py:87-111)
+  *     coerces exact 0.0 to NULL for every indicator value — OBV's
+  *     first row (always 0) and Aroon at 0 come out NULL;
+  *   - the stoch zip writes `.d` into `stoch_oscillator` and `.k` into
+  *     `stoch_signal` (py:100-102 vs columns :130-132) — i.e. the
+  *     oscillator column holds %D and the signal column holds %K;
+  *   - `macd_single` (sic) is the signal-line column name (ddl:12);
+  *   - `get_obv(quotes)` is called without sma periods
+  *     (calculate_market_indicators.py:44) so `obv_sma` is always NULL;
+  *   - OHLC (not volume) is pre-scaled by `N_multiple` for tiny-price
+  *     symbols (py:46-62, calculate_market_indicators.py:10-14); the
+  *     history columns in the output stay UN-scaled while indicators
+  *     are computed on scaled values, and the multiplier is recorded.
+  */
+object IndicatorDay {
+
+  /** Fixture role of the reference's `exceptional_symbol = ["SHIB_USDT"]`
+    * (D_Create_crypto_ind_day_001.py:46-49): symbol 7 takes the ×1000
+    * small-value scaling path.
+    */
+  val exceptionalIds: Seq[Long] = Seq(7L)
+  val nMultiple: Double = 1000.0
+
+  /** Stock-indicator columns in reference DDL order (indicator part). */
+  val indicatorCols: Seq[String] = Seq(
+    "macd", "macd_single", "rsi",
+    "bollinger_bands_sma", "bollinger_bands_lower_band",
+    "bollinger_bands_upper_band",
+    "obv", "obv_sma",
+    "ichimoku_chikou_span", "ichimoku_kijun_sen", "ichimoku_tenkan_sen",
+    "ichimoku_senkou_span_a", "ichimoku_senkou_span_b",
+    "stoch_oscillator", "stoch_signal", "stoch_percent_j",
+    "aroon_up", "aroon_down", "aroon_oscillator",
+    "sma5", "sma10", "sma30", "ema5", "ema10", "ema30")
+
+  /** The reference's `float(x) if x else None` edge: exact zero → NULL,
+    * then FloatType storage.
+    */
+  private def edge(c: Column): Column = when(c =!= 0.0, c).cast("float")
+
+  /** Full indicator frame over bars (id, tkey, open, high, low, close,
+    * volume) + any carry columns. Output: carry ++ (id, tkey, open,
+    * high, low, close, volume, n_multiple) ++ [[indicatorCols]], all
+    * indicator values Double (no edge coercion yet — [[apply]] does
+    * that), warm-up rows NULL.
+    */
+  def indicators(bars: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val nm = when(col("id").isin(exceptionalIds: _*), lit(nMultiple))
+      .otherwise(lit(1.0))
+    val scaled = bars
+      .withColumn("n_multiple", nm)
+      .withColumn("os", col("open") * col("n_multiple"))
+      .withColumn("hs", col("high") * col("n_multiple"))
+      .withColumn("ls", col("low") * col("n_multiple"))
+      .withColumn("cs", col("close") * col("n_multiple"))
+
+    val w = Window.partitionBy(col("id")).orderBy(col("tkey"))
+    def frame(n: Int) = w.rowsBetween(-(n - 1), 0)
+    val rn = col("rn")
+
+    def guarded(n: Int, c: Column): Column = when(rn >= n, c)
+    def mid(n: Int): Column =
+      guarded(n, (max(col("hs")).over(frame(n)) + min(col("ls")).over(frame(n))) / 2)
+
+    // Stage 1: row numbers + every direct frame aggregate. All of these
+    // share one (id, tkey) shuffle+sort.
+    val s1 = scaled.select(
+      (carry.map(col) ++ Seq(
+        col("id"), col("tkey"), col("open"), col("high"), col("low"),
+        col("close"), col("volume"), col("n_multiple"),
+        col("hs"), col("ls"), col("cs"))) ++ Seq(
+        row_number().over(w).as("rn")) : _*)
+
+    val s2 = s1.select(col("*"),
+      guarded(5,  avg(col("cs")).over(frame(5))).as("sma5"),
+      guarded(10, avg(col("cs")).over(frame(10))).as("sma10"),
+      guarded(30, avg(col("cs")).over(frame(30))).as("sma30"),
+      guarded(20, avg(col("cs")).over(frame(20))).as("bb_sma"),
+      // Stock.Indicators uses population std dev over the lookback.
+      guarded(20, stddev_pop(col("cs")).over(frame(20))).as("bb_sd"),
+      // OBV step needs lag(); the running sum over it goes in stage 2
+      // (window-over-window is not expressible in one projection).
+      when(lag(col("cs"), 1).over(w).isNull, lit(0.0))
+        .when(col("cs") > lag(col("cs"), 1).over(w), col("volume"))
+        .when(col("cs") < lag(col("cs"), 1).over(w), -col("volume"))
+        .otherwise(lit(0.0)).as("obv_step"),
+      // Raw stochastic %K; 0 when the 14-bar range is flat (the edge
+      // coercion turns that 0 into NULL, as the reference's float(x)
+      // coercion does).
+      guarded(14, {
+        val hh = max(col("hs")).over(frame(14))
+        val ll = min(col("ls")).over(frame(14))
+        when(hh =!= ll, (col("cs") - ll) / (hh - ll) * 100).otherwise(lit(0.0))
+      }).as("stoch_raw"),
+      mid(9).as("tenkan"),
+      mid(26).as("kijun"),
+      mid(52).as("mid52"),
+      // Aroon(25): periods since the extremum in a 26-bar window
+      // (lookback + current). Ties resolve to the EARLIEST bar, like
+      // the strict-inequality forward scan in Stock.Indicators; the
+      // struct orderings encode that tiebreak.
+      guarded(26, col("rn") + max(struct(col("hs").as("h"),
+        (-col("rn")).as("nr"))).over(frame(26)).getField("nr")).as("since_high"),
+      guarded(26, col("rn") - min(struct(col("ls").as("l"),
+        col("rn").as("r"))).over(frame(26)).getField("r")).as("since_low"))
+
+    // Stage 2: windows over stage-1 window results (same shuffle key, so
+    // Catalyst appends Window nodes to the existing sort — no new
+    // exchange).
+    val s3 = s2.select(col("*"),
+      sum(col("obv_step")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .as("obv"),
+      guarded(16, avg(col("stoch_raw")).over(frame(3))).as("stoch_k"),
+      lag((col("tenkan") + col("kijun")) / 2, 26).over(w)
+        .as("ichimoku_senkou_span_a"),
+      lag(col("mid52"), 26).over(w).as("ichimoku_senkou_span_b"),
+      lead(col("cs"), 26).over(w).as("ichimoku_chikou_span"),
+      guarded(26, (lit(25) - col("since_high")) * 100.0 / 25).as("aroon_up"),
+      guarded(26, (lit(25) - col("since_low")) * 100.0 / 25).as("aroon_down"))
+
+    // Stage 3: %D over %K, and arithmetic combinations.
+    val s4 = s3.select(col("*"),
+      guarded(18, avg(col("stoch_k")).over(frame(3))).as("stoch_d"))
+
+    val withWin = s4.select(col("*"),
+      (lit(3) * col("stoch_k") - lit(2) * col("stoch_d")).as("stoch_j"),
+      (col("aroon_up") - col("aroon_down")).as("aroon_oscillator"),
+      (col("bb_sma") - lit(2) * col("bb_sd")).as("bollinger_bands_lower_band"),
+      (col("bb_sma") + lit(2) * col("bb_sd")).as("bollinger_bands_upper_band"))
+
+    // Recursive indicators over the SAME scaled closes, then a
+    // co-partitioned (id, tkey) join back.
+    val rec = Recursive.withTa(
+      scaled.select(col("id"), col("tkey"), col("cs").as("close")))
+
+    withWin.join(rec, Seq("id", "tkey"))
+      .select(
+        (carry.map(col) ++ Seq(
+          col("id"), col("tkey"), col("open"), col("high"), col("low"),
+          col("close"), col("volume"), col("n_multiple"),
+          col("macd"), col("macd_single"), col("rsi"),
+          col("bb_sma").as("bollinger_bands_sma"),
+          col("bollinger_bands_lower_band"),
+          col("bollinger_bands_upper_band"),
+          col("obv"), lit(null).cast("double").as("obv_sma"),
+          col("ichimoku_chikou_span"), col("kijun").as("ichimoku_kijun_sen"),
+          col("tenkan").as("ichimoku_tenkan_sen"),
+          col("ichimoku_senkou_span_a"), col("ichimoku_senkou_span_b"),
+          // Reference stores %D in the oscillator column and %K in the
+          // signal column (see object doc).
+          col("stoch_d").as("stoch_oscillator"),
+          col("stoch_k").as("stoch_signal"),
+          col("stoch_j").as("stoch_percent_j"),
+          col("aroon_up"), col("aroon_down"), col("aroon_oscillator"),
+          col("sma5"), col("sma10"), col("sma30"),
+          col("ema5"), col("ema10"), col("ema30"))) : _*)
+  }
+
+  /** Indicator frame on hourly bars with the mart's output edge applied
+    * (zero→NULL + float), keyed (id, t: epoch seconds). Backs the
+    * per-family verification queries q32–q39.
+    */
+  def hourly(events: DataFrame): DataFrame = {
+    val bars = Bars.hourly(events).withColumn("tkey", col("t"))
+    applyEdge(indicators(bars, carry = Seq("t")))
+  }
+
+  /** The full `crypto_indicator_day` mart on daily bars: DDL column
+    * set (id, dt, low, high, open, close, volume, 25 indicators,
+    * n_multiple, year, month, day), floats at the edge.
+    */
+  def apply(events: DataFrame): DataFrame = {
+    val bars = Bars.daily(events)
+      .withColumn("tkey", datediff(col("dt"), lit("1970-01-01")))
+    val ind = applyEdge(indicators(bars, carry = Seq("dt")))
+    ind.select(
+      Seq(col("id"), col("dt"),
+        col("low").cast("float"), col("high").cast("float"),
+        col("open").cast("float"), col("close").cast("float"),
+        col("volume").cast("float")) ++
+      indicatorCols.map(col) ++ Seq(
+        col("n_multiple").cast("float"),
+        year(col("dt")).cast("int").as("year"),
+        month(col("dt")).cast("int").as("month"),
+        dayofmonth(col("dt")).cast("int").as("day")) : _*)
+  }
+
+  /** Apply the reference's output edge to every indicator column. */
+  private def applyEdge(df: DataFrame): DataFrame = {
+    val coerced = df.columns.map { c =>
+      if (indicatorCols.contains(c)) edge(col(c)).as(c) else col(c)
+    }
+    df.select(coerced.toIndexedSeq: _*)
+  }
+}

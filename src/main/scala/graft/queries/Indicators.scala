@@ -1,0 +1,270 @@
+package graft.queries
+
+import graft.mart.IndicatorDay
+import graft.ts.Bars
+import org.apache.spark.sql.functions.col
+
+/** Indicator-family verification queries — SURVEY.md §2.6 (I1–I10) and
+  * the J4 recursive-kernel replacement.
+  *
+  * q32–q39 verify each indicator family on HOURLY bars (deep-enough
+  * per-symbol series for the long lookbacks; see [[Bars.hourly]]);
+  * q40 is the full daily `crypto_indicator_day` mart contract.
+  *
+  * The oracles re-derive every indicator in pure DuckDB SQL: frame
+  * aggregates for the window-expressible families and recursive CTEs
+  * for the EMA/MACD-signal/RSI recurrences, stepping rn by 1 per
+  * iteration exactly like the Scala kernels ([[graft.ts.TaKernels]]).
+  * Double drift between the two engines is absorbed by the FLOAT edge
+  * cast; the zero→NULL `float(x) if x else None` reference quirk is
+  * applied on both sides (see [[IndicatorDay]] docs).
+  */
+object Indicators extends QueryPack {
+
+  /** The reference output edge: exact 0 → NULL, then REAL. */
+  private def E(x: String): String =
+    s"CAST(CASE WHEN $x <> 0 THEN $x END AS REAL)"
+
+  /** Full DuckDB WITH-block computing the indicator frame `ind` over a
+    * bars CTE. `key` is the per-symbol ordering column of the bars.
+    */
+  private def withBlock(barsCte: String, barsName: String, key: String): String = {
+    def emaCte(name: String, n: Int): String =
+      s"""$name AS (
+         |  SELECT id, rn, sma AS ema FROM (
+         |    SELECT id, rn, avg(cs) OVER (PARTITION BY id ORDER BY $key
+         |      ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW) AS sma
+         |    FROM num) WHERE rn = $n
+         |  UNION ALL
+         |  SELECT n.id, n.rn,
+         |         (CAST(2 AS DOUBLE)/${n + 1}) * n.cs
+         |           + (1 - CAST(2 AS DOUBLE)/${n + 1}) * e.ema
+         |  FROM num n JOIN $name e ON n.id = e.id AND n.rn = e.rn + 1)"""
+        .stripMargin
+    val o = s"PARTITION BY id ORDER BY $key"
+    def f(n: Int) = s"$o ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW"
+    s"""WITH RECURSIVE
+       |$barsCte,
+       |scaled AS (
+       |  SELECT *, open*nm AS os, high*nm AS hs, low*nm AS ls, close*nm AS cs
+       |  FROM (SELECT *, CASE WHEN id = 7 THEN CAST(1000 AS DOUBLE)
+       |                       ELSE CAST(1 AS DOUBLE) END AS nm
+       |        FROM $barsName)),
+       |num AS (
+       |  SELECT *, CAST(row_number() OVER ($o) AS INTEGER) AS rn FROM scaled),
+       |win1 AS (
+       |  SELECT *,
+       |    CASE WHEN rn >= 5  THEN avg(cs) OVER (${f(5)}) END AS sma5,
+       |    CASE WHEN rn >= 10 THEN avg(cs) OVER (${f(10)}) END AS sma10,
+       |    CASE WHEN rn >= 30 THEN avg(cs) OVER (${f(30)}) END AS sma30,
+       |    CASE WHEN rn >= 20 THEN avg(cs) OVER (${f(20)}) END AS bb_sma,
+       |    CASE WHEN rn >= 20 THEN stddev_pop(cs) OVER (${f(20)}) END AS bb_sd,
+       |    CASE WHEN lag(cs) OVER ($o) IS NULL THEN CAST(0 AS DOUBLE)
+       |         WHEN cs > lag(cs) OVER ($o) THEN volume
+       |         WHEN cs < lag(cs) OVER ($o) THEN -volume
+       |         ELSE CAST(0 AS DOUBLE) END AS obv_step,
+       |    CASE WHEN rn >= 14 THEN
+       |      CASE WHEN max(hs) OVER (${f(14)}) <> min(ls) OVER (${f(14)})
+       |           THEN (cs - min(ls) OVER (${f(14)}))
+       |                  / (max(hs) OVER (${f(14)}) - min(ls) OVER (${f(14)})) * 100
+       |           ELSE CAST(0 AS DOUBLE) END END AS stoch_raw,
+       |    CASE WHEN rn >= 9  THEN (max(hs) OVER (${f(9)}) + min(ls) OVER (${f(9)}))/2 END AS tenkan,
+       |    CASE WHEN rn >= 26 THEN (max(hs) OVER (${f(26)}) + min(ls) OVER (${f(26)}))/2 END AS kijun,
+       |    CASE WHEN rn >= 52 THEN (max(hs) OVER (${f(52)}) + min(ls) OVER (${f(52)}))/2 END AS mid52,
+       |    CASE WHEN rn >= 26 THEN
+       |      rn + (max(struct_pack(h := hs, nr := -rn)) OVER (${f(26)})).nr END AS since_high,
+       |    CASE WHEN rn >= 26 THEN
+       |      rn - (min(struct_pack(l := ls, r := rn)) OVER (${f(26)})).r END AS since_low
+       |  FROM num),
+       |win2 AS (
+       |  SELECT *,
+       |    sum(obv_step) OVER ($o ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS obv,
+       |    CASE WHEN rn >= 16 THEN avg(stoch_raw) OVER (${f(3)}) END AS stoch_k,
+       |    lag((tenkan + kijun)/2, 26) OVER ($o) AS senkou_a,
+       |    lag(mid52, 26) OVER ($o) AS senkou_b,
+       |    lead(cs, 26) OVER ($o) AS chikou,
+       |    CASE WHEN rn >= 26 THEN (25 - since_high) * 100.0 / 25 END AS aroon_up,
+       |    CASE WHEN rn >= 26 THEN (25 - since_low) * 100.0 / 25 END AS aroon_down
+       |  FROM win1),
+       |win3 AS (
+       |  SELECT *, CASE WHEN rn >= 18 THEN avg(stoch_k) OVER (${f(3)}) END AS stoch_d
+       |  FROM win2),
+       |win AS (
+       |  SELECT *, 3*stoch_k - 2*stoch_d AS stoch_j,
+       |         aroon_up - aroon_down AS aroon_osc,
+       |         bb_sma - 2*bb_sd AS bb_lower, bb_sma + 2*bb_sd AS bb_upper
+       |  FROM win3),
+       |${emaCte("e5", 5)},
+       |${emaCte("e10", 10)},
+       |${emaCte("e12", 12)},
+       |${emaCte("e26", 26)},
+       |${emaCte("e30", 30)},
+       |macdln AS (
+       |  SELECT f.id, f.rn, f.ema - s.ema AS macd
+       |  FROM e12 f JOIN e26 s ON f.id = s.id AND f.rn = s.rn),
+       |sig AS (
+       |  SELECT id, rn, s9 AS sig FROM (
+       |    SELECT id, rn, avg(macd) OVER (PARTITION BY id ORDER BY rn
+       |      ROWS BETWEEN 8 PRECEDING AND CURRENT ROW) AS s9
+       |    FROM macdln) WHERE rn = 34
+       |  UNION ALL
+       |  SELECT m.id, m.rn, (CAST(2 AS DOUBLE)/10) * m.macd
+       |           + (1 - CAST(2 AS DOUBLE)/10) * g.sig
+       |  FROM macdln m JOIN sig g ON m.id = g.id AND m.rn = g.rn + 1),
+       |gl AS (
+       |  SELECT id, rn,
+       |         CASE WHEN d > 0 THEN d ELSE CAST(0 AS DOUBLE) END AS g,
+       |         CASE WHEN d < 0 THEN -d ELSE CAST(0 AS DOUBLE) END AS l
+       |  FROM (SELECT id, rn, cs - lag(cs) OVER ($o) AS d FROM num)
+       |  WHERE d IS NOT NULL),
+       |wilder AS (
+       |  SELECT id, rn, ag, al FROM (
+       |    SELECT id, rn,
+       |      avg(g) OVER (PARTITION BY id ORDER BY rn
+       |        ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS ag,
+       |      avg(l) OVER (PARTITION BY id ORDER BY rn
+       |        ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS al
+       |    FROM gl) WHERE rn = 15
+       |  UNION ALL
+       |  SELECT n.id, n.rn, (r.ag * 13 + n.g)/14, (r.al * 13 + n.l)/14
+       |  FROM gl n JOIN wilder r ON n.id = r.id AND n.rn = r.rn + 1),
+       |rsitab AS (
+       |  SELECT id, rn, CASE WHEN al = 0 THEN CAST(100 AS DOUBLE)
+       |                      ELSE 100 - 100/(1 + ag/al) END AS rsi
+       |  FROM wilder),
+       |ind AS (
+       |  SELECT w.*, e5.ema AS ema5, e10.ema AS ema10, e30.ema AS ema30,
+       |         m.macd AS macd, g.sig AS macd_single, r.rsi AS rsi
+       |  FROM win w
+       |  LEFT JOIN e5     ON w.id = e5.id  AND w.rn = e5.rn
+       |  LEFT JOIN e10    ON w.id = e10.id AND w.rn = e10.rn
+       |  LEFT JOIN e30    ON w.id = e30.id AND w.rn = e30.rn
+       |  LEFT JOIN macdln m ON w.id = m.id AND w.rn = m.rn
+       |  LEFT JOIN sig    g ON w.id = g.id AND w.rn = g.rn
+       |  LEFT JOIN rsitab r ON w.id = r.id AND w.rn = r.rn)"""
+      .stripMargin
+  }
+
+  private val hourlyBlock =
+    withBlock(Bars.oracleCteHourly, "hourly", "t")
+  private val dailyBlock =
+    withBlock(Bars.oracleCte, "daily", "dt")
+
+  val queries: Map[String, Q] = Map(
+    // I2 EMA 5/10/30 + I10 N_multiple (J4 distributed kernel).
+    "q32_ema" -> ((s, d) => IndicatorDay.hourly(t("events")(s, d))
+      .select(col("id"), col("t"), col("ema5"), col("ema10"), col("ema30"),
+        col("n_multiple").cast("float").as("n_multiple"))),
+    // I3 MACD(12,26,9).
+    "q33_macd" -> ((s, d) => IndicatorDay.hourly(t("events")(s, d))
+      .select(col("id"), col("t"), col("macd"), col("macd_single"))),
+    // I4 RSI(14) Wilder.
+    "q34_rsi" -> ((s, d) => IndicatorDay.hourly(t("events")(s, d))
+      .select(col("id"), col("t"), col("rsi"))),
+    // I5 Bollinger(20,2).
+    "q35_bollinger" -> ((s, d) => IndicatorDay.hourly(t("events")(s, d))
+      .select(col("id"), col("t"), col("bollinger_bands_sma"),
+        col("bollinger_bands_lower_band"), col("bollinger_bands_upper_band"))),
+    // I6 OBV (+ always-NULL obv_sma, as the reference produces).
+    "q36_obv" -> ((s, d) => IndicatorDay.hourly(t("events")(s, d))
+      .select(col("id"), col("t"), col("obv"), col("obv_sma"))),
+    // I8 Stochastic(14,3,3) — column/value mapping per reference quirk.
+    "q37_stoch" -> ((s, d) => IndicatorDay.hourly(t("events")(s, d))
+      .select(col("id"), col("t"), col("stoch_oscillator"),
+        col("stoch_signal"), col("stoch_percent_j"))),
+    // I7 Ichimoku(9,26,52).
+    "q38_ichimoku" -> ((s, d) => IndicatorDay.hourly(t("events")(s, d))
+      .select(col("id"), col("t"), col("ichimoku_chikou_span"),
+        col("ichimoku_kijun_sen"), col("ichimoku_tenkan_sen"),
+        col("ichimoku_senkou_span_a"), col("ichimoku_senkou_span_b"))),
+    // I9 Aroon(25).
+    "q39_aroon" -> ((s, d) => IndicatorDay.hourly(t("events")(s, d))
+      .select(col("id"), col("t"), col("aroon_up"), col("aroon_down"),
+        col("aroon_oscillator"))),
+    // I1 SMA 5/10/30 with warm-up NULL guard.
+    "q41_sma" -> ((s, d) => IndicatorDay.hourly(t("events")(s, d))
+      .select(col("id"), col("t"), col("sma5"), col("sma10"), col("sma30"))),
+    // The full daily mart — J1-composed 36-column contract.
+    "q40_indicator_day" -> ((s, d) => IndicatorDay(t("events")(s, d))))
+
+  val oracleSql: Map[String, String] = Map(
+    "q32_ema" ->
+      s"""$hourlyBlock
+         |SELECT id, t, ${E("ema5")} AS ema5, ${E("ema10")} AS ema10,
+         |       ${E("ema30")} AS ema30, CAST(nm AS REAL) AS n_multiple
+         |FROM ind""".stripMargin,
+    "q33_macd" ->
+      s"""$hourlyBlock
+         |SELECT id, t, ${E("macd")} AS macd,
+         |       ${E("macd_single")} AS macd_single
+         |FROM ind""".stripMargin,
+    "q34_rsi" ->
+      s"""$hourlyBlock
+         |SELECT id, t, ${E("rsi")} AS rsi FROM ind""".stripMargin,
+    "q35_bollinger" ->
+      s"""$hourlyBlock
+         |SELECT id, t, ${E("bb_sma")} AS bollinger_bands_sma,
+         |       ${E("bb_lower")} AS bollinger_bands_lower_band,
+         |       ${E("bb_upper")} AS bollinger_bands_upper_band
+         |FROM ind""".stripMargin,
+    "q36_obv" ->
+      s"""$hourlyBlock
+         |SELECT id, t, ${E("obv")} AS obv, CAST(NULL AS REAL) AS obv_sma
+         |FROM ind""".stripMargin,
+    "q37_stoch" ->
+      s"""$hourlyBlock
+         |SELECT id, t, ${E("stoch_d")} AS stoch_oscillator,
+         |       ${E("stoch_k")} AS stoch_signal,
+         |       ${E("stoch_j")} AS stoch_percent_j
+         |FROM ind""".stripMargin,
+    "q38_ichimoku" ->
+      s"""$hourlyBlock
+         |SELECT id, t, ${E("chikou")} AS ichimoku_chikou_span,
+         |       ${E("kijun")} AS ichimoku_kijun_sen,
+         |       ${E("tenkan")} AS ichimoku_tenkan_sen,
+         |       ${E("senkou_a")} AS ichimoku_senkou_span_a,
+         |       ${E("senkou_b")} AS ichimoku_senkou_span_b
+         |FROM ind""".stripMargin,
+    "q39_aroon" ->
+      s"""$hourlyBlock
+         |SELECT id, t, ${E("aroon_up")} AS aroon_up,
+         |       ${E("aroon_down")} AS aroon_down,
+         |       ${E("aroon_osc")} AS aroon_oscillator
+         |FROM ind""".stripMargin,
+    "q41_sma" ->
+      s"""$hourlyBlock
+         |SELECT id, t, ${E("sma5")} AS sma5, ${E("sma10")} AS sma10,
+         |       ${E("sma30")} AS sma30
+         |FROM ind""".stripMargin,
+    "q40_indicator_day" ->
+      s"""$dailyBlock
+         |SELECT id, dt,
+         |       CAST(low AS REAL) AS low, CAST(high AS REAL) AS high,
+         |       CAST(open AS REAL) AS open, CAST(close AS REAL) AS close,
+         |       CAST(volume AS REAL) AS volume,
+         |       ${E("macd")} AS macd, ${E("macd_single")} AS macd_single,
+         |       ${E("rsi")} AS rsi,
+         |       ${E("bb_sma")} AS bollinger_bands_sma,
+         |       ${E("bb_lower")} AS bollinger_bands_lower_band,
+         |       ${E("bb_upper")} AS bollinger_bands_upper_band,
+         |       ${E("obv")} AS obv, CAST(NULL AS REAL) AS obv_sma,
+         |       ${E("chikou")} AS ichimoku_chikou_span,
+         |       ${E("kijun")} AS ichimoku_kijun_sen,
+         |       ${E("tenkan")} AS ichimoku_tenkan_sen,
+         |       ${E("senkou_a")} AS ichimoku_senkou_span_a,
+         |       ${E("senkou_b")} AS ichimoku_senkou_span_b,
+         |       ${E("stoch_d")} AS stoch_oscillator,
+         |       ${E("stoch_k")} AS stoch_signal,
+         |       ${E("stoch_j")} AS stoch_percent_j,
+         |       ${E("aroon_up")} AS aroon_up, ${E("aroon_down")} AS aroon_down,
+         |       ${E("aroon_osc")} AS aroon_oscillator,
+         |       ${E("sma5")} AS sma5, ${E("sma10")} AS sma10,
+         |       ${E("sma30")} AS sma30,
+         |       ${E("ema5")} AS ema5, ${E("ema10")} AS ema10,
+         |       ${E("ema30")} AS ema30,
+         |       CAST(nm AS REAL) AS n_multiple,
+         |       CAST(year(dt) AS INTEGER) AS year,
+         |       CAST(month(dt) AS INTEGER) AS month,
+         |       CAST(day(dt) AS INTEGER) AS day
+         |FROM ind""".stripMargin)
+}

@@ -35,6 +35,35 @@ object Bars {
         max_by(col("value"), col("ts")).as("close"),
         count(lit(1)).cast("double").as("volume"))
 
+  /** Hourly OHLCV bars — same derivation at hour grain, keyed by the
+    * bar's epoch-second start (`t`). The fixture events span ~30 days,
+    * so daily bars (~30/symbol) cannot fill the long indicator
+    * lookbacks (EMA30 seed, MACD signal, Ichimoku senkou B); hourly
+    * bars (~50-90/symbol at sf0.01) play the reference's "daily
+    * candles" role for the indicator-verification queries. Epoch long,
+    * not TimestampType, per the oracle-parity rules (QueryPack).
+    */
+  def hourly(events: DataFrame): DataFrame =
+    events.groupBy(
+        col("user_id").as("id"),
+        expr("unix_timestamp(ts) div 3600 * 3600").as("t"))
+      .agg(
+        min_by(col("value"), col("ts")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ts")).as("close"),
+        count(lit(1)).cast("double").as("volume"))
+
+  /** DuckDB CTE for [[hourly]] (`hourly` table in scope). */
+  val oracleCteHourly: String =
+    """hourly AS (
+      |  SELECT user_id AS id,
+      |         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS t,
+      |         arg_min(value, ts) AS open, max(value) AS high,
+      |         min(value) AS low,  arg_max(value, ts) AS close,
+      |         CAST(count(*) AS DOUBLE) AS volume
+      |  FROM events GROUP BY 1, 2)""".stripMargin
+
   /** Shared DuckDB CTE computing the same bars — prefix for oracle SQL. */
   val oracleCte: String =
     """daily AS (

@@ -12,9 +12,10 @@ package graft.ts
   * [[graft.ts.Recursive]].
   *
   * Convention: `Double.NaN` marks warm-up rows (promoted to SQL NULL at
-  * the DataFrame edge). All arithmetic is Double; the defining
-  * recurrences are written in exactly the shape the DuckDB oracle CTEs
-  * use so results agree bit-for-bit before the final float cast.
+  * the DataFrame edge). All arithmetic is Double; the recurrences are
+  * written in the same operation order as the DuckDB oracle recursive
+  * CTEs (graft.queries.Indicators), and the residual double drift is
+  * absorbed by the FLOAT cast at the output edge.
   */
 object TaKernels {
 
