@@ -1,0 +1,76 @@
+package graft
+
+import graft.mart.IndicatorDay
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mart-level invariants over the sf0.001 fixture (read-only). */
+class IndicatorDaySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val events =
+    Tables.load(spark, "/root/testdata/sf0.001", "events")
+  private lazy val hourly = IndicatorDay.hourly(events).cache()
+
+  test("Bollinger ordering: lower <= sma <= upper wherever defined") {
+    val bad = hourly
+      .where(col("bollinger_bands_sma").isNotNull &&
+        (col("bollinger_bands_lower_band") > col("bollinger_bands_sma") ||
+         col("bollinger_bands_sma") > col("bollinger_bands_upper_band")))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("stoch %K and %D within [0, 100] wherever defined") {
+    val bad = hourly.where(
+      (col("stoch_signal") < 0 || col("stoch_signal") > 100) ||
+      (col("stoch_oscillator") < 0 || col("stoch_oscillator") > 100)).count()
+    assert(bad == 0)
+  }
+
+  test("aroon up/down within [0, 100]; oscillator within [-100, 100]") {
+    val bad = hourly.where(
+      col("aroon_up") < 0 || col("aroon_up") > 100 ||
+      col("aroon_down") < 0 || col("aroon_down") > 100 ||
+      col("aroon_oscillator") < -100 || col("aroon_oscillator") > 100).count()
+    assert(bad == 0)
+  }
+
+  test("OBV telescoping: per-symbol step is +/-volume or 0") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("id").orderBy("t")
+    // obv is zero-coerced to NULL at the edge; undo that with coalesce.
+    val o = coalesce(col("obv").cast("double"), lit(0.0))
+    val bad = hourly
+      .select(col("id"), col("t"), col("volume").cast("double").as("v"),
+        o.as("o"), lag(o, 1).over(w).as("po"))
+      .where(col("po").isNotNull)
+      .where(abs(col("o") - col("po")) =!= col("v") &&
+             abs(col("o") - col("po")) =!= 0.0)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("mart uniqueness: one row per (id, dt), A7 invariant") {
+    val mart = IndicatorDay(events)
+    val dup = mart.groupBy("id", "dt").count().where(col("count") > 1).count()
+    assert(dup == 0)
+  }
+
+  test("N_multiple: exceptional symbol scaled, others not") {
+    val mart = IndicatorDay(events)
+    val vals = mart.select(col("id"), col("n_multiple")).distinct()
+      .collect().map(r => r.getLong(0) -> r.getFloat(1)).toMap
+    vals.foreach { case (id, nm) =>
+      if (IndicatorDay.exceptionalIds.contains(id)) assert(nm == 1000.0f)
+      else assert(nm == 1.0f)
+    }
+  }
+
+  test("zero -> NULL reference edge: first OBV row per symbol is NULL") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("id").orderBy("t")
+    val firsts = hourly
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+    assert(firsts.where(col("obv").isNotNull).count() == 0)
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import graft.ts.TaKernels
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-kernel properties for the recursive indicators (SURVEY.md §5).
+  * These guard the semantics that silently drift: seeding, warm-up
+  * NULLs, Wilder smoothing bounds. Property-style over deterministic
+  * seeded random series (the offline cache has no scalatest-scalacheck
+  * bridge, so generation is hand-rolled).
+  */
+class TaKernelsSpec extends AnyFunSuite {
+
+  /** 50 deterministic pseudo-random price series, varying lengths. */
+  private val samples: Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(50) {
+      val len = 40 + rnd.nextInt(80)
+      Array.fill(len)(1.0 + rnd.nextDouble() * 999.0)
+    }
+  }
+
+  test("EMA warm-up: NaN strictly before index n-1, defined after") {
+    samples.foreach { c =>
+      val e = TaKernels.ema(c, 10)
+      assert(e.take(9).forall(_.isNaN))
+      assert(e.drop(9).forall(!_.isNaN))
+    }
+  }
+
+  test("EMA seed equals SMA of the first n closes") {
+    samples.foreach { c =>
+      val e = TaKernels.ema(c, 10)
+      assert(math.abs(e(9) - c.take(10).sum / 10) < 1e-9)
+    }
+  }
+
+  test("EMA of a constant series is that constant") {
+    val c = Array.fill(60)(42.5)
+    val e = TaKernels.ema(c, 5)
+    assert(e.drop(4).forall(v => math.abs(v - 42.5) < 1e-9))
+  }
+
+  test("EMA is a convex combination: stays within series min/max") {
+    samples.foreach { c =>
+      val e = TaKernels.ema(c, 5)
+      val lo = c.min
+      val hi = c.max
+      assert(e.filterNot(_.isNaN).forall(v => v >= lo - 1e-9 && v <= hi + 1e-9))
+    }
+  }
+
+  test("RSI bounds [0, 100]; warm-up NaN before index n") {
+    samples.foreach { c =>
+      val r = TaKernels.rsi(c, 14)
+      assert(r.take(14).forall(_.isNaN))
+      assert(r.drop(14).forall(v => v >= 0 && v <= 100))
+    }
+  }
+
+  test("RSI of a strictly increasing series is 100") {
+    val c = Array.tabulate(40)(i => 10.0 + i)
+    val r = TaKernels.rsi(c, 14)
+    assert(r.drop(14).forall(v => math.abs(v - 100.0) < 1e-9))
+  }
+
+  test("RSI of a strictly decreasing series is 0") {
+    val c = Array.tabulate(40)(i => 100.0 - i)
+    val r = TaKernels.rsi(c, 14)
+    assert(r.drop(14).forall(v => math.abs(v) < 1e-9))
+  }
+
+  test("MACD of a constant series is 0; signal defined from index 33") {
+    val c = Array.fill(60)(7.0)
+    val (m, s, h) = TaKernels.macd(c)
+    assert(m.take(25).forall(_.isNaN))
+    assert(m.drop(25).forall(v => math.abs(v) < 1e-9))
+    assert(s.take(33).forall(_.isNaN))
+    assert(s.drop(33).forall(v => math.abs(v) < 1e-9))
+    assert(h.drop(33).forall(v => math.abs(v) < 1e-9))
+  }
+
+  test("MACD line = EMA12 - EMA26 where both defined") {
+    samples.foreach { c =>
+      val (m, _, _) = TaKernels.macd(c)
+      val f = TaKernels.ema(c, 12)
+      val s = TaKernels.ema(c, 26)
+      m.indices.foreach { i =>
+        if (!m(i).isNaN) assert(math.abs(m(i) - (f(i) - s(i))) < 1e-9)
+      }
+    }
+  }
+
+  test("short series: all NaN when below lookback") {
+    val c = Array(1.0, 2.0, 3.0)
+    assert(TaKernels.ema(c, 5).forall(_.isNaN))
+    assert(TaKernels.rsi(c, 14).forall(_.isNaN))
+    val (m, s, _) = TaKernels.macd(c)
+    assert(m.forall(_.isNaN) && s.forall(_.isNaN))
+  }
+}
