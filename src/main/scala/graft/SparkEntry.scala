@@ -15,7 +15,9 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     graft.queries.Relational,
     graft.queries.Mart,
-    graft.queries.Indicators)
+    graft.queries.Indicators,
+    graft.queries.Streaming,
+    graft.queries.LoadIngest)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's analytical centerpiece: crypto_daily_close_stats

@@ -1,0 +1,73 @@
+package graft.load
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Idempotent partitioned-table reload (SURVEY.md §2.1 S6–S10).
+  *
+  * The reference's late-data strategy is a daily Trino loop: DELETE the
+  * trailing N day-partitions, assert-empty, then INSERT INTO … SELECT
+  * from the hot store, re-deriving year/month/day from the event time
+  * (airflow/etl_scripts/trino/D_Load_crypto_candles_day_001.sql:1-7,
+  * …_002.sql:1-6, …_003.sql:1-52; loop
+  * airflow/dags/daily_dags/D_Load_crypto_candles_day.py:94-102), and
+  * for the mart a month-partition DELETE + wrk→final INSERT swap
+  * (D_Create_crypto_ind_day_001.sql:1-5, …_002.sql:1-6).
+  *
+  * Spark has no row-level DELETE on files; the Spark-native equivalent
+  * is DYNAMIC partition overwrite — `mode(overwrite)` with
+  * `partitionOverwriteMode=dynamic` rewrites exactly the partitions
+  * present in the incoming frame and leaves every other partition
+  * untouched. That folds the reference's DELETE + verify + INSERT +
+  * wrk-swap into one atomic-per-partition operation that is idempotent
+  * under retries (Airflow retries=3) — re-running the same overwrite
+  * converges to the same state instead of duplicating rows.
+  *
+  * Scale: each partition writes from its own tasks; no driver
+  * involvement, no global barrier beyond the job commit. Partition
+  * columns should be low-cardinality derivations of event time
+  * (year/month/day), so 100 TB spreads over O(days × shuffle
+  * parallelism) files.
+  */
+object PartitionIO {
+
+  /** S7: derive the reference's (year, month, day) partition columns
+    * from a date column (D_Load_crypto_candles_day_003.sql:40-47).
+    */
+  def withDayPartitions(df: DataFrame, dateCol: String): DataFrame =
+    df.withColumn("year", year(col(dateCol)).cast("int"))
+      .withColumn("month", month(col(dateCol)).cast("int"))
+      .withColumn("day", dayofmonth(col(dateCol)).cast("int"))
+
+  /** S8+S10: overwrite exactly the partitions present in `updates`.
+    * Everything not touched by `updates` is preserved.
+    */
+  def overwritePartitions(updates: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit = {
+    val spark = updates.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      updates.write.mode("overwrite")
+        .partitionBy(partitionCols: _*).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** The reference's trailing-window reload: rows of `source` whose
+    * `dateCol` falls in the last `days` days up to `asOf` (inclusive),
+    * overwritten into their day partitions. `DAYS_DELETE_FROM=10`
+    * (D_Load_crypto_candles_day.py:17).
+    */
+  def reloadTrailingWindow(source: DataFrame, path: String, dateCol: String,
+      days: Int, asOf: String): Unit = {
+    val windowed = source
+      .where(col(dateCol) >= date_sub(lit(asOf).cast("date"), days)
+        && col(dateCol) <= lit(asOf).cast("date"))
+    overwritePartitions(withDayPartitions(windowed, dateCol), path,
+      Seq("year", "month", "day"))
+  }
+}

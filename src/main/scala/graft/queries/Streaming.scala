@@ -1,0 +1,182 @@
+package graft.queries
+
+import graft.ingest.Transforms
+import graft.ts.Bars
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Batch verification of the streaming-plane transforms (SURVEY.md
+  * §2.10, S2, P1–P6, W3, U2). The exact `DataFrame => DataFrame`
+  * functions the streaming pipelines run ([[Transforms]]) are applied
+  * here to deterministic envelopes built from the fixtures, and checked
+  * against DuckDB oracles that recompute the expected rows directly —
+  * the JSON encode→decode round trip is the unit under test.
+  *
+  * Numeric columns go through double→string→double round trips (wire
+  * discipline: everything is a string on the wire); the final outputs
+  * are re-promoted to numeric types so the oracle never has to match
+  * Java's float-to-string rendering.
+  */
+object Streaming extends QueryPack {
+
+  /** Deterministic candles envelope per hourly bar: value JSON matches
+    * modules/kafka_producers/candles_minute_producer.py:27-49.
+    */
+  private def candleEnvelope(events: DataFrame): DataFrame =
+    Bars.hourly(events).select(
+      col("id").cast("string").as("key"),
+      to_json(struct(array(struct(
+        col("id").cast("string").as("id"),
+        col("low").cast("string").as("low"),
+        col("high").cast("string").as("high"),
+        col("open").cast("string").as("open"),
+        col("close").cast("string").as("close"),
+        col("volume").cast("string").as("amount"),
+        col("volume").cast("string").as("quantity"),
+        col("volume").cast("int").cast("string").as("tradeCount"),
+        (col("t") + 3599).cast("string").as("ts_send"),
+        col("t").cast("string").as("startTime"),
+        (col("t") + 3599).cast("string").as("closeTime"))).as("data")))
+        .as("value"))
+
+  /** Deterministic order-book envelope per hourly bar: 3 ask levels,
+    * 2 bid levels — except symbols with id % 10 == 0, whose bid side is
+    * EMPTY to exercise `posexplode_outer`'s NULL-level row.
+    */
+  private def bookEnvelope(events: DataFrame): DataFrame = {
+    def level(price: Column): Column =
+      array(price.cast("string"), col("volume").cast("string"))
+    val asks = array((1 to 3).map(i =>
+      level(col("close") * (1 + 0.001 * i))): _*)
+    val bids = when(col("id") % 10 === 0,
+        array().cast("array<array<string>>"))
+      .otherwise(array((1 to 2).map(i =>
+        level(col("close") * (1 - 0.001 * i))): _*))
+    Bars.hourly(events).select(
+      col("id").cast("string").as("key"),
+      to_json(struct(array(struct(
+        col("id").cast("string").as("id"),
+        col("t").cast("string").as("seqid"),
+        asks.as("asks"),
+        bids.as("bids"),
+        col("t").cast("string").as("createTime"),
+        col("t").cast("string").as("ts_send"))).as("data"))).as("value"))
+  }
+
+  /** Deterministic market-trade envelope per raw event. */
+  private def tradeEnvelope(events: DataFrame): DataFrame =
+    events.select(
+      col("user_id").cast("string").as("key"),
+      to_json(struct(array(struct(
+        col("user_id").cast("string").as("id"),
+        col("event_id").cast("string").as("trade_id"),
+        when(col("event_id") % 2 === 0, "buy").otherwise("sell")
+          .as("takerSide"),
+        col("value").cast("string").as("amount"),
+        lit("1").as("quantity"),
+        col("value").cast("string").as("price"),
+        unix_timestamp(col("ts")).cast("string").as("createTime"),
+        unix_timestamp(col("ts")).cast("string").as("ts_send"))).as("data")))
+        .as("value"))
+
+  val queries: Map[String, Q] = Map(
+    // S2+P1+P2+P3+P4: candles envelope parse + string→typed promotion.
+    "q20_candles_envelope" -> ((s, d) =>
+      Transforms.parseCandles(candleEnvelope(t("events")(s, d)),
+          withInsertTs = false)
+        .select(col("id"),
+          col("low").cast("double"), col("high").cast("double"),
+          col("open").cast("double"), col("close").cast("double"),
+          col("amount").cast("double"), col("quantity").cast("double"),
+          col("tradecount").cast("int").as("tradecount"),
+          col("ts_send").cast("long").as("ts_send"),
+          col("starttime").cast("long").as("starttime"),
+          col("closetime").cast("long").as("closetime"),
+          col("ts_create_utc"), col("dt_create_utc"))),
+
+    // W3+P5+P6+U2: order-book posexplode_outer + rank + ask∪bid.
+    "q21_orderbook_explode" -> ((s, d) =>
+      Transforms.explodeOrderBook(bookEnvelope(t("events")(s, d)),
+          withInsertTs = false)
+        .select(col("id"),
+          col("seqid").cast("long").as("seqid"),
+          col("createtime").cast("long").as("createtime"),
+          col("ts_send").cast("long").as("ts_send"),
+          col("order_rank").cast("int").as("order_rank"),
+          col("quote_price").cast("double").as("quote_price"),
+          col("base_amount").cast("double").as("base_amount"),
+          col("order_type"), col("ts_create_utc"), col("dt_create_utc"))),
+
+    // Market-trade envelope parse (market_trade.py:79-99).
+    "q22_trade_envelope" -> ((s, d) =>
+      Transforms.parseTrades(tradeEnvelope(t("events")(s, d)),
+          withInsertTs = false)
+        .select(col("id"),
+          col("trade_id").cast("long").as("trade_id"),
+          col("takerside"),
+          col("amount").cast("double").as("amount"),
+          col("quantity").cast("double").as("quantity"),
+          col("price").cast("double").as("price"),
+          col("createtime").cast("long").as("createtime"),
+          col("ts_create_utc"), col("dt_create_utc"))),
+
+    // P1 on a real fixture JSON column: events.props.
+    "q23_json_props" -> ((s, d) =>
+      t("events")(s, d)
+        .select(col("event_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+            .getField("k").as("k"))))
+
+  private val tsFmt =
+    "strftime(make_timestamp(CAST(%s AS BIGINT)*1000000), '%%Y-%%m-%%d %%H:%%M:%%S')"
+  private val dtFmt =
+    "strftime(make_timestamp(CAST(%s AS BIGINT)*1000000), '%%Y-%%m-%%d')"
+
+  val oracleSql: Map[String, String] = Map(
+    "q20_candles_envelope" ->
+      s"""WITH ${Bars.oracleCteHourly}
+         |SELECT CAST(id AS VARCHAR) AS id, low, high, open, close,
+         |       volume AS amount, volume AS quantity,
+         |       CAST(volume AS INTEGER) AS tradecount,
+         |       t + 3599 AS ts_send, t AS starttime, t + 3599 AS closetime,
+         |       ${tsFmt.format("t + 3599")} AS ts_create_utc,
+         |       ${dtFmt.format("t + 3599")} AS dt_create_utc
+         |FROM hourly""".stripMargin,
+    "q21_orderbook_explode" ->
+      s"""WITH ${Bars.oracleCteHourly},
+         |ask AS (
+         |  SELECT CAST(id AS VARCHAR) AS id, t AS seqid, t AS createtime,
+         |         t AS ts_send, CAST(i + 1 AS INTEGER) AS order_rank,
+         |         close * (1 + CAST(0.001 AS DOUBLE) * (i + 1)) AS quote_price,
+         |         volume AS base_amount, 'ask' AS order_type
+         |  FROM hourly, range(3) r(i)),
+         |bid AS (
+         |  SELECT CAST(id AS VARCHAR) AS id, t AS seqid, t AS createtime,
+         |         t AS ts_send, CAST(i + 1 AS INTEGER) AS order_rank,
+         |         close * (1 - CAST(0.001 AS DOUBLE) * (i + 1)) AS quote_price,
+         |         volume AS base_amount, 'bid' AS order_type
+         |  FROM hourly, range(2) r(i) WHERE id % 10 <> 0
+         |  UNION ALL
+         |  SELECT CAST(id AS VARCHAR), t, t, t, NULL, NULL, NULL, 'bid'
+         |  FROM hourly WHERE id % 10 = 0),
+         |u AS (SELECT * FROM ask UNION ALL SELECT * FROM bid)
+         |SELECT id, seqid, createtime, ts_send, order_rank, quote_price,
+         |       base_amount, order_type,
+         |       ${tsFmt.format("createtime")} AS ts_create_utc,
+         |       ${dtFmt.format("createtime")} AS dt_create_utc
+         |FROM u""".stripMargin,
+    "q22_trade_envelope" ->
+      s"""SELECT CAST(user_id AS VARCHAR) AS id, event_id AS trade_id,
+         |       CASE WHEN event_id % 2 = 0 THEN 'buy' ELSE 'sell' END
+         |         AS takerside,
+         |       value AS amount, CAST(1 AS DOUBLE) AS quantity,
+         |       value AS price,
+         |       CAST(floor(epoch(ts)) AS BIGINT) AS createtime,
+         |       ${tsFmt.format("floor(epoch(ts))")} AS ts_create_utc,
+         |       ${dtFmt.format("floor(epoch(ts))")} AS dt_create_utc
+         |FROM events""".stripMargin,
+    "q23_json_props" ->
+      """SELECT event_id, CAST(props::JSON->>'k' AS BIGINT) AS k
+        |FROM events""".stripMargin)
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.load.PartitionIO
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Idempotency and isolation of the dynamic-partition overwrite path
+  * (the reference's DELETE+INSERT trailing-window reload, S8-S10).
+  */
+class PartitionIOSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("partio").toString
+
+  private def mkRows(days: Seq[Int], tag: String) = {
+    import spark.implicits._
+    days.flatMap(d => Seq((1L, f"2024-01-$d%02d", tag, 1.0)))
+      .toDF("id", "dts", "tag", "v")
+      .withColumn("dt", to_date(col("dts"))).drop("dts")
+  }
+
+  test("reload overwrites only the window partitions; re-run converges") {
+    val path = tmp()
+    // Base load: days 1..20 tagged 'base'.
+    PartitionIO.overwritePartitions(
+      PartitionIO.withDayPartitions(mkRows(1 to 20, "base"), "dt"),
+      path, Seq("year", "month", "day"))
+    // Reload days 11..20 tagged 'fresh' — twice (retry semantics).
+    val fresh = mkRows(11 to 20, "fresh")
+    PartitionIO.reloadTrailingWindow(fresh, path, "dt", 9, "2024-01-20")
+    PartitionIO.reloadTrailingWindow(fresh, path, "dt", 9, "2024-01-20")
+    val out = spark.read.parquet(path)
+    assert(out.count() == 20)                     // no duplication
+    assert(out.where(col("tag") === "base").count() == 10)  // untouched
+    assert(out.where(col("tag") === "fresh").count() == 10) // replaced
+    assert(out.where(col("day") <= 10 && col("tag") =!= "base").count() == 0)
+  }
+
+  test("overwrite leaves partitions absent from the update untouched") {
+    val path = tmp()
+    PartitionIO.overwritePartitions(
+      PartitionIO.withDayPartitions(mkRows(1 to 5, "a"), "dt"),
+      path, Seq("year", "month", "day"))
+    PartitionIO.overwritePartitions(
+      PartitionIO.withDayPartitions(mkRows(3 to 3, "b"), "dt"),
+      path, Seq("year", "month", "day"))
+    val out = spark.read.parquet(path)
+    assert(out.count() == 5)
+    assert(out.where(col("tag") === "b").select("day")
+      .collect().map(_.getInt(0)).toSeq == Seq(3))
+  }
+}

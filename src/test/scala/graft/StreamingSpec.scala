@@ -1,0 +1,111 @@
+package graft
+
+import graft.ingest.Transforms
+import graft.stream.Pipelines
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming semantics (SURVEY.md §2.10): the envelope transforms over
+  * a real stream, checkpointed foreachBatch delivery, recovery without
+  * re-emitting processed batches, and per-batch PK dedup.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def envelope(id: String, close: Double, ts: Long): String =
+    s"""{"data":[{"id":"$id","low":"${close - 1}","high":"${close + 1}",""" +
+      s""""open":"$close","close":"$close","amount":"10.0","quantity":"1.0",""" +
+      s""""tradeCount":"3","ts_send":"$ts","startTime":"$ts","closeTime":"$ts"}]}"""
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("candles stream: parse + foreachBatch sink + checkpoint recovery") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val out = tmp("stream-out")
+    val ckpt = tmp("stream-ckpt")
+
+    // Streaming source of raw (key, value) like the Kafka source after
+    // the binary cast.
+    val mem1 = MemoryStream[String]
+    val raw1 = mem1.toDF().select(lit("k").as("key"), col("value"))
+    mem1.addData(envelope("BTC", 100.0, 1700000000L),
+      envelope("ETH", 50.0, 1700000060L))
+    val q1 = Pipelines.parquetSink(
+      Transforms.parseCandles(raw1), s"$out/t", ckpt,
+      pk = Seq("id", "starttime"))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(spark.read.parquet(s"$out/t").count() == 2)
+
+    // Restart from the same checkpoint with a new source holding the
+    // SAME first two messages plus one new one: the committed offsets
+    // must prevent reprocessing of batch 0... a fresh MemoryStream has
+    // fresh offsets, so instead verify the dedup path: replay all three.
+    val mem2 = MemoryStream[String]
+    val raw2 = mem2.toDF().select(lit("k").as("key"), col("value"))
+    mem2.addData(envelope("BTC", 100.0, 1700000000L),
+      envelope("BTC", 100.0, 1700000000L), // duplicate within batch
+      envelope("ADA", 1.5, 1700000120L))
+    val q2 = Pipelines.parquetSink(
+      Transforms.parseCandles(raw2), s"$out/t2", tmp("stream-ckpt2"),
+      pk = Seq("id", "starttime"))
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(s"$out/t2")
+    // In-batch duplicate collapsed by the PK dedup.
+    assert(rows.count() == 2)
+    assert(rows.where(col("id") === "BTC").count() == 1)
+  }
+
+  test("checkpoint: restarting the same source does not duplicate rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val out = tmp("ckpt-out")
+    val ckpt = tmp("ckpt-ckpt")
+    val mem = MemoryStream[String]
+    val raw = mem.toDF().select(lit("k").as("key"), col("value"))
+    mem.addData(envelope("BTC", 100.0, 1700000000L))
+    val q1 = Pipelines.parquetSink(Transforms.parseCandles(raw),
+      s"$out/t", ckpt)
+    q1.processAllAvailable()
+    q1.stop()
+    // Same MemoryStream instance + same checkpoint: restart resumes
+    // after the committed offset; only the new message lands.
+    mem.addData(envelope("ETH", 50.0, 1700000060L))
+    val q2 = Pipelines.parquetSink(Transforms.parseCandles(raw),
+      s"$out/t", ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(s"$out/t")
+    assert(rows.count() == 2)
+    assert(rows.select("id").distinct().count() == 2)
+  }
+
+  test("order-book explode over a stream, incl. empty-side NULL rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val out = tmp("book-out")
+    val mem = MemoryStream[String]
+    val raw = mem.toDF().select(lit("k").as("key"), col("value"))
+    val book =
+      """{"data":[{"id":"BTC","seqid":"1","asks":[["100.1","2"],["100.2","3"]],""" +
+        """"bids":[],"createTime":"1700000000","ts_send":"1700000000"}]}"""
+    mem.addData(book)
+    val q = Pipelines.parquetSink(Transforms.explodeOrderBook(raw),
+      s"$out/t", tmp("book-ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(s"$out/t")
+    // 2 ask levels + 1 NULL bid row from posexplode_outer on [].
+    assert(rows.count() == 3)
+    val bid = rows.where(col("order_type") === "bid").collect()
+    assert(bid.length == 1 && bid(0).getAs[Any]("order_rank") == null)
+    val asks = rows.where(col("order_type") === "ask")
+      .orderBy("order_rank").collect()
+    assert(asks.map(_.getAs[Int]("order_rank")).toSeq == Seq(1, 2))
+    assert(asks(0).getAs[String]("quote_price") == "100.1")
+  }
+}
