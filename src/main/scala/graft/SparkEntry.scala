@@ -17,7 +17,8 @@ object SparkEntry {
     graft.queries.Mart,
     graft.queries.Indicators,
     graft.queries.Streaming,
-    graft.queries.LoadIngest)
+    graft.queries.LoadIngest,
+    graft.queries.LlmPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's analytical centerpiece: crypto_daily_close_stats

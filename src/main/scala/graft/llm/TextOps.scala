@@ -1,0 +1,132 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, shingling, quality scoring, marker-based language
+  * scoring, TF-IDF, and content fingerprinting.
+  *
+  * Everything here is a pure `DataFrame => DataFrame` built from
+  * codegen'd `org.apache.spark.sql.functions` (no UDFs): at 100 TB the
+  * per-document work stays inside whole-stage codegen, and the only
+  * shuffles are the explicit groupBys (term df, TF-IDF), all keyed on
+  * bounded-cardinality keys.
+  */
+object TextOps {
+
+  /** Whitespace tokenization of a text column. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** n-word shingles of a token array (empty when too short). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** doc → (doc_id, distinct shingle) rows — the unit of all set-based
+    * similarity below.
+    */
+  def shingleRows(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"),
+        explode(shingles(tokens(col("text")), n)).as("s"))
+      .distinct()
+
+  /** Token statistics: token count, char count, mean token length. */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val w = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(w).as("n_tokens"),
+      length(col("text")).as("n_chars_measured"),
+      round(aggregate(transform(w, t => length(t)), lit(0),
+        (acc, x) => acc + x).cast("double") / size(w), 4)
+        .as("avg_token_len"))
+  }
+
+  val stopwords: Seq[String] = Seq("the", "a", "of", "in", "to", "and")
+
+  /** Quality score: length saturation × (1 − stopword ratio), plus the
+    * component ratios. The shape of the reference-free quality filters
+    * used in pretraining-data pipelines (length/punct/stopword ratios).
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val w = tokens(col("text"))
+    val stopCount = size(filter(w, t => stopwords
+      .map(s => t === s).reduce(_ || _)))
+    val punct = Seq(".", ",", "!", "?").map(p =>
+      length(col("text")) - length(regexp_replace(col("text"), s"\\$p", "")))
+      .reduce(_ + _)
+    docs.select(
+      col("doc_id"),
+      size(w).as("n_tokens"),
+      round(stopCount.cast("double") / size(w), 4).as("stop_ratio"),
+      round(punct.cast("double") / length(col("text")), 4).as("punct_ratio"),
+      round(least(size(w).cast("double") / 100.0, lit(1.0)) *
+        (lit(1.0) - stopCount.cast("double") / size(w)), 4).as("quality"))
+  }
+
+  /** Marker-word sets per language tag. NOTE: the fixture corpus shares
+    * one vocabulary across langs (the `lang` column carries no textual
+    * signal), so this verifies the scoring/argmax OPERATOR — marker
+    * counting, per-language scores, deterministic tie-break — not
+    * classifier accuracy.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "und", "customer", "key"),
+    "en" -> Seq("the", "and", "window", "order"),
+    "es" -> Seq("el", "y", "vector", "merge"),
+    "fr" -> Seq("le", "et", "scan", "query"),
+    "zh" -> Seq("zh", "join", "small", "column"))
+
+  /** Language ID: per-language marker-hit counts → argmax with
+    * alphabetical tie-break (explode + rank, the shape that scales).
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = tokens(col("text"))
+    val scored = docs.select(col("doc_id") +: langMarkers.map {
+      case (lang, ms) =>
+        size(filter(w, t => ms.map(m => t === m).reduce(_ || _)))
+          .as(s"score_$lang")
+    }: _*)
+    val long = scored.select(col("doc_id"), explode(array(langMarkers.map {
+      case (lang, _) => struct(lit(lang).as("lang"),
+        col(s"score_$lang").as("score"))
+    }: _*)).as("ls"))
+      .select(col("doc_id"), col("ls.lang"), col("ls.score"))
+    val rk = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("lang"))
+    long.withColumn("rn", row_number().over(rk)).where(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("predicted_lang"),
+        col("score").cast("int").as("marker_hits"))
+  }
+
+  /** TF-IDF top-k terms per document: tf = in-doc term count, idf =
+    * ln(N / df). Rank on the rounded score (so both engines rank
+    * identical values) with term tie-break.
+    */
+  def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    val rk = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(rk).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text
+    * — the exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
+}

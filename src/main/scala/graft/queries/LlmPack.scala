@@ -1,0 +1,184 @@
+package graft.queries
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+
+/** LLM training-data pipeline operators over the documents/embeddings
+  * fixtures: dedup (exact, inverted-index Jaccard, banded MinHash LSH,
+  * SimHash), text analysis (token stats, quality, language scoring,
+  * TF-IDF), similarity search (brute-force + LSH ANN), and the
+  * multimodal joined frame.
+  *
+  * Oracle notes: ranking queries rank on ROUNDED scores with id/term
+  * tie-breaks so both engines order identical values; q65's oracle is
+  * the brute-force Jaccard answer — the banded-LSH candidate stage is
+  * probabilistic, with P[miss] ≈ 1e-4 per qualifying pair at J = 0.5,
+  * and is verified to reach full recall on the frozen fixtures (the
+  * hash seeds are deterministic, so this is stable, not flaky).
+  * q69 (LSH ANN) has no SQL oracle — recall is measured in ScalaTest
+  * against q68's exact answer.
+  */
+object LlmPack extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    "q60_exact_dedup" -> ((s, d) => Dedup.exactDedup(t("documents")(s, d))),
+    "q61_token_stats" -> ((s, d) => TextOps.tokenStats(t("documents")(s, d))),
+    "q62_quality_score" -> ((s, d) => TextOps.qualityScore(t("documents")(s, d))),
+    "q63_lang_id" -> ((s, d) => TextOps.langId(t("documents")(s, d))),
+    "q64_jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(t("documents")(s, d))),
+    "q65_minhash_lsh" -> ((s, d) => Dedup.minhashPairs(t("documents")(s, d))),
+    "q66_simhash" -> ((s, d) => Dedup.simhash(t("documents")(s, d))),
+    "q67_tfidf_top3" -> ((s, d) => TextOps.tfidfTopK(t("documents")(s, d))),
+    "q68_ann_cosine" -> ((s, d) =>
+      Similarity.bruteForceTopK(t("embeddings")(s, d), col("vec_id") < 10)),
+    "q69_ann_lsh" -> ((s, d) =>
+      Similarity.lshTopK(t("embeddings")(s, d), col("vec_id") < 10)),
+    "q70_multimodal" -> ((s, d) =>
+      Multimodal.multimodalFrame(t("documents")(s, d), t("embeddings")(s, d))
+        .select(col("doc_id"), col("meta.lang").as("lang"),
+          col("meta.source").as("source"), col("meta.n_chars").as("n_chars"),
+          octet_length(col("payload")).as("byte_len"),
+          ascii(col("text")).as("head_code"),
+          size(col("embedding")).as("dim"),
+          round(sqrt(expr(
+            "aggregate(zip_with(embedding, embedding, " +
+              "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+              "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")), 4)
+            .as("emb_norm"),
+          col("label"))))
+
+  /** Shared oracle CTE: whitespace tokens per document. */
+  private val tokCte =
+    """tok AS (SELECT doc_id, text,
+      |  regexp_split_to_array(trim(text), '\s+') AS w FROM documents)"""
+      .stripMargin
+
+  /** Shared oracle CTEs: distinct 3-word shingles + set sizes. */
+  private val shingleCtes =
+    s"""$tokCte,
+       |idx AS (SELECT doc_id, generate_subscripts(w, 1) AS i, w FROM tok),
+       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       |       FROM idx WHERE i + 2 <= len(w)),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)"""
+      .stripMargin
+
+  private def jaccardOracle(threshold: Double): String =
+    s"""WITH $shingleCtes,
+       |pairs AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT da, db, round(CAST(common AS DOUBLE) /
+       |           (x.n_sh + y.n_sh - common), 4) AS jaccard
+       |  FROM pairs JOIN sizes x ON da = x.doc_id
+       |             JOIN sizes y ON db = y.doc_id)
+       |SELECT da, db, jaccard FROM j WHERE jaccard >= $threshold"""
+      .stripMargin
+
+  private val simhashCols = (0 until Dedup.simhashBits).map { j =>
+    s"sum((((strpos('0123456789abcdef', substr(h, ${1 + j / 4}, 1)) - 1)" +
+      s" >> ${3 - j % 4}) & 1) * 2 - 1) AS c$j"
+  }.mkString(",\n    ")
+
+  private val simhashConcat = (0 until Dedup.simhashBits).map(j =>
+    s"CASE WHEN c$j > 0 THEN '1' ELSE '0' END").mkString("concat(", ", ", ")")
+
+  private val langScoreUnion = TextOps.langMarkers.map { case (lang, ms) =>
+    val cond = ms.map(m => s"x = '$m'").mkString(" OR ")
+    s"""SELECT doc_id, '$lang' AS lang,
+       |       len(list_filter(w, x -> $cond)) AS score FROM tok"""
+      .stripMargin
+  }.mkString("\nUNION ALL\n")
+
+  val oracleSql: Map[String, String] = Map(
+    "q60_exact_dedup" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents)
+        |SELECT doc_id, fp,
+        |       row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+        |         AS is_canonical
+        |FROM f""".stripMargin,
+    "q61_token_stats" ->
+      s"""WITH $tokCte
+         |SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
+         |       CAST(length(text) AS INTEGER) AS n_chars_measured,
+         |       round(CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
+         |             / len(w), 4) AS avg_token_len
+         |FROM tok""".stripMargin,
+    "q62_quality_score" -> {
+      val stopCond = TextOps.stopwords.map(s => s"x = '$s'").mkString(" OR ")
+      val punct = Seq(".", ",", "!", "?").map(p =>
+        s"(length(text) - length(replace(text, '$p', '')))").mkString(" + ")
+      s"""WITH $tokCte,
+         |m AS (SELECT doc_id, text, w,
+         |        len(list_filter(w, x -> $stopCond)) AS stops,
+         |        $punct AS punct FROM tok)
+         |SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
+         |       round(CAST(stops AS DOUBLE) / len(w), 4) AS stop_ratio,
+         |       round(CAST(punct AS DOUBLE) / length(text), 4) AS punct_ratio,
+         |       round(least(CAST(len(w) AS DOUBLE) / 100, CAST(1 AS DOUBLE))
+         |             * (CAST(1 AS DOUBLE) - CAST(stops AS DOUBLE) / len(w)), 4)
+         |         AS quality
+         |FROM m""".stripMargin
+    },
+    "q63_lang_id" ->
+      s"""WITH $tokCte,
+         |sc AS (
+         |$langScoreUnion)
+         |SELECT doc_id, lang AS predicted_lang,
+         |       CAST(score AS INTEGER) AS marker_hits
+         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY score DESC, lang) AS rn FROM sc)
+         |WHERE rn = 1""".stripMargin,
+    "q64_jaccard_pairs" -> jaccardOracle(0.3),
+    "q65_minhash_lsh" -> jaccardOracle(0.5),
+    "q66_simhash" ->
+      s"""WITH t2 AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |  FROM documents),
+         |h AS (SELECT doc_id, md5(tok) AS h FROM t2),
+         |c AS (SELECT doc_id,
+         |    $simhashCols
+         |  FROM h GROUP BY doc_id)
+         |SELECT doc_id, $simhashConcat AS simhash FROM c""".stripMargin,
+    "q67_tfidf_top3" ->
+      """WITH t2 AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY 1, 2),
+        |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT doc_id, term,
+        |         round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        |  FROM tf JOIN dfx USING (term) CROSS JOIN n)
+        |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tfidf
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY tfidf DESC, term) AS rank FROM sc)
+        |WHERE rank <= 3""".stripMargin,
+    "q68_ann_cosine" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+        |p AS (
+        |  SELECT q.vec_id AS qid, x.vec_id AS neighbor_id,
+        |         round(list_dot_product(q.v, x.v)
+        |               / (sqrt(q.n2) * sqrt(x.n2)), 4) AS cos
+        |  FROM n q JOIN n x ON q.vec_id < 10 AND x.vec_id <> q.vec_id)
+        |SELECT qid, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
+        |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY cos DESC, neighbor_id) AS rank FROM p)
+        |WHERE rank <= 5""".stripMargin,
+    "q70_multimodal" ->
+      """SELECT doc_id, lang, source, n_chars,
+        |       CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |       ascii(text) AS head_code,
+        |       CAST(len(embedding) AS INTEGER) AS dim,
+        |       round(sqrt(list_dot_product(embedding::DOUBLE[],
+        |             embedding::DOUBLE[])), 4) AS emb_norm,
+        |       label
+        |FROM documents JOIN embeddings ON doc_id = vec_id""".stripMargin)
+}

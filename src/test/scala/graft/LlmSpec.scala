@@ -1,0 +1,67 @@
+package graft
+
+import graft.llm.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Properties of the probabilistic LLM-pipeline operators that have no
+  * SQL oracle: LSH ANN recall, MinHash candidate completeness on the
+  * fixture, SimHash locality, and the multimodal decode plumbing.
+  */
+class LlmSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val docs =
+    Tables.load(spark, "/root/testdata/sf0.001", "documents")
+  private lazy val embs =
+    Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+
+  test("minhash-LSH pairs equal exact jaccard pairs at threshold 0.5") {
+    val exact = Dedup.jaccardPairs(docs, 3, 0.5)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashPairs(docs, 3, 0.5)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact) // full recall on fixture + exact verify = equality
+  }
+
+  test("LSH ANN: results are a subset of correct cosines; recall > 0") {
+    val brute = Similarity.bruteForceTopK(embs, col("vec_id") < 10, 5)
+      .select("qid", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(embs, col("vec_id") < 10, 5)
+      .select("qid", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty)
+    val recall = (lsh & brute).size.toDouble / brute.size
+    // 8-bit buckets on 10 queries: recall is partial by design but the
+    // bucketing must not be degenerate (everything or nothing).
+    assert(recall > 0.0 && lsh.size <= 50)
+  }
+
+  test("simhash: identical docs agree; near-dup pairs closer than random") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 5
+    val near = base.replace("lazy", "sleepy")
+    val far = "completely different words about databases and spark " * 5
+    val df = Seq((0L, base), (1L, base), (2L, near), (3L, far))
+      .toDF("doc_id", "text")
+    val fp = Dedup.simhash(df).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(fp(0L) == fp(1L))
+    assert(ham(fp(0L), fp(2L)) < ham(fp(0L), fp(3L)))
+  }
+
+  test("multimodal decode: partition-streaming stub appends features") {
+    val frame = Multimodal.multimodalFrame(docs, embs)
+    val decoded = Multimodal.decodePayloads(frame)
+    assert(decoded.columns.takeRight(3).toSeq ==
+      Seq("width", "height", "format"))
+    val row = decoded.orderBy("doc_id").limit(1).collect()(0)
+    val payload = row.getAs[Array[Byte]]("payload")
+    val (w, h, f) = Multimodal.decodeStub(payload)
+    assert(row.getAs[Int]("width") == w)
+    assert(row.getAs[Int]("height") == h)
+    assert(row.getAs[String]("format") == f)
+    assert(decoded.count() == frame.count())
+  }
+}
