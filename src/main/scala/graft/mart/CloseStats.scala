@@ -57,7 +57,9 @@ object CloseStats {
         lit(n.toString).as("stat_range"),
         col("close").cast("float").as("close_today"),
         col(s"avg_$n").cast("float").as("avg_close"),
-        when(lagN.isNotNull, (col("close") - lagN) / lagN * 100)
+        // lag = 0 would divide by zero (ANSI fault): emit NULL, same as
+        // the missing-lag case.
+        when(lagN.isNotNull && lagN =!= 0, (col("close") - lagN) / lagN * 100)
           .cast("float").as("roc"),
         date_sub(col("date_day"), n).as("dt_start"))
     }
@@ -83,7 +85,7 @@ object CloseStats {
       s"""SELECT id AS symbol_id, '$n' AS stat_range,
          |       CAST(close AS REAL) AS close_today,
          |       CAST(a$n AS REAL) AS avg_close,
-         |       CAST(CASE WHEN l$n IS NOT NULL
+         |       CAST(CASE WHEN l$n IS NOT NULL AND l$n <> 0
          |                 THEN (close - l$n) / l$n * 100 END AS REAL) AS roc,
          |       date_day - $n AS dt_start, date_day AS dt_end
          |FROM wins""".stripMargin

@@ -53,7 +53,7 @@ object Mart extends QueryPack {
         |SELECT id AS symbol_id, '30' AS stat_range,
         |       CAST(close AS REAL) AS close_today,
         |       CAST(a30 AS REAL) AS avg_close,
-        |       CAST(CASE WHEN l30 IS NOT NULL
+        |       CAST(CASE WHEN l30 IS NOT NULL AND l30 <> 0
         |                 THEN (close - l30) / l30 * 100 END AS REAL) AS roc,
         |       date_day - 30 AS dt_start, date_day AS dt_end
         |FROM w""".stripMargin)
