@@ -126,7 +126,26 @@ object Streaming extends QueryPack {
         .select(col("event_id"),
           from_json(col("props"),
             org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
-            .getField("k").as("k"))))
+            .getField("k").as("k"))),
+
+    // §2.9 date/time scalar surface: add_months (indicator lookback,
+    // D_Create_crypto_ind_day_001.py:35), trunc-to-month
+    // (first-day-of-N-months-ago, modules/common/utils.py:62-71),
+    // date_add/date_sub (trailing windows), year/month/day extraction
+    // (partition derivation), datediff.
+    "q24_date_scalars" -> ((s, d) =>
+      t("events")(s, d)
+        .select(col("event_id"), to_date(col("ts")).as("dt"))
+        .select(col("event_id"), col("dt"),
+          add_months(col("dt"), -3).as("lookback_start"),
+          trunc(add_months(col("dt"), -1), "MM").as("prev_month_first"),
+          date_add(col("dt"), 7).as("plus7"),
+          date_sub(col("dt"), 10).as("minus10"),
+          year(col("dt")).cast("int").as("y"),
+          month(col("dt")).cast("int").as("m"),
+          dayofmonth(col("dt")).cast("int").as("dom"),
+          datediff(col("dt"), lit("2024-01-01").cast("date")).cast("int")
+            .as("days_since_jan1"))))
 
   private val tsFmt =
     "strftime(make_timestamp(CAST(%s AS BIGINT)*1000000), '%%Y-%%m-%%d %%H:%%M:%%S')"
@@ -178,5 +197,17 @@ object Streaming extends QueryPack {
          |FROM events""".stripMargin,
     "q23_json_props" ->
       """SELECT event_id, CAST(props::JSON->>'k' AS BIGINT) AS k
-        |FROM events""".stripMargin)
+        |FROM events""".stripMargin,
+    "q24_date_scalars" ->
+      """WITH d AS (SELECT event_id, CAST(ts AS DATE) AS dt FROM events)
+        |SELECT event_id, dt,
+        |       CAST(dt - INTERVAL 3 MONTH AS DATE) AS lookback_start,
+        |       CAST(date_trunc('month', dt - INTERVAL 1 MONTH) AS DATE)
+        |         AS prev_month_first,
+        |       dt + 7 AS plus7, dt - 10 AS minus10,
+        |       CAST(year(dt) AS INTEGER) AS y,
+        |       CAST(month(dt) AS INTEGER) AS m,
+        |       CAST(day(dt) AS INTEGER) AS dom,
+        |       CAST(dt - DATE '2024-01-01' AS INTEGER) AS days_since_jan1
+        |FROM d""".stripMargin)
 }

@@ -84,6 +84,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.select("id").distinct().count() == 2)
   }
 
+  test("progress monitoring: lastProgress reports the processed rows") {
+    // The reference monitors Kafka-vs-Spark offset lag off the query's
+    // progress (check_offset_diff.py:39-69); the Spark-native signal is
+    // StreamingQuery.lastProgress/recentProgress.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[String]
+    val raw = mem.toDF().select(lit("k").as("key"), col("value"))
+    mem.addData(envelope("BTC", 100.0, 1700000000L),
+      envelope("ETH", 50.0, 1700000060L),
+      envelope("ADA", 1.5, 1700000120L))
+    val q = Pipelines.parquetSink(Transforms.parseCandles(raw),
+      s"${tmp("prog-out")}/t", tmp("prog-ckpt"))
+    q.processAllAvailable()
+    val processed = q.recentProgress.map(_.numInputRows).sum
+    q.stop()
+    assert(processed == 3)
+  }
+
   test("order-book explode over a stream, incl. empty-side NULL rows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
