@@ -84,6 +84,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.select("id").distinct().count() == 2)
   }
 
+  test("console debug sink starts and drains (S4)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[String]
+    val raw = mem.toDF().select(lit("k").as("key"), col("value"))
+    mem.addData(envelope("BTC", 100.0, 1700000000L))
+    val q = Pipelines.consoleSink(Transforms.parseCandles(raw))
+    q.processAllAvailable()
+    q.stop()
+    assert(q.recentProgress.map(_.numInputRows).sum == 1)
+  }
+
   test("progress monitoring: lastProgress reports the processed rows") {
     // The reference monitors Kafka-vs-Spark offset lag off the query's
     // progress (check_offset_diff.py:39-69); the Spark-native signal is
