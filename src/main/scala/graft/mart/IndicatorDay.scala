@@ -1,6 +1,7 @@
 package graft.mart
 
-import graft.ts.{Bars, Recursive}
+import graft.functions.TaFunctions
+import graft.ts.Bars
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -21,11 +22,14 @@ import org.apache.spark.sql.functions._
   *     `Window.partitionBy(id).orderBy(t)` sort: one shuffle, all
   *     frames share it;
   *   - the recursive indicators (EMA/MACD/RSI — not expressible as
-  *     frame aggregates) run per-symbol via
-  *     `groupByKey(id).flatMapGroups` ([[Recursive]]): one shuffle on
-  *     the same key, group size bounded by bars-per-symbol;
-  *   - the two sides join on (id, t) — co-partitioned hash join, no
-  *     broadcast needed, no driver hop anywhere.
+  *     frame aggregates) evaluate as native Catalyst
+  *     `TypedImperativeAggregate` running window functions
+  *     ([[graft.functions.Ema]] / [[graft.functions.WilderRsi]]) over
+  *     the SAME window sort — so the entire mart is one shuffle, no
+  *     separate per-symbol pass, no join. (The equivalent
+  *     `groupByKey.flatMapGroups` formulation is kept and verified in
+  *     [[graft.ts.Recursive]]; the two agree bit-for-bit —
+  *     TaAggregatesSpec.)
   * At 1000 executors this scales with the number of symbols; no stage
   * depends on total history size in one task beyond one symbol's bars.
   *
@@ -89,6 +93,7 @@ object IndicatorDay {
 
     val w = Window.partitionBy(col("id")).orderBy(col("tkey"))
     def frame(n: Int) = w.rowsBetween(-(n - 1), 0)
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
     val rn = col("rn")
 
     def guarded(n: Int, c: Column): Column = when(rn >= n, c)
@@ -139,8 +144,15 @@ object IndicatorDay {
 
     // Stage 2: windows over stage-1 window results (same shuffle key, so
     // Catalyst appends Window nodes to the existing sort — no new
-    // exchange).
+    // exchange). The recursive indicators ride the same sort as native
+    // running aggregates.
     val s3 = s2.select(col("*"),
+      TaFunctions.ema(col("cs"), 5).over(run).as("ema5"),
+      TaFunctions.ema(col("cs"), 10).over(run).as("ema10"),
+      TaFunctions.ema(col("cs"), 30).over(run).as("ema30"),
+      (TaFunctions.ema(col("cs"), 12).over(run) -
+        TaFunctions.ema(col("cs"), 26).over(run)).as("macd"),
+      TaFunctions.wilderRsi(col("cs"), 14).over(run).as("rsi"),
       sum(col("obv_step")).over(w.rowsBetween(Window.unboundedPreceding, 0))
         .as("obv"),
       guarded(16, avg(col("stoch_raw")).over(frame(3))).as("stoch_k"),
@@ -151,9 +163,12 @@ object IndicatorDay {
       guarded(26, (lit(25) - col("since_high")) * 100.0 / 25).as("aroon_up"),
       guarded(26, (lit(25) - col("since_low")) * 100.0 / 25).as("aroon_down"))
 
-    // Stage 3: %D over %K, and arithmetic combinations.
+    // Stage 3: %D over %K, the MACD signal line (EMA-over-defined of
+    // the macd series — the native ema skips NULL warm-up rows), and
+    // arithmetic combinations.
     val s4 = s3.select(col("*"),
-      guarded(18, avg(col("stoch_k")).over(frame(3))).as("stoch_d"))
+      guarded(18, avg(col("stoch_k")).over(frame(3))).as("stoch_d"),
+      TaFunctions.ema(col("macd"), 9).over(run).as("macd_single"))
 
     val withWin = s4.select(col("*"),
       (lit(3) * col("stoch_k") - lit(2) * col("stoch_d")).as("stoch_j"),
@@ -161,12 +176,7 @@ object IndicatorDay {
       (col("bb_sma") - lit(2) * col("bb_sd")).as("bollinger_bands_lower_band"),
       (col("bb_sma") + lit(2) * col("bb_sd")).as("bollinger_bands_upper_band"))
 
-    // Recursive indicators over the SAME scaled closes, then a
-    // co-partitioned (id, tkey) join back.
-    val rec = Recursive.withTa(
-      scaled.select(col("id"), col("tkey"), col("cs").as("close")))
-
-    withWin.join(rec, Seq("id", "tkey"))
+    withWin
       .select(
         (carry.map(col) ++ Seq(
           col("id"), col("tkey"), col("open"), col("high"), col("low"),

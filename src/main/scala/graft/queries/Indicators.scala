@@ -1,8 +1,8 @@
 package graft.queries
 
 import graft.mart.IndicatorDay
-import graft.ts.Bars
-import org.apache.spark.sql.functions.col
+import graft.ts.{Bars, Recursive}
+import org.apache.spark.sql.functions.{col, lit, when}
 
 /** Indicator-family verification queries — SURVEY.md §2.6 (I1–I10) and
   * the J4 recursive-kernel replacement.
@@ -185,7 +185,25 @@ object Indicators extends QueryPack {
     "q41_sma" -> ((s, d) => IndicatorDay.hourly(t("events")(s, d))
       .select(col("id"), col("t"), col("sma5"), col("sma10"), col("sma30"))),
     // The full daily mart — J1-composed 36-column contract.
-    "q40_indicator_day" -> ((s, d) => IndicatorDay(t("events")(s, d))))
+    "q40_indicator_day" -> ((s, d) => IndicatorDay(t("events")(s, d))),
+
+    // J4: the groupByKey.flatMapGroups kernel path ([[Recursive]]) —
+    // the mart itself runs the native TypedImperativeAggregate path
+    // (graft.functions), so this keeps the distributed-kernel
+    // formulation independently oracle-verified.
+    "q42_recursive_kernel" -> ((s, d) => {
+      val scaledClose = (col("close") *
+        when(col("id").isin(IndicatorDay.exceptionalIds: _*),
+          lit(IndicatorDay.nMultiple)).otherwise(lit(1.0))).as("close")
+      val bars = Bars.hourly(t("events")(s, d))
+        .select(col("id"), col("t").as("tkey"), scaledClose)
+      val rec = Recursive.withTa(bars)
+      def e(name: String) =
+        when(col(name) =!= 0.0, col(name)).cast("float").as(name)
+      rec.select(col("id"), col("tkey").as("t"),
+        e("ema5"), e("ema10"), e("ema30"),
+        e("macd"), e("macd_single"), e("rsi"))
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "q32_ema" ->
@@ -235,6 +253,12 @@ object Indicators extends QueryPack {
       s"""$hourlyBlock
          |SELECT id, t, ${E("sma5")} AS sma5, ${E("sma10")} AS sma10,
          |       ${E("sma30")} AS sma30
+         |FROM ind""".stripMargin,
+    "q42_recursive_kernel" ->
+      s"""$hourlyBlock
+         |SELECT id, t, ${E("ema5")} AS ema5, ${E("ema10")} AS ema10,
+         |       ${E("ema30")} AS ema30, ${E("macd")} AS macd,
+         |       ${E("macd_single")} AS macd_single, ${E("rsi")} AS rsi
          |FROM ind""".stripMargin,
     "q40_indicator_day" ->
       s"""$dailyBlock
