@@ -40,15 +40,22 @@ object PartitionIO {
       .withColumn("day", dayofmonth(col(dateCol)).cast("int"))
 
   /** S8+S10: overwrite exactly the partitions present in `updates`.
-    * Everything not touched by `updates` is preserved.
+    * Everything not touched by `updates` is preserved. `clusterBy`
+    * sorts rows within write tasks (after the partition columns) so
+    * parquet row-group min/max stats support point-lookup skipping —
+    * the lakehouse analog of the reference's Cassandra clustering keys
+    * (ddl/cassandra/crypto/candles_day.ddl:22).
     */
   def overwritePartitions(updates: DataFrame, path: String,
-      partitionCols: Seq[String]): Unit = {
+      partitionCols: Seq[String], clusterBy: Seq[String] = Nil): Unit = {
     val spark = updates.sparkSession
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val toWrite =
+      if (clusterBy.isEmpty) updates
+      else updates.sortWithinPartitions((partitionCols ++ clusterBy).map(col): _*)
     try
-      updates.write.mode("overwrite")
+      toWrite.write.mode("overwrite")
         .partitionBy(partitionCols: _*).parquet(path)
     finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
@@ -68,6 +75,6 @@ object PartitionIO {
       .where(col(dateCol) >= date_sub(lit(asOf).cast("date"), days)
         && col(dateCol) <= lit(asOf).cast("date"))
     overwritePartitions(withDayPartitions(windowed, dateCol), path,
-      Seq("year", "month", "day"))
+      Seq("year", "month", "day"), clusterBy = Seq("id"))
   }
 }

@@ -29,6 +29,12 @@ import org.apache.spark.sql.functions._
   * symbol_id NULL (the reference joins the spine without a per-symbol
   * cross join — SURVEY.md §7.4.2), and every windowed stat is NULL until
   * its lookback fills.
+  *
+  * Intentional divergence: the reference appends wall-clock
+  * `ts_created`/`ts_updated` audit columns (`localtimestamp(3)`); they
+  * are omitted here because the verification contract requires
+  * deterministic output — the audit-column pattern itself is covered by
+  * `ingest/Normalize.promoteCandles(withAuditTs = true)`.
   */
 object CloseStats {
 

@@ -84,6 +84,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.select("id").distinct().count() == 2)
   }
 
+  test("stateful dedup: dropDuplicatesWithinWatermark across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val out = tmp("wm-out")
+    val mem = MemoryStream[String]
+    val raw = mem.toDF().select(lit("k").as("key"), col("value"))
+    val parsed = Transforms.parseCandles(raw)
+      .withColumn("event_ts",
+        to_timestamp(from_unixtime(col("starttime"))))
+      .withWatermark("event_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("id", "starttime")
+    val q = parsed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmp("wm-ckpt"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(s"$out/t")
+      }.start()
+    // Same PK in two different micro-batches: state-store dedup (not
+    // just in-batch) must collapse them.
+    mem.addData(envelope("BTC", 100.0, 1700000000L))
+    q.processAllAvailable()
+    mem.addData(envelope("BTC", 100.0, 1700000000L),
+      envelope("ETH", 50.0, 1700000060L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(s"$out/t")
+    assert(rows.count() == 2)
+    assert(rows.where(col("id") === "BTC").count() == 1)
+  }
+
   test("console debug sink starts and drains (S4)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
