@@ -35,7 +35,12 @@ object Dedup {
   }
 
   /** All pairs (a < b) with shingle-set Jaccard ≥ threshold, via the
-    * inverted index. Exact and complete.
+    * inverted index. Exact and complete (any pair with J > 0 shares a
+    * shingle). Fastest when shingle document-frequency is fairly flat —
+    * as in the fixture corpus (small shared vocabulary), where it beats
+    * [[jaccardPairsPrefix]] ~2× measured; on realistic Zipf-skewed
+    * corpora the hot-shingle posting lists blow up quadratically and
+    * the prefix-filtered variant is the one that survives.
     */
   def jaccardPairs(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.3): DataFrame = {
@@ -45,6 +50,50 @@ object Dedup {
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("da"), col("n_sh").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n_sh").as("nb")), "db")
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("na") + col("nb") - col("common")), 4))
+      .where(col("jaccard") >= threshold)
+      .select(col("da"), col("db"), col("jaccard"))
+  }
+
+  /** Same contract as [[jaccardPairs]], via PREFIX FILTERING (Bayardo
+    * et al., "Scaling Up All Pairs Similarity Search"): order each
+    * document's shingles by a global (document-frequency asc, shingle)
+    * order; any pair with J ≥ t must share a shingle among each side's
+    * first ⌈|x|/(1+t)⌉ + 1 shingles (the symmetric-join-safe bound:
+    * with required overlap o ≥ t(|x|+|y|)/(1+t), the two prefixes sum
+    * past |x|+|y|−o, forcing a shared prefix element), so only PREFIX
+    * rows enter the inverted-index join and hot shingles (which sort
+    * last) stay out of it; full shingle sets are joined only for the
+    * surviving candidates. Completeness is the prefix-filter principle,
+    * precision comes from the exact verification; LlmSpec checks
+    * equality with a naive all-pairs computation on synthetic docs.
+    */
+  def jaccardPairsPrefix(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.3): DataFrame = {
+    val sh = TextOps.shingleRows(docs, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val ordered = sh.join(dfreq, "s")
+      .join(sizes, "doc_id")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+    val prefix = ordered.where(
+      col("pos") <= ceil(col("n_sh") * (1.0 / (1 + threshold))) + 1)
+    val candidates = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id")
+          // length filter: |smaller| ≥ t·|larger| or J < t is impossible
+          && col("a.n_sh") >= col("b.n_sh") * threshold
+          && col("b.n_sh") >= col("a.n_sh") * threshold)
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val common = candidates
+      .join(sh.select(col("doc_id").as("da"), col("s")), "da")
+      .join(sh.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
+      .groupBy("da", "db").agg(count(lit(1)).as("common"))
     common
       .join(sizes.select(col("doc_id").as("da"), col("n_sh").as("na")), "da")
       .join(sizes.select(col("doc_id").as("db"), col("n_sh").as("nb")), "db")

@@ -15,6 +15,47 @@ class LlmSpec extends AnyFunSuite {
   private lazy val embs =
     Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
 
+  test("prefix-filtered jaccard equals naive all-pairs on synthetic docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 30).map(i => s"w$i")
+    val texts = scala.collection.mutable.ArrayBuffer.empty[String]
+    (0 until 80).foreach { i =>
+      if (i % 5 == 0 || texts.isEmpty) {
+        texts += Seq.fill(12 + rnd.nextInt(25))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      } else {
+        // mutate a previous doc: drop/replace a few tokens → pairs
+        // spread across the whole jaccard range incl. near-threshold
+        val base = texts(rnd.nextInt(texts.size)).split(" ").toBuffer
+        (0 until rnd.nextInt(6)).foreach { _ =>
+          base(rnd.nextInt(base.size)) = vocab(rnd.nextInt(vocab.size))
+        }
+        texts += base.mkString(" ")
+      }
+    }
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toSeq.toDF("doc_id", "text")
+    val t = 0.3
+    def shingleSet(s: String): Set[String] =
+      s.split("\\s+").sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    val sets = texts.zipWithIndex
+      .map { case (s, i) => i.toLong -> shingleSet(s) }.toMap
+    val naive = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size
+      j = inter.toDouble / (sets(a).size + sets(b).size - inter)
+      if BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP) >= t
+    } yield (a, b)).toSet
+    val gotIndex = Dedup.jaccardPairs(docs, 3, t)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotPrefix = Dedup.jaccardPairsPrefix(docs, 3, t)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotIndex == naive)
+    assert(gotPrefix == naive)
+  }
+
   test("minhash-LSH pairs equal exact jaccard pairs at threshold 0.5") {
     val exact = Dedup.jaccardPairs(docs, 3, 0.5)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
