@@ -53,6 +53,79 @@ object Similarity {
         col("cos"))
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer (k-means cells) plus
+    * probe-nearest-cells search — the other classic ANN scale shape.
+    *
+    * The quantizer trains with `iters` Lloyd iterations expressed as
+    * DataFrame ops: assign = broadcast-join vectors × centroids +
+    * windowed argmin; recompute = posexplode to (cell, dim) → avg →
+    * re-assemble arrays. Centroid init is deterministic (the nlist
+    * lowest vec_ids), so results are reproducible. At scale the
+    * centroid side stays tiny (nlist × dim) and always broadcasts;
+    * the vectors are never collected.
+    *
+    * Search: queries probe their `nprobe` nearest cells, candidates
+    * come from an equality join on the cell id, and only candidates
+    * pay an exact cosine. Recall is measured against the brute force
+    * in LlmSpec.
+    */
+  def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int = 5,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      asDouble(col("embedding")).as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+
+    def sqDist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+
+    // cell assignment of every vector against a (cell, c) centroid frame
+    def assign(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d"), col("cell"))
+      e.crossJoin(broadcast(cents))
+        .withColumn("d", sqDist(col("v"), col("c")))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("vec_id"), col("v"), col("n2"), col("cell"))
+    }
+
+    var cents = e.orderBy("vec_id").limit(nlist)
+      .select(row_number().over(Window.orderBy("vec_id")).as("cell"),
+        col("v").as("c"))
+    (0 until iters).foreach { _ =>
+      cents = assign(cents)
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy("cell", "pos").agg(avg(col("col")).as("m"))
+        .groupBy("cell").agg(
+          transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            s => s.getField("m")).as("c"))
+    }
+
+    val assigned = assign(cents)
+    val queries = e.where(queryPred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("n2").as("qn2"))
+    val qw = Window.partitionBy(col("qid")).orderBy(col("d"), col("cell"))
+    val probed = queries.crossJoin(broadcast(cents))
+      .withColumn("d", sqDist(col("qv"), col("c")))
+      .withColumn("rk", row_number().over(qw))
+      .where(col("rk") <= nprobe)
+      .select(col("qid"), col("qv"), col("qn2"), col("cell"))
+
+    val scored = assigned.join(probed, Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .dropDuplicates("qid", "vec_id")
+      .withColumn("cos", round(dot(col("qv"), col("v")) /
+        (sqrt(col("qn2")) * sqrt(col("n2"))), 4))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cos"))
+  }
+
   val numTables = 4
   val bitsPerTable = 4
 

@@ -15,8 +15,8 @@ import org.apache.spark.sql.functions._
   * probabilistic, with P[miss] ≈ 1e-4 per qualifying pair at J = 0.5,
   * and is verified to reach full recall on the frozen fixtures (the
   * hash seeds are deterministic, so this is stable, not flaky).
-  * q69 (LSH ANN) has no SQL oracle — recall is measured in ScalaTest
-  * against q68's exact answer.
+  * q69 (LSH ANN) and q71 (IVF ANN) have no SQL oracle — recall is
+  * measured in ScalaTest against q68's exact answer.
   */
 object LlmPack extends QueryPack {
 
@@ -33,6 +33,8 @@ object LlmPack extends QueryPack {
       Similarity.bruteForceTopK(t("embeddings")(s, d), col("vec_id") < 10)),
     "q69_ann_lsh" -> ((s, d) =>
       Similarity.lshTopK(t("embeddings")(s, d), col("vec_id") < 10)),
+    "q71_ann_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(t("embeddings")(s, d), col("vec_id") < 10)),
     "q70_multimodal" -> ((s, d) =>
       Multimodal.multimodalFrame(t("documents")(s, d), t("embeddings")(s, d))
         .select(col("doc_id"), col("meta.lang").as("lang"),

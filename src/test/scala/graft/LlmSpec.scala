@@ -78,6 +78,19 @@ class LlmSpec extends AnyFunSuite {
     assert(recall > 0.0 && lsh.size <= 50)
   }
 
+  test("IVF ANN: valid output shape and positive recall vs brute force") {
+    val brute = Similarity.bruteForceTopK(embs, col("vec_id") < 10, 5)
+      .select("qid", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(embs, col("vec_id") < 10, 5,
+      nlist = 8, nprobe = 3)
+      .select("qid", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty && ivf.size <= 50)
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall > 0.0)
+  }
+
   test("simhash: identical docs agree; near-dup pairs closer than random") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog " * 5
