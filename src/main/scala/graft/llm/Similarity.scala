@@ -70,7 +70,7 @@ object Similarity {
     * in LlmSpec.
     */
   def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int = 5,
-      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
     val e = embeddings.select(col("vec_id"),
       asDouble(col("embedding")).as("v"))
       .withColumn("n2", dot(col("v"), col("v")))
