@@ -29,6 +29,13 @@ object Similarity {
   private def asDouble(c: Column): Column =
     transform(c, x => x.cast("double"))
 
+  /** Guarded cosine: NULL for zero-norm vectors instead of an ANSI
+    * DIVIDE_BY_ZERO abort (one bad embedding must not kill a 100 TB job).
+    */
+  private def cosine(qv: Column, v: Column, qn2: Column, n2: Column): Column =
+    when(qn2 > 0 && n2 > 0,
+      round(dot(qv, v) / (sqrt(qn2) * sqrt(n2)), 4))
+
   /** Exact top-k cosine neighbors for the query vectors selected by
     * `queryPred`. Output (qid, rank, neighbor_id, cos) with cosine
     * rounded to 4 places and ranked on the rounded value (stable across
@@ -43,8 +50,7 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("n2").as("qn2"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("cos", round(dot(col("qv"), col("v")) /
-        (sqrt(col("qn2")) * sqrt(col("n2"))), 4))
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qn2"), col("n2")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("int"))
@@ -57,17 +63,22 @@ object Similarity {
     * probe-nearest-cells search — the other classic ANN scale shape.
     *
     * The quantizer trains with `iters` Lloyd iterations expressed as
-    * DataFrame ops: assign = broadcast-join vectors × centroids +
-    * windowed argmin; recompute = posexplode to (cell, dim) → avg →
-    * re-assemble arrays. Centroid init is deterministic (the nlist
-    * lowest vec_ids), so results are reproducible. At scale the
-    * centroid side stays tiny (nlist × dim) and always broadcasts;
-    * the vectors are never collected.
+    * DataFrame ops. Centroids travel as ONE row holding an
+    * `array<struct<cell,c>>`, broadcast to every task, and cell
+    * assignment is a per-row `aggregate` argmin over that array — a
+    * pure map with NO shuffle and no window (a crossJoin + windowed
+    * argmin would materialize and exchange N×nlist rows per
+    * iteration, a 16× amplification at 100 TB). Only the centroid
+    * RECOMPUTE shuffles, and that is a partial-aggregating groupBy on
+    * (cell, dim) — nlist×dim result rows. Centroid init is
+    * deterministic (the nlist lowest vec_ids, numbered by array
+    * index, no global window), so results are reproducible; the
+    * vectors are never collected.
     *
-    * Search: queries probe their `nprobe` nearest cells, candidates
-    * come from an equality join on the cell id, and only candidates
-    * pay an exact cosine. Recall is measured against the brute force
-    * in LlmSpec.
+    * Search: queries probe their `nprobe` nearest cells (same
+    * broadcast array, sort-slice per row), candidates come from an
+    * equality join on the cell id, and only candidates pay an exact
+    * cosine. Recall is measured against the brute force in LlmSpec.
     */
   def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int = 5,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
@@ -79,20 +90,25 @@ object Similarity {
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, x) => acc + x)
 
-    // cell assignment of every vector against a (cell, c) centroid frame
-    def assign(cents: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("d"), col("cell"))
-      e.crossJoin(broadcast(cents))
-        .withColumn("d", sqDist(col("v"), col("c")))
-        .withColumn("rk", row_number().over(w))
-        .where(col("rk") === 1)
-        .select(col("vec_id"), col("v"), col("n2"), col("cell"))
-    }
+    // (d, cell) distance pairs of a vector against the centroid array
+    def dists(v: Column): Column =
+      transform(col("ca"), ct => struct(
+        sqDist(v, ct.getField("c")).as("d"),
+        ct.getField("cell").as("cell")))
 
+    // cell assignment: broadcast the 1-row centroid array, per-row argmin
+    // (min of (d, cell) structs — ties break to the lowest cell, like the
+    // oracle's ORDER BY d, cell)
+    def assign(centsArr: DataFrame): DataFrame =
+      e.crossJoin(broadcast(centsArr))
+        .select(col("vec_id"), col("v"), col("n2"),
+          array_min(dists(col("v"))).getField("cell").as("cell"))
+
+    // one-row array<struct<cell,c>>: cells numbered by sorted position
     var cents = e.orderBy("vec_id").limit(nlist)
-      .select(row_number().over(Window.orderBy("vec_id")).as("cell"),
-        col("v").as("c"))
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("v")))).as("s"))
+      .select(transform(col("s"),
+        (s, i) => struct((i + 1).as("cell"), s.getField("v").as("c"))).as("ca"))
     (0 until iters).foreach { _ =>
       cents = assign(cents)
         .select(col("cell"), posexplode(col("v")))
@@ -100,24 +116,22 @@ object Similarity {
         .groupBy("cell").agg(
           transform(array_sort(collect_list(struct(col("pos"), col("m")))),
             s => s.getField("m")).as("c"))
+        .agg(array_sort(collect_list(struct(col("cell"), col("c")))).as("ca"))
     }
 
     val assigned = assign(cents)
     val queries = e.where(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("n2").as("qn2"))
-    val qw = Window.partitionBy(col("qid")).orderBy(col("d"), col("cell"))
     val probed = queries.crossJoin(broadcast(cents))
-      .withColumn("d", sqDist(col("qv"), col("c")))
-      .withColumn("rk", row_number().over(qw))
-      .where(col("rk") <= nprobe)
-      .select(col("qid"), col("qv"), col("qn2"), col("cell"))
+      .withColumn("probe", slice(array_sort(dists(col("qv"))), 1, nprobe))
+      .select(col("qid"), col("qv"), col("qn2"),
+        explode(transform(col("probe"), p => p.getField("cell"))).as("cell"))
 
     val scored = assigned.join(probed, Seq("cell"))
       .where(col("vec_id") =!= col("qid"))
       .dropDuplicates("qid", "vec_id")
-      .withColumn("cos", round(dot(col("qv"), col("v")) /
-        (sqrt(col("qn2")) * sqrt(col("n2"))), 4))
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qn2"), col("n2")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("int"))
@@ -175,8 +189,7 @@ object Similarity {
       .select(col("qid"), col("qv"), col("qn2"), col("vec_id"),
         col("v"), col("n2"))
       .dropDuplicates("qid", "vec_id")
-      .withColumn("cos", round(dot(col("qv"), col("v")) /
-        (sqrt(col("qn2")) * sqrt(col("n2"))), 4))
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qn2"), col("n2")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("int"))

@@ -64,7 +64,7 @@ class LlmSpec extends AnyFunSuite {
     assert(lsh == exact) // full recall on fixture + exact verify = equality
   }
 
-  test("LSH ANN: results are a subset of correct cosines; recall > 0") {
+  test("LSH ANN: results are a subset of correct cosines; recall >= 0.4") {
     val brute = Similarity.bruteForceTopK(embs, col("vec_id") < 10, 5)
       .select("qid", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -73,12 +73,15 @@ class LlmSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.nonEmpty)
     val recall = (lsh & brute).size.toDouble / brute.size
-    // 8-bit buckets on 10 queries: recall is partial by design but the
-    // bucketing must not be degenerate (everything or nothing).
-    assert(recall > 0.0 && lsh.size <= 50)
+    info(f"LSH recall = $recall%.3f")
+    // Deterministic planes → recall is a fixed property of the fixture:
+    // measured 0.46 with 4 tables × 4 bits on 10 queries. Pin ≥ 0.4 so a
+    // silent bucketing regression (degenerate hash, broken OR-construction)
+    // fails the suite instead of sliding through a recall > 0 bar.
+    assert(recall >= 0.4 && lsh.size <= 50)
   }
 
-  test("IVF ANN: valid output shape and positive recall vs brute force") {
+  test("IVF ANN: valid output shape; recall >= 0.8 vs brute force") {
     val brute = Similarity.bruteForceTopK(embs, col("vec_id") < 10, 5)
       .select("qid", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -88,7 +91,10 @@ class LlmSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ivf.nonEmpty && ivf.size <= 50)
     val recall = (ivf & brute).size.toDouble / brute.size
-    assert(recall > 0.0)
+    info(f"IVF recall = $recall%.3f")
+    // Deterministic init + Lloyd → fixed recall on the fixture: measured
+    // 0.90 at nlist=8/nprobe=3. Pin ≥ 0.8 (same rationale as LSH above).
+    assert(recall >= 0.8)
   }
 
   test("simhash: identical docs agree; near-dup pairs closer than random") {
