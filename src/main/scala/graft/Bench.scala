@@ -31,8 +31,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Absorb JVM/codegen/session warm-up outside the measured loop so
     // the alphabetically-first query doesn't carry it (r1: the first
-    // query absorbed ~10s of warm-up).
+    // query absorbed ~10s of warm-up). The warm-up must include a real
+    // parquet read: spark.range alone left ~2s of parquet-reader/codec
+    // init inside q01 (r2 measured q01 at 3.1s vs ~1s steady-state).
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    try {
+      val warm = spark.read.parquet(s"$sfDir/region.parquet")
+      warm.select(xxhash64(struct(col("*"))).as("h"))
+        .agg(expr("bit_xor(h)")).collect()
+    } catch { case _: Throwable => () } // warm-up must never fail the bench
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -22,9 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object Normalize {
 
-  /** Epoch in milliseconds (string or long) → epoch seconds. */
+  /** Epoch in milliseconds (string or long) → epoch seconds.
+    * `try_cast`: malformed wire values become NULL (the reference's
+    * permissive Hive CAST), not an ANSI cast error.
+    */
   def msToS(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (c.cast("long") / 1000).cast("long")
+    (c.try_cast("long") / 1000).cast("long")
 
   /** Promote a string-typed candles frame (id, dt, open, high, low,
     * close, volume all strings; ts_ms epoch-millis string) to the typed
@@ -36,18 +39,23 @@ object Normalize {
     val guarded = raw
       .filter(col("open") =!= "")                       // P10
       .na.drop("any", Seq("id", "dt", "close"))          // P11
+    // try_cast / try_to_date, not cast: these sessions run Spark 4 ANSI
+    // defaults, where a plain cast on one malformed wire value aborts
+    // the whole ingest job. The reference's Hive CAST NULLs bad cells
+    // and keeps loading dirty CSV — try_* restores that contract.
+    val d = try_to_date(col("dt"))
     val typed = guarded.select(
       col("id"),
-      to_date(col("dt")).as("dt"),
-      col("open").cast("float").as("open"),
-      col("high").cast("float").as("high"),
-      col("low").cast("float").as("low"),
-      col("close").cast("float").as("close"),
-      col("volume").cast("float").as("volume"),
+      d.as("dt"),
+      col("open").try_cast("float").as("open"),
+      col("high").try_cast("float").as("high"),
+      col("low").try_cast("float").as("low"),
+      col("close").try_cast("float").as("close"),
+      col("volume").try_cast("float").as("volume"),
       msToS(col("ts_ms")).as("ts"),
-      year(to_date(col("dt"))).cast("int").as("year"),
-      month(to_date(col("dt"))).cast("int").as("month"),
-      dayofmonth(to_date(col("dt"))).cast("int").as("day"))
+      year(d).cast("int").as("year"),
+      month(d).cast("int").as("month"),
+      dayofmonth(d).cast("int").as("day"))
     if (withAuditTs) typed.withColumn("ts_insert_utc", current_timestamp())
     else typed
   }

@@ -45,7 +45,8 @@ object Multimodal {
     */
   def decodeStub(payload: Array[Byte]): (Int, Int, String) = {
     val w = 64 + (payload.length % 577)
-    val h = 64 + (math.abs(java.util.Arrays.hashCode(payload)) % 481)
+    // floorMod: math.abs(Int.MinValue) is still negative
+    val h = 64 + java.lang.Math.floorMod(java.util.Arrays.hashCode(payload), 481)
     val fmt = if (payload.nonEmpty && payload(0) % 2 == 0) "rgb" else "gray"
     (w, h, fmt)
   }

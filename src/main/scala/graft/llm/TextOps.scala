@@ -62,7 +62,9 @@ object TextOps {
       col("doc_id"),
       size(w).as("n_tokens"),
       round(stopCount.cast("double") / size(w), 4).as("stop_ratio"),
-      round(punct.cast("double") / length(col("text")), 4).as("punct_ratio"),
+      // empty doc → NULL ratio, not an ANSI DIVIDE_BY_ZERO job abort
+      round(when(length(col("text")) > 0,
+        punct.cast("double") / length(col("text"))), 4).as("punct_ratio"),
       round(least(size(w).cast("double") / 100.0, lit(1.0)) *
         (lit(1.0) - stopCount.cast("double") / size(w)), 4).as("quality"))
   }

@@ -48,20 +48,15 @@ object PartitionIO {
     */
   def overwritePartitions(updates: DataFrame, path: String,
       partitionCols: Seq[String], clusterBy: Seq[String] = Nil): Unit = {
-    val spark = updates.sparkSession
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val toWrite =
       if (clusterBy.isEmpty) updates
       else updates.sortWithinPartitions((partitionCols ++ clusterBy).map(col): _*)
-    try
-      toWrite.write.mode("overwrite")
-        .partitionBy(partitionCols: _*).parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None =>
-        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // per-WRITE option, not the session-global conf toggle: a global
+    // set/restore races with any concurrent write on the same session
+    // (a concurrent full overwrite could clobber untouched partitions)
+    toWrite.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*).parquet(path)
   }
 
   /** The reference's trailing-window reload: rows of `source` whose
