@@ -1,0 +1,80 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality checks ported from the reference's ops layer
+  * (SURVEY.md §2.9 market calendar, §5 freshness).
+  *
+  * Reference behavior:
+  *  - `is_market_open(date, market)` asks a market calendar whether the
+  *    exchange trades that day (/root/reference/modules/common/utils.py:72-86).
+  *    The Spark-native form is a calendar DIMENSION — weekday minus an
+  *    explicit holiday list — joined where the reference made a per-call
+  *    library lookup, so the flag is available distributed, at any scale,
+  *    and in the same shape as the dbt calendar spine.
+  *  - `check_latest_dt` counts yesterday's rows for a sentinel id and
+  *    routes to OK / WARNING / ERROR
+  *    (/root/reference/airflow/common_functions/cassandra_operation.py:24-69):
+  *    rows present → OK (no notification); no rows on an OPEN market day
+  *    → WARNING; no rows on a closed day (or no market given) → ERROR.
+  *    That decision table is reproduced verbatim (lines 54-69 — the
+  *    WARNING/ERROR branches follow the code, not its comment).
+  *
+  * Scale: `freshness` is one pushed-down point-predicate scan
+  * (date = D AND id = S reaches the parquet reader as PushedFilters,
+  * pruning to the sentinel's partitions/row groups) plus a single-row
+  * aggregate — the cheapest possible probe of a 100 TB table.
+  */
+object DataQuality {
+
+  /** Market-open flag for a date column: weekday AND not in `holidays`
+    * (ISO `yyyy-MM-dd` strings). Crypto markets pass `Nil` and are
+    * always open on weekdays-plus-weekends via [[alwaysOpen]].
+    */
+  def isMarketOpen(dateCol: Column, holidays: Seq[String]): Column = {
+    val weekend = dayofweek(dateCol).isin(1, 7) // Spark: 1=Sun, 7=Sat
+    val holiday =
+      if (holidays.isEmpty) lit(false)
+      else dateCol.isin(holidays.map(h => lit(h).cast("date")): _*)
+    !weekend && !holiday
+  }
+
+  /** 24/7 market (the reference's crypto tables skip the calendar gate —
+    * `target_market_to_check_opening=None` routes straight to ERROR on
+    * missing data).
+    */
+  def alwaysOpen: Column = lit(true)
+
+  /** Calendar dimension with the market-open flag appended to a date
+    * spine (`date_day` column, e.g. [[graft.ts.Calendar.spineOver]]).
+    */
+  def marketCalendar(spine: DataFrame, holidays: Seq[String]): DataFrame =
+    spine.withColumn("is_market_open",
+      isMarketOpen(col("date_day"), holidays))
+
+  /** The freshness probe: does `df` have rows for `sentinelId` on
+    * `checkDate`? One output row:
+    * (check_date, sentinel_id, row_count, is_market_open, status) with
+    * the reference's status routing. `calendar = None` is the
+    * no-market-calendar path (missing data is always ERROR, like the
+    * reference's crypto tables); `Some(holidays)` gates on
+    * [[isMarketOpen]].
+    */
+  def freshness(df: DataFrame, dateCol: String, idCol: String,
+      sentinelId: Long, checkDate: String,
+      calendar: Option[Seq[String]]): DataFrame = {
+    val d = lit(checkDate).cast("date")
+    val open = calendar.map(isMarketOpen(d, _)).getOrElse(lit(false))
+    df.where(col(dateCol) === d && col(idCol) === sentinelId)
+      .agg(count(lit(1)).as("row_count"))
+      .select(
+        d.as("check_date"),
+        lit(sentinelId).as("sentinel_id"),
+        col("row_count"),
+        open.as("is_market_open"),
+        when(col("row_count") > 0, "OK")
+          .when(open, "WARNING")
+          .otherwise("ERROR").as("status"))
+  }
+}

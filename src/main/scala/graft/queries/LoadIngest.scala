@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.ingest.Normalize
 import graft.load.PartitionIO
+import graft.quality.DataQuality
 import graft.ts.Bars
 import org.apache.spark.sql.functions._
 
@@ -69,6 +70,19 @@ object LoadIngest extends QueryPack {
         .write.option("header", "true").mode("overwrite").csv(path)
       val raw = s.read.option("header", "true").csv(path)
       Normalize.promoteCandles(raw, withAuditTs = false)
+    }),
+
+    // §2.9/§5: market-calendar + freshness probes — the reference's
+    // check_latest_dt decision table exercised end-to-end on all four
+    // routes: data present (OK), missing on an open day (WARNING),
+    // missing on a weekend (ERROR), missing on a holiday (ERROR).
+    "q52_freshness" -> ((s, d) => {
+      val ev = t("events")(s, d).withColumn("dt", to_date(col("ts")))
+      val holidays = Seq("2024-02-19")
+      Seq("2024-01-15", "2024-02-15", "2024-02-17", "2024-02-19")
+        .map(day => DataQuality.freshness(
+          ev, "dt", "user_id", 2L, day, Some(holidays)))
+        .reduce(_ unionByName _)
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -89,5 +103,23 @@ object LoadIngest extends QueryPack {
          |       CAST(year(dt) AS INTEGER) AS year,
          |       CAST(month(dt) AS INTEGER) AS month,
          |       CAST(day(dt) AS INTEGER) AS day
-         |FROM daily WHERE id % 17 <> 0""".stripMargin)
+         |FROM daily WHERE id % 17 <> 0""".stripMargin,
+    "q52_freshness" ->
+      """WITH checks AS (
+        |  SELECT CAST(d AS DATE) AS check_date, CAST(sid AS BIGINT) AS sentinel_id
+        |  FROM (VALUES ('2024-01-15', 2), ('2024-02-15', 2),
+        |               ('2024-02-17', 2), ('2024-02-19', 2)) x(d, sid)),
+        |counts AS (
+        |  SELECT c.check_date, c.sentinel_id,
+        |         (SELECT count(*) FROM events e
+        |          WHERE CAST(e.ts AS DATE) = c.check_date
+        |            AND e.user_id = c.sentinel_id) AS row_count,
+        |         isodow(c.check_date) < 6
+        |           AND c.check_date <> DATE '2024-02-19' AS is_market_open
+        |  FROM checks c)
+        |SELECT check_date, sentinel_id, row_count, is_market_open,
+        |       CASE WHEN row_count > 0 THEN 'OK'
+        |            WHEN is_market_open THEN 'WARNING'
+        |            ELSE 'ERROR' END AS status
+        |FROM counts""".stripMargin)
 }

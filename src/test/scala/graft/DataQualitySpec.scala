@@ -1,0 +1,49 @@
+package graft
+
+import graft.quality.DataQuality
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The freshness decision table (reference check_latest_dt,
+  * airflow/common_functions/cassandra_operation.py:54-69) — the four
+  * calendar routes are oracle-verified in q52_freshness; this covers
+  * the remaining no-calendar path and the calendar dim itself.
+  */
+class DataQualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def df = {
+    import spark.implicits._
+    Seq((2L, "2024-01-15"), (2L, "2024-01-16"))
+      .toDF("id", "dts").withColumn("dt", to_date(col("dts")))
+  }
+
+  test("no-calendar path: missing data is ERROR even on a weekday") {
+    val r = DataQuality.freshness(df, "dt", "id", 2L, "2024-02-15", None)
+      .collect()(0)
+    assert(r.getAs[Long]("row_count") == 0L)
+    assert(!r.getAs[Boolean]("is_market_open"))
+    assert(r.getAs[String]("status") == "ERROR")
+  }
+
+  test("no-calendar path: present data is OK") {
+    val r = DataQuality.freshness(df, "dt", "id", 2L, "2024-01-15", None)
+      .collect()(0)
+    assert(r.getAs[Long]("row_count") == 1L)
+    assert(r.getAs[String]("status") == "OK")
+  }
+
+  test("marketCalendar flags weekends and listed holidays closed") {
+    import spark.implicits._
+    val spine = Seq("2024-02-15", "2024-02-17", "2024-02-18", "2024-02-19")
+      .toDF("ds").select(to_date(col("ds")).as("date_day"))
+    val got = DataQuality.marketCalendar(spine, Seq("2024-02-19"))
+      .orderBy("date_day").collect()
+      .map(r => r.getDate(0).toString -> r.getBoolean(1)).toMap
+    assert(got == Map(
+      "2024-02-15" -> true,   // Thursday
+      "2024-02-17" -> false,  // Saturday
+      "2024-02-18" -> false,  // Sunday
+      "2024-02-19" -> false)) // listed holiday (a Monday)
+  }
+}
