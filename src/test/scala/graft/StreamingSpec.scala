@@ -145,6 +145,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(processed == 3)
   }
 
+  test("offset-lag rule: fires only when above threshold AND growing") {
+    import graft.stream.OffsetLagMonitor
+    val m = new OffsetLagMonitor(threshold = 1000)
+    // first observation: no previous log → never alerts (reference
+    // check_offset_diff.py:50-55)
+    assert(m.observe(Map("t-0" -> 1500L, "t-1" -> 100L)).isEmpty)
+    // above threshold but SHRINKING → no alert
+    assert(m.observe(Map("t-0" -> 1400L, "t-1" -> 200L)).isEmpty)
+    // growing AND above threshold → fires for t-0 only
+    val fired = m.observe(Map("t-0" -> 1600L, "t-1" -> 300L))
+    assert(fired.map(_.partition) == Seq("t-0"))
+    assert(fired.head.lag == 1600L && fired.head.prevLag == 1400L)
+    // growing but below threshold → clears (no new alert)
+    assert(m.observe(Map("t-0" -> 900L, "t-1" -> 400L)).isEmpty)
+    assert(m.alerts.size == 1)
+  }
+
+  test("offset-lag parsing: kafka topic map and scalar offsets") {
+    import graft.stream.OffsetLag
+    assert(OffsetLag.parseOffsets("""{"candles":{"1":10,"0":5}}""") ==
+      Map("candles-0" -> 5L, "candles-1" -> 10L))
+    assert(OffsetLag.parseOffsets("3") == Map("0" -> 3L))
+    assert(OffsetLag.parseOffsets(null) == Map.empty)
+    assert(OffsetLag.lags(
+      committed = Map("candles-0" -> 5L),
+      latest = Map("candles-0" -> 1500L, "candles-1" -> 7L)) ==
+      Map("candles-0" -> 1495L, "candles-1" -> 7L))
+  }
+
+  test("offset-lag monitor attaches as a listener and sees progress") {
+    import graft.stream.OffsetLagMonitor
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val m = new OffsetLagMonitor
+    spark.streams.addListener(m)
+    try {
+      val mem = MemoryStream[String]
+      val raw = mem.toDF().select(lit("k").as("key"), col("value"))
+      mem.addData(envelope("BTC", 100.0, 1700000000L))
+      val q = Pipelines.parquetSink(Transforms.parseCandles(raw),
+        s"${tmp("lag-out")}/t", tmp("lag-ckpt"))
+      q.processAllAvailable()
+      q.stop()
+      // listener bus is async: poll for delivery
+      val deadline = System.currentTimeMillis() + 15000
+      while (m.progressCount == 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(m.progressCount > 0)
+      // MemoryStream is fully drained each batch → no lag, no alerts
+      assert(m.alerts.isEmpty)
+    } finally spark.streams.removeListener(m)
+  }
+
   test("order-book explode over a stream, incl. empty-side NULL rows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
