@@ -143,19 +143,33 @@ object Similarity {
   val numTables = 4
   val bitsPerTable = 4
 
-  /** Deterministic ±1 hyperplane component for (plane, dim). */
-  private def planeSign(p: Int, j: Column): Column =
-    when(pmod(xxhash64(lit(p), j), lit(2)) === 0, lit(1.0))
-      .otherwise(lit(-1.0))
+  /** Fixture embedding dimensionality (TESTDATA.md). */
+  val defaultDim = 64
+
+  /** Deterministic ±1 hyperplane component for plane `p`, dimension
+    * `j`: parity of the first hex nibble of `md5("p:j")`. md5 (not a
+    * JVM/xxhash hash) so the SAME planes are derivable inside the
+    * DuckDB oracle — this is what lets q69 be hash-gate-checked
+    * end-to-end instead of rows-only. Evaluated once at PLAN time and
+    * embedded as literal arrays, so per-row work is just the dot
+    * product.
+    */
+  private[llm] def planeSign(p: Int, j: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$j".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 1) == 0) 1.0 else -1.0
+  }
 
   /** Sign-bit bucket key for one hash table (AND over bitsPerTable
-    * hyperplanes).
+    * hyperplanes). `dim` must match the embedding length (zip_with
+    * nulls out mismatched tails).
     */
-  private def tableBucket(v: Column, table: Int): Column =
+  private def tableBucket(v: Column, table: Int, dim: Int): Column =
     (0 until bitsPerTable).map { b =>
       val p = table * bitsPerTable + b
-      val d = aggregate(zip_with(v, sequence(lit(0), size(v) - 1),
-        (x, j) => x * planeSign(p, j)), lit(0.0), (acc, x) => acc + x)
+      val plane = array((0 until dim).map(j => lit(planeSign(p, j))): _*)
+      val d = aggregate(zip_with(v, plane, (x, s) => x * s),
+        lit(0.0), (acc, x) => acc + x)
       when(d > 0, lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
 
@@ -163,9 +177,9 @@ object Similarity {
     * candidates are vectors sharing ANY table's bucket, so recall
     * grows with numTables while each bucket stays selective.
     */
-  private def withBuckets(e: DataFrame): DataFrame =
+  private def withBuckets(e: DataFrame, dim: Int): DataFrame =
     e.select(col("*"), explode(array((0 until numTables).map(t =>
-      struct(lit(t).as("table"), tableBucket(col("v"), t).as("bucket"))): _*))
+      struct(lit(t).as("table"), tableBucket(col("v"), t, dim).as("bucket"))): _*))
       .as("tb"))
       .select(col("*"), col("tb.table"), col("tb.bucket")).drop("tb")
 
@@ -175,14 +189,14 @@ object Similarity {
     * (measured in ScalaTest against the brute force).
     */
   def lshTopK(embeddings: DataFrame, queryPred: Column,
-      k: Int = 5): DataFrame = {
+      k: Int = 5, dim: Int = defaultDim): DataFrame = {
     val e = embeddings.select(col("vec_id"),
       asDouble(col("embedding")).as("v"))
       .withColumn("n2", dot(col("v"), col("v")))
-    val eb = withBuckets(e)
+    val eb = withBuckets(e, dim)
     val qb = withBuckets(e.where(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("n2").as("qn2")).withColumnRenamed("qv", "v"))
+        col("n2").as("qn2")).withColumnRenamed("qv", "v"), dim)
       .withColumnRenamed("v", "qv")
     val scored = eb.join(qb, Seq("table", "bucket"))
       .where(col("vec_id") =!= col("qid"))

@@ -166,6 +166,47 @@ object LlmPack extends QueryPack {
         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
         |        ORDER BY tfidf DESC, term) AS rank FROM sc)
         |WHERE rank <= 3""".stripMargin,
+    // Full oracle for the LSH ANN path: the md5-parity hyperplanes are
+    // re-derived in SQL (planes → sign-bit buckets → OR-construction
+    // candidates → exact cosine → ranked top-k), so the probabilistic
+    // operator's ENTIRE pipeline sits under the hash gate — bucketing
+    // included — not just a rows-only count.
+    "q69_ann_lsh" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+         |pj AS (
+         |  SELECT p, j,
+         |         CASE WHEN (strpos('0123456789abcdef',
+         |                substr(md5(p || ':' || j), 1, 1)) - 1) % 2 = 0
+         |              THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE)
+         |         END AS sgn
+         |  FROM range(${Similarity.numTables * Similarity.bitsPerTable}) t1(p),
+         |       range(${Similarity.defaultDim}) t2(j)),
+         |planes AS (SELECT p, list(sgn ORDER BY j) AS pl FROM pj GROUP BY p),
+         |dots AS (
+         |  SELECT vec_id, p, list_dot_product(v, pl) AS d FROM n, planes),
+         |buckets AS (
+         |  SELECT vec_id, p // ${Similarity.bitsPerTable} AS tbl,
+         |         sum(CASE WHEN d > 0
+         |                  THEN 1 << (p % ${Similarity.bitsPerTable})
+         |                  ELSE 0 END) AS bucket
+         |  FROM dots GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS qid, x.vec_id AS neighbor_id
+         |  FROM buckets q JOIN buckets x
+         |    ON q.tbl = x.tbl AND q.bucket = x.bucket
+         |  WHERE q.vec_id < 10 AND x.vec_id <> q.vec_id),
+         |p2 AS (
+         |  SELECT c.qid, c.neighbor_id,
+         |         round(list_dot_product(a.v, b.v)
+         |               / (sqrt(a.n2) * sqrt(b.n2)), 4) AS cos
+         |  FROM cand c JOIN n a ON a.vec_id = c.qid
+         |              JOIN n b ON b.vec_id = c.neighbor_id)
+         |SELECT qid, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |        ORDER BY cos DESC, neighbor_id) AS rank FROM p2)
+         |WHERE rank <= 5""".stripMargin,
     "q68_ann_cosine" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

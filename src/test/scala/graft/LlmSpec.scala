@@ -75,9 +75,10 @@ class LlmSpec extends AnyFunSuite {
     val recall = (lsh & brute).size.toDouble / brute.size
     info(f"LSH recall = $recall%.3f")
     // Deterministic planes → recall is a fixed property of the fixture:
-    // measured 0.46 with 4 tables × 4 bits on 10 queries. Pin ≥ 0.4 so a
-    // silent bucketing regression (degenerate hash, broken OR-construction)
-    // fails the suite instead of sliding through a recall > 0 bar.
+    // measured 0.42 with 4 tables × 4 bits on 10 queries (md5-parity
+    // planes). Pin ≥ 0.4 so a silent bucketing regression (degenerate
+    // hash, broken OR-construction) fails the suite instead of sliding
+    // through a recall > 0 bar.
     assert(recall >= 0.4 && lsh.size <= 50)
   }
 
