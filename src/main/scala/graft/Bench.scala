@@ -41,7 +41,10 @@ object Bench {
         .agg(expr("bit_xor(h)")).collect()
     } catch { case _: Throwable => () } // warm-up must never fail the bench
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val only = args.toSet // optional query-name filter for local iteration
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.isEmpty || only.contains(q._1))
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try {

@@ -59,23 +59,49 @@ object Dedup {
       .select(col("da"), col("db"), col("jaccard"))
   }
 
-  /** Exact-Jaccard verification of a candidate pair set: join each side
-    * to its per-doc sorted shingle array (ONE groupBy over the shingle
-    * rows, reused for sizes), then compute the intersection with
-    * `array_intersect` inside codegen. Compared to re-joining the
-    * posting lists per pair, this moves the set intersection out of the
-    * shuffle: the only exchanges are the two candidate⋈array joins, and
-    * no |pairs|×|shingles| row blowup ever materializes.
+  /** Rounding slop: the output Jaccard is `round(j, 4)`, so a pair with
+    * true j ≥ t − 5e-5 can still round up to the threshold — every
+    * intermediate pruning bound must use the slopped threshold to stay
+    * complete.
+    */
+  private def slop(threshold: Double): Double = threshold - 0.00005
+
+  /** Exact-Jaccard verification of a candidate pair set, two-phase:
+    *
+    * Phase 1 joins each side to its per-doc sorted 64-bit shingle-HASH
+    * array (8-byte elements, not ~20-byte shingle strings — the arrays
+    * ride the pair join at a fraction of the bytes) and prunes on
+    * hash-set Jaccard. A hash collision can only MERGE two distinct
+    * shingles, so hash-Jaccard ≥ string-Jaccard and no qualifying pair
+    * is ever pruned. Phase 2 re-checks only the survivors (output-sized,
+    * not candidate-sized) against the full string arrays, so the result
+    * is exact regardless of collisions.
+    *
+    * Compared to re-joining posting lists per pair, the intersections
+    * run inside codegen (`array_intersect`) and no |pairs|×|shingles|
+    * row blowup ever materializes.
     */
   private def verifyExact(candidates: DataFrame, sh: DataFrame,
       threshold: Double): DataFrame = {
-    val arrays = sh.groupBy("doc_id").agg(
+    val hashed = sh.groupBy("doc_id").agg(
+      array_sort(collect_list(xxhash64(col("s")))).as("ha"),
+      count(lit(1)).as("n_sh"))
+    val survivors = candidates
+      .join(hashed.select(col("doc_id").as("da"), col("ha").as("haa"),
+        col("n_sh").as("na")), "da")
+      .join(hashed.select(col("doc_id").as("db"), col("ha").as("hab"),
+        col("n_sh").as("nb")), "db")
+      .withColumn("hc", size(array_intersect(col("haa"), col("hab"))))
+      .where(col("hc").cast("double") /
+        (col("na") + col("nb") - col("hc")) >= slop(threshold))
+      .select(col("da"), col("db"))
+    val strings = sh.groupBy("doc_id").agg(
       sort_array(collect_list(col("s"))).as("arr"),
       count(lit(1)).as("n_sh"))
-    candidates
-      .join(arrays.select(col("doc_id").as("da"), col("arr").as("aa"),
+    survivors
+      .join(strings.select(col("doc_id").as("da"), col("arr").as("aa"),
         col("n_sh").as("na")), "da")
-      .join(arrays.select(col("doc_id").as("db"), col("arr").as("ab"),
+      .join(strings.select(col("doc_id").as("db"), col("arr").as("ab"),
         col("n_sh").as("nb")), "db")
       .withColumn("common", size(array_intersect(col("aa"), col("ab"))))
       .withColumn("jaccard", round(col("common").cast("double") /
@@ -113,11 +139,22 @@ object Dedup {
     val prefix = ordered.select(col("doc_id"), col("n_sh"),
         xxhash64(col("s")).as("hs"), col("pos"))
       .where(col("pos") <= ceil(col("n_sh") * (1.0 / (1 + threshold))) + 1)
+    // J ≥ t needs overlap o ≥ t(|a|+|b|)/(1+t); slopped for the
+    // round-to-4 output edge (see slop()).
+    val t = slop(threshold)
+    val oMin = (col("a.n_sh") + col("b.n_sh")) * (t / (1 + t))
     val candidates = prefix.as("a").join(prefix.as("b"),
         col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id")
           // length filter: |smaller| ≥ t·|larger| or J < t is impossible
           && col("a.n_sh") >= col("b.n_sh") * threshold
-          && col("b.n_sh") >= col("a.n_sh") * threshold)
+          && col("b.n_sh") >= col("a.n_sh") * threshold
+          // PPJoin position filter: everything shared sorts at-or-after
+          // the FIRST shared prefix element, so overlap is capped by the
+          // shorter remaining suffix; the first-match row carries the
+          // loosest cap, so filtering per matched row keeps every
+          // qualifying pair.
+          && least(col("a.n_sh") - col("a.pos"),
+               col("b.n_sh") - col("b.pos")) + 1 >= oMin)
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
     verifyExact(candidates, sh, threshold)
