@@ -17,12 +17,16 @@ import org.apache.spark.sql.functions._
   * hashes to a bucket of sign bits; neighbor candidates come from an
   * equality join on the bucket key, so the pair space is linear-ish in
   * N with bucket-bounded fan-in, and only candidates pay a dot product.
-  * Hyperplane components are deterministic ±1 derived from xxhash64, so
-  * results are reproducible across runs and engines.
+  * Hyperplane components are deterministic ±1 derived from md5 parity,
+  * so results are reproducible across runs AND re-derivable inside the
+  * SQL oracle (see [[planeSign]]).
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ as a codegen'd fold. */
+  /** Σ aᵢ·bᵢ as a codegen'd fold. (An element_at-unrolled variant was
+    * measured 5× SLOWER under ANSI — 64 bounds-checked accesses lose to
+    * one zip_with pass — so the fold is the keeper even in pair loops.)
+    */
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
@@ -182,6 +186,54 @@ object Similarity {
       struct(lit(t).as("table"), tableBucket(col("v"), t, dim).as("bucket"))): _*))
       .as("tb"))
       .select(col("*"), col("tb.table"), col("tb.bucket")).drop("tb")
+
+  /** All embedding pairs (va < vb) with cosine ≥ threshold — the
+    * embedding-space NEAR-DUPLICATE set (vs the top-k contract of the
+    * ANN paths). Exact upper-triangle comparison: the O(N²/2) baseline
+    * and the oracle surface; [[cosineDupsLsh]] is the scale path.
+    */
+  def cosineDups(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      asDouble(col("embedding")).as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+    // repartition the streamed side with an EXPLICIT partition count:
+    // the pair loop parallelism equals its partition count, and both a
+    // compact scan and AQE's small-shuffle coalescing would otherwise
+    // run the whole O(N²/2) loop in one task
+    val slices = embeddings.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    e.select(col("vec_id").as("va"), col("v").as("qv"), col("n2").as("qn2"))
+      .repartition(slices, col("va"))
+      .join(e.select(col("vec_id").as("vb"), col("v"), col("n2")),
+        col("va") < col("vb"))
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qn2"), col("n2")))
+      .where(col("cos") >= threshold)
+      .select(col("va"), col("vb"), col("cos"))
+  }
+
+  /** Scale path for [[cosineDups]]: candidates restricted to pairs
+    * sharing an LSH bucket in ≥ 1 table (linear-ish in N), exact cosine
+    * only on candidates. Output ⊆ [[cosineDups]] output; recall is the
+    * OR-construction curve, measured in LlmSpec.
+    */
+  def cosineDupsLsh(embeddings: DataFrame, threshold: Double,
+      dim: Int = defaultDim): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      asDouble(col("embedding")).as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+    val eb = withBuckets(e, dim)
+    eb.as("a").join(eb.as("b"),
+        col("a.table") === col("b.table") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("a.v").as("qv"),
+        col("a.n2").as("qn2"), col("b.vec_id").as("vb"),
+        col("b.v").as("v"), col("b.n2").as("n2"))
+      .dropDuplicates("va", "vb")
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qn2"), col("n2")))
+      .where(col("cos") >= threshold)
+      .select(col("va"), col("vb"), col("cos"))
+  }
 
   /** Bucketed ANN: exact cosine, but only among candidates sharing an
     * LSH bucket in at least one of the hash tables. Same output

@@ -33,12 +33,22 @@ object TextOps {
         explode(shingles(tokens(col("text")), n)).as("s"))
       .distinct()
 
-  /** Token statistics: token count, char count, mean token length. */
+  /** BPE-style pre-tokenization pattern: letter runs, digit runs, and
+    * single non-space symbols — the split shape BPE vocabularies are
+    * trained over (ASCII classes only, so Java regex and RE2 agree).
+    */
+  val bpeSplitPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Token statistics: whitespace token count, BPE-ish regex token
+    * count, char count, mean token length.
+    */
   def tokenStats(docs: DataFrame): DataFrame = {
     val w = tokens(col("text"))
     docs.select(
       col("doc_id"),
       size(w).as("n_tokens"),
+      size(regexp_extract_all(col("text"), lit(bpeSplitPattern), lit(0)))
+        .as("n_tokens_bpe"),
       length(col("text")).as("n_chars_measured"),
       round(aggregate(transform(w, t => length(t)), lit(0),
         (acc, x) => acc + x).cast("double") / size(w), 4)
@@ -131,4 +141,22 @@ object TextOps {
     */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
+
+  /** Rabin–Karp rolling fingerprint over the token stream:
+    * `h = fold(tokens, 0, (acc, t) → (acc·31 + code(t)) mod (10⁹+7))`
+    * with `code(t)` = the first 32 bits of md5(t). Unlike [[fingerprint]]
+    * it is ORDER-SENSITIVE and incrementally maintainable (append a
+    * token → one more fold step), the property rolling hashes buy in
+    * chunk/dedup pipelines. Pure codegen fold — no shuffle, no UDF; the
+    * md5-derived code keeps it portable to the SQL oracle. Products
+    * stay < 2⁶³ (acc < 10⁹+7, code < 2³²), so ANSI-mode long arithmetic
+    * cannot overflow.
+    */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, t) => (acc * 31 +
+        conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long"))
+        % 1000000007L)
 }

@@ -40,6 +40,14 @@ object LlmPack extends QueryPack {
       Similarity.lshTopK(t("embeddings")(s, d), col("vec_id") < 10)),
     "q71_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(t("embeddings")(s, d), col("vec_id") < 10)),
+    // Embedding-space near-dup: the exact threshold-pair set is the
+    // registered/oracled operator; the LSH-bucketed scale variant
+    // (cosineDupsLsh) is subset+recall-verified in LlmSpec.
+    "q72_cosine_dups" -> ((s, d) =>
+      Similarity.cosineDups(t("embeddings")(s, d), 0.4)),
+    "q73_rolling_fp" -> ((s, d) => t("documents")(s, d)
+      .select(col("doc_id"),
+        TextOps.rollingFingerprint(col("text")).as("rolling_fp"))),
     "q70_multimodal" -> ((s, d) =>
       Multimodal.multimodalFrame(t("documents")(s, d), t("embeddings")(s, d))
         .select(col("doc_id"), col("meta.lang").as("lang"),
@@ -111,6 +119,9 @@ object LlmPack extends QueryPack {
     "q61_token_stats" ->
       s"""WITH $tokCte
          |SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
+         |       CAST(len(regexp_extract_all(text,
+         |         '${TextOps.bpeSplitPattern}'))
+         |         AS INTEGER) AS n_tokens_bpe,
          |       CAST(length(text) AS INTEGER) AS n_chars_measured,
          |       round(CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
          |             / len(w), 4) AS avg_token_len
@@ -220,6 +231,27 @@ object LlmPack extends QueryPack {
         |FROM (SELECT *, row_number() OVER (PARTITION BY qid
         |        ORDER BY cos DESC, neighbor_id) AS rank FROM p)
         |WHERE rank <= 5""".stripMargin,
+    "q72_cosine_dups" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+        |p AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |         round(list_dot_product(a.v, b.v)
+        |               / (sqrt(a.n2) * sqrt(b.n2)), 4) AS cos
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT va, vb, cos FROM p
+        |WHERE cos >= CAST('0.4' AS DOUBLE)""".stripMargin,
+    "q73_rolling_fp" ->
+      s"""WITH $tokCte
+         |SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(w, t -> CAST(list_sum(list_transform(range(1, 9),
+         |      i -> (strpos('0123456789abcdef',
+         |              substr(md5(t), CAST(i AS INT), 1)) - 1)
+         |           * 16 ** (8 - i))) AS BIGINT))),
+         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_fp
+         |FROM tok""".stripMargin,
     "q70_multimodal" ->
       """SELECT doc_id, lang, source, n_chars,
         |       CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
