@@ -15,12 +15,18 @@ import org.apache.spark.sql.functions._
   *    all-pairs; it is exact (any pair with J > 0 shares a shingle) but
   *    hot shingles can blow up the posting lists — at corpus scale you
   *    cap document frequency or switch to...
-  *  - [[minhashPairs]]: banded MinHash — signatures are one groupBy,
-  *    candidates come from equality joins on (band, band-hash) buckets,
-  *    and only candidates pay the exact-verification join. 32 bands × 2
+  *  - [[minhashPairs]]: banded MinHash — signatures are a pure MAP over
+  *    per-doc shingle arrays (no signature shuffle at all), candidates
+  *    come from equality joins on (band, band-hash) buckets, and only
+  *    candidates pay the exact-verification join. 32 bands × 2
   *    rows: P[miss] = (1 − J²)³², ≈ 1e-4 at J = 0.5. False positives
   *    are eliminated by the exact verify, so precision is 1 by
   *    construction.
+  *
+  * Shingle sets are built with `array_distinct` INSIDE each doc row
+  * (dedup is per-doc, so no global distinct shuffle exists anywhere),
+  * and docs are spread across the shuffle parallelism first — see
+  * [[spread]].
   */
 object Dedup {
 
@@ -44,8 +50,9 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.3): DataFrame = {
-    val sh = TextOps.shingleRows(docs, n)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val arrays = TextOps.shingleArrays(spread(docs), n)
+    val sh = arrays.select(col("doc_id"), explode(col("arr")).as("s"))
+    val sizes = arrays.select(col("doc_id"), size(col("arr")).as("n_sh"))
     val common = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
@@ -66,6 +73,19 @@ object Dedup {
     */
   private def slop(threshold: Double): Double = threshold - 0.00005
 
+  /** Spread docs across the full shuffle parallelism BEFORE the
+    * (map-heavy) shingling/hashing work: a compact scan yields one
+    * partition, and since every shingle derivation below is a pure map,
+    * nothing else would ever parallelize it. One cheap shuffle of the
+    * narrow input rows; identical across all consumers, so Spark's
+    * exchange reuse shares it instead of re-scanning per subtree.
+    */
+  private def spread(docs: DataFrame): DataFrame = {
+    val n = docs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    docs.repartition(n, col("doc_id"))
+  }
+
   /** Exact-Jaccard verification of a candidate pair set, two-phase:
     *
     * Phase 1 joins each side to its per-doc sorted 64-bit shingle-HASH
@@ -81,11 +101,13 @@ object Dedup {
     * run inside codegen (`array_intersect`) and no |pairs|×|shingles|
     * row blowup ever materializes.
     */
-  private def verifyExact(candidates: DataFrame, sh: DataFrame,
+  private def verifyExact(candidates: DataFrame, arrays: DataFrame,
       threshold: Double): DataFrame = {
-    val hashed = sh.groupBy("doc_id").agg(
-      array_sort(collect_list(xxhash64(col("s")))).as("ha"),
-      count(lit(1)).as("n_sh"))
+    // both sides are PURE MAPS over the one-row-per-doc shingle arrays —
+    // no groupBy, no shuffle to build them
+    val hashed = arrays.select(col("doc_id"),
+      array_sort(transform(col("arr"), s => xxhash64(s))).as("ha"),
+      size(col("arr")).as("n_sh"))
     val survivors = candidates
       .join(hashed.select(col("doc_id").as("da"), col("ha").as("haa"),
         col("n_sh").as("na")), "da")
@@ -95,9 +117,8 @@ object Dedup {
       .where(col("hc").cast("double") /
         (col("na") + col("nb") - col("hc")) >= slop(threshold))
       .select(col("da"), col("db"))
-    val strings = sh.groupBy("doc_id").agg(
-      sort_array(collect_list(col("s"))).as("arr"),
-      count(lit(1)).as("n_sh"))
+    val strings = arrays.select(col("doc_id"), col("arr"),
+      size(col("arr")).as("n_sh"))
     survivors
       .join(strings.select(col("doc_id").as("da"), col("arr").as("aa"),
         col("n_sh").as("na")), "da")
@@ -125,8 +146,9 @@ object Dedup {
     */
   def jaccardPairsPrefix(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.3): DataFrame = {
-    val sh = TextOps.shingleRows(docs, n)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val arrays = TextOps.shingleArrays(spread(docs), n)
+    val sh = arrays.select(col("doc_id"), explode(col("arr")).as("s"))
+    val sizes = arrays.select(col("doc_id"), size(col("arr")).as("n_sh"))
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
     // candidate generation joins on the 64-bit shingle hash, not the
     // string: ~3× narrower shuffle rows, and still COMPLETE — a hash
@@ -157,7 +179,7 @@ object Dedup {
                col("b.n_sh") - col("b.pos")) + 1 >= oMin)
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    verifyExact(candidates, sh, threshold)
+    verifyExact(candidates, arrays, threshold)
   }
 
   val numHashes = 64
@@ -167,20 +189,27 @@ object Dedup {
     * Output ⊆ [[jaccardPairs]] output; equality holds when every
     * qualifying pair collides in ≥ 1 band (P ≈ 1 − 1e-4 per pair at
     * J = 0.5 — verified empirically on the frozen fixtures).
+    *
+    * Signatures are a PURE MAP over the per-doc shingle arrays —
+    * `array_min(transform(arr, xxhash64(s, seed)))` per hash — so the
+    * only shuffles in the whole operator are the (band, hash) candidate
+    * join and the verification joins. (The groupBy-with-64-aggregates
+    * formulation this replaces shuffled every shingle row.)
     */
   def minhashPairs(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val sh = TextOps.shingleRows(docs, n)
-    // 64 independent min-hashes per doc: min over shingles of
-    // xxhash64(shingle, seed_i).
-    val sigCols = (0 until numHashes).map(i =>
-      min(xxhash64(col("s"), lit(i))).as(s"h$i"))
-    val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-    // 32 bands of 2 signature rows each, hashed to one bucket key.
-    val bands = sigs.select(col("doc_id"), explode(array(
-      (0 until numBands).map(b => struct(lit(b).as("band"),
-        xxhash64(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("bh"))): _*))
-      .as("e"))
+    val arrays = TextOps.shingleArrays(spread(docs), n)
+    def minHash(i: Int) =
+      array_min(transform(col("arr"), s => xxhash64(s, lit(i))))
+    // 32 bands of 2 min-hash rows each, hashed to one bucket key.
+    // Empty shingle sets (doc shorter than n tokens) had no rows in the
+    // posting formulation and must not band here either — their NULL
+    // min-hashes would otherwise bucket all short docs together.
+    val bands = arrays.where(size(col("arr")) > 0)
+      .select(col("doc_id"), explode(array(
+        (0 until numBands).map(b => struct(lit(b).as("band"),
+          xxhash64(minHash(2 * b), minHash(2 * b + 1)).as("bh"))): _*))
+        .as("e"))
       .select(col("doc_id"), col("e.band"), col("e.bh"))
     val candidates = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -188,7 +217,7 @@ object Dedup {
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
     // Exact verification only on the candidate set.
-    verifyExact(candidates, sh, threshold)
+    verifyExact(candidates, arrays, threshold)
   }
 
   val simhashBits = 32

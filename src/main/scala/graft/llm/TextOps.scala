@@ -25,13 +25,23 @@ object TextOps {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
-  /** doc → (doc_id, distinct shingle) rows — the unit of all set-based
-    * similarity below.
+  /** doc → (doc_id, DISTINCT shingle set as an array) — one row per doc,
+    * produced by a PURE MAP: `array_distinct` dedups inside the doc, so
+    * no shuffle is ever paid for shingling. The unit of all set-based
+    * similarity below; explode it for posting-list shapes
+    * ([[shingleRows]]), keep it whole for array-intersection verify.
+    */
+  def shingleArrays(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"),
+      array_distinct(shingles(tokens(col("text")), n)).as("arr"))
+
+  /** doc → (doc_id, distinct shingle) rows. Shingle-set dedup is
+    * per-doc (doc_id rides every row), so this is `shingleArrays` +
+    * explode — still a pure map, NO global distinct shuffle.
     */
   def shingleRows(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"),
-        explode(shingles(tokens(col("text")), n)).as("s"))
-      .distinct()
+    shingleArrays(docs, n)
+      .select(col("doc_id"), explode(col("arr")).as("s"))
 
   /** BPE-style pre-tokenization pattern: letter runs, digit runs, and
     * single non-space symbols — the split shape BPE vocabularies are
