@@ -198,6 +198,76 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.streams.removeListener(m)
   }
 
+  test("streaming bars: watermarked tumbling window emits closed OHLCV") {
+    import graft.stream.Windowed
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val out = tmp("bars-out")
+    val mem = MemoryStream[(String, Long, Double)]
+    val ticks = mem.toDF().toDF("id", "epoch", "price")
+      .select(col("id"), timestamp_seconds(col("epoch")).as("ts"),
+        col("price"))
+    val q = Windowed.streamingBars(ticks).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmp("bars-ckpt"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(s"$out/t")
+      }.start()
+    val h = 1700000000L - (1700000000L % 3600) // hour-aligned base
+    // one full hour of BTC ticks: open 100 (earliest), high 120, low 95,
+    // close 110 (latest)
+    mem.addData(("BTC", h + 60, 100.0), ("BTC", h + 600, 120.0),
+      ("BTC", h + 1200, 95.0), ("BTC", h + 3000, 110.0))
+    q.processAllAvailable()
+    // advance the watermark past hour end + 30 min lateness → bar closes
+    mem.addData(("BTC", h + 3600 + 1900, 50.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(s"$out/t").collect()
+    assert(rows.length == 1) // only the CLOSED window emitted
+    val r = rows(0)
+    assert(r.getAs[String]("id") == "BTC")
+    assert(r.getAs[Double]("open") == 100.0)
+    assert(r.getAs[Double]("high") == 120.0)
+    assert(r.getAs[Double]("low") == 95.0)
+    assert(r.getAs[Double]("close") == 110.0)
+    assert(r.getAs[Double]("volume") == 4.0)
+  }
+
+  test("flatMapGroupsWithState: per-key state persists across batches") {
+    import graft.stream.Windowed
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val out = tmp("state-out")
+    val mem = MemoryStream[(String, Long, Double)]
+    val ticks = mem.toDF().toDF("id", "epoch", "price")
+      .select(col("id"), timestamp_seconds(col("epoch")).as("ts"),
+        col("price")).as[Windowed.Tick]
+    val q = Windowed.runningTicker(ticks).writeStream
+      .outputMode("update")
+      .option("checkpointLocation", tmp("state-ckpt"))
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[Windowed.TickerUpdate], id: Long) =>
+          b.withColumn("batch", lit(id))
+            .write.mode("append").parquet(s"$out/t")
+      }.start()
+    mem.addData(("BTC", 1700000000L, 100.0), ("BTC", 1700000060L, 105.0),
+      ("ETH", 1700000000L, 50.0))
+    q.processAllAvailable()
+    mem.addData(("BTC", 1700000120L, 98.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(s"$out/t")
+    val btc2 = rows.where(col("id") === "BTC")
+      .orderBy(col("batch").desc).collect()(0)
+    // state carried across batches: count 3, high from batch 1, last
+    // from batch 2
+    assert(btc2.getAs[Long]("n") == 3L)
+    assert(btc2.getAs[Double]("high") == 105.0)
+    assert(btc2.getAs[Double]("last") == 98.0)
+    assert(rows.where(col("id") === "ETH").count() == 1)
+  }
+
   test("order-book explode over a stream, incl. empty-side NULL rows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
