@@ -227,6 +227,43 @@ object Dedup {
     * the token-frequency-weighted ±1 sum. Emitted as a bit string to
     * stay engine-portable.
     */
+  /** SimHash NEAR-DUP PAIRS: all (da < db) with fingerprint Hamming
+    * distance ≤ `maxHamming`. EXACT by pigeonhole: the 32-bit
+    * fingerprint splits into 4 byte-bands, and any pair within Hamming
+    * 3 (< 4 differing bits) must agree on at least one whole band — so
+    * the band-equality join loses nothing, and only bucket-mates pay
+    * the full 32-bit compare. The same banded-candidate shape as
+    * MinHash, but with a deterministic completeness guarantee instead
+    * of a probability curve.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bandCount = 4
+    require(maxHamming < bandCount,
+      s"pigeonhole completeness needs maxHamming < $bandCount")
+    val width = simhashBits / bandCount
+    // parse the bit string to a long ONCE per doc; candidates then carry
+    // two longs and the verify is bit_count(xor) — scalar codegen, no
+    // per-pair string/array work
+    val fp = simhash(spread(docs))
+      .withColumn("fpl", conv(col("simhash"), 2, 10).cast("long"))
+    val bands = fp.select(col("doc_id"), col("fpl"), explode(array(
+        (0 until bandCount).map(b => struct(lit(b).as("band"),
+          substring(col("simhash"), b * width + 1, width).as("bits"))): _*))
+        .as("e"))
+      .select(col("doc_id"), col("fpl"), col("e.band"), col("e.bits"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("x.fpl").as("fa"),
+        col("y.doc_id").as("db"), col("y.fpl").as("fb"))
+      .dropDuplicates("da", "db")
+    cand
+      .withColumn("hamming",
+        bit_count(col("fa").bitwiseXOR(col("fb"))).cast("int"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("da"), col("db"), col("hamming"))
+  }
+
   def simhash(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(TextOps.tokens(col("text"))).as("tok"))

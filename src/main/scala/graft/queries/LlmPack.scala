@@ -33,6 +33,8 @@ object LlmPack extends QueryPack {
     "q64_jaccard_pairs" -> ((s, d) => Dedup.jaccardPairsPrefix(t("documents")(s, d))),
     "q65_minhash_lsh" -> ((s, d) => Dedup.minhashPairs(t("documents")(s, d))),
     "q66_simhash" -> ((s, d) => Dedup.simhash(t("documents")(s, d))),
+    "q74_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(t("documents")(s, d))),
     "q67_tfidf_top3" -> ((s, d) => TextOps.tfidfTopK(t("documents")(s, d))),
     "q68_ann_cosine" -> ((s, d) =>
       Similarity.bruteForceTopK(t("embeddings")(s, d), col("vec_id") < 10)),
@@ -162,6 +164,26 @@ object LlmPack extends QueryPack {
          |    $simhashCols
          |  FROM h GROUP BY doc_id)
          |SELECT doc_id, $simhashConcat AS simhash FROM c""".stripMargin,
+    // Oracle is the NAIVE all-pairs Hamming scan (no banding) — an
+    // independent derivation, so a broken band join can't agree with a
+    // broken oracle.
+    "q74_simhash_pairs" ->
+      s"""WITH t2 AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |  FROM documents),
+         |h AS (SELECT doc_id, md5(tok) AS h FROM t2),
+         |c AS (SELECT doc_id,
+         |    $simhashCols
+         |  FROM h GROUP BY doc_id),
+         |f AS (SELECT doc_id, $simhashConcat AS simhash FROM c),
+         |p AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db,
+         |         CAST(list_sum(list_transform(range(1, ${Dedup.simhashBits + 1}),
+         |           i -> CASE WHEN substr(a.simhash, CAST(i AS INT), 1)
+         |                       <> substr(b.simhash, CAST(i AS INT), 1)
+         |                THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
+         |  FROM f a JOIN f b ON a.doc_id < b.doc_id)
+         |SELECT da, db, hamming FROM p WHERE hamming <= 3""".stripMargin,
     "q67_tfidf_top3" ->
       """WITH t2 AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
