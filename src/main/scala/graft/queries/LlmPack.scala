@@ -15,8 +15,12 @@ import org.apache.spark.sql.functions._
   * probabilistic, with P[miss] ≈ 1e-4 per qualifying pair at J = 0.5,
   * and is verified to reach full recall on the frozen fixtures (the
   * hash seeds are deterministic, so this is stable, not flaky).
-  * q69 (LSH ANN) and q71 (IVF ANN) have no SQL oracle — recall is
-  * measured in ScalaTest against q68's exact answer.
+  * q69 (LSH ANN) and q71 (IVF ANN) carry FULL oracles too: their
+  * pipelines are deterministic end-to-end (md5-parity planes; lowest-id
+  * centroid init + fixed Lloyd iterations), so DuckDB re-derives the
+  * bucketing/quantization itself — no rows-only checks remain anywhere.
+  * Recall (an accuracy property, not a correctness one) is separately
+  * pinned in ScalaTest against q68's exact answer.
   */
 object LlmPack extends QueryPack {
 
@@ -199,6 +203,61 @@ object LlmPack extends QueryPack {
         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
         |        ORDER BY tfidf DESC, term) AS rank FROM sc)
         |WHERE rank <= 3""".stripMargin,
+    // Full oracle for the IVF ANN path: the ENTIRE pipeline is
+    // deterministic (lowest-vec_id init, 2 Lloyd iterations, nprobe
+    // probe, candidate cosine, ranked top-k), so DuckDB re-derives it
+    // end-to-end. Cell argmins are exact double compares on random
+    // vectors (no ties in practice — verified hash-identical at
+    // sf0.001/0.01/0.1); the output cosine is computed from the
+    // ORIGINAL vectors, so centroid float drift cannot reach it.
+    "q71_ann_ivf" -> {
+      val dim = Similarity.defaultDim
+      def sq(a: String, b: String) =
+        s"list_sum(list_transform(range($dim), " +
+          s"i -> ($a[CAST(i AS INT) + 1] - $b[CAST(i AS INT) + 1]) " +
+          s"* ($a[CAST(i AS INT) + 1] - $b[CAST(i AS INT) + 1])))"
+      def assign(cents: String, out: String) =
+        s"""$out AS (
+           |  SELECT vec_id, v, n2, cell FROM (
+           |    SELECT e.vec_id, e.v, e.n2, c.cell,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY ${sq("e.v", "c.c")}, c.cell) AS rk
+           |    FROM n e, $cents c) WHERE rk = 1)""".stripMargin
+      def recompute(assigned: String, out: String) =
+        s"""$out AS (
+           |  SELECT cell, list(m ORDER BY i) AS c FROM (
+           |    SELECT cell, i, avg(v[CAST(i AS INT) + 1]) AS m
+           |    FROM $assigned, range($dim) t(i) GROUP BY cell, i)
+           |  GROUP BY cell)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cell,
+         |         v AS c
+         |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+         |${assign("c0", "a1")},
+         |${recompute("a1", "c1")},
+         |${assign("c1", "a2")},
+         |${recompute("a2", "c2")},
+         |${assign("c2", "af")},
+         |probed AS (
+         |  SELECT qid, qv, qn2, cell FROM (
+         |    SELECT q.vec_id AS qid, q.v AS qv, q.n2 AS qn2, c.cell,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${sq("q.v", "c.c")}, c.cell) AS rk
+         |    FROM n q, c2 c WHERE q.vec_id < 10) WHERE rk <= 4),
+         |scored AS (
+         |  SELECT p.qid, a.vec_id AS neighbor_id,
+         |         round(list_dot_product(p.qv, a.v)
+         |               / (sqrt(p.qn2) * sqrt(a.n2)), 4) AS cos
+         |  FROM probed p JOIN af a ON p.cell = a.cell
+         |  WHERE a.vec_id <> p.qid)
+         |SELECT qid, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |        ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+         |WHERE rank <= 5""".stripMargin
+    },
     // Full oracle for the LSH ANN path: the md5-parity hyperplanes are
     // re-derived in SQL (planes → sign-bit buckets → OR-construction
     // candidates → exact cosine → ranked top-k), so the probabilistic
