@@ -23,12 +23,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ as a codegen'd fold. (An element_at-unrolled variant was
-    * measured 5× SLOWER under ANSI — 64 bounds-checked accesses lose to
-    * one zip_with pass — so the fold is the keeper even in pair loops.)
+  /** Σ aᵢ·bᵢ via the native [[graft.functions.DotProduct]] expression:
+    * a fused codegen loop, no intermediate array, and the enclosing
+    * stage keeps whole-stage codegen (higher-order zip_with/aggregate
+    * lambdas run interpreted and break it). Same left-to-right sum
+    * order as the fold it replaced, so every rounded oracle compare is
+    * unmoved. (An element_at-unrolled variant was also tried: 5× slower
+    * under ANSI — 64 bounds-checked accesses.)
     */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProduct(a, b)
 
   private def asDouble(c: Column): Column =
     transform(c, x => x.cast("double"))

@@ -1,0 +1,69 @@
+package graft
+
+import graft.functions.DotProduct
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native dot-product expression vs the higher-order-function fold
+  * it replaces: values must be bit-identical (same summation order) in
+  * both the codegen and interpreted paths, across float/double arrays
+  * and null/empty edges.
+  */
+class DotProductSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def fold(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  test("matches the zip_with fold bit-for-bit on random double arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(200)((
+      Array.fill(64)(rnd.nextDouble() * 2 - 1),
+      Array.fill(64)(rnd.nextDouble() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+      .select(DotProduct(col("a"), col("b")).as("native"),
+        fold(col("a"), col("b")).as("fold"))
+    assert(df.where(col("native") =!= col("fold")).count() == 0)
+  }
+
+  test("float arrays promote per element like the cast-then-fold path") {
+    import spark.implicits._
+    val df = Seq((Array(1.5f, 2.5f, -3f), Array(2f, 4f, 1f)))
+      .toDF("a", "b")
+      .select(
+        DotProduct(col("a"), col("b")).as("native"),
+        fold(transform(col("a"), _.cast("double")),
+          transform(col("b"), _.cast("double"))).as("fold"))
+    val r = df.collect()(0)
+    assert(r.getDouble(0) == 10.0 && r.getDouble(1) == 10.0)
+  }
+
+  test("null array yields NULL; empty arrays yield 0.0") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Array(1.0, 2.0)), None: Option[Array[Double]]),
+      (Some(Array.empty[Double]), Some(Array.empty[Double])))
+      .toDF("a", "b")
+      .select(DotProduct(col("a"), col("b")).as("d"))
+    val rows = df.collect()
+    assert(rows(0).isNullAt(0))
+    assert(rows(1).getDouble(0) == 0.0)
+  }
+
+  test("interpreted eval agrees with codegen") {
+    // force the interpreted path via an expression position codegen
+    // cannot reach uniformly: eval through a literal-driven projection
+    import org.apache.spark.sql.GraftSqlShims
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+    val a = ArrayData.toArrayData(Array(1.0, 2.0, 3.0))
+    val b = ArrayData.toArrayData(Array(4.0, 5.0, 6.0))
+    val e = graft.functions.DotProduct(
+      Literal(a, ArrayType(DoubleType)), Literal(b, ArrayType(DoubleType)))
+    assert(e.eval(null) == 32.0)
+    val _ = GraftSqlShims // keep import used
+  }
+}
