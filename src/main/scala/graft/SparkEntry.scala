@@ -18,6 +18,7 @@ object SparkEntry {
     graft.queries.Indicators,
     graft.queries.Streaming,
     graft.queries.LoadIngest,
+    graft.queries.TimeJoins,
     graft.queries.LlmPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
