@@ -197,6 +197,8 @@ object TaFunctions {
     r.createOrReplaceTempFunction("wilder_rsi",
       es => WilderRsi(Cast(es.head, DoubleType), intArg(es(1), "wilder_rsi")),
       "scala_udf")
+    r.createOrReplaceTempFunction("dot_product",
+      es => DotProduct(es.head, es(1)), "scala_udf")
   }
 }
 
@@ -220,5 +222,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         case Literal(v: Int, _) => v
         case o => throw new IllegalArgumentException(s"bad period: $o")
       })))
+    ext.injectFunction((FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (es: Seq[Expression]) => DotProduct(es.head, es(1))))
   }
 }

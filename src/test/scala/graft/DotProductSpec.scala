@@ -52,6 +52,15 @@ class DotProductSpec extends AnyFunSuite {
     assert(rows(1).getDouble(0) == 0.0)
   }
 
+  test("registered as SQL function dot_product") {
+    import spark.implicits._
+    graft.functions.TaFunctions.register(spark)
+    Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+      .createOrReplaceTempView("dp_in")
+    val r = spark.sql("SELECT dot_product(a, b) AS d FROM dp_in").collect()
+    assert(r(0).getDouble(0) == 11.0)
+  }
+
   test("interpreted eval agrees with codegen") {
     // force the interpreted path via an expression position codegen
     // cannot reach uniformly: eval through a literal-driven projection
