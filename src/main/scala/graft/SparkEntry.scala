@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.Streaming,
     graft.queries.LoadIngest,
     graft.queries.TimeJoins,
-    graft.queries.LlmPack)
+    graft.queries.LlmPack,
+    graft.queries.CorpusPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's analytical centerpiece: crypto_daily_close_stats

@@ -1,0 +1,146 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators for training-data pipelines: context-
+  * window chunking, deterministic stratified sampling, token-stream
+  * packing, mixture accounting, and benchmark decontamination.
+  *
+  * Scale shape (the 100 TB lens, see SCALE.md):
+  *  - [[chunk]] and [[stratifiedSample]] are pure maps (chunking adds a
+  *    generate/explode, still narrow) — zero shuffles, fully codegen'd;
+  *  - [[packStream]] is ONE shuffle on the stream key + a running-sum
+  *    window — the per-key sequential semantics are inherent to
+  *    deterministic packing, and parallelism = |stream keys|;
+  *  - [[mixWeights]] is a two-level aggregate (partial map-side combine
+  *    on a ≤|langs| key) plus a broadcast of the 1-row total;
+  *  - [[decontaminate]] joins the corpus against a BROADCAST benchmark
+  *    shingle index — the benchmark set is small by construction
+  *    (eval suites), so no corpus-side shuffle is ever paid.
+  */
+object Corpus {
+
+  /** Fixed-size token-window chunking with overlap — the standard prep
+    * for embedding / context-window training. Each document's token
+    * array is cut into windows of `chunkTokens` advancing by
+    * `chunkTokens - overlap`; the final window keeps its natural
+    * (shorter) length. Documents shorter than one window yield exactly
+    * one chunk, so no input row is ever dropped.
+    *
+    * Pure map + explode: no shuffle at any scale.
+    */
+  def chunk(docs: DataFrame, chunkTokens: Int = 32, overlap: Int = 8): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, "overlap must be < chunkTokens")
+    val stride = chunkTokens - overlap
+    docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      .withColumn("n", size(col("w")))
+      // number of windows: ceil(max(n - overlap, 1) / stride) in pure
+      // integer arithmetic (DIV), mirroring the oracle's `//`
+      .withColumn("nc",
+        expr(s"(greatest(n - $overlap, 1) + ${stride - 1}) div $stride").cast("int"))
+      .select(col("doc_id"), col("w"), col("n"),
+        explode(sequence(lit(0), col("nc") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        concat_ws(" ",
+          slice(col("w"), col("chunk_id") * stride + 1, lit(chunkTokens))).as("chunk"),
+        least(col("n") - col("chunk_id") * stride, lit(chunkTokens)).as("chunk_tokens"))
+  }
+
+  /** Deterministic uniform in [0, 65536) from the first 16 md5 bits of
+    * `salt:id` — reproducible across engines (DuckDB re-derives it from
+    * the same md5 hex), unlike `rand(seed)` which is partition-placement
+    * dependent and therefore NOT stable under repartitioning.
+    */
+  def hash16(id: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt + ":"), id.cast("string"))), 1, 4), 16, 10)
+      .cast("int")
+
+  /** Stratified downsampling with per-language keep rates (languages
+    * absent from `rates` keep `defaultRate`). The keep decision is
+    * `hash16/65536 < rate` — deterministic per doc_id, independent of
+    * partitioning, and exactly re-derivable by the oracle. Pure map.
+    */
+  def stratifiedSample(docs: DataFrame, rates: Map[String, Double],
+                       defaultRate: Double = 1.0, salt: String = "smp"): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate): Column) {
+      case (acc, (k, v)) => when(col("lang") === k, lit(v)).otherwise(acc)
+    }
+    docs
+      .withColumn("h16", hash16(col("doc_id"), salt))
+      // h16/65536 is a dyadic rational: the double division is EXACT in
+      // both engines, so `<` agrees bit-for-bit with the oracle
+      .filter(col("h16").cast("double") / lit(65536.0) < rate)
+      .select(col("doc_id"), col("lang"), col("source"), col("h16"))
+  }
+
+  /** Token-stream packing: per language, documents are concatenated in
+    * doc_id order into one virtual token stream that is then cut into
+    * fixed `budget`-token context windows (the concat-then-split packing
+    * used by LLM pre-training loaders). Emits, per document, the window
+    * it starts in (`pack_id`), how many windows it spans, and its offset
+    * inside the first window.
+    *
+    * One shuffle (stream key) + one running-sum window; parallelism =
+    * |stream keys|, so at 100 TB the stream key should be
+    * (lang, shard) — the shard assignment composes with
+    * [[stratifiedSample]]'s hash16.
+    */
+  def packStream(docs: DataFrame, budget: Int = 256): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    docs
+      .select(col("doc_id"), col("lang"),
+        size(TextOps.tokens(col("text"))).as("n_tok"))
+      .withColumn("cum", sum(col("n_tok").cast("long")).over(w))
+      .selectExpr("doc_id", "lang", "n_tok",
+        s"(cum - n_tok) div $budget AS pack_id",
+        s"((cum - 1) div $budget) - ((cum - n_tok) div $budget) + 1 AS n_windows",
+        s"cast(cum - n_tok - ((cum - n_tok) div $budget) * $budget as int) AS pack_offset")
+  }
+
+  /** Mixture accounting: per-language document/token counts, the
+    * language's share of all tokens, and the up/down-sampling weight
+    * that would move the corpus to `targetShare` per language
+    * (default: uniform over the observed languages is the caller's
+    * choice; absent languages get `defaultShare`).
+    */
+  def mixWeights(docs: DataFrame, targetShare: Map[String, Double] = Map.empty,
+                 defaultShare: Double = 0.2): DataFrame = {
+    val tgt = targetShare.foldLeft(lit(defaultShare): Column) {
+      case (acc, (k, v)) => when(col("lang") === k, lit(v)).otherwise(acc)
+    }
+    val agg = docs
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(col("text"))).cast("long")).as("n_tokens"))
+    val total = agg.agg(sum("n_tokens").as("total_tokens"))
+    val share = col("n_tokens").cast("double") / col("total_tokens")
+    agg.crossJoin(broadcast(total))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        round(share, 6).cast("float").as("share"),
+        round(tgt / share, 4).cast("float").as("weight"))
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing any
+    * n-token shingle with a held-out benchmark set (here: every
+    * `benchEvery`-th doc_id, standing in for an eval suite). Returns
+    * one row per contaminated document with the count of contaminated
+    * shingles and the smallest matching benchmark doc.
+    *
+    * The benchmark shingle index is broadcast — eval suites are tiny
+    * relative to a pre-training corpus — so the corpus side stays a
+    * narrow scan + broadcast-hash semi-join at any scale.
+    */
+  def decontaminate(docs: DataFrame, benchEvery: Int = 50, n: Int = 8): DataFrame = {
+    val sh = TextOps.shingleRows(docs, n)
+    val bench = sh.filter(col("doc_id") % benchEvery === 0)
+      .select(col("doc_id").as("bench_id"), col("s"))
+    val corpus = sh.filter(col("doc_id") % benchEvery =!= 0)
+    corpus.join(broadcast(bench), Seq("s"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("s")).as("n_contaminated"),
+        min(col("bench_id")).as("first_bench"))
+  }
+}

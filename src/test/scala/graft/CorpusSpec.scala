@@ -1,0 +1,93 @@
+package graft
+
+import graft.llm.Corpus
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Library-level properties of the corpus-prep operators (the oracle
+  * gate covers value parity; these pin the semantic invariants).
+  */
+class CorpusSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val docs =
+    Tables.load(spark, "/root/testdata/sf0.001", "documents")
+
+  test("chunk covers every token exactly once net of overlap") {
+    import spark.implicits._
+    val sample = Seq(
+      (0L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 toks → 4 chunks
+      (1L, "a b c"),                                   // short → 1 chunk
+      (2L, (1 to 32).map(i => s"u$i").mkString(" ")),  // exactly one window
+      (3L, (1 to 33).map(i => s"v$i").mkString(" ")))  // one over → 2 chunks
+      .toDF("doc_id", "text")
+    val out = Corpus.chunk(sample, chunkTokens = 32, overlap = 8)
+      .orderBy("doc_id", "chunk_id").collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(byDoc(0L).length == 4 && byDoc(1L).length == 1 &&
+      byDoc(2L).length == 1 && byDoc(3L).length == 2)
+    // stitching chunks back (dropping each chunk's 8-token overlap head
+    // after the first) reproduces the document
+    val stitched = byDoc(0L).sortBy(_.getInt(1)).zipWithIndex.map {
+      case (r, 0) => r.getString(2)
+      case (r, _) => r.getString(2).split(" ").drop(8).mkString(" ")
+    }.mkString(" ")
+    assert(stitched == (1 to 100).map(i => s"t$i").mkString(" "))
+    // last chunk of doc 0 is the 24..100 tail → 28 tokens at offset 72+1
+    assert(byDoc(0L).map(_.getInt(3)).sum == 32 * 3 + 28)
+  }
+
+  test("stratified sample is deterministic and respects per-lang rates") {
+    val once = Corpus.stratifiedSample(docs, Map("en" -> 0.25, "zh" -> 0.75))
+    val again = Corpus.stratifiedSample(docs, Map("en" -> 0.25, "zh" -> 0.75))
+    assert(once.exceptAll(again).isEmpty && again.exceptAll(once).isEmpty)
+    val kept = once.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // md5-uniform: observed keep rate within ±0.2 of the target
+    def rate(l: String) = kept.getOrElse(l, 0L).toDouble / total(l)
+    assert(math.abs(rate("en") - 0.25) < 0.2, s"en rate ${rate("en")}")
+    assert(rate("de") == 1.0 && rate("fr") == 1.0 && rate("es") == 1.0)
+  }
+
+  test("pack stream assigns contiguous windows with in-budget offsets") {
+    val out = Corpus.packStream(docs, budget = 256)
+    val bad = out.filter(col("pack_offset") < 0 || col("pack_offset") >= 256 ||
+      col("n_windows") < 1).count()
+    assert(bad == 0)
+    // per lang: total windows spanned == ceil(total tokens / budget)
+    val perLang = out.groupBy("lang")
+      .agg(sum("n_tok").as("toks"), max(col("pack_id") + col("n_windows"))
+        .as("maxw")).collect()
+    perLang.foreach { r =>
+      val toks = r.getLong(1); val maxw = r.getLong(2)
+      assert(maxw == (toks + 255) / 256, s"${r.getString(0)}: $toks vs $maxw")
+    }
+  }
+
+  test("mix weights: shares sum to ~1 and weights invert the shares") {
+    val rows = Corpus.mixWeights(docs).collect()
+    val shareSum = rows.map(_.getFloat(3).toDouble).sum
+    assert(math.abs(shareSum - 1.0) < 1e-3)
+    rows.foreach { r =>
+      val share = r.getFloat(3); val weight = r.getFloat(4)
+      assert(math.abs(weight - 0.2 / share) < 0.01f * weight)
+    }
+  }
+
+  test("decontaminate flags a planted benchmark copy and only that") {
+    import spark.implicits._
+    val bench = (1 to 20).map(i => s"b$i").mkString(" ")
+    val sample = Seq(
+      (0L, bench),                                    // benchmark doc (0 % 50 == 0)
+      (1L, bench),                                    // full copy → contaminated
+      (2L, (1 to 20).map(i => s"c$i").mkString(" ")), // disjoint → clean
+      (3L, (9 to 16).map(i => s"b$i").mkString(" "))) // one shared 8-gram window
+      .toDF("doc_id", "text")
+    val out = Corpus.decontaminate(sample, benchEvery = 50, n = 8)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(out(0).getLong(1) == 13) // 20 tokens → 13 distinct 8-grams
+    assert(out(1).getLong(1) == 1 && out(1).getLong(2) == 0L)
+  }
+}
