@@ -14,6 +14,7 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
     graft.queries.Relational,
+    graft.queries.Analytics,
     graft.queries.Mart,
     graft.queries.Indicators,
     graft.queries.Streaming,

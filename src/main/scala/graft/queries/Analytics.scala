@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse-analytics surface beyond the reference's own query set:
+  * exact percentiles, ROLLUP subtotals, pivot tables, and gap-based
+  * sessionization — the four shapes analysts reach for first on an
+  * event table.
+  *
+  * Scale shape: percentiles/rollup/pivot are single hash-aggregate
+  * passes with map-side partials (pivot's conditional aggregates are
+  * codegen'd, no per-value shuffle); sessionization is one shuffle on
+  * user_id + two chained window passes over the SAME sort order (one
+  * sort, both windows reuse it) and a final partial-aggregated groupBy
+  * on (user_id, session) — parallelism = |users|, no global sort.
+  */
+object Analytics extends QueryPack {
+
+  /** Session gap: a new session starts after 6 h of user inactivity. */
+  val sessionGapS = 21600L
+
+  val queries: Map[String, Q] = Map(
+    "q15_percentiles" -> ((s, d) => t("events")(s, d)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("percentile(value, array(0.5D, 0.9D, 0.99D))").as("ps"))
+      .select(col("event_type"), col("n"),
+        round(element_at(col("ps"), 1), 4).cast("float").as("p50"),
+        round(element_at(col("ps"), 2), 4).cast("float").as("p90"),
+        round(element_at(col("ps"), 3), 4).cast("float").as("p99"))),
+
+    "q16_rollup" -> ((s, d) => t("lineitem")(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        round(sum("l_quantity"), 2).cast("float").as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .cast("float").as("revenue"))),
+
+    "q17_pivot" -> ((s, d) => t("events")(s, d)
+      .withColumn("user_bucket", pmod(col("user_id"), lit(10)).cast("int"))
+      .groupBy("user_bucket")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(round(avg("value"), 4).cast("float"))),
+
+    "q18_sessionize" -> ((s, d) => {
+      val ev = t("events")(s, d).select(col("user_id"),
+        col("ts").cast("long").as("ts_s"), col("event_id"), col("value"))
+      // both windows share one (user_id, ts_s, event_id) sort — Spark
+      // plans a single Exchange+Sort reused by the chained WindowExecs
+      val w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+      val prev = lag(col("ts_s"), 1).over(w)
+      val isNew =
+        when(prev.isNull || col("ts_s") - prev > sessionGapS, 1L).otherwise(0L)
+      ev.withColumn("sid", sum(isNew).over(w))
+        .groupBy("user_id", "sid")
+        .agg(min("ts_s").as("start_s"),
+          count(lit(1)).as("n_events"),
+          (max("ts_s") - min("ts_s")).as("duration_s"),
+          round(sum("value"), 4).cast("float").as("total_value"))
+        .select(col("user_id"), col("sid").as("session_id"), col("start_s"),
+          col("n_events"), col("duration_s"), col("total_value"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q15_percentiles" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(round(quantile_cont(value, 0.5), 4) AS REAL) AS p50,
+        |       CAST(round(quantile_cont(value, 0.9), 4) AS REAL) AS p90,
+        |       CAST(round(quantile_cont(value, 0.99), 4) AS REAL) AS p99
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q16_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+        |       count(*) AS n,
+        |       CAST(round(sum(l_quantity), 2) AS REAL) AS sum_qty,
+        |       CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS REAL)
+        |         AS revenue
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q17_pivot" -> {
+      val cols = Seq("click", "view", "purchase", "signup", "error").map(t =>
+        s"CAST(round(avg(value) FILTER (event_type = '$t'), 4) AS REAL) AS $t")
+        .mkString(",\n       ")
+      s"""SELECT CAST(user_id % 10 AS INTEGER) AS user_bucket,
+         |       $cols
+         |FROM events GROUP BY 1""".stripMargin
+    },
+
+    "q18_sessionize" ->
+      s"""WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         |             event_id, value FROM events),
+         |l AS (SELECT *, lag(ts_s) OVER
+         |        (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev
+         |      FROM e),
+         |f AS (SELECT *, CASE WHEN prev IS NULL OR ts_s - prev > $sessionGapS
+         |        THEN 1 ELSE 0 END AS is_new FROM l),
+         |s AS (SELECT *, CAST(sum(is_new) OVER
+         |        (PARTITION BY user_id ORDER BY ts_s, event_id) AS BIGINT)
+         |        AS sid FROM f)
+         |SELECT user_id, sid AS session_id, min(ts_s) AS start_s,
+         |       count(*) AS n_events,
+         |       max(ts_s) - min(ts_s) AS duration_s,
+         |       CAST(round(sum(value), 4) AS REAL) AS total_value
+         |FROM s GROUP BY 1, 2""".stripMargin)
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the analytics extension pack (value parity
+  * with DuckDB is the oracle gate's job).
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("sessionize splits on the gap and only on the gap") {
+    import spark.implicits._
+    // user 1: 3 events in one session, then a 7h gap → second session;
+    // user 2: single event
+    val ev = Seq(
+      (1L, 1000L, 10L, 1.0), (1L, 2000L, 11L, 2.0), (1L, 3000L, 12L, 3.0),
+      (1L, 3000L + 25201L, 13L, 4.0),
+      (2L, 500L, 14L, 5.0))
+      .toDF("user_id", "ts_s", "event_id", "value")
+      .select(col("user_id"), col("ts_s").cast("timestamp").as("ts"),
+        col("event_id"), col("value"))
+    // replicate the registered pipeline on the in-memory frame (the
+    // registered query is fixture-dir-bound; the oracle gate covers it)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_s", "event_id")
+    val e2 = ev.select(col("user_id"), col("ts").cast("long").as("ts_s"),
+      col("event_id"), col("value"))
+    val prev = lag(col("ts_s"), 1).over(w)
+    val isNew = when(prev.isNull ||
+      col("ts_s") - prev > graft.queries.Analytics.sessionGapS, 1L).otherwise(0L)
+    val sess = e2.withColumn("sid", sum(isNew).over(w))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n"), min("ts_s").as("start_s"))
+      .orderBy("user_id", "sid").collect()
+    assert(sess.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 1L, 3L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
+  test("rollup emits detail, subtotal and grand-total levels") {
+    val out = graft.queries.Analytics
+      .queries("q16_rollup")(spark, "/root/testdata/sf0.001")
+    val gids = out.select("gid").distinct().collect().map(_.getInt(0)).toSet
+    assert(gids == Set(0, 1, 3))
+    val grand = out.filter(col("gid") === 3).collect()
+    assert(grand.length == 1)
+    val detailN = out.filter(col("gid") === 0)
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(grand(0).getLong(3) == detailN) // grand total n == sum of details
+  }
+
+  test("pivot columns carry per-type averages") {
+    val out = graft.queries.Analytics
+      .queries("q17_pivot")(spark, "/root/testdata/sf0.001")
+    assert(out.columns.toSeq ==
+      Seq("user_bucket", "click", "view", "purchase", "signup", "error"))
+    assert(out.count() <= 10)
+  }
+
+  test("percentiles are ordered p50 <= p90 <= p99") {
+    val rows = graft.queries.Analytics
+      .queries("q15_percentiles")(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getFloat(2) <= r.getFloat(3) && r.getFloat(3) <= r.getFloat(4))
+    }
+  }
+}
