@@ -46,6 +46,21 @@ object Analytics extends QueryPack {
       .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
       .agg(round(avg("value"), 4).cast("float"))),
 
+    // Skew-mitigation primitives under the oracle gate: the salted
+    // plans must produce EXACTLY the unsalted answers.
+    "q19_skew_distinct" -> ((s, d) =>
+      graft.ops.Skew.saltedDistinctCount(
+        t("events")(s, d), key = "event_type", value = "user_id", salts = 32)),
+
+    "q25_salted_join" -> ((s, d) =>
+      graft.ops.Skew.saltedJoin(
+        t("lineitem")(s, d), t("part")(s, d).withColumnRenamed("p_partkey", "l_partkey"),
+        key = "l_partkey", salts = 8)
+        .groupBy(col("p_brand").as("brand"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .cast("float").as("revenue"))),
+
     "q18_sessionize" -> ((s, d) => {
       val ev = t("events")(s, d).select(col("user_id"),
         col("ts").cast("long").as("ts_s"), col("event_id"), col("value"))
@@ -91,6 +106,17 @@ object Analytics extends QueryPack {
          |       $cols
          |FROM events GROUP BY 1""".stripMargin
     },
+
+    "q19_skew_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_distinct
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q25_salted_join" ->
+      """SELECT p.p_brand AS brand, count(*) AS n,
+        |       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+        |            AS REAL) AS revenue
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY 1""".stripMargin,
 
     "q18_sessionize" ->
       s"""WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,

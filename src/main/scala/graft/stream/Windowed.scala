@@ -45,6 +45,26 @@ object Windowed {
       .select(col("id"), col("w.start").as("bar_start"),
         col("open"), col("high"), col("low"), col("close"), col("volume"))
 
+  /** Stream-stream interval join: each trade picks up every quote for
+    * the same symbol from the `lookbackS`-second window ending at the
+    * trade (the enrichment shape the reference resolves by re-reading
+    * its quote table per batch). Both sides are watermarked, and the
+    * interval condition bounds the join state: a buffered quote can be
+    * dropped once the watermark passes `qts + lookbackS`, so state is
+    * O(rate × (lateness + lookback)) — never unbounded — and the join
+    * itself is the regular symbol-hash exchange.
+    *
+    * Column contract: trades(id, ts, …), quotes(qid, qts, …) — the
+    * disjoint names keep the equi+range condition unambiguous.
+    */
+  def enrichInterval(trades: DataFrame, quotes: DataFrame,
+      lookbackS: Int = 10, lateness: String = "30 seconds"): DataFrame =
+    trades.withWatermark("ts", lateness)
+      .join(quotes.withWatermark("qts", lateness),
+        expr(s"id = qid AND qts >= ts - INTERVAL $lookbackS SECONDS" +
+          " AND qts <= ts"))
+      .drop("qid")
+
   final case class Tick(id: String, ts: java.sql.Timestamp, price: Double)
   final case class TickerState(n: Long, high: Double, last: Double)
   final case class TickerUpdate(id: String, n: Long, high: Double,
