@@ -199,6 +199,14 @@ object TaFunctions {
       "scala_udf")
     r.createOrReplaceTempFunction("dot_product",
       es => DotProduct(es.head, es(1)), "scala_udf")
+    r.createOrReplaceTempFunction("word_shingles",
+      es => WordShingles(es.head, intArg(es(1), "word_shingles")),
+      "scala_udf")
+    r.createOrReplaceTempFunction("minhash_sig",
+      es => MinHashSig(es.head, intArg(es(1), "minhash_sig")),
+      "scala_udf")
+    r.createOrReplaceTempFunction("sorted_hashes",
+      es => SortedHashes(es.head), "scala_udf")
   }
 }
 
@@ -225,5 +233,18 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (es: Seq[Expression]) => DotProduct(es.head, es(1))))
+    def litInt(e: Expression, fn: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case o => throw new IllegalArgumentException(s"$fn needs int literal, got $o")
+    }
+    ext.injectFunction((FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (es: Seq[Expression]) => WordShingles(es.head, litInt(es(1), "word_shingles"))))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (es: Seq[Expression]) => MinHashSig(es.head, litInt(es(1), "minhash_sig"))))
+    ext.injectFunction((FunctionIdentifier("sorted_hashes"),
+      new ExpressionInfo(classOf[SortedHashes].getName, "sorted_hashes"),
+      (es: Seq[Expression]) => SortedHashes(es.head)))
   }
 }

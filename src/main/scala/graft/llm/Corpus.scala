@@ -134,7 +134,10 @@ object Corpus {
     * narrow scan + broadcast-hash semi-join at any scale.
     */
   def decontaminate(docs: DataFrame, benchEvery: Int = 50, n: Int = 8): DataFrame = {
-    val sh = TextOps.shingleRows(docs, n)
+    // spread first: the corpus side of the broadcast join never
+    // shuffles, so without it ALL shingling would run inside the
+    // (single-task, single-row-group) scan stage
+    val sh = TextOps.shingleRows(TextOps.spread(docs), n)
     val bench = sh.filter(col("doc_id") % benchEvery === 0)
       .select(col("doc_id").as("bench_id"), col("s"))
     val corpus = sh.filter(col("doc_id") % benchEvery =!= 0)

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlShims}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -73,18 +73,14 @@ object Dedup {
     */
   private def slop(threshold: Double): Double = threshold - 0.00005
 
-  /** Spread docs across the full shuffle parallelism BEFORE the
-    * (map-heavy) shingling/hashing work: a compact scan yields one
-    * partition, and since every shingle derivation below is a pure map,
-    * nothing else would ever parallelize it. One cheap shuffle of the
-    * narrow input rows; identical across all consumers, so Spark's
-    * exchange reuse shares it instead of re-scanning per subtree.
+  private def spread(docs: DataFrame): DataFrame = TextOps.spread(docs)
+
+  /** Native sorted-`xxhash64`-digest array (seed-42-compatible with the
+    * builtin; see [[graft.functions.SortedHashes]]).
     */
-  private def spread(docs: DataFrame): DataFrame = {
-    val n = docs.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt
-    docs.repartition(n, col("doc_id"))
-  }
+  private def sortedHashes(arr: Column): Column =
+    GraftSqlShims.column(
+      graft.functions.SortedHashes(GraftSqlShims.expression(arr)))
 
   /** Exact-Jaccard verification of a candidate pair set, two-phase:
     *
@@ -106,7 +102,7 @@ object Dedup {
     // both sides are PURE MAPS over the one-row-per-doc shingle arrays —
     // no groupBy, no shuffle to build them
     val hashed = arrays.select(col("doc_id"),
-      array_sort(transform(col("arr"), s => xxhash64(s))).as("ha"),
+      sortedHashes(col("arr")).as("ha"),
       size(col("arr")).as("n_sh"))
     val survivors = candidates
       .join(hashed.select(col("doc_id").as("da"), col("ha").as("haa"),
@@ -199,16 +195,21 @@ object Dedup {
   def minhashPairs(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     val arrays = TextOps.shingleArrays(spread(docs), n)
-    def minHash(i: Int) =
-      array_min(transform(col("arr"), s => xxhash64(s, lit(i))))
+    // One-pass native signature: hash family i is bit-identical to
+    // array_min(transform(arr, s => xxhash64(s, lit(i)))) — pinned in
+    // MinHashSigSpec — but each shingle is digested once, not 64×.
+    val sig = GraftSqlShims.column(graft.functions.MinHashSig(
+      GraftSqlShims.expression(col("arr")), numHashes))
     // 32 bands of 2 min-hash rows each, hashed to one bucket key.
     // Empty shingle sets (doc shorter than n tokens) had no rows in the
     // posting formulation and must not band here either — their NULL
     // min-hashes would otherwise bucket all short docs together.
     val bands = arrays.where(size(col("arr")) > 0)
+      .withColumn("sig", sig)
       .select(col("doc_id"), explode(array(
         (0 until numBands).map(b => struct(lit(b).as("band"),
-          xxhash64(minHash(2 * b), minHash(2 * b + 1)).as("bh"))): _*))
+          xxhash64(col("sig").getItem(2 * b), col("sig").getItem(2 * b + 1))
+            .as("bh"))): _*))
         .as("e"))
       .select(col("doc_id"), col("e.band"), col("e.bh"))
     val candidates = bands.as("x").join(bands.as("y"),

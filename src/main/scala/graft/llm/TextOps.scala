@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlShims}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -18,22 +18,50 @@ object TextOps {
   /** Whitespace tokenization of a text column. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** n-word shingles of a token array (empty when too short). */
-  def shingles(toks: Column, n: Int): Column =
+  /** Spread docs across the full shuffle parallelism BEFORE map-heavy
+    * shingling/hashing work: the fixture parquet is single-row-group,
+    * so a compact scan yields ONE task and nothing downstream of a
+    * broadcast join would ever parallelize the per-doc work. One cheap
+    * shuffle of the narrow input rows; identical across all consumers,
+    * so Spark's exchange reuse shares it instead of re-scanning per
+    * subtree. (At warehouse scale, files arrive multi-row-group and
+    * this becomes a no-op choice — keep it keyed on doc_id so it is
+    * deterministic either way.)
+    */
+  def spread(docs: DataFrame): DataFrame = {
+    val n = docs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    docs.repartition(n, col("doc_id"))
+  }
+
+  /** n-word shingles of a token array (empty when too short) — the
+    * higher-order-function formulation, kept as the executable spec
+    * that the native [[graft.functions.WordShingles]] expression is
+    * pinned against (HOF lambdas are interpreted and measured ~1000×
+    * the I/O cost on the fixture corpus; see WordShingles docs).
+    */
+  def shinglesHof(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
+  /** Distinct n-word shingle set of a token array, via the native
+    * codegen expression.
+    */
+  def shingleSet(toks: Column, n: Int): Column =
+    GraftSqlShims.column(
+      graft.functions.WordShingles(GraftSqlShims.expression(toks), n))
+
   /** doc → (doc_id, DISTINCT shingle set as an array) — one row per doc,
-    * produced by a PURE MAP: `array_distinct` dedups inside the doc, so
+    * produced by a PURE MAP: the dedup happens inside the doc, so
     * no shuffle is ever paid for shingling. The unit of all set-based
     * similarity below; explode it for posting-list shapes
     * ([[shingleRows]]), keep it whole for array-intersection verify.
     */
   def shingleArrays(docs: DataFrame, n: Int = 3): DataFrame =
     docs.select(col("doc_id"),
-      array_distinct(shingles(tokens(col("text")), n)).as("arr"))
+      shingleSet(tokens(col("text")), n).as("arr"))
 
   /** doc → (doc_id, distinct shingle) rows. Shingle-set dedup is
     * per-doc (doc_id rides every row), so this is `shingleArrays` +
