@@ -207,6 +207,8 @@ object TaFunctions {
       "scala_udf")
     r.createOrReplaceTempFunction("sorted_hashes",
       es => SortedHashes(es.head), "scala_udf")
+    r.createOrReplaceTempFunction("sorted_intersect_count",
+      es => SortedIntersectCount(es.head, es(1)), "scala_udf")
   }
 }
 
@@ -246,5 +248,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("sorted_hashes"),
       new ExpressionInfo(classOf[SortedHashes].getName, "sorted_hashes"),
       (es: Seq[Expression]) => SortedHashes(es.head)))
+    ext.injectFunction((FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+        "sorted_intersect_count"),
+      (es: Seq[Expression]) => SortedIntersectCount(es.head, es(1))))
   }
 }

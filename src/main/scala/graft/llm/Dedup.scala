@@ -82,6 +82,11 @@ object Dedup {
     GraftSqlShims.column(
       graft.functions.SortedHashes(GraftSqlShims.expression(arr)))
 
+  /** Native merge-walk |a ∩ b| over two sorted-distinct hash arrays. */
+  private def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftSqlShims.column(graft.functions.SortedIntersectCount(
+      GraftSqlShims.expression(a), GraftSqlShims.expression(b)))
+
   /** Exact-Jaccard verification of a candidate pair set, two-phase:
     *
     * Phase 1 joins each side to its per-doc sorted 64-bit shingle-HASH
@@ -109,7 +114,7 @@ object Dedup {
         col("n_sh").as("na")), "da")
       .join(hashed.select(col("doc_id").as("db"), col("ha").as("hab"),
         col("n_sh").as("nb")), "db")
-      .withColumn("hc", size(array_intersect(col("haa"), col("hab"))))
+      .withColumn("hc", sortedIntersectCount(col("haa"), col("hab")))
       .where(col("hc").cast("double") /
         (col("na") + col("nb") - col("hc")) >= slop(threshold))
       .select(col("da"), col("db"))

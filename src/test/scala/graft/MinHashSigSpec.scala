@@ -78,6 +78,23 @@ class MinHashSigSpec extends AnyFunSuite {
     assert(diff === 0, "SortedHashes diverges from the builtin xxhash64")
   }
 
+  test("SortedIntersectCount == size(array_intersect) on sorted-distinct arrays") {
+    val arr = edged.select(col("doc_id"),
+      GraftSqlShims.column(graft.functions.SortedHashes(
+        GraftSqlShims.expression(
+          TextOps.shingleSet(TextOps.tokens(col("text")), 3)))).as("ha"))
+    // all pairs within a small slice: covers empty/disjoint/overlapping
+    val a = arr.limit(60)
+    val pairs = a.as("x").join(a.as("y"),
+      col("x.doc_id") < col("y.doc_id"))
+    val diff = pairs.where(
+      size(array_intersect(col("x.ha"), col("y.ha"))) =!=
+        GraftSqlShims.column(graft.functions.SortedIntersectCount(
+          GraftSqlShims.expression(col("x.ha")),
+          GraftSqlShims.expression(col("y.ha"))))).count()
+    assert(diff === 0)
+  }
+
   test("word_shingles/minhash_sig/sorted_hashes resolve in SQL") {
     graft.functions.TaFunctions.register(spark)
     val r = spark.sql(
