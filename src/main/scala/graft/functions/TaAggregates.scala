@@ -209,6 +209,8 @@ object TaFunctions {
       es => SortedHashes(es.head), "scala_udf")
     r.createOrReplaceTempFunction("sorted_intersect_count",
       es => SortedIntersectCount(es.head, es(1)), "scala_udf")
+    r.createOrReplaceTempFunction("sq_diff_sum",
+      es => SqDiffSum(es.head, es(1)), "scala_udf")
   }
 }
 
@@ -252,5 +254,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[SortedIntersectCount].getName,
         "sorted_intersect_count"),
       (es: Seq[Expression]) => SortedIntersectCount(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("sq_diff_sum"),
+      new ExpressionInfo(classOf[SqDiffSum].getName, "sq_diff_sum"),
+      (es: Seq[Expression]) => SqDiffSum(es.head, es(1))))
   }
 }

@@ -34,8 +34,10 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     graft.functions.DotProduct(a, b)
 
-  private def asDouble(c: Column): Column =
-    transform(c, x => x.cast("double"))
+  // array-level cast, not transform(_.cast): the HOF lambda runs
+  // interpreted per element; Cast on the array type is codegen'd.
+  // float→double widening is exact either way.
+  private def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** Guarded cosine: NULL for zero-norm vectors instead of an ANSI
     * DIVIDE_BY_ZERO abort (one bad embedding must not kill a 100 TB job).
@@ -94,9 +96,11 @@ object Similarity {
       asDouble(col("embedding")).as("v"))
       .withColumn("n2", dot(col("v"), col("v")))
 
+    // native fused loop (same left-to-right sum order as the
+    // aggregate(zip_with(...)) fold it replaced and as the oracle's
+    // list_sum, so cell argmins cannot move)
     def sqDist(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
+      graft.functions.SqDiffSum(a, b)
 
     // (d, cell) distance pairs of a vector against the centroid array
     def dists(v: Column): Column =

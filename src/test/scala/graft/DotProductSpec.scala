@@ -28,6 +28,29 @@ class DotProductSpec extends AnyFunSuite {
     assert(df.where(col("native") =!= col("fold")).count() == 0)
   }
 
+  test("SqDiffSum matches the squared-diff fold bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(200)((
+      Array.fill(64)(rnd.nextDouble() * 2 - 1),
+      Array.fill(64)(rnd.nextDouble() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+      .select(graft.functions.SqDiffSum(col("a"), col("b")).as("native"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x).as("fold"))
+    assert(df.where(col("native") =!= col("fold")).count() == 0)
+  }
+
+  test("array-level float->double cast equals the transform cast") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val df = Seq.fill(50)(Array.fill(16)(rnd.nextFloat() * 2 - 1))
+      .toDF("a")
+      .select(col("a").cast("array<double>").as("whole"),
+        transform(col("a"), _.cast("double")).as("per_elem"))
+    assert(df.where(col("whole") =!= col("per_elem")).count() == 0)
+  }
+
   test("float arrays promote per element like the cast-then-fold path") {
     import spark.implicits._
     val df = Seq((Array(1.5f, 2.5f, -3f), Array(2f, 4f, 1f)))
