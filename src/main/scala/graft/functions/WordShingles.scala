@@ -29,7 +29,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * `when(...).otherwise(array())` fell through to `otherwise` on NULL),
   * and shingles join tokens with a single space.
   */
-case class WordShingles(child: Expression, n: Int)
+case class WordShingles(child: Expression, n: Int,
+    distinct: Boolean = true)
     extends UnaryExpression {
   require(n >= 1, s"shingle width must be >= 1, got $n")
 
@@ -47,8 +48,11 @@ case class WordShingles(child: Expression, n: Int)
     val sz = toks.numElements()
     if (sz < n) return WordShingles.empty
     // LinkedHashSet: dedup with first-occurrence order, exactly
-    // array_distinct's contract
-    val out = new java.util.LinkedHashSet[UTF8String]()
+    // array_distinct's contract; plain list when `distinct = false`
+    // (the multiset feeds repetition counting)
+    val out: java.util.Collection[UTF8String] =
+      if (distinct) new java.util.LinkedHashSet[UTF8String]()
+      else new java.util.ArrayList[UTF8String](sz - n + 1)
     val parts = new Array[UTF8String](n)
     var i = 0
     while (i <= sz - n) {

@@ -270,6 +270,62 @@ object Dedup {
       .select(col("da"), col("db"), col("hamming"))
   }
 
+  /** Near-dup CLUSTERS: connected components over the [[simhashPairs]]
+    * graph, as iterated min-label propagation — every doc gets the
+    * smallest doc_id reachable through near-dup edges as its cluster
+    * id, plus the cluster size and a canonical flag (cluster
+    * representative = lowest id, matching [[exactDedup]]'s pick).
+    *
+    * Each round is one edge→label join + a min-aggregate keyed on the
+    * node — both shuffles on the doc key, partial aggregation applies,
+    * nothing is ever collected. Rounds run until a fixpoint (label sum
+    * is monotone decreasing, so termination is guaranteed; the round
+    * count is the cluster DIAMETER, and near-dup clusters are dense —
+    * mutated copies of a common ancestor — so real corpora converge in
+    * a handful of rounds; a Large-Star/Small-Star alternation
+    * [Kiveris et al., Connected Components in MapReduce and Beyond]
+    * would bound rounds at O(log n) if pathological chain clusters
+    * ever mattered). Each round's labels are eagerly
+    * `localCheckpoint`ed: `labels` feeds the next round TWICE (the
+    * propagation join and the convergence diff), so without lineage
+    * truncation the un-executed plan doubles per round — the same
+    * reason GraphX/GraphFrames checkpoint inside Pregel loops.
+    */
+  def dupClusters(docs: DataFrame, maxHamming: Int = 3,
+      maxIters: Int = 50): DataFrame = {
+    val pairs = simhashPairs(docs, maxHamming).select(col("da"), col("db"))
+    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+      .unionByName(pairs.select(col("db").as("src"), col("da").as("dst")))
+      .localCheckpoint(true)
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
+      .localCheckpoint(true)
+    var it = 0
+    var done = false
+    while (!done && it < maxIters) {
+      val prop = edges
+        .join(labels.select(col("doc_id").as("src"), col("cluster")), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("cluster")).as("nc"))
+      val next = labels.join(prop, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("nc"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.select(col("doc_id"), col("cluster").as("old")),
+          "doc_id")
+        .where(col("cluster") =!= col("old")).count()
+      labels = next
+      done = changed == 0
+      it += 1
+    }
+    val sizes = labels.groupBy("cluster")
+      .agg(count(lit(1)).cast("int").as("cluster_size"))
+    labels.join(sizes, "cluster")
+      .select(col("doc_id"), col("cluster"), col("cluster_size"),
+        (col("doc_id") === col("cluster")).as("is_canonical"))
+  }
+
   def simhash(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(TextOps.tokens(col("text"))).as("tok"))

@@ -53,6 +53,42 @@ object TextOps {
     GraftSqlShims.column(
       graft.functions.WordShingles(GraftSqlShims.expression(toks), n))
 
+  /** n-word shingle MULTISET (duplicates kept, document order) — the
+    * input to repetition counting.
+    */
+  def shingleMultiset(toks: Column, n: Int): Column =
+    GraftSqlShims.column(graft.functions.WordShingles(
+      GraftSqlShims.expression(toks), n, distinct = false))
+
+  /** Repetition quality signals (the Gopher-rule shape): per document,
+    * the duplicated-occurrence fraction of n-gram tokens and the share
+    * of the single most frequent n-gram. High values flag boilerplate
+    * and degenerate repetition — the standard pre-training quality
+    * gate alongside [[qualityScore]].
+    *
+    * Scale shape: one explode + a two-level aggregate keyed by
+    * (doc_id, gram) then doc_id — both shuffles carry the doc key, so
+    * parallelism is per-document and partial aggregation applies.
+    * Documents shorter than n tokens have no n-grams and are absent
+    * from the output (both engines agree on inner semantics).
+    */
+  def repetitionStats(docs: DataFrame, n: Int = 2): DataFrame = {
+    val grams = spread(docs).select(col("doc_id"),
+      explode(shingleMultiset(tokens(col("text")), n)).as("g"))
+    grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("max_c"))
+      .select(col("doc_id"),
+        col("n_grams").cast("int").as("n_grams"),
+        col("n_distinct").cast("int").as("n_distinct"),
+        round((col("n_grams") - col("n_distinct")).cast("double") /
+          col("n_grams"), 4).as("dup_frac"),
+        round(col("max_c").cast("double") / col("n_grams"), 4)
+          .as("top_frac"))
+  }
+
   /** doc → (doc_id, DISTINCT shingle set as an array) — one row per doc,
     * produced by a PURE MAP: the dedup happens inside the doc, so
     * no shuffle is ever paid for shingling. The unit of all set-based

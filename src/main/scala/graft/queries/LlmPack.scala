@@ -39,6 +39,13 @@ object LlmPack extends QueryPack {
     "q66_simhash" -> ((s, d) => Dedup.simhash(t("documents")(s, d))),
     "q74_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(t("documents")(s, d))),
+    // Near-dup clusters: connected components over the simhash pair
+    // graph (min-label propagation to a fixpoint); the oracle
+    // re-derives the components with a recursive reachability CTE.
+    "q82_dup_clusters" -> ((s, d) =>
+      Dedup.dupClusters(t("documents")(s, d))),
+    "q83_repetition" -> ((s, d) =>
+      TextOps.repetitionStats(t("documents")(s, d))),
     "q67_tfidf_top3" -> ((s, d) => TextOps.tfidfTopK(t("documents")(s, d))),
     "q68_ann_cosine" -> ((s, d) =>
       Similarity.bruteForceTopK(t("embeddings")(s, d), col("vec_id") < 10)),
@@ -104,6 +111,26 @@ object LlmPack extends QueryPack {
 
   private val simhashConcat = (0 until Dedup.simhashBits).map(j =>
     s"CASE WHEN c$j > 0 THEN '1' ELSE '0' END").mkString("concat(", ", ", ")")
+
+  /** Shared oracle CTEs: per-doc simhash fingerprints + all-pairs
+    * Hamming distances (q74 pair list, q82 cluster edges).
+    */
+  private lazy val simhashPairCtes =
+    s"""t2 AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |h AS (SELECT doc_id, md5(tok) AS h FROM t2),
+       |c AS (SELECT doc_id,
+       |    $simhashCols
+       |  FROM h GROUP BY doc_id),
+       |f AS (SELECT doc_id, $simhashConcat AS simhash FROM c),
+       |p AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db,
+       |         CAST(list_sum(list_transform(range(1, ${Dedup.simhashBits + 1}),
+       |           i -> CASE WHEN substr(a.simhash, CAST(i AS INT), 1)
+       |                       <> substr(b.simhash, CAST(i AS INT), 1)
+       |                THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
+       |  FROM f a JOIN f b ON a.doc_id < b.doc_id)""".stripMargin
 
   private val langScoreUnion = TextOps.langMarkers.map { case (lang, ms) =>
     val cond = ms.map(m => s"x = '$m'").mkString(" OR ")
@@ -172,22 +199,48 @@ object LlmPack extends QueryPack {
     // independent derivation, so a broken band join can't agree with a
     // broken oracle.
     "q74_simhash_pairs" ->
-      s"""WITH t2 AS (
-         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
-         |  FROM documents),
-         |h AS (SELECT doc_id, md5(tok) AS h FROM t2),
-         |c AS (SELECT doc_id,
-         |    $simhashCols
-         |  FROM h GROUP BY doc_id),
-         |f AS (SELECT doc_id, $simhashConcat AS simhash FROM c),
-         |p AS (
-         |  SELECT a.doc_id AS da, b.doc_id AS db,
-         |         CAST(list_sum(list_transform(range(1, ${Dedup.simhashBits + 1}),
-         |           i -> CASE WHEN substr(a.simhash, CAST(i AS INT), 1)
-         |                       <> substr(b.simhash, CAST(i AS INT), 1)
-         |                THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
-         |  FROM f a JOIN f b ON a.doc_id < b.doc_id)
+      s"""WITH $simhashPairCtes
          |SELECT da, db, hamming FROM p WHERE hamming <= 3""".stripMargin,
+
+    // Connected components via recursive reachability: every doc
+    // reaches itself plus anything across near-dup edges; cluster =
+    // min reachable id. MATERIALIZED on the CTEs the recursive half
+    // re-reads (DuckDB re-evaluates plain CTEs per iteration).
+    "q82_dup_clusters" ->
+      s"""WITH RECURSIVE $simhashPairCtes,
+         |prs AS MATERIALIZED (SELECT da, db FROM p WHERE hamming <= 3),
+         |edges AS MATERIALIZED (
+         |  SELECT da AS src, db AS dst FROM prs
+         |  UNION ALL
+         |  SELECT db AS src, da AS dst FROM prs),
+         |reach AS (
+         |  SELECT doc_id AS v, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT e.dst AS v, re.r AS r
+         |  FROM reach re JOIN edges e ON e.src = re.v),
+         |cc AS (SELECT v AS doc_id, min(r) AS cluster FROM reach GROUP BY 1),
+         |cs AS (SELECT cluster, CAST(count(*) AS INTEGER) AS cluster_size
+         |       FROM cc GROUP BY 1)
+         |SELECT c.doc_id, c.cluster, s.cluster_size,
+         |       c.doc_id = c.cluster AS is_canonical
+         |FROM cc c JOIN cs s USING (cluster)""".stripMargin,
+
+    "q83_repetition" ->
+      s"""WITH $tokCte,
+         |idx AS (SELECT doc_id, generate_subscripts(w, 1) AS i, w FROM tok),
+         |g AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+         |      FROM idx WHERE i + 1 <= len(w)),
+         |counts AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+         |agg AS (SELECT doc_id,
+         |          CAST(sum(c) AS INTEGER) AS n_grams,
+         |          CAST(count(*) AS INTEGER) AS n_distinct,
+         |          CAST(max(c) AS INTEGER) AS max_c
+         |        FROM counts GROUP BY 1)
+         |SELECT doc_id, n_grams, n_distinct,
+         |       round(CAST(n_grams - n_distinct AS DOUBLE) / n_grams, 4)
+         |         AS dup_frac,
+         |       round(CAST(max_c AS DOUBLE) / n_grams, 4) AS top_frac
+         |FROM agg""".stripMargin,
     "q67_tfidf_top3" ->
       """WITH t2 AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term

@@ -143,6 +143,52 @@ class LlmSpec extends AnyFunSuite {
     assert(ham(fp(0L), fp(2L)) < ham(fp(0L), fp(3L)))
   }
 
+  test("dup clusters equal union-find over the simhash pair graph") {
+    val pairs = Dedup.simhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    // reference union-find on the same edge set
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = ids.map(i => i -> find(i)).toMap
+    val got = Dedup.dupClusters(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getBoolean(3)))
+      .toMap
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (id, root) =>
+      assert(got(id)._1 === root, s"doc $id cluster")
+    }
+    val sizes = expect.values.groupBy(identity).map { case (k, v) => k -> v.size }
+    got.foreach { case (id, (cl, sz, canon)) =>
+      assert(sz === sizes(cl), s"doc $id cluster size")
+      assert(canon === (id == cl), s"doc $id canonical flag")
+    }
+    // fixture actually exercises merging: at least one multi-doc cluster
+    assert(sizes.values.max > 1)
+  }
+
+  test("repetition stats: handcrafted duplicate fractions") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "a b c d"),            // 3 bigrams, all distinct
+      (1L, "a b a b a b"),        // bigrams: ab,ba,ab,ba,ab -> 5 total, 2 distinct, max 3
+      (2L, "x"),                  // too short: absent from output
+      (3L, "w w w")               // ww,ww -> 2 total, 1 distinct, max 2
+    ).toDF("doc_id", "text")
+    val r = TextOps.repetitionStats(df).collect()
+      .map(x => x.getLong(0) ->
+        (x.getInt(1), x.getInt(2), x.getDouble(3), x.getDouble(4))).toMap
+    assert(!r.contains(2L))
+    assert(r(0L) === ((3, 3, 0.0, 0.3333)))
+    assert(r(1L) === ((5, 2, 0.6, 0.6)))
+    assert(r(3L) === ((2, 1, 0.5, 1.0)))
+  }
+
   test("multimodal decode: partition-streaming stub appends features") {
     val frame = Multimodal.multimodalFrame(docs, embs)
     val decoded = Multimodal.decodePayloads(frame)
