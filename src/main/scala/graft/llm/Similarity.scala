@@ -180,8 +180,9 @@ object Similarity {
     (0 until bitsPerTable).map { b =>
       val p = table * bitsPerTable + b
       val plane = array((0 until dim).map(j => lit(planeSign(p, j))): _*)
-      val d = aggregate(zip_with(v, plane, (x, s) => x * s),
-        lit(0.0), (acc, x) => acc + x)
+      // native fused dot (same left-to-right fold order as the
+      // aggregate(zip_with) it replaces — sign bits cannot move)
+      val d = dot(v, plane)
       when(d > 0, lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
 
