@@ -211,6 +211,8 @@ object TaFunctions {
       es => SortedIntersectCount(es.head, es(1)), "scala_udf")
     r.createOrReplaceTempFunction("sq_diff_sum",
       es => SqDiffSum(es.head, es(1)), "scala_udf")
+    r.createOrReplaceTempFunction("simhash32",
+      es => SimHash32(es.head), "scala_udf")
   }
 }
 
@@ -257,5 +259,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("sq_diff_sum"),
       new ExpressionInfo(classOf[SqDiffSum].getName, "sq_diff_sum"),
       (es: Seq[Expression]) => SqDiffSum(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+      (es: Seq[Expression]) => SimHash32(es.head)))
   }
 }

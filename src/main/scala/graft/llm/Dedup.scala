@@ -250,7 +250,7 @@ object Dedup {
     // parse the bit string to a long ONCE per doc; candidates then carry
     // two longs and the verify is bit_count(xor) — scalar codegen, no
     // per-pair string/array work
-    val fp = simhash(spread(docs))
+    val fp = simhash(docs) // simhash spreads internally
       .withColumn("fpl", conv(col("simhash"), 2, 10).cast("long"))
     val bands = fp.select(col("doc_id"), col("fpl"), explode(array(
         (0 until bandCount).map(b => struct(lit(b).as("band"),
@@ -337,7 +337,22 @@ object Dedup {
         (col("doc_id") === col("cluster")).as("is_canonical"))
   }
 
-  def simhash(docs: DataFrame): DataFrame = {
+  /** Map-only fingerprinting via the native [[graft.functions.SimHash32]]
+    * kernel: each token is digested where its document sits, so the
+    * operator has ZERO shuffles (the explode → md5 → 32-aggregate
+    * groupBy it replaces exchanged every token row of the corpus).
+    */
+  def simhash(docs: DataFrame): DataFrame =
+    spread(docs).select(col("doc_id"),
+      GraftSqlShims.column(graft.functions.SimHash32(
+        GraftSqlShims.expression(TextOps.tokens(col("text")))))
+        .as("simhash"))
+
+  /** The shuffle-based formulation [[simhash]] replaced — kept as the
+    * executable spec the native kernel is pinned against
+    * (MinHashSigSpec).
+    */
+  private[graft] def simhashViaAgg(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(TextOps.tokens(col("text"))).as("tok"))
       .withColumn("h", md5(col("tok").cast("binary")))

@@ -95,6 +95,16 @@ class MinHashSigSpec extends AnyFunSuite {
     assert(diff === 0)
   }
 
+  test("SimHash32 == the explode/md5/32-aggregate groupBy formulation") {
+    val old = graft.llm.Dedup.simhashViaAgg(edged.where(col("text").isNotNull))
+    val neu = graft.llm.Dedup.simhash(edged.where(col("text").isNotNull))
+    assert(neu.count() === old.count())
+    val diff = old.withColumnRenamed("simhash", "o")
+      .join(neu, "doc_id")
+      .where(col("o") =!= col("simhash")).count()
+    assert(diff === 0, "SimHash32 diverges from the groupBy spec")
+  }
+
   test("word_shingles/minhash_sig/sorted_hashes resolve in SQL") {
     graft.functions.TaFunctions.register(spark)
     val r = spark.sql(
