@@ -148,15 +148,16 @@ object Dedup {
   def jaccardPairsPrefix(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.3): DataFrame = {
     val arrays = TextOps.shingleArrays(spread(docs), n)
-    val sh = arrays.select(col("doc_id"), explode(col("arr")).as("s"))
-    val sizes = arrays.select(col("doc_id"), size(col("arr")).as("n_sh"))
+    // n_sh rides the exploded rows (known at explode time) — no
+    // per-doc sizes join is ever paid
+    val sh = arrays.select(col("doc_id"), size(col("arr")).as("n_sh"),
+      explode(col("arr")).as("s"))
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
     // candidate generation joins on the 64-bit shingle hash, not the
     // string: ~3× narrower shuffle rows, and still COMPLETE — a hash
     // collision can only ADD a spurious candidate, which the exact
     // verification on full shingle sets then rejects.
     val ordered = sh.join(dfreq, "s")
-      .join(sizes, "doc_id")
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
     val prefix = ordered.select(col("doc_id"), col("n_sh"),

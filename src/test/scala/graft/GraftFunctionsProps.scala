@@ -1,0 +1,84 @@
+package graft
+
+import graft.functions.{SimHash32, SortedIntersectCount, WordShingles}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** ScalaCheck properties for the native per-doc kernels, evaluated
+  * directly against independent Scala references (no Spark session —
+  * the fixture-level bit-equivalence with the builtin formulations is
+  * pinned in MinHashSigSpec; these cover the input space).
+  */
+object GraftFunctionsProps extends Properties("GraftFunctions") {
+
+  private def arr(tokens: Seq[String]): ArrayData =
+    new GenericArrayData(
+      tokens.map(UTF8String.fromString).toArray[Any])
+
+  private def strs(a: Any): Seq[String] =
+    a.asInstanceOf[GenericArrayData].array.toSeq
+      .map(_.asInstanceOf[UTF8String].toString)
+
+  private val nullStr = Literal.create(null, ArrayType(StringType))
+  private val nullLong = Literal.create(null, ArrayType(LongType))
+
+  private val toks: Gen[List[String]] = for {
+    len <- Gen.choose(0, 40)
+    xs <- Gen.listOfN(len,
+      Gen.oneOf("a", "b", "cd", "efg", "q1", "zz", "a", "b"))
+  } yield xs
+
+  property("WordShingles(distinct) == sliding.mkString.distinct") =
+    Prop.forAll(toks, Gen.choose(1, 5)) { (ts, n) =>
+      val got = strs(WordShingles(nullStr, n).compute(arr(ts)))
+      val want =
+        if (ts.length < n) Seq.empty[String]
+        else ts.sliding(n).map(_.mkString(" ")).toSeq.distinct
+      got == want
+    }
+
+  property("WordShingles(multiset) == sliding.mkString") =
+    Prop.forAll(toks, Gen.choose(1, 5)) { (ts, n) =>
+      val got = strs(
+        WordShingles(nullStr, n, distinct = false).compute(arr(ts)))
+      val want =
+        if (ts.length < n) Seq.empty[String]
+        else ts.sliding(n).map(_.mkString(" ")).toSeq
+      got == want
+    }
+
+  private val longSet: Gen[Array[Long]] = for {
+    len <- Gen.choose(0, 50)
+    xs <- Gen.listOfN(len, Gen.choose(-1000L, 1000L))
+  } yield xs.distinct.sorted.toArray
+
+  property("SortedIntersectCount == set-intersection size") =
+    Prop.forAll(longSet, longSet) { (a, b) =>
+      val got = SortedIntersectCount(nullLong, nullLong)
+        .compute(new GenericArrayData(a), new GenericArrayData(b))
+      got == a.toSet.intersect(b.toSet).size
+    }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
+  property("SimHash32 == hex-string nibble reference") =
+    Prop.forAll(toks) { ts =>
+      val got = SimHash32(nullStr).compute(arr(ts)).toString
+      val counts = Array.fill(32)(0)
+      ts.foreach { t =>
+        val hex = md5Hex(t)
+        for (j <- 0 until 32) {
+          val nib = Integer.parseInt(hex(j / 4).toString, 16)
+          val bit = (nib >> (3 - j % 4)) & 1
+          counts(j) += bit * 2 - 1
+        }
+      }
+      got == counts.map(c => if (c > 0) '1' else '0').mkString
+    }
+}
