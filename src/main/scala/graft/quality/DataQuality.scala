@@ -77,4 +77,37 @@ object DataQuality {
           .when(open, "WARNING")
           .otherwise("ERROR").as("status"))
   }
+
+  /** One-pass table profile: per column, null / non-null counts, exact
+    * distinct count, and min/max rendered as strings (engine-portable
+    * output shape). The multi-distinct aggregate plans as ONE scan
+    * with an Expand (|cols|+1-way row replication) — the standard
+    * exact-profile shape; at 100 TB swap `countDistinct` for
+    * `approx_count_distinct` to trade the expand for a sketch, or
+    * profile a [[graft.llm.Corpus.stratifiedSample]].
+    *
+    * Caller picks the columns; float/double columns should be avoided
+    * or pre-rounded (min/max STRING rendering of doubles is not
+    * engine-portable).
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty && cols.forall(_.matches("[A-Za-z0-9_]+")),
+      "profile needs simple column names")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__nn"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        min(col(c)).cast("string").as(s"${c}__mn"),
+        max(col(c)).cast("string").as(s"${c}__mx"))
+    }
+    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val structs = cols.map(c =>
+      s"named_struct('col_name', '$c', 'n_non_null', ${c}__nn, " +
+        s"'n_distinct', ${c}__nd, 'min_s', ${c}__mn, 'max_s', ${c}__mx)")
+      .mkString(", ")
+    one.selectExpr("n_rows", s"inline(array($structs))")
+      .select(col("col_name"), col("n_rows"),
+        (col("n_rows") - col("n_non_null")).as("n_nulls"),
+        col("n_non_null"), col("n_distinct"), col("min_s"), col("max_s"))
+  }
 }

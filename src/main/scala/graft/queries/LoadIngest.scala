@@ -83,7 +83,13 @@ object LoadIngest extends QueryPack {
         .map(day => DataQuality.freshness(
           ev, "dt", "user_id", 2L, day, Some(holidays)))
         .reduce(_ unionByName _)
-    }))
+    }),
+
+    // §5 data-quality: one-pass multi-column profile (null/distinct/
+    // min/max) — the standing warehouse audit next to the per-PK
+    // uniqueness check (q12) and the freshness probe (q52)
+    "q84_profile" -> ((s, d) => DataQuality.profile(
+      t("documents")(s, d), Seq("doc_id", "lang", "source", "n_chars"))))
 
   val oracleSql: Map[String, String] = Map(
     "q50_partition_roundtrip" ->
@@ -121,5 +127,14 @@ object LoadIngest extends QueryPack {
         |       CASE WHEN row_count > 0 THEN 'OK'
         |            WHEN is_market_open THEN 'WARNING'
         |            ELSE 'ERROR' END AS status
-        |FROM counts""".stripMargin)
+        |FROM counts""".stripMargin,
+
+    "q84_profile" -> Seq("doc_id", "lang", "source", "n_chars").map(c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |       count(*) - count($c) AS n_nulls,
+         |       count($c) AS n_non_null,
+         |       count(DISTINCT $c) AS n_distinct,
+         |       CAST(min($c) AS VARCHAR) AS min_s,
+         |       CAST(max($c) AS VARCHAR) AS max_s
+         |FROM documents""".stripMargin).mkString("\nUNION ALL\n"))
 }
