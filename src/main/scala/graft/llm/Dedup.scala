@@ -272,65 +272,21 @@ object Dedup {
   }
 
   /** Near-dup CLUSTERS: connected components over the [[simhashPairs]]
-    * graph, as iterated min-label propagation — every doc gets the
-    * smallest doc_id reachable through near-dup edges as its cluster
-    * id, plus the cluster size and a canonical flag (cluster
-    * representative = lowest id, matching [[exactDedup]]'s pick).
-    *
-    * Each round is one edge→label join + a min-aggregate keyed on the
-    * node — both shuffles on the doc key, partial aggregation applies,
-    * nothing is ever collected. Rounds combine one neighbor-min hop
-    * with one POINTER JUMP (label ← label's label, the Shiloach–Vishkin
-    * shortcutting step, same round-compression idea as Large-Star/
-    * Small-Star [Kiveris et al., Connected Components in MapReduce and
-    * Beyond]), so chains collapse in O(log diameter) rounds — measured
-    * 6 vs 13 plain-propagation rounds on the sf0.1 fixture graph — and
-    * run until a fixpoint. Each round's labels are eagerly
-    * `localCheckpoint`ed: `labels` feeds the next round TWICE (the
-    * propagation join and the convergence diff), so without lineage
-    * truncation the un-executed plan doubles per round — the same
-    * reason GraphX/GraphFrames checkpoint inside Pregel loops.
+    * graph via the pointer-jumped label propagation in
+    * [[graft.graph.ConnectedComponents]] (see there for the round
+    * structure, checkpointing, and convergence scale notes) — every
+    * doc gets the smallest doc_id reachable through near-dup edges as
+    * its cluster id, plus the cluster size and a canonical flag
+    * (cluster representative = lowest id, matching [[exactDedup]]'s
+    * pick).
     */
   def dupClusters(docs: DataFrame, maxHamming: Int = 3,
       maxIters: Int = 50): DataFrame = {
-    val pairs = simhashPairs(docs, maxHamming).select(col("da"), col("db"))
-    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
-      .unionByName(pairs.select(col("db").as("src"), col("da").as("dst")))
-      .localCheckpoint(true)
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
-      .localCheckpoint(true)
-    var it = 0
-    var done = false
-    // labels only ever DECREASE, so Σlabel strictly decreases until the
-    // fixpoint — a 1-row aggregate replaces a diff join as the
-    // convergence test (decimal: Σ of 64-bit ids can overflow a long at
-    // warehouse row counts, and ANSI mode would rightly abort).
-    var prevSum: java.math.BigDecimal = null
-    while (!done && it < maxIters) {
-      val prop = edges
-        .join(labels.select(col("doc_id").as("src"), col("cluster")), "src")
-        .groupBy(col("dst").as("doc_id"))
-        .agg(min(col("cluster")).as("nc"))
-      val m1 = labels.join(prop, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster"), coalesce(col("nc"), col("cluster")))
-            .as("cluster"))
-      // pointer jump — follow the label's own label: long chains
-      // collapse in O(log diameter) rounds instead of O(diameter)
-      // (label values are always doc_ids, so the self-lookup hits)
-      val next = m1.join(
-          m1.select(col("doc_id").as("cluster"), col("cluster").as("c2")),
-          Seq("cluster"), "left")
-        .select(col("doc_id"),
-          coalesce(col("c2"), col("cluster")).as("cluster"))
-        .localCheckpoint(true)
-      val s = next.agg(sum(col("cluster").cast("decimal(38,0)")))
-        .first.getDecimal(0)
-      done = s == prevSum
-      prevSum = s
-      labels = next
-      it += 1
-    }
+    val pairs = simhashPairs(docs, maxHamming)
+      .select(col("da").as("a"), col("db").as("b"))
+    val labels = graft.graph.ConnectedComponents
+      .run(docs.select(col("doc_id").as("id")), pairs, maxIters)
+      .select(col("id").as("doc_id"), col("component").as("cluster"))
     val sizes = labels.groupBy("cluster")
       .agg(count(lit(1)).cast("int").as("cluster_size"))
     labels.join(sizes, "cluster")

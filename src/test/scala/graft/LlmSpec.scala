@@ -172,6 +172,25 @@ class LlmSpec extends AnyFunSuite {
     assert(sizes.values.max > 1)
   }
 
+  test("connected components: chain, star, singleton, and two merged paths") {
+    import spark.implicits._
+    // one 64-node chain (diameter 63 — forces many pointer-jump
+    // rounds), a star at 100, two paths that meet (200s), singletons
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val star = Seq((100L, 101L), (100L, 102L), (100L, 103L))
+    val vee = Seq((200L, 202L), (201L, 202L))
+    val edges = (chain ++ star ++ vee).toDF("a", "b")
+    val nodes = ((0L to 63L) ++ (100L to 103L) ++
+      (200L to 202L) ++ Seq(300L)).toDF("id")
+    val got = graph.ConnectedComponents.run(nodes, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 63L).foreach(i => assert(got(i) === 0L, s"chain node $i"))
+    (100L to 103L).foreach(i => assert(got(i) === 100L))
+    (200L to 202L).foreach(i => assert(got(i) === 200L))
+    assert(got(300L) === 300L)
+    assert(got.size === 72)
+  }
+
   test("repetition stats: handcrafted duplicate fractions") {
     import spark.implicits._
     val df = Seq(
