@@ -31,7 +31,9 @@ case class SortedHashes(child: Expression) extends UnaryExpression {
     val out = new Array[Long](m)
     var i = 0
     while (i < m) {
-      out(i) = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      val s = arr.getUTF8String(i)
+      // builtin xxhash64 skips NULL inputs (result = the 42 seed)
+      out(i) = if (s == null) 42L else XXH64.hashUTF8String(s, 42L)
       i += 1
     }
     java.util.Arrays.sort(out)
