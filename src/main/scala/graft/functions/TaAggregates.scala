@@ -213,6 +213,8 @@ object TaFunctions {
       es => SqDiffSum(es.head, es(1)), "scala_udf")
     r.createOrReplaceTempFunction("simhash32",
       es => SimHash32(es.head), "scala_udf")
+    r.createOrReplaceTempFunction("sorted_run_stats",
+      es => SortedRunStats(es.head), "scala_udf")
   }
 }
 
@@ -262,5 +264,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
       (es: Seq[Expression]) => SimHash32(es.head)))
+    ext.injectFunction((FunctionIdentifier("sorted_run_stats"),
+      new ExpressionInfo(classOf[SortedRunStats].getName, "sorted_run_stats"),
+      (es: Seq[Expression]) => SortedRunStats(es.head)))
   }
 }

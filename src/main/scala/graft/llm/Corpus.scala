@@ -100,6 +100,31 @@ object Corpus {
         s"cast(cum - n_tok - ((cum - n_tok) div $budget) * $budget as int) AS pack_offset")
   }
 
+  /** Deterministic epoch shuffle + shard assignment: every document
+    * gets a shard (`md5(salt:id)` high bits mod `nShards`) and a
+    * reproducible position within its shard (ascending md5 hex, doc_id
+    * tie-break) — the standard "shuffle once, shard, then stream
+    * shards sequentially" layout LLM pre-training loaders consume.
+    * Changing `salt` (e.g. per epoch) re-deals both shard and order;
+    * nothing depends on partition placement, unlike `rand(seed)`.
+    *
+    * Scale shape: shard assignment is a pure map; the within-shard
+    * position is one shuffle on shard + a sort — parallelism =
+    * `nShards`, so at warehouse scale pick nShards in the thousands
+    * (shard count IS the write parallelism of the output files).
+    */
+  def shardShuffle(docs: DataFrame, nShards: Int = 8,
+      salt: String = "ep0"): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    docs
+      .select(col("doc_id"),
+        md5(concat(lit(salt + ":"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("shard",
+        (hash16(col("doc_id"), salt) % nShards).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
   /** Mixture accounting: per-language document/token counts, the
     * language's share of all tokens, and the up/down-sampling weight
     * that would move the corpus to `targetShare` per language

@@ -294,6 +294,32 @@ object Dedup {
         (col("doc_id") === col("cluster")).as("is_canonical"))
   }
 
+  /** The payoff of clustering: near-dup dedup that keeps the BEST
+    * document per cluster instead of the lowest id — the corpus a
+    * training pipeline actually trains on. Composes [[dupClusters]]
+    * with [[TextOps.qualityScore]]: within each cluster, rank by
+    * (quality desc, doc_id) and keep rank 1. Quality is rounded to 4
+    * places before ranking, so the order (and therefore `keep`) is
+    * engine-reproducible.
+    *
+    * Scale shape: the cluster labels and the quality column are both
+    * doc_id-keyed one-pass frames; the join and the per-cluster
+    * row_number shuffle only the (id, cluster, quality) triples —
+    * never the text.
+    */
+  def clusterDedup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quality = TextOps.qualityScore(docs)
+      .select(col("doc_id"), col("quality"))
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("quality").desc_nulls_last, col("doc_id"))
+    dupClusters(docs, maxHamming)
+      .join(quality, "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster"), col("cluster_size"),
+        col("quality"), col("keep"))
+  }
+
   /** Map-only fingerprinting via the native [[graft.functions.SimHash32]]
     * kernel: each token is digested where its document sits, so the
     * operator has ZERO shuffles (the explode → md5 → 32-aggregate

@@ -60,19 +60,48 @@ object TextOps {
     GraftSqlShims.column(graft.functions.WordShingles(
       GraftSqlShims.expression(toks), n, distinct = false))
 
+  /** Per-document n-gram multiset stats as a PURE MAP: hash the gram
+    * multiset ([[shingleMultiset]] → [[graft.functions.SortedHashes]],
+    * which keeps duplicates), then walk the sorted digests once with
+    * [[graft.functions.SortedRunStats]] — `struct(n, n_distinct,
+    * max_run)` with max_run = the top gram's multiplicity.
+    */
+  private def gramRunStats(n: Int): Column =
+    GraftSqlShims.column(graft.functions.SortedRunStats(
+      graft.functions.SortedHashes(
+        GraftSqlShims.expression(shingleMultiset(tokens(col("text")), n)))))
+
   /** Repetition quality signals (the Gopher-rule shape): per document,
     * the duplicated-occurrence fraction of n-gram tokens and the share
     * of the single most frequent n-gram. High values flag boilerplate
     * and degenerate repetition — the standard pre-training quality
     * gate alongside [[qualityScore]].
     *
-    * Scale shape: one explode + a two-level aggregate keyed by
-    * (doc_id, gram) then doc_id — both shuffles carry the doc key, so
-    * parallelism is per-document and partial aggregation applies.
-    * Documents shorter than n tokens have no n-grams and are absent
-    * from the output (both engines agree on inner semantics).
+    * Scale shape: ZERO shuffles — the per-doc multiset count collapses
+    * into the [[gramRunStats]] map kernel, so the corpus-wide
+    * (doc, gram)-keyed exchange the aggregate formulation pays
+    * ([[repetitionStatsViaAgg]], kept as the executable spec) never
+    * happens. Documents shorter than n tokens have no n-grams and are
+    * absent from the output (matching the inner-aggregate semantics).
     */
-  def repetitionStats(docs: DataFrame, n: Int = 2): DataFrame = {
+  def repetitionStats(docs: DataFrame, n: Int = 2): DataFrame =
+    spread(docs)
+      .select(col("doc_id"), gramRunStats(n).as("rs"))
+      .where(col("rs.n") > 0)
+      .select(col("doc_id"),
+        col("rs.n").as("n_grams"),
+        col("rs.n_distinct").as("n_distinct"),
+        round((col("rs.n") - col("rs.n_distinct")).cast("double") /
+          col("rs.n"), 4).as("dup_frac"),
+        round(col("rs.max_run").cast("double") / col("rs.n"), 4)
+          .as("top_frac"))
+
+  /** The shuffle-based formulation [[repetitionStats]] replaced — the
+    * executable spec the map kernel is pinned against (LlmSpec;
+    * distinctness there is on gram STRINGS, so the pin also rules out
+    * digest-collision drift on the fixtures).
+    */
+  private[graft] def repetitionStatsViaAgg(docs: DataFrame, n: Int = 2): DataFrame = {
     val grams = spread(docs).select(col("doc_id"),
       explode(shingleMultiset(tokens(col("text")), n)).as("g"))
     grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
@@ -87,6 +116,53 @@ object TextOps {
           col("n_grams"), 4).as("dup_frac"),
         round(col("max_c").cast("double") / col("n_grams"), 4)
           .as("top_frac"))
+  }
+
+  /** Gopher-style document quality gate: every rule metric plus a
+    * boolean per rule and the final `keep` — the standard pre-training
+    * corpus filter (length bounds, mean word length, stopword
+    * presence, repetition caps), with thresholds as parameters.
+    *
+    * All comparisons are on values ROUNDED to 4 places, so an oracle
+    * re-deriving the metrics reproduces every flag exactly (float
+    * drift cannot flip a threshold). ZERO shuffles: token metrics are
+    * plain codegen'd string ops (mean token length via
+    * `length(array_join(w, ""))`, not an interpreted fold) and the
+    * repetition stats come from the [[gramRunStats]] map kernel.
+    * Documents shorter than 2 tokens have no bigrams: their repetition
+    * fractions are NULL and the repetition rule passes by convention.
+    */
+  def gopherFilter(docs: DataFrame,
+      minTokens: Int = 20, maxTokens: Int = 90,
+      minAvgLen: Double = 3.0, maxAvgLen: Double = 10.0,
+      maxDupFrac: Double = 0.1, maxTopFrac: Double = 0.1): DataFrame = {
+    val w = tokens(col("text"))
+    val stopCount = size(filter(w, t => stopwords
+      .map(s => t === s).reduce(_ || _)))
+    spread(docs)
+      .select(col("doc_id"),
+        size(w).as("n_tokens"),
+        round(length(array_join(w, "")).cast("double") / size(w), 4)
+          .as("avg_token_len"),
+        round(stopCount.cast("double") / size(w), 4).as("stop_ratio"),
+        gramRunStats(2).as("rs"))
+      .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
+        col("stop_ratio"),
+        round(when(col("rs.n") > 0,
+          (col("rs.n") - col("rs.n_distinct")).cast("double") / col("rs.n")),
+          4).as("dup_frac"),
+        round(when(col("rs.n") > 0,
+          col("rs.max_run").cast("double") / col("rs.n")), 4).as("top_frac"))
+      .withColumn("pass_length",
+        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+      .withColumn("pass_avg_len",
+        col("avg_token_len") >= minAvgLen && col("avg_token_len") <= maxAvgLen)
+      .withColumn("pass_stopword", col("stop_ratio") > 0.0)
+      .withColumn("pass_repetition",
+        coalesce(col("dup_frac") <= maxDupFrac &&
+          col("top_frac") <= maxTopFrac, lit(true)))
+      .withColumn("keep", col("pass_length") && col("pass_avg_len") &&
+        col("pass_stopword") && col("pass_repetition"))
   }
 
   /** doc → (doc_id, DISTINCT shingle set as an array) — one row per doc,

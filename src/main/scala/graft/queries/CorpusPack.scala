@@ -19,7 +19,10 @@ object CorpusPack extends QueryPack {
     "q79_pack_stream" -> ((s, d) =>
       Corpus.packStream(t("documents")(s, d), budget = 256)),
     "q80_mix_weights" -> ((s, d) => Corpus.mixWeights(t("documents")(s, d))),
-    "q81_decontam" -> ((s, d) => Corpus.decontaminate(t("documents")(s, d))))
+    "q81_decontam" -> ((s, d) => Corpus.decontaminate(t("documents")(s, d))),
+    // Deterministic epoch shuffle: md5-derived shard + in-shard
+    // position, fully re-derivable by the oracle (no rand()).
+    "q86_shard_shuffle" -> ((s, d) => Corpus.shardShuffle(t("documents")(s, d))))
 
   private val tokCte =
     """tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
@@ -101,5 +104,22 @@ object CorpusPack extends QueryPack {
          |SELECT c.doc_id, count(DISTINCT c.s) AS n_contaminated,
          |       min(b.bench_id) AS first_bench
          |FROM corp c JOIN bench b ON c.s = b.s
-         |GROUP BY 1""".stripMargin)
+         |GROUP BY 1""".stripMargin,
+
+    // Re-derives shard = md5 high 16 bits mod 8 and the in-shard md5
+    // order; hex ordering is plain byte order in both engines.
+    "q86_shard_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+        |             md5('ep0:' || CAST(doc_id AS VARCHAR)) AS h
+        |           FROM documents),
+        |s AS (SELECT doc_id, h, CAST((
+        |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+        |  + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+        |  + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 8
+        |    AS INTEGER) AS shard FROM h)
+        |SELECT doc_id, shard,
+        |       CAST(row_number() OVER (PARTITION BY shard
+        |         ORDER BY h, doc_id) AS INTEGER) AS pos
+        |FROM s""".stripMargin)
 }

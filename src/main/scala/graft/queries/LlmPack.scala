@@ -46,6 +46,14 @@ object LlmPack extends QueryPack {
       Dedup.dupClusters(t("documents")(s, d))),
     "q83_repetition" -> ((s, d) =>
       TextOps.repetitionStats(t("documents")(s, d))),
+    // Cluster-canonical dedup: keep the highest-quality doc per
+    // near-dup cluster (quality desc, doc_id tie-break on ROUNDED
+    // scores, so both engines agree on the winner).
+    "q85_cluster_dedup" -> ((s, d) =>
+      Dedup.clusterDedup(t("documents")(s, d))),
+    // Gopher-style quality gate: rule metrics + per-rule flags + keep.
+    "q87_gopher_filter" -> ((s, d) =>
+      TextOps.gopherFilter(t("documents")(s, d))),
     "q67_tfidf_top3" -> ((s, d) => TextOps.tfidfTopK(t("documents")(s, d))),
     "q68_ann_cosine" -> ((s, d) =>
       Similarity.bruteForceTopK(t("embeddings")(s, d), col("vec_id") < 10)),
@@ -224,6 +232,86 @@ object LlmPack extends QueryPack {
          |SELECT c.doc_id, c.cluster, s.cluster_size,
          |       c.doc_id = c.cluster AS is_canonical
          |FROM cc c JOIN cs s USING (cluster)""".stripMargin,
+
+    // Same component derivation as q82, joined with q62's quality
+    // formula; the per-cluster winner is row_number() = 1 on
+    // (quality DESC, doc_id) — quality is rounded to 4 places first,
+    // so the ranking is engine-stable.
+    "q85_cluster_dedup" -> {
+      val stopCond = TextOps.stopwords.map(s => s"x = '$s'").mkString(" OR ")
+      s"""WITH RECURSIVE $simhashPairCtes,
+         |prs AS MATERIALIZED (SELECT da, db FROM p WHERE hamming <= 3),
+         |edges AS MATERIALIZED (
+         |  SELECT da AS src, db AS dst FROM prs
+         |  UNION ALL
+         |  SELECT db AS src, da AS dst FROM prs),
+         |reach AS (
+         |  SELECT doc_id AS v, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT e.dst AS v, re.r AS r
+         |  FROM reach re JOIN edges e ON e.src = re.v),
+         |cc AS (SELECT v AS doc_id, min(r) AS cluster FROM reach GROUP BY 1),
+         |cs AS (SELECT cluster, CAST(count(*) AS INTEGER) AS cluster_size
+         |       FROM cc GROUP BY 1),
+         |tk AS (SELECT doc_id,
+         |         regexp_split_to_array(trim(text), '\\s+') AS w
+         |       FROM documents),
+         |q AS (SELECT doc_id,
+         |        round(least(CAST(len(w) AS DOUBLE) / 100, CAST(1 AS DOUBLE))
+         |          * (CAST(1 AS DOUBLE)
+         |             - CAST(len(list_filter(w, x -> $stopCond)) AS DOUBLE)
+         |               / len(w)), 4) AS quality
+         |      FROM tk)
+         |SELECT c.doc_id, c.cluster, s.cluster_size, q.quality,
+         |       row_number() OVER (PARTITION BY c.cluster
+         |         ORDER BY q.quality DESC NULLS LAST, c.doc_id) = 1 AS keep
+         |FROM cc c JOIN cs s USING (cluster) JOIN q USING (doc_id)"""
+        .stripMargin
+    },
+
+    // Rule metrics re-derived independently (bigram stats via the
+    // string-keyed aggregate, not hashes); every threshold compares
+    // ROUNDED values cast to DOUBLE, mirroring the engine exactly.
+    "q87_gopher_filter" -> {
+      val stopCond = TextOps.stopwords.map(s => s"x = '$s'").mkString(" OR ")
+      s"""WITH $tokCte,
+         |idx AS (SELECT doc_id, generate_subscripts(w, 1) AS i, w FROM tok),
+         |g AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+         |      FROM idx WHERE i + 1 <= len(w)),
+         |counts AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+         |agg AS (SELECT doc_id,
+         |          sum(c) AS n_grams,
+         |          count(*) AS n_distinct,
+         |          max(c) AS max_c
+         |        FROM counts GROUP BY 1),
+         |base AS (
+         |  SELECT t.doc_id,
+         |         CAST(len(w) AS INTEGER) AS n_tokens,
+         |         round(CAST(list_sum(list_transform(w, x -> len(x)))
+         |                 AS DOUBLE) / len(w), 4) AS avg_token_len,
+         |         round(CAST(len(list_filter(w, x -> $stopCond)) AS DOUBLE)
+         |               / len(w), 4) AS stop_ratio,
+         |         round(CAST(n_grams - n_distinct AS DOUBLE) / n_grams, 4)
+         |           AS dup_frac,
+         |         round(CAST(max_c AS DOUBLE) / n_grams, 4) AS top_frac
+         |  FROM tok t LEFT JOIN agg USING (doc_id)),
+         |flags AS (
+         |  SELECT *,
+         |         n_tokens >= 20 AND n_tokens <= 90 AS pass_length,
+         |         avg_token_len >= CAST(3 AS DOUBLE)
+         |           AND avg_token_len <= CAST(10 AS DOUBLE) AS pass_avg_len,
+         |         stop_ratio > CAST(0 AS DOUBLE) AS pass_stopword,
+         |         coalesce(dup_frac <= CAST(0.1 AS DOUBLE)
+         |           AND top_frac <= CAST(0.1 AS DOUBLE), true)
+         |           AS pass_repetition
+         |  FROM base)
+         |SELECT doc_id, n_tokens, avg_token_len, stop_ratio, dup_frac,
+         |       top_frac, pass_length, pass_avg_len, pass_stopword,
+         |       pass_repetition,
+         |       pass_length AND pass_avg_len AND pass_stopword
+         |         AND pass_repetition AS keep
+         |FROM flags""".stripMargin
+    },
 
     "q83_repetition" ->
       s"""WITH $tokCte,

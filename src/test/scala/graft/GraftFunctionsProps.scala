@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{SimHash32, SortedIntersectCount, WordShingles}
+import graft.functions.{SimHash32, SortedIntersectCount, SortedRunStats, WordShingles}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
@@ -80,5 +80,21 @@ object GraftFunctionsProps extends Properties("GraftFunctions") {
         }
       }
       got == counts.map(c => if (c > 0) '1' else '0').mkString
+    }
+
+  private val longMultiset: Gen[Array[Long]] = for {
+    len <- Gen.choose(0, 60)
+    xs <- Gen.listOfN(len, Gen.choose(-20L, 20L)) // narrow range → runs
+  } yield xs.sorted.toArray
+
+  property("SortedRunStats == groupBy multiplicity reference") =
+    Prop.forAll(longMultiset) { a =>
+      val row = SortedRunStats(nullLong)
+        .compute(new GenericArrayData(a))
+        .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      val mult = a.groupBy(identity).view.mapValues(_.length)
+      row.getInt(0) == a.length &&
+        row.getInt(1) == mult.size &&
+        row.getInt(2) == (if (a.isEmpty) 0 else mult.values.max)
     }
 }

@@ -208,6 +208,60 @@ class LlmSpec extends AnyFunSuite {
     assert(r(3L) === ((2, 1, 0.5, 1.0)))
   }
 
+  test("repetition stats: map kernel equals string-keyed aggregate") {
+    val a = TextOps.repetitionStats(docs).orderBy("doc_id").collect()
+    val b = TextOps.repetitionStatsViaAgg(docs).orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("cluster dedup: exactly one keeper per cluster, and it has max quality") {
+    val r = Dedup.clusterDedup(docs).cache()
+    try {
+      val perCluster = r.groupBy("cluster")
+        .agg(sum(when(col("keep"), 1).otherwise(0)).as("keepers"),
+          max("quality").as("maxq"))
+      assert(perCluster.where(col("keepers") =!= 1).isEmpty)
+      val winners = r.where(col("keep"))
+        .join(perCluster, "cluster")
+        .where(col("quality") < col("maxq"))
+      assert(winners.isEmpty)
+    } finally r.unpersist()
+  }
+
+  test("gopher filter: handcrafted rule hits") {
+    import spark.implicits._
+    val good = (Seq("the", "of", "a") ++ (1 to 37).map(i => s"tok$i"))
+      .mkString(" ")                                 // 40 toks, has stopwords
+    val df = Seq(
+      (0L, good),                                    // passes everything
+      (1L, "only five words right here"),            // too short (5 < 20)
+      (2L, (1 to 40).map(i => s"w$i").mkString(" ")), // no stopword
+      (3L, ("the quick " * 20).trim)                 // repetitive + stopword ok
+    ).toDF("doc_id", "text")
+    val r = TextOps.gopherFilter(df).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Boolean]("pass_length"), x.getAs[Boolean]("pass_stopword"),
+          x.getAs[Boolean]("pass_repetition"), x.getAs[Boolean]("keep"))).toMap
+    assert(r(0L) == ((true, true, true, true)))
+    assert(!r(1L)._1 && !r(1L)._4)
+    assert(!r(2L)._2 && !r(2L)._4)
+    assert(r(3L)._2 && !r(3L)._3 && !r(3L)._4)
+  }
+
+  test("shard shuffle: deterministic, dense in-shard positions, salt re-deals") {
+    import graft.llm.Corpus
+    val a = Corpus.shardShuffle(docs).orderBy("doc_id").collect()
+    val b = Corpus.shardShuffle(docs).orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq)   // reproducible across runs
+    val byShard = a.groupBy(_.getAs[Int]("shard"))
+    assert(byShard.size > 1)
+    byShard.values.foreach { rows =>
+      assert(rows.map(_.getAs[Int]("pos")).sorted.toSeq == (1 to rows.size))
+    }
+    val c = Corpus.shardShuffle(docs, salt = "ep1").orderBy("doc_id").collect()
+    assert(c.toSeq != a.toSeq)   // epoch salt re-deals the deck
+  }
+
   test("multimodal decode: partition-streaming stub appends features") {
     val frame = Multimodal.multimodalFrame(docs, embs)
     val decoded = Multimodal.decodePayloads(frame)
