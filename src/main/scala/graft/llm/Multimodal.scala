@@ -51,6 +51,66 @@ object Multimodal {
     (w, h, fmt)
   }
 
+  /** Video-style frame sampling over a binary payload, composed from
+    * NATIVE operators (no mapPartitions needed): the payload is cut
+    * into fixed `frameBytes` windows and every `everyN`-th frame is
+    * emitted as its own row via explode + binary substring — fully
+    * codegen'd, so the sampler keeps whole-stage codegen even though
+    * it fans out rows. The final frame keeps its natural (shorter)
+    * length.
+    */
+  def sampleFrames(frame: DataFrame, frameBytes: Int = 256,
+      everyN: Int = 2): DataFrame =
+    frame
+      .select(col("doc_id"), col("payload"),
+        expr(s"cast((octet_length(payload) + ${frameBytes - 1}) " +
+          s"div $frameBytes as int)").as("n_frames"))
+      .where(col("n_frames") > 0)
+      .select(col("doc_id"), col("payload"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(everyN)))
+          .as("frame_id"))
+      .select(col("doc_id"), col("n_frames"), col("frame_id"),
+        expr(s"substring(payload, frame_id * $frameBytes + 1, $frameBytes)")
+          .as("frame"))
+      .withColumn("frame_bytes", octet_length(col("frame")))
+
+  /** The stubbed resizer: deterministic down-sampling of a byte payload
+    * to at most `maxBytes` by keeping every stride-th byte (stride =
+    * ceil(len / maxBytes)). Replace with a real image scaler in
+    * production; the partition-streaming shape around it stays.
+    */
+  def resizeStub(payload: Array[Byte], maxBytes: Int): Array[Byte] =
+    if (payload.length <= maxBytes) payload
+    else {
+      val stride = (payload.length + maxBytes - 1) / maxBytes
+      val out = new Array[Byte]((payload.length + stride - 1) / stride)
+      var i = 0
+      var j = 0
+      while (i < payload.length) {
+        out(j) = payload(i)
+        j += 1
+        i += stride
+      }
+      out
+    }
+
+  /** Partition-streaming resize: appends (resized, resized_bytes) to
+    * every row carrying a `payload` binary column — same mapPartitions
+    * shape as [[decodePayloads]], stub in place of a codec.
+    */
+  def resizePayloads(frame: DataFrame, maxBytes: Int = 128): DataFrame = {
+    val outSchema = StructType(frame.schema.fields ++ Seq(
+      StructField("resized", BinaryType),
+      StructField("resized_bytes", IntegerType)))
+    val payloadIdx = frame.schema.fieldIndex("payload")
+    frame.mapPartitions { rows =>
+      rows.map { r =>
+        val rp = resizeStub(r.getAs[Array[Byte]](payloadIdx), maxBytes)
+        Row.fromSeq(r.toSeq ++ Seq(rp, rp.length))
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
   /** Partition-streaming decode: appends (width, height, format) to
     * every row carrying a `payload` binary column.
     */

@@ -69,6 +69,26 @@ object LlmPack extends QueryPack {
     "q73_rolling_fp" -> ((s, d) => t("documents")(s, d)
       .select(col("doc_id"),
         TextOps.rollingFingerprint(col("text")).as("rolling_fp"))),
+    // Frame sampling: every 2nd 64-byte window of the payload as its
+    // own row — the sampling arithmetic and per-frame byte lengths are
+    // fully oracle-derivable; frame CONTENT is pinned in LlmSpec.
+    "q88_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(
+        t("documents")(s, d).select(col("doc_id"),
+          col("text").cast("binary").as("payload")),
+        frameBytes = 64, everyN = 2)
+        .select(col("doc_id"), col("n_frames"), col("frame_id"),
+          col("frame_bytes"))),
+    // Resize: the REAL partition-streaming path runs (stub scaler);
+    // the oracle re-derives the stride arithmetic from byte lengths.
+    "q89_resize" -> ((s, d) =>
+      Multimodal.resizePayloads(
+        t("documents")(s, d).select(col("doc_id"),
+          col("text").cast("binary").as("payload")),
+        maxBytes = 100)
+        .select(col("doc_id"),
+          octet_length(col("payload")).as("orig_bytes"),
+          col("resized_bytes"))),
     "q70_multimodal" -> ((s, d) =>
       Multimodal.multimodalFrame(t("documents")(s, d), t("embeddings")(s, d))
         .select(col("doc_id"), col("meta.lang").as("lang"),
@@ -474,6 +494,31 @@ object LlmPack extends QueryPack {
          |           * 16 ** (8 - i))) AS BIGINT))),
          |    (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_fp
          |FROM tok""".stripMargin,
+    "q88_frame_sample" ->
+      """WITH b AS (SELECT doc_id,
+        |             CAST(octet_length(encode(text)) AS INTEGER) AS len
+        |           FROM documents),
+        |n AS (SELECT doc_id, len,
+        |        CAST((len + 63) // 64 AS INTEGER) AS n_frames FROM b),
+        |f AS (SELECT doc_id, n_frames, len,
+        |        unnest(range(0, n_frames, 2)) AS fid
+        |      FROM n WHERE n_frames > 0)
+        |SELECT doc_id, n_frames, CAST(fid AS INTEGER) AS frame_id,
+        |       CAST(least(64, len - fid * 64) AS INTEGER) AS frame_bytes
+        |FROM f""".stripMargin,
+
+    "q89_resize" ->
+      """WITH b AS (SELECT doc_id,
+        |             CAST(octet_length(encode(text)) AS INTEGER) AS len
+        |           FROM documents),
+        |s AS (SELECT doc_id, len,
+        |        CASE WHEN len <= 100 THEN 1 ELSE (len + 99) // 100 END
+        |          AS stride FROM b)
+        |SELECT doc_id, len AS orig_bytes,
+        |       CAST((len + stride - 1) // stride AS INTEGER)
+        |         AS resized_bytes
+        |FROM s""".stripMargin,
+
     "q70_multimodal" ->
       """SELECT doc_id, lang, source, n_chars,
         |       CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
