@@ -44,15 +44,16 @@ case class MinHashSig(child: Expression, k: Int)
     var i = 0
     while (i < m) {
       val s = arr.getUTF8String(i)
-      if (s != null) {
-        // xxhash64(s, lit(j)) = hashInt(j, hashUTF8String(s, 42))
-        val base = XXH64.hashUTF8String(s, 42L)
-        var j = 0
-        while (j < k) {
-          val h = XXH64.hashInt(j, base)
-          if (h < mins(j)) mins(j) = h
-          j += 1
-        }
+      // xxhash64(s, lit(j)) = hashInt(j, hashUTF8String(s, 42)); for a
+      // NULL element the builtin skips the NULL child, leaving the
+      // seed chain at 42 — model that (like SortedHashes) instead of
+      // skipping the element, which could miss a lower min.
+      val base = if (s != null) XXH64.hashUTF8String(s, 42L) else 42L
+      var j = 0
+      while (j < k) {
+        val h = XXH64.hashInt(j, base)
+        if (h < mins(j)) mins(j) = h
+        j += 1
       }
       i += 1
     }

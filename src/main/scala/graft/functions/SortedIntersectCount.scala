@@ -14,8 +14,10 @@ import org.apache.spark.sql.types._
   * materializes the intersection array per pair just to take its size —
   * this walks the two buffers once with no allocation. Equality with
   * the `array_intersect` formulation on the fixture corpus is pinned in
-  * MinHashSigSpec; inputs that are NOT sorted-distinct are out of
-  * contract.
+  * MinHashSigSpec. Duplicate values in a sorted input are tolerated and
+  * counted ONCE (the walk skips equal runs after a match, matching
+  * `array_intersect`'s distinct semantics even under intra-doc digest
+  * collisions); UNSORTED inputs are out of contract.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -42,7 +44,15 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     while (i < nx && j < ny) {
       val xv = x.getLong(i)
       val yv = y.getLong(j)
-      if (xv == yv) { c += 1; i += 1; j += 1 }
+      if (xv == yv) {
+        // count the VALUE once, then advance past repeats on both
+        // sides — matches size(array_intersect)'s distinct semantics
+        // even if an input carries duplicates (e.g. intra-doc digest
+        // collisions), rather than counting pairwise multiplicity
+        c += 1
+        while (i < nx && x.getLong(i) == xv) i += 1
+        while (j < ny && y.getLong(j) == yv) j += 1
+      }
       else if (xv < yv) i += 1
       else j += 1
     }

@@ -215,6 +215,8 @@ object TaFunctions {
       es => SimHash32(es.head), "scala_udf")
     r.createOrReplaceTempFunction("sorted_run_stats",
       es => SortedRunStats(es.head), "scala_udf")
+    r.createOrReplaceTempFunction("rolling_fp",
+      es => RollingFp(es.head), "scala_udf")
   }
 }
 
@@ -267,5 +269,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("sorted_run_stats"),
       new ExpressionInfo(classOf[SortedRunStats].getName, "sorted_run_stats"),
       (es: Seq[Expression]) => SortedRunStats(es.head)))
+    ext.injectFunction((FunctionIdentifier("rolling_fp"),
+      new ExpressionInfo(classOf[RollingFp].getName, "rolling_fp"),
+      (es: Seq[Expression]) => RollingFp(es.head)))
   }
 }

@@ -81,6 +81,12 @@ object ConnectedComponents {
       labels = next
       it += 1
     }
+    // A silent partial merge would give callers (dupClusters,
+    // clusterDedup) wrong clusters with no signal — fail loudly.
+    // Pointer jumping converges in O(log diameter), so hitting the
+    // default cap means something structural broke, not a big graph.
+    if (!done) throw new IllegalStateException(
+      s"connected components did not converge in $maxIters iterations")
     nodes.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }

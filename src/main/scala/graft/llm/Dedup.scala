@@ -326,10 +326,14 @@ object Dedup {
     * groupBy it replaces exchanged every token row of the corpus).
     */
   def simhash(docs: DataFrame): DataFrame =
-    spread(docs).select(col("doc_id"),
-      GraftSqlShims.column(graft.functions.SimHash32(
-        GraftSqlShims.expression(TextOps.tokens(col("text")))))
-        .as("simhash"))
+    // NULL-text docs are dropped, matching the aggregate spec (its
+    // explode produces no rows for them) — without the filter the map
+    // kernel would emit a NULL-fingerprint row the oracle never sees.
+    spread(docs).where(col("text").isNotNull)
+      .select(col("doc_id"),
+        GraftSqlShims.column(graft.functions.SimHash32(
+          GraftSqlShims.expression(TextOps.tokens(col("text")))))
+          .as("simhash"))
 
   /** The shuffle-based formulation [[simhash]] replaced — kept as the
     * executable spec the native kernel is pinned against

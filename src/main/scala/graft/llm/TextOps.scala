@@ -137,8 +137,7 @@ object TextOps {
       minAvgLen: Double = 3.0, maxAvgLen: Double = 10.0,
       maxDupFrac: Double = 0.1, maxTopFrac: Double = 0.1): DataFrame = {
     val w = tokens(col("text"))
-    val stopCount = size(filter(w, t => stopwords
-      .map(s => t === s).reduce(_ || _)))
+    val stopCount = occurrenceCount(w, stopwords)
     spread(docs)
       .select(col("doc_id"),
         size(w).as("n_tokens"),
@@ -190,7 +189,10 @@ object TextOps {
   val bpeSplitPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
   /** Token statistics: whitespace token count, BPE-ish regex token
-    * count, char count, mean token length.
+    * count, char count, mean token length. Mean token length is
+    * `length(array_join(w, ""))` (total token chars, fully codegen'd) —
+    * identical to the interpreted `aggregate(transform(w, length))`
+    * fold it replaced, without breaking whole-stage codegen.
     */
   def tokenStats(docs: DataFrame): DataFrame = {
     val w = tokens(col("text"))
@@ -200,12 +202,21 @@ object TextOps {
       size(regexp_extract_all(col("text"), lit(bpeSplitPattern), lit(0)))
         .as("n_tokens_bpe"),
       length(col("text")).as("n_chars_measured"),
-      round(aggregate(transform(w, t => length(t)), lit(0),
-        (acc, x) => acc + x).cast("double") / size(w), 4)
+      round(length(array_join(w, "")).cast("double") / size(w), 4)
         .as("avg_token_len"))
   }
 
   val stopwords: Seq[String] = Seq("the", "a", "of", "in", "to", "and")
+
+  /** Occurrence count (WITH multiplicity) of any of `words` in token
+    * array `w`, as pure codegen'd array ops: per word,
+    * `size(w) − size(array_remove(w, word))` is its occurrence count.
+    * Replaces the interpreted `size(filter(w, t => t === w1 || …))`
+    * lambda — `array_intersect` would NOT be equivalent (it counts
+    * distinct values; stopword/marker ratios count occurrences).
+    */
+  private def occurrenceCount(w: Column, words: Seq[String]): Column =
+    words.map(s => size(w) - size(array_remove(w, s))).reduce(_ + _)
 
   /** Quality score: length saturation × (1 − stopword ratio), plus the
     * component ratios. The shape of the reference-free quality filters
@@ -213,8 +224,7 @@ object TextOps {
     */
   def qualityScore(docs: DataFrame): DataFrame = {
     val w = tokens(col("text"))
-    val stopCount = size(filter(w, t => stopwords
-      .map(s => t === s).reduce(_ || _)))
+    val stopCount = occurrenceCount(w, stopwords)
     val punct = Seq(".", ",", "!", "?").map(p =>
       length(col("text")) - length(regexp_replace(col("text"), s"\\$p", "")))
       .reduce(_ + _)
@@ -249,9 +259,7 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val w = tokens(col("text"))
     val scored = docs.select(col("doc_id") +: langMarkers.map {
-      case (lang, ms) =>
-        size(filter(w, t => ms.map(m => t === m).reduce(_ || _)))
-          .as(s"score_$lang")
+      case (lang, ms) => occurrenceCount(w, ms).as(s"score_$lang")
     }: _*)
     val long = scored.select(col("doc_id"), explode(array(langMarkers.map {
       case (lang, _) => struct(lit(lang).as("lang"),
@@ -297,12 +305,23 @@ object TextOps {
     * with `code(t)` = the first 32 bits of md5(t). Unlike [[fingerprint]]
     * it is ORDER-SENSITIVE and incrementally maintainable (append a
     * token → one more fold step), the property rolling hashes buy in
-    * chunk/dedup pipelines. Pure codegen fold — no shuffle, no UDF; the
-    * md5-derived code keeps it portable to the SQL oracle. Products
-    * stay < 2⁶³ (acc < 10⁹+7, code < 2³²), so ANSI-mode long arithmetic
-    * cannot overflow.
+    * chunk/dedup pipelines. The fold runs in the native codegen kernel
+    * [[graft.functions.RollingFp]] (the interpreted HOF formulation is
+    * kept below as the executable spec); the md5-derived code keeps it
+    * portable to the SQL oracle. Products stay < 2⁶³ (acc < 10⁹+7,
+    * code < 2³²), so ANSI-mode long arithmetic cannot overflow.
     */
   def rollingFingerprint(text: Column): Column =
+    GraftSqlShims.column(
+      graft.functions.RollingFp(GraftSqlShims.expression(tokens(text))))
+
+  /** The interpreted higher-order `aggregate` fold [[rollingFingerprint]]
+    * replaced — kept as the executable spec the native kernel is pinned
+    * against bit-for-bit (GraftFunctionsProps). HOF lambdas run
+    * interpreted and break whole-stage codegen, which made this the
+    * per-row bottleneck of the q73 fingerprint scan.
+    */
+  private[graft] def rollingFingerprintHof(text: Column): Column =
     aggregate(
       tokens(text),
       lit(0L),

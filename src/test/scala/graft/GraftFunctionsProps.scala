@@ -1,6 +1,7 @@
 package graft
 
-import graft.functions.{SimHash32, SortedIntersectCount, SortedRunStats, WordShingles}
+import graft.functions.{MinHashSig, RollingFp, SimHash32, SortedIntersectCount, SortedRunStats, WordShingles}
+import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
@@ -62,6 +63,18 @@ object GraftFunctionsProps extends Properties("GraftFunctions") {
       got == a.toSet.intersect(b.toSet).size
     }
 
+  private val longSorted: Gen[Array[Long]] = for {
+    len <- Gen.choose(0, 50)
+    xs <- Gen.listOfN(len, Gen.choose(-30L, 30L)) // narrow → duplicates
+  } yield xs.sorted.toArray
+
+  property("SortedIntersectCount counts duplicated values once") =
+    Prop.forAll(longSorted, longSorted) { (a, b) =>
+      val got = SortedIntersectCount(nullLong, nullLong)
+        .compute(new GenericArrayData(a), new GenericArrayData(b))
+      got == a.toSet.intersect(b.toSet).size
+    }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))
@@ -80,6 +93,42 @@ object GraftFunctionsProps extends Properties("GraftFunctions") {
         }
       }
       got == counts.map(c => if (c > 0) '1' else '0').mkString
+    }
+
+  property("MinHashSig: NULL element hashes as the bare seed-42 chain") =
+    Prop.forAll(toks, Gen.choose(1, 8), Gen.choose(0, 40)) { (ts, k, pos) =>
+      val elems: Seq[Any] =
+        ts.map(UTF8String.fromString).patch(pos min ts.length, Seq(null), 0)
+      val got = MinHashSig(nullStr, k).compute(new GenericArrayData(
+        elems.toArray[Any])).asInstanceOf[GenericArrayData]
+        .toLongArray().toSeq
+      // reference: per hash family j, min over elements of
+      // xxhash64(s, lit(j)) with a NULL element contributing
+      // hashInt(j, 42) (the builtin skips NULL children)
+      val want = (0 until k).map { j =>
+        elems.map {
+          case null => XXH64.hashInt(j, 42L)
+          case s: UTF8String => XXH64.hashInt(j, XXH64.hashUTF8String(s, 42L))
+        }.min
+      }
+      got == want
+    }
+
+  property("RollingFp == md5-first-32-bits Horner reference") =
+    Prop.forAll(toks) { ts =>
+      val got = RollingFp(nullStr).compute(arr(ts))
+      val want = ts.foldLeft(0L) { (acc, t) =>
+        val code = java.lang.Long.parseLong(md5Hex(t).take(8), 16)
+        (acc * 31L + code) % 1000000007L
+      }
+      got == want
+    }
+
+  property("RollingFp NULL element poisons the fold (aggregate parity)") =
+    Prop.forAll(toks) { ts =>
+      val withNull = new GenericArrayData(
+        (ts.map(UTF8String.fromString) :+ null).toArray[Any])
+      RollingFp(nullStr).compute(withNull) == null
     }
 
   private val longMultiset: Gen[Array[Long]] = for {

@@ -114,6 +114,14 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.4)
   }
 
+  test("rolling fingerprint native kernel matches the HOF aggregate spec") {
+    val native = docs.select(col("doc_id"),
+      TextOps.rollingFingerprint(col("text")).as("h"))
+    val hof = docs.select(col("doc_id"),
+      TextOps.rollingFingerprintHof(col("text")).as("h"))
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+  }
+
   test("rolling fingerprint is order-sensitive; fingerprint is not") {
     import spark.implicits._
     val df = Seq((0L, "alpha beta gamma"), (1L, "gamma beta alpha"),
