@@ -66,6 +66,12 @@ object LlmPack extends QueryPack {
     // (cosineDupsLsh) is subset+recall-verified in LlmSpec.
     "q72_cosine_dups" -> ((s, d) =>
       Similarity.cosineDups(t("embeddings")(s, d), 0.4)),
+    // The SCALE path for q72: candidates only from shared LSH buckets
+    // (md5-parity planes → the oracle re-derives the exact bucket set,
+    // so this is hash-gate-checked end-to-end like q69, not rows-only).
+    // Output ⊆ q72's exact pair set; recall pinned in LlmSpec.
+    "q90_cosine_dups_lsh" -> ((s, d) =>
+      Similarity.cosineDupsLsh(t("embeddings")(s, d), 0.4)),
     "q73_rolling_fp" -> ((s, d) => t("documents")(s, d)
       .select(col("doc_id"),
         TextOps.rollingFingerprint(col("text")).as("rolling_fp"))),
@@ -96,10 +102,11 @@ object LlmPack extends QueryPack {
           octet_length(col("payload")).as("byte_len"),
           ascii(col("text")).as("head_code"),
           size(col("embedding")).as("dim"),
-          round(sqrt(expr(
-            "aggregate(zip_with(embedding, embedding, " +
-              "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-              "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")), 4)
+          // native fused dot product — same left-to-right sum order as
+          // the interpreted aggregate(zip_with) fold it replaced
+          round(sqrt(graft.functions.DotProduct(
+            col("embedding").cast("array<double>"),
+            col("embedding").cast("array<double>"))), 4)
             .as("emb_norm"),
           col("label"))))
 
@@ -484,6 +491,43 @@ object LlmPack extends QueryPack {
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT va, vb, cos FROM p
         |WHERE cos >= CAST('0.4' AS DOUBLE)""".stripMargin,
+    // Same md5-parity plane derivation as the q69 oracle, then the
+    // candidate set = distinct pairs sharing any (table, bucket) —
+    // exactly the OR-construction the Spark path joins on.
+    "q90_cosine_dups_lsh" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+         |pj AS (
+         |  SELECT p, j,
+         |         CASE WHEN (strpos('0123456789abcdef',
+         |                substr(md5(p || ':' || j), 1, 1)) - 1) % 2 = 0
+         |              THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE)
+         |         END AS sgn
+         |  FROM range(${Similarity.numTables * Similarity.bitsPerTable}) t1(p),
+         |       range(${Similarity.defaultDim}) t2(j)),
+         |planes AS (SELECT p, list(sgn ORDER BY j) AS pl FROM pj GROUP BY p),
+         |dots AS (
+         |  SELECT vec_id, p, list_dot_product(v, pl) AS d FROM n, planes),
+         |buckets AS (
+         |  SELECT vec_id, p // ${Similarity.bitsPerTable} AS tbl,
+         |         sum(CASE WHEN d > 0
+         |                  THEN 1 << (p % ${Similarity.bitsPerTable})
+         |                  ELSE 0 END) AS bucket
+         |  FROM dots GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+         |  FROM buckets a JOIN buckets b
+         |    ON a.tbl = b.tbl AND a.bucket = b.bucket
+         |  WHERE a.vec_id < b.vec_id),
+         |p2 AS (
+         |  SELECT c.va, c.vb,
+         |         round(list_dot_product(a.v, b.v)
+         |               / (sqrt(a.n2) * sqrt(b.n2)), 4) AS cos
+         |  FROM cand c JOIN n a ON a.vec_id = c.va
+         |              JOIN n b ON b.vec_id = c.vb)
+         |SELECT va, vb, cos FROM p2
+         |WHERE cos >= CAST('0.4' AS DOUBLE)""".stripMargin,
     "q73_rolling_fp" ->
       s"""WITH $tokCte
          |SELECT doc_id,
