@@ -81,9 +81,13 @@ object IndicatorDay {
     * indicator values Double (no edge coercion yet — [[apply]] does
     * that), warm-up rows NULL.
     */
-  def indicators(bars: DataFrame, carry: Seq[String] = Nil): DataFrame = {
-    val nm = when(col("id").isin(exceptionalIds: _*), lit(nMultiple))
-      .otherwise(lit(1.0))
+  def indicators(bars: DataFrame, carry: Seq[String] = Nil,
+      exceptionalIds: Seq[Long] = IndicatorDay.exceptionalIds,
+      nMultiple: Double = IndicatorDay.nMultiple): DataFrame = {
+    val nm =
+      if (exceptionalIds.isEmpty) lit(1.0)
+      else when(col("id").isin(exceptionalIds: _*), lit(nMultiple))
+        .otherwise(lit(1.0))
     val scaled = bars
       .withColumn("n_multiple", nm)
       .withColumn("os", col("open") * col("n_multiple"))
@@ -207,6 +211,29 @@ object IndicatorDay {
     val bars = Bars.hourly(events).withColumn("tkey", col("t"))
     applyEdge(indicators(bars, carry = Seq("t")))
   }
+
+  /** Config-driven hourly mart: one engine serving every per-asset
+    * clone. `barsRaw` carries (id, t, open, high, low, close,
+    * `cfg.volumeCol`); the select projects `cfg.volumeCol AS volume` —
+    * the reference's per-asset source-mapping step (`amount as volume`
+    * for crypto vs `volume` for forex) — and the scaling path fires
+    * only for `cfg.exceptionalIds`. Output = `market` tag + the q32-
+    * family indicator frame with the reference output edge applied.
+    */
+  def hourlyConfigured(cfg: MartConfig)(barsRaw: DataFrame): DataFrame = {
+    val bars = barsRaw.select(col("id"), col("t"),
+        col("open"), col("high"), col("low"), col("close"),
+        col(cfg.volumeCol).as("volume"))
+      .withColumn("tkey", col("t"))
+    applyEdge(indicators(bars, carry = Seq("t"),
+        exceptionalIds = cfg.exceptionalIds, nMultiple = cfg.nMultiple))
+      .select(lit(cfg.market).as("market") +: indicatorOutputCols: _*)
+  }
+
+  private def indicatorOutputCols: Seq[Column] =
+    Seq(col("t"), col("id"), col("open"), col("high"), col("low"),
+      col("close"), col("volume"), col("n_multiple")) ++
+      indicatorCols.map(col)
 
   /** The full `crypto_indicator_day` mart on daily bars: DDL column
     * set (id, dt, low, high, open, close, volume, 25 indicators,

@@ -34,7 +34,8 @@ object Indicators extends QueryPack {
     * per-symbol iterations recomputed the whole window stack — ~150 s
     * per query at sf0.01 vs ~1 s materialized, identical results.
     */
-  private def withBlock(barsCte: String, barsName: String, key: String): String = {
+  private def withBlock(barsCte: String, barsName: String, key: String,
+      nmCase: String = defaultNmCase): String = {
     def emaCte(name: String, n: Int): String =
       s"""$name AS (
          |  SELECT id, rn, sma AS ema FROM (
@@ -53,8 +54,7 @@ object Indicators extends QueryPack {
        |$barsCte,
        |scaled AS MATERIALIZED (
        |  SELECT *, open*nm AS os, high*nm AS hs, low*nm AS ls, close*nm AS cs
-       |  FROM (SELECT *, CASE WHEN id = 7 THEN CAST(1000 AS DOUBLE)
-       |                       ELSE CAST(1 AS DOUBLE) END AS nm
+       |  FROM (SELECT *, $nmCase AS nm
        |        FROM $barsName)),
        |num AS MATERIALIZED (
        |  SELECT *, CAST(row_number() OVER ($o) AS INTEGER) AS rn FROM scaled),
@@ -151,10 +151,17 @@ object Indicators extends QueryPack {
       .stripMargin
   }
 
+  private val defaultNmCase =
+    "CASE WHEN id = 7 THEN CAST(1000 AS DOUBLE) ELSE CAST(1 AS DOUBLE) END"
+
   private val hourlyBlock =
     withBlock(Bars.oracleCteHourly, "hourly", "t")
   private val dailyBlock =
     withBlock(Bars.oracleCte, "daily", "dt")
+  // The forex-family block: no exceptional-symbol scaling path.
+  private val hourlyBlockNoScale =
+    withBlock(Bars.oracleCteHourly, "hourly", "t",
+      nmCase = "CAST(1 AS DOUBLE)")
 
   val queries: Map[String, Q] = Map(
     // I2 EMA 5/10/30 + I10 N_multiple (J4 distributed kernel).
@@ -192,6 +199,23 @@ object Indicators extends QueryPack {
       .select(col("id"), col("t"), col("sma5"), col("sma10"), col("sma30"))),
     // The full daily mart — J1-composed 36-column contract.
     "q40_indicator_day" -> ((s, d) => IndicatorDay(t("events")(s, d))),
+
+    // Config-driven multi-asset run: ONE IndicatorDay engine serving
+    // two of the reference's per-asset clone mappings in one query —
+    // the crypto source arrives with its volume column named `amount`
+    // (projected via MartConfig.crypto, scaling path live for id 7),
+    // the forex source reads `volume` directly with NO scaling path.
+    // Proves the per-asset template clones collapse to configuration.
+    "q91_multi_asset" -> ((s, d) => {
+      import graft.mart.MartConfig
+      val bars = Bars.hourly(t("events")(s, d))
+      val cryptoSrc = bars.withColumnRenamed("volume", "amount")
+      IndicatorDay.hourlyConfigured(MartConfig.crypto)(cryptoSrc)
+        .unionByName(IndicatorDay.hourlyConfigured(MartConfig.forex)(bars))
+        .select(col("market"), col("id"), col("t"), col("volume"),
+          col("ema5"), col("rsi"), col("obv"),
+          col("n_multiple").cast("float").as("n_multiple"))
+    }),
 
     // J4: the groupByKey.flatMapGroups kernel path ([[Recursive]]) —
     // the mart itself runs the native TypedImperativeAggregate path
@@ -266,6 +290,20 @@ object Indicators extends QueryPack {
          |       ${E("ema30")} AS ema30, ${E("macd")} AS macd,
          |       ${E("macd_single")} AS macd_single, ${E("rsi")} AS rsi
          |FROM ind""".stripMargin,
+    "q91_multi_asset" ->
+      s"""SELECT * FROM (
+         |$hourlyBlock
+         |SELECT 'crypto' AS market, id, t, volume,
+         |       ${E("ema5")} AS ema5, ${E("rsi")} AS rsi,
+         |       ${E("obv")} AS obv, CAST(nm AS REAL) AS n_multiple
+         |FROM ind)
+         |UNION ALL
+         |SELECT * FROM (
+         |$hourlyBlockNoScale
+         |SELECT 'forex' AS market, id, t, volume,
+         |       ${E("ema5")} AS ema5, ${E("rsi")} AS rsi,
+         |       ${E("obv")} AS obv, CAST(nm AS REAL) AS n_multiple
+         |FROM ind)""".stripMargin,
     "q40_indicator_day" ->
       s"""$dailyBlock
          |SELECT id, dt,

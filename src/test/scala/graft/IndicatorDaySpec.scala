@@ -66,6 +66,25 @@ class IndicatorDaySpec extends AnyFunSuite {
     }
   }
 
+  test("config-driven multi-asset: crypto mapping == default path; " +
+      "forex mapping never scales") {
+    import graft.mart.MartConfig
+    val bars = graft.ts.Bars.hourly(events)
+    // crypto-style source: volume arrives as `amount` — the configured
+    // run must equal the hard-wired hourly path column-for-column
+    val viaCfg = IndicatorDay.hourlyConfigured(MartConfig.crypto)(
+      bars.withColumnRenamed("volume", "amount")).drop("market")
+    val direct = hourly.select(viaCfg.columns.map(col).toIndexedSeq: _*)
+    assert(viaCfg.exceptAll(direct).isEmpty &&
+      direct.exceptAll(viaCfg).isEmpty)
+    // forex mapping: no exceptional path — n_multiple is 1 everywhere,
+    // including for the crypto-exceptional id
+    val forex = IndicatorDay.hourlyConfigured(MartConfig.forex)(bars)
+    assert(forex.where(col("n_multiple") =!= 1.0).count() == 0)
+    assert(forex.where(col("id")
+      .isin(IndicatorDay.exceptionalIds: _*)).count() > 0)
+  }
+
   test("zero -> NULL reference edge: first OBV row per symbol is NULL") {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("id").orderBy("t")
