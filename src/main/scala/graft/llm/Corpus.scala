@@ -158,6 +158,53 @@ object Corpus {
     * relative to a pre-training corpus — so the corpus side stays a
     * narrow scan + broadcast-hash semi-join at any scale.
     */
+  /** The END-TO-END corpus preparation pipeline — the composition a
+    * pre-training data job actually runs, demonstrating that the
+    * stage operators compose without recomputation:
+    *
+    *   1. [[TextOps.gopherFilter]] quality gate (keep = true),
+    *   2. [[Dedup.clusterDedup]] near-dup dedup (best doc per simhash
+    *      cluster, via the precomputed-labels overload),
+    *   3. [[decontaminate]] benchmark removal (bench docs AND any doc
+    *      sharing an 8-shingle with one),
+    *   4. [[shardShuffle]] + [[packStream]] over the final corpus.
+    *
+    * Output: one row per surviving document with its cluster, quality,
+    * shard/position, and packing coordinates.
+    *
+    * Frame sharing: each stage's survivor frame is consumed by 2+
+    * downstream operators, so it is eagerly `localCheckpoint`ed —
+    * without that, Spark would re-run the gopher gate once per
+    * consumer and the logical plan would nest every stage inside the
+    * next (the ConnectedComponents OOM lesson). At warehouse scale the
+    * same slots become checkpoints/intermediate tables; the stage
+    * boundaries are exactly where a production pipeline would persist.
+    */
+  def corpusPipeline(docs: DataFrame, maxHamming: Int = 3,
+      benchEvery: Int = 50, shingleN: Int = 8,
+      nShards: Int = 8, budget: Int = 256): DataFrame = {
+    val gated = TextOps.gopherFilter(docs)
+      .where(col("keep")).select(col("doc_id"))
+    val s1 = docs.join(gated, "doc_id")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .localCheckpoint(true)
+    val cd = Dedup.clusterDedup(s1, Dedup.dupClusters(s1, maxHamming))
+    val s2 = s1.join(
+        cd.where(col("keep"))
+          .select(col("doc_id"), col("cluster"), col("quality")), "doc_id")
+      .localCheckpoint(true)
+    val dec = decontaminate(s2, benchEvery, shingleN)
+    val s3 = s2.where(col("doc_id") % benchEvery =!= 0)
+      .join(dec.select("doc_id"), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    s3.select(col("doc_id"), col("cluster"), col("quality"))
+      .join(shardShuffle(s3, nShards), "doc_id")
+      .join(packStream(s3, budget), "doc_id")
+      .select(col("doc_id"), col("lang"), col("cluster"), col("quality"),
+        col("n_tok"), col("shard"), col("pos"),
+        col("pack_id"), col("n_windows"), col("pack_offset"))
+  }
+
   def decontaminate(docs: DataFrame, benchEvery: Int = 50, n: Int = 8): DataFrame = {
     // spread first: the corpus side of the broadcast join never
     // shuffles, so without it ALL shingling would run inside the

@@ -307,13 +307,22 @@ object Dedup {
     * row_number shuffle only the (id, cluster, quality) triples —
     * never the text.
     */
-  def clusterDedup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def clusterDedup(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    clusterDedup(docs, dupClusters(docs, maxHamming))
+
+  /** [[clusterDedup]] over PRECOMPUTED cluster labels ([[dupClusters]]
+    * output) — composed pipelines that already hold the labels (an
+    * audit query, [[Corpus.corpusPipeline]]) skip the whole
+    * simhash + connected-components recompute, which is the dominant
+    * cost of the one-argument form.
+    */
+  def clusterDedup(docs: DataFrame, clusters: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val quality = TextOps.qualityScore(docs)
       .select(col("doc_id"), col("quality"))
     val w = Window.partitionBy("cluster")
       .orderBy(col("quality").desc_nulls_last, col("doc_id"))
-    dupClusters(docs, maxHamming)
+    clusters
       .join(quality, "doc_id")
       .withColumn("keep", row_number().over(w) === 1)
       .select(col("doc_id"), col("cluster"), col("cluster_size"),

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.llm.Corpus
+import graft.llm.{Corpus, Dedup, TextOps}
 
 /** Corpus-preparation operators (graft.llm.Corpus) under the oracle
   * gate: chunking, stratified sampling, token-stream packing, mixture
@@ -22,7 +22,12 @@ object CorpusPack extends QueryPack {
     "q81_decontam" -> ((s, d) => Corpus.decontaminate(t("documents")(s, d))),
     // Deterministic epoch shuffle: md5-derived shard + in-shard
     // position, fully re-derivable by the oracle (no rand()).
-    "q86_shard_shuffle" -> ((s, d) => Corpus.shardShuffle(t("documents")(s, d))))
+    "q86_shard_shuffle" -> ((s, d) => Corpus.shardShuffle(t("documents")(s, d))),
+    // End-to-end composed pipeline: gopher gate → cluster dedup →
+    // decontaminate → shard shuffle + packing, stage frames shared via
+    // eager localCheckpoint (each survivor frame feeds 2+ consumers).
+    "q92_corpus_pipeline" -> ((s, d) =>
+      Corpus.corpusPipeline(t("documents")(s, d))))
 
   private val tokCte =
     """tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
@@ -105,6 +110,130 @@ object CorpusPack extends QueryPack {
          |       min(b.bench_id) AS first_bench
          |FROM corp c JOIN bench b ON c.s = b.s
          |GROUP BY 1""".stripMargin,
+
+    // The composed pipeline re-derived end-to-end: each stage's CTE
+    // block is the same formulation as its standalone oracle (q87,
+    // q82+q85, q81, q86, q79), applied to the previous stage's
+    // survivor set instead of the full table.
+    "q92_corpus_pipeline" -> {
+      val stopCond = TextOps.stopwords.map(s => s"x = '$s'").mkString(" OR ")
+      val bits = Dedup.simhashBits
+      val simhashCols = (0 until bits).map { j =>
+        s"sum((((strpos('0123456789abcdef', substr(h, ${1 + j / 4}, 1)) - 1)" +
+          s" >> ${3 - j % 4}) & 1) * 2 - 1) AS c$j"
+      }.mkString(",\n    ")
+      val simhashConcat = (0 until bits).map(j =>
+        s"CASE WHEN c$j > 0 THEN '1' ELSE '0' END")
+        .mkString("concat(", ", ", ")")
+      val h16 = (1 to 4).map(i =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${
+          Seq(4096, 256, 16, 1)(i - 1)}").mkString(" + ")
+      s"""WITH RECURSIVE
+         |tok AS MATERIALIZED (
+         |  SELECT doc_id, lang, text,
+         |         regexp_split_to_array(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |idx0 AS (SELECT doc_id, generate_subscripts(w, 1) AS i, w FROM tok),
+         |g0 AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+         |       FROM idx0 WHERE i + 1 <= len(w)),
+         |counts0 AS (SELECT doc_id, g, count(*) AS c FROM g0 GROUP BY 1, 2),
+         |agg0 AS (SELECT doc_id, sum(c) AS n_grams, count(*) AS n_distinct,
+         |           max(c) AS max_c
+         |         FROM counts0 GROUP BY 1),
+         |gkeep AS (
+         |  SELECT doc_id FROM (
+         |    SELECT t.doc_id,
+         |           CAST(len(w) AS INTEGER) AS n_tokens,
+         |           round(CAST(list_sum(list_transform(w, x -> len(x)))
+         |                   AS DOUBLE) / len(w), 4) AS avg_token_len,
+         |           round(CAST(len(list_filter(w, x -> $stopCond)) AS DOUBLE)
+         |                 / len(w), 4) AS stop_ratio,
+         |           round(CAST(n_grams - n_distinct AS DOUBLE) / n_grams, 4)
+         |             AS dup_frac,
+         |           round(CAST(max_c AS DOUBLE) / n_grams, 4) AS top_frac
+         |    FROM tok t LEFT JOIN agg0 USING (doc_id))
+         |  WHERE n_tokens >= 20 AND n_tokens <= 90
+         |    AND avg_token_len >= CAST(3 AS DOUBLE)
+         |    AND avg_token_len <= CAST(10 AS DOUBLE)
+         |    AND stop_ratio > CAST(0 AS DOUBLE)
+         |    AND coalesce(dup_frac <= CAST(0.1 AS DOUBLE)
+         |          AND top_frac <= CAST(0.1 AS DOUBLE), true)),
+         |surv1 AS MATERIALIZED (
+         |  SELECT t.doc_id, t.lang, t.w FROM tok t JOIN gkeep USING (doc_id)),
+         |t2 AS (SELECT doc_id, unnest(w) AS tk FROM surv1),
+         |h0 AS (SELECT doc_id, md5(tk) AS h FROM t2),
+         |cbits AS (SELECT doc_id,
+         |    $simhashCols
+         |  FROM h0 GROUP BY doc_id),
+         |f AS (SELECT doc_id, $simhashConcat AS simhash FROM cbits),
+         |p AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db,
+         |         CAST(list_sum(list_transform(range(1, ${bits + 1}),
+         |           i -> CASE WHEN substr(a.simhash, CAST(i AS INT), 1)
+         |                       <> substr(b.simhash, CAST(i AS INT), 1)
+         |                THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
+         |  FROM f a JOIN f b ON a.doc_id < b.doc_id),
+         |prs AS MATERIALIZED (SELECT da, db FROM p WHERE hamming <= 3),
+         |edges AS MATERIALIZED (
+         |  SELECT da AS src, db AS dst FROM prs
+         |  UNION ALL
+         |  SELECT db AS src, da AS dst FROM prs),
+         |reach AS (
+         |  SELECT doc_id AS v, doc_id AS r FROM surv1
+         |  UNION
+         |  SELECT e.dst AS v, re.r AS r
+         |  FROM reach re JOIN edges e ON e.src = re.v),
+         |cc AS (SELECT v AS doc_id, min(r) AS cluster FROM reach GROUP BY 1),
+         |q AS (SELECT doc_id,
+         |        round(least(CAST(len(w) AS DOUBLE) / 100, CAST(1 AS DOUBLE))
+         |          * (CAST(1 AS DOUBLE)
+         |             - CAST(len(list_filter(w, x -> $stopCond)) AS DOUBLE)
+         |               / len(w)), 4) AS quality
+         |      FROM surv1),
+         |ckeep AS (
+         |  SELECT doc_id, cluster, quality FROM (
+         |    SELECT c.doc_id, c.cluster, q.quality,
+         |           row_number() OVER (PARTITION BY c.cluster
+         |             ORDER BY q.quality DESC NULLS LAST, c.doc_id) AS rk
+         |    FROM cc c JOIN q USING (doc_id)) WHERE rk = 1),
+         |surv2 AS MATERIALIZED (
+         |  SELECT s.doc_id, s.lang, s.w, k.cluster, k.quality
+         |  FROM surv1 s JOIN ckeep k USING (doc_id)),
+         |idx2 AS (SELECT doc_id, generate_subscripts(w, 1) AS i, w FROM surv2),
+         |sh2 AS (SELECT DISTINCT doc_id,
+         |          w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+         |            || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6]
+         |            || ' ' || w[i+7] AS s
+         |        FROM idx2 WHERE i + 7 <= len(w)),
+         |bench AS (SELECT doc_id AS bench_id, s FROM sh2 WHERE doc_id % 50 = 0),
+         |corp AS (SELECT doc_id, s FROM sh2 WHERE doc_id % 50 <> 0),
+         |cont AS (SELECT DISTINCT c.doc_id FROM corp c
+         |         JOIN bench b ON c.s = b.s),
+         |surv3 AS MATERIALIZED (
+         |  SELECT * FROM surv2 WHERE doc_id % 50 <> 0
+         |    AND doc_id NOT IN (SELECT doc_id FROM cont)),
+         |hh AS (SELECT doc_id,
+         |         md5('ep0:' || CAST(doc_id AS VARCHAR)) AS h FROM surv3),
+         |ss AS (SELECT doc_id, h,
+         |         CAST(($h16) % 8 AS INTEGER) AS shard FROM hh),
+         |sp AS (SELECT doc_id, shard,
+         |         CAST(row_number() OVER (PARTITION BY shard
+         |           ORDER BY h, doc_id) AS INTEGER) AS pos FROM ss),
+         |pc AS (SELECT doc_id, lang, CAST(len(w) AS INTEGER) AS n_tok,
+         |         CAST(sum(CAST(len(w) AS INTEGER))
+         |           OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS cum
+         |       FROM surv3)
+         |SELECT s3.doc_id, s3.lang, s3.cluster, s3.quality, pc.n_tok,
+         |       sp.shard, sp.pos,
+         |       (pc.cum - pc.n_tok) // 256 AS pack_id,
+         |       ((pc.cum - 1) // 256) - ((pc.cum - pc.n_tok) // 256) + 1
+         |         AS n_windows,
+         |       CAST(pc.cum - pc.n_tok
+         |            - ((pc.cum - pc.n_tok) // 256) * 256 AS INTEGER)
+         |         AS pack_offset
+         |FROM surv3 s3 JOIN sp USING (doc_id) JOIN pc USING (doc_id)"""
+        .stripMargin
+    },
 
     // Re-derives shard = md5 high 16 bits mod 8 and the in-shard md5
     // order; hex ordering is plain byte order in both engines.

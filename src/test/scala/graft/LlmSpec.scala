@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+import graft.llm.{Corpus, Dedup, Multimodal, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -112,6 +112,30 @@ class LlmSpec extends AnyFunSuite {
     // far from the 16-plane bucket-collision sweet spot, which targets
     // true near-dups). Pinned with slack like the ANN bounds.
     assert(recall >= 0.4)
+  }
+
+  test("clusterDedup precomputed-labels overload equals the composed form") {
+    val labels = Dedup.dupClusters(docs)
+    val viaLabels = Dedup.clusterDedup(docs, labels)
+    val composed = Dedup.clusterDedup(docs)
+    assert(viaLabels.exceptAll(composed).isEmpty &&
+      composed.exceptAll(viaLabels).isEmpty)
+  }
+
+  test("corpus pipeline: stages compose (subset chain, final corpus clean)") {
+    val out = Corpus.corpusPipeline(docs).cache()
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    // every survivor passed the gopher gate and won its cluster
+    val keepers = TextOps.gopherFilter(docs).where(col("keep"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(keepers))
+    // no bench docs in the final corpus; positions dense per shard
+    assert(ids.forall(_ % 50 != 0))
+    val badPos = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max(col("pos")).as("mx"))
+      .where(col("n") =!= col("mx")).count()
+    assert(badPos == 0)
+    out.unpersist()
   }
 
   test("rolling fingerprint native kernel matches the HOF aggregate spec") {
