@@ -39,6 +39,14 @@ object PartitionIO {
       .withColumn("month", month(col(dateCol)).cast("int"))
       .withColumn("day", dayofmonth(col(dateCol)).cast("int"))
 
+  /** S7 at HOUR grain: the minute/second tables partition by
+    * (year, month, day, hour) — ddl/hive/crypto_raw/candles_minute.ddl
+    * :24-28 — with the hour derived from the event timestamp.
+    */
+  def withHourPartitions(df: DataFrame, tsCol: String): DataFrame =
+    withDayPartitions(df, tsCol)
+      .withColumn("hour", hour(col(tsCol)).cast("int"))
+
   /** S8+S10: overwrite exactly the partitions present in `updates`.
     * Everything not touched by `updates` is preserved. `clusterBy`
     * sorts rows within write tasks (after the partition columns) so
@@ -47,16 +55,21 @@ object PartitionIO {
     * (ddl/cassandra/crypto/candles_day.ddl:22).
     */
   def overwritePartitions(updates: DataFrame, path: String,
-      partitionCols: Seq[String], clusterBy: Seq[String] = Nil): Unit = {
+      partitionCols: Seq[String], clusterBy: Seq[String] = Nil,
+      format: String = "parquet"): Unit = {
     val toWrite =
       if (clusterBy.isEmpty) updates
       else updates.sortWithinPartitions((partitionCols ++ clusterBy).map(col): _*)
     // per-WRITE option, not the session-global conf toggle: a global
     // set/restore races with any concurrent write on the same session
     // (a concurrent full overwrite could clobber untouched partitions)
+    // `format`: the reference warehouse stores everything ORC+Snappy
+    // (ddl/hive/crypto_raw/candles_day.ddl:28-31) — pass "orc" for
+    // parity (Spark's ORC writer defaults to Snappy compression);
+    // parquet stays the default for the oracle-compared fixtures.
     toWrite.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partitionCols: _*).parquet(path)
+      .partitionBy(partitionCols: _*).format(format).save(path)
   }
 
   /** The reference's trailing-window reload: rows of `source` whose
@@ -71,5 +84,22 @@ object PartitionIO {
         && col(dateCol) <= lit(asOf).cast("date"))
     overwritePartitions(withDayPartitions(windowed, dateCol), path,
       Seq("year", "month", "day"), clusterBy = Seq("id"))
+  }
+
+  /** Trailing-window reload at HOUR grain: rows whose `tsCol` falls in
+    * the last `hours` hour-buckets up to `asOf` (inclusive),
+    * overwritten into their (year, month, day, hour) partitions — the
+    * `candles_minute`-shaped reload (same DELETE+INSERT loop as the
+    * day tables, one level deeper).
+    */
+  def reloadTrailingHours(source: DataFrame, path: String, tsCol: String,
+      hours: Int, asOf: String): Unit = {
+    val hi = date_trunc("hour", lit(asOf).cast("timestamp"))
+    val lo = hi - expr(s"INTERVAL $hours HOURS")
+    val windowed = source
+      .where(date_trunc("hour", col(tsCol)) >= lo &&
+        date_trunc("hour", col(tsCol)) <= hi)
+    overwritePartitions(withHourPartitions(windowed, tsCol), path,
+      Seq("year", "month", "day", "hour"), clusterBy = Seq("id"))
   }
 }

@@ -37,6 +37,47 @@ class PartitionIOSpec extends AnyFunSuite {
     assert(out.where(col("day") <= 10 && col("tag") =!= "base").count() == 0)
   }
 
+  private def mkHourRows(hours: Seq[Int], tag: String) = {
+    import spark.implicits._
+    hours.flatMap(h => Seq((1L, f"2024-01-15 $h%02d:30:00", tag, 1.0)))
+      .toDF("id", "tss", "tag", "v")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+  }
+
+  test("hour-grain reload overwrites only the window; re-run converges") {
+    val path = tmp()
+    PartitionIO.overwritePartitions(
+      PartitionIO.withHourPartitions(mkHourRows(0 to 19, "base"), "ts"),
+      path, Seq("year", "month", "day", "hour"))
+    // Reload the trailing 10 hour-buckets (10..19) tagged 'fresh', twice.
+    val fresh = mkHourRows(10 to 19, "fresh")
+    PartitionIO.reloadTrailingHours(fresh, path, "ts", 9, "2024-01-15 19:45:00")
+    PartitionIO.reloadTrailingHours(fresh, path, "ts", 9, "2024-01-15 19:45:00")
+    val out = spark.read.parquet(path)
+    assert(out.count() == 20)
+    assert(out.where(col("tag") === "base").count() == 10)
+    assert(out.where(col("tag") === "fresh").count() == 10)
+    assert(out.where(col("hour") <= 9 && col("tag") =!= "base").count() == 0)
+    assert(out.select("year", "month", "day", "hour").distinct().count() == 20)
+  }
+
+  test("ORC format option: partitioned roundtrip preserves rows and types") {
+    val path = tmp()
+    PartitionIO.overwritePartitions(
+      PartitionIO.withDayPartitions(mkRows(1 to 5, "a"), "dt"),
+      path, Seq("year", "month", "day"), format = "orc")
+    PartitionIO.overwritePartitions(
+      PartitionIO.withDayPartitions(mkRows(3 to 3, "b"), "dt"),
+      path, Seq("year", "month", "day"), format = "orc")
+    val out = spark.read.orc(path)
+    assert(out.count() == 5)          // dynamic overwrite semantics hold
+    assert(out.where(col("tag") === "b").select("day")
+      .collect().map(_.getInt(0)).toSeq == Seq(3))
+    val expected = PartitionIO.withDayPartitions(mkRows(1 to 5, "a"), "dt")
+    assert(out.schema.fields.map(f => f.name -> f.dataType).toMap ==
+      expected.schema.fields.map(f => f.name -> f.dataType).toMap)
+  }
+
   test("overwrite leaves partitions absent from the update untouched") {
     val path = tmp()
     PartitionIO.overwritePartitions(
