@@ -74,7 +74,21 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // The driver keeps only a ~2000-char tail of the output, which the
+    // full-name full-precision queries map outgrew (r4's record was
+    // truncated mid-line → unparseable). The stdout line carries SHORT
+    // keys (qNN) at 3 decimals so it always fits the tail window; the
+    // full-name, full-precision map goes to bench_queries.json beside
+    // the run for anyone who wants the complete record.
+    val qsShort = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + math.rint(v * 1000) / 1000
+    }.mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_queries.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShort,"failed":$failedJson,"sf":"$sfDir","queries_file":"bench_queries.json"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
