@@ -140,9 +140,12 @@ object Similarity {
       .select(col("qid"), col("qv"), col("qn2"),
         explode(transform(col("probe"), p => p.getField("cell"))).as("cell"))
 
+    // (qid, vec_id) is unique by construction — every vector sits in
+    // exactly ONE cell (argmin assignment) and a query's probe list
+    // has distinct cells — so no dedup shuffle is needed (the oracle
+    // SQL likewise joins without a DISTINCT).
     val scored = assigned.join(probed, Seq("cell"))
       .where(col("vec_id") =!= col("qid"))
-      .dropDuplicates("qid", "vec_id")
       .withColumn("cos", cosine(col("qv"), col("v"), col("qn2"), col("n2")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id"))
@@ -188,13 +191,29 @@ object Similarity {
 
   /** (table, bucket) rows for a vector frame — the OR-construction:
     * candidates are vectors sharing ANY table's bucket, so recall
-    * grows with numTables while each bucket stays selective.
+    * grows with numTables while each bucket stays selective. Each row
+    * also carries the vector's FULL bucket vector (`bk`, numTables
+    * ints) so joins can deduplicate multi-table collisions with the
+    * first-collision-table filter instead of a `dropDuplicates`
+    * shuffle (see [[firstCollisionOnly]]).
     */
   private def withBuckets(e: DataFrame, dim: Int): DataFrame =
-    e.select(col("*"), explode(array((0 until numTables).map(t =>
-      struct(lit(t).as("table"), tableBucket(col("v"), t, dim).as("bucket"))): _*))
-      .as("tb"))
-      .select(col("*"), col("tb.table"), col("tb.bucket")).drop("tb")
+    e.withColumn("bk",
+        array((0 until numTables).map(t => tableBucket(col("v"), t, dim)): _*))
+      .select(col("*"), posexplode(col("bk")).as(Seq("table", "bucket")))
+
+  /** TRUE iff `table` is the FIRST hash table where the two bucket
+    * vectors collide — a pair sharing buckets in k tables appears in k
+    * joined rows, and exactly one (the lowest table) survives this
+    * filter. Replaces `dropDuplicates` on the candidate pairs: the
+    * check is a handful of codegen'd int compares applied map-side
+    * BEFORE the pair ever shuffles, where the dedup shuffle moved
+    * every duplicate candidate across the cluster first.
+    */
+  private def firstCollisionOnly(table: Column, bkA: Column, bkB: Column): Column =
+    (0 until numTables).map { u =>
+      !(table > u && element_at(bkA, u + 1) === element_at(bkB, u + 1))
+    }.reduce(_ && _)
 
   /** All embedding pairs (va < vb) with cosine ≥ threshold — the
     * embedding-space NEAR-DUPLICATE set (vs the top-k contract of the
@@ -234,11 +253,11 @@ object Similarity {
     eb.as("a").join(eb.as("b"),
         col("a.table") === col("b.table") &&
           col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
+          col("a.vec_id") < col("b.vec_id") &&
+          firstCollisionOnly(col("a.table"), col("a.bk"), col("b.bk")))
       .select(col("a.vec_id").as("va"), col("a.v").as("qv"),
         col("a.n2").as("qn2"), col("b.vec_id").as("vb"),
         col("b.v").as("v"), col("b.n2").as("n2"))
-      .dropDuplicates("va", "vb")
       .withColumn("cos", cosine(col("qv"), col("v"), col("qn2"), col("n2")))
       .where(col("cos") >= threshold)
       .select(col("va"), col("vb"), col("cos"))
@@ -255,15 +274,15 @@ object Similarity {
       asDouble(col("embedding")).as("v"))
       .withColumn("n2", dot(col("v"), col("v")))
     val eb = withBuckets(e, dim)
-    val qb = withBuckets(e.where(queryPred)
+    val qb = withBuckets(e.where(queryPred), dim)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("n2").as("qn2")).withColumnRenamed("qv", "v"), dim)
-      .withColumnRenamed("v", "qv")
+        col("n2").as("qn2"), col("bk").as("qbk"),
+        col("table"), col("bucket"))
     val scored = eb.join(qb, Seq("table", "bucket"))
-      .where(col("vec_id") =!= col("qid"))
+      .where(col("vec_id") =!= col("qid") &&
+        firstCollisionOnly(col("table"), col("bk"), col("qbk")))
       .select(col("qid"), col("qv"), col("qn2"), col("vec_id"),
         col("v"), col("n2"))
-      .dropDuplicates("qid", "vec_id")
       .withColumn("cos", cosine(col("qv"), col("v"), col("qn2"), col("n2")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id"))
