@@ -135,23 +135,40 @@ object TextOps {
   def gopherFilter(docs: DataFrame,
       minTokens: Int = 20, maxTokens: Int = 90,
       minAvgLen: Double = 3.0, maxAvgLen: Double = 10.0,
+      maxDupFrac: Double = 0.1, maxTopFrac: Double = 0.1): DataFrame =
+    gopherGate(spread(docs), minTokens, maxTokens, minAvgLen, maxAvgLen,
+        maxDupFrac, maxTopFrac)
+      .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
+        col("stop_ratio"), col("dup_frac"), col("top_frac"),
+        col("pass_length"), col("pass_avg_len"), col("pass_stopword"),
+        col("pass_repetition"), col("keep"))
+
+  /** The Gopher gate as a PURE MAP that APPENDS the rule metrics and
+    * `keep` to the input columns — no spread, no shuffle, no state, so
+    * it drops into a Structured Streaming micro-batch unchanged
+    * ([[graft.stream.CorpusIngest]]). [[gopherFilter]] is this plus the
+    * compact-scan fan-out and the audit-shaped projection.
+    */
+  def gopherGate(docs: DataFrame,
+      minTokens: Int = 20, maxTokens: Int = 90,
+      minAvgLen: Double = 3.0, maxAvgLen: Double = 10.0,
       maxDupFrac: Double = 0.1, maxTopFrac: Double = 0.1): DataFrame = {
     val w = tokens(col("text"))
-    val stopCount = occurrenceCount(w, stopwords)
-    spread(docs)
-      .select(col("doc_id"),
-        size(w).as("n_tokens"),
-        round(length(array_join(w, "")).cast("double") / size(w), 4)
-          .as("avg_token_len"),
-        round(stopCount.cast("double") / size(w), 4).as("stop_ratio"),
-        gramRunStats(2).as("rs"))
-      .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
-        col("stop_ratio"),
+    docs
+      .withColumn("n_tokens", size(w))
+      .withColumn("avg_token_len",
+        round(length(array_join(w, "")).cast("double") / size(w), 4))
+      .withColumn("stop_ratio",
+        round(occurrenceCount(w, stopwords).cast("double") / size(w), 4))
+      .withColumn("rs", gramRunStats(2))
+      .withColumn("dup_frac",
         round(when(col("rs.n") > 0,
           (col("rs.n") - col("rs.n_distinct")).cast("double") / col("rs.n")),
-          4).as("dup_frac"),
+          4))
+      .withColumn("top_frac",
         round(when(col("rs.n") > 0,
-          col("rs.max_run").cast("double") / col("rs.n")), 4).as("top_frac"))
+          col("rs.max_run").cast("double") / col("rs.n")), 4))
+      .drop("rs")
       .withColumn("pass_length",
         col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
       .withColumn("pass_avg_len",

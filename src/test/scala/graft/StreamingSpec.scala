@@ -60,6 +60,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.where(col("id") === "BTC").count() == 1)
   }
 
+  test("streaming corpus gate: online gopher + fingerprints == batch; " +
+      "content-PK dedup collapses duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.stream.CorpusIngest
+    import graft.llm.TextOps
+    val out = tmp("corpus-out")
+
+    val good = ("the quick brown fox jumps over the lazy dog and then " +
+      "runs far away to find a quiet place in the woods of the north")
+    val short = "too short"
+    val docs = Seq((0L, good), (1L, short), (2L, good + " again"),
+      (3L, good)) // doc 3 duplicates doc 0's content → same fp
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs: _*)
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val q = CorpusIngest.run(stream, s"$out/t", tmp("corpus-ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.parquet(s"$out/t")
+    // the short doc is gated out; the content duplicate collapses on fp
+    assert(got.count() == 2)
+    assert(got.where(col("doc_id") === 1L).count() == 0)
+    assert(got.select("fp").distinct().count() == 2)
+    // online metrics/fingerprints equal the batch formulations
+    val batchDf = docs.toDF("doc_id", "text")
+    val keepIds = TextOps.gopherFilter(batchDf).where(col("keep"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.select("doc_id").collect().map(_.getLong(0))
+      .toSet.subsetOf(keepIds))
+    val batchFp = batchDf.select(col("doc_id"),
+      TextOps.fingerprint(col("text")).as("fp"),
+      TextOps.rollingFingerprint(col("text")).as("rolling_fp"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    got.select("doc_id", "fp", "rolling_fp").collect().foreach { r =>
+      assert(batchFp(r.getLong(0)) == (r.getString(1), r.getLong(2)))
+    }
+    assert(got.select("simhash").collect()
+      .forall(_.getString(0).length == graft.llm.Dedup.simhashBits))
+  }
+
   test("checkpoint: restarting the same source does not duplicate rows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
