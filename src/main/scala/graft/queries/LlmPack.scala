@@ -54,6 +54,16 @@ object LlmPack extends QueryPack {
     // Gopher-style quality gate: rule metrics + per-rule flags + keep.
     "q87_gopher_filter" -> ((s, d) =>
       TextOps.gopherFilter(t("documents")(s, d))),
+    // The streaming ingest gate's exact batch semantics under the
+    // oracle: gopher metrics + keep + all three content fingerprints
+    // in ONE map pass (graft.stream.CorpusIngest applies this same
+    // frame per micro-batch).
+    "q93_ingest_gate" -> ((s, d) =>
+      graft.stream.CorpusIngest.gateAndFingerprint(
+        TextOps.spread(t("documents")(s, d)))
+        .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
+          col("stop_ratio"), col("dup_frac"), col("top_frac"), col("keep"),
+          col("fp"), col("rolling_fp"), col("simhash"))),
     "q67_tfidf_top3" -> ((s, d) => TextOps.tfidfTopK(t("documents")(s, d))),
     "q68_ann_cosine" -> ((s, d) =>
       Similarity.bruteForceTopK(t("embeddings")(s, d), col("vec_id") < 10)),
@@ -338,6 +348,63 @@ object LlmPack extends QueryPack {
          |       pass_length AND pass_avg_len AND pass_stopword
          |         AND pass_repetition AS keep
          |FROM flags""".stripMargin
+    },
+
+    // q87's metric/flag block + the three fingerprint derivations
+    // (q60's content md5, q73's rolling fold, q66's simhash bits)
+    // joined per doc — one oracle for the whole ingest-gate frame.
+    "q93_ingest_gate" -> {
+      val stopCond = TextOps.stopwords.map(s => s"x = '$s'").mkString(" OR ")
+      s"""WITH $tokCte,
+         |idx AS (SELECT doc_id, generate_subscripts(w, 1) AS i, w FROM tok),
+         |g AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+         |      FROM idx WHERE i + 1 <= len(w)),
+         |counts AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+         |agg AS (SELECT doc_id,
+         |          sum(c) AS n_grams,
+         |          count(*) AS n_distinct,
+         |          max(c) AS max_c
+         |        FROM counts GROUP BY 1),
+         |base AS (
+         |  SELECT t.doc_id,
+         |         CAST(len(w) AS INTEGER) AS n_tokens,
+         |         round(CAST(list_sum(list_transform(w, x -> len(x)))
+         |                 AS DOUBLE) / len(w), 4) AS avg_token_len,
+         |         round(CAST(len(list_filter(w, x -> $stopCond)) AS DOUBLE)
+         |               / len(w), 4) AS stop_ratio,
+         |         round(CAST(n_grams - n_distinct AS DOUBLE) / n_grams, 4)
+         |           AS dup_frac,
+         |         round(CAST(max_c AS DOUBLE) / n_grams, 4) AS top_frac
+         |  FROM tok t LEFT JOIN agg USING (doc_id)),
+         |fpx AS (
+         |  SELECT doc_id,
+         |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents),
+         |roll AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(w, t -> CAST(list_sum(list_transform(range(1, 9),
+         |        i -> (strpos('0123456789abcdef',
+         |                substr(md5(t), CAST(i AS INT), 1)) - 1)
+         |             * 16 ** (8 - i))) AS BIGINT))),
+         |      (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_fp
+         |  FROM tok),
+         |t2 AS (SELECT doc_id, unnest(w) AS tk FROM tok),
+         |h2 AS (SELECT doc_id, md5(tk) AS h FROM t2),
+         |cb AS (SELECT doc_id,
+         |    $simhashCols
+         |  FROM h2 GROUP BY doc_id)
+         |SELECT b.doc_id, b.n_tokens, b.avg_token_len, b.stop_ratio,
+         |       b.dup_frac, b.top_frac,
+         |       b.n_tokens >= 20 AND b.n_tokens <= 90
+         |         AND b.avg_token_len >= CAST(3 AS DOUBLE)
+         |         AND b.avg_token_len <= CAST(10 AS DOUBLE)
+         |         AND b.stop_ratio > CAST(0 AS DOUBLE)
+         |         AND coalesce(b.dup_frac <= CAST(0.1 AS DOUBLE)
+         |               AND b.top_frac <= CAST(0.1 AS DOUBLE), true) AS keep,
+         |       f.fp, r.rolling_fp, $simhashConcat AS simhash
+         |FROM base b JOIN fpx f USING (doc_id) JOIN roll r USING (doc_id)
+         |     JOIN cb USING (doc_id)""".stripMargin
     },
 
     "q83_repetition" ->
