@@ -98,7 +98,56 @@ object Transforms {
       .drop("value", arrayCol, "pos", "col")
   }
 
-  /** Full order-book pipeline: ask ∪ bid + audit columns. */
+  /** [[explodeOrderBook]] with ONE envelope parse: the union
+    * formulation runs `from_json` once per side (the reference's
+    * two-stream shape); this one parses each message once and explodes
+    * the side dimension from the already-parsed struct — same rows,
+    * same columns, half the JSON work, which dominates the ingest
+    * cost. Equality with the union form is pinned in StreamingSpec;
+    * the batch verification query (q21) registers this variant.
+    */
+  def explodeOrderBookFused(raw: DataFrame,
+      withInsertTs: Boolean = true): DataFrame = {
+    val parsed = castRaw(raw)
+      .select(from_json(col("value"), Envelopes.orderBook).alias("value"))
+      .select(
+        element_at(col("value.data.id"), 1).alias("id"),
+        element_at(col("value.data.seqid"), 1).alias("seqid"),
+        element_at(col("value.data.asks"), 1).alias("asks"),
+        element_at(col("value.data.bids"), 1).alias("bids"),
+        element_at(col("value.data.createTime"), 1).alias("createtime"),
+        element_at(col("value.data.ts_send"), 1).alias("ts_send"))
+    val base = parsed
+      .select(col("id"), col("seqid"), col("createtime"), col("ts_send"),
+        explode(array(
+          struct(lit("ask").as("order_type"), col("asks").as("levels")),
+          struct(lit("bid").as("order_type"), col("bids").as("levels"))))
+          .as("s"))
+      .select(col("id"), col("seqid"), col("createtime"), col("ts_send"),
+        col("s.order_type").as("order_type"), col("s.levels").as("levels"))
+      .select(col("*"), posexplode_outer(col("levels")))
+      .withColumn("order_rank", col("pos") + 1)
+      .withColumn("quote_price", element_at(col("col"), 1))
+      .withColumn("base_amount", element_at(col("col"), 2))
+      .drop("levels", "pos", "col")
+      // match the union form's column order exactly
+      .select(col("id"), col("seqid"), col("createtime"), col("ts_send"),
+        col("order_rank"), col("quote_price"), col("base_amount"),
+        col("order_type"))
+      .withColumn("ts_create_utc",
+        from_unixtime(col("createtime"), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("dt_create_utc",
+        from_unixtime(col("createtime"), "yyyy-MM-dd"))
+    if (withInsertTs)
+      base.withColumn("ts_insert_utc",
+        to_timestamp(current_timestamp(), "yyyy-MM-dd HH:mm:ss"))
+    else base
+  }
+
+  /** Full order-book pipeline: ask ∪ bid + audit columns (U2 — the
+    * reference's two-stream union shape, also the streaming-pipeline
+    * form). [[explodeOrderBookFused]] is the single-parse equivalent.
+    */
   def explodeOrderBook(raw: DataFrame, withInsertTs: Boolean = true): DataFrame = {
     val base = explodeSide(raw, "ask").union(explodeSide(raw, "bid"))
       .withColumn("ts_create_utc",

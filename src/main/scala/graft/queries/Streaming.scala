@@ -94,9 +94,12 @@ object Streaming extends QueryPack {
           col("closetime").cast("long").as("closetime"),
           col("ts_create_utc"), col("dt_create_utc"))),
 
-    // W3+P5+P6+U2: order-book posexplode_outer + rank + ask∪bid.
+    // W3+P5+P6+U2: order-book posexplode_outer + rank + ask/bid side
+    // dimension. Registers the single-parse fused form (one from_json
+    // per message); the union formulation (U2's shape, used by the
+    // streaming pipeline) is pinned row-identical in StreamingSpec.
     "q21_orderbook_explode" -> ((s, d) =>
-      Transforms.explodeOrderBook(bookEnvelope(t("events")(s, d)),
+      Transforms.explodeOrderBookFused(bookEnvelope(t("events")(s, d)),
           withInsertTs = false)
         .select(col("id"),
           col("seqid").cast("long").as("seqid"),

@@ -310,6 +310,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.where(col("id") === "ETH").count() == 1)
   }
 
+  test("fused order-book explode equals the ask-union-bid formulation") {
+    import spark.implicits._
+    val book =
+      """{"data":[{"id":"BTC","seqid":"7","createTime":"1700000000",""" +
+        """"ts_send":"1700000001","asks":[["100.5","2"],["101.0","1"]],""" +
+        """"bids":[["99.5","3"]]}]}"""
+    val emptySide =
+      """{"data":[{"id":"ETH","seqid":"8","createTime":"1700000060",""" +
+        """"ts_send":"1700000061","asks":[],"bids":[["49.0","5"]]}]}"""
+    val raw = Seq(book, emptySide).toDF("value")
+      .select(lit("k").as("key"), col("value"))
+    val union = graft.ingest.Transforms.explodeOrderBook(raw)
+      .drop("ts_insert_utc")
+    val fused = graft.ingest.Transforms.explodeOrderBookFused(raw)
+      .drop("ts_insert_utc")
+    assert(union.columns.toSeq == fused.columns.toSeq)
+    assert(fused.exceptAll(union).isEmpty && union.exceptAll(fused).isEmpty)
+  }
+
   test("order-book explode over a stream, incl. empty-side NULL rows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
