@@ -93,13 +93,14 @@ object PartitionIO {
     * day tables, one level deeper).
     */
   def reloadTrailingHours(source: DataFrame, path: String, tsCol: String,
-      hours: Int, asOf: String): Unit = {
+      hours: Int, asOf: String, format: String = "parquet"): Unit = {
     val hi = date_trunc("hour", lit(asOf).cast("timestamp"))
     val lo = hi - expr(s"INTERVAL $hours HOURS")
     val windowed = source
       .where(date_trunc("hour", col(tsCol)) >= lo &&
         date_trunc("hour", col(tsCol)) <= hi)
     overwritePartitions(withHourPartitions(windowed, tsCol), path,
-      Seq("year", "month", "day", "hour"), clusterBy = Seq("id"))
+      Seq("year", "month", "day", "hour"), clusterBy = Seq("id"),
+      format = format)
   }
 }

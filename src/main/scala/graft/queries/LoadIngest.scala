@@ -48,6 +48,31 @@ object LoadIngest extends QueryPack {
         col("day").cast("int").as("day"))
     }),
 
+    // ORC+Snappy warehouse parity (the reference's storage format) at
+    // the minute-table grain: full hour-partitioned ORC load, then the
+    // trailing-12-hour window reloaded TWICE (retry) — the read-back
+    // must equal one clean derivation, proving both the ORC I/O path
+    // and hour-grain overwrite idempotency under the hash gate.
+    "q94_orc_roundtrip" -> ((s, d) => {
+      val path = scratch(d, "q94")
+      val bars = Bars.hourly(t("events")(s, d))
+        .withColumn("ts", col("t").cast("timestamp"))
+      PartitionIO.overwritePartitions(
+        PartitionIO.withHourPartitions(bars, "ts"), path,
+        Seq("year", "month", "day", "hour"), format = "orc")
+      PartitionIO.reloadTrailingHours(bars, path, "ts", 12,
+        "2024-01-30 23:00:00", format = "orc")
+      PartitionIO.reloadTrailingHours(bars, path, "ts", 12,
+        "2024-01-30 23:00:00", format = "orc")
+      s.read.orc(path).select(
+        col("id"), col("t"), col("open"), col("high"), col("low"),
+        col("close"), col("volume"),
+        col("year").cast("int").as("year"),
+        col("month").cast("int").as("month"),
+        col("day").cast("int").as("day"),
+        col("hour").cast("int").as("hour"))
+    }),
+
     // S11/S12: typed bars → string CSV (with injected bad rows) →
     // header CSV read → promotion with bad-row/null guards + epoch
     // ms→s + partition derivation.
@@ -99,6 +124,14 @@ object LoadIngest extends QueryPack {
          |       CAST(month(dt) AS INTEGER) AS month,
          |       CAST(day(dt) AS INTEGER) AS day
          |FROM daily""".stripMargin,
+    "q94_orc_roundtrip" ->
+      s"""WITH ${Bars.oracleCteHourly}
+         |SELECT id, t, open, high, low, close, volume,
+         |       CAST(year(make_timestamp(t * 1000000)) AS INTEGER) AS year,
+         |       CAST(month(make_timestamp(t * 1000000)) AS INTEGER) AS month,
+         |       CAST(day(make_timestamp(t * 1000000)) AS INTEGER) AS day,
+         |       CAST(hour(make_timestamp(t * 1000000)) AS INTEGER) AS hour
+         |FROM hourly""".stripMargin,
     "q51_csv_ingest" ->
       s"""WITH ${Bars.oracleCte}
          |SELECT CAST(id AS VARCHAR) AS id, dt,
