@@ -148,10 +148,40 @@ object Dedup {
   def jaccardPairsPrefix(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.3): DataFrame = {
     val arrays = TextOps.shingleArrays(spread(docs), n)
+    verifyExact(prefixCandidates(arrays, threshold, deltaOnly = false),
+      arrays, threshold)
+  }
+
+  /** DELTA dedup — [[jaccardPairsPrefix]]'s exact contract restricted
+    * to pairs INVOLVING a new document (`isNew` marks the incoming
+    * batch; evaluated against the doc row before shingling). The
+    * corpus×corpus half of the pair space — already deduplicated by
+    * the previous run — is discarded inside the candidate join
+    * predicate, before any pair row shuffles or verifies. This is the
+    * daily-ingest shape at warehouse scale: per run, cost tracks the
+    * new batch's candidate fan-out, not the corpus pair space, while
+    * the shingle document-frequency order (and therefore the prefix
+    * choice) still reflects the FULL corpus.
+    */
+  def jaccardPairsDelta(docs: DataFrame, isNew: Column, n: Int = 3,
+      threshold: Double = 0.3): DataFrame = {
+    val arrays = spread(docs).select(col("doc_id"), isNew.as("nw"),
+      TextOps.shingleSet(TextOps.tokens(col("text")), n).as("arr"))
+    verifyExact(prefixCandidates(arrays, threshold, deltaOnly = true),
+      arrays.select(col("doc_id"), col("arr")), threshold)
+  }
+
+  /** Prefix-filtered candidate pair generation over per-doc shingle
+    * arrays `(doc_id, arr[, nw])`; `deltaOnly` keeps only pairs where
+    * at least one side is new (`nw`).
+    */
+  private def prefixCandidates(arrays: DataFrame, threshold: Double,
+      deltaOnly: Boolean): DataFrame = {
+    val extra = if (deltaOnly) Seq(col("nw")) else Nil
     // n_sh rides the exploded rows (known at explode time) — no
     // per-doc sizes join is ever paid
-    val sh = arrays.select(col("doc_id"), size(col("arr")).as("n_sh"),
-      explode(col("arr")).as("s"))
+    val sh = arrays.select(Seq(col("doc_id"),
+      size(col("arr")).as("n_sh")) ++ extra :+ explode(col("arr")).as("s"): _*)
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
     // candidate generation joins on the 64-bit shingle hash, not the
     // string: ~3× narrower shuffle rows, and still COMPLETE — a hash
@@ -160,28 +190,29 @@ object Dedup {
     val ordered = sh.join(dfreq, "s")
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
-    val prefix = ordered.select(col("doc_id"), col("n_sh"),
-        xxhash64(col("s")).as("hs"), col("pos"))
+    val prefix = ordered.select(Seq(col("doc_id"), col("n_sh"),
+        xxhash64(col("s")).as("hs"), col("pos")) ++ extra: _*)
       .where(col("pos") <= ceil(col("n_sh") * (1.0 / (1 + threshold))) + 1)
     // J ≥ t needs overlap o ≥ t(|a|+|b|)/(1+t); slopped for the
     // round-to-4 output edge (see slop()).
     val t = slop(threshold)
     val oMin = (col("a.n_sh") + col("b.n_sh")) * (t / (1 + t))
-    val candidates = prefix.as("a").join(prefix.as("b"),
-        col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id")
-          // length filter: |smaller| ≥ t·|larger| or J < t is impossible
-          && col("a.n_sh") >= col("b.n_sh") * threshold
-          && col("b.n_sh") >= col("a.n_sh") * threshold
-          // PPJoin position filter: everything shared sorts at-or-after
-          // the FIRST shared prefix element, so overlap is capped by the
-          // shorter remaining suffix; the first-match row carries the
-          // loosest cap, so filtering per matched row keeps every
-          // qualifying pair.
-          && least(col("a.n_sh") - col("a.pos"),
-               col("b.n_sh") - col("b.pos")) + 1 >= oMin)
+    val base = (col("a.hs") === col("b.hs")
+      && col("a.doc_id") < col("b.doc_id")
+      // length filter: |smaller| ≥ t·|larger| or J < t is impossible
+      && col("a.n_sh") >= col("b.n_sh") * threshold
+      && col("b.n_sh") >= col("a.n_sh") * threshold
+      // PPJoin position filter: everything shared sorts at-or-after
+      // the FIRST shared prefix element, so overlap is capped by the
+      // shorter remaining suffix; the first-match row carries the
+      // loosest cap, so filtering per matched row keeps every
+      // qualifying pair.
+      && least(col("a.n_sh") - col("a.pos"),
+           col("b.n_sh") - col("b.pos")) + 1 >= oMin)
+    val cond = if (deltaOnly) base && (col("a.nw") || col("b.nw")) else base
+    prefix.as("a").join(prefix.as("b"), cond)
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    verifyExact(candidates, arrays, threshold)
   }
 
   val numHashes = 64

@@ -35,6 +35,11 @@ object LlmPack extends QueryPack {
     // stays available (and ~2× faster on the flat-vocabulary fixture)
     // as Dedup.jaccardPairs.
     "q64_jaccard_pairs" -> ((s, d) => Dedup.jaccardPairsPrefix(t("documents")(s, d))),
+    // Delta dedup: every third doc plays the incoming batch; output =
+    // exact near-dup pairs involving a new doc (old×old pairs are
+    // discarded inside the candidate join, the daily-ingest shape).
+    "q95_delta_dedup" -> ((s, d) =>
+      Dedup.jaccardPairsDelta(t("documents")(s, d), col("doc_id") % 3 === 0)),
     "q65_minhash_lsh" -> ((s, d) => Dedup.minhashPairs(t("documents")(s, d))),
     "q66_simhash" -> ((s, d) => Dedup.simhash(t("documents")(s, d))),
     "q74_simhash_pairs" -> ((s, d) =>
@@ -135,7 +140,7 @@ object LlmPack extends QueryPack {
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)"""
       .stripMargin
 
-  private def jaccardOracle(threshold: Double): String =
+  private def jaccardOracle(threshold: Double, extraWhere: String = ""): String =
     s"""WITH $shingleCtes,
        |pairs AS (
        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
@@ -146,8 +151,8 @@ object LlmPack extends QueryPack {
        |           (x.n_sh + y.n_sh - common), 4) AS jaccard
        |  FROM pairs JOIN sizes x ON da = x.doc_id
        |             JOIN sizes y ON db = y.doc_id)
-       |SELECT da, db, jaccard FROM j WHERE jaccard >= $threshold"""
-      .stripMargin
+       |SELECT da, db, jaccard FROM j
+       |WHERE jaccard >= $threshold$extraWhere""".stripMargin
 
   private val simhashCols = (0 until Dedup.simhashBits).map { j =>
     s"sum((((strpos('0123456789abcdef', substr(h, ${1 + j / 4}, 1)) - 1)" +
@@ -230,6 +235,12 @@ object LlmPack extends QueryPack {
          |        ORDER BY score DESC, lang) AS rn FROM sc)
          |WHERE rn = 1""".stripMargin,
     "q64_jaccard_pairs" -> jaccardOracle(0.3),
+    // The exact pair contract restricted to pairs involving a "new"
+    // doc (doc_id % 3 = 0) — an independent all-pairs derivation, so
+    // a delta join that silently dropped old-side candidates (or kept
+    // old×old pairs) cannot agree with it.
+    "q95_delta_dedup" ->
+      jaccardOracle(0.3, " AND (da % 3 = 0 OR db % 3 = 0)"),
     "q65_minhash_lsh" -> jaccardOracle(0.5),
     "q66_simhash" ->
       s"""WITH t2 AS (

@@ -114,6 +114,15 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.4)
   }
 
+  test("delta dedup equals the full pair set filtered to involving-new") {
+    val isNew = col("doc_id") % 3 === 0
+    val delta = Dedup.jaccardPairsDelta(docs, isNew)
+    val full = Dedup.jaccardPairsPrefix(docs)
+      .where(col("da") % 3 === 0 || col("db") % 3 === 0)
+    assert(delta.exceptAll(full).isEmpty && full.exceptAll(delta).isEmpty)
+    assert(delta.where(col("da") % 3 =!= 0 && col("db") % 3 =!= 0).count() == 0)
+  }
+
   test("clusterDedup precomputed-labels overload equals the composed form") {
     val labels = Dedup.dupClusters(docs)
     val viaLabels = Dedup.clusterDedup(docs, labels)
