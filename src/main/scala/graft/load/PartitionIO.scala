@@ -57,9 +57,17 @@ object PartitionIO {
   def overwritePartitions(updates: DataFrame, path: String,
       partitionCols: Seq[String], clusterBy: Seq[String] = Nil,
       format: String = "parquet"): Unit = {
+    // Cluster rows by their TARGET partition before the write: without
+    // this every write task opens a writer in every partition dir it
+    // sees rows for — tasks × partitions small files and writer churn
+    // (measured 6× on the 720-dir hour-grain load). After the
+    // repartition each dir is written by one task; within-partition
+    // parallelism for a genuinely hot partition is clusterBy/salting's
+    // job, not the default.
+    val clustered = updates.repartition(partitionCols.map(col): _*)
     val toWrite =
-      if (clusterBy.isEmpty) updates
-      else updates.sortWithinPartitions((partitionCols ++ clusterBy).map(col): _*)
+      if (clusterBy.isEmpty) clustered
+      else clustered.sortWithinPartitions((partitionCols ++ clusterBy).map(col): _*)
     // per-WRITE option, not the session-global conf toggle: a global
     // set/restore races with any concurrent write on the same session
     // (a concurrent full overwrite could clobber untouched partitions)

@@ -55,8 +55,13 @@ object LoadIngest extends QueryPack {
     // and hour-grain overwrite idempotency under the hash gate.
     "q94_orc_roundtrip" -> ((s, d) => {
       val path = scratch(d, "q94")
+      // A trailing week of hour-grain data: enough to exercise ~170
+      // hour-partitions without turning the query into a small-file
+      // filesystem benchmark (each fixture "hour" is ~100 rows; real
+      // minute tables have fat partitions at this grain).
       val bars = Bars.hourly(t("events")(s, d))
         .withColumn("ts", col("t").cast("timestamp"))
+        .where(col("ts") >= lit("2024-01-24").cast("timestamp"))
       PartitionIO.overwritePartitions(
         PartitionIO.withHourPartitions(bars, "ts"), path,
         Seq("year", "month", "day", "hour"), format = "orc")
@@ -131,7 +136,9 @@ object LoadIngest extends QueryPack {
          |       CAST(month(make_timestamp(t * 1000000)) AS INTEGER) AS month,
          |       CAST(day(make_timestamp(t * 1000000)) AS INTEGER) AS day,
          |       CAST(hour(make_timestamp(t * 1000000)) AS INTEGER) AS hour
-         |FROM hourly""".stripMargin,
+         |FROM hourly
+         |WHERE make_timestamp(t * 1000000) >= TIMESTAMP '2024-01-24'"""
+        .stripMargin,
     "q51_csv_ingest" ->
       s"""WITH ${Bars.oracleCte}
          |SELECT CAST(id AS VARCHAR) AS id, dt,
