@@ -274,7 +274,23 @@ object Dedup {
     * MinHash, but with a deterministic completeness guarantee instead
     * of a probability curve.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashPairsCore(docs, maxHamming, deltaPred = None)
+
+  /** DELTA variant of [[simhashPairs]]: only pairs involving a doc
+    * marked new by `isNew` (evaluated on the fingerprint frame, so any
+    * doc_id-derivable predicate works). Old×old candidates are
+    * discarded inside the band join predicate — the periodic
+    * compaction shape that pairs a day's streamed-in fingerprints
+    * ([[graft.stream.CorpusIngest]] emits them online) against the
+    * standing corpus without re-pairing the corpus with itself.
+    */
+  def simhashPairsDelta(docs: DataFrame, isNew: Column,
+      maxHamming: Int = 3): DataFrame =
+    simhashPairsCore(docs, maxHamming, deltaPred = Some(isNew))
+
+  private def simhashPairsCore(docs: DataFrame, maxHamming: Int,
+      deltaPred: Option[Column]): DataFrame = {
     val bandCount = 4
     require(maxHamming < bandCount,
       s"pigeonhole completeness needs maxHamming < $bandCount")
@@ -284,18 +300,39 @@ object Dedup {
     // per-pair string/array work
     val fp = simhash(docs) // simhash spreads internally
       .withColumn("fpl", conv(col("simhash"), 2, 10).cast("long"))
-    val bands = fp.select(col("doc_id"), col("fpl"), explode(array(
-        (0 until bandCount).map(b => struct(lit(b).as("band"),
-          substring(col("simhash"), b * width + 1, width).as("bits"))): _*))
-        .as("e"))
-      .select(col("doc_id"), col("fpl"), col("e.band"), col("e.bits"))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
-          col("x.doc_id") < col("y.doc_id"))
+    val flagged = deltaPred match {
+      case Some(p) => fp.withColumn("nw", p)
+      case None => fp
+    }
+    val extra = deltaPred.map(_ => col("nw")).toSeq
+    val bands = flagged.select(Seq(col("doc_id"), col("fpl")) ++ extra :+
+        explode(array((0 until bandCount).map(b =>
+          struct(lit(b).as("band"),
+            substring(col("simhash"), b * width + 1, width).as("bits"))): _*))
+        .as("e"): _*)
+      .select(Seq(col("doc_id"), col("fpl"), col("e.band"),
+        col("e.bits")) ++ extra: _*)
+    // band u's value is derivable from the fingerprint long both sides
+    // already carry, so multi-band collisions dedup with the
+    // first-collision-band filter (keep a pair only at its LOWEST
+    // agreeing band) — cheap int compares in the join predicate
+    // instead of a dropDuplicates shuffle of the candidate set.
+    def bval(c: Column, u: Int): Column =
+      shiftright(c, (bandCount - 1 - u) * width)
+        .bitwiseAND(lit((1L << width) - 1))
+    val firstBandOnly = (0 until bandCount).map { u =>
+      !(col("x.band") > u && bval(col("x.fpl"), u) === bval(col("y.fpl"), u))
+    }.reduce(_ && _)
+    val base = col("x.band") === col("y.band") &&
+      col("x.bits") === col("y.bits") &&
+      col("x.doc_id") < col("y.doc_id") && firstBandOnly
+    val cond = deltaPred match {
+      case Some(_) => base && (col("x.nw") || col("y.nw"))
+      case None => base
+    }
+    bands.as("x").join(bands.as("y"), cond)
       .select(col("x.doc_id").as("da"), col("x.fpl").as("fa"),
         col("y.doc_id").as("db"), col("y.fpl").as("fb"))
-      .dropDuplicates("da", "db")
-    cand
       .withColumn("hamming",
         bit_count(col("fa").bitwiseXOR(col("fb"))).cast("int"))
       .where(col("hamming") <= maxHamming)

@@ -40,6 +40,10 @@ object LlmPack extends QueryPack {
     // discarded inside the candidate join, the daily-ingest shape).
     "q95_delta_dedup" -> ((s, d) =>
       Dedup.jaccardPairsDelta(t("documents")(s, d), col("doc_id") % 3 === 0)),
+    // Same delta contract for the simhash family: exact ≤3-bit pairs
+    // involving a new doc, via the pigeonhole band join.
+    "q96_simhash_delta" -> ((s, d) =>
+      Dedup.simhashPairsDelta(t("documents")(s, d), col("doc_id") % 3 === 0)),
     "q65_minhash_lsh" -> ((s, d) => Dedup.minhashPairs(t("documents")(s, d))),
     "q66_simhash" -> ((s, d) => Dedup.simhash(t("documents")(s, d))),
     "q74_simhash_pairs" -> ((s, d) =>
@@ -257,6 +261,10 @@ object LlmPack extends QueryPack {
     "q74_simhash_pairs" ->
       s"""WITH $simhashPairCtes
          |SELECT da, db, hamming FROM p WHERE hamming <= 3""".stripMargin,
+    "q96_simhash_delta" ->
+      s"""WITH $simhashPairCtes
+         |SELECT da, db, hamming FROM p
+         |WHERE hamming <= 3 AND (da % 3 = 0 OR db % 3 = 0)""".stripMargin,
 
     // Connected components via recursive reachability: every doc
     // reaches itself plus anything across near-dup edges; cluster =
