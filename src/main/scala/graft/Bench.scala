@@ -85,7 +85,9 @@ object Bench {
     }.mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
-    java.nio.file.Files.write(
+    // only full runs refresh the committed artifact — an args-filtered
+    // local iteration must not clobber the 79-query record
+    if (only.isEmpty) java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_queries.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShort,"failed":$failedJson,"sf":"$sfDir","queries_file":"bench_queries.json"}""")

@@ -148,27 +148,32 @@ object TextOps {
     * it drops into a Structured Streaming micro-batch unchanged
     * ([[graft.stream.CorpusIngest]]). [[gopherFilter]] is this plus the
     * compact-scan fan-out and the audit-shaped projection.
+    *
+    * The appended names (`n_tokens`, `avg_token_len`, `stop_ratio`,
+    * `dup_frac`, `top_frac`, `pass_*`, `keep`) are part of the output
+    * contract: an input column with one of those names is REPLACED.
     */
   def gopherGate(docs: DataFrame,
       minTokens: Int = 20, maxTokens: Int = 90,
       minAvgLen: Double = 3.0, maxAvgLen: Double = 10.0,
       maxDupFrac: Double = 0.1, maxTopFrac: Double = 0.1): DataFrame = {
     val w = tokens(col("text"))
+    val rs = "_gopher_rs" // internal scratch, dropped below
     docs
       .withColumn("n_tokens", size(w))
       .withColumn("avg_token_len",
         round(length(array_join(w, "")).cast("double") / size(w), 4))
       .withColumn("stop_ratio",
         round(occurrenceCount(w, stopwords).cast("double") / size(w), 4))
-      .withColumn("rs", gramRunStats(2))
+      .withColumn(rs, gramRunStats(2))
       .withColumn("dup_frac",
-        round(when(col("rs.n") > 0,
-          (col("rs.n") - col("rs.n_distinct")).cast("double") / col("rs.n")),
-          4))
+        round(when(col(s"$rs.n") > 0,
+          (col(s"$rs.n") - col(s"$rs.n_distinct")).cast("double")
+            / col(s"$rs.n")), 4))
       .withColumn("top_frac",
-        round(when(col("rs.n") > 0,
-          col("rs.max_run").cast("double") / col("rs.n")), 4))
-      .drop("rs")
+        round(when(col(s"$rs.n") > 0,
+          col(s"$rs.max_run").cast("double") / col(s"$rs.n")), 4))
+      .drop(rs)
       .withColumn("pass_length",
         col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
       .withColumn("pass_avg_len",

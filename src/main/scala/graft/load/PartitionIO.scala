@@ -81,8 +81,9 @@ object PartitionIO {
   }
 
   /** The reference's trailing-window reload: rows of `source` whose
-    * `dateCol` falls in the last `days` days up to `asOf` (inclusive),
-    * overwritten into their day partitions. `DAYS_DELETE_FROM=10`
+    * `dateCol` falls in [asOf − days, asOf] — both ends inclusive, so
+    * `days + 1` day-partitions are rewritten, matching the reference's
+    * BETWEEN-style delete loop. `DAYS_DELETE_FROM=10`
     * (D_Load_crypto_candles_day.py:17).
     */
   def reloadTrailingWindow(source: DataFrame, path: String, dateCol: String,
@@ -94,11 +95,12 @@ object PartitionIO {
       Seq("year", "month", "day"), clusterBy = Seq("id"))
   }
 
-  /** Trailing-window reload at HOUR grain: rows whose `tsCol` falls in
-    * the last `hours` hour-buckets up to `asOf` (inclusive),
-    * overwritten into their (year, month, day, hour) partitions — the
-    * `candles_minute`-shaped reload (same DELETE+INSERT loop as the
-    * day tables, one level deeper).
+  /** Trailing-window reload at HOUR grain: rows whose hour-bucket
+    * falls in [trunc(asOf) − hours, trunc(asOf)] — both ends
+    * inclusive, so `hours + 1` buckets are rewritten (same convention
+    * as [[reloadTrailingWindow]]) — into their (year, month, day,
+    * hour) partitions: the `candles_minute`-shaped reload, one level
+    * deeper than the day tables.
     */
   def reloadTrailingHours(source: DataFrame, path: String, tsCol: String,
       hours: Int, asOf: String, format: String = "parquet"): Unit = {

@@ -50,15 +50,12 @@ object CorpusPack extends QueryPack {
          |FROM e""".stripMargin,
 
     "q78_sample_stratified" ->
-      """WITH h AS (SELECT doc_id, lang, source,
-        |             md5('smp:' || CAST(doc_id AS VARCHAR)) AS m
-        |           FROM documents),
-        |u AS (SELECT doc_id, lang, source, CAST(
-        |    (strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
-        |  + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
-        |  + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
-        |  + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1) AS INTEGER)
-        |    AS h16 FROM h)
+      s"""WITH h AS (SELECT doc_id, lang, source,
+         |             md5('smp:' || CAST(doc_id AS VARCHAR)) AS m
+         |           FROM documents),
+         |u AS (SELECT doc_id, lang, source,
+         |        CAST(${OracleSql.md5High16("m")} AS INTEGER)
+         |    AS h16 FROM h)
         |SELECT doc_id, lang, source, h16 FROM u
         |WHERE CAST(h16 AS DOUBLE) / CAST(65536 AS DOUBLE) <
         |      CASE lang WHEN 'en' THEN CAST(0.25 AS DOUBLE)
@@ -118,16 +115,9 @@ object CorpusPack extends QueryPack {
     "q92_corpus_pipeline" -> {
       val stopCond = TextOps.stopwords.map(s => s"x = '$s'").mkString(" OR ")
       val bits = Dedup.simhashBits
-      val simhashCols = (0 until bits).map { j =>
-        s"sum((((strpos('0123456789abcdef', substr(h, ${1 + j / 4}, 1)) - 1)" +
-          s" >> ${3 - j % 4}) & 1) * 2 - 1) AS c$j"
-      }.mkString(",\n    ")
-      val simhashConcat = (0 until bits).map(j =>
-        s"CASE WHEN c$j > 0 THEN '1' ELSE '0' END")
-        .mkString("concat(", ", ", ")")
-      val h16 = (1 to 4).map(i =>
-        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${
-          Seq(4096, 256, 16, 1)(i - 1)}").mkString(" + ")
+      val simhashCols = OracleSql.simhashCols
+      val simhashConcat = OracleSql.simhashConcat
+      val h16 = OracleSql.md5High16("h")
       s"""WITH RECURSIVE
          |tok AS MATERIALIZED (
          |  SELECT doc_id, lang, text,
@@ -238,15 +228,12 @@ object CorpusPack extends QueryPack {
     // Re-derives shard = md5 high 16 bits mod 8 and the in-shard md5
     // order; hex ordering is plain byte order in both engines.
     "q86_shard_shuffle" ->
-      """WITH h AS (SELECT doc_id,
-        |             md5('ep0:' || CAST(doc_id AS VARCHAR)) AS h
-        |           FROM documents),
-        |s AS (SELECT doc_id, h, CAST((
-        |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
-        |  + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
-        |  + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
-        |  + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 8
-        |    AS INTEGER) AS shard FROM h)
+      s"""WITH h AS (SELECT doc_id,
+         |             md5('ep0:' || CAST(doc_id AS VARCHAR)) AS h
+         |           FROM documents),
+         |s AS (SELECT doc_id, h,
+         |        CAST((${OracleSql.md5High16("h")}) % 8
+         |    AS INTEGER) AS shard FROM h)
         |SELECT doc_id, shard,
         |       CAST(row_number() OVER (PARTITION BY shard
         |         ORDER BY h, doc_id) AS INTEGER) AS pos

@@ -69,7 +69,9 @@ object LlmPack extends QueryPack {
     // frame per micro-batch).
     "q93_ingest_gate" -> ((s, d) =>
       graft.stream.CorpusIngest.gateAndFingerprint(
-        TextOps.spread(t("documents")(s, d)))
+        // NULL-text docs are out of the gate's oracle contract (the
+        // oracle's simhash join drops them, like Dedup.simhash)
+        TextOps.spread(t("documents")(s, d).where(col("text").isNotNull)))
         .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
           col("stop_ratio"), col("dup_frac"), col("top_frac"), col("keep"),
           col("fp"), col("rolling_fp"), col("simhash"))),
@@ -158,13 +160,8 @@ object LlmPack extends QueryPack {
        |SELECT da, db, jaccard FROM j
        |WHERE jaccard >= $threshold$extraWhere""".stripMargin
 
-  private val simhashCols = (0 until Dedup.simhashBits).map { j =>
-    s"sum((((strpos('0123456789abcdef', substr(h, ${1 + j / 4}, 1)) - 1)" +
-      s" >> ${3 - j % 4}) & 1) * 2 - 1) AS c$j"
-  }.mkString(",\n    ")
-
-  private val simhashConcat = (0 until Dedup.simhashBits).map(j =>
-    s"CASE WHEN c$j > 0 THEN '1' ELSE '0' END").mkString("concat(", ", ", ")")
+  private val simhashCols = OracleSql.simhashCols
+  private val simhashConcat = OracleSql.simhashConcat
 
   /** Shared oracle CTEs: per-doc simhash fingerprints + all-pairs
     * Hamming distances (q74 pair list, q82 cluster edges).

@@ -1,0 +1,35 @@
+package graft.queries
+
+import graft.llm.Dedup
+
+/** Shared DuckDB oracle SQL builders for parity-critical derivations.
+  * Each lives here ONCE and is referenced by every query pack that
+  * re-derives it (q66/q74/q82/q85/q92/q96 simhash bits; q78/q86/q92
+  * md5-high-16-bits hashes) — a change that reaches one query's oracle
+  * cannot silently miss another's.
+  */
+private[queries] object OracleSql {
+
+  /** Per-bit simhash counters `c0..c31` aggregated from an md5-hex
+    * column `h`: bit j of a token is bit (3 − j%4) of hex nibble j/4.
+    */
+  val simhashCols: String = (0 until Dedup.simhashBits).map { j =>
+    s"sum((((strpos('0123456789abcdef', substr(h, ${1 + j / 4}, 1)) - 1)" +
+      s" >> ${3 - j % 4}) & 1) * 2 - 1) AS c$j"
+  }.mkString(",\n    ")
+
+  /** The fingerprint bit string from the `c0..c31` counters. */
+  val simhashConcat: String = (0 until Dedup.simhashBits).map(j =>
+    s"CASE WHEN c$j > 0 THEN '1' ELSE '0' END").mkString("concat(", ", ", ")")
+
+  /** First 16 bits of an md5 hex column as an integer — the
+    * deterministic uniform used by stratified sampling and shard
+    * assignment ([[graft.llm.Corpus.hash16]]'s oracle form).
+    */
+  def md5High16(hexCol: String): String =
+    s"""(strpos('0123456789abcdef', substr($hexCol, 1, 1)) - 1) * 4096
+       |  + (strpos('0123456789abcdef', substr($hexCol, 2, 1)) - 1) * 256
+       |  + (strpos('0123456789abcdef', substr($hexCol, 3, 1)) - 1) * 16
+       |  + (strpos('0123456789abcdef', substr($hexCol, 4, 1)) - 1)"""
+      .stripMargin
+}
