@@ -170,6 +170,18 @@ class LlmSpec extends AnyFunSuite {
     assert(fp(0L) == fp(2L))
   }
 
+  test("simhash drops NULL-text docs, matching the aggregate spec") {
+    import spark.implicits._
+    val df = Seq((0L, Option("alpha beta")), (1L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val ids = Dedup.simhash(df).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(0L))
+    val viaAgg = Dedup.simhashViaAgg(df).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(viaAgg == Set(0L))
+  }
+
   test("simhash: identical docs agree; near-dup pairs closer than random") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog " * 5
