@@ -397,6 +397,64 @@ object Dedup {
         col("quality"), col("keep"))
   }
 
+  /** Paragraph-level exact dedup (the RefinedWeb/CCNet span-removal
+    * pass): split each document into consecutive `window`-token
+    * segments, drop every repeat of a segment already seen elsewhere
+    * in the corpus (first occurrence — lowest (doc_id, seg_idx) —
+    * survives), and reassemble what is left per document. Removes the
+    * boilerplate spans exact doc-level dedup can't touch while keeping
+    * the documents themselves.
+    *
+    * The fixture corpus has no newline structure, so the segment unit
+    * is a fixed token window rather than a `\n\n` split — the dedup
+    * machinery (global first-occurrence claim + reassembly) is
+    * identical either way; only the splitter differs.
+    *
+    * Scale shape: segments are claimed by grouping on a 128-bit md5
+    * digest — the shuffle for the claim carries (digest, order-key)
+    * pairs only, never segment text. Segment text moves exactly twice:
+    * once into the digest-keyed verify join, once into the doc-keyed
+    * reassembly — the floor for this operator. Both joins/aggregations
+    * are hash-partitioned equi-operations with map-side partial
+    * aggregation; no skew beyond genuinely viral spans (which a df cap
+    * on the claim table would bound, same as the hot-shingle cap in
+    * [[jaccardPairs]]).
+    *
+    * @return (doc_id, n_seg, n_kept, clean_text); docs losing every
+    *         segment keep a row with n_kept = 0, clean_text = ''.
+    */
+  def paragraphDedup(docs: DataFrame, window: Int = 20): DataFrame = {
+    val toks = spread(docs.where(col("text").isNotNull))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+    // k-th window = tokens [k·window+1, (k+1)·window]; nSeg = ⌈|w|/window⌉
+    // (empty text still tokenizes to [""] → one segment, like tokenStats)
+    val nSeg = ((size(col("w")) + lit(window - 1)) / lit(window)).cast("long")
+    val segs = toks
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0L), nSeg - 1)).as("seg_idx"))
+      .select(col("doc_id"), col("seg_idx").cast("int").as("seg_idx"),
+        array_join(slice(col("w"),
+          col("seg_idx").cast("int") * window + 1, lit(window)), " ").as("seg"))
+      // order key: seg_idx < 10⁶ always holds (docs are bounded well
+      // below 10⁶·window tokens); keeps the claim a plain long min
+      .withColumn("ord", col("doc_id") * 1000000L + col("seg_idx"))
+      .withColumn("dig", md5(col("seg").cast("binary")))
+    val claims = segs.groupBy(col("dig"))
+      .agg(min(col("ord")).as("w_ord"))
+    val kept = segs.join(claims, "dig")
+      .where(col("ord") === col("w_ord"))
+    val totals = segs.groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_seg"))
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_kept"),
+        array_join(sort_array(collect_list(struct(col("seg_idx"),
+          col("seg")))).getField("seg"), " ").as("clean_text"))
+    totals.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_seg"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Map-only fingerprinting via the native [[graft.functions.SimHash32]]
     * kernel: each token is digested where its document sits, so the
     * operator has ZERO shuffles (the explode → md5 → 32-aggregate

@@ -316,6 +316,37 @@ object TextOps {
       .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
   }
 
+  /** PII patterns, ASCII classes only so Java regex (Spark) and RE2
+    * (DuckDB oracle) agree byte-for-byte. URL first: once URLs are
+    * collapsed, the email/number patterns can no longer fire inside
+    * one (`<URL>` contains neither `@` nor a long digit run).
+    */
+  val urlPattern = "https?://[^ ]+"
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val longNumberPattern = "[0-9]{7,}"
+
+  /** PII redaction: mask URLs, then email addresses, then long (≥7
+    * digit) numbers — the scrubbing pass every pretraining corpus runs
+    * before tokenization (the C4/RefinedWeb shape). A cascade of three
+    * codegen'd `regexp_replace`s plus per-stage match counts; pure map,
+    * zero shuffles, trivially parallel at any scale. Counts are taken
+    * on the stage INPUT (n_emails counts matches after URL masking,
+    * n_nums after email masking), mirroring exactly what each
+    * replacement stage saw.
+    */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val t0 = col("text")
+    val t1 = regexp_replace(t0, urlPattern, "<URL>")
+    val t2 = regexp_replace(t1, emailPattern, "<EMAIL>")
+    val t3 = regexp_replace(t2, longNumberPattern, "<NUM>")
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(t0, lit(urlPattern), lit(0))).as("n_urls"),
+      size(regexp_extract_all(t1, lit(emailPattern), lit(0))).as("n_emails"),
+      size(regexp_extract_all(t2, lit(longNumberPattern), lit(0))).as("n_nums"),
+      t3.as("red_text"))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text
     * — the exact-dedup key.
     */

@@ -75,6 +75,32 @@ object LlmPack extends QueryPack {
         .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
           col("stop_ratio"), col("dup_frac"), col("top_frac"), col("keep"),
           col("fp"), col("rolling_fp"), col("simhash"))),
+    // PII redaction cascade (URL → email → long-number masking). The
+    // fixture corpus carries no PII, so the query wiring injects
+    // deterministic synthetic PII first (the q51 bad-row trick): docs
+    // get an email / URL / account number appended keyed on doc_id,
+    // and the oracle performs the identical injection before its own
+    // regexp_replace cascade — so the redaction regexes are exercised
+    // on every pattern, not vacuously green.
+    "q97_pii_redact" -> ((s, d) => TextOps.redactPii(
+      t("documents")(s, d).where(col("text").isNotNull)
+        .select(col("doc_id"), concat(
+          col("text"),
+          when(col("doc_id") % 7 === 0, concat(lit(" mail user"),
+            col("doc_id").cast("string"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, concat(lit(" ref https://ex.org/d/"),
+            col("doc_id").cast("string"), lit("?s=1")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, concat(lit(" acct 900"),
+            lpad(col("doc_id").cast("string"), 6, "0")))
+            .otherwise(lit(""))).as("text")))),
+    // Paragraph-level exact dedup (RefinedWeb span removal): fixed
+    // 20-token segments, global first-occurrence claim on the md5
+    // digest, ordered reassembly. Near-dup docs share exact segments,
+    // so the pass does real removal on the fixture.
+    "q98_paragraph_dedup" -> ((s, d) =>
+      Dedup.paragraphDedup(t("documents")(s, d))),
     "q67_tfidf_top3" -> ((s, d) => TextOps.tfidfTopK(t("documents")(s, d))),
     "q68_ann_cosine" -> ((s, d) =>
       Similarity.bruteForceTopK(t("embeddings")(s, d), col("vec_id") < 10)),
@@ -200,6 +226,56 @@ object LlmPack extends QueryPack {
         |       row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
         |         AS is_canonical
         |FROM f""".stripMargin,
+    "q97_pii_redact" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    text ||
+         |    CASE WHEN doc_id % 7 = 0 THEN ' mail user' ||
+         |      CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' ref https://ex.org/d/' ||
+         |      CAST(doc_id AS VARCHAR) || '?s=1' ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0 THEN ' acct 900' ||
+         |      lpad(CAST(doc_id AS VARCHAR), 6, '0') ELSE '' END AS t0
+         |  FROM documents WHERE text IS NOT NULL),
+         |s1 AS (SELECT doc_id, t0,
+         |         regexp_replace(t0, '${TextOps.urlPattern}',
+         |                        '<URL>', 'g') AS t1 FROM aug),
+         |s2 AS (SELECT doc_id, t0, t1,
+         |         regexp_replace(t1, '${TextOps.emailPattern}',
+         |                        '<EMAIL>', 'g') AS t2 FROM s1)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t0, '${TextOps.urlPattern}'))
+         |    AS INTEGER) AS n_urls,
+         |  CAST(len(regexp_extract_all(t1, '${TextOps.emailPattern}'))
+         |    AS INTEGER) AS n_emails,
+         |  CAST(len(regexp_extract_all(t2, '${TextOps.longNumberPattern}'))
+         |    AS INTEGER) AS n_nums,
+         |  regexp_replace(t2, '${TextOps.longNumberPattern}', '<NUM>', 'g')
+         |    AS red_text
+         |FROM s2""".stripMargin,
+    "q98_paragraph_dedup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |seg AS (
+        |  SELECT doc_id, CAST(k AS INTEGER) AS seg_idx,
+        |         array_to_string(w[k*20+1 : LEAST((k+1)*20, len(w))], ' ')
+        |           AS seg
+        |  FROM tok, LATERAL (SELECT unnest(range(0,
+        |         CAST((len(w)+19)//20 AS BIGINT))) AS k)),
+        |ordd AS (SELECT doc_id, seg_idx, seg,
+        |                doc_id*1000000 + seg_idx AS ord FROM seg),
+        |claims AS (SELECT seg, min(ord) AS w_ord FROM ordd GROUP BY 1),
+        |kept AS (SELECT o.* FROM ordd o
+        |         JOIN claims c ON o.seg = c.seg AND o.ord = c.w_ord),
+        |tot AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_seg
+        |        FROM seg GROUP BY 1),
+        |ka AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_kept,
+        |              string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+        |       FROM kept GROUP BY 1)
+        |SELECT t.doc_id, t.n_seg, COALESCE(ka.n_kept, 0) AS n_kept,
+        |       COALESCE(ka.clean_text, '') AS clean_text
+        |FROM tot t LEFT JOIN ka USING (doc_id)""".stripMargin,
     "q61_token_stats" ->
       s"""WITH $tokCte
          |SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,

@@ -328,4 +328,58 @@ class LlmSpec extends AnyFunSuite {
     assert(row.getAs[String]("format") == f)
     assert(decoded.count() == frame.count())
   }
+
+  test("pii redaction: url then email then long-number cascade") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, "see https://a.b/c?x=1 mail bob@ex.org acct 12345678 end"),
+      (2L, "short 123456 is kept bob@ex.org twice jan@ex.co.uk"),
+      (3L, "no pii at all")).toDF("doc_id", "text")
+    val out = TextOps.redactPii(in).orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("red_text") ==
+      "see <URL> mail <EMAIL> acct <NUM> end")
+    assert(out(0).getAs[Int]("n_urls") == 1)
+    assert(out(0).getAs[Int]("n_emails") == 1)
+    assert(out(0).getAs[Int]("n_nums") == 1)
+    // 6-digit number below the ≥7 threshold survives; two emails mask
+    assert(out(1).getAs[String]("red_text") ==
+      "short 123456 is kept <EMAIL> twice <EMAIL>")
+    assert(out(1).getAs[Int]("n_emails") == 2)
+    assert(out(2).getAs[String]("red_text") == "no pii at all")
+    assert((out(2).getAs[Int]("n_urls"), out(2).getAs[Int]("n_emails"),
+      out(2).getAs[Int]("n_nums")) == ((0, 0, 0)))
+  }
+
+  test("paragraph dedup: first occurrence survives, repeats drop, order kept") {
+    import spark.implicits._
+    // window = 2 → doc 1: [a b][c d][e f]; doc 2 repeats [c d] and
+    // adds its own [x y]; doc 3 is ENTIRELY doc 1's first segment
+    val in = Seq(
+      (1L, "a b c d e f"),
+      (2L, "c d x y"),
+      (3L, "a b")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(in, window = 2)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("clean_text") == "a b c d e f")
+    assert((out(0).getAs[Int]("n_seg"), out(0).getAs[Int]("n_kept")) ==
+      ((3, 3)))
+    assert(out(1).getAs[String]("clean_text") == "x y")
+    assert((out(1).getAs[Int]("n_seg"), out(1).getAs[Int]("n_kept")) ==
+      ((2, 1)))
+    // doc 3 loses everything but keeps its row
+    assert(out(2).getAs[String]("clean_text") == "")
+    assert((out(2).getAs[Int]("n_seg"), out(2).getAs[Int]("n_kept")) ==
+      ((1, 0)))
+  }
+
+  test("paragraph dedup: intra-doc repeat keeps one copy; short tail segment") {
+    import spark.implicits._
+    // doc 1: [p q][p q][r] — the repeated [p q] inside ONE doc keeps
+    // only its first occurrence; trailing segment shorter than window
+    val in = Seq((1L, "p q p q r")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(in, window = 2).collect()
+    assert(out(0).getAs[String]("clean_text") == "p q r")
+    assert((out(0).getAs[Int]("n_seg"), out(0).getAs[Int]("n_kept")) ==
+      ((3, 2)))
+  }
 }
