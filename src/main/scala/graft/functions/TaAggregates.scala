@@ -4,10 +4,10 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.{Column, GraftSqlShims}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, GenericInternalRow, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StructField, StructType}
 
 /** Native Catalyst aggregate functions for the recursive indicators —
   * the (b)-tier of the custom-operator ladder: a `TypedImperativeAggregate`
@@ -35,40 +35,79 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * order-dependent aggregates.
   */
 abstract class RunningAggBase[S]
-  extends TypedImperativeAggregate[S] with UnaryLike[Expression]
+  extends TypedImperativeAggregate[S] with BinaryLike[Expression]
     with Serializable {
   // Callers wrap the child in Cast(_, DoubleType) (see TaFunctions):
   // the classic ImplicitCastInputTypes mixin needs the private[sql]
   // AbstractDataType, so coercion is explicit instead. Serializable is
   // explicit (not a ctor-param class) so executor-side Java
   // deserialization never needs a no-arg constructor from this class.
-  override def dataType: DataType = DoubleType
+  //
+  // `seed` (second child) supports EXACT RESUMPTION for incremental
+  // mart refreshes: a per-group struct (joined onto every input row,
+  // so it is constant within a window partition) holding the
+  // aggregate's internal state as previously captured with the
+  // `emitState` variant. On the first input row of a partition the
+  // state initializes from the seed (NULL seed = fresh start), after
+  // which the recursion continues bit-for-bit as if it had consumed
+  // the full history the seed summarizes.
+  def child: Expression
+  def seed: Expression
+  final override def left: Expression = child
+  final override def right: Expression = seed
   override def nullable: Boolean = true
   override def merge(state: S, other: S): S =
     throw new UnsupportedOperationException(
       s"$prettyName is an ordered running aggregate: window-use only, " +
         "no partial aggregation")
   final override def update(state: S, input: InternalRow): S = {
+    val st = seedOnce(state, input)
     val v = child.eval(input)
-    if (v == null) state else updateValue(state, v.asInstanceOf[Double])
+    if (v == null) st else updateValue(st, v.asInstanceOf[Double])
   }
+  protected def seedOnce(state: S, input: InternalRow): S
   protected def updateValue(state: S, v: Double): S
 }
 
 /** Mutable EMA state: warm-up count, seed accumulator / running EMA. */
-final class EmaState(var count: Long, var acc: Double)
+final class EmaState(var count: Long, var acc: Double,
+  var seeded: Boolean = false)
+
+object Ema {
+  /** Serialized-state shape for seeding/emitState. */
+  val stateType: StructType = StructType(Seq(
+    StructField("count", LongType), StructField("acc", DoubleType)))
+  def nullSeed: Expression = Literal.create(null, stateType)
+}
 
 /** `ema(value, n)` — SMA-seeded exponential moving average,
   * α = 2/(n+1). NULL until n non-NULL values have arrived.
+  * With `emitState` the aggregate evaluates to its internal
+  * (count, acc) struct instead of the EMA value — the snapshot a
+  * later run passes back as `seed` to continue exactly.
   */
 case class Ema(child: Expression, n: Int,
+    seed: Expression = Ema.nullSeed, emitState: Boolean = false,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends RunningAggBase[EmaState] {
 
   override def prettyName: String = "ema"
+  override def dataType: DataType =
+    if (emitState) Ema.stateType else DoubleType
   private val alpha = 2.0 / (n + 1)
 
   override def createAggregationBuffer(): EmaState = new EmaState(0L, 0.0)
+
+  override protected def seedOnce(s: EmaState, input: InternalRow): EmaState = {
+    if (!s.seeded) {
+      s.seeded = true
+      seed.eval(input) match {
+        case null => ()
+        case r: InternalRow => s.count = r.getLong(0); s.acc = r.getDouble(1)
+      }
+    }
+    s
+  }
 
   override protected def updateValue(s: EmaState, v: Double): EmaState = {
     s.count += 1
@@ -79,43 +118,75 @@ case class Ema(child: Expression, n: Int,
   }
 
   override def eval(s: EmaState): Any =
-    if (s.count >= n) s.acc else null
+    if (emitState) new GenericInternalRow(Array[Any](s.count, s.acc))
+    else if (s.count >= n) s.acc else null
 
   override def serialize(s: EmaState): Array[Byte] = {
-    val b = ByteBuffer.allocate(16)
-    b.putLong(s.count).putDouble(s.acc)
+    val b = ByteBuffer.allocate(17)
+    b.put(if (s.seeded) 1.toByte else 0.toByte)
+      .putLong(s.count).putDouble(s.acc)
     b.array()
   }
   override def deserialize(bytes: Array[Byte]): EmaState = {
     val b = ByteBuffer.wrap(bytes)
-    new EmaState(b.getLong(), b.getDouble())
+    val seeded = b.get() == 1.toByte
+    new EmaState(b.getLong(), b.getDouble(), seeded)
   }
 
   override def withNewMutableAggBufferOffset(o: Int): Ema =
     copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): Ema =
     copy(inputAggBufferOffset = o)
-  override protected def withNewChildInternal(c: Expression): Ema =
-    copy(child = c)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Ema = copy(child = l, seed = r)
 }
 
 /** Mutable RSI state: rows seen, previous close, Wilder averages. */
 final class RsiState(var count: Long, var prev: Double,
     var sumGain: Double, var sumLoss: Double,
-    var avgGain: Double, var avgLoss: Double)
+    var avgGain: Double, var avgLoss: Double,
+    var seeded: Boolean = false)
+
+object WilderRsi {
+  /** Serialized-state shape for seeding/emitState. */
+  val stateType: StructType = StructType(Seq(
+    StructField("count", LongType), StructField("prev", DoubleType),
+    StructField("sum_gain", DoubleType), StructField("sum_loss", DoubleType),
+    StructField("avg_gain", DoubleType), StructField("avg_loss", DoubleType)))
+  def nullSeed: Expression = Literal.create(null, stateType)
+}
 
 /** `wilder_rsi(close, n)` — RSI with Wilder smoothing: the first n
   * deltas seed simple averages, then avg = (prev·(n−1) + cur)/n;
-  * avgLoss = 0 → 100. NULL until n deltas have arrived.
+  * avgLoss = 0 → 100. NULL until n deltas have arrived. `seed` /
+  * `emitState` resume/capture the full six-field internal state (see
+  * [[RunningAggBase]]).
   */
 case class WilderRsi(child: Expression, n: Int,
+    seed: Expression = WilderRsi.nullSeed, emitState: Boolean = false,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends RunningAggBase[RsiState] {
 
   override def prettyName: String = "wilder_rsi"
+  override def dataType: DataType =
+    if (emitState) WilderRsi.stateType else DoubleType
 
   override def createAggregationBuffer(): RsiState =
     new RsiState(0L, 0.0, 0.0, 0.0, 0.0, 0.0)
+
+  override protected def seedOnce(s: RsiState, input: InternalRow): RsiState = {
+    if (!s.seeded) {
+      s.seeded = true
+      seed.eval(input) match {
+        case null => ()
+        case r: InternalRow =>
+          s.count = r.getLong(0); s.prev = r.getDouble(1)
+          s.sumGain = r.getDouble(2); s.sumLoss = r.getDouble(3)
+          s.avgGain = r.getDouble(4); s.avgLoss = r.getDouble(5)
+      }
+    }
+    s
+  }
 
   override protected def updateValue(s: RsiState, v: Double): RsiState = {
     if (s.count >= 1) {
@@ -137,29 +208,34 @@ case class WilderRsi(child: Expression, n: Int,
   }
 
   override def eval(s: RsiState): Any =
-    if (s.count > n) {
+    if (emitState)
+      new GenericInternalRow(Array[Any](s.count, s.prev, s.sumGain,
+        s.sumLoss, s.avgGain, s.avgLoss))
+    else if (s.count > n) {
       if (s.avgLoss == 0.0) 100.0
       else 100.0 - 100.0 / (1 + s.avgGain / s.avgLoss)
     } else null
 
   override def serialize(s: RsiState): Array[Byte] = {
-    val b = ByteBuffer.allocate(48)
-    b.putLong(s.count).putDouble(s.prev).putDouble(s.sumGain)
+    val b = ByteBuffer.allocate(49)
+    b.put(if (s.seeded) 1.toByte else 0.toByte)
+      .putLong(s.count).putDouble(s.prev).putDouble(s.sumGain)
       .putDouble(s.sumLoss).putDouble(s.avgGain).putDouble(s.avgLoss)
     b.array()
   }
   override def deserialize(bytes: Array[Byte]): RsiState = {
     val b = ByteBuffer.wrap(bytes)
+    val seeded = b.get() == 1.toByte
     new RsiState(b.getLong(), b.getDouble(), b.getDouble(), b.getDouble(),
-      b.getDouble(), b.getDouble())
+      b.getDouble(), b.getDouble(), seeded)
   }
 
   override def withNewMutableAggBufferOffset(o: Int): WilderRsi =
     copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): WilderRsi =
     copy(inputAggBufferOffset = o)
-  override protected def withNewChildInternal(c: Expression): WilderRsi =
-    copy(child = c)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): WilderRsi = copy(child = l, seed = r)
 }
 
 /** Column-API and SQL surface for the native indicator aggregates. */
@@ -180,11 +256,44 @@ object TaFunctions {
     GraftSqlShims.column(
       Ema(asDouble(GraftSqlShims.expression(c)), n).toAggregateExpression())
 
+  /** Seed-resumed EMA: continues from a per-group (count, acc) state
+    * struct captured by [[emaState]] (NULL seed = fresh start).
+    */
+  def ema(c: Column, n: Int, seed: Column): Column =
+    GraftSqlShims.column(
+      Ema(asDouble(GraftSqlShims.expression(c)), n,
+        seed = GraftSqlShims.expression(seed)).toAggregateExpression())
+
+  /** Running EMA internal state (count, acc) — the resumption
+    * snapshot, optionally itself seed-resumed.
+    */
+  def emaState(c: Column, n: Int,
+      seed: Option[Column] = None): Column =
+    GraftSqlShims.column(
+      Ema(asDouble(GraftSqlShims.expression(c)), n,
+        seed = seed.map(GraftSqlShims.expression).getOrElse(Ema.nullSeed),
+        emitState = true).toAggregateExpression())
+
   /** `wilder_rsi(c, n)` as a Column; apply `.over(running frame)`. */
   def wilderRsi(c: Column, n: Int): Column =
     GraftSqlShims.column(
       WilderRsi(asDouble(GraftSqlShims.expression(c)), n)
         .toAggregateExpression())
+
+  /** Seed-resumed Wilder RSI (state from [[wilderRsiState]]). */
+  def wilderRsi(c: Column, n: Int, seed: Column): Column =
+    GraftSqlShims.column(
+      WilderRsi(asDouble(GraftSqlShims.expression(c)), n,
+        seed = GraftSqlShims.expression(seed)).toAggregateExpression())
+
+  /** Running Wilder-RSI internal state — the resumption snapshot. */
+  def wilderRsiState(c: Column, n: Int,
+      seed: Option[Column] = None): Column =
+    GraftSqlShims.column(
+      WilderRsi(asDouble(GraftSqlShims.expression(c)), n,
+        seed = seed.map(GraftSqlShims.expression)
+          .getOrElse(WilderRsi.nullSeed),
+        emitState = true).toAggregateExpression())
 
   /** Register `ema` / `wilder_rsi` in a session's function registry so
     * `spark.sql("... ema(close, 5) OVER (...)")` resolves.

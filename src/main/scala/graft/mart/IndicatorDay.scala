@@ -81,9 +81,20 @@ object IndicatorDay {
     * indicator values Double (no edge coercion yet — [[apply]] does
     * that), warm-up rows NULL.
     */
+  /** Resume-mode helper columns `indicators(resume = true)` expects on
+    * its input (all joined per id by [[incrementalFrom]]; the state
+    * structs come from [[stateSnapshot]], NULL for ids with no
+    * history): `_live` boolean (false on positional-tail rows),
+    * `_rn_off` long, `_obv0` double, and the seven aggregate states.
+    */
+  val resumeCols: Seq[String] = Seq(
+    "_rn_off", "_obv0", "_ema5_st", "_ema10_st", "_ema30_st",
+    "_ema12_st", "_ema26_st", "_sig9_st", "_rsi_st")
+
   def indicators(bars: DataFrame, carry: Seq[String] = Nil,
       exceptionalIds: Seq[Long] = IndicatorDay.exceptionalIds,
-      nMultiple: Double = IndicatorDay.nMultiple): DataFrame = {
+      nMultiple: Double = IndicatorDay.nMultiple,
+      resume: Boolean = false): DataFrame = {
     val nm =
       if (exceptionalIds.isEmpty) lit(1.0)
       else when(col("id").isin(exceptionalIds: _*), lit(nMultiple))
@@ -104,14 +115,35 @@ object IndicatorDay {
     def mid(n: Int): Column =
       guarded(n, (max(col("hs")).over(frame(n)) + min(col("ls")).over(frame(n))) / 2)
 
+    // Resume plumbing: recursive aggregates must not re-consume the
+    // positional-tail rows their seeds already summarize, so their
+    // INPUT is masked to live rows (NULL-skip makes tail rows
+    // state-neutral) while the frame aggregates keep reading the tail
+    // positionally; rn carries the absolute row offset so warm-up
+    // guards line up with the full history.
+    def liveOnly(c: Column): Column =
+      if (resume) when(col("_live"), c) else c
+    def seedOf(name: String): Option[Column] =
+      if (resume) Some(col(name)) else None
+    def emaR(c: Column, n: Int, st: String): Column = seedOf(st)
+      .map(TaFunctions.ema(liveOnly(c), n, _))
+      .getOrElse(TaFunctions.ema(c, n))
+    def rsiR(c: Column, n: Int, st: String): Column = seedOf(st)
+      .map(TaFunctions.wilderRsi(liveOnly(c), n, _))
+      .getOrElse(TaFunctions.wilderRsi(c, n))
+    val rnExpr =
+      if (resume) (row_number().over(w).cast("long") + col("_rn_off")).as("rn")
+      else row_number().over(w).cast("long").as("rn")
+
     // Stage 1: row numbers + every direct frame aggregate. All of these
     // share one (id, tkey) shuffle+sort.
     val s1 = scaled.select(
       (carry.map(col) ++ Seq(
         col("id"), col("tkey"), col("open"), col("high"), col("low"),
         col("close"), col("volume"), col("n_multiple"),
-        col("hs"), col("ls"), col("cs"))) ++ Seq(
-        row_number().over(w).as("rn")) : _*)
+        col("hs"), col("ls"), col("cs")) ++
+        (if (resume) resumeCols.map(col) else Nil)) ++ Seq(
+        rnExpr) : _*)
 
     val s2 = s1.select(col("*"),
       guarded(5,  avg(col("cs")).over(frame(5))).as("sma5"),
@@ -122,10 +154,16 @@ object IndicatorDay {
       guarded(20, stddev_pop(col("cs")).over(frame(20))).as("bb_sd"),
       // OBV step needs lag(); the running sum over it goes in stage 2
       // (window-over-window is not expressible in one projection).
-      when(lag(col("cs"), 1).over(w).isNull, lit(0.0))
-        .when(col("cs") > lag(col("cs"), 1).over(w), col("volume"))
-        .when(col("cs") < lag(col("cs"), 1).over(w), -col("volume"))
-        .otherwise(lit(0.0)).as("obv_step"),
+      // Resume: tail rows step 0 (their sum lives in _obv0); the first
+      // live row still lags into the tail for its direction.
+      {
+        val step = when(lag(col("cs"), 1).over(w).isNull, lit(0.0))
+          .when(col("cs") > lag(col("cs"), 1).over(w), col("volume"))
+          .when(col("cs") < lag(col("cs"), 1).over(w), -col("volume"))
+          .otherwise(lit(0.0))
+        (if (resume) when(!col("_live"), lit(0.0)).otherwise(step)
+         else step).as("obv_step")
+      },
       // Raw stochastic %K; 0 when the 14-bar range is flat (the edge
       // coercion turns that 0 into NULL, as the reference's float(x)
       // coercion does).
@@ -151,13 +189,14 @@ object IndicatorDay {
     // exchange). The recursive indicators ride the same sort as native
     // running aggregates.
     val s3 = s2.select(col("*"),
-      TaFunctions.ema(col("cs"), 5).over(run).as("ema5"),
-      TaFunctions.ema(col("cs"), 10).over(run).as("ema10"),
-      TaFunctions.ema(col("cs"), 30).over(run).as("ema30"),
-      (TaFunctions.ema(col("cs"), 12).over(run) -
-        TaFunctions.ema(col("cs"), 26).over(run)).as("macd"),
-      TaFunctions.wilderRsi(col("cs"), 14).over(run).as("rsi"),
-      sum(col("obv_step")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+      emaR(col("cs"), 5, "_ema5_st").over(run).as("ema5"),
+      emaR(col("cs"), 10, "_ema10_st").over(run).as("ema10"),
+      emaR(col("cs"), 30, "_ema30_st").over(run).as("ema30"),
+      (emaR(col("cs"), 12, "_ema12_st").over(run) -
+        emaR(col("cs"), 26, "_ema26_st").over(run)).as("macd"),
+      rsiR(col("cs"), 14, "_rsi_st").over(run).as("rsi"),
+      ((if (resume) coalesce(col("_obv0"), lit(0.0)) else lit(0.0)) +
+        sum(col("obv_step")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
         .as("obv"),
       guarded(16, avg(col("stoch_raw")).over(frame(3))).as("stoch_k"),
       lag((col("tenkan") + col("kijun")) / 2, 26).over(w)
@@ -172,7 +211,11 @@ object IndicatorDay {
     // arithmetic combinations.
     val s4 = s3.select(col("*"),
       guarded(18, avg(col("stoch_k")).over(frame(3))).as("stoch_d"),
-      TaFunctions.ema(col("macd"), 9).over(run).as("macd_single"))
+      // Resume: tail rows evaluate macd to the FROZEN seed value (their
+      // masked closes never update the EMA states), so the signal-line
+      // input masks them too — its seed already summarizes the real
+      // macd history the tail rows stand in for.
+      emaR(col("macd"), 9, "_sig9_st").over(run).as("macd_single"))
 
     val withWin = s4.select(col("*"),
       (lit(3) * col("stoch_k") - lit(2) * col("stoch_d")).as("stoch_j"),
@@ -234,6 +277,101 @@ object IndicatorDay {
     Seq(col("t"), col("id"), col("open"), col("high"), col("low"),
       col("close"), col("volume"), col("n_multiple")) ++
       indicatorCols.map(col)
+
+  /** Per-id recursion-state snapshot AT THE LAST BAR of `bars` — the
+    * sidecar a production incremental refresh persists each run and
+    * reads back the next ([[incrementalFrom]]): absolute row count,
+    * running OBV, the five close-EMA states, the MACD signal-line EMA
+    * state, and the Wilder-RSI state, all in double precision (the
+    * published mart's float edge would corrupt a recursion seed).
+    * One (id, tkey) window sort + one id-keyed max_by — same scale
+    * shape as the mart itself.
+    */
+  def stateSnapshot(bars: DataFrame,
+      exceptionalIds: Seq[Long] = IndicatorDay.exceptionalIds,
+      nMultiple: Double = IndicatorDay.nMultiple): DataFrame = {
+    val nm =
+      if (exceptionalIds.isEmpty) lit(1.0)
+      else when(col("id").isin(exceptionalIds: _*), lit(nMultiple))
+        .otherwise(lit(1.0))
+    val scaled = bars.withColumn("cs", col("close") * nm)
+    val w = Window.partitionBy(col("id")).orderBy(col("tkey"))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    val s1 = scaled.select(col("id"), col("tkey"),
+      row_number().over(w).cast("long").as("rn0"),
+      when(lag(col("cs"), 1).over(w).isNull, lit(0.0))
+        .when(col("cs") > lag(col("cs"), 1).over(w), col("volume"))
+        .when(col("cs") < lag(col("cs"), 1).over(w), -col("volume"))
+        .otherwise(lit(0.0)).as("obv_step"),
+      TaFunctions.emaState(col("cs"), 5).over(run).as("ema5_st"),
+      TaFunctions.emaState(col("cs"), 10).over(run).as("ema10_st"),
+      TaFunctions.emaState(col("cs"), 30).over(run).as("ema30_st"),
+      TaFunctions.emaState(col("cs"), 12).over(run).as("ema12_st"),
+      TaFunctions.emaState(col("cs"), 26).over(run).as("ema26_st"),
+      TaFunctions.wilderRsiState(col("cs"), 14).over(run).as("rsi_st"))
+    // macd value re-derived from the EMA states (acc IS the ema once
+    // count ≥ n) — no second value-aggregate pass needed.
+    val s2 = s1.select(col("*"),
+      sum(col("obv_step")).over(run).as("obv0"),
+      when(col("ema12_st").getField("count") >= 12 &&
+          col("ema26_st").getField("count") >= 26,
+        col("ema12_st").getField("acc") - col("ema26_st").getField("acc"))
+        .as("macd"))
+    val s3 = s2.select(col("*"),
+      TaFunctions.emaState(col("macd"), 9).over(run).as("sig9_st"))
+    val stCols = Seq("rn0", "obv0", "ema5_st", "ema10_st", "ema30_st",
+      "ema12_st", "ema26_st", "sig9_st", "rsi_st")
+    s3.groupBy(col("id"))
+      .agg(max_by(struct(stCols.map(col): _*), col("tkey")).as("st"))
+      .select(col("id") +: stCols.map(c => col("st").getField(c).as(c)): _*)
+  }
+
+  /** Incremental mart refresh: recompute ONLY the rows with
+    * `tkey ≥ liveFrom`, exactly equal to a full-history recompute of
+    * those rows. Inputs are the new bars plus (a) the per-id
+    * [[stateSnapshot]] of everything before `liveFrom` — rederived
+    * here; persisted and read back in a production pipeline — and (b)
+    * a positional tail of the last `tailBars` bars per id, which feeds
+    * the frame aggregates (77 = the deepest positional reach:
+    * senkou-B's 26-bar displacement over a 52-bar midpoint frame + the
+    * current row). Recursive aggregates never see the tail (masked
+    * input; seeds carry their history), so the refresh cost scales
+    * with |new bars| + |ids|·tail, NOT with history length — the
+    * full-history daily recompute is exactly what stops working at
+    * warehouse scale.
+    */
+  def incrementalFrom(bars: DataFrame, liveFrom: Column,
+      carry: Seq[String] = Nil, tailBars: Int = 77,
+      exceptionalIds: Seq[Long] = IndicatorDay.exceptionalIds,
+      nMultiple: Double = IndicatorDay.nMultiple): DataFrame = {
+    val prefix = bars.where(col("tkey") < liveFrom)
+    val state = stateSnapshot(prefix, exceptionalIds, nMultiple)
+      .select(col("id") +: resumeCols.tail.map(c =>
+        col(c.stripPrefix("_")).as(c)) :+ col("rn0"): _*)
+    val wd = Window.partitionBy(col("id")).orderBy(col("tkey").desc)
+    val tail = prefix.withColumn("_dr", row_number().over(wd))
+      .where(col("_dr") <= tailBars).drop("_dr")
+    val input = tail.unionByName(bars.where(col("tkey") >= liveFrom))
+      .withColumn("_live", col("tkey") >= liveFrom)
+    // tail length per id = min(tailBars, rn0), so the absolute row
+    // offset needs no extra count pass
+    val joined = input.join(state, Seq("id"), "left")
+      .withColumn("_rn_off",
+        coalesce(greatest(col("rn0") - tailBars, lit(0L)), lit(0L)))
+      .drop("rn0")
+    indicators(joined, carry = carry :+ "_live", exceptionalIds,
+      nMultiple, resume = true)
+  }
+
+  /** Hourly-mart incremental refresh (the q32-family frame), emitting
+    * exactly the rows with `t ≥ fromT` — pinned equal to the full
+    * recompute both in IndicatorDaySpec and by the q99 oracle.
+    */
+  def hourlyIncremental(events: DataFrame, fromT: Long): DataFrame = {
+    val bars = Bars.hourly(events).withColumn("tkey", col("t"))
+    applyEdge(incrementalFrom(bars, lit(fromT), carry = Seq("t")))
+      .where(col("_live")).drop("_live")
+  }
 
   /** The full `crypto_indicator_day` mart on daily bars: DDL column
     * set (id, dt, low, high, open, close, volume, 25 indicators,

@@ -154,6 +154,11 @@ object Indicators extends QueryPack {
   private val defaultNmCase =
     "CASE WHEN id = 7 THEN CAST(1000 AS DOUBLE) ELSE CAST(1 AS DOUBLE) END"
 
+  /** q99 refresh cut: 2024-01-20 00:00 UTC — mid-fixture, so per-id
+    * prefixes straddle the EMA30/RSI warm-up boundaries.
+    */
+  private val incrementalCutT = 1705708800L
+
   private val hourlyBlock =
     withBlock(Bars.oracleCteHourly, "hourly", "t")
   private val dailyBlock =
@@ -216,6 +221,31 @@ object Indicators extends QueryPack {
           col("ema5"), col("rsi"), col("obv"),
           col("n_multiple").cast("float").as("n_multiple"))
     }),
+
+    // Incremental mart refresh: ONLY rows with t >= the cut are
+    // recomputed, seeded from the per-id stateSnapshot + a 77-bar
+    // positional tail — while the ORACLE recomputes the full history
+    // and filters. Equality proves the incremental algebra is exact
+    // across every indicator family (recursive EMAs/RSI/OBV continue
+    // from state; frame aggregates read the tail positionally). The
+    // production shape persists the snapshot per run, so refresh cost
+    // scales with the new data, not history length.
+    "q99_incremental_mart" -> ((s, d) =>
+      IndicatorDay.hourlyIncremental(t("events")(s, d), incrementalCutT)
+        .select(col("id"), col("t"),
+          col("sma5"), col("sma10"), col("sma30"),
+          col("ema5"), col("ema10"), col("ema30"),
+          col("macd"), col("macd_single"), col("rsi"),
+          col("bollinger_bands_sma"), col("bollinger_bands_lower_band"),
+          col("bollinger_bands_upper_band"),
+          col("obv"), col("obv_sma"),
+          col("ichimoku_chikou_span"), col("ichimoku_kijun_sen"),
+          col("ichimoku_tenkan_sen"), col("ichimoku_senkou_span_a"),
+          col("ichimoku_senkou_span_b"),
+          col("stoch_oscillator"), col("stoch_signal"),
+          col("stoch_percent_j"),
+          col("aroon_up"), col("aroon_down"), col("aroon_oscillator"),
+          col("n_multiple").cast("float").as("n_multiple"))),
 
     // J4: the groupByKey.flatMapGroups kernel path ([[Recursive]]) —
     // the mart itself runs the native TypedImperativeAggregate path
@@ -290,6 +320,34 @@ object Indicators extends QueryPack {
          |       ${E("ema30")} AS ema30, ${E("macd")} AS macd,
          |       ${E("macd_single")} AS macd_single, ${E("rsi")} AS rsi
          |FROM ind""".stripMargin,
+    // The incremental-refresh gate: FULL-history recompute, filtered to
+    // the engine's refresh window.
+    "q99_incremental_mart" ->
+      s"""$hourlyBlock
+         |SELECT id, t,
+         |       ${E("sma5")} AS sma5, ${E("sma10")} AS sma10,
+         |       ${E("sma30")} AS sma30,
+         |       ${E("ema5")} AS ema5, ${E("ema10")} AS ema10,
+         |       ${E("ema30")} AS ema30,
+         |       ${E("macd")} AS macd, ${E("macd_single")} AS macd_single,
+         |       ${E("rsi")} AS rsi,
+         |       ${E("bb_sma")} AS bollinger_bands_sma,
+         |       ${E("bb_lower")} AS bollinger_bands_lower_band,
+         |       ${E("bb_upper")} AS bollinger_bands_upper_band,
+         |       ${E("obv")} AS obv, CAST(NULL AS REAL) AS obv_sma,
+         |       ${E("chikou")} AS ichimoku_chikou_span,
+         |       ${E("kijun")} AS ichimoku_kijun_sen,
+         |       ${E("tenkan")} AS ichimoku_tenkan_sen,
+         |       ${E("senkou_a")} AS ichimoku_senkou_span_a,
+         |       ${E("senkou_b")} AS ichimoku_senkou_span_b,
+         |       ${E("stoch_d")} AS stoch_oscillator,
+         |       ${E("stoch_k")} AS stoch_signal,
+         |       ${E("stoch_j")} AS stoch_percent_j,
+         |       ${E("aroon_up")} AS aroon_up,
+         |       ${E("aroon_down")} AS aroon_down,
+         |       ${E("aroon_osc")} AS aroon_oscillator,
+         |       CAST(nm AS REAL) AS n_multiple
+         |FROM ind WHERE t >= $incrementalCutT""".stripMargin,
     "q91_multi_asset" ->
       s"""SELECT * FROM (
          |$hourlyBlock

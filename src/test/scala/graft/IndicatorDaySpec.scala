@@ -92,4 +92,42 @@ class IndicatorDaySpec extends AnyFunSuite {
       .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
     assert(firsts.where(col("obv").isNotNull).count() == 0)
   }
+
+  test("incremental refresh: emitted window equals the full recompute") {
+    // fixture prefixes (~30-55 bars/id) sit below tailBars, so this
+    // covers the tail-is-whole-prefix path AND mid-warm-up seeding
+    // (ids whose EMA30/RSI counts are still inside warm-up at the cut)
+    val fromT = 1705708800L // 2024-01-20
+    val full = IndicatorDay.hourly(events).where(col("t") >= fromT)
+    val inc = IndicatorDay.hourlyIncremental(events, fromT)
+    assert(inc.columns.toSeq == full.columns.toSeq)
+    val a = full.orderBy("id", "t").collect()
+    val b = inc.orderBy("id", "t").collect()
+    assert(a.length == b.length && a.nonEmpty)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
+
+  test("incremental refresh: long history exercises the row-offset path") {
+    import spark.implicits._
+    // 200 bars/id >> tailBars = 77: seeds summarize 83 rows the input
+    // never carries, so absolute row numbers need the _rn_off shift
+    // and every recursive aggregate continues from mid-stream state.
+    // id 7 runs the exceptional x1000 scaling path. Integer volumes
+    // keep the seeded OBV sum bit-exact (double int sums are exact).
+    val rnd = new scala.util.Random(11)
+    val bars = (for { id <- Seq(1L, 7L); i <- 0 until 200 } yield {
+      val c = 50.0 + 10 * math.sin(i / 7.0) + rnd.nextDouble()
+      (id, 3600L * i, c - 0.5, c + 1.0, c - 1.0, c,
+        (1 + rnd.nextInt(50)).toDouble)
+    }).toDF("id", "tkey", "open", "high", "low", "close", "volume")
+    val fromT = 3600L * 160
+    val full = IndicatorDay.indicators(bars).where(col("tkey") >= fromT)
+    val inc = IndicatorDay.incrementalFrom(bars, lit(fromT))
+      .where(col("_live")).drop("_live")
+    assert(inc.columns.toSeq == full.columns.toSeq)
+    val a = full.orderBy("id", "tkey").collect()
+    val b = inc.orderBy("id", "tkey").collect()
+    assert(a.length == b.length && a.length == 80)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
 }
