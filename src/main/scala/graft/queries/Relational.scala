@@ -152,6 +152,28 @@ object Relational extends QueryPack {
       c.withColumn("rk", row_number().over(w).cast("long"))
         .where(col("rk") <= 3)
         .select(col("c_mktsegment"), col("rk"), col("c_custkey"), col("c_acctbal"))
+    }),
+
+    // §2.8 set difference as LEFT ANTI join: customers with no order
+    // in 1995, summarized per nation (TPC-H Q22 shape; the year scope
+    // keeps the difference non-empty on the fixture, where every
+    // customer has SOME order). The anti join hash-partitions both
+    // sides on the key — the orders side carries only its key column
+    // into the shuffle after the pushed year filter — and the nation
+    // lookup broadcasts.
+    "q100_anti_join" -> ((s, d) => {
+      val cust = t("customer")(s, d)
+      val ord = t("orders")(s, d)
+        .where(year(col("o_orderdate")) === 1995)
+        .select(col("o_custkey"))
+      val nat = t("nation")(s, d)
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name"))
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_custs"),
+          round(sum(col("c_acctbal")), 2).cast("float").as("acctbal_sum"))
+        .join(broadcast(nat), "c_nationkey")
+        .select(col("n_name"), col("n_custs"), col("acctbal_sum"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -236,5 +258,13 @@ object Relational extends QueryPack {
         |  SELECT c_mktsegment, c_custkey, c_acctbal,
         |         row_number() OVER (PARTITION BY c_mktsegment
         |           ORDER BY c_acctbal DESC, c_custkey) AS rk
-        |  FROM customer) WHERE rk <= 3""".stripMargin)
+        |  FROM customer) WHERE rk <= 3""".stripMargin,
+    "q100_anti_join" ->
+      """SELECT n_name, count(*) AS n_custs,
+        |       CAST(round(sum(c_acctbal), 2) AS REAL) AS acctbal_sum
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND year(o.o_orderdate) = 1995)
+        |GROUP BY 1""".stripMargin)
 }
