@@ -443,8 +443,9 @@ object Dedup {
       .agg(min(col("ord")).as("w_ord"))
     val kept = segs.join(claims, "dig")
       .where(col("ord") === col("w_ord"))
-    val totals = segs.groupBy("doc_id")
-      .agg(count(lit(1)).cast("int").as("n_seg"))
+    // per-doc totals come straight from the token counts — a pure map,
+    // no third segmentation pass and no extra groupBy shuffle
+    val totals = toks.select(col("doc_id"), nSeg.cast("int").as("n_seg"))
     val rebuilt = kept.groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_kept"),
         array_join(sort_array(collect_list(struct(col("seg_idx"),
