@@ -69,6 +69,40 @@ object Similarity {
         col("cos"))
   }
 
+  /** Int8-quantized brute-force top-k — the MEMORY scale path: each
+    * vector becomes a [[graft.functions.QuantizeI8]] byte blob (8× vs
+    * the double array), and ranking runs entirely on exact integer
+    * dot products of the codes ([[graft.functions.QuantizedDot]]);
+    * per-vector scales cancel in the cosine, so the float embeddings
+    * are never touched after the one-pass quantization. At warehouse
+    * scale this is what fits a broadcast index in executor memory —
+    * 1B × 64-dim drops from 512 GB of doubles to 64 GB of codes —
+    * while recall stays near-exact (pinned vs [[bruteForceTopK]] in
+    * LlmSpec). Same output contract as q68: (qid, rank, neighbor_id,
+    * qcos) ranked on the rounded quantized cosine, id tiebreak.
+    */
+  def quantizedTopK(embeddings: DataFrame, queryPred: Column,
+      k: Int = 5): DataFrame = {
+    import graft.functions.{QuantizeI8, QuantizedDot}
+    val e = embeddings.select(col("vec_id"),
+        QuantizeI8(asDouble(col("embedding"))).as("qv"))
+      .withColumn("n2", QuantizedDot(col("qv"), col("qv")))
+      .where(col("n2") > 0)
+    val q = e.where(queryPred)
+      .select(col("vec_id").as("qid"), col("qv").as("qqv"),
+        col("n2").as("qn2"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("qcos",
+        round(QuantizedDot(col("qqv"), col("qv")) /
+          (sqrt(col("qn2")) * sqrt(col("n2"))), 4))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("qcos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("qcos"))
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer (k-means cells) plus
     * probe-nearest-cells search — the other classic ANN scale shape.
     *

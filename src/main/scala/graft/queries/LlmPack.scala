@@ -108,6 +108,13 @@ object LlmPack extends QueryPack {
       Similarity.lshTopK(t("embeddings")(s, d), col("vec_id") < 10)),
     "q71_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(t("embeddings")(s, d), col("vec_id") < 10)),
+    // Int8-quantized ANN (the memory scale path): ranking runs on
+    // exact integer dots of QuantizeI8 codes, so the oracle re-derives
+    // the byte codes in SQL and the whole quantized pipeline sits
+    // under the hash gate. Recall vs the exact q68 answer is pinned
+    // separately in LlmSpec.
+    "q101_ann_quantized" -> ((s, d) =>
+      Similarity.quantizedTopK(t("embeddings")(s, d), col("vec_id") < 10)),
     // Embedding-space near-dup: the exact threshold-pair set is the
     // registered/oracled operator; the LSH-bucketed scale variant
     // (cosineDupsLsh) is subset+recall-verified in LlmSpec.
@@ -625,6 +632,37 @@ object LlmPack extends QueryPack {
          |SELECT qid, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid
          |        ORDER BY cos DESC, neighbor_id) AS rank FROM p2)
+         |WHERE rank <= 5""".stripMargin,
+    // Quantized-ANN oracle: the int8 codes are re-derived in SQL —
+    // scale = max|v|/127, code = floor(v/scale + 0.5) (round-half-up,
+    // identical IEEE ops in both engines), integer dots, then the only
+    // float steps are one divide + two integer square roots.
+    "q101_ann_quantized" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sc AS (
+         |  SELECT vec_id, v,
+         |         list_max(list_transform(v, x -> abs(x))) / 127 AS s
+         |  FROM e),
+         |q AS (
+         |  SELECT vec_id,
+         |         list_transform(v, x -> CASE WHEN s = 0 THEN 0
+         |           ELSE CAST(floor(x / s + 0.5) AS BIGINT) END) AS qv
+         |  FROM sc),
+         |n AS (
+         |  SELECT vec_id, qv,
+         |         list_sum(list_transform(qv, x -> x * x)) AS n2
+         |  FROM q WHERE list_sum(list_transform(qv, x -> x * x)) > 0),
+         |p AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS neighbor_id,
+         |         round(list_sum(list_transform(
+         |                 range(1, ${Similarity.defaultDim} + 1),
+         |                 i -> a.qv[CAST(i AS INT)] * b.qv[CAST(i AS INT)]))
+         |               / (sqrt(a.n2) * sqrt(b.n2)), 4) AS qcos
+         |  FROM n a JOIN n b ON a.vec_id < 10 AND b.vec_id <> a.vec_id)
+         |SELECT qid, CAST(rank AS INTEGER) AS rank, neighbor_id, qcos
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |        ORDER BY qcos DESC, neighbor_id) AS rank FROM p)
          |WHERE rank <= 5""".stripMargin,
     "q68_ann_cosine" ->
       """WITH e AS (

@@ -329,6 +329,33 @@ class LlmSpec extends AnyFunSuite {
     assert(decoded.count() == frame.count())
   }
 
+  test("quantized ANN: kernel equals HOF spec; high recall vs exact top-5") {
+    import graft.functions.{QuantizeI8, QuantizedDot}
+    // kernel pin: QuantizedDot(q, q) over QuantizeI8 codes equals the
+    // interpreted transform/aggregate formulation of the same scheme
+    val v = col("embedding").cast("array<double>")
+    val s = array_max(transform(v, x => abs(x))) / 127
+    val hofQ = transform(v, x =>
+      when(s === 0, lit(0)).otherwise(floor(x / s + 0.5).cast("int")))
+    val hofN2 = aggregate(zip_with(hofQ, hofQ, (a, b) => a * b),
+      lit(0), (acc, x) => acc + x)
+    val mism = embs.select(
+        QuantizedDot(QuantizeI8(v), QuantizeI8(v)).as("k"),
+        hofN2.as("h"))
+      .where(col("k") =!= col("h")).count()
+    assert(mism == 0)
+    // int8 on 64 dims barely moves top-5 cosine ranks: expect recall
+    // well above the LSH floor (measured 1.0 on the frozen fixture)
+    val brute = Similarity.bruteForceTopK(embs, col("vec_id") < 10, 5)
+      .select("qid", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.quantizedTopK(embs, col("vec_id") < 10, 5)
+      .select("qid", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (quant & brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"quantized recall $recall")
+  }
+
   test("pii redaction: url then email then long-number cascade") {
     import spark.implicits._
     val in = Seq(
