@@ -353,4 +353,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(asks.map(_.getAs[Int]("order_rank")).toSeq == Seq(1, 2))
     assert(asks(0).getAs[String]("quote_price") == "100.1")
   }
+
+  test("online indicator stream across micro-batches == batch recompute") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.mart.IndicatorDay
+    import graft.stream.IndicatorStream
+    import graft.stream.IndicatorStream.BarIn
+    import graft.functions.TaFunctions
+    import graft.ts.Bars
+    import org.apache.spark.sql.expressions.Window
+
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val scaled = (col("close") *
+      when(col("id").isin(IndicatorDay.exceptionalIds: _*),
+        lit(IndicatorDay.nMultiple)).otherwise(lit(1.0))).as("close")
+    val bars = Bars.hourly(events)
+      .select(col("id"), col("t"), scaled, col("volume"))
+    val all = bars.as[BarIn].collect().sortBy(b => (b.t, b.id))
+
+    // three contiguous event-time slices = three micro-batches; per
+    // symbol the stream sees its bars in order across batches
+    val cut1 = all(all.length / 3).t
+    val cut2 = all(2 * all.length / 3).t
+    val mem = MemoryStream[BarIn]
+    val q = IndicatorStream.onlineIndicators(mem.toDS())
+      .writeStream.format("memory").queryName("ind_online")
+      .outputMode("append").start()
+    mem.addData(all.filter(_.t < cut1).toIndexedSeq: _*)
+    q.processAllAvailable()
+    mem.addData(all.filter(b => b.t >= cut1 && b.t < cut2).toIndexedSeq: _*)
+    q.processAllAvailable()
+    mem.addData(all.filter(_.t >= cut2).toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val online = spark.table("ind_online")
+
+    // batch expectation: the mart's native running aggregates over the
+    // same scaled bars (identical operation order -> bit-equal)
+    val w = Window.partitionBy(col("id")).orderBy(col("t"))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    val b1 = bars.select(col("id"), col("t"), col("close"), col("volume"),
+      TaFunctions.ema(col("close"), 5).over(run).as("ema5"),
+      TaFunctions.ema(col("close"), 10).over(run).as("ema10"),
+      TaFunctions.ema(col("close"), 30).over(run).as("ema30"),
+      (TaFunctions.ema(col("close"), 12).over(run) -
+        TaFunctions.ema(col("close"), 26).over(run)).as("macd"),
+      TaFunctions.wilderRsi(col("close"), 14).over(run).as("rsi"),
+      when(lag(col("close"), 1).over(w).isNull, lit(0.0))
+        .when(col("close") > lag(col("close"), 1).over(w), col("volume"))
+        .when(col("close") < lag(col("close"), 1).over(w), -col("volume"))
+        .otherwise(lit(0.0)).as("obv_step"))
+    val expected = b1.select(col("id"), col("t"), col("ema5"),
+      col("ema10"), col("ema30"), col("macd"),
+      TaFunctions.ema(col("macd"), 9).over(run).as("macd_single"),
+      col("rsi"), sum(col("obv_step")).over(run).as("obv"))
+
+    assert(online.count() == all.length)
+    val joined = online.as("o").join(expected.as("e"),
+      col("o.id") === col("e.id") && col("o.t") === col("e.t"))
+    assert(joined.count() == all.length)
+    val mismatches = joined.where(
+      Seq("ema5", "ema10", "ema30", "macd", "macd_single", "rsi", "obv")
+        .map(c => !(col(s"o.$c") <=> col(s"e.$c")))
+        .reduce(_ || _)).count()
+    assert(mismatches == 0)
+  }
 }
