@@ -343,11 +343,25 @@ object IndicatorDay {
   def incrementalFrom(bars: DataFrame, liveFrom: Column,
       carry: Seq[String] = Nil, tailBars: Int = 77,
       exceptionalIds: Seq[Long] = IndicatorDay.exceptionalIds,
-      nMultiple: Double = IndicatorDay.nMultiple): DataFrame = {
+      nMultiple: Double = IndicatorDay.nMultiple): DataFrame =
+    incrementalFrom(bars,
+      stateSnapshot(bars.where(col("tkey") < liveFrom),
+        exceptionalIds, nMultiple),
+      liveFrom, carry, tailBars, exceptionalIds, nMultiple)
+
+  /** [[incrementalFrom]] over a PRECOMPUTED [[stateSnapshot]] frame —
+    * the production form: each refresh persists its snapshot (plain
+    * parquet; struct columns round-trip) and the next run reads it
+    * back instead of re-deriving it from history. Pinned equal to the
+    * self-derived form through a parquet round-trip in
+    * IndicatorDaySpec.
+    */
+  def incrementalFrom(bars: DataFrame, state: DataFrame, liveFrom: Column,
+      carry: Seq[String], tailBars: Int,
+      exceptionalIds: Seq[Long], nMultiple: Double): DataFrame = {
     val prefix = bars.where(col("tkey") < liveFrom)
-    val state = stateSnapshot(prefix, exceptionalIds, nMultiple)
-      .select(col("id") +: resumeCols.tail.map(c =>
-        col(c.stripPrefix("_")).as(c)) :+ col("rn0"): _*)
+    val st = state.select(col("id") +: resumeCols.tail.map(c =>
+      col(c.stripPrefix("_")).as(c)) :+ col("rn0"): _*)
     val wd = Window.partitionBy(col("id")).orderBy(col("tkey").desc)
     val tail = prefix.withColumn("_dr", row_number().over(wd))
       .where(col("_dr") <= tailBars).drop("_dr")
@@ -355,7 +369,7 @@ object IndicatorDay {
       .withColumn("_live", col("tkey") >= liveFrom)
     // tail length per id = min(tailBars, rn0), so the absolute row
     // offset needs no extra count pass
-    val joined = input.join(state, Seq("id"), "left")
+    val joined = input.join(st, Seq("id"), "left")
       .withColumn("_rn_off",
         coalesce(greatest(col("rn0") - tailBars, lit(0L)), lit(0L)))
       .drop("rn0")

@@ -130,4 +130,27 @@ class IndicatorDaySpec extends AnyFunSuite {
     assert(a.length == b.length && a.length == 80)
     a.zip(b).foreach { case (x, y) => assert(x == y) }
   }
+
+  test("incremental refresh: persisted state sidecar round-trips exactly") {
+    // the production form: snapshot written to parquet by one run,
+    // read back by the next — struct state columns must survive the
+    // round-trip bit-for-bit
+    val fromT = 1705708800L
+    val bars = graft.ts.Bars.hourly(events).withColumn("tkey", col("t"))
+    val snap = IndicatorDay.stateSnapshot(bars.where(col("tkey") < fromT))
+    val dir = java.nio.file.Files.createTempDirectory("mart-state").toString
+    snap.write.mode("overwrite").parquet(dir)
+    val loaded = spark.read.parquet(dir)
+    val viaDisk = IndicatorDay.incrementalFrom(bars, loaded, lit(fromT),
+        carry = Seq("t"), tailBars = 77,
+        IndicatorDay.exceptionalIds, IndicatorDay.nMultiple)
+      .where(col("_live"))
+    val derived = IndicatorDay.incrementalFrom(bars, lit(fromT),
+        carry = Seq("t"))
+      .where(col("_live"))
+    val a = derived.orderBy("id", "tkey").collect()
+    val b = viaDisk.orderBy("id", "tkey").collect()
+    assert(a.length == b.length && a.nonEmpty)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
 }
