@@ -45,6 +45,7 @@ case class DotProduct(left: Expression, right: Expression)
   }
 
   override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
 
   private def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType

@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, Expression, LambdaFunction, Literal, Multiply, NamedLambdaVariable, ZipWith}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+/** Optimizer rule: rewrite the interpreted higher-order dot-product
+  * pattern
+  *
+  * {{{ aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v) }}}
+  *
+  * to the codegen'd [[DotProduct]] kernel. SQL users (and ported
+  * PySpark code) naturally write the HOF formulation; Spark evaluates
+  * HOF lambdas through interpreted plumbing that blocks whole-stage
+  * codegen for the entire stage and allocates an intermediate zipped
+  * array per row — the repo measured ~1000× I/O cost on hot paths.
+  * With this rule the declarative form stays, the physical plan gets
+  * the fused loop.
+  *
+  * VECTOR-COLUMN CONTRACT (why the rule is opt-in rather than always
+  * on): [[DotProduct]] dots the common prefix of mismatched-length
+  * arrays and reads NULL elements as 0, while the HOF formulation
+  * NULL-poisons those rows. For embedding columns — fixed dimension,
+  * no NULL elements, the only place this pattern appears — the two are
+  * identical, summation order included (both fold left-to-right from
+  * 0.0). Enable per session via
+  * `spark.experimental.extraOptimizations :+= KernelRewrite` or for
+  * every session through [[GraftExtensions]]
+  * (`spark.sql.extensions=graft.functions.GraftExtensions`).
+  *
+  * The match is deliberately strict — exact lambda shapes, double
+  * arrays, literal 0.0 seed — so anything else is left untouched
+  * (a no-match is always safe).
+  */
+object KernelRewrite extends Rule[LogicalPlan] {
+
+  private def isVec(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType | FloatType, _) => true
+    case _ => false
+  }
+
+  private def sameVars(bodyA: NamedLambdaVariable, bodyB: NamedLambdaVariable,
+      args: Seq[NamedLambdaVariable]): Boolean =
+    args.length == 2 &&
+      Set(bodyA.exprId, bodyB.exprId) == Set(args(0).exprId, args(1).exprId) &&
+      bodyA.exprId != bodyB.exprId
+
+  /** (x, y) -> x * y (either operand order) over exactly the lambda's
+    * own two arguments.
+    */
+  private def isPairwiseProduct(f: Expression): Boolean = f match {
+    case LambdaFunction(Multiply(x: NamedLambdaVariable,
+        y: NamedLambdaVariable, _), args, _) =>
+      sameVars(x, y, args.collect { case v: NamedLambdaVariable => v })
+    case _ => false
+  }
+
+  /** (acc, v) -> acc + v (either operand order). */
+  private def isSumMerge(f: Expression): Boolean = f match {
+    case LambdaFunction(Add(a: NamedLambdaVariable,
+        b: NamedLambdaVariable, _), args, _) =>
+      sameVars(a, b, args.collect { case v: NamedLambdaVariable => v })
+    case _ => false
+  }
+
+  /** finish lambda is the identity on its single argument. */
+  private def isIdentityFinish(f: Expression): Boolean = f match {
+    case LambdaFunction(v: NamedLambdaVariable, Seq(arg: NamedLambdaVariable), _) =>
+      v.exprId == arg.exprId
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressionsWithPruning(
+      _.containsPattern(org.apache.spark.sql.catalyst.trees.TreePattern
+        .HIGH_ORDER_FUNCTION)) {
+      case agg @ ArrayAggregate(ZipWith(a, b, mul), Literal(0.0, DoubleType),
+          merge, finish)
+          if isVec(a) && isVec(b) && isPairwiseProduct(mul) &&
+            isSumMerge(merge) && isIdentityFinish(finish) =>
+        DotProduct(a, b)
+    }
+}

@@ -337,6 +337,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    // HOF-to-kernel rewrite (see KernelRewrite's vector-column contract)
+    ext.injectOptimizerRule(_ => KernelRewrite)
     def info(name: String) =
       new ExpressionInfo(classOf[Ema].getName, name)
     ext.injectFunction((FunctionIdentifier("ema"), info("ema"),

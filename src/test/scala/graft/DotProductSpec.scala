@@ -98,4 +98,35 @@ class DotProductSpec extends AnyFunSuite {
     assert(e.eval(null) == 32.0)
     val _ = GraftSqlShims // keep import used
   }
+
+  test("KernelRewrite: HOF dot-product fold optimizes to the native kernel") {
+    import spark.implicits._
+    import graft.functions.KernelRewrite
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = before :+ KernelRewrite
+    try {
+      // parquet-backed source: a LocalRelation would be constant-folded
+      // away before the plan assertion could see the rewrite
+      val embs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      val v = col("embedding").cast("array<double>")
+      val df = embs.select(col("vec_id"), fold(v, v).as("d"))
+      // the optimized plan carries the kernel, not the interpreted HOF
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("dot_product"), optimized)
+      assert(!optimized.contains("aggregate("), optimized)
+      // and the rewritten result equals the native kernel's directly
+      val direct = embs.select(col("vec_id"),
+        graft.functions.DotProduct(v, v).as("d"))
+      assert(df.exceptAll(direct).count() == 0 &&
+        direct.exceptAll(df).count() == 0)
+      // strictness: a non-matching fold (seed 1.0) is left untouched
+      val other = embs.select(
+        aggregate(zip_with(v, v, (x, y) => x * y),
+          lit(1.0), (acc, x) => acc + x).as("d"))
+      assert(!other.queryExecution.optimizedPlan.toString
+        .contains("dot_product"))
+    } finally {
+      spark.experimental.extraOptimizations = before
+    }
+  }
 }
