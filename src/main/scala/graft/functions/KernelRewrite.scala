@@ -1,16 +1,16 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, Expression, LambdaFunction, Literal, Multiply, NamedLambdaVariable, ZipWith}
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, Expression, LambdaFunction, Literal, Multiply, NamedLambdaVariable, Subtract, ZipWith}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 
-/** Optimizer rule: rewrite the interpreted higher-order dot-product
-  * pattern
+/** Optimizer rule: rewrite the interpreted higher-order vector folds
   *
   * {{{ aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v) }}}
+  * {{{ aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0.0D, (acc, v) -> acc + v) }}}
   *
-  * to the codegen'd [[DotProduct]] kernel. SQL users (and ported
+  * to the codegen'd [[DotProduct]] / [[SqDiffSum]] kernels. SQL users (and ported
   * PySpark code) naturally write the HOF formulation; Spark evaluates
   * HOF lambdas through interpreted plumbing that blocks whole-stage
   * codegen for the entire stage and allocates an intermediate zipped
@@ -56,6 +56,19 @@ object KernelRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** (x, y) -> (x − y)·(x − y): the same subtraction squared (the
+    * square makes the operand order immaterial for the rewrite).
+    */
+  private def isPairwiseSqDiff(f: Expression): Boolean = f match {
+    case LambdaFunction(Multiply(
+        Subtract(x1: NamedLambdaVariable, y1: NamedLambdaVariable, _),
+        Subtract(x2: NamedLambdaVariable, y2: NamedLambdaVariable, _), _),
+        args, _) =>
+      x1.exprId == x2.exprId && y1.exprId == y2.exprId &&
+        sameVars(x1, y1, args.collect { case v: NamedLambdaVariable => v })
+    case _ => false
+  }
+
   /** (acc, v) -> acc + v (either operand order). */
   private def isSumMerge(f: Expression): Boolean = f match {
     case LambdaFunction(Add(a: NamedLambdaVariable,
@@ -75,10 +88,15 @@ object KernelRewrite extends Rule[LogicalPlan] {
     plan.transformAllExpressionsWithPruning(
       _.containsPattern(org.apache.spark.sql.catalyst.trees.TreePattern
         .HIGH_ORDER_FUNCTION)) {
-      case agg @ ArrayAggregate(ZipWith(a, b, mul), Literal(0.0, DoubleType),
+      case ArrayAggregate(ZipWith(a, b, mul), Literal(0.0, DoubleType),
           merge, finish)
           if isVec(a) && isVec(b) && isPairwiseProduct(mul) &&
             isSumMerge(merge) && isIdentityFinish(finish) =>
         DotProduct(a, b)
+      case ArrayAggregate(ZipWith(a, b, sq), Literal(0.0, DoubleType),
+          merge, finish)
+          if isVec(a) && isVec(b) && isPairwiseSqDiff(sq) &&
+            isSumMerge(merge) && isIdentityFinish(finish) =>
+        SqDiffSum(a, b)
     }
 }

@@ -119,6 +119,12 @@ class DotProductSpec extends AnyFunSuite {
         graft.functions.DotProduct(v, v).as("d"))
       assert(df.exceptAll(direct).count() == 0 &&
         direct.exceptAll(df).count() == 0)
+      // the squared-difference fold rewrites to sq_diff_sum
+      val sq = embs.select(
+        aggregate(zip_with(v, v, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x).as("d"))
+      assert(sq.queryExecution.optimizedPlan.toString
+        .contains("sq_diff_sum"))
       // strictness: a non-matching fold (seed 1.0) is left untouched
       val other = embs.select(
         aggregate(zip_with(v, v, (x, y) => x * y),
