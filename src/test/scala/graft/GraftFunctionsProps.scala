@@ -146,4 +146,47 @@ object GraftFunctionsProps extends Properties("GraftFunctions") {
         row.getInt(1) == mult.size &&
         row.getInt(2) == (if (a.isEmpty) 0 else mult.values.max)
     }
+
+  private val nullDbl = Literal.create(null,
+    ArrayType(org.apache.spark.sql.types.DoubleType))
+  private val vec: Gen[List[Double]] = for {
+    len <- Gen.choose(0, 32)
+    xs <- Gen.listOfN(len, Gen.choose(-1e6, 1e6))
+  } yield xs
+
+  property("QuantizeI8: codes bounded by 127, extremum hits ±127") =
+    Prop.forAll(vec) { v =>
+      val q = graft.functions.QuantizeI8(nullDbl)
+        .compute(new GenericArrayData(v.toArray[Any]))
+        .asInstanceOf[Array[Byte]]
+      val bounded = q.forall(b => b >= -127 && b <= 127)
+      val m = if (v.isEmpty) 0.0 else v.map(math.abs).max
+      val extremum = m == 0.0 ||
+        v.indices.exists(i => math.abs(v(i)) == m && math.abs(q(i)) == 127)
+      bounded && extremum && q.length == v.length
+    }
+
+  property("QuantizeI8: invariant under positive scalar scaling") =
+    Prop.forAll(vec, Gen.choose(0.001, 1000.0)) { (v, c) =>
+      def codes(xs: List[Double]) = graft.functions.QuantizeI8(nullDbl)
+        .compute(new GenericArrayData(xs.toArray[Any]))
+        .asInstanceOf[Array[Byte]].toSeq
+      // x/(m/127) is scale-free up to double rounding; require the
+      // exactly-representable scalings where it is bit-stable
+      val c2 = math.pow(2.0, (math.log(c) / math.log(2)).round.toDouble)
+      codes(v.map(_ * c2)) == codes(v)
+    }
+
+  property("QuantizedDot == BigInt reference (no overflow in int)") =
+    Prop.forAll(vec, vec) { (a, b) =>
+      def codes(xs: List[Double]) = graft.functions.QuantizeI8(nullDbl)
+        .compute(new GenericArrayData(xs.toArray[Any]))
+        .asInstanceOf[Array[Byte]]
+      val (qa, qb) = (codes(a), codes(b))
+      val got = graft.functions.QuantizedDot(nullLong, nullLong)
+        .compute(qa, qb)
+      val want = qa.zip(qb)
+        .map { case (x, y) => BigInt(x.toInt) * BigInt(y.toInt) }.sum
+      BigInt(got) == want
+    }
 }
