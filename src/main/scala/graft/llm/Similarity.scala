@@ -69,6 +69,27 @@ object Similarity {
         col("cos"))
   }
 
+  /** Embedding-space near-dup clusters: connected components over the
+    * [[cosineDupsLsh]] pair graph — the same composition
+    * [[graft.llm.Dedup.dupClusters]] runs over the simhash graph, with
+    * the LSH-bucketed candidate stage keeping the edge derivation off
+    * the all-pairs path. Output (vec_id, cluster, cluster_size,
+    * is_canonical), cluster = smallest reachable vec_id.
+    */
+  def embeddingClusters(embeddings: DataFrame, threshold: Double = 0.4,
+      maxIters: Int = 50): DataFrame = {
+    val pairs = cosineDupsLsh(embeddings, threshold)
+      .select(col("va").as("a"), col("vb").as("b"))
+    val labels = graft.graph.ConnectedComponents
+      .run(embeddings.select(col("vec_id").as("id")), pairs, maxIters)
+      .select(col("id").as("vec_id"), col("component").as("cluster"))
+    val sizes = labels.groupBy("cluster")
+      .agg(count(lit(1)).cast("int").as("cluster_size"))
+    labels.join(sizes, "cluster")
+      .select(col("vec_id"), col("cluster"), col("cluster_size"),
+        (col("vec_id") === col("cluster")).as("is_canonical"))
+  }
+
   /** Int8-quantized brute-force top-k — the MEMORY scale path: each
     * vector becomes a [[graft.functions.QuantizeI8]] byte blob (8× vs
     * the double array), and ranking runs entirely on exact integer

@@ -115,6 +115,12 @@ object LlmPack extends QueryPack {
     // separately in LlmSpec.
     "q101_ann_quantized" -> ((s, d) =>
       Similarity.quantizedTopK(t("embeddings")(s, d), col("vec_id") < 10)),
+    // Embedding near-dup clusters: CC over the q90 LSH pair graph —
+    // the q82 composition in embedding space. The oracle clusters the
+    // SAME SQL-derived pair set, so equality holds regardless of
+    // recall.
+    "q102_embedding_clusters" -> ((s, d) =>
+      Similarity.embeddingClusters(t("embeddings")(s, d))),
     // Embedding-space near-dup: the exact threshold-pair set is the
     // registered/oracled operator; the LSH-bucketed scale variant
     // (cosineDupsLsh) is subset+recall-verified in LlmSpec.
@@ -163,6 +169,47 @@ object LlmPack extends QueryPack {
             col("embedding").cast("array<double>"))), 4)
             .as("emb_norm"),
           col("label"))))
+
+  /** Shared oracle CTEs: the md5-parity LSH cosine pair derivation
+    * (planes → sign-bit buckets → OR-construction candidates → exact
+    * cosine in `p2`) — q90 thresholds it, q102 clusters over it.
+    * Every CTE a recursive CTE references must be MATERIALIZED
+    * (see the q82 oracle note).
+    */
+  private val cosineLshCtes =
+    s"""e AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS MATERIALIZED (
+       |  SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+       |pj AS MATERIALIZED (
+       |  SELECT p, j,
+       |         CASE WHEN (strpos('0123456789abcdef',
+       |                substr(md5(p || ':' || j), 1, 1)) - 1) % 2 = 0
+       |              THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE)
+       |         END AS sgn
+       |  FROM range(${Similarity.numTables * Similarity.bitsPerTable}) t1(p),
+       |       range(${Similarity.defaultDim}) t2(j)),
+       |planes AS MATERIALIZED (
+       |  SELECT p, list(sgn ORDER BY j) AS pl FROM pj GROUP BY p),
+       |dots AS MATERIALIZED (
+       |  SELECT vec_id, p, list_dot_product(v, pl) AS d FROM n, planes),
+       |buckets AS MATERIALIZED (
+       |  SELECT vec_id, p // ${Similarity.bitsPerTable} AS tbl,
+       |         sum(CASE WHEN d > 0
+       |                  THEN 1 << (p % ${Similarity.bitsPerTable})
+       |                  ELSE 0 END) AS bucket
+       |  FROM dots GROUP BY 1, 2),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |  FROM buckets a JOIN buckets b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |  WHERE a.vec_id < b.vec_id),
+       |p2 AS MATERIALIZED (
+       |  SELECT c.va, c.vb,
+       |         round(list_dot_product(a.v, b.v)
+       |               / (sqrt(a.n2) * sqrt(b.n2)), 4) AS cos
+       |  FROM cand c JOIN n a ON a.vec_id = c.va
+       |              JOIN n b ON b.vec_id = c.vb)""".stripMargin
 
   /** Shared oracle CTE: whitespace tokens per document. */
   private val tokCte =
@@ -692,39 +739,32 @@ object LlmPack extends QueryPack {
     // candidate set = distinct pairs sharing any (table, bucket) —
     // exactly the OR-construction the Spark path joins on.
     "q90_cosine_dups_lsh" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
-         |pj AS (
-         |  SELECT p, j,
-         |         CASE WHEN (strpos('0123456789abcdef',
-         |                substr(md5(p || ':' || j), 1, 1)) - 1) % 2 = 0
-         |              THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE)
-         |         END AS sgn
-         |  FROM range(${Similarity.numTables * Similarity.bitsPerTable}) t1(p),
-         |       range(${Similarity.defaultDim}) t2(j)),
-         |planes AS (SELECT p, list(sgn ORDER BY j) AS pl FROM pj GROUP BY p),
-         |dots AS (
-         |  SELECT vec_id, p, list_dot_product(v, pl) AS d FROM n, planes),
-         |buckets AS (
-         |  SELECT vec_id, p // ${Similarity.bitsPerTable} AS tbl,
-         |         sum(CASE WHEN d > 0
-         |                  THEN 1 << (p % ${Similarity.bitsPerTable})
-         |                  ELSE 0 END) AS bucket
-         |  FROM dots GROUP BY 1, 2),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-         |  FROM buckets a JOIN buckets b
-         |    ON a.tbl = b.tbl AND a.bucket = b.bucket
-         |  WHERE a.vec_id < b.vec_id),
-         |p2 AS (
-         |  SELECT c.va, c.vb,
-         |         round(list_dot_product(a.v, b.v)
-         |               / (sqrt(a.n2) * sqrt(b.n2)), 4) AS cos
-         |  FROM cand c JOIN n a ON a.vec_id = c.va
-         |              JOIN n b ON b.vec_id = c.vb)
+      s"""WITH $cosineLshCtes
          |SELECT va, vb, cos FROM p2
          |WHERE cos >= CAST('0.4' AS DOUBLE)""".stripMargin,
+    // Embedding near-dup clusters: connected components over q90's
+    // LSH pair graph (same composition as q82 over the simhash graph).
+    // The oracle's reachability runs over the SAME SQL-derived pair
+    // set, so equality is deterministic regardless of LSH recall.
+    "q102_embedding_clusters" ->
+      s"""WITH RECURSIVE $cosineLshCtes,
+         |prs AS MATERIALIZED (
+         |  SELECT va, vb FROM p2 WHERE cos >= CAST('0.4' AS DOUBLE)),
+         |edges AS MATERIALIZED (
+         |  SELECT va AS src, vb AS dst FROM prs
+         |  UNION ALL
+         |  SELECT vb AS src, va AS dst FROM prs),
+         |reach AS (
+         |  SELECT vec_id AS v, vec_id AS r FROM embeddings
+         |  UNION
+         |  SELECT e2.dst AS v, re.r AS r
+         |  FROM reach re JOIN edges e2 ON e2.src = re.v),
+         |cc AS (SELECT v AS vec_id, min(r) AS cluster FROM reach GROUP BY 1),
+         |cs AS (SELECT cluster, CAST(count(*) AS INTEGER) AS cluster_size
+         |       FROM cc GROUP BY 1)
+         |SELECT c.vec_id, c.cluster, s.cluster_size,
+         |       c.vec_id = c.cluster AS is_canonical
+         |FROM cc c JOIN cs s USING (cluster)""".stripMargin,
     "q73_rolling_fp" ->
       s"""WITH $tokCte
          |SELECT doc_id,
