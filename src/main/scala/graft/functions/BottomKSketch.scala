@@ -1,0 +1,131 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{Column, GraftSqlShims}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Bottom-k-by-hash sketch: keep the `k` values whose row keys have
+  * the smallest `md5(key)` hex digests — a DETERMINISTIC uniform
+  * sample (the hash order is a fixed random permutation of rows), so
+  * unlike reservoir sampling the result is reproducible across runs,
+  * partitionings, and engines, and the DuckDB oracle can re-derive the
+  * exact sample with `row_number() OVER (ORDER BY md5(key))`.
+  *
+  * This is the engine's mergeable-sketch tier: a
+  * `TypedImperativeAggregate` WITH a real `merge` (union the samples,
+  * keep the k smallest hashes — associative and commutative), so
+  * map-side partial aggregation applies and a quantile profile of a
+  * 100 TB table is one O(n) scan + O(k·partitions) merge, instead of
+  * the per-group full sort exact percentiles pay. Error of a
+  * p-quantile estimate from a k-sample is O(1/√k).
+  *
+  * `eval` returns the sampled VALUES in hash order (array<double>);
+  * quantile selection over the sample is plain codegen'd array math
+  * downstream (`sort_array` + `element_at`). NULL values and NULL
+  * keys are skipped.
+  */
+case class BottomKByHash(child: Expression, key: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeMap[String, Double]]
+    with BinaryLike[Expression] with Serializable {
+
+  require(k > 0, "bottom_k_sketch needs k > 0")
+
+  override def prettyName: String = "bottom_k_sketch"
+  override def left: Expression = child
+  override def right: Expression = key
+  override def dataType: DataType = ArrayType(DoubleType)
+  override def nullable: Boolean = true
+
+  override def createAggregationBuffer(): java.util.TreeMap[String, Double] =
+    new java.util.TreeMap[String, Double]()
+
+  private def md5Hex(s: String): String = {
+    // MessageDigest is not thread-safe and not serializable — fresh
+    // instance per call (the digest dominates; acceptable for a
+    // sketch pass, and entirely off the codegen hot path)
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(s.getBytes(StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+  }
+
+  private def insert(m: java.util.TreeMap[String, Double],
+      h: String, v: Double): Unit = {
+    if (m.size < k) { m.put(h, v): Unit }
+    else if (h < m.lastKey()) { m.remove(m.lastKey()); m.put(h, v): Unit }
+  }
+
+  override def update(m: java.util.TreeMap[String, Double],
+      input: InternalRow): java.util.TreeMap[String, Double] = {
+    val v = child.eval(input)
+    val ky = key.eval(input)
+    if (v != null && ky != null) {
+      insert(m, md5Hex(ky.toString), v.asInstanceOf[Double])
+    }
+    m
+  }
+
+  override def merge(m: java.util.TreeMap[String, Double],
+      other: java.util.TreeMap[String, Double]): java.util.TreeMap[String, Double] = {
+    val it = other.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      insert(m, e.getKey, e.getValue)
+    }
+    m
+  }
+
+  override def eval(m: java.util.TreeMap[String, Double]): Any = {
+    val out = new Array[Any](m.size)
+    val it = m.values().iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(m: java.util.TreeMap[String, Double]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(bos)
+    o.writeInt(m.size)
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      o.writeUTF(e.getKey); o.writeDouble(e.getValue)
+    }
+    o.flush()
+    bos.toByteArray
+  }
+  override def deserialize(bytes: Array[Byte]): java.util.TreeMap[String, Double] = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val m = new java.util.TreeMap[String, Double]()
+    val n = in.readInt()
+    var i = 0
+    while (i < n) { m.put(in.readUTF(), in.readDouble()); i += 1 }
+    m
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): BottomKByHash =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BottomKByHash =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): BottomKByHash =
+    copy(child = l, key = r)
+}
+
+object BottomKByHash {
+  /** Column-API entry point: `bottomK(value, rowKey, k)` as an
+    * aggregate column.
+    */
+  def apply(value: Column, rowKey: Column, k: Int): Column =
+    GraftSqlShims.column(BottomKByHash(
+      GraftSqlShims.expression(value.cast("double")),
+      GraftSqlShims.expression(rowKey), k).toAggregateExpression())
+}

@@ -31,6 +31,26 @@ object Analytics extends QueryPack {
         round(element_at(col("ps"), 2), 4).cast("float").as("p90"),
         round(element_at(col("ps"), 3), 4).cast("float").as("p99"))),
 
+    // The SCALE path for q15: exact percentile holds every distinct
+    // value per group in memory; the bottom-k-by-hash sketch is a
+    // deterministic 200-row uniform sample with a real merge (map-side
+    // partial aggregation), so the same profile costs one scan at any
+    // table size. md5 row-hash order makes the sample — and therefore
+    // the estimates — reproducible cross-engine, so even this
+    // APPROXIMATE operator carries a full hash-gate oracle.
+    "q103_quantile_sketch" -> ((s, d) => {
+      val sk = t("events")(s, d).groupBy(col("event_type"))
+        .agg(graft.functions.BottomKByHash(
+            col("value"), col("event_id"), 200).as("vs"),
+          count(lit(1)).as("n_rows"))
+      val sorted = sort_array(col("vs"))
+      def q(p: Double, name: String) = element_at(sorted,
+        (floor(lit(p) * (size(col("vs")) - 1)) + 1).cast("int")).as(name)
+      sk.select(col("event_type"), col("n_rows"),
+        size(col("vs")).as("n_sample"),
+        q(0.5, "p50"), q(0.9, "p90"), q(0.99, "p99"))
+    }),
+
     "q16_rollup" -> ((s, d) => t("lineitem")(s, d)
       .rollup("l_returnflag", "l_linestatus")
       .agg(
@@ -87,6 +107,26 @@ object Analytics extends QueryPack {
         |       CAST(round(quantile_cont(value, 0.9), 4) AS REAL) AS p90,
         |       CAST(round(quantile_cont(value, 0.99), 4) AS REAL) AS p99
         |FROM events GROUP BY 1""".stripMargin,
+
+    // The sketch's md5-ranked sample is re-derived exactly: same hash,
+    // same k, same index arithmetic over the value-sorted sample.
+    "q103_quantile_sketch" ->
+      """WITH h AS (
+        |  SELECT event_type, value,
+        |         md5(CAST(event_id AS VARCHAR)) AS h
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY h) AS rk FROM h),
+        |s AS (SELECT event_type, value FROM r WHERE rk <= 200),
+        |g AS (SELECT event_type, list(value ORDER BY value) AS vs
+        |      FROM s GROUP BY 1),
+        |c AS (SELECT event_type, count(*) AS n_rows FROM events GROUP BY 1)
+        |SELECT g.event_type, c.n_rows,
+        |       CAST(len(vs) AS INTEGER) AS n_sample,
+        |       vs[CAST(floor(0.5 * (len(vs)-1)) AS INT) + 1] AS p50,
+        |       vs[CAST(floor(0.9 * (len(vs)-1)) AS INT) + 1] AS p90,
+        |       vs[CAST(floor(0.99 * (len(vs)-1)) AS INT) + 1] AS p99
+        |FROM g JOIN c USING (event_type)""".stripMargin,
 
     "q16_rollup" ->
       """SELECT l_returnflag, l_linestatus,

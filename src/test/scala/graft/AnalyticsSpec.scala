@@ -65,4 +65,30 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(r.getFloat(2) <= r.getFloat(3) && r.getFloat(3) <= r.getFloat(4))
     }
   }
+
+  test("quantile sketch: partition-invariant merge; estimates near exact") {
+    import graft.functions.BottomKByHash
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    def sketch(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("event_type")
+        .agg(BottomKByHash(col("value"), col("event_id"), 200).as("vs"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    // merge is associative+commutative: any partitioning (and thus any
+    // partial-aggregation split) yields the identical sample
+    val a = sketch(ev)
+    val b = sketch(ev.repartition(7, col("event_id")))
+    val c = sketch(ev.coalesce(1))
+    assert(a == b && b == c && a.nonEmpty)
+    // accuracy: sampled median within 15% of the exact p50 per group
+    val exact = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5D)").as("p50")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    a.foreach { case (g, vs) =>
+      val s = vs.sorted
+      val est = s((0.5 * (s.length - 1)).floor.toInt)
+      assert(math.abs(est - exact(g)) <= 0.15 * math.abs(exact(g)),
+        s"group $g: est $est vs exact ${exact(g)}")
+    }
+  }
 }
