@@ -131,6 +131,29 @@ class IndicatorDaySpec extends AnyFunSuite {
     a.zip(b).foreach { case (x, y) => assert(x == y) }
   }
 
+  test("incremental refresh: symbol first seen AFTER the cut starts fresh") {
+    import spark.implicits._
+    // id 1 has full history; id 9 has NO bars before the cut — its
+    // state row is absent (left join NULL), tail empty, and every
+    // warm-up guard must behave as a fresh series
+    val rnd = new scala.util.Random(23)
+    val bars = ((for (i <- 0 until 120) yield
+        (1L, 3600L * i, 50.0 + rnd.nextDouble())) ++
+      (for (i <- 100 until 120) yield
+        (9L, 3600L * i, 20.0 + rnd.nextDouble())))
+      .map { case (id, t, c) =>
+        (id, t, c - 0.5, c + 1.0, c - 1.0, c, 3.0) }
+      .toDF("id", "tkey", "open", "high", "low", "close", "volume")
+    val fromT = 3600L * 100
+    val full = IndicatorDay.indicators(bars).where(col("tkey") >= fromT)
+    val inc = IndicatorDay.incrementalFrom(bars, lit(fromT))
+      .where(col("_live")).drop("_live")
+    val a = full.orderBy("id", "tkey").collect()
+    val b = inc.orderBy("id", "tkey").collect()
+    assert(a.length == b.length && a.length == 40)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
+
   test("incremental refresh: persisted state sidecar round-trips exactly") {
     // the production form: snapshot written to parquet by one run,
     // read back by the next — struct state columns must survive the
