@@ -354,6 +354,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(asks(0).getAs[String]("quote_price") == "100.1")
   }
 
+  test("stream state store hands off to the batch incremental refresh") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.mart.IndicatorDay
+    import graft.stream.IndicatorStream
+    import graft.stream.IndicatorStream.BarIn
+    import graft.ts.Bars
+
+    // the stream consumes the prefix (scaled closes, the mart's input
+    // convention), persisting per-symbol state in the checkpoint
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val scaled = (col("close") *
+      when(col("id").isin(IndicatorDay.exceptionalIds: _*),
+        lit(IndicatorDay.nMultiple)).otherwise(lit(1.0))).as("close")
+    val fromT = 1705708800L
+    val prefix = Bars.hourly(events)
+      .select(col("id"), col("t"), scaled, col("volume"))
+      .where(col("t") < fromT).as[BarIn].collect()
+    val mem = MemoryStream[BarIn]
+    val ckpt = tmp("handoff-ckpt")
+    val q = IndicatorStream.onlineIndicators(mem.toDS())
+      .writeStream.format("memory").queryName("ind_handoff")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    mem.addData(prefix.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // read the state store back (Spark state data source) and map it
+    // onto the stateSnapshot sidecar schema — field NAMES differ
+    // (camelCase vs snake_case) but the seeded aggregates read their
+    // seed structs positionally, and positions match by construction
+    val g = "value.groupState"
+    val handedOff = spark.read.format("statestore")
+      .option("path", ckpt).load()
+      .select(col("key.value").as("id"),
+        col(s"$g.n").as("rn0"), col(s"$g.obv").as("obv0"),
+        col(s"$g.e5").as("ema5_st"), col(s"$g.e10").as("ema10_st"),
+        col(s"$g.e30").as("ema30_st"), col(s"$g.e12").as("ema12_st"),
+        col(s"$g.e26").as("ema26_st"), col(s"$g.s9").as("sig9_st"),
+        col(s"$g.rsi").as("rsi_st"))
+
+    // the batch refresh seeded from the STREAM's state must equal the
+    // refresh seeded from the batch-derived snapshot — the handoff the
+    // shared recursion-state design promises
+    val bars = Bars.hourly(events).withColumn("tkey", col("t"))
+    val viaStream = IndicatorDay.incrementalFrom(bars, handedOff,
+        lit(fromT), carry = Seq("t"), tailBars = 77,
+        IndicatorDay.exceptionalIds, IndicatorDay.nMultiple)
+      .where(col("_live"))
+    val derived = IndicatorDay.incrementalFrom(bars, lit(fromT),
+        carry = Seq("t"))
+      .where(col("_live"))
+    val a = derived.orderBy("id", "tkey").collect()
+    val b = viaStream.orderBy("id", "tkey").collect()
+    assert(a.length == b.length && a.nonEmpty)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
+
   test("online indicator stream across micro-batches == batch recompute") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
