@@ -47,17 +47,38 @@ case class BottomKByHash(child: Expression, key: Expression, k: Int,
     new java.util.TreeMap[String, Double]()
 
   private def md5Hex(s: String): String = {
-    // MessageDigest is not thread-safe and not serializable — fresh
-    // instance per call (the digest dominates; acceptable for a
-    // sketch pass, and entirely off the codegen hot path)
-    val d = java.security.MessageDigest.getInstance("MD5")
-    d.digest(s.getBytes(StandardCharsets.UTF_8))
-      .map(b => f"$b%02x").mkString
+    // MessageDigest is not thread-safe — thread-confined reuse via
+    // ThreadLocal (instantiating one per row costs a provider lookup
+    // on the sketch's only hot path); hex via a lookup table, not
+    // per-byte boxed formatting. Hex string order == unsigned numeric
+    // order of the 128-bit digest, which is what the oracle's ORDER BY
+    // md5(...) compares too.
+    val d = BottomKByHash.digests.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes(StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      val b = bytes(i) & 0xff
+      out(2 * i) = BottomKByHash.hexChars(b >>> 4)
+      out(2 * i + 1) = BottomKByHash.hexChars(b & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   private def insert(m: java.util.TreeMap[String, Double],
       h: String, v: Double): Unit = {
-    if (m.size < k) { m.put(h, v): Unit }
+    // Duplicate row keys (same digest) collapse to ONE sample slot
+    // keeping the MIN value — deterministic and merge-order-invariant
+    // (min is associative/commutative), and the buffer never shrinks
+    // below k the way evict-then-overwrite would. For exact parity
+    // with the oracle's row_number() formulation pass a UNIQUE row
+    // key; with duplicates the engine keeps one slot per key while a
+    // rank formulation would keep several.
+    if (m.containsKey(h)) {
+      if (v < m.get(h)) m.put(h, v): Unit
+    } else if (m.size < k) { m.put(h, v): Unit }
     else if (h < m.lastKey()) { m.remove(m.lastKey()); m.put(h, v): Unit }
   }
 
@@ -121,6 +142,12 @@ case class BottomKByHash(child: Expression, key: Expression, k: Int,
 }
 
 object BottomKByHash {
+  private val hexChars = "0123456789abcdef".toCharArray
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** Column-API entry point: `bottomK(value, rowKey, k)` as an
     * aggregate column.
     */

@@ -359,6 +359,13 @@ object IndicatorDay {
   def incrementalFrom(bars: DataFrame, state: DataFrame, liveFrom: Column,
       carry: Seq[String], tailBars: Int,
       exceptionalIds: Seq[Long], nMultiple: Double): DataFrame = {
+    // 77 = senkou-B's 26-bar displacement over a 52-bar midpoint frame
+    // + the current row — the deepest positional reach of any frame
+    // aggregate. A shorter tail would silently compute WRONG (non-NULL)
+    // ichimoku values near the cut: the warm-up guards use absolute
+    // row numbers, so truncated frames pass them. Fail fast instead.
+    require(tailBars >= 77,
+      s"tailBars must be >= 77 (deepest frame reach), got $tailBars")
     val prefix = bars.where(col("tkey") < liveFrom)
     val st = state.select(col("id") +: resumeCols.tail.map(c =>
       col(c.stripPrefix("_")).as(c)) :+ col("rn0"): _*)

@@ -114,7 +114,8 @@ object Analytics extends QueryPack {
       """WITH h AS (
         |  SELECT event_type, value,
         |         md5(CAST(event_id AS VARCHAR)) AS h
-        |  FROM events),
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_id IS NOT NULL),
         |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
         |        ORDER BY h) AS rk FROM h),
         |s AS (SELECT event_type, value FROM r WHERE rk <= 200),

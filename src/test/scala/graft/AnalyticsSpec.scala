@@ -91,4 +91,24 @@ class AnalyticsSpec extends AnyFunSuite {
         s"group $g: est $est vs exact ${exact(g)}")
     }
   }
+
+  test("quantile sketch: duplicate row keys collapse to one min-value slot") {
+    import spark.implicits._
+    import graft.functions.BottomKByHash
+    // key 1 appears three times with different values; with k = 2 the
+    // buffer must neither shrink below its capacity nor depend on
+    // which duplicate arrives first: one slot for key 1 holding the
+    // MIN value, one slot for the next-smallest hash
+    val rows = Seq((1L, 9.0), (1L, 3.0), (1L, 5.0),
+      (2L, 7.0), (3L, 8.0), (4L, 6.0))
+    def sketch(df: org.apache.spark.sql.DataFrame): Seq[Double] =
+      df.agg(BottomKByHash(col("v"), col("id"), 2).as("vs"))
+        .collect()(0).getSeq[Double](0)
+    val base = sketch(rows.toDF("id", "v"))
+    assert(base.length == 2)
+    assert(base.contains(3.0)) // key 1's min survives, not 9.0 or 5.0
+    // arrival order and partitioning don't change the sample
+    assert(sketch(rows.reverse.toDF("id", "v")) == base)
+    assert(sketch(rows.toDF("id", "v").repartition(3, col("id"))) == base)
+  }
 }
