@@ -326,6 +326,14 @@ object TaFunctions {
       es => SortedRunStats(es.head), "scala_udf")
     r.createOrReplaceTempFunction("rolling_fp",
       es => RollingFp(es.head), "scala_udf")
+    r.createOrReplaceTempFunction("quantize_i8",
+      es => QuantizeI8(es.head), "scala_udf")
+    r.createOrReplaceTempFunction("quantized_dot",
+      es => QuantizedDot(es.head, es(1)), "scala_udf")
+    r.createOrReplaceTempFunction("bottom_k_sketch",
+      es => BottomKByHash(Cast(es.head, DoubleType), es(1),
+        intArg(es(2), "bottom_k_sketch")).toAggregateExpression(),
+      "scala_udf")
   }
 }
 
@@ -383,5 +391,15 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("rolling_fp"),
       new ExpressionInfo(classOf[RollingFp].getName, "rolling_fp"),
       (es: Seq[Expression]) => RollingFp(es.head)))
+    ext.injectFunction((FunctionIdentifier("quantize_i8"),
+      new ExpressionInfo(classOf[QuantizeI8].getName, "quantize_i8"),
+      (es: Seq[Expression]) => QuantizeI8(es.head)))
+    ext.injectFunction((FunctionIdentifier("quantized_dot"),
+      new ExpressionInfo(classOf[QuantizedDot].getName, "quantized_dot"),
+      (es: Seq[Expression]) => QuantizedDot(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("bottom_k_sketch"),
+      new ExpressionInfo(classOf[BottomKByHash].getName, "bottom_k_sketch"),
+      (es: Seq[Expression]) => BottomKByHash(Cast(es.head, DoubleType),
+        es(1), litInt(es(2), "bottom_k_sketch")).toAggregateExpression()))
   }
 }

@@ -84,6 +84,22 @@ class DotProductSpec extends AnyFunSuite {
     assert(r(0).getDouble(0) == 11.0)
   }
 
+  test("registered SQL surface: quantize_i8, quantized_dot, bottom_k_sketch") {
+    import spark.implicits._
+    graft.functions.TaFunctions.register(spark)
+    Seq((1L, Array(1.0, -2.0, 0.5)), (2L, Array(0.5, 0.25, -1.0)))
+      .toDF("id", "v").createOrReplaceTempView("qk_in")
+    val q = spark.sql(
+      "SELECT quantized_dot(quantize_i8(v), quantize_i8(v)) AS n2 FROM qk_in")
+      .collect().map(_.getInt(0))
+    // scale = 2/127: codes (64, -127, 32) -> 4096 + 16129 + 1024
+    assert(q.toSeq == Seq(21249, 21249))
+    val sk = spark.sql(
+      "SELECT bottom_k_sketch(CAST(id AS DOUBLE), id, 5) AS vs FROM qk_in")
+      .collect()(0).getSeq[Double](0)
+    assert(sk.toSet == Set(1.0, 2.0))
+  }
+
   test("interpreted eval agrees with codegen") {
     // force the interpreted path via an expression position codegen
     // cannot reach uniformly: eval through a literal-driven projection
