@@ -127,4 +127,171 @@ object IndicatorStream {
           out.iterator
       }
   }
+
+  // ——— full online mart: the frame family joins the recursive one ———
+
+  case class FullBarIn(id: Long, t: Long, high: Double, low: Double,
+    close: Double, volume: Double)
+  /** One scaled bar kept in the positional ring. */
+  case class RingBar(h: Double, l: Double, c: Double)
+  /** ringBars caps at 78 (senkou-B's 26-bar displacement over a 52-bar
+    * midpoint frame + the current row — the same bound as the batch
+    * incremental refresh's tail); rawRing/kRing keep the last defined
+    * stochastic stages (≤ 3 each).
+    */
+  case class FullState(core: IndState, ring: Seq[RingBar],
+    rawRing: Seq[Double], kRing: Seq[Double])
+
+  case class FullOut(id: Long, t: Long,
+    sma5: Option[Double], sma10: Option[Double], sma30: Option[Double],
+    ema5: Option[Double], ema10: Option[Double], ema30: Option[Double],
+    macd: Option[Double], macd_single: Option[Double], rsi: Option[Double],
+    bollinger_bands_sma: Option[Double],
+    bollinger_bands_lower_band: Option[Double],
+    bollinger_bands_upper_band: Option[Double],
+    obv: Double,
+    ichimoku_kijun_sen: Option[Double], ichimoku_tenkan_sen: Option[Double],
+    ichimoku_senkou_span_a: Option[Double],
+    ichimoku_senkou_span_b: Option[Double],
+    stoch_oscillator: Option[Double], stoch_signal: Option[Double],
+    stoch_percent_j: Option[Double],
+    aroon_up: Option[Double], aroon_down: Option[Double],
+    aroon_oscillator: Option[Double])
+
+  private val maxRing = 78
+
+  /** Left-to-right mean over the last n ring closes — the exact
+    * accumulation order of Spark's Average over a sliding frame (the
+    * frame rebuilds its buffer per row, summing rows in frame order
+    * from 0.0), so online == batch bit-for-bit.
+    */
+  private def frameAvg(xs: Seq[Double]): Double = {
+    var s = 0.0
+    xs.foreach(s += _)
+    s / xs.length
+  }
+
+  /** Population stddev replicating CentralMomentAgg's Welford update
+    * order (delta/deltaN/m2) — Spark's stddev_pop over a frame is this
+    * exact recurrence over the frame rows, so the result matches
+    * bit-for-bit, which a naive two-pass formula would not.
+    */
+  private def frameStdPop(xs: Seq[Double]): Double = {
+    var n = 0.0
+    var avg = 0.0
+    var m2 = 0.0
+    xs.foreach { v =>
+      n += 1
+      val delta = v - avg
+      val deltaN = delta / n
+      avg += deltaN
+      m2 += delta * (delta - deltaN)
+    }
+    math.sqrt(m2 / n)
+  }
+
+  private def mid(bars: Seq[RingBar]): Double =
+    (bars.map(_.h).max + bars.map(_.l).min) / 2
+
+  private def fullStep(st: FullState, b: FullBarIn): (FullState, FullOut) = {
+    val (core, rec) = step(st.core,
+      BarIn(b.id, b.t, b.close, b.volume))
+    val ring = (st.ring :+ RingBar(b.high, b.low, b.close)).takeRight(maxRing)
+    val rn = core.n // absolute bar count AFTER this bar
+    def last(n: Int): Seq[RingBar] = ring.takeRight(n)
+    def when(cond: Boolean)(v: => Double): Option[Double] =
+      if (cond) Some(v) else None
+
+    val closes = ring.map(_.c)
+    val sma5 = when(rn >= 5)(frameAvg(closes.takeRight(5)))
+    val sma10 = when(rn >= 10)(frameAvg(closes.takeRight(10)))
+    val sma30 = when(rn >= 30)(frameAvg(closes.takeRight(30)))
+    val bbSma = when(rn >= 20)(frameAvg(closes.takeRight(20)))
+    val bbSd = when(rn >= 20)(frameStdPop(closes.takeRight(20)))
+
+    // stochastic chain: raw needs 14 bars; k = mean of last 3 raws
+    // (defined from rn 16); d = mean of last 3 ks (defined from rn 18)
+    val raw = when(rn >= 14) {
+      val w = last(14)
+      val hh = w.map(_.h).max
+      val ll = w.map(_.l).min
+      if (hh != ll) (b.close - ll) / (hh - ll) * 100 else 0.0
+    }
+    val rawRing = (st.rawRing ++ raw.toSeq).takeRight(3)
+    val k = when(rn >= 16)(frameAvg(rawRing))
+    val kRing = (st.kRing ++ k.toSeq).takeRight(3)
+    val d = when(rn >= 18)(frameAvg(kRing))
+    val j = for { kk <- k; dd <- d } yield 3 * kk - 2 * dd
+
+    val tenkan = when(rn >= 9)(mid(last(9)))
+    val kijun = when(rn >= 26)(mid(last(26)))
+    // senkou spans: lag-26 of the midpoints — recomputed positionally
+    // from the ring (bars [len-26-n+1, len-26] are the lagged frame)
+    def lagged(n: Int): Option[Seq[RingBar]] =
+      when(rn - 26 >= n)(0.0).map { _ =>
+        ring.dropRight(26).takeRight(n)
+      }
+    val senkouA = for {
+      tk <- lagged(9).map(mid)
+      kj <- lagged(26).map(mid)
+    } yield (tk + kj) / 2
+    val senkouB = lagged(52).map(mid)
+
+    // aroon(25): periods since extremum in the 26-bar window, ties to
+    // the EARLIEST bar (the batch struct-ordering tiebreak)
+    val aroonWin = last(26)
+    val aroonUp = when(rn >= 26) {
+      val hs = aroonWin.map(_.h)
+      val hiIdx = hs.indexOf(hs.max) // earliest occurrence
+      val since = aroonWin.length - 1 - hiIdx
+      (25 - since) * 100.0 / 25
+    }
+    val aroonDown = when(rn >= 26) {
+      val ls = aroonWin.map(_.l)
+      val loIdx = ls.indexOf(ls.min)
+      val since = aroonWin.length - 1 - loIdx
+      (25 - since) * 100.0 / 25
+    }
+
+    val next = FullState(core, ring, rawRing, kRing)
+    (next, FullOut(b.id, b.t,
+      sma5, sma10, sma30, rec.ema5, rec.ema10, rec.ema30,
+      rec.macd, rec.macd_single, rec.rsi,
+      bbSma,
+      for { s <- bbSma; sd <- bbSd } yield s - 2 * sd,
+      for { s <- bbSma; sd <- bbSd } yield s + 2 * sd,
+      rec.obv,
+      kijun, tenkan, senkouA, senkouB,
+      d, k, j, aroonUp, aroonDown,
+      for { u <- aroonUp; dn <- aroonDown } yield u - dn))
+  }
+
+  /** The FULL indicator surface per incoming bar (recursive + frame
+    * families), bit-equal to the batch mart for every column except
+    * the future-looking chikou span (lead(26) — unknowable at bar
+    * time; the batch trailing-window reload back-fills it, see
+    * [[graft.mart.IndicatorDay.incrementalFrom]]). State per symbol is
+    * the recursion snapshot plus a 78-bar positional ring — the same
+    * bound the batch incremental tail uses — so state stays O(symbols)
+    * × ~2 KB however long the stream runs. Bars must carry the SCALED
+    * high/low/close (the mart's n_multiple convention, applied
+    * upstream like the close-only variant).
+    */
+  def onlineMart(bars: Dataset[FullBarIn]): Dataset[FullOut] = {
+    import bars.sparkSession.implicits._
+    bars.groupByKey(_.id)
+      .flatMapGroupsWithState[FullState, FullOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[FullBarIn], state: GroupState[FullState]) =>
+          var st = state.getOption.getOrElse(
+            FullState(zeroState, Nil, Nil, Nil))
+          val out = rows.toSeq.sortBy(_.t).map { b =>
+            val (next, o) = fullStep(st, b)
+            st = next
+            o
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

@@ -354,6 +354,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(asks(0).getAs[String]("quote_price") == "100.1")
   }
 
+  test("online FULL mart across micro-batches == batch indicators sans chikou") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.mart.IndicatorDay
+    import graft.stream.IndicatorStream
+    import graft.stream.IndicatorStream.FullBarIn
+    import graft.ts.Bars
+
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val nm = when(col("id").isin(IndicatorDay.exceptionalIds: _*),
+      lit(IndicatorDay.nMultiple)).otherwise(lit(1.0))
+    val bars = Bars.hourly(events).select(col("id"), col("t"),
+      (col("high") * nm).as("high"), (col("low") * nm).as("low"),
+      (col("close") * nm).as("close"), col("volume"))
+    val all = bars.as[FullBarIn].collect().sortBy(b => (b.t, b.id))
+    val cut1 = all(all.length / 3).t
+    val cut2 = all(2 * all.length / 3).t
+
+    val mem = MemoryStream[FullBarIn]
+    val q = IndicatorStream.onlineMart(mem.toDS())
+      .writeStream.format("memory").queryName("mart_online")
+      .outputMode("append").start()
+    mem.addData(all.filter(_.t < cut1).toIndexedSeq: _*)
+    q.processAllAvailable()
+    mem.addData(all.filter(b => b.t >= cut1 && b.t < cut2).toIndexedSeq: _*)
+    q.processAllAvailable()
+    mem.addData(all.filter(_.t >= cut2).toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val online = spark.table("mart_online")
+
+    // batch: the raw (pre-edge) indicator frame over unscaled bars —
+    // indicators() applies the same nm internally
+    val batch = IndicatorDay.indicators(
+      Bars.hourly(events).withColumn("tkey", col("t")), carry = Seq("t"))
+    val cols = online.columns.filter(c => c != "id" && c != "t")
+    assert(cols.length == 23)
+    val joined = online.as("o").join(batch.as("b"),
+      col("o.id") === col("b.id") && col("o.t") === col("b.t"))
+    assert(joined.count() == all.length && online.count() == all.length)
+    val mismatches = joined.where(
+      cols.map(c => !(col(s"o.$c") <=> col(s"b.$c"))).reduce(_ || _))
+    assert(mismatches.count() == 0,
+      mismatches.select(col("o.id"), col("o.t")).limit(5).collect().mkString)
+  }
+
   test("stream state store hands off to the batch incremental refresh") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
