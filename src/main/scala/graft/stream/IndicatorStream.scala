@@ -228,9 +228,7 @@ object IndicatorStream {
     // senkou spans: lag-26 of the midpoints — recomputed positionally
     // from the ring (bars [len-26-n+1, len-26] are the lagged frame)
     def lagged(n: Int): Option[Seq[RingBar]] =
-      when(rn - 26 >= n)(0.0).map { _ =>
-        ring.dropRight(26).takeRight(n)
-      }
+      if (rn - 26 >= n) Some(ring.dropRight(26).takeRight(n)) else None
     val senkouA = for {
       tk <- lagged(9).map(mid)
       kj <- lagged(26).map(mid)
@@ -267,15 +265,21 @@ object IndicatorStream {
   }
 
   /** The FULL indicator surface per incoming bar (recursive + frame
-    * families), bit-equal to the batch mart for every column except
+    * families), bit-equal to the batch PRE-EDGE indicator frame
+    * ([[graft.mart.IndicatorDay.indicators]]) for every column except
     * the future-looking chikou span (lead(26) — unknowable at bar
     * time; the batch trailing-window reload back-fills it, see
-    * [[graft.mart.IndicatorDay.incrementalFrom]]). State per symbol is
-    * the recursion snapshot plus a 78-bar positional ring — the same
-    * bound the batch incremental tail uses — so state stays O(symbols)
-    * × ~2 KB however long the stream runs. Bars must carry the SCALED
-    * high/low/close (the mart's n_multiple convention, applied
-    * upstream like the close-only variant).
+    * [[graft.mart.IndicatorDay.incrementalFrom]]). The PUBLISHED mart
+    * additionally applies the reference output edge (exact 0 → NULL,
+    * float cast — `IndicatorDay.applyEdge`); consumers wanting mart
+    * parity apply that same projection to this stream's output.
+    * State per symbol is the recursion snapshot ([[IndState]] nested
+    * as `core`, stream→batch handoff included) plus a 78-bar
+    * positional ring — the same bound the batch incremental tail
+    * uses — so state stays O(symbols) × ~2 KB however long the stream
+    * runs. Bars must carry the SCALED high/low/close (the mart's
+    * n_multiple convention, applied upstream like the close-only
+    * variant).
     */
   def onlineMart(bars: Dataset[FullBarIn]): Dataset[FullOut] = {
     import bars.sparkSession.implicits._

@@ -100,6 +100,41 @@ class DotProductSpec extends AnyFunSuite {
     assert(sk.toSet == Set(1.0, 2.0))
   }
 
+  test("GraftExtensions injects the round-5 functions into a new session") {
+    // build a SECOND session over the same SparkContext with the
+    // extensions applied at construction (getOrCreate only applies
+    // extensions to a NEW session, so clear + restore the defaults —
+    // suites run sequentially in the forked test JVM)
+    import org.apache.spark.sql.SparkSession
+    val base = spark // force TestSpark init first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .withExtensions(new graft.functions.GraftExtensions())
+        .getOrCreate()
+      import s2.implicits._
+      Seq((1L, Array(1.0, -2.0, 0.5))).toDF("id", "v")
+        .createOrReplaceTempView("ext_in")
+      val n2 = s2.sql(
+        "SELECT quantized_dot(quantize_i8(v), quantize_i8(v)) FROM ext_in")
+        .collect()(0).getInt(0)
+      assert(n2 == 21249)
+      val sk = s2.sql(
+        "SELECT bottom_k_sketch(CAST(id AS DOUBLE), id, 3) FROM ext_in")
+        .collect()(0).getSeq[Double](0)
+      assert(sk == Seq(1.0))
+      // the pre-existing injections resolve in the same session
+      assert(s2.sql("SELECT dot_product(v, v) FROM ext_in")
+        .collect()(0).getDouble(0) == 5.25)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
   test("interpreted eval agrees with codegen") {
     // force the interpreted path via an expression position codegen
     // cannot reach uniformly: eval through a literal-driven projection

@@ -458,6 +458,56 @@ class StreamingSpec extends AnyFunSuite {
     a.zip(b).foreach { case (x, y) => assert(x == y) }
   }
 
+  test("onlineMart state (nested core) also hands off to the batch refresh") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.mart.IndicatorDay
+    import graft.stream.IndicatorStream
+    import graft.stream.IndicatorStream.FullBarIn
+    import graft.ts.Bars
+
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val nm = when(col("id").isin(IndicatorDay.exceptionalIds: _*),
+      lit(IndicatorDay.nMultiple)).otherwise(lit(1.0))
+    val fromT = 1705708800L
+    val prefix = Bars.hourly(events).select(col("id"), col("t"),
+        (col("high") * nm).as("high"), (col("low") * nm).as("low"),
+        (col("close") * nm).as("close"), col("volume"))
+      .where(col("t") < fromT).as[FullBarIn].collect()
+    val mem = MemoryStream[FullBarIn]
+    val ckpt = tmp("fullmart-ckpt")
+    val q = IndicatorStream.onlineMart(mem.toDS())
+      .writeStream.format("memory").queryName("mart_handoff")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    mem.addData(prefix.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // FullState nests the recursion snapshot as `core`: one more path
+    // segment than the IndState layout, otherwise the same mapping
+    val g = "value.groupState.core"
+    val handedOff = spark.read.format("statestore")
+      .option("path", ckpt).load()
+      .select(col("key.value").as("id"),
+        col(s"$g.n").as("rn0"), col(s"$g.obv").as("obv0"),
+        col(s"$g.e5").as("ema5_st"), col(s"$g.e10").as("ema10_st"),
+        col(s"$g.e30").as("ema30_st"), col(s"$g.e12").as("ema12_st"),
+        col(s"$g.e26").as("ema26_st"), col(s"$g.s9").as("sig9_st"),
+        col(s"$g.rsi").as("rsi_st"))
+    val bars = Bars.hourly(events).withColumn("tkey", col("t"))
+    val viaStream = IndicatorDay.incrementalFrom(bars, handedOff,
+        lit(fromT), carry = Seq("t"), tailBars = 77,
+        IndicatorDay.exceptionalIds, IndicatorDay.nMultiple)
+      .where(col("_live"))
+    val derived = IndicatorDay.incrementalFrom(bars, lit(fromT),
+        carry = Seq("t"))
+      .where(col("_live"))
+    val a = derived.orderBy("id", "tkey").collect()
+    val b = viaStream.orderBy("id", "tkey").collect()
+    assert(a.length == b.length && a.nonEmpty)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
+
   test("online indicator stream across micro-batches == batch recompute") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
