@@ -399,6 +399,27 @@ class LlmSpec extends AnyFunSuite {
       ((1, 0)))
   }
 
+  test("paragraph dedup invariants on the fixture: global uniqueness, " +
+      "conservation, idempotence") {
+    val out = Dedup.paragraphDedup(docs).cache()
+    // every surviving window-segment is globally unique afterwards
+    val resegmented = out.where(col("n_kept") > 0)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val again = Dedup.paragraphDedup(resegmented)
+    // idempotence: re-running the pass drops nothing more — all
+    // segments of the cleaned corpus are already unique. (Reassembly
+    // can merge a short tail with the next doc's words ONLY across
+    // re-tokenization if counts changed; pin via n_kept totals.)
+    val dropped = again.agg(sum(col("n_seg") - col("n_kept"))).collect()(0)
+    assert(dropped.getLong(0) == 0L)
+    // conservation: kept counts never exceed totals, and the fixture
+    // really exercises removal
+    val bad = out.where(col("n_kept") > col("n_seg")).count()
+    assert(bad == 0)
+    assert(out.where(col("n_kept") < col("n_seg")).count() > 0)
+    out.unpersist()
+  }
+
   test("paragraph dedup: intra-doc repeat keeps one copy; short tail segment") {
     import spark.implicits._
     // doc 1: [p q][p q][r] — the repeated [p q] inside ONE doc keeps
