@@ -385,12 +385,26 @@ object IndicatorDay {
   }
 
   /** Hourly-mart incremental refresh (the q32-family frame), emitting
-    * exactly the rows with `t ≥ fromT` — pinned equal to the full
-    * recompute both in IndicatorDaySpec and by the q99 oracle.
+    * exactly the rows with `t ≥ fromT − backfillBars·3600` — pinned
+    * equal to the full recompute both in IndicatorDaySpec and by the
+    * q99 oracle (which uses backfillBars = 0 so the emit window and
+    * the data cut coincide).
+    *
+    * `backfillBars` exists because chikou is FORWARD-looking
+    * (lead 26): bars arriving after the cut define the chikou of the
+    * last 26 pre-cut rows, so a production refresh sets
+    * backfillBars = 26 to re-emit (and re-overwrite, via the
+    * trailing-window partition reload) those now-complete rows. The
+    * incremental algebra is exact for ANY emit window — the seeds and
+    * the positional tail shift with it — so widening the window only
+    * widens the rewrite, never changes values (pinned in
+    * IndicatorDaySpec).
     */
-  def hourlyIncremental(events: DataFrame, fromT: Long): DataFrame = {
+  def hourlyIncremental(events: DataFrame, fromT: Long,
+      backfillBars: Int = 0): DataFrame = {
     val bars = Bars.hourly(events).withColumn("tkey", col("t"))
-    applyEdge(incrementalFrom(bars, lit(fromT), carry = Seq("t")))
+    applyEdge(incrementalFrom(bars,
+        lit(fromT - backfillBars * 3600L), carry = Seq("t")))
       .where(col("_live")).drop("_live")
   }
 

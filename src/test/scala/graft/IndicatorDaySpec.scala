@@ -131,6 +131,26 @@ class IndicatorDaySpec extends AnyFunSuite {
     a.zip(b).foreach { case (x, y) => assert(x == y) }
   }
 
+  test("incremental refresh: chikou back-fill re-emits completed pre-cut rows") {
+    // chikou looks 26 bars FORWARD, so post-cut bars complete the
+    // chikou of the last 26 pre-cut rows; backfillBars = 26 widens the
+    // emit window to cover them, still bit-equal to the full recompute
+    val fromT = 1705708800L
+    val inc = IndicatorDay.hourlyIncremental(events, fromT,
+      backfillBars = 26)
+    val full = IndicatorDay.hourly(events)
+      .where(col("t") >= fromT - 26 * 3600L)
+    val a = full.orderBy("id", "t").collect()
+    val b = inc.orderBy("id", "t").collect()
+    assert(a.length == b.length && a.nonEmpty)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+    // the back-filled pre-cut rows really carry DEFINED chikou values
+    // that depend on post-cut bars
+    val backfilled = inc.where(col("t") < fromT &&
+      col("ichimoku_chikou_span").isNotNull)
+    assert(backfilled.count() > 0)
+  }
+
   test("incremental refresh: symbol first seen AFTER the cut starts fresh") {
     import spark.implicits._
     // id 1 has full history; id 9 has NO bars before the cut — its
