@@ -51,6 +51,23 @@ object Analytics extends QueryPack {
         q(0.5, "p50"), q(0.9, "p90"), q(0.99, "p99"))
     }),
 
+    // The BUILT-IN event-time session operator (the same session_window
+    // function streaming queries use), complementing q18's manual
+    // lag+cumsum sessionization. Boundary semantics are the builtin's:
+    // windows are half-open [start, last+gap), so an event arriving at
+    // EXACTLY prev+gap starts a new session, and comparisons happen at
+    // full microsecond precision — the oracle re-derives exactly that.
+    "q106_session_window" -> ((s, d) =>
+      t("events")(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "6 hours").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 4).cast("float").as("total_value"))
+        .select(col("user_id"),
+          col("w.start").cast("long").as("start_s"),
+          col("w.end").cast("long").as("end_s"),
+          col("n_events"), col("total_value"))),
+
     "q16_rollup" -> ((s, d) => t("lineitem")(s, d)
       .rollup("l_returnflag", "l_linestatus")
       .agg(
@@ -159,6 +176,25 @@ object Analytics extends QueryPack {
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |GROUP BY 1""".stripMargin,
 
+    // session_window boundary: NEW session when ts >= prev + gap
+    // (half-open windows), compared at full timestamp precision;
+    // start/end floor to epoch seconds only at the output edge.
+    "q106_session_window" ->
+      """WITH l AS (
+        |  SELECT user_id, ts, value, lag(ts) OVER
+        |    (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN prev IS NULL
+        |        OR ts >= prev + INTERVAL 6 HOUR THEN 1 ELSE 0 END AS is_new
+        |      FROM l),
+        |s AS (SELECT *, sum(is_new) OVER
+        |        (PARTITION BY user_id ORDER BY ts) AS sid FROM f)
+        |SELECT user_id,
+        |       CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
+        |       CAST(floor(epoch(max(ts))) AS BIGINT) + 21600 AS end_s,
+        |       count(*) AS n_events,
+        |       CAST(round(sum(value), 4) AS REAL) AS total_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "q18_sessionize" ->
       s"""WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
          |             event_id, value FROM events),

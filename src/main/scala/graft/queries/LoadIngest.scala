@@ -78,6 +78,26 @@ object LoadIngest extends QueryPack {
         col("hour").cast("int").as("hour"))
     }),
 
+    // JSON-lines external ingest: completes the file-format matrix
+    // (parquet/ORC/CSV/JSON). Typed bars round-trip through JSON text
+    // (schema-on-read with an explicit schema — no sampling pass) and
+    // re-derive the warehouse partition columns; the oracle recomputes
+    // the same frame from events, so a lossy double or date encoding
+    // on either side of the round-trip breaks the hash gate.
+    "q105_json_ingest" -> ((s, d) => {
+      val path = scratch(d, "q105")
+      val bars = Bars.daily(t("events")(s, d))
+      bars.write.mode("overwrite").json(path)
+      s.read.schema("id LONG, dt DATE, open DOUBLE, high DOUBLE, " +
+          "low DOUBLE, close DOUBLE, volume DOUBLE")
+        .json(path)
+        .select(col("id"), col("dt"), col("open"), col("high"),
+          col("low"), col("close"), col("volume"),
+          year(col("dt")).cast("int").as("year"),
+          month(col("dt")).cast("int").as("month"),
+          dayofmonth(col("dt")).cast("int").as("day"))
+    }),
+
     // S11/S12: typed bars → string CSV (with injected bad rows) →
     // header CSV read → promotion with bad-row/null guards + epoch
     // ms→s + partition derivation.
@@ -139,6 +159,13 @@ object LoadIngest extends QueryPack {
          |FROM hourly
          |WHERE make_timestamp(t * 1000000) >= TIMESTAMP '2024-01-24'"""
         .stripMargin,
+    "q105_json_ingest" ->
+      s"""WITH ${Bars.oracleCte}
+         |SELECT id, dt, open, high, low, close, volume,
+         |       CAST(year(dt) AS INTEGER) AS year,
+         |       CAST(month(dt) AS INTEGER) AS month,
+         |       CAST(day(dt) AS INTEGER) AS day
+         |FROM daily""".stripMargin,
     "q51_csv_ingest" ->
       s"""WITH ${Bars.oracleCte}
          |SELECT CAST(id AS VARCHAR) AS id, dt,
