@@ -236,20 +236,16 @@ object IndicatorStream {
     val senkouB = lagged(52).map(mid)
 
     // aroon(25): periods since extremum in the 26-bar window, ties to
-    // the EARLIEST bar (the batch struct-ordering tiebreak)
+    // the EARLIEST bar (the batch struct-ordering tiebreak; indexOf
+    // finds the first = earliest occurrence)
     val aroonWin = last(26)
-    val aroonUp = when(rn >= 26) {
-      val hs = aroonWin.map(_.h)
-      val hiIdx = hs.indexOf(hs.max) // earliest occurrence
-      val since = aroonWin.length - 1 - hiIdx
-      (25 - since) * 100.0 / 25
-    }
-    val aroonDown = when(rn >= 26) {
-      val ls = aroonWin.map(_.l)
-      val loIdx = ls.indexOf(ls.min)
-      val since = aroonWin.length - 1 - loIdx
-      (25 - since) * 100.0 / 25
-    }
+    def aroon(xs: Seq[Double], extremum: Seq[Double] => Double) =
+      when(rn >= 26) {
+        val since = xs.length - 1 - xs.indexOf(extremum(xs))
+        (25 - since) * 100.0 / 25
+      }
+    val aroonUp = aroon(aroonWin.map(_.h), _.max)
+    val aroonDown = aroon(aroonWin.map(_.l), _.min)
 
     val next = FullState(core, ring, rawRing, kRing)
     (next, FullOut(b.id, b.t,

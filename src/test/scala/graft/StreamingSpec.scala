@@ -427,11 +427,24 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable()
     q.stop()
 
-    // read the state store back (Spark state data source) and map it
-    // onto the stateSnapshot sidecar schema — field NAMES differ
-    // (camelCase vs snake_case) but the seeded aggregates read their
-    // seed structs positionally, and positions match by construction
-    val g = "value.groupState"
+    // the batch refresh seeded from the STREAM's state must equal the
+    // refresh seeded from the batch-derived snapshot — the handoff the
+    // shared recursion-state design promises
+    assertStateHandsOff(events, ckpt, "value.groupState", fromT)
+  }
+
+  /** Read a checkpoint's state store back (Spark state data source),
+    * map the IndState layout at `statePath` onto the stateSnapshot
+    * sidecar schema (field NAMES differ, camelCase vs snake_case, but
+    * the seeded aggregates read their seed structs positionally and
+    * positions match by construction), feed the batch incremental
+    * refresh, and pin it bit-equal to the batch-derived snapshot.
+    */
+  private def assertStateHandsOff(events: org.apache.spark.sql.DataFrame,
+      ckpt: String, statePath: String, fromT: Long): Unit = {
+    import graft.mart.IndicatorDay
+    import graft.ts.Bars
+    val g = statePath
     val handedOff = spark.read.format("statestore")
       .option("path", ckpt).load()
       .select(col("key.value").as("id"),
@@ -440,10 +453,6 @@ class StreamingSpec extends AnyFunSuite {
         col(s"$g.e30").as("ema30_st"), col(s"$g.e12").as("ema12_st"),
         col(s"$g.e26").as("ema26_st"), col(s"$g.s9").as("sig9_st"),
         col(s"$g.rsi").as("rsi_st"))
-
-    // the batch refresh seeded from the STREAM's state must equal the
-    // refresh seeded from the batch-derived snapshot — the handoff the
-    // shared recursion-state design promises
     val bars = Bars.hourly(events).withColumn("tkey", col("t"))
     val viaStream = IndicatorDay.incrementalFrom(bars, handedOff,
         lit(fromT), carry = Seq("t"), tailBars = 77,
@@ -485,27 +494,7 @@ class StreamingSpec extends AnyFunSuite {
 
     // FullState nests the recursion snapshot as `core`: one more path
     // segment than the IndState layout, otherwise the same mapping
-    val g = "value.groupState.core"
-    val handedOff = spark.read.format("statestore")
-      .option("path", ckpt).load()
-      .select(col("key.value").as("id"),
-        col(s"$g.n").as("rn0"), col(s"$g.obv").as("obv0"),
-        col(s"$g.e5").as("ema5_st"), col(s"$g.e10").as("ema10_st"),
-        col(s"$g.e30").as("ema30_st"), col(s"$g.e12").as("ema12_st"),
-        col(s"$g.e26").as("ema26_st"), col(s"$g.s9").as("sig9_st"),
-        col(s"$g.rsi").as("rsi_st"))
-    val bars = Bars.hourly(events).withColumn("tkey", col("t"))
-    val viaStream = IndicatorDay.incrementalFrom(bars, handedOff,
-        lit(fromT), carry = Seq("t"), tailBars = 77,
-        IndicatorDay.exceptionalIds, IndicatorDay.nMultiple)
-      .where(col("_live"))
-    val derived = IndicatorDay.incrementalFrom(bars, lit(fromT),
-        carry = Seq("t"))
-      .where(col("_live"))
-    val a = derived.orderBy("id", "tkey").collect()
-    val b = viaStream.orderBy("id", "tkey").collect()
-    assert(a.length == b.length && a.nonEmpty)
-    a.zip(b).foreach { case (x, y) => assert(x == y) }
+    assertStateHandsOff(events, ckpt, "value.groupState.core", fromT)
   }
 
   test("online indicator stream across micro-batches == batch recompute") {
