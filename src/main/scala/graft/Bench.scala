@@ -12,14 +12,34 @@ import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
   * computes, and reduces every output column while collecting just one
   * row to the driver.
   *
+  * Noise robustness (r5 lesson): a single-sample run on a co-located
+  * machine can inflate a contiguous stretch of queries 3–11× (the r5
+  * driver artifact measured 154.8s where two independent runs of the
+  * same code measured 96.5/101.9s). The bench therefore takes
+  * SPARK_GRAFT_BENCH_SAMPLES (default 3) samples per query and reports
+  * the per-query MEDIAN. Samples are taken in separate interleaved
+  * passes over the whole query list — not back-to-back per query — so
+  * a time-localized load burst lands in at most one sample of any
+  * query and the median discards it. All raw samples are recorded in
+  * bench_queries.json under "samples".
+  *
   * Failures are NOT swallowed: a throwing query is recorded with
   * `-1` in the per-query map, listed under `"failed"`, and the process
   * exits nonzero so the driver can tell a fast run from a broken one.
   */
 object Bench {
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n == 0) -1.0
+    else if (n % 2 == 1) s(n / 2)
+    else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val nSamples = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -48,49 +68,59 @@ object Bench {
           .agg(expr("bit_xor(h)")).collect()
       }
     } catch { case _: Throwable => () } // warm-up must never fail the bench
-    var failed = List.empty[String]
+    var failed = Set.empty[String]
     val only = args.toSet // optional query-name filter for local iteration
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.isEmpty || only.contains(q._1))
-      .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
+    // pass-major sampling: all queries once, then again — see scaladoc
+    val samples = collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (pass <- 1 to nSamples; (name, fn) <- queryList) {
+      if (!failed.contains(name)) {
+        val t0 = System.nanoTime()
         try {
           // bit_xor (not sum): xxhash64 values span the full long range
           // and ANSI mode (Spark 4 default) faults on sum overflow.
           val df = fn(spark, sfDir)
             .select(xxhash64(struct(col("*"))).as("h"))
           df.agg(expr("bit_xor(h)")).collect()
-          true
+          samples(name) = samples(name) :+ ((System.nanoTime() - t0) / 1e9)
         } catch {
           case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            failed ::= name
-            false
+            System.err.println(s"[bench] $name FAILED (pass $pass): ${e.getMessage}")
+            failed += name
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+    }
+    val results = queryList.map { case (name, _) =>
+      name -> (if (failed.contains(name)) -1.0 else median(samples(name)))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = failed.toList.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val samplesJson = results.map { case (k, _) =>
+      "\"" + k + "\":" + samples(k).map(v => math.rint(v * 1000) / 1000)
+        .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     // The driver keeps only a ~2000-char tail of the output, which the
     // full-name full-precision queries map outgrew (r4's record was
     // truncated mid-line → unparseable). The stdout line carries SHORT
     // keys (qNN) at 3 decimals so it always fits the tail window; the
-    // full-name, full-precision map goes to bench_queries.json beside
-    // the run for anyone who wants the complete record.
+    // full-name, full-precision map (plus raw samples) goes to
+    // bench_queries.json beside the run for anyone who wants the
+    // complete record.
     val qsShort = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + math.rint(v * 1000) / 1000
     }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samplesJson,"n_samples":$nSamples,"failed":$failedJson,"sf":"$sfDir"}"""
     // only full runs refresh the committed artifact — an args-filtered
-    // local iteration must not clobber the 79-query record
+    // local iteration must not clobber the full-query record
     if (only.isEmpty) java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_queries.json"),
       (fullLine + "\n").getBytes("UTF-8"))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShort,"failed":$failedJson,"sf":"$sfDir","queries_file":"bench_queries.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShort,"n_samples":$nSamples,"failed":$failedJson,"sf":"$sfDir","queries_file":"bench_queries.json"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -76,28 +76,47 @@ object Corpus {
       .select(col("doc_id"), col("lang"), col("source"), col("h16"))
   }
 
-  /** Token-stream packing: per language, documents are concatenated in
+  /** Token-stream packing: per stream, documents are concatenated in
     * doc_id order into one virtual token stream that is then cut into
     * fixed `budget`-token context windows (the concat-then-split packing
     * used by LLM pre-training loaders). Emits, per document, the window
     * it starts in (`pack_id`), how many windows it spans, and its offset
     * inside the first window.
     *
-    * One shuffle (stream key) + one running-sum window; parallelism =
-    * |stream keys|, so at 100 TB the stream key should be
-    * (lang, shard) — the shard assignment composes with
-    * [[stratifiedSample]]'s hash16.
+    * The DEFAULT stream key is the composite (lang, shard), with
+    * `shard = hash16(doc_id, salt) % nStreams` — the exact md5 math of
+    * [[shardShuffle]], so packing composed with the epoch shuffle packs
+    * each output shard independently (same salt → same shard). This is
+    * the 100 TB shape: one shuffle on the composite key + a running-sum
+    * window whose parallelism is |langs| × nStreams, not |langs| — a
+    * mostly-English corpus no longer serializes its running token sum
+    * into one task. `pack_id` is local to its (lang, shard) stream,
+    * matching how sharded loader files are each packed independently.
+    *
+    * `nStreams = 1` is the legacy single-stream-per-language form (no
+    * shard column) kept as the oracle-compat / small-data surface.
     */
-  def packStream(docs: DataFrame, budget: Int = 256): DataFrame = {
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-    docs
-      .select(col("doc_id"), col("lang"),
-        size(TextOps.tokens(col("text"))).as("n_tok"))
-      .withColumn("cum", sum(col("n_tok").cast("long")).over(w))
-      .selectExpr("doc_id", "lang", "n_tok",
-        s"(cum - n_tok) div $budget AS pack_id",
-        s"((cum - 1) div $budget) - ((cum - n_tok) div $budget) + 1 AS n_windows",
-        s"cast(cum - n_tok - ((cum - n_tok) div $budget) * $budget as int) AS pack_offset")
+  def packStream(docs: DataFrame, budget: Int = 256, nStreams: Int = 8,
+      salt: String = "ep0"): DataFrame = {
+    require(nStreams >= 1, "nStreams must be >= 1")
+    val packCols = Seq(
+      s"(cum - n_tok) div $budget AS pack_id",
+      s"((cum - 1) div $budget) - ((cum - n_tok) div $budget) + 1 AS n_windows",
+      s"cast(cum - n_tok - ((cum - n_tok) div $budget) * $budget as int) AS pack_offset")
+    val base = docs.select(col("doc_id"), col("lang"),
+      size(TextOps.tokens(col("text"))).as("n_tok"))
+    if (nStreams == 1) {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      base
+        .withColumn("cum", sum(col("n_tok").cast("long")).over(w))
+        .selectExpr(Seq("doc_id", "lang", "n_tok") ++ packCols: _*)
+    } else {
+      val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      base
+        .withColumn("shard", (hash16(col("doc_id"), salt) % nStreams).cast("int"))
+        .withColumn("cum", sum(col("n_tok").cast("long")).over(w))
+        .selectExpr(Seq("doc_id", "lang", "shard", "n_tok") ++ packCols: _*)
+    }
   }
 
   /** Deterministic epoch shuffle + shard assignment: every document
@@ -197,9 +216,13 @@ object Corpus {
     val s3 = s2.where(col("doc_id") % benchEvery =!= 0)
       .join(dec.select("doc_id"), Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
+    // packStream's default (lang, shard) stream key reuses shardShuffle's
+    // md5 shard math (same salt "ep0"), so joining on (doc_id, shard)
+    // is lossless by construction: each output shard is packed
+    // independently, exactly how the loader will stream it.
     s3.select(col("doc_id"), col("cluster"), col("quality"))
       .join(shardShuffle(s3, nShards), "doc_id")
-      .join(packStream(s3, budget), "doc_id")
+      .join(packStream(s3, budget, nShards), Seq("doc_id", "shard"))
       .select(col("doc_id"), col("lang"), col("cluster"), col("quality"),
         col("n_tok"), col("shard"), col("pos"),
         col("pack_id"), col("n_windows"), col("pack_offset"))

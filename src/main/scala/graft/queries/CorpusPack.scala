@@ -62,21 +62,28 @@ object CorpusPack extends QueryPack {
         |                WHEN 'zh' THEN CAST(0.75 AS DOUBLE)
         |                ELSE CAST(1 AS DOUBLE) END""".stripMargin,
 
+    // Re-derives the composite (lang, shard) stream key: shard is the
+    // same md5-high-16 % 8 as q86's, so the oracle survives fixture
+    // regeneration and pins the scale-path packing semantics.
     "q79_pack_stream" ->
-      """WITH s AS (SELECT doc_id, lang,
-        |        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER)
-        |          AS n_tok
-        |      FROM documents),
-        |c AS (SELECT doc_id, lang, n_tok,
-        |        CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id)
-        |             AS BIGINT) AS cum
-        |      FROM s)
-        |SELECT doc_id, lang, n_tok,
-        |       (cum - n_tok) // 256 AS pack_id,
-        |       ((cum - 1) // 256) - ((cum - n_tok) // 256) + 1 AS n_windows,
-        |       CAST(cum - n_tok - ((cum - n_tok) // 256) * 256 AS INTEGER)
-        |         AS pack_offset
-        |FROM c""".stripMargin,
+      s"""WITH s AS (SELECT doc_id, lang,
+         |        CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER)
+         |          AS n_tok,
+         |        md5('ep0:' || CAST(doc_id AS VARCHAR)) AS h
+         |      FROM documents),
+         |sh AS (SELECT doc_id, lang, n_tok,
+         |         CAST((${OracleSql.md5High16("h")}) % 8 AS INTEGER) AS shard
+         |       FROM s),
+         |c AS (SELECT doc_id, lang, shard, n_tok,
+         |        CAST(sum(n_tok) OVER (PARTITION BY lang, shard
+         |               ORDER BY doc_id) AS BIGINT) AS cum
+         |      FROM sh)
+         |SELECT doc_id, lang, shard, n_tok,
+         |       (cum - n_tok) // 256 AS pack_id,
+         |       ((cum - 1) // 256) - ((cum - n_tok) // 256) + 1 AS n_windows,
+         |       CAST(cum - n_tok - ((cum - n_tok) // 256) * 256 AS INTEGER)
+         |         AS pack_offset
+         |FROM c""".stripMargin,
 
     "q80_mix_weights" ->
       """WITH s AS (SELECT lang,
@@ -209,10 +216,11 @@ object CorpusPack extends QueryPack {
          |sp AS (SELECT doc_id, shard,
          |         CAST(row_number() OVER (PARTITION BY shard
          |           ORDER BY h, doc_id) AS INTEGER) AS pos FROM ss),
-         |pc AS (SELECT doc_id, lang, CAST(len(w) AS INTEGER) AS n_tok,
-         |         CAST(sum(CAST(len(w) AS INTEGER))
-         |           OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS cum
-         |       FROM surv3)
+         |pc AS (SELECT s3.doc_id, s3.lang, CAST(len(s3.w) AS INTEGER) AS n_tok,
+         |         CAST(sum(CAST(len(s3.w) AS INTEGER))
+         |           OVER (PARTITION BY s3.lang, ss.shard ORDER BY s3.doc_id)
+         |           AS BIGINT) AS cum
+         |       FROM surv3 s3 JOIN ss USING (doc_id))
          |SELECT s3.doc_id, s3.lang, s3.cluster, s3.quality, pc.n_tok,
          |       sp.shard, sp.pos,
          |       (pc.cum - pc.n_tok) // 256 AS pack_id,

@@ -55,13 +55,36 @@ class CorpusSpec extends AnyFunSuite {
     val bad = out.filter(col("pack_offset") < 0 || col("pack_offset") >= 256 ||
       col("n_windows") < 1).count()
     assert(bad == 0)
-    // per lang: total windows spanned == ceil(total tokens / budget)
-    val perLang = out.groupBy("lang")
+    // per (lang, shard) stream: total windows spanned == ceil(stream
+    // tokens / budget) — pack_id is local to its composite stream
+    val perStream = out.groupBy("lang", "shard")
       .agg(sum("n_tok").as("toks"), max(col("pack_id") + col("n_windows"))
         .as("maxw")).collect()
-    perLang.foreach { r =>
-      val toks = r.getLong(1); val maxw = r.getLong(2)
-      assert(maxw == (toks + 255) / 256, s"${r.getString(0)}: $toks vs $maxw")
+    assert(perStream.length > out.select("lang").distinct().count(),
+      "composite key must split languages into multiple streams")
+    perStream.foreach { r =>
+      val toks = r.getLong(2); val maxw = r.getLong(3)
+      assert(maxw == (toks + 255) / 256,
+        s"${r.getString(0)}/${r.getInt(1)}: $toks vs $maxw")
+    }
+  }
+
+  test("composite-key packing == single-stream packing of each shard subset") {
+    // window-boundary equivalence per shard: filtering the composite
+    // output to one shard is bit-equal to running the legacy
+    // single-stream form over just that shard's documents — i.e. the
+    // (lang, shard) key only partitions the work, never changes any
+    // stream's packing
+    val composite = Corpus.packStream(docs, budget = 256, nStreams = 8)
+    val withShard = docs.withColumn("shard",
+      (Corpus.hash16(col("doc_id"), "ep0") % 8).cast("int"))
+    for (sh <- Seq(0, 5)) {
+      val single = Corpus.packStream(
+        withShard.filter(col("shard") === sh).drop("shard"),
+        budget = 256, nStreams = 1)
+      val comp = composite.filter(col("shard") === sh).drop("shard")
+      assert(comp.exceptAll(single).isEmpty && single.exceptAll(comp).isEmpty,
+        s"shard $sh packing mismatch")
     }
   }
 
