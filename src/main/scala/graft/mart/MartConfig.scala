@@ -32,4 +32,19 @@ object MartConfig {
 
   /** The forex mart mapping (direct volume column, no scaling path). */
   val forex: MartConfig = MartConfig("forex", volumeCol = "volume")
+
+  /** The four remaining asset classes are config-identical to forex
+    * apart from the market tag — the reference's
+    * `D_Create_{gold,crude_oil,natural_gas,stock_index}_*_001.py`
+    * clones are the forex template with a different source/target
+    * table, which here collapses to one field.
+    */
+  val gold: MartConfig = MartConfig("gold", volumeCol = "volume")
+  val crudeOil: MartConfig = MartConfig("crude_oil", volumeCol = "volume")
+  val naturalGas: MartConfig = MartConfig("natural_gas", volumeCol = "volume")
+  val stockIndex: MartConfig = MartConfig("stock_index", volumeCol = "volume")
+
+  /** All six reference asset classes — the full clone matrix. */
+  val all: Seq[MartConfig] =
+    Seq(crypto, forex, gold, crudeOil, naturalGas, stockIndex)
 }

@@ -206,17 +206,20 @@ object Indicators extends QueryPack {
     "q40_indicator_day" -> ((s, d) => IndicatorDay(t("events")(s, d))),
 
     // Config-driven multi-asset run: ONE IndicatorDay engine serving
-    // two of the reference's per-asset clone mappings in one query —
+    // ALL SIX of the reference's per-asset clone mappings in one query —
     // the crypto source arrives with its volume column named `amount`
-    // (projected via MartConfig.crypto, scaling path live for id 7),
-    // the forex source reads `volume` directly with NO scaling path.
-    // Proves the per-asset template clones collapse to configuration.
+    // (projected via MartConfig.crypto, scaling path live for id 7);
+    // forex/gold/crude_oil/natural_gas/stock_index read `volume`
+    // directly with NO scaling path (the reference's five forex-shaped
+    // templates). Proves the six ~200-line clones collapse to config.
     "q91_multi_asset" -> ((s, d) => {
       import graft.mart.MartConfig
       val bars = Bars.hourly(t("events")(s, d))
       val cryptoSrc = bars.withColumnRenamed("volume", "amount")
-      IndicatorDay.hourlyConfigured(MartConfig.crypto)(cryptoSrc)
-        .unionByName(IndicatorDay.hourlyConfigured(MartConfig.forex)(bars))
+      MartConfig.all.map { cfg =>
+        val src = if (cfg.market == "crypto") cryptoSrc else bars
+        IndicatorDay.hourlyConfigured(cfg)(src)
+      }.reduce(_ unionByName _)
         .select(col("market"), col("id"), col("t"), col("volume"),
           col("ema5"), col("rsi"), col("obv"),
           col("n_multiple").cast("float").as("n_multiple"))
@@ -348,6 +351,10 @@ object Indicators extends QueryPack {
          |       ${E("aroon_osc")} AS aroon_oscillator,
          |       CAST(nm AS REAL) AS n_multiple
          |FROM ind WHERE t >= $incrementalCutT""".stripMargin,
+    // The five forex-shaped markets are value-identical by construction
+    // (same config content, different tag), so the oracle evaluates the
+    // no-scale block ONCE and fans the tag out with a VALUES cross join
+    // — semantically the same as five copies of the block.
     "q91_multi_asset" ->
       s"""SELECT * FROM (
          |$hourlyBlock
@@ -358,10 +365,12 @@ object Indicators extends QueryPack {
          |UNION ALL
          |SELECT * FROM (
          |$hourlyBlockNoScale
-         |SELECT 'forex' AS market, id, t, volume,
+         |SELECT m.market AS market, id, t, volume,
          |       ${E("ema5")} AS ema5, ${E("rsi")} AS rsi,
          |       ${E("obv")} AS obv, CAST(nm AS REAL) AS n_multiple
-         |FROM ind)""".stripMargin,
+         |FROM ind, (VALUES ('forex'), ('gold'), ('crude_oil'),
+         |           ('natural_gas'), ('stock_index')) AS m(market))"""
+        .stripMargin,
     "q40_indicator_day" ->
       s"""$dailyBlock
          |SELECT id, dt,
