@@ -24,10 +24,13 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   * NULL-poisons those rows. For embedding columns — fixed dimension,
   * no NULL elements, the only place this pattern appears — the two are
   * identical, summation order included (both fold left-to-right from
-  * 0.0). Enable per session via
-  * `spark.experimental.extraOptimizations :+= KernelRewrite` or for
-  * every session through [[GraftExtensions]]
-  * (`spark.sql.extensions=graft.functions.GraftExtensions`).
+  * 0.0). Because of that contract the rewrite only fires when
+  * `spark.graft.kernelRewrite.enabled=true` (default FALSE): installing
+  * [[GraftExtensions]] alone must not silently change the NULL/length
+  * semantics of arbitrary user SQL that happens to match the shape.
+  * Enable by setting the flag in a session that has the rule installed
+  * — via `spark.experimental.extraOptimizations :+= KernelRewrite` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
   *
   * The match is deliberately strict — exact lambda shapes, double
   * arrays, literal 0.0 seed — so anything else is left untouched
@@ -84,8 +87,12 @@ object KernelRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** The opt-in flag — see the vector-column contract above. */
+  val EnabledKey = "spark.graft.kernelRewrite.enabled"
+
   override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformAllExpressionsWithPruning(
+    if (!conf.getConfString(EnabledKey, "false").toBoolean) plan
+    else plan.transformAllExpressionsWithPruning(
       _.containsPattern(org.apache.spark.sql.catalyst.trees.TreePattern
         .HIGH_ORDER_FUNCTION)) {
       case ArrayAggregate(ZipWith(a, b, mul), Literal(0.0, DoubleType),

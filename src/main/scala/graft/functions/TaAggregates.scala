@@ -398,7 +398,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[QuantizedDot].getName, "quantized_dot"),
       (es: Seq[Expression]) => QuantizedDot(es.head, es(1))))
     ext.injectFunction((FunctionIdentifier("bottom_k_sketch"),
-      new ExpressionInfo(classOf[BottomKByHash].getName, "bottom_k_sketch"),
+      new ExpressionInfo(classOf[BottomKByHash].getName, null,
+        "bottom_k_sketch",
+        "bottom_k_sketch(value, key, k) - deterministic k-row uniform " +
+          "sample of value, selected by md5(key) order (mergeable; " +
+          "map-side partials). The row key MUST be unique per row: " +
+          "duplicate keys collapse to one sample slot (min value), " +
+          "biasing the sample relative to a rank-based formulation.",
+        null),
       (es: Seq[Expression]) => BottomKByHash(Cast(es.head, DoubleType),
         es(1), litInt(es(2), "bottom_k_sketch")).toAggregateExpression()))
   }

@@ -435,9 +435,11 @@ object Dedup {
       .select(col("doc_id"), col("seg_idx").cast("int").as("seg_idx"),
         array_join(slice(col("w"),
           col("seg_idx").cast("int") * window + 1, lit(window)), " ").as("seg"))
-      // order key: seg_idx < 10⁶ always holds (docs are bounded well
-      // below 10⁶·window tokens); keeps the claim a plain long min
-      .withColumn("ord", col("doc_id") * 1000000L + col("seg_idx"))
+      // order key: a lexicographic struct min — exact first-occurrence
+      // (doc_id, seg_idx) order for ANY document length, unlike a
+      // doc_id·10⁶ + seg_idx packed long which silently corrupts the
+      // claim order past 10⁶ segments
+      .withColumn("ord", struct(col("doc_id"), col("seg_idx")))
       .withColumn("dig", md5(col("seg").cast("binary")))
     val claims = segs.groupBy(col("dig"))
       .agg(min(col("ord")).as("w_ord"))

@@ -46,9 +46,13 @@ object Analytics extends QueryPack {
       val sorted = sort_array(col("vs"))
       def q(p: Double, name: String) = element_at(sorted,
         (floor(lit(p) * (size(col("vs")) - 1)) + 1).cast("int")).as(name)
-      sk.select(col("event_type"), col("n_rows"),
-        size(col("vs")).as("n_sample"),
-        q(0.5, "p50"), q(0.9, "p90"), q(0.99, "p99"))
+      // a group whose values are all NULL yields an empty sketch —
+      // drop it (matching the oracle's inner-join semantics) instead of
+      // faulting on element_at(arr, 0)
+      sk.where(size(col("vs")) > 0)
+        .select(col("event_type"), col("n_rows"),
+          size(col("vs")).as("n_sample"),
+          q(0.5, "p50"), q(0.9, "p90"), q(0.99, "p99"))
     }),
 
     // The BUILT-IN event-time session operator (the same session_window

@@ -160,6 +160,12 @@ class DotProductSpec extends AnyFunSuite {
       // away before the plan assertion could see the rewrite
       val embs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
       val v = col("embedding").cast("array<double>")
+      // opt-in gate: with the flag at its default (false) the rule is
+      // installed but inert — user SQL keeps exact HOF semantics
+      val gated = embs.select(fold(v, v).as("d"))
+        .queryExecution.optimizedPlan.toString
+      assert(!gated.contains("dot_product"), gated)
+      spark.conf.set(KernelRewrite.EnabledKey, "true")
       val df = embs.select(col("vec_id"), fold(v, v).as("d"))
       // the optimized plan carries the kernel, not the interpreted HOF
       val optimized = df.queryExecution.optimizedPlan.toString
@@ -183,6 +189,7 @@ class DotProductSpec extends AnyFunSuite {
       assert(!other.queryExecution.optimizedPlan.toString
         .contains("dot_product"))
     } finally {
+      spark.conf.unset(KernelRewrite.EnabledKey)
       spark.experimental.extraOptimizations = before
     }
   }
