@@ -52,15 +52,40 @@ object Similarity {
     * engines), vec_id as tiebreak.
     */
   def bruteForceTopK(embeddings: DataFrame, queryPred: Column,
+      k: Int = 5): DataFrame =
+    bruteForceTopKWith(dot)(embeddings, queryPred, k)
+
+  /** [[bruteForceTopK]] with the dot product written as the declarative
+    * `aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,v) -> acc+v)`
+    * higher-order fold — the formulation SQL users (and ported PySpark)
+    * naturally write. Run as-is it evaluates through Spark's
+    * interpreted lambda plumbing; in a session with
+    * [[graft.functions.KernelRewrite]] installed and
+    * `spark.graft.kernelRewrite.enabled=true` the optimizer rewrites
+    * every fold to the codegen'd [[graft.functions.DotProduct]] kernel,
+    * which is the point: the user keeps the declarative form, the
+    * physical plan gets the fused loop (q107 asserts the rewrite fired
+    * before returning the frame).
+    */
+  def bruteForceTopKHof(embeddings: DataFrame, queryPred: Column,
       k: Int = 5): DataFrame = {
+    def hofDot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    bruteForceTopKWith(hofDot)(embeddings, queryPred, k)
+  }
+
+  private def bruteForceTopKWith(dotFn: (Column, Column) => Column)(
+      embeddings: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val e = embeddings.select(col("vec_id"),
       asDouble(col("embedding")).as("v"))
-      .withColumn("n2", dot(col("v"), col("v")))
+      .withColumn("n2", dotFn(col("v"), col("v")))
     val q = e.where(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("n2").as("qn2"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("cos", cosine(col("qv"), col("v"), col("qn2"), col("n2")))
+      .withColumn("cos",
+        when(col("qn2") > 0 && col("n2") > 0,
+          round(dotFn(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2"))), 4)))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("int"))

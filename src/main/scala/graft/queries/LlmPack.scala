@@ -104,6 +104,40 @@ object LlmPack extends QueryPack {
     "q67_tfidf_top3" -> ((s, d) => TextOps.tfidfTopK(t("documents")(s, d))),
     "q68_ann_cosine" -> ((s, d) =>
       Similarity.bruteForceTopK(t("embeddings")(s, d), col("vec_id") < 10)),
+    // The SESSION-EXTENSION path end-to-end: a fresh session built with
+    // spark.sql.extensions=graft.functions.GraftExtensions (over the
+    // same SparkContext) and the kernelRewrite flag on, running q68's
+    // ANN query written as the declarative aggregate(zip_with(...))
+    // HOF fold. The query REQUIRES the optimized plan to carry the
+    // rewritten dot_product kernel — a green row proves the extension
+    // injection + optimizer rule fire on a real query, not just in
+    // specs. Oracle = q68's (the rewrite must be value-invisible).
+    "q107_kernel_rewrite_ann" -> ((s, d) => {
+      import org.apache.spark.sql.SparkSession
+      val prevDefault = SparkSession.getDefaultSession
+      val prevActive = SparkSession.getActiveSession
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      try {
+        // getOrCreate reuses the live SparkContext; extensions apply
+        // because no default/active session exists at this point
+        val s2 = SparkSession.builder()
+          .withExtensions(new graft.functions.GraftExtensions())
+          .getOrCreate()
+        s2.conf.set(graft.functions.KernelRewrite.EnabledKey, "true")
+        val df = Similarity.bruteForceTopKHof(
+          t("embeddings")(s2, d), col("vec_id") < 10)
+        val plan = df.queryExecution.optimizedPlan.toString
+        require(plan.contains("dot_product"),
+          s"KernelRewrite did not fire; optimized plan:\n$plan")
+        require(!plan.contains("aggregate("),
+          s"interpreted HOF fold survived the rewrite:\n$plan")
+        df
+      } finally {
+        prevDefault.foreach(SparkSession.setDefaultSession)
+        prevActive.foreach(SparkSession.setActiveSession)
+      }
+    }),
     "q69_ann_lsh" -> ((s, d) =>
       Similarity.lshTopK(t("embeddings")(s, d), col("vec_id") < 10)),
     "q71_ann_ivf" -> ((s, d) =>
@@ -269,6 +303,23 @@ object LlmPack extends QueryPack {
        |       len(list_filter(w, x -> $cond)) AS score FROM tok"""
       .stripMargin
   }.mkString("\nUNION ALL\n")
+
+  /** Exact brute-force ANN oracle, shared by q68 (native kernel) and
+    * q107 (HOF fold + KernelRewrite): both must produce this answer.
+    */
+  private val annCosineOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+      |p AS (
+      |  SELECT q.vec_id AS qid, x.vec_id AS neighbor_id,
+      |         round(list_dot_product(q.v, x.v)
+      |               / (sqrt(q.n2) * sqrt(x.n2)), 4) AS cos
+      |  FROM n q JOIN n x ON q.vec_id < 10 AND x.vec_id <> q.vec_id)
+      |SELECT qid, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
+      |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+      |        ORDER BY cos DESC, neighbor_id) AS rank FROM p)
+      |WHERE rank <= 5""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q60_exact_dedup" ->
@@ -711,19 +762,10 @@ object LlmPack extends QueryPack {
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid
          |        ORDER BY qcos DESC, neighbor_id) AS rank FROM p)
          |WHERE rank <= 5""".stripMargin,
-    "q68_ann_cosine" ->
-      """WITH e AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
-        |p AS (
-        |  SELECT q.vec_id AS qid, x.vec_id AS neighbor_id,
-        |         round(list_dot_product(q.v, x.v)
-        |               / (sqrt(q.n2) * sqrt(x.n2)), 4) AS cos
-        |  FROM n q JOIN n x ON q.vec_id < 10 AND x.vec_id <> q.vec_id)
-        |SELECT qid, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
-        |FROM (SELECT *, row_number() OVER (PARTITION BY qid
-        |        ORDER BY cos DESC, neighbor_id) AS rank FROM p)
-        |WHERE rank <= 5""".stripMargin,
+    "q68_ann_cosine" -> annCosineOracle,
+    // Identical answer contract: the kernel rewrite must be invisible
+    // in values, so q107 shares q68's oracle verbatim.
+    "q107_kernel_rewrite_ann" -> annCosineOracle,
     "q72_cosine_dups" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
