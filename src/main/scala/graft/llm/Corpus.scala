@@ -228,6 +228,68 @@ object Corpus {
         col("pack_id"), col("n_windows"), col("pack_offset"))
   }
 
+  /** The DAY-2 ingest pipeline — the incremental counterpart of
+    * [[corpusPipeline]]: an incoming batch (rows where
+    * `isNewId(doc_id)`) is gated and delta-deduplicated against the
+    * standing corpus, which the previous run already gated and
+    * deduplicated and therefore must never re-pair with itself.
+    *
+    *   1. [[TextOps.gopherFilter]] quality gate over the NEW batch only;
+    *   2. [[Dedup.jaccardPairsDelta]] + [[Dedup.simhashPairsDelta]] over
+    *      corpus ∪ gated batch — both prune old×old pairs inside their
+    *      candidate joins, so per-run cost tracks the batch's candidate
+    *      fan-out, not the corpus pair space;
+    *   3. admission: a new doc is rejected by any near-dup pair with an
+    *      old doc, or with a SMALLER-id new doc (first-occurrence claim
+    *      within the batch — non-recursive, so the decision is a plain
+    *      aggregation, not a chained dependency).
+    *
+    * `isNewId` must derive newness from the doc_id column alone (a
+    * batch tag / id range in production) because it is re-evaluated on
+    * both sides of the pair frames.
+    *
+    * @return one row per batch doc: (doc_id, gate_keep, n_dup_jaccard,
+    *         n_dup_simhash, admitted), where the counts are rejecting
+    *         partners per family.
+    */
+  def day2Ingest(docs: DataFrame, isNewId: Column => Column,
+      jaccardThreshold: Double = 0.3, maxHamming: Int = 3): DataFrame = {
+    val isNewDoc = isNewId(col("doc_id"))
+    val batch = docs.where(isNewDoc)
+    val corpus = docs.where(!isNewDoc)
+    val gated = TextOps.gopherFilter(batch)
+      .where(col("keep")).select(col("doc_id"))
+    // the union feeds BOTH delta-pair jobs — materialize once, exactly
+    // where a production run would persist the day's gated batch
+    val world = corpus.select(col("doc_id"), col("lang"), col("text"))
+      .unionByName(batch.select(col("doc_id"), col("lang"), col("text"))
+        .join(gated, "doc_id"))
+      .localCheckpoint(true)
+    val jp = Dedup.jaccardPairsDelta(world, isNewDoc,
+      threshold = jaccardThreshold)
+    val sp = Dedup.simhashPairsDelta(world, isNewDoc, maxHamming)
+    // rejecting partners of a new doc n: any pair (·, n), plus (n, old)
+    // — pairs are (da < db), so (smaller-new, n) rejects n while
+    // (n, bigger-new) leaves n standing (the first-claim rule)
+    def rejections(pairs: DataFrame): DataFrame =
+      pairs.where(isNewId(col("db"))).select(col("db").as("doc_id"))
+        .unionByName(pairs.where(isNewId(col("da")) && !isNewId(col("db")))
+          .select(col("da").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).cast("int").as("n"))
+    val jr = rejections(jp.select(col("da"), col("db")))
+    val sr = rejections(sp.select(col("da"), col("db")))
+    batch.select(col("doc_id"))
+      .join(gated.withColumn("gk", lit(true)), Seq("doc_id"), "left")
+      .join(jr.withColumnRenamed("n", "nj"), Seq("doc_id"), "left")
+      .join(sr.withColumnRenamed("n", "ns"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("gk"), lit(false)).as("gate_keep"),
+        coalesce(col("nj"), lit(0)).as("n_dup_jaccard"),
+        coalesce(col("ns"), lit(0)).as("n_dup_simhash"),
+        (coalesce(col("gk"), lit(false)) && coalesce(col("nj"), lit(0)) === 0
+          && coalesce(col("ns"), lit(0)) === 0).as("admitted"))
+  }
+
   def decontaminate(docs: DataFrame, benchEvery: Int = 50, n: Int = 8): DataFrame = {
     // spread first: the corpus side of the broadcast join never
     // shuffles, so without it ALL shingling would run inside the
