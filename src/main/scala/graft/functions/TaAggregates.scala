@@ -314,6 +314,9 @@ object TaFunctions {
     r.createOrReplaceTempFunction("minhash_sig",
       es => MinHashSig(es.head, intArg(es(1), "minhash_sig")),
       "scala_udf")
+    r.createOrReplaceTempFunction("minhash_sig_md5",
+      es => MinHashSigMd5(es.head, intArg(es(1), "minhash_sig_md5")),
+      "scala_udf")
     r.createOrReplaceTempFunction("sorted_hashes",
       es => SortedHashes(es.head), "scala_udf")
     r.createOrReplaceTempFunction("sorted_intersect_count",
@@ -372,6 +375,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (es: Seq[Expression]) => MinHashSig(es.head, litInt(es(1), "minhash_sig"))))
+    ext.injectFunction((FunctionIdentifier("minhash_sig_md5"),
+      new ExpressionInfo(classOf[MinHashSigMd5].getName, "minhash_sig_md5"),
+      (es: Seq[Expression]) =>
+        MinHashSigMd5(es.head, litInt(es(1), "minhash_sig_md5"))))
     ext.injectFunction((FunctionIdentifier("sorted_hashes"),
       new ExpressionInfo(classOf[SortedHashes].getName, "sorted_hashes"),
       (es: Seq[Expression]) => SortedHashes(es.head)))

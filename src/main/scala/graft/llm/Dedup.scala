@@ -221,23 +221,25 @@ object Dedup {
   /** Banded MinHash LSH near-dup pairs, exact-verified at `threshold`.
     * Output ⊆ [[jaccardPairs]] output; equality holds when every
     * qualifying pair collides in ≥ 1 band (P ≈ 1 − 1e-4 per pair at
-    * J = 0.5 — verified empirically on the frozen fixtures).
+    * J = 0.5).
     *
-    * Signatures are a PURE MAP over the per-doc shingle arrays —
-    * `array_min(transform(arr, xxhash64(s, seed)))` per hash — so the
-    * only shuffles in the whole operator are the (band, hash) candidate
-    * join and the verification joins. (The groupBy-with-64-aggregates
-    * formulation this replaces shuffled every shingle row.)
+    * Signatures come from the SQL-re-derivable
+    * [[graft.functions.MinHashSigMd5]] family (one md5 per shingle + k
+    * affine rounds mod 2^61−1), and bands join on the RAW two-row key
+    * (band, h₂ᵦ, h₂ᵦ₊₁) rather than a bucket hash of it — so the q65
+    * oracle re-derives the exact same signatures, band keys, and
+    * candidate set in DuckDB and the correctness gate is independent of
+    * LSH recall on any particular fixture (a bucket hash would have
+    * admitted un-derivable collision candidates). Still a PURE MAP per
+    * doc: the only shuffles in the whole operator are the band-key
+    * candidate join and the verification joins.
     */
   def minhashPairs(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     val arrays = TextOps.shingleArrays(spread(docs), n)
-    // One-pass native signature: hash family i is bit-identical to
-    // array_min(transform(arr, s => xxhash64(s, lit(i)))) — pinned in
-    // MinHashSigSpec — but each shingle is digested once, not 64×.
-    val sig = GraftSqlShims.column(graft.functions.MinHashSig(
+    val sig = GraftSqlShims.column(graft.functions.MinHashSigMd5(
       GraftSqlShims.expression(col("arr")), numHashes))
-    // 32 bands of 2 min-hash rows each, hashed to one bucket key.
+    // 32 bands of 2 min-hash rows each, keyed by the raw row pair.
     // Empty shingle sets (doc shorter than n tokens) had no rows in the
     // posting formulation and must not band here either — their NULL
     // min-hashes would otherwise bucket all short docs together.
@@ -245,13 +247,13 @@ object Dedup {
       .withColumn("sig", sig)
       .select(col("doc_id"), explode(array(
         (0 until numBands).map(b => struct(lit(b).as("band"),
-          xxhash64(col("sig").getItem(2 * b), col("sig").getItem(2 * b + 1))
-            .as("bh"))): _*))
+          col("sig").getItem(2 * b).as("h0"),
+          col("sig").getItem(2 * b + 1).as("h1"))): _*))
         .as("e"))
-      .select(col("doc_id"), col("e.band"), col("e.bh"))
+      .select(col("doc_id"), col("e.band"), col("e.h0"), col("e.h1"))
     val candidates = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
+        col("x.band") === col("y.band") && col("x.h0") === col("y.h0") &&
+          col("x.h1") === col("y.h1") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
     // Exact verification only on the candidate set.

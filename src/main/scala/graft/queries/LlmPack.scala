@@ -274,6 +274,39 @@ object LlmPack extends QueryPack {
        |SELECT da, db, jaccard FROM j
        |WHERE jaccard >= $threshold$extraWhere""".stripMargin
 
+  /** The banded-MinHash candidate set re-derived exactly: per-shingle
+    * md5 words → 64 affine min-hash aggregates → 32 two-row band keys →
+    * pairs agreeing on ≥ 1 band → exact Jaccard on the candidates.
+    */
+  private def minhashLshOracle(threshold: Double): String = {
+    val bandConds = (0 until Dedup.numBands).map { bnd =>
+      s"(a.h${2 * bnd} = b.h${2 * bnd} AND a.h${2 * bnd + 1} = b.h${2 * bnd + 1})"
+    }.mkString("\n     OR ")
+    s"""WITH $shingleCtes,
+       |hx AS (SELECT doc_id,
+       |         ${OracleSql.md5Word32("m", 0)} AS x1,
+       |         ${OracleSql.md5Word32("m", 8)} AS x2
+       |       FROM (SELECT doc_id, md5(s) AS m FROM sh)),
+       |sig AS (SELECT doc_id,
+       |    ${OracleSql.minhashSigCols(Dedup.numHashes)}
+       |  FROM hx GROUP BY doc_id),
+       |cand AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |    AND ($bandConds)),
+       |jv AS (
+       |  SELECT da, db, count(*) AS common
+       |  FROM cand JOIN sh x ON x.doc_id = da
+       |            JOIN sh y ON y.doc_id = db AND y.s = x.s
+       |  GROUP BY 1, 2)
+       |SELECT da, db, jaccard FROM (
+       |  SELECT da, db, round(CAST(common AS DOUBLE) /
+       |           (p.n_sh + q.n_sh - common), 4) AS jaccard
+       |  FROM jv JOIN sizes p ON da = p.doc_id
+       |          JOIN sizes q ON db = q.doc_id)
+       |WHERE jaccard >= $threshold""".stripMargin
+  }
+
   private val simhashCols = OracleSql.simhashCols
   private val simhashConcat = OracleSql.simhashConcat
 
@@ -423,7 +456,12 @@ object LlmPack extends QueryPack {
     // old×old pairs) cannot agree with it.
     "q95_delta_dedup" ->
       jaccardOracle(0.3, " AND (da % 3 = 0 OR db % 3 = 0)"),
-    "q65_minhash_lsh" -> jaccardOracle(0.5),
+    // Full re-derivation of the banded-MinHash path: md5-family
+    // signatures (literal multipliers interpolated from the SAME
+    // MinHashSigMd5 constants the engine uses), raw band keys,
+    // candidate set, then exact Jaccard verification — so the gate is
+    // independent of LSH recall on any particular fixture.
+    "q65_minhash_lsh" -> minhashLshOracle(0.5),
     "q66_simhash" ->
       s"""WITH t2 AS (
          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok

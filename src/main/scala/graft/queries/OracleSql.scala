@@ -32,4 +32,27 @@ private[queries] object OracleSql {
        |  + (strpos('0123456789abcdef', substr($hexCol, 3, 1)) - 1) * 16
        |  + (strpos('0123456789abcdef', substr($hexCol, 4, 1)) - 1)"""
       .stripMargin
+
+  /** Big-endian 32-bit word of an md5 hex column starting at nibble
+    * `offset+1` (offset 0 → nibbles 1–8, offset 8 → nibbles 9–16) — the
+    * seeds of [[graft.functions.MinHashSigMd5]]'s hash family. Each
+    * nibble term is < 2^32 so the double `16 ** (8 − i)` powers and the
+    * list_sum stay exact (< 2^53) before the BIGINT cast.
+    */
+  def md5Word32(hexCol: String, offset: Int): String =
+    s"""CAST(list_sum(list_transform(range(1, 9),
+       |      i -> (strpos('0123456789abcdef',
+       |              substr($hexCol, CAST(i + $offset AS INT), 1)) - 1)
+       |           * 16 ** (8 - i))) AS BIGINT)""".stripMargin
+
+  /** The 64 per-family `min(...)` signature aggregates over `(x1, x2)`
+    * word columns — literal multipliers interpolated from the SAME
+    * [[graft.functions.MinHashSigMd5]] constants the engine uses.
+    */
+  def minhashSigCols(k: Int): String = {
+    import graft.functions.MinHashSigMd5.{M, a, b}
+    (0 until k).map { j =>
+      s"min(((${a(j)} * x1) % $M + (${b(j)} * x2) % $M + $j) % $M) AS h$j"
+    }.mkString(",\n    ")
+  }
 }

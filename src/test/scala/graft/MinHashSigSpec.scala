@@ -1,7 +1,7 @@
 package graft
 
 import graft.llm.TextOps
-import org.apache.spark.sql.GraftSqlShims
+import org.apache.spark.sql.{Column, GraftSqlShims}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -53,6 +53,43 @@ class MinHashSigSpec extends AnyFunSuite {
     val diff = old.as("o").join(neu.as("w"), "doc_id")
       .where(col("o.sig") =!= col("w.sig")).count()
     assert(diff === 0, "MinHashSig diverges from the builtin xxhash64 chain")
+  }
+
+  test("MinHashSigMd5 == the md5-hex affine formulation for all 64 families") {
+    // the SQL-derivable family: x1/x2 are the big-endian 32-bit words
+    // of md5(s) (hex nibbles 1-8 / 9-16), h_j the affine mix mod 2^61-1
+    // — the same math the q65 oracle interpolates into DuckDB SQL. The
+    // kernel computes x1/x2 from digest BYTES; this pins byte order ==
+    // hex-string order.
+    import graft.functions.MinHashSigMd5.{M, a, b}
+    val arr = edged.select(col("doc_id"),
+      TextOps.shingleSet(TextOps.tokens(col("text")), 3).as("arr"))
+      .where(size(col("arr")) > 0)
+    def word(s: Column, off: Int) =
+      conv(substring(md5(s), 1 + off, 8), 16, 10).cast("long")
+    def hOld(j: Int) = array_min(transform(col("arr"), s =>
+      ((lit(a(j)) * word(s, 0)) % M + (lit(b(j)) * word(s, 8)) % M + lit(j.toLong)) % M))
+    val old = arr.select(col("doc_id"),
+      array((0 until 64).map(hOld): _*).as("sig"))
+    val neu = arr.select(col("doc_id"),
+      GraftSqlShims.column(graft.functions.MinHashSigMd5(
+        GraftSqlShims.expression(col("arr")), 64)).as("sig"))
+    val diff = old.as("o").join(neu.as("w"), "doc_id")
+      .where(col("o.sig") =!= col("w.sig")).count()
+    assert(diff === 0, "MinHashSigMd5 diverges from the md5-hex affine spec")
+  }
+
+  test("MinHashSigMd5 is NULL exactly on empty/NULL shingle sets") {
+    val arr = edged.select(col("doc_id"),
+      TextOps.shingleSet(TextOps.tokens(col("text")), 3).as("arr"))
+    val out = arr.select(col("doc_id"),
+      GraftSqlShims.column(graft.functions.MinHashSigMd5(
+        GraftSqlShims.expression(col("arr")), 8)).as("sig"))
+    val nulls = out.where(col("sig").isNull)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = arr.where(size(col("arr")) === 0 || col("arr").isNull)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(nulls == expected)
   }
 
   test("MinHashSig is NULL exactly on empty/NULL shingle sets") {
