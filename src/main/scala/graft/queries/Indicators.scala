@@ -159,6 +159,24 @@ object Indicators extends QueryPack {
     */
   private val incrementalCutT = 1705708800L
 
+  /** The shared 28-column incremental-mart output frame (q99/q109). */
+  private def incrementalSelect(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.select(col("id"), col("t"),
+      col("sma5"), col("sma10"), col("sma30"),
+      col("ema5"), col("ema10"), col("ema30"),
+      col("macd"), col("macd_single"), col("rsi"),
+      col("bollinger_bands_sma"), col("bollinger_bands_lower_band"),
+      col("bollinger_bands_upper_band"),
+      col("obv"), col("obv_sma"),
+      col("ichimoku_chikou_span"), col("ichimoku_kijun_sen"),
+      col("ichimoku_tenkan_sen"), col("ichimoku_senkou_span_a"),
+      col("ichimoku_senkou_span_b"),
+      col("stoch_oscillator"), col("stoch_signal"),
+      col("stoch_percent_j"),
+      col("aroon_up"), col("aroon_down"), col("aroon_oscillator"),
+      col("n_multiple").cast("float").as("n_multiple"))
+
   private val hourlyBlock =
     withBlock(Bars.oracleCteHourly, "hourly", "t")
   private val dailyBlock =
@@ -234,21 +252,19 @@ object Indicators extends QueryPack {
     // production shape persists the snapshot per run, so refresh cost
     // scales with the new data, not history length.
     "q99_incremental_mart" -> ((s, d) =>
-      IndicatorDay.hourlyIncremental(t("events")(s, d), incrementalCutT)
-        .select(col("id"), col("t"),
-          col("sma5"), col("sma10"), col("sma30"),
-          col("ema5"), col("ema10"), col("ema30"),
-          col("macd"), col("macd_single"), col("rsi"),
-          col("bollinger_bands_sma"), col("bollinger_bands_lower_band"),
-          col("bollinger_bands_upper_band"),
-          col("obv"), col("obv_sma"),
-          col("ichimoku_chikou_span"), col("ichimoku_kijun_sen"),
-          col("ichimoku_tenkan_sen"), col("ichimoku_senkou_span_a"),
-          col("ichimoku_senkou_span_b"),
-          col("stoch_oscillator"), col("stoch_signal"),
-          col("stoch_percent_j"),
-          col("aroon_up"), col("aroon_down"), col("aroon_oscillator"),
-          col("n_multiple").cast("float").as("n_multiple"))),
+      incrementalSelect(
+        IndicatorDay.hourlyIncremental(t("events")(s, d), incrementalCutT))),
+
+    // The PRODUCTION refresh configuration: backfillBars = 26 re-emits
+    // the last 26 pre-cut rows, whose forward-looking chikou (lead 26)
+    // only became complete once post-cut bars arrived — the rows the
+    // trailing-window partition reload overwrites each run. Same
+    // incremental algebra, wider emit window; the oracle is the full
+    // recompute filtered to the widened window.
+    "q109_incremental_backfill" -> ((s, d) =>
+      incrementalSelect(
+        IndicatorDay.hourlyIncremental(t("events")(s, d), incrementalCutT,
+          backfillBars = 26))),
 
     // J4: the groupByKey.flatMapGroups kernel path ([[Recursive]]) —
     // the mart itself runs the native TypedImperativeAggregate path
@@ -267,6 +283,37 @@ object Indicators extends QueryPack {
         e("ema5"), e("ema10"), e("ema30"),
         e("macd"), e("macd_single"), e("rsi"))
     }))
+
+  /** Full-history recompute of the 28-column incremental frame,
+    * filtered to rows with `t >= emitFromT` (q99/q109 share this with
+    * their respective emit windows).
+    */
+  private def incrementalOracle(emitFromT: Long): String =
+    s"""$hourlyBlock
+       |SELECT id, t,
+       |       ${E("sma5")} AS sma5, ${E("sma10")} AS sma10,
+       |       ${E("sma30")} AS sma30,
+       |       ${E("ema5")} AS ema5, ${E("ema10")} AS ema10,
+       |       ${E("ema30")} AS ema30,
+       |       ${E("macd")} AS macd, ${E("macd_single")} AS macd_single,
+       |       ${E("rsi")} AS rsi,
+       |       ${E("bb_sma")} AS bollinger_bands_sma,
+       |       ${E("bb_lower")} AS bollinger_bands_lower_band,
+       |       ${E("bb_upper")} AS bollinger_bands_upper_band,
+       |       ${E("obv")} AS obv, CAST(NULL AS REAL) AS obv_sma,
+       |       ${E("chikou")} AS ichimoku_chikou_span,
+       |       ${E("kijun")} AS ichimoku_kijun_sen,
+       |       ${E("tenkan")} AS ichimoku_tenkan_sen,
+       |       ${E("senkou_a")} AS ichimoku_senkou_span_a,
+       |       ${E("senkou_b")} AS ichimoku_senkou_span_b,
+       |       ${E("stoch_d")} AS stoch_oscillator,
+       |       ${E("stoch_k")} AS stoch_signal,
+       |       ${E("stoch_j")} AS stoch_percent_j,
+       |       ${E("aroon_up")} AS aroon_up,
+       |       ${E("aroon_down")} AS aroon_down,
+       |       ${E("aroon_osc")} AS aroon_oscillator,
+       |       CAST(nm AS REAL) AS n_multiple
+       |FROM ind WHERE t >= $emitFromT""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q32_ema" ->
@@ -325,32 +372,11 @@ object Indicators extends QueryPack {
          |FROM ind""".stripMargin,
     // The incremental-refresh gate: FULL-history recompute, filtered to
     // the engine's refresh window.
-    "q99_incremental_mart" ->
-      s"""$hourlyBlock
-         |SELECT id, t,
-         |       ${E("sma5")} AS sma5, ${E("sma10")} AS sma10,
-         |       ${E("sma30")} AS sma30,
-         |       ${E("ema5")} AS ema5, ${E("ema10")} AS ema10,
-         |       ${E("ema30")} AS ema30,
-         |       ${E("macd")} AS macd, ${E("macd_single")} AS macd_single,
-         |       ${E("rsi")} AS rsi,
-         |       ${E("bb_sma")} AS bollinger_bands_sma,
-         |       ${E("bb_lower")} AS bollinger_bands_lower_band,
-         |       ${E("bb_upper")} AS bollinger_bands_upper_band,
-         |       ${E("obv")} AS obv, CAST(NULL AS REAL) AS obv_sma,
-         |       ${E("chikou")} AS ichimoku_chikou_span,
-         |       ${E("kijun")} AS ichimoku_kijun_sen,
-         |       ${E("tenkan")} AS ichimoku_tenkan_sen,
-         |       ${E("senkou_a")} AS ichimoku_senkou_span_a,
-         |       ${E("senkou_b")} AS ichimoku_senkou_span_b,
-         |       ${E("stoch_d")} AS stoch_oscillator,
-         |       ${E("stoch_k")} AS stoch_signal,
-         |       ${E("stoch_j")} AS stoch_percent_j,
-         |       ${E("aroon_up")} AS aroon_up,
-         |       ${E("aroon_down")} AS aroon_down,
-         |       ${E("aroon_osc")} AS aroon_oscillator,
-         |       CAST(nm AS REAL) AS n_multiple
-         |FROM ind WHERE t >= $incrementalCutT""".stripMargin,
+    "q99_incremental_mart" -> incrementalOracle(incrementalCutT),
+    // Production backfill window: full recompute filtered to the
+    // 26-bar-widened emit window (the chikou re-emit rows included).
+    "q109_incremental_backfill" ->
+      incrementalOracle(incrementalCutT - 26 * 3600L),
     // The five forex-shaped markets are value-identical by construction
     // (same config content, different tag), so the oracle evaluates the
     // no-scale block ONCE and fans the tag out with a VALUES cross join
