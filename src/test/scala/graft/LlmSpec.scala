@@ -56,6 +56,40 @@ class LlmSpec extends AnyFunSuite {
     assert(gotPrefix == naive)
   }
 
+  test("day-2 ingest: gate, cross-corpus dedup, and first-claim admission") {
+    import spark.implicits._
+    // one gate-passing text per vocabulary family: "the" + 23 distinct
+    // 5-char tokens (24 tokens, avg len 4.9, stop_ratio 1/24, all
+    // bigrams distinct) — families share no 3-shingle, so cross-family
+    // pairs are impossible by construction
+    def mk(p: String) = "the " + (1 to 23).map(i => f"$p$i%02d").mkString(" ")
+    val oldText = mk("old")
+    val nearOld = (oldText.split(" ").dropRight(1) :+ "chg99").mkString(" ")
+    val sample = Seq(
+      (1L, "en", mk("cor")),   // corpus: unique
+      (2L, "en", mk("cru")),   // corpus: unique
+      (4L, "en", oldText),     // corpus: the doc the batch duplicates
+      (3L, "en", mk("uni")),   // batch: unique, gate-passing → admitted
+      (6L, "en", nearOld),     // batch: near-copy of corpus doc 4 → rejected
+      (9L, "en", "tiny text"), // batch: 2 tokens → gate-rejected
+      (12L, "en", mk("par")),  // batch: duplicate pair, smaller id → admitted
+      (15L, "en", mk("par")))  // batch: duplicate of 12 → first-claim rejected
+      .toDF("doc_id", "lang", "text")
+    val out = Corpus.day2Ingest(sample, id => id % 3 === 0)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getInt(2), r.getInt(3), r.getBoolean(4)))).toMap
+    assert(out.keySet == Set(3L, 6L, 9L, 12L, 15L)) // one row per batch doc
+    assert(out(3L) == ((true, 0, 0, true)), s"doc 3: ${out(3L)}")
+    val (gk6, nj6, ns6, adm6) = out(6L)
+    assert(gk6 && nj6 >= 1 && !adm6, s"doc 6: ${out(6L)}") // corpus dup
+    val _ = ns6 // simhash may or may not also flag at hamming <= 3
+    assert(out(9L) == ((false, 0, 0, false)), s"doc 9: ${out(9L)}")
+    assert(out(12L)._1 && out(12L)._4, s"doc 12: ${out(12L)}") // first claim
+    val (gk15, nj15, ns15, adm15) = out(15L)
+    assert(gk15 && (nj15 >= 1 || ns15 >= 1) && !adm15, s"doc 15: ${out(15L)}")
+  }
+
   test("minhash-LSH pairs equal exact jaccard pairs at threshold 0.5") {
     val exact = Dedup.jaccardPairs(docs, 3, 0.5)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
