@@ -95,6 +95,43 @@ object GraftFunctionsProps extends Properties("GraftFunctions") {
       got == counts.map(c => if (c > 0) '1' else '0').mkString
     }
 
+  property("MinHashSigMd5 == per-family md5-word affine reference") =
+    Prop.forAll(toks, Gen.choose(1, 8)) { (ts, k) =>
+      import graft.functions.MinHashSigMd5.{M, a, b}
+      val got = graft.functions.MinHashSigMd5(nullStr, k).compute(arr(ts))
+      if (ts.isEmpty) Prop(got == null)
+      else {
+        val gotSeq = got.asInstanceOf[GenericArrayData].toLongArray().toSeq
+        val want = (0 until k).map { j =>
+          ts.map { s =>
+            val hex = md5Hex(s)
+            val x1 = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+            val x2 = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+            ((a(j) * x1) % M + (b(j) * x2) % M + j) % M
+          }.min
+        }
+        Prop(gotSeq == want)
+      }
+    }
+
+  property("MinHashSigMd5: NULL elements are skipped; all-NULL -> NULL") =
+    Prop.forAll(toks, Gen.choose(1, 4), Gen.choose(0, 40)) { (ts, k, pos) =>
+      val expr = graft.functions.MinHashSigMd5(nullStr, k)
+      val elems: Seq[Any] =
+        ts.map(UTF8String.fromString).patch(pos min ts.length, Seq(null), 0)
+      val withNull = expr.compute(new GenericArrayData(elems.toArray[Any]))
+      val without = expr.compute(arr(ts))
+      val allNull = expr.compute(
+        new GenericArrayData(Array[Any](null, null)))
+      Prop(allNull == null) && Prop(
+        (withNull, without) match {
+          case (null, null) => true
+          case (g: GenericArrayData, w: GenericArrayData) =>
+            g.toLongArray().toSeq == w.toLongArray().toSeq
+          case _ => false
+        })
+    }
+
   property("MinHashSig: NULL element hashes as the bare seed-42 chain") =
     Prop.forAll(toks, Gen.choose(1, 8), Gen.choose(0, 40)) { (ts, k, pos) =>
       val elems: Seq[Any] =
