@@ -329,6 +329,8 @@ object TaFunctions {
       es => SortedRunStats(es.head), "scala_udf")
     r.createOrReplaceTempFunction("rolling_fp",
       es => RollingFp(es.head), "scala_udf")
+    r.createOrReplaceTempFunction("nfc_normalize",
+      es => NfcNormalize(es.head), "scala_udf")
     r.createOrReplaceTempFunction("quantize_i8",
       es => QuantizeI8(es.head), "scala_udf")
     r.createOrReplaceTempFunction("quantized_dot",
@@ -398,6 +400,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("rolling_fp"),
       new ExpressionInfo(classOf[RollingFp].getName, "rolling_fp"),
       (es: Seq[Expression]) => RollingFp(es.head)))
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (es: Seq[Expression]) => NfcNormalize(es.head)))
     ext.injectFunction((FunctionIdentifier("quantize_i8"),
       new ExpressionInfo(classOf[QuantizeI8].getName, "quantize_i8"),
       (es: Seq[Expression]) => QuantizeI8(es.head)))

@@ -347,6 +347,33 @@ object TextOps {
       t3.as("red_text"))
   }
 
+  /** Text canonicalization — the standard pre-fingerprinting pass:
+    * Unicode NFC composition (via the native
+    * [[graft.functions.NfcNormalize]] kernel; visually-identical
+    * decomposed/composed sequences otherwise split one document into
+    * two dedup identities), control characters → space (ASCII hex
+    * class, so Java regex and the oracle's RE2 agree byte-for-byte),
+    * whitespace runs collapsed, edges trimmed. Pure map, zero
+    * shuffles; the NFC kernel's `isNormalized` fast path means ASCII
+    * corpora pay a scan, not a copy.
+    *
+    * @return (doc_id, clean_text, changed, n_chars_raw, n_chars_clean)
+    */
+  def canonicalize(docs: DataFrame): DataFrame = {
+    val nfc = org.apache.spark.sql.GraftSqlShims.column(
+      graft.functions.NfcNormalize(
+        org.apache.spark.sql.GraftSqlShims.expression(col("text"))))
+    spread(docs).where(col("text").isNotNull)
+      .select(col("doc_id"), col("text"), nfc.as("_nfc"))
+      .withColumn("clean_text", trim(regexp_replace(
+        regexp_replace(col("_nfc"), "[\\x00-\\x1f\\x7f]", " "),
+        "\\s+", " ")))
+      .select(col("doc_id"), col("clean_text"),
+        (col("clean_text") =!= col("text")).as("changed"),
+        length(col("text")).as("n_chars_raw"),
+        length(col("clean_text")).as("n_chars_clean"))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text
     * — the exact-dedup key.
     */

@@ -101,6 +101,27 @@ object LlmPack extends QueryPack {
     // so the pass does real removal on the fixture.
     "q98_paragraph_dedup" -> ((s, d) =>
       Dedup.paragraphDedup(t("documents")(s, d))),
+    // Text canonicalization (NFC + control strip + whitespace
+    // collapse). The ASCII fixture is NFC-invariant, so the query
+    // wiring injects deterministic decomposed/composed/control/
+    // whitespace tails keyed on doc_id (the q97 injection trick), and
+    // the oracle performs the identical injection before DuckDB's own
+    // nfc_normalize + RE2 cascade — every rule is exercised, not
+    // vacuously green.
+    "q110_text_canon" -> ((s, d) => TextOps.canonicalize(
+      t("documents")(s, d).where(col("text").isNotNull)
+        .select(col("doc_id"), concat(
+          col("text"),
+          when(col("doc_id") % 4 === 0, lit(" cafe\u0301 mix"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 4 === 1, lit(" caf\u00e9 mix"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 4 === 2, lit(" A\u030Aring"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(" ctl\u0007x\u001Fy"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit("  wide   run\t tail "))
+            .otherwise(lit(""))).as("text")))),
     "q67_tfidf_top3" -> ((s, d) => TextOps.tfidfTopK(t("documents")(s, d))),
     "q68_ann_cosine" -> ((s, d) =>
       Similarity.bruteForceTopK(t("embeddings")(s, d), col("vec_id") < 10)),
@@ -391,6 +412,36 @@ object LlmPack extends QueryPack {
          |  regexp_replace(t2, '${TextOps.longNumberPattern}', '<NUM>', 'g')
          |    AS red_text
          |FROM s2""".stripMargin,
+    // Identical injection (chr() codepoints = the Scala \u escapes),
+    // then DuckDB's own nfc_normalize + RE2 cascade. Both engines
+    // count length in code points.
+    "q110_text_canon" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |         text ||
+        |         CASE WHEN doc_id % 4 = 0
+        |              THEN ' cafe' || chr(769) || ' mix' ELSE '' END ||
+        |         CASE WHEN doc_id % 4 = 1
+        |              THEN ' caf' || chr(233) || ' mix' ELSE '' END ||
+        |         CASE WHEN doc_id % 4 = 2
+        |              THEN ' A' || chr(778) || 'ring' ELSE '' END ||
+        |         CASE WHEN doc_id % 5 = 0
+        |              THEN ' ctl' || chr(7) || 'x' || chr(31) || 'y'
+        |              ELSE '' END ||
+        |         CASE WHEN doc_id % 7 = 0
+        |              THEN '  wide   run' || chr(9) || ' tail ' ELSE '' END
+        |           AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (
+        |  SELECT doc_id, text,
+        |         trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |           '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g'))
+        |           AS clean_text
+        |  FROM inj)
+        |SELECT doc_id, clean_text, clean_text <> text AS changed,
+        |       CAST(length(text) AS INTEGER) AS n_chars_raw,
+        |       CAST(length(clean_text) AS INTEGER) AS n_chars_clean
+        |FROM c""".stripMargin,
     "q98_paragraph_dedup" ->
       """WITH tok AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w

@@ -56,6 +56,32 @@ class LlmSpec extends AnyFunSuite {
     assert(gotPrefix == naive)
   }
 
+  test("canonicalize: NFC folds decomposed==composed into one dedup identity") {
+    import spark.implicits._
+    val sample = Seq(
+      (1L, "caf\u00e9 latte"),      // composed é
+      (2L, "cafe\u0301 latte"),     // decomposed e + U+0301 — same after NFC
+      (3L, "a\u0007b\u001Fc"),      // control chars → spaces → collapsed
+      (4L, "  lots   of\t space "), // whitespace runs + edges
+      (5L, "plain ascii"))
+      .toDF("doc_id", "text")
+    val out = TextOps.canonicalize(sample)
+    val rows = out.orderBy("doc_id").collect()
+    val clean = rows.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(clean(1L) == clean(2L), "NFC must merge the two spellings")
+    assert(clean(3L) == "a b c")
+    assert(clean(4L) == "lots of space")
+    assert(clean(5L) == "plain ascii")
+    val changed = rows.map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(changed == Map(1L -> false, 2L -> true, 3L -> true,
+      4L -> true, 5L -> false))
+    // downstream effect: the exact-dedup fingerprint now collapses the
+    // two spellings to one identity
+    val fps = out.where(col("doc_id") <= 2)
+      .select(TextOps.fingerprint(col("clean_text"))).distinct().count()
+    assert(fps == 1)
+  }
+
   test("day-2 ingest: gate, cross-corpus dedup, and first-claim admission") {
     import spark.implicits._
     // one gate-passing text per vocabulary family: "the" + 23 distinct
