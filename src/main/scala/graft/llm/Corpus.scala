@@ -119,6 +119,38 @@ object Corpus {
     }
   }
 
+  /** The PACK MANIFEST — the loader-facing inverse of [[packStream]]:
+    * one row per (document × context window it occupies), with the
+    * document's start offset and token count inside that window. This
+    * is what a training loader actually consumes: for window W of
+    * stream (lang, shard), the manifest rows with that key describe
+    * exactly how to assemble W (and where attention-mask document
+    * boundaries fall). Derivation is a pure map + explode over the
+    * packing frame — the doc's global token span [S, S+n) intersected
+    * with each window's [w·budget, (w+1)·budget) — so it adds no
+    * shuffle beyond [[packStream]]'s own.
+    *
+    * Per-stream invariant (spec-pinned): every window's contributions
+    * sum to exactly `budget` tokens, except each stream's last window.
+    */
+  def packManifest(docs: DataFrame, budget: Int = 256, nStreams: Int = 8,
+      salt: String = "ep0"): DataFrame = {
+    val b = lit(budget.toLong)
+    packStream(docs, budget, nStreams, salt)
+      .withColumn("s_glob", col("pack_id") * b + col("pack_offset"))
+      .withColumn("e_glob", col("s_glob") + col("n_tok"))
+      .select(col("lang"), col("shard"), col("doc_id"),
+        col("s_glob"), col("e_glob"),
+        explode(sequence(col("pack_id"),
+          col("pack_id") + col("n_windows") - 1)).as("pack_id"))
+      .select(col("lang"), col("shard"), col("pack_id"), col("doc_id"),
+        (greatest(col("s_glob"), col("pack_id") * b) - col("pack_id") * b)
+          .cast("int").as("start_in_window"),
+        (least(col("e_glob"), (col("pack_id") + 1) * b)
+          - greatest(col("s_glob"), col("pack_id") * b))
+          .cast("int").as("len_in_window"))
+  }
+
   /** Deterministic epoch shuffle + shard assignment: every document
     * gets a shard (`md5(salt:id)` high bits mod `nShards`) and a
     * reproducible position within its shard (ascending md5 hex, doc_id

@@ -28,6 +28,12 @@ object CorpusPack extends QueryPack {
     // eager localCheckpoint (each survivor frame feeds 2+ consumers).
     "q92_corpus_pipeline" -> ((s, d) =>
       Corpus.corpusPipeline(t("documents")(s, d))),
+    // The loader-facing pack manifest: one row per (doc × window it
+    // occupies) with in-window offset/length — window assembly +
+    // attention-mask boundaries, derived as a pure map over q79's
+    // packing frame.
+    "q111_pack_manifest" -> ((s, d) =>
+      Corpus.packManifest(t("documents")(s, d), budget = 256)),
     // The DAY-2 composed ingest: every third doc plays the incoming
     // batch; it is gopher-gated, then delta-deduplicated (Jaccard +
     // simhash, old×old pairs pruned inside the candidate joins)
@@ -240,6 +246,36 @@ object CorpusPack extends QueryPack {
          |FROM surv3 s3 JOIN sp USING (doc_id) JOIN pc USING (doc_id)"""
         .stripMargin
     },
+
+    // q79's packing CTEs + the window-span intersection re-derived
+    // with generate_series (inclusive both ends in both engines).
+    "q111_pack_manifest" ->
+      s"""WITH s AS (SELECT doc_id, lang,
+         |        CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER)
+         |          AS n_tok,
+         |        md5('ep0:' || CAST(doc_id AS VARCHAR)) AS h
+         |      FROM documents),
+         |sh AS (SELECT doc_id, lang, n_tok,
+         |         CAST((${OracleSql.md5High16("h")}) % 8 AS INTEGER) AS shard
+         |       FROM s),
+         |c AS (SELECT doc_id, lang, shard, n_tok,
+         |        CAST(sum(n_tok) OVER (PARTITION BY lang, shard
+         |               ORDER BY doc_id) AS BIGINT) AS cum
+         |      FROM sh),
+         |p AS (SELECT doc_id, lang, shard,
+         |        cum - n_tok AS sg, cum AS eg,
+         |        (cum - n_tok) // 256 AS p0, (cum - 1) // 256 AS p1
+         |      FROM c),
+         |w AS (SELECT doc_id, lang, shard, sg, eg,
+         |        CAST(unnest(generate_series(p0, p1)) AS BIGINT) AS pack_id
+         |      FROM p)
+         |SELECT lang, shard, pack_id, doc_id,
+         |       CAST(greatest(sg, pack_id * 256) - pack_id * 256 AS INTEGER)
+         |         AS start_in_window,
+         |       CAST(least(eg, (pack_id + 1) * 256)
+         |            - greatest(sg, pack_id * 256) AS INTEGER)
+         |         AS len_in_window
+         |FROM w""".stripMargin,
 
     // Day-2 ingest, independently re-derived: gopher gate over the
     // batch third, then ALL-PAIRS Jaccard and simhash over

@@ -88,6 +88,27 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("pack manifest: full windows sum to budget; docs reassemble exactly") {
+    val m = Corpus.packManifest(docs, budget = 256)
+    // every window's contributions sum to exactly the budget, except
+    // each stream's final (short) window
+    val sums = m.groupBy("lang", "shard", "pack_id")
+      .agg(sum("len_in_window").as("tot"))
+    val lastW = m.groupBy("lang", "shard").agg(max("pack_id").as("last"))
+    val bad = sums.join(lastW, Seq("lang", "shard"))
+      .where(col("pack_id") =!= col("last") && col("tot") =!= 256).count()
+    assert(bad == 0, "a non-final window is not exactly budget tokens")
+    // per doc, its window spans reassemble to exactly its token count
+    val perDoc = m.groupBy("doc_id").agg(sum("len_in_window").as("tot"))
+    val ps = Corpus.packStream(docs, budget = 256).select("doc_id", "n_tok")
+    assert(perDoc.join(ps, "doc_id")
+      .where(col("tot") =!= col("n_tok")).count() == 0)
+    // offsets and lengths inside the window bounds
+    assert(m.where(col("start_in_window") < 0 ||
+      col("start_in_window") >= 256 || col("len_in_window") < 1 ||
+      col("len_in_window") > 256).count() == 0)
+  }
+
   test("mix weights: shares sum to ~1 and weights invert the shares") {
     val rows = Corpus.mixWeights(docs).collect()
     val shareSum = rows.map(_.getFloat(3).toDouble).sum
