@@ -176,6 +176,33 @@ object Corpus {
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
+  /** Per-source document cap (the C4/RefinedWeb cap-per-domain step):
+    * keep at most `cap` documents per source, chosen as a
+    * deterministic uniform sample (md5 order over `salt:doc_id`, so
+    * the kept set is reproducible and salt-rotatable like
+    * [[shardShuffle]]).
+    *
+    * Scale shape — deliberately NOT the row_number window: a cap is a
+    * per-group bottom-k, and the mergeable
+    * [[graft.functions.BottomKByHash]] sketch computes it with
+    * MAP-SIDE PARTIAL aggregation — each task keeps at most `cap` rows
+    * per source before the shuffle, so a viral domain with 10⁹ docs
+    * ships `cap` candidates per task instead of sorting 10⁹ rows in
+    * one window partition. The kept ids come back as the sketch value
+    * (doc_id, exact below 2^53 as double); a semi-join restores the
+    * rows. doc_id is unique, satisfying the sketch's unique-key
+    * contract.
+    */
+  def sourceCap(docs: DataFrame, cap: Int, salt: String = "cap"): DataFrame = {
+    val kept = docs.groupBy(col("source"))
+      .agg(graft.functions.BottomKByHash(col("doc_id").cast("double"),
+        concat(lit(salt + ":"), col("doc_id").cast("string")), cap).as("ids"))
+      .select(col("source"), explode(col("ids")).as("id_d"))
+      .select(col("source"), col("id_d").cast("long").as("doc_id"))
+    docs.join(kept, Seq("source", "doc_id"), "left_semi")
+      .select(col("doc_id"), col("source"), col("lang"))
+  }
+
   /** Mixture accounting: per-language document/token counts, the
     * language's share of all tokens, and the up/down-sampling weight
     * that would move the corpus to `targetShare` per language

@@ -28,6 +28,11 @@ object CorpusPack extends QueryPack {
     // eager localCheckpoint (each survivor frame feeds 2+ consumers).
     "q92_corpus_pipeline" -> ((s, d) =>
       Corpus.corpusPipeline(t("documents")(s, d))),
+    // Per-source cap: at most 10 docs per source, deterministic md5
+    // sample via the mergeable bottom-k sketch (exact-k per group with
+    // map-side partials — no per-source window sort).
+    "q112_source_cap" -> ((s, d) =>
+      Corpus.sourceCap(t("documents")(s, d), cap = 10)),
     // The loader-facing pack manifest: one row per (doc × window it
     // occupies) with in-window offset/length — window assembly +
     // attention-mask boundaries, derived as a pure map over q79's
@@ -246,6 +251,18 @@ object CorpusPack extends QueryPack {
          |FROM surv3 s3 JOIN sp USING (doc_id) JOIN pc USING (doc_id)"""
         .stripMargin
     },
+
+    // Independent formulation: the rank the sketch replaces. A sketch
+    // that dropped rows beyond one partial's view (broken merge) or
+    // mis-ordered hashes cannot agree with the global row_number.
+    "q112_source_cap" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, lang,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |           AS rk
+        |  FROM documents)
+        |SELECT doc_id, source, lang FROM r WHERE rk <= 10""".stripMargin,
 
     // q79's packing CTEs + the window-span intersection re-derived
     // with generate_series (inclusive both ends in both engines).

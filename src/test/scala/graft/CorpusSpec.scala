@@ -109,6 +109,20 @@ class CorpusSpec extends AnyFunSuite {
       col("len_in_window") > 256).count() == 0)
   }
 
+  test("source cap keeps exactly min(cap, n) per source, partition-invariant") {
+    val a = Corpus.sourceCap(docs, cap = 5)
+    val perSource = a.groupBy("source").count().collect()
+    val totals = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perSource.foreach { r =>
+      assert(r.getLong(1) == math.min(5L, totals(r.getString(0))))
+    }
+    // the kept SET is a property of the data, not the partitioning —
+    // exercises the sketch's merge path across a different layout
+    val b = Corpus.sourceCap(docs.repartition(13), cap = 5)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("mix weights: shares sum to ~1 and weights invert the shares") {
     val rows = Corpus.mixWeights(docs).collect()
     val shareSum = rows.map(_.getFloat(3).toDouble).sum
