@@ -10,15 +10,13 @@ import org.apache.spark.sql.functions._
   * multimodal joined frame.
   *
   * Oracle notes: ranking queries rank on ROUNDED scores with id/term
-  * tie-breaks so both engines order identical values; q65's oracle is
-  * the brute-force Jaccard answer — the banded-LSH candidate stage is
-  * probabilistic, with P[miss] ≈ 1e-4 per qualifying pair at J = 0.5,
-  * and is verified to reach full recall on the frozen fixtures (the
-  * hash seeds are deterministic, so this is stable, not flaky).
-  * q69 (LSH ANN) and q71 (IVF ANN) carry FULL oracles too: their
-  * pipelines are deterministic end-to-end (md5-parity planes; lowest-id
+  * tie-breaks so both engines order identical values. q65 (banded
+  * MinHash), q69 (LSH ANN), and q71 (IVF ANN) carry FULL oracles:
+  * their pipelines are deterministic end-to-end (MinHashSigMd5 affine
+  * signatures with literal constants; md5-parity planes; lowest-id
   * centroid init + fixed Lloyd iterations), so DuckDB re-derives the
-  * bucketing/quantization itself — no rows-only checks remain anywhere.
+  * signatures/bucketing/quantization itself — every check is
+  * recall-independent and no rows-only checks remain anywhere.
   * Recall (an accuracy property, not a correctness one) is separately
   * pinned in ScalaTest against q68's exact answer.
   */
