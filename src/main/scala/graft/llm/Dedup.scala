@@ -260,6 +260,70 @@ object Dedup {
     verifyExact(candidates, arrays, threshold)
   }
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting" — the
+    * MOSS algorithm): hash every k-token gram, then in each sliding
+    * window of `w` consecutive gram hashes select the minimum
+    * (rightmost position on ties, via a lexicographic (hash, −pos)
+    * struct min). GUARANTEE: any substring of ≥ w + k − 1 shared
+    * tokens between two documents shares at least one selected
+    * fingerprint, at ANY alignment — the substring-overlap detector
+    * that set-level Jaccard (whole-doc similarity) and
+    * [[paragraphDedup]] (aligned fixed windows) don't provide.
+    * Expected density ≈ 2/(w+1) fingerprints per gram, so the per-doc
+    * fingerprint set is a bounded sketch of the token stream.
+    *
+    * Pure map per doc (gram hash + one windowed struct-min over the
+    * doc partition); the DISTINCT collapses the w-fold duplication of
+    * adjacent windows selecting the same gram — map-side partial
+    * aggregation does most of it before the shuffle. Gram hashes are
+    * md5-derived, so the oracle re-derives the exact selection in SQL.
+    * Docs shorter than k + w − 1 tokens emit nothing (no full window).
+    *
+    * @return (doc_id, pos, fp) — selected gram position + 32-bit hash
+    */
+  def winnow(docs: DataFrame, k: Int = 4, w: Int = 5): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be >= 1")
+    val toks = spread(docs.where(col("text").isNotNull))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("wd"))
+      .where(size(col("wd")) >= k + w - 1)
+    val grams = toks
+      .select(col("doc_id"), col("wd"),
+        explode(sequence(lit(1), size(col("wd")) - (k - 1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        concat_ws(" ", slice(col("wd"), col("i"), lit(k))).as("g"))
+      .withColumn("h",
+        conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long"))
+    val frame = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(0, w - 1)
+    val perDoc = Window.partitionBy(col("doc_id"))
+    grams
+      .withColumn("sel",
+        min(struct(col("h"), (-col("i")).as("ni"))).over(frame))
+      .withColumn("ng", count(lit(1)).over(perDoc))
+      .where(col("i") <= col("ng") - (w - 1)) // full windows only
+      .select(col("doc_id"), (-col("sel.ni")).cast("int").as("pos"),
+        col("sel.h").as("fp"))
+      .distinct()
+  }
+
+  /** Substring-overlap candidate pairs from shared winnowed
+    * fingerprints: (da, db, n_shared) for every doc pair sharing ≥ 1
+    * selected fingerprint. By the winnowing guarantee this catches
+    * every pair sharing a (w + k − 1)-token substring at any
+    * alignment; `n_shared` grows with overlap length, so callers
+    * threshold it as an overlap-strength score. One fp-keyed
+    * equi-join over the bounded fingerprint sketches — never the
+    * token streams.
+    */
+  def winnowedPairs(docs: DataFrame, k: Int = 4, w: Int = 5): DataFrame = {
+    val s = winnow(docs, k, w)
+    s.as("a").join(s.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(countDistinct(col("a.fp")).as("n_shared"))
+  }
+
   val simhashBits = 32
 
   /** 32-bit SimHash over token md5s: bit j of a token is bit (3−j%4) of

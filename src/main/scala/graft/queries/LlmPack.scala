@@ -44,6 +44,13 @@ object LlmPack extends QueryPack {
       Dedup.simhashPairsDelta(t("documents")(s, d), col("doc_id") % 3 === 0)),
     "q65_minhash_lsh" -> ((s, d) => Dedup.minhashPairs(t("documents")(s, d))),
     "q66_simhash" -> ((s, d) => Dedup.simhash(t("documents")(s, d))),
+    // Winnowing (MOSS) substring-overlap pairs: windowed min-hash
+    // fingerprint selection with the (hash, −pos) rightmost-tie rule,
+    // then an fp-keyed join — catches unaligned shared substrings of
+    // ≥ w+k−1 = 8 tokens, which whole-set Jaccard and aligned-window
+    // paragraph dedup cannot.
+    "q113_winnowing" -> ((s, d) =>
+      Dedup.winnowedPairs(t("documents")(s, d))),
     "q74_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(t("documents")(s, d))),
     // Near-dup clusters: connected components over the simhash pair
@@ -410,6 +417,39 @@ object LlmPack extends QueryPack {
          |  regexp_replace(t2, '${TextOps.longNumberPattern}', '<NUM>', 'g')
          |    AS red_text
          |FROM s2""".stripMargin,
+    // The exact winnowing selection re-derived: same md5-high-32 gram
+    // hashes, same (hash, −pos) struct-min over the same w-row frame
+    // (struct_pack comparison = Spark struct comparison, the aroon
+    // oracle's trick), full windows only, then the fp join.
+    "q113_winnowing" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+         |  FROM documents WHERE text IS NOT NULL),
+         |n AS (SELECT doc_id, w FROM tok WHERE len(w) >= 8),
+         |gi AS (SELECT doc_id, w, CAST(unnest(range(1, len(w) - 2)) AS INTEGER)
+         |         AS i FROM n),
+         |g AS (SELECT doc_id, i,
+         |        w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS gram
+         |      FROM gi),
+         |h AS (SELECT doc_id, i,
+         |        ${OracleSql.md5Word32("md5(gram)", 0)} AS h
+         |      FROM g),
+         |sel0 AS (
+         |  SELECT doc_id, i,
+         |    min(struct_pack(h := h, ni := -i)) OVER (PARTITION BY doc_id
+         |      ORDER BY i ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS sel,
+         |    count(*) OVER (PARTITION BY doc_id) AS ng
+         |  FROM h),
+         |selected AS (
+         |  SELECT DISTINCT doc_id, CAST(-(sel).ni AS INTEGER) AS pos,
+         |         (sel).h AS fp
+         |  FROM sel0 WHERE i <= ng - 4)
+         |SELECT a.doc_id AS da, b.doc_id AS db,
+         |       CAST(count(DISTINCT a.fp) AS BIGINT) AS n_shared
+         |FROM selected a JOIN selected b
+         |  ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2""".stripMargin,
+
     // Identical injection (chr() codepoints = the Scala \u escapes),
     // then DuckDB's own nfc_normalize + RE2 cascade. Both engines
     // count length in code points.

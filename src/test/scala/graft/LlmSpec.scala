@@ -116,6 +116,34 @@ class LlmSpec extends AnyFunSuite {
     assert(gk15 && (nj15 >= 1 || ns15 >= 1) && !adm15, s"doc 15: ${out(15L)}")
   }
 
+  test("winnowing: unaligned 8-token shared substring always pairs") {
+    import spark.implicits._
+    // the winnowing guarantee: any shared substring of w+k-1 = 8
+    // tokens shares a selected fingerprint at ANY alignment — so the
+    // shared run is planted at different offsets in each doc, inside
+    // otherwise-disjoint vocabularies
+    val shared = (1 to 8).map(i => s"run$i").mkString(" ")
+    val sample = Seq(
+      (1L, (1 to 5).map(i => s"a$i").mkString(" ") + " " + shared + " " +
+        (6 to 20).map(i => s"a$i").mkString(" ")),   // run at offset 5
+      (2L, (1 to 13).map(i => s"b$i").mkString(" ") + " " + shared + " " +
+        (14 to 16).map(i => s"b$i").mkString(" ")),  // run at offset 13
+      (3L, (1 to 24).map(i => s"c$i").mkString(" ")) // disjoint
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowedPairs(sample)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "guaranteed pair missed")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "disjoint doc spuriously paired")
+    // selection density: winnowing keeps roughly 2/(w+1) of gram
+    // positions — a bounded sketch, not the whole stream
+    val n = Dedup.winnow(docs.where(col("text").isNotNull)).count()
+    val grams = docs.where(col("text").isNotNull)
+      .select(greatest(size(TextOps.tokens(col("text"))) - 3, lit(0)).as("g"))
+      .agg(sum("g")).collect()(0).getLong(0)
+    assert(n.toDouble / grams < 0.6, s"selection not sparse: $n/$grams")
+  }
+
   test("minhash-LSH pairs equal exact jaccard pairs at threshold 0.5") {
     val exact = Dedup.jaccardPairs(docs, 3, 0.5)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
