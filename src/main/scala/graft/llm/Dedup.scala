@@ -315,10 +315,24 @@ object Dedup {
     * threshold it as an overlap-strength score. One fp-keyed
     * equi-join over the bounded fingerprint sketches — never the
     * token streams.
+    *
+    * `maxDf` is the STOP-FINGERPRINT cap (the hot-shingle cap of
+    * [[jaccardPairsPrefix]], and MOSS's "ignore extremely common
+    * fingerprints" rule): a fingerprint selected in more than `maxDf`
+    * documents — boilerplate, headers, viral snippets — is dropped
+    * before the join, bounding the per-key fan-in to maxDf² instead
+    * of letting one viral 4-gram quadratically explode the candidate
+    * pair space at corpus scale. The df side is a bounded-key
+    * aggregate with map-side partials.
     */
-  def winnowedPairs(docs: DataFrame, k: Int = 4, w: Int = 5): DataFrame = {
+  def winnowedPairs(docs: DataFrame, k: Int = 4, w: Int = 5,
+      maxDf: Int = 64): DataFrame = {
     val s = winnow(docs, k, w)
-    s.as("a").join(s.as("b"),
+    val keep = s.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df") <= maxDf).select(col("fp"))
+    val sk = s.join(keep, "fp")
+    sk.as("a").join(sk.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(countDistinct(col("a.fp")).as("n_shared"))

@@ -443,10 +443,13 @@ object LlmPack extends QueryPack {
          |selected AS (
          |  SELECT DISTINCT doc_id, CAST(-(sel).ni AS INTEGER) AS pos,
          |         (sel).h AS fp
-         |  FROM sel0 WHERE i <= ng - 4)
+         |  FROM sel0 WHERE i <= ng - 4),
+         |keep AS (SELECT fp FROM selected GROUP BY fp
+         |         HAVING count(DISTINCT doc_id) <= 64),
+         |sk AS (SELECT s.* FROM selected s JOIN keep USING (fp))
          |SELECT a.doc_id AS da, b.doc_id AS db,
          |       CAST(count(DISTINCT a.fp) AS BIGINT) AS n_shared
-         |FROM selected a JOIN selected b
+         |FROM sk a JOIN sk b
          |  ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2""".stripMargin,
 

@@ -135,6 +135,17 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)), "guaranteed pair missed")
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
       "disjoint doc spuriously paired")
+    // stop-fingerprint cap: a run shared by MORE than maxDf docs is
+    // boilerplate — its fingerprints must not generate pairs, while a
+    // rarer run still does
+    val viral = (1 to 8).map(i => s"vir$i").mkString(" ")
+    val capped = (0 until 5).map { j =>
+      (j.toLong,
+        (1 to 16).map(i => s"pad${j}x$i").mkString(" ") + " " + viral)
+    }.toDF("doc_id", "text")
+    assert(Dedup.winnowedPairs(capped, maxDf = 3).count() == 0,
+      "viral fingerprint survived the stop-fp cap")
+    assert(Dedup.winnowedPairs(capped, maxDf = 5).count() > 0)
     // selection density: winnowing keeps roughly 2/(w+1) of gram
     // positions — a bounded sketch, not the whole stream
     val n = Dedup.winnow(docs.where(col("text").isNotNull)).count()
