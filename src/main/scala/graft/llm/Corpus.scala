@@ -176,6 +176,64 @@ object Corpus {
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
+  /** Deterministic named-split assignment (train/val/test): the
+    * md5-uniform `hash16 / 65536` value buckets each doc into the
+    * first split whose cumulative fraction exceeds it — reproducible
+    * across runs and engines (no `rand`), salt-rotatable, and
+    * stratification-free by design (fractions apply globally; compose
+    * with [[stratifiedSample]] for per-lang rates). Pure map.
+    *
+    * Cumulative bounds are computed once here and interpolated
+    * verbatim into the oracle (double image and all), so both engines
+    * compare against bit-identical thresholds.
+    */
+  def assignSplits(docs: DataFrame,
+      cuts: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      salt: String = "spl"): DataFrame = {
+    require(cuts.nonEmpty && math.abs(cuts.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val u = hash16(col("doc_id"), salt).cast("double") / lit(65536.0)
+    val bounds = cuts.map(_._1).zip(cuts.map(_._2).scanLeft(0.0)(_ + _).tail)
+    val split = bounds.init.reverse.foldLeft(lit(bounds.last._1)) {
+      case (acc, (nm, ub)) => when(u < ub, lit(nm)).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col("lang"), split.as("split"))
+  }
+
+  /** Cumulative upper bounds as exact double images, for oracle
+    * interpolation (Scala's shortest-round-trip toString parses back
+    * to the same IEEE double in DuckDB).
+    */
+  def splitBounds(cuts: Seq[(String, Double)]): Seq[(String, Double)] =
+    cuts.map(_._1).zip(cuts.map(_._2).scanLeft(0.0)(_ + _).tail)
+
+  /** The SPLIT-LEAKAGE AUDIT: near-dup pairs (simhash Hamming ≤
+    * `maxHamming`) that straddle a split boundary — exactly the
+    * eval-contamination a training pipeline must catch before the val/
+    * test sets are trusted (a near-copy of a training doc in the eval
+    * split inflates every metric). Composes [[Dedup.simhashPairs]]
+    * with [[assignSplits]]; the pair frame carries ids only, so the
+    * split join is two id-keyed hash joins.
+    *
+    * @return (da, db, hamming, split_a, split_b), split_a ≠ split_b
+    */
+  def crossSplitLeaks(docs: DataFrame, maxHamming: Int = 3,
+      cuts: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      salt: String = "spl"): DataFrame = {
+    val splits = assignSplits(docs, cuts, salt)
+      .select(col("doc_id"), col("split"))
+    Dedup.simhashPairs(docs, maxHamming)
+      .join(splits.select(col("doc_id").as("da"),
+        col("split").as("split_a")), "da")
+      .join(splits.select(col("doc_id").as("db"),
+        col("split").as("split_b")), "db")
+      .where(col("split_a") =!= col("split_b"))
+      .select(col("da"), col("db"), col("hamming"),
+        col("split_a"), col("split_b"))
+  }
+
   /** Per-source document cap (the C4/RefinedWeb cap-per-domain step):
     * keep at most `cap` documents per source, chosen as a
     * deterministic uniform sample (md5 order over `salt:doc_id`, so

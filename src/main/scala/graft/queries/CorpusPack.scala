@@ -28,6 +28,10 @@ object CorpusPack extends QueryPack {
     // eager localCheckpoint (each survivor frame feeds 2+ consumers).
     "q92_corpus_pipeline" -> ((s, d) =>
       Corpus.corpusPipeline(t("documents")(s, d))),
+    // Deterministic train/val/test assignment: md5-uniform bucketing
+    // against cumulative fraction bounds (no rand; salt-rotatable).
+    "q114_split_assign" -> ((s, d) =>
+      Corpus.assignSplits(t("documents")(s, d))),
     // Per-source cap: at most 10 docs per source, deterministic md5
     // sample via the mergeable bottom-k sketch (exact-k per group with
     // map-side partials — no per-source window sort).
@@ -250,6 +254,27 @@ object CorpusPack extends QueryPack {
          |         AS pack_offset
          |FROM surv3 s3 JOIN sp USING (doc_id) JOIN pc USING (doc_id)"""
         .stripMargin
+    },
+
+    // Same md5-high-16 uniform, compared against the SAME cumulative
+    // double bounds the engine computed (interpolated verbatim, so
+    // both engines compare bit-identical thresholds).
+    "q114_split_assign" -> {
+      val bounds = Corpus.splitBounds(
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      val cases = bounds.init.map { case (nm, ub) =>
+        s"WHEN u < CAST('$ub' AS DOUBLE) THEN '$nm'"
+      }.mkString(" ")
+      s"""WITH h AS (SELECT doc_id, lang,
+         |             md5('spl:' || CAST(doc_id AS VARCHAR)) AS m
+         |           FROM documents),
+         |u AS (SELECT doc_id, lang,
+         |        CAST(${OracleSql.md5High16("m")} AS DOUBLE)
+         |          / CAST(65536 AS DOUBLE) AS u
+         |      FROM h)
+         |SELECT doc_id, lang,
+         |       CASE $cases ELSE '${bounds.last._1}' END AS split
+         |FROM u""".stripMargin
     },
 
     // Independent formulation: the rank the sketch replaces. A sketch

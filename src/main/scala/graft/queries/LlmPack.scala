@@ -44,6 +44,11 @@ object LlmPack extends QueryPack {
       Dedup.simhashPairsDelta(t("documents")(s, d), col("doc_id") % 3 === 0)),
     "q65_minhash_lsh" -> ((s, d) => Dedup.minhashPairs(t("documents")(s, d))),
     "q66_simhash" -> ((s, d) => Dedup.simhash(t("documents")(s, d))),
+    // Split-leakage audit: near-dup pairs (Hamming ≤ 3) straddling a
+    // train/val/test boundary — the eval contamination a pipeline must
+    // catch before trusting held-out metrics.
+    "q115_split_leaks" -> ((s, d) =>
+      graft.llm.Corpus.crossSplitLeaks(t("documents")(s, d))),
     // Winnowing (MOSS) substring-overlap pairs: windowed min-hash
     // fingerprint selection with the (hash, −pos) rightmost-tie rule,
     // then an fp-keyed join — catches unaligned shared substrings of
@@ -417,6 +422,30 @@ object LlmPack extends QueryPack {
          |  regexp_replace(t2, '${TextOps.longNumberPattern}', '<NUM>', 'g')
          |    AS red_text
          |FROM s2""".stripMargin,
+    // The all-pairs Hamming scan + the q114 split derivation, joined.
+    "q115_split_leaks" -> {
+      val bounds = graft.llm.Corpus.splitBounds(
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      val cases = bounds.init.map { case (nm, ub) =>
+        s"WHEN u < CAST('$ub' AS DOUBLE) THEN '$nm'"
+      }.mkString(" ")
+      s"""WITH $simhashPairCtes,
+         |hh AS (SELECT doc_id, md5('spl:' || CAST(doc_id AS VARCHAR)) AS m
+         |       FROM documents),
+         |uu AS (SELECT doc_id,
+         |         CAST(${OracleSql.md5High16("m")} AS DOUBLE)
+         |           / CAST(65536 AS DOUBLE) AS u
+         |       FROM hh),
+         |sp AS (SELECT doc_id,
+         |         CASE $cases ELSE '${bounds.last._1}' END AS split
+         |       FROM uu)
+         |SELECT p.da, p.db, p.hamming,
+         |       a.split AS split_a, b.split AS split_b
+         |FROM p JOIN sp a ON p.da = a.doc_id
+         |       JOIN sp b ON p.db = b.doc_id
+         |WHERE p.hamming <= 3 AND a.split <> b.split""".stripMargin
+    },
+
     // The exact winnowing selection re-derived: same md5-high-32 gram
     // hashes, same (hash, −pos) struct-min over the same w-row frame
     // (struct_pack comparison = Spark struct comparison, the aroon
