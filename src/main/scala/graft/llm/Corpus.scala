@@ -261,6 +261,29 @@ object Corpus {
       .select(col("doc_id"), col("source"), col("lang"))
   }
 
+  /** The ALLOCATION half of corpus curation, composed end-to-end —
+    * the round-6 counterpart of [[corpusPipeline]] (which composes
+    * the cleaning half): [[sourceCap]] per-domain caps →
+    * [[assignSplits]] train/val/test → [[packManifest]] over the
+    * SURVIVING corpus (cumulative token sums run over kept docs only,
+    * exactly as a production run packs what it kept). Output: one row
+    * per (kept doc × context window it occupies) with its source,
+    * split, and packing coordinates — the complete loader allocation
+    * record.
+    */
+  def curationSlice(docs: DataFrame, cap: Int = 10, budget: Int = 256,
+      nStreams: Int = 8): DataFrame = {
+    val kept = sourceCap(docs, cap)
+    val base = docs.join(kept.select(col("doc_id")), "doc_id")
+      .localCheckpoint(true) // feeds splits AND packing
+    packManifest(base, budget, nStreams)
+      .join(assignSplits(base).select(col("doc_id"), col("split")), "doc_id")
+      .join(kept.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("doc_id"), col("source"), col("lang"), col("split"),
+        col("shard"), col("pack_id"),
+        col("start_in_window"), col("len_in_window"))
+  }
+
   /** Mixture accounting: per-language document/token counts, the
     * language's share of all tokens, and the up/down-sampling weight
     * that would move the corpus to `targetShare` per language

@@ -43,6 +43,11 @@ object CorpusPack extends QueryPack {
     // packing frame.
     "q111_pack_manifest" -> ((s, d) =>
       Corpus.packManifest(t("documents")(s, d), budget = 256)),
+    // The allocation half composed end-to-end: per-source caps →
+    // split assignment → packing manifest over the surviving corpus
+    // (the q92 composition story for the round-6 curation stages).
+    "q116_curation_slice" -> ((s, d) =>
+      Corpus.curationSlice(t("documents")(s, d))),
     // The DAY-2 composed ingest: every third doc plays the incoming
     // batch; it is gopher-gated, then delta-deduplicated (Jaccard +
     // simhash, old×old pairs pruned inside the candidate joins)
@@ -254,6 +259,56 @@ object CorpusPack extends QueryPack {
          |         AS pack_offset
          |FROM surv3 s3 JOIN sp USING (doc_id) JOIN pc USING (doc_id)"""
         .stripMargin
+    },
+
+    // The composed allocation oracle: q112's rank CTE → q114's split
+    // case → q79/q111's packing CTEs evaluated over the SURVIVORS.
+    "q116_curation_slice" -> {
+      val bounds = Corpus.splitBounds(
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      val cases = bounds.init.map { case (nm, ub) =>
+        s"WHEN u < CAST('$ub' AS DOUBLE) THEN '$nm'"
+      }.mkString(" ")
+      s"""WITH r AS (
+         |  SELECT doc_id, source, lang,
+         |         row_number() OVER (PARTITION BY source
+         |           ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id)
+         |           AS rk
+         |  FROM documents),
+         |kept AS (SELECT doc_id, source FROM r WHERE rk <= 10),
+         |base AS (SELECT d.doc_id, d.lang, d.text, k.source
+         |         FROM documents d JOIN kept k USING (doc_id)),
+         |s AS (SELECT doc_id, lang, source,
+         |        CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER)
+         |          AS n_tok,
+         |        md5('ep0:' || CAST(doc_id AS VARCHAR)) AS h,
+         |        md5('spl:' || CAST(doc_id AS VARCHAR)) AS m
+         |      FROM base),
+         |sh AS (SELECT doc_id, lang, source, n_tok,
+         |         CAST((${OracleSql.md5High16("h")}) % 8 AS INTEGER) AS shard,
+         |         CAST(${OracleSql.md5High16("m")} AS DOUBLE)
+         |           / CAST(65536 AS DOUBLE) AS u
+         |       FROM s),
+         |c AS (SELECT doc_id, lang, source, shard, u, n_tok,
+         |        CAST(sum(n_tok) OVER (PARTITION BY lang, shard
+         |               ORDER BY doc_id) AS BIGINT) AS cum
+         |      FROM sh),
+         |p AS (SELECT doc_id, lang, source, shard, u,
+         |        cum - n_tok AS sg, cum AS eg,
+         |        (cum - n_tok) // 256 AS p0, (cum - 1) // 256 AS p1
+         |      FROM c),
+         |w AS (SELECT doc_id, lang, source, shard, u, sg, eg,
+         |        CAST(unnest(generate_series(p0, p1)) AS BIGINT) AS pack_id
+         |      FROM p)
+         |SELECT doc_id, source, lang,
+         |       CASE $cases ELSE '${bounds.last._1}' END AS split,
+         |       shard, pack_id,
+         |       CAST(greatest(sg, pack_id * 256) - pack_id * 256 AS INTEGER)
+         |         AS start_in_window,
+         |       CAST(least(eg, (pack_id + 1) * 256)
+         |            - greatest(sg, pack_id * 256) AS INTEGER)
+         |         AS len_in_window
+         |FROM w""".stripMargin
     },
 
     // Same md5-high-16 uniform, compared against the SAME cumulative
