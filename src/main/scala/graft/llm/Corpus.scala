@@ -307,6 +307,35 @@ object Corpus {
         round(tgt / share, 4).cast("float").as("weight"))
   }
 
+  /** Mixture MATERIALIZATION — applies [[mixWeights]]' per-language
+    * re-weighting factors as actual per-document copy counts, the
+    * epoch-sampling step a pre-training loader consumes: each doc is
+    * emitted `floor(weight)` times plus one more when its md5-uniform
+    * value falls below the fractional residual (deterministic
+    * Bernoulli — no rand, reproducible, salt-rotatable per epoch). Per
+    * language the expected emitted mass is exactly `weight × n_docs`,
+    * so the materialized corpus hits the target shares in expectation;
+    * languages with weight < 1 are downsampled (some docs emit zero
+    * copies), weight > 1 upsampled (all docs emit ≥ floor(weight)).
+    *
+    * Scale shape: the weight table is ≤ |languages| rows (broadcast);
+    * everything else is a map + explode.
+    */
+  def materializeMix(docs: DataFrame,
+      targetShare: Map[String, Double] = Map.empty,
+      defaultShare: Double = 0.2, salt: String = "mix"): DataFrame = {
+    val wts = mixWeights(docs, targetShare, defaultShare)
+      .select(col("lang"), col("weight"))
+    docs.join(broadcast(wts), "lang")
+      .withColumn("u", hash16(col("doc_id"), salt).cast("double") / lit(65536.0))
+      .withColumn("n_copies", (floor(col("weight")) +
+        when(col("u") < col("weight") - floor(col("weight")), lit(1))
+          .otherwise(lit(0))).cast("int"))
+      .where(col("n_copies") > 0)
+      .select(col("doc_id"), col("lang"), col("n_copies"),
+        explode(sequence(lit(1), col("n_copies"))).as("copy"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any
     * n-token shingle with a held-out benchmark set (here: every
     * `benchEvery`-th doc_id, standing in for an eval suite). Returns

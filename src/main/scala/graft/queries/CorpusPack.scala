@@ -19,6 +19,11 @@ object CorpusPack extends QueryPack {
     "q79_pack_stream" -> ((s, d) =>
       Corpus.packStream(t("documents")(s, d), budget = 256)),
     "q80_mix_weights" -> ((s, d) => Corpus.mixWeights(t("documents")(s, d))),
+    // q80's weights APPLIED: per-doc copy counts (floor + deterministic
+    // md5-Bernoulli residual) — the epoch-sampling materialization a
+    // loader consumes; downsamples weight<1 langs, upsamples weight>1.
+    "q117_mix_materialize" -> ((s, d) =>
+      Corpus.materializeMix(t("documents")(s, d))),
     "q81_decontam" -> ((s, d) => Corpus.decontaminate(t("documents")(s, d))),
     // Deterministic epoch shuffle: md5-derived shard + in-shard
     // position, fully re-derivable by the oracle (no rand()).
@@ -127,6 +132,36 @@ object CorpusPack extends QueryPack {
         |            (CAST(n_tokens AS DOUBLE) / total_tokens), 4) AS REAL)
         |         AS weight
         |FROM g, t""".stripMargin,
+
+    // q80's weight table re-derived, then the same floor + residual
+    // Bernoulli against the md5-uniform (REAL weight promotes to the
+    // identical double in both engines).
+    "q117_mix_materialize" ->
+      s"""WITH s AS (SELECT lang,
+         |             len(regexp_split_to_array(trim(text), '\\s+')) AS n
+         |           FROM documents),
+         |g AS (SELECT lang, count(*) AS n_docs, CAST(sum(n) AS BIGINT)
+         |        AS n_tokens FROM s GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM g),
+         |wt AS (SELECT lang,
+         |         CAST(round(CAST(0.2 AS DOUBLE) /
+         |              (CAST(n_tokens AS DOUBLE) / total_tokens), 4) AS REAL)
+         |           AS weight
+         |       FROM g, t),
+         |hh AS (SELECT d.doc_id, d.lang, w.weight,
+         |         md5('mix:' || CAST(d.doc_id AS VARCHAR)) AS m
+         |       FROM documents d JOIN wt w USING (lang)),
+         |j AS (SELECT doc_id, lang, weight,
+         |        CAST(${OracleSql.md5High16("m")} AS DOUBLE)
+         |          / CAST(65536 AS DOUBLE) AS u
+         |      FROM hh),
+         |c AS (SELECT doc_id, lang,
+         |        CAST(floor(weight) + CASE WHEN u < weight - floor(weight)
+         |             THEN 1 ELSE 0 END AS INTEGER) AS n_copies
+         |      FROM j)
+         |SELECT doc_id, lang, n_copies,
+         |       CAST(unnest(range(1, n_copies + 1)) AS INTEGER) AS copy
+         |FROM c WHERE n_copies > 0""".stripMargin,
 
     "q81_decontam" ->
       s"""WITH $tokCte,
