@@ -1,6 +1,5 @@
 package graft.functions
 
-import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -65,7 +64,9 @@ case class MinHashSigMd5(child: Expression, k: Int)
       if (s != null) {
         any = true
         d.reset()
-        val bytes = d.digest(s.toString.getBytes(StandardCharsets.UTF_8))
+        // UTF8String.getBytes IS the UTF-8 encoding — no String
+        // round-trip in the per-shingle hot loop
+        val bytes = d.digest(s.getBytes)
         // big-endian 32-bit words = hex nibbles 1-8 / 9-16, matching the
         // oracle's strpos-arithmetic derivation over the md5 hex string
         val x1 = ((bytes(0) & 0xffL) << 24) | ((bytes(1) & 0xffL) << 16) |

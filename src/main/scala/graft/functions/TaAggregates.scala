@@ -417,7 +417,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
           "map-side partials). The row key MUST be unique per row: " +
           "duplicate keys collapse to one sample slot (min value), " +
           "biasing the sample relative to a rank-based formulation.",
-        null),
+        // "" not null: the 5-arg ctor forwards extended into an
+        // assert-guarded arguments slot (AssertionError under -ea)
+        ""),
       (es: Seq[Expression]) => BottomKByHash(Cast(es.head, DoubleType),
         es(1), litInt(es(2), "bottom_k_sketch")).toAggregateExpression()))
   }

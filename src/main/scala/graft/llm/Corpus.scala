@@ -136,7 +136,12 @@ object Corpus {
   def packManifest(docs: DataFrame, budget: Int = 256, nStreams: Int = 8,
       salt: String = "ep0"): DataFrame = {
     val b = lit(budget.toLong)
-    packStream(docs, budget, nStreams, salt)
+    val packed = packStream(docs, budget, nStreams, salt)
+    // the legacy single-stream form emits no shard column; the
+    // manifest contract always carries one (the lone stream is shard 0)
+    val sharded =
+      if (nStreams == 1) packed.withColumn("shard", lit(0)) else packed
+    sharded
       .withColumn("s_glob", col("pack_id") * b + col("pack_offset"))
       .withColumn("e_glob", col("s_glob") + col("n_tok"))
       .select(col("lang"), col("shard"), col("doc_id"),
@@ -255,9 +260,13 @@ object Corpus {
     val kept = docs.groupBy(col("source"))
       .agg(graft.functions.BottomKByHash(col("doc_id").cast("double"),
         concat(lit(salt + ":"), col("doc_id").cast("string")), cap).as("ids"))
-      .select(col("source"), explode(col("ids")).as("id_d"))
-      .select(col("source"), col("id_d").cast("long").as("doc_id"))
-    docs.join(kept, Seq("source", "doc_id"), "left_semi")
+      .select(explode(col("ids")).as("id_d"))
+      .select(col("id_d").cast("long").as("doc_id"))
+    // semi-join on doc_id ALONE: ids are globally unique, and a
+    // (source, doc_id) key would null-drop every NULL-source doc while
+    // groupBy (and the oracle's PARTITION BY) keep NULL as its own
+    // group entitled to its cap
+    docs.join(kept, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("source"), col("lang"))
   }
 

@@ -287,20 +287,21 @@ object Dedup {
     val toks = spread(docs.where(col("text").isNotNull))
       .select(col("doc_id"), TextOps.tokens(col("text")).as("wd"))
       .where(size(col("wd")) >= k + w - 1)
+    // ng = |grams| is known at explode time (size − k + 1) and rides
+    // the rows — no second unbounded Window pass over every gram
     val grams = toks
       .select(col("doc_id"), col("wd"),
+        (size(col("wd")) - (k - 1)).as("ng"),
         explode(sequence(lit(1), size(col("wd")) - (k - 1))).as("i"))
-      .select(col("doc_id"), col("i"),
+      .select(col("doc_id"), col("ng"), col("i"),
         concat_ws(" ", slice(col("wd"), col("i"), lit(k))).as("g"))
       .withColumn("h",
         conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long"))
     val frame = Window.partitionBy(col("doc_id")).orderBy(col("i"))
       .rowsBetween(0, w - 1)
-    val perDoc = Window.partitionBy(col("doc_id"))
     grams
       .withColumn("sel",
         min(struct(col("h"), (-col("i")).as("ni"))).over(frame))
-      .withColumn("ng", count(lit(1)).over(perDoc))
       .where(col("i") <= col("ng") - (w - 1)) // full windows only
       .select(col("doc_id"), (-col("sel.ni")).cast("int").as("pos"),
         col("sel.h").as("fp"))

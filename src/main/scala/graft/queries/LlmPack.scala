@@ -165,8 +165,17 @@ object LlmPack extends QueryPack {
           s"interpreted HOF fold survived the rewrite:\n$plan")
         df
       } finally {
-        prevDefault.foreach(SparkSession.setDefaultSession)
-        prevActive.foreach(SparkSession.setActiveSession)
+        // restore OR clear — a bare foreach would leave s2 (with the
+        // rewrite force-enabled) as the process-wide default when no
+        // session existed before, silently changing unrelated queries
+        prevDefault match {
+          case Some(s) => SparkSession.setDefaultSession(s)
+          case None => SparkSession.clearDefaultSession()
+        }
+        prevActive match {
+          case Some(s) => SparkSession.setActiveSession(s)
+          case None => SparkSession.clearActiveSession()
+        }
       }
     }),
     "q69_ann_lsh" -> ((s, d) =>

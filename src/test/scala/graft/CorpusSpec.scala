@@ -107,6 +107,11 @@ class CorpusSpec extends AnyFunSuite {
     assert(m.where(col("start_in_window") < 0 ||
       col("start_in_window") >= 256 || col("len_in_window") < 1 ||
       col("len_in_window") > 256).count() == 0)
+    // the legacy single-stream form (no shard column in packStream)
+    // still yields a manifest, with the lone stream as shard 0
+    val single = Corpus.packManifest(docs, budget = 256, nStreams = 1)
+    assert(single.select("shard").distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(0))
   }
 
   test("source cap keeps exactly min(cap, n) per source, partition-invariant") {
