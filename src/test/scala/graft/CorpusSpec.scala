@@ -126,6 +126,18 @@ class CorpusSpec extends AnyFunSuite {
     // exercises the sketch's merge path across a different layout
     val b = Corpus.sourceCap(docs.repartition(13), cap = 5)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // NULL source is its own capped group (the oracle's PARTITION BY
+    // semantics) — a null-unsafe keep-join would silently drop it
+    import spark.implicits._
+    val withNull = Seq(
+      (1L, "s1", "en"), (2L, "s1", "en"), (3L, "s1", "en"),
+      (4L, null.asInstanceOf[String], "en"),
+      (5L, null.asInstanceOf[String], "en"),
+      (6L, null.asInstanceOf[String], "en"))
+      .toDF("doc_id", "source", "lang")
+    val capped = Corpus.sourceCap(withNull, cap = 2).collect()
+    assert(capped.length == 4) // 2 from s1 + 2 from the NULL group
+    assert(capped.count(_.isNullAt(1)) == 2)
   }
 
   test("mix weights: shares sum to ~1 and weights invert the shares") {
