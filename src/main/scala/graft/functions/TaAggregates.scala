@@ -325,6 +325,8 @@ object TaFunctions {
       es => SqDiffSum(es.head, es(1)), "scala_udf")
     r.createOrReplaceTempFunction("simhash32",
       es => SimHash32(es.head), "scala_udf")
+    r.createOrReplaceTempFunction("simhash64",
+      es => SimHashFp(es.head, 64), "scala_udf")
     r.createOrReplaceTempFunction("sorted_run_stats",
       es => SortedRunStats(es.head), "scala_udf")
     r.createOrReplaceTempFunction("rolling_fp",
@@ -392,8 +394,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[SqDiffSum].getName, "sq_diff_sum"),
       (es: Seq[Expression]) => SqDiffSum(es.head, es(1))))
     ext.injectFunction((FunctionIdentifier("simhash32"),
-      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+      new ExpressionInfo(classOf[SimHashFp].getName, "simhash32"),
       (es: Seq[Expression]) => SimHash32(es.head)))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHashFp].getName, "simhash64"),
+      (es: Seq[Expression]) => SimHashFp(es.head, 64)))
     ext.injectFunction((FunctionIdentifier("sorted_run_stats"),
       new ExpressionInfo(classOf[SortedRunStats].getName, "sorted_run_stats"),
       (es: Seq[Expression]) => SortedRunStats(es.head)))

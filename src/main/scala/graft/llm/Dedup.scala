@@ -339,24 +339,33 @@ object Dedup {
       .agg(countDistinct(col("a.fp")).as("n_shared"))
   }
 
+  /** Legacy fingerprint width — the reference-era 32-bit surface the
+    * q66/q93 oracles pin. */
   val simhashBits = 32
 
-  /** 32-bit SimHash over token md5s: bit j of a token is bit (3−j%4) of
-    * hex nibble j/4 of md5(token); the fingerprint bit is the sign of
-    * the token-frequency-weighted ±1 sum. Emitted as a bit string to
-    * stay engine-portable.
-    */
+  /** Corpus-scale fingerprint width: at ≥ 10⁸ docs a 32-bit space
+    * saturates with spurious exact collisions and its 8-bit bands
+    * (256 buckets) degenerate the candidate join; 64-bit fingerprints
+    * with 16-bit bands (65 536 buckets/band) keep both selective. */
+  val simhashBits64 = 64
+
   /** SimHash NEAR-DUP PAIRS: all (da < db) with fingerprint Hamming
-    * distance ≤ `maxHamming`. EXACT by pigeonhole: the 32-bit
-    * fingerprint splits into 4 byte-bands, and any pair within Hamming
+    * distance ≤ `maxHamming`. EXACT by pigeonhole: the `bits`-wide
+    * fingerprint splits into 4 equal bands, and any pair within Hamming
     * 3 (< 4 differing bits) must agree on at least one whole band — so
     * the band-equality join loses nothing, and only bucket-mates pay
-    * the full 32-bit compare. The same banded-candidate shape as
+    * the full fingerprint compare. The same banded-candidate shape as
     * MinHash, but with a deterministic completeness guarantee instead
     * of a probability curve.
+    *
+    * `bits` picks the fingerprint width: 32 (legacy, 8-bit bands) or
+    * 64 (corpus-scale default path — 16-bit bands keep the band join
+    * selective at ≥ 10⁸ docs, where 256-bucket bands degenerate toward
+    * all-pairs and the 32-bit fingerprint space itself saturates).
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
-    simhashPairsCore(docs, maxHamming, deltaPred = None)
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      bits: Int = simhashBits): DataFrame =
+    simhashPairsCore(docs, maxHamming, deltaPred = None, bits)
 
   /** DELTA variant of [[simhashPairs]]: only pairs involving a doc
     * marked new by `isNew` (evaluated on the fingerprint frame, so any
@@ -367,20 +376,24 @@ object Dedup {
     * standing corpus without re-pairing the corpus with itself.
     */
   def simhashPairsDelta(docs: DataFrame, isNew: Column,
-      maxHamming: Int = 3): DataFrame =
-    simhashPairsCore(docs, maxHamming, deltaPred = Some(isNew))
+      maxHamming: Int = 3, bits: Int = simhashBits): DataFrame =
+    simhashPairsCore(docs, maxHamming, deltaPred = Some(isNew), bits)
 
   private def simhashPairsCore(docs: DataFrame, maxHamming: Int,
-      deltaPred: Option[Column]): DataFrame = {
+      deltaPred: Option[Column], bits: Int = simhashBits): DataFrame = {
     val bandCount = 4
     require(maxHamming < bandCount,
       s"pigeonhole completeness needs maxHamming < $bandCount")
-    val width = simhashBits / bandCount
+    require(bits % bandCount == 0, s"bits must be a multiple of $bandCount")
+    val width = bits / bandCount
     // parse the bit string to a long ONCE per doc; candidates then carry
     // two longs and the verify is bit_count(xor) — scalar codegen, no
-    // per-pair string/array work
-    val fp = simhash(docs) // simhash spreads internally
-      .withColumn("fpl", conv(col("simhash"), 2, 10).cast("long"))
+    // per-pair string/array work. toBase −10 reads the 64-bit image as
+    // SIGNED: a 64-bit fingerprint with its top bit set would otherwise
+    // render > Long.MaxValue and the long cast would null it out
+    // (identical value for widths < 64, where the image is positive).
+    val fp = simhash(docs, bits) // simhash spreads internally
+      .withColumn("fpl", conv(col("simhash"), 2, -10).cast("long"))
     val flagged = deltaPred match {
       case Some(p) => fp.withColumn("nw", p)
       case None => fp
@@ -430,8 +443,8 @@ object Dedup {
     * pick).
     */
   def dupClusters(docs: DataFrame, maxHamming: Int = 3,
-      maxIters: Int = 50): DataFrame = {
-    val pairs = simhashPairs(docs, maxHamming)
+      maxIters: Int = 50, bits: Int = simhashBits): DataFrame = {
+    val pairs = simhashPairs(docs, maxHamming, bits)
       .select(col("da").as("a"), col("db").as("b"))
     val labels = graft.graph.ConnectedComponents
       .run(docs.select(col("doc_id").as("id")), pairs, maxIters)
@@ -456,8 +469,9 @@ object Dedup {
     * row_number shuffle only the (id, cluster, quality) triples —
     * never the text.
     */
-  def clusterDedup(docs: DataFrame, maxHamming: Int = 3): DataFrame =
-    clusterDedup(docs, dupClusters(docs, maxHamming))
+  def clusterDedup(docs: DataFrame, maxHamming: Int = 3,
+      bits: Int = simhashBits): DataFrame =
+    clusterDedup(docs, dupClusters(docs, maxHamming, bits = bits))
 
   /** [[clusterDedup]] over PRECOMPUTED cluster labels ([[dupClusters]]
     * output) — composed pipelines that already hold the labels (an
@@ -539,36 +553,38 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
-  /** Map-only fingerprinting via the native [[graft.functions.SimHash32]]
+  /** Map-only fingerprinting via the native [[graft.functions.SimHashFp]]
     * kernel: each token is digested where its document sits, so the
-    * operator has ZERO shuffles (the explode → md5 → 32-aggregate
+    * operator has ZERO shuffles (the explode → md5 → per-bit-aggregate
     * groupBy it replaces exchanged every token row of the corpus).
+    * `bits` = 32 (legacy surface) or 64 (corpus-scale Hamming family).
     */
-  def simhash(docs: DataFrame): DataFrame =
+  def simhash(docs: DataFrame, bits: Int = simhashBits): DataFrame =
     // NULL-text docs are dropped, matching the aggregate spec (its
     // explode produces no rows for them) — without the filter the map
     // kernel would emit a NULL-fingerprint row the oracle never sees.
     spread(docs).where(col("text").isNotNull)
       .select(col("doc_id"),
-        GraftSqlShims.column(graft.functions.SimHash32(
-          GraftSqlShims.expression(TextOps.tokens(col("text")))))
+        GraftSqlShims.column(graft.functions.SimHashFp(
+          GraftSqlShims.expression(TextOps.tokens(col("text"))), bits))
           .as("simhash"))
 
   /** The shuffle-based formulation [[simhash]] replaced — kept as the
     * executable spec the native kernel is pinned against
     * (MinHashSigSpec).
     */
-  private[graft] def simhashViaAgg(docs: DataFrame): DataFrame = {
+  private[graft] def simhashViaAgg(docs: DataFrame,
+      bits: Int = simhashBits): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(TextOps.tokens(col("text"))).as("tok"))
       .withColumn("h", md5(col("tok").cast("binary")))
-    val contribs = (0 until simhashBits).map { j =>
+    val contribs = (0 until bits).map { j =>
       val nib = conv(substring(col("h"), 1 + j / 4, 1), 16, 10).cast("int")
       val bit = shiftright(nib, 3 - j % 4).bitwiseAND(lit(1))
       sum(bit * 2 - 1).as(s"c$j")
     }
     toks.groupBy("doc_id").agg(contribs.head, contribs.tail: _*)
-      .select(col("doc_id"), concat((0 until simhashBits).map(j =>
+      .select(col("doc_id"), concat((0 until bits).map(j =>
         when(col(s"c$j") > 0, "1").otherwise("0")): _*).as("simhash"))
   }
 }

@@ -58,6 +58,21 @@ object LlmPack extends QueryPack {
       Dedup.winnowedPairs(t("documents")(s, d))),
     "q74_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(t("documents")(s, d))),
+    // The CORPUS-SCALE fingerprint width: same map-only kernel and
+    // pigeonhole band join at 64 bits / 4×16-bit bands — 65 536
+    // buckets per band keep the candidate join selective at ≥ 10⁸
+    // docs, where the 32-bit family's 256-bucket bands degenerate
+    // toward all-pairs and its fingerprint space saturates with
+    // spurious exact collisions.
+    "q118_simhash64" -> ((s, d) =>
+      Dedup.simhash(t("documents")(s, d), Dedup.simhashBits64)),
+    "q119_simhash64_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(t("documents")(s, d), bits = Dedup.simhashBits64)),
+    // Delta contract at 64 bits: pairs involving a new doc only,
+    // old×old discarded inside the 16-bit band join.
+    "q120_simhash64_delta" -> ((s, d) =>
+      Dedup.simhashPairsDelta(t("documents")(s, d), col("doc_id") % 3 === 0,
+        bits = Dedup.simhashBits64)),
     // Near-dup clusters: connected components over the simhash pair
     // graph (min-label propagation to a fixpoint); the oracle
     // re-derives the components with a recursive reachability CTE.
@@ -350,25 +365,28 @@ object LlmPack extends QueryPack {
   private val simhashCols = OracleSql.simhashCols
   private val simhashConcat = OracleSql.simhashConcat
 
-  /** Shared oracle CTEs: per-doc simhash fingerprints + all-pairs
-    * Hamming distances (q74 pair list, q82 cluster edges).
+  /** Shared oracle CTEs at any fingerprint width: per-doc simhash
+    * fingerprints + all-pairs Hamming distances (q74/q119 pair lists,
+    * q82 cluster edges, q96/q120 delta filters).
     */
-  private lazy val simhashPairCtes =
+  private def simhashPairCtesN(bits: Int): String =
     s"""t2 AS (
        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
        |  FROM documents),
        |h AS (SELECT doc_id, md5(tok) AS h FROM t2),
        |c AS (SELECT doc_id,
-       |    $simhashCols
+       |    ${OracleSql.simhashColsN(bits)}
        |  FROM h GROUP BY doc_id),
-       |f AS (SELECT doc_id, $simhashConcat AS simhash FROM c),
+       |f AS (SELECT doc_id, ${OracleSql.simhashConcatN(bits)} AS simhash FROM c),
        |p AS (
        |  SELECT a.doc_id AS da, b.doc_id AS db,
-       |         CAST(list_sum(list_transform(range(1, ${Dedup.simhashBits + 1}),
+       |         CAST(list_sum(list_transform(range(1, ${bits + 1}),
        |           i -> CASE WHEN substr(a.simhash, CAST(i AS INT), 1)
        |                       <> substr(b.simhash, CAST(i AS INT), 1)
        |                THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
        |  FROM f a JOIN f b ON a.doc_id < b.doc_id)""".stripMargin
+
+  private lazy val simhashPairCtes = simhashPairCtesN(Dedup.simhashBits)
 
   private val langScoreUnion = TextOps.langMarkers.map { case (lang, ms) =>
     val cond = ms.map(m => s"x = '$m'").mkString(" OR ")
@@ -609,6 +627,27 @@ object LlmPack extends QueryPack {
          |SELECT da, db, hamming FROM p WHERE hamming <= 3""".stripMargin,
     "q96_simhash_delta" ->
       s"""WITH $simhashPairCtes
+         |SELECT da, db, hamming FROM p
+         |WHERE hamming <= 3 AND (da % 3 = 0 OR db % 3 = 0)""".stripMargin,
+    // The 64-bit family re-derived at width 64: same md5-nibble bit
+    // definition, naive all-pairs Hamming scan as the independent
+    // derivation (no banding — a broken 16-bit band join can't agree
+    // with it).
+    "q118_simhash64" ->
+      s"""WITH t2 AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |  FROM documents),
+         |h AS (SELECT doc_id, md5(tok) AS h FROM t2),
+         |c AS (SELECT doc_id,
+         |    ${OracleSql.simhashColsN(Dedup.simhashBits64)}
+         |  FROM h GROUP BY doc_id)
+         |SELECT doc_id, ${OracleSql.simhashConcatN(Dedup.simhashBits64)}
+         |  AS simhash FROM c""".stripMargin,
+    "q119_simhash64_pairs" ->
+      s"""WITH ${simhashPairCtesN(Dedup.simhashBits64)}
+         |SELECT da, db, hamming FROM p WHERE hamming <= 3""".stripMargin,
+    "q120_simhash64_delta" ->
+      s"""WITH ${simhashPairCtesN(Dedup.simhashBits64)}
          |SELECT da, db, hamming FROM p
          |WHERE hamming <= 3 AND (da % 3 = 0 OR db % 3 = 0)""".stripMargin,
 

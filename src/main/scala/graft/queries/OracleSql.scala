@@ -10,17 +10,23 @@ import graft.llm.Dedup
   */
 private[queries] object OracleSql {
 
-  /** Per-bit simhash counters `c0..c31` aggregated from an md5-hex
-    * column `h`: bit j of a token is bit (3 − j%4) of hex nibble j/4.
+  /** Per-bit simhash counters `c0..c{bits−1}` aggregated from an
+    * md5-hex column `h`: bit j of a token is bit (3 − j%4) of hex
+    * nibble j/4 — the [[graft.functions.SimHashFp]] definition at any
+    * width ≤ 128.
     */
-  val simhashCols: String = (0 until Dedup.simhashBits).map { j =>
+  def simhashColsN(bits: Int): String = (0 until bits).map { j =>
     s"sum((((strpos('0123456789abcdef', substr(h, ${1 + j / 4}, 1)) - 1)" +
       s" >> ${3 - j % 4}) & 1) * 2 - 1) AS c$j"
   }.mkString(",\n    ")
 
-  /** The fingerprint bit string from the `c0..c31` counters. */
-  val simhashConcat: String = (0 until Dedup.simhashBits).map(j =>
+  /** The fingerprint bit string from the `c0..c{bits−1}` counters. */
+  def simhashConcatN(bits: Int): String = (0 until bits).map(j =>
     s"CASE WHEN c$j > 0 THEN '1' ELSE '0' END").mkString("concat(", ", ", ")")
+
+  /** The legacy 32-bit forms (q66/q92/q93 and the 32-bit pair CTEs). */
+  val simhashCols: String = simhashColsN(Dedup.simhashBits)
+  val simhashConcat: String = simhashConcatN(Dedup.simhashBits)
 
   /** First 16 bits of an md5 hex column as an integer — the
     * deterministic uniform used by stratified sampling and shard

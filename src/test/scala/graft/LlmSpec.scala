@@ -295,6 +295,63 @@ class LlmSpec extends AnyFunSuite {
     assert(ham(fp(0L), fp(2L)) < ham(fp(0L), fp(3L)))
   }
 
+  test("simhash64: locality, and the 16-bit band join is pigeonhole-complete") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 5
+    val near = base.replace("lazy", "sleepy")
+    val far = "completely different words about databases and spark " * 5
+    val df = Seq((0L, base), (1L, base), (2L, near), (3L, far))
+      .toDF("doc_id", "text")
+    val fp = Dedup.simhash(df, Dedup.simhashBits64).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(fp.values.forall(_.length == 64))
+    assert(fp(0L) == fp(1L))
+    assert(ham(fp(0L), fp(2L)) < ham(fp(0L), fp(3L)))
+    // completeness on the fixture corpus: the banded candidate join
+    // must produce EXACTLY the brute-force ≤3-Hamming pair set over
+    // the 64-bit fingerprints (pigeonhole: <4 differing bits must
+    // leave one of the 4 16-bit bands untouched)
+    val fps = Dedup.simhash(docs, Dedup.simhashBits64).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val brute = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      h = ham(fa, fb) if h <= 3
+    } yield (a, b, h)).toSet
+    val got = Dedup.simhashPairs(docs, bits = Dedup.simhashBits64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute)
+    assert(brute.nonEmpty, "fixture must exercise the 64-bit pair path")
+  }
+
+  test("simhash64 delta == full 64-bit pairs restricted to involving-new") {
+    val isNew: Long => Boolean = _ % 3 == 0
+    val full = Dedup.simhashPairs(docs, bits = Dedup.simhashBits64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter { case (a, b, _) => isNew(a) || isNew(b) }.toSet
+    val delta = Dedup.simhashPairsDelta(docs, col("doc_id") % 3 === 0,
+        bits = Dedup.simhashBits64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(delta == full)
+  }
+
+  test("dup clusters at 64 bits equal union-find over the 64-bit pair graph") {
+    val pairs = Dedup.dupClusters(docs, bits = Dedup.simhashBits64)
+    val edges = Dedup.simhashPairs(docs, bits = Dedup.simhashBits64).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = ids.map(i => i -> find(i)).toMap
+    val got = pairs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
   test("dup clusters equal union-find over the simhash pair graph") {
     val pairs = Dedup.simhashPairs(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -142,6 +142,17 @@ class MinHashSigSpec extends AnyFunSuite {
     assert(diff === 0, "SimHash32 diverges from the groupBy spec")
   }
 
+  test("SimHashFp(64) == the explode/md5/64-aggregate groupBy formulation") {
+    val nn = edged.where(col("text").isNotNull)
+    val old = graft.llm.Dedup.simhashViaAgg(nn, bits = 64)
+    val neu = graft.llm.Dedup.simhash(nn, bits = 64)
+    assert(neu.count() === old.count())
+    val diff = old.withColumnRenamed("simhash", "o")
+      .join(neu, "doc_id")
+      .where(col("o") =!= col("simhash")).count()
+    assert(diff === 0, "SimHashFp(64) diverges from the groupBy spec")
+  }
+
   test("word_shingles/minhash_sig/sorted_hashes resolve in SQL") {
     graft.functions.TaFunctions.register(spark)
     val r = spark.sql(
