@@ -511,14 +511,25 @@ object Dedup {
     * once into the digest-keyed verify join, once into the doc-keyed
     * reassembly — the floor for this operator. Both joins/aggregations
     * are hash-partitioned equi-operations with map-side partial
-    * aggregation; no skew beyond genuinely viral spans (which a df cap
-    * on the claim table would bound, same as the hot-shingle cap in
-    * [[jaccardPairs]]).
+    * aggregation. The claim aggregate itself cannot skew (min(ord)
+    * partially combines map-side), but the verify JOIN can: a viral
+    * boilerplate span repeated 10⁹ times would land 10⁹ rows on one
+    * digest key. `viralDf` bounds that fan-in — digests claimed by
+    * more than `viralDf` rows are routed through a BROADCAST of their
+    * claim winners instead of the shuffled join, so the winner filter
+    * runs map-side and no reducer key ever receives more than
+    * `viralDf` rows. Selection semantics are IDENTICAL on both routes
+    * (first occurrence survives, every repeat drops — the
+    * force-keep-first form of [[winnowedPairs]]' `maxDf` discipline);
+    * only the join topology changes. The broadcast is bounded by
+    * construction: at most |segments| / viralDf digests can be viral
+    * (≤ ~10⁵ winner rows at 10⁹ segments with the default cap).
     *
     * @return (doc_id, n_seg, n_kept, clean_text); docs losing every
     *         segment keep a row with n_kept = 0, clean_text = ''.
     */
-  def paragraphDedup(docs: DataFrame, window: Int = 20): DataFrame = {
+  def paragraphDedup(docs: DataFrame, window: Int = 20,
+      viralDf: Int = 10000): DataFrame = {
     val toks = spread(docs.where(col("text").isNotNull))
       .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
     // k-th window = tokens [k·window+1, (k+1)·window]; nSeg = ⌈|w|/window⌉
@@ -537,9 +548,16 @@ object Dedup {
       .withColumn("ord", struct(col("doc_id"), col("seg_idx")))
       .withColumn("dig", md5(col("seg").cast("binary")))
     val claims = segs.groupBy(col("dig"))
-      .agg(min(col("ord")).as("w_ord"))
-    val kept = segs.join(claims, "dig")
+      .agg(min(col("ord")).as("w_ord"), count(lit(1)).as("df"))
+    // the two filters read the SAME claim aggregate (ReuseExchange
+    // dedups the shuffle); normal digests take the hash join with
+    // per-key fan-in <= viralDf, viral ones the broadcast winner map
+    val normal = claims.where(col("df") <= viralDf).drop("df")
+    val viral = claims.where(col("df") > viralDf).drop("df")
+    val kept = segs.join(normal, "dig")
       .where(col("ord") === col("w_ord"))
+      .unionByName(segs.join(broadcast(viral), "dig")
+        .where(col("ord") === col("w_ord")))
     // per-doc totals come straight from the token counts — a pure map,
     // no third segmentation pass and no extra groupBy shuffle
     val totals = toks.select(col("doc_id"), nSeg.cast("int").as("n_seg"))

@@ -295,6 +295,38 @@ class LlmSpec extends AnyFunSuite {
     assert(ham(fp(0L), fp(2L)) < ham(fp(0L), fp(3L)))
   }
 
+  test("paragraph dedup: planted viral span rides the broadcast route, same answer") {
+    import spark.implicits._
+    // one 20-token boilerplate span in every doc + one unique span per
+    // doc: with viralDf below the span's df, its claim must take the
+    // broadcast route while unique spans stay on the shuffled join —
+    // and the kept set must be byte-identical to the uncapped run
+    val span = (1 to 20).map(i => s"vir$i").mkString(" ")
+    val df = (0 until 12).map { j =>
+      (j.toLong, span + " " + (1 to 20).map(i => s"u${j}x$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    val capped = Dedup.paragraphDedup(df, 20, viralDf = 4)
+    val uncapped = Dedup.paragraphDedup(df, 20, viralDf = 1000)
+    val got = capped.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    val want = uncapped.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(got.toSeq == want.toSeq)
+    // doc 0 claims the viral span; every other doc keeps only its
+    // unique segment
+    assert(got(0) == ((0L, 2, 2, span + " " + (1 to 20)
+      .map(i => s"u0x$i").mkString(" "))))
+    (1 until 12).foreach { j =>
+      assert(got(j) == ((j.toLong, 2, 1,
+        (1 to 20).map(i => s"u${j}x$i").mkString(" "))), s"doc $j")
+    }
+    // the viral route actually engaged: the physical plan carries a
+    // broadcast exchange alongside the shuffled claim join
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), s"no broadcast route in:\n$plan")
+  }
+
   test("simhash64: locality, and the 16-bit band join is pigeonhole-complete") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog " * 5
