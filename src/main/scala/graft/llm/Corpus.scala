@@ -468,15 +468,30 @@ object Corpus {
           && coalesce(col("ns"), lit(0)) === 0).as("admitted"))
   }
 
-  def decontaminate(docs: DataFrame, benchEvery: Int = 50, n: Int = 8): DataFrame = {
-    // spread first: the corpus side of the broadcast join never
-    // shuffles, so without it ALL shingling would run inside the
-    // (single-task, single-row-group) scan stage
-    val sh = TextOps.shingleRows(TextOps.spread(docs), n)
-    val bench = sh.filter(col("doc_id") % benchEvery === 0)
+  def decontaminate(docs: DataFrame, benchEvery: Int = 50, n: Int = 8): DataFrame =
+    decontaminate(docs.filter(col("doc_id") % benchEvery =!= 0),
+      docs.filter(col("doc_id") % benchEvery === 0), n)
+
+  /** The EXTERNAL-BENCHMARK form — the API a production pipeline
+    * actually calls: `bench` is its own frame (an eval suite loaded
+    * from wherever it lives), not a modulus carve-out of the corpus.
+    * Same contract as the `benchEvery` form (which delegates here):
+    * one row per contaminated corpus document with the count of
+    * benchmark-shared `n`-shingles and the smallest matching benchmark
+    * doc_id. Corpus and benchmark may use disjoint id spaces — only
+    * shingle CONTENT joins them.
+    *
+    * Scale shape: the benchmark shingle index is broadcast (eval
+    * suites are tiny relative to a pre-training corpus), so the corpus
+    * side stays a narrow scan + broadcast-hash join + doc_id-keyed
+    * aggregate at any scale; `spread` first so shingling parallelizes
+    * past the scan's row-group layout.
+    */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, n: Int): DataFrame = {
+    val corpusSh = TextOps.shingleRows(TextOps.spread(corpus), n)
+    val benchSh = TextOps.shingleRows(bench, n)
       .select(col("doc_id").as("bench_id"), col("s"))
-    val corpus = sh.filter(col("doc_id") % benchEvery =!= 0)
-    corpus.join(broadcast(bench), Seq("s"))
+    corpusSh.join(broadcast(benchSh), Seq("s"))
       .groupBy("doc_id")
       .agg(countDistinct(col("s")).as("n_contaminated"),
         min(col("bench_id")).as("first_bench"))

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.llm.{Corpus, Dedup, TextOps}
+import org.apache.spark.sql.functions.col
 
 /** Corpus-preparation operators (graft.llm.Corpus) under the oracle
   * gate: chunking, stratified sampling, token-stream packing, mixture
@@ -24,7 +25,15 @@ object CorpusPack extends QueryPack {
     // loader consumes; downsamples weight<1 langs, upsamples weight>1.
     "q117_mix_materialize" -> ((s, d) =>
       Corpus.materializeMix(t("documents")(s, d))),
-    "q81_decontam" -> ((s, d) => Corpus.decontaminate(t("documents")(s, d))),
+    // Registered through the EXTERNAL-BENCHMARK overload (the API a
+    // real pipeline calls): the modulus carve-out plays the eval
+    // suite, handed in as its own frame. Same oracle as the
+    // benchEvery delegate form.
+    "q81_decontam" -> ((s, d) => {
+      val docs = t("documents")(s, d)
+      Corpus.decontaminate(docs.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0), 8)
+    }),
     // Deterministic epoch shuffle: md5-derived shard + in-shard
     // position, fully re-derivable by the oracle (no rand()).
     "q86_shard_shuffle" -> ((s, d) => Corpus.shardShuffle(t("documents")(s, d))),

@@ -36,6 +36,34 @@ class CorpusSpec extends AnyFunSuite {
     assert(byDoc(0L).map(_.getInt(3)).sum == 32 * 3 + 28)
   }
 
+  test("decontaminate external-benchmark overload: disjoint id spaces, content-only match") {
+    import spark.implicits._
+    // benchmark ids COLLIDE with corpus ids on purpose — only shingle
+    // content may link the frames, never the id
+    val mkRun = (p: String, n: Int) => (1 to n).map(i => s"$p$i").mkString(" ")
+    val leak = mkRun("lk", 8) // the 8-shingle shared with the bench doc
+    val corpus = Seq(
+      (1L, leak + " " + mkRun("ca", 8)),  // contaminated (1 shared shingle)
+      (2L, mkRun("cb", 16)),              // clean
+      (3L, leak + " " + leak))            // contaminated, repeats don't double-count...
+      .toDF("doc_id", "text")
+    val bench = Seq((1L, leak + " " + mkRun("bz", 4)))
+      .toDF("doc_id", "text")
+    val out = Corpus.decontaminate(corpus, bench, 8).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSet == Set(1L, 3L), s"got ${out.mkString(",")}")
+    out.foreach { case (_, _, firstBench) => assert(firstBench == 1L) }
+    // the delegate (benchEvery) form equals the overload called on the
+    // modulus carve-out — same frame, same answer
+    val viaEvery = Corpus.decontaminate(docs, 50, 8)
+    val viaOverload = Corpus.decontaminate(
+      docs.where(col("doc_id") % 50 =!= 0),
+      docs.where(col("doc_id") % 50 === 0), 8)
+    assert(viaEvery.exceptAll(viaOverload).count() == 0)
+    assert(viaOverload.exceptAll(viaEvery).count() == 0)
+    assert(viaEvery.count() > 0)
+  }
+
   test("stratified sample is deterministic and respects per-lang rates") {
     val once = Corpus.stratifiedSample(docs, Map("en" -> 0.25, "zh" -> 0.75))
     val again = Corpus.stratifiedSample(docs, Map("en" -> 0.25, "zh" -> 0.75))
