@@ -23,9 +23,12 @@ import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
   * query and the median discards it. All raw samples are recorded in
   * bench_queries.json under "samples".
   *
-  * Failures are NOT swallowed: a throwing query is recorded with
-  * `-1` in the per-query map, listed under `"failed"`, and the process
-  * exits nonzero so the driver can tell a fast run from a broken one.
+  * Failures are NOT swallowed, but one bad PASS does not condemn a
+  * working query: a query is `"failed"` (−1 in the per-query map,
+  * nonzero exit) only when EVERY pass threw; a query that threw on
+  * some pass but succeeded on another keeps the median of its
+  * successful samples and is listed under `"flaky"` so the driver can
+  * tell a transient (memory pressure, load burst) from a broken query.
   */
 object Bench {
   private def median(xs: Seq[Double]): Double = {
@@ -68,30 +71,34 @@ object Bench {
           .agg(expr("bit_xor(h)")).collect()
       }
     } catch { case _: Throwable => () } // warm-up must never fail the bench
-    var failed = Set.empty[String]
     val only = args.toSet // optional query-name filter for local iteration
     val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.isEmpty || only.contains(q._1))
     // pass-major sampling: all queries once, then again — see scaladoc
     val samples = collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
+    val errors = collection.mutable.Map.empty[String, Int]
+      .withDefaultValue(0)
     for (pass <- 1 to nSamples; (name, fn) <- queryList) {
-      if (!failed.contains(name)) {
-        val t0 = System.nanoTime()
-        try {
-          // bit_xor (not sum): xxhash64 values span the full long range
-          // and ANSI mode (Spark 4 default) faults on sum overflow.
-          val df = fn(spark, sfDir)
-            .select(xxhash64(struct(col("*"))).as("h"))
-          df.agg(expr("bit_xor(h)")).collect()
-          samples(name) = samples(name) :+ ((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED (pass $pass): ${e.getMessage}")
-            failed += name
-        }
+      val t0 = System.nanoTime()
+      try {
+        // bit_xor (not sum): xxhash64 values span the full long range
+        // and ANSI mode (Spark 4 default) faults on sum overflow.
+        val df = fn(spark, sfDir)
+          .select(xxhash64(struct(col("*"))).as("h"))
+        df.agg(expr("bit_xor(h)")).collect()
+        samples(name) = samples(name) :+ ((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED (pass $pass): ${e.getMessage}")
+          errors(name) += 1
       }
     }
+    // failed = zero successful passes; errored-but-recovered = flaky
+    // (median over the successful samples stands)
+    val failed = queryList.map(_._1).filter(n => samples(n).isEmpty).toSet
+    val flaky = queryList.map(_._1)
+      .filter(n => errors(n) > 0 && samples(n).nonEmpty)
     val results = queryList.map { case (name, _) =>
       name -> (if (failed.contains(name)) -1.0 else median(samples(name)))
     }
@@ -99,6 +106,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.toList.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val flakyJson = flaky.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val samplesJson = results.map { case (k, _) =>
       "\"" + k + "\":" + samples(k).map(v => math.rint(v * 1000) / 1000)
         .mkString("[", ",", "]")
@@ -114,13 +122,13 @@ object Bench {
       "\"" + k.takeWhile(_ != '_') + "\":" + math.rint(v * 1000) / 1000
     }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samplesJson,"n_samples":$nSamples,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samplesJson,"n_samples":$nSamples,"failed":$failedJson,"flaky":$flakyJson,"sf":"$sfDir"}"""
     // only full runs refresh the committed artifact — an args-filtered
     // local iteration must not clobber the full-query record
     if (only.isEmpty) java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_queries.json"),
       (fullLine + "\n").getBytes("UTF-8"))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShort,"n_samples":$nSamples,"failed":$failedJson,"sf":"$sfDir","queries_file":"bench_queries.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShort,"n_samples":$nSamples,"failed":$failedJson,"flaky":$flakyJson,"sf":"$sfDir","queries_file":"bench_queries.json"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -254,11 +254,19 @@ object Corpus {
     * one window partition. The kept ids come back as the sketch value
     * (doc_id, exact below 2^53 as double); a semi-join restores the
     * rows. doc_id is unique, satisfying the sketch's unique-key
-    * contract.
+    * contract. Ids beyond ±2^53 would silently corrupt in the double
+    * round-trip and under-cap with no error — the guard below turns
+    * that into a loud per-row failure instead.
     */
   def sourceCap(docs: DataFrame, cap: Int, salt: String = "cap"): DataFrame = {
+    val maxExact = 1L << 53
+    val idAsDouble = when(col("doc_id").between(-maxExact, maxExact),
+        col("doc_id").cast("double"))
+      .otherwise(raise_error(concat(
+        lit("sourceCap: doc_id outside ±2^53 cannot round-trip through "
+          + "the sketch's double value slot: "), col("doc_id").cast("string"))))
     val kept = docs.groupBy(col("source"))
-      .agg(graft.functions.BottomKByHash(col("doc_id").cast("double"),
+      .agg(graft.functions.BottomKByHash(idAsDouble,
         concat(lit(salt + ":"), col("doc_id").cast("string")), cap).as("ids"))
       .select(explode(col("ids")).as("id_d"))
       .select(col("id_d").cast("long").as("doc_id"))

@@ -166,6 +166,21 @@ class CorpusSpec extends AnyFunSuite {
     val capped = Corpus.sourceCap(withNull, cap = 2).collect()
     assert(capped.length == 4) // 2 from s1 + 2 from the NULL group
     assert(capped.count(_.isNullAt(1)) == 2)
+    // a doc_id beyond ±2^53 can't round-trip through the sketch's
+    // double value slot — the guard must fail LOUDLY, not under-cap
+    val big = Seq(((1L << 53) + 1L, "s1", "en"), (2L, "s1", "en"))
+      .toDF("doc_id", "source", "lang")
+    val e = intercept[Exception] {
+      Corpus.sourceCap(big, cap = 1).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("2^53")), s"wrong failure: $e")
+    // the boundary itself is exact and keeps working
+    val edge = Seq((1L << 53, "s1", "en"), (2L, "s1", "en"))
+      .toDF("doc_id", "source", "lang")
+    assert(Corpus.sourceCap(edge, cap = 2).count() == 2)
   }
 
   test("mix weights: shares sum to ~1 and weights invert the shares") {
