@@ -226,16 +226,83 @@ object Corpus {
   def crossSplitLeaks(docs: DataFrame, maxHamming: Int = 3,
       cuts: Seq[(String, Double)] =
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
-      salt: String = "spl"): DataFrame = {
+      salt: String = "spl", bits: Int = Dedup.simhashBits): DataFrame = {
     val splits = assignSplits(docs, cuts, salt)
       .select(col("doc_id"), col("split"))
-    Dedup.simhashPairs(docs, maxHamming)
+    Dedup.simhashPairs(docs, maxHamming, bits)
       .join(splits.select(col("doc_id").as("da"),
         col("split").as("split_a")), "da")
       .join(splits.select(col("doc_id").as("db"),
         col("split").as("split_b")), "db")
       .where(col("split_a") =!= col("split_b"))
       .select(col("da"), col("db"), col("hamming"),
+        col("split_a"), col("split_b"))
+  }
+
+  /** [[crossSplitLeaks]] under the SET-SIMILARITY definition: pairs
+    * with shingle Jaccard ≥ `threshold` straddling a split boundary —
+    * the leaks the Hamming audit can't see (a doc sharing most of its
+    * shingles with an eval doc can still sit > 3 simhash bits away).
+    *
+    * Scale shape: rides [[Dedup.jaccardPairsDelta]]'s prefix-filtered
+    * candidate machinery with "not in the majority (first) split" as
+    * the delta predicate — a straddling pair has differing splits, so
+    * at least one side is outside the first split, and the
+    * majority×majority pair space (90% of docs under the default cuts,
+    * so ~81% of all candidate pairs) is discarded INSIDE the candidate
+    * join predicate, never shuffled or verified. The split predicate
+    * re-derives from doc_id alone (md5 math), which is what makes it
+    * evaluable on both sides of the pair frames.
+    *
+    * @return (da, db, jaccard, split_a, split_b), split_a ≠ split_b
+    */
+  def crossSplitLeaksJaccard(docs: DataFrame, threshold: Double = 0.3,
+      n: Int = 3,
+      cuts: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      salt: String = "spl"): DataFrame = {
+    val splits = assignSplits(docs, cuts, salt)
+      .select(col("doc_id"), col("split"))
+    val u = hash16(col("doc_id"), salt).cast("double") / lit(65536.0)
+    val outsideMajority = !(u < lit(splitBounds(cuts).head._2))
+    Dedup.jaccardPairsDelta(docs, outsideMajority, n, threshold)
+      .join(splits.select(col("doc_id").as("da"),
+        col("split").as("split_a")), "da")
+      .join(splits.select(col("doc_id").as("db"),
+        col("split").as("split_b")), "db")
+      .where(col("split_a") =!= col("split_b"))
+      .select(col("da"), col("db"), col("jaccard"),
+        col("split_a"), col("split_b"))
+  }
+
+  /** [[crossSplitLeaks]] under the SUBSTRING-OVERLAP definition: pairs
+    * sharing ≥ `minShared` winnowed fingerprints across a split
+    * boundary — by the winnowing guarantee ([[Dedup.winnow]]), any
+    * (w + k − 1)-token verbatim run shared between a train doc and an
+    * eval doc is caught at ANY alignment, the contamination mode both
+    * whole-set Jaccard and Hamming fingerprints dilute away when the
+    * shared run is a small fraction of each doc. Composes
+    * [[Dedup.winnowedPairs]] (bounded fingerprint sketches, stop-fp
+    * capped) with [[assignSplits]]; the pair frame carries ids only,
+    * so the split join is two id-keyed hash joins.
+    *
+    * @return (da, db, n_shared, split_a, split_b), split_a ≠ split_b
+    */
+  def crossSplitSubstringLeaks(docs: DataFrame, k: Int = 4, w: Int = 5,
+      maxDf: Int = 64, minShared: Int = 1,
+      cuts: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      salt: String = "spl"): DataFrame = {
+    val splits = assignSplits(docs, cuts, salt)
+      .select(col("doc_id"), col("split"))
+    Dedup.winnowedPairs(docs, k, w, maxDf)
+      .where(col("n_shared") >= minShared)
+      .join(splits.select(col("doc_id").as("da"),
+        col("split").as("split_a")), "da")
+      .join(splits.select(col("doc_id").as("db"),
+        col("split").as("split_b")), "db")
+      .where(col("split_a") =!= col("split_b"))
+      .select(col("da"), col("db"), col("n_shared"),
         col("split_a"), col("split_b"))
   }
 

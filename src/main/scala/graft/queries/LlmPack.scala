@@ -93,6 +93,18 @@ object LlmPack extends QueryPack {
     // catch before trusting held-out metrics.
     "q115_split_leaks" -> ((s, d) =>
       graft.llm.Corpus.crossSplitLeaks(t("documents")(s, d))),
+    // The same audit under the SET-SIMILARITY definition: Jaccard ≥
+    // 0.3 pairs straddling a split boundary, via the prefix-filtered
+    // delta machinery (majority×majority pairs pruned inside the
+    // candidate join — ~81% of the pair space never shuffles).
+    "q121_split_leaks_jaccard" -> ((s, d) =>
+      graft.llm.Corpus.crossSplitLeaksJaccard(t("documents")(s, d))),
+    // And under the SUBSTRING-OVERLAP definition: winnowed-fingerprint
+    // pairs straddling a boundary — catches verbatim runs that
+    // whole-doc similarity dilutes away (the MOSS sketch composed into
+    // the curation story, not just standalone).
+    "q122_split_leaks_winnow" -> ((s, d) =>
+      graft.llm.Corpus.crossSplitSubstringLeaks(t("documents")(s, d))),
     // Winnowing (MOSS) substring-overlap pairs: windowed min-hash
     // fingerprint selection with the (hash, −pos) rightmost-tie rule,
     // then an fp-keyed join — catches unaligned shared substrings of
@@ -421,6 +433,69 @@ object LlmPack extends QueryPack {
 
   private lazy val simhashPairCtes = simhashPairCtesN(Dedup.simhashBits)
 
+  /** Shared oracle CTEs: the md5-uniform split derivation (q114's
+    * formula) as `sp(doc_id, split)` — q115/q121/q122 join their pair
+    * families against it.
+    */
+  private def splitCtes(cuts: Seq[(String, Double)], salt: String): String = {
+    val bounds = graft.llm.Corpus.splitBounds(cuts)
+    val cases = bounds.init.map { case (nm, ub) =>
+      s"WHEN u < CAST('$ub' AS DOUBLE) THEN '$nm'"
+    }.mkString(" ")
+    s"""hh AS (SELECT doc_id, md5('$salt:' || CAST(doc_id AS VARCHAR)) AS m
+       |       FROM documents),
+       |uu AS (SELECT doc_id,
+       |         CAST(${OracleSql.md5High16("m")} AS DOUBLE)
+       |           / CAST(65536 AS DOUBLE) AS u
+       |       FROM hh),
+       |sp AS (SELECT doc_id,
+       |         CASE $cases ELSE '${bounds.last._1}' END AS split
+       |       FROM uu)""".stripMargin
+  }
+
+  private val defaultCuts =
+    Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+
+  /** Shared oracle CTEs: the exact winnowing selection + stop-fp cap +
+    * fingerprint pair join at the registered defaults (k=4, w=5,
+    * maxDf=64) — q113 emits `wp` directly, q122 joins it with `sp`.
+    * Same md5-high-32 gram hashes, same (hash, −pos) struct-min over
+    * the same w-row frame (struct_pack comparison = Spark struct
+    * comparison, the aroon oracle's trick), full windows only.
+    */
+  private val winnowPairCtes =
+    s"""tok AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |n AS (SELECT doc_id, w FROM tok WHERE len(w) >= 8),
+       |gi AS (SELECT doc_id, w, CAST(unnest(range(1, len(w) - 2)) AS INTEGER)
+       |         AS i FROM n),
+       |g AS (SELECT doc_id, i,
+       |        w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS gram
+       |      FROM gi),
+       |h AS (SELECT doc_id, i,
+       |        ${OracleSql.md5Word32("md5(gram)", 0)} AS h
+       |      FROM g),
+       |sel0 AS (
+       |  SELECT doc_id, i,
+       |    min(struct_pack(h := h, ni := -i)) OVER (PARTITION BY doc_id
+       |      ORDER BY i ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS sel,
+       |    count(*) OVER (PARTITION BY doc_id) AS ng
+       |  FROM h),
+       |selected AS (
+       |  SELECT DISTINCT doc_id, CAST(-(sel).ni AS INTEGER) AS pos,
+       |         (sel).h AS fp
+       |  FROM sel0 WHERE i <= ng - 4),
+       |keep AS (SELECT fp FROM selected GROUP BY fp
+       |         HAVING count(DISTINCT doc_id) <= 64),
+       |sk AS (SELECT s.* FROM selected s JOIN keep USING (fp)),
+       |wp AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db,
+       |         CAST(count(DISTINCT a.fp) AS BIGINT) AS n_shared
+       |  FROM sk a JOIN sk b
+       |    ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
+
   private val langScoreUnion = TextOps.langMarkers.map { case (lang, ms) =>
     val cond = ms.map(m => s"x = '$m'").mkString(" OR ")
     s"""SELECT doc_id, '$lang' AS lang,
@@ -483,64 +558,54 @@ object LlmPack extends QueryPack {
          |    AS red_text
          |FROM s2""".stripMargin,
     // The all-pairs Hamming scan + the q114 split derivation, joined.
-    "q115_split_leaks" -> {
-      val bounds = graft.llm.Corpus.splitBounds(
-        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
-      val cases = bounds.init.map { case (nm, ub) =>
-        s"WHEN u < CAST('$ub' AS DOUBLE) THEN '$nm'"
-      }.mkString(" ")
+    "q115_split_leaks" ->
       s"""WITH $simhashPairCtes,
-         |hh AS (SELECT doc_id, md5('spl:' || CAST(doc_id AS VARCHAR)) AS m
-         |       FROM documents),
-         |uu AS (SELECT doc_id,
-         |         CAST(${OracleSql.md5High16("m")} AS DOUBLE)
-         |           / CAST(65536 AS DOUBLE) AS u
-         |       FROM hh),
-         |sp AS (SELECT doc_id,
-         |         CASE $cases ELSE '${bounds.last._1}' END AS split
-         |       FROM uu)
+         |${splitCtes(defaultCuts, "spl")}
          |SELECT p.da, p.db, p.hamming,
          |       a.split AS split_a, b.split AS split_b
          |FROM p JOIN sp a ON p.da = a.doc_id
          |       JOIN sp b ON p.db = b.doc_id
-         |WHERE p.hamming <= 3 AND a.split <> b.split""".stripMargin
-    },
+         |WHERE p.hamming <= 3 AND a.split <> b.split""".stripMargin,
 
-    // The exact winnowing selection re-derived: same md5-high-32 gram
-    // hashes, same (hash, −pos) struct-min over the same w-row frame
-    // (struct_pack comparison = Spark struct comparison, the aroon
-    // oracle's trick), full windows only, then the fp join.
+    // The exact winnowing selection re-derived (shared CTE block, see
+    // winnowPairCtes).
     "q113_winnowing" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
-         |  FROM documents WHERE text IS NOT NULL),
-         |n AS (SELECT doc_id, w FROM tok WHERE len(w) >= 8),
-         |gi AS (SELECT doc_id, w, CAST(unnest(range(1, len(w) - 2)) AS INTEGER)
-         |         AS i FROM n),
-         |g AS (SELECT doc_id, i,
-         |        w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS gram
-         |      FROM gi),
-         |h AS (SELECT doc_id, i,
-         |        ${OracleSql.md5Word32("md5(gram)", 0)} AS h
-         |      FROM g),
-         |sel0 AS (
-         |  SELECT doc_id, i,
-         |    min(struct_pack(h := h, ni := -i)) OVER (PARTITION BY doc_id
-         |      ORDER BY i ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS sel,
-         |    count(*) OVER (PARTITION BY doc_id) AS ng
-         |  FROM h),
-         |selected AS (
-         |  SELECT DISTINCT doc_id, CAST(-(sel).ni AS INTEGER) AS pos,
-         |         (sel).h AS fp
-         |  FROM sel0 WHERE i <= ng - 4),
-         |keep AS (SELECT fp FROM selected GROUP BY fp
-         |         HAVING count(DISTINCT doc_id) <= 64),
-         |sk AS (SELECT s.* FROM selected s JOIN keep USING (fp))
-         |SELECT a.doc_id AS da, b.doc_id AS db,
-         |       CAST(count(DISTINCT a.fp) AS BIGINT) AS n_shared
-         |FROM sk a JOIN sk b
-         |  ON a.fp = b.fp AND a.doc_id < b.doc_id
-         |GROUP BY 1, 2""".stripMargin,
+      s"""WITH $winnowPairCtes
+         |SELECT da, db, n_shared FROM wp""".stripMargin,
+
+    // Winnowing pair family × split assignment: the substring-overlap
+    // leakage audit (q122) — same selection CTEs, joined against the
+    // q114 split derivation, straddling pairs only.
+    "q122_split_leaks_winnow" ->
+      s"""WITH $winnowPairCtes,
+         |${splitCtes(defaultCuts, "spl")}
+         |SELECT w.da, w.db, w.n_shared,
+         |       a.split AS split_a, b.split AS split_b
+         |FROM wp w JOIN sp a ON w.da = a.doc_id
+         |          JOIN sp b ON w.db = b.doc_id
+         |WHERE a.split <> b.split""".stripMargin,
+
+    // Jaccard pair family × split assignment (q121): the independent
+    // all-pairs shingle-Jaccard derivation joined against the split
+    // CTE — a delta join that dropped a straddling candidate (or kept
+    // a majority×majority pair) cannot agree with it.
+    "q121_split_leaks_jaccard" ->
+      s"""WITH $shingleCtes,
+         |pairs AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT da, db, round(CAST(common AS DOUBLE) /
+         |           (x.n_sh + y.n_sh - common), 4) AS jaccard
+         |  FROM pairs JOIN sizes x ON da = x.doc_id
+         |             JOIN sizes y ON db = y.doc_id),
+         |${splitCtes(defaultCuts, "spl")}
+         |SELECT j.da, j.db, j.jaccard,
+         |       a.split AS split_a, b.split AS split_b
+         |FROM j JOIN sp a ON j.da = a.doc_id
+         |       JOIN sp b ON j.db = b.doc_id
+         |WHERE j.jaccard >= 0.3 AND a.split <> b.split""".stripMargin,
 
     // Identical injection (chr() codepoints = the Scala \u escapes),
     // then DuckDB's own nfc_normalize + RE2 cascade. Both engines

@@ -64,6 +64,21 @@ class CorpusSpec extends AnyFunSuite {
     assert(viaEvery.count() > 0)
   }
 
+  test("jaccard split leaks == independently-derived straddling pair set") {
+    import graft.llm.Dedup
+    // independent derivation: FULL prefix-filtered pair set, then the
+    // straddle filter — the delta prune (majority×majority discarded
+    // inside the candidate join) must lose nothing
+    val splits = Corpus.assignSplits(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val want = Dedup.jaccardPairsPrefix(docs, 3, 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => splits(a) != splits(b) }.toSet
+    val got = Corpus.crossSplitLeaksJaccard(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want)
+  }
+
   test("stratified sample is deterministic and respects per-lang rates") {
     val once = Corpus.stratifiedSample(docs, Map("en" -> 0.25, "zh" -> 0.75))
     val again = Corpus.stratifiedSample(docs, Map("en" -> 0.25, "zh" -> 0.75))
