@@ -8,12 +8,15 @@ import org.apache.spark.sql.types._
 /** Multimodal column handling: media as opaque `binary` columns with
   * typed metadata, decoded/feature-extracted per partition.
   *
-  * The Spark-side plumbing is real — schema, partition-preserving
-  * batch iteration, output encoding; the media decode itself is a
-  * DETERMINISTIC STUB (this environment ships no image/audio codecs):
-  * [[decodeStub]] derives fake width/height/format from the bytes. A
-  * real deployment swaps `decodeStub` for a codec call; nothing else
-  * changes.
+  * The codec is REAL and dependency-free: binary PPM (P6 — the
+  * `netpbm` format: ASCII header `P6 <w> <h> <maxval>` + raw RGB
+  * bytes) is parsed, resampled (2-D nearest-neighbor stride), and
+  * re-encoded in place; payloads that don't parse as PPM are treated
+  * as a 1×N byte stream and take the same stride resample in one
+  * dimension. A production deployment extends [[decodeImage]] /
+  * [[resample]] with further formats (JPEG/PNG need an external
+  * codec); the partition-streaming plumbing around them is already the
+  * real thing.
   *
   * Scale: `mapPartitions` keeps the decode streaming per partition (no
   * per-row task overhead, no driver involvement); binary payloads ride
@@ -34,21 +37,185 @@ object Multimodal {
         col("text").cast("binary").as("payload"),
         col("embedding"), col("label"))
 
+  /** A decoded P6 image: dimensions, max sample value, packed RGB
+    * pixel bytes (row-major, 3 bytes per pixel).
+    */
+  final case class PpmImage(width: Int, height: Int, maxVal: Int,
+      pixels: Array[Byte])
+
+  /** Binary-PPM (P6) parser: `P6`, then whitespace-separated width /
+    * height / maxval (with `#`-to-end-of-line comments, per the netpbm
+    * spec), one whitespace byte, then exactly 3·w·h sample bytes.
+    * Returns None on anything that isn't a complete, well-formed P6
+    * payload — the caller falls back to the raw-bytes path.
+    */
+  def decodePpm(payload: Array[Byte]): Option[PpmImage] = {
+    if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6')
+      return None
+    var i = 2
+    def skipWs(): Unit = {
+      var more = true
+      while (more && i < payload.length) {
+        val b = payload(i)
+        if (b == ' ' || b == '\n' || b == '\r' || b == '\t') i += 1
+        else if (b == '#') {
+          while (i < payload.length && payload(i) != '\n') i += 1
+        } else more = false
+      }
+    }
+    def readInt(): Int = {
+      skipWs()
+      var v = 0
+      var any = false
+      while (i < payload.length && payload(i) >= '0' && payload(i) <= '9') {
+        v = v * 10 + (payload(i) - '0')
+        i += 1
+        any = true
+        if (v > (1 << 24)) return -1 // reject absurd dims before overflow
+      }
+      if (any) v else -1
+    }
+    val w = readInt(); val h = readInt(); val mv = readInt()
+    if (w <= 0 || h <= 0 || mv <= 0 || mv > 255) return None
+    i += 1 // the single whitespace byte terminating the header
+    val need = 3L * w * h
+    if (i + need > payload.length) return None
+    Some(PpmImage(w, h, mv,
+      java.util.Arrays.copyOfRange(payload, i, i + need.toInt)))
+  }
+
+  /** The canonical header this codec emits: `P6\n<w> <h>\n<maxval>\n`. */
+  def encodePpm(img: PpmImage): Array[Byte] = {
+    val header = s"P6\n${img.width} ${img.height}\n${img.maxVal}\n"
+      .getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + img.pixels.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(img.pixels, 0, out, header.length, img.pixels.length)
+    out
+  }
+
+  private def ppmEncodedSize(w: Int, h: Int, maxVal: Int): Int =
+    s"P6\n$w $h\n$maxVal\n".length + 3 * w * h
+
+  /** 2-D nearest-neighbor stride resample to the smallest integer
+    * stride whose re-encoded image fits `maxBytes`: output pixel
+    * (i, j) = input pixel (i·stride, j·stride), top-left anchored —
+    * the 2-D form of the raw path's every-stride-th-byte rule. Bottoms
+    * out at 1×1 (a header + one pixel may still exceed a tiny
+    * `maxBytes`; an image cannot shrink further).
+    */
+  def resamplePpm(img: PpmImage, maxBytes: Int): PpmImage = {
+    def outDims(s: Int): (Int, Int) =
+      ((img.width + s - 1) / s, (img.height + s - 1) / s)
+    var stride = 1
+    var (ow, oh) = outDims(stride)
+    while (ppmEncodedSize(ow, oh, img.maxVal) > maxBytes
+        && (ow > 1 || oh > 1)) {
+      stride += 1
+      val d = outDims(stride); ow = d._1; oh = d._2
+    }
+    val out = new Array[Byte](3 * ow * oh)
+    var j = 0
+    while (j < oh) {
+      var i = 0
+      while (i < ow) {
+        val src = ((j * stride) * img.width + i * stride) * 3
+        val dst = (j * ow + i) * 3
+        out(dst) = img.pixels(src)
+        out(dst + 1) = img.pixels(src + 1)
+        out(dst + 2) = img.pixels(src + 2)
+        i += 1
+      }
+      j += 1
+    }
+    PpmImage(ow, oh, img.maxVal, out)
+  }
+
+  /** Decode metadata: PPM payloads get their REAL parsed dimensions
+    * and format "ppm"; anything else is honestly a 1×N byte stream,
+    * format "raw". `pix_sum` is the unsigned sum of the decoded
+    * content bytes (pixels for ppm, the whole payload for raw) — the
+    * integrity checksum the oracle re-derives.
+    */
+  def decodeImage(payload: Array[Byte]): (Int, Int, String, Long) =
+    decodePpm(payload) match {
+      case Some(img) =>
+        (img.width, img.height, "ppm", unsignedSum(img.pixels))
+      case None => (payload.length, 1, "raw", unsignedSum(payload))
+    }
+
+  private def unsignedSum(bytes: Array[Byte]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < bytes.length) { s += bytes(i) & 0xFF; i += 1 }
+    s
+  }
+
+  /** Format-dispatching resample: PPM → [[resamplePpm]] + re-encode;
+    * raw byte streams keep every stride-th byte (stride =
+    * ceil(len / maxBytes)) — the 1-D form of the same rule.
+    */
+  def resample(payload: Array[Byte], maxBytes: Int): Array[Byte] =
+    decodePpm(payload) match {
+      case Some(img) => encodePpm(resamplePpm(img, maxBytes))
+      case None => resampleRaw(payload, maxBytes)
+    }
+
+  /** The raw-bytes path: deterministic down-sampling of a byte payload
+    * to at most `maxBytes` by keeping every stride-th byte (stride =
+    * ceil(len / maxBytes)).
+    */
+  def resampleRaw(payload: Array[Byte], maxBytes: Int): Array[Byte] =
+    if (payload.length <= maxBytes) payload
+    else {
+      val stride = (payload.length + maxBytes - 1) / maxBytes
+      val out = new Array[Byte]((payload.length + stride - 1) / stride)
+      var i = 0
+      var j = 0
+      while (i < payload.length) {
+        out(j) = payload(i)
+        j += 1
+        i += stride
+      }
+      out
+    }
+
   /** Decoded-media schema appended by [[decodePayloads]]. */
   val decodedSchema: StructType = StructType(Seq(
     StructField("width", IntegerType),
     StructField("height", IntegerType),
-    StructField("format", StringType)))
+    StructField("format", StringType),
+    StructField("pix_sum", LongType)))
 
-  /** The stubbed codec: deterministic pseudo-decode of a byte payload.
-    * Replace with a real image/audio decoder in production.
+  /** Partition-streaming resize: appends (resized, resized_bytes) to
+    * every row carrying a `payload` binary column — PPM payloads take
+    * the real 2-D pixel resample, raw ones the 1-D byte stride.
     */
-  def decodeStub(payload: Array[Byte]): (Int, Int, String) = {
-    val w = 64 + (payload.length % 577)
-    // floorMod: math.abs(Int.MinValue) is still negative
-    val h = 64 + java.lang.Math.floorMod(java.util.Arrays.hashCode(payload), 481)
-    val fmt = if (payload.nonEmpty && payload(0) % 2 == 0) "rgb" else "gray"
-    (w, h, fmt)
+  def resizePayloads(frame: DataFrame, maxBytes: Int = 128): DataFrame = {
+    val outSchema = StructType(frame.schema.fields ++ Seq(
+      StructField("resized", BinaryType),
+      StructField("resized_bytes", IntegerType)))
+    val payloadIdx = frame.schema.fieldIndex("payload")
+    frame.mapPartitions { rows =>
+      rows.map { r =>
+        val rp = resample(r.getAs[Array[Byte]](payloadIdx), maxBytes)
+        Row.fromSeq(r.toSeq ++ Seq(rp, rp.length))
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Partition-streaming decode: appends (width, height, format,
+    * pix_sum) to every row carrying a `payload` binary column.
+    */
+  def decodePayloads(frame: DataFrame): DataFrame = {
+    val outSchema = StructType(frame.schema.fields ++ decodedSchema.fields)
+    val payloadIdx = frame.schema.fieldIndex("payload")
+    frame.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, fmt, ps) = decodeImage(r.getAs[Array[Byte]](payloadIdx))
+        Row.fromSeq(r.toSeq ++ Seq(w, h, fmt, ps))
+      }
+    }(RowEncoder.encoderFor(outSchema))
   }
 
   /** Video-style frame sampling over a binary payload, composed from
@@ -74,53 +241,43 @@ object Multimodal {
           .as("frame"))
       .withColumn("frame_bytes", octet_length(col("frame")))
 
-  /** The stubbed resizer: deterministic down-sampling of a byte payload
-    * to at most `maxBytes` by keeping every stride-th byte (stride =
-    * ceil(len / maxBytes)). Replace with a real image scaler in
-    * production; the partition-streaming shape around it stays.
+  /** Deterministic synthetic P6 payload: dims from the id, pixel byte
+    * (x, y, c) = (id·7 + x·3 + y·5 + c·11) mod 256 — the generator the
+    * q123 oracle re-derives arithmetically, so the whole
+    * generate → encode → decode → resample → decode chain sits under
+    * the hash gate.
     */
-  def resizeStub(payload: Array[Byte], maxBytes: Int): Array[Byte] =
-    if (payload.length <= maxBytes) payload
-    else {
-      val stride = (payload.length + maxBytes - 1) / maxBytes
-      val out = new Array[Byte]((payload.length + stride - 1) / stride)
-      var i = 0
-      var j = 0
-      while (i < payload.length) {
-        out(j) = payload(i)
-        j += 1
-        i += stride
+  def syntheticPpm(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val pixels = new Array[Byte](3 * w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) {
+          pixels((y * w + x) * 3 + c) =
+            ((docId * 7 + x * 3 + y * 5 + c * 11) % 256).toByte
+          c += 1
+        }
+        x += 1
       }
-      out
+      y += 1
     }
-
-  /** Partition-streaming resize: appends (resized, resized_bytes) to
-    * every row carrying a `payload` binary column — same mapPartitions
-    * shape as [[decodePayloads]], stub in place of a codec.
-    */
-  def resizePayloads(frame: DataFrame, maxBytes: Int = 128): DataFrame = {
-    val outSchema = StructType(frame.schema.fields ++ Seq(
-      StructField("resized", BinaryType),
-      StructField("resized_bytes", IntegerType)))
-    val payloadIdx = frame.schema.fieldIndex("payload")
-    frame.mapPartitions { rows =>
-      rows.map { r =>
-        val rp = resizeStub(r.getAs[Array[Byte]](payloadIdx), maxBytes)
-        Row.fromSeq(r.toSeq ++ Seq(rp, rp.length))
-      }
-    }(RowEncoder.encoderFor(outSchema))
+    encodePpm(PpmImage(w, h, 255, pixels))
   }
 
-  /** Partition-streaming decode: appends (width, height, format) to
-    * every row carrying a `payload` binary column.
+  /** (doc_id) → (doc_id, payload) with [[syntheticPpm]] images of
+    * id-derived dimensions (w = 4 + id mod 5, h = 3 + id mod 4) —
+    * the injection frame for the q123 codec gate.
     */
-  def decodePayloads(frame: DataFrame): DataFrame = {
-    val outSchema = StructType(frame.schema.fields ++ decodedSchema.fields)
-    val payloadIdx = frame.schema.fieldIndex("payload")
-    frame.mapPartitions { rows =>
+  def syntheticPpmFrame(ids: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    ids.select(col("doc_id")).mapPartitions { rows =>
       rows.map { r =>
-        val (w, h, fmt) = decodeStub(r.getAs[Array[Byte]](payloadIdx))
-        Row.fromSeq(r.toSeq ++ Seq(w, h, fmt))
+        val id = r.getLong(0)
+        Row(id, syntheticPpm(id, 4 + (id % 5).toInt, 3 + (id % 4).toInt))
       }
     }(RowEncoder.encoderFor(outSchema))
   }

@@ -279,8 +279,9 @@ object LlmPack extends QueryPack {
         frameBytes = 64, everyN = 2)
         .select(col("doc_id"), col("n_frames"), col("frame_id"),
           col("frame_bytes"))),
-    // Resize: the REAL partition-streaming path runs (stub scaler);
-    // the oracle re-derives the stride arithmetic from byte lengths.
+    // Resize over RAW (non-image) payloads: text bytes take the 1-D
+    // byte-stride path; the oracle re-derives the stride arithmetic
+    // from byte lengths.
     "q89_resize" -> ((s, d) =>
       Multimodal.resizePayloads(
         t("documents")(s, d).select(col("doc_id"),
@@ -289,6 +290,26 @@ object LlmPack extends QueryPack {
         .select(col("doc_id"),
           octet_length(col("payload")).as("orig_bytes"),
           col("resized_bytes"))),
+    // The REAL image codec end-to-end: deterministic synthetic P6
+    // payloads (dims + pixel bytes derived from doc_id) are encoded,
+    // decoded, 2-D stride-resampled to a byte budget, re-encoded, and
+    // decoded again — dims, encoded size, and the resized pixel
+    // checksum all re-derived arithmetically by the oracle, so actual
+    // pixel work (not just length bookkeeping) sits under the hash
+    // gate.
+    "q123_ppm_resize" -> ((s, d) => {
+      val ppm = Multimodal.syntheticPpmFrame(
+        t("documents")(s, d).select(col("doc_id")))
+      val dec = Multimodal.decodePayloads(ppm)
+      val res = Multimodal.resizePayloads(dec, maxBytes = 64)
+      Multimodal.decodePayloads(
+        res.select(col("doc_id"), col("width").as("orig_w"),
+          col("height").as("orig_h"), col("resized_bytes"),
+          col("resized").as("payload")))
+        .select(col("doc_id"), col("orig_w"), col("orig_h"),
+          col("width").as("res_w"), col("height").as("res_h"),
+          col("resized_bytes"), col("pix_sum"))
+    }),
     "q70_multimodal" -> ((s, d) =>
       Multimodal.multimodalFrame(t("documents")(s, d), t("embeddings")(s, d))
         .select(col("doc_id"), col("meta.lang").as("lang"),
@@ -1134,6 +1155,44 @@ object LlmPack extends QueryPack {
         |SELECT doc_id, n_frames, CAST(fid AS INTEGER) AS frame_id,
         |       CAST(least(64, len - fid * 64) AS INTEGER) AS frame_bytes
         |FROM f""".stripMargin,
+
+    // The codec chain re-derived from doc_id alone: synthetic dims,
+    // the smallest stride whose re-encoded size fits 64 bytes (or the
+    // 1×1 floor), the canonical-header byte count, and the
+    // nearest-neighbor pixel checksum Σ (id·7 + 3·i·s + 5·j·s + 11·c)
+    // mod 256 over the resampled grid.
+    "q123_ppm_resize" ->
+      """WITH d AS (SELECT doc_id,
+        |             CAST(4 + doc_id % 5 AS INTEGER) AS w,
+        |             CAST(3 + doc_id % 4 AS INTEGER) AS h
+        |           FROM documents),
+        |cand AS (
+        |  SELECT d.doc_id, d.w, d.h, CAST(s AS INTEGER) AS s,
+        |         CAST((d.w + s - 1) // s AS INTEGER) AS ow,
+        |         CAST((d.h + s - 1) // s AS INTEGER) AS oh
+        |  FROM d, range(1, 10) t(s)),
+        |sized AS (
+        |  SELECT *, 9 + length(CAST(ow AS VARCHAR))
+        |           + length(CAST(oh AS VARCHAR)) + 3 * ow * oh AS total
+        |  FROM cand),
+        |fit AS (
+        |  SELECT doc_id, w, h, s, ow, oh, total,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY s) AS rk
+        |  FROM sized WHERE total <= 64 OR (ow = 1 AND oh = 1)),
+        |chosen AS (SELECT * FROM fit WHERE rk = 1),
+        |px AS (
+        |  SELECT c.doc_id,
+        |         sum((c.doc_id * 7 + (i * c.s) * 3 + (j * c.s) * 5 + k * 11)
+        |             % 256) AS pix_sum
+        |  FROM chosen c, range(0, 8) ti(i), range(0, 8) tj(j),
+        |       range(0, 3) tk(k)
+        |  WHERE i < c.ow AND j < c.oh
+        |  GROUP BY 1)
+        |SELECT c.doc_id, c.w AS orig_w, c.h AS orig_h,
+        |       c.ow AS res_w, c.oh AS res_h,
+        |       CAST(c.total AS INTEGER) AS resized_bytes,
+        |       CAST(p.pix_sum AS BIGINT) AS pix_sum
+        |FROM chosen c JOIN px p USING (doc_id)""".stripMargin,
 
     "q89_resize" ->
       """WITH b AS (SELECT doc_id,

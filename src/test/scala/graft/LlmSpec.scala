@@ -503,18 +503,55 @@ class LlmSpec extends AnyFunSuite {
     assert(c.toSeq != a.toSeq)   // epoch salt re-deals the deck
   }
 
-  test("multimodal decode: partition-streaming stub appends features") {
+  test("multimodal decode: partition streaming, raw fallback is a 1xN stream") {
     val frame = Multimodal.multimodalFrame(docs, embs)
     val decoded = Multimodal.decodePayloads(frame)
-    assert(decoded.columns.takeRight(3).toSeq ==
-      Seq("width", "height", "format"))
+    assert(decoded.columns.takeRight(4).toSeq ==
+      Seq("width", "height", "format", "pix_sum"))
     val row = decoded.orderBy("doc_id").limit(1).collect()(0)
     val payload = row.getAs[Array[Byte]]("payload")
-    val (w, h, f) = Multimodal.decodeStub(payload)
-    assert(row.getAs[Int]("width") == w)
-    assert(row.getAs[Int]("height") == h)
-    assert(row.getAs[String]("format") == f)
+    // text payloads are not PPM → the honest raw decode: 1×N bytes
+    assert(row.getAs[String]("format") == "raw")
+    assert(row.getAs[Int]("width") == payload.length)
+    assert(row.getAs[Int]("height") == 1)
+    assert(row.getAs[Long]("pix_sum") ==
+      payload.map(b => (b & 0xFF).toLong).sum)
     assert(decoded.count() == frame.count())
+  }
+
+  test("ppm codec: handcrafted 4x2 image decodes, resamples, re-encodes exactly") {
+    // 4×2 P6, maxval 255, pixel (x,y) = (10x+y, 100+x, 200+y)
+    val pixels = (for {
+      y <- 0 until 2; x <- 0 until 4
+      b <- Seq(10 * x + y, 100 + x, 200 + y)
+    } yield b.toByte).toArray
+    val img = Multimodal.PpmImage(4, 2, 255, pixels)
+    val bytes = Multimodal.encodePpm(img)
+    assert(new String(bytes.take(11), "US-ASCII") == "P6\n4 2\n255\n")
+    val back = Multimodal.decodePpm(bytes).get
+    assert(back.width == 4 && back.height == 2 && back.maxVal == 255)
+    assert(back.pixels.toSeq == pixels.toSeq)
+    // a comment in the header is legal netpbm and must parse
+    val commented = ("P6\n# a comment\n4 2\n255\n".getBytes("US-ASCII")
+      ++ pixels)
+    assert(Multimodal.decodePpm(commented).get.pixels.toSeq == pixels.toSeq)
+    // truncated pixel data / wrong magic → raw fallback, not a crash
+    assert(Multimodal.decodePpm(bytes.dropRight(1)).isEmpty)
+    assert(Multimodal.decodePpm("P5\n4 2\n255\n".getBytes).isEmpty)
+    // maxBytes 24 forces stride 2: out dims 2×1, header "P6\n2 1\n255\n"
+    // (11 bytes) + 6 pixel bytes = 17 ≤ 24; stride-1 would be 35
+    val small = Multimodal.resamplePpm(img, 24)
+    assert(small.width == 2 && small.height == 1)
+    // nearest-neighbor, top-left anchor: out(0,0)=in(0,0), out(1,0)=in(2,0)
+    val expect = Seq(0, 100, 200, 20, 102, 200).map(_.toByte)
+    assert(small.pixels.toSeq == expect)
+    // dispatch: resample() routes PPM through the pixel path…
+    val resized = Multimodal.resample(bytes, 24)
+    assert(Multimodal.decodePpm(resized).get.pixels.toSeq == expect)
+    // …and non-PPM through the byte-stride path
+    val raw = Array.tabulate[Byte](10)(_.toByte)
+    assert(Multimodal.resample(raw, 5).toSeq ==
+      Seq[Byte](0, 2, 4, 6, 8))
   }
 
   test("quantized ANN: kernel equals HOF spec; high recall vs exact top-5") {
