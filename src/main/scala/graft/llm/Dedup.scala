@@ -547,11 +547,15 @@ object Dedup {
       // claim order past 10⁶ segments
       .withColumn("ord", struct(col("doc_id"), col("seg_idx")))
       .withColumn("dig", md5(col("seg").cast("binary")))
+    // claims feeds BOTH routes below — materialize once (the
+    // corpusPipeline persist-point discipline; exchange reuse across a
+    // shuffled-join branch and a broadcast branch is not guaranteed,
+    // and recomputing claims means re-shuffling every digest)
     val claims = segs.groupBy(col("dig"))
       .agg(min(col("ord")).as("w_ord"), count(lit(1)).as("df"))
-    // the two filters read the SAME claim aggregate (ReuseExchange
-    // dedups the shuffle); normal digests take the hash join with
-    // per-key fan-in <= viralDf, viral ones the broadcast winner map
+      .localCheckpoint(true)
+    // normal digests take the hash join with per-key fan-in <=
+    // viralDf, viral ones the broadcast winner map
     val normal = claims.where(col("df") <= viralDf).drop("df")
     val viral = claims.where(col("df") > viralDf).drop("df")
     val kept = segs.join(normal, "dig")
