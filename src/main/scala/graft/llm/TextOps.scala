@@ -316,6 +316,101 @@ object TextOps {
       .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
   }
 
+  /** Bigram language-model quality score — the CCNet/RefinedWeb
+    * "perplexity filter" shape made deterministic by scoring the
+    * corpus against its OWN bigram statistics (no external LM):
+    * per document, the mean natural-log conditional likelihood
+    * avg ln P(w_i | w_{i−1}) with P(b | a) = C(a b) / C(a ·), counts
+    * taken over the whole corpus. Every document bigram appears in the
+    * corpus counts by construction, so no smoothing is needed and the
+    * score is exact. Formulaic boilerplate scores high (its bigrams
+    * dominate the corpus), incoherent token soup scores low — the
+    * standard split for both quality gating and boilerplate mining.
+    *
+    * Scale shape: bigram and prefix-context counts are hash
+    * aggregates with map-side partial combine; the conditional table
+    * joins counts-to-prefix on the context token (table-to-table,
+    * output one row per distinct bigram); the only corpus-sized join
+    * is doc-bigrams → probability table on the bigram string — a
+    * 1-row-to-many-rows equi-join whose hot keys ("of the") are
+    * exactly the shape AQE skew-join splits. No text moves past the
+    * bigram explode.
+    *
+    * @return (doc_id, n_bigrams, avg_logp) — avg_logp NULL when the
+    *         doc has < 2 tokens; rounded to 4 places for the oracle.
+    */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val toks = spread(docs.where(col("text").isNotNull))
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+    val bi = toks.where(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("w")) - 1)).as("i"), col("w"))
+      .select(col("doc_id"),
+        element_at(col("w"), col("i")).as("w1"),
+        concat_ws(" ", slice(col("w"), col("i"), lit(2))).as("g"))
+    val bc = bi.groupBy(col("w1"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val pc = bc.groupBy(col("w1")).agg(sum(col("c")).as("cw"))
+    val p = bc.join(pc, "w1")
+      .select(col("g"),
+        log(col("c").cast("double") / col("cw")).as("lp"))
+    val sc = bi.join(p, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        sum(col("lp")).as("slp"))
+    toks.select(col("doc_id")).join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0)).as("n_bigrams"),
+        round(col("slp") / col("n_bigrams"), 4).as("avg_logp"))
+  }
+
+  /** Per-language top-k n-grams by corpus OCCURRENCE count (document
+    * frequency carried alongside) — the boilerplate-mining pass that
+    * feeds the viral caps ([[Dedup.winnowedPairs]]' `maxDf`,
+    * [[Dedup.paragraphDedup]]'s `viralDf`) with actual data instead of
+    * guessed constants. Raw sliding grams (occurrences, not the
+    * per-doc distinct sets dedup uses) — frequency mining wants
+    * repeats counted.
+    *
+    * Scale shape: the (lang, gram) count is one hash aggregate with
+    * map-side combine. The top-k does NOT sort each language's whole
+    * distinct-gram set in one task: aggregated rows first keep a LOCAL
+    * top-k per (shuffle partition × lang) — sound, because a gram in
+    * the global top-k is necessarily in the top-k of whatever
+    * partition holds its (complete) count row — and only the ≤
+    * k·partitions survivors per language pay the exact global
+    * row_number. Same answer as the naive global window, bounded task
+    * memory at any corpus size.
+    *
+    * @return (lang, rank, gram, cnt, df), rank 1..k by (cnt desc, gram)
+    */
+  def topNgrams(docs: DataFrame, n: Int = 3, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = spread(docs.where(col("text").isNotNull))
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
+    val grams = toks.where(size(col("w")) >= n)
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1), size(col("w")) - (n - 1))).as("i"), col("w"))
+      .select(col("doc_id"), col("lang"),
+        concat_ws(" ", slice(col("w"), col("i"), lit(n))).as("gram"))
+    val counts = grams.groupBy(col("lang"), col("gram"))
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col("doc_id")).cast("int").as("df"))
+    // local prune: top-k per (partition, lang) — a superset of the
+    // global top-k, so the final exact window sees ≤ k·partitions rows
+    // per language instead of every distinct gram
+    val local = Window.partitionBy(spark_partition_id(), col("lang"))
+      .orderBy(col("cnt").desc, col("gram"))
+    val pruned = counts
+      .withColumn("lrn", row_number().over(local))
+      .where(col("lrn") <= k).drop("lrn")
+    val global = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("gram"))
+    pruned.withColumn("rank", row_number().over(global).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("lang"), col("rank"), col("gram"), col("cnt"), col("df"))
+  }
+
   /** PII patterns, ASCII classes only so Java regex (Spark) and RE2
     * (DuckDB oracle) agree byte-for-byte. URL first: once URLs are
     * collapsed, the email/number patterns can no longer fire inside

@@ -204,6 +204,13 @@ object LlmPack extends QueryPack {
           when(col("doc_id") % 7 === 0, lit("  wide   run\t tail "))
             .otherwise(lit(""))).as("text")))),
     "q67_tfidf_top3" -> ((s, d) => TextOps.tfidfTopK(t("documents")(s, d))),
+    // Self-scored bigram LM quality (the deterministic perplexity
+    // filter): mean ln P(w_i | w_{i-1}) under the corpus's own bigram
+    // distribution — no external LM, no smoothing, exact.
+    "q124_lm_score" -> ((s, d) => TextOps.lmScore(t("documents")(s, d))),
+    // Per-language top-5 trigrams by occurrence (df alongside): the
+    // boilerplate-mining pass that feeds the viral caps with data.
+    "q125_top_ngrams" -> ((s, d) => TextOps.topNgrams(t("documents")(s, d))),
     "q68_ann_cosine" -> ((s, d) =>
       Similarity.bruteForceTopK(t("embeddings")(s, d), col("vec_id") < 10)),
     // The SESSION-EXTENSION path end-to-end: a session built with
@@ -1088,6 +1095,47 @@ object LlmPack extends QueryPack {
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid
          |        ORDER BY qcos DESC, neighbor_id) AS rank FROM p)
          |WHERE rank <= 5""".stripMargin,
+    // Bigram conditional likelihoods re-derived: corpus bigram counts,
+    // prefix-context totals, ln(c/cw) per bigram, per-doc occurrence-
+    // weighted mean. Docs with < 2 tokens keep a row with NULL score.
+    "q124_lm_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |idx AS (SELECT doc_id, generate_subscripts(w, 1) AS i, w FROM tok),
+        |bi AS (SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i+1] AS g
+        |       FROM idx WHERE i + 1 <= len(w)),
+        |bc AS (SELECT w1, g, count(*) AS c FROM bi GROUP BY 1, 2),
+        |pc AS (SELECT w1, sum(c) AS cw FROM bc GROUP BY 1),
+        |p AS (SELECT g, ln(CAST(c AS DOUBLE) / cw) AS lp
+        |      FROM bc JOIN pc USING (w1)),
+        |sc AS (SELECT b.doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
+        |              sum(p.lp) AS slp
+        |       FROM bi b JOIN p USING (g) GROUP BY 1)
+        |SELECT t.doc_id,
+        |       COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+        |       round(sc.slp / sc.n_bigrams, 4) AS avg_logp
+        |FROM tok t LEFT JOIN sc USING (doc_id)""".stripMargin,
+    // Per-language trigram occurrence counts + doc frequency, exact
+    // global top-5 on the (cnt desc, gram) total order — an
+    // independent derivation with no local-prune stage, so a pruning
+    // bug that dropped a global winner cannot agree with it.
+    "q125_top_ngrams" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |idx AS (SELECT doc_id, lang, generate_subscripts(w, 1) AS i, w
+        |        FROM tok),
+        |g AS (SELECT doc_id, lang,
+        |        w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+        |      FROM idx WHERE i + 2 <= len(w)),
+        |counts AS (SELECT lang, gram, count(*) AS cnt,
+        |             CAST(count(DISTINCT doc_id) AS INTEGER) AS df
+        |           FROM g GROUP BY 1, 2)
+        |SELECT lang, CAST(rank AS INTEGER) AS rank, gram, cnt, df
+        |FROM (SELECT *, row_number() OVER (PARTITION BY lang
+        |        ORDER BY cnt DESC, gram) AS rank FROM counts)
+        |WHERE rank <= 5""".stripMargin,
     "q68_ann_cosine" -> annCosineOracle,
     // Identical answer contract: the kernel rewrite must be invisible
     // in values, so q107 shares q68's oracle verbatim.

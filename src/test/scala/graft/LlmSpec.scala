@@ -295,6 +295,62 @@ class LlmSpec extends AnyFunSuite {
     assert(ham(fp(0L), fp(2L)) < ham(fp(0L), fp(3L)))
   }
 
+  test("lm score: handcrafted bigram likelihoods, short-doc NULL edge") {
+    import spark.implicits._
+    // corpus bigrams: "a b" ×2 ("a b", and inside "a b c"), "b c" ×1,
+    // contexts: C(a·)=2, C(b·)=1 → P(b|a)=1, ... wait — spell it out:
+    // doc0 "a b"   → bigrams: (a b)
+    // doc1 "a b c" → bigrams: (a b), (b c)
+    // doc2 "x"     → no bigrams
+    // C(a b)=2, C(b c)=1; C(a·)=2, C(b·)=1
+    // P(b|a) = 2/2 = 1 → ln 1 = 0;  P(c|b) = 1/1 = 1 → ln 1 = 0
+    val degenerate = Seq((0L, "a b"), (1L, "a b c"), (2L, "x"))
+      .toDF("doc_id", "text")
+    val got = TextOps.lmScore(degenerate).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(got == Seq((0L, 1, Some(0.0)), (1L, 2, Some(0.0)),
+      (2L, 0, None)))
+    // a real split: "a b" twice vs "a c" once → P(b|a)=2/3, P(c|a)=1/3
+    val mixed = Seq((0L, "a b"), (1L, "a b"), (2L, "a c"))
+      .toDF("doc_id", "text")
+    val m = TextOps.lmScore(mixed).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+    assert(m(0L) == r4(math.log(2.0 / 3)))
+    assert(m(2L) == r4(math.log(1.0 / 3)))
+    // the common phrase scores HIGHER than the rare one — the quality
+    // signal the filter keys on
+    assert(m(0L) > m(2L))
+  }
+
+  test("top ngrams: local prune equals the naive global window at any layout") {
+    import org.apache.spark.sql.expressions.Window
+    // independent derivation: full global window, no pruning
+    val toks = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("w"))
+    val grams = toks.where(size(col("w")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1), size(col("w")) - 2)).as("i"), col("w"))
+      .select(col("doc_id"), col("lang"),
+        concat_ws(" ", slice(col("w"), col("i"), lit(3))).as("gram"))
+    val naive = grams.groupBy(col("lang"), col("gram"))
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col("doc_id")).cast("int").as("df"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(col("cnt").desc, col("gram"))).cast("int"))
+      .where(col("rank") <= 5)
+      .select("lang", "rank", "gram", "cnt", "df")
+      .collect().map(_.toSeq).toSet
+    // different partition layouts exercise different local-prune splits
+    for (parts <- Seq(1, 7, 32)) {
+      val got = TextOps.topNgrams(docs.repartition(parts)).collect()
+        .map(_.toSeq).toSet
+      assert(got == naive, s"layout $parts diverged")
+    }
+  }
+
   test("paragraph dedup: planted viral span rides the broadcast route, same answer") {
     import spark.implicits._
     // one 20-token boilerplate span in every doc + one unique span per
