@@ -306,6 +306,38 @@ object Corpus {
         col("split_a"), col("split_b"))
   }
 
+  /** LEAK-SAFE split assignment — the PREVENTION counterpart of the
+    * [[crossSplitLeaks]] audits: the split is decided by the near-dup
+    * CLUSTER id (md5-uniform over the cluster representative), so
+    * every member of a cluster lands in the same split and a near-dup
+    * pair straddling a boundary is impossible by construction — the
+    * audit over this assignment is empty for the same Hamming radius.
+    * Per-split mass still converges to the cut fractions because
+    * cluster ids are md5-uniform and most clusters are singletons in a
+    * deduplicated corpus.
+    *
+    * Scale shape: [[Dedup.dupClusters]]' banded pair join + pointer-
+    * jumped components, then one doc_id-keyed join of the (id,
+    * cluster) frame against the pure-map split rule — no text moves.
+    *
+    * @return (doc_id, cluster, split)
+    */
+  def leakSafeSplits(docs: DataFrame, maxHamming: Int = 3,
+      cuts: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      salt: String = "spl",
+      bits: Int = Dedup.simhashBits): DataFrame = {
+    require(cuts.nonEmpty && math.abs(cuts.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val u = hash16(col("cluster"), salt).cast("double") / lit(65536.0)
+    val bounds = splitBounds(cuts)
+    val split = bounds.init.reverse.foldLeft(lit(bounds.last._1)) {
+      case (acc, (nm, ub)) => when(u < ub, lit(nm)).otherwise(acc)
+    }
+    Dedup.dupClusters(docs, maxHamming, bits = bits)
+      .select(col("doc_id"), col("cluster"), split.as("split"))
+  }
+
   /** Per-source document cap (the C4/RefinedWeb cap-per-domain step):
     * keep at most `cap` documents per source, chosen as a
     * deterministic uniform sample (md5 order over `salt:doc_id`, so

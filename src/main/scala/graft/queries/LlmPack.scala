@@ -93,6 +93,12 @@ object LlmPack extends QueryPack {
     // catch before trusting held-out metrics.
     "q115_split_leaks" -> ((s, d) =>
       graft.llm.Corpus.crossSplitLeaks(t("documents")(s, d))),
+    // The PREVENTION counterpart of the audits: split decided by the
+    // near-dup cluster id, so no ≤3-Hamming pair can straddle a
+    // boundary by construction (LlmSpec proves the audit over this
+    // assignment is empty).
+    "q126_leak_safe_splits" -> ((s, d) =>
+      graft.llm.Corpus.leakSafeSplits(t("documents")(s, d))),
     // The same audit under the SET-SIMILARITY definition: Jaccard ≥
     // 0.3 pairs straddling a split boundary, via the prefix-filtered
     // delta machinery (majority×majority pairs pruned inside the
@@ -600,6 +606,35 @@ object LlmPack extends QueryPack {
     "q113_winnowing" ->
       s"""WITH $winnowPairCtes
          |SELECT da, db, n_shared FROM wp""".stripMargin,
+
+    // q82's recursive component derivation, then the q114 split rule
+    // applied to the CLUSTER id instead of the doc id.
+    "q126_leak_safe_splits" -> {
+      val bounds = graft.llm.Corpus.splitBounds(defaultCuts)
+      val cases = bounds.init.map { case (nm, ub) =>
+        s"WHEN u < CAST('$ub' AS DOUBLE) THEN '$nm'"
+      }.mkString(" ")
+      s"""WITH RECURSIVE $simhashPairCtes,
+         |prs AS MATERIALIZED (SELECT da, db FROM p WHERE hamming <= 3),
+         |edges AS MATERIALIZED (
+         |  SELECT da AS src, db AS dst FROM prs
+         |  UNION ALL
+         |  SELECT db AS src, da AS dst FROM prs),
+         |reach AS (
+         |  SELECT doc_id AS v, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT e.dst AS v, re.r AS r
+         |  FROM reach re JOIN edges e ON e.src = re.v),
+         |cc AS (SELECT v AS doc_id, min(r) AS cluster FROM reach GROUP BY 1),
+         |cu AS (SELECT doc_id, cluster,
+         |         CAST(${OracleSql.md5High16(
+                     "md5('spl:' || CAST(cluster AS VARCHAR))")} AS DOUBLE)
+         |           / CAST(65536 AS DOUBLE) AS u
+         |       FROM cc)
+         |SELECT doc_id, cluster,
+         |       CASE $cases ELSE '${bounds.last._1}' END AS split
+         |FROM cu""".stripMargin
+    },
 
     // Winnowing pair family × split assignment: the substring-overlap
     // leakage audit (q122) — same selection CTEs, joined against the

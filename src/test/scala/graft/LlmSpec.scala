@@ -295,6 +295,29 @@ class LlmSpec extends AnyFunSuite {
     assert(ham(fp(0L), fp(2L)) < ham(fp(0L), fp(3L)))
   }
 
+  test("leak-safe splits: no near-dup pair straddles, mass tracks the cuts") {
+    import graft.llm.Corpus
+    val assigned = Corpus.leakSafeSplits(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // by construction: same cluster → same split, so the audit over
+    // this assignment is EMPTY at the same Hamming radius
+    val pairs = Dedup.simhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(assigned(a)._2 == assigned(b)._2,
+        s"pair ($a, $b) straddles ${assigned(a)._2}/${assigned(b)._2}")
+    }
+    assigned.foreach { case (_, (cluster, split)) =>
+      assert(assigned(cluster)._2 == split, "cluster rep split differs")
+    }
+    // md5-uniform cluster ids keep the mass near the cuts (loose
+    // bound: train ∈ [80%, 97%] of docs at 90% target on the fixture)
+    val trainFrac = assigned.values.count(_._2 == "train").toDouble /
+      assigned.size
+    assert(trainFrac > 0.8 && trainFrac < 0.97, s"train frac $trainFrac")
+  }
+
   test("lm score: handcrafted bigram likelihoods, short-doc NULL edge") {
     import spark.implicits._
     // corpus bigrams: "a b" ×2 ("a b", and inside "a b c"), "b c" ×1,
