@@ -3,6 +3,7 @@ package graft.functions
 import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.{Column, GraftSqlShims}
+import org.apache.spark.sql.functions.{conv, element_at, lit, md5, size, substring, when}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
@@ -155,4 +156,34 @@ object BottomKByHash {
     GraftSqlShims.column(BottomKByHash(
       GraftSqlShims.expression(value.cast("double")),
       GraftSqlShims.expression(rowKey), k).toAggregateExpression())
+
+  /** KMV (k-minimum-values) distinct-count estimator from the SAME
+    * sketch: sample the md5-derived uniform fraction of each key with
+    * the KEY ITSELF as the sketch's row key, so the ordering digest and
+    * the sampled value come from one md5 and `eval` returns the k
+    * smallest DISTINCT-key hash fractions in ascending order (the
+    * sketch collapses duplicate keys to one slot by construction).
+    * The classic estimator is then plain array math: D̂ = (k−1)/u₍ₖ₎
+    * with u₍ₖ₎ = `element_at(sketch, k)`; below k distinct keys the
+    * sample IS the distinct set and the count is exact. Error is
+    * O(1/√k) [Bar-Yossef et al. 2002].
+    *
+    * The fraction is the first 12 md5 nibbles over 2^48 — exact in a
+    * double on both engines, so even this APPROXIMATE operator carries
+    * a full hash-gate oracle (`ORDER BY md5(key) LIMIT k` re-derives
+    * the identical estimate; see OracleSql.md5Frac48).
+    *
+    * The 100 TB story: `count(DISTINCT x)` shuffles every distinct
+    * value; this is an O(k) buffer with a real `merge`, so map-side
+    * partial aggregation applies and the cardinality profile of a
+    * petabyte table is one scan + O(k·partitions) merge.
+    */
+  def kmvDistinct(key: Column, k: Int): Column = {
+    val ks = key.cast("string")
+    val frac = conv(substring(md5(ks), 1, 12), 16, 10).cast("double") /
+      lit(281474976710656.0) // 2^48
+    val sk = apply(frac, ks, k)
+    when(size(sk) < k, size(sk).cast("double"))
+      .otherwise(lit((k - 1).toDouble) / element_at(sk, k))
+  }
 }

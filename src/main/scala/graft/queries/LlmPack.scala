@@ -217,6 +217,27 @@ object LlmPack extends QueryPack {
     // Per-language top-5 trigrams by occurrence (df alongside): the
     // boilerplate-mining pass that feeds the viral caps with data.
     "q125_top_ngrams" -> ((s, d) => TextOps.topNgrams(t("documents")(s, d))),
+    // KMV distinct-cardinality profile: per-language distinct-source
+    // and distinct-trigram counts estimated from the mergeable
+    // bottom-k sketch — the count(DISTINCT) replacement whose
+    // per-group cost is O(k) with map-side combine instead of a
+    // shuffle of every distinct value. Deterministic md5 sampling
+    // means even the ESTIMATES carry a full hash-gate oracle. k=16
+    // over ~20 sources exercises the estimation branch; smaller
+    // per-language source sets cross the exact-below-k branch.
+    "q127_kmv_distinct" -> ((s, d) => {
+      val base = TextOps.spread(t("documents")(s, d))
+      val perLang = base.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        round(graft.functions.BottomKByHash.kmvDistinct(col("source"), 16), 4)
+          .cast("float").as("est_sources"))
+      val sh = base.select(col("lang"),
+        explode(TextOps.shingleSet(TextOps.tokens(col("text")), 3)).as("s"))
+      val shAgg = sh.groupBy(col("lang")).agg(
+        round(graft.functions.BottomKByHash.kmvDistinct(col("s"), 128), 4)
+          .cast("float").as("est_shingles"))
+      perLang.join(shAgg, Seq("lang"))
+    }),
     "q68_ann_cosine" -> ((s, d) =>
       Similarity.bruteForceTopK(t("embeddings")(s, d), col("vec_id") < 10)),
     // The SESSION-EXTENSION path end-to-end: a session built with
@@ -1171,6 +1192,45 @@ object LlmPack extends QueryPack {
         |FROM (SELECT *, row_number() OVER (PARTITION BY lang
         |        ORDER BY cnt DESC, gram) AS rank FROM counts)
         |WHERE rank <= 5""".stripMargin,
+    // The KMV estimator re-derived to the bit: distinct keys ranked by
+    // md5, the k-th hash fraction (first 12 nibbles / 2^48 — exact in
+    // a double) inverted as (k-1)/u_k, exact count below k.
+    "q127_kmv_distinct" -> {
+      val frac = OracleSql.md5Frac48("m")
+      s"""WITH $tokCte,
+         |idx AS (SELECT doc_id, generate_subscripts(w, 1) AS i, w FROM tok),
+         |shd AS (SELECT DISTINCT doc_id,
+         |          w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |        FROM idx WHERE i + 2 <= len(w)),
+         |shl AS (SELECT DISTINCT d.lang, sh.s
+         |        FROM shd sh JOIN documents d USING (doc_id)),
+         |shr AS (SELECT lang, md5(s) AS m,
+         |          row_number() OVER (PARTITION BY lang
+         |            ORDER BY md5(s)) AS rk
+         |        FROM shl),
+         |she AS (SELECT lang,
+         |          CASE WHEN count(*) < 128 THEN CAST(count(*) AS DOUBLE)
+         |               ELSE 127.0 / max(CASE WHEN rk = 128 THEN $frac END)
+         |          END AS est_sh
+         |        FROM shr GROUP BY 1),
+         |src AS (SELECT DISTINCT lang, source FROM documents
+         |        WHERE source IS NOT NULL),
+         |srcr AS (SELECT lang, md5(source) AS m,
+         |           row_number() OVER (PARTITION BY lang
+         |             ORDER BY md5(source)) AS rk
+         |         FROM src),
+         |srce AS (SELECT lang,
+         |           CASE WHEN count(*) < 16 THEN CAST(count(*) AS DOUBLE)
+         |                ELSE 15.0 / max(CASE WHEN rk = 16 THEN $frac END)
+         |           END AS est_src
+         |         FROM srcr GROUP BY 1),
+         |nd AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1)
+         |SELECT nd.lang, nd.n_docs,
+         |       CAST(round(srce.est_src, 4) AS REAL) AS est_sources,
+         |       CAST(round(she.est_sh, 4) AS REAL) AS est_shingles
+         |FROM nd JOIN srce USING (lang) JOIN she USING (lang)""".stripMargin
+    },
+
     "q68_ann_cosine" -> annCosineOracle,
     // Identical answer contract: the kernel rewrite must be invisible
     // in values, so q107 shares q68's oracle verbatim.

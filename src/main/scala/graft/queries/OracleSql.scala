@@ -32,6 +32,20 @@ private[queries] object OracleSql {
     * deterministic uniform used by stratified sampling and shard
     * assignment ([[graft.llm.Corpus.hash16]]'s oracle form).
     */
+  /** Uniform fraction in [0, 1) from the first 12 nibbles of an md5
+    * hex column — the [[graft.functions.BottomKByHash.kmvDistinct]]
+    * value. Every nibble term and the 48-bit total are < 2^53, so the
+    * double arithmetic is exact and matches the engine's
+    * `conv(substring(md5, 1, 12), 16, 10) / 2^48` bit for bit.
+    */
+  def md5Frac48(hexCol: String): String = {
+    val terms = (0 until 12).map { i =>
+      val pow = math.pow(16, 11 - i).toLong
+      s"(strpos('0123456789abcdef', substr($hexCol, ${i + 1}, 1)) - 1) * $pow.0"
+    }.mkString("\n  + ")
+    s"(($terms) / 281474976710656.0)"
+  }
+
   def md5High16(hexCol: String): String =
     s"""(strpos('0123456789abcdef', substr($hexCol, 1, 1)) - 1) * 4096
        |  + (strpos('0123456789abcdef', substr($hexCol, 2, 1)) - 1) * 256

@@ -111,4 +111,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(sketch(rows.reverse.toDF("id", "v")) == base)
     assert(sketch(rows.toDF("id", "v").repartition(3, col("id"))) == base)
   }
+
+  test("kmv distinct: exact below k, bounded error above, partition-invariant") {
+    import spark.implicits._
+    import graft.functions.BottomKByHash
+    // 2000 rows over 700 distinct keys (duplicates must not bias the
+    // estimate — the sketch collapses them before the k-th hash is read)
+    val df = (0 until 2000).map(i => (i.toLong, s"v${i % 700}"))
+      .toDF("id", "v")
+    def est(d: org.apache.spark.sql.DataFrame, k: Int): Double =
+      d.agg(BottomKByHash.kmvDistinct(col("v"), k)).collect()(0).getDouble(0)
+    // k above the true cardinality → the sample IS the distinct set
+    assert(est(df, 1024) == 700.0)
+    // k = 256 → estimator path; stderr ≈ 1/√k ≈ 6.3%, assert 4σ
+    val e = est(df, 256)
+    assert(math.abs(e - 700.0) / 700.0 < 0.25, s"kmv estimate $e")
+    // deterministic under re-partitioning (merge-order invariance)
+    assert(est(df.repartition(13, col("id")), 256) == e)
+    assert(est(df.coalesce(1), 256) == e)
+    // NULL keys are skipped, not counted
+    val withNulls = df.union(Seq((9999L, null.asInstanceOf[String]))
+      .toDF("id", "v"))
+    assert(est(withNulls, 1024) == 700.0)
+  }
 }
