@@ -377,6 +377,45 @@ object Corpus {
       .select(col("doc_id"), col("source"), col("lang"))
   }
 
+  /** Per-language quality-percentile gate — the "keep the best
+    * `keepFrac` of each language" curation step (CCNet buckets its
+    * corpus by exactly this kind of per-language quality cut). The
+    * threshold is the (1−keepFrac) quantile of
+    * [[TextOps.qualityScore]]'s `quality`, estimated from the
+    * deterministic bottom-k-by-hash sketch with the SAME
+    * floor-index arithmetic as the q103 quantile profile — NOT a
+    * per-language full sort: one scan builds O(k·|langs|) thresholds
+    * (map-side-combined sketch merge), and the gate itself is a
+    * broadcast join of the ≤|langs|-row threshold table plus a
+    * codegen'd `quality >= q_thr` filter, at any corpus size. Below k
+    * docs per language the sample IS the population and the threshold
+    * is the exact percentile. Docs with NULL quality (empty texts)
+    * are dropped by the filter's NULL semantics on both engines.
+    *
+    * @return kept rows: (doc_id, lang, quality, q_thr)
+    */
+  def qualityGate(docs: DataFrame, keepFrac: Double = 0.5,
+      k: Int = 200): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0, "keepFrac in (0, 1]")
+    val scored = TextOps.qualityScore(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("quality"))
+    val sk = scored.groupBy(col("lang"))
+      .agg(graft.functions.BottomKByHash(
+        col("quality"), col("doc_id"), k).as("vs"))
+    val sorted = sort_array(col("vs"))
+    val idx = (floor(lit(1.0 - keepFrac) * (size(col("vs")) - 1)) + 1)
+      .cast("int")
+    // a language whose docs are all NULL-quality yields an empty
+    // sketch — no threshold row, so the inner join drops the language
+    // (matching the oracle) instead of faulting on element_at(arr, 0)
+    val thr = sk.where(size(col("vs")) > 0)
+      .select(col("lang"), element_at(sorted, idx).as("q_thr"))
+    scored.join(broadcast(thr), Seq("lang"))
+      .where(col("quality") >= col("q_thr"))
+      .select(col("doc_id"), col("lang"), col("quality"), col("q_thr"))
+  }
+
   /** The ALLOCATION half of corpus curation, composed end-to-end —
     * the round-6 counterpart of [[corpusPipeline]] (which composes
     * the cleaning half): [[sourceCap]] per-domain caps →

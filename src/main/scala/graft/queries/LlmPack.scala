@@ -225,6 +225,14 @@ object LlmPack extends QueryPack {
     // means even the ESTIMATES carry a full hash-gate oracle. k=16
     // over ~20 sources exercises the estimation branch; smaller
     // per-language source sets cross the exact-below-k branch.
+    // Per-language quality-percentile gate (CCNet-style "keep the
+    // best half of each language"): threshold = the (1−keep) quantile
+    // of q62's quality from the bottom-k sketch — one scan + a
+    // broadcast-joined filter, no per-language sort. k=200 spans both
+    // branches across SFs: exact percentile below 200 docs/lang,
+    // sketch estimate above.
+    "q128_quality_gate" -> ((s, d) =>
+      graft.llm.Corpus.qualityGate(t("documents")(s, d))),
     "q127_kmv_distinct" -> ((s, d) => {
       val base = TextOps.spread(t("documents")(s, d))
       val perLang = base.groupBy(col("lang")).agg(
@@ -1192,6 +1200,35 @@ object LlmPack extends QueryPack {
         |FROM (SELECT *, row_number() OVER (PARTITION BY lang
         |        ORDER BY cnt DESC, gram) AS rank FROM counts)
         |WHERE rank <= 5""".stripMargin,
+    // q62's quality derivation, the q103-style md5-ranked sample with
+    // the same floor-index selection, then the >= filter — the whole
+    // gate (including the sketch threshold) re-derived exactly.
+    "q128_quality_gate" -> {
+      val stopCond = TextOps.stopwords.map(s => s"x = '$s'").mkString(" OR ")
+      s"""WITH $tokCte,
+         |m AS (SELECT doc_id, text, w,
+         |        len(list_filter(w, x -> $stopCond)) AS stops FROM tok),
+         |q AS (SELECT doc_id,
+         |        round(least(CAST(len(w) AS DOUBLE) / 100, CAST(1 AS DOUBLE))
+         |          * (CAST(1 AS DOUBLE) - CAST(stops AS DOUBLE) / len(w)), 4)
+         |          AS quality
+         |      FROM m),
+         |l AS (SELECT q.doc_id, d.lang, q.quality
+         |      FROM q JOIN documents d USING (doc_id)),
+         |h AS (SELECT lang, quality, md5(CAST(doc_id AS VARCHAR)) AS hm
+         |      FROM l WHERE quality IS NOT NULL),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+         |        ORDER BY hm) AS rk FROM h),
+         |g AS (SELECT lang, list(quality ORDER BY quality) AS vs
+         |      FROM r WHERE rk <= 200 GROUP BY 1),
+         |thr AS (SELECT lang,
+         |          vs[CAST(floor(0.5 * (len(vs) - 1)) AS INT) + 1] AS q_thr
+         |        FROM g)
+         |SELECT l.doc_id, l.lang, l.quality, thr.q_thr
+         |FROM l JOIN thr USING (lang)
+         |WHERE l.quality >= thr.q_thr""".stripMargin
+    },
+
     // The KMV estimator re-derived to the bit: distinct keys ranked by
     // md5, the k-th hash fraction (first 12 nibbles / 2^48 — exact in
     // a double) inverted as (k-1)/u_k, exact count below k.

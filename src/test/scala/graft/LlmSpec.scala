@@ -318,6 +318,31 @@ class LlmSpec extends AnyFunSuite {
     assert(trainFrac > 0.8 && trainFrac < 0.97, s"train frac $trainFrac")
   }
 
+  test("quality gate: keeps exactly the scores above the sketch threshold") {
+    val kept = Corpus.qualityGate(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(kept.nonEmpty)
+    // the threshold is per-language and every kept row clears it
+    kept.values.foreach { case (_, q, thr) => assert(q >= thr) }
+    // completeness: every scored doc at-or-above its language's
+    // threshold is kept, every one below is dropped
+    val scoredAll = TextOps.qualityScore(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("quality")).collect()
+      .filter(!_.isNullAt(2))
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val thrByLang = kept.values.map { case (l, _, t) => l -> t }.toMap
+    scoredAll.foreach { case (id, lang, q) =>
+      assert(kept.contains(id) == (q >= thrByLang(lang)),
+        s"doc $id lang $lang q $q thr ${thrByLang(lang)}")
+    }
+    // the gate actually gates: strictly fewer rows than scored docs,
+    // but at keepFrac=0.5 it keeps a large minority at least
+    assert(kept.size < scoredAll.length)
+    assert(kept.size > scoredAll.length / 4)
+  }
+
   test("lm score: handcrafted bigram likelihoods, short-doc NULL edge") {
     import spark.implicits._
     // corpus bigrams: "a b" ×2 ("a b", and inside "a b c"), "b c" ×1,
