@@ -110,4 +110,38 @@ object DataQuality {
         (col("n_rows") - col("n_non_null")).as("n_nulls"),
         col("n_non_null"), col("n_distinct"), col("min_s"), col("max_s"))
   }
+
+  /** The 100 TB twin of [[profile]] that its own scaladoc promises:
+    * same one-scan multi-column shape, but the distinct count comes
+    * from [[graft.functions.BottomKByHash.kmvDistinct]] instead of
+    * `countDistinct` — so there is NO Expand replication and NO
+    * shuffle of every distinct value; the whole profile is one
+    * hash-aggregate pass with O(k) state per column and map-side
+    * combine, the ANALYZE-style stats collection a planner feeds on.
+    * The md5-deterministic estimator keeps even this approximate
+    * profile under the full hash-gate oracle (exact below k distinct
+    * values per column, (k−1)/u₍ₖ₎ above).
+    */
+  def profileSketch(df: DataFrame, cols: Seq[String],
+      k: Int = 256): DataFrame = {
+    require(cols.nonEmpty && cols.forall(_.matches("[A-Za-z0-9_]+")),
+      "profileSketch needs simple column names")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__nn"),
+        round(graft.functions.BottomKByHash.kmvDistinct(col(c), k), 4)
+          .as(s"${c}__nd"),
+        min(col(c)).cast("string").as(s"${c}__mn"),
+        max(col(c)).cast("string").as(s"${c}__mx"))
+    }
+    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val structs = cols.map(c =>
+      s"named_struct('col_name', '$c', 'n_non_null', ${c}__nn, " +
+        s"'ndv_est', ${c}__nd, 'min_s', ${c}__mn, 'max_s', ${c}__mx)")
+      .mkString(", ")
+    one.selectExpr("n_rows", s"inline(array($structs))")
+      .select(col("col_name"), col("n_rows"),
+        (col("n_rows") - col("n_non_null")).as("n_nulls"),
+        col("n_non_null"), col("ndv_est"), col("min_s"), col("max_s"))
+  }
 }

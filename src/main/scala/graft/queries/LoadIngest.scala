@@ -139,7 +139,16 @@ object LoadIngest extends QueryPack {
     // min/max) — the standing warehouse audit next to the per-PK
     // uniqueness check (q12) and the freshness probe (q52)
     "q84_profile" -> ((s, d) => DataQuality.profile(
-      t("documents")(s, d), Seq("doc_id", "lang", "source", "n_chars"))))
+      t("documents")(s, d), Seq("doc_id", "lang", "source", "n_chars"))),
+
+    // q84's 100 TB twin on the big fact table: ndv from the KMV
+    // sketch (no Expand, no distinct-value shuffle — one
+    // map-side-combined pass). k=256 puts the high-cardinality keys
+    // on the estimation branch and the flag columns on the exact one.
+    "q129_profile_sketch" -> ((s, d) => DataQuality.profileSketch(
+      t("lineitem")(s, d),
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_returnflag", "l_linestatus"))))
 
   val oracleSql: Map[String, String] = Map(
     "q50_partition_roundtrip" ->
@@ -203,5 +212,29 @@ object LoadIngest extends QueryPack {
          |       count(DISTINCT $c) AS n_distinct,
          |       CAST(min($c) AS VARCHAR) AS min_s,
          |       CAST(max($c) AS VARCHAR) AS max_s
-         |FROM documents""".stripMargin).mkString("\nUNION ALL\n"))
+         |FROM documents""".stripMargin).mkString("\nUNION ALL\n"),
+
+    // The KMV estimator per column, re-derived exactly as in q127:
+    // distinct keys ranked by md5, the 256th 48-bit hash fraction
+    // inverted; exact count below k. Counts and min/max are plain.
+    "q129_profile_sketch" -> Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_linenumber", "l_returnflag", "l_linestatus").map { c =>
+      val frac = OracleSql.md5Frac48("m")
+      s"""SELECT '$c' AS col_name,
+         |       (SELECT count(*) FROM lineitem) AS n_rows,
+         |       (SELECT count(*) - count($c) FROM lineitem) AS n_nulls,
+         |       (SELECT count($c) FROM lineitem) AS n_non_null,
+         |       (SELECT CASE WHEN count(*) < 256
+         |                    THEN round(CAST(count(*) AS DOUBLE), 4)
+         |                    ELSE round(255.0 /
+         |                      max(CASE WHEN rk = 256 THEN $frac END), 4)
+         |               END
+         |        FROM (SELECT m, row_number() OVER (ORDER BY m) AS rk
+         |              FROM (SELECT DISTINCT md5(CAST($c AS VARCHAR)) AS m
+         |                    FROM lineitem WHERE $c IS NOT NULL) d) r)
+         |         AS ndv_est,
+         |       (SELECT CAST(min($c) AS VARCHAR) FROM lineitem) AS min_s,
+         |       (SELECT CAST(max($c) AS VARCHAR) FROM lineitem) AS max_s"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n"))
 }

@@ -46,4 +46,27 @@ class DataQualitySpec extends AnyFunSuite {
       "2024-02-18" -> false,  // Sunday
       "2024-02-19" -> false)) // listed holiday (a Monday)
   }
+
+  test("profileSketch: exact below k, matches profile counts, partition-invariant") {
+    import spark.implicits._
+    // 300 rows, 40 distinct ids (< k=64 → exact branch), one NULL tag
+    val df = (0 until 300).map(i =>
+        ((i % 40).toLong, if (i == 7) null else s"t${i % 3}"))
+      .toDF("id", "tag")
+    def prof(d: org.apache.spark.sql.DataFrame) =
+      DataQuality.profileSketch(d, Seq("id", "tag"), k = 64).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(4), r.getString(5),
+            r.getString(6)))).toMap
+    val p = prof(df)
+    assert(p("id") == ((300L, 0L, 40.0, "0", "39")))
+    assert(p("tag") == ((300L, 1L, 3.0, "t0", "t2")))
+    // estimation branch (k=8 < 40 distinct): deterministic under
+    // repartitioning, and in the right ballpark
+    def est(d: org.apache.spark.sql.DataFrame): Double =
+      DataQuality.profileSketch(d, Seq("id"), k = 8).collect()(0).getDouble(4)
+    val e = est(df)
+    assert(e != 40.0 && math.abs(e - 40.0) / 40.0 < 1.0, s"ndv est $e")
+    assert(est(df.repartition(11, col("id"))) == e)
+  }
 }
