@@ -397,9 +397,10 @@ object Corpus {
   def qualityGate(docs: DataFrame, keepFrac: Double = 0.5,
       k: Int = 200): DataFrame = {
     require(keepFrac > 0.0 && keepFrac <= 1.0, "keepFrac in (0, 1]")
-    val scored = TextOps.qualityScore(docs)
-      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-      .select(col("doc_id"), col("lang"), col("quality"))
+    // quality computed INLINE with lang carried — one projection per
+    // branch, no doc_id join (which would re-scan the corpus)
+    val scored = docs.select(col("doc_id"), col("lang"),
+      TextOps.qualityCol(col("text")).as("quality"))
     val sk = scored.groupBy(col("lang"))
       .agg(graft.functions.BottomKByHash(
         col("quality"), col("doc_id"), k).as("vs"))

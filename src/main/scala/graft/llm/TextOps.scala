@@ -244,6 +244,19 @@ object TextOps {
     * component ratios. The shape of the reference-free quality filters
     * used in pretraining-data pipelines (length/punct/stopword ratios).
     */
+  /** The scalar `quality` expression of [[qualityScore]] on its own —
+    * so operators gating ON quality (e.g.
+    * [[graft.llm.Corpus.qualityGate]]) can compute it inline in one
+    * projection instead of joining [[qualityScore]]'s frame back on
+    * doc_id (which costs a second scan of the corpus).
+    */
+  def qualityCol(text: Column): Column = {
+    val w = tokens(text)
+    val stopCount = occurrenceCount(w, stopwords)
+    round(least(size(w).cast("double") / 100.0, lit(1.0)) *
+      (lit(1.0) - stopCount.cast("double") / size(w)), 4)
+  }
+
   def qualityScore(docs: DataFrame): DataFrame = {
     val w = tokens(col("text"))
     val stopCount = occurrenceCount(w, stopwords)
@@ -257,8 +270,7 @@ object TextOps {
       // empty doc → NULL ratio, not an ANSI DIVIDE_BY_ZERO job abort
       round(when(length(col("text")) > 0,
         punct.cast("double") / length(col("text"))), 4).as("punct_ratio"),
-      round(least(size(w).cast("double") / 100.0, lit(1.0)) *
-        (lit(1.0) - stopCount.cast("double") / size(w)), 4).as("quality"))
+      qualityCol(col("text")).as("quality"))
   }
 
   /** Marker-word sets per language tag. NOTE: the fixture corpus shares
