@@ -377,6 +377,48 @@ object Corpus {
       .select(col("doc_id"), col("source"), col("lang"))
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement
+    * (Efraimidis–Spirakis exponential keys): keep the `n` docs per
+    * language with the largest ln(u)/w, where u is the 48-bit md5
+    * fraction of `salt:doc_id` and w is the inline
+    * [[TextOps.qualityCol]] score — so inclusion probability tracks
+    * the weight (the DCLM-style "sample the best-looking subset"
+    * selection), the output size is exactly min(n, eligible) per
+    * language, and, because u is a hash rather than `rand`, the whole
+    * draw is reproducible across runs, partitionings, and engines.
+    * Zero-weight and NULL-quality docs are ineligible (the A-ES
+    * convention: ln(u)/0 → −∞).
+    *
+    * Scale shape: the rank key is a pure map over the scan;
+    * selection reuses [[TextOps.topNgrams]]' two-stage plan — a
+    * partition-local top-n prune (the local top-n is a superset of
+    * the global one) so the exact global window sees ≤ n·partitions
+    * rows per language, never the corpus.
+    *
+    * @return (doc_id, lang, weight, rk) — rk 1..n by descending key
+    */
+  def weightedSample(docs: DataFrame, n: Int = 50,
+      salt: String = "wsm"): DataFrame = {
+    val u = conv(substring(md5(concat(lit(salt + ":"),
+        col("doc_id").cast("string"))), 1, 12), 16, 10)
+      .cast("double") / lit(281474976710656.0) // 2^48
+    val scored = TextOps.spread(docs)
+      .select(col("doc_id"), col("lang"),
+        TextOps.qualityCol(col("text")).as("weight"), log(u).as("lnu"))
+      .where(col("weight") > 0.0)
+      .select(col("doc_id"), col("lang"), col("weight"),
+        (col("lnu") / col("weight")).as("rank_key"))
+    val local = Window.partitionBy(spark_partition_id(), col("lang"))
+      .orderBy(col("rank_key").desc, col("doc_id"))
+    val pruned = scored.withColumn("lrn", row_number().over(local))
+      .where(col("lrn") <= n).drop("lrn")
+    val global = Window.partitionBy(col("lang"))
+      .orderBy(col("rank_key").desc, col("doc_id"))
+    pruned.withColumn("rk", row_number().over(global).cast("int"))
+      .where(col("rk") <= n)
+      .select(col("doc_id"), col("lang"), col("weight"), col("rk"))
+  }
+
   /** Per-language quality-percentile gate — the "keep the best
     * `keepFrac` of each language" curation step (CCNet buckets its
     * corpus by exactly this kind of per-language quality cut). The

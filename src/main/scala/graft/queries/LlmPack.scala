@@ -233,6 +233,11 @@ object LlmPack extends QueryPack {
     // sketch estimate above.
     "q128_quality_gate" -> ((s, d) =>
       graft.llm.Corpus.qualityGate(t("documents")(s, d))),
+    // Deterministic A-ES weighted sampling: top-50 per language by
+    // ln(u)/quality — inclusion ∝ quality, exact output size, and the
+    // md5-hash u makes even the random draw oracle-checkable.
+    "q130_weighted_sample" -> ((s, d) =>
+      graft.llm.Corpus.weightedSample(t("documents")(s, d))),
     "q127_kmv_distinct" -> ((s, d) => {
       val base = TextOps.spread(t("documents")(s, d))
       val perLang = base.groupBy(col("lang")).agg(
@@ -1227,6 +1232,34 @@ object LlmPack extends QueryPack {
          |SELECT l.doc_id, l.lang, l.quality, thr.q_thr
          |FROM l JOIN thr USING (lang)
          |WHERE l.quality >= thr.q_thr""".stripMargin
+    },
+
+    // The A-ES draw re-derived: same quality weight, same 48-bit md5
+    // fraction, same ln(u)/w key, same (key desc, doc_id) total order.
+    // Only the SELECTION depends on the key (rank_key is not output),
+    // so sub-ulp libm ln() differences cannot flip a row unless two
+    // keys collide to ~1e-13 relative — not a property of hash-
+    // distributed fractions.
+    "q130_weighted_sample" -> {
+      val stopCond = TextOps.stopwords.map(s => s"x = '$s'").mkString(" OR ")
+      val frac = OracleSql.md5Frac48("md5('wsm:' || CAST(doc_id AS VARCHAR))")
+      s"""WITH $tokCte,
+         |m AS (SELECT doc_id, text, w,
+         |        len(list_filter(w, x -> $stopCond)) AS stops FROM tok),
+         |q AS (SELECT doc_id,
+         |        round(least(CAST(len(w) AS DOUBLE) / 100, CAST(1 AS DOUBLE))
+         |          * (CAST(1 AS DOUBLE) - CAST(stops AS DOUBLE) / len(w)), 4)
+         |          AS quality
+         |      FROM m),
+         |l AS (SELECT q.doc_id, d.lang, q.quality
+         |      FROM q JOIN documents d USING (doc_id)),
+         |k AS (SELECT doc_id, lang, quality AS weight,
+         |        ln($frac) / quality AS rank_key
+         |      FROM l WHERE quality > 0)
+         |SELECT doc_id, lang, weight, CAST(rk AS INTEGER) AS rk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY lang
+         |        ORDER BY rank_key DESC, doc_id) AS rk FROM k)
+         |WHERE rk <= 50""".stripMargin
     },
 
     // The KMV estimator re-derived to the bit: distinct keys ranked by

@@ -343,6 +343,36 @@ class LlmSpec extends AnyFunSuite {
     assert(kept.size > scoredAll.length / 4)
   }
 
+  test("weighted sample: exact size, weight-biased, deterministic") {
+    import spark.implicits._
+    // 200 docs in one "language": 100 heavy (quality ≈ 0.9: long text,
+    // no stopwords) and 100 light (quality ≈ 0.1: the same token count
+    // but ~90% stopwords) — A-ES with a 9:1 weight ratio must
+    // overrepresent heavy docs in a 50-of-200 draw
+    val heavy = Seq.fill(110)("zephyr").mkString(" ")
+    val light = (Seq.fill(99)("the") ++ Seq.fill(11)("zephyr")).mkString(" ")
+    val df = (0 until 200).map(i =>
+        (i.toLong, "xx", if (i < 100) heavy else light))
+      .toDF("doc_id", "lang", "text")
+    val got = Corpus.weightedSample(df, n = 50).collect()
+      .map(r => (r.getLong(0), r.getInt(3)))
+    assert(got.length == 50)
+    assert(got.map(_._2).sorted.toSeq == (1 to 50))
+    val nHeavy = got.count(_._1 < 100)
+    // E[heavy] ≈ 45 at a 9:1 ratio; even a loose bound separates it
+    // decisively from the unweighted 25
+    assert(nHeavy > 35, s"heavy docs drawn: $nHeavy of 50")
+    // deterministic under repartitioning (hash keys, not rand)
+    val again = Corpus.weightedSample(df.repartition(7, col("doc_id")), n = 50)
+      .collect().map(r => (r.getLong(0), r.getInt(3)))
+    assert(again.sortBy(_._2).toSeq == got.sortBy(_._2).toSeq)
+    // zero-weight docs (all-stopword text → quality 0) are ineligible
+    val allStop = (0 until 10).map(i =>
+        (1000L + i, "yy", Seq.fill(20)("the").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    assert(Corpus.weightedSample(allStop, n = 5).count() == 0)
+  }
+
   test("lm score: handcrafted bigram likelihoods, short-doc NULL edge") {
     import spark.implicits._
     // corpus bigrams: "a b" ×2 ("a b", and inside "a b c"), "b c" ×1,
