@@ -102,6 +102,38 @@ class StreamingSpec extends AnyFunSuite {
       .forall(_.getString(0).length == graft.llm.Dedup.simhashBits))
   }
 
+  test("streaming kmv distinct across micro-batches == batch estimate") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.functions.BottomKByHash
+    // the sketch is a TypedImperativeAggregate with a real merge, so
+    // the SAME kmvDistinct column runs as a stateful streaming
+    // aggregate: state = the O(k) buffer, merged per micro-batch
+    val b1 = (0 until 60).map(i => ("a", (i % 37).toLong)) ++
+      (0 until 30).map(i => ("b", (i % 5).toLong))
+    val b2 = (0 until 60).map(i => ("a", (i % 53).toLong)) :+ (("b", 9L))
+    val mem = MemoryStream[(String, Long)]
+    val q = mem.toDF().toDF("g", "k")
+      .groupBy("g").agg(BottomKByHash.kmvDistinct(col("k"), 8).as("ndv"))
+      .writeStream.format("memory").queryName("kmv_sink")
+      .outputMode("complete").start()
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("kmv_sink").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val batch = (b1 ++ b2).toDF("g", "k")
+      .groupBy("g").agg(BottomKByHash.kmvDistinct(col("k"), 8).as("ndv"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == batch)
+    // group b stayed under k=8 across both batches → exact count
+    assert(got("b") == 6.0)
+    // group a crossed k → the estimator branch, carried across batches
+    assert(got("a") != 53.0 && got("a") > 8.0)
+  }
+
   test("checkpoint: restarting the same source does not duplicate rows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
