@@ -3,7 +3,7 @@ package graft.functions
 import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.{Column, GraftSqlShims}
-import org.apache.spark.sql.functions.{conv, element_at, lit, md5, size, substring, when}
+import org.apache.spark.sql.functions.{element_at, lit, size, when}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
@@ -32,6 +32,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * keys are skipped.
   */
 case class BottomKByHash(child: Expression, key: Expression, k: Int,
+    valueFromHash: Boolean = false,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.TreeMap[String, Double]]
     with BinaryLike[Expression] with Serializable {
@@ -83,12 +84,36 @@ case class BottomKByHash(child: Expression, key: Expression, k: Int,
     else if (h < m.lastKey()) { m.remove(m.lastKey()); m.put(h, v): Unit }
   }
 
+  // The [[BottomKByHash.kmvDistinct]] fast path: the sampled VALUE is
+  // the 48-bit fraction of the ordering digest itself, so one md5 per
+  // row serves both roles (the separate codegen'd conv(md5(...)) child
+  // would hash every key a second time). First 12 nibbles / 2^48 —
+  // digit-identical to the conv formulation the oracle re-derives.
+  private def fracOfHex(h: String): Double = {
+    var acc = 0L
+    var i = 0
+    while (i < 12) {
+      val c = h.charAt(i)
+      acc = (acc << 4) | (if (c <= '9') c - '0' else c - 'a' + 10)
+      i += 1
+    }
+    acc.toDouble / 281474976710656.0 // 2^48
+  }
+
   override def update(m: java.util.TreeMap[String, Double],
       input: InternalRow): java.util.TreeMap[String, Double] = {
-    val v = child.eval(input)
-    val ky = key.eval(input)
-    if (v != null && ky != null) {
-      insert(m, md5Hex(ky.toString), v.asInstanceOf[Double])
+    if (valueFromHash) {
+      val ky = key.eval(input)
+      if (ky != null) {
+        val h = md5Hex(ky.toString)
+        insert(m, h, fracOfHex(h))
+      }
+    } else {
+      val v = child.eval(input)
+      val ky = key.eval(input)
+      if (v != null && ky != null) {
+        insert(m, md5Hex(ky.toString), v.asInstanceOf[Double])
+      }
     }
     m
   }
@@ -180,9 +205,13 @@ object BottomKByHash {
     */
   def kmvDistinct(key: Column, k: Int): Column = {
     val ks = key.cast("string")
-    val frac = conv(substring(md5(ks), 1, 12), 16, 10).cast("double") /
-      lit(281474976710656.0) // 2^48
-    val sk = apply(frac, ks, k)
+    // valueFromHash: the sketch derives the fraction from its own
+    // ordering digest — ONE md5 per row, not two (a conv(md5(...))
+    // child would re-hash every key), and nothing to codegen upstream
+    val sk = GraftSqlShims.column(BottomKByHash(
+      GraftSqlShims.expression(lit(0.0)),
+      GraftSqlShims.expression(ks), k, valueFromHash = true)
+      .toAggregateExpression())
     when(size(sk) < k, size(sk).cast("double"))
       .otherwise(lit((k - 1).toDouble) / element_at(sk, k))
   }
