@@ -657,6 +657,39 @@ object Corpus {
           && coalesce(col("ns"), lit(0)) === 0).as("admitted"))
   }
 
+  /** The FULL production day-2 admission rule — [[day2Ingest]]'s
+    * gate + both delta dedup families, COMPOSED with
+    * external-benchmark [[decontaminate]]: a new document is admitted
+    * iff it clears the gopher gate, is nobody's near-dup (first-claim
+    * rule), AND shares no `shingleN`-shingle with the eval suite.
+    * Contamination is counted over the WHOLE batch (a gate-rejected
+    * doc still reports its `n_contaminated` — the audit row a
+    * pipeline operator wants to see), then folded into `admitted`.
+    *
+    * Scale shape: inherits [[day2Ingest]]'s delta joins (old×old
+    * pruned in-join) plus [[decontaminate]]'s broadcast benchmark
+    * index — per-run cost still tracks batch fan-out, never corpus
+    * pair space.
+    *
+    * @return (doc_id, gate_keep, n_dup_jaccard, n_dup_simhash,
+    *         n_contaminated, admitted) — one row per batch doc
+    */
+  def day2Admit(docs: DataFrame, isNewId: Column => Column,
+      bench: DataFrame, jaccardThreshold: Double = 0.3,
+      maxHamming: Int = 3, shingleN: Int = 8): DataFrame = {
+    val base = day2Ingest(docs, isNewId, jaccardThreshold, maxHamming)
+    val cont = decontaminate(docs.where(isNewId(col("doc_id"))), bench,
+        shingleN)
+      .select(col("doc_id"),
+        col("n_contaminated").cast("int").as("n_contaminated"))
+    base.join(cont, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("gate_keep"), col("n_dup_jaccard"),
+        col("n_dup_simhash"),
+        coalesce(col("n_contaminated"), lit(0)).as("n_contaminated"),
+        (col("admitted") &&
+          coalesce(col("n_contaminated"), lit(0)) === 0).as("admitted"))
+  }
+
   def decontaminate(docs: DataFrame, benchEvery: Int = 50, n: Int = 8): DataFrame =
     decontaminate(docs.filter(col("doc_id") % benchEvery =!= 0),
       docs.filter(col("doc_id") % benchEvery === 0), n)

@@ -69,11 +69,108 @@ object CorpusPack extends QueryPack {
     // rule. Verifies the incremental corpus story end-to-end the way
     // q92 verifies the batch story.
     "q108_day2_ingest" -> ((s, d) =>
-      Corpus.day2Ingest(t("documents")(s, d), id => id % 3 === 0)))
+      Corpus.day2Ingest(t("documents")(s, d), id => id % 3 === 0)),
+    // The FULL admission rule: q108's gate + delta dedup COMPOSED
+    // with external-benchmark decontamination (eval suite = the
+    // old-corpus docs with doc_id % 5 = 0, handed in as its own
+    // frame). admitted now also requires zero benchmark-shared
+    // 8-shingles.
+    "q131_day2_admission" -> ((s, d) => {
+      val docs = t("documents")(s, d)
+      Corpus.day2Admit(docs, id => id % 3 === 0,
+        docs.where(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 0))
+    }))
 
   private val tokCte =
     """tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
       |        FROM documents)""".stripMargin
+
+  /** Shared CTE block of the day-2 oracles (q108/q131): gopher gate
+    * over the batch third, ALL-PAIRS Jaccard + simhash over
+    * corpus ∪ gated-batch filtered to delta pairs, the rejection
+    * counts, and the batch spine.
+    */
+  private lazy val day2Ctes: String = {
+    val stopCond = TextOps.stopwords.map(s => s"x = '$s'").mkString(" OR ")
+    val bits = Dedup.simhashBits
+    s"""tok AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |idx0 AS (SELECT doc_id, generate_subscripts(w, 1) AS i, w FROM tok),
+         |g0 AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+         |       FROM idx0 WHERE i + 1 <= len(w)),
+         |counts0 AS (SELECT doc_id, g, count(*) AS c FROM g0 GROUP BY 1, 2),
+         |agg0 AS (SELECT doc_id, sum(c) AS n_grams, count(*) AS n_distinct,
+         |           max(c) AS max_c
+         |         FROM counts0 GROUP BY 1),
+         |gkeep AS MATERIALIZED (
+         |  SELECT doc_id FROM (
+         |    SELECT t.doc_id,
+         |           CAST(len(w) AS INTEGER) AS n_tokens,
+         |           round(CAST(list_sum(list_transform(w, x -> len(x)))
+         |                   AS DOUBLE) / len(w), 4) AS avg_token_len,
+         |           round(CAST(len(list_filter(w, x -> $stopCond)) AS DOUBLE)
+         |                 / len(w), 4) AS stop_ratio,
+         |           round(CAST(n_grams - n_distinct AS DOUBLE) / n_grams, 4)
+         |             AS dup_frac,
+         |           round(CAST(max_c AS DOUBLE) / n_grams, 4) AS top_frac
+         |    FROM tok t LEFT JOIN agg0 USING (doc_id))
+         |  WHERE n_tokens >= 20 AND n_tokens <= 90
+         |    AND avg_token_len >= CAST(3 AS DOUBLE)
+         |    AND avg_token_len <= CAST(10 AS DOUBLE)
+         |    AND stop_ratio > CAST(0 AS DOUBLE)
+         |    AND coalesce(dup_frac <= CAST(0.1 AS DOUBLE)
+         |          AND top_frac <= CAST(0.1 AS DOUBLE), true)),
+         |world AS MATERIALIZED (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+         |  UNION ALL
+         |  SELECT d.doc_id, d.text FROM documents d JOIN gkeep USING (doc_id)),
+         |wtok AS MATERIALIZED (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+         |  FROM world),
+         |widx AS (SELECT doc_id, generate_subscripts(w, 1) AS i, w FROM wtok),
+         |wsh AS (SELECT DISTINCT doc_id,
+         |          w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |        FROM widx WHERE i + 2 <= len(w)),
+         |wsizes AS (SELECT doc_id, count(*) AS n_sh FROM wsh GROUP BY 1),
+         |jpairs AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+         |  FROM wsh a JOIN wsh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jj AS (
+         |  SELECT da, db FROM (
+         |    SELECT da, db, round(CAST(common AS DOUBLE) /
+         |             (x.n_sh + y.n_sh - common), 4) AS jaccard
+         |    FROM jpairs JOIN wsizes x ON da = x.doc_id
+         |                JOIN wsizes y ON db = y.doc_id)
+         |  WHERE jaccard >= 0.3 AND (da % 3 = 0 OR db % 3 = 0)),
+         |wt2 AS (SELECT doc_id, unnest(w) AS tk FROM wtok),
+         |wh AS (SELECT doc_id, md5(tk) AS h FROM wt2),
+         |wc AS (SELECT doc_id,
+         |    ${OracleSql.simhashCols}
+         |  FROM wh GROUP BY doc_id),
+         |wf AS (SELECT doc_id, ${OracleSql.simhashConcat} AS simhash FROM wc),
+         |sp AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db,
+         |         CAST(list_sum(list_transform(range(1, ${bits + 1}),
+         |           i -> CASE WHEN substr(a.simhash, CAST(i AS INT), 1)
+         |                       <> substr(b.simhash, CAST(i AS INT), 1)
+         |                THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
+         |  FROM wf a JOIN wf b ON a.doc_id < b.doc_id),
+         |ss AS (SELECT da, db FROM sp
+         |       WHERE hamming <= 3 AND (da % 3 = 0 OR db % 3 = 0)),
+         |jrej AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n FROM (
+         |           SELECT db AS doc_id FROM jj WHERE db % 3 = 0
+         |           UNION ALL
+         |           SELECT da FROM jj WHERE da % 3 = 0 AND db % 3 <> 0)
+         |         GROUP BY 1),
+         |srej AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n FROM (
+         |           SELECT db AS doc_id FROM ss WHERE db % 3 = 0
+         |           UNION ALL
+         |           SELECT da FROM ss WHERE da % 3 = 0 AND db % 3 <> 0)
+         |         GROUP BY 1),
+         |batch AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q77_chunking" ->
@@ -423,86 +520,8 @@ object CorpusPack extends QueryPack {
     // corpus ∪ gated-batch filtered to delta pairs — so a delta join
     // that dropped old-side candidates (or kept old×old pairs) cannot
     // agree — then the first-claim admission rule.
-    "q108_day2_ingest" -> {
-      val stopCond = TextOps.stopwords.map(s => s"x = '$s'").mkString(" OR ")
-      val bits = Dedup.simhashBits
-      s"""WITH tok AS (
-         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
-         |  FROM documents WHERE doc_id % 3 = 0),
-         |idx0 AS (SELECT doc_id, generate_subscripts(w, 1) AS i, w FROM tok),
-         |g0 AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
-         |       FROM idx0 WHERE i + 1 <= len(w)),
-         |counts0 AS (SELECT doc_id, g, count(*) AS c FROM g0 GROUP BY 1, 2),
-         |agg0 AS (SELECT doc_id, sum(c) AS n_grams, count(*) AS n_distinct,
-         |           max(c) AS max_c
-         |         FROM counts0 GROUP BY 1),
-         |gkeep AS MATERIALIZED (
-         |  SELECT doc_id FROM (
-         |    SELECT t.doc_id,
-         |           CAST(len(w) AS INTEGER) AS n_tokens,
-         |           round(CAST(list_sum(list_transform(w, x -> len(x)))
-         |                   AS DOUBLE) / len(w), 4) AS avg_token_len,
-         |           round(CAST(len(list_filter(w, x -> $stopCond)) AS DOUBLE)
-         |                 / len(w), 4) AS stop_ratio,
-         |           round(CAST(n_grams - n_distinct AS DOUBLE) / n_grams, 4)
-         |             AS dup_frac,
-         |           round(CAST(max_c AS DOUBLE) / n_grams, 4) AS top_frac
-         |    FROM tok t LEFT JOIN agg0 USING (doc_id))
-         |  WHERE n_tokens >= 20 AND n_tokens <= 90
-         |    AND avg_token_len >= CAST(3 AS DOUBLE)
-         |    AND avg_token_len <= CAST(10 AS DOUBLE)
-         |    AND stop_ratio > CAST(0 AS DOUBLE)
-         |    AND coalesce(dup_frac <= CAST(0.1 AS DOUBLE)
-         |          AND top_frac <= CAST(0.1 AS DOUBLE), true)),
-         |world AS MATERIALIZED (
-         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
-         |  UNION ALL
-         |  SELECT d.doc_id, d.text FROM documents d JOIN gkeep USING (doc_id)),
-         |wtok AS MATERIALIZED (
-         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
-         |  FROM world),
-         |widx AS (SELECT doc_id, generate_subscripts(w, 1) AS i, w FROM wtok),
-         |wsh AS (SELECT DISTINCT doc_id,
-         |          w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-         |        FROM widx WHERE i + 2 <= len(w)),
-         |wsizes AS (SELECT doc_id, count(*) AS n_sh FROM wsh GROUP BY 1),
-         |jpairs AS (
-         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
-         |  FROM wsh a JOIN wsh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |jj AS (
-         |  SELECT da, db FROM (
-         |    SELECT da, db, round(CAST(common AS DOUBLE) /
-         |             (x.n_sh + y.n_sh - common), 4) AS jaccard
-         |    FROM jpairs JOIN wsizes x ON da = x.doc_id
-         |                JOIN wsizes y ON db = y.doc_id)
-         |  WHERE jaccard >= 0.3 AND (da % 3 = 0 OR db % 3 = 0)),
-         |wt2 AS (SELECT doc_id, unnest(w) AS tk FROM wtok),
-         |wh AS (SELECT doc_id, md5(tk) AS h FROM wt2),
-         |wc AS (SELECT doc_id,
-         |    ${OracleSql.simhashCols}
-         |  FROM wh GROUP BY doc_id),
-         |wf AS (SELECT doc_id, ${OracleSql.simhashConcat} AS simhash FROM wc),
-         |sp AS (
-         |  SELECT a.doc_id AS da, b.doc_id AS db,
-         |         CAST(list_sum(list_transform(range(1, ${bits + 1}),
-         |           i -> CASE WHEN substr(a.simhash, CAST(i AS INT), 1)
-         |                       <> substr(b.simhash, CAST(i AS INT), 1)
-         |                THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
-         |  FROM wf a JOIN wf b ON a.doc_id < b.doc_id),
-         |ss AS (SELECT da, db FROM sp
-         |       WHERE hamming <= 3 AND (da % 3 = 0 OR db % 3 = 0)),
-         |jrej AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n FROM (
-         |           SELECT db AS doc_id FROM jj WHERE db % 3 = 0
-         |           UNION ALL
-         |           SELECT da FROM jj WHERE da % 3 = 0 AND db % 3 <> 0)
-         |         GROUP BY 1),
-         |srej AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n FROM (
-         |           SELECT db AS doc_id FROM ss WHERE db % 3 = 0
-         |           UNION ALL
-         |           SELECT da FROM ss WHERE da % 3 = 0 AND db % 3 <> 0)
-         |         GROUP BY 1),
-         |batch AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
+    "q108_day2_ingest" ->
+      s"""WITH $day2Ctes
          |SELECT b.doc_id,
          |       g.doc_id IS NOT NULL AS gate_keep,
          |       coalesce(j.n, 0) AS n_dup_jaccard,
@@ -512,8 +531,45 @@ object CorpusPack extends QueryPack {
          |FROM batch b
          |LEFT JOIN gkeep g USING (doc_id)
          |LEFT JOIN jrej j USING (doc_id)
-         |LEFT JOIN srej s USING (doc_id)""".stripMargin
-    },
+         |LEFT JOIN srej s USING (doc_id)""".stripMargin,
+
+    // q108's CTEs + the q81-style benchmark shingle join: the eval
+    // suite is the old-corpus % 5 carve-out, contamination = distinct
+    // shared 8-shingles per batch doc, folded into `admitted`.
+    "q131_day2_admission" ->
+      s"""WITH $day2Ctes,
+         |btok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+')
+         |           AS w
+         |         FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 5 = 0),
+         |bbidx AS (SELECT doc_id, generate_subscripts(w, 1) AS i, w
+         |          FROM btok),
+         |bsh AS (SELECT DISTINCT doc_id AS bench_id,
+         |          w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+         |            || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6]
+         |            || ' ' || w[i+7] AS s
+         |        FROM bbidx WHERE i + 7 <= len(w)),
+         |nidx AS (SELECT doc_id, generate_subscripts(w, 1) AS i, w FROM tok),
+         |nsh AS (SELECT DISTINCT doc_id,
+         |          w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+         |            || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6]
+         |            || ' ' || w[i+7] AS s
+         |        FROM nidx WHERE i + 7 <= len(w)),
+         |cont AS (SELECT n.doc_id,
+         |           CAST(count(DISTINCT n.s) AS INTEGER) AS n
+         |         FROM nsh n JOIN bsh b ON n.s = b.s GROUP BY 1)
+         |SELECT b.doc_id,
+         |       g.doc_id IS NOT NULL AS gate_keep,
+         |       coalesce(j.n, 0) AS n_dup_jaccard,
+         |       coalesce(s.n, 0) AS n_dup_simhash,
+         |       coalesce(c.n, 0) AS n_contaminated,
+         |       g.doc_id IS NOT NULL AND coalesce(j.n, 0) = 0
+         |         AND coalesce(s.n, 0) = 0 AND coalesce(c.n, 0) = 0
+         |         AS admitted
+         |FROM batch b
+         |LEFT JOIN gkeep g USING (doc_id)
+         |LEFT JOIN jrej j USING (doc_id)
+         |LEFT JOIN srej s USING (doc_id)
+         |LEFT JOIN cont c USING (doc_id)""".stripMargin,
 
     // Re-derives shard = md5 high 16 bits mod 8 and the in-shard md5
     // order; hex ordering is plain byte order in both engines.

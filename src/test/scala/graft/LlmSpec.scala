@@ -116,6 +116,34 @@ class LlmSpec extends AnyFunSuite {
     assert(gk15 && (nj15 >= 1 || ns15 >= 1) && !adm15, s"doc 15: ${out(15L)}")
   }
 
+  test("day-2 admission: contamination alone rejects an otherwise-clean doc") {
+    import spark.implicits._
+    def mk(p: String) = "the " + (1 to 23).map(i => f"$p$i%02d").mkString(" ")
+    // batch doc 3 embeds an 8-token run from bench doc 10 (no other
+    // overlap: distinct vocab prefixes → no jaccard/simhash dup); batch
+    // doc 6 is fully clean. bench = old docs with doc_id % 5 = 0.
+    val run = (1 to 8).map(i => f"evl$i%02d").mkString(" ")
+    val contaminated = "the " + run + " " +
+      (1 to 15).map(i => f"mix$i%02d").mkString(" ")
+    val sample = Seq(
+      (1L, "en", mk("cor")),            // corpus, not bench
+      (10L, "en", "the " + run + " " +  // corpus AND bench (10 % 5 == 0)
+        (1 to 15).map(i => f"bnk$i%02d").mkString(" ")),
+      (3L, "en", contaminated),         // batch: contaminated only
+      (6L, "en", mk("cln")))            // batch: fully clean
+      .toDF("doc_id", "lang", "text")
+    val out = Corpus.day2Admit(sample, id => id % 3 === 0,
+        sample.where(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 0))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getInt(2), r.getInt(3), r.getInt(4),
+          r.getBoolean(5)))).toMap
+    assert(out.keySet == Set(3L, 6L))
+    val (gk3, nj3, ns3, nc3, adm3) = out(3L)
+    assert(gk3 && nj3 == 0 && nc3 >= 1 && !adm3, s"doc 3: ${out(3L)}")
+    val _ = ns3 // hamming proximity to the bench doc is incidental
+    assert(out(6L) == ((true, 0, 0, 0, true)), s"doc 6: ${out(6L)}")
+  }
+
   test("winnowing: unaligned 8-token shared substring always pairs") {
     import spark.implicits._
     // the winnowing guarantee: any shared substring of w+k-1 = 8
