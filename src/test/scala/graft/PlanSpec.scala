@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.aggregate.Partial
+import org.apache.spark.sql.execution.{ExpandExec, FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression gates for the scale-critical physical plans:
+  * the properties that make a query survive 100× data (pushed scans,
+  * broadcast joins, map-side partial sketches, no Expand replication)
+  * are asserted STRUCTURALLY on the pre-AQE physical plan — so a
+  * refactor that silently de-optimizes a plan fails the suite even
+  * though every value stays correct.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** The physical plan WITH exchanges planned (executedPlan after
+    * EnsureRequirements), AQE off so the tree is inspectable without
+    * running the query.
+    */
+  private def plan(q: String): SparkPlan = {
+    val before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", before)
+  }
+
+  test("q02: predicates reach the parquet scan, columns are pruned") {
+    val scans = plan("q02_filter_project")
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    val pushed = scans.head.metadata("PushedFilters")
+    assert(pushed != "[]" && pushed.contains("l_shipdate"), pushed)
+    // 4 projected + 3 filter-only columns, never the 11-column table
+    assert(scans.head.output.length <= 7,
+      scans.head.output.map(_.name).mkString(","))
+  }
+
+  test("q03: the dim join is broadcast, not sort-merge") {
+    val p = plan("q03_join_broadcast")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty)
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty)
+  }
+
+  test("q127: the kmv sketch partially aggregates map-side") {
+    val partials = plan("q127_kmv_distinct").collect {
+      case a: ObjectHashAggregateExec if a.aggregateExpressions.exists(e =>
+        e.mode == Partial &&
+          e.aggregateFunction.isInstanceOf[graft.functions.BottomKByHash]) => a
+    }
+    // both branches (sources, shingles) must combine before their
+    // exchange — a sketch that only aggregates post-shuffle would ship
+    // every raw row to one reducer per language
+    assert(partials.length >= 2, s"partial sketch aggs: ${partials.length}")
+  }
+
+  test("q128: one shuffle; the threshold table joins via broadcast") {
+    val p = plan("q128_quality_gate")
+    assert(p.collect { case e: ShuffleExchangeExec => e }.length == 1)
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty)
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty)
+  }
+
+  test("q129 profiles without Expand; exact q84 keeps it (the contrast)") {
+    // multi-countDistinct pays an Expand (|cols|+1× row replication);
+    // the sketch profile must not
+    assert(plan("q84_profile").collect { case e: ExpandExec => e }.nonEmpty)
+    val p = plan("q129_profile_sketch")
+    assert(p.collect { case e: ExpandExec => e }.isEmpty)
+    assert(p.collect { case e: ShuffleExchangeExec => e }.length == 1)
+  }
+}
