@@ -238,6 +238,22 @@ object LlmPack extends QueryPack {
     // md5-hash u makes even the random draw oracle-checkable.
     "q130_weighted_sample" -> ((s, d) =>
       graft.llm.Corpus.weightedSample(t("documents")(s, d))),
+    // Count-min-as-a-DataFrame: trigram occurrences pressed into a
+    // fixed 4×64 coordinate grid (≤ d·w rows regardless of key
+    // cardinality), then the exact top-20 grams probed back — output
+    // carries exact count AND the CM upper bound, both oracle-gated.
+    "q132_cms_counts" -> ((s, d) => {
+      import graft.functions.CountMinFrame
+      val grams = TextOps.spread(
+          t("documents")(s, d).where(col("text").isNotNull))
+        .select(explode(TextOps.shingleMultiset(
+          TextOps.tokens(col("text")), 3)).as("gram"))
+      val cm = CountMinFrame.sketch(grams, col("gram"), lit(1L))
+      val top = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("gram")).limit(20)
+      CountMinFrame.estimate(top, col("gram"), cm)
+        .select(col("gram"), col("cnt"), col("cm_est"))
+    }),
     "q127_kmv_distinct" -> ((s, d) => {
       val base = TextOps.spread(t("documents")(s, d))
       val perLang = base.groupBy(col("lang")).agg(
@@ -1260,6 +1276,32 @@ object LlmPack extends QueryPack {
          |FROM (SELECT *, row_number() OVER (PARTITION BY lang
          |        ORDER BY rank_key DESC, doc_id) AS rk FROM k)
          |WHERE rk <= 50""".stripMargin
+    },
+
+    // The sketch grid and the minima re-derived exactly: same 4 row
+    // salts, same md5-high-16 mod 64 buckets, same per-cell sums, same
+    // (cnt desc, gram) top-20 total order.
+    "q132_cms_counts" -> {
+      val b = OracleSql.md5High16(
+        "md5(CAST(j AS VARCHAR) || ':' || gram)")
+      s"""WITH $tokCte,
+         |idx AS (SELECT doc_id, generate_subscripts(w, 1) AS i, w FROM tok),
+         |g AS (SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+         |      FROM idx WHERE i + 2 <= len(w)),
+         |counts AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1),
+         |js AS (SELECT unnest(range(4)) AS j),
+         |cells AS (SELECT j, CAST(($b) % 64 AS INTEGER) AS b,
+         |            sum(cnt) AS total
+         |          FROM counts CROSS JOIN js GROUP BY 1, 2),
+         |top AS (SELECT gram, cnt FROM counts
+         |        ORDER BY cnt DESC, gram LIMIT 20)
+         |SELECT t.gram, t.cnt, CAST(min(c.total) AS BIGINT) AS cm_est
+         |FROM top t CROSS JOIN js
+         |JOIN cells c ON c.j = js.j
+         |  AND c.b = CAST((${OracleSql.md5High16(
+              "md5(CAST(js.j AS VARCHAR) || ':' || t.gram)")}) % 64
+              AS INTEGER)
+         |GROUP BY 1, 2""".stripMargin
     },
 
     // The KMV estimator re-derived to the bit: distinct keys ranked by

@@ -134,4 +134,31 @@ class AnalyticsSpec extends AnyFunSuite {
       .toDF("id", "v"))
     assert(est(withNulls, 1024) == 700.0)
   }
+
+  test("count-min frame: bounded grid, exact without collisions, mergeable") {
+    import spark.implicits._
+    import graft.functions.CountMinFrame
+    val keys = (0 until 1000).map(i => s"k${i % 10}").toDF("k")
+    val cm = CountMinFrame.sketch(keys, col("k"), lit(1L), d = 4, w = 256)
+    assert(cm.count() <= 4L * 256)
+    val probes = (0 until 10).map(i => s"k$i").toDF("k")
+    val est = CountMinFrame.estimate(probes, col("k"), cm, d = 4, w = 256)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 10 keys in 256 buckets × 4 rows: every key has a collision-free
+    // cell, so the CM upper bound is exactly the true count (md5 is
+    // fixed — this is a deterministic property of the fixture, not luck)
+    (0 until 10).foreach(i => assert(est(s"k$i") == 100L, s"k$i: $est"))
+    // mergeable: two half-sketches unioned and re-summed == one pass
+    val a = CountMinFrame.sketch((0 until 500).map(i => s"k${i % 10}")
+      .toDF("k"), col("k"), lit(1L), d = 4, w = 256)
+    val b = CountMinFrame.sketch((500 until 1000).map(i => s"k${i % 10}")
+      .toDF("k"), col("k"), lit(1L), d = 4, w = 256)
+    val merged = a.unionByName(b).groupBy("cm_row", "cm_bucket")
+      .agg(sum("cm_count").as("cm_count"))
+    assert(merged.collect().toSet == cm.collect().toSet)
+    // partition invariance of the one-pass build
+    val cm2 = CountMinFrame.sketch(keys.repartition(13, col("k")),
+      col("k"), lit(1L), d = 4, w = 256)
+    assert(cm2.collect().toSet == cm.collect().toSet)
+  }
 }
