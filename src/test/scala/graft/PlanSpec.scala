@@ -65,6 +65,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty)
   }
 
+  test("q132: the cm-estimate join broadcasts the bounded grid") {
+    val p = plan("q132_cms_counts")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty)
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty)
+  }
+
   test("q129 profiles without Expand; exact q84 keeps it (the contrast)") {
     // multi-countDistinct pays an Expand (|cols|+1× row replication);
     // the sketch profile must not

@@ -134,6 +134,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got("a") != 53.0 && got("a") > 8.0)
   }
 
+  test("streaming count-min grid across micro-batches == batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.functions.CountMinFrame
+    // the grid build is groupBy+sum over fixed coordinates, so it runs
+    // as a stateful streaming aggregate with O(d·w) state per group set
+    val b1 = (0 until 300).map(i => s"k${i % 7}")
+    val b2 = (0 until 200).map(i => s"k${i % 11}")
+    val mem = MemoryStream[String]
+    val q = CountMinFrame.sketch(mem.toDF().toDF("k"), col("k"), lit(1L),
+        d = 4, w = 64)
+      .writeStream.format("memory").queryName("cms_sink")
+      .outputMode("complete").start()
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("cms_sink").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val batch = CountMinFrame.sketch((b1 ++ b2).toDF("k"), col("k"),
+        lit(1L), d = 4, w = 64)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == batch && got.nonEmpty)
+  }
+
   test("checkpoint: restarting the same source does not duplicate rows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
