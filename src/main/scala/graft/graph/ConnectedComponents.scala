@@ -90,4 +90,45 @@ object ConnectedComponents {
     nodes.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
+
+  /** INCREMENTAL connected components — the day-2 refresh: given the
+    * standing labels of yesterday's graph (`prior`: (id, component),
+    * component = min id of the old component — [[run]]'s own output
+    * contract) and ONLY the new edges, produce labels equal to a full
+    * recompute over old ∪ new — without iterating the old graph.
+    *
+    * GRAPH CONTRACTION, the provably-equivalent formulation: every
+    * new-edge endpoint maps to its representative (its prior label if
+    * it has one, else itself — reps ARE their cluster's min id by
+    * [[run]]'s contract), [[run]] clusters the CONTRACTED graph (≤
+    * 2·|new edges| nodes, however large the accumulated graph), and
+    * the result expands back through the prior labels with one
+    * id-keyed join. Contraction preserves connectivity exactly, and
+    * chained merges (A–B via one new edge, B–C via another) resolve
+    * inside the contracted CC — no one-hop remap approximation.
+    *
+    * @return (id, component) over `nodes`, identical to a full [[run]]
+    */
+  def runIncremental(nodes: DataFrame, newEdges: DataFrame,
+      prior: DataFrame, maxIters: Int = 50): DataFrame = {
+    val pri = prior.select(col("id"), col("component"))
+    val contracted = newEdges
+      .join(pri.select(col("id").as("a"), col("component").as("pa")),
+        Seq("a"), "left")
+      .join(pri.select(col("id").as("b"), col("component").as("pb")),
+        Seq("b"), "left")
+      .select(coalesce(col("pa"), col("a")).as("a"),
+        coalesce(col("pb"), col("b")).as("b"))
+    val reps = contracted.select(col("a").as("id"))
+      .unionByName(contracted.select(col("b").as("id"))).distinct()
+    // rep → merged component over the contracted graph; each rep is
+    // its old cluster's min id (or a new node's own id), so the
+    // contracted minimum IS the global minimum of the merged component
+    val merged = run(reps, contracted, maxIters)
+      .select(col("id").as("rep"), col("component").as("mc"))
+    nodes.join(pri, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("rep"))
+      .join(merged, Seq("rep"), "left")
+      .select(col("id"), coalesce(col("mc"), col("rep")).as("component"))
+  }
 }

@@ -456,6 +456,35 @@ object Dedup {
         (col("doc_id") === col("cluster")).as("is_canonical"))
   }
 
+  /** DAY-2 near-dup clusters — [[dupClusters]]' incremental form:
+    * standing labels (clustered over the OLD corpus only) plus ONLY
+    * the delta pairs (old×old candidates pruned inside the band
+    * join), reconciled by [[graft.graph.ConnectedComponents
+    * .runIncremental]] — output IDENTICAL to a full recompute over
+    * the whole corpus (every full-graph edge is either old×old,
+    * already folded into the prior labels, or involves a new doc and
+    * rides the delta), while the iterated frame tracks new-batch
+    * fan-out instead of accumulated corpus size.
+    */
+  def dupClustersDelta(docs: DataFrame, isNewId: Column => Column,
+      maxHamming: Int = 3, maxIters: Int = 50,
+      bits: Int = simhashBits): DataFrame = {
+    val prior = dupClusters(docs.where(!isNewId(col("doc_id"))),
+        maxHamming, maxIters, bits)
+      .select(col("doc_id").as("id"), col("cluster").as("component"))
+    val delta = simhashPairsDelta(docs, isNewId(col("doc_id")),
+        maxHamming, bits)
+      .select(col("da").as("a"), col("db").as("b"))
+    val labels = graft.graph.ConnectedComponents.runIncremental(
+        docs.select(col("doc_id").as("id")), delta, prior, maxIters)
+      .select(col("id").as("doc_id"), col("component").as("cluster"))
+    val sizes = labels.groupBy("cluster")
+      .agg(count(lit(1)).cast("int").as("cluster_size"))
+    labels.join(sizes, "cluster")
+      .select(col("doc_id"), col("cluster"), col("cluster_size"),
+        (col("doc_id") === col("cluster")).as("is_canonical"))
+  }
+
   /** The payoff of clustering: near-dup dedup that keeps the BEST
     * document per cluster instead of the lowest id — the corpus a
     * training pipeline actually trains on. Composes [[dupClusters]]

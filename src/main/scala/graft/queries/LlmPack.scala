@@ -140,6 +140,12 @@ object LlmPack extends QueryPack {
     // re-derives the components with a recursive reachability CTE.
     "q82_dup_clusters" -> ((s, d) =>
       Dedup.dupClusters(t("documents")(s, d))),
+    // q82's INCREMENTAL form: standing labels over the old two-thirds
+    // + only the delta pairs, reconciled by incremental CC. Output is
+    // required to be IDENTICAL to the full recompute, so it shares
+    // q82's oracle verbatim (the q107/q68 identical-answer pattern).
+    "q133_day2_clusters" -> ((s, d) =>
+      Dedup.dupClustersDelta(t("documents")(s, d), id => id % 3 === 0)),
     "q83_repetition" -> ((s, d) =>
       TextOps.repetitionStats(t("documents")(s, d))),
     // Cluster-canonical dedup: keep the highest-quality doc per
@@ -517,6 +523,29 @@ object LlmPack extends QueryPack {
 
   private lazy val simhashPairCtes = simhashPairCtesN(Dedup.simhashBits)
 
+  /** Recursive-reachability cluster derivation — shared by q82 (full
+    * recompute) and q133 (incremental engine path, same required
+    * answer).
+    */
+  private lazy val dupClustersOracle: String =
+    s"""WITH RECURSIVE $simhashPairCtes,
+       |prs AS MATERIALIZED (SELECT da, db FROM p WHERE hamming <= 3),
+       |edges AS MATERIALIZED (
+       |  SELECT da AS src, db AS dst FROM prs
+       |  UNION ALL
+       |  SELECT db AS src, da AS dst FROM prs),
+       |reach AS (
+       |  SELECT doc_id AS v, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT e.dst AS v, re.r AS r
+       |  FROM reach re JOIN edges e ON e.src = re.v),
+       |cc AS (SELECT v AS doc_id, min(r) AS cluster FROM reach GROUP BY 1),
+       |cs AS (SELECT cluster, CAST(count(*) AS INTEGER) AS cluster_size
+       |       FROM cc GROUP BY 1)
+       |SELECT c.doc_id, c.cluster, s.cluster_size,
+       |       c.doc_id = c.cluster AS is_canonical
+       |FROM cc c JOIN cs s USING (cluster)""".stripMargin
+
   /** Shared oracle CTEs: the md5-uniform split derivation (q114's
     * formula) as `sp(doc_id, split)` — q115/q121/q122 join their pair
     * families against it.
@@ -866,24 +895,10 @@ object LlmPack extends QueryPack {
     // reaches itself plus anything across near-dup edges; cluster =
     // min reachable id. MATERIALIZED on the CTEs the recursive half
     // re-reads (DuckDB re-evaluates plain CTEs per iteration).
-    "q82_dup_clusters" ->
-      s"""WITH RECURSIVE $simhashPairCtes,
-         |prs AS MATERIALIZED (SELECT da, db FROM p WHERE hamming <= 3),
-         |edges AS MATERIALIZED (
-         |  SELECT da AS src, db AS dst FROM prs
-         |  UNION ALL
-         |  SELECT db AS src, da AS dst FROM prs),
-         |reach AS (
-         |  SELECT doc_id AS v, doc_id AS r FROM documents
-         |  UNION
-         |  SELECT e.dst AS v, re.r AS r
-         |  FROM reach re JOIN edges e ON e.src = re.v),
-         |cc AS (SELECT v AS doc_id, min(r) AS cluster FROM reach GROUP BY 1),
-         |cs AS (SELECT cluster, CAST(count(*) AS INTEGER) AS cluster_size
-         |       FROM cc GROUP BY 1)
-         |SELECT c.doc_id, c.cluster, s.cluster_size,
-         |       c.doc_id = c.cluster AS is_canonical
-         |FROM cc c JOIN cs s USING (cluster)""".stripMargin,
+    "q82_dup_clusters" -> dupClustersOracle,
+    // Identical answer contract: the incremental path must reproduce
+    // the full recompute, so q133 shares q82's oracle verbatim.
+    "q133_day2_clusters" -> dupClustersOracle,
 
     // Same component derivation as q82, joined with q62's quality
     // formula; the per-cluster winner is row_number() = 1 on

@@ -144,6 +144,42 @@ class LlmSpec extends AnyFunSuite {
     assert(out(6L) == ((true, 0, 0, 0, true)), s"doc 6: ${out(6L)}")
   }
 
+  test("incremental clusters == full recompute; merge remap drags old members") {
+    import spark.implicits._
+    // fixture equivalence: the incremental path must reproduce the
+    // full clustering bit for bit
+    val full = Dedup.dupClusters(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getBoolean(3))))
+      .toSet
+    val inc = Dedup.dupClustersDelta(docs, id => id % 3 === 0).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getBoolean(3))))
+      .toSet
+    assert(inc == full)
+    // handcrafted merge: old clusters {1,4} and {2,7} (near-dup
+    // texts), new doc 3 near-dups BOTH 4 and 7 → one merged component
+    // labeled 1, including the non-active old members
+    import graft.graph.ConnectedComponents
+    val prior = Seq((1L, 1L), (4L, 1L), (2L, 2L), (7L, 2L))
+      .toDF("id", "component")
+    val newEdges = Seq((3L, 4L), (3L, 7L)).toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 7L, 9L).toDF("id")
+    val got = ConnectedComponents.runIncremental(nodes, newEdges, prior)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 1L,
+      9L -> 9L), got.toString)
+    // chained merge through DIFFERENT members of the middle cluster:
+    // A{1,10}–B{2,20} via (10,20), B{2,20}–C{3,30} via (30,2) — every
+    // node of all three old clusters must land on component 1 (this is
+    // the case a one-hop label remap gets wrong)
+    val prior2 = Seq((1L, 1L), (10L, 1L), (2L, 2L), (20L, 2L),
+      (3L, 3L), (30L, 3L)).toDF("id", "component")
+    val edges2 = Seq((10L, 20L), (30L, 2L)).toDF("a", "b")
+    val nodes2 = Seq(1L, 10L, 2L, 20L, 3L, 30L).toDF("id")
+    val got2 = ConnectedComponents.runIncremental(nodes2, edges2, prior2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2.values.toSet == Set(1L), got2.toString)
+  }
+
   test("winnowing: unaligned 8-token shared substring always pairs") {
     import spark.implicits._
     // the winnowing guarantee: any shared substring of w+k-1 = 8
