@@ -380,20 +380,31 @@ object Dedup {
     simhashPairsCore(docs, maxHamming, deltaPred = Some(isNew), bits)
 
   private def simhashPairsCore(docs: DataFrame, maxHamming: Int,
-      deltaPred: Option[Column], bits: Int = simhashBits): DataFrame = {
+      deltaPred: Option[Column], bits: Int = simhashBits): DataFrame =
+    pairsFromFp(fpFrame(docs, bits), maxHamming, deltaPred, bits)
+
+  /** The pair family's fingerprint frame: (doc_id, simhash, fpl) — the
+    * bit string parsed to a long ONCE per doc; candidates then carry
+    * two longs and the verify is bit_count(xor) — scalar codegen, no
+    * per-pair string/array work. toBase −10 reads the 64-bit image as
+    * SIGNED: a 64-bit fingerprint with its top bit set would otherwise
+    * render > Long.MaxValue and the long cast would null it out
+    * (identical value for widths < 64, where the image is positive).
+    * Factored out so composed callers ([[dupClustersDelta]]) derive
+    * BOTH their pair families from one text scan.
+    */
+  private def fpFrame(docs: DataFrame, bits: Int): DataFrame =
+    simhash(docs, bits) // simhash spreads internally
+      .withColumn("fpl", conv(col("simhash"), 2, -10).cast("long"))
+
+  private def pairsFromFp(fpIn: DataFrame, maxHamming: Int,
+      deltaPred: Option[Column], bits: Int): DataFrame = {
     val bandCount = 4
     require(maxHamming < bandCount,
       s"pigeonhole completeness needs maxHamming < $bandCount")
     require(bits % bandCount == 0, s"bits must be a multiple of $bandCount")
     val width = bits / bandCount
-    // parse the bit string to a long ONCE per doc; candidates then carry
-    // two longs and the verify is bit_count(xor) — scalar codegen, no
-    // per-pair string/array work. toBase −10 reads the 64-bit image as
-    // SIGNED: a 64-bit fingerprint with its top bit set would otherwise
-    // render > Long.MaxValue and the long cast would null it out
-    // (identical value for widths < 64, where the image is positive).
-    val fp = simhash(docs, bits) // simhash spreads internally
-      .withColumn("fpl", conv(col("simhash"), 2, -10).cast("long"))
+    val fp = fpIn
     val flagged = deltaPred match {
       case Some(p) => fp.withColumn("nw", p)
       case None => fp
@@ -446,9 +457,19 @@ object Dedup {
       maxIters: Int = 50, bits: Int = simhashBits): DataFrame = {
     val pairs = simhashPairs(docs, maxHamming, bits)
       .select(col("da").as("a"), col("db").as("b"))
-    val labels = graft.graph.ConnectedComponents
+    decorateClusters(clusterLabels(docs, pairs, maxIters))
+  }
+
+  /** Bare (doc_id, cluster) labels — CC over the pair graph without
+    * the size/canonical decoration, for callers that only need the
+    * labels (the prior-state side of [[dupClustersDelta]]). */
+  private def clusterLabels(docs: DataFrame, pairs: DataFrame,
+      maxIters: Int): DataFrame =
+    graft.graph.ConnectedComponents
       .run(docs.select(col("doc_id").as("id")), pairs, maxIters)
       .select(col("id").as("doc_id"), col("component").as("cluster"))
+
+  private def decorateClusters(labels: DataFrame): DataFrame = {
     val sizes = labels.groupBy("cluster")
       .agg(count(lit(1)).cast("int").as("cluster_size"))
     labels.join(sizes, "cluster")
@@ -469,20 +490,23 @@ object Dedup {
   def dupClustersDelta(docs: DataFrame, isNewId: Column => Column,
       maxHamming: Int = 3, maxIters: Int = 50,
       bits: Int = simhashBits): DataFrame = {
-    val prior = dupClusters(docs.where(!isNewId(col("doc_id"))),
-        maxHamming, maxIters, bits)
+    // ONE fingerprint pass feeds both pair families (prior old×old and
+    // delta) — the text is scanned and hashed once, then only (doc_id,
+    // simhash, fpl) triples iterate. Materialized eagerly: both
+    // derivations would otherwise recompute the scan, and in production
+    // this frame IS the persisted fingerprint store.
+    val isNew = isNewId(col("doc_id"))
+    val fp = fpFrame(docs, bits).localCheckpoint(true)
+    val oldPairs = pairsFromFp(fp.where(!isNew), maxHamming, None, bits)
+      .select(col("da").as("a"), col("db").as("b"))
+    val prior = clusterLabels(docs.where(!isNew), oldPairs, maxIters)
       .select(col("doc_id").as("id"), col("cluster").as("component"))
-    val delta = simhashPairsDelta(docs, isNewId(col("doc_id")),
-        maxHamming, bits)
+    val delta = pairsFromFp(fp, maxHamming, Some(isNew), bits)
       .select(col("da").as("a"), col("db").as("b"))
     val labels = graft.graph.ConnectedComponents.runIncremental(
         docs.select(col("doc_id").as("id")), delta, prior, maxIters)
       .select(col("id").as("doc_id"), col("component").as("cluster"))
-    val sizes = labels.groupBy("cluster")
-      .agg(count(lit(1)).cast("int").as("cluster_size"))
-    labels.join(sizes, "cluster")
-      .select(col("doc_id"), col("cluster"), col("cluster_size"),
-        (col("doc_id") === col("cluster")).as("is_canonical"))
+    decorateClusters(labels)
   }
 
   /** The payoff of clustering: near-dup dedup that keeps the BEST
