@@ -397,6 +397,71 @@ object Dedup {
     simhash(docs, bits) // simhash spreads internally
       .withColumn("fpl", conv(col("simhash"), 2, -10).cast("long"))
 
+  /** [[simhashPairsDelta]] with the STANDING-CORPUS side pruned by a
+    * [[graft.functions.BloomFrame]] built over the new batch's band
+    * keys — the join-pruning shape for the case the plain delta form
+    * leaves on the table: its band self-join still SHUFFLES every
+    * corpus band row even though only rows whose (band, value) key
+    * occurs in the (much smaller) batch can ever find a partner.
+    * Here the corpus side is gated BEFORE its shuffle by d broadcast
+    * probes against the ≤ m/64-row filter grid; a bloom has no false
+    * negatives and false positives still fail the exact band-equality
+    * join, so the output is IDENTICAL to [[simhashPairsDelta]] at any
+    * (m, d) — the registered query shares the ungated oracle verbatim.
+    *
+    * Versus gating with an exact `broadcast(distinct batch keys)`
+    * semi-join (the right call when the batch is small), the filter
+    * stays m/64 rows however large the batch grows — the day-sized
+    * ingest against a year-sized corpus keeps a broadcastable gate.
+    *
+    * Defaults to the 64-bit corpus-scale fingerprint path.
+    */
+  def simhashPairsDeltaBloom(docs: DataFrame, isNew: Column,
+      maxHamming: Int = 3, bits: Int = simhashBits64,
+      m: Long = 1L << 20, d: Int = 2): DataFrame = {
+    val bandCount = 4
+    require(maxHamming < bandCount,
+      s"pigeonhole completeness needs maxHamming < $bandCount")
+    require(bits % bandCount == 0, s"bits must be a multiple of $bandCount")
+    val width = bits / bandCount
+    val fp = fpFrame(docs, bits).withColumn("nw", isNew)
+    val bands = fp.select(col("doc_id"), col("fpl"), col("nw"),
+        explode(array((0 until bandCount).map(b =>
+          struct(lit(b).as("band"),
+            substring(col("simhash"), b * width + 1, width).as("bits"))): _*))
+          .as("e"))
+      .select(col("doc_id"), col("fpl"), col("nw"), col("e.band"),
+        col("e.bits"))
+    val bandKey = concat(col("band").cast("string"), lit(":"), col("bits"))
+    val newB = bands.where(col("nw"))
+    val bloom = graft.functions.BloomFrame.build(
+      newB.select(bandKey.as("bk")), col("bk"), m, d)
+    val gatedOld = graft.functions.BloomFrame.mayContain(
+        bands.where(!col("nw")), bandKey, bloom, m, d)
+      .where(col("bf_maybe")).drop("bf_maybe")
+    // x is always a NEW band row; y ranges over gated-old ∪ new. A
+    // new×old pair appears once (its old end only ever on y); new×new
+    // needs the id order to not double-count. First-collision-band
+    // filter as in pairsFromFp — symmetric, so least/greatest emit
+    // preserves the (da < db) contract.
+    def bval(c: Column, u: Int): Column =
+      shiftright(c, (bandCount - 1 - u) * width)
+        .bitwiseAND(lit((1L << width) - 1))
+    val firstBandOnly = (0 until bandCount).map { u =>
+      !(col("x.band") > u && bval(col("x.fpl"), u) === bval(col("y.fpl"), u))
+    }.reduce(_ && _)
+    val cond = col("x.band") === col("y.band") &&
+      col("x.bits") === col("y.bits") && firstBandOnly &&
+      (!col("y.nw") || col("x.doc_id") < col("y.doc_id"))
+    newB.as("x").join(gatedOld.unionByName(newB).as("y"), cond)
+      .select(
+        least(col("x.doc_id"), col("y.doc_id")).as("da"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("db"),
+        bit_count(col("x.fpl").bitwiseXOR(col("y.fpl"))).cast("int")
+          .as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   private def pairsFromFp(fpIn: DataFrame, maxHamming: Int,
       deltaPred: Option[Column], bits: Int): DataFrame = {
     val bandCount = 4

@@ -135,6 +135,14 @@ object LlmPack extends QueryPack {
     "q120_simhash64_delta" -> ((s, d) =>
       Dedup.simhashPairsDelta(t("documents")(s, d), col("doc_id") % 3 === 0,
         bits = Dedup.simhashBits64)),
+    // q120's contract through the BloomFrame JOIN-PRUNING gate: the
+    // standing corpus' band rows are pre-filtered, BEFORE the
+    // candidate shuffle, by a bloom built over the batch's band keys.
+    // No false negatives, and false positives still fail the exact
+    // band equality — output identical, q120's oracle verbatim.
+    "q135_delta_bloom_prune" -> ((s, d) =>
+      Dedup.simhashPairsDeltaBloom(t("documents")(s, d),
+        col("doc_id") % 3 === 0)),
     // Near-dup clusters: connected components over the simhash pair
     // graph (min-label propagation to a fixpoint); the oracle
     // re-derives the components with a recursive reachability CTE.
@@ -259,6 +267,29 @@ object LlmPack extends QueryPack {
         .orderBy(col("cnt").desc, col("gram")).limit(20)
       CountMinFrame.estimate(top, col("gram"), cm)
         .select(col("gram"), col("cnt"), col("cm_est"))
+    }),
+    // Bloom-filter-as-a-DataFrame: the new batch's top-200 trigrams
+    // probed against a filter built over the standing corpus' trigram
+    // set — output carries the exact membership answer AND the
+    // filter's verdict; the bloom's false positives are
+    // md5-deterministic, so even they sit under the hash gate.
+    "q134_bloom_membership" -> ((s, d) => {
+      import graft.functions.BloomFrame
+      val g = TextOps.spread(t("documents")(s, d))
+        .select(col("doc_id"),
+          explode(TextOps.shingleSet(TextOps.tokens(col("text")), 3))
+            .as("gram"))
+      val corpus = g.where(col("doc_id") % 3 =!= 0).select("gram").distinct()
+      val probes = g.where(col("doc_id") % 3 === 0)
+        .groupBy("gram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("gram")).limit(200)
+      val bloom = BloomFrame.build(corpus, col("gram"), bloomM)
+      BloomFrame.mayContain(probes, col("gram"), bloom, bloomM)
+        .join(corpus.select(col("gram"), lit(1).as("present")),
+          Seq("gram"), "left")
+        .select(col("gram"), col("cnt"),
+          coalesce(col("present"), lit(0)).as("present"),
+          col("bf_maybe").cast("int").as("bf_maybe"))
     }),
     "q127_kmv_distinct" -> ((s, d) => {
       val base = TextOps.spread(t("documents")(s, d))
@@ -440,6 +471,12 @@ object LlmPack extends QueryPack {
     """tok AS (SELECT doc_id, text,
       |  regexp_split_to_array(trim(text), '\s+') AS w FROM documents)"""
       .stripMargin
+
+  /** q134's filter width: 2^18 bits — ~0.6 bits/key load at the sf0.01
+    * corpus trigram cardinality (fp ≈ 4%), saturating toward high fp
+    * at sf0.1; both regimes are md5-deterministic and oracle-gated.
+    */
+  private val bloomM = 1L << 18
 
   /** Shared oracle CTEs: distinct 3-word shingles + set sizes. */
   private val shingleCtes =
@@ -890,6 +927,43 @@ object LlmPack extends QueryPack {
       s"""WITH ${simhashPairCtesN(Dedup.simhashBits64)}
          |SELECT da, db, hamming FROM p
          |WHERE hamming <= 3 AND (da % 3 = 0 OR db % 3 = 0)""".stripMargin,
+    // Identical answer contract: the bloom gate never drops a true
+    // band match and its false positives fail the exact equality
+    // join, so q135 shares q120's naive all-pairs oracle verbatim.
+    "q135_delta_bloom_prune" ->
+      s"""WITH ${simhashPairCtesN(Dedup.simhashBits64)}
+         |SELECT da, db, hamming FROM p
+         |WHERE hamming <= 3 AND (da % 3 = 0 OR db % 3 = 0)""".stripMargin,
+    // The filter grid re-derived as a distinct position SET (the
+    // bitmap is just that set, packed): same "i:key" md5 salts, same
+    // 48-bit slice mod m, membership = all 4 positions present.
+    "q134_bloom_membership" -> {
+      def bfPos(gram: String, j: String) =
+        s"(${OracleSql.md5Int48(
+          s"md5(CAST($j AS VARCHAR) || ':' || $gram)")}) % $bloomM"
+      s"""WITH $tokCte,
+         |idx AS (SELECT doc_id, generate_subscripts(w, 1) AS i, w FROM tok),
+         |g AS (SELECT DISTINCT doc_id,
+         |        w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+         |      FROM idx WHERE i + 2 <= len(w)),
+         |corpus AS (SELECT DISTINCT gram FROM g WHERE doc_id % 3 <> 0),
+         |js AS (SELECT unnest(range(4)) AS j),
+         |cpos AS (SELECT DISTINCT ${bfPos("gram", "j")} AS p
+         |         FROM corpus CROSS JOIN js),
+         |probe AS (SELECT gram, count(*) AS cnt FROM g
+         |          WHERE doc_id % 3 = 0 GROUP BY 1
+         |          ORDER BY cnt DESC, gram LIMIT 200),
+         |hits AS (SELECT pr.gram, pr.cnt, count(cp.p) AS nhit
+         |         FROM probe pr CROSS JOIN js
+         |         LEFT JOIN cpos cp ON cp.p = ${bfPos("pr.gram", "js.j")}
+         |         GROUP BY 1, 2)
+         |SELECT h.gram, h.cnt,
+         |  CAST(CASE WHEN c.gram IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+         |    AS present,
+         |  CAST(CASE WHEN h.nhit = 4 THEN 1 ELSE 0 END AS INTEGER)
+         |    AS bf_maybe
+         |FROM hits h LEFT JOIN corpus c USING (gram)""".stripMargin
+    },
 
     // Connected components via recursive reachability: every doc
     // reaches itself plus anything across near-dup edges; cluster =

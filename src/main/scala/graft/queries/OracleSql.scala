@@ -46,6 +46,19 @@ private[queries] object OracleSql {
     s"(($terms) / 281474976710656.0)"
   }
 
+  /** First 48 md5 bits of a hex column as a BIGINT — the
+    * [[graft.functions.BloomFrame]] position value before the `% m`
+    * (the integer form of [[md5Frac48]]; every nibble term and the
+    * total are < 2^53, so the double sum is exact before the cast).
+    */
+  def md5Int48(hexCol: String): String = {
+    val terms = (0 until 12).map { i =>
+      val pow = math.pow(16, 11 - i).toLong
+      s"(strpos('0123456789abcdef', substr($hexCol, ${i + 1}, 1)) - 1) * $pow.0"
+    }.mkString("\n  + ")
+    s"CAST(($terms) AS BIGINT)"
+  }
+
   def md5High16(hexCol: String): String =
     s"""(strpos('0123456789abcdef', substr($hexCol, 1, 1)) - 1) * 4096
        |  + (strpos('0123456789abcdef', substr($hexCol, 2, 1)) - 1) * 256

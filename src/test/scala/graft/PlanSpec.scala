@@ -71,6 +71,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty)
   }
 
+  test("bloom membership probe is shuffle-free: broadcast grid joins only") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ks = (0 until 200).map(i => s"k$i").toDF("k")
+    // checkpoint the built grid so the probe plan is inspected alone
+    // (the build's own groupBy exchange is its cost, not the probe's)
+    val bloom = graft.functions.BloomFrame.build(ks, col("k"), 1L << 12, 4)
+      .localCheckpoint(true)
+    val before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = graft.functions.BloomFrame
+        .mayContain(ks, col("k"), bloom, 1L << 12, 4)
+        .queryExecution.executedPlan
+      assert(p.collect { case e: ShuffleExchangeExec => e }.isEmpty)
+      assert(p.collect { case j: BroadcastHashJoinExec => j }.length == 4)
+      assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", before)
+  }
+
   test("q129 profiles without Expand; exact q84 keeps it (the contrast)") {
     // multi-countDistinct pays an Expand (|cols|+1× row replication);
     // the sketch profile must not
