@@ -718,4 +718,40 @@ object Corpus {
       .agg(countDistinct(col("s")).as("n_contaminated"),
         min(col("bench_id")).as("first_bench"))
   }
+
+  /** FRACTION-THRESHOLD decontamination — the published practice
+    * (GPT-3/PaLM-style n-gram overlap rules): a document is
+    * contaminated when at least `minFrac` of its distinct n-shingles
+    * appear in the benchmark, not when ANY does. [[decontaminate]]'s
+    * zero-tolerance rule flags boilerplate-heavy corpora wholesale;
+    * the fraction rule tolerates incidental phrase overlap while
+    * still catching real leakage, and the score itself is the audit
+    * column an ops review reads.
+    *
+    * Output: one row per corpus doc that has ≥ 1 shingle (docs
+    * shorter than n tokens have no overlap surface) — total distinct
+    * shingles, benchmark-shared count, overlap fraction, verdict.
+    *
+    * Scale shape: same broadcast benchmark index as
+    * [[decontaminate]], but totals and hits land in ONE doc-keyed
+    * aggregate — the distinct bench shingle set left-joins each
+    * (doc, shingle) row at most once, so `count(hit)` IS the shared
+    * distinct count and the corpus is scanned exactly once. The
+    * fraction is a ratio of exact integers < 2^53, so the double
+    * divides identically everywhere and even the verdict boolean
+    * sits under the hash-gate oracle.
+    */
+  def decontaminateFrac(corpus: DataFrame, bench: DataFrame,
+      n: Int = 8, minFrac: Double = 0.05): DataFrame = {
+    val corpusSh = TextOps.shingleRows(TextOps.spread(corpus), n)
+    val benchSh = TextOps.shingleRows(bench, n).select(col("s")).distinct()
+    corpusSh
+      .join(broadcast(benchSh.withColumn("hit", lit(1))), Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("hit")).as("n_contaminated"))
+      .withColumn("frac",
+        col("n_contaminated").cast("double") / col("n_shingles"))
+      .withColumn("contaminated", col("frac") >= minFrac)
+  }
 }

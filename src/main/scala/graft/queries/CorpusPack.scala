@@ -34,6 +34,15 @@ object CorpusPack extends QueryPack {
       Corpus.decontaminate(docs.where(col("doc_id") % 50 =!= 0),
         docs.where(col("doc_id") % 50 === 0), 8)
     }),
+    // Fraction-threshold decontamination (the GPT-3-style published
+    // rule): q81's zero-tolerance flags ANY shared 8-shingle; this
+    // scores the overlap fraction per doc and flags only docs at or
+    // past the threshold — the verdict AND the score are oracle-gated.
+    "q136_decontam_frac" -> ((s, d) => {
+      val docs = t("documents")(s, d)
+      Corpus.decontaminateFrac(docs.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0), 8, 0.05)
+    }),
     // Deterministic epoch shuffle: md5-derived shard + in-shard
     // position, fully re-derivable by the oracle (no rand()).
     "q86_shard_shuffle" -> ((s, d) => Corpus.shardShuffle(t("documents")(s, d))),
@@ -283,6 +292,28 @@ object CorpusPack extends QueryPack {
          |       min(b.bench_id) AS first_bench
          |FROM corp c JOIN bench b ON c.s = b.s
          |GROUP BY 1""".stripMargin,
+
+    // Same shingle CTEs; totals + hits in one left-join aggregate, the
+    // exact-integer ratio and the >= verdict re-derived.
+    "q136_decontam_frac" ->
+      s"""WITH $tokCte,
+         |idx AS (SELECT doc_id, generate_subscripts(w, 1) AS i, w FROM tok),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+         |           || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6]
+         |           || ' ' || w[i+7] AS s
+         |       FROM idx WHERE i + 7 <= len(w)),
+         |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+         |corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0),
+         |agg AS (SELECT c.doc_id, count(*) AS n_shingles,
+         |          count(b.s) AS n_contaminated
+         |        FROM corp c LEFT JOIN bench b ON c.s = b.s
+         |        GROUP BY 1)
+         |SELECT doc_id, n_shingles, n_contaminated,
+         |       CAST(n_contaminated AS DOUBLE) / n_shingles AS frac,
+         |       (CAST(n_contaminated AS DOUBLE) / n_shingles) >= 0.05
+         |         AS contaminated
+         |FROM agg""".stripMargin,
 
     // The composed pipeline re-derived end-to-end: each stage's CTE
     // block is the same formulation as its standalone oracle (q87,

@@ -223,4 +223,31 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(0).getLong(1) == 13) // 20 tokens → 13 distinct 8-grams
     assert(out(1).getLong(1) == 1 && out(1).getLong(2) == 0L)
   }
+
+  test("decontaminateFrac scores overlap and flags only past the threshold") {
+    import spark.implicits._
+    val benchText = (1 to 15).map(i => s"b$i").mkString(" ") // 8 8-grams
+    val bench = Seq((100L, benchText), (101L, benchText)) // dup bench doc
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // verbatim benchmark copy → frac 1.0
+      (1L, benchText),
+      // 8 shared grams (the benchmark's 15 tokens) + 56 clean tokens
+      // appended → 64 grams total, frac = 8/64 = 0.125
+      (2L, benchText + " " + (1 to 56).map(i => s"c$i").mkString(" ")),
+      // disjoint → frac 0.0, present with a verdict of false
+      (3L, (1 to 20).map(i => s"z$i").mkString(" ")),
+      // shorter than 8 tokens → no shingle surface, absent from output
+      (4L, "x1 x2 x3"))
+      .toDF("doc_id", "text")
+    val out = Corpus.decontaminateFrac(corpus, bench, 8, minFrac = 0.125)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(byId(1L) == ((8L, 8L, 1.0, true)))
+    // duplicate bench doc must not double-count the shared grams
+    assert(byId(2L) == ((64L, 8L, 0.125, true))) // >= threshold boundary
+    assert(byId(3L) == ((13L, 0L, 0.0, false)))
+  }
 }
