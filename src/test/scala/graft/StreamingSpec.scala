@@ -160,6 +160,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch && got.nonEmpty)
   }
 
+  test("streaming bloom grid across micro-batches == batch filter") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.functions.BloomFrame
+    // the grid build is groupBy+bit_or over fixed chunks, so it runs as
+    // a stateful streaming aggregate with O(m/64) state — the online
+    // form of the mergeable cross-day filter
+    val b1 = (0 until 40).map(i => s"a$i")
+    val b2 = (0 until 40).map(i => s"b$i")
+    val mem = MemoryStream[String]
+    val q = BloomFrame.build(mem.toDF().toDF("k"), col("k"),
+        m = 1L << 12, d = 3)
+      .writeStream.format("memory").queryName("bloom_sink")
+      .outputMode("complete").start()
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("bloom_sink").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = BloomFrame.build((b1 ++ b2).toDF("k"), col("k"),
+        m = 1L << 12, d = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == batch && got.nonEmpty)
+    // the accumulated grid answers for BOTH batches' keys
+    val probed = BloomFrame.mayContain((b1 ++ b2).toDF("k"), col("k"),
+      spark.table("bloom_sink"), m = 1L << 12, d = 3)
+    assert(probed.where(!col("bf_maybe")).count() == 0)
+  }
+
   test("checkpoint: restarting the same source does not duplicate rows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
