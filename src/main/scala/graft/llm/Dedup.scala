@@ -327,14 +327,41 @@ object Dedup {
     * aggregate with map-side partials.
     */
   def winnowedPairs(docs: DataFrame, k: Int = 4, w: Int = 5,
-      maxDf: Int = 64): DataFrame = {
-    val s = winnow(docs, k, w)
+      maxDf: Int = 64): DataFrame =
+    winnowedPairsCore(docs, None, k, w, maxDf)
+
+  /** DELTA variant of [[winnowedPairs]] — the substring-overlap member
+    * of the delta matrix ([[jaccardPairsDelta]], [[simhashPairsDelta]]
+    * are the set-similarity and Hamming members): only pairs involving
+    * a doc marked new by `isNew`, old×old candidates discarded inside
+    * the fp-keyed join predicate. The stop-fingerprint df cap is
+    * computed over the WHOLE world (old ∪ new), exactly as the full
+    * form does — so the output is [[winnowedPairs]] filtered to
+    * involving-new, and the registered query shares q113's selection
+    * oracle with a one-line filter.
+    */
+  def winnowedPairsDelta(docs: DataFrame, isNew: Column, k: Int = 4,
+      w: Int = 5, maxDf: Int = 64): DataFrame =
+    winnowedPairsCore(docs, Some(isNew), k, w, maxDf)
+
+  private def winnowedPairsCore(docs: DataFrame, deltaPred: Option[Column],
+      k: Int, w: Int, maxDf: Int): DataFrame = {
+    val base = winnow(docs, k, w)
+    val s = deltaPred match {
+      case Some(p) => base.withColumn("nw", p)
+      case None => base
+    }
     val keep = s.groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .where(col("df") <= maxDf).select(col("fp"))
     val sk = s.join(keep, "fp")
-    sk.as("a").join(sk.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+    val baseCond = col("a.fp") === col("b.fp") &&
+      col("a.doc_id") < col("b.doc_id")
+    val cond = deltaPred match {
+      case Some(_) => baseCond && (col("a.nw") || col("b.nw"))
+      case None => baseCond
+    }
+    sk.as("a").join(sk.as("b"), cond)
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(countDistinct(col("a.fp")).as("n_shared"))
   }

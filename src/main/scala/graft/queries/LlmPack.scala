@@ -118,6 +118,13 @@ object LlmPack extends QueryPack {
     // paragraph dedup cannot.
     "q113_winnowing" -> ((s, d) =>
       Dedup.winnowedPairs(t("documents")(s, d))),
+    // The substring-overlap member of the delta matrix (jaccard q95,
+    // simhash q96/q120): winnowed pairs involving a new doc only,
+    // old×old discarded inside the fp-keyed join; the stop-fp cap
+    // stays world-global, so q113's oracle applies with a filter.
+    "q137_winnow_delta" -> ((s, d) =>
+      Dedup.winnowedPairsDelta(t("documents")(s, d),
+        col("doc_id") % 3 === 0)),
     "q74_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(t("documents")(s, d))),
     // The CORPUS-SCALE fingerprint width: same map-only kernel and
@@ -722,6 +729,12 @@ object LlmPack extends QueryPack {
     "q113_winnowing" ->
       s"""WITH $winnowPairCtes
          |SELECT da, db, n_shared FROM wp""".stripMargin,
+    // Delta contract: the same selection CTEs filtered to pairs
+    // involving a new doc (the stop-fp cap is world-global in both).
+    "q137_winnow_delta" ->
+      s"""WITH $winnowPairCtes
+         |SELECT da, db, n_shared FROM wp
+         |WHERE da % 3 = 0 OR db % 3 = 0""".stripMargin,
 
     // q82's recursive component derivation, then the q114 split rule
     // applied to the CLUSTER id instead of the doc id.

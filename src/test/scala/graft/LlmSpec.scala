@@ -219,6 +219,16 @@ class LlmSpec extends AnyFunSuite {
     assert(n.toDouble / grams < 0.6, s"selection not sparse: $n/$grams")
   }
 
+  test("winnowed delta pairs == full pairs filtered to involving-new") {
+    val isNew = col("doc_id") % 3 === 0
+    val full = Dedup.winnowedPairs(docs)
+      .where(col("da") % 3 === 0 || col("db") % 3 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val delta = Dedup.winnowedPairsDelta(docs, isNew)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(delta == full && full.nonEmpty)
+  }
+
   test("minhash-LSH pairs equal exact jaccard pairs at threshold 0.5") {
     val exact = Dedup.jaccardPairs(docs, 3, 0.5)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
