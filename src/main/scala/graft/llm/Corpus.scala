@@ -620,13 +620,36 @@ object Corpus {
     *         partners per family.
     */
   def day2Ingest(docs: DataFrame, isNewId: Column => Column,
-      jaccardThreshold: Double = 0.3, maxHamming: Int = 3): DataFrame = {
+      jaccardThreshold: Double = 0.3, maxHamming: Int = 3): DataFrame =
+    day2Core(docs, isNewId, jaccardThreshold, maxHamming,
+      withWinnow = false)
+
+  /** [[day2Ingest]] with the THIRD dedup family composed in: the
+    * winnowed substring-overlap delta ([[Dedup.winnowedPairsDelta]])
+    * joins gate + Jaccard + simhash in the admission rule, so a new
+    * doc sharing a verbatim ≥ 8-token run with the corpus — the
+    * leakage whole-doc similarity dilutes away — also fails
+    * admission, under the same first-claim rule. All three pair
+    * families derive from the ONE materialized world frame; the
+    * winnow join is fp-keyed over the bounded sketches (never the
+    * token streams) with the world-global stop-fp cap.
+    *
+    * @return day2Ingest's columns + n_dup_winnow, admitted extended
+    */
+  def day2IngestWinnow(docs: DataFrame, isNewId: Column => Column,
+      jaccardThreshold: Double = 0.3, maxHamming: Int = 3): DataFrame =
+    day2Core(docs, isNewId, jaccardThreshold, maxHamming,
+      withWinnow = true)
+
+  private def day2Core(docs: DataFrame, isNewId: Column => Column,
+      jaccardThreshold: Double, maxHamming: Int,
+      withWinnow: Boolean): DataFrame = {
     val isNewDoc = isNewId(col("doc_id"))
     val batch = docs.where(isNewDoc)
     val corpus = docs.where(!isNewDoc)
     val gated = TextOps.gopherFilter(batch)
       .where(col("keep")).select(col("doc_id"))
-    // the union feeds BOTH delta-pair jobs — materialize once, exactly
+    // the union feeds EVERY delta-pair job — materialize once, exactly
     // where a production run would persist the day's gated batch
     val world = corpus.select(col("doc_id"), col("lang"), col("text"))
       .unionByName(batch.select(col("doc_id"), col("lang"), col("text"))
@@ -645,16 +668,32 @@ object Corpus {
         .groupBy("doc_id").agg(count(lit(1)).cast("int").as("n"))
     val jr = rejections(jp.select(col("da"), col("db")))
     val sr = rejections(sp.select(col("da"), col("db")))
-    batch.select(col("doc_id"))
+    val base = batch.select(col("doc_id"))
       .join(gated.withColumn("gk", lit(true)), Seq("doc_id"), "left")
       .join(jr.withColumnRenamed("n", "nj"), Seq("doc_id"), "left")
       .join(sr.withColumnRenamed("n", "ns"), Seq("doc_id"), "left")
-      .select(col("doc_id"),
+    val admittedBase =
+      coalesce(col("gk"), lit(false)) &&
+        coalesce(col("nj"), lit(0)) === 0 &&
+        coalesce(col("ns"), lit(0)) === 0
+    if (!withWinnow)
+      base.select(col("doc_id"),
         coalesce(col("gk"), lit(false)).as("gate_keep"),
         coalesce(col("nj"), lit(0)).as("n_dup_jaccard"),
         coalesce(col("ns"), lit(0)).as("n_dup_simhash"),
-        (coalesce(col("gk"), lit(false)) && coalesce(col("nj"), lit(0)) === 0
-          && coalesce(col("ns"), lit(0)) === 0).as("admitted"))
+        admittedBase.as("admitted"))
+    else {
+      val wr = rejections(Dedup.winnowedPairsDelta(world, isNewDoc)
+        .select(col("da"), col("db")))
+      base.join(wr.withColumnRenamed("n", "nw"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("gk"), lit(false)).as("gate_keep"),
+          coalesce(col("nj"), lit(0)).as("n_dup_jaccard"),
+          coalesce(col("ns"), lit(0)).as("n_dup_simhash"),
+          coalesce(col("nw"), lit(0)).as("n_dup_winnow"),
+          (admittedBase && coalesce(col("nw"), lit(0)) === 0)
+            .as("admitted"))
+    }
   }
 
   /** The FULL production day-2 admission rule — [[day2Ingest]]'s

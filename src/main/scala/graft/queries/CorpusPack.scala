@@ -88,7 +88,13 @@ object CorpusPack extends QueryPack {
       val docs = t("documents")(s, d)
       Corpus.day2Admit(docs, id => id % 3 === 0,
         docs.where(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 0))
-    }))
+    }),
+    // Day-2 ingest with the THIRD dedup family composed in: the
+    // winnowed substring-overlap delta joins gate + jaccard + simhash
+    // in the admission rule — a new doc sharing a verbatim ≥ 8-token
+    // run with the corpus also fails admission.
+    "q138_day2_winnow" -> ((s, d) =>
+      Corpus.day2IngestWinnow(t("documents")(s, d), id => id % 3 === 0)))
 
   private val tokCte =
     """tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
@@ -563,6 +569,58 @@ object CorpusPack extends QueryPack {
          |LEFT JOIN gkeep g USING (doc_id)
          |LEFT JOIN jrej j USING (doc_id)
          |LEFT JOIN srej s USING (doc_id)""".stripMargin,
+
+    // q108's CTEs + the q113 winnowing selection over the SAME world
+    // frame (wtok): selected fingerprints, world-global stop-fp cap,
+    // fp-keyed pairs filtered to involving-new, same rejection rule.
+    "q138_day2_winnow" ->
+      s"""WITH $day2Ctes,
+         |wn AS (SELECT doc_id, w FROM wtok WHERE len(w) >= 8),
+         |wgi AS (SELECT doc_id, w,
+         |          CAST(unnest(range(1, len(w) - 2)) AS INTEGER) AS i
+         |        FROM wn),
+         |wg AS (SELECT doc_id, i,
+         |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+         |           AS gram
+         |       FROM wgi),
+         |wwh AS (SELECT doc_id, i,
+         |          ${OracleSql.md5Word32("md5(gram)", 0)} AS h
+         |        FROM wg),
+         |wsel0 AS (
+         |  SELECT doc_id, i,
+         |    min(struct_pack(h := h, ni := -i)) OVER (PARTITION BY doc_id
+         |      ORDER BY i ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS sel,
+         |    count(*) OVER (PARTITION BY doc_id) AS ng
+         |  FROM wwh),
+         |wselected AS (
+         |  SELECT DISTINCT doc_id, (sel).h AS fp
+         |  FROM wsel0 WHERE i <= ng - 4),
+         |wkeep AS (SELECT fp FROM wselected GROUP BY fp
+         |          HAVING count(DISTINCT doc_id) <= 64),
+         |wsk AS (SELECT s.* FROM wselected s JOIN wkeep USING (fp)),
+         |wwp AS (SELECT a.doc_id AS da, b.doc_id AS db
+         |        FROM wsk a JOIN wsk b
+         |          ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |        GROUP BY 1, 2),
+         |wws AS (SELECT da, db FROM wwp WHERE da % 3 = 0 OR db % 3 = 0),
+         |wrej AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n FROM (
+         |           SELECT db AS doc_id FROM wws WHERE db % 3 = 0
+         |           UNION ALL
+         |           SELECT da FROM wws WHERE da % 3 = 0 AND db % 3 <> 0)
+         |         GROUP BY 1)
+         |SELECT b.doc_id,
+         |       g.doc_id IS NOT NULL AS gate_keep,
+         |       coalesce(j.n, 0) AS n_dup_jaccard,
+         |       coalesce(s.n, 0) AS n_dup_simhash,
+         |       coalesce(wr.n, 0) AS n_dup_winnow,
+         |       g.doc_id IS NOT NULL AND coalesce(j.n, 0) = 0
+         |         AND coalesce(s.n, 0) = 0 AND coalesce(wr.n, 0) = 0
+         |         AS admitted
+         |FROM batch b
+         |LEFT JOIN gkeep g USING (doc_id)
+         |LEFT JOIN jrej j USING (doc_id)
+         |LEFT JOIN srej s USING (doc_id)
+         |LEFT JOIN wrej wr USING (doc_id)""".stripMargin,
 
     // q108's CTEs + the q81-style benchmark shingle join: the eval
     // suite is the old-corpus % 5 carve-out, contamination = distinct
