@@ -334,7 +334,7 @@ object Corpus {
     val split = bounds.init.reverse.foldLeft(lit(bounds.last._1)) {
       case (acc, (nm, ub)) => when(u < ub, lit(nm)).otherwise(acc)
     }
-    Dedup.dupClusters(docs, maxHamming, bits = bits)
+    Dedup.dupClusterLabels(docs, maxHamming, bits = bits)
       .select(col("doc_id"), col("cluster"), split.as("split"))
   }
 

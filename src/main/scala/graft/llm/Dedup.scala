@@ -546,15 +546,22 @@ object Dedup {
     * pick).
     */
   def dupClusters(docs: DataFrame, maxHamming: Int = 3,
+      maxIters: Int = 50, bits: Int = simhashBits): DataFrame =
+    decorateClusters(dupClusterLabels(docs, maxHamming, maxIters, bits))
+
+  /** Bare (doc_id, cluster) labels of [[dupClusters]] — for callers
+    * that need only the labels ([[graft.llm.Corpus.leakSafeSplits]]
+    * keys the split rule on the cluster id alone) and should not pay
+    * the size/canonical decoration's groupBy + join. */
+  def dupClusterLabels(docs: DataFrame, maxHamming: Int = 3,
       maxIters: Int = 50, bits: Int = simhashBits): DataFrame = {
     val pairs = simhashPairs(docs, maxHamming, bits)
       .select(col("da").as("a"), col("db").as("b"))
-    decorateClusters(clusterLabels(docs, pairs, maxIters))
+    clusterLabels(docs, pairs, maxIters)
   }
 
-  /** Bare (doc_id, cluster) labels — CC over the pair graph without
-    * the size/canonical decoration, for callers that only need the
-    * labels (the prior-state side of [[dupClustersDelta]]). */
+  /** CC over a precomputed pair graph, labels only (the prior-state
+    * side of [[dupClustersDelta]]). */
   private def clusterLabels(docs: DataFrame, pairs: DataFrame,
       maxIters: Int): DataFrame =
     graft.graph.ConnectedComponents
