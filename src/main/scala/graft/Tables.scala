@@ -18,14 +18,24 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) on disk, which Spark has no native
-    // type for. Sessions set spark.sql.legacy.parquet.nanosAsLong, so it
-    // arrives as a nanos epoch long; normalize to a microsecond timestamp
-    // here (truncation — no sub-microsecond ties exist in the fixtures,
-    // so orderings are unaffected). This is the engine's string/wire →
-    // typed promotion stage in miniature (SURVEY.md §1.3).
+    // events.ts normalization — the engine's string/wire → typed
+    // promotion stage in miniature (SURVEY.md §1.3). The fixture has
+    // shipped two layouts: TIMESTAMP(NANOS), which Spark has no native
+    // type for (sessions set spark.sql.legacy.parquet.nanosAsLong, so
+    // it arrives as a nanos epoch long — truncate to micros; no
+    // sub-microsecond ties exist, so orderings are unaffected), and
+    // plain TIMESTAMP(MICROS) with isAdjustedToUTC=false, which arrives
+    // as TIMESTAMP_NTZ. Either way the column leaves here as a session-
+    // zone TIMESTAMP; sessions pin the zone to UTC, so the NTZ cast
+    // re-labels the same instant rather than shifting it.
     if (name == "events")
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", expr("cast(ts as timestamp)"))
+        case _ => df
+      }
     else df
   }
 
