@@ -419,6 +419,80 @@ object Corpus {
       .select(col("doc_id"), col("lang"), col("weight"), col("rk"))
   }
 
+  /** DSIR importance weights (Xie et al. 2023, arXiv:2302.03169 —
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every corpus document by how much its HASHED-UNIGRAM
+    * distribution looks like a TARGET corpus rather than the raw
+    * corpus,
+    *
+    *   logw(doc) = Σ_b n_doc(b) · ( ln p̂_target(b) − ln p̂_raw(b) ),
+    *
+    * with b ranging over `buckets` md5-hashed token buckets and both
+    * distributions Laplace-smoothed ((count+1)/(total+buckets), so
+    * empty buckets stay finite). The published pipeline then resamples
+    * ∝ exp(logw) — which here is literally
+    * [[weightedSample]] fed `exp(logw)` as the weight column, so
+    * selection composes from existing machinery and this operator's
+    * contract is the weights themselves.
+    *
+    * Scale shape: token bucketing is a pure map (the [[hash16]] md5
+    * family, oracle-re-derivable); both distributions are ONE bounded
+    * hash aggregate each (≤ `buckets` rows, map-side combined — the
+    * target side additionally only scans the target frame, typically
+    * tiny); the log-ratio table is ≤ `buckets` rows and broadcasts;
+    * and the per-doc weight is a doc-keyed aggregate over the doc's
+    * own distinct buckets. Nothing quadratic, nothing collected: the
+    * corpus is scanned once for features and once for scoring.
+    *
+    * Output doubles follow the float-edge parity rule (QueryPack):
+    * `logw` is rounded then FLOAT-cast, absorbing aggregation-order
+    * drift.
+    *
+    * @param target frame with a `text` column defining the desired
+    *               distribution (an eval suite, a trusted high-quality
+    *               corpus slice); disjoint from `docs` is fine
+    * @return one row per non-empty doc: (doc_id, lang, n_toks, logw)
+    */
+  def dsirWeights(docs: DataFrame, target: DataFrame,
+      buckets: Int = 64): DataFrame = {
+    def feats(frame: DataFrame): DataFrame =
+      TextOps.spread(frame)
+        .where(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .select(col("doc_id"), col("lang"),
+          explode(TextOps.tokens(col("text"))).as("w"))
+        .withColumn("b", (hash16(col("w"), "dsir") % buckets).cast("int"))
+    val docFeats = feats(docs)
+    // raw/target bucket histograms, each carried to a single row so the
+    // (bucket, count, total) table stays joinable as one broadcast
+    def hist(f: DataFrame): DataFrame = f.groupBy(col("b"))
+      .agg(count(lit(1)).as("c"))
+      .agg(collect_list(struct(col("b"), col("c"))).as("h"),
+        sum(col("c")).as("tot"))
+    // ln p̂ ratio per bucket, built driver-free: explode the two 1-row
+    // histograms against a dense bucket spine (absent buckets must
+    // still land their Laplace mass)
+    val spine = docs.sparkSession.range(buckets)
+      .select(col("id").cast("int").as("b"))
+    def side(feat: DataFrame, cName: String, tName: String): DataFrame =
+      spine.crossJoin(broadcast(hist(feat)))
+        .select(col("b"),
+          coalesce(element_at(
+            map_from_entries(col("h")), col("b")), lit(0L)).as(cName),
+          col("tot").as(tName))
+    val lr = side(docFeats, "cr", "tr")
+      .join(side(feats(target), "ct", "tt"), "b")
+      .select(col("b"),
+        (log((col("ct") + 1).cast("double") / (col("tt") + buckets)) -
+         log((col("cr") + 1).cast("double") / (col("tr") + buckets)))
+          .as("lr"))
+    docFeats.groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("nb"))
+      .join(broadcast(lr), "b")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("nb")).cast("int").as("n_toks"),
+        round(sum(col("nb") * col("lr")), 4).cast("float").as("logw"))
+  }
+
   /** Per-language quality-percentile gate — the "keep the best
     * `keepFrac` of each language" curation step (CCNet buckets its
     * corpus by exactly this kind of per-language quality cut). The

@@ -170,31 +170,41 @@ object Similarity {
     * equality join on the cell id, and only candidates pay an exact
     * cosine. Recall is measured against the brute force in LlmSpec.
     */
-  def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int = 5,
-      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
-    val e = embeddings.select(col("vec_id"),
-      asDouble(col("embedding")).as("v"))
-      .withColumn("n2", dot(col("v"), col("v")))
+  // native fused loop (same left-to-right sum order as the
+  // aggregate(zip_with(...)) fold it replaced and as the oracle's
+  // list_sum, so cell argmins cannot move)
+  private def sqDist(a: Column, b: Column): Column =
+    graft.functions.SqDiffSum(a, b)
 
-    // native fused loop (same left-to-right sum order as the
-    // aggregate(zip_with(...)) fold it replaced and as the oracle's
-    // list_sum, so cell argmins cannot move)
-    def sqDist(a: Column, b: Column): Column =
-      graft.functions.SqDiffSum(a, b)
+  // (d, cell) distance pairs of a vector against the centroid array
+  // column `ca`
+  private def cellDists(v: Column): Column =
+    transform(col("ca"), ct => struct(
+      sqDist(v, ct.getField("c")).as("d"),
+      ct.getField("cell").as("cell")))
 
-    // (d, cell) distance pairs of a vector against the centroid array
-    def dists(v: Column): Column =
-      transform(col("ca"), ct => struct(
-        sqDist(v, ct.getField("c")).as("d"),
-        ct.getField("cell").as("cell")))
-
+  /** Lloyd k-means coarse quantizer shared by [[ivfTopK]] and
+    * [[semDedup]]. Centroids travel as ONE row holding an
+    * `array<struct<cell,c>>`, broadcast to every task; cell assignment
+    * is a per-row argmin over that array — a pure map with NO shuffle
+    * and no window. Only the centroid RECOMPUTE shuffles (a
+    * partial-aggregating groupBy on (cell, dim) — nlist×dim result
+    * rows). Init is deterministic (the nlist lowest vec_ids, numbered
+    * by array index), so results are reproducible and re-derivable in
+    * the SQL oracles; the vectors are never collected.
+    *
+    * @param e (vec_id, v, n2) frame
+    * @return (centroid 1-row frame, assigned (vec_id, v, n2, cell))
+    */
+  private def lloydCells(e: DataFrame, nlist: Int,
+      iters: Int): (DataFrame, DataFrame) = {
     // cell assignment: broadcast the 1-row centroid array, per-row argmin
     // (min of (d, cell) structs — ties break to the lowest cell, like the
     // oracle's ORDER BY d, cell)
     def assign(centsArr: DataFrame): DataFrame =
       e.crossJoin(broadcast(centsArr))
         .select(col("vec_id"), col("v"), col("n2"),
-          array_min(dists(col("v"))).getField("cell").as("cell"))
+          array_min(cellDists(col("v"))).getField("cell").as("cell"))
 
     // one-row array<struct<cell,c>>: cells numbered by sorted position
     var cents = e.orderBy("vec_id").limit(nlist)
@@ -210,13 +220,22 @@ object Similarity {
             s => s.getField("m")).as("c"))
         .agg(array_sort(collect_list(struct(col("cell"), col("c")))).as("ca"))
     }
+    (cents, assign(cents))
+  }
 
-    val assigned = assign(cents)
+  def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int = 5,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      asDouble(col("embedding")).as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+
+    val (cents, assigned) = lloydCells(e, nlist, iters)
     val queries = e.where(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("n2").as("qn2"))
     val probed = queries.crossJoin(broadcast(cents))
-      .withColumn("probe", slice(array_sort(dists(col("qv"))), 1, nprobe))
+      .withColumn("probe",
+        slice(array_sort(cellDists(col("qv"))), 1, nprobe))
       .select(col("qid"), col("qv"), col("qn2"),
         explode(transform(col("probe"), p => p.getField("cell"))).as("cell"))
 
@@ -233,6 +252,87 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
         col("cos"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
+    * deduplication — k-means partition the embedding space, then look
+    * for high-cosine pairs only WITHIN each cluster, dropping all but
+    * the first (lowest-id) member of every semantic-duplicate
+    * neighborhood. The reference has no embedding curation at all
+    * (extension per SURVEY §2.8); this is the published method modern
+    * corpus pipelines run between exact dedup and quality filtering.
+    *
+    * Dedup rule (the paper's greedy keeper, made deterministic): a
+    * vector is dropped iff some LOWER-id vector in the same cell has
+    * cosine ≥ `threshold` with it — first occurrence wins, matching
+    * [[graft.llm.Dedup.exactDedup]]'s min-id convention. The cosine is
+    * rounded to 4 places before the compare (same contract as every
+    * other cosine surface here), so the verdict is reproducible
+    * cross-engine.
+    *
+    * Scale shape — the whole point of SemDeDup: the quadratic pair
+    * search is confined to cells, so cost is Σ|cell|² ≈ N²/nlist
+    * instead of N²; `nlist` is the knob that scales ∝ N (the paper
+    * uses 50k clusters for LAION-scale). Cluster assignment is the
+    * shared broadcast-centroid pure map ([[lloydCells]]), the
+    * within-cell join is an equi-join on the cell id with
+    * cell-bounded fan-in, and the dup-id set collapses through an
+    * id-keyed semi-join — embeddings never travel with the verdict.
+    *
+    * @return one row per input vector: (vec_id, cell, keep)
+    */
+  def semDedup(embeddings: DataFrame, threshold: Double = 0.35,
+      nlist: Int = 16, iters: Int = 2): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      asDouble(col("embedding")).as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+    val (_, assigned) = lloydCells(e, nlist, iters)
+    val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
+      col("v").as("av"), col("n2").as("an2"))
+    val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
+      col("v").as("bv"), col("n2").as("bn2"))
+    // zero-norm vectors: cosine() yields NULL, NULL >= t filters false —
+    // they are never duplicates of anything (oracle guards n2 > 0)
+    val dups = a.join(b, Seq("cell"))
+      .where(col("a_id") < col("b_id") &&
+        cosine(col("av"), col("bv"), col("an2"), col("bn2"))
+          >= lit(threshold))
+      .select(col("b_id").as("vec_id")).distinct()
+    assigned.join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(!col("dup"), lit(true)).as("keep"))
+  }
+
+  /** Hard-negative mining for contrastive/embedding training (the
+    * DPR/ANCE recipe, Karpukhin et al. 2020 / Xiong et al. 2021): for
+    * each query vector, the top-k most-similar vectors whose `label`
+    * DIFFERS from the query's — near the query in embedding space but
+    * known-non-matching, exactly the negatives that sharpen a
+    * retriever. Same broadcast-query × one-scan shape and output
+    * contract as [[bruteForceTopK]] (qid, rank, neighbor_id, cos),
+    * with the label exclusion pushed into the join predicate so
+    * same-label candidates never pay a dot product; `neg_label`
+    * carried for training-side bookkeeping. At index scale the scan
+    * side swaps for [[lshTopK]]/[[ivfTopK]] candidates unchanged —
+    * the exclusion predicate composes with any candidate source.
+    */
+  def hardNegatives(embeddings: DataFrame, queryPred: Column,
+      k: Int = 5): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("label"),
+      asDouble(col("embedding")).as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+    val q = e.where(queryPred)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("v").as("qv"), col("n2").as("qn2"))
+    val scored = e.join(broadcast(q),
+        col("vec_id") =!= col("qid") && col("label") =!= col("qlabel"))
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qn2"), col("n2")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("label").as("neg_label"), col("cos"))
   }
 
   val numTables = 4

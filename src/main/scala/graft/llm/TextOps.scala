@@ -273,6 +273,45 @@ object TextOps {
       qualityCol(col("text")).as("quality"))
   }
 
+  /** Per-document Shannon CHARACTER entropy — the classic low-cost
+    * garbage detector (near-zero entropy = one character repeated,
+    * abnormally high = random bytes/base64 blobs; used alongside the
+    * Gopher rules in published web-corpus cleaning, e.g. RefinedWeb's
+    * "curated heuristics" family). Computed as
+    * `log2(n) − (Σ k_c·log2 k_c)/n` over the per-doc character
+    * histogram — algebraically −Σ (k/n)·log2(k/n) without needing n
+    * inside the sum.
+    *
+    * Scale shape: the per-character explode never crosses the wire —
+    * each doc's characters sit in one task, so the (doc_id, char)
+    * hash aggregate map-side-combines down to the doc's DISTINCT
+    * characters (alphabet-bounded) before the shuffle; the second
+    * doc-keyed aggregate is over those bounded histogram rows.
+    * Character indexing is code-point based in both engines (Spark
+    * `substr` on UTF8String, DuckDB `substr`), so the oracle
+    * re-derives the identical histogram.
+    *
+    * @return one row per non-empty doc:
+    *         (doc_id, lang, n_chars_counted, n_distinct_chars, entropy)
+    */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val ch = spread(docs)
+      .where(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("lang"),
+        explode(expr(
+          "transform(sequence(1, length(text)), i -> substr(text, i, 1))"))
+          .as("c"))
+    ch.groupBy(col("doc_id"), col("lang"), col("c"))
+      .agg(count(lit(1)).as("k"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("k")).cast("int").as("n_chars_counted"),
+        count(lit(1)).cast("int").as("n_distinct_chars"),
+        round(
+          log2(sum(col("k"))) -
+            sum(col("k") * log2(col("k"))) / sum(col("k")), 4)
+          .cast("float").as("entropy"))
+  }
+
   /** Marker-word sets per language tag. NOTE: the fixture corpus shares
     * one vocabulary across langs (the `lang` column carries no textual
     * signal), so this verifies the scoring/argmax OPERATOR — marker

@@ -43,6 +43,14 @@ object CorpusPack extends QueryPack {
       Corpus.decontaminateFrac(docs.where(col("doc_id") % 50 =!= 0),
         docs.where(col("doc_id") % 50 === 0), 8, 0.05)
     }),
+    // DSIR importance weights: hashed-unigram log-likelihood ratio of
+    // a TARGET slice (the en sub-corpus plays the trusted target)
+    // against the raw corpus — bucketing, both smoothed distributions,
+    // and the per-doc weighted sum all re-derived by the oracle.
+    "q140_dsir_weights" -> ((s, d) => {
+      val docs = t("documents")(s, d)
+      Corpus.dsirWeights(docs, docs.where(col("lang") === "en"))
+    }),
     // Deterministic epoch shuffle: md5-derived shard + in-shard
     // position, fully re-derivable by the oracle (no rand()).
     "q86_shard_shuffle" -> ((s, d) => Corpus.shardShuffle(t("documents")(s, d))),
@@ -215,6 +223,45 @@ object CorpusPack extends QueryPack {
         |      CASE lang WHEN 'en' THEN CAST(0.25 AS DOUBLE)
         |                WHEN 'zh' THEN CAST(0.75 AS DOUBLE)
         |                ELSE CAST(1 AS DOUBLE) END""".stripMargin,
+
+    // DSIR oracle: the md5-high-16 % 64 bucketing, both
+    // Laplace-smoothed unigram distributions (target = the en slice),
+    // the per-bucket ln ratio over a dense bucket spine, and the
+    // per-doc weighted sum — all re-derived; the weight lands REAL
+    // after round(·,4) per the float-edge parity rule.
+    "q140_dsir_weights" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         |f AS (
+         |  SELECT doc_id, lang,
+         |         unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         |  FROM d),
+         |fb AS (
+         |  SELECT doc_id, lang,
+         |         CAST((${OracleSql.md5High16("md5('dsir:' || w)")}) % 64
+         |           AS INTEGER) AS b
+         |  FROM f),
+         |raw AS (SELECT b, count(*) AS c FROM fb GROUP BY 1),
+         |rt AS (SELECT sum(c) AS tot FROM raw),
+         |tgt AS (SELECT b, count(*) AS c FROM fb WHERE lang = 'en'
+         |        GROUP BY 1),
+         |tt AS (SELECT sum(c) AS tot FROM tgt),
+         |spine AS (SELECT CAST(range AS INTEGER) AS b FROM range(64)),
+         |lr AS (
+         |  SELECT s.b,
+         |         ln((coalesce(t.c, 0) + 1) / (tt.tot + 64))
+         |           - ln((coalesce(r.c, 0) + 1) / (rt.tot + 64)) AS lr
+         |  FROM spine s
+         |  LEFT JOIN raw r ON s.b = r.b
+         |  LEFT JOIN tgt t ON s.b = t.b, rt, tt),
+         |db AS (SELECT doc_id, lang, b, count(*) AS nb
+         |       FROM fb GROUP BY 1, 2, 3)
+         |SELECT db.doc_id, db.lang,
+         |       CAST(sum(nb) AS INTEGER) AS n_toks,
+         |       CAST(round(sum(nb * lr), 4) AS REAL) AS logw
+         |FROM db JOIN lr ON db.b = lr.b
+         |GROUP BY 1, 2""".stripMargin,
 
     // Re-derives the composite (lang, shard) stream key: shard is the
     // same md5-high-16 % 8 as q86's, so the oracle survives fixture

@@ -349,6 +349,20 @@ object LlmPack extends QueryPack {
       Similarity.lshTopK(t("embeddings")(s, d), col("vec_id") < 10)),
     "q71_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(t("embeddings")(s, d), col("vec_id") < 10)),
+    // SemDeDup: k-means cells + within-cell cosine dedup — the oracle
+    // re-derives the full Lloyd chain (shared CTE builder with q71)
+    // plus the greedy lowest-id keeper rule, so the whole semantic-
+    // dedup verdict sits under the hash gate.
+    "q139_semdedup" -> ((s, d) =>
+      Similarity.semDedup(t("embeddings")(s, d))),
+    // Hard-negative mining: top-k nearest with a DIFFERENT label —
+    // q68's brute-force shape with the exclusion predicate in the join.
+    "q141_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(t("embeddings")(s, d), col("vec_id") < 10)),
+    // Character-entropy quality signal (histogram form; per-char rows
+    // map-side-combine to distinct-char rows before the shuffle).
+    "q142_char_entropy" -> ((s, d) =>
+      TextOps.charEntropy(t("documents")(s, d))),
     // Int8-quantized ANN (the memory scale path): ranking runs on
     // exact integer dots of QuantizeI8 codes, so the oracle re-derives
     // the byte codes in SQL and the whole quantized pipeline sits
@@ -1164,35 +1178,11 @@ object LlmPack extends QueryPack {
     // ORIGINAL vectors, so centroid float drift cannot reach it.
     "q71_ann_ivf" -> {
       val dim = Similarity.defaultDim
-      def sq(a: String, b: String) =
-        s"list_sum(list_transform(range($dim), " +
-          s"i -> ($a[CAST(i AS INT) + 1] - $b[CAST(i AS INT) + 1]) " +
-          s"* ($a[CAST(i AS INT) + 1] - $b[CAST(i AS INT) + 1])))"
-      def assign(cents: String, out: String) =
-        s"""$out AS (
-           |  SELECT vec_id, v, n2, cell FROM (
-           |    SELECT e.vec_id, e.v, e.n2, c.cell,
-           |           row_number() OVER (PARTITION BY e.vec_id
-           |             ORDER BY ${sq("e.v", "c.c")}, c.cell) AS rk
-           |    FROM n e, $cents c) WHERE rk = 1)""".stripMargin
-      def recompute(assigned: String, out: String) =
-        s"""$out AS (
-           |  SELECT cell, list(m ORDER BY i) AS c FROM (
-           |    SELECT cell, i, avg(v[CAST(i AS INT) + 1]) AS m
-           |    FROM $assigned, range($dim) t(i) GROUP BY cell, i)
-           |  GROUP BY cell)""".stripMargin
+      def sq(a: String, b: String) = OracleSql.sqDistSql(dim, a, b)
       s"""WITH e AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
-         |c0 AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cell,
-         |         v AS c
-         |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
-         |${assign("c0", "a1")},
-         |${recompute("a1", "c1")},
-         |${assign("c1", "a2")},
-         |${recompute("a2", "c2")},
-         |${assign("c2", "af")},
+         |${OracleSql.lloydChain(dim, 16, 2)},
          |probed AS (
          |  SELECT qid, qv, qn2, cell FROM (
          |    SELECT q.vec_id AS qid, q.v AS qv, q.n2 AS qn2, c.cell,
@@ -1210,6 +1200,63 @@ object LlmPack extends QueryPack {
          |        ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
          |WHERE rank <= 5""".stripMargin
     },
+    // SemDeDup oracle: the SAME Lloyd chain as q71 (shared CTE
+    // builder), then within-cell a<b pairs at rounded cosine ≥ 0.35
+    // and the lowest-id-survives verdict — clustering, pairing, and
+    // keeper rule all re-derived.
+    "q139_semdedup" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+         |${OracleSql.lloydChain(Similarity.defaultDim, 16, 2)},
+         |dups AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE a.n2 > 0 AND b.n2 > 0
+         |    AND round(list_dot_product(a.v, b.v)
+         |              / (sqrt(a.n2) * sqrt(b.n2)), 4) >= 0.35)
+         |SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS keep
+         |FROM af a LEFT JOIN dups d ON a.vec_id = d.vec_id""".stripMargin,
+    // Hard-negative oracle: q68's exact ranking with the label
+    // exclusion in the pair predicate.
+    "q141_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |             list_dot_product(v, v) AS n2 FROM e),
+        |p AS (
+        |  SELECT q.vec_id AS qid, x.vec_id AS neighbor_id,
+        |         x.label AS neg_label,
+        |         round(list_dot_product(q.v, x.v)
+        |               / (sqrt(q.n2) * sqrt(x.n2)), 4) AS cos
+        |  FROM n q JOIN n x
+        |    ON q.vec_id < 10 AND x.vec_id <> q.vec_id
+        |   AND x.label <> q.label)
+        |SELECT qid, CAST(rank AS INTEGER) AS rank, neighbor_id,
+        |       neg_label, cos
+        |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY cos DESC, neighbor_id) AS rank FROM p)
+        |WHERE rank <= 5""".stripMargin,
+    // Character-entropy oracle: per-code-point histogram (substr
+    // indexing is code-point based in both engines) and the
+    // log2(n) − Σ k·log2(k)/n identity, REAL-cast at the edge.
+    "q142_char_entropy" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0),
+        |ch AS (
+        |  SELECT doc_id, lang,
+        |         unnest(list_transform(range(length(text)),
+        |                i -> substr(text, CAST(i AS INT) + 1, 1))) AS c
+        |  FROM d),
+        |h AS (SELECT doc_id, lang, c, count(*) AS k
+        |      FROM ch GROUP BY 1, 2, 3)
+        |SELECT doc_id, lang,
+        |       CAST(sum(k) AS INTEGER) AS n_chars_counted,
+        |       CAST(count(*) AS INTEGER) AS n_distinct_chars,
+        |       CAST(round(log2(sum(k))
+        |              - sum(k * log2(k)) / sum(k), 4) AS REAL) AS entropy
+        |FROM h GROUP BY 1, 2""".stripMargin,
     // Full oracle for the LSH ANN path: the md5-parity hyperplanes are
     // re-derived in SQL (planes → sign-bit buckets → OR-construction
     // candidates → exact cosine → ranked top-k), so the probabilistic

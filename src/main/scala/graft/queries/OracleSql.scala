@@ -78,6 +78,48 @@ private[queries] object OracleSql {
        |              substr($hexCol, CAST(i + $offset AS INT), 1)) - 1)
        |           * 16 ** (8 - i))) AS BIGINT)""".stripMargin
 
+  /** Squared L2 distance between two DOUBLE[] columns of length `dim`
+    * — [[graft.functions.SqDiffSum]]'s oracle form (same left-to-right
+    * list_sum order as the fused kernel).
+    */
+  def sqDistSql(dim: Int, a: String, b: String): String =
+    s"list_sum(list_transform(range($dim), " +
+      s"i -> ($a[CAST(i AS INT) + 1] - $b[CAST(i AS INT) + 1]) " +
+      s"* ($a[CAST(i AS INT) + 1] - $b[CAST(i AS INT) + 1])))"
+
+  /** The Lloyd k-means CTE chain — the oracle form of
+    * [[graft.llm.Similarity]]'s `lloydCells` (q71 IVF, q139 SemDeDup).
+    * Expects an upstream CTE `n` = (vec_id, v, n2); contributes
+    * `c0` (deterministic init: the nlist lowest vec_ids), `iters`
+    * alternating assign/recompute steps, and a final assignment CTE
+    * `af` = (vec_id, v, n2, cell). Splice between two other CTEs
+    * (emits no leading/trailing comma).
+    */
+  def lloydChain(dim: Int, nlist: Int, iters: Int): String = {
+    def assign(cents: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, v, n2, cell FROM (
+         |    SELECT e.vec_id, e.v, e.n2, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${sqDistSql(dim, "e.v", "c.c")}, c.cell) AS rk
+         |    FROM n e, $cents c) WHERE rk = 1)""".stripMargin
+    def recompute(assigned: String, out: String) =
+      s"""$out AS (
+         |  SELECT cell, list(m ORDER BY i) AS c FROM (
+         |    SELECT cell, i, avg(v[CAST(i AS INT) + 1]) AS m
+         |    FROM $assigned, range($dim) t(i) GROUP BY cell, i)
+         |  GROUP BY cell)""".stripMargin
+    val init =
+      s"""c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cell,
+         |         v AS c
+         |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $nlist))"""
+        .stripMargin
+    val steps = (1 to iters).flatMap(i =>
+      Seq(assign(s"c${i - 1}", s"a$i"), recompute(s"a$i", s"c$i")))
+    (Seq(init) ++ steps :+ assign(s"c$iters", "af")).mkString(",\n")
+  }
+
   /** The 64 per-family `min(...)` signature aggregates over `(x1, x2)`
     * word columns — literal multipliers interpolated from the SAME
     * [[graft.functions.MinHashSigMd5]] constants the engine uses.

@@ -250,4 +250,43 @@ class CorpusSpec extends AnyFunSuite {
     assert(byId(2L) == ((64L, 8L, 0.125, true))) // >= threshold boundary
     assert(byId(3L) == ((13L, 0L, 0.0, false)))
   }
+
+  test("dsirWeights: target-like docs outrank off-target; exact recompute") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "en", "alpha alpha alpha alpha"),
+      (1L, "en", "zebra zebra zebra zebra"),
+      (2L, "en", "alpha alpha zebra zebra"),
+      (3L, "en", ""), (4L, "en", null))
+      .toDF("doc_id", "lang", "text")
+    val target = Seq((100L, "xx", "alpha alpha alpha"))
+      .toDF("doc_id", "lang", "text")
+    val buckets = 64
+    val out = Corpus.dsirWeights(corpus, target, buckets).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getFloat(3)))).toMap
+    // empty/NULL text rows don't score
+    assert(out.keySet == Set(0L, 1L, 2L))
+    assert(out.values.forall(_._1 == 4)) // 4 tokens each
+    // target is all-alpha: pure-alpha > mixed > pure-zebra
+    assert(out(0L)._2 > out(2L)._2 && out(2L)._2 > out(1L)._2)
+    // exact recompute with the same md5 bucketing + Laplace smoothing
+    def bucket(w: String): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"dsir:$w".getBytes("UTF-8"))
+      (((h(0) & 0xff) << 8) | (h(1) & 0xff)) % buckets
+    }
+    val rawCnt = Map(bucket("alpha") -> 0L, bucket("zebra") -> 0L)
+      .map { case (b, _) =>
+        b -> (Seq.fill(6)(bucket("alpha")) ++ Seq.fill(6)(bucket("zebra")))
+          .count(_ == b).toLong }
+    def lr(b: Int): Double = {
+      val ct = if (b == bucket("alpha")) 3L else 0L
+      math.log((ct + 1.0) / (3 + buckets)) -
+        math.log((rawCnt.getOrElse(b, 0L) + 1.0) / (12 + buckets))
+    }
+    val expect0 = BigDecimal(4 * lr(bucket("alpha")))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toFloat
+    assert(math.abs(out(0L)._2 - expect0) < 2e-4f,
+      s"got ${out(0L)._2}, want $expect0")
+  }
 }

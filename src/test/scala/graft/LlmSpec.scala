@@ -863,4 +863,72 @@ class LlmSpec extends AnyFunSuite {
     assert((out(0).getAs[Int]("n_seg"), out(0).getAs[Int]("n_kept")) ==
       ((3, 2)))
   }
+
+  test("semDedup: dropped iff a lower-id same-cell vector is within threshold") {
+    val t = 0.35
+    val out = Similarity.semDedup(embs, t).collect()
+    assert(out.length == embs.count()) // one verdict per vector
+    val cell = out.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val keep = out.map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val vecs = embs.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    // same left-to-right sum order + HALF_UP 4-place round as the engine
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def cos(a: Long, b: Long): Double = BigDecimal(
+      dot(vecs(a), vecs(b)) /
+        (math.sqrt(dot(vecs(a), vecs(a))) * math.sqrt(dot(vecs(b), vecs(b)))))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    vecs.keys.foreach { x =>
+      val expectDrop = vecs.keys.exists(y =>
+        y < x && cell(y) == cell(x) && cos(x, y) >= t)
+      assert(keep(x) == !expectDrop, s"vec $x keep=${keep(x)}")
+    }
+    // the rule actually fires on the fixture (some drops, some keeps)
+    assert(keep.values.exists(_ == false) && keep.values.exists(_ == true))
+  }
+
+  test("hardNegatives: nearest DIFFERENT-label top-k, equals naive ranking") {
+    val k = 5
+    val out = Similarity.hardNegatives(embs, col("vec_id") < 5, k).collect()
+    val rows = embs.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    val label = rows.map(r => r._1 -> r._3).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val vecs = rows.map(r => r._1 -> r._2).toMap
+    def cos(a: Long, b: Long): Double = BigDecimal(
+      dot(vecs(a), vecs(b)) /
+        (math.sqrt(dot(vecs(a), vecs(a))) * math.sqrt(dot(vecs(b), vecs(b)))))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      // every mined negative carries a label ≠ the query's
+      rs.foreach { r =>
+        assert(r.getInt(3) != label(qid))
+        assert(r.getInt(3) == label(r.getLong(2)))
+      }
+      // ranks are 1..k and match the naive different-label ordering
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to k))
+      val naive = vecs.keys.filter(x => x != qid && label(x) != label(qid))
+        .toSeq.map(x => (x, cos(qid, x)))
+        .sortBy { case (x, c) => (-c, x) }.take(k).map(_._1)
+      assert(rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq == naive)
+    }
+    assert(out.map(_.getLong(0)).distinct.length == 5)
+  }
+
+  test("charEntropy: handcrafted histograms; empty and NULL docs absent") {
+    import spark.implicits._
+    val in = Seq((0L, "en", "aaaa"), (1L, "en", "ab"), (2L, "en", "abab"),
+      (3L, "en", "abcd"), (4L, "en", ""), (5L, "en", null))
+      .toDF("doc_id", "lang", "text")
+    val out = TextOps.charEntropy(in).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3), r.getFloat(4))))
+      .toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L))
+    assert(out(0L) == ((4, 1, 0.0f)))  // one symbol → zero entropy
+    assert(out(1L) == ((2, 2, 1.0f)))  // two equiprobable → 1 bit
+    assert(out(2L) == ((4, 2, 1.0f)))  // length-invariant for same dist
+    assert(out(3L) == ((4, 4, 2.0f)))  // four equiprobable → 2 bits
+  }
 }
