@@ -1,0 +1,107 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding TOKENIZER TRAINING (Sennrich et al. 2016,
+  * arXiv:1508.07909) as a distributed DataFrame loop — the step a
+  * training-data pipeline runs once over the corpus before any token
+  * counting/packing can happen, and an operator family the reference
+  * (and stock Spark) has nothing for.
+  *
+  * Semantics (the paper's algorithm, made engine-deterministic):
+  *
+  *   1. whitespace pre-tokenize; aggregate a word-frequency table
+  *      (occurrence counts). Each word becomes a symbol string: its
+  *      code points separated by single spaces plus a trailing
+  *      end-of-word symbol — `"low"` → `" l o w </w> "`. The marker is
+  *      a SEPARATE final symbol (one of the published variants; the
+  *      glued `"w</w>"` form differs only in the symbol alphabet).
+  *      Words never contain spaces (guaranteed by tokenization), so
+  *      the space-sentinel representation is unambiguous.
+  *   2. per merge round: count ADJACENT symbol pairs weighted by word
+  *      frequency (overlapping occurrences all count, like the
+  *      reference implementation's `get_stats`); pick the most
+  *      frequent pair, ties to the lexicographically smallest
+  *      (lhs, rhs) — integer counts + binary string compare, so the
+  *      choice is exactly reproducible cross-engine; fuse it
+  *      everywhere with a literal left-to-right non-overlapping
+  *      `replace(sym, " lhs rhs ", " lhsrhs ")` — the space sentinels
+  *      keep symbol boundaries exact, and leftmost-first replacement
+  *      is precisely BPE's greedy application order.
+  *
+  * Scale shape: the loop state is the WORD table, not the corpus —
+  * after the one corpus-wide tokenize+count shuffle, every round
+  * works on vocab-bounded rows (≈10⁷ at web scale, KBs at the
+  * fixture): pair counting is a hash aggregate with map-side combine
+  * over symbol-pair keys, the argmax is an O(|pairs|) total-order
+  * `limit(1)` (no window), and the merge application is a pure map
+  * under a broadcast 1-row join. Each round materializes via eager
+  * `localCheckpoint` — the same flat-plan discipline as the CC loop;
+  * at warehouse scale those slots become checkpoint tables. Rounds
+  * are inherently sequential (each merge depends on the last — the
+  * algorithm, not the engine), so `nMerges` bounds wall-clock as
+  * nMerges × (seconds-per-bounded-aggregate).
+  *
+  * The merge TABLE is the artifact (rank-ordered, exactly what a
+  * tokenizer ships); [[bpeVocab]] exposes the post-merge word
+  * segmentations — both oracle-gated end to end (q143/q144), no
+  * floats anywhere.
+  */
+object Bpe {
+
+  /** Adjacent-pair counts of a symbol-string word table, weighted by
+    * word frequency.
+    */
+  private def pairsOf(words: DataFrame): DataFrame =
+    words.select(col("freq"), split(trim(col("sym")), " ").as("s"))
+      .select(col("freq"),
+        explode(sequence(lit(1), size(col("s")) - 1)).as("i"), col("s"))
+      .select(element_at(col("s"), col("i")).as("lhs"),
+        element_at(col("s"), col("i") + 1).as("rhs"), col("freq"))
+      .groupBy("lhs", "rhs").agg(sum(col("freq")).as("cnt"))
+
+  /** One training run: (merge table, final word segmentations).
+    *
+    * @return _1: (rank, lhs, rhs, cnt) — one row per merge, rank 1..n
+    *         in training order;
+    *         _2: (word, freq, sym) — the vocabulary after all merges,
+    *         `sym` space-joined with the trailing `</w>` marker
+    */
+  def bpeState(docs: DataFrame, nMerges: Int): (DataFrame, DataFrame) = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    var words = TextOps.spread(docs)
+      .where(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("sym", concat(lit(" "), concat_ws(" ", expr(
+          "transform(sequence(1, length(word)), i -> substr(word, i, 1))")),
+        lit(" </w> ")))
+      .localCheckpoint(true)
+    var merges: DataFrame = null
+    (1 to nMerges).foreach { r =>
+      val best = pairsOf(words)
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs")).limit(1)
+        .select(lit(r).cast("int").as("rank"),
+          col("lhs"), col("rhs"), col("cnt"))
+        .localCheckpoint(true)
+      merges = if (merges == null) best else merges.unionByName(best)
+      words = words.crossJoin(
+          broadcast(best.select(col("lhs"), col("rhs"))))
+        .withColumn("sym", expr("replace(sym, " +
+          "' ' || lhs || ' ' || rhs || ' ', ' ' || lhs || rhs || ' ')"))
+        .drop("lhs", "rhs")
+        .localCheckpoint(true)
+    }
+    (merges, words.select(col("word"), col("freq"),
+      trim(col("sym")).as("sym")))
+  }
+
+  /** The trained merge table — see [[bpeState]]. */
+  def bpeTrain(docs: DataFrame, nMerges: Int = 8): DataFrame =
+    bpeState(docs, nMerges)._1
+
+  /** The post-merge word segmentations — see [[bpeState]]. */
+  def bpeVocab(docs: DataFrame, nMerges: Int = 8): DataFrame =
+    bpeState(docs, nMerges)._2
+}

@@ -363,6 +363,14 @@ object LlmPack extends QueryPack {
     // map-side-combine to distinct-char rows before the shuffle).
     "q142_char_entropy" -> ((s, d) =>
       TextOps.charEntropy(t("documents")(s, d))),
+    // BPE tokenizer training: the rank-ordered merge table (q143) and
+    // the post-merge vocabulary segmentations (q144) — integer counts
+    // + binary string tiebreaks only, so the whole training loop sits
+    // under the hash gate with no float edge anywhere.
+    "q143_bpe_merges" -> ((s, d) =>
+      graft.llm.Bpe.bpeTrain(t("documents")(s, d))),
+    "q144_bpe_vocab" -> ((s, d) =>
+      graft.llm.Bpe.bpeVocab(t("documents")(s, d))),
     // Int8-quantized ANN (the memory scale path): ranking runs on
     // exact integer dots of QuantizeI8 codes, so the oracle re-derives
     // the byte codes in SQL and the whole quantized pipeline sits
@@ -492,6 +500,46 @@ object LlmPack extends QueryPack {
     """tok AS (SELECT doc_id, text,
       |  regexp_split_to_array(trim(text), '\s+') AS w FROM documents)"""
       .stripMargin
+
+  /** The BPE training loop unrolled as CTEs (q143/q144): `w1` is the
+    * word-frequency + symbol-string init, then per round r the pair
+    * count `p{r}`, the argmax `b{r}` (rank, lhs, rhs, cnt), and the
+    * merged table `w{r+1}`. Ends WITHOUT a final SELECT so both the
+    * merge-table and vocab oracles splice their own.
+    */
+  private def bpeChain(nMerges: Int): String = {
+    def round(r: Int): String =
+      s"""p$r AS (
+         |  SELECT lhs, rhs, sum(freq) AS cnt FROM (
+         |    SELECT freq, s[CAST(i AS INT) + 1] AS lhs,
+         |           s[CAST(i AS INT) + 2] AS rhs
+         |    FROM (SELECT freq, s, unnest(range(len(s) - 1)) AS i
+         |          FROM (SELECT freq, string_split(trim(sym), ' ') AS s
+         |                FROM w$r)))
+         |  GROUP BY 1, 2),
+         |b$r AS (
+         |  SELECT CAST($r AS INTEGER) AS rank, lhs, rhs, cnt
+         |  FROM p$r ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |w${r + 1} AS (
+         |  SELECT word, freq,
+         |         replace(sym, ' ' || lhs || ' ' || rhs || ' ',
+         |                 ' ' || lhs || rhs || ' ') AS sym
+         |  FROM w$r, b$r)""".stripMargin
+    s"""WITH d AS (
+       |  SELECT text FROM documents
+       |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+       |tk AS (
+       |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+       |  FROM d),
+       |w1 AS (
+       |  SELECT word, count(*) AS freq,
+       |         ' ' || array_to_string(list_transform(range(length(word)),
+       |                 i -> substr(word, CAST(i AS INT) + 1, 1)), ' ')
+       |           || ' </w> ' AS sym
+       |  FROM tk GROUP BY 1),
+       |${(1 to nMerges).map(round).mkString(",\n")}"""
+      .stripMargin
+  }
 
   /** q134's filter width: 2^18 bits — ~0.6 bits/key load at the sf0.01
     * corpus trigram cardinality (fp ≈ 4%), saturating toward high fp
@@ -1257,6 +1305,18 @@ object LlmPack extends QueryPack {
         |       CAST(round(log2(sum(k))
         |              - sum(k * log2(k)) / sum(k), 4) AS REAL) AS entropy
         |FROM h GROUP BY 1, 2""".stripMargin,
+    // BPE oracles: the full training loop unrolled — word-frequency
+    // init, then per round the pair count, the (cnt DESC, lhs, rhs)
+    // argmax, and the space-sentinel leftmost-first replace (DuckDB's
+    // literal replace is non-overlapping left-to-right, exactly
+    // Spark's — BPE's greedy application order).
+    "q143_bpe_merges" ->
+      (bpeChain(8) + "\n" + (1 to 8).map(r =>
+        s"SELECT rank, lhs, rhs, cnt FROM b$r")
+        .mkString("\nUNION ALL\n")),
+    "q144_bpe_vocab" ->
+      (bpeChain(8) +
+        "\nSELECT word, freq, trim(sym) AS sym FROM w9"),
     // Full oracle for the LSH ANN path: the md5-parity hyperplanes are
     // re-derived in SQL (planes → sign-bit buckets → OR-construction
     // candidates → exact cosine → ranked top-k), so the probabilistic
