@@ -104,4 +104,46 @@ object Bpe {
   /** The post-merge word segmentations — see [[bpeState]]. */
   def bpeVocab(docs: DataFrame, nMerges: Int = 8): DataFrame =
     bpeState(docs, nMerges)._2
+
+  /** ENCODE with a trained merge table (the inference side): apply
+    * `merges` rank order 1..nMerges to a word frame carrying `sym`
+    * symbol strings — the same greedy leftmost-first fusion as
+    * training, so unseen words segment correctly too. Each round is a
+    * pure map under a broadcast 1-row join (the merge table is tiny
+    * by construction). Precondition: `merges` holds exactly one row
+    * per rank 1..nMerges — a missing rank would cross-join empty and
+    * silently drop every word.
+    */
+  def applyMerges(words: DataFrame, merges: DataFrame,
+      nMerges: Int): DataFrame =
+    (1 to nMerges).foldLeft(words) { (w, r) =>
+      w.crossJoin(broadcast(
+          merges.where(col("rank") === r).select(col("lhs"), col("rhs"))))
+        .withColumn("sym", expr("replace(sym, " +
+          "' ' || lhs || ' ' || rhs || ' ', ' ' || lhs || rhs || ' ')"))
+        .drop("lhs", "rhs")
+    }
+
+  /** Per-document token counts under a corpus-trained BPE vocabulary —
+    * the real-tokenizer upgrade of whitespace token counting (q61):
+    * trains `nMerges` merges on `docs`, segments every word, and
+    * charges each document the summed symbol count of its words
+    * (end-of-word marker included, one per word). The vocabulary is
+    * corpus-bounded and broadcasts; the per-doc roll-up is one
+    * doc-keyed aggregate.
+    *
+    * @return (doc_id, n_words, n_bpe_tokens) per non-empty doc
+    */
+  def bpeEncode(docs: DataFrame, nMerges: Int = 8): DataFrame = {
+    val vocab = bpeState(docs, nMerges)._2
+      .select(col("word"),
+        size(split(col("sym"), " ")).as("n_sym"))
+    TextOps.spread(docs)
+      .where(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+      .join(broadcast(vocab), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_words"),
+        sum(col("n_sym")).cast("int").as("n_bpe_tokens"))
+  }
 }

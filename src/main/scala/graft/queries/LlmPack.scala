@@ -371,6 +371,10 @@ object LlmPack extends QueryPack {
       graft.llm.Bpe.bpeTrain(t("documents")(s, d))),
     "q144_bpe_vocab" -> ((s, d) =>
       graft.llm.Bpe.bpeVocab(t("documents")(s, d))),
+    // The encode side: per-doc token counts under the corpus-trained
+    // vocabulary (each word charged its post-merge symbol count).
+    "q145_bpe_encode" -> ((s, d) =>
+      graft.llm.Bpe.bpeEncode(t("documents")(s, d))),
     // Int8-quantized ANN (the memory scale path): ranking runs on
     // exact integer dots of QuantizeI8 codes, so the oracle re-derives
     // the byte codes in SQL and the whole quantized pipeline sits
@@ -1317,6 +1321,17 @@ object LlmPack extends QueryPack {
     "q144_bpe_vocab" ->
       (bpeChain(8) +
         "\nSELECT word, freq, trim(sym) AS sym FROM w9"),
+    "q145_bpe_encode" ->
+      (bpeChain(8) + """,
+        |dw AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(trim(text)) > 0)
+        |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_words,
+        |       CAST(sum(len(string_split(trim(w9.sym), ' ')))
+        |         AS INTEGER) AS n_bpe_tokens
+        |FROM dw JOIN w9 USING (word) GROUP BY 1""".stripMargin),
     // Full oracle for the LSH ANN path: the md5-parity hyperplanes are
     // re-derived in SQL (planes → sign-bit buckets → OR-construction
     // candidates → exact cosine → ranked top-k), so the probabilistic

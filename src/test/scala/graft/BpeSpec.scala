@@ -67,6 +67,21 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("applyMerges segments an UNSEEN word with the trained table") {
+    import spark.implicits._
+    val train = Seq((0L, (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val merges = Bpe.bpeTrain(train, 2) // (e,s) then (es,t)
+    val got = merges.collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    assert(got.toSeq == Seq(("e", "s"), ("es", "t")))
+    // "best" never appears in training; the merge table still segments it
+    val unseen = Seq(("best", " b e s t </w> ")).toDF("word", "sym")
+    val out = Bpe.applyMerges(unseen, merges, 2).collect()(0)
+    assert(out.getString(1).trim == "b est </w>")
+  }
+
   test("bpe merge application is greedy left-to-right on repeats") {
     import spark.implicits._
     // "aaa" x2: round 1 merges (a,a) — overlapping pairs both count
