@@ -99,4 +99,53 @@ class PlanSpec extends AnyFunSuite {
     assert(p.collect { case e: ExpandExec => e }.isEmpty)
     assert(p.collect { case e: ShuffleExchangeExec => e }.length == 1)
   }
+
+  test("q140: DSIR joins only via broadcast (log-ratio table + histograms)") {
+    // the per-doc scoring path must never sort-merge: the bucket table
+    // is ≤ buckets rows and the two 1-row histograms are crossJoin
+    // broadcasts — a sort-merge join here would shuffle the corpus
+    // features twice
+    val p = plan("q140_dsir_weights")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty)
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty)
+  }
+
+  test("q141: hard negatives BROADCAST the query set (nested-loop, " +
+      "never a shuffled cartesian)") {
+    // the exclusion predicate is non-equi, so the correct scale shape
+    // is scan × broadcast-queries nested loop — a CartesianProduct
+    // would shuffle-replicate the corpus side
+    val p = plan("q141_hard_negatives")
+    assert(p.collect {
+      case j: org.apache.spark.sql.execution.joins
+        .BroadcastNestedLoopJoinExec => j }.nonEmpty)
+    assert(p.collect {
+      case j: org.apache.spark.sql.execution.joins
+        .CartesianProductExec => j }.isEmpty)
+  }
+
+  test("q139: semDedup assigns cells via the broadcast-centroid map " +
+      "and pairs via a cell-keyed equi-join") {
+    val p = plan("q139_semdedup")
+    // assignment: the 1-row centroid array reaches every task as a
+    // broadcast nested loop (a pure map), never a shuffled cartesian
+    assert(p.collect {
+      case j: org.apache.spark.sql.execution.joins
+        .BroadcastNestedLoopJoinExec => j }.nonEmpty)
+    assert(p.collect {
+      case j: org.apache.spark.sql.execution.joins
+        .CartesianProductExec => j }.isEmpty)
+    // the quadratic search is confined to cells: some equi-join keys
+    // on the cell id (hash or sort-merge both fine — the id-keyed
+    // verdict joins are separate and may sort-merge)
+    val cellKeyed = p.collect {
+      case j: SortMergeJoinExec
+        if j.leftKeys.exists(_.references.exists(_.name == "cell")) => j
+      case j: BroadcastHashJoinExec
+        if j.leftKeys.exists(_.references.exists(_.name == "cell")) => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+        if j.leftKeys.exists(_.references.exists(_.name == "cell")) => j
+    }
+    assert(cellKeyed.nonEmpty, "no cell-keyed pair join found")
+  }
 }
