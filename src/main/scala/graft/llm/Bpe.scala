@@ -63,6 +63,14 @@ object Bpe {
 
   /** One training run: (merge table, final word segmentations).
     *
+    * Precondition: the corpus must have at least one adjacent pair
+    * left per round (nMerges far below the symbol-pair space — always
+    * true on a real corpus). A round with NO pairs (every word fully
+    * fused to one symbol) yields an empty argmax, and the cross join
+    * empties the word table from that round on — the merge table
+    * simply stops growing, but [[bpeVocab]] would come back empty;
+    * size nMerges accordingly.
+    *
     * @return _1: (rank, lhs, rhs, cnt) — one row per merge, rank 1..n
     *         in training order;
     *         _2: (word, freq, sym) — the vocabulary after all merges,

@@ -450,7 +450,10 @@ object Corpus {
     *
     * @param target frame with a `text` column defining the desired
     *               distribution (an eval suite, a trusted high-quality
-    *               corpus slice); disjoint from `docs` is fine
+    *               corpus slice); disjoint from `docs` is fine. An
+    *               EMPTY target yields NULL `logw` for every doc (the
+    *               1-row histogram aggregate has no rows to total) —
+    *               loudly useless rather than silently uniform.
     * @return one row per non-empty doc: (doc_id, lang, n_toks, logw)
     */
   def dsirWeights(docs: DataFrame, target: DataFrame,
