@@ -279,14 +279,24 @@ object Similarity {
     * cell-bounded fan-in, and the dup-id set collapses through an
     * id-keyed semi-join — embeddings never travel with the verdict.
     *
+    * The assigned frame feeds THREE consumers (both pair-join sides
+    * and the verdict join), so it is eagerly `localCheckpoint`ed by
+    * default — without that the whole iterative Lloyd chain re-executes
+    * per consumer (the corpusPipeline discipline; at warehouse scale
+    * the slot is a checkpoint table). `persist = false` exposes the
+    * raw composed plan for structural inspection (PlanSpec).
+    *
     * @return one row per input vector: (vec_id, cell, keep)
     */
   def semDedup(embeddings: DataFrame, threshold: Double = 0.35,
-      nlist: Int = 16, iters: Int = 2): DataFrame = {
+      nlist: Int = 16, iters: Int = 2,
+      persist: Boolean = true): DataFrame = {
     val e = embeddings.select(col("vec_id"),
       asDouble(col("embedding")).as("v"))
       .withColumn("n2", dot(col("v"), col("v")))
-    val (_, assigned) = lloydCells(e, nlist, iters)
+    val assignedRaw = lloydCells(e, nlist, iters)._2
+    val assigned =
+      if (persist) assignedRaw.localCheckpoint(true) else assignedRaw
     val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
       col("v").as("av"), col("n2").as("an2"))
     val b = assigned.select(col("cell"), col("vec_id").as("b_id"),

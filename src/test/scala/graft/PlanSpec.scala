@@ -126,7 +126,15 @@ class PlanSpec extends AnyFunSuite {
 
   test("q139: semDedup assigns cells via the broadcast-centroid map " +
       "and pairs via a cell-keyed equi-join") {
-    val p = plan("q139_semdedup")
+    // persist = false: the registered query eagerly checkpoints the
+    // assigned frame (hiding the assignment subtree behind an RDD
+    // scan), so the structural gate inspects the raw composed plan
+    val before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = try graft.llm.Similarity.semDedup(
+        Tables.load(spark, dir, "embeddings"), persist = false)
+      .queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", before)
     // assignment: the 1-row centroid array reaches every task as a
     // broadcast nested loop (a pure map), never a shuffled cartesian
     assert(p.collect {
