@@ -66,6 +66,58 @@ object Dedup {
       .select(col("da"), col("db"), col("jaccard"))
   }
 
+  /** CONTAINMENT near-dup pairs — Broder (1997)'s directed overlap
+    * c(A→B) = |A∩B| / |A| over distinct n-shingle sets: the measure
+    * that catches a small document wholly embedded in a much larger
+    * one, which resemblance (Jaccard) dilutes below any practical
+    * threshold (a 50-shingle doc inside a 5000-shingle doc has
+    * c = 1.0 but j ≈ 0.01). Completes the dedup matrix's granularity
+    * axis beside whole-doc resemblance (q64), aligned-window
+    * paragraphs (q98), and unaligned runs (q113).
+    *
+    * Emits pairs (da < db) where EITHER direction clears `threshold`,
+    * with both directed scores and the exact integer evidence
+    * (common, na, nb) — ratios of exact ints rounded to 4, so the
+    * verdict is reproducible cross-engine.
+    *
+    * Scale shape: an inverted-index equi-join on the shingle string
+    * with the same hot-shingle `maxDf` cap as [[winnowedPairs]] —
+    * a boilerplate shingle shared by 10⁶ docs is dropped BEFORE the
+    * pair join (it carries no pair signal worth a quadratic fan-in),
+    * bounding per-key candidates to maxDf². The cap is part of the
+    * CONTRACT (intersections count capped shingles only; the oracle
+    * re-derives the same rule), exactly like winnowing's
+    * stop-fingerprint rule. Prefix filtering does NOT apply to
+    * containment (it prunes by resemblance bounds), hence the capped
+    * inverted index rather than [[jaccardPairsPrefix]]'s plan.
+    *
+    * @return (da, db, common, na, nb, cont_ab, cont_ba)
+    */
+  def containmentPairs(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.5, maxDf: Int = 64): DataFrame = {
+    val arrays = TextOps.shingleArrays(spread(docs), n)
+    val sh = arrays.select(col("doc_id"), explode(col("arr")).as("s"))
+    val sizes = arrays.where(size(col("arr")) > 0)
+      .select(col("doc_id"), size(col("arr")).as("n_sh"))
+    val capped = sh.join(
+      sh.groupBy("s").agg(count(lit(1)).as("df"))
+        .where(col("df") <= maxDf).select("s"), "s")
+    val common = capped.as("a").join(capped.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("da"), col("n_sh").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n_sh").as("nb")), "db")
+      .withColumn("cont_ab",
+        round(col("common").cast("double") / col("na"), 4))
+      .withColumn("cont_ba",
+        round(col("common").cast("double") / col("nb"), 4))
+      .where(greatest(col("cont_ab"), col("cont_ba")) >= threshold)
+      .select(col("da"), col("db"), col("common").cast("int").as("common"),
+        col("na"), col("nb"), col("cont_ab"), col("cont_ba"))
+  }
+
   /** Rounding slop: the output Jaccard is `round(j, 4)`, so a pair with
     * true j ≥ t − 5e-5 can still round up to the threshold — every
     * intermediate pruning bound must use the slopped threshold to stay

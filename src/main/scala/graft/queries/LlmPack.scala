@@ -363,6 +363,11 @@ object LlmPack extends QueryPack {
     // map-side-combine to distinct-char rows before the shuffle).
     "q142_char_entropy" -> ((s, d) =>
       TextOps.charEntropy(t("documents")(s, d))),
+    // Containment dedup: Broder's directed |A∩B|/|A| over shingle
+    // sets — the small-doc-inside-big-doc detector resemblance misses;
+    // capped inverted index (the winnowing maxDf discipline).
+    "q146_containment" -> ((s, d) =>
+      Dedup.containmentPairs(t("documents")(s, d))),
     // BPE tokenizer training: the rank-ordered merge table (q143) and
     // the post-merge vocabulary segmentations (q144) — integer counts
     // + binary string tiebreaks only, so the whole training loop sits
@@ -1309,6 +1314,30 @@ object LlmPack extends QueryPack {
         |       CAST(round(log2(sum(k))
         |              - sum(k * log2(k)) / sum(k), 4) AS REAL) AS entropy
         |FROM h GROUP BY 1, 2""".stripMargin,
+    // Containment oracle: same shingle CTEs as q64, the df cap, the
+    // capped intersection counts, and both directed ratios + the
+    // either-direction threshold verdict re-derived.
+    "q146_containment" ->
+      s"""WITH $shingleCtes,
+         |df AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+         |capped AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s)
+         |           WHERE df <= 64),
+         |common AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+         |  FROM capped a JOIN capped b
+         |    ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT da, db, CAST(common AS INTEGER) AS common,
+         |       CAST(sa.n_sh AS INTEGER) AS na,
+         |       CAST(sb.n_sh AS INTEGER) AS nb,
+         |       round(CAST(common AS DOUBLE) / sa.n_sh, 4) AS cont_ab,
+         |       round(CAST(common AS DOUBLE) / sb.n_sh, 4) AS cont_ba
+         |FROM common
+         |JOIN sizes sa ON sa.doc_id = da
+         |JOIN sizes sb ON sb.doc_id = db
+         |WHERE greatest(round(CAST(common AS DOUBLE) / sa.n_sh, 4),
+         |               round(CAST(common AS DOUBLE) / sb.n_sh, 4))
+         |      >= 0.5""".stripMargin,
     // BPE oracles: the full training loop unrolled — word-frequency
     // init, then per round the pair count, the (cnt DESC, lhs, rhs)
     // argmax, and the space-sentinel leftmost-first replace (DuckDB's

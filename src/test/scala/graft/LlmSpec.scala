@@ -864,6 +864,35 @@ class LlmSpec extends AnyFunSuite {
       ((3, 2)))
   }
 
+  test("containmentPairs: embedded doc found at c=1.0 where jaccard dilutes; " +
+      "viral shingle vanishes under the cap") {
+    import spark.implicits._
+    val big = (1 to 60).map(i => s"w$i").mkString(" ")
+    val smallInside = (21 to 30).map(i => s"w$i").mkString(" ") // ⊂ big
+    val unrelated = (100 to 130).map(i => s"x$i").mkString(" ")
+    val in = Seq((0L, big), (1L, smallInside), (2L, unrelated))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(in, 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(2), r.getInt(3), r.getInt(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    // the embedded doc: all 8 of its 3-shingles hit big → c(B→A)=1.0,
+    // while jaccard 8/58 ≈ 0.14 would never clear a 0.3 gate
+    assert(out.keySet == Set((0L, 1L)))
+    val (common, na, nb, ab, ba) = out((0L, 1L))
+    assert(common == 8 && na == 58 && nb == 8)
+    assert(ab == BigDecimal(8.0 / 58).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble && ba == 1.0)
+    // a shingle shared by MORE than maxDf docs is dropped before the
+    // pair join: 5 copies of one viral doc pair freely at cap 64 but
+    // not at cap 4 (every shingle's df is 5)
+    val viral = (0 until 5).map(i =>
+      (10L + i, (1 to 20).map(j => s"v$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(viral, 3, 0.5, maxDf = 64).count() == 10)
+    assert(Dedup.containmentPairs(viral, 3, 0.5, maxDf = 4).count() == 0)
+  }
+
   test("semDedup: dropped iff a lower-id same-cell vector is within threshold") {
     val t = 0.35
     val out = Similarity.semDedup(embs, t).collect()
