@@ -94,16 +94,47 @@ object Dedup {
     * @return (da, db, common, na, nb, cont_ab, cont_ba)
     */
   def containmentPairs(docs: DataFrame, n: Int = 3,
-      threshold: Double = 0.5, maxDf: Int = 64): DataFrame = {
+      threshold: Double = 0.5, maxDf: Int = 64): DataFrame =
+    containmentPairsCore(docs, None, n, threshold, maxDf)
+
+  /** DELTA variant of [[containmentPairs]] — the directed-overlap
+    * member of the delta matrix ([[jaccardPairsDelta]],
+    * [[simhashPairsDelta]], [[winnowedPairsDelta]] are the
+    * resemblance, Hamming, and substring members): only pairs
+    * involving a doc marked new by `isNew`, old×old candidates
+    * discarded inside the shingle-keyed join predicate. The df cap is
+    * computed over the WHOLE world (old ∪ new), exactly as the full
+    * form does — so the output is [[containmentPairs]] filtered to
+    * involving-new and the registered query shares q146's oracle with
+    * a one-line filter.
+    */
+  def containmentPairsDelta(docs: DataFrame, isNew: Column, n: Int = 3,
+      threshold: Double = 0.5, maxDf: Int = 64): DataFrame =
+    containmentPairsCore(docs, Some(isNew), n, threshold, maxDf)
+
+  private def containmentPairsCore(docs: DataFrame, isNew: Option[Column],
+      n: Int, threshold: Double, maxDf: Int): DataFrame = {
     val arrays = TextOps.shingleArrays(spread(docs), n)
     val sh = arrays.select(col("doc_id"), explode(col("arr")).as("s"))
     val sizes = arrays.where(size(col("arr")) > 0)
       .select(col("doc_id"), size(col("arr")).as("n_sh"))
-    val capped = sh.join(
+    val cappedBase = sh.join(
       sh.groupBy("s").agg(count(lit(1)).as("df"))
         .where(col("df") <= maxDf).select("s"), "s")
-    val common = capped.as("a").join(capped.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+    // delta form: tag rows with the newness predicate BEFORE the
+    // self-join and prune old×old inside the join condition (the
+    // winnowedPairsCore pattern)
+    val capped = isNew match {
+      case Some(p) => cappedBase.withColumn("nw", p)
+      case None => cappedBase
+    }
+    val baseCond = col("a.s") === col("b.s") &&
+      col("a.doc_id") < col("b.doc_id")
+    val cond = isNew match {
+      case Some(_) => baseCond && (col("a.nw") || col("b.nw"))
+      case None => baseCond
+    }
+    val common = capped.as("a").join(capped.as("b"), cond)
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("common"))
     common

@@ -368,6 +368,11 @@ object LlmPack extends QueryPack {
     // capped inverted index (the winnowing maxDf discipline).
     "q146_containment" -> ((s, d) =>
       Dedup.containmentPairs(t("documents")(s, d))),
+    // Its delta-matrix member: old×old pruned inside the candidate
+    // join, world-global df cap — output = q146 filtered.
+    "q147_containment_delta" -> ((s, d) =>
+      Dedup.containmentPairsDelta(t("documents")(s, d),
+        col("doc_id") % 3 === 0)),
     // BPE tokenizer training: the rank-ordered merge table (q143) and
     // the post-merge vocabulary segmentations (q144) — integer counts
     // + binary string tiebreaks only, so the whole training loop sits
@@ -564,6 +569,31 @@ object LlmPack extends QueryPack {
        |       FROM idx WHERE i + 2 <= len(w)),
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)"""
       .stripMargin
+
+  /** q146/q147 shared derivation — df cap, capped intersections, both
+    * directed containment ratios, either-direction verdict.
+    */
+  private def containmentOracle(extraWhere: String = ""): String =
+    s"""WITH $shingleCtes,
+       |df AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+       |capped AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s)
+       |           WHERE df <= 64),
+       |common AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+       |  FROM capped a JOIN capped b
+       |    ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT da, db, CAST(common AS INTEGER) AS common,
+       |       CAST(sa.n_sh AS INTEGER) AS na,
+       |       CAST(sb.n_sh AS INTEGER) AS nb,
+       |       round(CAST(common AS DOUBLE) / sa.n_sh, 4) AS cont_ab,
+       |       round(CAST(common AS DOUBLE) / sb.n_sh, 4) AS cont_ba
+       |FROM common
+       |JOIN sizes sa ON sa.doc_id = da
+       |JOIN sizes sb ON sb.doc_id = db
+       |WHERE greatest(round(CAST(common AS DOUBLE) / sa.n_sh, 4),
+       |               round(CAST(common AS DOUBLE) / sb.n_sh, 4))
+       |      >= 0.5$extraWhere""".stripMargin
 
   private def jaccardOracle(threshold: Double, extraWhere: String = ""): String =
     s"""WITH $shingleCtes,
@@ -1316,28 +1346,12 @@ object LlmPack extends QueryPack {
         |FROM h GROUP BY 1, 2""".stripMargin,
     // Containment oracle: same shingle CTEs as q64, the df cap, the
     // capped intersection counts, and both directed ratios + the
-    // either-direction threshold verdict re-derived.
-    "q146_containment" ->
-      s"""WITH $shingleCtes,
-         |df AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
-         |capped AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s)
-         |           WHERE df <= 64),
-         |common AS (
-         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
-         |  FROM capped a JOIN capped b
-         |    ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT da, db, CAST(common AS INTEGER) AS common,
-         |       CAST(sa.n_sh AS INTEGER) AS na,
-         |       CAST(sb.n_sh AS INTEGER) AS nb,
-         |       round(CAST(common AS DOUBLE) / sa.n_sh, 4) AS cont_ab,
-         |       round(CAST(common AS DOUBLE) / sb.n_sh, 4) AS cont_ba
-         |FROM common
-         |JOIN sizes sa ON sa.doc_id = da
-         |JOIN sizes sb ON sb.doc_id = db
-         |WHERE greatest(round(CAST(common AS DOUBLE) / sa.n_sh, 4),
-         |               round(CAST(common AS DOUBLE) / sb.n_sh, 4))
-         |      >= 0.5""".stripMargin,
+    // either-direction threshold verdict re-derived. The delta twin
+    // is the same derivation filtered to involving-new (the q137
+    // one-line-filter contract).
+    "q146_containment" -> containmentOracle(),
+    "q147_containment_delta" ->
+      containmentOracle(extraWhere = "\n  AND (da % 3 = 0 OR db % 3 = 0)"),
     // BPE oracles: the full training loop unrolled — word-frequency
     // init, then per round the pair count, the (cnt DESC, lhs, rhs)
     // argmax, and the space-sentinel leftmost-first replace (DuckDB's

@@ -893,6 +893,16 @@ class LlmSpec extends AnyFunSuite {
     assert(Dedup.containmentPairs(viral, 3, 0.5, maxDf = 4).count() == 0)
   }
 
+  test("containmentPairsDelta equals the full pair set filtered to involving-new") {
+    val isNew = col("doc_id") % 3 === 0
+    val full = Dedup.containmentPairs(docs, 3, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val delta = Dedup.containmentPairsDelta(docs, isNew, 3, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(delta == full.filter { case (a, b) => a % 3 == 0 || b % 3 == 0 })
+    assert(delta.nonEmpty && delta.size < full.size)
+  }
+
   test("semDedup: dropped iff a lower-id same-cell vector is within threshold") {
     val t = 0.35
     val out = Similarity.semDedup(embs, t).collect()
