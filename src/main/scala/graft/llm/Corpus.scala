@@ -582,6 +582,78 @@ object Corpus {
         round(tgt / share, 4).cast("float").as("weight"))
   }
 
+  /** Temperature-scaled mixture weights — the published multilingual
+    * sampling rule (mBERT's exponentiated smoothing; XLM-R trains with
+    * α = 0.3): instead of handing [[mixWeights]] explicit target
+    * shares, the target is DERIVED from the observed token mass,
+    * `temp_share_l ∝ n_tokens_l^α`, normalized over languages. α = 1
+    * reproduces the raw shares (weight 1 everywhere); α → 0 approaches
+    * uniform; in between, tail languages are up-weighted smoothly
+    * without the cliff of a hand-picked share table.
+    *
+    * Reproducibility: `share` and `temp_share` are rounded to 6 places
+    * first, and `weight` is computed FROM the rounded REAL columns —
+    * so the only cross-engine float risk is a `pow`/`sum` last-ulp
+    * landing exactly on a half-way rounding boundary (the same
+    * accepted class as [[mixWeights]]' division). The weight column
+    * plugs into [[materializeMix]]'s copy-count machinery unchanged.
+    *
+    * Scale shape: identical to [[mixWeights]] — one groupBy on lang,
+    * one ≤ |langs|-row broadcast of the normalization constants.
+    */
+  def mixWeightsTemperature(docs: DataFrame, alpha: Double = 0.3): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"temperature exponent must be in (0, 1], got $alpha")
+    val agg = docs
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(col("text"))).cast("long")).as("n_tokens"))
+      .withColumn("wr", pow(col("n_tokens").cast("double"), lit(alpha)))
+    val norm = agg.agg(sum("n_tokens").as("total_tokens"), sum("wr").as("z"))
+    agg.crossJoin(broadcast(norm))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("total_tokens"), 6)
+          .cast("float").as("share"),
+        round(col("wr") / col("z"), 6).cast("float").as("temp_share"))
+      .withColumn("weight",
+        round(col("temp_share").cast("double") / col("share").cast("double"), 4)
+          .cast("float"))
+  }
+
+  /** Cluster-balanced downsampling — SOFT near-dup dedup: instead of
+    * [[graft.llm.Dedup.clusterDedup]]'s keep-one-per-cluster rule,
+    * every document keeps with probability `sqrt(size)/size`, so a
+    * cluster of n near-dups contributes √n expected survivors. Heavy
+    * boilerplate clusters collapse hard (10⁶ copies → ~10³), genuine
+    * small clusters keep most of their variation, and singletons are
+    * always kept (rate 1, and the md5-uniform is ≤ 65535/65536 < 1) —
+    * the cluster-aware downsampling curve used when hard dedup throws
+    * away too much diversity.
+    *
+    * The keep decision is the [[stratifiedSample]] discipline:
+    * `hash16(doc_id)/65536 < rate` — deterministic, partition-
+    * independent, salt-rotatable. The √n curve is chosen over a
+    * general `size^β` because IEEE sqrt and divide are EXACTLY
+    * rounded: `sqrt(size)/size` is bit-identical in Spark and DuckDB,
+    * so rate and verdict sit under the full hash-gate oracle with no
+    * rounding hedge (a libm `pow` would not guarantee that).
+    *
+    * Scale shape: inherits [[graft.llm.Dedup.dupClusters]]' banded
+    * candidate join + pointer-jumped CC; the sampling itself adds one
+    * map over the (doc_id, cluster, size) triples — text never moves.
+    */
+  def clusterBalancedSample(docs: DataFrame, maxHamming: Int = 3,
+      bits: Int = Dedup.simhashBits, salt: String = "cbs"): DataFrame = {
+    val size = col("cluster_size").cast("double")
+    Dedup.dupClusters(docs, maxHamming, bits = bits)
+      .withColumn("rate", sqrt(size) / size)
+      .withColumn("keep",
+        hash16(col("doc_id"), salt).cast("double") / lit(65536.0)
+          < col("rate"))
+      .select(col("doc_id"), col("cluster"), col("cluster_size"),
+        col("rate"), col("keep"))
+  }
+
   /** Mixture MATERIALIZATION — applies [[mixWeights]]' per-language
     * re-weighting factors as actual per-document copy counts, the
     * epoch-sampling step a pre-training loader consumes: each doc is

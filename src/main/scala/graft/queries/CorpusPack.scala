@@ -25,6 +25,12 @@ object CorpusPack extends QueryPack {
     // loader consumes; downsamples weight<1 langs, upsamples weight>1.
     "q117_mix_materialize" -> ((s, d) =>
       Corpus.materializeMix(t("documents")(s, d))),
+    // Temperature-scaled mixture: the target share is DERIVED from
+    // token mass as n_tokens^0.3 normalized (the XLM-R sampling rule)
+    // instead of hand-picked; weight is computed from the ROUNDED
+    // share columns so the oracle reproduces it exactly.
+    "q148_mix_temperature" -> ((s, d) =>
+      Corpus.mixWeightsTemperature(t("documents")(s, d))),
     // Registered through the EXTERNAL-BENCHMARK overload (the API a
     // real pipeline calls): the modulus carve-out plays the eval
     // suite, handed in as its own frame. Same oracle as the
@@ -300,6 +306,30 @@ object CorpusPack extends QueryPack {
         |            (CAST(n_tokens AS DOUBLE) / total_tokens), 4) AS REAL)
         |         AS weight
         |FROM g, t""".stripMargin,
+
+    // The tempered target re-derived: same pow(n_tokens, 0.3)
+    // numerator, the same per-language normalization sum, and the
+    // weight divided from the ROUNDED REAL share columns — so the
+    // only float surface is the two round(…, 6) calls q80 already
+    // carries.
+    "q148_mix_temperature" ->
+      """WITH s AS (SELECT lang,
+        |             len(regexp_split_to_array(trim(text), '\s+')) AS n
+        |           FROM documents),
+        |g AS (SELECT lang, count(*) AS n_docs, CAST(sum(n) AS BIGINT)
+        |        AS n_tokens FROM s GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |        sum(pow(CAST(n_tokens AS DOUBLE), 0.3)) AS z FROM g),
+        |r AS (SELECT lang, n_docs, n_tokens,
+        |        CAST(round(CAST(n_tokens AS DOUBLE) / total_tokens, 6)
+        |          AS REAL) AS share,
+        |        CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.3) / z, 6)
+        |          AS REAL) AS temp_share
+        |      FROM g, t)
+        |SELECT lang, n_docs, n_tokens, share, temp_share,
+        |       CAST(round(CAST(temp_share AS DOUBLE)
+        |         / CAST(share AS DOUBLE), 4) AS REAL) AS weight
+        |FROM r""".stripMargin,
 
     // q80's weight table re-derived, then the same floor + residual
     // Bernoulli against the md5-uniform (REAL weight promotes to the

@@ -168,6 +168,13 @@ object LlmPack extends QueryPack {
     // scores, so both engines agree on the winner).
     "q85_cluster_dedup" -> ((s, d) =>
       Dedup.clusterDedup(t("documents")(s, d))),
+    // SOFT near-dup dedup: every doc keeps with rate sqrt(size)/size
+    // (√n expected survivors per cluster) — the diversity-preserving
+    // alternative to q85's keep-one rule. sqrt and divide are exactly
+    // rounded in IEEE, so the rate AND the verdict sit under the hash
+    // gate with no rounding hedge.
+    "q149_cluster_sample" -> ((s, d) =>
+      graft.llm.Corpus.clusterBalancedSample(t("documents")(s, d))),
     // Gopher-style quality gate: rule metrics + per-rule flags + keep.
     "q87_gopher_filter" -> ((s, d) =>
       TextOps.gopherFilter(t("documents")(s, d))),
@@ -1087,6 +1094,33 @@ object LlmPack extends QueryPack {
     // Identical answer contract: the incremental path must reproduce
     // the full recompute, so q133 shares q82's oracle verbatim.
     "q133_day2_clusters" -> dupClustersOracle,
+
+    // Same component derivation as q82, then the soft-dedup rate and
+    // verdict: sqrt(size)/size is exactly rounded in both engines, and
+    // the md5-uniform comparison is the q78/q114 discipline.
+    "q149_cluster_sample" ->
+      s"""WITH RECURSIVE $simhashPairCtes,
+         |prs AS MATERIALIZED (SELECT da, db FROM p WHERE hamming <= 3),
+         |edges AS MATERIALIZED (
+         |  SELECT da AS src, db AS dst FROM prs
+         |  UNION ALL
+         |  SELECT db AS src, da AS dst FROM prs),
+         |reach AS (
+         |  SELECT doc_id AS v, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT e.dst AS v, re.r AS r
+         |  FROM reach re JOIN edges e ON e.src = re.v),
+         |cc AS (SELECT v AS doc_id, min(r) AS cluster FROM reach GROUP BY 1),
+         |cs AS (SELECT cluster, CAST(count(*) AS INTEGER) AS cluster_size
+         |       FROM cc GROUP BY 1)
+         |SELECT c.doc_id, c.cluster, s.cluster_size,
+         |       sqrt(CAST(s.cluster_size AS DOUBLE)) / s.cluster_size AS rate,
+         |       CAST(${OracleSql.md5High16(
+                   "md5('cbs:' || CAST(c.doc_id AS VARCHAR))")} AS DOUBLE)
+         |           / CAST(65536 AS DOUBLE)
+         |         < sqrt(CAST(s.cluster_size AS DOUBLE)) / s.cluster_size
+         |         AS keep
+         |FROM cc c JOIN cs s USING (cluster)""".stripMargin,
 
     // Same component derivation as q82, joined with q62's quality
     // formula; the per-cluster winner is row_number() = 1 on

@@ -970,4 +970,64 @@ class LlmSpec extends AnyFunSuite {
     assert(out(2L) == ((4, 2, 1.0f)))  // length-invariant for same dist
     assert(out(3L) == ((4, 4, 2.0f)))  // four equiprobable → 2 bits
   }
+
+  test("temperature mix: tail langs up-weighted, alpha=1 is identity") {
+    val out = Corpus.mixWeightsTemperature(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), r.getFloat(3), r.getFloat(4), r.getFloat(5))))
+      .toMap
+    // shares and tempered shares each normalize to ~1
+    assert(math.abs(out.values.map(_._2.toDouble).sum - 1.0) < 1e-4)
+    assert(math.abs(out.values.map(_._3.toDouble).sum - 1.0) < 1e-4)
+    // temperature flattens: the token-richest language is down-
+    // weighted, the token-poorest up-weighted
+    val largest = out.maxBy(_._2._1)._1
+    val smallest = out.minBy(_._2._1)._1
+    assert(out(largest)._4 < 1.0f, s"head lang $largest must shrink")
+    assert(out(smallest)._4 > 1.0f, s"tail lang $smallest must grow")
+    // monotone: more tokens → smaller weight (strict when counts differ)
+    val byTokens = out.values.toSeq.sortBy(_._1)
+    byTokens.sliding(2).foreach {
+      case Seq((n1, _, _, w1), (n2, _, _, w2)) =>
+        if (n1 != n2) assert(w1 >= w2)
+      case _ =>
+    }
+    // alpha = 1 reproduces the raw shares: every weight is 1
+    Corpus.mixWeightsTemperature(docs, alpha = 1.0).collect()
+      .foreach(r => assert(math.abs(r.getFloat(5) - 1.0f) < 2e-4f))
+  }
+
+  test("cluster-balanced sample: sqrt(n) curve, singletons always kept") {
+    import spark.implicits._
+    // ids 0..9: one planted near-dup cluster (identical text);
+    // 100..119: distinct docs → singletons
+    val dup = (0L until 10L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val rnd = new scala.util.Random(13)
+    val singles = (100L until 120L).map { i =>
+      val words = Seq.fill(14)(s"w${rnd.nextInt(100000)}x$i")
+      (i, words.mkString(" "))
+    }
+    val in = (dup ++ singles).toDF("doc_id", "text")
+    val out = Corpus.clusterBalancedSample(in).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(out.size == 30)
+    // the planted cluster: size 10, rate exactly sqrt(10)/10
+    (0L until 10L).foreach { i =>
+      val (c, n, rate, _) = out(i)
+      assert(c == 0L && n == 10)
+      assert(rate == math.sqrt(10.0) / 10.0)
+    }
+    // expected survivors ~ sqrt(10): the deterministic draw keeps
+    // strictly fewer than the cluster and at least one
+    val kept = (0L until 10L).count(out(_)._4)
+    assert(kept >= 1 && kept < 10)
+    // singletons: rate 1 and ALWAYS kept (u <= 65535/65536 < 1)
+    (100L until 120L).foreach { i =>
+      val (_, n, rate, keep) = out(i)
+      assert(n == 1 && rate == 1.0 && keep)
+    }
+  }
 }
