@@ -156,4 +156,29 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(cellKeyed.nonEmpty, "no cell-keyed pair join found")
   }
+
+  test("q148: tempered mix joins the ≤|langs|-row constants via " +
+      "broadcast, never sort-merge") {
+    val p = plan("q148_mix_temperature")
+    // the normalization frame (total_tokens, z) is 1 row: it must
+    // arrive as a broadcast nested loop, not a shuffled join
+    assert(p.collect {
+      case j: org.apache.spark.sql.execution.joins
+        .BroadcastNestedLoopJoinExec => j }.nonEmpty)
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty)
+    assert(p.collect {
+      case j: org.apache.spark.sql.execution.joins
+        .CartesianProductExec => j }.isEmpty)
+  }
+
+  test("q149: cluster-balanced sampling never shuffles document text") {
+    // the soft-dedup decoration works on (doc_id, cluster, size)
+    // triples — any exchange carrying `text` would ship the corpus
+    // body through the cluster machinery and die at 100 TB
+    val shuffledCols = plan("q149_cluster_sample")
+      .collect { case e: ShuffleExchangeExec => e }
+      .flatMap(_.output.map(_.name))
+    assert(!shuffledCols.contains("text"),
+      s"text entered a shuffle: ${shuffledCols.mkString(",")}")
+  }
 }
