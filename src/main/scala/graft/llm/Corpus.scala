@@ -570,10 +570,14 @@ object Corpus {
     val tgt = targetShare.foldLeft(lit(defaultShare): Column) {
       case (acc, (k, v)) => when(col("lang") === k, lit(v)).otherwise(acc)
     }
+    // the per-lang aggregate feeds BOTH the normalization constant and
+    // the output projection: checkpoint the ≤ |langs|-row frame so the
+    // corpus-wide scan + tokenize runs ONCE, not once per consumer
     val agg = docs
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(TextOps.tokens(col("text"))).cast("long")).as("n_tokens"))
+      .localCheckpoint(true)
     val total = agg.agg(sum("n_tokens").as("total_tokens"))
     val share = col("n_tokens").cast("double") / col("total_tokens")
     agg.crossJoin(broadcast(total))
@@ -604,11 +608,15 @@ object Corpus {
   def mixWeightsTemperature(docs: DataFrame, alpha: Double = 0.3): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0,
       s"temperature exponent must be in (0, 1], got $alpha")
+    // as in [[mixWeights]]: the ≤ |langs|-row aggregate has two
+    // consumers (normalization + output) — checkpoint so the corpus
+    // scan + tokenize runs once
     val agg = docs
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(TextOps.tokens(col("text"))).cast("long")).as("n_tokens"))
       .withColumn("wr", pow(col("n_tokens").cast("double"), lit(alpha)))
+      .localCheckpoint(true)
     val norm = agg.agg(sum("n_tokens").as("total_tokens"), sum("wr").as("z"))
     agg.crossJoin(broadcast(norm))
       .select(col("lang"), col("n_docs"), col("n_tokens"),
