@@ -516,10 +516,14 @@ object Corpus {
   def qualityGate(docs: DataFrame, keepFrac: Double = 0.5,
       k: Int = 200): DataFrame = {
     require(keepFrac > 0.0 && keepFrac <= 1.0, "keepFrac in (0, 1]")
-    // quality computed INLINE with lang carried — one projection per
-    // branch, no doc_id join (which would re-scan the corpus)
+    // quality computed INLINE with lang carried, then the narrow
+    // (doc_id, lang, quality) triple checkpointed: it feeds BOTH the
+    // sketch and the verdict join, and recomputing it would tokenize
+    // the corpus text twice — the triple is ~20 bytes/doc, the scan
+    // it saves is the whole text column
     val scored = docs.select(col("doc_id"), col("lang"),
       TextOps.qualityCol(col("text")).as("quality"))
+      .localCheckpoint(true)
     val sk = scored.groupBy(col("lang"))
       .agg(graft.functions.BottomKByHash(
         col("quality"), col("doc_id"), k).as("vs"))
