@@ -203,15 +203,25 @@ object BottomKByHash {
     * partial aggregation applies and the cardinality profile of a
     * petabyte table is one scan + O(k·partitions) merge.
     */
-  def kmvDistinct(key: Column, k: Int): Column = {
-    val ks = key.cast("string")
-    // valueFromHash: the sketch derives the fraction from its own
-    // ordering digest — ONE md5 per row, not two (a conv(md5(...))
-    // child would re-hash every key), and nothing to codegen upstream
-    val sk = GraftSqlShims.column(BottomKByHash(
+  /** The RAW bottom-k sample of [[kmvDistinct]]'s sketch: the k
+    * smallest distinct-key 48-bit md5 fractions in ascending order
+    * (array<double>). Exposed for SKETCH-MERGE set operations — two
+    * samples union/intersect with plain array math (the KMV identity:
+    * a hash in the union's bottom-k that belongs to side A is
+    * necessarily in A's bottom-k), so slice-vs-slice overlap needs no
+    * pairwise join. Same one-md5-per-row fast path as [[kmvDistinct]].
+    */
+  def kmvSample(key: Column, k: Int): Column =
+    GraftSqlShims.column(BottomKByHash(
       GraftSqlShims.expression(lit(0.0)),
-      GraftSqlShims.expression(ks), k, valueFromHash = true)
+      GraftSqlShims.expression(key.cast("string")), k, valueFromHash = true)
       .toAggregateExpression())
+
+  def kmvDistinct(key: Column, k: Int): Column = {
+    // valueFromHash inside kmvSample: the sketch derives the fraction
+    // from its own ordering digest — ONE md5 per row, not two (a
+    // conv(md5(...)) child would re-hash every key)
+    val sk = kmvSample(key, k)
     when(size(sk) < k, size(sk).cast("double"))
       .otherwise(lit((k - 1).toDouble) / element_at(sk, k))
   }

@@ -496,6 +496,66 @@ object Corpus {
         round(sum(col("nb") * col("lr")), 4).cast("float").as("logw"))
   }
 
+  /** Slice-vs-slice shingle overlap from MERGED KMV SKETCHES — "how
+    * much does corpus slice B's n-gram content overlap slice A's?"
+    * (yesterday vs today's crawl, source vs source, corpus vs an
+    * external dump) answered per language WITHOUT any pairwise join:
+    * each side is one scan into a bottom-k sketch of its distinct
+    * shingle hashes, and union/intersection come from plain array math
+    * over the two ≤ k-element samples via the KMV identity — a hash
+    * among the union's k smallest that belongs to side A is
+    * necessarily among A's k smallest, so sketch membership IS set
+    * membership for the union sample [Beyer et al. 2007].
+    *
+    * Estimates: `j_est = k_both / k_union` (the Jaccard estimator over
+    * the union sample; exact when the union has < k distinct
+    * shingles), `est_union` the [[graft.functions.BottomKByHash
+    * .kmvDistinct]] (k−1)/u₍ₖ₎ inversion. All md5-deterministic: the
+    * 48-bit fractions are exact doubles, the set algebra is exact
+    * integer counting, so the oracle re-derives every column.
+    * Duplicate-fraction collisions across distinct shingles (~k²/2⁴⁹)
+    * collapse identically on both engines (the contract is defined on
+    * fractions, which the oracle also groups by).
+    *
+    * The 100 TB story: an exact slice-overlap is a distinct-shingle
+    * join — shuffling every distinct n-gram of both corpora. This is
+    * two independent one-scan sketches (map-side combined, O(k·|langs|)
+    * state) and a ≤ k-element array merge per language; the slices
+    * never meet in a shuffle at all.
+    */
+  def kmvOverlap(a: DataFrame, b: DataFrame, n: Int = 3,
+      k: Int = 128): DataFrame = {
+    import graft.functions.BottomKByHash
+    def side(f: DataFrame, nm: String): DataFrame =
+      TextOps.spread(f)
+        .select(col("lang"),
+          explode(TextOps.shingleSet(TextOps.tokens(col("text")), n)).as("s"))
+        .groupBy(col("lang"))
+        .agg(BottomKByHash.kmvSample(col("s"), k).as(nm))
+    val empty = array().cast("array<double>")
+    val uk = slice(array_sort(array_distinct(
+      concat(col("ka"), col("kb")))), 1, k)
+    side(a, "ka").join(side(b, "kb"), Seq("lang"), "full_outer")
+      .select(col("lang"),
+        coalesce(col("ka"), empty).as("ka"),
+        coalesce(col("kb"), empty).as("kb"))
+      .withColumn("uk", uk)
+      .withColumn("k_both", size(filter(col("uk"), x =>
+        array_contains(col("ka"), x) && array_contains(col("kb"), x))))
+      .select(col("lang"),
+        size(col("ka")).as("k_a"), size(col("kb")).as("k_b"),
+        size(col("uk")).as("k_union"), col("k_both"),
+        when(size(col("uk")) === 0, lit(0.0f))
+          .otherwise(round(col("k_both").cast("double")
+            / size(col("uk")), 4).cast("float")).as("j_est"),
+        when(size(col("uk")) < k, size(col("uk")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) / element_at(col("uk"), k))
+          .as("est_union_raw"))
+      .withColumn("est_union",
+        round(col("est_union_raw"), 4).cast("float"))
+      .drop("est_union_raw")
+  }
+
   /** Per-language quality-percentile gate — the "keep the best
     * `keepFrac` of each language" curation step (CCNet buckets its
     * corpus by exactly this kind of per-language quality cut). The

@@ -318,6 +318,16 @@ object LlmPack extends QueryPack {
           .cast("float").as("est_shingles"))
       perLang.join(shAgg, Seq("lang"))
     }),
+    // Slice-vs-slice shingle overlap from MERGED KMV sketches: the
+    // majority slice vs the doc_id%3 carve-out, per language — union,
+    // intersection, Jaccard, and union-cardinality estimates all from
+    // two bottom-128 samples and array math; the slices never meet in
+    // a shuffle (no distinct-shingle join anywhere).
+    "q150_kmv_overlap" -> ((s, d) => {
+      val docs = t("documents")(s, d)
+      graft.llm.Corpus.kmvOverlap(docs.where(col("doc_id") % 3 =!= 0),
+        docs.where(col("doc_id") % 3 === 0))
+    }),
     "q68_ann_cosine" -> ((s, d) =>
       Similarity.bruteForceTopK(t("embeddings")(s, d), col("vec_id") < 10)),
     // The SESSION-EXTENSION path end-to-end: a session built with
@@ -1642,6 +1652,65 @@ object LlmPack extends QueryPack {
          |       CAST(round(srce.est_src, 4) AS REAL) AS est_sources,
          |       CAST(round(she.est_sh, 4) AS REAL) AS est_shingles
          |FROM nd JOIN srce USING (lang) JOIN she USING (lang)""".stripMargin
+    },
+
+    // Both sides' bottom-128 fraction samples re-derived with
+    // row_number() over md5 per language, then the SAME union/
+    // membership algebra on fractions (grouping by the fraction, as
+    // the engine's array_distinct does): k smallest of the union,
+    // intersection counted inside it, (k−1)/u_k inversion for the
+    // union cardinality.
+    "q150_kmv_overlap" -> {
+      val frac = OracleSql.md5Frac48("m")
+      s"""WITH tk AS (SELECT doc_id, lang,
+         |             regexp_split_to_array(trim(text), '\\s+') AS w
+         |           FROM documents WHERE text IS NOT NULL),
+         |gi AS (SELECT doc_id, lang, w, generate_subscripts(w, 1) AS i
+         |       FROM tk),
+         |g AS (SELECT doc_id, lang,
+         |        w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |      FROM gi WHERE i + 2 <= len(w)),
+         |sha AS (SELECT DISTINCT lang, s FROM g WHERE doc_id % 3 <> 0),
+         |shb AS (SELECT DISTINCT lang, s FROM g WHERE doc_id % 3 = 0),
+         |ra AS (SELECT lang, md5(s) AS m, row_number()
+         |         OVER (PARTITION BY lang ORDER BY md5(s)) AS rk
+         |       FROM sha),
+         |ka AS (SELECT lang, $frac AS f FROM ra WHERE rk <= 128),
+         |rb AS (SELECT lang, md5(s) AS m, row_number()
+         |         OVER (PARTITION BY lang ORDER BY md5(s)) AS rk
+         |       FROM shb),
+         |kb AS (SELECT lang, $frac AS f FROM rb WHERE rk <= 128),
+         |ca AS (SELECT lang, CAST(count(*) AS INTEGER) AS k_a
+         |       FROM ka GROUP BY 1),
+         |cb AS (SELECT lang, CAST(count(*) AS INTEGER) AS k_b
+         |       FROM kb GROUP BY 1),
+         |u AS (SELECT lang, f, max(ina) AS ina, max(inb) AS inb FROM (
+         |        SELECT lang, f, 1 AS ina, 0 AS inb FROM ka
+         |        UNION ALL
+         |        SELECT lang, f, 0 AS ina, 1 AS inb FROM kb)
+         |      GROUP BY 1, 2),
+         |ru AS (SELECT lang, f, ina, inb, row_number()
+         |         OVER (PARTITION BY lang ORDER BY f) AS rk
+         |       FROM u),
+         |uk AS (SELECT * FROM ru WHERE rk <= 128),
+         |agg AS (SELECT lang, CAST(count(*) AS INTEGER) AS k_union,
+         |          CAST(sum(CASE WHEN ina = 1 AND inb = 1
+         |            THEN 1 ELSE 0 END) AS INTEGER) AS k_both,
+         |          max(CASE WHEN rk = 128 THEN f END) AS u_k
+         |        FROM uk GROUP BY 1),
+         |dom AS (SELECT lang FROM sha UNION SELECT lang FROM shb)
+         |SELECT d.lang,
+         |       coalesce(ca.k_a, 0) AS k_a,
+         |       coalesce(cb.k_b, 0) AS k_b,
+         |       a.k_union, a.k_both,
+         |       CAST(round(CAST(a.k_both AS DOUBLE) / a.k_union, 4)
+         |         AS REAL) AS j_est,
+         |       CAST(round(CASE WHEN a.k_union < 128
+         |           THEN CAST(a.k_union AS DOUBLE)
+         |           ELSE 127.0 / a.u_k END, 4) AS REAL) AS est_union
+         |FROM dom d
+         |LEFT JOIN ca USING (lang) LEFT JOIN cb USING (lang)
+         |JOIN agg a USING (lang)""".stripMargin
     },
 
     "q68_ann_cosine" -> annCosineOracle,

@@ -1030,4 +1030,28 @@ class LlmSpec extends AnyFunSuite {
       assert(n == 1 && rate == 1.0 && keep)
     }
   }
+
+  test("kmv overlap: exact below k; one-sided langs read zero overlap") {
+    import spark.implicits._
+    // lang "x": A = {w0..w9 windows}, B = shares a 6-token suffix →
+    // known 3-shingle sets; lang "a-only" appears on one side only
+    val aText = (0 until 10).map(i => s"a$i").mkString(" ")
+    val bText = (5 until 15).map(i => s"a$i").mkString(" ")
+    val a = Seq((1L, "x", aText), (2L, "aa", "p q r s t")).toDF("doc_id", "lang", "text")
+    val b = Seq((3L, "x", bText)).toDF("doc_id", "lang", "text")
+    val out = Corpus.kmvOverlap(a, b).collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getFloat(5), r.getFloat(6)))).toMap
+    // lang x: A has shingles over a0..a9 → 8; B over a5..a14 → 8;
+    // shared = windows inside a5..a9 → 3; union = 13 < k → EXACT
+    val (ka, kb, ku, kboth, j, est) = out("x")
+    assert(ka == 8 && kb == 8 && ku == 13 && kboth == 3)
+    assert(j == (BigDecimal(3.0 / 13).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toFloat))
+    assert(est == 13.0f)
+    // one-sided language: empty B sketch, zero overlap, exact union
+    val (ka2, kb2, ku2, kboth2, j2, est2) = out("aa")
+    assert(ka2 == 3 && kb2 == 0 && ku2 == 3 && kboth2 == 0)
+    assert(j2 == 0.0f && est2 == 3.0f)
+  }
 }
