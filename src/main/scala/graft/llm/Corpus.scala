@@ -119,6 +119,37 @@ object Corpus {
     }
   }
 
+  /** Packing ACCOUNTING — the loader-capacity numbers a pipeline
+    * checks before launching a run: per (lang, shard) stream, document
+    * and token mass, how many `budget`-token context windows
+    * [[packStream]] will cut, the padding tokens lost in each stream's
+    * final partial window, and the resulting utilization. Window
+    * counts are exact by the concat-then-split invariant (windows per
+    * stream = ⌈total_tokens/budget⌉ — only the tail window is ever
+    * short), so NO packing run is needed: this is one groupBy over
+    * (lang, shard) with map-side combine — it skips [[packStream]]'s
+    * per-stream running-sum sort entirely, which is the point at
+    * 100 TB (capacity planning must be cheaper than the job it plans).
+    */
+  def packStats(docs: DataFrame, budget: Int = 256, nStreams: Int = 8,
+      salt: String = "ep0"): DataFrame = {
+    require(nStreams >= 1, "nStreams must be >= 1")
+    require(budget > 0, "budget must be > 0")
+    docs.select(col("lang"),
+        size(TextOps.tokens(col("text"))).as("n_tok"),
+        (hash16(col("doc_id"), salt) % nStreams).cast("int").as("shard"))
+      .groupBy(col("lang"), col("shard"))
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        sum(col("n_tok").cast("long")).as("n_tokens"))
+      .withColumn("n_windows",
+        expr(s"(n_tokens + ${budget - 1}) div $budget"))
+      .withColumn("pad_tokens",
+        col("n_windows") * budget - col("n_tokens"))
+      .withColumn("utilization",
+        round(col("n_tokens").cast("double")
+          / (col("n_windows") * lit(budget.toLong)), 4).cast("float"))
+  }
+
   /** The PACK MANIFEST — the loader-facing inverse of [[packStream]]:
     * one row per (document × context window it occupies), with the
     * document's start offset and token count inside that window. This
@@ -598,6 +629,54 @@ object Corpus {
     scored.join(broadcast(thr), Seq("lang"))
       .where(col("quality") >= col("q_thr"))
       .select(col("doc_id"), col("lang"), col("quality"), col("q_thr"))
+  }
+
+  /** Quality-CURRICULUM ordering — the annealing schedule modern
+    * pre-training runs use (highest-quality data concentrated at the
+    * end of training): every document gets a training `phase` from its
+    * per-language quality quantile — phase 0 = lowest-quality band,
+    * trained first; `phases−1` = the top band, annealed last — plus a
+    * deterministic md5 `order_key` for the within-phase shuffle. The
+    * loader realizes the schedule by sorting on
+    * (phase, order_key, doc_id); no global sort is materialized here.
+    *
+    * Phase cut points are the i/phases quantiles (i = 1..phases−1) of
+    * [[TextOps.qualityScore]]'s quality, estimated per language from
+    * the SAME bottom-k-by-hash sketch and floor-index arithmetic as
+    * [[qualityGate]] — one scan builds O(k·|langs|) thresholds, the
+    * assignment is a broadcast join + codegen'd CASE at any corpus
+    * size. NULL-quality docs (empty texts) are out of contract, as in
+    * [[qualityGate]].
+    */
+  def curriculumOrder(docs: DataFrame, phases: Int = 3, k: Int = 200,
+      salt: String = "cur"): DataFrame = {
+    require(phases >= 2, s"a curriculum needs >= 2 phases, got $phases")
+    // the scored triple feeds the sketch AND the verdict join — same
+    // two-consumer checkpoint as qualityGate
+    val scored = docs.select(col("doc_id"), col("lang"),
+        TextOps.qualityCol(col("text")).as("quality"))
+      .where(col("quality").isNotNull)
+      .localCheckpoint(true)
+    val sk = scored.groupBy(col("lang"))
+      .agg(graft.functions.BottomKByHash(
+        col("quality"), col("doc_id"), k).as("vs"))
+    val sorted = sort_array(col("vs"))
+    val thrCols = (1 until phases).map { i =>
+      element_at(sorted,
+        (floor(lit(i.toDouble / phases) * (size(col("vs")) - 1)) + 1)
+          .cast("int")).as(s"thr_$i")
+    }
+    val thr = sk.where(size(col("vs")) > 0)
+      .select(col("lang") +: thrCols: _*)
+    // highest matching threshold wins; the sorted sample guarantees
+    // thr_1 <= ... <= thr_{phases-1}, so the chain is well-ordered
+    val phase = (1 until phases).foldLeft(lit(0): Column) { (acc, i) =>
+      when(col("quality") >= col(s"thr_$i"), lit(i)).otherwise(acc)
+    }
+    scored.join(broadcast(thr), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("quality"),
+        phase.cast("int").as("phase"),
+        hash16(col("doc_id"), salt).as("order_key"))
   }
 
   /** The ALLOCATION half of corpus curation, composed end-to-end —

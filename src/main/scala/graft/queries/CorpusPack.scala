@@ -20,6 +20,11 @@ object CorpusPack extends QueryPack {
     "q79_pack_stream" -> ((s, d) =>
       Corpus.packStream(t("documents")(s, d), budget = 256)),
     "q80_mix_weights" -> ((s, d) => Corpus.mixWeights(t("documents")(s, d))),
+    // Packing ACCOUNTING without a packing run: per-stream window/
+    // padding/utilization numbers from one groupBy — exact by the
+    // concat-then-split invariant (⌈tokens/budget⌉ windows, only the
+    // tail short), no per-stream running-sum sort.
+    "q152_pack_stats" -> ((s, d) => Corpus.packStats(t("documents")(s, d))),
     // q80's weights APPLIED: per-doc copy counts (floor + deterministic
     // md5-Bernoulli residual) — the epoch-sampling materialization a
     // loader consumes; downsamples weight<1 langs, upsamples weight>1.
@@ -291,6 +296,28 @@ object CorpusPack extends QueryPack {
          |       CAST(cum - n_tok - ((cum - n_tok) // 256) * 256 AS INTEGER)
          |         AS pack_offset
          |FROM c""".stripMargin,
+
+    // q79's shard + token CTEs, then plain integer window arithmetic
+    // per (lang, shard) — BIGINT // division on both engines.
+    "q152_pack_stats" ->
+      s"""WITH s AS (SELECT doc_id, lang,
+         |        CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+         |          AS INTEGER) AS n_tok,
+         |        md5('ep0:' || CAST(doc_id AS VARCHAR)) AS h
+         |      FROM documents),
+         |sh AS (SELECT lang, n_tok,
+         |         CAST((${OracleSql.md5High16("h")}) % 8 AS INTEGER) AS shard
+         |       FROM s),
+         |g AS (SELECT lang, shard, CAST(count(*) AS INTEGER) AS n_docs,
+         |        CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |      FROM sh GROUP BY 1, 2)
+         |SELECT lang, shard, n_docs, n_tokens,
+         |       (n_tokens + 255) // 256 AS n_windows,
+         |       ((n_tokens + 255) // 256) * 256 - n_tokens AS pad_tokens,
+         |       CAST(round(CAST(n_tokens AS DOUBLE)
+         |         / (((n_tokens + 255) // 256) * 256), 4) AS REAL)
+         |         AS utilization
+         |FROM g""".stripMargin,
 
     "q80_mix_weights" ->
       """WITH s AS (SELECT lang,

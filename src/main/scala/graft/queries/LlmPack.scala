@@ -259,6 +259,12 @@ object LlmPack extends QueryPack {
     // broadcast-joined filter, no per-language sort. k=200 spans both
     // branches across SFs: exact percentile below 200 docs/lang,
     // sketch estimate above.
+    // Quality-curriculum ordering: per-language tercile phases from
+    // the SAME bottom-k sketch + floor-index rule as q128, plus the
+    // md5 within-phase shuffle key — the annealing schedule (best data
+    // last) as deterministic sort keys, no global sort materialized.
+    "q151_curriculum" -> ((s, d) =>
+      graft.llm.Corpus.curriculumOrder(t("documents")(s, d))),
     "q128_quality_gate" -> ((s, d) =>
       graft.llm.Corpus.qualityGate(t("documents")(s, d))),
     // Deterministic A-ES weighted sampling: top-50 per language by
@@ -1535,6 +1541,44 @@ object LlmPack extends QueryPack {
     // q62's quality derivation, the q103-style md5-ranked sample with
     // the same floor-index selection, then the >= filter — the whole
     // gate (including the sketch threshold) re-derived exactly.
+    // q128's sketch re-derivation with TWO floor-index cut points
+    // (1/3, 2/3 of the sorted sample), the same CASE chain, and the
+    // q114-family md5-high-16 order key.
+    "q151_curriculum" -> {
+      val stopCond = TextOps.stopwords.map(s => s"x = '$s'").mkString(" OR ")
+      val ord = OracleSql.md5High16(
+        "md5('cur:' || CAST(doc_id AS VARCHAR))")
+      s"""WITH $tokCte,
+         |m AS (SELECT doc_id, text, w,
+         |        len(list_filter(w, x -> $stopCond)) AS stops FROM tok),
+         |q AS (SELECT doc_id,
+         |        round(least(CAST(len(w) AS DOUBLE) / 100, CAST(1 AS DOUBLE))
+         |          * (CAST(1 AS DOUBLE) - CAST(stops AS DOUBLE) / len(w)), 4)
+         |          AS quality
+         |      FROM m),
+         |l AS (SELECT q.doc_id, d.lang, q.quality
+         |      FROM q JOIN documents d USING (doc_id)
+         |      WHERE q.quality IS NOT NULL),
+         |h AS (SELECT lang, quality, md5(CAST(doc_id AS VARCHAR)) AS hm
+         |      FROM l),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+         |        ORDER BY hm) AS rk FROM h),
+         |g AS (SELECT lang, list(quality ORDER BY quality) AS vs
+         |      FROM r WHERE rk <= 200 GROUP BY 1),
+         |thr AS (SELECT lang,
+         |          vs[CAST(floor(CAST(${1.0 / 3} AS DOUBLE)
+         |            * (len(vs) - 1)) AS INT) + 1] AS thr_1,
+         |          vs[CAST(floor(CAST(${2.0 / 3} AS DOUBLE)
+         |            * (len(vs) - 1)) AS INT) + 1] AS thr_2
+         |        FROM g)
+         |SELECT l.doc_id, l.lang, l.quality,
+         |       CASE WHEN l.quality >= thr.thr_2 THEN 2
+         |            WHEN l.quality >= thr.thr_1 THEN 1
+         |            ELSE 0 END AS phase,
+         |       CAST($ord AS INTEGER) AS order_key
+         |FROM l JOIN thr USING (lang)""".stripMargin
+    },
+
     "q128_quality_gate" -> {
       val stopCond = TextOps.stopwords.map(s => s"x = '$s'").mkString(" OR ")
       s"""WITH $tokCte,

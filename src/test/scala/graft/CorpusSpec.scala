@@ -289,4 +289,57 @@ class CorpusSpec extends AnyFunSuite {
     assert(math.abs(out(0L)._2 - expect0) < 2e-4f,
       s"got ${out(0L)._2}, want $expect0")
   }
+
+  test("packStats: exact window count, tail-only padding, no pack run") {
+    import spark.implicits._
+    // one lang, nStreams=1 → one stream; 10+20+250 = 280 tokens at
+    // budget 256 → 2 windows, 232 pad tokens, util 280/512
+    val in = Seq(
+      (0L, "en", (1 to 10).map(i => s"a$i").mkString(" ")),
+      (1L, "en", (1 to 20).map(i => s"b$i").mkString(" ")),
+      (2L, "en", (1 to 250).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val r = Corpus.packStats(in, budget = 256, nStreams = 1).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getString(0) == "en" && row.getInt(1) == 0)
+    assert(row.getInt(2) == 3 && row.getLong(3) == 280L)
+    assert(row.getLong(4) == 2L && row.getLong(5) == 2L * 256 - 280)
+    assert(row.getFloat(6) == BigDecimal(280.0 / 512)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toFloat)
+    // agreement with an actual packStream run: windows per stream =
+    // max pack window index + 1
+    val packed = Corpus.packStream(in, budget = 256, nStreams = 1)
+      .select(col("pack_id") + col("n_windows")).collect()
+      .map(_.getLong(0)).max
+    assert(packed == 2L)
+  }
+
+  test("curriculumOrder: tercile phases ordered by quality, stable keys") {
+    import spark.implicits._
+    // stopword-free docs of lengths 1..30 → quality = len/100, all
+    // distinct; k=200 > 30 so the sample is the population and the
+    // terciles are exact: thr_1 = sorted[11] = 0.11? no — floor rule:
+    // idx1 = floor(29/3)+1 = 10 → 0.10, idx2 = floor(58/3)+1 = 20 → 0.20
+    val in = (1 to 30).map(i =>
+      (i.toLong, "en", (1 to i).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val out = Corpus.curriculumOrder(in).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(out.size == 30)
+    val byPhase = out.values.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(byPhase.keySet == Set(0, 1, 2))
+    assert(byPhase(0).size == 9 && byPhase(1).size == 10 &&
+      byPhase(2).size == 11)
+    // phases are quality-monotone: every phase-p doc outranks every
+    // phase-(p-1) doc
+    assert(byPhase(0).max < byPhase(1).min)
+    assert(byPhase(1).max < byPhase(2).min)
+    // order keys are 16-bit and deterministic across runs
+    assert(out.values.forall { case (_, _, k) => k >= 0 && k < 65536 })
+    val again = Corpus.curriculumOrder(in).collect()
+      .map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(out.forall { case (id, (_, _, k)) => again(id) == k })
+  }
 }
