@@ -157,6 +157,49 @@ class PlanSpec extends AnyFunSuite {
     assert(cellKeyed.nonEmpty, "no cell-keyed pair join found")
   }
 
+  test("q150: kmv overlap shuffles sketches, never shingles; both " +
+      "sides partially aggregate map-side") {
+    val p = plan("q150_kmv_overlap")
+    // the exploded shingle column must die inside the map-side partial
+    // sketch — an exchange carrying `s` would shuffle every distinct
+    // n-gram of both slices (the join this operator exists to avoid)
+    val shuffledCols = p.collect { case e: ShuffleExchangeExec => e }
+      .flatMap(_.output.map(_.name))
+    assert(!shuffledCols.contains("s"),
+      s"shingles entered a shuffle: ${shuffledCols.mkString(",")}")
+    val partials = p.collect {
+      case a: ObjectHashAggregateExec if a.aggregateExpressions.exists(e =>
+        e.mode == Partial &&
+          e.aggregateFunction.isInstanceOf[graft.functions.BottomKByHash]) => a
+    }
+    assert(partials.length >= 2, s"partial sketch aggs: ${partials.length}")
+  }
+
+  test("q151: curriculum phase joins the broadcast threshold table; " +
+      "no global sort") {
+    val p = plan("q151_curriculum")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty)
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty)
+    // the schedule is sort KEYS — no exchange may range-partition for
+    // a global order
+    assert(p.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.RangePartitioning] => e
+    }.isEmpty)
+  }
+
+  test("q152: pack stats is one groupBy — a single shuffle, no joins, " +
+      "no window sort") {
+    val p = plan("q152_pack_stats")
+    assert(p.collect { case e: ShuffleExchangeExec => e }.length == 1)
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty)
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.isEmpty)
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty)
+  }
+
   test("q148: tempered mix joins the ≤|langs|-row constants via " +
       "broadcast, never sort-merge") {
     val p = plan("q148_mix_temperature")
