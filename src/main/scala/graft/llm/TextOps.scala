@@ -547,6 +547,41 @@ object TextOps {
     * interpreted and break whole-stage codegen, which made this the
     * per-row bottleneck of the q73 fingerprint scan.
     */
+  /** N-GRAM NOVELTY score — the diversity/memorization-risk signal:
+    * per document, the fraction of its distinct `n`-gram shingles that
+    * appear NOWHERE else in the corpus (document frequency exactly 1).
+    * Boilerplate-heavy or near-duplicated docs read near 0; genuinely
+    * fresh content reads near 1 — the per-document complement of the
+    * corpus-level dedup family, useful as a curation feature on its
+    * own or as a mixture/sampling weight.
+    *
+    * Scale shape: NO shingle-keyed join. The df aggregate carries
+    * `min(doc_id)` alongside the count, so a df-1 shingle already
+    * KNOWS its unique owner — novelty counts come from a second
+    * bounded groupBy over those (owner) rows, and the final merge is
+    * a doc_id-keyed left join of two narrow count frames. Both
+    * aggregates partially combine map-side (count and min are
+    * associative); shingle text crosses the wire exactly once.
+    * Docs with fewer than `n` tokens have no shingles and are out of
+    * contract (absent from the output), matching the shingle family.
+    */
+  def noveltyScore(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = shingleRows(docs, n)
+    val df = sh.groupBy(col("s"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("owner"))
+    val novel = df.where(col("df") === 1)
+      .groupBy(col("owner").as("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_novel"))
+    sh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_shingles"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles"), 4)
+          .cast("float"))
+  }
+
   private[graft] def rollingFingerprintHof(text: Column): Column =
     aggregate(
       tokens(text),

@@ -163,6 +163,11 @@ object LlmPack extends QueryPack {
       Dedup.dupClustersDelta(t("documents")(s, d), id => id % 3 === 0)),
     "q83_repetition" -> ((s, d) =>
       TextOps.repetitionStats(t("documents")(s, d))),
+    // N-gram novelty: the fraction of a doc's distinct shingles with
+    // corpus df = 1 — no shingle-keyed join (df's min(doc_id) already
+    // names the unique owner; two bounded groupBys + a doc-keyed merge).
+    "q153_novelty" -> ((s, d) =>
+      TextOps.noveltyScore(t("documents")(s, d))),
     // Cluster-canonical dedup: keep the highest-quality doc per
     // near-dup cluster (quality desc, doc_id tie-break on ROUNDED
     // scores, so both engines agree on the winner).
@@ -1110,6 +1115,21 @@ object LlmPack extends QueryPack {
     // Identical answer contract: the incremental path must reproduce
     // the full recompute, so q133 shares q82's oracle verbatim.
     "q133_day2_clusters" -> dupClustersOracle,
+
+    // The same sh/sizes CTEs as the containment family, then df with
+    // its min-owner, unique-owner counts, and the per-doc ratio.
+    "q153_novelty" ->
+      s"""WITH $shingleCtes,
+         |df AS (SELECT s, count(*) AS df, min(doc_id) AS owner
+         |       FROM sh GROUP BY 1),
+         |nv AS (SELECT owner AS doc_id, CAST(count(*) AS INTEGER)
+         |         AS n_novel
+         |       FROM df WHERE df = 1 GROUP BY 1)
+         |SELECT z.doc_id, CAST(z.n_sh AS INTEGER) AS n_shingles,
+         |       coalesce(nv.n_novel, 0) AS n_novel,
+         |       CAST(round(CAST(coalesce(nv.n_novel, 0) AS DOUBLE)
+         |         / z.n_sh, 4) AS REAL) AS novelty
+         |FROM sizes z LEFT JOIN nv USING (doc_id)""".stripMargin,
 
     // Same component derivation as q82, then the soft-dedup rate and
     // verdict: sqrt(size)/size is exactly rounded in both engines, and

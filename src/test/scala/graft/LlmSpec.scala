@@ -1054,4 +1054,26 @@ class LlmSpec extends AnyFunSuite {
     assert(ka2 == 3 && kb2 == 0 && ku2 == 3 && kboth2 == 0)
     assert(j2 == 0.0f && est2 == 3.0f)
   }
+
+  test("noveltyScore: duplicates read 0, fresh content 1, overlap mid") {
+    import spark.implicits._
+    val in = Seq(
+      (0L, "u1 u2 u3 u4 u5"),       // all shingles unique → 1.0
+      (1L, "c1 c2 c3 c4"),          // exact dup of 2 → 0.0
+      (2L, "c1 c2 c3 c4"),
+      (3L, "c1 c2 c3 m1 m2"),       // shares {c1 c2 c3} with 1/2; the
+                                    // other two 3-grams are its own
+      (4L, "x y"))                  // < 3 tokens → out of contract
+      .toDF("doc_id", "text")
+    val out = TextOps.noveltyScore(in).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getFloat(3))))
+      .toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L))
+    assert(out(0L) == ((3, 3, 1.0f)))
+    assert(out(1L) == ((2, 0, 0.0f)) && out(2L) == ((2, 0, 0.0f)))
+    // doc 3: shingles {c1 c2 c3, c2 c3 m1, c3 m1 m2}; the first also
+    // lives in docs 1/2 → 2 of 3 novel
+    assert(out(3L) == ((3, 2, BigDecimal(2.0 / 3)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toFloat)))
+  }
 }
