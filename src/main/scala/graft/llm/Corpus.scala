@@ -821,9 +821,21 @@ object Corpus {
     */
   def materializeMix(docs: DataFrame,
       targetShare: Map[String, Double] = Map.empty,
-      defaultShare: Double = 0.2, salt: String = "mix"): DataFrame = {
-    val wts = mixWeights(docs, targetShare, defaultShare)
-      .select(col("lang"), col("weight"))
+      defaultShare: Double = 0.2, salt: String = "mix"): DataFrame =
+    materializeMix(docs,
+      mixWeights(docs, targetShare, defaultShare)
+        .select(col("lang"), col("weight")), salt)
+
+  /** [[materializeMix]] over a PRECOMPUTED per-language weight table —
+    * the composition surface: feed it [[mixWeightsTemperature]]'s
+    * tempered weights (or any externally-decided (lang, weight)
+    * frame) and the same floor + md5-Bernoulli-residual copy-count
+    * machinery applies. The table is broadcast, so the only corpus
+    * cost is the one map + explode.
+    */
+  def materializeMix(docs: DataFrame, weights: DataFrame,
+      salt: String): DataFrame = {
+    val wts = weights.select(col("lang"), col("weight"))
     docs.join(broadcast(wts), "lang")
       .withColumn("u", hash16(col("doc_id"), salt).cast("double") / lit(65536.0))
       .withColumn("n_copies", (floor(col("weight")) +

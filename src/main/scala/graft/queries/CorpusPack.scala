@@ -36,6 +36,14 @@ object CorpusPack extends QueryPack {
     // share columns so the oracle reproduces it exactly.
     "q148_mix_temperature" -> ((s, d) =>
       Corpus.mixWeightsTemperature(t("documents")(s, d))),
+    // The tempered weights APPLIED through the precomputed-weight
+    // materializeMix overload — q148 composed into q117's copy-count
+    // machinery, the epoch-sampling run a tempered schedule drives.
+    "q154_mix_temperature_apply" -> ((s, d) => {
+      val docs = t("documents")(s, d)
+      Corpus.materializeMix(docs,
+        Corpus.mixWeightsTemperature(docs), "mix")
+    }),
     // Registered through the EXTERNAL-BENCHMARK overload (the API a
     // real pipeline calls): the modulus carve-out plays the eval
     // suite, handed in as its own frame. Same oracle as the
@@ -357,6 +365,42 @@ object CorpusPack extends QueryPack {
         |       CAST(round(CAST(temp_share AS DOUBLE)
         |         / CAST(share AS DOUBLE), 4) AS REAL) AS weight
         |FROM r""".stripMargin,
+
+    // q148's tempered weight table re-derived, then q117's floor +
+    // residual Bernoulli application verbatim (REAL weight promotes to
+    // the identical double in both engines).
+    "q154_mix_temperature_apply" ->
+      s"""WITH s AS (SELECT lang,
+         |             len(regexp_split_to_array(trim(text), '\\s+')) AS n
+         |           FROM documents),
+         |g AS (SELECT lang, count(*) AS n_docs, CAST(sum(n) AS BIGINT)
+         |        AS n_tokens FROM s GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |        sum(pow(CAST(n_tokens AS DOUBLE), 0.3)) AS z FROM g),
+         |r AS (SELECT lang,
+         |        CAST(round(CAST(n_tokens AS DOUBLE) / total_tokens, 6)
+         |          AS REAL) AS share,
+         |        CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.3) / z, 6)
+         |          AS REAL) AS temp_share
+         |      FROM g, t),
+         |wt AS (SELECT lang,
+         |         CAST(round(CAST(temp_share AS DOUBLE)
+         |           / CAST(share AS DOUBLE), 4) AS REAL) AS weight
+         |       FROM r),
+         |hh AS (SELECT d.doc_id, d.lang, w.weight,
+         |         md5('mix:' || CAST(d.doc_id AS VARCHAR)) AS m
+         |       FROM documents d JOIN wt w USING (lang)),
+         |j AS (SELECT doc_id, lang, weight,
+         |        CAST(${OracleSql.md5High16("m")} AS DOUBLE)
+         |          / CAST(65536 AS DOUBLE) AS u
+         |      FROM hh),
+         |c AS (SELECT doc_id, lang,
+         |        CAST(floor(weight) + CASE WHEN u < weight - floor(weight)
+         |             THEN 1 ELSE 0 END AS INTEGER) AS n_copies
+         |      FROM j)
+         |SELECT doc_id, lang, n_copies,
+         |       CAST(unnest(range(1, n_copies + 1)) AS INTEGER) AS copy
+         |FROM c WHERE n_copies > 0""".stripMargin,
 
     // q80's weight table re-derived, then the same floor + residual
     // Bernoulli against the md5-uniform (REAL weight promotes to the

@@ -290,6 +290,24 @@ class CorpusSpec extends AnyFunSuite {
       s"got ${out(0L)._2}, want $expect0")
   }
 
+  test("tempered materialization: emitted mass tracks weight × n_docs") {
+    val wts = Corpus.mixWeightsTemperature(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getFloat(5)))).toMap
+    val copies = Corpus
+      .materializeMix(docs, Corpus.mixWeightsTemperature(docs), "mix")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // each doc emits floor(w) + Bernoulli(residual) copies → per-lang
+    // expectation is weight × n_docs; the md5-uniform draw stays
+    // within a loose concentration band on the fixture
+    wts.foreach { case (lang, (n, w)) =>
+      val expect = w.toDouble * n
+      val got = copies.getOrElse(lang, 0L).toDouble
+      assert(math.abs(got - expect) <= 0.15 * expect + 5,
+        s"$lang: emitted $got vs expected $expect")
+    }
+  }
+
   test("packStats: exact window count, tail-only padding, no pack run") {
     import spark.implicits._
     // one lang, nStreams=1 → one stream; 10+20+250 = 280 tokens at
