@@ -95,7 +95,7 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.5, maxDf: Int = 64): DataFrame =
-    containmentPairsCore(docs, None, n, threshold, maxDf)
+    containmentPairsCore(docs, None, n, threshold, maxDf, None)
 
   /** DELTA variant of [[containmentPairs]] — the directed-overlap
     * member of the delta matrix ([[jaccardPairsDelta]],
@@ -110,10 +110,25 @@ object Dedup {
     */
   def containmentPairsDelta(docs: DataFrame, isNew: Column, n: Int = 3,
       threshold: Double = 0.5, maxDf: Int = 64): DataFrame =
-    containmentPairsCore(docs, Some(isNew), n, threshold, maxDf)
+    containmentPairsCore(docs, Some(isNew), n, threshold, maxDf, None)
+
+  /** [[containmentPairsDelta]] through the bloom JOIN-PRUNING gate
+    * (the [[simhashPairsDeltaBloom]] / [[winnowedPairsDeltaBloom]]
+    * pattern over shingles): standing-corpus shingle rows the batch
+    * never mentions are shed before the capped-index pair shuffle;
+    * `common` counts only shingles the pair's new doc holds, so the
+    * output is IDENTICAL at any (m, d). The df cap stays world-global
+    * (pre-gate).
+    */
+  def containmentPairsDeltaBloom(docs: DataFrame, isNew: Column,
+      n: Int = 3, threshold: Double = 0.5, maxDf: Int = 64,
+      m: Long = 1L << 20, d: Int = 2): DataFrame =
+    containmentPairsCore(docs, Some(isNew), n, threshold, maxDf,
+      Some((m, d)))
 
   private def containmentPairsCore(docs: DataFrame, isNew: Option[Column],
-      n: Int, threshold: Double, maxDf: Int): DataFrame = {
+      n: Int, threshold: Double, maxDf: Int,
+      bloomGate: Option[(Long, Int)]): DataFrame = {
     val arrays = TextOps.shingleArrays(spread(docs), n)
     val sh = arrays.select(col("doc_id"), explode(col("arr")).as("s"))
     val sizes = arrays.where(size(col("arr")) > 0)
@@ -124,9 +139,13 @@ object Dedup {
     // delta form: tag rows with the newness predicate BEFORE the
     // self-join and prune old×old inside the join condition (the
     // winnowedPairsCore pattern)
-    val capped = isNew match {
+    val capped0 = isNew match {
       case Some(p) => cappedBase.withColumn("nw", p)
       case None => cappedBase
+    }
+    val capped = (isNew, bloomGate) match {
+      case (Some(_), Some((m, d))) => bloomGateOld(capped0, col("s"), m, d)
+      case _ => capped0
     }
     val baseCond = col("a.s") === col("b.s") &&
       col("a.doc_id") < col("b.doc_id")
@@ -411,7 +430,7 @@ object Dedup {
     */
   def winnowedPairs(docs: DataFrame, k: Int = 4, w: Int = 5,
       maxDf: Int = 64): DataFrame =
-    winnowedPairsCore(docs, None, k, w, maxDf)
+    winnowedPairsCore(docs, None, k, w, maxDf, None)
 
   /** DELTA variant of [[winnowedPairs]] — the substring-overlap member
     * of the delta matrix ([[jaccardPairsDelta]], [[simhashPairsDelta]]
@@ -425,10 +444,44 @@ object Dedup {
     */
   def winnowedPairsDelta(docs: DataFrame, isNew: Column, k: Int = 4,
       w: Int = 5, maxDf: Int = 64): DataFrame =
-    winnowedPairsCore(docs, Some(isNew), k, w, maxDf)
+    winnowedPairsCore(docs, Some(isNew), k, w, maxDf, None)
+
+  /** [[winnowedPairsDelta]] through the [[simhashPairsDeltaBloom]]
+    * JOIN-PRUNING gate: standing-corpus fingerprint rows are dropped
+    * BEFORE the pair shuffle by a bloom built over the batch's
+    * selected fingerprints. Output is IDENTICAL at any (m, d) — a
+    * pair involving a new doc only ever counts fingerprints the new
+    * doc itself holds, so no old row it needs can be bloom-absent,
+    * and false positives still fail the exact fp equality. The df cap
+    * stays world-global (computed pre-gate), exactly as the ungated
+    * delta form. The gate is ≤ m/64 rows however large the batch.
+    */
+  def winnowedPairsDeltaBloom(docs: DataFrame, isNew: Column, k: Int = 4,
+      w: Int = 5, maxDf: Int = 64, m: Long = 1L << 20,
+      d: Int = 2): DataFrame =
+    winnowedPairsCore(docs, Some(isNew), k, w, maxDf, Some((m, d)))
+
+  /** Bloom JOIN PRUNING of a tagged delta frame: rows with `nw` =
+    * false are gated by a bloom built over the new rows' `key` — no
+    * false negatives, so downstream EXACT equi-joins on `key` produce
+    * identical output; the gate only sheds old rows whose key the
+    * batch never mentions (the overwhelming majority at day-vs-corpus
+    * scale) before they pay the pair shuffle.
+    */
+  private def bloomGateOld(tagged: DataFrame, key: Column,
+      m: Long, d: Int): DataFrame = {
+    val bloom = graft.functions.BloomFrame.build(
+      tagged.where(col("nw")).select(key.cast("string").as("bk")),
+      col("bk"), m, d)
+    graft.functions.BloomFrame.mayContain(
+        tagged.where(!col("nw")), key.cast("string"), bloom, m, d)
+      .where(col("bf_maybe")).drop("bf_maybe")
+      .unionByName(tagged.where(col("nw")))
+  }
 
   private def winnowedPairsCore(docs: DataFrame, deltaPred: Option[Column],
-      k: Int, w: Int, maxDf: Int): DataFrame = {
+      k: Int, w: Int, maxDf: Int,
+      bloomGate: Option[(Long, Int)]): DataFrame = {
     val base = winnow(docs, k, w)
     val s = deltaPred match {
       case Some(p) => base.withColumn("nw", p)
@@ -437,7 +490,11 @@ object Dedup {
     val keep = s.groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .where(col("df") <= maxDf).select(col("fp"))
-    val sk = s.join(keep, "fp")
+    val sk0 = s.join(keep, "fp")
+    val sk = (deltaPred, bloomGate) match {
+      case (Some(_), Some((m, d))) => bloomGateOld(sk0, col("fp"), m, d)
+      case _ => sk0
+    }
     val baseCond = col("a.fp") === col("b.fp") &&
       col("a.doc_id") < col("b.doc_id")
     val cond = deltaPred match {

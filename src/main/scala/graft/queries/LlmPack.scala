@@ -125,6 +125,13 @@ object LlmPack extends QueryPack {
     "q137_winnow_delta" -> ((s, d) =>
       Dedup.winnowedPairsDelta(t("documents")(s, d),
         col("doc_id") % 3 === 0)),
+    // q137 through the BloomFrame JOIN-PRUNING gate (the q135
+    // pattern over fingerprints): standing-corpus fp rows the batch
+    // never mentions are shed before the pair shuffle; identical
+    // output, q137's oracle verbatim.
+    "q155_winnow_delta_bloom" -> ((s, d) =>
+      Dedup.winnowedPairsDeltaBloom(t("documents")(s, d),
+        col("doc_id") % 3 === 0)),
     "q74_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(t("documents")(s, d))),
     // The CORPUS-SCALE fingerprint width: same map-only kernel and
@@ -400,6 +407,11 @@ object LlmPack extends QueryPack {
     // join, world-global df cap — output = q146 filtered.
     "q147_containment_delta" -> ((s, d) =>
       Dedup.containmentPairsDelta(t("documents")(s, d),
+        col("doc_id") % 3 === 0)),
+    // q147 through the bloom gate over shingles — the last delta
+    // family member gated; identical output, q147's oracle verbatim.
+    "q156_containment_delta_bloom" -> ((s, d) =>
+      Dedup.containmentPairsDeltaBloom(t("documents")(s, d),
         col("doc_id") % 3 === 0)),
     // BPE tokenizer training: the rank-ordered merge table (q143) and
     // the post-merge vocabulary segmentations (q144) — integer counts
@@ -861,6 +873,12 @@ object LlmPack extends QueryPack {
     // Delta contract: the same selection CTEs filtered to pairs
     // involving a new doc (the stop-fp cap is world-global in both).
     "q137_winnow_delta" ->
+      s"""WITH $winnowPairCtes
+         |SELECT da, db, n_shared FROM wp
+         |WHERE da % 3 = 0 OR db % 3 = 0""".stripMargin,
+    // Identical-answer contract: the bloom gate must be invisible in
+    // values, so q155 shares q137's oracle verbatim.
+    "q155_winnow_delta_bloom" ->
       s"""WITH $winnowPairCtes
          |SELECT da, db, n_shared FROM wp
          |WHERE da % 3 = 0 OR db % 3 = 0""".stripMargin,
@@ -1421,6 +1439,9 @@ object LlmPack extends QueryPack {
     // one-line-filter contract).
     "q146_containment" -> containmentOracle(),
     "q147_containment_delta" ->
+      containmentOracle(extraWhere = "\n  AND (da % 3 = 0 OR db % 3 = 0)"),
+    // Identical-answer contract: q156 shares q147's oracle verbatim.
+    "q156_containment_delta_bloom" ->
       containmentOracle(extraWhere = "\n  AND (da % 3 = 0 OR db % 3 = 0)"),
     // BPE oracles: the full training loop unrolled — word-frequency
     // init, then per round the pair count, the (cnt DESC, lhs, rhs)

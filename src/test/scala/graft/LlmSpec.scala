@@ -1055,6 +1055,23 @@ class LlmSpec extends AnyFunSuite {
     assert(j2 == 0.0f && est2 == 3.0f)
   }
 
+  test("bloom-gated winnow/containment deltas == ungated, even saturated") {
+    val isNew = col("doc_id") % 3 === 0
+    def rows(f: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      f.collect().map(_.toSeq).toSet
+    val wUngated = rows(Dedup.winnowedPairsDelta(docs, isNew))
+    assert(wUngated.nonEmpty)
+    // honest grid and a saturated 64-bit all-fp grid: both identical
+    assert(rows(Dedup.winnowedPairsDeltaBloom(docs, isNew)) == wUngated)
+    assert(rows(Dedup.winnowedPairsDeltaBloom(docs, isNew,
+      m = 64, d = 1)) == wUngated)
+    val cUngated = rows(Dedup.containmentPairsDelta(docs, isNew))
+    assert(cUngated.nonEmpty)
+    assert(rows(Dedup.containmentPairsDeltaBloom(docs, isNew)) == cUngated)
+    assert(rows(Dedup.containmentPairsDeltaBloom(docs, isNew,
+      m = 64, d = 1)) == cUngated)
+  }
+
   test("noveltyScore: duplicates read 0, fresh content 1, overlap mid") {
     import spark.implicits._
     val in = Seq(
