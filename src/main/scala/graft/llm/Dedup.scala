@@ -273,12 +273,35 @@ object Dedup {
       arrays.select(col("doc_id"), col("arr")), threshold)
   }
 
+  /** [[jaccardPairsDelta]] through the bloom JOIN-PRUNING gate over
+    * the prefix-filter hashes: standing-corpus prefix rows whose
+    * shingle hash the batch's prefixes never mention are shed before
+    * the candidate shuffle. Completeness is preserved — the prefix
+    * filter guarantees a qualifying pair shares at least one prefix
+    * element, and for an involving-new pair that element is held by
+    * the new side, so its hash is in the bloom; spurious survivors
+    * are rejected by the exact full-set verification as always.
+    * Output IDENTICAL at any (m, d).
+    */
+  def jaccardPairsDeltaBloom(docs: DataFrame, isNew: Column, n: Int = 3,
+      threshold: Double = 0.3, m: Long = 1L << 20,
+      d: Int = 2): DataFrame = {
+    val arrays = spread(docs).select(col("doc_id"), isNew.as("nw"),
+      TextOps.shingleSet(TextOps.tokens(col("text")), n).as("arr"))
+    verifyExact(
+      prefixCandidates(arrays, threshold, deltaOnly = true,
+        bloomGate = Some((m, d))),
+      arrays.select(col("doc_id"), col("arr")), threshold)
+  }
+
   /** Prefix-filtered candidate pair generation over per-doc shingle
     * arrays `(doc_id, arr[, nw])`; `deltaOnly` keeps only pairs where
-    * at least one side is new (`nw`).
+    * at least one side is new (`nw`); `bloomGate` (delta only) sheds
+    * old prefix rows by a bloom of the new side's prefix hashes.
     */
   private def prefixCandidates(arrays: DataFrame, threshold: Double,
-      deltaOnly: Boolean): DataFrame = {
+      deltaOnly: Boolean,
+      bloomGate: Option[(Long, Int)] = None): DataFrame = {
     val extra = if (deltaOnly) Seq(col("nw")) else Nil
     // n_sh rides the exploded rows (known at explode time) — no
     // per-doc sizes join is ever paid
@@ -312,7 +335,11 @@ object Dedup {
       && least(col("a.n_sh") - col("a.pos"),
            col("b.n_sh") - col("b.pos")) + 1 >= oMin)
     val cond = if (deltaOnly) base && (col("a.nw") || col("b.nw")) else base
-    prefix.as("a").join(prefix.as("b"), cond)
+    val gated = (deltaOnly, bloomGate) match {
+      case (true, Some((m, d))) => bloomGateOld(prefix, col("hs"), m, d)
+      case _ => prefix
+    }
+    gated.as("a").join(gated.as("b"), cond)
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
   }

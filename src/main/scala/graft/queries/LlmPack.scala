@@ -82,6 +82,12 @@ object LlmPack extends QueryPack {
     // discarded inside the candidate join, the daily-ingest shape).
     "q95_delta_dedup" -> ((s, d) =>
       Dedup.jaccardPairsDelta(t("documents")(s, d), col("doc_id") % 3 === 0)),
+    // q95 through the bloom gate over the prefix-filter hashes — with
+    // q155/q156 this closes the matrix: EVERY delta family carries a
+    // pre-shuffle corpus-side gate. Identical output, q95's oracle.
+    "q157_jaccard_delta_bloom" -> ((s, d) =>
+      Dedup.jaccardPairsDeltaBloom(t("documents")(s, d),
+        col("doc_id") % 3 === 0)),
     // Same delta contract for the simhash family: exact ≤3-bit pairs
     // involving a new doc, via the pigeonhole band join.
     "q96_simhash_delta" -> ((s, d) =>
@@ -1040,6 +1046,9 @@ object LlmPack extends QueryPack {
     // a delta join that silently dropped old-side candidates (or kept
     // old×old pairs) cannot agree with it.
     "q95_delta_dedup" ->
+      jaccardOracle(0.3, " AND (da % 3 = 0 OR db % 3 = 0)"),
+    // Identical-answer contract: q157 shares q95's oracle verbatim.
+    "q157_jaccard_delta_bloom" ->
       jaccardOracle(0.3, " AND (da % 3 = 0 OR db % 3 = 0)"),
     // Full re-derivation of the banded-MinHash path: md5-family
     // signatures (literal multipliers interpolated from the SAME

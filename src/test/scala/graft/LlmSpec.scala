@@ -1070,6 +1070,11 @@ class LlmSpec extends AnyFunSuite {
     assert(rows(Dedup.containmentPairsDeltaBloom(docs, isNew)) == cUngated)
     assert(rows(Dedup.containmentPairsDeltaBloom(docs, isNew,
       m = 64, d = 1)) == cUngated)
+    val jUngated = rows(Dedup.jaccardPairsDelta(docs, isNew))
+    assert(jUngated.nonEmpty)
+    assert(rows(Dedup.jaccardPairsDeltaBloom(docs, isNew)) == jUngated)
+    assert(rows(Dedup.jaccardPairsDeltaBloom(docs, isNew,
+      m = 64, d = 1)) == jUngated)
   }
 
   test("noveltyScore: duplicates read 0, fresh content 1, overlap mid") {
