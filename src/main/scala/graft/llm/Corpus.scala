@@ -794,9 +794,21 @@ object Corpus {
     * map over the (doc_id, cluster, size) triples — text never moves.
     */
   def clusterBalancedSample(docs: DataFrame, maxHamming: Int = 3,
-      bits: Int = Dedup.simhashBits, salt: String = "cbs"): DataFrame = {
+      bits: Int = Dedup.simhashBits, salt: String = "cbs"): DataFrame =
+    clusterBalancedSample(
+      Dedup.dupClusters(docs, maxHamming, bits = bits), salt)
+
+  /** [[clusterBalancedSample]] over PRECOMPUTED cluster labels
+    * ([[graft.llm.Dedup.dupClusters]] output) — the
+    * [[graft.llm.Dedup.clusterDedup]] overload pattern: composed
+    * pipelines that already hold the labels skip the whole
+    * simhash + connected-components recompute (the dominant cost of
+    * the one-argument form) and pay only the pure-map decoration.
+    */
+  def clusterBalancedSample(clusters: DataFrame,
+      salt: String): DataFrame = {
     val size = col("cluster_size").cast("double")
-    Dedup.dupClusters(docs, maxHamming, bits = bits)
+    clusters
       .withColumn("rate", sqrt(size) / size)
       .withColumn("keep",
         hash16(col("doc_id"), salt).cast("double") / lit(65536.0)

@@ -1029,6 +1029,13 @@ class LlmSpec extends AnyFunSuite {
       val (_, n, rate, keep) = out(i)
       assert(n == 1 && rate == 1.0 && keep)
     }
+    // the precomputed-labels overload equals the composed form
+    val viaLabels = Corpus
+      .clusterBalancedSample(Dedup.dupClusters(in), "cbs")
+      .collect().map(_.toSeq).toSet
+    val composed = Corpus.clusterBalancedSample(in)
+      .collect().map(_.toSeq).toSet
+    assert(viaLabels == composed)
   }
 
   test("kmv overlap: exact below k; one-sided langs read zero overlap") {
