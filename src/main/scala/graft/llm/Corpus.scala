@@ -150,6 +150,36 @@ object Corpus {
           / (col("n_windows") * lit(budget.toLong)), 4).cast("float"))
   }
 
+  /** Snapshot MANIFEST — the run-to-run integrity record a pipeline
+    * publishes beside each corpus snapshot: per (lang, shard), the
+    * document and token counts plus an ORDER-INVARIANT 48-bit content
+    * hash (XOR of per-row md5 digests over `salt:doc_id:text`, so the
+    * hash is independent of partitioning and row order, and mixing the
+    * doc_id in prevents identical texts from cancelling — ids are
+    * unique). Two snapshots agree exactly where their manifests agree:
+    * a day-2 ingest, a backfill, or an engine change shows up as the
+    * precise shard set whose hash moved, without ever diffing
+    * documents.
+    *
+    * Scale shape: one map + one map-side-combined groupBy (count, sum,
+    * and XOR are all associative/commutative partial aggregates); the
+    * manifest is ≤ |langs|·nStreams rows at any corpus size.
+    */
+  def snapshotManifest(docs: DataFrame, nStreams: Int = 8,
+      salt: String = "snap"): DataFrame = {
+    require(nStreams >= 1, "nStreams must be >= 1")
+    val dg = conv(substring(md5(concat(lit(salt + ":"),
+        col("doc_id").cast("string"), lit(":"),
+        coalesce(col("text"), lit("")))), 1, 12), 16, 10).cast("long")
+    docs.select(col("lang"),
+        (hash16(col("doc_id"), salt) % nStreams).cast("int").as("shard"),
+        size(TextOps.tokens(col("text"))).as("n_tok"), dg.as("dg"))
+      .groupBy(col("lang"), col("shard"))
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        sum(col("n_tok").cast("long")).as("n_tokens"),
+        expr("bit_xor(dg)").as("content_hash"))
+  }
+
   /** The PACK MANIFEST — the loader-facing inverse of [[packStream]]:
     * one row per (document × context window it occupies), with the
     * document's start offset and token count inside that window. This

@@ -20,6 +20,11 @@ object CorpusPack extends QueryPack {
     "q79_pack_stream" -> ((s, d) =>
       Corpus.packStream(t("documents")(s, d), budget = 256)),
     "q80_mix_weights" -> ((s, d) => Corpus.mixWeights(t("documents")(s, d))),
+    // Snapshot integrity manifest: per-shard counts + order-invariant
+    // XOR content hash — two snapshots agree exactly where manifests
+    // agree, so day-2 drift localizes to shards without diffing docs.
+    "q158_snapshot_manifest" -> ((s, d) =>
+      Corpus.snapshotManifest(t("documents")(s, d))),
     // Packing ACCOUNTING without a packing run: per-stream window/
     // padding/utilization numbers from one groupBy — exact by the
     // concat-then-split invariant (⌈tokens/budget⌉ windows, only the
@@ -304,6 +309,25 @@ object CorpusPack extends QueryPack {
          |       CAST(cum - n_tok - ((cum - n_tok) // 256) * 256 AS INTEGER)
          |         AS pack_offset
          |FROM c""".stripMargin,
+
+    // The same md5 family end-to-end: high-16 shard, 48-bit row
+    // digest over salt:doc_id:text, bit_xor per (lang, shard).
+    "q158_snapshot_manifest" ->
+      s"""WITH s AS (SELECT doc_id, lang,
+         |        len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+         |        md5('snap:' || CAST(doc_id AS VARCHAR)) AS h,
+         |        md5('snap:' || CAST(doc_id AS VARCHAR) || ':'
+         |          || coalesce(text, '')) AS hd
+         |      FROM documents),
+         |g AS (SELECT lang,
+         |        CAST((${OracleSql.md5High16("h")}) % 8 AS INTEGER)
+         |          AS shard,
+         |        n_tok, ${OracleSql.md5Int48("hd")} AS dg
+         |      FROM s)
+         |SELECT lang, shard, CAST(count(*) AS INTEGER) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |       bit_xor(dg) AS content_hash
+         |FROM g GROUP BY 1, 2""".stripMargin,
 
     // q79's shard + token CTEs, then plain integer window arithmetic
     // per (lang, shard) — BIGINT // division on both engines.

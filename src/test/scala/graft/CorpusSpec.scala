@@ -308,6 +308,31 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshotManifest: drift localizes to one shard; order-invariant") {
+    import spark.implicits._
+    def manifest(f: org.apache.spark.sql.DataFrame) =
+      Corpus.snapshotManifest(f).collect()
+        .map(r => (r.getString(0), r.getInt(1)) ->
+          ((r.getInt(2), r.getLong(3), r.getLong(4)))).toMap
+    val base = manifest(docs)
+    // row order / partitioning cannot move any hash
+    assert(manifest(docs.orderBy(col("text"))) == base)
+    assert(manifest(docs.repartition(7)) == base)
+    // editing ONE doc's text changes exactly its shard's hash, token
+    // count tracked, doc counts untouched
+    val someId = docs.select("doc_id").head().getLong(0)
+    val edited = docs.withColumn("text",
+      when(col("doc_id") === someId,
+        concat(col("text"), lit(" tampered"))).otherwise(col("text")))
+    val after = manifest(edited)
+    val moved = base.keySet.filter(k => base(k) != after(k))
+    assert(moved.size == 1)
+    val k = moved.head
+    assert(base(k)._1 == after(k)._1)           // n_docs unchanged
+    assert(after(k)._2 == base(k)._2 + 1)       // one token added
+    assert(base(k)._3 != after(k)._3)           // hash moved
+  }
+
   test("packStats: exact window count, tail-only padding, no pack run") {
     import spark.implicits._
     // one lang, nStreams=1 → one stream; 10+20+250 = 280 tokens at
