@@ -217,12 +217,19 @@ object BottomKByHash {
       GraftSqlShims.expression(key.cast("string")), k, valueFromHash = true)
       .toAggregateExpression())
 
-  def kmvDistinct(key: Column, k: Int): Column = {
+  def kmvDistinct(key: Column, k: Int): Column =
     // valueFromHash inside kmvSample: the sketch derives the fraction
     // from its own ordering digest — ONE md5 per row, not two (a
     // conv(md5(...)) child would re-hash every key)
-    val sk = kmvSample(key, k)
-    when(size(sk) < k, size(sk).cast("double"))
-      .otherwise(lit((k - 1).toDouble) / element_at(sk, k))
-  }
+    kmvEstimate(kmvSample(key, k), k)
+
+  /** The KMV (k−1)/u₍ₖ₎ inversion over any ascending bottom-k fraction
+    * sample (a [[kmvSample]] output, or a merged union of samples):
+    * exact count below k, the classic estimator at k. Shared by
+    * [[kmvDistinct]] and [[graft.llm.Corpus.kmvOverlap]]'s union
+    * estimate so the estimator lives in one place.
+    */
+  def kmvEstimate(sample: Column, k: Int): Column =
+    when(size(sample) < k, size(sample).cast("double"))
+      .otherwise(lit((k - 1).toDouble) / element_at(sample, k))
 }

@@ -605,16 +605,13 @@ object Corpus {
         array_contains(col("ka"), x) && array_contains(col("kb"), x))))
       .select(col("lang"),
         size(col("ka")).as("k_a"), size(col("kb")).as("k_b"),
+        // a lang row exists only if some side had a shingle, so the
+        // union sample is never empty and the ratio is well-defined
         size(col("uk")).as("k_union"), col("k_both"),
-        when(size(col("uk")) === 0, lit(0.0f))
-          .otherwise(round(col("k_both").cast("double")
-            / size(col("uk")), 4).cast("float")).as("j_est"),
-        when(size(col("uk")) < k, size(col("uk")).cast("double"))
-          .otherwise(lit((k - 1).toDouble) / element_at(col("uk"), k))
-          .as("est_union_raw"))
-      .withColumn("est_union",
-        round(col("est_union_raw"), 4).cast("float"))
-      .drop("est_union_raw")
+        round(col("k_both").cast("double") / size(col("uk")), 4)
+          .cast("float").as("j_est"),
+        round(BottomKByHash.kmvEstimate(col("uk"), k), 4)
+          .cast("float").as("est_union"))
   }
 
   /** Per-language quality-percentile gate — the "keep the best
@@ -768,12 +765,14 @@ object Corpus {
     * uniform; in between, tail languages are up-weighted smoothly
     * without the cliff of a hand-picked share table.
     *
-    * Reproducibility: `share` and `temp_share` are rounded to 6 places
-    * first, and `weight` is computed FROM the rounded REAL columns —
-    * so the only cross-engine float risk is a `pow`/`sum` last-ulp
-    * landing exactly on a half-way rounding boundary (the same
-    * accepted class as [[mixWeights]]' division). The weight column
-    * plugs into [[materializeMix]]'s copy-count machinery unchanged.
+    * Reproducibility: `weight` divides the RAW tempered share by the
+    * RAW share ([[mixWeights]]' discipline — the rounded `share` can
+    * be exactly 0.000000 for an ultra-tail language, and dividing by
+    * it would NULL out precisely the language temperature sampling
+    * exists to up-weight); the only cross-engine float surface is the
+    * `pow`/`sum` last-ulp under `round` — the same accepted class as
+    * [[mixWeights]]' division. The weight column plugs into
+    * [[materializeMix]]'s copy-count machinery unchanged.
     *
     * Scale shape: identical to [[mixWeights]] — one groupBy on lang,
     * one ≤ |langs|-row broadcast of the normalization constants.
@@ -791,14 +790,13 @@ object Corpus {
       .withColumn("wr", pow(col("n_tokens").cast("double"), lit(alpha)))
       .localCheckpoint(true)
     val norm = agg.agg(sum("n_tokens").as("total_tokens"), sum("wr").as("z"))
+    val rawShare = col("n_tokens").cast("double") / col("total_tokens")
     agg.crossJoin(broadcast(norm))
       .select(col("lang"), col("n_docs"), col("n_tokens"),
-        round(col("n_tokens").cast("double") / col("total_tokens"), 6)
-          .cast("float").as("share"),
-        round(col("wr") / col("z"), 6).cast("float").as("temp_share"))
-      .withColumn("weight",
-        round(col("temp_share").cast("double") / col("share").cast("double"), 4)
-          .cast("float"))
+        round(rawShare, 6).cast("float").as("share"),
+        round(col("wr") / col("z"), 6).cast("float").as("temp_share"),
+        round((col("wr") / col("z")) / rawShare, 4).cast("float")
+          .as("weight"))
   }
 
   /** Cluster-balanced downsampling — SOFT near-dup dedup: instead of

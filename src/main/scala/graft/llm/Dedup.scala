@@ -266,12 +266,8 @@ object Dedup {
     * choice) still reflects the FULL corpus.
     */
   def jaccardPairsDelta(docs: DataFrame, isNew: Column, n: Int = 3,
-      threshold: Double = 0.3): DataFrame = {
-    val arrays = spread(docs).select(col("doc_id"), isNew.as("nw"),
-      TextOps.shingleSet(TextOps.tokens(col("text")), n).as("arr"))
-    verifyExact(prefixCandidates(arrays, threshold, deltaOnly = true),
-      arrays.select(col("doc_id"), col("arr")), threshold)
-  }
+      threshold: Double = 0.3): DataFrame =
+    jaccardDeltaCore(docs, isNew, n, threshold, None)
 
   /** [[jaccardPairsDelta]] through the bloom JOIN-PRUNING gate over
     * the prefix-filter hashes: standing-corpus prefix rows whose
@@ -285,12 +281,15 @@ object Dedup {
     */
   def jaccardPairsDeltaBloom(docs: DataFrame, isNew: Column, n: Int = 3,
       threshold: Double = 0.3, m: Long = 1L << 20,
-      d: Int = 2): DataFrame = {
+      d: Int = 2): DataFrame =
+    jaccardDeltaCore(docs, isNew, n, threshold, Some((m, d)))
+
+  private def jaccardDeltaCore(docs: DataFrame, isNew: Column, n: Int,
+      threshold: Double, bloomGate: Option[(Long, Int)]): DataFrame = {
     val arrays = spread(docs).select(col("doc_id"), isNew.as("nw"),
       TextOps.shingleSet(TextOps.tokens(col("text")), n).as("arr"))
     verifyExact(
-      prefixCandidates(arrays, threshold, deltaOnly = true,
-        bloomGate = Some((m, d))),
+      prefixCandidates(arrays, threshold, deltaOnly = true, bloomGate),
       arrays.select(col("doc_id"), col("arr")), threshold)
   }
 
@@ -497,13 +496,23 @@ object Dedup {
     */
   private def bloomGateOld(tagged: DataFrame, key: Column,
       m: Long, d: Int): DataFrame = {
+    // three consumers (bloom build, probe side, union-back) — without
+    // the checkpoint each would recompute the upstream selection/cap/
+    // prefix work (the repo's two-consumer-fan-out discipline)
+    val t = tagged.localCheckpoint(true)
+    // a NULL newness predicate means OLD here: the ungated join's
+    // (a.nw || b.nw) only ever keeps a NULL-nw row when its partner is
+    // new, exactly the pairs the bloom preserves — routing NULL to the
+    // gated side (instead of silently dropping it from BOTH sides)
+    // keeps the identical-output contract for nullable predicates
+    val isNewRow = coalesce(col("nw"), lit(false))
     val bloom = graft.functions.BloomFrame.build(
-      tagged.where(col("nw")).select(key.cast("string").as("bk")),
+      t.where(isNewRow).select(key.cast("string").as("bk")),
       col("bk"), m, d)
     graft.functions.BloomFrame.mayContain(
-        tagged.where(!col("nw")), key.cast("string"), bloom, m, d)
+        t.where(!isNewRow), key.cast("string"), bloom, m, d)
       .where(col("bf_maybe")).drop("bf_maybe")
-      .unionByName(tagged.where(col("nw")))
+      .unionByName(t.where(isNewRow))
   }
 
   private def winnowedPairsCore(docs: DataFrame, deltaPred: Option[Column],

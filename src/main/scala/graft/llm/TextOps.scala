@@ -541,12 +541,6 @@ object TextOps {
     GraftSqlShims.column(
       graft.functions.RollingFp(GraftSqlShims.expression(tokens(text))))
 
-  /** The interpreted higher-order `aggregate` fold [[rollingFingerprint]]
-    * replaced — kept as the executable spec the native kernel is pinned
-    * against bit-for-bit (GraftFunctionsProps). HOF lambdas run
-    * interpreted and break whole-stage codegen, which made this the
-    * per-row bottleneck of the q73 fingerprint scan.
-    */
   /** N-GRAM NOVELTY score — the diversity/memorization-risk signal:
     * per document, the fraction of its distinct `n`-gram shingles that
     * appear NOWHERE else in the corpus (document frequency exactly 1).
@@ -555,25 +549,30 @@ object TextOps {
     * corpus-level dedup family, useful as a curation feature on its
     * own or as a mixture/sampling weight.
     *
-    * Scale shape: NO shingle-keyed join. The df aggregate carries
-    * `min(doc_id)` alongside the count, so a df-1 shingle already
-    * KNOWS its unique owner — novelty counts come from a second
-    * bounded groupBy over those (owner) rows, and the final merge is
-    * a doc_id-keyed left join of two narrow count frames. Both
-    * aggregates partially combine map-side (count and min are
-    * associative); shingle text crosses the wire exactly once.
+    * Scale shape: NO shingle-keyed join and no per-doc count shuffle —
+    * the per-doc total is `size(arr)` on the array frame, a pure map
+    * (the [[graft.llm.Dedup]] prefix-filter discipline of carrying
+    * sizes from explode time). The df aggregate carries `min(doc_id)`
+    * alongside the count, so a df-1 shingle already KNOWS its unique
+    * owner — novelty counts come from a second bounded groupBy over
+    * those (owner) rows, and the final merge is a doc_id-keyed left
+    * join. Each branch is one map-side pass over the corpus (the
+    * totals branch shuffles nothing); shingle text crosses the wire
+    * exactly once, in the df aggregate's partial combine.
     * Docs with fewer than `n` tokens have no shingles and are out of
     * contract (absent from the output), matching the shingle family.
     */
   def noveltyScore(docs: DataFrame, n: Int = 3): DataFrame = {
-    val sh = shingleRows(docs, n)
-    val df = sh.groupBy(col("s"))
+    val arrays = shingleArrays(spread(docs), n)
+      .where(size(col("arr")) > 0)
+    val novel = arrays
+      .select(col("doc_id"), explode(col("arr")).as("s"))
+      .groupBy(col("s"))
       .agg(count(lit(1)).as("df"), min(col("doc_id")).as("owner"))
-    val novel = df.where(col("df") === 1)
+      .where(col("df") === 1)
       .groupBy(col("owner").as("doc_id"))
       .agg(count(lit(1)).cast("int").as("n_novel"))
-    sh.groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("int").as("n_shingles"))
+    arrays.select(col("doc_id"), size(col("arr")).as("n_shingles"))
       .join(novel, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shingles"),
         coalesce(col("n_novel"), lit(0)).as("n_novel"))
@@ -582,6 +581,12 @@ object TextOps {
           .cast("float"))
   }
 
+  /** The interpreted higher-order `aggregate` fold [[rollingFingerprint]]
+    * replaced — kept as the executable spec the native kernel is pinned
+    * against bit-for-bit (GraftFunctionsProps). HOF lambdas run
+    * interpreted and break whole-stage codegen, which made this the
+    * per-row bottleneck of the q73 fingerprint scan.
+    */
   private[graft] def rollingFingerprintHof(text: Column): Column =
     aggregate(
       tokens(text),

@@ -367,10 +367,9 @@ object CorpusPack extends QueryPack {
         |FROM g, t""".stripMargin,
 
     // The tempered target re-derived: same pow(n_tokens, 0.3)
-    // numerator, the same per-language normalization sum, and the
-    // weight divided from the ROUNDED REAL share columns — so the
-    // only float surface is the two round(…, 6) calls q80 already
-    // carries.
+    // numerator, the same per-language normalization sum, weight from
+    // the RAW tempered/raw share ratio (q80's division discipline —
+    // never by the rounded share, which can hit exact zero).
     "q148_mix_temperature" ->
       """WITH s AS (SELECT lang,
         |             len(regexp_split_to_array(trim(text), '\s+')) AS n
@@ -378,17 +377,16 @@ object CorpusPack extends QueryPack {
         |g AS (SELECT lang, count(*) AS n_docs, CAST(sum(n) AS BIGINT)
         |        AS n_tokens FROM s GROUP BY 1),
         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-        |        sum(pow(CAST(n_tokens AS DOUBLE), 0.3)) AS z FROM g),
-        |r AS (SELECT lang, n_docs, n_tokens,
-        |        CAST(round(CAST(n_tokens AS DOUBLE) / total_tokens, 6)
-        |          AS REAL) AS share,
-        |        CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.3) / z, 6)
-        |          AS REAL) AS temp_share
-        |      FROM g, t)
-        |SELECT lang, n_docs, n_tokens, share, temp_share,
-        |       CAST(round(CAST(temp_share AS DOUBLE)
-        |         / CAST(share AS DOUBLE), 4) AS REAL) AS weight
-        |FROM r""".stripMargin,
+        |        sum(pow(CAST(n_tokens AS DOUBLE), 0.3)) AS z FROM g)
+        |SELECT lang, n_docs, n_tokens,
+        |       CAST(round(CAST(n_tokens AS DOUBLE) / total_tokens, 6)
+        |         AS REAL) AS share,
+        |       CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.3) / z, 6)
+        |         AS REAL) AS temp_share,
+        |       CAST(round((pow(CAST(n_tokens AS DOUBLE), 0.3) / z)
+        |         / (CAST(n_tokens AS DOUBLE) / total_tokens), 4)
+        |         AS REAL) AS weight
+        |FROM g, t""".stripMargin,
 
     // q148's tempered weight table re-derived, then q117's floor +
     // residual Bernoulli application verbatim (REAL weight promotes to
@@ -401,16 +399,11 @@ object CorpusPack extends QueryPack {
          |        AS n_tokens FROM s GROUP BY 1),
          |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
          |        sum(pow(CAST(n_tokens AS DOUBLE), 0.3)) AS z FROM g),
-         |r AS (SELECT lang,
-         |        CAST(round(CAST(n_tokens AS DOUBLE) / total_tokens, 6)
-         |          AS REAL) AS share,
-         |        CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.3) / z, 6)
-         |          AS REAL) AS temp_share
-         |      FROM g, t),
          |wt AS (SELECT lang,
-         |         CAST(round(CAST(temp_share AS DOUBLE)
-         |           / CAST(share AS DOUBLE), 4) AS REAL) AS weight
-         |       FROM r),
+         |         CAST(round((pow(CAST(n_tokens AS DOUBLE), 0.3) / z)
+         |           / (CAST(n_tokens AS DOUBLE) / total_tokens), 4)
+         |           AS REAL) AS weight
+         |       FROM g, t),
          |hh AS (SELECT d.doc_id, d.lang, w.weight,
          |         md5('mix:' || CAST(d.doc_id AS VARCHAR)) AS m
          |       FROM documents d JOIN wt w USING (lang)),

@@ -1082,6 +1082,14 @@ class LlmSpec extends AnyFunSuite {
     assert(rows(Dedup.jaccardPairsDeltaBloom(docs, isNew)) == jUngated)
     assert(rows(Dedup.jaccardPairsDeltaBloom(docs, isNew,
       m = 64, d = 1)) == jUngated)
+    // a NULLABLE newness predicate: NULL-nw rows act as old on both
+    // paths (the ungated join's NULL || TRUE keeps their pairs with
+    // new docs; the gate must route them through the bloom, not drop
+    // them from both sides)
+    val nullableNew = when(col("doc_id") % 5 === 0,
+      lit(null).cast("boolean")).otherwise(col("doc_id") % 3 === 0)
+    assert(rows(Dedup.winnowedPairsDeltaBloom(docs, nullableNew)) ==
+      rows(Dedup.winnowedPairsDelta(docs, nullableNew)))
   }
 
   test("noveltyScore: duplicates read 0, fresh content 1, overlap mid") {
