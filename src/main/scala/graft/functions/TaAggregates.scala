@@ -141,6 +141,75 @@ case class Ema(child: Expression, n: Int,
       l: Expression, r: Expression): Ema = copy(child = l, seed = r)
 }
 
+object WilderMa {
+  /** Serialized-state shape for seeding/emitState (same as Ema's). */
+  val stateType: StructType = Ema.stateType
+  def nullSeed: Expression = Literal.create(null, stateType)
+}
+
+/** `wilder_ma(value, n)` — Wilder's smoothed moving average: the first
+  * n non-NULL values seed a simple average, then
+  * `a = (1/n)·v + (1 − 1/n)·a` (an SMA-seeded EMA with α = 1/n).
+  * NULL until the seed fills; NULL inputs are skipped, so smoothing a
+  * derived series that only becomes defined mid-stream (e.g. the DX
+  * line of ADX) seeds on its first n defined values. Backs ATR and the
+  * ADX chain ([[graft.mart.Trend]]); state plumbing mirrors [[Ema]].
+  */
+case class WilderMa(child: Expression, n: Int,
+    seed: Expression = WilderMa.nullSeed, emitState: Boolean = false,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends RunningAggBase[EmaState] {
+
+  override def prettyName: String = "wilder_ma"
+  override def dataType: DataType =
+    if (emitState) WilderMa.stateType else DoubleType
+  private val alpha = 1.0 / n
+
+  override def createAggregationBuffer(): EmaState = new EmaState(0L, 0.0)
+
+  override protected def seedOnce(s: EmaState, input: InternalRow): EmaState = {
+    if (!s.seeded) {
+      s.seeded = true
+      seed.eval(input) match {
+        case null => ()
+        case r: InternalRow => s.count = r.getLong(0); s.acc = r.getDouble(1)
+      }
+    }
+    s
+  }
+
+  override protected def updateValue(s: EmaState, v: Double): EmaState = {
+    s.count += 1
+    if (s.count < n) s.acc += v
+    else if (s.count == n) { s.acc += v; s.acc = s.acc / n }
+    else s.acc = alpha * v + (1 - alpha) * s.acc
+    s
+  }
+
+  override def eval(s: EmaState): Any =
+    if (emitState) new GenericInternalRow(Array[Any](s.count, s.acc))
+    else if (s.count >= n) s.acc else null
+
+  override def serialize(s: EmaState): Array[Byte] = {
+    val b = ByteBuffer.allocate(17)
+    b.put(if (s.seeded) 1.toByte else 0.toByte)
+      .putLong(s.count).putDouble(s.acc)
+    b.array()
+  }
+  override def deserialize(bytes: Array[Byte]): EmaState = {
+    val b = ByteBuffer.wrap(bytes)
+    val seeded = b.get() == 1.toByte
+    new EmaState(b.getLong(), b.getDouble(), seeded)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): WilderMa =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): WilderMa =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): WilderMa = copy(child = l, seed = r)
+}
+
 /** Mutable RSI state: rows seen, previous close, Wilder averages. */
 final class RsiState(var count: Long, var prev: Double,
     var sumGain: Double, var sumLoss: Double,
@@ -274,6 +343,14 @@ object TaFunctions {
         seed = seed.map(GraftSqlShims.expression).getOrElse(Ema.nullSeed),
         emitState = true).toAggregateExpression())
 
+  /** `wilder_ma(c, n)` — Wilder smoothing (α = 1/n, SMA-seeded) as a
+    * Column; apply `.over(running frame)`. NULL inputs skipped.
+    */
+  def wilderMa(c: Column, n: Int): Column =
+    GraftSqlShims.column(
+      WilderMa(asDouble(GraftSqlShims.expression(c)), n)
+        .toAggregateExpression())
+
   /** `wilder_rsi(c, n)` as a Column; apply `.over(running frame)`. */
   def wilderRsi(c: Column, n: Int): Column =
     GraftSqlShims.column(
@@ -302,6 +379,9 @@ object TaFunctions {
     val r = spark.sessionState.functionRegistry
     r.createOrReplaceTempFunction("ema",
       es => Ema(Cast(es.head, DoubleType), intArg(es(1), "ema")),
+      "scala_udf")
+    r.createOrReplaceTempFunction("wilder_ma",
+      es => WilderMa(Cast(es.head, DoubleType), intArg(es(1), "wilder_ma")),
       "scala_udf")
     r.createOrReplaceTempFunction("wilder_rsi",
       es => WilderRsi(Cast(es.head, DoubleType), intArg(es(1), "wilder_rsi")),

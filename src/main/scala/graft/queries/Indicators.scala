@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.mart.IndicatorDay
+import graft.mart.{IndicatorDay, Trend}
 import graft.ts.{Bars, Recursive}
 import org.apache.spark.sql.functions.{col, lit, when}
 
@@ -177,6 +177,73 @@ object Indicators extends QueryPack {
       col("aroon_up"), col("aroon_down"), col("aroon_oscillator"),
       col("n_multiple").cast("float").as("n_multiple"))
 
+  /** One Wilder-smoothing recursive CTE (α = 1/n, SMA seed over the
+    * first n rows of `src`): `src` must be dense in rn per id starting
+    * at `start`, so the seed row sits at rn = start + n − 1 and the
+    * recursion steps rn by 1 — the exact recurrence
+    * [[graft.functions.WilderMa]] evaluates.
+    */
+  private def wilderCte(name: String, src: String, valCol: String,
+      start: Int, n: Int): String =
+    s"""$name AS (
+       |  SELECT id, rn, sa AS a FROM (
+       |    SELECT id, rn, avg($valCol) OVER (PARTITION BY id ORDER BY rn
+       |      ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW) AS sa
+       |    FROM $src) WHERE rn = ${start + n - 1}
+       |  UNION ALL
+       |  SELECT s.id, s.rn, (CAST(1 AS DOUBLE)/$n) * s.$valCol
+       |           + (1 - CAST(1 AS DOUBLE)/$n) * e.a
+       |  FROM $src s JOIN $name e ON s.id = e.id AND s.rn = e.rn + 1)"""
+      .stripMargin
+
+  /** q160 oracle: the full ATR/ADX chain re-derived — deltas (TR, ±DM
+    * from bar 2), three first-level Wilder recursions, the DI/DX ratio
+    * algebra, and the second-level ADX recursion over the DX line
+    * (dense in rn from n+1, so its seed lands at rn = 2n). Mirrors
+    * [[graft.mart.Trend.indicators]] operation-for-operation; REAL
+    * casts absorb cross-engine double drift as in the q32–q41 family.
+    */
+  private def trendBlock(n: Int): String =
+    s"""WITH RECURSIVE
+       |${Bars.oracleCteHourly},
+       |scaled AS MATERIALIZED (
+       |  SELECT *, high*nm AS hs, low*nm AS ls, close*nm AS cs
+       |  FROM (SELECT *, $defaultNmCase AS nm FROM hourly)),
+       |num AS MATERIALIZED (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY id ORDER BY t) AS INTEGER) AS rn FROM scaled),
+       |deltas AS MATERIALIZED (
+       |  SELECT id, rn,
+       |         greatest(hs - ls, abs(hs - pc), abs(ls - pc)) AS tr,
+       |         CASE WHEN hs - ph > pl - ls AND hs - ph > 0
+       |              THEN hs - ph ELSE CAST(0 AS DOUBLE) END AS pdm,
+       |         CASE WHEN pl - ls > hs - ph AND pl - ls > 0
+       |              THEN pl - ls ELSE CAST(0 AS DOUBLE) END AS mdm
+       |  FROM (SELECT *,
+       |          lag(hs) OVER (PARTITION BY id ORDER BY rn) AS ph,
+       |          lag(ls) OVER (PARTITION BY id ORDER BY rn) AS pl,
+       |          lag(cs) OVER (PARTITION BY id ORDER BY rn) AS pc
+       |        FROM num)
+       |  WHERE pc IS NOT NULL),
+       |${wilderCte("watr", "deltas", "tr", 2, n)},
+       |${wilderCte("wpdm", "deltas", "pdm", 2, n)},
+       |${wilderCte("wmdm", "deltas", "mdm", 2, n)},
+       |dxs AS MATERIALIZED (
+       |  SELECT id, rn, atr, plus_di, minus_di,
+       |         CASE WHEN plus_di + minus_di <> 0
+       |              THEN (100 * abs(plus_di - minus_di)) / (plus_di + minus_di)
+       |              ELSE CAST(0 AS DOUBLE) END AS dx
+       |  FROM (
+       |    SELECT a.id, a.rn, a.a AS atr,
+       |           CASE WHEN a.a <> 0 THEN (100 * p.a) / a.a
+       |                ELSE CAST(0 AS DOUBLE) END AS plus_di,
+       |           CASE WHEN a.a <> 0 THEN (100 * m.a) / a.a
+       |                ELSE CAST(0 AS DOUBLE) END AS minus_di
+       |    FROM watr a
+       |    JOIN wpdm p ON a.id = p.id AND a.rn = p.rn
+       |    JOIN wmdm m ON a.id = m.id AND a.rn = m.rn)),
+       |${wilderCte("wadx", "dxs", "dx", n + 1, n)}""".stripMargin
+
   private val hourlyBlock =
     withBlock(Bars.oracleCteHourly, "hourly", "t")
   private val dailyBlock =
@@ -265,6 +332,12 @@ object Indicators extends QueryPack {
       incrementalSelect(
         IndicatorDay.hourlyIncremental(t("events")(s, d), incrementalCutT,
           backfillBars = 26))),
+
+    // Extension: ATR(14) + the ADX(14) directional-movement chain — a
+    // TWO-LEVEL Wilder recurrence (ADX smooths DX, itself a ratio of
+    // three smoothed delta series), all in the mart's one-shuffle
+    // window pass via the native wilder_ma running aggregate.
+    "q160_atr_adx" -> ((s, d) => Trend.hourly(t("events")(s, d))),
 
     // J4: the groupByKey.flatMapGroups kernel path ([[Recursive]]) —
     // the mart itself runs the native TypedImperativeAggregate path
@@ -370,6 +443,17 @@ object Indicators extends QueryPack {
          |       ${E("ema30")} AS ema30, ${E("macd")} AS macd,
          |       ${E("macd_single")} AS macd_single, ${E("rsi")} AS rsi
          |FROM ind""".stripMargin,
+    "q160_atr_adx" ->
+      s"""${trendBlock(14)}
+         |SELECT n.id, n.t,
+         |       CAST(d.atr AS REAL) AS atr,
+         |       CAST(d.plus_di AS REAL) AS plus_di,
+         |       CAST(d.minus_di AS REAL) AS minus_di,
+         |       CAST(d.dx AS REAL) AS dx,
+         |       CAST(x.a AS REAL) AS adx
+         |FROM num n
+         |LEFT JOIN dxs  d ON n.id = d.id AND n.rn = d.rn
+         |LEFT JOIN wadx x ON n.id = x.id AND n.rn = x.rn""".stripMargin,
     // The incremental-refresh gate: FULL-history recompute, filtered to
     // the engine's refresh window.
     "q99_incremental_mart" -> incrementalOracle(incrementalCutT),
