@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.mart.{IndicatorDay, Trend}
+import graft.mart.{Channels, IndicatorDay, Trend}
 import graft.ts.{Bars, Recursive}
 import org.apache.spark.sql.functions.{col, lit, when}
 
@@ -339,6 +339,13 @@ object Indicators extends QueryPack {
     // window pass via the native wilder_ma running aggregate.
     "q160_atr_adx" -> ((s, d) => Trend.hourly(t("events")(s, d))),
 
+    // Extension: session VWAP (day-reset running sums on a refined
+    // (id, day) window key sharing the (id, t) sort), Williams %R(14),
+    // and CCI(20) — whose mean-deviation term depends on both window
+    // member and anchor, evaluated as a HOF fold over the frame's
+    // collect_list (no self-join).
+    "q161_vwap_channel" -> ((s, d) => Channels.hourly(t("events")(s, d))),
+
     // J4: the groupByKey.flatMapGroups kernel path ([[Recursive]]) —
     // the mart itself runs the native TypedImperativeAggregate path
     // (graft.functions), so this keeps the distributed-kernel
@@ -454,6 +461,51 @@ object Indicators extends QueryPack {
          |FROM num n
          |LEFT JOIN dxs  d ON n.id = d.id AND n.rn = d.rn
          |LEFT JOIN wadx x ON n.id = x.id AND n.rn = x.rn""".stripMargin,
+    // VWAP / %R / CCI: the mean-deviation fold is replayed with the
+    // exact left-fold order (list_reduce over a 0.0-prepended list)
+    // so even the CCI denominator matches the engine's HOF fold
+    // bit-for-bit before the REAL edge.
+    "q161_vwap_channel" ->
+      s"""WITH ${Bars.oracleCteHourly},
+         |scaled AS (
+         |  SELECT *, high*nm AS hs, low*nm AS ls, close*nm AS cs,
+         |         (high*nm + low*nm + close*nm) / 3.0 AS tp,
+         |         t // 86400 AS day
+         |  FROM (SELECT *, $defaultNmCase AS nm FROM hourly)),
+         |s1 AS (
+         |  SELECT *,
+         |    CAST(row_number() OVER (PARTITION BY id ORDER BY t) AS INTEGER) AS rn,
+         |    sum(tp * volume) OVER (PARTITION BY id, day ORDER BY t
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cpv,
+         |    sum(volume) OVER (PARTITION BY id, day ORDER BY t
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv,
+         |    max(hs) OVER (PARTITION BY id ORDER BY t
+         |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS hh,
+         |    min(ls) OVER (PARTITION BY id ORDER BY t
+         |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS ll,
+         |    avg(tp) OVER (PARTITION BY id ORDER BY t
+         |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS tp_sma,
+         |    list(tp) OVER (PARTITION BY id ORDER BY t
+         |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS tp_win
+         |  FROM scaled),
+         |s2 AS (
+         |  SELECT *,
+         |    CASE WHEN cv <> 0 THEN cpv / cv END AS vwap,
+         |    CASE WHEN rn >= 14 THEN
+         |      CASE WHEN hh <> ll THEN ((-100) * (hh - cs)) / (hh - ll)
+         |           ELSE CAST(0 AS DOUBLE) END END AS willr,
+         |    CASE WHEN rn >= 20 THEN
+         |      list_reduce(
+         |        list_prepend(CAST(0 AS DOUBLE),
+         |          list_transform(tp_win, x -> abs(x - tp_sma))),
+         |        (a, x) -> a + x) / 20.0 END AS md
+         |  FROM s1)
+         |SELECT id, t, CAST(vwap AS REAL) AS vwap,
+         |       CAST(willr AS REAL) AS willr,
+         |       CAST(CASE WHEN md IS NOT NULL THEN
+         |         CASE WHEN md <> 0 THEN (tp - tp_sma) / (0.015 * md)
+         |              ELSE CAST(0 AS DOUBLE) END END AS REAL) AS cci
+         |FROM s2""".stripMargin,
     // The incremental-refresh gate: FULL-history recompute, filtered to
     // the engine's refresh window.
     "q99_incremental_mart" -> incrementalOracle(incrementalCutT),

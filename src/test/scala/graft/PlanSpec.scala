@@ -214,6 +214,19 @@ class PlanSpec extends AnyFunSuite {
         .CartesianProductExec => j }.isEmpty)
   }
 
+  test("q160/q161: the whole indicator chain rides TWO exchanges — " +
+    "bars aggregation + ONE window shuffle") {
+    // q160: three Window nodes (lags+deltas, three Wilder smoothings,
+    // ADX) share one hash(id) exchange. q161: the (id, day) VWAP
+    // window is a refinement of hash(id), so it adds a Sort but NO
+    // exchange beside the %R/CCI window.
+    Seq("q160_atr_adx", "q161_vwap_channel").foreach { q =>
+      val p = plan(q)
+      val n = p.collect { case e: ShuffleExchangeExec => e }.length
+      assert(n == 2, s"$q planned $n exchanges")
+    }
+  }
+
   test("q149: cluster-balanced sampling never shuffles document text") {
     // the soft-dedup decoration works on (doc_id, cluster, size)
     // triples — any exchange carrying `text` would ship the corpus
