@@ -180,6 +180,41 @@ object Corpus {
         expr("bit_xor(dg)").as("content_hash"))
   }
 
+  /** Manifest DIFF — drift localization between two snapshot
+    * manifests ([[snapshotManifest]]): the (lang, shard) cells whose
+    * content moved, tagged `added` / `removed` / `changed`, with both
+    * sides' counts and hashes. Because the manifest hash is
+    * order-invariant and per-shard, this pinpoints which slice of a
+    * corpus a day-2 ingest, backfill, or engine change touched WITHOUT
+    * reading documents: the diff joins two ≤ |langs|·nStreams-row
+    * frames — constant work at any corpus size (the manifests
+    * themselves are each one map + one map-side-combined groupBy).
+    * Agreeing cells are dropped; an empty diff certifies snapshot
+    * equality under the manifest contract.
+    */
+  def manifestDiff(oldManifest: DataFrame,
+      newManifest: DataFrame): DataFrame = {
+    val o = oldManifest.select(col("lang"), col("shard"),
+      col("n_docs").as("old_docs"), col("n_tokens").as("old_tokens"),
+      col("content_hash").as("old_hash"))
+    val n = newManifest.select(col("lang"), col("shard"),
+      col("n_docs").as("new_docs"), col("n_tokens").as("new_tokens"),
+      col("content_hash").as("new_hash"))
+    o.join(n, Seq("lang", "shard"), "full_outer")
+      .withColumn("status",
+        when(col("old_docs").isNull, lit("added"))
+          .when(col("new_docs").isNull, lit("removed"))
+          .otherwise(lit("changed")))
+      .where(col("old_docs").isNull || col("new_docs").isNull ||
+        col("old_hash") =!= col("new_hash") ||
+        col("old_docs") =!= col("new_docs") ||
+        col("old_tokens") =!= col("new_tokens"))
+      .select(col("lang"), col("shard"), col("status"),
+        col("old_docs"), col("new_docs"),
+        col("old_tokens"), col("new_tokens"),
+        col("old_hash"), col("new_hash"))
+  }
+
   /** The PACK MANIFEST — the loader-facing inverse of [[packStream]]:
     * one row per (document × context window it occupies), with the
     * document's start offset and token count inside that window. This

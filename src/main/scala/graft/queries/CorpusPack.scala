@@ -25,6 +25,20 @@ object CorpusPack extends QueryPack {
     // agree, so day-2 drift localizes to shards without diffing docs.
     "q158_snapshot_manifest" -> ((s, d) =>
       Corpus.snapshotManifest(t("documents")(s, d))),
+    // Manifest DIFF: day-1 vs a deterministically mutated day-2 corpus
+    // (ids ≡ 0 mod 97 removed, texts of ids ≡ 0 mod 101 edited) —
+    // the diff localizes the drift to exactly the shards those ids
+    // hash into, joining two ≤ |langs|·nStreams-row manifests.
+    "q159_manifest_diff" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{concat, lit, when}
+      val docs = t("documents")(s, d)
+      val day2 = docs.where(col("doc_id") % 97 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 101 === 0,
+            concat(col("text"), lit(" day2"))).otherwise(col("text")))
+      Corpus.manifestDiff(
+        Corpus.snapshotManifest(docs), Corpus.snapshotManifest(day2))
+    }),
     // Packing ACCOUNTING without a packing run: per-stream window/
     // padding/utilization numbers from one groupBy — exact by the
     // concat-then-split invariant (⌈tokens/budget⌉ windows, only the
@@ -328,6 +342,58 @@ object CorpusPack extends QueryPack {
          |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
          |       bit_xor(dg) AS content_hash
          |FROM g GROUP BY 1, 2""".stripMargin,
+
+    // Both manifests re-derived (q158's md5 chain over the base corpus
+    // and over the mutated day-2 CTE), full-outer joined, agreeing
+    // cells dropped.
+    "q159_manifest_diff" ->
+      s"""WITH m1 AS (
+         |  SELECT lang, shard, CAST(count(*) AS INTEGER) AS n_docs,
+         |         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |         bit_xor(dg) AS content_hash
+         |  FROM (SELECT lang,
+         |          CAST((${OracleSql.md5High16(
+                      "md5('snap:' || CAST(doc_id AS VARCHAR))")}) % 8
+                      AS INTEGER) AS shard,
+         |          len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+         |          ${OracleSql.md5Int48(
+                      "md5('snap:' || CAST(doc_id AS VARCHAR) || ':' " +
+                        "|| coalesce(text, ''))")} AS dg
+         |        FROM documents)
+         |  GROUP BY 1, 2),
+         |day2 AS (
+         |  SELECT doc_id, lang,
+         |         CASE WHEN doc_id % 101 = 0 THEN text || ' day2'
+         |              ELSE text END AS text
+         |  FROM documents WHERE doc_id % 97 <> 0),
+         |m2 AS (
+         |  SELECT lang, shard, CAST(count(*) AS INTEGER) AS n_docs,
+         |         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |         bit_xor(dg) AS content_hash
+         |  FROM (SELECT lang,
+         |          CAST((${OracleSql.md5High16(
+                      "md5('snap:' || CAST(doc_id AS VARCHAR))")}) % 8
+                      AS INTEGER) AS shard,
+         |          len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+         |          ${OracleSql.md5Int48(
+                      "md5('snap:' || CAST(doc_id AS VARCHAR) || ':' " +
+                        "|| coalesce(text, ''))")} AS dg
+         |        FROM day2)
+         |  GROUP BY 1, 2)
+         |SELECT coalesce(a.lang, b.lang) AS lang,
+         |       coalesce(a.shard, b.shard) AS shard,
+         |       CASE WHEN a.n_docs IS NULL THEN 'added'
+         |            WHEN b.n_docs IS NULL THEN 'removed'
+         |            ELSE 'changed' END AS status,
+         |       a.n_docs AS old_docs, b.n_docs AS new_docs,
+         |       a.n_tokens AS old_tokens, b.n_tokens AS new_tokens,
+         |       a.content_hash AS old_hash, b.content_hash AS new_hash
+         |FROM m1 a FULL OUTER JOIN m2 b
+         |  ON a.lang = b.lang AND a.shard = b.shard
+         |WHERE a.n_docs IS NULL OR b.n_docs IS NULL
+         |   OR a.content_hash <> b.content_hash
+         |   OR a.n_docs <> b.n_docs OR a.n_tokens <> b.n_tokens"""
+        .stripMargin,
 
     // q79's shard + token CTEs, then plain integer window arithmetic
     // per (lang, shard) — BIGINT // division on both engines.

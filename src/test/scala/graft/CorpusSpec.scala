@@ -333,6 +333,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(base(k)._3 != after(k)._3)           // hash moved
   }
 
+  test("manifestDiff: empty on equal snapshots; edit → one changed " +
+    "cell; lang removal → removed rows") {
+    val m = Corpus.snapshotManifest(docs)
+    // identical snapshots certify equality: empty diff
+    assert(Corpus.manifestDiff(m, Corpus.snapshotManifest(docs))
+      .collect().isEmpty)
+    // one edited doc → exactly one 'changed' cell, counts carried
+    val someId = docs.select("doc_id").head().getLong(0)
+    val edited = docs.withColumn("text",
+      when(col("doc_id") === someId,
+        concat(col("text"), lit(" tampered"))).otherwise(col("text")))
+    val d = Corpus.manifestDiff(m, Corpus.snapshotManifest(edited))
+      .collect()
+    assert(d.length == 1 && d.head.getString(2) == "changed")
+    assert(d.head.getLong(5) + 1 == d.head.getLong(6)) // one token added
+    // dropping a whole language → its cells read 'removed'
+    val lang = docs.select("lang").head().getString(0)
+    val dropped = docs.where(col("lang") =!= lang)
+    val d2 = Corpus.manifestDiff(m, Corpus.snapshotManifest(dropped))
+      .collect()
+    assert(d2.nonEmpty && d2.forall(r =>
+      r.getString(0) == lang && r.getString(2) == "removed"))
+  }
+
   test("packStats: exact window count, tail-only padding, no pack run") {
     import spark.implicits._
     // one lang, nStreams=1 → one stream; 10+20+250 = 280 tokens at
