@@ -254,6 +254,135 @@ object Similarity {
         col("cos"))
   }
 
+  /** Product-quantization ANN (Jégou et al. 2011, "Product
+    * quantization for nearest neighbor search"): split each vector
+    * into `m` subspaces, k-means each subspace into `ksub` codewords,
+    * store every vector as `m` small codes, and answer queries by
+    * ASYMMETRIC DISTANCE — the exact query subvectors against the
+    * codebook build an m×ksub lookup table, and a database vector's
+    * approximate squared L2 distance is the sum of its codes' table
+    * entries. This is the MEMORY path beyond [[quantizedTopK]]'s
+    * int8: m·log2(ksub) bits per vector (4 bytes here vs 256 for the
+    * raw floats) — the regime where a 10⁹-vector index fits on one
+    * node.
+    *
+    * Determinism contract (oracle-re-derivable like q71's coarse
+    * quantizer): per-subspace Lloyd with the ksub-lowest-vec_id init,
+    * argmin ties to the lowest cell, ADC sums the per-subspace
+    * distances in subspace order (a fixed-order fold, not a float
+    * reduce), rounded to 4 before ranking, vec_id tiebreak.
+    *
+    * The ADC pass SHORTLISTS `rerank` candidates per query, then an
+    * exact-distance re-rank over only those candidates picks the final
+    * top-k (the "+R" refinement of IVFADC+R) — the standard recipe
+    * that recovers recall quantization loses, while exact distances
+    * are paid on |Q|·rerank vectors instead of |Q|·N. On isotropic
+    * data (this fixture) raw ADC ranking is near-uninformative — the
+    * PQ cell diameter rivals the neighbor-distance gaps — which is
+    * exactly why the refine stage is part of the published method.
+    *
+    * Scale shape: the codebook is m·ksub tiny rows — every Lloyd
+    * recompute is a bounded groupBy, and assignment/encoding is a pure
+    * map against the broadcast codebook (the one-row array pattern of
+    * `lloydCells`). ADC scoring never touches raw database vectors:
+    * codes join the broadcast per-query distance tables and aggregate
+    * m rows per (query, vector) with map-side combine; only the
+    * |Q|·rerank shortlist survivors pay an id-keyed join back to the
+    * raw vectors. No shuffle carries a full vector column at N scale.
+    */
+  def pqTopK(embeddings: DataFrame, queryPred: Column, k: Int = 5,
+      m: Int = 4, ksub: Int = 16, iters: Int = 2, rerank: Int = 64,
+      dim: Int = defaultDim): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val sub = dim / m
+    val e = embeddings.select(col("vec_id"),
+      asDouble(col("embedding")).as("v"))
+
+    def subVecs(v: Column): Column =
+      transform(sequence(lit(0), lit(m - 1)),
+        j => slice(v, j * sub + 1, lit(sub)))
+    val subs = e.select(col("vec_id"), posexplode(subVecs(col("v"))))
+      .select(col("vec_id"), col("pos").as("j"), col("col").as("sv"))
+
+    // assignment against a broadcast one-row codebook
+    // array<struct<j,cell,c>> (sorted by (j, cell)): per-row argmin
+    // within the row's subspace, ties to the lowest cell
+    def assign(cbRow: DataFrame): DataFrame =
+      subs.crossJoin(broadcast(cbRow))
+        .select(col("vec_id"), col("j"), col("sv"),
+          array_min(transform(
+            filter(col("cb"), ent => ent.getField("j") === col("j")),
+            ent => struct(sqDist(col("sv"), ent.getField("c")).as("d"),
+              ent.getField("cell").as("cell"))))
+            .getField("cell").as("cell"))
+
+    // init: the ksub lowest vec_ids' subvectors, cells numbered by
+    // vec_id rank within each subspace (tiny frame, ksub·m rows)
+    var cb = e.orderBy("vec_id").limit(ksub)
+      .select(col("vec_id"), posexplode(subVecs(col("v"))))
+      .select(col("vec_id"), col("pos").as("j"), col("col").as("sv"))
+      .withColumn("cell", row_number().over(
+        Window.partitionBy("j").orderBy("vec_id")).cast("int"))
+      .agg(array_sort(collect_list(struct(col("j"), col("cell"),
+        col("sv").as("c")))).as("cb"))
+    (0 until iters).foreach { _ =>
+      cb = assign(cb)
+        .select(col("j"), col("cell"), posexplode(col("sv")))
+        .groupBy("j", "cell", "pos").agg(avg(col("col")).as("mu"))
+        .groupBy("j", "cell").agg(
+          transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
+            s => s.getField("mu")).as("c"))
+        .agg(array_sort(collect_list(struct(col("j"), col("cell"),
+          col("c")))).as("cb"))
+    }
+
+    // encode: m codes per vector, packed in subspace order
+    val codes = assign(cb).groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("cell")))),
+        s => s.getField("cell")).as("codes"))
+
+    // per-query ADC table: exact query subvector vs every codeword
+    // (still sorted by (j, cell) — cb is)
+    val queries = e.where(queryPred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .crossJoin(broadcast(cb))
+      .select(col("qid"), transform(col("cb"), ent => struct(
+        ent.getField("j").as("j"), ent.getField("cell").as("cell"),
+        sqDist(slice(col("qv"), ent.getField("j") * sub + 1, lit(sub)),
+          ent.getField("c")).as("d"))).as("dtab"))
+
+    // ADC score: fixed-order fold over subspaces; lookup by (j, code)
+    // (robust to cells emptied during Lloyd — no positional indexing)
+    val scored = codes.crossJoin(broadcast(queries))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("approx_d", round(
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
+          acc + element_at(filter(col("dtab"), ent =>
+            ent.getField("j") === j &&
+              ent.getField("cell") === element_at(col("codes"), j + 1)), 1)
+            .getField("d")), 4))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("approx_d"), col("vec_id"))
+    val shortlist = scored
+      .withColumn("srank", row_number().over(w))
+      .where(col("srank") <= rerank)
+      .select(col("qid"), col("vec_id"))
+
+    // exact re-rank of the shortlist: |Q|·rerank exact distances
+    val qraw = e.where(queryPred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val refined = shortlist
+      .join(e, "vec_id")
+      .join(broadcast(qraw), "qid")
+      .withColumn("exact_d", round(sqDist(col("qv"), col("v")), 4))
+    val wf = Window.partitionBy(col("qid"))
+      .orderBy(col("exact_d"), col("vec_id"))
+    refined.withColumn("rank", row_number().over(wf).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("exact_d"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
     * deduplication — k-means partition the embedding space, then look
     * for high-cosine pairs only WITHIN each cluster, dropping all but

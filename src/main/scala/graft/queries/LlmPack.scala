@@ -390,6 +390,12 @@ object LlmPack extends QueryPack {
       Similarity.lshTopK(t("embeddings")(s, d), col("vec_id") < 10)),
     "q71_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(t("embeddings")(s, d), col("vec_id") < 10)),
+    // Product-quantization ANN: per-subspace codebooks + asymmetric
+    // distance — the 4-byte-per-vector memory path. Codebook build,
+    // encoding, and the fixed-order ADC fold are all deterministic,
+    // so the oracle re-derives the entire index in SQL.
+    "q162_ann_pq" -> ((s, d) =>
+      Similarity.pqTopK(t("embeddings")(s, d), col("vec_id") < 10)),
     // SemDeDup: k-means cells + within-cell cosine dedup — the oracle
     // re-derives the full Lloyd chain (shared CTE builder with q71)
     // plus the greedy lowest-id keeper rule, so the whole semantic-
@@ -1382,6 +1388,46 @@ object LlmPack extends QueryPack {
          |SELECT qid, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid
          |        ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+         |WHERE rank <= 5""".stripMargin
+    },
+    // PQ oracle: the per-subspace Lloyd chain (shared pqChain
+    // builder), codes from the final assignment, the per-query ADC
+    // table against the exact query subvectors, and the j-ordered
+    // left fold of the m table entries — every stage re-derived.
+    "q162_ann_pq" -> {
+      val dim = Similarity.defaultDim
+      val (m, ksub, sub) = (4, 16, Similarity.defaultDim / 4)
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${OracleSql.pqChain(dim, m, ksub, 2)},
+         |qd AS (
+         |  SELECT q.vec_id AS qid, c.j, c.cell,
+         |         ${OracleSql.sqDistSql(sub,
+                     s"q.v[(c.j*$sub+1):(c.j*$sub+$sub)]", "c.c")} AS d
+         |  FROM e q, pc2 c WHERE q.vec_id < 10),
+         |scored AS (
+         |  SELECT q.qid, a.vec_id AS neighbor_id,
+         |         round(list_reduce(
+         |           list_prepend(CAST(0 AS DOUBLE), list(q.d ORDER BY q.j)),
+         |           (x, y) -> x + y), 4) AS approx_d
+         |  FROM paf a JOIN qd q ON a.j = q.j AND a.cell = q.cell
+         |  WHERE a.vec_id <> q.qid
+         |  GROUP BY q.qid, a.vec_id),
+         |shortlist AS (
+         |  SELECT qid, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY approx_d, neighbor_id) AS srank FROM scored)
+         |  WHERE srank <= 64),
+         |refined AS (
+         |  SELECT s.qid, s.neighbor_id,
+         |         round(${OracleSql.sqDistSql(dim, "q.v", "x.v")}, 4)
+         |           AS exact_d
+         |  FROM shortlist s
+         |  JOIN e q ON s.qid = q.vec_id
+         |  JOIN e x ON s.neighbor_id = x.vec_id)
+         |SELECT qid, CAST(rank AS INTEGER) AS rank, neighbor_id, exact_d
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |        ORDER BY exact_d, neighbor_id) AS rank FROM refined)
          |WHERE rank <= 5""".stripMargin
     },
     // SemDeDup oracle: the SAME Lloyd chain as q71 (shared CTE

@@ -120,6 +120,51 @@ private[queries] object OracleSql {
     (Seq(init) ++ steps :+ assign(s"c$iters", "af")).mkString(",\n")
   }
 
+  /** The product-quantization codebook chain — oracle form of
+    * [[graft.llm.Similarity.pqTopK]]'s per-subspace Lloyd. Expects an
+    * upstream CTE `e` = (vec_id, v); contributes `subv` (exploded
+    * (vec_id, j, sv) subvectors), `pc0` init (the ksub lowest vec_ids,
+    * cells numbered by vec_id rank per subspace), `iters` alternating
+    * assign/recompute steps ending in `pc$iters`, and the final code
+    * assignment `paf` = (vec_id, j, cell). Splice between CTEs.
+    */
+  def pqChain(dim: Int, m: Int, ksub: Int, iters: Int): String = {
+    val sub = dim / m
+    def assign(cents: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, j, sv, cell FROM (
+         |    SELECT s.vec_id, s.j, s.sv, c.cell,
+         |           row_number() OVER (PARTITION BY s.vec_id, s.j
+         |             ORDER BY ${sqDistSql(sub, "s.sv", "c.c")}, c.cell) AS rk
+         |    FROM subv s JOIN $cents c ON s.j = c.j) WHERE rk = 1)"""
+        .stripMargin
+    def recompute(assigned: String, out: String) =
+      s"""$out AS (
+         |  SELECT j, cell, list(mu ORDER BY i) AS c FROM (
+         |    SELECT j, cell, i, avg(sv[CAST(i AS INT) + 1]) AS mu
+         |    FROM $assigned, range($sub) t(i) GROUP BY j, cell, i)
+         |  GROUP BY j, cell)""".stripMargin
+    val subCte =
+      s"""subv AS MATERIALIZED (
+         |  SELECT vec_id, CAST(j AS INTEGER) AS j,
+         |         v[(CAST(j AS INTEGER)*$sub+1):(CAST(j AS INTEGER)*$sub+$sub)]
+         |           AS sv
+         |  FROM e, range($m) t(j))""".stripMargin
+    val init =
+      s"""pc0 AS (
+         |  SELECT j,
+         |         CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id)
+         |           AS INTEGER) AS cell,
+         |         sv AS c
+         |  FROM subv
+         |  WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id
+         |                   LIMIT $ksub))""".stripMargin
+    val steps = (1 to iters).flatMap(i =>
+      Seq(assign(s"pc${i - 1}", s"pa$i"), recompute(s"pa$i", s"pc$i")))
+    (Seq(subCte, init) ++ steps :+ assign(s"pc$iters", "paf"))
+      .mkString(",\n")
+  }
+
   /** The 64 per-family `min(...)` signature aggregates over `(x1, x2)`
     * word columns — literal multipliers interpolated from the SAME
     * [[graft.functions.MinHashSigMd5]] constants the engine uses.

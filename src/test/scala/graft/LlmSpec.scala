@@ -271,6 +271,34 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.8)
   }
 
+  test("PQ ANN: valid shape; recall vs exact L2 top-5 pinned") {
+    val pq = Similarity.pqTopK(embs, col("vec_id") < 10, 5)
+      .select("qid", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq.size == 50) // 10 queries × full top-5
+    // exact L2 reference (PQ approximates squared L2, NOT cosine —
+    // on unnormalized vectors those rank differently)
+    val vecs = embs.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val exact = vecs.keys.filter(_ < 10).flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .sortBy { x =>
+          val (a, b) = (vecs(q), vecs(x))
+          (a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum, x)
+        }
+        .take(5).map(q -> _)
+    }.toSet
+    val recall = (pq & exact).size.toDouble / exact.size
+    info(f"PQ recall = $recall%.3f")
+    // Deterministic init + Lloyd + ADC + exact refine → fixed recall
+    // on the frozen fixture: measured 0.700 at m=4/ksub=16/rerank=64
+    // (a random 64-of-499 shortlist would score ~0.13, so the ADC
+    // ordering carries real signal even on isotropic data). Pinned
+    // with slack like the LSH/IVF bounds above.
+    assert(recall >= 0.6)
+  }
+
   test("LSH cosine near-dup pairs are a subset of exact; recall pinned") {
     val exact = Similarity.cosineDups(embs, 0.4)
       .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
