@@ -1,0 +1,101 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse lexical retrieval: Okapi BM25 scoring + top-k per query.
+  *
+  * The IR workhorse a training-data pipeline runs constantly — mining
+  * hard negatives lexically (the sparse twin of
+  * [[Similarity.hardNegatives]]), retrieval-based decontamination, and
+  * quality-slice queries over a 100 TB corpus ("all docs matching
+  * these terms, best first"). Robertson/Spärck Jones BM25 with the
+  * standard k1/b parameterization:
+  *
+  *   score(q, d) = Σ_{t ∈ q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+  *   idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))
+  *
+  * Scale shape: postings (term, doc, tf) and per-term df are two
+  * bounded hash aggregates with map-side combine (the TF-IDF pass's
+  * plan, q67); corpus stats (N, avgdl) are a broadcast 1-row frame;
+  * the query set joins the postings as a BROADCAST on the term key, so
+  * the big side streams map-only into per-(query, doc) partial sums —
+  * the only wide shuffle is that sum's, keyed (query_id, doc_id) and
+  * bounded by Σ_t df(t) over the query's terms. Ranking keeps a local
+  * top-k per partition before the per-query window (the q125
+  * two-phase top-k), so no query's full candidate list ever sorts in
+  * one task. At corpus scale add a stop-term df cap exactly like
+  * [[Dedup.winnowedPairs]]' `maxDf` — a term in half the corpus
+  * contributes ~zero idf but full posting-list cost; the fixture's
+  * deliberately tiny 31-term vocabulary (every term df ≈ 0.8·N) is
+  * the degenerate case where a cap would empty the queries, so the
+  * registered query runs uncapped and the cap is the production knob.
+  *
+  * Determinism: tf, df, dl, N are exact integers; avgdl is one exact
+  * integer ratio; scores round to 4 before ranking and doc_id breaks
+  * ties, so the emitted ranking is reproducible cross-engine (the
+  * q130 selection-key discipline for libm ulp drift).
+  */
+object Retrieval {
+
+  /** Top-k docs per query by BM25.
+    *
+    * @param docs    (doc_id, text) corpus
+    * @param queries (query_id, term) rows — a query is its DISTINCT
+    *                term set (duplicate terms must be pre-deduped;
+    *                scoring is set-based, as in the classic model)
+    * @param k       results per query
+    * @return (query_id, rank, doc_id, n_terms, score) — rank 1..k by
+    *         (score desc, doc_id), n_terms = matched query terms
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = TextOps.spread(docs.where(col("text").isNotNull))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+    // postings + doc length: dl rides the exploded rows (known at
+    // explode time), so tf aggregation carries it as a grouping no-op
+    val postings = toks
+      .select(col("doc_id"), size(col("w")).as("dl"),
+        explode(col("w")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      (sum(size(col("w"))).cast("double") / count(lit(1))).as("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfPart = col("tf") * (k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+    val scored = postings
+      .join(broadcast(queries.join(dfreq, "term")), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_terms"),
+        round(sum(idf * tfPart), 4).as("score"))
+    // two-phase top-k: a doc in a query's global top-k is in the
+    // top-k of whatever partition holds its (complete) scored row
+    val local = Window.partitionBy(spark_partition_id(), col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val global = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored
+      .withColumn("lrk", row_number().over(local)).where(col("lrk") <= k)
+      .withColumn("rank", row_number().over(global))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("doc_id"), col("n_terms"), col("score").cast("float").as("score"))
+  }
+
+  /** Deterministic query derivation for the registered audit: every
+    * `every`-th doc queries the corpus with the distinct terms of its
+    * own first `width` tokens (set semantics — order-free, so both
+    * engines derive the identical term set). */
+  def sampleQueries(docs: DataFrame, every: Int = 101,
+      width: Int = 6): DataFrame =
+    docs.where(col("doc_id") % every === 0 && col("text").isNotNull)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(TextOps.tokens(col("text")), 1, width)).as("term"))
+      .distinct()
+}

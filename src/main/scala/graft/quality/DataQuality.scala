@@ -144,4 +144,43 @@ object DataQuality {
         (col("n_rows") - col("n_non_null")).as("n_nulls"),
         col("n_non_null"), col("ndv_est"), col("min_s"), col("max_s"))
   }
+
+  /** One foreign-key edge of a star schema: child rows whose `childKey`
+    * has no match in the parent's `parentKey` are orphans. */
+  case class FkEdge(name: String, child: DataFrame, childKey: String,
+    parent: DataFrame, parentKey: String)
+
+  /** Referential-integrity audit over a set of FK edges (the dbt
+    * `relationships` test, distributed): per edge, the child row count,
+    * the orphaned child rows (no parent), and the count of DISTINCT
+    * missing parent keys — the triage number that tells an operator
+    * whether drift is one bad load (few keys, many rows) or key-space
+    * corruption (many keys).
+    *
+    * Scale shape, per edge: orphan detection is a LEFT ANTI join on the
+    * key — both sides shuffle only their key column after pushdown (the
+    * child's projection prunes to the FK at the scan), NULL FKs are
+    * excluded first (SQL FK semantics: NULL references nothing and is
+    * the not-null test's business, not this one's). The distinct-key
+    * count aggregates the anti-join's output, which is orphan-sized,
+    * not child-sized. Edges audit independently — the union is of
+    * 1-row aggregates. At extreme child/parent asymmetry, gate the
+    * parent side with [[graft.functions.BloomFrame]] over the child's
+    * keys before the anti join (the delta-dedup join-pruning pattern);
+    * the audit's answer is identical, the shuffle sheds parent rows
+    * the child never references.
+    */
+  def refIntegrity(edges: Seq[FkEdge]): DataFrame =
+    edges.map { e =>
+      val c = e.child.where(col(e.childKey).isNotNull)
+        .select(col(e.childKey).as("fk"))
+      val p = e.parent.select(col(e.parentKey).as("pk"))
+      val orphans = c.join(p, col("fk") === col("pk"), "left_anti")
+      orphans.agg(
+          count(lit(1)).as("n_orphan_rows"),
+          count_distinct(col("fk")).as("n_missing_keys"))
+        .crossJoin(broadcast(c.agg(count(lit(1)).as("n_child"))))
+        .select(lit(e.name).as("fk_edge"), col("n_child"),
+          col("n_orphan_rows"), col("n_missing_keys"))
+    }.reduce(_ unionByName _)
 }

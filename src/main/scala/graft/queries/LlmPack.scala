@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+import graft.llm.{Dedup, Multimodal, Retrieval, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 
 /** LLM training-data pipeline operators over the documents/embeddings
@@ -396,6 +396,14 @@ object LlmPack extends QueryPack {
     // so the oracle re-derives the entire index in SQL.
     "q162_ann_pq" -> ((s, d) =>
       Similarity.pqTopK(t("embeddings")(s, d), col("vec_id") < 10)),
+    // BM25 sparse retrieval: every 101st doc queries the corpus with
+    // its own first-6-token term set; top-10 by the exact Okapi score.
+    // Postings + df are the q67 TF-IDF aggregates; the query set rides
+    // a broadcast; ranking is the q125 two-phase top-k.
+    "q165_bm25" -> ((s, d) => {
+      val docs = t("documents")(s, d)
+      Retrieval.bm25TopK(docs, Retrieval.sampleQueries(docs))
+    }),
     // SemDeDup: k-means cells + within-cell cosine dedup — the oracle
     // re-derives the full Lloyd chain (shared CTE builder with q71)
     // plus the greedy lowest-id keeper rule, so the whole semantic-
@@ -1430,6 +1438,45 @@ object LlmPack extends QueryPack {
          |        ORDER BY exact_d, neighbor_id) AS rank FROM refined)
          |WHERE rank <= 5""".stripMargin
     },
+    // BM25 oracle: postings, df, corpus stats, the every-101st-doc
+    // query sets, the exact Okapi sum, and the rounded-score ranking
+    // all re-derived. Parameter literals are built by the SAME IEEE
+    // ops as the engine (1.2 + 1, 1 - 0.75), so both sides score with
+    // bit-identical constants.
+    "q165_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf FROM (
+        |    SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM toks)
+        |  GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |stats AS (
+        |  SELECT count(*) AS n_docs,
+        |         CAST(sum(len(w)) AS DOUBLE) / count(*) AS avgdl
+        |  FROM toks),
+        |q AS (
+        |  SELECT DISTINCT query_id, term FROM (
+        |    SELECT doc_id AS query_id, unnest(w[1:6]) AS term
+        |    FROM toks WHERE doc_id % 101 = 0)),
+        |scored AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |         CAST(count(*) AS INTEGER) AS n_terms,
+        |         round(sum(
+        |           ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+        |           * (tf.tf * (1.2 + 1)
+        |              / (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * tf.dl / s.avgdl)))
+        |         ), 4) AS score
+        |  FROM tf JOIN q ON tf.term = q.term
+        |  JOIN dfreq d ON d.term = tf.term
+        |  CROSS JOIN stats s
+        |  GROUP BY 1, 2)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, n_terms,
+        |       CAST(score AS REAL) AS score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY score DESC, doc_id) AS rank FROM scored)
+        |WHERE rank <= 10""".stripMargin,
     // SemDeDup oracle: the SAME Lloyd chain as q71 (shared CTE
     // builder), then within-cell a<b pairs at rounded cosine ≥ 0.35
     // and the lowest-id-survives verdict — clustering, pairing, and

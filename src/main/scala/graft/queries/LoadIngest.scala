@@ -148,7 +148,56 @@ object LoadIngest extends QueryPack {
     "q129_profile_sketch" -> ((s, d) => DataQuality.profileSketch(
       t("lineitem")(s, d),
       Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
-        "l_returnflag", "l_linestatus"))))
+        "l_returnflag", "l_linestatus"))),
+
+    // SCD type-2 dimension history: each customer's order-priority
+    // change stream replayed into versioned validity intervals
+    // (gaps-and-islands; one exchange on the key feeds both window
+    // passes). The companion of q11's type-1 last-write-wins — the
+    // warehouse shape an as-of join (q75) consumes.
+    "q163_scd2" -> ((s, d) => {
+      val ev = t("orders")(s, d).select(
+        col("o_custkey"), col("o_orderpriority"),
+        to_date(col("o_orderdate")).as("odate"), col("o_orderkey"))
+      graft.ops.Scd.type2(ev, Seq("o_custkey"), Seq("o_orderpriority"),
+        Seq("odate", "o_orderkey"))
+    }),
+
+    // Referential-integrity audit over the whole star schema (dbt
+    // `relationships` test, distributed): seven structural FK edges
+    // (clean on the fixture — the audit proving a zero) plus a
+    // deliberate drift edge (orders truncated to pre-1997) whose
+    // orphan counts are non-trivially non-zero, exercising the anti
+    // join + orphan-sized distinct-key aggregate for real.
+    "q166_fk_orphans" -> ((s, d) => {
+      import graft.quality.DataQuality.FkEdge
+      val li = t("lineitem")(s, d)
+      val ord = t("orders")(s, d)
+      DataQuality.refIntegrity(Seq(
+        FkEdge("lineitem->orders", li, "l_orderkey", ord, "o_orderkey"),
+        FkEdge("lineitem->part", li, "l_partkey", t("part")(s, d), "p_partkey"),
+        FkEdge("lineitem->supplier", li, "l_suppkey",
+          t("supplier")(s, d), "s_suppkey"),
+        FkEdge("orders->customer", ord, "o_custkey",
+          t("customer")(s, d), "c_custkey"),
+        FkEdge("customer->nation", t("customer")(s, d), "c_nationkey",
+          t("nation")(s, d), "n_nationkey"),
+        FkEdge("supplier->nation", t("supplier")(s, d), "s_nationkey",
+          t("nation")(s, d), "n_nationkey"),
+        FkEdge("nation->region", t("nation")(s, d), "n_regionkey",
+          t("region")(s, d), "r_regionkey"),
+        FkEdge("lineitem->orders@pre1997", li, "l_orderkey",
+          ord.where(col("o_orderdate") < lit("1997-01-01")), "o_orderkey")))
+    }),
+
+    // Z-order layout audit: lineitem keyed on the (l_partkey,
+    // l_suppkey) Morton curve, reported as per-block row counts +
+    // min/max spans of BOTH dimensions — the footer-stats rectangle a
+    // written file would expose for two-dimensional pruning. Exact
+    // integer bucketization, no rank pass, no float edge.
+    "q168_zorder" -> ((s, d) => graft.load.Layout.zBlockStats(
+      t("lineitem")(s, d), "l_partkey", "l_suppkey",
+      bits = 10, blockBits = 6)))
 
   val oracleSql: Map[String, String] = Map(
     "q50_partition_roundtrip" ->
@@ -236,5 +285,70 @@ object LoadIngest extends QueryPack {
          |       (SELECT CAST(min($c) AS VARCHAR) FROM lineitem) AS min_s,
          |       (SELECT CAST(max($c) AS VARCHAR) FROM lineitem) AS max_s"""
         .stripMargin
-    }.mkString("\nUNION ALL\n"))
+    }.mkString("\nUNION ALL\n"),
+
+    "q163_scd2" ->
+      """WITH e AS (
+        |  SELECT o_custkey, o_orderpriority,
+        |         CAST(o_orderdate AS DATE) AS odate, o_orderkey
+        |  FROM orders),
+        |m AS (
+        |  SELECT *,
+        |         lag(odate) OVER w IS NULL
+        |           OR o_orderpriority IS DISTINCT FROM
+        |              lag(o_orderpriority) OVER w AS chg
+        |  FROM e WINDOW w AS (PARTITION BY o_custkey ORDER BY odate, o_orderkey)),
+        |s AS (SELECT o_custkey, o_orderpriority, odate, o_orderkey
+        |      FROM m WHERE chg)
+        |SELECT o_custkey, o_orderpriority,
+        |       odate AS odate_from, o_orderkey AS o_orderkey_from,
+        |       lead(odate) OVER w AS odate_to,
+        |       lead(o_orderkey) OVER w AS o_orderkey_to,
+        |       CAST(row_number() OVER w AS INTEGER) AS version,
+        |       lead(odate) OVER w IS NULL AS is_current
+        |FROM s WINDOW w AS (PARTITION BY o_custkey ORDER BY odate, o_orderkey)"""
+        .stripMargin,
+
+    "q166_fk_orphans" -> Seq(
+      ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey", ""),
+      ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey", ""),
+      ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey", ""),
+      ("orders->customer", "orders", "o_custkey", "customer", "c_custkey", ""),
+      ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey", ""),
+      ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey", ""),
+      ("nation->region", "nation", "n_regionkey", "region", "r_regionkey", ""),
+      ("lineitem->orders@pre1997", "lineitem", "l_orderkey", "orders",
+        "o_orderkey", " AND o_orderdate < TIMESTAMP '1997-01-01'"))
+      .map { case (name, child, ck, parent, pk, pf) =>
+        s"""SELECT '$name' AS fk_edge,
+           |  (SELECT count(*) FROM $child WHERE $ck IS NOT NULL) AS n_child,
+           |  count(*) AS n_orphan_rows,
+           |  count(DISTINCT fk) AS n_missing_keys
+           |FROM (SELECT $ck AS fk FROM $child
+           |      WHERE $ck IS NOT NULL AND NOT EXISTS (
+           |        SELECT 1 FROM $parent WHERE $pk = $ck$pf)) o"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n"),
+
+    "q168_zorder" -> {
+      // the 2x10-bit Morton interleave as exact integer arithmetic
+      val z = (0 until 10).map(i =>
+        s"((ra // ${1L << i}) % 2) * ${1L << (2 * i + 1)} + " +
+          s"((rb // ${1L << i}) % 2) * ${1L << (2 * i)}").mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT min(l_partkey) AS mna, max(l_partkey) AS mxa,
+         |         min(l_suppkey) AS mnb, max(l_suppkey) AS mxb
+         |  FROM lineitem),
+         |r AS (
+         |  SELECT l_partkey AS a, l_suppkey AS sb,
+         |         ((l_partkey - mna) * 1024) // (mxa - mna + 1) AS ra,
+         |         ((l_suppkey - mnb) * 1024) // (mxb - mnb + 1) AS rb
+         |  FROM lineitem, b),
+         |z AS (SELECT a, sb, ($z) AS zkey FROM r)
+         |SELECT CAST(zkey // ${1L << 14} AS INTEGER) AS block,
+         |       count(*) AS n_rows,
+         |       min(a) AS min_a, max(a) AS max_a,
+         |       min(sb) AS min_b, max(sb) AS max_b
+         |FROM z GROUP BY 1""".stripMargin
+    })
 }

@@ -50,7 +50,17 @@ object TimeJoins extends QueryPack {
           col("value"),
           col("dt"),
           col("close").cast("float").as("close"))
-    }))
+    }),
+
+    // Per-symbol calendar densification + linear gap interpolation:
+    // the model-facing fill of the NULL days q06's spine join only
+    // SURFACES (the fixture really has holes — symbol 0 trades 22 of
+    // its 30 spanned days). One exchange on the symbol key feeds the
+    // spine join and both directional anchor windows; the fill
+    // arithmetic is the same IEEE sequence in both engines, so the
+    // float gate is exact.
+    "q167_interpolate" -> ((s, d) =>
+      graft.ts.Interpolate.fillDaily(Bars.daily(t("events")(s, d)))))
 
   val oracleSql: Map[String, String] = Map(
     "q75_asof_join" ->
@@ -80,5 +90,39 @@ object TimeJoins extends QueryPack {
          |       iv.dt, CAST(iv.close AS REAL) AS close
          |FROM events e JOIN iv
          |  ON e.user_id = iv.id
-         | AND epoch(e.ts) >= iv.s0 AND epoch(e.ts) <= iv.e0""".stripMargin)
+         | AND epoch(e.ts) >= iv.s0 AND epoch(e.ts) <= iv.e0""".stripMargin,
+    "q167_interpolate" ->
+      s"""WITH ${Bars.oracleCte},
+         |sp AS (SELECT id, min(dt) AS d0, max(dt) AS d1 FROM daily GROUP BY 1),
+         |spine AS (
+         |  SELECT id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+         |         AS DATE) AS date_day
+         |  FROM sp),
+         |j AS (
+         |  SELECT s.id, s.date_day, d.close
+         |  FROM spine s LEFT JOIN daily d
+         |    ON s.id = d.id AND s.date_day = d.dt),
+         |a AS (
+         |  SELECT *,
+         |    last_value(close IGNORE NULLS) OVER wb AS prev_c,
+         |    last_value(CASE WHEN close IS NOT NULL THEN date_day END
+         |      IGNORE NULLS) OVER wb AS prev_d,
+         |    first_value(close IGNORE NULLS) OVER wf AS next_c,
+         |    first_value(CASE WHEN close IS NOT NULL THEN date_day END
+         |      IGNORE NULLS) OVER wf AS next_d
+         |  FROM j
+         |  WINDOW wb AS (PARTITION BY id ORDER BY date_day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |  wf AS (PARTITION BY id ORDER BY date_day
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT id, date_day, close,
+         |  CAST(CASE WHEN close IS NOT NULL THEN close
+         |            WHEN prev_c IS NULL THEN next_c
+         |            WHEN next_c IS NULL THEN prev_c
+         |            ELSE prev_c + (next_c - prev_c)
+         |                 * datediff('day', prev_d, date_day)
+         |                 / datediff('day', prev_d, next_d)
+         |       END AS REAL) AS close_fill,
+         |  close IS NULL AS is_interp
+         |FROM a""".stripMargin)
 }

@@ -1,0 +1,150 @@
+package graft
+
+import graft.load.Layout
+import graft.ops.Scd
+import graft.quality.DataQuality
+import graft.ts.Interpolate
+import graft.llm.Retrieval
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the round-7 warehouse/retrieval additions
+  * (SCD2, referential audit, Z-order layout, gap interpolation, BM25);
+  * value parity with DuckDB is the oracle gate's job.
+  */
+class WarehouseOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("scd2 collapses runs, versions them, and chains validity") {
+    import spark.implicits._
+    // key 1: A A B A (4 events, 3 runs); key 2: one event
+    val ev = Seq(
+      (1L, "A", 10L, 100L), (1L, "A", 20L, 101L), (1L, "B", 30L, 102L),
+      (1L, "A", 40L, 103L),
+      (2L, "X", 10L, 104L))
+      .toDF("k", "attr", "d", "eid")
+    val h = Scd.type2(ev, Seq("k"), Seq("attr"), Seq("d", "eid"))
+      .orderBy("k", "version").collect()
+    assert(h.length == 4)
+    val k1 = h.filter(_.getLong(0) == 1L)
+    assert(k1.map(_.getString(1)).toSeq == Seq("A", "B", "A"))
+    assert(k1.map(_.getLong(2)).toSeq == Seq(10L, 30L, 40L)) // d_from
+    // valid_to = next run's start; NULL (current) on the last
+    assert(k1.map(r => Option(r.get(4)).map(_.asInstanceOf[Long]))
+      .toSeq == Seq(Some(30L), Some(40L), None))
+    assert(k1.map(_.getInt(6)).toSeq == Seq(1, 2, 3))
+    assert(k1.map(_.getBoolean(7)).toSeq == Seq(false, false, true))
+    val k2 = h.filter(_.getLong(0) == 2L)
+    assert(k2.length == 1 && k2.head.getBoolean(7))
+  }
+
+  test("scd2 run-start survives a NULL first attribute") {
+    import spark.implicits._
+    val ev = Seq((1L, Option.empty[String], 10L), (1L, Some("A"), 20L),
+      (1L, Option.empty[String], 30L), (1L, Option.empty[String], 40L))
+      .toDF("k", "attr", "d")
+    val h = Scd.type2(ev, Seq("k"), Seq("attr"), Seq("d"))
+      .orderBy("version").collect()
+    // runs: NULL, A, NULL (consecutive NULLs collapse via <=>)
+    assert(h.length == 3)
+    assert(h.map(r => Option(r.getString(1))).toSeq ==
+      Seq(None, Some("A"), None))
+  }
+
+  test("refIntegrity counts orphans and distinct missing keys") {
+    import spark.implicits._
+    val child = Seq((1L, "a"), (2L, "b"), (2L, "c"), (9L, "d"),
+      (9L, "e"), (7L, "f")).toDF("fk_col", "x")
+    val childN = child.withColumn("fk_col",
+      when(col("x") === "f", lit(null)).otherwise(col("fk_col")))
+    val parent = Seq(1L, 2L).toDF("pk_col")
+    val r = DataQuality.refIntegrity(Seq(
+        DataQuality.FkEdge("t", childN, "fk_col", parent, "pk_col")))
+      .collect().head
+    assert(r.getLong(1) == 5)  // NULL fk excluded from n_child
+    assert(r.getLong(2) == 2)  // two rows with fk 9
+    assert(r.getLong(3) == 1)  // one distinct missing key
+  }
+
+  test("z-order key interleaves bucket bits exactly") {
+    import spark.implicits._
+    // values 0..3 with bits=2 → bucket rank == value
+    val df = Seq((0L, 0L), (1L, 2L), (3L, 3L), (2L, 1L))
+      .toDF("a", "b")
+    val z = Layout.withZKey(df, "a", "b", bits = 2)
+      .select(col("a"), col("b"), col("zkey")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    def morton(a: Long, b: Long): Long =
+      (0 until 2).map(i => (((a >> i) & 1) << (2 * i + 1)) |
+        (((b >> i) & 1) << (2 * i))).sum
+    assert(z((0L, 0L)) == morton(0, 0))
+    assert(z((1L, 2L)) == morton(1, 2))
+    assert(z((3L, 3L)) == morton(3, 3) && morton(3, 3) == 15L)
+    assert(z((2L, 1L)) == morton(2, 1))
+  }
+
+  test("z-order blocks have narrow spans on BOTH dimensions") {
+    import spark.implicits._
+    // 32×32 grid, bits=5 → bucket == coordinate; blockBits=4 → 16
+    // blocks of 64 cells; each block's span must be ≤ half the range
+    // on each axis (z-curve rectangles), vs 31 for a 1-D layout
+    val grid = (0 until 32).flatMap(a => (0 until 32).map(b =>
+      (a.toLong, b.toLong))).toDF("a", "b")
+    val st = Layout.zBlockStats(grid, "a", "b", bits = 5, blockBits = 4)
+      .collect()
+    assert(st.length == 16)
+    st.foreach { r =>
+      assert(r.getLong(1) == 64)
+      assert(r.getLong(3) - r.getLong(2) <= 15) // max_a - min_a
+      assert(r.getLong(5) - r.getLong(4) <= 15)
+    }
+  }
+
+  test("interpolation fills gaps linearly and edges one-sided") {
+    import spark.implicits._
+    val bars = Seq(
+      (1L, "2024-01-03", 10.0), (1L, "2024-01-06", 16.0),
+      (1L, "2024-01-07", 20.0))
+      .toDF("id", "dt", "close")
+      .select(col("id"), col("dt").cast("date").as("dt"), col("close"))
+    val f = Interpolate.fillDaily(bars).orderBy("date_day").collect()
+    assert(f.length == 5) // densified to the symbol's own span
+    val fills = f.map(r => (r.getDate(1).toString,
+      r.getFloat(3), r.getBoolean(4)))
+    assert(fills(0) == ("2024-01-03", 10.0f, false))
+    // 2024-01-04/05 interpolate 10→16 over 3 days: 12, 14
+    assert(fills(1) == ("2024-01-04", 12.0f, true))
+    assert(fills(2) == ("2024-01-05", 14.0f, true))
+    assert(fills(3) == ("2024-01-06", 16.0f, false))
+    assert(fills(4) == ("2024-01-07", 20.0f, false))
+  }
+
+  test("bm25 ranks the better-matching doc first, k caps output") {
+    import spark.implicits._
+    // doc 1 mentions 'x' 3 times in 4 tokens; doc 2 once in 4; doc 3
+    // never. Query {x}: doc1 > doc2, doc3 absent.
+    val docs = Seq((1L, "x x x y"), (2L, "x y y y"), (3L, "y y y y"))
+      .toDF("doc_id", "text")
+    val q = Seq((100L, "x")).toDF("query_id", "term")
+    val r = Retrieval.bm25TopK(docs, q, k = 10).orderBy("rank").collect()
+    assert(r.map(_.getLong(2)).toSeq == Seq(1L, 2L))
+    assert(r.map(_.getInt(1)).toSeq == Seq(1, 2))
+    assert(r.forall(_.getInt(3) == 1)) // one matched term each
+    assert(r.head.getFloat(4) > r.last.getFloat(4))
+    val r1 = Retrieval.bm25TopK(docs, q, k = 1).collect()
+    assert(r1.length == 1 && r1.head.getLong(2) == 1L)
+  }
+
+  test("bm25 idf discounts the term every doc contains") {
+    import spark.implicits._
+    // 'c' is in all docs (df=3), 'r' only in doc 1 (df=1) — equal tf,
+    // equal dl, so the rare-term query must score doc 1 higher than
+    // the common-term query scores doc 2
+    val docs = Seq((1L, "r c a b"), (2L, "c a b d"), (3L, "c e f g"))
+      .toDF("doc_id", "text")
+    val q = Seq((1L, "r"), (2L, "c")).toDF("query_id", "term")
+    val byQ = Retrieval.bm25TopK(docs, q, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getFloat(4)).toMap
+    assert(byQ(1L) > byQ(2L))
+  }
+}
