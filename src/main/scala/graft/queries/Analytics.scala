@@ -72,6 +72,23 @@ object Analytics extends QueryPack {
           col("w.end").cast("long").as("end_s"),
           col("n_events"), col("total_value"))),
 
+    // Fixed-point integer PageRank (5 rounds) over the part
+    // co-purchase graph — an ITERATIVE graph algorithm whose every
+    // arithmetic step is exact 64-bit integer (rank div outdeg,
+    // damping as (85·Σ) div 100), so all five rounds sit bit-exact
+    // under the hash gate with no float hedge anywhere.
+    "q170_pagerank" -> ((s, d) => {
+      val li = t("lineitem")(s, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      graft.graph.PageRank.run(
+        t("part")(s, d).select(col("p_partkey").as("id")), e, iters = 5)
+    }),
+
     "q16_rollup" -> ((s, d) => t("lineitem")(s, d)
       .rollup("l_returnflag", "l_linestatus")
       .agg(
@@ -214,5 +231,16 @@ object Analytics extends QueryPack {
          |       count(*) AS n_events,
          |       max(ts_s) - min(ts_s) AS duration_s,
          |       CAST(round(sum(value), 4) AS REAL) AS total_value
-         |FROM s GROUP BY 1, 2""".stripMargin)
+         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // All five PageRank rounds unrolled with the SAME integer
+    // floor-division arithmetic — bit-exact, no float tolerance.
+    "q170_pagerank" ->
+      s"""WITH n AS (SELECT p_partkey AS id FROM part),
+         |e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         |      FROM lineitem a JOIN lineitem b
+         |        ON a.l_orderkey = b.l_orderkey
+         |       AND a.l_partkey <> b.l_partkey),
+         |${graft.graph.PageRank.oracleCte(5)}
+         |SELECT id, r AS rank_fp FROM r5""".stripMargin)
 }

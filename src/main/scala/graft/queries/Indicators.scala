@@ -346,6 +346,13 @@ object Indicators extends QueryPack {
     // collect_list (no self-join).
     "q161_vwap_channel" -> ((s, d) => Channels.hourly(t("events")(s, d))),
 
+    // Extension: daily TWAP — each price weighted by how long it held
+    // (to the next event, the last to midnight); the benchmark-
+    // execution twin of q161's volume-weighted VWAP over the SAME
+    // irregular event spacing. One (id, day) exchange shared by the
+    // lead window and the aggregate.
+    "q171_twap" -> ((s, d) => graft.ts.Twap.daily(t("events")(s, d))),
+
     // J4: the groupByKey.flatMapGroups kernel path ([[Recursive]]) —
     // the mart itself runs the native TypedImperativeAggregate path
     // (graft.functions), so this keeps the distributed-kernel
@@ -563,5 +570,21 @@ object Indicators extends QueryPack {
          |       CAST(year(dt) AS INTEGER) AS year,
          |       CAST(month(dt) AS INTEGER) AS month,
          |       CAST(day(dt) AS INTEGER) AS day
-         |FROM ind""".stripMargin)
+         |FROM ind""".stripMargin,
+
+    "q171_twap" ->
+      """WITH x AS (
+        |  SELECT user_id AS id, CAST(ts AS DATE) AS dt,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id, value
+        |  FROM events),
+        |dd AS (
+        |  SELECT *,
+        |    coalesce(lead(t) OVER (PARTITION BY id, dt ORDER BY t, event_id),
+        |      CAST(floor(epoch(CAST(dt AS TIMESTAMP))) AS BIGINT) + 86400)
+        |      - t AS dur
+        |  FROM x)
+        |SELECT id, dt, CAST(count(*) AS INTEGER) AS n_events,
+        |       sum(dur) AS dur_total_s,
+        |       CAST(round(sum(value * dur) / sum(dur), 4) AS REAL) AS twap
+        |FROM dd GROUP BY 1, 2""".stripMargin)
 }

@@ -163,6 +163,24 @@ object LoadIngest extends QueryPack {
         Seq("odate", "o_orderkey"))
     }),
 
+    // SCD2 DAY-2 MERGE: history built from the pre-1997-07 past, the
+    // later orders folded in via applyChanges — closed rows pass
+    // through unshuffled, only current runs + the batch re-island, and
+    // the output must equal q163's FULL recompute (the oracle is
+    // q163's SQL verbatim — the identical-answer contract).
+    "q169_scd2_apply" -> ((s, d) => {
+      val ev = t("orders")(s, d).select(
+        col("o_custkey"), col("o_orderpriority"),
+        to_date(col("o_orderdate")).as("odate"), col("o_orderkey"))
+      val cut = lit("1997-07-01").cast("date")
+      val cols = (Seq("o_custkey"), Seq("o_orderpriority"),
+        Seq("odate", "o_orderkey"))
+      val hist = graft.ops.Scd.type2(ev.where(col("odate") < cut),
+        cols._1, cols._2, cols._3)
+      graft.ops.Scd.applyChanges(hist, ev.where(col("odate") >= cut),
+        cols._1, cols._2, cols._3)
+    }),
+
     // Referential-integrity audit over the whole star schema (dbt
     // `relationships` test, distributed): seven structural FK edges
     // (clean on the fixture — the audit proving a zero) plus a
@@ -199,7 +217,34 @@ object LoadIngest extends QueryPack {
       t("lineitem")(s, d), "l_partkey", "l_suppkey",
       bits = 10, blockBits = 6)))
 
+  /** Full-history SCD2 derivation — shared verbatim by q163 (direct
+    * type2) and q169 (incremental applyChanges: identical-answer
+    * contract). */
+  private val scd2Oracle =
+    """WITH e AS (
+      |  SELECT o_custkey, o_orderpriority,
+      |         CAST(o_orderdate AS DATE) AS odate, o_orderkey
+      |  FROM orders),
+      |m AS (
+      |  SELECT *,
+      |         lag(odate) OVER w IS NULL
+      |           OR o_orderpriority IS DISTINCT FROM
+      |              lag(o_orderpriority) OVER w AS chg
+      |  FROM e WINDOW w AS (PARTITION BY o_custkey ORDER BY odate, o_orderkey)),
+      |s AS (SELECT o_custkey, o_orderpriority, odate, o_orderkey
+      |      FROM m WHERE chg)
+      |SELECT o_custkey, o_orderpriority,
+      |       odate AS odate_from, o_orderkey AS o_orderkey_from,
+      |       lead(odate) OVER w AS odate_to,
+      |       lead(o_orderkey) OVER w AS o_orderkey_to,
+      |       CAST(row_number() OVER w AS INTEGER) AS version,
+      |       lead(odate) OVER w IS NULL AS is_current
+      |FROM s WINDOW w AS (PARTITION BY o_custkey ORDER BY odate, o_orderkey)"""
+      .stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q163_scd2" -> scd2Oracle,
+    "q169_scd2_apply" -> scd2Oracle,
     "q50_partition_roundtrip" ->
       s"""WITH ${Bars.oracleCte}
          |SELECT id, dt, open, high, low, close, volume,
@@ -286,28 +331,6 @@ object LoadIngest extends QueryPack {
          |       (SELECT CAST(max($c) AS VARCHAR) FROM lineitem) AS max_s"""
         .stripMargin
     }.mkString("\nUNION ALL\n"),
-
-    "q163_scd2" ->
-      """WITH e AS (
-        |  SELECT o_custkey, o_orderpriority,
-        |         CAST(o_orderdate AS DATE) AS odate, o_orderkey
-        |  FROM orders),
-        |m AS (
-        |  SELECT *,
-        |         lag(odate) OVER w IS NULL
-        |           OR o_orderpriority IS DISTINCT FROM
-        |              lag(o_orderpriority) OVER w AS chg
-        |  FROM e WINDOW w AS (PARTITION BY o_custkey ORDER BY odate, o_orderkey)),
-        |s AS (SELECT o_custkey, o_orderpriority, odate, o_orderkey
-        |      FROM m WHERE chg)
-        |SELECT o_custkey, o_orderpriority,
-        |       odate AS odate_from, o_orderkey AS o_orderkey_from,
-        |       lead(odate) OVER w AS odate_to,
-        |       lead(o_orderkey) OVER w AS o_orderkey_to,
-        |       CAST(row_number() OVER w AS INTEGER) AS version,
-        |       lead(odate) OVER w IS NULL AS is_current
-        |FROM s WINDOW w AS (PARTITION BY o_custkey ORDER BY odate, o_orderkey)"""
-        .stripMargin,
 
     "q166_fk_orphans" -> Seq(
       ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey", ""),

@@ -135,6 +135,57 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(r1.length == 1 && r1.head.getLong(2) == 1L)
   }
 
+  test("scd2 applyChanges equals a full recompute and chains versions") {
+    import spark.implicits._
+    // key 1: A A | B A  (split after d=20); key 2: X | (no batch);
+    // key 3: | Z Z (first appears in the batch)
+    val all = Seq(
+      (1L, "A", 10L), (1L, "A", 20L), (1L, "B", 30L), (1L, "A", 40L),
+      (2L, "X", 15L),
+      (3L, "Z", 35L), (3L, "Z", 45L))
+      .toDF("k", "attr", "d")
+    val full = Scd.type2(all, Seq("k"), Seq("attr"), Seq("d"))
+    val hist = Scd.type2(all.where(col("d") <= 20), Seq("k"), Seq("attr"),
+      Seq("d"))
+    val merged = Scd.applyChanges(hist, all.where(col("d") > 20),
+      Seq("k"), Seq("attr"), Seq("d"))
+    assert(merged.unionByName(full).distinct().count() == full.count())
+    assert(merged.count() == full.count())
+  }
+
+  test("pagerank: center of a star outranks leaves, bit-stable") {
+    import spark.implicits._
+    // undirected star 0–{1,2,3} plus dangling node 9
+    val edges = Seq((0L, 1L), (1L, 0L), (0L, 2L), (2L, 0L),
+      (0L, 3L), (3L, 0L)).toDF("src", "dst")
+    val nodes = Seq(0L, 1L, 2L, 3L, 9L).toDF("id")
+    val r = graft.graph.PageRank.run(nodes, edges, iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(0L) > r(1L) && r(1L) == r(2L) && r(2L) == r(3L))
+    assert(r(9L) < r(1L)) // unreferenced: teleport floor only
+    // partition-invariance: integer arithmetic is order-free
+    val r2 = graft.graph.PageRank.run(nodes.repartition(7),
+      edges.repartition(5), iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == r2)
+  }
+
+  test("twap weights each price by its holding time") {
+    import spark.implicits._
+    // one symbol, one day: 10.0 held 6h (00:00→06:00), 20.0 held 18h
+    val day = java.time.LocalDate.parse("2024-01-05")
+      .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+    val ev = Seq((1L, day, 10.0, 100L), (1L, day + 21600L, 20.0, 101L))
+      .toDF("user_id", "t", "value", "event_id")
+      .select(col("user_id"), col("t").cast("timestamp").as("ts"),
+        col("value"), col("event_id"))
+    val r = graft.ts.Twap.daily(ev).collect().head
+    assert(r.getInt(2) == 2)
+    assert(r.getLong(3) == 86400L)
+    // (10*21600 + 20*64800) / 86400 = 17.5
+    assert(r.getFloat(4) == 17.5f)
+  }
+
   test("bm25 idf discounts the term every doc contains") {
     import spark.implicits._
     // 'c' is in all docs (df=3), 'r' only in doc 1 (df=1) — equal tf,
