@@ -45,24 +45,25 @@ object PageRank {
     * @param iters fixed round count
     * @return (id, rank_fp) — rank in 10^-12 fixed-point units
     */
-  def run(nodes: DataFrame, edges: DataFrame, iters: Int = 5): DataFrame = {
+  def run(nodes: DataFrame, edges: DataFrame, iters: Int = 5,
+      checkpoint: Boolean = true): DataFrame = {
+    def cp(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint(true) else df
     val n = nodes.select(col("id"))
     val nN = broadcast(n.agg(count(lit(1)).as("n_nodes")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    val eDeg = edges.join(deg, "src").localCheckpoint(true)
+    val eDeg = cp(edges.join(deg, "src"))
     val tele = expr(s"${scale * 15 / 100} div n_nodes")
-    var ranks = n.crossJoin(nN)
-      .select(col("id"), expr(s"$scale div n_nodes").as("r"))
-      .localCheckpoint(true)
+    var ranks = cp(n.crossJoin(nN)
+      .select(col("id"), expr(s"$scale div n_nodes").as("r")))
     for (_ <- 1 to iters) {
       val sums = eDeg.join(ranks, col("src") === col("id"))
         .select(col("dst"), expr("r div d").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      ranks = n.join(sums, col("id") === col("dst"), "left_outer")
+      ranks = cp(n.join(sums, col("id") === col("dst"), "left_outer")
         .crossJoin(nN)
         .select(col("id"),
-          (tele + expr("(85 * coalesce(s, 0)) div 100")).as("r"))
-        .localCheckpoint(true)
+          (tele + expr("(85 * coalesce(s, 0)) div 100")).as("r")))
     }
     ranks.select(col("id"), col("r").as("rank_fp"))
   }

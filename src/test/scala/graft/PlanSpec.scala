@@ -227,6 +227,49 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q163/q171: SCD2 history and TWAP ride ONE key exchange each") {
+    // q163: both island windows (run detection, valid_to chaining)
+    // share the hash(o_custkey) sort; q171: the lead window's
+    // hash(id, dt) partitioning satisfies the grouping's clustered
+    // distribution, so the aggregate adds no exchange.
+    Seq("q163_scd2", "q171_twap").foreach { q =>
+      val p = plan(q)
+      val n = p.collect { case e: ShuffleExchangeExec => e }.length
+      assert(n == 1, s"$q planned $n exchanges")
+    }
+  }
+
+  test("pagerank rounds carry only (id, rank) — no wide rows") {
+    // five rounds of rank iteration must shuffle nothing beyond the
+    // node key + fixed-point rank / contribution columns. The
+    // registered query localCheckpoints per round (lineage would
+    // double otherwise), which hides the exchanges from its final
+    // plan — inspect the full un-checkpointed lineage instead.
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
+    val nodes = Seq(0L, 1L).toDF("id")
+    val before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val widths =
+      try graft.graph.PageRank
+        .run(nodes, edges, iters = 3, checkpoint = false)
+        .queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e }
+        .map(_.output.length)
+      finally spark.conf.set("spark.sql.adaptive.enabled", before)
+    assert(widths.nonEmpty && widths.forall(_ <= 3),
+      s"wide shuffle rows: ${widths.mkString(",")}")
+  }
+
+  test("q168: z-order block stats — scalar bounds + ONE block pass") {
+    // two exchanges total: the 1-row min/max bounds aggregate (single-
+    // partition scalar, then broadcast) and the bounded ≤2^blockBits
+    // block groupBy; no join ever shuffles the fact rows
+    val p = plan("q168_zorder")
+    val n = p.collect { case e: ShuffleExchangeExec => e }.length
+    assert(n == 2, s"q168 planned $n exchanges")
+  }
+
   test("q149: cluster-balanced sampling never shuffles document text") {
     // the soft-dedup decoration works on (doc_id, cluster, size)
     // triples — any exchange carrying `text` would ship the corpus
