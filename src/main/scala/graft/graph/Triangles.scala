@@ -1,0 +1,82 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed triangle counting with DEGREE-ORDERED orientation.
+  *
+  * The clustering-coefficient primitive over the same co-occurrence
+  * graphs [[ConnectedComponents]] and [[PageRank]] serve — dense local
+  * neighborhoods (tight co-purchase cliques, boilerplate doc-overlap
+  * clusters) show up as triangle mass.
+  *
+  * The naive plan — wedge join e ⋈ e then closure check — generates
+  * Σ deg(v)² wedge rows, which one celebrity vertex (deg 10⁶ → 10¹²
+  * wedges) turns into a job-killer. The standard fix (Cohen's MR
+  * triangle counting / Schank's forward algorithm): orient every edge
+  * from its (degree, id)-SMALLER endpoint to the larger, so each
+  * vertex only generates wedges among its OUT-neighbors, of which it
+  * has at most O(√|E|) (arboricity bound) regardless of raw degree —
+  * total wedge work Σ outdeg(v)² = O(|E|^1.5) worst-case, and the
+  * celebrity vertex generates none. Each triangle is then found
+  * exactly once (at its lowest-(degree, id) corner, with both wedge
+  * legs oriented outward and the closing edge oriented v→w).
+  *
+  * Scale shape: degree table = one bounded aggregate; orientation = a
+  * map over edges joined to two degree lookups; the wedge join and the
+  * closure join are src-keyed hash equi-joins. Per-node counts explode
+  * each found triangle to its three corners — 3 narrow rows per
+  * triangle — and re-aggregate with map-side partials.
+  */
+object Triangles {
+
+  /** Per-node triangle participation over an undirected edge list
+    * (`a`, `b`; duplicates/self-loops/direction ignored).
+    * @return (id, n_tri) for every node in the edge set (0 included)
+    */
+  def perNode(edges: DataFrame): DataFrame = {
+    // canonical undirected edge set
+    val canon = edges.where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint(true) // feeds degree + both orientation lookups
+    val deg = canon.select(col("u").as("id"))
+      .unionByName(canon.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    // orient from (degree, id)-smaller to larger
+    val du = deg.select(col("id").as("u"), col("d").as("du"))
+    val dv = deg.select(col("id").as("v"), col("d").as("dv"))
+    val oriented = canon.join(du, "u").join(dv, "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          col("u")).otherwise(col("v")).as("src"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          col("v")).otherwise(col("u")).as("dst"),
+        col("du"), col("dv"))
+      .withColumn("sd", least(col("du"), col("dv")))
+      .withColumn("dd", greatest(col("du"), col("dv")))
+      .select(col("src"), col("dst"), col("sd"), col("dd"))
+      .localCheckpoint(true) // wedge legs ×2 + closure probe
+    // wedges at the lowest corner: two out-edges (src→v, src→w) with
+    // (v, w) themselves orientation-ordered, closed by oriented v→w
+    val e1 = oriented.select(col("src"), col("dst").as("x"),
+      col("dd").as("dx"))
+    val e2 = oriented.select(col("src"), col("dst").as("y"),
+      col("dd").as("dy"))
+    val wedges = e1.join(e2, Seq("src"))
+      .where(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+    val closing = oriented.select(col("src").as("x"), col("dst").as("y"))
+    val tris = wedges.join(closing, Seq("x", "y"))
+      .select(col("src").as("n1"), col("x").as("n2"), col("y").as("n3"))
+    val nodes = deg.select(col("id"))
+    val counts = tris
+      .select(explode(array(col("n1"), col("n2"), col("n3"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+    nodes.join(counts, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+}

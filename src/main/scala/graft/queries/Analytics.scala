@@ -89,6 +89,36 @@ object Analytics extends QueryPack {
         t("part")(s, d).select(col("p_partkey").as("id")), e, iters = 5)
     }),
 
+    // Degree-oriented triangle counting over the same co-purchase
+    // graph: wedges generate only at each triangle's lowest-(deg, id)
+    // corner, so one celebrity part cannot explode the wedge join
+    // (O(|E|^1.5) total work vs Σdeg² naive).
+    "q172_triangles" -> ((s, d) => {
+      val li = t("lineitem")(s, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("a"), col("b.l_partkey").as("b"))
+      graft.graph.Triangles.perNode(e)
+    }),
+
+    // First-touch funnel view → click → purchase within 3 days of the
+    // first view: k user-keyed min-aggregate joins, no per-user sort.
+    "q173_funnel" -> ((s, d) => graft.ops.EventAnalytics.funnel(
+      t("events")(s, d), Seq("view", "click", "purchase"), 259200L)),
+
+    // Cohort retention matrix (first-activity cohorts × day offsets):
+    // two bounded aggregates, days²-cell output at any stream size.
+    "q174_retention" -> ((s, d) =>
+      graft.ops.EventAnalytics.retention(t("events")(s, d))),
+
+    // First-order event-type transition matrix, row-normalized:
+    // |types|² output rows; the lead window and the bigram count are
+    // the only shuffles.
+    "q175_transitions" -> ((s, d) =>
+      graft.ops.EventAnalytics.transitions(t("events")(s, d))),
+
     "q16_rollup" -> ((s, d) => t("lineitem")(s, d)
       .rollup("l_returnflag", "l_linestatus")
       .agg(
@@ -242,5 +272,72 @@ object Analytics extends QueryPack {
          |        ON a.l_orderkey = b.l_orderkey
          |       AND a.l_partkey <> b.l_partkey),
          |${graft.graph.PageRank.oracleCte(5)}
-         |SELECT id, r AS rank_fp FROM r5""".stripMargin)
+         |SELECT id, r AS rank_fp FROM r5""".stripMargin,
+
+    // Naive id-canonical triangle enumeration (a<b<c triple join) —
+    // an INDEPENDENT formulation of the engine's degree-oriented plan;
+    // the triangle set (and so per-corner counts) must coincide.
+    "q172_triangles" ->
+      """WITH ce AS (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+        |         greatest(a.l_partkey, b.l_partkey) AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey <> b.l_partkey),
+        |tri AS (
+        |  SELECT x.u AS a, x.v AS b, y.v AS c
+        |  FROM ce x JOIN ce y ON y.u = x.v
+        |  JOIN ce z ON z.u = x.u AND z.v = y.v),
+        |corners AS (
+        |  SELECT a AS id FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri),
+        |nodes AS (SELECT u AS id FROM ce UNION SELECT v FROM ce),
+        |cnt AS (SELECT id, count(*) AS n_tri FROM corners GROUP BY 1)
+        |SELECT n.id, coalesce(cnt.n_tri, 0) AS n_tri
+        |FROM nodes n LEFT JOIN cnt USING (id)""".stripMargin,
+
+    "q173_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_type
+        |  FROM events),
+        |s1 AS (SELECT user_id, min(t) AS t_1 FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(t) AS t_2
+        |       FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click'
+        |         AND t > t_1 AND t <= t_1 + 259200 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(t) AS t_3
+        |       FROM e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase'
+        |         AND t > t_2 AND t <= t_1 + 259200 GROUP BY 1)
+        |SELECT s1.user_id, t_1, t_2, t_3,
+        |       CAST(1 + CAST(t_2 IS NOT NULL AS INTEGER)
+        |              + CAST(t_3 IS NOT NULL AS INTEGER) AS INTEGER)
+        |         AS n_steps,
+        |       t_3 IS NOT NULL AS completed
+        |FROM s1 LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    "q174_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS dt FROM events),
+        |coh AS (SELECT user_id, min(dt) AS cohort_day FROM act GROUP BY 1)
+        |SELECT cohort_day,
+        |       CAST(datediff('day', cohort_day, dt) AS INTEGER) AS offset_day,
+        |       count(*) AS n_users
+        |FROM act JOIN coh USING (user_id) GROUP BY 1, 2""".stripMargin,
+
+    "q175_transitions" ->
+      """WITH o AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM o
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, sum(n) AS row_n FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, n,
+        |       CAST(round(CAST(n AS DOUBLE) / row_n, 4) AS REAL) AS p
+        |FROM c JOIN t USING (from_type)""".stripMargin)
 }
