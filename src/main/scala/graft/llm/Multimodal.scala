@@ -281,4 +281,151 @@ object Multimodal {
       }
     }(RowEncoder.encoderFor(outSchema))
   }
+
+  // ---------------------------------------------------------------
+  // Audio: dependency-free RIFF/WAV PCM16 mono codec + frame features
+  // ---------------------------------------------------------------
+
+  /** Decoded PCM16 mono audio. */
+  final case class WavAudio(sampleRate: Int, samples: Array[Short])
+
+  /** Canonical 44-byte RIFF/WAVE header (PCM, mono, 16-bit LE) + data. */
+  def encodeWav(audio: WavAudio): Array[Byte] = {
+    val dataSize = audio.samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(audio.sampleRate).putInt(audio.sampleRate * 2)
+      .putShort(2).putShort(16) // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    audio.samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** RIFF chunk walker: accepts any chunk order/extra chunks, requires
+    * a PCM (format 1) mono 16-bit `fmt ` chunk before `data`. Returns
+    * None on anything malformed — callers route non-audio payloads
+    * elsewhere, exactly like [[decodePpm]]'s fallback contract.
+    */
+  def decodeWav(payload: Array[Byte]): Option[WavAudio] = {
+    if (payload.length < 12) return None
+    val buf = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    if (tag() != "RIFF") return None
+    buf.getInt // declared riff size — trust actual buffer instead
+    if (tag() != "WAVE") return None
+    var rate = -1
+    while (buf.remaining() >= 8) {
+      val id = tag()
+      val size = buf.getInt
+      if (size < 0 || size > buf.remaining()) return None
+      id match {
+        case "fmt " =>
+          if (size < 16) return None
+          val p = buf.position()
+          val fmt = buf.getShort; val ch = buf.getShort
+          val sr = buf.getInt
+          buf.getInt; buf.getShort // byte rate, block align
+          val bits = buf.getShort
+          if (fmt != 1 || ch != 1 || bits != 16) return None
+          rate = sr
+          buf.position(p + size + (size & 1)) // chunks pad to even
+        case "data" =>
+          if (rate <= 0) return None
+          val n = size / 2
+          val out = new Array[Short](n)
+          var i = 0
+          while (i < n) { out(i) = buf.getShort; i += 1 }
+          return Some(WavAudio(rate, out))
+        case _ =>
+          buf.position(buf.position() + size + (size & 1))
+      }
+    }
+    None
+  }
+
+  /** (doc_id, payload) → (doc_id, sample_rate, n_samples, samples) —
+    * the codec boundary, streamed per partition like the PPM path;
+    * undecodable payloads are dropped (they belong to the raw route).
+    */
+  def decodeWavFrame(frame: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("samples", ArrayType(IntegerType, containsNull = false))))
+    frame.select(col("doc_id"), col("payload")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeWav(r.getAs[Array[Byte]](1)).map { a =>
+          Row(r.getLong(0), a.sampleRate, a.samples.length,
+            a.samples.map(_.toInt).toSeq)
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Frame-level audio features over fixed windows of `windowSamples`
+    * samples: per (doc, window) the sample count, energy Σx² (exact
+    * long), peak |x|, and zero-crossing count — the standard
+    * cheap-feature trio (VAD gating, silence trimming, clipping
+    * detection) ahead of any model featurizer.
+    *
+    * Everything is EXACT integer arithmetic — the whole feature frame
+    * sits under the hash gate with no float edge. Windows explode from
+    * the samples array and reduce via array HOFs — a pure MAP per doc,
+    * zero shuffles at any corpus size (HOF lambdas evaluate
+    * interpreted, which is fine at ≤ O(100) samples·window⁻¹ density;
+    * a native kernel is the [[graft.functions.DotProduct]] escalation
+    * path if profiles ever say otherwise).
+    */
+  def audioFeatures(decoded: DataFrame,
+      windowSamples: Int = 32): DataFrame = {
+    val w = lit(windowSamples)
+    val nWin = (col("n_samples") + (windowSamples - 1)) / w
+    val win = decoded
+      .select(col("doc_id"), col("sample_rate"), col("samples"),
+        explode(sequence(lit(0), nWin.cast("int") - 1)).as("win"))
+      .withColumn("wnd", slice(col("samples"), col("win") * w + 1, w))
+    val pairsCross = zip_with(
+      slice(col("wnd"), lit(1), size(col("wnd")) - 1),
+      slice(col("wnd"), lit(2), size(col("wnd")) - 1),
+      (a, b) => (a >= 0) =!= (b >= 0))
+    win.select(col("doc_id"), col("win"),
+      size(col("wnd")).as("n"),
+      aggregate(col("wnd"), lit(0L),
+        (acc, x) => acc + x.cast("long") * x).as("energy"),
+      array_max(transform(col("wnd"), x => abs(x))).as("peak"),
+      when(size(col("wnd")) <= 1, 0)
+        .otherwise(size(filter(pairsCross, c => c))).cast("int")
+        .as("zero_cross"),
+      col("sample_rate"))
+  }
+
+  /** Deterministic PCM16 injection: sample i of doc d is
+    * ((d·13 + i·17) mod 2048) − 1024 — SQL-re-derivable, so the whole
+    * decode → window → feature chain sits under a full oracle.
+    */
+  def syntheticWav(docId: Long, nSamples: Int, rate: Int): Array[Byte] =
+    encodeWav(WavAudio(rate, Array.tabulate(nSamples)(i =>
+      ((docId * 13 + i * 17) % 2048 - 1024).toShort)))
+
+  /** (doc_id) → (doc_id, payload) WAV frames with id-derived lengths
+    * (64 + id mod 64 samples @ 8 kHz) — the q176 injection frame. */
+  def syntheticWavFrame(ids: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    ids.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, syntheticWav(id, 64 + (id % 64).toInt, 8000))
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
 }

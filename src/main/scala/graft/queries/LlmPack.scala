@@ -404,6 +404,15 @@ object LlmPack extends QueryPack {
       val docs = t("documents")(s, d)
       Retrieval.bm25TopK(docs, Retrieval.sampleQueries(docs))
     }),
+    // REAL WAV audio path: RIFF/PCM16 payloads round-trip the codec
+    // (encode → chunk-walking decode) and reduce to exact-integer
+    // frame features (energy/peak/zero-crossings) via array HOFs —
+    // a pure map, zero shuffles; the id-derived synthetic samples
+    // make the whole chain SQL-re-derivable.
+    "q176_wav_features" -> ((s, d) =>
+      Multimodal.audioFeatures(Multimodal.decodeWavFrame(
+        Multimodal.syntheticWavFrame(
+          t("documents")(s, d).select(col("doc_id")))))),
     // SemDeDup: k-means cells + within-cell cosine dedup — the oracle
     // re-derives the full Lloyd chain (shared CTE builder with q71)
     // plus the greedy lowest-id keeper rule, so the whole semantic-
@@ -1477,6 +1486,30 @@ object LlmPack extends QueryPack {
         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
         |        ORDER BY score DESC, doc_id) AS rank FROM scored)
         |WHERE rank <= 10""".stripMargin,
+    // The synthetic PCM stream and every feature re-derived as exact
+    // integers — energy/peak/crossings have no float edge at all.
+    "q176_wav_features" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(64 + doc_id % 64 AS INTEGER) AS ns
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, CAST(t.i AS INTEGER) AS i,
+        |         CAST((doc_id * 13 + t.i * 17) % 2048 - 1024 AS BIGINT) AS x
+        |  FROM d, range(0, 128) t(i) WHERE t.i < ns),
+        |w AS (
+        |  SELECT doc_id, CAST(i // 32 AS INTEGER) AS win, i, x,
+        |         lag(x) OVER (PARTITION BY doc_id, i // 32 ORDER BY i)
+        |           AS prev
+        |  FROM s)
+        |SELECT doc_id, win,
+        |       CAST(count(*) AS INTEGER) AS n,
+        |       CAST(sum(x * x) AS BIGINT) AS energy,
+        |       CAST(max(abs(x)) AS INTEGER) AS peak,
+        |       CAST(coalesce(sum(CASE WHEN prev IS NOT NULL
+        |              AND (prev >= 0) <> (x >= 0) THEN 1 ELSE 0 END), 0)
+        |            AS INTEGER) AS zero_cross,
+        |       CAST(8000 AS INTEGER) AS sample_rate
+        |FROM w GROUP BY 1, 2""".stripMargin,
     // SemDeDup oracle: the SAME Lloyd chain as q71 (shared CTE
     // builder), then within-cell a<b pairs at rounded cosine ≥ 0.35
     // and the lowest-id-survives verdict — clustering, pairing, and

@@ -790,6 +790,43 @@ class LlmSpec extends AnyFunSuite {
       Seq[Byte](0, 2, 4, 6, 8))
   }
 
+  test("wav codec: round-trip, chunk walking, malformed fallback, features") {
+    import org.apache.spark.sql.functions.{col => c}
+    // 16-bit signed extremes + a sign pattern round-trip exactly
+    val samples = Array[Short](0, 100, -100, 32767, -32768, 1, -1)
+    val wav = Multimodal.encodeWav(Multimodal.WavAudio(8000, samples))
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    val back = Multimodal.decodeWav(wav).get
+    assert(back.sampleRate == 8000 && back.samples.toSeq == samples.toSeq)
+    // an extra chunk BEFORE fmt/data must be walked over (odd size →
+    // even padding), per RIFF
+    val extra = java.nio.ByteBuffer
+      .allocate(wav.length + 8 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(wav, 0, 12)
+      .put("LIST".getBytes("US-ASCII")).putInt(3)
+      .put(Array[Byte](1, 2, 3, 0))
+      .put(wav, 12, wav.length - 12).array()
+    assert(Multimodal.decodeWav(extra).get.samples.toSeq == samples.toSeq)
+    // malformed: wrong magic, truncated data, stereo → None
+    assert(Multimodal.decodeWav("RIFX".getBytes ++ wav.drop(4)).isEmpty)
+    assert(Multimodal.decodeWav(wav.dropRight(2) :+ 0.toByte).isEmpty)
+    val stereo = wav.clone(); stereo(22) = 2 // channel count LE byte
+    assert(Multimodal.decodeWav(stereo).isEmpty)
+    // features on a handcrafted 2-window stream: [3,-4,3,-4] [5,0]
+    import spark.implicits._
+    val df = Seq((7L, Multimodal.encodeWav(Multimodal.WavAudio(8000,
+      Array[Short](3, -4, 3, -4, 5, 0))))).toDF("doc_id", "payload")
+    val f = Multimodal.audioFeatures(Multimodal.decodeWavFrame(df),
+      windowSamples = 4).orderBy(c("win")).collect()
+    assert(f.length == 2)
+    assert(f(0).getInt(2) == 4 && f(0).getLong(3) == 50L &&
+      f(0).getInt(4) == 4 && f(0).getInt(5) == 3)
+    // window 2: [5, 0] → energy 25, peak 5, zero-cross 0 (0 is nonneg)
+    assert(f(1).getInt(2) == 2 && f(1).getLong(3) == 25L &&
+      f(1).getInt(4) == 5 && f(1).getInt(5) == 0)
+  }
+
   test("quantized ANN: kernel equals HOF spec; high recall vs exact top-5") {
     import graft.functions.{QuantizeI8, QuantizedDot}
     // kernel pin: QuantizedDot(q, q) over QuantizeI8 codes equals the
