@@ -70,6 +70,29 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Rolling `windowDays`-day distinct active users per day (the
+    * DAU/WAU/MAU curve at windowDays = 1/7/30): each (user, day)
+    * activity fact contributes to the `windowDays` report days whose
+    * trailing window contains it — a bounded windowDays× explode of
+    * the already-distinct activity frame, then one distinct-count per
+    * day. Exact; at extreme scale swap the per-day distinct for the
+    * mergeable KMV sketch ([[graft.functions.BottomKByHash]], the
+    * q127/q150 path) and union day sketches instead of exploding.
+    * Report days past the last observed activity are clipped.
+    */
+  def rollingActives(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val act = events
+      .select(col("user_id"), to_date(col("ts")).as("dt"))
+      .distinct()
+    val spread = act.select(col("user_id"),
+      explode(sequence(col("dt"), date_add(col("dt"), windowDays - 1)))
+        .as("day"))
+    val bounds = act.agg(max(col("dt")).as("mx"))
+    spread.crossJoin(broadcast(bounds)).where(col("day") <= col("mx"))
+      .groupBy(col("day"))
+      .agg(count_distinct(col("user_id")).as("active_users"))
+  }
+
   /** First-order Markov transition matrix of event types per user:
     * consecutive-event bigrams (user-local, ts-then-event_id ordered)
     * counted and row-normalized. Output is |types|² rows at any

@@ -171,10 +171,41 @@ object DataQuality {
     * the child never references.
     */
   def refIntegrity(edges: Seq[FkEdge]): DataFrame =
+    refIntegrityCore(edges, None)
+
+  /** [[refIntegrity]] with the PARENT side gated by a
+    * [[graft.functions.BloomFrame]] of the child's keys before the
+    * anti-join shuffle — the delta-dedup join-pruning pattern on the
+    * relational audit: a parent row whose key the child never
+    * references can never defeat an orphan claim, and a bloom has no
+    * false negatives, so the audit's answer is IDENTICAL at any
+    * (m, d) (false positives admit extra parent rows that match
+    * nothing). The win is the asymmetric case — auditing one day's
+    * child partition against a year-deep parent: the gate sheds the
+    * parent bulk at ≤ m/64 broadcast rows however large the child.
+    */
+  def refIntegrityBloom(edges: Seq[FkEdge], m: Long = 1L << 20,
+      d: Int = 2): DataFrame =
+    refIntegrityCore(edges, Some((m, d)))
+
+  private def refIntegrityCore(edges: Seq[FkEdge],
+      bloomGate: Option[(Long, Int)]): DataFrame =
     edges.map { e =>
-      val c = e.child.where(col(e.childKey).isNotNull)
+      // the child key frame feeds the bloom build, the anti-join probe,
+      // and the n_child count — materialize once at the fan-out
+      val c0 = e.child.where(col(e.childKey).isNotNull)
         .select(col(e.childKey).as("fk"))
-      val p = e.parent.select(col(e.parentKey).as("pk"))
+      val c = if (bloomGate.isDefined) c0.localCheckpoint(true) else c0
+      val p0 = e.parent.select(col(e.parentKey).as("pk"))
+      val p = bloomGate match {
+        case Some((m, dd)) =>
+          val bloom = graft.functions.BloomFrame.build(
+            c.select(col("fk").cast("string").as("bk")), col("bk"), m, dd)
+          graft.functions.BloomFrame.mayContain(
+              p0, col("pk").cast("string"), bloom, m, dd)
+            .where(col("bf_maybe")).drop("bf_maybe")
+        case None => p0
+      }
       val orphans = c.join(p, col("fk") === col("pk"), "left_anti")
       orphans.agg(
           count(lit(1)).as("n_orphan_rows"),

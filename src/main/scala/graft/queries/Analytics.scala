@@ -113,6 +113,12 @@ object Analytics extends QueryPack {
     "q174_retention" -> ((s, d) =>
       graft.ops.EventAnalytics.retention(t("events")(s, d))),
 
+    // Rolling 7-day distinct actives (the WAU curve): bounded 7×
+    // explode of the distinct activity frame + one per-day distinct
+    // count; the KMV sketch is the documented extreme-scale swap.
+    "q178_rolling_actives" -> ((s, d) =>
+      graft.ops.EventAnalytics.rollingActives(t("events")(s, d), 7)),
+
     // First-order event-type transition matrix, row-normalized:
     // |types|² output rows; the lead window and the bigram count are
     // the only shuffles.
@@ -327,6 +333,18 @@ object Analytics extends QueryPack {
         |       CAST(datediff('day', cohort_day, dt) AS INTEGER) AS offset_day,
         |       count(*) AS n_users
         |FROM act JOIN coh USING (user_id) GROUP BY 1, 2""".stripMargin,
+
+    "q178_rolling_actives" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS dt FROM events),
+        |sp AS (
+        |  SELECT user_id,
+        |         CAST(unnest(generate_series(dt, dt + INTERVAL 6 DAY,
+        |           INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM act)
+        |SELECT day, count(DISTINCT user_id) AS active_users
+        |FROM sp WHERE day <= (SELECT max(dt) FROM act)
+        |GROUP BY 1""".stripMargin,
 
     "q175_transitions" ->
       """WITH o AS (

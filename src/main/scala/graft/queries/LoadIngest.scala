@@ -187,26 +187,15 @@ object LoadIngest extends QueryPack {
     // deliberate drift edge (orders truncated to pre-1997) whose
     // orphan counts are non-trivially non-zero, exercising the anti
     // join + orphan-sized distinct-key aggregate for real.
-    "q166_fk_orphans" -> ((s, d) => {
-      import graft.quality.DataQuality.FkEdge
-      val li = t("lineitem")(s, d)
-      val ord = t("orders")(s, d)
-      DataQuality.refIntegrity(Seq(
-        FkEdge("lineitem->orders", li, "l_orderkey", ord, "o_orderkey"),
-        FkEdge("lineitem->part", li, "l_partkey", t("part")(s, d), "p_partkey"),
-        FkEdge("lineitem->supplier", li, "l_suppkey",
-          t("supplier")(s, d), "s_suppkey"),
-        FkEdge("orders->customer", ord, "o_custkey",
-          t("customer")(s, d), "c_custkey"),
-        FkEdge("customer->nation", t("customer")(s, d), "c_nationkey",
-          t("nation")(s, d), "n_nationkey"),
-        FkEdge("supplier->nation", t("supplier")(s, d), "s_nationkey",
-          t("nation")(s, d), "n_nationkey"),
-        FkEdge("nation->region", t("nation")(s, d), "n_regionkey",
-          t("region")(s, d), "r_regionkey"),
-        FkEdge("lineitem->orders@pre1997", li, "l_orderkey",
-          ord.where(col("o_orderdate") < lit("1997-01-01")), "o_orderkey")))
-    }),
+    "q166_fk_orphans" -> ((s, d) =>
+      DataQuality.refIntegrity(starEdges(s, d))),
+
+    // The same audit through the bloom JOIN-PRUNING gate (parent side
+    // shed by a bloom of the child's keys before the anti-join) —
+    // shares q166's oracle VERBATIM: the identical-answer contract at
+    // any (m, d), as in the delta-dedup bloom family.
+    "q177_fk_orphans_bloom" -> ((s, d) =>
+      DataQuality.refIntegrityBloom(starEdges(s, d))),
 
     // Z-order layout audit: lineitem keyed on the (l_partkey,
     // l_suppkey) Morton curve, reported as per-block row counts +
@@ -216,6 +205,32 @@ object LoadIngest extends QueryPack {
     "q168_zorder" -> ((s, d) => graft.load.Layout.zBlockStats(
       t("lineitem")(s, d), "l_partkey", "l_suppkey",
       bits = 10, blockBits = 6)))
+
+  /** The star schema's seven structural FK edges plus the deliberate
+    * drift edge (orders truncated to pre-1997, so the orphan counts
+    * exercise for real) — shared by q166 (plain anti-join audit) and
+    * q177 (bloom-gated parent side). */
+  private def starEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[graft.quality.DataQuality.FkEdge] = {
+    import graft.quality.DataQuality.FkEdge
+    val li = t("lineitem")(s, d)
+    val ord = t("orders")(s, d)
+    Seq(
+      FkEdge("lineitem->orders", li, "l_orderkey", ord, "o_orderkey"),
+      FkEdge("lineitem->part", li, "l_partkey", t("part")(s, d), "p_partkey"),
+      FkEdge("lineitem->supplier", li, "l_suppkey",
+        t("supplier")(s, d), "s_suppkey"),
+      FkEdge("orders->customer", ord, "o_custkey",
+        t("customer")(s, d), "c_custkey"),
+      FkEdge("customer->nation", t("customer")(s, d), "c_nationkey",
+        t("nation")(s, d), "n_nationkey"),
+      FkEdge("supplier->nation", t("supplier")(s, d), "s_nationkey",
+        t("nation")(s, d), "n_nationkey"),
+      FkEdge("nation->region", t("nation")(s, d), "n_regionkey",
+        t("region")(s, d), "r_regionkey"),
+      FkEdge("lineitem->orders@pre1997", li, "l_orderkey",
+        ord.where(col("o_orderdate") < lit("1997-01-01")), "o_orderkey"))
+  }
 
   /** Full-history SCD2 derivation — shared verbatim by q163 (direct
     * type2) and q169 (incremental applyChanges: identical-answer
@@ -242,9 +257,34 @@ object LoadIngest extends QueryPack {
       |FROM s WINDOW w AS (PARTITION BY o_custkey ORDER BY odate, o_orderkey)"""
       .stripMargin
 
+  /** Per-edge NOT EXISTS orphan derivation — shared by q166 and its
+    * bloom-gated twin q177 (identical-answer contract). */
+  private val fkOracle: String = Seq(
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey", ""),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey", ""),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey", ""),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey", ""),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey", ""),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey", ""),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey", ""),
+    ("lineitem->orders@pre1997", "lineitem", "l_orderkey", "orders",
+      "o_orderkey", " AND o_orderdate < TIMESTAMP '1997-01-01'"))
+    .map { case (name, child, ck, parent, pk, pf) =>
+      s"""SELECT '$name' AS fk_edge,
+         |  (SELECT count(*) FROM $child WHERE $ck IS NOT NULL) AS n_child,
+         |  count(*) AS n_orphan_rows,
+         |  count(DISTINCT fk) AS n_missing_keys
+         |FROM (SELECT $ck AS fk FROM $child
+         |      WHERE $ck IS NOT NULL AND NOT EXISTS (
+         |        SELECT 1 FROM $parent WHERE $pk = $ck$pf)) o"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+
   val oracleSql: Map[String, String] = Map(
     "q163_scd2" -> scd2Oracle,
     "q169_scd2_apply" -> scd2Oracle,
+    "q166_fk_orphans" -> fkOracle,
+    "q177_fk_orphans_bloom" -> fkOracle,
     "q50_partition_roundtrip" ->
       s"""WITH ${Bars.oracleCte}
          |SELECT id, dt, open, high, low, close, volume,
@@ -331,27 +371,6 @@ object LoadIngest extends QueryPack {
          |       (SELECT CAST(max($c) AS VARCHAR) FROM lineitem) AS max_s"""
         .stripMargin
     }.mkString("\nUNION ALL\n"),
-
-    "q166_fk_orphans" -> Seq(
-      ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey", ""),
-      ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey", ""),
-      ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey", ""),
-      ("orders->customer", "orders", "o_custkey", "customer", "c_custkey", ""),
-      ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey", ""),
-      ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey", ""),
-      ("nation->region", "nation", "n_regionkey", "region", "r_regionkey", ""),
-      ("lineitem->orders@pre1997", "lineitem", "l_orderkey", "orders",
-        "o_orderkey", " AND o_orderdate < TIMESTAMP '1997-01-01'"))
-      .map { case (name, child, ck, parent, pk, pf) =>
-        s"""SELECT '$name' AS fk_edge,
-           |  (SELECT count(*) FROM $child WHERE $ck IS NOT NULL) AS n_child,
-           |  count(*) AS n_orphan_rows,
-           |  count(DISTINCT fk) AS n_missing_keys
-           |FROM (SELECT $ck AS fk FROM $child
-           |      WHERE $ck IS NOT NULL AND NOT EXISTS (
-           |        SELECT 1 FROM $parent WHERE $pk = $ck$pf)) o"""
-          .stripMargin
-      }.mkString("\nUNION ALL\n"),
 
     "q168_zorder" -> {
       // the 2x10-bit Morton interleave as exact integer arithmetic

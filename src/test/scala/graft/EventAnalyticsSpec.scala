@@ -70,6 +70,24 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(r.size == 4)
   }
 
+  test("rolling actives: trailing-window distinct, clipped at last day") {
+    import spark.implicits._
+    val day = 86400L
+    // u1 active d0 and d1; u2 active d0 only; last observed day = d1
+    val ev = Seq((1L, 0L), (1L, day), (2L, 10L))
+      .toDF("user_id", "t")
+      .select(col("user_id"), col("t").cast("timestamp").as("ts"))
+    val r = EventAnalytics.rollingActives(ev, windowDays = 7).collect()
+      .map(x => x.getDate(0).toString -> x.getLong(1)).toMap
+    // d0 window [d-6, d0] sees both; d1 window sees both (u2 via d0);
+    // days beyond the last activity are clipped
+    assert(r == Map("1970-01-01" -> 2L, "1970-01-02" -> 2L))
+    // a 1-day window is plain DAU
+    val dau = EventAnalytics.rollingActives(ev, windowDays = 1).collect()
+      .map(x => x.getDate(0).toString -> x.getLong(1)).toMap
+    assert(dau == Map("1970-01-01" -> 2L, "1970-01-02" -> 1L))
+  }
+
   test("transitions: bigram counts and row-normalized probabilities") {
     import spark.implicits._
     // u1: A B A B ; u2: A B  →  A→B ×3, B→A ×1

@@ -66,6 +66,23 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(r.getLong(3) == 1)  // one distinct missing key
   }
 
+  test("refIntegrity bloom gate: identical answer at honest and " +
+    "saturated grids") {
+    import spark.implicits._
+    val child = Seq(1L, 2L, 2L, 9L, 9L, 7L).toDF("fk_col")
+    val parent = Seq(1L, 2L, 3L, 4L, 5L).toDF("pk_col")
+    val edges = Seq(DataQuality.FkEdge("t", child, "fk_col",
+      parent, "pk_col"))
+    val plain = DataQuality.refIntegrity(edges).collect().toSeq
+    val gated = DataQuality.refIntegrityBloom(edges).collect().toSeq
+    // m=64 → one grid chunk, effectively all-bits-set: every parent
+    // row survives the gate and the answer still matches
+    val saturated = DataQuality.refIntegrityBloom(edges, m = 64, d = 1)
+      .collect().toSeq
+    assert(gated == plain && saturated == plain)
+    assert(plain.head.getLong(2) == 3) // rows with fk 9,9,7
+  }
+
   test("z-order key interleaves bucket bits exactly") {
     import spark.implicits._
     // values 0..3 with bits=2 → bucket rank == value
