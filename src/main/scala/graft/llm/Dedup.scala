@@ -903,6 +903,62 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** CONTENT-DEFINED CHUNKING (the LBFS/rsync/dedup-storage rule) over
+    * the token stream: cut after token p whenever the k-token gram
+    * ENDING at p hashes to 0 mod `mask` — boundaries depend only on
+    * LOCAL content, so an insertion near a document's head shifts
+    * every byte offset yet leaves all downstream chunk boundaries (and
+    * digests) intact. That shift-robustness is what fixed windows
+    * ([[paragraphDedup]]) lose to a single leading edit, and it makes
+    * chunk-digest equality the storage-dedup granularity: two
+    * revisions of a document share every chunk outside the edited
+    * span. Expected chunk length ≈ `mask` tokens.
+    *
+    * Output carries each chunk's corpus document-frequency — the
+    * boilerplate-span signal at chunk granularity (the df angle of
+    * [[winnowedPairs]]' stop-fingerprint rule, here as data rather
+    * than a cap).
+    *
+    * Scale shape: gram hashes ride the exploded token rows (pure map);
+    * the boundary cumsum and the chunk assembly share ONE doc-keyed
+    * exchange (the groupBy key (doc_id, chunk_idx) is a refinement of
+    * the window's hash(doc_id) partitioning); the df aggregate
+    * shuffles 16-byte digests only. Chunk text moves exactly once —
+    * into the doc-keyed assembly.
+    *
+    * @return (doc_id, chunk_idx, start, n_tokens, dig, df)
+    */
+  def cdcChunks(docs: DataFrame, k: Int = 4, mask: Int = 8): DataFrame = {
+    require(k >= 1 && mask >= 1, "k and mask must be >= 1")
+    val toks = spread(docs.where(col("text").isNotNull))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+    val pos = toks
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")))).as("p"))
+      .select(col("doc_id"), col("p"),
+        element_at(col("w"), col("p")).as("t"),
+        when(col("p") >= k,
+          conv(substring(md5(concat_ws(" ",
+              slice(col("w"), col("p") - (k - 1), lit(k))).cast("binary")),
+            1, 8), 16, 10).cast("long") % mask === 0)
+          .otherwise(lit(false)).as("cut"))
+    val prior = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val assigned = pos.withColumn("chunk_idx",
+      coalesce(sum(col("cut").cast("long")).over(prior), lit(0L))
+        .cast("int"))
+    val chunks = assigned.groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(min(col("p")).cast("int").as("start"),
+        count(lit(1)).cast("int").as("n_tokens"),
+        md5(array_join(sort_array(collect_list(struct(col("p"), col("t"))))
+          .getField("t"), " ").cast("binary")).as("dig"))
+    val dfreq = chunks.groupBy(col("dig"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    chunks.join(dfreq, "dig")
+      .select(col("doc_id"), col("chunk_idx"), col("start"),
+        col("n_tokens"), col("dig"), col("df"))
+  }
+
   /** Map-only fingerprinting via the native [[graft.functions.SimHashFp]]
     * kernel: each token is digested where its document sits, so the
     * operator has ZERO shuffles (the explode → md5 → per-bit-aggregate

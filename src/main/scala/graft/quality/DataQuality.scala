@@ -170,6 +170,47 @@ object DataQuality {
     * the audit's answer is identical, the shuffle sheds parent rows
     * the child never references.
     */
+  /** Robust per-group outlier audit (median/MAD, the Iglewicz–Hoaglin
+    * rule): per group, the exact interpolated median, the median
+    * absolute deviation, and the count of values with
+    * |x − med| > z · 1.4826 · mad (1.4826 ≈ 1/Φ⁻¹(3/4) scales MAD to
+    * σ under normality). Mean/stddev audits break on the very
+    * anomalies they hunt — one 10⁶× fat-finger drags the mean past
+    * half the outliers; the median pair doesn't move.
+    *
+    * DETERMINISM CONTRACT: med and mad are rounded to 4 decimals
+    * BEFORE the threshold compare, so the flag rule is reproducible
+    * cross-engine (raw interpolated percentiles differ in final ulps
+    * between engines; rounded ones don't).
+    *
+    * Scale: two grouped percentile passes + a broadcast of the
+    * |groups|-row stats table into a codegen'd filter-count. Exact
+    * percentile holds a group's distinct values in memory — at
+    * billions of rows per group swap in the bottom-k sketch
+    * ([[graft.functions.BottomKByHash]], the q103 path) exactly as
+    * q15 → q103.
+    */
+  def robustOutliers(df: DataFrame, valueCol: String, groupCol: String,
+      z: Double = 3.5): DataFrame = {
+    val v = col(valueCol)
+    val g = col(groupCol)
+    val med = df.groupBy(g)
+      .agg(round(expr(s"percentile($valueCol, 0.5D)"), 4).as("med"))
+    val withMed = df.join(broadcast(med), groupCol)
+    val mad = withMed.groupBy(g)
+      .agg(round(expr(s"percentile(abs($valueCol - med), 0.5D)"), 4)
+        .as("mad"))
+    withMed.join(broadcast(mad), groupCol)
+      .groupBy(g)
+      .agg(count(lit(1)).as("n"),
+        first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        sum(when(abs(v - col("med")) > lit(z) * lit(1.4826) * col("mad"),
+          1L).otherwise(0L)).as("n_outliers"))
+      .select(g, col("n"), col("med").cast("float").as("med"),
+        col("mad").cast("float").as("mad"), col("n_outliers"))
+  }
+
   def refIntegrity(edges: Seq[FkEdge]): DataFrame =
     refIntegrityCore(edges, None)
 

@@ -113,6 +113,12 @@ object Analytics extends QueryPack {
     "q174_retention" -> ((s, d) =>
       graft.ops.EventAnalytics.retention(t("events")(s, d))),
 
+    // Robust per-type outlier audit: median/MAD with the
+    // Iglewicz–Hoaglin 3.5 rule — stats rounded BEFORE the threshold
+    // compare so the flag rule is cross-engine exact.
+    "q180_outliers" -> ((s, d) => graft.quality.DataQuality
+      .robustOutliers(t("events")(s, d), "value", "event_type")),
+
     // Rolling 7-day distinct actives (the WAU curve): bounded 7×
     // explode of the distinct activity frame + one per-day distinct
     // count; the KMV sketch is the documented extreme-scale swap.
@@ -333,6 +339,25 @@ object Analytics extends QueryPack {
         |       CAST(datediff('day', cohort_day, dt) AS INTEGER) AS offset_day,
         |       count(*) AS n_users
         |FROM act JOIN coh USING (user_id) GROUP BY 1, 2""".stripMargin,
+
+    "q180_outliers" ->
+      """WITH m AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med
+        |  FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT e.event_type, e.value, m.med
+        |  FROM events e JOIN m USING (event_type)),
+        |md AS (
+        |  SELECT event_type,
+        |         round(quantile_cont(abs(value - med), 0.5), 4) AS mad
+        |  FROM d GROUP BY 1)
+        |SELECT d.event_type, count(*) AS n,
+        |       CAST(max(d.med) AS REAL) AS med,
+        |       CAST(max(md.mad) AS REAL) AS mad,
+        |       CAST(sum(CASE WHEN abs(value - d.med)
+        |                > 3.5 * 1.4826 * md.mad
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN md USING (event_type) GROUP BY 1""".stripMargin,
 
     "q178_rolling_actives" ->
       """WITH act AS (

@@ -413,6 +413,11 @@ object LlmPack extends QueryPack {
       Multimodal.audioFeatures(Multimodal.decodeWavFrame(
         Multimodal.syntheticWavFrame(
           t("documents")(s, d).select(col("doc_id")))))),
+    // Content-defined chunking (LBFS/rsync CDC): shift-robust chunk
+    // boundaries from local gram hashes + per-chunk corpus df — the
+    // storage-dedup granularity beside the eight similarity families.
+    "q179_cdc_chunks" -> ((s, d) =>
+      Dedup.cdcChunks(t("documents")(s, d))),
     // SemDeDup: k-means cells + within-cell cosine dedup — the oracle
     // re-derives the full Lloyd chain (shared CTE builder with q71)
     // plus the greedy lowest-id keeper rule, so the whole semantic-
@@ -1510,6 +1515,39 @@ object LlmPack extends QueryPack {
         |            AS INTEGER) AS zero_cross,
         |       CAST(8000 AS INTEGER) AS sample_rate
         |FROM w GROUP BY 1, 2""".stripMargin,
+    // CDC: gram hash (winnow's md5 word), boundary rule, prior-cut
+    // cumsum, ordered reassembly digest, and chunk df all re-derived.
+    "q179_cdc_chunks" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+         |  FROM documents WHERE text IS NOT NULL),
+         |pos AS (
+         |  SELECT doc_id, w, CAST(unnest(range(1, len(w) + 1)) AS INTEGER)
+         |           AS p
+         |  FROM tok),
+         |c AS (
+         |  SELECT doc_id, p, w[p] AS t,
+         |         CASE WHEN p >= 4 THEN
+         |           (${OracleSql.md5Word32(
+                       "md5(w[p-3] || ' ' || w[p-2] || ' ' || w[p-1]" +
+                         " || ' ' || w[p])", 0)}) % 8 = 0
+         |         ELSE FALSE END AS cut
+         |  FROM pos),
+         |a AS (
+         |  SELECT *, CAST(coalesce(sum(CASE WHEN cut THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc_id ORDER BY p
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS INTEGER) AS chunk_idx
+         |  FROM c),
+         |ch AS (
+         |  SELECT doc_id, chunk_idx, CAST(min(p) AS INTEGER) AS start,
+         |         CAST(count(*) AS INTEGER) AS n_tokens,
+         |         md5(string_agg(t, ' ' ORDER BY p)) AS dig
+         |  FROM a GROUP BY 1, 2),
+         |dfq AS (SELECT dig, count(DISTINCT doc_id) AS df FROM ch GROUP BY 1)
+         |SELECT ch.doc_id, ch.chunk_idx, ch.start, ch.n_tokens, ch.dig,
+         |       dfq.df
+         |FROM ch JOIN dfq USING (dig)""".stripMargin,
     // SemDeDup oracle: the SAME Lloyd chain as q71 (shared CTE
     // builder), then within-cell a<b pairs at rounded cosine ≥ 0.35
     // and the lowest-id-survives verdict — clustering, pairing, and

@@ -203,6 +203,47 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(r.getFloat(4) == 17.5f)
   }
 
+  test("cdc chunking is shift-robust: a head insertion leaves " +
+    "downstream chunk digests intact") {
+    import spark.implicits._
+    import graft.llm.Dedup
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, "INSERTED " + base)).toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(docs).collect()
+    val d1 = ch.filter(_.getLong(0) == 1L).map(_.getString(4)).toSet
+    val d2 = ch.filter(_.getLong(0) == 2L).map(_.getString(4)).toSet
+    // every chunk of doc 1 past the first boundary must reappear in
+    // doc 2 verbatim — only the head chunk differs
+    val shared = d1.intersect(d2)
+    assert(d1.size >= 3, s"fixture too short: ${d1.size} chunks")
+    assert(shared.size >= d1.size - 1,
+      s"only ${shared.size}/${d1.size} chunks survived the insertion")
+    // the shared chunks carry df = 2; doc-unique ones df = 1
+    assert(ch.filter(r => shared.contains(r.getString(4)))
+      .forall(_.getLong(5) == 2L))
+    // chunks tile each doc exactly: token counts sum to doc length
+    assert(ch.filter(_.getLong(0) == 1L).map(_.getInt(3)).sum == 60)
+    assert(ch.filter(_.getLong(0) == 2L).map(_.getInt(3)).sum == 61)
+  }
+
+  test("robust outliers: median/MAD flags the fat finger the mean " +
+    "would absorb") {
+    import spark.implicits._
+    // 9 values near 10 plus one 10^6 spike: med≈10, mad small, the
+    // spike (and only the spike) flags
+    val vals = Seq(9.0, 9.5, 10.0, 10.0, 10.0, 10.2, 10.5, 11.0, 9.8,
+      1000000.0)
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (i.toLong, "x", v) }
+      .toDF("event_id", "event_type", "value")
+    val r = DataQuality.robustOutliers(df, "value", "event_type")
+      .collect().head
+    assert(r.getLong(1) == 10)
+    assert(math.abs(r.getFloat(2) - 10.0f) < 0.2f)
+    assert(r.getFloat(3) < 1.0f)
+    assert(r.getLong(4) == 1L)
+  }
+
   test("bm25 idf discounts the term every doc contains") {
     import spark.implicits._
     // 'c' is in all docs (df=3), 'r' only in doc 1 (df=1) — equal tf,
