@@ -35,15 +35,48 @@ object Triangles {
     * @return (id, n_tri) for every node in the edge set (0 included)
     */
   def perNode(edges: DataFrame): DataFrame = {
-    // canonical undirected edge set
-    val canon = edges.where(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("u"),
-        greatest(col("a"), col("b")).as("v"))
-      .distinct()
-      .localCheckpoint(true) // feeds degree + both orientation lookups
+    val canon = canonical(edges)
+    perNodeFromCanon(canon, degrees(canon))
+  }
+
+  /** Local clustering coefficient: triangles through a node over its
+    * wedge capacity — coef = 2·tri / (d·(d−1)), 0 at degree < 2. The
+    * standard tight-neighborhood score (co-purchase cliques, near-dup
+    * communities) composed from [[perNode]]'s machinery on ONE
+    * canonicalized edge pass. The ratio is a division of exact
+    * integers, so the rounded output is cross-engine exact.
+    * @return (id, d, n_tri, coef)
+    */
+  def clusteringCoef(edges: DataFrame): DataFrame = {
+    val canon = canonical(edges)
     val deg = canon.select(col("u").as("id"))
       .unionByName(canon.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true) // orientation lookups ×2 + the final join
+    perNodeFromCanon(canon, deg)
+      .join(deg, "id")
+      .select(col("id"), col("d"), col("n_tri"),
+        when(col("d") < 2, lit(0.0f))
+          .otherwise(round(lit(2) * col("n_tri") /
+            (col("d") * (col("d") - 1)), 4).cast("float")).as("coef"))
+  }
+
+  /** Canonical undirected edge set (u < v, distinct, loops dropped) —
+    * checkpointed: it feeds degree + both orientation lookups. */
+  private def canonical(edges: DataFrame): DataFrame =
+    edges.where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+  private def degrees(canon: DataFrame): DataFrame =
+    canon.select(col("u").as("id"))
+      .unionByName(canon.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+
+  private def perNodeFromCanon(canon: DataFrame,
+      deg: DataFrame): DataFrame = {
     // orient from (degree, id)-smaller to larger
     val du = deg.select(col("id").as("u"), col("d").as("du"))
     val dv = deg.select(col("id").as("v"), col("d").as("dv"))

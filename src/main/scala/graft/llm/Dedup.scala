@@ -929,6 +929,46 @@ object Dedup {
     * @return (doc_id, chunk_idx, start, n_tokens, dig, df)
     */
   def cdcChunks(docs: DataFrame, k: Int = 4, mask: Int = 8): DataFrame = {
+    val chunks = cdcChunkFrame(docs, k, mask)
+    val dfreq = chunks.groupBy(col("dig"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    chunks.join(dfreq, "dig")
+      .select(col("doc_id"), col("chunk_idx"), col("start"),
+        col("n_tokens"), col("dig"), col("df"))
+  }
+
+  /** DAY-2 composition of [[cdcChunks]]: per NEW document (marked by
+    * the doc_id predicate `isNewId`), how much of its chunk mass is
+    * NOVEL vs the standing corpus — the deduplicated-storage /
+    * incremental-ingest estimate (a revision of an existing doc
+    * re-admits only its edited chunks). The corpus side reduces to a
+    * distinct 16-byte digest set before the membership join; chunk
+    * text never crosses the new/old boundary.
+    *
+    * @return (doc_id, n_chunks, n_novel, novel_ratio) for new docs
+    */
+  def cdcNovelty(docs: DataFrame, isNewId: Column => Column, k: Int = 4,
+      mask: Int = 8): DataFrame = {
+    // one chunking pass serves both sides (in production this frame is
+    // the persisted chunk store)
+    val chunks = cdcChunkFrame(docs, k, mask).localCheckpoint(true)
+    val oldDigs = chunks.where(!isNewId(col("doc_id")))
+      .select(col("dig")).distinct()
+    val newCh = chunks.where(isNewId(col("doc_id")))
+    newCh.join(oldDigs.withColumn("known", lit(true)), Seq("dig"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_chunks"),
+        sum(when(col("known").isNull, 1L).otherwise(0L)).cast("int")
+          .as("n_novel"))
+      .withColumn("novel_ratio",
+        round(col("n_novel").cast("double") / col("n_chunks"), 4)
+          .cast("float"))
+  }
+
+  /** The bare (doc_id, chunk_idx, start, n_tokens, dig) chunk frame
+    * shared by [[cdcChunks]] (df decoration) and [[cdcNovelty]]
+    * (membership against the standing corpus). */
+  private def cdcChunkFrame(docs: DataFrame, k: Int, mask: Int): DataFrame = {
     require(k >= 1 && mask >= 1, "k and mask must be >= 1")
     val toks = spread(docs.where(col("text").isNotNull))
       .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
@@ -947,16 +987,11 @@ object Dedup {
     val assigned = pos.withColumn("chunk_idx",
       coalesce(sum(col("cut").cast("long")).over(prior), lit(0L))
         .cast("int"))
-    val chunks = assigned.groupBy(col("doc_id"), col("chunk_idx"))
+    assigned.groupBy(col("doc_id"), col("chunk_idx"))
       .agg(min(col("p")).cast("int").as("start"),
         count(lit(1)).cast("int").as("n_tokens"),
         md5(array_join(sort_array(collect_list(struct(col("p"), col("t"))))
           .getField("t"), " ").cast("binary")).as("dig"))
-    val dfreq = chunks.groupBy(col("dig"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-    chunks.join(dfreq, "dig")
-      .select(col("doc_id"), col("chunk_idx"), col("start"),
-        col("n_tokens"), col("dig"), col("df"))
   }
 
   /** Map-only fingerprinting via the native [[graft.functions.SimHashFp]]

@@ -103,6 +103,19 @@ object Analytics extends QueryPack {
       graft.graph.Triangles.perNode(e)
     }),
 
+    // Local clustering coefficient: q172's triangle machinery + the
+    // degree table on ONE canonical edge pass — coef = 2·tri/(d·(d−1)),
+    // an exact-integer ratio, cross-engine exact after rounding.
+    "q183_clustering_coef" -> ((s, d) => {
+      val li = t("lineitem")(s, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("a"), col("b.l_partkey").as("b"))
+      graft.graph.Triangles.clusteringCoef(e)
+    }),
+
     // First-touch funnel view → click → purchase within 3 days of the
     // first view: k user-keyed min-aggregate joins, no per-user sort.
     "q173_funnel" -> ((s, d) => graft.ops.EventAnalytics.funnel(
@@ -308,6 +321,32 @@ object Analytics extends QueryPack {
         |cnt AS (SELECT id, count(*) AS n_tri FROM corners GROUP BY 1)
         |SELECT n.id, coalesce(cnt.n_tri, 0) AS n_tri
         |FROM nodes n LEFT JOIN cnt USING (id)""".stripMargin,
+
+    "q183_clustering_coef" ->
+      """WITH ce AS (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+        |         greatest(a.l_partkey, b.l_partkey) AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey <> b.l_partkey),
+        |tri AS (
+        |  SELECT x.u AS a, x.v AS b, y.v AS c
+        |  FROM ce x JOIN ce y ON y.u = x.v
+        |  JOIN ce z ON z.u = x.u AND z.v = y.v),
+        |corners AS (
+        |  SELECT a AS id FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri),
+        |deg AS (
+        |  SELECT id, count(*) AS d FROM (
+        |    SELECT u AS id FROM ce UNION ALL SELECT v FROM ce)
+        |  GROUP BY 1),
+        |cnt AS (SELECT id, count(*) AS n_tri FROM corners GROUP BY 1)
+        |SELECT deg.id, deg.d, coalesce(cnt.n_tri, 0) AS n_tri,
+        |       CAST(CASE WHEN deg.d < 2 THEN 0.0
+        |            ELSE round(2 * coalesce(cnt.n_tri, 0)
+        |                 / (deg.d * (deg.d - 1)), 4) END AS REAL) AS coef
+        |FROM deg LEFT JOIN cnt USING (id)""".stripMargin,
 
     "q173_funnel" ->
       """WITH e AS (

@@ -353,6 +353,13 @@ object Indicators extends QueryPack {
     // lead window and the aggregate.
     "q171_twap" -> ((s, d) => graft.ts.Twap.daily(t("events")(s, d))),
 
+    // Extension: rolling z-score anomaly flags on daily closes —
+    // trailing 20-bar mean/stddev (rounded BEFORE the division and
+    // the threshold compare, the cross-engine determinism contract),
+    // warm-up rows NULL.
+    "q181_anomaly" -> ((s, d) =>
+      graft.ts.Anomaly.rollingZ(Bars.daily(t("events")(s, d)))),
+
     // J4: the groupByKey.flatMapGroups kernel path ([[Recursive]]) —
     // the mart itself runs the native TypedImperativeAggregate path
     // (graft.functions), so this keeps the distributed-kernel
@@ -571,6 +578,26 @@ object Indicators extends QueryPack {
          |       CAST(month(dt) AS INTEGER) AS month,
          |       CAST(day(dt) AS INTEGER) AS day
          |FROM ind""".stripMargin,
+
+    "q181_anomaly" ->
+      s"""WITH ${Bars.oracleCte},
+         |r AS (
+         |  SELECT id, dt, close,
+         |         count(*) OVER w AS nw,
+         |         round(avg(close) OVER w, 4) AS mean_r,
+         |         round(stddev_samp(close) OVER w, 4) AS std_r
+         |  FROM daily
+         |  WINDOW w AS (PARTITION BY id ORDER BY dt
+         |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         |SELECT id, dt, close,
+         |  CAST(CASE WHEN nw >= 20 THEN mean_r END AS REAL) AS mean_w,
+         |  CAST(CASE WHEN nw >= 20 THEN std_r END AS REAL) AS std_w,
+         |  CAST(CASE WHEN nw >= 20 AND std_r IS NOT NULL AND std_r > 0
+         |       THEN round((close - mean_r) / std_r, 4) END AS REAL) AS z,
+         |  CASE WHEN nw >= 20 AND std_r IS NOT NULL AND std_r > 0
+         |       THEN abs(round((close - mean_r) / std_r, 4)) > 3.0
+         |  END AS is_anomaly
+         |FROM r""".stripMargin,
 
     "q171_twap" ->
       """WITH x AS (

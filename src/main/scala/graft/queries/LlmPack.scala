@@ -418,6 +418,11 @@ object LlmPack extends QueryPack {
     // storage-dedup granularity beside the eight similarity families.
     "q179_cdc_chunks" -> ((s, d) =>
       Dedup.cdcChunks(t("documents")(s, d))),
+    // Day-2 CDC novelty: per new doc (id % 3 == 0, the delta-family
+    // convention), the fraction of its chunks absent from the
+    // standing corpus — the deduplicated-storage estimate.
+    "q182_cdc_novelty" -> ((s, d) =>
+      Dedup.cdcNovelty(t("documents")(s, d), id => id % 3 === 0)),
     // SemDeDup: k-means cells + within-cell cosine dedup — the oracle
     // re-derives the full Lloyd chain (shared CTE builder with q71)
     // plus the greedy lowest-id keeper rule, so the whole semantic-
@@ -795,6 +800,37 @@ object LlmPack extends QueryPack {
     * the same w-row frame (struct_pack comparison = Spark struct
     * comparison, the aroon oracle's trick), full windows only.
     */
+  /** CDC chunk derivation (tok → positions → boundary rule → prior-cut
+    * cumsum → ordered chunk digests in `ch`) — shared by q179 (df
+    * decoration) and q182 (day-2 novelty). */
+  private val cdcChunkCtes =
+    s"""tok AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |pos AS (
+       |  SELECT doc_id, w, CAST(unnest(range(1, len(w) + 1)) AS INTEGER)
+       |           AS p
+       |  FROM tok),
+       |c AS (
+       |  SELECT doc_id, p, w[p] AS t,
+       |         CASE WHEN p >= 4 THEN
+       |           (${OracleSql.md5Word32(
+                     "md5(w[p-3] || ' ' || w[p-2] || ' ' || w[p-1]" +
+                       " || ' ' || w[p])", 0)}) % 8 = 0
+       |         ELSE FALSE END AS cut
+       |  FROM pos),
+       |a AS (
+       |  SELECT *, CAST(coalesce(sum(CASE WHEN cut THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY doc_id ORDER BY p
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS INTEGER) AS chunk_idx
+       |  FROM c),
+       |ch AS (
+       |  SELECT doc_id, chunk_idx, CAST(min(p) AS INTEGER) AS start,
+       |         CAST(count(*) AS INTEGER) AS n_tokens,
+       |         md5(string_agg(t, ' ' ORDER BY p)) AS dig
+       |  FROM a GROUP BY 1, 2)""".stripMargin
+
   private val winnowPairCtes =
     s"""tok AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
@@ -1518,36 +1554,29 @@ object LlmPack extends QueryPack {
     // CDC: gram hash (winnow's md5 word), boundary rule, prior-cut
     // cumsum, ordered reassembly digest, and chunk df all re-derived.
     "q179_cdc_chunks" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
-         |  FROM documents WHERE text IS NOT NULL),
-         |pos AS (
-         |  SELECT doc_id, w, CAST(unnest(range(1, len(w) + 1)) AS INTEGER)
-         |           AS p
-         |  FROM tok),
-         |c AS (
-         |  SELECT doc_id, p, w[p] AS t,
-         |         CASE WHEN p >= 4 THEN
-         |           (${OracleSql.md5Word32(
-                       "md5(w[p-3] || ' ' || w[p-2] || ' ' || w[p-1]" +
-                         " || ' ' || w[p])", 0)}) % 8 = 0
-         |         ELSE FALSE END AS cut
-         |  FROM pos),
-         |a AS (
-         |  SELECT *, CAST(coalesce(sum(CASE WHEN cut THEN 1 ELSE 0 END)
-         |    OVER (PARTITION BY doc_id ORDER BY p
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |    AS INTEGER) AS chunk_idx
-         |  FROM c),
-         |ch AS (
-         |  SELECT doc_id, chunk_idx, CAST(min(p) AS INTEGER) AS start,
-         |         CAST(count(*) AS INTEGER) AS n_tokens,
-         |         md5(string_agg(t, ' ' ORDER BY p)) AS dig
-         |  FROM a GROUP BY 1, 2),
+      s"""WITH $cdcChunkCtes,
          |dfq AS (SELECT dig, count(DISTINCT doc_id) AS df FROM ch GROUP BY 1)
          |SELECT ch.doc_id, ch.chunk_idx, ch.start, ch.n_tokens, ch.dig,
          |       dfq.df
          |FROM ch JOIN dfq USING (dig)""".stripMargin,
+    // Day-2 CDC novelty: the same chunk CTEs, the standing corpus
+    // reduced to a distinct digest set, membership + per-doc ratio.
+    "q182_cdc_novelty" ->
+      s"""WITH $cdcChunkCtes,
+         |olddig AS (
+         |  SELECT DISTINCT dig, TRUE AS known FROM ch WHERE doc_id % 3 <> 0),
+         |agg AS (
+         |  SELECT ch.doc_id,
+         |         CAST(count(*) AS INTEGER) AS n_chunks,
+         |         CAST(sum(CASE WHEN coalesce(known, FALSE) THEN 0 ELSE 1 END)
+         |              AS INTEGER) AS n_novel
+         |  FROM ch LEFT JOIN olddig USING (dig)
+         |  WHERE ch.doc_id % 3 = 0
+         |  GROUP BY 1)
+         |SELECT doc_id, n_chunks, n_novel,
+         |       CAST(round(CAST(n_novel AS DOUBLE) / n_chunks, 4) AS REAL)
+         |         AS novel_ratio
+         |FROM agg""".stripMargin,
     // SemDeDup oracle: the SAME Lloyd chain as q71 (shared CTE
     // builder), then within-cell a<b pairs at rounded cosine ≥ 0.35
     // and the lowest-id-survives verdict — clustering, pairing, and

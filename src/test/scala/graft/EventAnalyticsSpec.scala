@@ -30,6 +30,61 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("clustering coefficient: triangle corner=1, pendant=0, K4=1") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant 4–1: nodes 2,3 have d=2 coef 1.0;
+    // node 1 has d=3, 1 triangle → 2·1/(3·2) = 0.3333; node 4 d=1 → 0
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("a", "b")
+    val r = graft.graph.Triangles.clusteringCoef(edges).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2),
+        x.getFloat(3)))).toMap
+    assert(r(1L) == ((3L, 1L, 0.3333f)))
+    assert(r(2L) == ((2L, 1L, 1.0f)))
+    assert(r(3L) == ((2L, 1L, 1.0f)))
+    assert(r(4L) == ((1L, 0L, 0.0f)))
+  }
+
+  test("cdc novelty: a revision re-admits only its edited chunks") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => c}
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    // old corpus: doc 1 (base) + doc 2 (unrelated); new: doc 3 is a
+    // head-edited revision of doc 1, doc 6 is entirely fresh
+    val docs = Seq(
+      (1L, base), (2L, (1 to 40).map(i => s"u$i").mkString(" ")),
+      (3L, "EDIT " + base), (6L, (1 to 40).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = graft.llm.Dedup.cdcNovelty(docs, id => id % 3 === 0)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getInt(1), x.getInt(2), x.getFloat(3)))).toMap
+    assert(r.keySet == Set(3L, 6L))
+    val (n3, novel3, ratio3) = r(3L)
+    assert(novel3 <= 1 && n3 >= 3, s"revision re-admitted $novel3/$n3")
+    assert(ratio3 < 0.5f)
+    val (n6, novel6, ratio6) = r(6L)
+    assert(novel6 == n6 && ratio6 == 1.0f)
+  }
+
+  test("rolling z-score: spike flags, warm-up and flat windows NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => c}
+    // symbol 1: 24 bars oscillating ±1 around 100, then a 200 spike;
+    // symbol 2: constant (std 0 → NULL score)
+    val bars = ((1 to 24).map(i =>
+        (1L, s"2024-01-${"%02d".format(i)}", 100.0 + (i % 2))) :+
+        (1L, "2024-01-25", 200.0)) ++
+      (1 to 21).map(i => (2L, s"2024-01-${"%02d".format(i)}", 5.0))
+    val df = bars.toDF("id", "dt", "close")
+      .select(c("id"), c("dt").cast("date").as("dt"), c("close"))
+    val r = graft.ts.Anomaly.rollingZ(df)
+    val rows = r.where(c("id") === 1).orderBy(c("dt")).collect()
+    assert(rows.take(19).forall(_.isNullAt(5))) // warm-up: z NULL
+    assert(rows.last.getBoolean(6)) // the spike flags
+    assert(rows.dropRight(1).drop(19).forall(!_.getBoolean(6)))
+    val flat = r.where(c("id") === 2 && !c("z").isNull).count()
+    assert(flat == 0) // zero variance never scores
+  }
+
   test("funnel: completion, partial drop-off, and window cutoff") {
     import spark.implicits._
     // u1 completes inside the window; u2 stops at click; u3's purchase
