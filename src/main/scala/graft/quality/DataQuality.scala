@@ -211,6 +211,32 @@ object DataQuality {
         col("mad").cast("float").as("mad"), col("n_outliers"))
   }
 
+  /** One accepted-values check: `column` of `df` must only hold
+    * `allowed` values (NULL passes — it is the not-null test's
+    * business, mirroring [[refIntegrity]]'s NULL-FK rule). */
+  case class ValueCheck(name: String, df: DataFrame, column: String,
+    allowed: Seq[String])
+
+  /** dbt's `accepted_values` test, distributed — with [[refIntegrity]]
+    * (relationships), q12 (unique) and [[freshness]] this completes
+    * the standard warehouse test quartet. Per check: row count,
+    * violating rows, and distinct violating values (the triage
+    * number). One codegen'd isin filter + aggregate per check — the
+    * allowed set is a literal IN-list, no join; each check is one
+    * scan-side pass and the union is of 1-row aggregates.
+    */
+  def acceptedValues(checks: Seq[ValueCheck]): DataFrame =
+    checks.map { c =>
+      val v = col(c.column)
+      val bad = v.isNotNull && !v.isin(c.allowed.map(lit): _*)
+      c.df.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(bad, 1L).otherwise(0L)).as("n_violations"),
+          count_distinct(when(bad, v)).as("n_distinct_bad"))
+        .select(lit(c.name).as("check_name"), col("n_rows"),
+          col("n_violations"), col("n_distinct_bad"))
+    }.reduce(_ unionByName _)
+
   def refIntegrity(edges: Seq[FkEdge]): DataFrame =
     refIntegrityCore(edges, None)
 

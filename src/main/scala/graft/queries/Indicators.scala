@@ -360,6 +360,28 @@ object Indicators extends QueryPack {
     "q181_anomaly" -> ((s, d) =>
       graft.ts.Anomaly.rollingZ(Bars.daily(t("events")(s, d)))),
 
+    // Extension: Holt's linear (double exponential) smoothing — the
+    // one-step forecast on top of the EMA family, via the J4
+    // groupByKey kernel path; expression shapes match the recursive
+    // CTE oracle op-for-op, so the doubles are bit-identical before
+    // the rounded float edge.
+    "q186_holt" -> ((s, d) => {
+      val bars = Bars.daily(t("events")(s, d))
+        .select(col("id"),
+          org.apache.spark.sql.functions.unix_timestamp(
+            col("dt").cast("timestamp")).as("tkey"),
+          col("close"))
+      Recursive.applyKernel(bars, Seq("level", "trend", "fcast"))(
+          c => graft.ts.TaKernels.holt(c))
+        .select(col("id"), col("tkey"),
+          org.apache.spark.sql.functions.round(col("level"), 4)
+            .cast("float").as("level"),
+          org.apache.spark.sql.functions.round(col("trend"), 4)
+            .cast("float").as("trend"),
+          org.apache.spark.sql.functions.round(col("fcast"), 4)
+            .cast("float").as("fcast"))
+    }),
+
     // J4: the groupByKey.flatMapGroups kernel path ([[Recursive]]) —
     // the mart itself runs the native TypedImperativeAggregate path
     // (graft.functions), so this keeps the distributed-kernel
@@ -578,6 +600,32 @@ object Indicators extends QueryPack {
          |       CAST(month(dt) AS INTEGER) AS month,
          |       CAST(day(dt) AS INTEGER) AS day
          |FROM ind""".stripMargin,
+
+    "q186_holt" ->
+      s"""WITH RECURSIVE ${Bars.oracleCte},
+         |num AS MATERIALIZED (
+         |  SELECT id, dt, close,
+         |         CAST(row_number() OVER (PARTITION BY id ORDER BY dt)
+         |           AS INTEGER) AS rn
+         |  FROM daily),
+         |x2 AS MATERIALIZED (SELECT id, close AS c2 FROM num WHERE rn = 2),
+         |h AS (
+         |  SELECT n.id, n.rn, n.close AS l, (x2.c2 - n.close) AS b
+         |  FROM num n JOIN x2 ON n.id = x2.id WHERE n.rn = 1
+         |  UNION ALL
+         |  SELECT n.id, n.rn,
+         |    0.2 * n.close + (1 - 0.2) * (h.l + h.b),
+         |    0.1 * ((0.2 * n.close + (1 - 0.2) * (h.l + h.b)) - h.l)
+         |      + (1 - 0.1) * h.b
+         |  FROM num n JOIN h ON n.id = h.id AND n.rn = h.rn + 1)
+         |SELECT n.id,
+         |       CAST(floor(epoch(CAST(n.dt AS TIMESTAMP))) AS BIGINT)
+         |         AS tkey,
+         |       CAST(round(h.l, 4) AS REAL) AS level,
+         |       CAST(round(h.b, 4) AS REAL) AS trend,
+         |       CAST(round(h.l + h.b, 4) AS REAL) AS fcast
+         |FROM num n LEFT JOIN h ON n.id = h.id AND n.rn = h.rn"""
+        .stripMargin,
 
     "q181_anomaly" ->
       s"""WITH ${Bars.oracleCte},

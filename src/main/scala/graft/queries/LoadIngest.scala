@@ -197,6 +197,24 @@ object LoadIngest extends QueryPack {
     "q177_fk_orphans_bloom" -> ((s, d) =>
       DataQuality.refIntegrityBloom(starEdges(s, d))),
 
+    // dbt's accepted_values test — completes the warehouse test
+    // quartet beside unique (q12), relationships (q166/q177) and
+    // freshness (q52). Three clean checks plus a deliberately
+    // restricted commerce-only list whose violations exercise the
+    // counting for real.
+    "q185_accepted_values" -> ((s, d) => {
+      import graft.quality.DataQuality.ValueCheck
+      DataQuality.acceptedValues(Seq(
+        ValueCheck("events.event_type@full", t("events")(s, d),
+          "event_type", Seq("view", "click", "purchase", "signup", "error")),
+        ValueCheck("events.event_type@commerce", t("events")(s, d),
+          "event_type", Seq("view", "click", "purchase")),
+        ValueCheck("lineitem.l_returnflag", t("lineitem")(s, d),
+          "l_returnflag", Seq("A", "N", "R")),
+        ValueCheck("orders.o_orderstatus", t("orders")(s, d),
+          "o_orderstatus", Seq("F", "O", "P"))))
+    }),
+
     // Z-order layout audit: lineitem keyed on the (l_partkey,
     // l_suppkey) Morton curve, reported as per-block row counts +
     // min/max spans of BOTH dimensions — the footer-stats rectangle a
@@ -371,6 +389,25 @@ object LoadIngest extends QueryPack {
          |       (SELECT CAST(max($c) AS VARCHAR) FROM lineitem) AS max_s"""
         .stripMargin
     }.mkString("\nUNION ALL\n"),
+
+    "q185_accepted_values" -> Seq(
+      ("events.event_type@full", "events", "event_type",
+        Seq("view", "click", "purchase", "signup", "error")),
+      ("events.event_type@commerce", "events", "event_type",
+        Seq("view", "click", "purchase")),
+      ("lineitem.l_returnflag", "lineitem", "l_returnflag",
+        Seq("A", "N", "R")),
+      ("orders.o_orderstatus", "orders", "o_orderstatus",
+        Seq("F", "O", "P")))
+      .map { case (name, table, c, allowed) =>
+        val inList = allowed.map(v => s"'$v'").mkString(", ")
+        val bad = s"$c IS NOT NULL AND $c NOT IN ($inList)"
+        s"""SELECT '$name' AS check_name, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $bad THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_violations,
+           |  count(DISTINCT CASE WHEN $bad THEN $c END) AS n_distinct_bad
+           |FROM $table""".stripMargin
+      }.mkString("\nUNION ALL\n"),
 
     "q168_zorder" -> {
       // the 2x10-bit Morton interleave as exact integer arithmetic

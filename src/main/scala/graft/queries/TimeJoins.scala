@@ -60,7 +60,42 @@ object TimeJoins extends QueryPack {
     // arithmetic is the same IEEE sequence in both engines, so the
     // float gate is exact.
     "q167_interpolate" -> ((s, d) =>
-      graft.ts.Interpolate.fillDaily(Bars.daily(t("events")(s, d)))))
+      graft.ts.Interpolate.fillDaily(Bars.daily(t("events")(s, d)))),
+
+    // The SCD2 × as-of COMPOSITION — the point of both operators:
+    // revenue attributed to each customer's order-priority band AS OF
+    // the line item's ship date. The dimension side is q163's type-2
+    // history (run starts double as change points); the as-of key
+    // encodes (epoch day, orderkey) so equal-day changes order
+    // deterministically; the oracle is DuckDB's NATIVE ASOF JOIN over
+    // the RAW event stream — an independent formulation whose
+    // equivalence (latest run start ≤ t carries the same value as the
+    // latest event ≤ t) is the collapse invariant itself.
+    "q184_asof_scd2" -> ((s, d) => {
+      val enc = 10000000L
+      val ords = t("orders")(s, d).select(
+        col("o_custkey"), col("o_orderpriority"),
+        to_date(col("o_orderdate")).as("odate"), col("o_orderkey"))
+      val hist = graft.ops.Scd.type2(ords, Seq("o_custkey"),
+        Seq("o_orderpriority"), Seq("odate", "o_orderkey"))
+      val rights = hist.select(col("o_custkey"),
+        (datediff(col("odate_from"), lit("1970-01-01").cast("date"))
+          .cast("long") * enc + col("o_orderkey_from")).as("rt"),
+        col("o_orderpriority"))
+      val facts = t("lineitem")(s, d)
+        .join(t("orders")(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"),
+          (datediff(to_date(col("l_shipdate")), lit("1970-01-01").cast("date"))
+            .cast("long") * enc + (enc - 1)).as("lt"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      AsOf.asOfJoin(facts, rights, "o_custkey",
+          leftTime = col("lt"), rightTime = col("rt"),
+          payload = Seq("o_orderpriority"))
+        .groupBy(col("asof_o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("rev")), 2).cast("float").as("revenue"))
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "q75_asof_join" ->
@@ -124,5 +159,22 @@ object TimeJoins extends QueryPack {
          |                 / datediff('day', prev_d, next_d)
          |       END AS REAL) AS close_fill,
          |  close IS NULL AS is_interp
-         |FROM a""".stripMargin)
+         |FROM a""".stripMargin,
+    "q184_asof_scd2" ->
+      """WITH ev AS (
+        |  SELECT o_custkey AS k,
+        |         datediff('day', DATE '1970-01-01',
+        |           CAST(o_orderdate AS DATE)) * 10000000 + o_orderkey AS rt,
+        |         o_orderpriority
+        |  FROM orders),
+        |f AS (
+        |  SELECT o.o_custkey AS k,
+        |         datediff('day', DATE '1970-01-01',
+        |           CAST(l.l_shipdate AS DATE)) * 10000000 + 9999999 AS lt,
+        |         l.l_extendedprice * (1 - l.l_discount) AS rev
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT e.o_orderpriority AS priority, count(*) AS n_items,
+        |       CAST(round(sum(f.rev), 2) AS REAL) AS revenue
+        |FROM f ASOF LEFT JOIN ev e ON f.k = e.k AND f.lt >= e.rt
+        |GROUP BY 1""".stripMargin)
 }

@@ -110,4 +110,34 @@ object TaKernels {
     }
     out
   }
+
+  /** Holt's linear (double exponential) smoothing — the one-step
+    * forecasting primitive on top of the EMA family: level tracks the
+    * series, trend tracks its drift, forecast(t) = level + trend is
+    * the t+1 prediction. Textbook init: level₁ = x₁, trend₁ = x₂ − x₁
+    * (all-NaN on a 1-point series). Expression shapes are written to
+    * match the oracle's recursive CTE op-for-op, so the doubles are
+    * bit-identical cross-engine before any rounding.
+    * @return Array(level, trend, forecast)
+    */
+  def holt(closes: Array[Double], alpha: Double = 0.2,
+      beta: Double = 0.1): Array[Array[Double]] = {
+    val n = closes.length
+    val l = Array.fill(n)(Double.NaN)
+    val b = Array.fill(n)(Double.NaN)
+    val f = Array.fill(n)(Double.NaN)
+    if (n >= 2) {
+      l(0) = closes(0)
+      b(0) = closes(1) - closes(0)
+      f(0) = l(0) + b(0)
+      var i = 1
+      while (i < n) {
+        l(i) = alpha * closes(i) + (1 - alpha) * (l(i - 1) + b(i - 1))
+        b(i) = beta * (l(i) - l(i - 1)) + (1 - beta) * b(i - 1)
+        f(i) = l(i) + b(i)
+        i += 1
+      }
+    }
+    Array(l, b, f)
+  }
 }

@@ -98,4 +98,23 @@ class TaKernelsSpec extends AnyFunSuite {
     val (m, s, _) = TaKernels.macd(c)
     assert(m.forall(_.isNaN) && s.forall(_.isNaN))
   }
+
+  test("holt: textbook init, hand-replayed recurrence, trend tracking") {
+    val c = Array(10.0, 12.0, 14.0, 16.0, 18.0)
+    val Array(l, b, f) = TaKernels.holt(c, alpha = 0.2, beta = 0.1)
+    assert(l(0) == 10.0 && b(0) == 2.0 && f(0) == 12.0)
+    // replay the recurrence by hand
+    var (pl, pb) = (10.0, 2.0)
+    (1 until c.length).foreach { i =>
+      val nl = 0.2 * c(i) + (1 - 0.2) * (pl + pb)
+      val nb = 0.1 * (nl - pl) + (1 - 0.1) * pb
+      assert(l(i) == nl && b(i) == nb && f(i) == nl + nb)
+      pl = nl; pb = nb
+    }
+    // a perfectly linear series keeps a positive trend throughout
+    assert(b.forall(_ > 0))
+    // 1-point series: all NaN (no trend anchor)
+    val Array(l1, b1, f1) = TaKernels.holt(Array(5.0))
+    assert(l1.forall(_.isNaN) && b1.forall(_.isNaN) && f1.forall(_.isNaN))
+  }
 }

@@ -244,6 +244,20 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(r.getLong(4) == 1L)
   }
 
+  test("accepted values: clean check reads zero, violations counted") {
+    import spark.implicits._
+    val df = Seq("A", "A", "B", "C", "C", "C").toDF("v")
+      .unionByName(Seq(Option.empty[String]).toDF("v"))
+    val checks = Seq(
+      DataQuality.ValueCheck("clean", df, "v", Seq("A", "B", "C")),
+      DataQuality.ValueCheck("strict", df, "v", Seq("A")))
+    val r = DataQuality.acceptedValues(checks).collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r("clean") == ((7L, 0L, 0L)))  // NULL passes
+    assert(r("strict") == ((7L, 4L, 2L))) // B, C, C, C → 2 distinct
+  }
+
   test("bm25 idf discounts the term every doc contains") {
     import spark.implicits._
     // 'c' is in all docs (df=3), 'r' only in doc 1 (df=1) — equal tf,
