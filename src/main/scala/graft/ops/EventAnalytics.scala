@@ -70,6 +70,95 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Funnel DROP-OFF table at SESSION granularity — the conversion
+    * report product analytics actually ships: sessionize (gap rule),
+    * run the in-order step chain WITHIN each session (the session is
+    * the window), and emit one row per step with the count of sessions
+    * reaching it and the conversion fraction vs the previous step.
+    * Fractions are ratios of exact counts — cross-engine exact after
+    * rounding.
+    *
+    * Scale shape: one user-keyed exchange for the session window, then
+    * k (session-keyed) min-agg joins as in [[funnel]]; the drop-off
+    * aggregate is k 1-row counts unioned.
+    */
+  def funnelDropoff(events: DataFrame, steps: Seq[String],
+      gapSeconds: Long = 21600L): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+    val prev = lag(col("t"), 1).over(w)
+    val sess = events
+      .select(col("user_id"), unix_timestamp(col("ts")).as("t"),
+        col("event_id"), col("event_type"))
+      .withColumn("sid", sum(
+        when(prev.isNull || col("t") - prev > gapSeconds, 1L)
+          .otherwise(0L)).over(w))
+    val keys = Seq(col("user_id"), col("sid"))
+    val s1 = sess.where(col("event_type") === steps.head)
+      .groupBy(keys: _*).agg(min(col("t")).as("t_1"))
+    val chain = steps.zipWithIndex.tail.foldLeft(s1) {
+      case (acc, (step, i)) =>
+        val nxt = sess.where(col("event_type") === step)
+          .join(acc, Seq("user_id", "sid"))
+          .where(col("t") > col(s"t_$i"))
+          .groupBy(keys: _*).agg(min(col("t")).as(s"t_${i + 1}"))
+          .select(col("user_id"), col("sid"), col(s"t_${i + 1}"))
+        acc.join(nxt, Seq("user_id", "sid"), "left_outer")
+    }
+    // chain feeds |steps| count aggregates — materialize once
+    val done = chain.localCheckpoint(true)
+    val counts = steps.indices.map { i =>
+      done.agg(count(col(s"t_${i + 1}")).as("n_sessions"))
+        .select(lit(i + 1).as("step"), lit(steps(i)).as("step_name"),
+          col("n_sessions"))
+    }.reduce(_ unionByName _)
+    val lw = Window.orderBy(col("step"))
+    counts.withColumn("frac_of_prev",
+      round(col("n_sessions").cast("double") /
+        lag(col("n_sessions"), 1).over(lw), 4).cast("float"))
+  }
+
+  /** Market-basket association rules over (basket, item) facts: for
+    * each directed item pair with co-occurrence ≥ `minCount`, the
+    * classic support / confidence / lift triple. Every statistic is a
+    * ratio of exact basket counts — cross-engine exact after
+    * rounding.
+    *
+    * Scale shape: the pair count is the [[graft.graph.Triangles]]
+    * edge derivation (per-basket self-join, fan-out bounded by basket
+    * width²); item counts and the basket total are bounded
+    * aggregates broadcast into the rule projection. The `minCount`
+    * filter applies to the pair AGGREGATE, after map-side partials —
+    * no unfiltered pair list materializes.
+    */
+  def basketRules(facts: DataFrame, basketCol: String, itemCol: String,
+      minCount: Long = 3L): DataFrame = {
+    val b = facts.select(col(basketCol).as("bk"), col(itemCol).as("it"))
+      .distinct()
+      .localCheckpoint(true) // pair join ×2 + item counts + total
+    // basket total as a broadcast 1-row frame (the q07 scalar shape —
+    // no driver-side count action)
+    val nB = b.select(col("bk")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val itemCnt = b.groupBy(col("it")).agg(count(lit(1)).as("cnt"))
+    val co = b.as("x").join(b.as("y"),
+        col("x.bk") === col("y.bk") && col("x.it") =!= col("y.it"))
+      .groupBy(col("x.it").as("ante"), col("y.it").as("cons"))
+      .agg(count(lit(1)).as("n_co"))
+      .where(col("n_co") >= minCount)
+    co.join(itemCnt.select(col("it").as("ante"), col("cnt").as("n_a")), "ante")
+      .join(itemCnt.select(col("it").as("cons"), col("cnt").as("n_c")), "cons")
+      .crossJoin(broadcast(nB))
+      .select(col("ante"), col("cons"), col("n_co"),
+        round(col("n_co").cast("double") / col("n_baskets"), 4)
+          .cast("float").as("support"),
+        round(col("n_co").cast("double") / col("n_a"), 4).cast("float")
+          .as("confidence"),
+        round(col("n_co").cast("double") * col("n_baskets") /
+          (col("n_a") * col("n_c")), 4).cast("float").as("lift"))
+  }
+
   /** Rolling `windowDays`-day distinct active users per day (the
     * DAU/WAU/MAU curve at windowDays = 1/7/30): each (user, day)
     * activity fact contributes to the `windowDays` report days whose

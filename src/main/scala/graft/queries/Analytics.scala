@@ -126,6 +126,20 @@ object Analytics extends QueryPack {
     "q174_retention" -> ((s, d) =>
       graft.ops.EventAnalytics.retention(t("events")(s, d))),
 
+    // Funnel drop-off at SESSION granularity: q18's gap rule + the
+    // q173 step chain per session, reported as the per-step conversion
+    // table. Fractions are exact-count ratios.
+    "q187_funnel_dropoff" -> ((s, d) =>
+      graft.ops.EventAnalytics.funnelDropoff(t("events")(s, d),
+        Seq("view", "click", "purchase"), sessionGapS)),
+
+    // Market-basket association rules over order×part baskets:
+    // support/confidence/lift from exact basket counts; pair fan-out
+    // bounded by basket width², minCount applied post-partial-agg.
+    "q188_basket_rules" -> ((s, d) =>
+      graft.ops.EventAnalytics.basketRules(t("lineitem")(s, d),
+        "l_orderkey", "l_partkey")),
+
     // Robust per-type outlier audit: median/MAD with the
     // Iglewicz–Hoaglin 3.5 rule — stats rounded BEFORE the threshold
     // compare so the flag rule is cross-engine exact.
@@ -378,6 +392,56 @@ object Analytics extends QueryPack {
         |       CAST(datediff('day', cohort_day, dt) AS INTEGER) AS offset_day,
         |       count(*) AS n_users
         |FROM act JOIN coh USING (user_id) GROUP BY 1, 2""".stripMargin,
+
+    "q187_funnel_dropoff" ->
+      s"""WITH e AS (
+         |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         |         event_id, event_type
+         |  FROM events),
+         |l AS (SELECT *, lag(t) OVER
+         |        (PARTITION BY user_id ORDER BY t, event_id) AS prev
+         |      FROM e),
+         |s AS (SELECT *, CAST(sum(CASE WHEN prev IS NULL
+         |        OR t - prev > $sessionGapS THEN 1 ELSE 0 END) OVER
+         |        (PARTITION BY user_id ORDER BY t, event_id) AS BIGINT)
+         |        AS sid FROM l),
+         |s1 AS (SELECT user_id, sid, min(t) AS t_1 FROM s
+         |       WHERE event_type = 'view' GROUP BY 1, 2),
+         |s2 AS (SELECT s.user_id, s.sid, min(t) AS t_2
+         |       FROM s JOIN s1 USING (user_id, sid)
+         |       WHERE event_type = 'click' AND t > t_1 GROUP BY 1, 2),
+         |s3 AS (SELECT s.user_id, s.sid, min(t) AS t_3
+         |       FROM s JOIN s2 USING (user_id, sid)
+         |       WHERE event_type = 'purchase' AND t > t_2 GROUP BY 1, 2),
+         |c AS (
+         |  SELECT 1 AS step, 'view' AS step_name, count(*) AS n_sessions
+         |  FROM s1
+         |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+         |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+         |SELECT CAST(step AS INTEGER) AS step, step_name, n_sessions,
+         |       CAST(round(CAST(n_sessions AS DOUBLE)
+         |              / lag(n_sessions) OVER (ORDER BY step), 4) AS REAL)
+         |         AS frac_of_prev
+         |FROM c""".stripMargin,
+
+    "q188_basket_rules" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+        |nb AS (SELECT count(DISTINCT bk) AS n_baskets FROM b),
+        |ic AS (SELECT it, count(*) AS cnt FROM b GROUP BY 1),
+        |co AS (
+        |  SELECT x.it AS ante, y.it AS cons, count(*) AS n_co
+        |  FROM b x JOIN b y ON x.bk = y.bk AND x.it <> y.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT ante, cons, n_co,
+        |  CAST(round(CAST(n_co AS DOUBLE) / nb.n_baskets, 4) AS REAL)
+        |    AS support,
+        |  CAST(round(CAST(n_co AS DOUBLE) / a.cnt, 4) AS REAL)
+        |    AS confidence,
+        |  CAST(round(CAST(n_co AS DOUBLE) * nb.n_baskets
+        |         / (a.cnt * c.cnt), 4) AS REAL) AS lift
+        |FROM co JOIN ic a ON a.it = co.ante
+        |JOIN ic c ON c.it = co.cons, nb""".stripMargin,
 
     "q180_outliers" ->
       """WITH m AS (

@@ -71,6 +71,13 @@ object TimeJoins extends QueryPack {
     // the RAW event stream — an independent formulation whose
     // equivalence (latest run start ≤ t carries the same value as the
     // latest event ≤ t) is the collapse invariant itself.
+    // Pairwise lead-lag return cross-correlation: textbook Pearson
+    // from the five raw sums (not the engines' builtin corr), lag
+    // pre-exploded on one side of a date-keyed pair join; variance
+    // guard separates real signal from summation ulps.
+    "q189_lead_lag" -> ((s, d) =>
+      graft.ts.CrossCorr.leadLag(Bars.daily(t("events")(s, d)))),
+
     "q184_asof_scd2" -> ((s, d) => {
       val enc = 10000000L
       val ords = t("orders")(s, d).select(
@@ -160,6 +167,35 @@ object TimeJoins extends QueryPack {
          |       END AS REAL) AS close_fill,
          |  close IS NULL AS is_interp
          |FROM a""".stripMargin,
+    "q189_lead_lag" ->
+      s"""WITH ${Bars.oracleCte},
+         |r0 AS (
+         |  SELECT id, dt,
+         |         close / lag(close) OVER (PARTITION BY id ORDER BY dt) - 1
+         |           AS r
+         |  FROM daily),
+         |r AS (SELECT * FROM r0 WHERE r IS NOT NULL),
+         |bs AS (
+         |  SELECT id AS id_b, t.k, dt - CAST(t.k AS INTEGER) AS mdt,
+         |         r AS rb
+         |  FROM r, (VALUES (-2), (-1), (0), (1), (2)) t(k)),
+         |j AS (
+         |  SELECT a.id AS id_a, bs.id_b, bs.k, a.r AS ra, bs.rb
+         |  FROM r a JOIN bs ON a.dt = bs.mdt AND a.id < bs.id_b),
+         |g AS (
+         |  SELECT id_a, id_b, k, count(*) AS n,
+         |         sum(ra) AS sx, sum(rb) AS sy, sum(ra * rb) AS sxy,
+         |         sum(ra * ra) AS sxx, sum(rb * rb) AS syy
+         |  FROM j GROUP BY 1, 2, 3 HAVING count(*) >= 10)
+         |SELECT id_a, id_b, CAST(k AS INTEGER) AS k,
+         |       CAST(n AS INTEGER) AS n,
+         |       CAST(CASE WHEN (n * sxx - sx * sx) > 1e-12
+         |                  AND (n * syy - sy * sy) > 1e-12
+         |            THEN round((n * sxy - sx * sy)
+         |              / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+         |       END AS REAL) AS corr
+         |FROM g""".stripMargin,
+
     "q184_asof_scd2" ->
       """WITH ev AS (
         |  SELECT o_custkey AS k,

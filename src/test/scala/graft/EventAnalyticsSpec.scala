@@ -143,6 +143,64 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(dau == Map("1970-01-01" -> 2L, "1970-01-02" -> 1L))
   }
 
+  test("funnel dropoff: conversion only counts within one session") {
+    import spark.implicits._
+    // u1 converts fully inside one session; u2's purchase opens a NEW
+    // session (gap > 100s) and must not convert; u3 views only
+    val ev = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      (2L, 10L, "view"), (2L, 20L, "click"), (2L, 500L, "purchase"),
+      (3L, 10L, "view"))
+      .toDF("user_id", "t", "event_type")
+      .withColumn("event_id", col("t"))
+      .select(col("user_id"), col("t").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"))
+    val r = EventAnalytics.funnelDropoff(ev,
+        Seq("view", "click", "purchase"), gapSeconds = 100L)
+      .orderBy("step").collect()
+    assert(r.map(_.getLong(2)).toSeq == Seq(3L, 2L, 1L))
+    assert(r(0).isNullAt(3)) // first step has no previous
+    assert(r(1).getFloat(3) == 0.6667f)
+    assert(r(2).getFloat(3) == 0.5f)
+  }
+
+  test("basket rules: asymmetric confidence, lift above independence") {
+    import spark.implicits._
+    // baskets: {A,B} ×3, {A} ×3, {C} ×2 → n=8. conf(A→B)=0.5,
+    // conf(B→A)=1.0, lift = 8·3/(6·3) = 1.3333 both directions
+    val facts = (Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "B"), (4L, "A"), (5L, "A"), (6L, "A"),
+      (7L, "C"), (8L, "C"))).toDF("bk", "it")
+    val r = EventAnalytics.basketRules(facts, "bk", "it", minCount = 3L)
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getFloat(3), x.getFloat(4), x.getFloat(5))))
+      .toMap
+    assert(r(("A", "B")) == ((3L, 0.375f, 0.5f, 1.3333f)))
+    assert(r(("B", "A")) == ((3L, 0.375f, 1.0f, 1.3333f)))
+    assert(r.size == 2) // C pairs with nothing; sub-minCount absent
+  }
+
+  test("lead-lag: proportional series reads 1.0 at its true lag") {
+    import spark.implicits._
+    val days = (1 to 25).map(i => s"2024-01-${"%02d".format(i)}")
+    // symbol 2 tracks symbol 1 same-day (proportional closes → equal
+    // returns); symbol 3 tracks symbol 1 shifted one day later
+    val closes = (1 to 25).map(i => 100.0 + 10.0 * math.sin(i * 0.7))
+    val bars =
+      days.zip(closes).map { case (d, c) => (1L, d, c) } ++
+      days.zip(closes).map { case (d, c) => (2L, d, 2.0 * c) } ++
+      days.zip(closes).drop(1).map { case (d, _) => (3L, d, 0.0) }
+        .zip(closes).map { case ((id, d, _), c) => (id, d, c) }
+    val df = bars.toDF("id", "dt", "close")
+      .select(col("id"), col("dt").cast("date").as("dt"), col("close"))
+    val r = graft.ts.CrossCorr.leadLag(df).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(2)) ->
+        Option(x.get(4)).map(_.asInstanceOf[Float])).toMap
+    assert(r((1L, 2L, 0)) == Some(1.0f))   // proportional: same returns
+    assert(r((1L, 3L, 1)) == Some(1.0f))   // r_3(t+1) == r_1(t)
+    assert(r((1L, 2L, 1)) != Some(1.0f))   // wrong lag is not perfect
+  }
+
   test("transitions: bigram counts and row-normalized probabilities") {
     import spark.implicits._
     // u1: A B A B ; u2: A B  →  A→B ×3, B→A ×1
