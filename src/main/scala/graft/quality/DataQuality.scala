@@ -145,6 +145,42 @@ object DataQuality {
         col("n_non_null"), col("ndv_est"), col("min_s"), col("max_s"))
   }
 
+  /** Benford first-digit audit — the forensic screen for fabricated or
+    * truncated numeric columns: naturally-grown magnitudes follow
+    * P(d) = log₁₀(1 + 1/d); a uniform or hand-entered column doesn't.
+    * The leading digit comes from the INTEGER part via an unrolled
+    * exact integer division chain (values ≥ 1) — no log10-of-double
+    * boundary flips, no double→string formatting dependence. One
+    * 9-group aggregate + a broadcast total.
+    * @return (digit, n, obs_frac, benford_frac, dev) — dev = obs − exp
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val i = floor(col(valueCol)).cast("long")
+    // leading digit by magnitude-threshold CASE — a LINEAR when-chain
+    // referencing `i` once per branch (an iterated strip-a-digit fold
+    // would reference its accumulator three times per level: a 3^12-
+    // node expression tree that stalls Catalyst); floor of a
+    // double-division of longs < 2^53 is exact integer division
+    val lead = (12 to 1 by -1).foldLeft(Option.empty[Column]) { (acc, k) =>
+      val pow = math.pow(10, k).toLong
+      val branch = floor(i / lit(pow)).cast("long")
+      Some(acc.fold(when(i >= pow, branch))(_.when(i >= pow, branch)))
+    }.get.otherwise(i)
+    val counts = df.where(col(valueCol) >= 1)
+      .select(lead.cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("n_total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("n_total"), 4).cast("float")
+          .as("obs_frac"),
+        round(log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)), 4)
+          .cast("float").as("benford_frac"),
+        round(col("n").cast("double") / col("n_total") -
+          log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)), 4)
+          .cast("float").as("dev"))
+  }
+
   /** One foreign-key edge of a star schema: child rows whose `childKey`
     * has no match in the parent's `parentKey` are orphans. */
   case class FkEdge(name: String, child: DataFrame, childKey: String,

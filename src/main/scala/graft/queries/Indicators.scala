@@ -360,6 +360,21 @@ object Indicators extends QueryPack {
     "q181_anomaly" -> ((s, d) =>
       graft.ts.Anomaly.rollingZ(Bars.daily(t("events")(s, d)))),
 
+    // Extension: maximum drawdown per symbol — ratios of raw closes
+    // against a running max (picks, never sums), so even unrounded
+    // doubles agree bit-for-bit; trough tie-break is a struct min.
+    "q190_drawdown" -> ((s, d) =>
+      graft.ts.Drawdown.maxDrawdown(Bars.daily(t("events")(s, d)))),
+
+    // Extension: STL-lite additive decomposition (centered 7-day
+    // trend, per-(symbol, weekday) seasonal means, residual) — trend
+    // rounded at the point it enters downstream arithmetic; the
+    // seasonal mean decimal-summed so it is order-independent
+    // (engines slide windowed aggregates with different summation
+    // trees).
+    "q191_seasonal" -> ((s, d) =>
+      graft.ts.Seasonal.decompose(Bars.daily(t("events")(s, d)))),
+
     // Extension: Holt's linear (double exponential) smoothing — the
     // one-step forecast on top of the EMA family, via the J4
     // groupByKey kernel path; expression shapes match the recursive
@@ -600,6 +615,46 @@ object Indicators extends QueryPack {
          |       CAST(month(dt) AS INTEGER) AS month,
          |       CAST(day(dt) AS INTEGER) AS day
          |FROM ind""".stripMargin,
+
+    "q190_drawdown" ->
+      s"""WITH ${Bars.oracleCte},
+         |d AS (
+         |  SELECT id, dt,
+         |         round(close / max(close) OVER (PARTITION BY id ORDER BY dt
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1, 4)
+         |           AS dd
+         |  FROM daily)
+         |SELECT id, CAST(count(*) AS INTEGER) AS n_days,
+         |       (min(struct_pack(dd := dd, dt := dt))).dt AS trough_dt,
+         |       CAST(min(dd) AS REAL) AS max_dd
+         |FROM d GROUP BY 1""".stripMargin,
+
+    "q191_seasonal" ->
+      s"""WITH ${Bars.oracleCte},
+         |tr AS (
+         |  SELECT id, dt, close,
+         |         CASE WHEN count(*) OVER w = 7
+         |              THEN round(avg(close) OVER w, 4) END AS trend,
+         |         CAST(dayofweek(dt) + 1 AS INTEGER) AS dow
+         |  FROM daily
+         |  WINDOW w AS (PARTITION BY id ORDER BY dt
+         |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         |de AS (SELECT *, CAST(round((close - trend) * 10000) AS BIGINT)
+         |         AS detr_s FROM tr),
+         |se AS (SELECT id, dow,
+         |         CASE WHEN sum(detr_s) >= 0
+         |              THEN (2 * sum(detr_s) + count(*)) // (2 * count(*))
+         |              ELSE -((2 * -sum(detr_s) + count(*)) // (2 * count(*)))
+         |         END AS seasonal_s
+         |       FROM de WHERE detr_s IS NOT NULL GROUP BY 1, 2)
+         |SELECT de.id, de.dt, de.dow, de.close,
+         |       CAST(de.trend AS REAL) AS trend,
+         |       CAST(CASE WHEN de.trend IS NOT NULL
+         |            THEN se.seasonal_s / 10000.0 END AS REAL) AS seasonal,
+         |       CAST(CASE WHEN de.trend IS NOT NULL
+         |            THEN (de.detr_s - se.seasonal_s) / 10000.0 END AS REAL)
+         |         AS resid
+         |FROM de LEFT JOIN se USING (id, dow)""".stripMargin,
 
     "q186_holt" ->
       s"""WITH RECURSIVE ${Bars.oracleCte},

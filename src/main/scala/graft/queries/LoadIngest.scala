@@ -215,6 +215,12 @@ object LoadIngest extends QueryPack {
           "o_orderstatus", Seq("F", "O", "P"))))
     }),
 
+    // Benford first-digit forensic audit on order totals: leading
+    // digit by exact integer division (no log10/formatting edges);
+    // observed vs log10(1+1/d) expectation per digit.
+    "q192_benford" -> ((s, d) =>
+      DataQuality.benford(t("orders")(s, d), "o_totalprice")),
+
     // Z-order layout audit: lineitem keyed on the (l_partkey,
     // l_suppkey) Morton curve, reported as per-block row counts +
     // min/max spans of BOTH dimensions — the footer-stats rectangle a
@@ -408,6 +414,26 @@ object LoadIngest extends QueryPack {
            |  count(DISTINCT CASE WHEN $bad THEN $c END) AS n_distinct_bad
            |FROM $table""".stripMargin
       }.mkString("\nUNION ALL\n"),
+
+    "q192_benford" -> {
+      val digitCase = (12 to 1 by -1).map(k =>
+        s"WHEN i >= ${math.pow(10, k).toLong} THEN i // ${math.pow(10, k).toLong}")
+        .mkString(" ")
+      s"""WITH f AS (
+         |  SELECT CAST(floor(o_totalprice) AS BIGINT) AS i
+         |  FROM orders WHERE o_totalprice >= 1),
+         |d AS (SELECT CASE $digitCase ELSE i END AS digit FROM f),
+         |c AS (SELECT CAST(digit AS INTEGER) AS digit, count(*) AS n
+         |      FROM d GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c)
+         |SELECT digit, n,
+         |  CAST(round(CAST(n AS DOUBLE) / n_total, 4) AS REAL) AS obs_frac,
+         |  CAST(round(ln(1 + CAST(1 AS DOUBLE) / digit) / ln(10), 4) AS REAL)
+         |    AS benford_frac,
+         |  CAST(round(CAST(n AS DOUBLE) / n_total
+         |         - ln(1 + CAST(1 AS DOUBLE) / digit) / ln(10), 4) AS REAL) AS dev
+         |FROM c, t""".stripMargin
+    },
 
     "q168_zorder" -> {
       // the 2x10-bit Morton interleave as exact integer arithmetic

@@ -69,4 +69,23 @@ class DataQualitySpec extends AnyFunSuite {
     assert(e != 40.0 && math.abs(e - 40.0) / 40.0 < 1.0, s"ndv est $e")
     assert(est(df.repartition(11, col("id"))) == e)
   }
+
+  test("benford: leading digit exact across magnitudes; fractions sum to 1") {
+    import spark.implicits._
+    // values chosen to hit every magnitude branch incl. the 10^k
+    // boundaries where log10-of-double flips: 1-digit, boundary 10,
+    // 999999999999 (12 nines), sub-1 excluded, fractional part ignored
+    val df = Seq(1.0, 9.99, 10.0, 19.5, 94.2, 100.0, 999.0, 1234.5,
+        999999999999.0, 0.7, 0.01).toDF("v")
+    val got = DataQuality.benford(df, "v").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // leading digits of the 9 kept (≥1) values
+    assert(got == Map(1 -> 5, 9 -> 4))
+    val fr = DataQuality.benford(df, "v").agg(sum("obs_frac")).head.getDouble(0)
+    assert(math.abs(fr - 1.0) < 1e-6)
+    // benford_frac column is the closed form, independent of data
+    val bf = DataQuality.benford(df, "v").collect()
+      .map(r => r.getInt(0) -> r.getFloat(3)).toMap
+    assert(bf(1) == math.round(math.log10(2.0) * 10000) / 10000f)
+  }
 }
