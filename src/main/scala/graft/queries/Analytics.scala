@@ -116,6 +116,21 @@ object Analytics extends QueryPack {
       graft.graph.Triangles.clusteringCoef(e)
     }),
 
+    // k-core of the co-purchase graph (k=80): iterative peel — degree
+    // aggregate + two semi-joins per round, lineage checkpointed —
+    // separating genuinely dense part communities from star noise a
+    // raw degree filter can't tell apart. Fixed point within the
+    // round cap == the true 80-core; oracle unrolls the same peel.
+    "q194_kcore" -> ((s, d) => {
+      val li = t("lineitem")(s, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("a"), col("b.l_partkey").as("b"))
+      graft.graph.KCore.kCore(e, k = 80, maxRounds = 8)
+    }),
+
     // First-touch funnel view → click → purchase within 3 days of the
     // first view: k user-keyed min-aggregate joins, no per-user sort.
     "q173_funnel" -> ((s, d) => graft.ops.EventAnalytics.funnel(
@@ -335,6 +350,15 @@ object Analytics extends QueryPack {
         |cnt AS (SELECT id, count(*) AS n_tri FROM corners GROUP BY 1)
         |SELECT n.id, coalesce(cnt.n_tri, 0) AS n_tri
         |FROM nodes n LEFT JOIN cnt USING (id)""".stripMargin,
+
+    "q194_kcore" ->
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+         |         greatest(a.l_partkey, b.l_partkey) AS v
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey
+         |   AND a.l_partkey <> b.l_partkey),
+         |${graft.graph.KCore.oracleSql(k = 80, rounds = 8)}""".stripMargin,
 
     "q183_clustering_coef" ->
       """WITH ce AS (

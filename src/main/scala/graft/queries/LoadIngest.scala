@@ -221,6 +221,18 @@ object LoadIngest extends QueryPack {
     "q192_benford" -> ((s, d) =>
       DataQuality.benford(t("orders")(s, d), "o_totalprice")),
 
+    // Small-file compaction planner over a (month, supplier) pseudo
+    // file manifest: size-DESC next-fit binning by exact integer
+    // prefix sums — the metadata-only maintenance pass that turns
+    // thousands of small files into target-sized rewrite jobs.
+    "q193_compaction" -> ((s, d) => {
+      val manifest = t("lineitem")(s, d)
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("part_key"),
+          col("l_suppkey").as("file_id"))
+        .agg(count(lit(1)).as("sz"))
+      graft.load.Compaction.plan(manifest, target = 24L)
+    }),
+
     // Z-order layout audit: lineitem keyed on the (l_partkey,
     // l_suppkey) Morton curve, reported as per-block row counts +
     // min/max spans of BOTH dimensions — the footer-stats rectangle a
@@ -414,6 +426,25 @@ object LoadIngest extends QueryPack {
            |  count(DISTINCT CASE WHEN $bad THEN $c END) AS n_distinct_bad
            |FROM $table""".stripMargin
       }.mkString("\nUNION ALL\n"),
+
+    "q193_compaction" ->
+      """WITH m AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS part_key,
+        |         l_suppkey AS file_id, count(*) AS sz
+        |  FROM lineitem GROUP BY 1, 2),
+        |b AS (
+        |  SELECT part_key, file_id, sz,
+        |         coalesce(CAST(sum(sz) OVER (PARTITION BY part_key
+        |             ORDER BY sz DESC, file_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS BIGINT), 0) // 24 AS bin
+        |  FROM m)
+        |SELECT part_key, file_id, sz, bin,
+        |       CAST(count(*) OVER (PARTITION BY part_key, bin) AS INTEGER)
+        |         AS bin_files,
+        |       CAST(sum(sz) OVER (PARTITION BY part_key, bin) AS BIGINT)
+        |         AS bin_sz
+        |FROM b""".stripMargin,
 
     "q192_benford" -> {
       val digitCase = (12 to 1 by -1).map(k =>

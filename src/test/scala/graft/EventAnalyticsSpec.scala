@@ -217,4 +217,32 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(r(("B", "A")) == ((1L, 1.0f)))
     assert(r.size == 2)
   }
+
+  test("kcore: pendant chain cascades away, the clique survives intact") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} + a tail 4–5–6–7: for k=2 the tail peels one
+    // vertex per round (7, then 6, then 5) — a genuine cascade — and
+    // the clique survives with its internal degrees untouched
+    val k4 = for (a <- 1 to 4; b <- 1 to 4 if a < b) yield (a.toLong, b.toLong)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L), (6L, 7L))).toDF("a", "b")
+    val r = graft.graph.KCore.kCore(edges, k = 2, maxRounds = 8).collect()
+      .map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(r == Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 3))
+    // k above the max degree empties the graph
+    assert(graft.graph.KCore.kCore(edges, k = 5, maxRounds = 8).isEmpty)
+    // a round cap below the cascade depth returns the partial peel:
+    // after 1 round only leaf 7 is gone, 6 survives at trimmed degree
+    val capped = graft.graph.KCore.kCore(edges, k = 2, maxRounds = 1)
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(capped(6L) == 1 && !capped.contains(7L))
+  }
+
+  test("kcore: direction, duplicates and self-loops are noise") {
+    import spark.implicits._
+    val tri = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L),
+      (2L, 3L)).toDF("a", "b")
+    val r = graft.graph.KCore.kCore(tri, k = 2, maxRounds = 4).collect()
+      .map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(r == Map(1L -> 2, 2L -> 2, 3L -> 2))
+  }
 }

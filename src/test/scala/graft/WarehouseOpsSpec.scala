@@ -270,4 +270,40 @@ class WarehouseOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getFloat(4)).toMap
     assert(byQ(1L) > byQ(2L))
   }
+
+  test("compaction plan: size-desc next-fit bins, per-partition restart") {
+    import spark.implicits._
+    val manifest = Seq(
+      // partition p1: sizes 90, 60, 30, 20 → ordered desc, target 100:
+      // bins by exclusive cumsum div 100 = 0|90, 0|150?  90→bin0,
+      // 60 (cum 90) → bin0, 30 (cum 150) → bin1, 20 (cum 180) → bin1
+      ("p1", 1L, 60L), ("p1", 2L, 90L), ("p1", 3L, 30L), ("p1", 4L, 20L),
+      // p2 restarts at bin 0 regardless of p1's sums
+      ("p2", 1L, 10L)).toDF("part_key", "file_id", "sz")
+    val r = graft.load.Compaction.plan(manifest, target = 100L).collect()
+      .map(x => (x.getString(0), x.getLong(1)) ->
+        ((x.getLong(3), x.getInt(4), x.getLong(5)))).toMap
+    assert(r(("p1", 2L)) == ((0L, 2, 150L))) // 90 first (size desc)
+    assert(r(("p1", 1L)) == ((0L, 2, 150L)))
+    assert(r(("p1", 3L)) == ((1L, 2, 50L)))
+    assert(r(("p1", 4L)) == ((1L, 2, 50L)))
+    assert(r(("p2", 1L)) == ((0L, 1, 10L)))
+  }
+
+  test("compaction plan: bin count and max-bin-size bounds hold") {
+    import spark.implicits._
+    val sizes = (1 to 37).map(i => (i * 7 % 50) + 1L)
+    val manifest = sizes.zipWithIndex.map { case (s, i) =>
+      ("p", i.toLong, s) }.toDF("part_key", "file_id", "sz")
+    val target = 64L
+    val rows = graft.load.Compaction.plan(manifest, target)
+      .select("bin", "bin_sz").distinct().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bin count ≤ ⌊total/target⌋ + 1 — output file count tracks volume
+    assert(rows.size <= sizes.sum / target + 1)
+    // no rewrite job exceeds target + the largest input file
+    assert(rows.values.forall(_ <= target + sizes.max))
+    // bins tile the partition exactly
+    assert(rows.values.sum == sizes.sum)
+  }
 }
