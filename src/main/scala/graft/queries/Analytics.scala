@@ -203,6 +203,36 @@ object Analytics extends QueryPack {
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
             .cast("float").as("revenue"))),
 
+    // Interval-overlap join: browse sessions × purchase sessions per
+    // user — each side sessionized by the q18 gap rule over its own
+    // event subset, then bucket-replicated and equi-joined with the
+    // overlap attributed at its start bucket (no dedup shuffle).
+    "q195_interval_overlap" -> ((s, d) => {
+      def sess(types: Seq[String], sidCol: String, sC: String, eC: String,
+          nC: String) = {
+        val ev = t("events")(s, d)
+          .where(col("event_type").isin(types: _*))
+          .select(col("user_id"), col("ts").cast("long").as("ts_s"),
+            col("event_id"))
+        val w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+        val prev = lag(col("ts_s"), 1).over(w)
+        val isNew = when(prev.isNull || col("ts_s") - prev > sessionGapS, 1L)
+          .otherwise(0L)
+        ev.withColumn("sid", sum(isNew).over(w))
+          .groupBy(col("user_id"), col("sid").as(sidCol))
+          .agg(min("ts_s").as(sC), max("ts_s").as(eC),
+            count(lit(1)).as(nC))
+      }
+      val browse = sess(Seq("view", "click"), "lsid", "ls", "le", "ln")
+      val buy = sess(Seq("purchase"), "rsid", "rs", "re", "rn")
+      graft.ts.IntervalJoin.overlaps(browse, buy, "user_id", sessionGapS)
+        .select(col("user_id"), col("lsid"), col("rsid"),
+          col("ls"), col("rs"),
+          (least(col("le"), col("re")) - greatest(col("ls"), col("rs")))
+            .as("overlap_s"),
+          col("ln"), col("rn"))
+    }),
+
     "q18_sessionize" -> ((s, d) => {
       val ev = t("events")(s, d).select(col("user_id"),
         col("ts").cast("long").as("ts_s"), col("event_id"), col("value"))
@@ -300,6 +330,46 @@ object Analytics extends QueryPack {
         |       count(*) AS n_events,
         |       CAST(round(sum(value), 4) AS REAL) AS total_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q195_interval_overlap" ->
+      s"""WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         |             event_id, event_type FROM events),
+         |lsess AS (
+         |  SELECT user_id, sid, min(ts_s) AS ls, max(ts_s) AS le,
+         |         count(*) AS ln
+         |  FROM (SELECT *, CAST(sum(is_new) OVER
+         |          (PARTITION BY user_id ORDER BY ts_s, event_id) AS BIGINT)
+         |          AS sid
+         |        FROM (SELECT *, CASE WHEN prev IS NULL
+         |                OR ts_s - prev > $sessionGapS THEN 1 ELSE 0 END
+         |                AS is_new
+         |              FROM (SELECT *, lag(ts_s) OVER
+         |                      (PARTITION BY user_id
+         |                       ORDER BY ts_s, event_id) AS prev
+         |                    FROM e
+         |                    WHERE event_type IN ('view', 'click'))))
+         |  GROUP BY 1, 2),
+         |rsess AS (
+         |  SELECT user_id, sid, min(ts_s) AS rs, max(ts_s) AS re,
+         |         count(*) AS rn
+         |  FROM (SELECT *, CAST(sum(is_new) OVER
+         |          (PARTITION BY user_id ORDER BY ts_s, event_id) AS BIGINT)
+         |          AS sid
+         |        FROM (SELECT *, CASE WHEN prev IS NULL
+         |                OR ts_s - prev > $sessionGapS THEN 1 ELSE 0 END
+         |                AS is_new
+         |              FROM (SELECT *, lag(ts_s) OVER
+         |                      (PARTITION BY user_id
+         |                       ORDER BY ts_s, event_id) AS prev
+         |                    FROM e
+         |                    WHERE event_type = 'purchase')))
+         |  GROUP BY 1, 2)
+         |SELECT l.user_id, l.sid AS lsid, r.sid AS rsid, l.ls, r.rs,
+         |       least(l.le, r.re) - greatest(l.ls, r.rs) AS overlap_s,
+         |       l.ln, r.rn
+         |FROM lsess l JOIN rsess r
+         |  ON l.user_id = r.user_id
+         | AND greatest(l.ls, r.rs) <= least(l.le, r.re)""".stripMargin,
+
     "q18_sessionize" ->
       s"""WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
          |             event_id, value FROM events),

@@ -44,4 +44,24 @@ class AsOfSpec extends AnyFunSuite {
     assert(got.length == 3)
     assert(got.toSet == Set(("p1", "i1"), ("p2", "i1"), ("p2", "i2")))
   }
+
+  test("interval overlap: closed bounds, single attribution, key isolation") {
+    import spark.implicits._
+    val left = Seq(
+      ("A", 0L, 250L, "l1"),    // spans buckets 0..2 (W=100)
+      ("A", 300L, 310L, "l2"),
+      ("B", 0L, 50L, "l3"))
+      .toDF("k", "ls", "le", "lv")
+    val right = Seq(
+      ("A", 50L, 450L, "r1"),   // overlaps l1 across 3 shared buckets AND l2
+      ("A", 250L, 260L, "r2"),  // touches l1 at exactly one point (closed)
+      ("A", 251L, 260L, "r3"),  // misses l1 by one
+      ("B", 60L, 70L, "r4"))    // same bucket as l3, no overlap
+      .toDF("k", "rs", "re", "rv")
+    val got = graft.ts.IntervalJoin.overlaps(left, right, "k", 100L)
+      .select("lv", "rv").collect().map(r => (r.getString(0), r.getString(1)))
+    // each overlapping pair EXACTLY once despite multi-bucket spans
+    assert(got.length == got.toSet.size)
+    assert(got.toSet == Set(("l1", "r1"), ("l2", "r1"), ("l1", "r2")))
+  }
 }
