@@ -586,6 +586,35 @@ object Dedup {
       deltaPred: Option[Column], bits: Int = simhashBits): DataFrame =
     pairsFromFp(fpFrame(docs, bits), maxHamming, deltaPred, bits)
 
+  /** EDIT-DISTANCE–VERIFIED near-dup pairs: [[simhashPairs]]
+    * candidates re-checked with exact Levenshtein over each side's
+    * first `prefixLen` characters — the record-linkage verify step
+    * that rescues PRECISION when the fingerprint family's collision
+    * rate rises (a saturating 32-bit space pairs same-topic documents
+    * whose actual text differs; edit distance kills those while true
+    * near-dups — small insertions/substitutions — survive).
+    *
+    * Scale shape: texts move only for CANDIDATE pairs (two id-keyed
+    * hash joins on the banded pair frame — never all-pairs), and the
+    * O(prefixLen²) DP cost is bounded by the prefix cap, not document
+    * length. Levenshtein is exact integer arithmetic: codegen'd in
+    * Spark, bit-identical in any engine.
+    *
+    * @return (da, db, hamming, edit) with edit ≤ maxEdit
+    */
+  def editVerifiedPairs(docs: DataFrame, maxHamming: Int = 3,
+      maxEdit: Int = 20, prefixLen: Int = 200,
+      bits: Int = simhashBits): DataFrame = {
+    val pfx = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), substring(col("text"), 1, prefixLen).as("pfx"))
+    simhashPairs(docs, maxHamming, bits)
+      .join(pfx.select(col("doc_id").as("da"), col("pfx").as("pa")), "da")
+      .join(pfx.select(col("doc_id").as("db"), col("pfx").as("pb")), "db")
+      .select(col("da"), col("db"), col("hamming"),
+        levenshtein(col("pa"), col("pb")).as("edit"))
+      .where(col("edit") <= maxEdit)
+  }
+
   /** The pair family's fingerprint frame: (doc_id, simhash, fpl) — the
     * bit string parsed to a long ONCE per doc; candidates then carry
     * two longs and the verify is bit_count(xor) — scalar codegen, no

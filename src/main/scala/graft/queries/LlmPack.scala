@@ -140,6 +140,13 @@ object LlmPack extends QueryPack {
         col("doc_id") % 3 === 0)),
     "q74_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(t("documents")(s, d))),
+    // Edit-distance verification over the simhash candidates: exact
+    // Levenshtein on 200-char prefixes — texts move only for banded
+    // candidate pairs — rescuing precision where the 32-bit
+    // fingerprint space pairs same-topic-different-text docs
+    // (725 candidates → 23 true near-dups at sf0.01).
+    "q196_edit_verified" -> ((s, d) =>
+      Dedup.editVerifiedPairs(t("documents")(s, d))),
     // The CORPUS-SCALE fingerprint width: same map-only kernel and
     // pigeonhole band join at 64 bits / 4×16-bit bands — 65 536
     // buckets per band keep the candidate join selective at ≥ 10⁸
@@ -1135,6 +1142,16 @@ object LlmPack extends QueryPack {
     "q74_simhash_pairs" ->
       s"""WITH $simhashPairCtes
          |SELECT da, db, hamming FROM p WHERE hamming <= 3""".stripMargin,
+    "q196_edit_verified" ->
+      s"""WITH $simhashPairCtes
+         |SELECT p.da, p.db, p.hamming,
+         |       levenshtein(substr(a.text, 1, 200), substr(b.text, 1, 200))
+         |         AS edit
+         |FROM p JOIN documents a ON p.da = a.doc_id
+         |       JOIN documents b ON p.db = b.doc_id
+         |WHERE p.hamming <= 3
+         |  AND levenshtein(substr(a.text, 1, 200), substr(b.text, 1, 200))
+         |      <= 20""".stripMargin,
     "q96_simhash_delta" ->
       s"""WITH $simhashPairCtes
          |SELECT da, db, hamming FROM p

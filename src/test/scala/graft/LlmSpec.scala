@@ -1178,4 +1178,29 @@ class LlmSpec extends AnyFunSuite {
     assert(out(3L) == ((3, 2, BigDecimal(2.0 / 3)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toFloat)))
   }
+
+  test("editVerifiedPairs: candidates carry true edit distance; cap filters") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                       // exact dup: hamming 0, edit 0
+      (3L, base.replace("w7 ", "w7x ")),// one-char insert: tiny edit
+      (4L, "entirely different content " + (1 to 40)
+        .map(i => s"z$i").mkString(" "))) // no candidate pair expected
+      .toDF("doc_id", "text")
+    val got = Dedup.editVerifiedPairs(docs, maxEdit = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3)).toMap
+    assert(got(1L -> 2L) == 0)
+    assert(got.get(1L -> 3L).forall(_ == 1)) // if banded-candidate, edit is 1
+    assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L })
+    // verified output is a SUBSET of the candidate family
+    val cand = Dedup.simhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.keySet.subsetOf(cand))
+    // a zero cap keeps only byte-identical prefixes
+    val strict = Dedup.editVerifiedPairs(docs, maxEdit = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict == Set(1L -> 2L))
+  }
 }
