@@ -203,6 +203,15 @@ object Analytics extends QueryPack {
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
             .cast("float").as("revenue"))),
 
+    // χ² independence audit: event mix × weekday — exact-integer
+    // contingency cells, IEEE-deterministic expectations, per-cell
+    // contributions rounded then DECIMAL-summed (order-independent)
+    // into the headline statistic.
+    "q197_chi2" -> ((s, d) =>
+      graft.ops.Stats.chiSquare(
+        t("events")(s, d).withColumn("dow", dayofweek(to_date(col("ts")))),
+        "event_type", "dow")),
+
     // Interval-overlap join: browse sessions × purchase sessions per
     // user — each side sessionized by the q18 gap rule over its own
     // event subset, then bucket-replicated and equi-joined with the
@@ -330,6 +339,29 @@ object Analytics extends QueryPack {
         |       count(*) AS n_events,
         |       CAST(round(sum(value), 4) AS REAL) AS total_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q197_chi2" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INTEGER)
+        |           AS dow, count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, sum(o) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT dow, sum(o) AS ct FROM cells GROUP BY 1),
+        |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |we AS (
+        |  SELECT c.event_type, c.dow, c.o,
+        |         CAST(rt.rt AS DOUBLE) * ct.ct / n.n AS e
+        |  FROM cells c JOIN rt USING (event_type) JOIN ct USING (dow), n),
+        |wc AS (SELECT *, round((o - e) * (o - e) / e, 4) AS contrib FROM we),
+        |tot AS (
+        |  SELECT CAST(CAST(sum(CAST(contrib AS DECIMAL(18,4))) AS DOUBLE)
+        |           AS REAL) AS chi2,
+        |         CAST((count(DISTINCT event_type) - 1) *
+        |              (count(DISTINCT dow) - 1) AS INTEGER) AS dof
+        |  FROM wc)
+        |SELECT event_type, dow, o, CAST(round(e, 2) AS REAL) AS e,
+        |       CAST(contrib AS REAL) AS contrib, chi2, dof
+        |FROM wc, tot""".stripMargin,
+
     "q195_interval_overlap" ->
       s"""WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
          |             event_id, event_type FROM events),

@@ -218,6 +218,27 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(r.size == 2)
   }
 
+  test("chi2: hand-checked 2x2 dependence; independent table reads ~0") {
+    import spark.implicits._
+    // (A,x)=10 (A,y)=20 (B,x)=20 (B,y)=10 → every e=15,
+    // contrib=(±5)²/15 each → chi2 = 4·round(5²/15,4) = 6.6668, dof=1
+    val dep = (Seq.fill(10)(("A", "x")) ++ Seq.fill(20)(("A", "y")) ++
+      Seq.fill(20)(("B", "x")) ++ Seq.fill(10)(("B", "y")))
+      .toDF("g", "h")
+    val r = graft.ops.Stats.chiSquare(dep, "g", "h").collect()
+    assert(r.length == 4)
+    assert(r.forall(_.getFloat(3) == 15.0f))      // e
+    assert(r.forall(_.getFloat(4) == 1.6667f))    // contrib
+    assert(r.forall(_.getFloat(5) == 6.6668f))    // chi2
+    assert(r.forall(_.getInt(6) == 1))            // dof
+    // perfectly proportional rows → chi2 exactly 0
+    val ind = (Seq.fill(10)(("A", "x")) ++ Seq.fill(20)(("A", "y")) ++
+      Seq.fill(20)(("B", "x")) ++ Seq.fill(40)(("B", "y")))
+      .toDF("g", "h")
+    val r2 = graft.ops.Stats.chiSquare(ind, "g", "h").collect()
+    assert(r2.forall(_.getFloat(5) == 0.0f))
+  }
+
   test("kcore: pendant chain cascades away, the clique survives intact") {
     import spark.implicits._
     // K4 on {1,2,3,4} + a tail 4–5–6–7: for k=2 the tail peels one
