@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed GLOBAL prefix scan — a running total over an entire
+  * table in key order, WITHOUT the single-partition window Spark
+  * plans for `sum(...) over (order by k)` (the classic job-killer:
+  * one task materializes the whole table).
+  *
+  * The two-level scan from the PRAM playbook: range-repartition by
+  * the key (range partition i holds strictly smaller keys than
+  * i + 1 — Spark's RangePartitioner contract), compute
+  * partition-LOCAL running sums with an ordinary partitioned window,
+  * reduce each partition to its total (one row per partition), scan
+  * those totals — a single-partition window over #partitions rows,
+  * metadata-sized at any table size — and broadcast the resulting
+  * exclusive offsets back onto the local scans.
+  *
+  * The output is partitioning-INVARIANT: whatever boundaries the
+  * range sampler picks, local + offset telescopes to the same global
+  * running sum. Requires `keyCols` to form a UNIQUE key (callers
+  * pre-aggregate ties away) — with duplicate keys "the running sum at
+  * a row" is ill-defined in any engine.
+  */
+object Scan {
+
+  /** df + `run` = global running sum of `v` in `keyCols` order
+    * (inclusive of the current row). `v` should be integral/decimal
+    * for an exact scan; doubles would be summation-order-dependent.
+    */
+  def globalRunningSum(df: DataFrame, keyCols: Seq[String], v: Column,
+      run: String = "run"): DataFrame =
+    globalRunningSums(df, keyCols, Seq(v -> run))
+
+  /** Multi-column form: all running sums ride ONE range shuffle and
+    * one offset broadcast. */
+  def globalRunningSums(df: DataFrame, keyCols: Seq[String],
+      vs: Seq[(Column, String)]): DataFrame = {
+    val keys = keyCols.map(col)
+    val parted = df.repartitionByRange(keys: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false) // pin range boundaries: local scans and
+                              // totals must see the SAME partitioning
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(keys: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = vs.zipWithIndex.foldLeft(parted) {
+      case (acc, ((v, _), i)) =>
+        acc.withColumn(s"__rl$i", sum(v).over(wLocal))
+    }
+    val totals = parted.groupBy(col("__pid"))
+      .agg(sum(vs.head._1).as("__t0"),
+        vs.tail.zipWithIndex.map { case ((v, _), i) =>
+          sum(v).as(s"__t${i + 1}") }: _*)
+    // #partitions rows — the one place a single-partition window is
+    // CORRECT at scale, because its input is metadata-sized
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = vs.indices.foldLeft(totals) { (acc, i) =>
+      acc.withColumn(s"__off$i",
+        coalesce(sum(col(s"__t$i")).over(wOff), lit(0L)))
+    }.select(col("__pid") +: vs.indices.map(i => col(s"__off$i")): _*)
+    val joined = local.join(broadcast(offs), "__pid")
+    vs.zipWithIndex.foldLeft(joined) { case (acc, ((_, name), i)) =>
+      acc.withColumn(name, col(s"__rl$i") + col(s"__off$i"))
+    }.drop("__pid" +: vs.indices.flatMap(i =>
+      Seq(s"__rl$i", s"__off$i")): _*)
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic at scale:
+    * D = max over observed values of |F̂₁ − F̂₂|, computed from
+    * per-value counts (one bounded groupBy) + ONE distributed global
+    * scan carrying both running counts — never a per-sample sort on a
+    * single task. Exact, not a quantile-grid approximation: D is
+    * attained at sample points, and both ECDFs are rational counts.
+    *
+    * @return one row: (n1, n2, d, at_value) — d rounded to 4, tie on
+    *         the max broken toward the SMALLEST attaining value
+    */
+  def ksTest(df: DataFrame, valueCol: String, groupCol: String,
+      g1: String, g2: String): DataFrame = {
+    val counts = df.where(col(groupCol).isin(g1, g2) &&
+        col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("v"))
+      .agg(sum(when(col(groupCol) === g1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col(groupCol) === g2, 1L).otherwise(0L)).as("c2"))
+      .localCheckpoint(true) // feeds the scan twice + the totals row
+    val n = counts.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val scanned = globalRunningSums(counts, Seq("v"),
+      Seq(col("c1") -> "r1", col("c2") -> "r2"))
+    scanned.crossJoin(broadcast(n))
+      .select(col("n1"), col("n2"),
+        struct(
+          (abs(col("r1").cast("double") / col("n1") -
+            col("r2").cast("double") / col("n2")) * lit(-1.0)).as("nd"),
+          col("v").as("v")).as("s"))
+      .groupBy(col("n1"), col("n2")) // constants → one map-side-min group
+      .agg(min(col("s")).as("m"))
+      .select(col("n1"), col("n2"),
+        round(col("m.nd") * lit(-1.0), 4).cast("float").as("d"),
+        col("m.v").as("at_value"))
+  }
+}

@@ -203,6 +203,30 @@ object Analytics extends QueryPack {
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
             .cast("float").as("revenue"))),
 
+    // Distributed global prefix scan: cumulative revenue by order day
+    // WITHOUT the single-partition window — range-repartition, local
+    // scans, a metadata-sized offset scan broadcast back. Daily sums
+    // carried as DECIMAL so the running total is exact.
+    "q198_running_total" -> ((s, d) => {
+      val daily = t("orders")(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("odate"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      graft.ops.Scan.globalRunningSum(daily, Seq("odate"), col("rev"),
+          run = "run_rev")
+        .select(col("odate"), col("n_orders"),
+          col("rev").cast("double").cast("float").as("rev"),
+          col("run_rev").cast("double").cast("float").as("run_rev"))
+    }),
+
+    // Exact two-sample KS test (view vs purchase value distributions):
+    // per-value counts + ONE global scan carrying both ECDFs — never a
+    // per-sample single-task sort; D attained at a sample point, the
+    // max argmin'd by struct comparison.
+    "q199_ks_test" -> ((s, d) =>
+      graft.ops.Scan.ksTest(t("events")(s, d), "value", "event_type",
+        "view", "purchase")),
+
     // χ² independence audit: event mix × weekday — exact-integer
     // contingency cells, IEEE-deterministic expectations, per-cell
     // contributions rounded then DECIMAL-summed (order-independent)
@@ -339,6 +363,42 @@ object Analytics extends QueryPack {
         |       count(*) AS n_events,
         |       CAST(round(sum(value), 4) AS REAL) AS total_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q198_running_total" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS odate, count(*) AS n_orders,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT odate, n_orders, CAST(CAST(rev AS DOUBLE) AS REAL) AS rev,
+        |       CAST(CAST(sum(rev) OVER (ORDER BY odate
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS DOUBLE) AS REAL) AS run_rev
+        |FROM daily""".stripMargin,
+
+    "q199_ks_test" ->
+      """WITH c AS (
+        |  SELECT value AS v,
+        |         count(*) FILTER (event_type = 'view') AS c1,
+        |         count(*) FILTER (event_type = 'purchase') AS c2
+        |  FROM events
+        |  WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+        |  GROUP BY 1),
+        |s AS (
+        |  SELECT v,
+        |         sum(c1) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r1,
+        |         sum(c2) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r2
+        |  FROM c),
+        |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |             CAST(sum(c2) AS BIGINT) AS n2 FROM c),
+        |d AS (SELECT v, n1, n2,
+        |        abs(CAST(r1 AS DOUBLE) / n1 - CAST(r2 AS DOUBLE) / n2) AS d
+        |      FROM s, n)
+        |SELECT n1, n2, CAST(round(-(m.nd), 4) AS REAL) AS d,
+        |       m.v AS at_value
+        |FROM (SELECT n1, n2, min(struct_pack(nd := -d, v := v)) AS m
+        |      FROM d GROUP BY 1, 2)""".stripMargin,
+
     "q197_chi2" ->
       """WITH cells AS (
         |  SELECT event_type, CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INTEGER)
