@@ -203,6 +203,17 @@ object Analytics extends QueryPack {
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
             .cast("float").as("revenue"))),
 
+    // Revenue concentration: Gini + top-1%/10% shares of per-customer
+    // revenue — global ranks off the distributed scan (no
+    // single-partition window), decimal moments, closed-form Gini.
+    "q200_gini" -> ((s, d) => {
+      val units = t("orders")(s, d)
+        .groupBy(col("o_custkey"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("cents"))
+      graft.ops.Concentration.gini(units, "cents", "o_custkey")
+    }),
+
     // Distributed global prefix scan: cumulative revenue by order day
     // WITHOUT the single-partition window — range-repartition, local
     // scans, a metadata-sized offset scan broadcast back. Daily sums
@@ -363,6 +374,37 @@ object Analytics extends QueryPack {
         |       count(*) AS n_events,
         |       CAST(round(sum(value), 4) AS REAL) AS total_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q200_gini" ->
+      """WITH u AS (
+        |  SELECT o_custkey AS uid,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |           AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT uid, x,
+        |        CAST(row_number() OVER (ORDER BY x, uid) AS BIGINT) AS rk
+        |      FROM u),
+        |m AS (SELECT count(*) AS n,
+        |        sum(CAST(x AS DECIMAL(38,0))) AS t,
+        |        sum(CAST(rk AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+        |          AS s
+        |      FROM r),
+        |sh AS (SELECT
+        |         sum(CASE WHEN rk > n - n // 100
+        |             THEN CAST(x AS DECIMAL(38,0)) END) AS x1,
+        |         sum(CASE WHEN rk > n - n // 10
+        |             THEN CAST(x AS DECIMAL(38,0)) END) AS x10
+        |       FROM r, m)
+        |SELECT n AS n_units, CAST(t AS BIGINT) AS total,
+        |  CAST(round((2.0 * CAST(s AS DOUBLE)
+        |         - CAST(n + 1 AS DOUBLE) * CAST(t AS DOUBLE))
+        |       / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)), 4) AS REAL)
+        |    AS gini,
+        |  CAST(round(coalesce(CAST(x1 AS DOUBLE), 0) / CAST(t AS DOUBLE), 4)
+        |    AS REAL) AS top1_share,
+        |  CAST(round(coalesce(CAST(x10 AS DOUBLE), 0) / CAST(t AS DOUBLE), 4)
+        |    AS REAL) AS top10_share
+        |FROM m, sh""".stripMargin,
+
     "q198_running_total" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS odate, count(*) AS n_orders,

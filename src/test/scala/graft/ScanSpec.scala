@@ -34,6 +34,22 @@ class ScanSpec extends AnyFunSuite {
     assert(r.toSeq == Seq((10L, 1L), (10L, 3L), (15L, 7L)))
   }
 
+  test("gini: uniform reads 0; hand-checked concentration and top shares") {
+    import spark.implicits._
+    def g(xs: Seq[Long]) = graft.ops.Concentration.gini(
+      xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("uid", "cents"),
+      "cents", "uid").collect()(0)
+    val eq = g(Seq.fill(4)(25L))
+    assert(eq.getLong(0) == 4L && eq.getLong(1) == 100L)
+    assert(eq.getFloat(2) == 0.0f)
+    // 9 units of 1 + one whale of 91: S = 45 + 10·91 = 955 →
+    // gini = (1910 − 11·100)/(10·100) = 0.81; top-10% = the whale
+    val wh = g(Seq.fill(9)(1L) :+ 91L)
+    assert(wh.getFloat(2) == 0.81f)
+    assert(wh.getFloat(3) == 0.0f)   // n DIV 100 = 0 → empty top-1%
+    assert(wh.getFloat(4) == 0.91f)
+  }
+
   test("ksTest: hand-checked D and attaining point; identical samples read 0") {
     import spark.implicits._
     // g1 = {1,2,3}, g2 = {3,4}: |F1-F2| peaks at v=2 with 2/3
