@@ -1,0 +1,53 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-source breadth-first search: hop distance from a seed set
+  * over an undirected edge list — the reachability/radius primitive
+  * beside [[ConnectedComponents]] (which answers "same component?"
+  * but not "how far?"), [[PageRank]] (authority) and [[KCore]]
+  * (density).
+  *
+  * Frontier form of the Pregel round: round r joins ONLY the frontier
+  * (nodes first reached at r−1) against the edge list, then left-anti
+  * subtracts everything already labeled — so per-round shuffle cost
+  * tracks the frontier × degree fan-out, not the accumulated labeled
+  * set, and rounds are hash-partitioned equi-joins end to end. Labels
+  * are eagerly `localCheckpoint`ed per round (the repo's iterative
+  * discipline: the un-executed lineage would double per round).
+  *
+  * Hop distances are small exact integers — bit-identical in any
+  * engine, no float anywhere — and the algorithm is
+  * ORDER-INDEPENDENT: a node's hop is the minimum round it is
+  * reachable in, whatever partitioning or join order produced it.
+  * Nodes unreached within `rounds` carry hop = −1 (the bounded-radius
+  * contract; raise `rounds` for full reachability).
+  *
+  * @param nodes one row per vertex, column `id`
+  * @param edges undirected adjacency as directed rows (`a`, `b`) —
+  *              pass both directions (or symmetrize upstream)
+  * @param seeds frame with column `id` — the hop-0 set
+  */
+object Bfs {
+
+  def hops(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    val e = edges.select(col("a"), col("b"))
+    var labeled = seeds.select(col("id")).distinct()
+      .withColumn("hop", lit(0)).localCheckpoint(true)
+    var frontier = labeled
+    for (r <- 1 to rounds if !frontier.isEmpty) {
+      val next = e.join(frontier.select(col("id").as("a")), "a")
+        .select(col("b").as("id")).distinct()
+        .join(labeled.select("id"), Seq("id"), "left_anti")
+        .withColumn("hop", lit(r))
+        .localCheckpoint(true)
+      labeled = labeled.unionByName(next).localCheckpoint(true)
+      frontier = next
+    }
+    nodes.select(col("id"))
+      .join(labeled, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("hop"), lit(-1)).as("hop"))
+  }
+}

@@ -206,4 +206,39 @@ object EventAnalytics {
         round(col("n").cast("double") / col("row_n"), 4)
           .cast("float").as("p"))
   }
+
+  /** Top-k most frequent SESSION PATHS (the clickstream "what do
+    * users actually do" report): sessions by the gap rule (a new
+    * session after `gapS` seconds of user inactivity — the
+    * [[graft.queries.Analytics]] q18 rule), each session's ordered
+    * event-type sequence joined into a `>`-delimited path string,
+    * paths counted and the top k taken globally.
+    *
+    * Path assembly rides the SAME (user, ts, event_id) sort as the
+    * session window (one exchange for sid + collect); the path count
+    * is a map-side-combined groupBy on the path string; the global
+    * top-k is a TakeOrdered (per-partition heaps + a k-row driver
+    * merge — no global sort shuffle), totally ordered by
+    * (n desc, path) so the k-th place is deterministic.
+    *
+    * @return exactly k rows (path, n_sessions)
+    */
+  def topPaths(events: DataFrame, gapS: Long, k: Int): DataFrame = {
+    val ev = events.select(col("user_id"),
+      col("ts").cast("long").as("ts_s"), col("event_id"),
+      col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    val prev = lag(col("ts_s"), 1).over(w)
+    val isNew = when(prev.isNull || col("ts_s") - prev > gapS, 1L)
+      .otherwise(0L)
+    ev.withColumn("sid", sum(isNew).over(w))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(array_join(
+        sort_array(collect_list(struct(col("ts_s"), col("event_id"),
+          col("event_type")))).getField("event_type"), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
 }

@@ -101,4 +101,34 @@ object Scan {
         round(col("m.nd") * lit(-1.0), 4).cast("float").as("d"),
         col("m.v").as("at_value"))
   }
+
+  /** EQUI-DEPTH histogram (the optimizer-statistics/data-profiling
+    * bucket shape: ~n/B rows per bucket, however skewed the values) —
+    * exact and deterministic, defined at VALUE granularity so ties
+    * never straddle buckets: a distinct value v with `prev` rows
+    * strictly below it lands whole in bucket ⌊prev·B/n⌋.
+    *
+    * Scale shape: per-value counts (map-side combined) + ONE
+    * distributed global scan ([[globalRunningSum]]) + a B-row
+    * aggregate — never a global sort or single-partition ntile window
+    * (the textbook `ntile(B) OVER (ORDER BY v)` plans exactly that
+    * job-killer, and splits ties arbitrarily besides).
+    *
+    * @return (bucket, n_values, n_rows, v_min, v_max), ≤ B rows
+    */
+  def equiDepthHist(df: DataFrame, valueCol: String,
+      buckets: Int): DataFrame = {
+    val counts = df.where(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds the scan and the totals row
+    val n = counts.agg(sum(col("c")).as("n"))
+    globalRunningSum(counts, Seq("v"), col("c"), "run")
+      .crossJoin(broadcast(n))
+      .withColumn("bucket",
+        expr(s"((run - c) * $buckets) div n").cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_values"), sum(col("c")).as("n_rows"),
+        min(col("v")).as("v_min"), max(col("v")).as("v_max"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Statistical-testing surface: the χ² independence audit — "is
@@ -48,5 +48,245 @@ object Stats {
         round(col("e"), 2).cast("float").as("e"),
         col("contrib").cast("float").as("contrib"),
         col("chi2").cast("float").as("chi2"), col("dof"))
+  }
+
+  /** Exact integer cents of a 2-decimal money double — the repo's
+    * exact-moment currency: decimal cast (unambiguous for 2-decimal
+    * sources) then ×100, so every downstream sum/product is integer
+    * arithmetic rather than order-dependent float accumulation. */
+  private def cents(c: Column): Column =
+    (c.cast("decimal(18,2)") * 100).cast("long")
+
+  /** WELCH's two-sample t-test (unequal variances) over a 2-decimal
+    * value column: "do groups g1 and g2 draw from the same mean?" —
+    * the A/B readout next to [[chiSquare]]'s categorical audit and
+    * [[graft.ops.Scan.ksTest]]'s whole-distribution compare.
+    *
+    * Determinism: all five moments (n, Σx, Σx²) are EXACT — value
+    * cents are longs, squares and sums ride DECIMAL(38,0) — and the
+    * t/dof formulas are a fixed IEEE sequence over those exact inputs,
+    * bit-reproducible in any engine; round-to-4 + REAL only at the
+    * output edge. No libm calls beyond sqrt (IEEE-exact, correctly
+    * rounded by spec).
+    *
+    * Scale shape: ONE map-side-combined aggregate over the fact table
+    * → a single row. Nothing else.
+    *
+    * @return one row (n1, n2, mean1, mean2, t_stat, dof)
+    */
+  def welchT(df: DataFrame, valueCol: String, groupCol: String,
+      g1: String, g2: String): DataFrame = {
+    val x = cents(col(valueCol))
+    val xx = x.cast("decimal(19,0)") * x.cast("decimal(19,0)")
+    def side(g: String, tag: String) = Seq(
+      count(when(col(groupCol) === g, 1)).as(s"n$tag"),
+      sum(when(col(groupCol) === g, x).otherwise(0L)
+        .cast("decimal(38,0)")).as(s"s$tag"),
+      sum(when(col(groupCol) === g, xx).otherwise(lit(0).cast("decimal(19,0)"))
+        .cast("decimal(38,0)")).as(s"q$tag"))
+    val m = df.where(col(groupCol).isin(g1, g2) && col(valueCol).isNotNull)
+      .agg((side(g1, "1") ++ side(g2, "2")).head,
+        (side(g1, "1") ++ side(g2, "2")).tail: _*)
+    // dollars-scale doubles from the exact cent moments
+    def mean(t: String) = col(s"s$t").cast("double") / col(s"n$t") / 100.0
+    def vr(t: String) =
+      (col(s"q$t").cast("double")
+        - col(s"s$t").cast("double") * col(s"s$t").cast("double")
+          / col(s"n$t")) / (col(s"n$t") - 1) / 10000.0
+    val se2 = vr("1") / col("n1") + vr("2") / col("n2")
+    val tStat = (mean("1") - mean("2")) / sqrt(se2)
+    val dof = (se2 * se2) /
+      ((vr("1") / col("n1")) * (vr("1") / col("n1")) / (col("n1") - 1)
+        + (vr("2") / col("n2")) * (vr("2") / col("n2")) / (col("n2") - 1))
+    m.select(col("n1"), col("n2"),
+      round(mean("1"), 4).cast("float").as("mean1"),
+      round(mean("2"), 4).cast("float").as("mean2"),
+      round(tStat, 4).cast("float").as("t_stat"),
+      round(dof, 2).cast("float").as("dof"))
+  }
+
+  /** MANN–WHITNEY U (Wilcoxon rank-sum) with the normal approximation
+    * and tie correction — the NON-parametric sibling of [[welchT]]:
+    * compares group LOCATIONS through ranks, immune to the heavy
+    * tails that sink a t-test on revenue-like columns.
+    *
+    * Rank arithmetic is exact to the last bit: ranks come from
+    * per-value counts + ONE distributed global scan
+    * ([[Scan.globalRunningSums]] — never a per-sample global sort),
+    * midranks are carried in HALF-RANK integer units (2·rank, so ties
+    * at .5 stay integral), and the rank-sum / tie-correction moments
+    * ride DECIMAL. The z formula is then a fixed IEEE sequence over
+    * exact integers, with round-to-4 + REAL at the edge.
+    *
+    * Scale shape: one value-keyed groupBy (map-side combined), the
+    * metadata-cost global scan, one single-row aggregate.
+    *
+    * @return one row (n1, n2, u1, z) — u1 in true rank units (may end
+    *         in .5 under ties; exact, since it is a half-integer)
+    */
+  def mannWhitneyU(df: DataFrame, valueCol: String, groupCol: String,
+      g1: String, g2: String): DataFrame = {
+    val counts = df.where(col(groupCol).isin(g1, g2) &&
+        col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("v"))
+      .agg(sum(when(col(groupCol) === g1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col(groupCol) === g2, 1L).otherwise(0L)).as("c2"))
+      .localCheckpoint(true) // feeds the scan AND the totals row
+    val n = counts.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val ct = col("c1") + col("c2")
+    val scanned = Scan.globalRunningSum(counts, Seq("v"), ct, "rt")
+    // midrank of value v in 2× units: 2·(rows before v) + (ties+1);
+    // decimal BEFORE the products — the long intermediates would
+    // overflow at warehouse row counts
+    val ar2 = ((col("rt") - ct) * 2 + ct + 1).cast("decimal(19,0)")
+    val tc = ct.cast("decimal(12,0)")
+    val moments = scanned.agg(
+      sum((col("c1").cast("decimal(19,0)") * ar2).cast("decimal(38,0)"))
+        .as("r1x2"),
+      sum((tc * tc * tc - tc).cast("decimal(38,0)")).as("ties"))
+    moments.crossJoin(broadcast(n)).select(
+      col("n1"), col("n2"),
+      // U₁ = R₁ − n₁(n₁+1)/2, carried ×2 until this exact division
+      ((col("r1x2").cast("double") - col("n1") * (col("n1") + 1)) / 2.0)
+        .as("u1"),
+      round({
+        val nn = (col("n1") + col("n2")).cast("double")
+        val mu = col("n1").cast("double") * col("n2") / 2.0
+        val varU = col("n1").cast("double") * col("n2") / 12.0 *
+          ((nn + 1) - col("ties").cast("double") / (nn * (nn - 1)))
+        ((col("r1x2").cast("double") - col("n1") * (col("n1") + 1)) / 2.0
+          - mu) / sqrt(varU)
+      }, 4).cast("float").as("z"))
+  }
+
+  /** Per-group simple OLS fit y = a + b·x with r² — the
+    * trend-extraction primitive (price vs quantity, value vs time)
+    * behind drift dashboards and feature engineering.
+    *
+    * All six moments (n, Σx, Σy, Σx², Σxy, Σy²) are EXACT: both
+    * columns are 2-decimal sources carried as integer cents with
+    * DECIMAL(38,x) products/sums, so the shuffled partial aggregation
+    * is order-free; slope/intercept/r² are then one fixed IEEE
+    * sequence per group over exact moments.
+    *
+    * Scale shape: ONE map-side-combined groupBy; |groups| output rows.
+    *
+    * @return (group, n, slope, intercept, r2) — slope/intercept in the
+    *         natural units of y per x
+    */
+  def olsFit(df: DataFrame, xCol: String, yCol: String,
+      groupCol: String): DataFrame = {
+    val x = cents(col(xCol))
+    val y = cents(col(yCol))
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val m = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(x.cast("decimal(38,0)")).as("sx"),
+        sum(y.cast("decimal(38,0)")).as("sy"),
+        sum((dec(x) * dec(x)).cast("decimal(38,0)")).as("sxx"),
+        sum((dec(x) * dec(y)).cast("decimal(38,0)")).as("sxy"),
+        sum((dec(y) * dec(y)).cast("decimal(38,0)")).as("syy"))
+    val dn = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val covN = dn * d("sxy") - d("sx") * d("sy")
+    val varXN = dn * d("sxx") - d("sx") * d("sx")
+    val varYN = dn * d("syy") - d("sy") * d("sy")
+    val slope = covN / varXN
+    m.select(col(groupCol), col("n"),
+      round(slope, 4).cast("float").as("slope"),
+      // intercept back in y units: cents→dollars is ÷100 on Σy and
+      // slope·Σx alike, so the /100 factors out of the difference
+      round((d("sy") - slope * d("sx")) / dn / 100.0, 4).cast("float")
+        .as("intercept"),
+      round(covN * covN / (varXN * varYN), 4).cast("float").as("r2"))
+  }
+
+  /** Lag-k AUTOCORRELATION of a keyed series (Pearson r between the
+    * series and its k-shifted self, pairwise-complete): the
+    * seasonality detector that tells you WHICH lag [[graft.ts]]'s
+    * decomposition should use.
+    *
+    * The input is expected to be an AGGREGATED series (e.g. daily
+    * revenue — bounded by the calendar, metadata-sized at any fact
+    * scale), so the single ordering window here is the same
+    * metadata-sized exception as [[Scan]]'s offset scan; the heavy
+    * reduction happened in the caller's groupBy. All lag-pair moments
+    * are exact integer cents; r is a fixed IEEE sequence per lag.
+    *
+    * @param series  (keyCol, valueCol) — one row per key
+    * @param maxLag  computes lags 1..maxLag in ONE window pass
+    * @return (lag, n_pairs, r)
+    */
+  def acf(series: DataFrame, keyCol: String, valueCol: String,
+      maxLag: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(keyCol))
+    val x = cents(col(valueCol))
+    val lagged = series.select(Seq(x.as("x")) ++
+      (1 to maxLag).map(l => lag(x, l).over(w).as(s"y$l")): _*)
+    val pairs = lagged.select(explode(array((1 to maxLag).map(l =>
+        struct(lit(l).as("lag"), col("x"), col(s"y$l").as("y"))): _*))
+        .as("e"))
+      .select(col("e.lag"), col("e.x"), col("e.y"))
+      .where(col("y").isNotNull)
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val m = pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((dec(col("x")) * dec(col("x"))).cast("decimal(38,0)")).as("sxx"),
+        sum((dec(col("x")) * dec(col("y"))).cast("decimal(38,0)")).as("sxy"),
+        sum((dec(col("y")) * dec(col("y"))).cast("decimal(38,0)")).as("syy"))
+    val dn = col("n_pairs").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val covN = dn * d("sxy") - d("sx") * d("sy")
+    m.select(col("lag"), col("n_pairs"),
+      round(covN / sqrt((dn * d("sxx") - d("sx") * d("sx"))
+        * (dn * d("syy") - d("sy") * d("sy"))), 4).cast("float").as("r"))
+      .orderBy(col("lag"))
+  }
+
+  /** CUSUM changepoint locator over a keyed series: the key k
+    * maximizing |Σ_{i≤k}(x_i − x̄)| — the single most likely
+    * mean-shift point, located EXACTLY: the cumulative deviation is
+    * carried as the integer numerator n·run_k − k·total (cents), so
+    * the argmax is an integer comparison with no float accumulation
+    * anywhere; the struct-min tie-break takes the earliest key.
+    *
+    * Scale shape: running sums via the distributed
+    * [[Scan.globalRunningSums]] (rank and value share ONE range
+    * shuffle), a broadcast totals row, one single-row struct-min
+    * aggregate — no single-partition data window.
+    *
+    * @return one row (n_points, cp_key, s_at_cp, frac_through) —
+    *         s_at_cp the signed cumulative deviation at the
+    *         changepoint in value units
+    */
+  def cusumChangepoint(series: DataFrame, keyCol: String,
+      valueCol: String): DataFrame = {
+    val x = cents(col(valueCol))
+    val base = series.select(col(keyCol).as("k"), x.as("x"))
+      .localCheckpoint(true) // feeds the scan and the totals row
+    val n = base.agg(count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("t"))
+    val scanned = Scan.globalRunningSums(base, Seq("k"),
+      Seq(col("x") -> "run", lit(1L) -> "rk"))
+    scanned.crossJoin(broadcast(n))
+      .select(col("n"), col("t"),
+        struct(
+          (-abs(col("n").cast("decimal(38,0)") * col("run")
+            - col("rk").cast("decimal(38,0)") * col("t"))).as("na"),
+          col("k"),
+          (col("n").cast("decimal(38,0)") * col("run")
+            - col("rk").cast("decimal(38,0)") * col("t")).as("num"),
+          col("rk")).as("s"))
+      .groupBy(col("n"), col("t")) // constants → one map-side-min group
+      .agg(min(col("s")).as("m"))
+      .select(col("n").as("n_points"), col("m.k").as("cp_key"),
+        // S_k = num/n in cents → dollars
+        round(col("m.num").cast("double") / col("n") / 100.0, 4)
+          .cast("float").as("s_at_cp"),
+        round(col("m.rk").cast("double") / col("n"), 4).cast("float")
+          .as("frac_through"))
   }
 }

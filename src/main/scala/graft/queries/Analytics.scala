@@ -277,6 +277,104 @@ object Analytics extends QueryPack {
           col("ln"), col("rn"))
     }),
 
+    // Welch's two-sample t (view vs purchase value): one map-side-
+    // combined aggregate over exact cent moments; t/dof a fixed IEEE
+    // sequence over them (ops/Stats scaladoc).
+    "q201_welch_ttest" -> ((s, d) =>
+      graft.ops.Stats.welchT(t("events")(s, d), "value", "event_type",
+        "view", "purchase")),
+
+    // Mann–Whitney U with midranks from per-value counts + ONE
+    // distributed global scan — never a per-sample global sort; all
+    // rank moments exact integers (half-rank units).
+    "q202_mann_whitney" -> ((s, d) =>
+      graft.ops.Stats.mannWhitneyU(t("events")(s, d), "value",
+        "event_type", "view", "purchase")),
+
+    // Per-returnflag OLS of extendedprice on quantity: six exact
+    // decimal moments in one groupBy, slope/intercept/r² at the edge.
+    "q203_ols" -> ((s, d) =>
+      graft.ops.Stats.olsFit(t("lineitem")(s, d), "l_quantity",
+        "l_extendedprice", "l_returnflag")),
+
+    // Daily-revenue autocorrelation at lags 1..7: the heavy reduction
+    // is the day groupBy; the ACF runs on the metadata-sized series.
+    "q204_acf" -> ((s, d) =>
+      graft.ops.Stats.acf(t("orders")(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("odate"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev")),
+        "odate", "rev", 7)),
+
+    // CUSUM mean-shift changepoint on the same daily series: argmax
+    // |Σ(xᵢ−x̄)| carried as the EXACT integer n·runₖ−k·t, scan via the
+    // distributed two-level prefix sum.
+    "q205_cusum" -> ((s, d) =>
+      graft.ops.Stats.cusumChangepoint(t("orders")(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("odate"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev")),
+        "odate", "rev")),
+
+    // CUBE completes the grouping-sets matrix next to q16's ROLLUP:
+    // all four (flag, status) subtotal combinations in one Expand pass.
+    "q206_cube" -> ((s, d) => t("lineitem")(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        round(sum("l_quantity"), 2).cast("float").as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .cast("float").as("revenue"))),
+
+    // Equi-depth 10-bucket histogram of order totalprice: per-value
+    // counts + the distributed global scan — never the single-task
+    // ntile sort.
+    "q207_equidepth_hist" -> ((s, d) =>
+      graft.ops.Scan.equiDepthHist(t("orders")(s, d), "o_totalprice", 10)),
+
+    // HyperLogLog distinct USER-DAY sketch per event type (m=256,
+    // md5-derived registers, exact-integer harmonic denominator),
+    // reported beside the exact distinct count — the audit shape; the
+    // estimate is the RAW HLL estimator (no libm ln correction, see
+    // functions/HllFrame scaladoc — fixture cardinality ~1600/type
+    // sits in the raw estimator's accurate regime).
+    "q208_hll_distinct" -> ((s, d) => {
+      val ev = t("events")(s, d)
+      val ud = concat(col("user_id").cast("string"), lit(":"),
+        to_date(col("ts")).cast("string"))
+      graft.functions.HllFrame
+        .distinctEstimate(ev.where(col("user_id").isNotNull &&
+          col("ts").isNotNull), Seq("event_type"), ud)
+        .join(ev.where(col("user_id").isNotNull && col("ts").isNotNull)
+          .groupBy("event_type")
+          .agg(count_distinct(ud).as("n_exact")), "event_type")
+        .select(col("event_type"), col("n_exact"), col("n_registers"),
+          col("est"))
+    }),
+
+    // Multi-source BFS hop distance over the co-purchase graph
+    // (seeds = part keys ≡ 0 mod 500), 3 frontier rounds: per-round
+    // cost tracks frontier×degree, not the labeled set; unreached
+    // parts carry hop = −1.
+    "q209_bfs_hops" -> ((s, d) => {
+      val li = t("lineitem")(s, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("a"), col("b.l_partkey").as("b"))
+        .distinct()
+      val parts = t("part")(s, d).select(col("p_partkey").as("id"))
+      graft.graph.Bfs.hops(parts, e,
+        parts.where(col("id") % 500 === 0), rounds = 3)
+    }),
+
+    // Top-20 session paths: gap-rule sessions → ordered event-type
+    // path strings → map-side-combined counts → TakeOrdered top-k
+    // with a total (n desc, path) order.
+    "q210_top_paths" -> ((s, d) =>
+      graft.ops.EventAnalytics.topPaths(t("events")(s, d),
+        sessionGapS, 20)),
+
     "q18_sessionize" -> ((s, d) => {
       val ev = t("events")(s, d).select(col("user_id"),
         col("ts").cast("long").as("ts_s"), col("event_id"), col("value"))
@@ -297,6 +395,246 @@ object Analytics extends QueryPack {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // Exact HUGEINT cent moments re-derive the engine's DECIMAL(38,0)
+    // sums; every double step below mirrors the engine's op order
+    // exactly (ops/Stats.welchT).
+    "q201_welch_ttest" ->
+      """WITH f AS (
+        |  SELECT event_type AS g,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM events
+        |  WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL),
+        |m AS (
+        |  SELECT count(*) FILTER (g = 'view') AS n1,
+        |         count(*) FILTER (g = 'purchase') AS n2,
+        |         CAST(sum(CAST(x AS HUGEINT)) FILTER (g = 'view')
+        |           AS DOUBLE) AS s1,
+        |         CAST(sum(CAST(x AS HUGEINT)) FILTER (g = 'purchase')
+        |           AS DOUBLE) AS s2,
+        |         CAST(sum(CAST(x AS HUGEINT) * x) FILTER (g = 'view')
+        |           AS DOUBLE) AS q1,
+        |         CAST(sum(CAST(x AS HUGEINT) * x) FILTER (g = 'purchase')
+        |           AS DOUBLE) AS q2
+        |  FROM f),
+        |v AS (
+        |  SELECT n1, n2, s1 / n1 / 100.0 AS m1, s2 / n2 / 100.0 AS m2,
+        |         (q1 - s1 * s1 / n1) / (n1 - 1) / 10000.0 AS v1,
+        |         (q2 - s2 * s2 / n2) / (n2 - 1) / 10000.0 AS v2
+        |  FROM m),
+        |se AS (SELECT *, v1 / n1 + v2 / n2 AS se2 FROM v)
+        |SELECT n1, n2,
+        |  CAST(round(m1, 4) AS REAL) AS mean1,
+        |  CAST(round(m2, 4) AS REAL) AS mean2,
+        |  CAST(round((m1 - m2) / sqrt(se2), 4) AS REAL) AS t_stat,
+        |  CAST(round((se2 * se2) /
+        |      ((v1 / n1) * (v1 / n1) / (n1 - 1)
+        |       + (v2 / n2) * (v2 / n2) / (n2 - 1)), 2) AS REAL) AS dof
+        |FROM se""".stripMargin,
+
+    // Midranks re-derived in 2× units from per-value counts + a window
+    // scan (the oracle may use the single-partition window the engine's
+    // distributed scan replaces).
+    "q202_mann_whitney" ->
+      """WITH f AS (
+        |  SELECT value AS v, event_type AS g FROM events
+        |  WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL),
+        |c AS (SELECT v, count(*) FILTER (g = 'view') AS c1,
+        |             count(*) FILTER (g = 'purchase') AS c2
+        |      FROM f GROUP BY 1),
+        |s AS (SELECT *, sum(c1 + c2) OVER (ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rt
+        |      FROM c),
+        |m AS (SELECT
+        |        CAST(sum(CAST(c1 AS HUGEINT) *
+        |          (2 * (rt - (c1 + c2)) + (c1 + c2) + 1)) AS DOUBLE) AS r1x2,
+        |        CAST(sum(CAST(c1 + c2 AS HUGEINT) * (c1 + c2) * (c1 + c2)
+        |          - (c1 + c2)) AS DOUBLE) AS ties
+        |      FROM s),
+        |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |             CAST(sum(c2) AS BIGINT) AS n2 FROM c)
+        |SELECT n1, n2,
+        |  (r1x2 - n1 * (n1 + 1)) / 2.0 AS u1,
+        |  CAST(round(((r1x2 - n1 * (n1 + 1)) / 2.0
+        |        - CAST(n1 AS DOUBLE) * n2 / 2.0)
+        |      / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0 *
+        |          ((CAST(n1 + n2 AS DOUBLE) + 1)
+        |           - ties / (CAST(n1 + n2 AS DOUBLE)
+        |                     * (CAST(n1 + n2 AS DOUBLE) - 1)))), 4)
+        |    AS REAL) AS z
+        |FROM m, n""".stripMargin,
+
+    "q203_ols" ->
+      """WITH f AS (
+        |  SELECT l_returnflag AS g,
+        |         CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |m AS (
+        |  SELECT g, count(*) AS n,
+        |         CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+        |         CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+        |         CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+        |  FROM f GROUP BY 1),
+        |k AS (SELECT g, n, sx, sy,
+        |        CAST(n AS DOUBLE) * sxy - sx * sy AS covn,
+        |        CAST(n AS DOUBLE) * sxx - sx * sx AS varxn,
+        |        CAST(n AS DOUBLE) * syy - sy * sy AS varyn
+        |      FROM m)
+        |SELECT g AS l_returnflag, n,
+        |  CAST(round(covn / varxn, 4) AS REAL) AS slope,
+        |  CAST(round((sy - covn / varxn * sx) / n / 100.0, 4) AS REAL)
+        |    AS intercept,
+        |  CAST(round(covn * covn / (varxn * varyn), 4) AS REAL) AS r2
+        |FROM k""".stripMargin,
+
+    "q204_acf" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS odate,
+        |         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |           AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |idx AS (SELECT x, row_number() OVER (ORDER BY odate) AS i FROM daily),
+        |p AS (SELECT l.lag, a.x AS x, b.x AS y
+        |      FROM (SELECT unnest(generate_series(1, 7)) AS lag) l
+        |      JOIN idx a ON true
+        |      JOIN idx b ON b.i = a.i - l.lag),
+        |m AS (SELECT lag, count(*) AS n_pairs,
+        |        CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+        |        CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+        |        CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+        |        CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+        |        CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+        |      FROM p GROUP BY 1)
+        |SELECT CAST(lag AS INTEGER) AS lag, n_pairs,
+        |  CAST(round((CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+        |    / sqrt((CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+        |         * (CAST(n_pairs AS DOUBLE) * syy - sy * sy)), 4) AS REAL)
+        |    AS r
+        |FROM m""".stripMargin,
+
+    // The argmax rides the EXACT integer numerator n·runₖ − k·t; the
+    // struct-min tie-break (earliest key) matches the engine's.
+    "q205_cusum" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS k,
+        |         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |           AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT count(*) AS n, sum(CAST(x AS HUGEINT)) AS tt FROM daily),
+        |s AS (SELECT k,
+        |        sum(CAST(x AS HUGEINT)) OVER (ORDER BY k
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
+        |        row_number() OVER (ORDER BY k) AS rk
+        |      FROM daily),
+        |d AS (SELECT s.k, CAST(t.n AS HUGEINT) * run
+        |               - CAST(rk AS HUGEINT) * t.tt AS num,
+        |             rk, t.n FROM s, t),
+        |f AS (SELECT n, min(struct_pack(na := -abs(num), k := k,
+        |               num := num, rk := rk)) AS m
+        |      FROM d GROUP BY 1)
+        |SELECT n AS n_points, m.k AS cp_key,
+        |  CAST(round(CAST(m.num AS DOUBLE) / n / 100.0, 4) AS REAL)
+        |    AS s_at_cp,
+        |  CAST(round(CAST(m.rk AS DOUBLE) / n, 4) AS REAL) AS frac_through
+        |FROM f""".stripMargin,
+
+    "q206_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+        |       count(*) AS n,
+        |       CAST(round(sum(l_quantity), 2) AS REAL) AS sum_qty,
+        |       CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS REAL)
+        |         AS revenue
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    // Bucket of a distinct value = ⌊(rows strictly below)·B/n⌋ — the
+    // tie-safe equi-depth rule the engine's distributed scan computes.
+    "q207_equidepth_hist" ->
+      """WITH c AS (SELECT o_totalprice AS v, count(*) AS c FROM orders
+        |           WHERE o_totalprice IS NOT NULL GROUP BY 1),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+        |s AS (SELECT v, c, sum(c) OVER (ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |      FROM c)
+        |SELECT CAST(((run - c) * 10) // n AS INTEGER) AS bucket,
+        |       count(*) AS n_values, CAST(sum(c) AS BIGINT) AS n_rows,
+        |       min(v) AS v_min, max(v) AS v_max
+        |FROM s, n GROUP BY 1""".stripMargin,
+
+    // Registers re-derived nibble-exact from md5; the harmonic-mean
+    // denominator is the same exact integer Σ2^(49−rank); the estimate
+    // repeats the engine's IEEE op order including the alpha constant.
+    "q208_hll_distinct" -> {
+      val reg = OracleSql.md5IntN("h", 1, 2)
+      val w = OracleSql.md5IntN("h", 3, 12)
+      s"""WITH f AS (SELECT DISTINCT event_type,
+         |             CAST(user_id AS VARCHAR) || ':' ||
+         |               CAST(CAST(ts AS DATE) AS VARCHAR) AS ud
+         |           FROM events
+         |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |hh AS (SELECT event_type, md5(ud) AS h FROM f),
+         |r AS (SELECT event_type, $reg AS reg, $w AS wd FROM hh),
+         |rk AS (SELECT event_type, reg,
+         |         max(CASE WHEN wd = 0 THEN 49
+         |             ELSE 49 - length(bin(wd)) END) AS mr
+         |       FROM r GROUP BY 1, 2),
+         |g AS (SELECT event_type, CAST(count(*) AS INTEGER) AS n_registers,
+         |        CAST(sum(1::BIGINT << (49 - mr)) AS BIGINT) AS sp
+         |      FROM rk GROUP BY 1),
+         |e AS (SELECT event_type, n_registers,
+         |        0.7213 / (1.0 + 1.079 / 256) * 256 * 256
+         |          * 562949953421312.0
+         |          / CAST(sp + CAST(256 - n_registers AS BIGINT)
+         |                 * 562949953421312 AS DOUBLE) AS est
+         |      FROM g),
+         |x AS (SELECT event_type, count(*) AS n_exact FROM f GROUP BY 1)
+         |SELECT e.event_type, x.n_exact, e.n_registers,
+         |       CAST(round(e.est, 2) AS REAL) AS est
+         |FROM e JOIN x USING (event_type)""".stripMargin
+    },
+
+    // UNION-distinct recursion: the working set is (id, hop) pairs,
+    // bounded by |V|·rounds; min(hop) = true hop distance whatever
+    // expansion order produced it.
+    "q209_bfs_hops" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey <> b.l_partkey),
+        |seeds AS (SELECT p_partkey AS id FROM part WHERE p_partkey % 500 = 0),
+        |walk(id, hop) AS (
+        |  SELECT id, 0 FROM seeds
+        |  UNION
+        |  SELECT e.v, w.hop + 1 FROM walk w JOIN e ON e.u = w.id
+        |  WHERE w.hop < 3),
+        |d AS (SELECT id, min(hop) AS hop FROM walk GROUP BY 1)
+        |SELECT p.p_partkey AS id, CAST(coalesce(d.hop, -1) AS INTEGER) AS hop
+        |FROM part p LEFT JOIN d ON d.id = p.p_partkey""".stripMargin,
+
+    "q210_top_paths" ->
+      s"""WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         |             event_id, event_type FROM events),
+         |l AS (SELECT *, lag(ts_s) OVER
+         |        (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev
+         |      FROM e),
+         |f AS (SELECT *, CASE WHEN prev IS NULL OR ts_s - prev > $sessionGapS
+         |        THEN 1 ELSE 0 END AS is_new FROM l),
+         |s AS (SELECT *, CAST(sum(is_new) OVER
+         |        (PARTITION BY user_id ORDER BY ts_s, event_id) AS BIGINT)
+         |        AS sid FROM f),
+         |p AS (SELECT user_id, sid,
+         |        string_agg(event_type, '>' ORDER BY ts_s, event_id) AS path
+         |      FROM s GROUP BY 1, 2),
+         |c AS (SELECT path, count(*) AS n_sessions FROM p GROUP BY 1)
+         |SELECT path, n_sessions FROM c
+         |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+
     "q15_percentiles" ->
       """SELECT event_type, count(*) AS n,
         |       CAST(round(quantile_cont(value, 0.5), 4) AS REAL) AS p50,

@@ -59,6 +59,21 @@ private[queries] object OracleSql {
     s"CAST(($terms) AS BIGINT)"
   }
 
+  /** `nNibbles` md5 nibbles of `hexCol` starting at 1-based nibble
+    * `start`, big-endian, as a BIGINT (generalizes [[md5Int48]]; every
+    * nibble term and the total stay < 2^53 for nNibbles ≤ 13, so the
+    * double sum is exact before the cast) — the [[graft.functions
+    * .HllFrame]] register/word split re-derived.
+    */
+  def md5IntN(hexCol: String, start: Int, nNibbles: Int): String = {
+    val terms = (0 until nNibbles).map { i =>
+      val pow = math.pow(16, nNibbles - 1 - i).toLong
+      s"(strpos('0123456789abcdef', substr($hexCol, ${start + i}, 1)) - 1)" +
+        s" * $pow.0"
+    }.mkString("\n  + ")
+    s"CAST(($terms) AS BIGINT)"
+  }
+
   def md5High16(hexCol: String): String =
     s"""(strpos('0123456789abcdef', substr($hexCol, 1, 1)) - 1) * 4096
        |  + (strpos('0123456789abcdef', substr($hexCol, 2, 1)) - 1) * 256

@@ -144,6 +144,31 @@ object Relational extends QueryPack {
         .select(col("o_orderkey"), col("o_totalprice"))
         .limit(50)),
 
+    // SKYLINE (Pareto frontier) over parts: cheapest price for the
+    // biggest size — keep p iff no q has (size ≥, price ≤) with one
+    // strict. Scale shape: the frontier lives entirely in the
+    // size-grouped min-price table (≤ |size domain| rows — metadata-
+    // sized, so its ordering window is the Scan-offset exception),
+    // computed as a running min over strictly larger sizes; parts then
+    // join the broadcast frontier. Never a part×part self-join — the
+    // naive NOT EXISTS the oracle runs IS the quadratic plan this
+    // replaces.
+    "q211_skyline" -> ((s, d) => {
+      val p = t("part")(s, d)
+        .where(col("p_size").isNotNull && col("p_retailprice").isNotNull)
+      val bySize = p.groupBy(col("p_size"))
+        .agg(min(col("p_retailprice")).as("pmin"))
+      val w = Window.orderBy(col("p_size").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val frontier = bySize
+        .withColumn("rmin", min(col("pmin")).over(w))
+        .where(col("rmin").isNull || col("pmin") < col("rmin"))
+        .select(col("p_size"), col("pmin"))
+      p.join(broadcast(frontier), Seq("p_size"))
+        .where(col("p_retailprice") === col("pmin"))
+        .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+    }),
+
     // O3: top-k per group via ranked window (order-book depth shape).
     "q14_topk_per_group" -> ((s, d) => {
       val c = t("customer")(s, d)
@@ -267,6 +292,19 @@ object Relational extends QueryPack {
     "q13_top_n" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin,
+    // Independent quadratic formulation: dominance spelled out as
+    // NOT EXISTS — must coincide with the engine's frontier plan.
+    "q211_skyline" ->
+      """SELECT p.p_partkey, p.p_size, p.p_retailprice
+        |FROM part p
+        |WHERE p.p_size IS NOT NULL AND p.p_retailprice IS NOT NULL
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM part q
+        |    WHERE q.p_size IS NOT NULL AND q.p_retailprice IS NOT NULL
+        |      AND q.p_size >= p.p_size
+        |      AND q.p_retailprice <= p.p_retailprice
+        |      AND (q.p_size > p.p_size
+        |           OR q.p_retailprice < p.p_retailprice))""".stripMargin,
     "q14_topk_per_group" ->
       """SELECT c_mktsegment, rk, c_custkey, c_acctbal FROM (
         |  SELECT c_mktsegment, c_custkey, c_acctbal,

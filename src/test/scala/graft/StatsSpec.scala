@@ -1,0 +1,132 @@
+package graft
+
+import graft.ops.{EventAnalytics, Scan, Stats}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-checked cases for the statistical-testing / profiling family
+  * (Welch t, Mann–Whitney U, OLS, ACF, CUSUM, equi-depth histogram,
+  * HLL sketch, BFS, skyline building block, top paths).
+  */
+class StatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("welchT: equal samples give t = 0; known two-sample case") {
+    import spark.implicits._
+    val same = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 1.0), ("b", 2.0), ("b", 3.0)).toDF("g", "v")
+    val r0 = Stats.welchT(same, "v", "g", "a", "b").collect()(0)
+    assert(r0.getAs[Float]("t_stat") == 0.0f)
+    assert(r0.getAs[Float]("mean1") == 2.0f)
+    // a = {1,2,3,4}, b = {3,4,5}: m1 = 2.5, m2 = 4, v1 = 5/3, v2 = 1,
+    // se2 = 5/12 + 1/3 = 0.75 → t = −1.5/√0.75 = −1.7321
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 3.0), ("b", 4.0), ("b", 5.0)).toDF("g", "v")
+    val r = Stats.welchT(df, "v", "g", "a", "b").collect()(0)
+    assert(r.getAs[Long]("n1") == 4L && r.getAs[Long]("n2") == 3L)
+    assert(r.getAs[Float]("t_stat") == -1.7321f)
+  }
+
+  test("mannWhitneyU: hand-ranked case with a tie") {
+    import spark.implicits._
+    // a = {1, 3}, b = {3, 5}: midranks 1, 2.5, 2.5, 4 →
+    // R1 = 3.5, U1 = 3.5 − 3 = 0.5
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 3.0), ("b", 5.0))
+      .toDF("g", "v")
+    val r = Stats.mannWhitneyU(df, "v", "g", "a", "b").collect()(0)
+    assert(r.getAs[Double]("u1") == 0.5)
+    assert(r.getAs[Float]("z") < 0.0f) // group a sits lower
+  }
+
+  test("olsFit: exact line recovers slope/intercept with r2 = 1") {
+    import spark.implicits._
+    // y = 2x + 1 exactly
+    val df = Seq(("g", 1.0, 3.0), ("g", 2.0, 5.0), ("g", 3.0, 7.0),
+      ("g", 4.0, 9.0)).toDF("grp", "x", "y")
+    val r = Stats.olsFit(df, "x", "y", "grp").collect()(0)
+    assert(r.getAs[Float]("slope") == 2.0f)
+    assert(r.getAs[Float]("intercept") == 1.0f)
+    assert(r.getAs[Float]("r2") == 1.0f)
+  }
+
+  test("acf: a strictly alternating series reads r = -1 at lag 1") {
+    import spark.implicits._
+    val df = (1 to 10).map(i => (i, if (i % 2 == 0) 1.0 else 3.0))
+      .toDF("k", "v")
+    val r = Stats.acf(df, "k", "v", 2).collect()
+    assert(r(0).getAs[Float]("r") == -1.0f) // lag 1: perfect flip
+    assert(r(1).getAs[Float]("r") == 1.0f)  // lag 2: perfect repeat
+    assert(r(0).getAs[Long]("n_pairs") == 9L)
+  }
+
+  test("cusumChangepoint: locates a planted level shift exactly") {
+    import spark.implicits._
+    // 5 days at 10, then 5 days at 20: |S_k| peaks at k = 5
+    val df = (1 to 10).map(i => (i, if (i <= 5) 10.0 else 20.0))
+      .toDF("day", "v")
+    val r = Stats.cusumChangepoint(df, "day", "v").collect()(0)
+    assert(r.getAs[Long]("n_points") == 10L)
+    assert(r.getAs[Int]("cp_key") == 5)
+    // S_5 = 5·10 − 5·15 = −25
+    assert(r.getAs[Float]("s_at_cp") == -25.0f)
+  }
+
+  test("equiDepthHist: ~n/B rows per bucket, ties never straddle") {
+    import spark.implicits._
+    val df = ((1 to 40).map(_.toDouble) ++ Seq.fill(40)(99.0)).toDF("v")
+    val h = Scan.equiDepthHist(df, "v", 4).orderBy("bucket").collect()
+    assert(h.length == 3) // the 40-row tie at 99 collapses buckets 2+3
+    assert(h.map(_.getAs[Long]("n_rows")).sum == 80L)
+    // the tied value lands WHOLE in bucket ⌊40·4/80⌋ = 2
+    assert(h(2).getAs[Int]("bucket") == 2 &&
+      h(2).getAs[Long]("n_rows") == 40L)
+  }
+
+  test("hll: register frame merges under max; estimate within ~5%") {
+    import spark.implicits._
+    val df = (1 to 2000).map(i => ("k", i.toLong)).toDF("g", "u")
+    val est = graft.functions.HllFrame
+      .distinctEstimate(df, Seq("g"), col("u")).collect()(0)
+    val e = est.getAs[Float]("est")
+    assert(e > 1800 && e < 2300, s"estimate $e far from 2000")
+    // sketch property: registers of (A ∪ B) = register-wise max —
+    // estimating from unioned register frames equals the direct run
+    val a = df.where(col("u") <= 1200)
+    val b = df.where(col("u") > 800)
+    val merged = graft.functions.HllFrame
+      .registers(a, Seq("g"), col("u"))
+      .unionByName(graft.functions.HllFrame.registers(b, Seq("g"), col("u")))
+      .groupBy("g", "reg").agg(max("mr").as("mr"))
+    val viaMerge = graft.functions.HllFrame.estimate(merged, Seq("g"))
+      .collect()(0).getAs[Float]("est")
+    assert(viaMerge == e)
+  }
+
+  test("bfs: hop distances on a path graph, unreached = -1") {
+    import spark.implicits._
+    val nodes = (1L to 6L).toDF("id")
+    // path 1-2-3-4-5, isolated 6; symmetrize
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (e0 ++ e0.map(_.swap)).toDF("a", "b")
+    val r = graft.graph.Bfs.hops(nodes, edges, Seq(1L).toDF("id"), 3)
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(r == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> -1, 6L -> -1))
+  }
+
+  test("topPaths: orders within session and ranks deterministically") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Long) = new java.sql.Timestamp(base.getTime + s * 1000)
+    val df = Seq(
+      (1L, ts(0), 1L, "view"), (1L, ts(10), 2L, "click"),
+      (2L, ts(0), 3L, "view"), (2L, ts(5), 4L, "click"),
+      (3L, ts(0), 5L, "view"),
+      // user 1's second session (past the gap)
+      (1L, ts(100000), 6L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val r = EventAnalytics.topPaths(df, 3600L, 10).collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    // tie on n → lexicographic path ascending ("view" < "view>click")
+    assert(r.toSeq == Seq(("view", 2L), ("view>click", 2L)))
+  }
+}
