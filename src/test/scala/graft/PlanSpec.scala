@@ -280,4 +280,43 @@ class PlanSpec extends AnyFunSuite {
     assert(!shuffledCols.contains("text"),
       s"text entered a shuffle: ${shuffledCols.mkString(",")}")
   }
+
+  test("q201/q203: moment estimators are join-free single aggregates") {
+    for (q <- Seq("q201_welch_ttest", "q203_ols")) {
+      val p = plan(q)
+      assert(p.collect { case j: BroadcastHashJoinExec => j }.isEmpty &&
+        p.collect { case j: SortMergeJoinExec => j }.isEmpty,
+        s"$q planned a join")
+      // scan → partial agg → one exchange → final agg (q201's global
+      // aggregate collapses to a single-partition exchange of the
+      // 6-number moment row; q203 hash-partitions by group)
+      assert(p.collect { case e: ShuffleExchangeExec => e }.length <= 2,
+        s"$q shuffled more than the moment rows")
+    }
+  }
+
+  test("scan family (q202/q205/q207): offsets broadcast, never sort-merge") {
+    // the two-level scan's whole point: the only join in the plan is
+    // the metadata-sized offset frame broadcast back onto local scans
+    for (q <- Seq("q202_mann_whitney", "q205_cusum", "q207_equidepth_hist")) {
+      val p = plan(q)
+      assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty,
+        s"$q planned a sort-merge join")
+      assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        s"$q lost its broadcast offset join")
+    }
+  }
+
+  test("q210: global top-k is TakeOrdered, not a global sort") {
+    val p = plan("q210_top_paths")
+    assert(p.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, "top-k lost its TakeOrdered plan")
+  }
+
+  test("q211: the skyline frontier joins via broadcast") {
+    val p = plan("q211_skyline")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty)
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty)
+  }
 }
