@@ -207,6 +207,39 @@ object EventAnalytics {
           .cast("float").as("p"))
   }
 
+  /** Daily NEW vs RETURNING active users + the cumulative acquisition
+    * curve — the growth-accounting view beside [[retention]]'s cohort
+    * matrix: n_active distinct users per day, split by whether the day
+    * is the user's FIRST activity day, and the running total of
+    * acquired users.
+    *
+    * Scale shape: the (user, day) distinct frame and the per-user min
+    * are map-side-combined aggregates; the daily split is a broadcast
+    * join of the (bounded, calendar-sized) first-day counts onto the
+    * daily actives; the cumulative curve rides the distributed global
+    * scan over the daily frame. No window ever sees user-sized data.
+    *
+    * @return (day, n_active, n_new, n_returning, cum_users)
+    */
+  def newVsReturning(events: DataFrame): DataFrame = {
+    val act = events
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .localCheckpoint(true) // feeds actives AND first-day sides
+    val daily = act.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"))
+    val firstDay = act.groupBy(col("user_id"))
+      .agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+    val joined = daily
+      .join(broadcast(firstDay), Seq("day"), "left_outer")
+      .select(col("day"), col("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("n_returning", col("n_active") - col("n_new"))
+    Scan.globalRunningSum(joined, Seq("day"), col("n_new"), "cum_users")
+  }
+
   /** Top-k most frequent SESSION PATHS (the clickstream "what do
     * users actually do" report): sessions by the gap rule (a new
     * session after `gapS` seconds of user inactivity — the

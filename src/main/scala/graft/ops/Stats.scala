@@ -246,6 +246,57 @@ object Stats {
       .orderBy(col("lag"))
   }
 
+  /** Per-group WEIGHTED quantiles (lower/type-1: the smallest value
+    * whose cumulative weight reaches p% of the group total) — the
+    * "median price weighted by traded quantity" shape plain
+    * percentile gets wrong.
+    *
+    * Exact and tie-safe: weights collapse to per-(group, value) sums
+    * first, the threshold compare is the INTEGER inequality
+    * 100·cum ≥ p·total (no p/100 float boundary), and both the
+    * running and total weight ride the ONE (group)-partitioned window
+    * sort — a per-group scan, scale-fine because partitions are
+    * groups, unlike the global-ORDER-BY quantile.
+    *
+    * @return (group, total_w, q&lt;p&gt;... one column per requested pct)
+    */
+  def weightedQuantiles(df: DataFrame, valueCol: String, weightCol: String,
+      groupCol: String, pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      "pcts must be 1..100")
+    import org.apache.spark.sql.expressions.Window
+    val vw = df.where(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).as("v"))
+      .agg(sum(cents(col(weightCol)).cast("decimal(38,0)")).as("wt"))
+    val part = Window.partitionBy(col(groupCol))
+    val run = Window.partitionBy(col(groupCol)).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val scanned = vw
+      .withColumn("run", sum(col("wt")).over(run))
+      .withColumn("tot", sum(col("wt")).over(part))
+    val qCols = pcts.map(p =>
+      min(when(col("run") * 100 >= col("tot") * p, col("v"))).as(s"q$p"))
+    scanned.groupBy(col(groupCol))
+      .agg((max(col("tot")).cast("double") / 100.0).as("total_w"),
+        qCols: _*)
+  }
+
+  /** Per-group MODE (most frequent value) with a deterministic
+    * smallest-value tie-break — two map-side-combined aggregates
+    * (value counts, then a struct-min argmax); no window, no sort.
+    * The struct-min carries (−n, v), so ties resolve to the smallest
+    * value in any engine.
+    *
+    * @return (group, mode, n)
+    */
+  def modeBy(df: DataFrame, valueCol: String, groupCol: String): DataFrame =
+    df.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col(groupCol))
+      .agg(min(struct((-col("n")).as("nn"), col("v"))).as("m"))
+      .select(col(groupCol), col("m.v").as("mode"), (-col("m.nn")).as("n"))
+
   /** CUSUM changepoint locator over a keyed series: the key k
     * maximizing |Σ_{i≤k}(x_i − x̄)| — the single most likely
     * mean-shift point, located EXACTLY: the cumulative deviation is

@@ -375,6 +375,62 @@ object Analytics extends QueryPack {
       graft.ops.EventAnalytics.topPaths(t("events")(s, d),
         sessionGapS, 20)),
 
+    // Daily new/returning split + cumulative acquisition curve:
+    // bounded aggregates + a broadcast first-day join + the
+    // distributed scan for the running total.
+    "q212_new_returning" -> ((s, d) =>
+      graft.ops.EventAnalytics.newVsReturning(t("events")(s, d))),
+
+    // Weighted median/p90 of price by traded quantity per returnflag:
+    // integer-inequality thresholds on ONE group-partitioned window
+    // sort — exact and tie-safe.
+    "q213_weighted_median" -> ((s, d) =>
+      graft.ops.Stats.weightedQuantiles(t("lineitem")(s, d),
+        "l_extendedprice", "l_quantity", "l_returnflag", Seq(50, 90))),
+
+    // Per-group mode with the smallest-value tie-break: two map-side-
+    // combined aggregates, struct-min argmax, no sort anywhere.
+    "q214_mode" -> ((s, d) =>
+      graft.ops.Stats.modeBy(t("lineitem")(s, d), "l_quantity",
+        "l_returnflag")),
+
+    // HLL SET ALGEBRA: view∩purchase user-day overlap by
+    // inclusion–exclusion over MERGED register frames (union =
+    // register-wise max — the sketch property q208's spec pins),
+    // reported beside the exact intersect — estimates three sets from
+    // ONE register pass over the fact rows.
+    "q215_hll_overlap" -> ((s, d) => {
+      import org.apache.spark.sql.DataFrame
+      val ev = t("events")(s, d).where(col("user_id").isNotNull &&
+        col("ts").isNotNull && col("event_type").isin("view", "purchase"))
+      val ud = concat(col("user_id").cast("string"), lit(":"),
+        to_date(col("ts")).cast("string"))
+      val regs = graft.functions.HllFrame
+        .registers(ev, Seq("event_type"), ud)
+        .localCheckpoint(true) // feeds all three estimates
+      def est1(df: DataFrame, name: String) = graft.functions.HllFrame
+        .estimate(df, Nil).select(col("est").as(name))
+      val eA = est1(regs.where(col("event_type") === "view")
+        .drop("event_type"), "est_view")
+      val eB = est1(regs.where(col("event_type") === "purchase")
+        .drop("event_type"), "est_purchase")
+      val eU = est1(regs.groupBy(col("reg")).agg(max(col("mr")).as("mr")),
+        "est_union")
+      val sets = ev.select(col("event_type"), ud.as("ud")).distinct()
+        .localCheckpoint(true)
+      val exact = sets.where(col("event_type") === "view").select("ud")
+        .intersect(sets.where(col("event_type") === "purchase").select("ud"))
+        .agg(count(lit(1)).as("n_exact_overlap"))
+      eA.crossJoin(eB).crossJoin(eU)
+        // double BEFORE the arithmetic: float addition would round
+        // differently per engine at the last bit
+        .withColumn("est_overlap",
+          round(col("est_view").cast("double")
+            + col("est_purchase").cast("double")
+            - col("est_union").cast("double"), 2).cast("float"))
+        .crossJoin(broadcast(exact))
+    }),
+
     "q18_sessionize" -> ((s, d) => {
       val ev = t("events")(s, d).select(col("user_id"),
         col("ts").cast("long").as("ts_s"), col("event_id"), col("value"))
@@ -634,6 +690,93 @@ object Analytics extends QueryPack {
          |c AS (SELECT path, count(*) AS n_sessions FROM p GROUP BY 1)
          |SELECT path, n_sessions FROM c
          |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+
+    "q212_new_returning" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |             FROM events
+        |             WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |d AS (SELECT day, count(*) AS n_active FROM act GROUP BY 1),
+        |fd AS (SELECT user_id, min(day) AS day FROM act GROUP BY 1),
+        |nn AS (SELECT day, count(*) AS n_new FROM fd GROUP BY 1),
+        |j AS (SELECT d.day, d.n_active, coalesce(nn.n_new, 0) AS n_new
+        |      FROM d LEFT JOIN nn USING (day))
+        |SELECT day, n_active, n_new, n_active - n_new AS n_returning,
+        |       CAST(sum(n_new) OVER (ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS cum_users
+        |FROM j""".stripMargin,
+
+    "q213_weighted_median" ->
+      """WITH vw AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS v,
+        |         sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |           AS wt
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |  GROUP BY 1, 2),
+        |s AS (SELECT *, sum(wt) OVER (PARTITION BY g ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
+        |        sum(wt) OVER (PARTITION BY g) AS tot FROM vw)
+        |SELECT g AS l_returnflag,
+        |       CAST(max(tot) AS DOUBLE) / 100.0 AS total_w,
+        |       min(CASE WHEN run * 100 >= tot * 50 THEN v END) AS q50,
+        |       min(CASE WHEN run * 100 >= tot * 90 THEN v END) AS q90
+        |FROM s GROUP BY 1""".stripMargin,
+
+    "q214_mode" ->
+      """WITH c AS (SELECT l_returnflag AS g, l_quantity AS v,
+        |             count(*) AS n
+        |           FROM lineitem WHERE l_quantity IS NOT NULL
+        |           GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY g
+        |        ORDER BY n DESC, v) AS rk FROM c)
+        |SELECT g AS l_returnflag, v AS mode, n FROM r WHERE rk = 1"""
+        .stripMargin,
+
+    "q215_hll_overlap" -> {
+      val reg = OracleSql.md5IntN("h", 1, 2)
+      val w = OracleSql.md5IntN("h", 3, 12)
+      def est(src: String, out: String) =
+        s"""SELECT CAST(round(0.7213 / (1.0 + 1.079 / 256) * 256 * 256
+           |    * 562949953421312.0
+           |    / CAST(sp + CAST(256 - m_p AS BIGINT) * 562949953421312
+           |           AS DOUBLE), 2) AS REAL) AS $out FROM $src"""
+          .stripMargin
+      s"""WITH f AS (SELECT DISTINCT event_type,
+         |             CAST(user_id AS VARCHAR) || ':' ||
+         |               CAST(CAST(ts AS DATE) AS VARCHAR) AS ud
+         |           FROM events
+         |           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |             AND event_type IN ('view', 'purchase')),
+         |hh AS (SELECT event_type, md5(ud) AS h FROM f),
+         |r AS (SELECT event_type, $reg AS reg, $w AS wd FROM hh),
+         |rk AS (SELECT event_type, reg,
+         |         max(CASE WHEN wd = 0 THEN 49
+         |             ELSE 49 - length(bin(wd)) END) AS mr
+         |       FROM r GROUP BY 1, 2),
+         |ru AS (SELECT reg, max(mr) AS mr FROM rk GROUP BY 1),
+         |ga AS (SELECT CAST(count(*) AS INTEGER) AS m_p,
+         |         CAST(sum(1::BIGINT << (49 - mr)) AS BIGINT) AS sp
+         |       FROM rk WHERE event_type = 'view'),
+         |gb AS (SELECT CAST(count(*) AS INTEGER) AS m_p,
+         |         CAST(sum(1::BIGINT << (49 - mr)) AS BIGINT) AS sp
+         |       FROM rk WHERE event_type = 'purchase'),
+         |gu AS (SELECT CAST(count(*) AS INTEGER) AS m_p,
+         |         CAST(sum(1::BIGINT << (49 - mr)) AS BIGINT) AS sp
+         |       FROM ru),
+         |ea AS (${est("ga", "est_view")}),
+         |eb AS (${est("gb", "est_purchase")}),
+         |eu AS (${est("gu", "est_union")}),
+         |x AS (SELECT count(*) AS n_exact_overlap FROM
+         |       (SELECT ud FROM f WHERE event_type = 'view'
+         |        INTERSECT
+         |        SELECT ud FROM f WHERE event_type = 'purchase'))
+         |SELECT est_view, est_purchase, est_union,
+         |  CAST(round(CAST(est_view AS DOUBLE) + CAST(est_purchase AS DOUBLE)
+         |    - CAST(est_union AS DOUBLE), 2) AS REAL) AS est_overlap,
+         |  n_exact_overlap
+         |FROM ea, eb, eu, x""".stripMargin
+    },
 
     "q15_percentiles" ->
       """SELECT event_type, count(*) AS n,

@@ -113,6 +113,49 @@ class StatsSpec extends AnyFunSuite {
     assert(r == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> -1, 6L -> -1))
   }
 
+  test("weightedQuantiles: weight pulls the median; ties collapse first") {
+    import spark.implicits._
+    // values 1..4 with weight 1 except v=4 carrying weight 7:
+    // total 10 → p50 lands on v=4 (cum 1,2,3,10)
+    val df = Seq(("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 1.0),
+      ("g", 4.0, 7.0)).toDF("grp", "v", "w")
+    val r = Stats.weightedQuantiles(df, "v", "w", "grp", Seq(50, 90))
+      .collect()(0)
+    assert(r.getAs[Double]("total_w") == 10.0)
+    assert(r.getAs[Double]("q50") == 4.0 && r.getAs[Double]("q90") == 4.0)
+    // unweighted lower median of {1,2,3,4} for contrast: v=2
+    val u = Stats.weightedQuantiles(df.withColumn("w", lit(1.0)),
+      "v", "w", "grp", Seq(50)).collect()(0)
+    assert(u.getAs[Double]("q50") == 2.0)
+  }
+
+  test("modeBy: most frequent wins; tie resolves to the smallest value") {
+    import spark.implicits._
+    val df = Seq(("a", 2.0), ("a", 2.0), ("a", 1.0),
+      ("b", 5.0), ("b", 3.0)).toDF("g", "v")
+    val r = Stats.modeBy(df, "v", "g").collect()
+      .map(x => x.getString(0) -> (x.getAs[Double]("mode"),
+        x.getAs[Long]("n"))).toMap
+    assert(r("a") == (2.0, 2L))
+    assert(r("b") == (3.0, 1L)) // 1-1 tie → smaller value
+  }
+
+  test("newVsReturning: first day is new, second is returning; curve sums") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    def ts(d: Int) = new java.sql.Timestamp(base.getTime + d * 86400000L)
+    val df = Seq((1L, ts(0)), (1L, ts(1)), (2L, ts(1)), (2L, ts(1)))
+      .toDF("user_id", "ts")
+    val r = EventAnalytics.newVsReturning(df).orderBy("day").collect()
+    assert(r.length == 2)
+    assert(r(0).getAs[Long]("n_new") == 1L &&
+      r(0).getAs[Long]("n_returning") == 0L)
+    assert(r(1).getAs[Long]("n_active") == 2L &&
+      r(1).getAs[Long]("n_new") == 1L &&
+      r(1).getAs[Long]("n_returning") == 1L &&
+      r(1).getAs[Long]("cum_users") == 2L)
+  }
+
   test("topPaths: orders within session and ranks deterministically") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
