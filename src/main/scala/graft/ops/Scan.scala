@@ -102,6 +102,33 @@ object Scan {
         col("m.v").as("at_value"))
   }
 
+  /** GLOBAL rank + percent_rank for every row of a table — the
+    * classic single-partition-window job-killer
+    * (`percent_rank() OVER (ORDER BY v)`) replaced by the two-level
+    * scan: per-value counts, the distributed running sum, then ONE
+    * hash equi-join of the (distinct-value-sized) rank table back
+    * onto the rows. Ties share their min-rank (SQL RANK semantics),
+    * so ranks are well-defined and the join is exact.
+    *
+    * @return the input row id + value + (rnk, pct) — pct =
+    *         (rank−1)/(n−1) rounded to 6, REAL
+    */
+  def globalPercentRank(df: DataFrame, idCol: String,
+      valueCol: String): DataFrame = {
+    val rows = df.where(col(valueCol).isNotNull)
+      .select(col(idCol), col(valueCol).as("v"))
+    val counts = rows.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds the scan and the totals row
+    val n = counts.agg(sum(col("c")).as("n"))
+    val ranks = globalRunningSum(counts, Seq("v"), col("c"), "run")
+      .crossJoin(broadcast(n))
+      .select(col("v"), (col("run") - col("c") + 1).as("rnk"),
+        round((col("run") - col("c")).cast("double") / (col("n") - 1), 6)
+          .cast("float").as("pct"))
+    rows.join(ranks, "v")
+      .select(col(idCol), col("v").as(valueCol), col("rnk"), col("pct"))
+  }
+
   /** EQUI-DEPTH histogram (the optimizer-statistics/data-profiling
     * bucket shape: ~n/B rows per bucket, however skewed the values) —
     * exact and deterministic, defined at VALUE granularity so ties

@@ -375,6 +375,13 @@ object Analytics extends QueryPack {
       graft.ops.EventAnalytics.topPaths(t("events")(s, d),
         sessionGapS, 20)),
 
+    // Global rank + percent_rank of every order by totalprice WITHOUT
+    // the single-partition ORDER BY window: per-value counts → the
+    // distributed scan → one value-keyed equi-join back.
+    "q216_global_rank" -> ((s, d) =>
+      graft.ops.Scan.globalPercentRank(t("orders")(s, d), "o_orderkey",
+        "o_totalprice")),
+
     // Daily new/returning split + cumulative acquisition curve:
     // bounded aggregates + a broadcast first-day join + the
     // distributed scan for the running total.
@@ -690,6 +697,15 @@ object Analytics extends QueryPack {
          |c AS (SELECT path, count(*) AS n_sessions FROM p GROUP BY 1)
          |SELECT path, n_sessions FROM c
          |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+
+    // RANK ties share min-rank; percent_rank's (rank−1)/(n−1) is the
+    // builtin's own definition — one IEEE division, round at the edge.
+    "q216_global_rank" ->
+      """SELECT o_orderkey, o_totalprice,
+        |       CAST(rank() OVER (ORDER BY o_totalprice) AS BIGINT) AS rnk,
+        |       CAST(round(percent_rank() OVER (ORDER BY o_totalprice), 6)
+        |         AS REAL) AS pct
+        |FROM orders WHERE o_totalprice IS NOT NULL""".stripMargin,
 
     "q212_new_returning" ->
       """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day

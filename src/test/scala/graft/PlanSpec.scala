@@ -307,6 +307,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q216: global rank never plans a single-partition data sort") {
+    // the rank table joins back by value hash — the only sorts allowed
+    // are inside the metadata-sized offset scan (#partitions rows)
+    val p = plan("q216_global_rank")
+    val singleSorts = p.collect {
+      case s: org.apache.spark.sql.execution.SortExec
+          if s.global => s
+    }
+    assert(singleSorts.isEmpty, "global sort crept into the rank plan")
+  }
+
   test("q210: global top-k is TakeOrdered, not a global sort") {
     val p = plan("q210_top_paths")
     assert(p.collect {

@@ -156,6 +156,16 @@ class StatsSpec extends AnyFunSuite {
       r(1).getAs[Long]("cum_users") == 2L)
   }
 
+  test("globalPercentRank: min-rank ties, pct at the extremes") {
+    import spark.implicits._
+    val df = Seq((1L, 10.0), (2L, 20.0), (3L, 20.0), (4L, 30.0), (5L, 40.0))
+      .toDF("id", "v")
+    val r = Scan.globalPercentRank(df, "id", "v").orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getLong(2), x.getFloat(3)))
+    assert(r.toSeq == Seq((1L, 1L, 0.0f), (2L, 2L, 0.25f), (3L, 2L, 0.25f),
+      (4L, 4L, 0.75f), (5L, 5L, 1.0f)))
+  }
+
   test("topPaths: orders within session and ranks deterministically") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
