@@ -651,4 +651,31 @@ class StreamingSpec extends AnyFunSuite {
         .reduce(_ || _)).count()
     assert(mismatches == 0)
   }
+
+  test("hll registers maintain over a stream == batch sketch (complete mode)") {
+    // the running-cardinality shape HllFrame exists for: the register
+    // max-aggregate IS a streaming aggregation, so the standing sketch
+    // updates per micro-batch with bounded (≤ m-row) state and must
+    // land exactly on the batch computation over the union of batches
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Long]
+    val sdf = mem.toDF().select(lit("g").as("g"), col("value"))
+    val regs = graft.functions.HllFrame.registers(sdf, Seq("g"), col("value"))
+    val q = regs.writeStream.format("memory").queryName("hll_regs")
+      .outputMode("complete").start()
+    mem.addData(1L to 500L: _*)
+    q.processAllAvailable()
+    mem.addData(300L to 900L: _*) // overlapping second batch
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hll_regs")
+      .select("reg", "mr").collect().map(r => (r.getInt(0), r.getInt(1)))
+      .toSet
+    val batch = graft.functions.HllFrame.registers(
+        (1L to 900L).map(("g", _)).toDF("g", "value"), Seq("g"), col("value"))
+      .select("reg", "mr").collect().map(r => (r.getInt(0), r.getInt(1)))
+      .toSet
+    assert(streamed == batch)
+  }
 }
