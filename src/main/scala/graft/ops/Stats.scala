@@ -281,6 +281,89 @@ object Stats {
         qCols: _*)
   }
 
+  /** ONE-WAY ANOVA F — the k-sample extension of [[welchT]]: does the
+    * group mean of `valueCol` differ across `groupCol` levels at all?
+    * (The screening test before pairwise t's.)
+    *
+    * Determinism: per-group moments (n, Σx, Σx²) are exact integer
+    * cents; the between-group sum Σ s_g²/n_g is made ORDER-INDEPENDENT
+    * by the [[chiSquare]] discipline — each group's contribution is
+    * rounded to 4 then DECIMAL-summed, so no float accumulation order
+    * exists anywhere; F is a fixed IEEE sequence at the edge.
+    *
+    * Scale shape: one map-side-combined groupBy → k rows; everything
+    * after is metadata-sized.
+    *
+    * @return one row (k, n, ss_between, ss_within, f_stat) in value²
+    *         units (dollars²)
+    */
+  def anovaF(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val x = cents(col(valueCol))
+    val g = df.where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("ng"),
+        sum(x.cast("decimal(38,0)")).as("sg"),
+        sum((x.cast("decimal(19,0)") * x.cast("decimal(19,0)"))
+          .cast("decimal(38,0)")).as("qg"))
+    val m = g.agg(count(lit(1)).cast("int").as("k"),
+      sum(col("ng")).as("n"),
+      sum(col("sg")).as("t"),
+      sum(col("qg")).as("q"),
+      // group contributions rounded then decimal-summed: exact and
+      // order-free (the chiSquare headline-sum discipline)
+      sum(round(col("sg").cast("double") * col("sg").cast("double")
+        / col("ng"), 4).cast("decimal(38,4)")).as("a"))
+    val a = col("a").cast("double")
+    val ssb = (a - col("t").cast("double") * col("t").cast("double")
+      / col("n")) / 10000.0
+    val ssw = (col("q").cast("double") - a) / 10000.0
+    val f = (ssb / (col("k") - 1)) / (ssw / (col("n") - col("k")))
+    m.select(col("k"), col("n"),
+      round(ssb, 2).cast("float").as("ss_between"),
+      round(ssw, 2).cast("float").as("ss_within"),
+      round(f, 4).cast("float").as("f_stat"))
+  }
+
+  /** SPEARMAN rank correlation between two 2-decimal columns — the
+    * monotone-association measure immune to outliers and nonlinearity
+    * that sink Pearson on heavy-tailed data. ρ = Pearson over
+    * MIDRANKS (tie-averaged), the standard tied-data definition.
+    *
+    * Midranks come per COLUMN from per-value counts + the distributed
+    * global scan ([[Scan.globalRunningSums]] — never a global
+    * ORDER BY rank window), carried in half-rank integer units (ties
+    * at .5 stay exact), then joined back value-keyed; all five Pearson
+    * moments are DECIMAL sums of exact integers.
+    *
+    * @return one row (n, rho)
+    */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val rows = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(cents(col(xCol)).as("x"), cents(col(yCol)).as("y"))
+      .localCheckpoint(true) // feeds two rank sides + the pair join
+    def ranks(c: String) = {
+      val counts = rows.groupBy(col(c)).agg(count(lit(1)).as("ct"))
+      Scan.globalRunningSum(counts, Seq(c), col("ct"), "rt")
+        .select(col(c),
+          ((col("rt") - col("ct")) * 2 + col("ct") + 1).as(s"r$c"))
+    }
+    val ranked = rows.join(ranks("x"), "x").join(ranks("y"), "y")
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val m = ranked.agg(count(lit(1)).as("n"),
+      sum(dec(col("rx")).cast("decimal(38,0)")).as("sx"),
+      sum(dec(col("ry")).cast("decimal(38,0)")).as("sy"),
+      sum((dec(col("rx")) * dec(col("rx"))).cast("decimal(38,0)")).as("sxx"),
+      sum((dec(col("rx")) * dec(col("ry"))).cast("decimal(38,0)")).as("sxy"),
+      sum((dec(col("ry")) * dec(col("ry"))).cast("decimal(38,0)")).as("syy"))
+    val dn = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    m.select(col("n"),
+      round((dn * d("sxy") - d("sx") * d("sy"))
+        / sqrt((dn * d("sxx") - d("sx") * d("sx"))
+          * (dn * d("syy") - d("sy") * d("sy"))), 4).cast("float")
+        .as("rho"))
+  }
+
   /** Per-group MODE (most frequent value) with a deterministic
     * smallest-value tie-break — two map-side-combined aggregates
     * (value counts, then a struct-min argmax); no window, no sort.

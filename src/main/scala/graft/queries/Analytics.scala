@@ -375,6 +375,18 @@ object Analytics extends QueryPack {
       graft.ops.EventAnalytics.topPaths(t("events")(s, d),
         sessionGapS, 20)),
 
+    // One-way ANOVA F across all five event types: k-row moment
+    // aggregate; between-group sum order-independent by the chi2
+    // rounded-then-DECIMAL discipline.
+    "q217_anova" -> ((s, d) =>
+      graft.ops.Stats.anovaF(t("events")(s, d), "value", "event_type")),
+
+    // Spearman rank correlation (tie-averaged midranks from the
+    // distributed scan, half-rank integer units, DECIMAL moments).
+    "q218_spearman" -> ((s, d) =>
+      graft.ops.Stats.spearman(t("lineitem")(s, d), "l_quantity",
+        "l_extendedprice")),
+
     // Global rank + percent_rank of every order by totalprice WITHOUT
     // the single-partition ORDER BY window: per-value counts → the
     // distributed scan → one value-keyed equi-join back.
@@ -697,6 +709,59 @@ object Analytics extends QueryPack {
          |c AS (SELECT path, count(*) AS n_sessions FROM p GROUP BY 1)
          |SELECT path, n_sessions FROM c
          |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+
+    "q217_anova" ->
+      """WITH f AS (SELECT event_type AS g,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |gm AS (SELECT g, count(*) AS ng,
+        |    CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sgd,
+        |    sum(CAST(x AS HUGEINT)) AS sg,
+        |    sum(CAST(x AS HUGEINT) * x) AS qg
+        |  FROM f GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS INTEGER) AS k,
+        |    CAST(sum(ng) AS BIGINT) AS n,
+        |    CAST(sum(sg) AS DOUBLE) AS t,
+        |    CAST(sum(qg) AS DOUBLE) AS q,
+        |    CAST(sum(CAST(round(sgd * sgd / ng, 4) AS DECIMAL(38,4)))
+        |      AS DOUBLE) AS a
+        |  FROM gm)
+        |SELECT k, n,
+        |  CAST(round((a - t * t / n) / 10000.0, 2) AS REAL) AS ss_between,
+        |  CAST(round((q - a) / 10000.0, 2) AS REAL) AS ss_within,
+        |  CAST(round(((a - t * t / n) / 10000.0 / (k - 1))
+        |      / ((q - a) / 10000.0 / (n - k)), 4) AS REAL) AS f_stat
+        |FROM m""".stripMargin,
+
+    "q218_spearman" ->
+      """WITH f AS (SELECT
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |cx AS (SELECT x, count(*) AS ct FROM f GROUP BY 1),
+        |rxs AS (SELECT x, (sum(ct) OVER (ORDER BY x
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ct)
+        |          * 2 + ct + 1 AS rx
+        |        FROM cx),
+        |cy AS (SELECT y, count(*) AS ct FROM f GROUP BY 1),
+        |rys AS (SELECT y, (sum(ct) OVER (ORDER BY y
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ct)
+        |          * 2 + ct + 1 AS ry
+        |        FROM cy),
+        |r AS (SELECT rx, ry FROM f JOIN rxs USING (x) JOIN rys USING (y)),
+        |m AS (SELECT count(*) AS n,
+        |    CAST(sum(CAST(rx AS HUGEINT)) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(ry AS HUGEINT)) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(rx AS HUGEINT) * rx) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(rx AS HUGEINT) * ry) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(ry AS HUGEINT) * ry) AS DOUBLE) AS syy
+        |  FROM r)
+        |SELECT n,
+        |  CAST(round((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |    / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+        |         * (CAST(n AS DOUBLE) * syy - sy * sy)), 4) AS REAL) AS rho
+        |FROM m""".stripMargin,
 
     // RANK ties share min-rank; percent_rank's (rank−1)/(n−1) is the
     // builtin's own definition — one IEEE division, round at the edge.

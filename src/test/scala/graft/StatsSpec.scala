@@ -156,6 +156,35 @@ class StatsSpec extends AnyFunSuite {
       r(1).getAs[Long]("cum_users") == 2L)
   }
 
+  test("anovaF: identical groups read F = 0; separated groups explode F") {
+    import spark.implicits._
+    val same = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0))
+      .toDF("g", "v")
+    val r0 = Stats.anovaF(same, "v", "g").collect()(0)
+    assert(r0.getAs[Float]("ss_between") == 0.0f &&
+      r0.getAs[Float]("f_stat") == 0.0f)
+    // a = {1, 2}, b = {11, 12}: SSB = 100, SSW = 1, F = 100/(1/2) = 200
+    val sep = Seq(("a", 1.0), ("a", 2.0), ("b", 11.0), ("b", 12.0))
+      .toDF("g", "v")
+    val r = Stats.anovaF(sep, "v", "g").collect()(0)
+    assert(r.getAs[Int]("k") == 2 && r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Float]("ss_between") == 100.0f)
+    assert(r.getAs[Float]("ss_within") == 1.0f)
+    assert(r.getAs[Float]("f_stat") == 200.0f)
+  }
+
+  test("spearman: monotone nonlinear reads 1; reversed reads -1") {
+    import spark.implicits._
+    val mono = Seq((1.0, 1.0), (2.0, 4.0), (3.0, 9.0), (4.0, 16.0))
+      .toDF("x", "y")
+    assert(Stats.spearman(mono, "x", "y").collect()(0)
+      .getAs[Float]("rho") == 1.0f)
+    val rev = Seq((1.0, 16.0), (2.0, 9.0), (3.0, 4.0), (4.0, 1.0))
+      .toDF("x", "y")
+    assert(Stats.spearman(rev, "x", "y").collect()(0)
+      .getAs[Float]("rho") == -1.0f)
+  }
+
   test("globalPercentRank: min-rank ties, pct at the extremes") {
     import spark.implicits._
     val df = Seq((1L, 10.0), (2L, 20.0), (3L, 20.0), (4L, 30.0), (5L, 40.0))
