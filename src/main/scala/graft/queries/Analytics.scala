@@ -375,6 +375,49 @@ object Analytics extends QueryPack {
       graft.ops.EventAnalytics.topPaths(t("events")(s, d),
         sessionGapS, 20)),
 
+    // Composition: customer revenue deciles off the scan-based global
+    // percent rank (q216 machinery) → the whale-segmentation lift
+    // table. Decile boundaries are the ROUNDED pct both engines share.
+    "q219_decile_lift" -> ((s, d) => {
+      val rev = t("orders")(s, d).groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"),
+          count(lit(1)).as("n_orders"))
+        .localCheckpoint(true) // feeds the rank scan and the join back
+      val ranked = graft.ops.Scan.globalPercentRank(rev, "o_custkey", "rev")
+      ranked.select(col("o_custkey"),
+          least(floor(col("pct").cast("double") * 10), lit(9)).cast("int")
+            .as("decile"))
+        .join(rev, "o_custkey")
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("rev")).cast("double").cast("float").as("total_rev"),
+          sum(col("n_orders")).as("n_orders"))
+    }),
+
+    // DAY-2 HLL maintenance: yesterday's stored register frame merged
+    // (register-wise max) with the new batch's — REQUIRED to land
+    // exactly on the full recompute, so it shares q208's oracle
+    // verbatim (the q169/q177 identical-answer contract, here for
+    // sketch state).
+    "q220_hll_day2" -> ((s, d) => {
+      val ev = t("events")(s, d).where(col("user_id").isNotNull &&
+        col("ts").isNotNull)
+      val ud = concat(col("user_id").cast("string"), lit(":"),
+        to_date(col("ts")).cast("string"))
+      val isNew = dayofmonth(to_date(col("ts"))) >= 20
+      val old = graft.functions.HllFrame
+        .registers(ev.where(!isNew), Seq("event_type"), ud)
+      val batch = graft.functions.HllFrame
+        .registers(ev.where(isNew), Seq("event_type"), ud)
+      val merged = old.unionByName(batch)
+        .groupBy(col("event_type"), col("reg")).agg(max(col("mr")).as("mr"))
+      graft.functions.HllFrame.estimate(merged, Seq("event_type"))
+        .join(ev.groupBy("event_type")
+          .agg(count_distinct(ud).as("n_exact")), "event_type")
+        .select(col("event_type"), col("n_exact"), col("n_registers"),
+          col("est"))
+    }),
+
     // One-way ANOVA F across all five event types: k-row moment
     // aggregate; between-group sum order-independent by the chi2
     // rounded-then-DECIMAL discipline.
@@ -468,6 +511,37 @@ object Analytics extends QueryPack {
         .select(col("user_id"), col("sid").as("session_id"), col("start_s"),
           col("n_events"), col("duration_s"), col("total_value"))
     }))
+
+  /** The q208 HLL audit derivation — shared VERBATIM by q220 (the
+    * day-2 merged-register identical-answer contract). */
+  private lazy val hllAuditOracle: String = {
+      val reg = OracleSql.md5IntN("h", 1, 2)
+      val w = OracleSql.md5IntN("h", 3, 12)
+      s"""WITH f AS (SELECT DISTINCT event_type,
+         |             CAST(user_id AS VARCHAR) || ':' ||
+         |               CAST(CAST(ts AS DATE) AS VARCHAR) AS ud
+         |           FROM events
+         |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |hh AS (SELECT event_type, md5(ud) AS h FROM f),
+         |r AS (SELECT event_type, $reg AS reg, $w AS wd FROM hh),
+         |rk AS (SELECT event_type, reg,
+         |         max(CASE WHEN wd = 0 THEN 49
+         |             ELSE 49 - length(bin(wd)) END) AS mr
+         |       FROM r GROUP BY 1, 2),
+         |g AS (SELECT event_type, CAST(count(*) AS INTEGER) AS n_registers,
+         |        CAST(sum(1::BIGINT << (49 - mr)) AS BIGINT) AS sp
+         |      FROM rk GROUP BY 1),
+         |e AS (SELECT event_type, n_registers,
+         |        0.7213 / (1.0 + 1.079 / 256) * 256 * 256
+         |          * 562949953421312.0
+         |          / CAST(sp + CAST(256 - n_registers AS BIGINT)
+         |                 * 562949953421312 AS DOUBLE) AS est
+         |      FROM g),
+         |x AS (SELECT event_type, count(*) AS n_exact FROM f GROUP BY 1)
+         |SELECT e.event_type, x.n_exact, e.n_registers,
+         |       CAST(round(e.est, 2) AS REAL) AS est
+         |FROM e JOIN x USING (event_type)""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     // Exact HUGEINT cent moments re-derive the engine's DECIMAL(38,0)
@@ -644,34 +718,25 @@ object Analytics extends QueryPack {
     // Registers re-derived nibble-exact from md5; the harmonic-mean
     // denominator is the same exact integer Σ2^(49−rank); the estimate
     // repeats the engine's IEEE op order including the alpha constant.
-    "q208_hll_distinct" -> {
-      val reg = OracleSql.md5IntN("h", 1, 2)
-      val w = OracleSql.md5IntN("h", 3, 12)
-      s"""WITH f AS (SELECT DISTINCT event_type,
-         |             CAST(user_id AS VARCHAR) || ':' ||
-         |               CAST(CAST(ts AS DATE) AS VARCHAR) AS ud
-         |           FROM events
-         |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
-         |hh AS (SELECT event_type, md5(ud) AS h FROM f),
-         |r AS (SELECT event_type, $reg AS reg, $w AS wd FROM hh),
-         |rk AS (SELECT event_type, reg,
-         |         max(CASE WHEN wd = 0 THEN 49
-         |             ELSE 49 - length(bin(wd)) END) AS mr
-         |       FROM r GROUP BY 1, 2),
-         |g AS (SELECT event_type, CAST(count(*) AS INTEGER) AS n_registers,
-         |        CAST(sum(1::BIGINT << (49 - mr)) AS BIGINT) AS sp
-         |      FROM rk GROUP BY 1),
-         |e AS (SELECT event_type, n_registers,
-         |        0.7213 / (1.0 + 1.079 / 256) * 256 * 256
-         |          * 562949953421312.0
-         |          / CAST(sp + CAST(256 - n_registers AS BIGINT)
-         |                 * 562949953421312 AS DOUBLE) AS est
-         |      FROM g),
-         |x AS (SELECT event_type, count(*) AS n_exact FROM f GROUP BY 1)
-         |SELECT e.event_type, x.n_exact, e.n_registers,
-         |       CAST(round(e.est, 2) AS REAL) AS est
-         |FROM e JOIN x USING (event_type)""".stripMargin
-    },
+    "q208_hll_distinct" -> hllAuditOracle,
+
+    // Day-2 merged registers MUST equal the full recompute (sketch
+    // union property) — identical-answer contract, q208's oracle.
+    "q220_hll_day2" -> hllAuditOracle,
+
+    "q219_decile_lift" ->
+      """WITH rev AS (SELECT o_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT *, CAST(round(percent_rank()
+        |        OVER (ORDER BY rev), 6) AS REAL) AS pct FROM rev),
+        |d AS (SELECT *, CAST(least(floor(CAST(pct AS DOUBLE) * 10), 9)
+        |        AS INTEGER) AS decile FROM r)
+        |SELECT decile, count(*) AS n_customers,
+        |  CAST(CAST(sum(rev) AS DOUBLE) AS REAL) AS total_rev,
+        |  CAST(sum(n_orders) AS BIGINT) AS n_orders
+        |FROM d GROUP BY 1""".stripMargin,
 
     // UNION-distinct recursion: the working set is (id, hop) pairs,
     // bounded by |V|·rounds; min(hop) = true hop distance whatever
