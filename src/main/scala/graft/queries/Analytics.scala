@@ -375,6 +375,30 @@ object Analytics extends QueryPack {
       graft.ops.EventAnalytics.topPaths(t("events")(s, d),
         sessionGapS, 20)),
 
+    // The EXTREME-SCALE swap q178 documents, implemented: rolling
+    // 7-day actives from DAILY HLL REGISTER frames rolled up by
+    // register-wise max across the window — the explode spreads
+    // ≤256-row register frames, never the (user, day) activity rows;
+    // exact q178 rides beside as the audit column.
+    "q221_rolling_actives_hll" -> ((s, d) => {
+      val ev = t("events")(s, d).where(col("user_id").isNotNull &&
+        col("ts").isNotNull)
+      val act = ev.select(to_date(col("ts")).as("dt"), col("user_id"))
+      val regs = graft.functions.HllFrame
+        .registers(act, Seq("dt"), col("user_id"))
+      val spread = regs.select(
+        explode(sequence(col("dt"), date_add(col("dt"), 6))).as("day"),
+        col("reg"), col("mr"))
+      val bounds = act.agg(max(col("dt")).as("mx"))
+      val merged = spread.crossJoin(broadcast(bounds))
+        .where(col("day") <= col("mx"))
+        .groupBy(col("day"), col("reg")).agg(max(col("mr")).as("mr"))
+      graft.functions.HllFrame.estimate(merged, Seq("day"))
+        .join(graft.ops.EventAnalytics.rollingActives(ev, 7), "day")
+        .select(col("day"), col("active_users"), col("n_registers"),
+          col("est"))
+    }),
+
     // Composition: customer revenue deciles off the scan-based global
     // percent rank (q216 machinery) → the whale-segmentation lift
     // table. Decile boundaries are the ROUNDED pct both engines share.
@@ -723,6 +747,43 @@ object Analytics extends QueryPack {
     // Day-2 merged registers MUST equal the full recompute (sketch
     // union property) — identical-answer contract, q208's oracle.
     "q220_hll_day2" -> hllAuditOracle,
+
+    "q221_rolling_actives_hll" -> {
+      val reg = OracleSql.md5IntN("h", 1, 2)
+      val w = OracleSql.md5IntN("h", 3, 12)
+      s"""WITH act AS (SELECT DISTINCT CAST(ts AS DATE) AS dt, user_id
+         |             FROM events
+         |             WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |hh AS (SELECT dt, md5(CAST(user_id AS VARCHAR)) AS h FROM act),
+         |r AS (SELECT dt, $reg AS reg, $w AS wd FROM hh),
+         |rk AS (SELECT dt, reg,
+         |         max(CASE WHEN wd = 0 THEN 49
+         |             ELSE 49 - length(bin(wd)) END) AS mr
+         |       FROM r GROUP BY 1, 2),
+         |sprd AS (SELECT CAST(unnest(generate_series(dt,
+         |           dt + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS day,
+         |           reg, mr
+         |         FROM rk),
+         |mg AS (SELECT day, reg, max(mr) AS mr FROM sprd
+         |       WHERE day <= (SELECT max(dt) FROM act) GROUP BY 1, 2),
+         |g AS (SELECT day, CAST(count(*) AS INTEGER) AS n_registers,
+         |        CAST(sum(1::BIGINT << (49 - mr)) AS BIGINT) AS sp2
+         |      FROM mg GROUP BY 1),
+         |e AS (SELECT day, n_registers,
+         |        0.7213 / (1.0 + 1.079 / 256) * 256 * 256
+         |          * 562949953421312.0
+         |          / CAST(sp2 + CAST(256 - n_registers AS BIGINT)
+         |                 * 562949953421312 AS DOUBLE) AS est
+         |      FROM g),
+         |x AS (SELECT day, count(DISTINCT user_id) AS active_users FROM
+         |       (SELECT user_id, CAST(unnest(generate_series(dt,
+         |          dt + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS day
+         |        FROM act) s
+         |      WHERE day <= (SELECT max(dt) FROM act) GROUP BY 1)
+         |SELECT e.day, x.active_users, e.n_registers,
+         |       CAST(round(e.est, 2) AS REAL) AS est
+         |FROM e JOIN x USING (day)""".stripMargin
+    },
 
     "q219_decile_lift" ->
       """WITH rev AS (SELECT o_custkey,
