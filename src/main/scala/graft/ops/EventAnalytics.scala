@@ -114,9 +114,11 @@ object EventAnalytics {
           col("n_sessions"))
     }.reduce(_ unionByName _)
     val lw = Window.orderBy(col("step"))
+    // an empty previous step would fault ANSI division — NULL instead
+    val prevN = lag(col("n_sessions"), 1).over(lw)
     counts.withColumn("frac_of_prev",
-      round(col("n_sessions").cast("double") /
-        lag(col("n_sessions"), 1).over(lw), 4).cast("float"))
+      when(prevN =!= 0,
+        round(col("n_sessions").cast("double") / prevN, 4)).cast("float"))
   }
 
   /** Market-basket association rules over (basket, item) facts: for

@@ -1335,9 +1335,10 @@ object Analytics extends QueryPack {
          |  UNION ALL SELECT 2, 'click', count(*) FROM s2
          |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
          |SELECT CAST(step AS INTEGER) AS step, step_name, n_sessions,
-         |       CAST(round(CAST(n_sessions AS DOUBLE)
-         |              / lag(n_sessions) OVER (ORDER BY step), 4) AS REAL)
-         |         AS frac_of_prev
+         |       CAST(CASE WHEN lag(n_sessions) OVER (ORDER BY step) <> 0
+         |            THEN round(CAST(n_sessions AS DOUBLE)
+         |              / lag(n_sessions) OVER (ORDER BY step), 4) END
+         |         AS REAL) AS frac_of_prev
          |FROM c""".stripMargin,
 
     "q188_basket_rules" ->

@@ -620,9 +620,13 @@ object Indicators extends QueryPack {
       s"""WITH ${Bars.oracleCte},
          |d AS (
          |  SELECT id, dt,
-         |         round(close / max(close) OVER (PARTITION BY id ORDER BY dt
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1, 4)
-         |           AS dd
+         |         CASE WHEN max(close) OVER (PARTITION BY id ORDER BY dt
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |                <> 0
+         |         THEN round(close / max(close) OVER (PARTITION BY id
+         |                ORDER BY dt ROWS BETWEEN UNBOUNDED PRECEDING
+         |                AND CURRENT ROW) - 1, 4)
+         |         END AS dd
          |  FROM daily)
          |SELECT id, CAST(count(*) AS INTEGER) AS n_days,
          |       (min(struct_pack(dd := dd, dt := dt))).dt AS trough_dt,

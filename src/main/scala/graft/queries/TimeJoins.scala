@@ -171,8 +171,11 @@ object TimeJoins extends QueryPack {
       s"""WITH ${Bars.oracleCte},
          |r0 AS (
          |  SELECT id, dt,
-         |         close / lag(close) OVER (PARTITION BY id ORDER BY dt) - 1
-         |           AS r
+         |         CASE WHEN lag(close) OVER (PARTITION BY id ORDER BY dt)
+         |                   <> 0
+         |              THEN close / lag(close)
+         |                     OVER (PARTITION BY id ORDER BY dt) - 1
+         |         END AS r
          |  FROM daily),
          |r AS (SELECT * FROM r0 WHERE r IS NOT NULL),
          |bs AS (

@@ -35,8 +35,12 @@ object CrossCorr {
   def leadLag(bars: DataFrame, lags: Seq[Int] = Seq(-2, -1, 0, 1, 2),
       minObs: Int = 10): DataFrame = {
     val w = Window.partitionBy(col("id")).orderBy(col("dt"))
+    // a zero prior close makes the return undefined (and faults ANSI
+    // division) — such bars are degenerate data, guarded to NULL and
+    // dropped exactly like the series head (sf0.1 has one such bar)
+    val prev = lag(col("close"), 1).over(w)
     val rets = bars
-      .withColumn("r", col("close") / lag(col("close"), 1).over(w) - 1)
+      .withColumn("r", when(prev =!= 0, col("close") / prev - 1))
       .where(col("r").isNotNull)
       .select(col("id"), col("dt"), col("r"))
       .localCheckpoint(true) // both sides of the pair join

@@ -22,9 +22,13 @@ object Drawdown {
   def maxDrawdown(bars: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("id")).orderBy(col("dt"))
       .rowsBetween(Window.unboundedPreceding, 0)
+    // a zero running max (symbol opening on a zero close) makes the
+    // ratio undefined and faults ANSI division — guarded to NULL,
+    // which the min aggregates then skip
+    val runmax = max(col("close")).over(w)
     bars
       .withColumn("dd",
-        round(col("close") / max(col("close")).over(w) - 1, 4))
+        when(runmax =!= 0, round(col("close") / runmax - 1, 4)))
       .groupBy(col("id"))
       .agg(count(lit(1)).cast("int").as("n_days"),
         min(struct(col("dd"), col("dt"))).getField("dt").as("trough_dt"),
