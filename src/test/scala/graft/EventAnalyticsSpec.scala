@@ -164,6 +164,22 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(r(2).getFloat(3) == 0.5f)
   }
 
+  test("funnelDropoff: an empty middle step yields NULL frac, no fault") {
+    import spark.implicits._
+    // views only — click step counts 0, purchase's frac divides by it
+    val ev = Seq((1L, 10L, "view"), (2L, 20L, "view"))
+      .toDF("user_id", "t", "event_type")
+      .withColumn("event_id", col("t"))
+      .select(col("user_id"), col("t").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"))
+    val r = EventAnalytics.funnelDropoff(ev,
+        Seq("view", "click", "purchase"), gapSeconds = 100L)
+      .orderBy("step").collect()
+    assert(r.map(_.getLong(2)).toSeq == Seq(2L, 0L, 0L))
+    assert(r(1).getFloat(3) == 0.0f) // 0/2
+    assert(r(2).isNullAt(3))         // 0/0 guarded to NULL, not a fault
+  }
+
   test("basket rules: asymmetric confidence, lift above independence") {
     import spark.implicits._
     // baskets: {A,B} ×3, {A} ×3, {C} ×2 → n=8. conf(A→B)=0.5,
