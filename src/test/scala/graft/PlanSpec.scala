@@ -318,6 +318,22 @@ class PlanSpec extends AnyFunSuite {
     assert(singleSorts.isEmpty, "global sort crept into the rank plan")
   }
 
+  test("q189: the watchlist joins broadcast; only the symbol agg sorts") {
+    // the universe bound that keeps pairwise correlation at
+    // watchlist², not market²: the top-200 cut must join via broadcast,
+    // and any global sort in the plan may only see the ≤|symbols|-row
+    // (id, vol) aggregate — never fact-width rows (a non-terminal
+    // orderBy+limit plans Sort+GlobalLimit, which is fine at that size)
+    val p = plan("q189_lead_lag")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "watchlist lost its broadcast join")
+    val globalSorts = p.collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    assert(globalSorts.forall(_.output.length <= 2),
+      s"global sort over wide rows: ${globalSorts.map(_.output.map(_.name))}")
+  }
+
   test("q210: global top-k is TakeOrdered, not a global sort") {
     val p = plan("q210_top_paths")
     assert(p.collect {
