@@ -111,14 +111,18 @@ object Bench {
       "\"" + k + "\":" + samples(k).map(v => math.rint(v * 1000) / 1000)
         .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    // The driver keeps only a ~2000-char tail of the output, which the
-    // full-name full-precision queries map outgrew (r4's record was
-    // truncated mid-line → unparseable). The stdout line carries SHORT
-    // keys (qNN) at 3 decimals so it always fits the tail window; the
-    // full-name, full-precision map (plus raw samples) goes to
-    // bench_queries.json beside the run for anyone who wants the
-    // complete record.
+    // The driver keeps only a ~2000-char tail of the output: r4's
+    // full-name map outgrew it, and at 203 queries (r7) even the
+    // short-key map (~2.8 KB) did — the tail began mid-line and the
+    // artifact parsed null. So the LAST stdout line must be compact:
+    // a summary whose queries map carries only the 20 slowest (the
+    // ones a plan audit reads first). The full short-key line prints
+    // before it for humans, and the full-name full-precision map
+    // (plus raw samples) goes to bench_queries.json.
     val qsShort = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + math.rint(v * 1000) / 1000
+    }.mkString("{", ",", "}")
+    val qsTop = results.sortBy(-_._2).take(20).map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + math.rint(v * 1000) / 1000
     }.mkString("{", ",", "}")
     val fullLine =
@@ -128,7 +132,8 @@ object Bench {
     if (only.isEmpty) java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_queries.json"),
       (fullLine + "\n").getBytes("UTF-8"))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShort,"n_samples":$nSamples,"failed":$failedJson,"flaky":$flakyJson,"sf":"$sfDir","queries_file":"bench_queries.json"}""")
+    println(s"""{"metric":"total_all_queries","value":$total,"unit":"sec","queries":$qsShort,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qsTop,"queries_shown":"slowest20","n_samples":$nSamples,"failed":$failedJson,"flaky":$flakyJson,"sf":"$sfDir","queries_file":"bench_queries.json"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -102,6 +102,61 @@ object PartitionIO {
     * hour) partitions: the `candles_minute`-shaped reload, one level
     * deeper than the day tables.
     */
+  /** Additive schema evolution on the incremental write path — dbt's
+    * `on_schema_change='append_new_columns'`
+    * (modules/dbt/crypto_etl_pjr/models/crypto/marts/
+    * crypto_daily_close_stats.sql:3-9) re-expressed for a parquet
+    * lake:
+    *
+    *  - columns NEW in `updates` simply land in the new files; old
+    *    files lack them and read back as NULL under `mergeSchema`
+    *    (no table rewrite — evolution is metadata-only, which is the
+    *    only affordable shape at 100 TB),
+    *  - columns the table has but `updates` lacks are NEVER dropped:
+    *    they are appended to `updates` as typed NULLs so the new
+    *    files stay self-describing and a non-merge reader of one
+    *    partition still sees the full historical schema,
+    *  - shared columns keep the existing table's type (a silent type
+    *    flip would corrupt the union — caught here loudly instead).
+    *
+    * Composes with dynamic partition overwrite, so the evolved write
+    * keeps S6–S10's idempotency-under-retry.
+    */
+  def appendNewColumns(updates: DataFrame, path: String,
+      partitionCols: Seq[String], clusterBy: Seq[String] = Nil,
+      format: String = "parquet"): Unit = {
+    val spark = updates.sparkSession
+    val existing =
+      try Some(spark.read.format(format).option("mergeSchema", "true")
+        .load(path).schema)
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val aligned = existing match {
+      case None => updates
+      case Some(schema) =>
+        val incoming = updates.columns.map(c => c.toLowerCase -> c).toMap
+        schema.fields.foreach { f =>
+          incoming.get(f.name.toLowerCase).foreach { c =>
+            val it = updates.schema(c).dataType
+            require(it == f.dataType,
+              s"append_new_columns: column '$c' type flip " +
+                s"${f.dataType.simpleString} -> ${it.simpleString}; " +
+                "additive evolution never changes an existing column's type")
+          }
+        }
+        schema.fields.filterNot(f => incoming.contains(f.name.toLowerCase))
+          .foldLeft(updates)((d, f) =>
+            d.withColumn(f.name, lit(null).cast(f.dataType)))
+    }
+    overwritePartitions(aligned, path, partitionCols, clusterBy, format)
+  }
+
+  /** Read a table whose files may span schema versions: parquet/ORC
+    * footer union via `mergeSchema` — pre-evolution files surface the
+    * appended columns as NULL. */
+  def readEvolved(spark: org.apache.spark.sql.SparkSession, path: String,
+      format: String = "parquet"): DataFrame =
+    spark.read.option("mergeSchema", "true").format(format).load(path)
+
   def reloadTrailingHours(source: DataFrame, path: String, tsCol: String,
       hours: Int, asOf: String, format: String = "parquet"): Unit = {
     val hi = date_trunc("hour", lit(asOf).cast("timestamp"))

@@ -123,7 +123,11 @@ object Scan {
     val ranks = globalRunningSum(counts, Seq("v"), col("c"), "run")
       .crossJoin(broadcast(n))
       .select(col("v"), (col("run") - col("c") + 1).as("rnk"),
-        round((col("run") - col("c")).cast("double") / (col("n") - 1), 6)
+        // n = 1 makes (rank−1)/(n−1) a 0/0 NaN; the SQL builtin
+        // defines a single row's percent_rank as 0 — match it
+        when(col("n") > 1,
+          round((col("run") - col("c")).cast("double") / (col("n") - 1), 6))
+          .otherwise(lit(0d))
           .cast("float").as("pct"))
     rows.join(ranks, "v")
       .select(col(idCol), col("v").as(valueCol), col("rnk"), col("pct"))

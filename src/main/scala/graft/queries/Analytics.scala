@@ -1218,7 +1218,7 @@ object Analytics extends QueryPack {
          |        ON a.l_orderkey = b.l_orderkey
          |       AND a.l_partkey <> b.l_partkey),
          |${graft.graph.PageRank.oracleCte(5)}
-         |SELECT id, r AS rank_fp FROM r5""".stripMargin,
+         |SELECT id, CAST(r AS BIGINT) AS rank_fp FROM r5""".stripMargin,
 
     // Naive id-canonical triangle enumeration (a<b<c triple join) —
     // an INDEPENDENT formulation of the engine's degree-oriented plan;

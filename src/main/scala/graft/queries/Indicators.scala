@@ -718,7 +718,7 @@ object Indicators extends QueryPack {
         |      - t AS dur
         |  FROM x)
         |SELECT id, dt, CAST(count(*) AS INTEGER) AS n_events,
-        |       sum(dur) AS dur_total_s,
+        |       CAST(sum(dur) AS BIGINT) AS dur_total_s,
         |       CAST(round(sum(value * dur) / sum(dur), 4) AS REAL) AS twap
         |FROM dd GROUP BY 1, 2""".stripMargin)
 }

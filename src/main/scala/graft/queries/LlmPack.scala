@@ -1145,7 +1145,8 @@ object LlmPack extends QueryPack {
     "q196_edit_verified" ->
       s"""WITH $simhashPairCtes
          |SELECT p.da, p.db, p.hamming,
-         |       levenshtein(substr(a.text, 1, 200), substr(b.text, 1, 200))
+         |       CAST(levenshtein(substr(a.text, 1, 200),
+         |                        substr(b.text, 1, 200)) AS INTEGER)
          |         AS edit
          |FROM p JOIN documents a ON p.da = a.doc_id
          |       JOIN documents b ON p.db = b.doc_id
@@ -1669,7 +1670,7 @@ object LlmPack extends QueryPack {
     // Spark's — BPE's greedy application order).
     "q143_bpe_merges" ->
       (bpeChain(8) + "\n" + (1 to 8).map(r =>
-        s"SELECT rank, lhs, rhs, cnt FROM b$r")
+        s"SELECT rank, lhs, rhs, CAST(cnt AS BIGINT) AS cnt FROM b$r")
         .mkString("\nUNION ALL\n")),
     "q144_bpe_vocab" ->
       (bpeChain(8) +

@@ -78,6 +78,36 @@ object LoadIngest extends QueryPack {
         col("hour").cast("int").as("hour"))
     }),
 
+    // dbt on_schema_change='append_new_columns' parity: the mart is
+    // loaded under its v1 schema, then the v2 era both ADDS a column
+    // (integer-cents hi-lo spread) and LOSES one (volume vanishes
+    // from the upstream extract). The evolved write must widen the
+    // table without rewriting v1 files (new column NULL for the v1
+    // era), never drop volume (typed NULL for the v2 era), and stay
+    // idempotent under the Airflow retry (v2 written TWICE).
+    "q222_schema_evolution" -> ((s, d) => {
+      val path = scratch(d, "q222")
+      val bars = Bars.daily(t("events")(s, d))
+      val pivot = lit("2024-01-20").cast("date")
+      PartitionIO.appendNewColumns(
+        PartitionIO.withDayPartitions(bars.where(col("dt") < pivot), "dt"),
+        path, Seq("year", "month", "day"))
+      val v2 = PartitionIO.withDayPartitions(
+        bars.where(col("dt") >= pivot)
+          .withColumn("spread_c",
+            ((col("high").cast("decimal(18,2)") -
+              col("low").cast("decimal(18,2)")) * 100).cast("long"))
+          .drop("volume"), "dt")
+      PartitionIO.appendNewColumns(v2, path, Seq("year", "month", "day"))
+      PartitionIO.appendNewColumns(v2, path, Seq("year", "month", "day"))
+      PartitionIO.readEvolved(s, path).select(
+        col("id"), col("dt"), col("open"), col("high"), col("low"),
+        col("close"), col("volume"), col("spread_c"),
+        col("year").cast("int").as("year"),
+        col("month").cast("int").as("month"),
+        col("day").cast("int").as("day"))
+    }),
+
     // JSON-lines external ingest: completes the file-format matrix
     // (parquet/ORC/CSV/JSON). Typed bars round-trip through JSON text
     // (schema-on-read with an explicit schema — no sampling pass) and
@@ -324,6 +354,22 @@ object LoadIngest extends QueryPack {
     "q50_partition_roundtrip" ->
       s"""WITH ${Bars.oracleCte}
          |SELECT id, dt, open, high, low, close, volume,
+         |       CAST(year(dt) AS INTEGER) AS year,
+         |       CAST(month(dt) AS INTEGER) AS month,
+         |       CAST(day(dt) AS INTEGER) AS day
+         |FROM daily""".stripMargin,
+    // The evolved mart equals ONE clean recompute with the era rule
+    // applied column-wise: volume only in the v1 era, spread only in
+    // the v2 era — any rewrite of v1 files, dropped column, or
+    // retry-duplicated row breaks the hash.
+    "q222_schema_evolution" ->
+      s"""WITH ${Bars.oracleCte}
+         |SELECT id, dt, open, high, low, close,
+         |       CASE WHEN dt < DATE '2024-01-20' THEN volume END AS volume,
+         |       CASE WHEN dt >= DATE '2024-01-20' THEN
+         |         CAST((CAST(high AS DECIMAL(18,2))
+         |               - CAST(low AS DECIMAL(18,2))) * 100 AS BIGINT)
+         |       END AS spread_c,
          |       CAST(year(dt) AS INTEGER) AS year,
          |       CAST(month(dt) AS INTEGER) AS month,
          |       CAST(day(dt) AS INTEGER) AS day

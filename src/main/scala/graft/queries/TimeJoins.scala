@@ -196,27 +196,40 @@ object TimeJoins extends QueryPack {
          |                     OVER (PARTITION BY id ORDER BY dt) - 1
          |         END AS r
          |  FROM dailyw),
-         |r AS (SELECT * FROM r0 WHERE r IS NOT NULL),
+         |r AS (SELECT id, dt,
+         |        CAST(round(LEAST(GREATEST(r, -10), 10) * 1e6, 0)
+         |          AS BIGINT) AS rs
+         |      FROM r0 WHERE r IS NOT NULL),
          |bs AS (
          |  SELECT id AS id_b, t.k, dt - CAST(t.k AS INTEGER) AS mdt,
-         |         r AS rb
+         |         rs AS rb
          |  FROM r, (VALUES (-2), (-1), (0), (1), (2)) t(k)),
          |j AS (
-         |  SELECT a.id AS id_a, bs.id_b, bs.k, a.r AS ra, bs.rb
+         |  SELECT a.id AS id_a, bs.id_b, bs.k, a.rs AS ra, bs.rb
          |  FROM r a JOIN bs ON a.dt = bs.mdt AND a.id < bs.id_b),
          |g AS (
          |  SELECT id_a, id_b, k, count(*) AS n,
-         |         sum(ra) AS sx, sum(rb) AS sy, sum(ra * rb) AS sxy,
-         |         sum(ra * ra) AS sxx, sum(rb * rb) AS syy
-         |  FROM j GROUP BY 1, 2, 3 HAVING count(*) >= 10)
+         |         CAST(sum(ra) AS BIGINT) AS sx,
+         |         CAST(sum(rb) AS BIGINT) AS sy,
+         |         CAST(sum(ra * rb) AS BIGINT) AS sxy,
+         |         CAST(sum(ra * ra) AS BIGINT) AS sxx,
+         |         CAST(sum(rb * rb) AS BIGINT) AS syy
+         |  FROM j GROUP BY 1, 2, 3 HAVING count(*) >= 10),
+         |v AS (
+         |  SELECT id_a, id_b, k, n,
+         |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+         |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+         |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num
+         |  FROM g)
          |SELECT id_a, id_b, CAST(k AS INTEGER) AS k,
          |       CAST(n AS INTEGER) AS n,
-         |       CAST(CASE WHEN (n * sxx - sx * sx) > 1e-12
-         |                  AND (n * syy - sy * sy) > 1e-12
-         |            THEN round((n * sxy - sx * sy)
-         |              / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+         |       CAST(CASE WHEN vx > 0 AND vy > 0
+         |            THEN floor(num / sqrt(vx * vy) * 1e4 + 0.5) / 1e4
          |       END AS REAL) AS corr
-         |FROM g""".stripMargin,
+         |FROM v""".stripMargin,
 
     "q184_asof_scd2" ->
       """WITH ev AS (

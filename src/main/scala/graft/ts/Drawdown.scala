@@ -23,15 +23,20 @@ object Drawdown {
     val w = Window.partitionBy(col("id")).orderBy(col("dt"))
       .rowsBetween(Window.unboundedPreceding, 0)
     // a zero running max (symbol opening on a zero close) makes the
-    // ratio undefined and faults ANSI division — guarded to NULL,
-    // which the min aggregates then skip
+    // ratio undefined and faults ANSI division — guarded to NULL.
+    // min(dd) skips NULLs, but min over a STRUCT does NOT skip a
+    // struct whose dd FIELD is NULL (NULL fields sort first), so the
+    // argmin must wrap the whole struct in the NULL guard — a
+    // NULL struct is genuinely skipped, keeping trough_dt consistent
+    // with max_dd (and with DuckDB, where nested NULLs sort last)
     val runmax = max(col("close")).over(w)
     bars
       .withColumn("dd",
         when(runmax =!= 0, round(col("close") / runmax - 1, 4)))
       .groupBy(col("id"))
       .agg(count(lit(1)).cast("int").as("n_days"),
-        min(struct(col("dd"), col("dt"))).getField("dt").as("trough_dt"),
+        min(when(col("dd").isNotNull, struct(col("dd"), col("dt"))))
+          .getField("dt").as("trough_dt"),
         min(col("dd")).cast("float").as("max_dd"))
   }
 }

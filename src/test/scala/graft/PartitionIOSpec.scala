@@ -78,6 +78,39 @@ class PartitionIOSpec extends AnyFunSuite {
       expected.schema.fields.map(f => f.name -> f.dataType).toMap)
   }
 
+  test("append_new_columns: widens without rewrite, never drops, " +
+      "rejects type flips") {
+    val path = tmp()
+    // v1 era: (id, dt, tag, v) over days 1..10
+    PartitionIO.appendNewColumns(
+      PartitionIO.withDayPartitions(mkRows(1 to 10, "v1"), "dt"),
+      path, Seq("year", "month", "day"))
+    // v2 era: NEW column 'score', LOST column 'v' — written twice
+    val v2 = PartitionIO.withDayPartitions(
+      mkRows(11 to 15, "v2").drop("v").withColumn("score", lit(7L)), "dt")
+    PartitionIO.appendNewColumns(v2, path, Seq("year", "month", "day"))
+    PartitionIO.appendNewColumns(v2, path, Seq("year", "month", "day"))
+    val out = PartitionIO.readEvolved(spark, path)
+    assert(out.count() == 15) // idempotent under the retry
+    // v1 files were not rewritten: score reads back NULL there…
+    assert(out.where(col("tag") === "v1" && col("score").isNull)
+      .count() == 10)
+    // …and v is preserved as typed NULL for the v2 era
+    assert(out.where(col("tag") === "v2" && col("v").isNull).count() == 5)
+    assert(out.where(col("tag") === "v2" && col("score") === 7L)
+      .count() == 5)
+    assert(out.schema("v").dataType.simpleString == "double")
+    assert(out.schema("score").dataType.simpleString == "bigint")
+    // a type flip on an existing column is refused loudly
+    val flipped = PartitionIO.withDayPartitions(
+      mkRows(16 to 16, "v3").withColumn("v", lit("oops")), "dt")
+    val e = intercept[IllegalArgumentException] {
+      PartitionIO.appendNewColumns(flipped, path,
+        Seq("year", "month", "day"))
+    }
+    assert(e.getMessage.contains("type flip"))
+  }
+
   test("overwrite leaves partitions absent from the update untouched") {
     val path = tmp()
     PartitionIO.overwritePartitions(

@@ -27,6 +27,29 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def norm_type(t: str) -> str:
+    """Canonical type label for dtype-parity: the driver's hash
+    stringifies values, so an oracle HUGEINT/DOUBLE vs a Spark
+    BIGINT ("4568.0" vs "4568") hash-mismatches even when every cell
+    compares equal. Catch the skew at the type level."""
+    t = str(t).upper()
+    if t in ("REAL",):
+        return "FLOAT"
+    if t.startswith("TIMESTAMP"):
+        return "TIMESTAMP"
+    if t.startswith("DECIMAL"):
+        return t.replace(" ", "")
+    return t
+
+
+def dtype_skew(got_rel, want_rel):
+    """Column-name-sorted type comparison; returns list of
+    (col, spark_type, oracle_type) mismatches."""
+    g = dict(zip(got_rel.columns, [norm_type(t) for t in got_rel.types]))
+    w = dict(zip(want_rel.columns, [norm_type(t) for t in want_rel.types]))
+    return [(c, g[c], w[c]) for c in sorted(set(g) & set(w)) if g[c] != w[c]]
+
+
 def cell_eq(a, b):
     if a is None and b is None:
         return True
@@ -58,17 +81,24 @@ def main():
             continue
         sql = oracles[name]
         try:
-            got = con.sql(
+            got_rel = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
-            ).df()
+            )
+            got = got_rel.df()
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
             n_fail += 1
             continue
         try:
-            want = con.sql(sql).df()
+            want_rel = con.sql(sql)
+            want = want_rel.df()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
+            n_fail += 1
+            continue
+        skew = dtype_skew(got_rel, want_rel)
+        if skew:
+            print(f"FAIL {name}: dtype skew (col, spark, oracle): {skew}")
             n_fail += 1
             continue
         got, want = canon(got), canon(want)
