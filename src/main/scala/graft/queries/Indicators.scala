@@ -397,6 +397,30 @@ object Indicators extends QueryPack {
             .cast("float").as("fcast"))
     }),
 
+    // Extension: Holt–Winters additive triple smoothing — q186's
+    // level/trend plus a period-7 seasonal state on the same kernel
+    // path; the oracle's recursive CTE carries the trailing 7
+    // seasonals as a LIST and replays the recurrence op-for-op.
+    "q223_holt_winters" -> ((s, d) => {
+      val bars = Bars.daily(t("events")(s, d))
+        .select(col("id"),
+          org.apache.spark.sql.functions.unix_timestamp(
+            col("dt").cast("timestamp")).as("tkey"),
+          col("close"))
+      Recursive.applyKernel(bars,
+          Seq("level", "trend", "seasonal", "fcast"))(
+          c => graft.ts.TaKernels.holtWinters(c))
+        .select(col("id"), col("tkey"),
+          org.apache.spark.sql.functions.round(col("level"), 4)
+            .cast("float").as("level"),
+          org.apache.spark.sql.functions.round(col("trend"), 4)
+            .cast("float").as("trend"),
+          org.apache.spark.sql.functions.round(col("seasonal"), 4)
+            .cast("float").as("seasonal"),
+          org.apache.spark.sql.functions.round(col("fcast"), 4)
+            .cast("float").as("fcast"))
+    }),
+
     // J4: the groupByKey.flatMapGroups kernel path ([[Recursive]]) —
     // the mart itself runs the native TypedImperativeAggregate path
     // (graft.functions), so this keeps the distributed-kernel
@@ -685,6 +709,60 @@ object Indicators extends QueryPack {
          |       CAST(round(h.l + h.b, 4) AS REAL) AS fcast
          |FROM num n LEFT JOIN h ON n.id = h.id AND n.rn = h.rn"""
         .stripMargin,
+
+    // Holt–Winters: the recursion needs s_{t−7}, so the recursive CTE
+    // carries the trailing 7 seasonals as a LIST — sl[1] is always
+    // the seasonal from 7 steps back, and each step appends the new
+    // one to sl[2:]. Level seeds from the rn=7 trailing-window avg
+    // (the emaCte seed discipline), trend from the two season means.
+    "q223_holt_winters" ->
+      s"""WITH RECURSIVE ${Bars.oracleCte},
+         |num AS MATERIALIZED (
+         |  SELECT id, dt, close,
+         |         CAST(row_number() OVER (PARTITION BY id ORDER BY dt)
+         |           AS INTEGER) AS rn,
+         |         avg(close) OVER (PARTITION BY id ORDER BY dt
+         |           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS avg7
+         |  FROM daily),
+         |q AS MATERIALIZED (SELECT id, max(rn) AS nn FROM num GROUP BY id),
+         |m1 AS MATERIALIZED (
+         |  SELECT n.id, n.avg7 AS m1 FROM num n JOIN q ON n.id = q.id
+         |  WHERE n.rn = 7 AND q.nn >= 14),
+         |m2 AS MATERIALIZED (SELECT id, avg7 AS m2 FROM num WHERE rn = 14),
+         |sinit AS MATERIALIZED (
+         |  SELECT n.id, list(n.close - m1.m1 ORDER BY n.rn) AS sl
+         |  FROM num n JOIN m1 ON n.id = m1.id
+         |  WHERE n.rn <= 7 GROUP BY n.id),
+         |h AS (
+         |  SELECT m1.id, 7 AS rn, m1.m1 AS l, (m2.m2 - m1.m1) / 7 AS b,
+         |         CAST(NULL AS DOUBLE) AS snew, si.sl AS sl
+         |  FROM m1 JOIN m2 ON m1.id = m2.id
+         |  JOIN sinit si ON m1.id = si.id
+         |  UNION ALL
+         |  SELECT n.id, n.rn,
+         |    0.2 * (n.close - h.sl[1]) + (1 - 0.2) * (h.l + h.b),
+         |    0.1 * ((0.2 * (n.close - h.sl[1])
+         |             + (1 - 0.2) * (h.l + h.b)) - h.l)
+         |      + (1 - 0.1) * h.b,
+         |    0.3 * (n.close - (0.2 * (n.close - h.sl[1])
+         |                       + (1 - 0.2) * (h.l + h.b)))
+         |      + (1 - 0.3) * h.sl[1],
+         |    list_append(h.sl[2:],
+         |      0.3 * (n.close - (0.2 * (n.close - h.sl[1])
+         |                         + (1 - 0.2) * (h.l + h.b)))
+         |        + (1 - 0.3) * h.sl[1])
+         |  FROM num n JOIN h ON n.id = h.id AND n.rn = h.rn + 1)
+         |SELECT n.id,
+         |       CAST(floor(epoch(CAST(n.dt AS TIMESTAMP))) AS BIGINT)
+         |         AS tkey,
+         |       CAST(round(h.l, 4) AS REAL) AS level,
+         |       CAST(round(h.b, 4) AS REAL) AS trend,
+         |       CAST(round(CASE WHEN n.rn <= 7 THEN n.close - m1.m1
+         |                       ELSE h.snew END, 4) AS REAL) AS seasonal,
+         |       CAST(round(h.l + h.b + h.sl[1], 4) AS REAL) AS fcast
+         |FROM num n
+         |LEFT JOIN h ON n.id = h.id AND n.rn = h.rn
+         |LEFT JOIN m1 ON n.id = m1.id""".stripMargin,
 
     "q181_anomaly" ->
       s"""WITH ${Bars.oracleCte},

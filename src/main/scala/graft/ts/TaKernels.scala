@@ -140,4 +140,56 @@ object TaKernels {
     }
     Array(l, b, f)
   }
+
+  /** Holt–Winters additive triple exponential smoothing — [[holt]]
+    * plus a period-m seasonal state, the classic forecaster for a
+    * series with weekly rhythm (m = 7 on daily bars). Textbook
+    * two-season init (needs n ≥ 2m, else all-NaN): level = mean of
+    * season 1, trend = (mean of season 2 − mean of season 1)/m,
+    * initial seasonals = first-season deviations from that level.
+    * Then for t ≥ m (0-based):
+    * {{{
+    *   l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β) b_{t−1}
+    *   s_t = γ(x_t − l_t) + (1−γ) s_{t−m}
+    *   f_t = l_t + b_t + s_{t+1−m}     // one-step-ahead forecast
+    * }}}
+    * Expression shapes mirror the oracle's recursive CTE (which
+    * carries the trailing m seasonals as a LIST) op-for-op, so the
+    * doubles are bit-identical before the rounded float edge.
+    * @return Array(level, trend, seasonal, forecast)
+    */
+  def holtWinters(closes: Array[Double], m: Int = 7, alpha: Double = 0.2,
+      beta: Double = 0.1, gamma: Double = 0.3): Array[Array[Double]] = {
+    val n = closes.length
+    val l = Array.fill(n)(Double.NaN)
+    val b = Array.fill(n)(Double.NaN)
+    val s = Array.fill(n)(Double.NaN)
+    val f = Array.fill(n)(Double.NaN)
+    if (n >= 2 * m) {
+      var sum1 = 0.0
+      var i = 0
+      while (i < m) { sum1 += closes(i); i += 1 }
+      val m1 = sum1 / m
+      var sum2 = 0.0
+      i = m
+      while (i < 2 * m) { sum2 += closes(i); i += 1 }
+      val m2 = sum2 / m
+      i = 0
+      while (i < m) { s(i) = closes(i) - m1; i += 1 }
+      l(m - 1) = m1
+      b(m - 1) = (m2 - m1) / m
+      f(m - 1) = l(m - 1) + b(m - 1) + s(0)
+      var t = m
+      while (t < n) {
+        l(t) = alpha * (closes(t) - s(t - m)) +
+          (1 - alpha) * (l(t - 1) + b(t - 1))
+        b(t) = beta * (l(t) - l(t - 1)) + (1 - beta) * b(t - 1)
+        s(t) = gamma * (closes(t) - l(t)) + (1 - gamma) * s(t - m)
+        f(t) = l(t) + b(t) + s(t + 1 - m)
+        t += 1
+      }
+    }
+    Array(l, b, s, f)
+  }
 }

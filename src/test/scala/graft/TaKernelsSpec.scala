@@ -117,4 +117,37 @@ class TaKernelsSpec extends AnyFunSuite {
     val Array(l1, b1, f1) = TaKernels.holt(Array(5.0))
     assert(l1.forall(_.isNaN) && b1.forall(_.isNaN) && f1.forall(_.isNaN))
   }
+
+  test("holtWinters: init from two seasons, hand-replayed recurrence, " +
+      "pure seasonal signal recovered") {
+    // linear trend (+1/step) + period-3 seasonal {+1, 0, -1}
+    val season = Array(1.0, 0.0, -1.0)
+    val c = (0 until 12).map(i => 10.0 + i + season(i % 3)).toArray
+    val Array(l, b, s, f) = TaKernels.holtWinters(c, m = 3,
+      alpha = 0.2, beta = 0.1, gamma = 0.3)
+    // init block: level = mean of season 1, trend = (mean2-mean1)/3,
+    // seasonals = first-season deviations
+    val m1 = (c(0) + c(1) + c(2)) / 3
+    val m2 = (c(3) + c(4) + c(5)) / 3
+    assert(l(2) == m1 && b(2) == (m2 - m1) / 3)
+    assert(s(0) == c(0) - m1 && s(1) == c(1) - m1 && s(2) == c(2) - m1)
+    assert(f(2) == l(2) + b(2) + s(0))
+    assert(l(0).isNaN && b(1).isNaN && f(1).isNaN)
+    // replay the recurrence by hand
+    (3 until c.length).foreach { t =>
+      val nl = 0.2 * (c(t) - s(t - 3)) + (1 - 0.2) * (l(t - 1) + b(t - 1))
+      val nb = 0.1 * (nl - l(t - 1)) + (1 - 0.1) * b(t - 1)
+      val ns = 0.3 * (c(t) - nl) + (1 - 0.3) * s(t - 3)
+      assert(l(t) == nl && b(t) == nb && s(t) == ns)
+      assert(f(t) == nl + nb + s(t + 1 - 3))
+    }
+    // a trend+seasonal input is tracked: the one-step forecast error
+    // is far below the seasonal amplitude (2.0) by the end — full
+    // convergence takes more than 4 periods at alpha = 0.2
+    assert(math.abs(f(10) - c(11)) < 1.0)
+    // below 2 periods of data: all NaN
+    val Array(l2, b2, s2, f2) = TaKernels.holtWinters(c.take(5), m = 3)
+    assert(l2.forall(_.isNaN) && b2.forall(_.isNaN) &&
+      s2.forall(_.isNaN) && f2.forall(_.isNaN))
+  }
 }
