@@ -615,6 +615,39 @@ object Dedup {
       .where(col("edit") <= maxEdit)
   }
 
+  /** Jaro–Winkler record-linkage verify over the same fingerprint
+    * candidates as [[editVerifiedPairs]] — the similarity-score
+    * companion to the edit-distance verifier: transposition-tolerant
+    * and prefix-boosted, so reordered near-identical openings score
+    * high where raw Levenshtein charges full price per swap. The
+    * score is the native [[graft.functions.JaroWinkler]] expression
+    * (bit-pinned to the oracle's builtin), rounded with the shared
+    * floor(j·1e4 + 0.5)/1e4 formula so even grid-tie values agree
+    * cross-engine.
+    *
+    * Scale shape: candidates from the banded simhash join (never
+    * all-pairs); texts move only for candidate pairs; the verify is a
+    * codegen'd scalar kernel over 2·prefixLen code points.
+    *
+    * @return (da, db, hamming, jw) with jw ≥ minSim
+    */
+  def jaroVerifiedPairs(docs: DataFrame, maxHamming: Int = 3,
+      minSim: Double = 0.9, prefixLen: Int = 200,
+      bits: Int = simhashBits): DataFrame = {
+    val pfx = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), substring(col("text"), 1, prefixLen).as("pfx"))
+    def jw(a: Column, b: Column): Column =
+      GraftSqlShims.column(graft.functions.JaroWinkler(
+        GraftSqlShims.expression(a), GraftSqlShims.expression(b)))
+    simhashPairs(docs, maxHamming, bits)
+      .join(pfx.select(col("doc_id").as("da"), col("pfx").as("pa")), "da")
+      .join(pfx.select(col("doc_id").as("db"), col("pfx").as("pb")), "db")
+      .select(col("da"), col("db"), col("hamming"),
+        (floor(jw(col("pa"), col("pb")) * 1e4 + 0.5) / 1e4)
+          .cast("float").as("jw"))
+      .where(col("jw") >= minSim)
+  }
+
   /** The pair family's fingerprint frame: (doc_id, simhash, fpl) — the
     * bit string parsed to a long ONCE per doc; candidates then carry
     * two longs and the verify is bit_count(xor) — scalar codegen, no

@@ -147,6 +147,13 @@ object LlmPack extends QueryPack {
     // (725 candidates → 23 true near-dups at sf0.01).
     "q196_edit_verified" -> ((s, d) =>
       Dedup.editVerifiedPairs(t("documents")(s, d))),
+    // Jaro-Winkler record linkage over the same candidates: the
+    // native Catalyst expression (bit-pinned to DuckDB's vendored
+    // RapidFuzz builtin — fuzz-verified) verifies fingerprint pairs
+    // by prefix similarity; the shared floor-rounding formula keeps
+    // even grid-tie scores identical cross-engine.
+    "q224_jaro_linkage" -> ((s, d) =>
+      Dedup.jaroVerifiedPairs(t("documents")(s, d))),
     // The CORPUS-SCALE fingerprint width: same map-only kernel and
     // pigeonhole band join at 64 bits / 4×16-bit bands — 65 536
     // buckets per band keep the candidate join selective at ≥ 10⁸
@@ -1153,6 +1160,17 @@ object LlmPack extends QueryPack {
          |WHERE p.hamming <= 3
          |  AND levenshtein(substr(a.text, 1, 200), substr(b.text, 1, 200))
          |      <= 20""".stripMargin,
+    "q224_jaro_linkage" ->
+      s"""WITH $simhashPairCtes
+         |SELECT da, db, hamming, jw FROM (
+         |  SELECT p.da, p.db, p.hamming,
+         |         CAST(floor(jaro_winkler_similarity(
+         |                substr(a.text, 1, 200), substr(b.text, 1, 200))
+         |              * 1e4 + 0.5) / 1e4 AS REAL) AS jw
+         |  FROM p JOIN documents a ON p.da = a.doc_id
+         |         JOIN documents b ON p.db = b.doc_id
+         |  WHERE p.hamming <= 3)
+         |WHERE jw >= 0.9""".stripMargin,
     "q96_simhash_delta" ->
       s"""WITH $simhashPairCtes
          |SELECT da, db, hamming FROM p
