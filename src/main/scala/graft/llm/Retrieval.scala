@@ -98,4 +98,45 @@ object Retrieval {
       .select(col("doc_id").as("query_id"),
         explode(slice(TextOps.tokens(col("text")), 1, width)).as("term"))
       .distinct()
+
+  /** Reciprocal-rank fusion (Cormack et al.) of a sparse and a dense
+    * ranking — the standard hybrid-retrieval combiner: score =
+    * Σ 1/(K + rank) over the rankers that returned the candidate,
+    * which rewards agreement without ever comparing the two rankers'
+    * incommensurable raw scores. Determinism: each 1/(K+rank) is ONE
+    * IEEE division of exact integers and the fusion is one fixed-order
+    * addition, so rrf values are bit-identical cross-engine and the
+    * (rrf DESC, doc_id) output order is total; the rounded edge uses
+    * the shared floor(x·1e6 + 0.5)/1e6 formula.
+    *
+    * Scale shape: both inputs are already top-k lists (≤ k rows per
+    * query per ranker), so the fusion — one (query, doc)-keyed full
+    * outer join + a ≤ 2k-row-per-query window — is metadata-sized next
+    * to the retrieval that produced them.
+    *
+    * @param sparse (query_id, rank, doc_id, …) — e.g. [[bm25TopK]]
+    * @param dense  (qid, rank, neighbor_id, …) — e.g.
+    *               [[Similarity.bruteForceTopK]]
+    * @return (query_id, rank, doc_id, rank_sparse, rank_dense, rrf)
+    */
+  def rrfFuse(sparse: DataFrame, dense: DataFrame, kConst: Int = 60,
+      k: Int = 10): DataFrame = {
+    val s = sparse.select(col("query_id"), col("doc_id"),
+      col("rank").as("rank_sparse"))
+    val d = dense.select(col("qid").as("query_id"),
+      col("neighbor_id").as("doc_id"), col("rank").as("rank_dense"))
+    val fused = s.join(d, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(kConst) + col("rank_sparse")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(kConst) + col("rank_dense")),
+            lit(0.0)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("rank_sparse").cast("int").as("rank_sparse"),
+        col("rank_dense").cast("int").as("rank_dense"),
+        (floor(col("rrf") * 1e6 + 0.5) / 1e6).cast("float").as("rrf"))
+  }
 }

@@ -418,6 +418,18 @@ object LlmPack extends QueryPack {
       val docs = t("documents")(s, d)
       Retrieval.bm25TopK(docs, Retrieval.sampleQueries(docs))
     }),
+    // Hybrid retrieval: the q165 sparse top-10 (self dropped
+    // post-cut) fused with the dense cosine top-10 for the same
+    // query docs by reciprocal rank — exact 1/(60+rank) arithmetic,
+    // so even the fused ORDERING is cross-engine exact.
+    "q225_rrf_hybrid" -> ((s, d) => {
+      val docs = t("documents")(s, d)
+      val sparse = Retrieval.bm25TopK(docs, Retrieval.sampleQueries(docs))
+        .where(col("doc_id") =!= col("query_id"))
+      val dense = Similarity.bruteForceTopK(
+        t("embeddings")(s, d), col("vec_id") % 101 === 0, k = 10)
+      Retrieval.rrfFuse(sparse, dense)
+    }),
     // REAL WAV audio path: RIFF/PCM16 payloads round-trip the codec
     // (encode → chunk-walking decode) and reduce to exact-integer
     // frame features (energy/peak/zero-crossings) via array HOFs —
@@ -888,19 +900,63 @@ object LlmPack extends QueryPack {
   /** Exact brute-force ANN oracle, shared by q68 (native kernel) and
     * q107 (HOF fold + KernelRewrite): both must produce this answer.
     */
+  /** The brute cosine CTE block, parameterized on the query-side
+    * predicate so q68/q107 (vec_id < 10) and the RRF fusion
+    * (vec_id % 101 = 0) share one derivation; ends in `dense`
+    * carrying the per-query rank. */
+  private def annCosineCtes(pred: String): String =
+    s"""e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |nrm AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+       |p AS (
+       |  SELECT qv.vec_id AS qid, x.vec_id AS neighbor_id,
+       |         round(list_dot_product(qv.v, x.v)
+       |               / (sqrt(qv.n2) * sqrt(x.n2)), 4) AS cos
+       |  FROM nrm qv JOIN nrm x ON ($pred) AND x.vec_id <> qv.vec_id),
+       |dense AS (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, neighbor_id) AS rank FROM p)""".stripMargin
+
   private val annCosineOracle: String =
-    """WITH e AS (
-      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
-      |p AS (
-      |  SELECT q.vec_id AS qid, x.vec_id AS neighbor_id,
-      |         round(list_dot_product(q.v, x.v)
-      |               / (sqrt(q.n2) * sqrt(x.n2)), 4) AS cos
-      |  FROM n q JOIN n x ON q.vec_id < 10 AND x.vec_id <> q.vec_id)
-      |SELECT qid, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
-      |FROM (SELECT *, row_number() OVER (PARTITION BY qid
-      |        ORDER BY cos DESC, neighbor_id) AS rank FROM p)
-      |WHERE rank <= 5""".stripMargin
+    s"""WITH ${annCosineCtes("qv.vec_id < 10")}
+       |SELECT qid, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
+       |FROM dense
+       |WHERE rank <= 5""".stripMargin
+
+  /** The BM25 CTE block shared by q165 and the RRF fusion; ends in
+    * `sparse` carrying the per-query rank. */
+  private val bm25Ctes: String =
+    """toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents WHERE text IS NOT NULL),
+      |tf AS (
+      |  SELECT doc_id, dl, term, count(*) AS tf FROM (
+      |    SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM toks)
+      |  GROUP BY 1, 2, 3),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |stats AS (
+      |  SELECT count(*) AS n_docs,
+      |         CAST(sum(len(w)) AS DOUBLE) / count(*) AS avgdl
+      |  FROM toks),
+      |qterms AS (
+      |  SELECT DISTINCT query_id, term FROM (
+      |    SELECT doc_id AS query_id, unnest(w[1:6]) AS term
+      |    FROM toks WHERE doc_id % 101 = 0)),
+      |scored AS (
+      |  SELECT qterms.query_id, tf.doc_id,
+      |         CAST(count(*) AS INTEGER) AS n_terms,
+      |         round(sum(
+      |           ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+      |           * (tf.tf * (1.2 + 1)
+      |              / (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * tf.dl / s.avgdl)))
+      |         ), 4) AS score
+      |  FROM tf JOIN qterms ON tf.term = qterms.term
+      |  JOIN dfreq d ON d.term = tf.term
+      |  CROSS JOIN stats s
+      |  GROUP BY 1, 2),
+      |sparse AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, doc_id) AS rank FROM scored)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q60_exact_dedup" ->
@@ -1530,39 +1586,39 @@ object LlmPack extends QueryPack {
     // ops as the engine (1.2 + 1, 1 - 0.75), so both sides score with
     // bit-identical constants.
     "q165_bm25" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-        |  FROM documents WHERE text IS NOT NULL),
-        |tf AS (
-        |  SELECT doc_id, dl, term, count(*) AS tf FROM (
-        |    SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM toks)
-        |  GROUP BY 1, 2, 3),
-        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |stats AS (
-        |  SELECT count(*) AS n_docs,
-        |         CAST(sum(len(w)) AS DOUBLE) / count(*) AS avgdl
-        |  FROM toks),
-        |q AS (
-        |  SELECT DISTINCT query_id, term FROM (
-        |    SELECT doc_id AS query_id, unnest(w[1:6]) AS term
-        |    FROM toks WHERE doc_id % 101 = 0)),
-        |scored AS (
-        |  SELECT q.query_id, tf.doc_id,
-        |         CAST(count(*) AS INTEGER) AS n_terms,
-        |         round(sum(
-        |           ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
-        |           * (tf.tf * (1.2 + 1)
-        |              / (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * tf.dl / s.avgdl)))
-        |         ), 4) AS score
-        |  FROM tf JOIN q ON tf.term = q.term
-        |  JOIN dfreq d ON d.term = tf.term
-        |  CROSS JOIN stats s
-        |  GROUP BY 1, 2)
-        |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, n_terms,
-        |       CAST(score AS REAL) AS score
-        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-        |        ORDER BY score DESC, doc_id) AS rank FROM scored)
-        |WHERE rank <= 10""".stripMargin,
+      s"""WITH $bm25Ctes
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, n_terms,
+         |       CAST(score AS REAL) AS score
+         |FROM sparse
+         |WHERE rank <= 10""".stripMargin,
+    // RRF: both top-10 lists re-derived from their shared CTE blocks,
+    // fused with exact 1/(60+rank) arithmetic in the same fixed
+    // order (sparse term + dense term) the engine uses.
+    "q225_rrf_hybrid" ->
+      s"""WITH $bm25Ctes,
+         |${annCosineCtes("qv.vec_id % 101 = 0")},
+         |sp AS (
+         |  SELECT query_id, doc_id, rank FROM sparse
+         |  WHERE rank <= 10 AND doc_id <> query_id),
+         |de AS (
+         |  SELECT qid AS query_id, neighbor_id AS doc_id, rank
+         |  FROM dense WHERE rank <= 10),
+         |fused AS (
+         |  SELECT coalesce(sp.query_id, de.query_id) AS query_id,
+         |         coalesce(sp.doc_id, de.doc_id) AS doc_id,
+         |         sp.rank AS rank_sparse, de.rank AS rank_dense,
+         |         coalesce(CAST(1 AS DOUBLE) / (60 + sp.rank), 0)
+         |           + coalesce(CAST(1 AS DOUBLE) / (60 + de.rank), 0)
+         |           AS rrf
+         |  FROM sp FULL OUTER JOIN de
+         |    ON sp.query_id = de.query_id AND sp.doc_id = de.doc_id)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id,
+         |       CAST(rank_sparse AS INTEGER) AS rank_sparse,
+         |       CAST(rank_dense AS INTEGER) AS rank_dense,
+         |       CAST(floor(rrf * 1e6 + 0.5) / 1e6 AS REAL) AS rrf
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY rrf DESC, doc_id) AS rank FROM fused)
+         |WHERE rank <= 10""".stripMargin,
     // The synthetic PCM stream and every feature re-derived as exact
     // integers — energy/peak/crossings have no float edge at all.
     "q176_wav_features" ->
