@@ -587,6 +587,47 @@ object Similarity {
     * contract as [[bruteForceTopK]]; recall < 1 by construction
     * (measured in ScalaTest against the brute force).
     */
+  /** Multi-probe LSH ANN: [[lshTopK]]'s index, but each query ALSO
+    * probes every bucket at Hamming distance 1 from its own (all
+    * `bitsPerTable` single-bit flips, per table) — the Lv et al.
+    * recall lever: near neighbors that land one hyperplane away are
+    * recovered WITHOUT adding hash tables, so the index (the 100 TB
+    * side) stays the same size and only the query fan-out grows
+    * (×(1+bits), on the side that is always the small one). The
+    * probed candidate set is a strict superset of [[lshTopK]]'s, so
+    * recall is monotonically ≥ at identical index cost.
+    *
+    * Candidates are deduped with one DISTINCT on the (query,
+    * candidate) pair — bounded by the candidate set, never the
+    * corpus — then scored exactly like the other ANN paths.
+    */
+  def lshMultiProbeTopK(embeddings: DataFrame, queryPred: Column,
+      k: Int = 5, dim: Int = defaultDim): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      asDouble(col("embedding")).as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+    val idx = withBuckets(e, dim)
+      .select(col("table").as("t"), col("bucket").as("bkt"), col("vec_id"))
+    val probes = withBuckets(e.where(queryPred), dim)
+      .select(col("vec_id").as("qid"), col("table").as("t"),
+        explode(array((col("bucket") +: (0 until bitsPerTable).map(b =>
+          col("bucket").bitwiseXOR(lit(1 << b)))): _*)).as("bkt"))
+    val pairs = idx.join(probes, Seq("t", "bkt"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id")).distinct()
+    val scored = pairs
+      .join(e.select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("n2").as("qn2")), "qid")
+      .join(e, "vec_id")
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qn2"), col("n2")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cos"))
+  }
+
   def lshTopK(embeddings: DataFrame, queryPred: Column,
       k: Int = 5, dim: Int = defaultDim): DataFrame = {
     val e = embeddings.select(col("vec_id"),

@@ -402,6 +402,13 @@ object LlmPack extends QueryPack {
     }),
     "q69_ann_lsh" -> ((s, d) =>
       Similarity.lshTopK(t("embeddings")(s, d), col("vec_id") < 10)),
+    // Multi-probe: same index, each query also probes its 1-bit-flip
+    // neighbor buckets — q69's recall lever without growing the
+    // indexed (100 TB) side. Full oracle: the probe set and candidate
+    // join are re-derived with the same md5-parity planes.
+    "q226_ann_multiprobe" -> ((s, d) =>
+      Similarity.lshMultiProbeTopK(t("embeddings")(s, d),
+        col("vec_id") < 10)),
     "q71_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(t("embeddings")(s, d), col("vec_id") < 10)),
     // Product-quantization ANN: per-subspace codebooks + asymmetric
@@ -922,6 +929,31 @@ object LlmPack extends QueryPack {
        |SELECT qid, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
        |FROM dense
        |WHERE rank <= 5""".stripMargin
+
+  /** The LSH plane/bucket CTE block shared by q69 and the multi-probe
+    * q226: md5-parity hyperplanes, per-(vector, table) buckets; ends
+    * in `buckets` (and exposes `n` for the exact re-rank). */
+  private val lshBucketCtes: String =
+    s"""e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+       |pj AS (
+       |  SELECT p, j,
+       |         CASE WHEN (strpos('0123456789abcdef',
+       |                substr(md5(p || ':' || j), 1, 1)) - 1) % 2 = 0
+       |              THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE)
+       |         END AS sgn
+       |  FROM range(${Similarity.numTables * Similarity.bitsPerTable}) t1(p),
+       |       range(${Similarity.defaultDim}) t2(j)),
+       |planes AS (SELECT p, list(sgn ORDER BY j) AS pl FROM pj GROUP BY p),
+       |dots AS (
+       |  SELECT vec_id, p, list_dot_product(v, pl) AS d FROM n, planes),
+       |buckets AS (
+       |  SELECT vec_id, p // ${Similarity.bitsPerTable} AS tbl,
+       |         sum(CASE WHEN d > 0
+       |                  THEN 1 << (p % ${Similarity.bitsPerTable})
+       |                  ELSE 0 END) AS bucket
+       |  FROM dots GROUP BY 1, 2)""".stripMargin
 
   /** The BM25 CTE block shared by q165 and the RRF fusion; ends in
     * `sparse` carrying the per-query rank. */
@@ -1766,31 +1798,39 @@ object LlmPack extends QueryPack {
     // operator's ENTIRE pipeline sits under the hash gate — bucketing
     // included — not just a rows-only count.
     "q69_ann_lsh" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
-         |pj AS (
-         |  SELECT p, j,
-         |         CASE WHEN (strpos('0123456789abcdef',
-         |                substr(md5(p || ':' || j), 1, 1)) - 1) % 2 = 0
-         |              THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE)
-         |         END AS sgn
-         |  FROM range(${Similarity.numTables * Similarity.bitsPerTable}) t1(p),
-         |       range(${Similarity.defaultDim}) t2(j)),
-         |planes AS (SELECT p, list(sgn ORDER BY j) AS pl FROM pj GROUP BY p),
-         |dots AS (
-         |  SELECT vec_id, p, list_dot_product(v, pl) AS d FROM n, planes),
-         |buckets AS (
-         |  SELECT vec_id, p // ${Similarity.bitsPerTable} AS tbl,
-         |         sum(CASE WHEN d > 0
-         |                  THEN 1 << (p % ${Similarity.bitsPerTable})
-         |                  ELSE 0 END) AS bucket
-         |  FROM dots GROUP BY 1, 2),
+      s"""WITH $lshBucketCtes,
          |cand AS (
          |  SELECT DISTINCT q.vec_id AS qid, x.vec_id AS neighbor_id
          |  FROM buckets q JOIN buckets x
          |    ON q.tbl = x.tbl AND q.bucket = x.bucket
          |  WHERE q.vec_id < 10 AND x.vec_id <> q.vec_id),
+         |p2 AS (
+         |  SELECT c.qid, c.neighbor_id,
+         |         round(list_dot_product(a.v, b.v)
+         |               / (sqrt(a.n2) * sqrt(b.n2)), 4) AS cos
+         |  FROM cand c JOIN n a ON a.vec_id = c.qid
+         |              JOIN n b ON b.vec_id = c.neighbor_id)
+         |SELECT qid, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |        ORDER BY cos DESC, neighbor_id) AS rank FROM p2)
+         |WHERE rank <= 5""".stripMargin,
+    // Multi-probe: the query's own bucket plus every 1-bit flip of it
+    // probes the same bucket table; candidates and scoring re-derived
+    // identically to q69's contract.
+    "q226_ann_multiprobe" ->
+      s"""WITH $lshBucketCtes,
+         |probes AS (
+         |  SELECT vec_id, tbl,
+         |         xor(CAST(bucket AS INTEGER),
+         |             CASE WHEN f.i = 0 THEN 0
+         |                  ELSE 1 << CAST(f.i - 1 AS INTEGER) END) AS probe
+         |  FROM buckets, range(${Similarity.bitsPerTable + 1}) f(i)
+         |  WHERE vec_id < 10),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS qid, x.vec_id AS neighbor_id
+         |  FROM probes q JOIN buckets x
+         |    ON q.tbl = x.tbl AND q.probe = CAST(x.bucket AS INTEGER)
+         |  WHERE x.vec_id <> q.vec_id),
          |p2 AS (
          |  SELECT c.qid, c.neighbor_id,
          |         round(list_dot_product(a.v, b.v)

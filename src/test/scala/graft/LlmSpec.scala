@@ -255,6 +255,27 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.4 && lsh.size <= 50)
   }
 
+  test("multi-probe LSH ANN: recall strictly improves on single-probe " +
+      "at the same index") {
+    val brute = Similarity.bruteForceTopK(embs, col("vec_id") < 10, 5)
+      .select("qid", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(embs, col("vec_id") < 10, 5)
+      .select("qid", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mp = Similarity.lshMultiProbeTopK(embs, col("vec_id") < 10, 5)
+      .select("qid", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rLsh = (lsh & brute).size.toDouble / brute.size
+    val rMp = (mp & brute).size.toDouble / brute.size
+    info(f"recall: single-probe $rLsh%.3f, multi-probe $rMp%.3f")
+    // probing a superset of buckets can only add candidates, so the
+    // exact-rerank top-k recall is monotonically >=; on this fixture
+    // the 1-bit probes recover real neighbors, so it is strictly >
+    assert(rMp > rLsh)
+    assert(mp.size <= 50)
+  }
+
   test("IVF ANN: valid output shape; recall >= 0.8 vs brute force") {
     val brute = Similarity.bruteForceTopK(embs, col("vec_id") < 10, 5)
       .select("qid", "neighbor_id")
