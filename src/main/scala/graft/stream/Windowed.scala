@@ -65,6 +65,26 @@ object Windowed {
           " AND qts <= ts"))
       .drop("qid")
 
+  /** LEFT OUTER [[enrichInterval]]: every trade is emitted — enriched
+    * when a lookback quote exists, and with NULL quote columns once
+    * the quote-side WATERMARK has passed the trade's window (the
+    * null-emission point is watermark-determined, not arrival-
+    * determined: a trade cannot be declared quoteless until no
+    * on-time quote could still join it). Same bounded-state contract
+    * as the inner form; the outer buffer additionally holds each
+    * unmatched trade exactly until its eviction point. The "audit
+    * every trade, flag the unquoted ones" shape — an inner join
+    * silently drops exactly the rows a quality check is looking for.
+    */
+  def enrichIntervalLeftOuter(trades: DataFrame, quotes: DataFrame,
+      lookbackS: Int = 10, lateness: String = "30 seconds"): DataFrame =
+    trades.withWatermark("ts", lateness)
+      .join(quotes.withWatermark("qts", lateness),
+        expr(s"id = qid AND qts >= ts - INTERVAL $lookbackS SECONDS" +
+          " AND qts <= ts"),
+        "left_outer")
+      .drop("qid")
+
   final case class Tick(id: String, ts: java.sql.Timestamp, price: Double)
   final case class TickerState(n: Long, high: Double, last: Double)
   final case class TickerUpdate(id: String, n: Long, high: Double,
