@@ -108,6 +108,32 @@ object LoadIngest extends QueryPack {
         col("day").cast("int").as("day"))
     }),
 
+    // Row-level snapshot diff (the dbt audit_helper shape): v2 plants
+    // deterministic removals (%97), content edits (%31 — fp AND
+    // n_chars move), single-column flips (%89 lang), and additions
+    // (%101 re-keyed) over the documents frame; the diff must
+    // classify every pk and name exactly the changed columns.
+    "q227_table_diff" -> ((s, d) => {
+      val docs = t("documents")(s, d)
+      val v1 = docs.select(col("doc_id"), col("lang"), col("source"),
+        md5(col("text")).as("fp"), col("n_chars"))
+      val v2 = docs.where(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 89 === 0, lit("xx"))
+            .otherwise(col("lang")).as("lang"),
+          col("source"),
+          md5(when(col("doc_id") % 31 === 0,
+            concat(col("text"), lit(" rev2")))
+            .otherwise(col("text"))).as("fp"),
+          (col("n_chars") +
+            when(col("doc_id") % 31 === 0, 5).otherwise(0)).as("n_chars"))
+        .unionByName(docs.where(col("doc_id") % 101 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("lang"),
+            col("source"), md5(col("text")).as("fp"), col("n_chars")))
+      graft.ops.TableDiff.diff(v1, v2, "doc_id",
+        Seq("lang", "source", "fp", "n_chars"))
+    }),
+
     // JSON-lines external ingest: completes the file-format matrix
     // (parquet/ORC/CSV/JSON). Typed bars round-trip through JSON text
     // (schema-on-read with an explicit schema — no sampling pass) and
@@ -374,6 +400,46 @@ object LoadIngest extends QueryPack {
          |       CAST(month(dt) AS INTEGER) AS month,
          |       CAST(day(dt) AS INTEGER) AS day
          |FROM daily""".stripMargin,
+    // Same planted-edit rules re-derived; null-safe compares via
+    // IS DISTINCT FROM; changed column list alphabetical.
+    "q227_table_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, lang, source, md5(text) AS fp, n_chars
+        |  FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 89 = 0 THEN 'xx' ELSE lang END AS lang,
+        |         source,
+        |         md5(CASE WHEN doc_id % 31 = 0 THEN text || ' rev2'
+        |                  ELSE text END) AS fp,
+        |         n_chars + CASE WHEN doc_id % 31 = 0 THEN 5 ELSE 0 END
+        |           AS n_chars
+        |  FROM documents WHERE doc_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, source, md5(text), n_chars
+        |  FROM documents WHERE doc_id % 101 = 0),
+        |j AS (
+        |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |         a.doc_id IS NOT NULL AS in_a,
+        |         b.doc_id IS NOT NULL AS in_b,
+        |         list_filter([
+        |           CASE WHEN a.fp IS DISTINCT FROM b.fp THEN 'fp' END,
+        |           CASE WHEN a.lang IS DISTINCT FROM b.lang
+        |                THEN 'lang' END,
+        |           CASE WHEN a.n_chars IS DISTINCT FROM b.n_chars
+        |                THEN 'n_chars' END,
+        |           CASE WHEN a.source IS DISTINCT FROM b.source
+        |                THEN 'source' END],
+        |           x -> x IS NOT NULL) AS cc
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+        |SELECT doc_id,
+        |       CASE WHEN NOT in_b THEN 'removed'
+        |            WHEN NOT in_a THEN 'added'
+        |            ELSE 'changed' END AS verdict,
+        |       CASE WHEN in_a AND in_b THEN array_to_string(cc, ',')
+        |            ELSE '' END AS changed_cols
+        |FROM j
+        |WHERE (NOT in_a) OR (NOT in_b) OR len(cc) > 0""".stripMargin,
     "q94_orc_roundtrip" ->
       s"""WITH ${Bars.oracleCteHourly}
          |SELECT id, t, open, high, low, close, volume,

@@ -306,4 +306,34 @@ class WarehouseOpsSpec extends AnyFunSuite {
     // bins tile the partition exactly
     assert(rows.values.sum == sizes.sum)
   }
+
+  test("table diff classifies adds/removes/changes and names the " +
+      "changed columns; same rows dropped; NULLs null-safe") {
+    import spark.implicits._
+    val v1 = Seq(
+      (1L, "en", Some(10L)),  // unchanged
+      (2L, "en", Some(20L)),  // lang flips
+      (3L, "de", None),       // NULL n survives null-safe compare
+      (4L, "fr", Some(40L)))  // removed in v2
+      .toDF("pk", "lang", "n")
+    val v2 = Seq(
+      (1L, "en", Some(10L)),
+      (2L, "xx", Some(20L)),
+      (3L, "de", Option.empty[Long]),
+      (5L, "es", Some(50L)))  // added
+      .toDF("pk", "lang", "n")
+    val out = graft.ops.TableDiff.diff(v1, v2, "pk", Seq("lang", "n"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+    assert(out == Map(
+      2L -> (("changed", "lang")),
+      4L -> (("removed", "")),
+      5L -> (("added", ""))))
+    // a NULL -> value transition IS a change, named alphabetically
+    val v2b = Seq((3L, "de", Some(7L))).toDF("pk", "lang", "n")
+    val out2 = graft.ops.TableDiff.diff(
+      v1.where($"pk" === 3L), v2b, "pk", Seq("lang", "n")).collect()
+    assert(out2.map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq == Seq((3L, "changed", "n")))
+  }
 }
