@@ -280,6 +280,17 @@ object Analytics extends QueryPack {
           col("ln"), col("rn"))
     }),
 
+    // Interval UNION length: every event opens a 1-hour activity
+    // window; per user, the merged coverage (overlaps collapse, the
+    // statistic sum(e-s) double-counts) via the one-window-pass
+    // island sweep — exact integer seconds under the hash gate.
+    "q228_interval_union" -> ((s, d) => {
+      val iv = t("events")(s, d)
+        .select(col("user_id").as("id"), col("ts").cast("long").as("s"))
+        .withColumn("e", col("s") + 3600L)
+      graft.ts.IntervalJoin.unionLength(iv)
+    }),
+
     // Welch's two-sample t (view vs purchase value): one map-side-
     // combined aggregate over exact cent moments; t/dof a fixed IEEE
     // sequence over them (ops/Stats scaladoc).
@@ -1147,6 +1158,30 @@ object Analytics extends QueryPack {
         |SELECT event_type, dow, o, CAST(round(e, 2) AS REAL) AS e,
         |       CAST(contrib AS REAL) AS contrib, chi2, dof
         |FROM wc, tot""".stripMargin,
+
+    // Same island sweep replayed: max-over-prior-rows opens islands,
+    // cumsum numbers them, two bounded rollups.
+    "q228_interval_union" ->
+      """WITH iv AS (
+        |  SELECT user_id AS id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+        |         CAST(floor(epoch(ts)) AS BIGINT) + 3600 AS e
+        |  FROM events),
+        |m AS (
+        |  SELECT *, max(e) OVER (PARTITION BY id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM iv),
+        |isl AS (
+        |  SELECT *, sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM m),
+        |g AS (
+        |  SELECT id, island, count(*) AS n, min(s) AS i_s, max(e) AS i_e
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT id, CAST(sum(n) AS INTEGER) AS n_intervals,
+        |       CAST(count(*) AS INTEGER) AS n_islands,
+        |       CAST(sum(i_e - i_s) AS BIGINT) AS covered
+        |FROM g GROUP BY 1""".stripMargin,
 
     "q195_interval_overlap" ->
       s"""WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,

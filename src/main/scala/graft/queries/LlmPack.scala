@@ -154,6 +154,22 @@ object LlmPack extends QueryPack {
     // even grid-tie scores identical cross-engine.
     "q224_jaro_linkage" -> ((s, d) =>
       Dedup.jaroVerifiedPairs(t("documents")(s, d))),
+    // Entity resolution end-to-end: the q224 linkage pairs close into
+    // clusters (pointer-jumped CC, smallest doc_id canonical) — the
+    // "same real-world entity" grouping record linkage exists for.
+    "q229_linkage_clusters" -> ((s, d) => {
+      val docs = t("documents")(s, d)
+      val pairs = Dedup.jaroVerifiedPairs(docs)
+        .select(col("da").as("a"), col("db").as("b"))
+      val labels = graft.graph.ConnectedComponents.run(
+          docs.select(col("doc_id").as("id")), pairs)
+        .select(col("id").as("doc_id"), col("component").as("cluster"))
+      val sizes = labels.groupBy("cluster")
+        .agg(count(lit(1)).cast("int").as("cluster_size"))
+      labels.join(sizes, "cluster")
+        .select(col("doc_id"), col("cluster"), col("cluster_size"),
+          (col("doc_id") === col("cluster")).as("is_canonical"))
+    }),
     // The CORPUS-SCALE fingerprint width: same map-only kernel and
     // pigeonhole band join at 64 bits / 4×16-bit bands — 65 536
     // buckets per band keep the candidate join selective at ≥ 10⁸
@@ -1259,6 +1275,35 @@ object LlmPack extends QueryPack {
          |         JOIN documents b ON p.db = b.doc_id
          |  WHERE p.hamming <= 3)
          |WHERE jw >= 0.9""".stripMargin,
+    // The q224 pair rule closed into components by recursive
+    // reachability with min-label — the q82 derivation over the
+    // LINKAGE edge set; every doc a vertex (singletons included).
+    "q229_linkage_clusters" ->
+      s"""WITH RECURSIVE $simhashPairCtes,
+         |jwp AS MATERIALIZED (
+         |  SELECT p.da, p.db
+         |  FROM p JOIN documents a ON p.da = a.doc_id
+         |         JOIN documents b ON p.db = b.doc_id
+         |  WHERE p.hamming <= 3
+         |    AND CAST(floor(jaro_winkler_similarity(
+         |          substr(a.text, 1, 200), substr(b.text, 1, 200))
+         |          * 1e4 + 0.5) / 1e4 AS REAL) >= 0.9),
+         |edges AS MATERIALIZED (
+         |  SELECT da AS src, db AS dst FROM jwp
+         |  UNION ALL
+         |  SELECT db AS src, da AS dst FROM jwp),
+         |reach AS (
+         |  SELECT doc_id AS v, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT e.dst AS v, re.r AS r
+         |  FROM reach re JOIN edges e ON e.src = re.v),
+         |cc AS (SELECT v AS doc_id, min(r) AS cluster FROM reach
+         |       GROUP BY 1),
+         |cs AS (SELECT cluster, CAST(count(*) AS INTEGER)
+         |         AS cluster_size FROM cc GROUP BY 1)
+         |SELECT c.doc_id, c.cluster, s.cluster_size,
+         |       c.doc_id = c.cluster AS is_canonical
+         |FROM cc c JOIN cs s USING (cluster)""".stripMargin,
     "q96_simhash_delta" ->
       s"""WITH $simhashPairCtes
          |SELECT da, db, hamming FROM p

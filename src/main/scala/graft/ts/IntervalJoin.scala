@@ -1,6 +1,7 @@
 package graft.ts
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Interval × interval OVERLAP join — the third member of the
@@ -44,5 +45,43 @@ object IntervalJoin {
       .where(greatest(col("ls"), col("rs")) <= least(col("le"), col("re")) &&
         col("bk") === expr(s"greatest(ls, rs) DIV ${bucketW}L"))
       .drop("bk")
+  }
+
+  /** Union-length of a per-key interval set — "how much time does this
+    * key actually cover once overlaps merge": the SLA-uptime /
+    * engagement-time statistic naive `sum(end − start)` double-counts.
+    * Classic sweep as ONE window pass: intervals sort by (start, end)
+    * within the key, a new island opens where `start` exceeds the
+    * running max `end` of all PRIOR intervals (closed-interval
+    * semantics: touching intervals merge), islands collapse to
+    * [min start, max end], and covered = Σ island spans. Exact integer
+    * arithmetic end-to-end.
+    *
+    * Scale shape: one shuffle on the key, one within-key sort shared
+    * by both window functions, two bounded aggregates — parallelism =
+    * |keys|, no global sort, no self-join (the quadratic formulation
+    * this replaces).
+    *
+    * @param intervals (key, s, e) integer bounds, s ≤ e
+    * @return (key, n_intervals, n_islands, covered)
+    */
+  def unionLength(intervals: DataFrame, key: String = "id",
+      startCol: String = "s", endCol: String = "e"): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val isNew = when(prevMax.isNull || col(startCol) > prevMax, 1)
+      .otherwise(0)
+    intervals
+      .withColumn("island",
+        sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(key), col("island"))
+      .agg(count(lit(1)).as("n"), min(col(startCol)).as("is"),
+        max(col(endCol)).as("ie"))
+      .groupBy(col(key))
+      .agg(sum(col("n")).cast("int").as("n_intervals"),
+        count(lit(1)).cast("int").as("n_islands"),
+        sum(col("ie") - col("is")).as("covered"))
   }
 }
