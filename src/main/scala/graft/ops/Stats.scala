@@ -159,6 +159,42 @@ object Stats {
       }, 4).cast("float").as("z"))
   }
 
+  /** Exact ROC-AUC of a score against a boolean label — the
+    * classifier-evaluation headline stat, via its rank identity
+    * AUC = (R₊ − n₊(n₊+1)/2) / (n₊·n₋): P(score of a positive >
+    * score of a negative), ties counting ½. Same machinery as
+    * [[mannWhitneyU]] (AUC IS the normalized U statistic): per-value
+    * counts + ONE distributed global scan for midranks in 2× integer
+    * units — never a per-row rank() sort, never the quadratic
+    * pairwise definition — with the rank-sum in DECIMAL. Numerator
+    * and denominator are exact integers converted once to double, so
+    * the rounded AUC is bit-identical cross-engine.
+    *
+    * @return one row (n_pos, n_neg, auc)
+    */
+  def auc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val counts = df.where(col(scoreCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).as("v"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col(labelCol), 1L).otherwise(0L)).as("c2"))
+      .localCheckpoint(true) // feeds the scan AND the totals row
+    val n = counts.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val ct = col("c1") + col("c2")
+    val scanned = Scan.globalRunningSum(counts, Seq("v"), ct, "rt")
+    val ar2 = ((col("rt") - ct) * 2 + ct + 1).cast("decimal(19,0)")
+    val moments = scanned.agg(
+      sum((col("c1").cast("decimal(19,0)") * ar2).cast("decimal(38,0)"))
+        .as("r1x2"))
+    moments.crossJoin(broadcast(n)).select(
+      col("n1").as("n_pos"), col("n2").as("n_neg"),
+      (floor((col("r1x2") - col("n1").cast("decimal(38,0)")
+          * (col("n1") + 1)).cast("double")
+        / (lit(2d) * col("n1").cast("double") * col("n2").cast("double"))
+        * 1e6 + 0.5) / 1e6)
+        .cast("float").as("auc"))
+  }
+
   /** Per-group simple OLS fit y = a + b·x with r² — the
     * trend-extraction primitive (price vs quantity, value vs time)
     * behind drift dashboards and feature engineering.

@@ -305,6 +305,14 @@ object Analytics extends QueryPack {
       graft.ops.Stats.mannWhitneyU(t("events")(s, d), "value",
         "event_type", "view", "purchase")),
 
+    // Exact ROC-AUC: does event value separate purchases from the
+    // rest? The q202 midrank scan normalized to P(pos > neg).
+    "q230_auc" -> ((s, d) =>
+      graft.ops.Stats.auc(
+        t("events")(s, d).withColumn("pos",
+          col("event_type") === "purchase"),
+        "value", "pos")),
+
     // Per-returnflag OLS of extendedprice on quantity: six exact
     // decimal moments in one groupBy, slope/intercept/r² at the edge.
     "q203_ols" -> ((s, d) =>
@@ -614,6 +622,34 @@ object Analytics extends QueryPack {
     // Midranks re-derived in 2× units from per-value counts + a window
     // scan (the oracle may use the single-partition window the engine's
     // distributed scan replaces).
+    // Midrank rank-sum identity replayed; numerator/denominator stay
+    // exact integers (< 2^53, so even HUGEINT→DOUBLE is exact) and
+    // the shared floor-rounding closes the edge.
+    "q230_auc" ->
+      """WITH b AS (
+        |  SELECT value AS v, event_type = 'purchase' AS pos
+        |  FROM events WHERE value IS NOT NULL),
+        |counts AS (
+        |  SELECT v, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS c1,
+        |         sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS c2
+        |  FROM b GROUP BY 1),
+        |sc AS (
+        |  SELECT *, sum(c1 + c2) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rt
+        |  FROM counts),
+        |m AS (
+        |  SELECT sum(CAST(c1 AS HUGEINT)
+        |             * ((rt - (c1 + c2)) * 2 + (c1 + c2) + 1)) AS r1x2
+        |  FROM sc),
+        |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |             CAST(sum(c2) AS BIGINT) AS n2 FROM counts)
+        |SELECT n1 AS n_pos, n2 AS n_neg,
+        |       CAST(floor(
+        |         CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE)
+        |         / (2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+        |         * 1e6 + 0.5) / 1e6 AS REAL) AS auc
+        |FROM m, n""".stripMargin,
+
     "q202_mann_whitney" ->
       """WITH f AS (
         |  SELECT value AS v, event_type AS g FROM events

@@ -38,6 +38,24 @@ class StatsSpec extends AnyFunSuite {
     assert(r.getAs[Float]("z") < 0.0f) // group a sits lower
   }
 
+  test("auc: perfect separation 1.0, inverted 0.0, ties count half") {
+    import spark.implicits._
+    val sep = Seq((1.0, false), (2.0, false), (3.0, true), (4.0, true))
+      .toDF("v", "pos")
+    assert(Stats.auc(sep, "v", "pos").collect()(0)
+      .getAs[Float]("auc") == 1.0f)
+    val inv = Seq((1.0, true), (2.0, false)).toDF("v", "pos")
+    assert(Stats.auc(inv, "v", "pos").collect()(0)
+      .getAs[Float]("auc") == 0.0f)
+    // positives {1, 2}, negatives {1, 0}: pairs (1,1)=0.5 (1,0)=1
+    // (2,1)=1 (2,0)=1 → AUC = 3.5/4 = 0.875
+    val tie = Seq((1.0, true), (1.0, false), (2.0, true), (0.0, false))
+      .toDF("v", "pos")
+    val r = Stats.auc(tie, "v", "pos").collect()(0)
+    assert(r.getAs[Long]("n_pos") == 2L && r.getAs[Long]("n_neg") == 2L)
+    assert(r.getAs[Float]("auc") == 0.875f)
+  }
+
   test("olsFit: exact line recovers slope/intercept with r2 = 1") {
     import spark.implicits._
     // y = 2x + 1 exactly
