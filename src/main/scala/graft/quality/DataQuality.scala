@@ -181,6 +181,75 @@ object DataQuality {
           .cast("float").as("dev"))
   }
 
+  /** Population Stability Index — the distribution-drift monitor
+    * ("did this column's distribution move between the reference
+    * window and now?"): the current sample is bucketed by the
+    * REFERENCE sample's equi-depth deciles and
+    * PSI = Σ (pᵢ − qᵢ)·ln(pᵢ/qᵢ) read per bucket (< 0.1 stable,
+    * > 0.25 drifted — the standard credit-scoring rule of thumb).
+    *
+    * Determinism contract: buckets are value-granular equi-depth cuts
+    * off the distributed scan (the [[graft.ops.Scan.equiDepthHist]]
+    * rule — ties never straddle); a current value joins the highest
+    * bucket whose v_min it reaches (below-range → bucket 0); empty
+    * cells take a 0.5 continuity count (documented, both engines);
+    * per-bucket contributions round to 6 decimals and the headline
+    * PSI is a DECIMAL sum of the rounded cells — the
+    * [[graft.ops.Stats.chiSquare]] order-independence discipline.
+    *
+    * Scale shape: two per-value count aggregates (map-side combined),
+    * ONE distributed scan over the reference's distinct values, and a
+    * ≤ `buckets`-row broadcast bucket table the current side range-
+    * joins against — no sort, no quadratic anything.
+    *
+    * @return (bucket, c_ref, c_cur, p_ref, p_cur, contrib, psi) —
+    *         psi repeated per row (the broadcast-total pattern)
+    */
+  def psi(ref: DataFrame, cur: DataFrame, valueCol: String,
+      buckets: Int = 10): DataFrame = {
+    val rCounts = ref.where(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds the scan and the bucket table
+    val n = rCounts.agg(sum(col("c")).as("n"))
+    val bt = graft.ops.Scan.globalRunningSum(rCounts, Seq("v"),
+        col("c"), "run")
+      .crossJoin(broadcast(n))
+      .withColumn("bucket",
+        expr(s"((run - c) * $buckets) div n").cast("int"))
+      .groupBy(col("bucket")).agg(min(col("v")).as("v_min"))
+      .localCheckpoint(true) // ≤ buckets rows
+    def bucketCounts(df: DataFrame, out: String) =
+      df.where(col(valueCol).isNotNull)
+        .groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c"))
+        .join(broadcast(bt), col("v") >= col("v_min"), "left")
+        .groupBy(col("v"), col("c"))
+        .agg(coalesce(max(col("bucket")), lit(0)).as("bucket"))
+        .groupBy(col("bucket")).agg(sum(col("c")).as(out))
+    val cells = bucketCounts(ref, "c_ref")
+      .join(bucketCounts(cur, "c_cur"), Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("c_ref", "c_cur"))
+    val totals = cells.agg(sum(col("c_ref")).as("nr"),
+      sum(col("c_cur")).as("nc"))
+    val adj = (c: Column) => when(c === 0, lit(0.5))
+      .otherwise(c.cast("double"))
+    val p = adj(col("c_ref")) / col("nr")
+    val q = adj(col("c_cur")) / col("nc")
+    val r6 = (c: Column) => (floor(c * 1e6 + 0.5) / 1e6).cast("float")
+    val contrib = cells.crossJoin(broadcast(totals))
+      .withColumn("p_ref", r6(p))
+      .withColumn("p_cur", r6(q))
+      .withColumn("contrib",
+        (floor((p - q) * log(p / q) * 1e6 + 0.5) / 1e6))
+      .localCheckpoint(true) // feeds the cells and the decimal total
+    val psiTotal = contrib
+      .agg(sum(col("contrib").cast("decimal(18,6)")).as("psi"))
+    contrib.crossJoin(broadcast(psiTotal))
+      .select(col("bucket"), col("c_ref"), col("c_cur"),
+        col("p_ref"), col("p_cur"),
+        col("contrib").cast("float").as("contrib"),
+        col("psi").cast("float").as("psi"))
+  }
+
   /** One foreign-key edge of a star schema: child rows whose `childKey`
     * has no match in the parent's `parentKey` are orphans. */
   case class FkEdge(name: String, child: DataFrame, childKey: String,

@@ -277,6 +277,18 @@ object LoadIngest extends QueryPack {
     "q192_benford" -> ((s, d) =>
       DataQuality.benford(t("orders")(s, d), "o_totalprice")),
 
+    // PSI drift audit: event values in the back half of the month
+    // bucketed by the FRONT half's equi-depth deciles — the
+    // monitoring gate that catches a silent upstream distribution
+    // shift before it poisons a model refresh.
+    "q231_psi" -> ((s, d) => {
+      val ev = t("events")(s, d)
+      val cut = lit("2024-01-16").cast("date")
+      DataQuality.psi(
+        ev.where(to_date(col("ts")) < cut),
+        ev.where(to_date(col("ts")) >= cut), "value")
+    }),
+
     // Small-file compaction planner over a (month, supplier) pseudo
     // file manifest: size-DESC next-fit binning by exact integer
     // prefix sums — the metadata-only maintenance pass that turns
@@ -400,6 +412,62 @@ object LoadIngest extends QueryPack {
          |       CAST(month(dt) AS INTEGER) AS month,
          |       CAST(day(dt) AS INTEGER) AS day
          |FROM daily""".stripMargin,
+    // Equi-depth reference deciles off the window scan, current side
+    // range-joined to the highest reachable bucket, 0.5 continuity
+    // counts, floor-rounded cells, DECIMAL headline sum.
+    "q231_psi" ->
+      """WITH rc AS (
+        |  SELECT value AS v, count(*) AS c FROM events
+        |  WHERE value IS NOT NULL AND CAST(ts AS DATE) < DATE '2024-01-16'
+        |  GROUP BY 1),
+        |n AS (SELECT sum(c) AS n FROM rc),
+        |scn AS (
+        |  SELECT v, c, sum(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM rc),
+        |bt AS (
+        |  SELECT CAST(((run - c) * 10) // n.n AS INTEGER) AS bucket,
+        |         min(v) AS v_min
+        |  FROM scn, n GROUP BY 1),
+        |cc AS (
+        |  SELECT value AS v, count(*) AS c FROM events
+        |  WHERE value IS NOT NULL AND CAST(ts AS DATE) >= DATE '2024-01-16'
+        |  GROUP BY 1),
+        |refb AS (
+        |  SELECT v, c, coalesce(max(bucket), 0) AS bucket
+        |  FROM rc LEFT JOIN bt ON v >= v_min GROUP BY 1, 2),
+        |refcnt AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS c_ref
+        |           FROM refb GROUP BY 1),
+        |curb AS (
+        |  SELECT v, c, coalesce(max(bucket), 0) AS bucket
+        |  FROM cc LEFT JOIN bt ON v >= v_min GROUP BY 1, 2),
+        |curcnt AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS c_cur
+        |           FROM curb GROUP BY 1),
+        |cells AS (
+        |  SELECT coalesce(r.bucket, u.bucket) AS bucket,
+        |         coalesce(r.c_ref, 0) AS c_ref,
+        |         coalesce(u.c_cur, 0) AS c_cur
+        |  FROM refcnt r FULL OUTER JOIN curcnt u ON r.bucket = u.bucket),
+        |tot AS (SELECT CAST(sum(c_ref) AS BIGINT) AS nr,
+        |               CAST(sum(c_cur) AS BIGINT) AS nc FROM cells),
+        |x AS (
+        |  SELECT bucket, c_ref, c_cur,
+        |    (CASE WHEN c_ref = 0 THEN CAST(0.5 AS DOUBLE)
+        |          ELSE CAST(c_ref AS DOUBLE) END) / nr AS p,
+        |    (CASE WHEN c_cur = 0 THEN CAST(0.5 AS DOUBLE)
+        |          ELSE CAST(c_cur AS DOUBLE) END) / nc AS q
+        |  FROM cells, tot),
+        |y AS (
+        |  SELECT bucket, c_ref, c_cur,
+        |    CAST(floor(p * 1e6 + 0.5) / 1e6 AS REAL) AS p_ref,
+        |    CAST(floor(q * 1e6 + 0.5) / 1e6 AS REAL) AS p_cur,
+        |    floor((p - q) * ln(p / q) * 1e6 + 0.5) / 1e6 AS contrib
+        |  FROM x),
+        |t2 AS (SELECT sum(CAST(contrib AS DECIMAL(18,6))) AS psi FROM y)
+        |SELECT bucket, c_ref, c_cur, p_ref, p_cur,
+        |       CAST(contrib AS REAL) AS contrib, CAST(psi AS REAL) AS psi
+        |FROM y, t2""".stripMargin,
+
     // Same planted-edit rules re-derived; null-safe compares via
     // IS DISTINCT FROM; changed column list alphabetical.
     "q227_table_diff" ->
