@@ -134,6 +134,15 @@ object Analytics extends QueryPack {
       graft.graph.KCore.kCore(coPurchaseEdges(s, d), k = 80,
         maxRounds = 8)),
 
+    // Modularity of the brand partition on the co-purchase graph:
+    // "are co-purchases brand-assortative?" — exact integer
+    // (M·Σe_c − Σd_c²)/M² over two bounded aggregates on the shared
+    // edge fixture.
+    "q232_modularity" -> ((s, d) =>
+      graft.graph.Modularity.byPartition(coPurchaseEdges(s, d),
+        t("part")(s, d).select(col("p_partkey").as("id"),
+          col("p_brand").as("community")))),
+
     // First-touch funnel view → click → purchase within 3 days of the
     // first view: k user-keyed min-aggregate joins, no per-user sort.
     "q173_funnel" -> ((s, d) => graft.ops.EventAnalytics.funnel(
@@ -1194,6 +1203,45 @@ object Analytics extends QueryPack {
         |SELECT event_type, dow, o, CAST(round(e, 2) AS REAL) AS e,
         |       CAST(contrib AS REAL) AS contrib, chi2, dof
         |FROM wc, tot""".stripMargin,
+
+    // Independent edge re-derivation + the same exact integer
+    // modularity form; HUGEINT sums cast back before the one divide.
+    "q232_modularity" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey <> b.l_partkey),
+        |lab AS (SELECT p_partkey AS id, p_brand AS community FROM part),
+        |e AS (
+        |  SELECT e0.a, e0.b, la.community AS ca, lb.community AS cb
+        |  FROM e0 JOIN lab la ON e0.a = la.id
+        |          JOIN lab lb ON e0.b = lb.id),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+        |degc AS (
+        |  SELECT ca AS community, CAST(count(*) AS BIGINT) AS deg_sum,
+        |         CAST(count(DISTINCT a) AS INTEGER) AS n_nodes
+        |  FROM e GROUP BY 1),
+        |intra AS (
+        |  SELECT ca AS community, CAST(count(*) AS BIGINT) AS intra_edges
+        |  FROM e WHERE ca = cb GROUP BY 1),
+        |cells AS (
+        |  SELECT d.community, d.n_nodes, d.deg_sum,
+        |         coalesce(i.intra_edges, 0) AS intra_edges
+        |  FROM degc d LEFT JOIN intra i USING (community)),
+        |tot AS (
+        |  SELECT CAST(sum(intra_edges) AS BIGINT) AS si,
+        |         CAST(sum(deg_sum * deg_sum) AS BIGINT) AS sd
+        |  FROM cells)
+        |SELECT community, n_nodes, deg_sum, intra_edges,
+        |  CAST(floor(CAST(m.m * intra_edges - deg_sum * deg_sum
+        |               AS DOUBLE)
+        |    / (CAST(m.m AS DOUBLE) * m.m) * 1e6 + 0.5) / 1e6 AS REAL)
+        |    AS contrib,
+        |  CAST(floor(CAST(m.m * tot.si - tot.sd AS DOUBLE)
+        |    / (CAST(m.m AS DOUBLE) * m.m) * 1e6 + 0.5) / 1e6 AS REAL)
+        |    AS q_mod
+        |FROM cells, m, tot""".stripMargin,
 
     // Same island sweep replayed: max-over-prior-rows opens islands,
     // cumsum numbers them, two bounded rollups.

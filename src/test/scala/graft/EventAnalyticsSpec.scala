@@ -21,6 +21,32 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(r == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 0L))
   }
 
+  test("modularity: two triangles + bridge, exact known Q") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6}, bridge 3–4; M (directed) = 14;
+    // per community e_c = 6, d_c = 7 →
+    // contrib = (14·6 − 49)/196 = 35/196, Q = 70/196 ≈ 0.357143
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("a", "b")
+    val labels = Seq((1L, "A"), (2L, "A"), (3L, "A"),
+      (4L, "B"), (5L, "B"), (6L, "B")).toDF("id", "community")
+    val r = graft.graph.Modularity.byPartition(edges, labels).collect()
+    assert(r.length == 2)
+    r.foreach { row =>
+      assert(row.getInt(1) == 3)          // n_nodes
+      assert(row.getLong(2) == 7L)        // deg_sum
+      assert(row.getLong(3) == 6L)        // intra (directed)
+      assert(row.getFloat(4) == 0.178571f) // 35/196 floor-rounded
+      assert(row.getFloat(5) == 0.357143f) // Q
+    }
+    // the all-one-community partition scores 1 − Σ(d/M)² = 0 exactly
+    // only for a single community covering everything: Q = 1 − 1 = 0
+    val one = labels.select($"id", lit("X").as("community"))
+    val q1 = graft.graph.Modularity.byPartition(edges, one).collect()
+    assert(q1.length == 1 && q1(0).getFloat(5) == 0.0f)
+  }
+
   test("triangles: direction/duplicate/self-loop noise is ignored") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L),
