@@ -31,10 +31,18 @@ object Modularity {
     * @return (community, n_nodes, deg_sum, intra_edges, contrib,
     *         q_mod) — q_mod repeated (broadcast-total pattern)
     */
-  def byPartition(edges: DataFrame, labels: DataFrame): DataFrame = {
+  /** The label-annotated edge frame BEFORE its checkpoint — split out
+    * so PlanSpec can assert the two broadcast label joins (the eager
+    * checkpoint in [[byPartition]] hides its upstream plan). */
+  private[graft] def labeled(edges: DataFrame,
+      labels: DataFrame): DataFrame = {
     val la = labels.select(col("id").as("a"), col("community").as("ca"))
     val lb = labels.select(col("id").as("b"), col("community").as("cb"))
-    val e = edges.join(broadcast(la), "a").join(broadcast(lb), "b")
+    edges.join(broadcast(la), "a").join(broadcast(lb), "b")
+  }
+
+  def byPartition(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e = labeled(edges, labels)
       .localCheckpoint(true) // feeds m, degrees and intra counts
     val m = e.agg(count(lit(1)).as("m"))
     val degC = e.groupBy(col("ca").as("community"))

@@ -346,4 +346,50 @@ class PlanSpec extends AnyFunSuite {
     assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty)
     assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty)
   }
+
+  test("q232: modularity labels join via broadcast only, no sort-merge") {
+    // the eager checkpoint hides the edge stage from the final plan,
+    // so the label-join shape is asserted on the pre-checkpoint frame
+    val before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import org.apache.spark.sql.functions.col
+      val edges = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = edges.as("a").join(edges.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("a"), col("b.l_partkey").as("b"))
+        .distinct()
+      val labels = spark.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey").as("id"), col("p_brand").as("community"))
+      val p = graft.graph.Modularity.labeled(e, labels)
+        .queryExecution.executedPlan
+      assert(p.collect { case j: BroadcastHashJoinExec => j }.length >= 2,
+        s"both label joins must broadcast the |parts|-row table:\n$p")
+      // the final assembly is metadata-sized: no sort-merge anywhere
+      val fin = plan("q232_modularity")
+      assert(fin.collect { case j: SortMergeJoinExec => j }.isEmpty)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", before)
+  }
+
+  test("q228: interval union runs on ONE data shuffle (the key " +
+      "exchange both windows and the rollups reuse)") {
+    val p = plan("q228_interval_union")
+    // one exchange partitions by id; the two window functions share
+    // its sort, and both groupBys ride the same partitioning
+    assert(p.collect { case e: ShuffleExchangeExec => e }.length == 1,
+      s"expected the single id exchange:\n$p")
+  }
+
+  test("q230: auc aggregates value counts map-side before the scan") {
+    val p = plan("q230_auc")
+    // the per-value count feeding the midrank scan must partially
+    // aggregate map-side: a Partial HashAggregate below its exchange
+    val partials = p.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+        if a.aggregateExpressions.exists(_.mode == Partial) => a
+    }
+    assert(partials.nonEmpty, "no map-side partial aggregation")
+  }
 }
