@@ -18,6 +18,53 @@ object TextOps {
   /** Whitespace tokenization of a text column. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Bigram-PMI collocation extraction (Church & Hanks) — "which
+    * adjacent word pairs co-occur far beyond chance": the classic
+    * phrase-mining signal feeding tokenizer-merge candidates, stop-
+    * phrase lists, and domain-term discovery. All counts come from
+    * the bigram table itself (left-marginal, right-marginal, total),
+    * so PMI = ln(N·c_ab / (cl_a·cr_b)) is self-consistent; counts are
+    * exact longs, the ratio is assembled in one fixed IEEE order, and
+    * the rounded edge uses the shared floor formula, so the top-k
+    * ORDER (rounded PMI desc, then the pair) is total and
+    * cross-engine exact.
+    *
+    * Scale shape: one explode + three map-side-combined aggregates
+    * over bigram keys, two vocabulary-keyed equi-joins (NOT forced
+    * broadcasts — the marginals are vocabulary-sized, which at corpus
+    * scale is a real table; the optimizer may still broadcast them
+    * when small), and a TakeOrdered top-k — no window over the
+    * vocabulary, nothing quadratic; the `minCount` floor keeps
+    * rare-pair noise (PMI's known bias) out and trims the probe side
+    * BEFORE the joins.
+    *
+    * @return top-k (a, b, n_ab, pmi) by (pmi desc, a, b)
+    */
+  def collocations(docs: DataFrame, minCount: Int = 5,
+      k: Int = 50): DataFrame = {
+    val bi = spread(docs).where(col("text").isNotNull)
+      .select(tokens(col("text")).as("w"))
+      .where(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1)," +
+          " i -> struct(w[i - 1] AS a, w[i] AS b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val cab = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds marginals, total and the join
+    val cl = cab.groupBy(col("a")).agg(sum(col("c")).as("cl"))
+    val cr = cab.groupBy(col("b")).agg(sum(col("c")).as("cr"))
+    val n = cab.agg(sum(col("c")).as("n"))
+    cab.where(col("c") >= minCount)
+      .join(cl, "a").join(cr, "b")
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("c").as("n_ab"),
+        (floor(log(col("n").cast("double") * col("c") /
+          (col("cl").cast("double") * col("cr"))) * 1e6 + 0.5) / 1e6)
+          .cast("float").as("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   /** Spread docs across the full shuffle parallelism BEFORE map-heavy
     * shingling/hashing work: the fixture parquet is single-row-group,
     * so a compact scan yields ONE task and nothing downstream of a

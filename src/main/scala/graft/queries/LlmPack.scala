@@ -441,6 +441,12 @@ object LlmPack extends QueryPack {
       val docs = t("documents")(s, d)
       Retrieval.bm25TopK(docs, Retrieval.sampleQueries(docs))
     }),
+    // Bigram-PMI collocations: the phrase-mining signal (tokenizer
+    // merge candidates, domain-term discovery) — exact bigram counts,
+    // self-consistent marginals, floor-rounded ln at the edge, total
+    // (pmi desc, a, b) order.
+    "q233_collocations" -> ((s, d) =>
+      TextOps.collocations(t("documents")(s, d))),
     // Hybrid retrieval: the q165 sparse top-10 (self dropped
     // post-cut) fused with the dense cosine top-10 for the same
     // query docs by reciprocal rank — exact 1/(60+rank) arithmetic,
@@ -1668,6 +1674,30 @@ object LlmPack extends QueryPack {
          |       CAST(score AS REAL) AS score
          |FROM sparse
          |WHERE rank <= 10""".stripMargin,
+    // Adjacent pairs via 1-based list indexing over range(1, len);
+    // marginals/total from the bigram table itself; same fixed IEEE
+    // ratio order and floor rounding.
+    "q233_collocations" ->
+      """WITH toks AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |bi AS (
+        |  SELECT w[i] AS a, w[i + 1] AS b FROM (
+        |    SELECT w, unnest(range(1, len(w))) AS i
+        |    FROM toks WHERE len(w) >= 2)),
+        |cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c
+        |        FROM bi GROUP BY 1, 2),
+        |cl AS (SELECT a, CAST(sum(c) AS BIGINT) AS cl FROM cab GROUP BY 1),
+        |cr AS (SELECT b, CAST(sum(c) AS BIGINT) AS cr FROM cab GROUP BY 1),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cab)
+        |SELECT a, b, c AS n_ab,
+        |       CAST(floor(ln(CAST(n.n AS DOUBLE) * c
+        |           / (CAST(cl.cl AS DOUBLE) * cr.cr)) * 1e6 + 0.5) / 1e6
+        |         AS REAL) AS pmi
+        |FROM cab JOIN cl USING (a) JOIN cr USING (b), n
+        |WHERE c >= 5
+        |ORDER BY pmi DESC, a, b
+        |LIMIT 50""".stripMargin,
     // RRF: both top-10 lists re-derived from their shared CTE blocks,
     // fused with exact 1/(60+rank) arithmetic in the same fixed
     // order (sparse term + dense term) the engine uses.
