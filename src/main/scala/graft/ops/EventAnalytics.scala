@@ -276,4 +276,45 @@ object EventAnalytics {
       .orderBy(col("n_sessions").desc, col("path"))
       .limit(k)
   }
+
+  /** Goh–Barabási burstiness per user — B = (σ − μ)/(σ + μ) of the
+    * inter-event gaps, in [−1, 1]: −1 = metronome (bot cadence),
+    * 0 = Poisson, → 1 = bursty human. The behavioral-forensics signal
+    * scripted traffic can't fake cheaply.
+    *
+    * Determinism: gaps are exact integer seconds off one user-keyed
+    * window pass; n/Σg/Σg² are exact long sums; μ, population σ and B
+    * are one fixed IEEE sequence over their single double
+    * conversions, with the variance guarded `> 0` (a constant-gap
+    * user reads σ = 0 → B = −1 exactly) and the shared floor
+    * rounding at the edge.
+    *
+    * Scale shape: one shuffle on user_id (the window), one map-side-
+    * combined groupBy riding the same partitioning; |users| rows out.
+    *
+    * @return (id, n_gaps, mean_gap_s, burstiness) for users with
+    *         ≥ `minGaps` gaps
+    */
+  def burstiness(events: DataFrame, minGaps: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("t"), col("event_id"))
+    val g = events
+      .select(col("user_id").as("id"), col("ts").cast("long").as("t"),
+        col("event_id"))
+      .withColumn("g", col("t") - lag(col("t"), 1).over(w))
+      .where(col("g").isNotNull)
+    val agg = g.groupBy(col("id"))
+      .agg(count(lit(1)).as("n"), sum(col("g")).as("sg"),
+        sum(col("g") * col("g")).as("sg2"))
+      .where(col("n") >= minGaps)
+    val nD = col("n").cast("double")
+    val mu = col("sg").cast("double") / nD
+    val vr = col("sg2").cast("double") / nD - mu * mu
+    val sg = when(vr > 0, sqrt(vr)).otherwise(lit(0d))
+    def r6(c: org.apache.spark.sql.Column) =
+      (floor(c * 1e6 + 0.5) / 1e6).cast("float")
+    agg.select(col("id"), col("n").cast("int").as("n_gaps"),
+      r6(mu).as("mean_gap_s"),
+      r6((sg - mu) / (sg + mu)).as("burstiness"))
+  }
 }

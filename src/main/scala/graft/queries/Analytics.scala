@@ -134,6 +134,12 @@ object Analytics extends QueryPack {
       graft.graph.KCore.kCore(coPurchaseEdges(s, d), k = 80,
         maxRounds = 8)),
 
+    // Burstiness forensics: B = (σ−μ)/(σ+μ) of per-user inter-event
+    // gaps — exact integer moments, fixed IEEE edge; metronome bots
+    // read −1, Poisson 0, bursty humans → 1.
+    "q234_burstiness" -> ((s, d) =>
+      graft.ops.EventAnalytics.burstiness(t("events")(s, d))),
+
     // Modularity of the brand partition on the co-purchase graph:
     // "are co-purchases brand-assortative?" — exact integer
     // (M·Σe_c − Σd_c²)/M² over two bounded aggregates on the shared
@@ -1203,6 +1209,38 @@ object Analytics extends QueryPack {
         |SELECT event_type, dow, o, CAST(round(e, 2) AS REAL) AS e,
         |       CAST(contrib AS REAL) AS contrib, chi2, dof
         |FROM wc, tot""".stripMargin,
+
+    // Same gap moments replayed; lag over the same (ts, event_id)
+    // total order, exact long sums, identical IEEE sequence.
+    "q234_burstiness" ->
+      """WITH g AS (
+        |  SELECT user_id AS id,
+        |         CAST(floor(epoch(ts)) AS BIGINT)
+        |           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+        |             OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           AS g
+        |  FROM events),
+        |a AS (
+        |  SELECT id, count(*) AS n, CAST(sum(g) AS BIGINT) AS sg,
+        |         CAST(sum(g * g) AS BIGINT) AS sg2
+        |  FROM g WHERE g IS NOT NULL GROUP BY 1 HAVING count(*) >= 5),
+        |x AS (
+        |  SELECT id, n, sg, sg2,
+        |         CAST(sg AS DOUBLE) / n AS mu,
+        |         CAST(sg2 AS DOUBLE) / n
+        |           - (CAST(sg AS DOUBLE) / n) * (CAST(sg AS DOUBLE) / n)
+        |           AS vr
+        |  FROM a),
+        |y AS (
+        |  SELECT id, n, mu,
+        |         CASE WHEN vr > 0 THEN sqrt(vr)
+        |              ELSE CAST(0 AS DOUBLE) END AS sig
+        |  FROM x)
+        |SELECT id, CAST(n AS INTEGER) AS n_gaps,
+        |       CAST(floor(mu * 1e6 + 0.5) / 1e6 AS REAL) AS mean_gap_s,
+        |       CAST(floor((sig - mu) / (sig + mu) * 1e6 + 0.5) / 1e6
+        |         AS REAL) AS burstiness
+        |FROM y""".stripMargin,
 
     // Independent edge re-derivation + the same exact integer
     // modularity form; HUGEINT sums cast back before the one divide.
