@@ -68,6 +68,55 @@ object PageRank {
     ranks.select(col("id"), col("r").as("rank_fp"))
   }
 
+  /** WEIGHTED [[run]]: each edge carries a long weight `w` (e.g.
+    * co-occurrence multiplicity) and a node's mass splits
+    * proportionally — contribution = (r·w) div Σw — so a pair
+    * co-purchased in fifty orders pulls fifty times the rank of a
+    * one-off. Same exact-integer contract: r ≤ 10¹² and fixture
+    * weights keep r·w far inside 64 bits (ANSI faults loudly if a
+    * graph ever exceeds it); same per-round checkpoint discipline.
+    */
+  def runWeighted(nodes: DataFrame, edges: DataFrame, iters: Int = 5,
+      checkpoint: Boolean = true): DataFrame = {
+    def cp(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint(true) else df
+    val n = nodes.select(col("id"))
+    val nN = broadcast(n.agg(count(lit(1)).as("n_nodes")))
+    val deg = edges.groupBy(col("src")).agg(sum(col("w")).as("d"))
+    val eDeg = cp(edges.join(deg, "src"))
+    val tele = expr(s"${scale * 15 / 100} div n_nodes")
+    var ranks = cp(n.crossJoin(nN)
+      .select(col("id"), expr(s"$scale div n_nodes").as("r")))
+    for (_ <- 1 to iters) {
+      val sums = eDeg.join(ranks, col("src") === col("id"))
+        .select(col("dst"), expr("(r * w) div d").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = cp(n.join(sums, col("id") === col("dst"), "left_outer")
+        .crossJoin(nN)
+        .select(col("id"),
+          (tele + expr("(85 * coalesce(s, 0)) div 100")).as("r")))
+    }
+    ranks.select(col("id"), col("r").as("rank_fp"))
+  }
+
+  /** Unrolled DuckDB CTE chain re-deriving [[runWeighted]] exactly:
+    * expects CTEs `n(id)` and `e(src, dst, w)` in scope. */
+  def oracleCteWeighted(iters: Int): String = {
+    val tele = s"${scale * 15 / 100} // (SELECT count(*) FROM n)"
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.id, ($tele) + (85 * coalesce(x.s, 0)) // 100 AS r
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst, sum((p.r * e.w) // deg.d) AS s
+         |    FROM e JOIN r${i - 1} p ON e.src = p.id
+         |    JOIN deg ON deg.src = e.src
+         |    GROUP BY 1) x ON n.id = x.dst)""".stripMargin
+    }
+    (s"""deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS d FROM e GROUP BY 1),
+        |r0 AS (SELECT id, $scale // (SELECT count(*) FROM n) AS r FROM n)"""
+      .stripMargin +: rounds).mkString(",\n")
+  }
+
   /** Unrolled DuckDB CTE chain re-deriving [[run]] exactly: expects
     * CTEs `n(id)` and `e(src, dst)` in scope, emits `deg` and
     * `r0..r$iters`; select from `r$iters`. */

@@ -112,6 +112,23 @@ object Analytics extends QueryPack {
         t("part")(s, d).select(col("p_partkey").as("id")), e, iters = 5)
     }),
 
+    // WEIGHTED PageRank: the same integer fixed-point walk, mass
+    // split proportionally to co-purchase multiplicity — a pair
+    // bought together in fifty orders pulls fifty one-off pairs'
+    // worth of rank.
+    "q235_pagerank_weighted" -> ((s, d) => {
+      val li = t("lineitem")(s, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("src"),
+          col("b.l_partkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.graph.PageRank.runWeighted(
+        t("part")(s, d).select(col("p_partkey").as("id")), e, iters = 5)
+    }),
+
     // Degree-oriented triangle counting over the same co-purchase
     // graph: wedges generate only at each triangle's lowest-(deg, id)
     // corner, so one celebrity part cannot explode the wedge join
@@ -1361,6 +1378,19 @@ object Analytics extends QueryPack {
          |       max(ts_s) - min(ts_s) AS duration_s,
          |       CAST(round(sum(value), 4) AS REAL) AS total_value
          |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // The weighted walk unrolled with the same integer arithmetic,
+    // contribution (r·w) // Σw.
+    "q235_pagerank_weighted" ->
+      s"""WITH n AS (SELECT p_partkey AS id FROM part),
+         |e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+         |             CAST(count(*) AS BIGINT) AS w
+         |      FROM lineitem a JOIN lineitem b
+         |        ON a.l_orderkey = b.l_orderkey
+         |       AND a.l_partkey <> b.l_partkey
+         |      GROUP BY 1, 2),
+         |${graft.graph.PageRank.oracleCteWeighted(5)}
+         |SELECT id, CAST(r AS BIGINT) AS rank_fp FROM r5""".stripMargin,
 
     // All five PageRank rounds unrolled with the SAME integer
     // floor-division arithmetic — bit-exact, no float tolerance.
