@@ -62,10 +62,15 @@ object Modularity {
     cells.crossJoin(broadcast(m)).crossJoin(broadcast(tot))
       .select(col("community"), col("n_nodes"), col("deg_sum"),
         col("intra_edges"),
-        r6((col("m") * col("intra_edges")
-          - col("deg_sum") * col("deg_sum")).cast("double") / mD)
+        // empty edge set → m = 0 and Q is undefined — NULL, not an
+        // ANSI 0/0 fault (labels with no edges produce no rows anyway,
+        // but compositions may feed a filtered-empty edge frame)
+        when(col("m") > 0,
+          r6((col("m") * col("intra_edges")
+            - col("deg_sum") * col("deg_sum")).cast("double") / mD))
           .as("contrib"),
-        r6((col("m") * col("si") - col("sd")).cast("double") / mD)
+        when(col("m") > 0,
+          r6((col("m") * col("si") - col("sd")).cast("double") / mD))
           .as("q_mod"))
   }
 }

@@ -122,6 +122,24 @@ object PartitionIO {
     * Composes with dynamic partition overwrite, so the evolved write
     * keeps S6–S10's idempotency-under-retry.
     */
+  /** Recursively force every nullability flag true so the type-flip
+    * check compares SHAPE only (an `array<int>` whose containsNull
+    * differs is the same type for append purposes). */
+  private def normalizeNullability(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ArrayType(e, _) =>
+        ArrayType(normalizeNullability(e), containsNull = true)
+      case MapType(k, v, _) =>
+        MapType(normalizeNullability(k), normalizeNullability(v),
+          valueContainsNull = true)
+      case StructType(fs) => StructType(fs.map(f => f.copy(
+        dataType = normalizeNullability(f.dataType), nullable = true)))
+      case other => other
+    }
+  }
+
   def appendNewColumns(updates: DataFrame, path: String,
       partitionCols: Seq[String], clusterBy: Seq[String] = Nil,
       format: String = "parquet"): Unit = {
@@ -137,7 +155,10 @@ object PartitionIO {
         schema.fields.foreach { f =>
           incoming.get(f.name.toLowerCase).foreach { c =>
             val it = updates.schema(c).dataType
-            require(it == f.dataType,
+            // nullability flags (containsNull / struct-field nullable)
+            // are not a type flip — the union is safe either way
+            require(normalizeNullability(it) ==
+                normalizeNullability(f.dataType),
               s"append_new_columns: column '$c' type flip " +
                 s"${f.dataType.simpleString} -> ${it.simpleString}; " +
                 "additive evolution never changes an existing column's type")

@@ -315,6 +315,8 @@ object EventAnalytics {
       (floor(c * 1e6 + 0.5) / 1e6).cast("float")
     agg.select(col("id"), col("n").cast("int").as("n_gaps"),
       r6(mu).as("mean_gap_s"),
-      r6((sg - mu) / (sg + mu)).as("burstiness"))
+      // all-zero-gap user (>= minGaps events inside one epoch second)
+      // has mu = sg = 0 — NULL, not an ANSI 0/0 fault
+      when(mu > 0, r6((sg - mu) / (sg + mu))).as("burstiness"))
   }
 }

@@ -30,23 +30,37 @@ object Analytics extends QueryPack {
     * downstream ops canonicalize/dedup themselves), and each oracle
     * CTE still derives the edge set independently.
     */
+  // Keyed on the session OBJECT (WeakHashMap, identity semantics): a
+  // stopped session's entries — and the checkpointed RDD blocks they
+  // pin — become collectable with it, and a recycled identity hash can
+  // never alias a dead session's frames.
   private val coPurchaseCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      String, org.apache.spark.sql.DataFrame]()
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[
+        String, org.apache.spark.sql.DataFrame]]()
+
+  /** Memoized WEIGHTED pair frame (a, b, w = co-occurrence count) —
+    * one self-join serves both the unweighted graph family (drops w;
+    * the groupBy keys are already distinct) and weighted PageRank. */
+  private def coPurchaseEdgesW(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    coPurchaseCache.synchronized {
+      coPurchaseCache.computeIfAbsent(s, _ =>
+        new java.util.concurrent.ConcurrentHashMap())
+    }.computeIfAbsent(d, _ => {
+      val li = t("lineitem")(s, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("a"), col("b.l_partkey").as("b"))
+        .agg(count(lit(1)).as("w"))
+        .localCheckpoint(true)
+    })
 
   private def coPurchaseEdges(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
-    coPurchaseCache.computeIfAbsent(
-      System.identityHashCode(s) + "|" + d, _ => {
-        val li = t("lineitem")(s, d)
-          .select(col("l_orderkey"), col("l_partkey"))
-        li.as("a").join(li.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") =!= col("b.l_partkey"))
-          .select(col("a.l_partkey").as("a"), col("b.l_partkey").as("b"))
-          .distinct()
-          .localCheckpoint(true)
-      })
+    coPurchaseEdgesW(s, d).drop("w")
 
   val queries: Map[String, Q] = Map(
     "q15_percentiles" -> ((s, d) => t("events")(s, d)
@@ -117,14 +131,8 @@ object Analytics extends QueryPack {
     // bought together in fifty orders pulls fifty one-off pairs'
     // worth of rank.
     "q235_pagerank_weighted" -> ((s, d) => {
-      val li = t("lineitem")(s, d)
-        .select(col("l_orderkey"), col("l_partkey"))
-      val e = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") =!= col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("src"),
-          col("b.l_partkey").as("dst"))
-        .agg(count(lit(1)).as("w"))
+      val e = coPurchaseEdgesW(s, d)
+        .select(col("a").as("src"), col("b").as("dst"), col("w"))
       graft.graph.PageRank.runWeighted(
         t("part")(s, d).select(col("p_partkey").as("id")), e, iters = 5)
     }),
@@ -676,10 +684,11 @@ object Analytics extends QueryPack {
         |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
         |             CAST(sum(c2) AS BIGINT) AS n2 FROM counts)
         |SELECT n1 AS n_pos, n2 AS n_neg,
-        |       CAST(floor(
-        |         CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE)
-        |         / (2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
-        |         * 1e6 + 0.5) / 1e6 AS REAL) AS auc
+        |       CASE WHEN n1 > 0 AND n2 > 0 THEN
+        |         CAST(floor(
+        |           CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE)
+        |           / (2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+        |           * 1e6 + 0.5) / 1e6 AS REAL) END AS auc
         |FROM m, n""".stripMargin,
 
     "q202_mann_whitney" ->
@@ -1255,8 +1264,9 @@ object Analytics extends QueryPack {
         |  FROM x)
         |SELECT id, CAST(n AS INTEGER) AS n_gaps,
         |       CAST(floor(mu * 1e6 + 0.5) / 1e6 AS REAL) AS mean_gap_s,
-        |       CAST(floor((sig - mu) / (sig + mu) * 1e6 + 0.5) / 1e6
-        |         AS REAL) AS burstiness
+        |       CASE WHEN mu > 0 THEN
+        |         CAST(floor((sig - mu) / (sig + mu) * 1e6 + 0.5) / 1e6
+        |           AS REAL) END AS burstiness
         |FROM y""".stripMargin,
 
     // Independent edge re-derivation + the same exact integer
@@ -1289,13 +1299,15 @@ object Analytics extends QueryPack {
         |         CAST(sum(deg_sum * deg_sum) AS BIGINT) AS sd
         |  FROM cells)
         |SELECT community, n_nodes, deg_sum, intra_edges,
-        |  CAST(floor(CAST(m.m * intra_edges - deg_sum * deg_sum
-        |               AS DOUBLE)
-        |    / (CAST(m.m AS DOUBLE) * m.m) * 1e6 + 0.5) / 1e6 AS REAL)
-        |    AS contrib,
-        |  CAST(floor(CAST(m.m * tot.si - tot.sd AS DOUBLE)
-        |    / (CAST(m.m AS DOUBLE) * m.m) * 1e6 + 0.5) / 1e6 AS REAL)
-        |    AS q_mod
+        |  CASE WHEN m.m > 0 THEN
+        |    CAST(floor(CAST(m.m * intra_edges - deg_sum * deg_sum
+        |                 AS DOUBLE)
+        |      / (CAST(m.m AS DOUBLE) * m.m) * 1e6 + 0.5) / 1e6 AS REAL)
+        |    END AS contrib,
+        |  CASE WHEN m.m > 0 THEN
+        |    CAST(floor(CAST(m.m * tot.si - tot.sd AS DOUBLE)
+        |      / (CAST(m.m AS DOUBLE) * m.m) * 1e6 + 0.5) / 1e6 AS REAL)
+        |    END AS q_mod
         |FROM cells, m, tot""".stripMargin,
 
     // Same island sweep replayed: max-over-prior-rows opens islands,

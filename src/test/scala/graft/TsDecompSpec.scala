@@ -40,6 +40,29 @@ class TsDecompSpec extends AnyFunSuite {
     assert(r.getAs[Date]("trough_dt").toString == "2024-01-02")
   }
 
+  test("maxDrawdown: zero opening close → NULL-dd bars skipped by argmin") {
+    // running max is 0 on Jan 1–2, so both bars' dd is NULL (ANSI
+    // division guard); the argmin struct must skip them — trough_dt
+    // must agree with max_dd (the -0.5 on Jan 4 vs the peak 10),
+    // never report a NULL-dd bar
+    val df = bars(Seq(
+      (1L, "2024-01-01", 0.0), (1L, "2024-01-02", 0.0),
+      (1L, "2024-01-03", 10.0), (1L, "2024-01-04", 5.0),
+      (1L, "2024-01-05", 8.0)))
+    val r = Drawdown.maxDrawdown(df).collect()(0)
+    assert(r.getAs[Int]("n_days") == 5)
+    assert(r.getAs[Float]("max_dd") == -0.5f)
+    assert(r.getAs[Date]("trough_dt").toString == "2024-01-04")
+  }
+
+  test("maxDrawdown: all-zero symbol → NULL trough and NULL max_dd") {
+    val df = bars(Seq((1L, "2024-01-01", 0.0), (1L, "2024-01-02", 0.0)))
+    val r = Drawdown.maxDrawdown(df).collect()(0)
+    assert(r.getAs[Int]("n_days") == 2)
+    assert(r.isNullAt(r.fieldIndex("trough_dt")))
+    assert(r.isNullAt(r.fieldIndex("max_dd")))
+  }
+
   test("decompose: pure weekly signal → seasonal recovers it, resid 0") {
     // close = 100 + dow over three weeks: every full 7-day window
     // averages all seven dow effects → trend = 104 everywhere,
