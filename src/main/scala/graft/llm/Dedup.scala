@@ -487,6 +487,87 @@ object Dedup {
       d: Int = 2): DataFrame =
     winnowedPairsCore(docs, Some(isNew), k, w, maxDf, Some((m, d)))
 
+  /** EXACT duplicate-span extraction (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" class):
+    * LOCALIZE every maximal repeated token span of ≥ `n` tokens across
+    * document pairs — not just flag the pair, but report where
+    * (token offsets) and how long. The winnowing/containment families
+    * approximate substring overlap at document granularity; this is
+    * the span-level operator that lets a pipeline CUT the duplicated
+    * text instead of dropping whole documents.
+    *
+    * Distributed formulation (never a suffix array on the driver):
+    * two docs share an L ≥ n token span exactly when they share
+    * L − n + 1 CONSECUTIVE n-gram anchors at a constant positional
+    * offset. So: (1) every n-gram occurrence becomes (doc, pos,
+    * 48-bit md5 anchor); (2) anchors join on the hash (an equi-join
+    * over the bounded inverted index — the df cap below keeps every
+    * posting list ≤ maxDf docs, the winnowing family's
+    * stop-fingerprint discipline); (3) matched positions group by
+    * (doc_a, doc_b, diagonal = pos_a − pos_b) and collapse to maximal
+    * runs by gaps-and-islands (pos − row_number inside the diagonal),
+    * each run of r consecutive anchors reporting one maximal span of
+    * r + n − 1 tokens.
+    *
+    * Determinism: offsets/lengths are exact integers off the md5
+    * anchor join — no floats anywhere, so the full hash gate applies.
+    * A 48-bit anchor collision would take ~10^7 distinct grams to
+    * reach 1e-3 probability; the oracle derives the same 48 bits, so
+    * the gate is consistent regardless.
+    *
+    * Scale shape: anchor generation is a pure map (explode over token
+    * positions); the df cap is a bounded-key aggregate with map-side
+    * partials; the pair join fans in ≤ maxDf² per anchor; the island
+    * window partitions by (pair, diagonal) — thousands of small
+    * groups, no global sort. A viral anchor (> maxDf docs) is dropped
+    * BEFORE the join, which can split a span crossing it into two
+    * reported spans — the documented price of the cap, same trade the
+    * MOSS winnower makes.
+    *
+    * @param n    anchor/minimum span length in tokens
+    * @param maxDf stop-anchor document-frequency cap
+    * @return (doc_a, doc_b, start_a, start_b, span_len) — 1-based
+    *         token offsets of each maximal shared span, doc_a < doc_b
+    */
+  def duplicateSpans(docs: DataFrame, n: Int = 8,
+      maxDf: Int = 64): DataFrame = {
+    require(n >= 2, "span anchor length must be >= 2 tokens")
+    val toks = spread(docs.where(col("text").isNotNull))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("wd"))
+      .where(size(col("wd")) >= n)
+    val grams = toks
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("wd")) - (n - 1))).as("i"),
+        col("wd"))
+      .select(col("doc_id"), col("i"),
+        conv(substring(
+          md5(concat_ws(" ", slice(col("wd"), col("i"), lit(n)))),
+          1, 12), 16, 10).cast("long").as("h"))
+    // stop-anchor cap: viral boilerplate n-grams leave before the join
+    val keep = grams.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .where(col("df") <= maxDf).select(col("h"))
+    val occ = grams.join(keep, Seq("h")).localCheckpoint(true)
+    val a = occ.select(col("h"), col("doc_id").as("da"), col("i").as("ia"))
+    val b = occ.select(col("h"), col("doc_id").as("db"), col("i").as("ib"))
+    val m = a.join(b, Seq("h")).where(col("da") < col("db"))
+    // gaps-and-islands per (pair, diagonal): each ia occurs at most
+    // once per diagonal (ib = ia − diag is determined), so
+    // ia − row_number() is constant exactly along consecutive runs
+    val diag = col("ia") - col("ib")
+    m.select(col("da"), col("db"), col("ia"), col("ib"), diag.as("diag"))
+      .withColumn("grp", col("ia") - row_number().over(
+        Window.partitionBy(col("da"), col("db"), col("diag"))
+          .orderBy(col("ia"))))
+      .groupBy(col("da"), col("db"), col("diag"), col("grp"))
+      .agg(min(col("ia")).as("sa"), min(col("ib")).as("sb"),
+        count(lit(1)).as("run"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("sa").cast("int").as("start_a"),
+        col("sb").cast("int").as("start_b"),
+        (col("run") + (n - 1)).cast("int").as("span_len"))
+  }
+
   /** Bloom JOIN PRUNING of a tagged delta frame: rows with `nw` =
     * false are gated by a bloom built over the new rows' `key` — no
     * false negatives, so downstream EXACT equi-joins on `key` produce

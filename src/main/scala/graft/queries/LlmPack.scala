@@ -124,6 +124,14 @@ object LlmPack extends QueryPack {
     // paragraph dedup cannot.
     "q113_winnowing" -> ((s, d) =>
       Dedup.winnowedPairs(t("documents")(s, d))),
+    // EXACT duplicate-span extraction (Lee et al. 2022 class): every
+    // maximal repeated span of ≥ 8 tokens across doc pairs, LOCALIZED
+    // as (start_a, start_b, span_len) token offsets — n-gram anchors
+    // equi-joined on 48-bit md5, maximal runs by gaps-and-islands per
+    // (pair, diagonal). The span-level cut operator the winnowing
+    // family's doc-level flags cannot provide.
+    "q236_dup_spans" -> ((s, d) =>
+      Dedup.duplicateSpans(t("documents")(s, d))),
     // The substring-overlap member of the delta matrix (jaccard q95,
     // simhash q96/q120): winnowed pairs involving a new doc only,
     // old×old discarded inside the fp-keyed join; the stop-fp cap
@@ -1064,6 +1072,41 @@ object LlmPack extends QueryPack {
     "q113_winnowing" ->
       s"""WITH $winnowPairCtes
          |SELECT da, db, n_shared FROM wp""".stripMargin,
+    // Same anchor derivation (8-token grams, 48-bit md5, df ≤ 64),
+    // same diagonal islands — offsets/lengths are exact integers.
+    "q236_dup_spans" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+         |  FROM documents WHERE text IS NOT NULL),
+         |nn AS (SELECT doc_id, w FROM tok WHERE len(w) >= 8),
+         |gi AS (SELECT doc_id, w,
+         |         CAST(unnest(range(1, len(w) - 6)) AS INTEGER) AS i
+         |       FROM nn),
+         |g AS (SELECT doc_id, i,
+         |        w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+         |          || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6]
+         |          || ' ' || w[i+7] AS gram
+         |      FROM gi),
+         |h AS (SELECT doc_id, i,
+         |        ${OracleSql.md5Int48("md5(gram)")} AS h
+         |      FROM g),
+         |keep AS (SELECT h FROM h GROUP BY h
+         |         HAVING count(DISTINCT doc_id) <= 64),
+         |occ AS (SELECT t.* FROM h t JOIN keep USING (h)),
+         |m AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, a.i AS ia, b.i AS ib,
+         |         a.i - b.i AS diag
+         |  FROM occ a JOIN occ b
+         |    ON a.h = b.h AND a.doc_id < b.doc_id),
+         |isl AS (
+         |  SELECT *, ia - row_number() OVER (
+         |    PARTITION BY da, db, diag ORDER BY ia) AS grp
+         |  FROM m)
+         |SELECT da AS doc_a, db AS doc_b,
+         |       CAST(min(ia) AS INTEGER) AS start_a,
+         |       CAST(min(ib) AS INTEGER) AS start_b,
+         |       CAST(count(*) + 7 AS INTEGER) AS span_len
+         |FROM isl GROUP BY da, db, diag, grp""".stripMargin,
     // Delta contract: the same selection CTEs filtered to pairs
     // involving a new doc (the stop-fp cap is world-global in both).
     "q137_winnow_delta" ->

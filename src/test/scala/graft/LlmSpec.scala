@@ -219,6 +219,57 @@ class LlmSpec extends AnyFunSuite {
     assert(n.toDouble / grams < 0.6, s"selection not sparse: $n/$grams")
   }
 
+  test("duplicateSpans: maximal spans localized at exact token offsets") {
+    import spark.implicits._
+    // doc1 and doc2 share one 12-token run at different offsets →
+    // ONE maximal span of exactly 12 (never two partial reports),
+    // with 1-based starts at the planted positions
+    val run = (1 to 12).map(i => s"run$i").mkString(" ")
+    val sample = Seq(
+      (1L, (1 to 4).map(i => s"a$i").mkString(" ") + " " + run + " " +
+        (5 to 14).map(i => s"a$i").mkString(" ")),  // run at token 5
+      (2L, (1 to 9).map(i => s"b$i").mkString(" ") + " " + run + " " +
+        (10 to 12).map(i => s"b$i").mkString(" ")), // run at token 10
+      (3L, (1 to 30).map(i => s"c$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(sample, n = 8).collect()
+    assert(spans.length == 1, s"expected one maximal span, got ${spans.length}")
+    val r = spans(0)
+    assert(r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(r.getAs[Int]("start_a") == 5 && r.getAs[Int]("start_b") == 10)
+    assert(r.getAs[Int]("span_len") == 12)
+
+    // two SEPARATE shared runs in the same pair → two spans (different
+    // diagonals), each maximal, neither merged nor extended
+    val runB = (1 to 9).map(i => s"other$i").mkString(" ")
+    val two = Seq(
+      (1L, run + " " + (1 to 6).map(i => s"x$i").mkString(" ") + " " + runB),
+      (2L, runB + " " + (1 to 8).map(i => s"y$i").mkString(" ") + " " + run)
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(two, n = 8).collect()
+      .map(r => (r.getAs[Int]("start_a"), r.getAs[Int]("start_b"),
+        r.getAs[Int]("span_len"))).toSet
+    assert(got == Set((1, 18, 12), (19, 1, 9)), s"got $got")
+
+    // a run below n tokens is invisible; exactly n reports span_len = n
+    val short = Seq(
+      (1L, (1 to 7).map(i => s"s$i").mkString(" ") + " " +
+        (1 to 10).map(i => s"p1x$i").mkString(" ")),
+      (2L, (1 to 7).map(i => s"s$i").mkString(" ") + " " +
+        (1 to 10).map(i => s"p2x$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(short, n = 8).count() == 0)
+    assert(Dedup.duplicateSpans(short, n = 7).collect()
+      .map(r => r.getAs[Int]("span_len")).toSeq == Seq(7))
+
+    // stop-anchor df cap: a run in > maxDf docs generates nothing
+    val viralDocs = (0 until 5).map(j =>
+      (j.toLong, (1 to 4).map(i => s"pad${j}x$i").mkString(" ") + " " + run))
+      .toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(viralDocs, n = 8, maxDf = 3).count() == 0)
+    assert(Dedup.duplicateSpans(viralDocs, n = 8, maxDf = 5).count() == 10)
+  }
+
   test("winnowed delta pairs == full pairs filtered to involving-new") {
     val isNew = col("doc_id") % 3 === 0
     val full = Dedup.winnowedPairs(docs)
