@@ -93,6 +93,31 @@ object TimeJoins extends QueryPack {
       graft.ts.CrossCorr.leadLag(bars.join(broadcast(watch), "id"))
     }),
 
+    // BATCH-PARITY oracle for the left-outer watermarked stream-stream
+    // interval join (stream/Windowed.enrichIntervalLeftOuter, r8's one
+    // spec-only component): the SAME function runs here on batch
+    // frames — the analyzer's EliminateEventTimeWatermark strips the
+    // watermarks, leaving exactly the equi+interval left-outer join
+    // whose streaming lifecycle StreamJoinSpec gates. Purchases are
+    // the trade side, views the quote side, 1 h lookback; quoteless
+    // purchases surface with NULL quote columns (the audit rows an
+    // inner join silently drops).
+    "q237_interval_left_outer" -> ((s, d) => {
+      val ev = t("events")(s, d)
+      val trades = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("id"), col("ts"),
+          col("event_id").as("trade_eid"), col("value").as("trade_value"))
+      val quotes = ev.where(col("event_type") === "view")
+        .select(col("user_id").as("qid"), col("ts").as("qts"),
+          col("event_id").as("quote_eid"), col("value").as("quote_value"))
+      graft.stream.Windowed.enrichIntervalLeftOuter(
+          trades, quotes, lookbackS = 3600)
+        .select(col("id"), col("ts").cast("long").as("ts_s"),
+          col("trade_eid"), col("trade_value"),
+          col("qts").cast("long").as("qts_s"),
+          col("quote_eid"), col("quote_value"))
+    }),
+
     "q184_asof_scd2" -> ((s, d) => {
       val enc = 10000000L
       val ords = t("orders")(s, d).select(
@@ -134,6 +159,18 @@ object TimeJoins extends QueryPack {
          |FROM events e
          |ASOF LEFT JOIN r
          |  ON e.user_id = r.id AND epoch(e.ts) >= r.avail""".stripMargin,
+    // Independent interval-join derivation: quote predicate in the ON
+    // clause (left-outer), exact timestamp INTERVAL arithmetic.
+    "q237_interval_left_outer" ->
+      """SELECT e.user_id AS id,
+        |       CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_s,
+        |       e.event_id AS trade_eid, e.value AS trade_value,
+        |       CAST(floor(epoch(q.ts)) AS BIGINT) AS qts_s,
+        |       q.event_id AS quote_eid, q.value AS quote_value
+        |FROM events e LEFT JOIN events q
+        |  ON e.user_id = q.user_id AND q.event_type = 'view'
+        | AND q.ts >= e.ts - INTERVAL 3600 SECONDS AND q.ts <= e.ts
+        |WHERE e.event_type = 'purchase'""".stripMargin,
     "q76_range_join" ->
       s"""WITH ${Bars.oracleCte},
          |iv AS (
