@@ -1,0 +1,213 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM TOKENIZER TRAINING (Kudo 2018, arXiv:1804.10959 — the
+  * SentencePiece unigram model): the second of the two tokenizer-
+  * training algorithms real pipelines use, beside BPE ([[Bpe]]).
+  * Where BPE greedily FUSES the most frequent pair, unigram-LM starts
+  * from an over-complete substring seed vocabulary and lets EM +
+  * pruning keep the pieces that best explain the corpus under a
+  * unigram language model.
+  *
+  * Semantics (the paper's algorithm, made engine-deterministic):
+  *
+  *   1. SEED: every substring of length ≤ `maxPieceLen` of the word
+  *      table, counted by (occurrences × word frequency); keep the
+  *      top `seedSize` multi-char pieces by the total order
+  *      (count desc, piece) plus ALL single characters (coverage
+  *      guarantee — every word stays segmentable, as SentencePiece
+  *      always keeps the character alphabet).
+  *   2. EM (`emIters` hard-EM rounds): E-step segments every word by
+  *      VITERBI under piece scores ln(cnt/total); M-step re-counts
+  *      pieces over the best segmentations (frequency-weighted).
+  *      Characters that fall out of every best segmentation are held
+  *      at count 1 (the coverage floor); multi-char pieces keep only
+  *      their earned counts.
+  *   3. PRUNE to the top `vocabSize` multi-char pieces (count desc,
+  *      piece) plus the character alphabet, then one final Viterbi
+  *      pass emits the shipped segmentations.
+  *
+  * Determinism contract (what makes a FULL hash gate on an EM-trained
+  * tokenizer possible): piece scores are scaled-ln INTEGERS —
+  * floor(ln(cnt/total)·1e6) over exact long counts, one IEEE division
+  * and one libm ln per piece — and Viterbi compares exact BIGINT score
+  * sums with the total tie order (−score, n_pieces, piece array
+  * lexicographic). The piece-ARRAY comparison (not a concatenated
+  * string) is what makes the tie order EXTENSION-MONOTONE: two
+  * prefixes of the same (word, pos) cover the same characters, so
+  * neither array can be a proper prefix of the other, and appending a
+  * common suffix never flips the first difference — hence keeping only
+  * the per-state minimum (the DP) provably equals the global argmin
+  * over ALL segmentations, which is exactly how the DuckDB oracle
+  * re-derives it (brute recursive enumeration + one argmin — a fully
+  * independent formulation of the same contract).
+  *
+  * Scale shape: the corpus is touched ONCE (the word-frequency
+  * shuffle — same as [[Bpe]]); everything after runs on the
+  * vocab-bounded word table. The Viterbi is a bounded-state DP —
+  * |words| × maxWordLen states, each step one broadcast piece join +
+  * one map-side-combined struct-min groupBy — NEVER the exponential
+  * segmentation enumeration (that lives only in the oracle, where the
+  * fixture's 31-word vocabulary keeps it trivial). Rounds are
+  * inherently sequential (EM), each materialized with an eager
+  * checkpoint — the [[Bpe]] / CC flat-plan discipline. Words longer
+  * than `maxWordLen` are excluded from training up front (documented;
+  * at web scale they are URL/hash debris a pipeline drops anyway).
+  */
+object Unigram {
+
+  /** floor(ln(cnt/total)·1e6) as BIGINT — one exact-int→double cast
+    * per operand, one IEEE division, one ln, shared floor edge. */
+  private def lnScore(cnt: Column, tot: Column): Column =
+    floor(log(cnt.cast("double") / tot.cast("double")) * 1e6).cast("long")
+
+  /** Corpus → (word, freq), bounded to trainable lengths. */
+  private def wordTable(docs: DataFrame, maxWordLen: Int): DataFrame =
+    TextOps.spread(docs)
+      .where(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .where(length(col("word")).between(1, maxWordLen))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** All substrings of length 1..maxPieceLen with frequency-weighted
+    * occurrence counts (overlapping occurrences all count). */
+  private def substringCounts(words: DataFrame,
+      maxPieceLen: Int): DataFrame =
+    words
+      .select(col("word"), col("freq"),
+        explode(sequence(lit(1), length(col("word")))).as("i"))
+      .select(col("word"), col("freq"), col("i"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), length(col("word")) - col("i") + 1)))
+          .as("l"))
+      .select(col("word").substr(col("i"), col("l")).as("piece"),
+        col("freq"))
+      .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+
+  /** Attach scaled-ln scores, normalizing over THIS vocab's total. */
+  private def scored(vocab: DataFrame): DataFrame = {
+    val tot = vocab.agg(sum(col("cnt")).as("tot"))
+    vocab.crossJoin(broadcast(tot))
+      .select(col("piece"), lnScore(col("cnt"), col("tot")).as("score"))
+  }
+
+  /** Bounded-state Viterbi: best segmentation per word under `vocab`
+    * (piece, score), by the total order (−Σscore, n_pieces, pieces
+    * array). State is one row per (word, reached position); each of
+    * the `maxWordLen` steps extends open states by every matching
+    * piece (broadcast join) and keeps the per-state struct-min.
+    * @return (word, freq, ns, np, pieces)
+    */
+  private def viterbi(words: DataFrame, vocab: DataFrame,
+      maxPieceLen: Int, maxWordLen: Int): DataFrame = {
+    val v = broadcast(vocab.localCheckpoint(true))
+    var state = words.select(col("word"), col("freq"),
+        lit(0).as("pos"), lit(0L).as("ns"), lit(0).as("np"),
+        array().cast("array<string>").as("pieces"))
+      .localCheckpoint(true)
+    (1 to maxWordLen).foreach { _ =>
+      val fin = state.where(col("pos") === length(col("word")))
+      val cand = state.where(col("pos") < length(col("word")))
+        .select(col("word"), col("freq"), col("pos"), col("ns"),
+          col("np"), col("pieces"),
+          explode(sequence(lit(1),
+            least(lit(maxPieceLen), length(col("word")) - col("pos"))))
+            .as("l"))
+        .withColumn("piece", col("word").substr(col("pos") + 1, col("l")))
+        .join(v, Seq("piece"))
+        .select(col("word"), col("freq"),
+          (col("pos") + col("l")).as("pos"),
+          (col("ns") - col("score")).as("ns"),
+          (col("np") + 1).as("np"),
+          concat(col("pieces"), array(col("piece"))).as("pieces"))
+      // finished rows re-enter the min: a path completing later at the
+      // same (word, end) must compete with — not sit beside — the one
+      // that completed earlier
+      state = fin.select(col("word"), col("freq"), col("pos"),
+          col("ns"), col("np"), col("pieces"))
+        .unionByName(cand)
+        .groupBy(col("word"), col("pos"))
+        .agg(min(struct(col("ns"), col("np"), col("pieces"),
+          col("freq"))).as("b"))
+        .select(col("word"), col("pos"), col("b.ns").as("ns"),
+          col("b.np").as("np"), col("b.pieces").as("pieces"),
+          col("b.freq").as("freq"))
+        .localCheckpoint(true)
+    }
+    state.where(col("pos") === length(col("word")))
+      .select(col("word"), col("freq"), col("ns"), col("np"),
+        col("pieces"))
+  }
+
+  /** M-step counts over best segmentations + the character floor:
+    * every single char of the alphabet stays at ≥ count 1. */
+  private def mStep(segs: DataFrame, chars: DataFrame): DataFrame = {
+    val counts = segs
+      .select(col("freq"), explode(col("pieces")).as("piece"))
+      .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+      .localCheckpoint(true) // feeds the union AND the anti-join
+    counts.unionByName(
+      chars.join(counts, Seq("piece"), "left_anti")
+        .select(col("piece"), lit(1L).as("cnt")))
+  }
+
+  /** Full training run: (pruned vocabulary with EM counts, final
+    * segmentations). See object doc for the algorithm and contract.
+    */
+  /** Seed + EM + prune, stopping at the pruned vocabulary (the final
+    * Viterbi pass is eager via its checkpoints — callers that only
+    * need the vocab must not pay it). Also returns the word table for
+    * the final pass. */
+  private def trainVocab(docs: DataFrame, maxPieceLen: Int,
+      seedSize: Int, emIters: Int, vocabSize: Int, maxWordLen: Int)
+      : (DataFrame, DataFrame) = {
+    require(emIters >= 1 && seedSize >= 1 && vocabSize >= 1)
+    val words = wordTable(docs, maxWordLen).localCheckpoint(true)
+    val subs = substringCounts(words, maxPieceLen).localCheckpoint(true)
+    val chars = subs.where(length(col("piece")) === 1)
+      .select(col("piece")).localCheckpoint(true)
+    val seed = subs.where(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece")).limit(seedSize)
+      .unionByName(subs.where(length(col("piece")) === 1))
+    var vocab = seed
+    (1 to emIters).foreach { _ =>
+      val segs = viterbi(words, scored(vocab), maxPieceLen, maxWordLen)
+      vocab = mStep(segs, chars).localCheckpoint(true)
+    }
+    val pruned = vocab.where(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece")).limit(vocabSize)
+      .unionByName(vocab.where(length(col("piece")) === 1))
+    (pruned, words)
+  }
+
+  def train(docs: DataFrame, maxPieceLen: Int = 4, seedSize: Int = 60,
+      emIters: Int = 2, vocabSize: Int = 40, maxWordLen: Int = 16)
+      : (DataFrame, DataFrame) = {
+    val (pruned0, words) = trainVocab(docs, maxPieceLen, seedSize,
+      emIters, vocabSize, maxWordLen)
+    val pruned = pruned0
+      .localCheckpoint(true) // feeds the vocab output AND final pass
+    val finalSegs = viterbi(words, scored(pruned), maxPieceLen, maxWordLen)
+    (pruned, finalSegs)
+  }
+
+  /** The trained vocabulary: (piece, n_chars, cnt). */
+  def unigramTrain(docs: DataFrame, maxPieceLen: Int = 4,
+      seedSize: Int = 60, emIters: Int = 2, vocabSize: Int = 40,
+      maxWordLen: Int = 16): DataFrame =
+    trainVocab(docs, maxPieceLen, seedSize, emIters, vocabSize,
+        maxWordLen)._1
+      .select(col("piece"), length(col("piece")).as("n_chars"),
+        col("cnt"))
+
+  /** The shipped segmentations: (word, freq, n_pieces, seg). */
+  def unigramSegment(docs: DataFrame, maxPieceLen: Int = 4,
+      seedSize: Int = 60, emIters: Int = 2, vocabSize: Int = 40,
+      maxWordLen: Int = 16): DataFrame =
+    train(docs, maxPieceLen, seedSize, emIters, vocabSize, maxWordLen)._2
+      .select(col("word"), col("freq"),
+        col("np").cast("int").as("n_pieces"),
+        concat_ws(" ", col("pieces")).as("seg"))
+}

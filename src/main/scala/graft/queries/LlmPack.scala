@@ -132,6 +132,20 @@ object LlmPack extends QueryPack {
     // family's doc-level flags cannot provide.
     "q236_dup_spans" -> ((s, d) =>
       Dedup.duplicateSpans(t("documents")(s, d))),
+    // Unigram-LM tokenizer training (Kudo 2018 / SentencePiece): seed
+    // substring vocab → 2 hard-EM rounds (Viterbi E-step on scaled-ln
+    // integer scores, frequency-weighted M-step with the char floor)
+    // → prune to top-40 + alphabet. The DP's total tie order
+    // (−score, n_pieces, piece-array) is extension-monotone, so the
+    // oracle's brute enumeration + argmin provably agrees.
+    "q238_unigram_train" -> ((s, d) =>
+      graft.llm.Unigram.unigramTrain(t("documents")(s, d),
+        maxWordLen = 8)),
+    // The shipped per-word segmentations under the pruned vocabulary
+    // (the inference artifact next to q238's vocab table).
+    "q239_unigram_segment" -> ((s, d) =>
+      graft.llm.Unigram.unigramSegment(t("documents")(s, d),
+        maxWordLen = 8)),
     // The substring-overlap member of the delta matrix (jaccard q95,
     // simhash q96/q120): winnowed pairs involving a new doc only,
     // old×old discarded inside the fp-keyed join; the stop-fp cap
@@ -695,6 +709,103 @@ object LlmPack extends QueryPack {
        |  FROM tk GROUP BY 1),
        |${(1 to nMerges).map(round).mkString(",\n")}"""
       .stripMargin
+  }
+
+  /** The unigram-LM training run unrolled as CTEs (q238/q239,
+    * registered parameters: maxPieceLen=4, seedSize=60, emIters=2,
+    * vocabSize=40, maxWordLen=8). Where the engine runs the
+    * bounded-state Viterbi DP, the oracle brute-ENUMERATES every
+    * segmentation (recursive CTE over vocab-matching pieces) and takes
+    * one global argmin under the same total order (−score, n_pieces,
+    * piece array) — an independent formulation whose equivalence is
+    * the extension-monotonicity argument in [[graft.llm.Unigram]]'s
+    * doc. Scores are scaled-ln integers; every sum is CAST to BIGINT
+    * before its single DOUBLE conversion (the HUGEINT two-step trap).
+    * Ends at `pruned` (+ the final-pass CTEs when `withFinal`).
+    */
+  private def unigramChain(withFinal: Boolean): String = {
+    // scores over vocab v$i → s$i; enumeration under s$i → seg/best;
+    // M-step counts + char floor → v${i+1}
+    def score(i: Int): String =
+      s"""s$i AS MATERIALIZED (
+         |  SELECT piece, CAST(floor(ln(CAST(cnt AS DOUBLE)
+         |    / CAST((SELECT CAST(sum(cnt) AS BIGINT) FROM v$i) AS DOUBLE))
+         |    * 1e6) AS BIGINT) AS score
+         |  FROM v$i)""".stripMargin
+    def estep(i: Int): String =
+      s"""seg$i(word, freq, pos, ns, np, pieces) AS (
+         |  SELECT word, freq, 0, CAST(0 AS BIGINT), 0,
+         |         CAST([] AS VARCHAR[])
+         |  FROM wt
+         |  UNION ALL
+         |  SELECT g.word, g.freq, g.pos + length(v.piece),
+         |         g.ns - v.score, g.np + 1, list_append(g.pieces, v.piece)
+         |  FROM seg$i g JOIN s$i v
+         |    ON g.pos < length(g.word)
+         |   AND substr(g.word, g.pos + 1, length(v.piece)) = v.piece),
+         |best$i AS MATERIALIZED (
+         |  SELECT word,
+         |         min(struct_pack(ns := ns, np := np, pieces := pieces,
+         |                         freq := freq)) AS b
+         |  FROM seg$i WHERE pos = length(word) GROUP BY 1)""".stripMargin
+    def mstep(i: Int): String =
+      s"""c$i AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest((b).pieces) AS piece, (b).freq AS freq
+         |    FROM best$i)
+         |  GROUP BY 1),
+         |v${i + 1} AS MATERIALIZED (
+         |  SELECT piece, cnt FROM c$i
+         |  UNION ALL
+         |  SELECT ch.piece, CAST(1 AS BIGINT) FROM chars ch
+         |  WHERE ch.piece NOT IN (SELECT piece FROM c$i))""".stripMargin
+    val base =
+      s"""WITH RECURSIVE d AS (
+         |  SELECT text FROM documents
+         |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         |tk AS (
+         |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+         |  FROM d),
+         |wt AS MATERIALIZED (
+         |  SELECT word, count(*) AS freq FROM tk
+         |  WHERE length(word) BETWEEN 1 AND 8 GROUP BY 1),
+         |si AS (SELECT word, freq,
+         |         CAST(unnest(range(1, length(word) + 1)) AS INTEGER) AS i
+         |       FROM wt),
+         |sl AS (SELECT word, freq, i,
+         |         CAST(unnest(range(1,
+         |           least(4, length(word) - i + 1) + 1)) AS INTEGER) AS l
+         |       FROM si),
+         |sub AS MATERIALIZED (SELECT substr(word, i, l) AS piece,
+         |          CAST(sum(freq) AS BIGINT) AS cnt
+         |        FROM sl GROUP BY 1),
+         |chars AS MATERIALIZED (SELECT piece FROM sub WHERE length(piece) = 1),
+         |v1 AS MATERIALIZED (
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt,
+         |           row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+         |    FROM sub WHERE length(piece) > 1) WHERE rn <= 60
+         |  UNION ALL
+         |  SELECT piece, cnt FROM sub WHERE length(piece) = 1),
+         |${score(1)},
+         |${estep(1)},
+         |${mstep(1)},
+         |${score(2)},
+         |${estep(2)},
+         |${mstep(2)},
+         |pruned AS MATERIALIZED (
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt,
+         |           row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+         |    FROM v3 WHERE length(piece) > 1) WHERE rn <= 40
+         |  UNION ALL
+         |  SELECT piece, cnt FROM v3 WHERE length(piece) = 1)""".stripMargin
+    if (!withFinal) base
+    else base + ",\n" +
+      s"""vf AS MATERIALIZED (SELECT piece, cnt FROM pruned),
+         |${score(0).replace("v0", "vf").replace("s0", "sf")},
+         |${estep(0).replace("s0", "sf").replace("seg0", "segf")
+             .replace("best0", "bestf")}""".stripMargin
   }
 
   /** q134's filter width: 2^18 bits — ~0.6 bits/key load at the sf0.01
@@ -1910,6 +2021,18 @@ object LlmPack extends QueryPack {
         |       CAST(sum(len(string_split(trim(w9.sym), ' ')))
         |         AS INTEGER) AS n_bpe_tokens
         |FROM dw JOIN w9 USING (word) GROUP BY 1""".stripMargin),
+    // Unigram-LM training replayed end-to-end; the engine's Viterbi DP
+    // is re-derived as brute enumeration + one argmin (equivalence by
+    // extension-monotonicity — see graft.llm.Unigram).
+    "q238_unigram_train" ->
+      (unigramChain(withFinal = false) +
+        "\nSELECT piece, CAST(length(piece) AS INTEGER) AS n_chars, " +
+        "cnt FROM pruned"),
+    "q239_unigram_segment" ->
+      (unigramChain(withFinal = true) + """
+        |SELECT word, (b).freq AS freq, CAST((b).np AS INTEGER) AS n_pieces,
+        |       array_to_string((b).pieces, ' ') AS seg
+        |FROM bestf""".stripMargin),
     // Full oracle for the LSH ANN path: the md5-parity hyperplanes are
     // re-derived in SQL (planes → sign-bit buckets → OR-construction
     // candidates → exact cosine → ranked top-k), so the probabilistic

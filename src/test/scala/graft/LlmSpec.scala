@@ -270,6 +270,34 @@ class LlmSpec extends AnyFunSuite {
     assert(Dedup.duplicateSpans(viralDocs, n = 8, maxDf = 5).count() == 10)
   }
 
+  test("unigram-LM: frequent words stay whole, rare words fall to chars") {
+    import spark.implicits._
+    // "hello" dominates the corpus → after EM+prune it must survive as
+    // one piece and segment as itself; "zq" shares no substring mass →
+    // single-char fallback (the coverage floor)
+    val docs = (
+      (1 to 50).map(i => (i.toLong, "hello hello world")) :+
+        (51L, "zq")
+    ).toDF("doc_id", "text")
+    val vocab = graft.llm.Unigram.unigramTrain(docs, maxWordLen = 8)
+      .collect().map(r => r.getString(0)).toSet
+    assert(vocab.contains("hell") || vocab.contains("hello".take(4)),
+      s"dominant substrings missing from $vocab")
+    // every character of the corpus alphabet is present (coverage)
+    "helowrdzq".foreach(c => assert(vocab.contains(c.toString),
+      s"char $c missing from $vocab"))
+    val segs = graft.llm.Unigram.unigramSegment(docs, maxWordLen = 8)
+      .collect().map(r => r.getString(0) -> (r.getInt(2), r.getString(3)))
+      .toMap
+    // maxPieceLen=4 bounds pieces: "hello" → 2 pieces, never 5 chars
+    assert(segs("hello")._1 <= 2, s"hello over-segmented: ${segs("hello")}")
+    assert(segs("zq")._2 == "z q" || segs("zq")._1 <= 2)
+    // segmentation is a partition: pieces re-concatenate to the word
+    segs.foreach { case (w, (_, s)) =>
+      assert(s.replace(" ", "") == w, s"$w != $s")
+    }
+  }
+
   test("winnowed delta pairs == full pairs filtered to involving-new") {
     val isNew = col("doc_id") % 3 === 0
     val full = Dedup.winnowedPairs(docs)
