@@ -487,6 +487,46 @@ object Dedup {
       d: Int = 2): DataFrame =
     winnowedPairsCore(docs, Some(isNew), k, w, maxDf, Some((m, d)))
 
+  /** BYTE-granular content-defined chunk dedup over binary payloads
+    * (FastCDC/LBFS normalized cutting — the multimodal counterpart of
+    * the token-level [[cdcChunks]]): payloads split at windowed-hash
+    * boundaries clamped to [minLen, maxLen] bytes (the
+    * [[graft.functions.FastCdc]] native expression — one codegen'd
+    * per-row pass, payload bytes never leave their partition), each
+    * chunk digested, and every digest annotated with its corpus
+    * document-frequency — the sub-file dedup signal: two revisions of
+    * a payload share every chunk outside the edited span, however the
+    * byte offsets shifted.
+    *
+    * Scale shape: cut + digest are a pure map; the only shuffle is the
+    * 16-byte-digest df groupBy (map-side combined) and its equi-join
+    * back. At 100 TB the digest frame IS the chunk store — day-2
+    * batches join against it exactly like [[cdcNovelty]].
+    *
+    * @return (doc_id, chunk_idx, start, n_bytes, dig, df) — 1-based
+    *         byte offsets
+    */
+  def fastCdcDedup(docs: DataFrame, k: Int = 16, maskBits: Int = 6,
+      minLen: Int = 24, maxLen: Int = 128): DataFrame = {
+    val ch = spread(docs.where(col("text").isNotNull))
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .withColumn("ends", graft.functions.FastCdc.cuts(col("payload"),
+        k, maskBits, minLen, maxLen))
+      .select(col("doc_id"), col("payload"), col("ends"),
+        posexplode(col("ends")).as(Seq("ci", "endp")))
+      .withColumn("start", when(col("ci") === 0, lit(1))
+        .otherwise(element_at(col("ends"), col("ci")) + 1))
+      .select(col("doc_id"), col("ci").as("chunk_idx"), col("start"),
+        (col("endp") - col("start") + 1).as("n_bytes"),
+        md5(expr("substring(payload, start, endp - start + 1)")).as("dig"))
+      .localCheckpoint(true) // feeds the rows AND the df aggregate
+    val dfreq = ch.groupBy(col("dig"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    ch.join(dfreq, "dig")
+      .select(col("doc_id"), col("chunk_idx"), col("start"),
+        col("n_bytes"), col("dig"), col("df"))
+  }
+
   /** EXACT duplicate-span extraction (the Lee et al. 2022
     * "Deduplicating Training Data Makes Language Models Better" class):
     * LOCALIZE every maximal repeated token span of ≥ `n` tokens across

@@ -132,6 +132,11 @@ object LlmPack extends QueryPack {
     // family's doc-level flags cannot provide.
     "q236_dup_spans" -> ((s, d) =>
       Dedup.duplicateSpans(t("documents")(s, d))),
+    // BYTE-granular FastCDC chunk dedup over binary payloads (the
+    // native FastCdc cut-point expression + digest-df groupBy): the
+    // storage-dedup / multimodal counterpart of the token-level q179.
+    "q240_fastcdc_dedup" -> ((s, d) =>
+      Dedup.fastCdcDedup(t("documents")(s, d))),
     // Unigram-LM tokenizer training (Kudo 2018 / SentencePiece): seed
     // substring vocab → 2 hard-EM rounds (Viterbi E-step on scaled-ln
     // integer scores, frequency-weighted M-step with the char floor)
@@ -2021,6 +2026,67 @@ object LlmPack extends QueryPack {
         |       CAST(sum(len(string_split(trim(w9.sym), ' ')))
         |         AS INTEGER) AS n_bpe_tokens
         |FROM dw JOIN w9 USING (word) GROUP BY 1""".stripMargin),
+    // FastCDC byte walk replayed: candidates set-wise (the fixture is
+    // pure ASCII, so char offsets ARE byte offsets), the min/max
+    // normalization as a recursive cut-to-cut walk — next cut =
+    // least(first candidate ≥ minLen after the last cut, last+maxLen,
+    // n). Chunk digests re-derived from the same substrings.
+    "q240_fastcdc_dedup" ->
+      s"""WITH RECURSIVE dd AS (
+         |  SELECT doc_id, text, length(text) AS n FROM documents
+         |  WHERE text IS NOT NULL),
+         |pos AS (
+         |  SELECT doc_id, CAST(unnest(range(16, n + 1)) AS INTEGER) AS p
+         |  FROM dd),
+         |cand AS MATERIALIZED (
+         |  SELECT doc_id, p FROM (
+         |    SELECT pos.doc_id, pos.p,
+         |           ${OracleSql.md5Int48(
+                       "md5(substring(dd.text, pos.p - 15, 16))")} AS h
+         |    FROM pos JOIN dd USING (doc_id))
+         |  WHERE h % 64 = 0),
+         |-- next candidate at-or-after every position (reverse running
+         |-- min), so the recursive walk is a plain JOIN per step — a
+         |-- correlated min over cand would be re-evaluated per step
+         |-- (and DuckDB 1.0 silently NULLs a correlated subquery over
+         |-- a MATERIALIZED CTE inside a recursive term)
+         |nxt AS MATERIALIZED (
+         |  SELECT dd.doc_id, p.p,
+         |         min(CASE WHEN c.p IS NOT NULL THEN p.p END)
+         |           OVER (PARTITION BY dd.doc_id ORDER BY p.p DESC
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING
+         |                 AND CURRENT ROW) AS nc
+         |  FROM dd
+         |  JOIN (SELECT doc_id, CAST(unnest(range(1, n + 1)) AS INTEGER)
+         |          AS p FROM dd) p USING (doc_id)
+         |  LEFT JOIN cand c ON c.doc_id = dd.doc_id AND c.p = p.p),
+         |walk(doc_id, n, cutp) AS (
+         |  SELECT doc_id, n, 0 FROM dd WHERE n > 0
+         |  UNION ALL
+         |  SELECT w.doc_id, w.n,
+         |         CASE WHEN w.cutp + 24 > w.n THEN w.n
+         |              ELSE least(coalesce(nx.nc, w.cutp + 128),
+         |                         w.cutp + 128, w.n) END
+         |  FROM walk w LEFT JOIN nxt nx
+         |    ON nx.doc_id = w.doc_id AND nx.p = w.cutp + 24
+         |  WHERE w.cutp < w.n),
+         |ch AS MATERIALIZED (
+         |  SELECT doc_id, cutp AS endp,
+         |         CAST(row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY cutp) - 1 AS INTEGER) AS chunk_idx,
+         |         CAST(coalesce(lag(cutp) OVER (PARTITION BY doc_id
+         |           ORDER BY cutp), 0) + 1 AS INTEGER) AS start
+         |  FROM walk WHERE cutp > 0),
+         |dg AS MATERIALIZED (
+         |  SELECT c.doc_id, c.chunk_idx, c.start,
+         |         CAST(c.endp - c.start + 1 AS INTEGER) AS n_bytes,
+         |         md5(substring(dd.text, c.start, c.endp - c.start + 1))
+         |           AS dig
+         |  FROM ch c JOIN dd USING (doc_id)),
+         |dfq AS (SELECT dig, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |        FROM dg GROUP BY 1)
+         |SELECT g.doc_id, g.chunk_idx, g.start, g.n_bytes, g.dig, dfq.df
+         |FROM dg g JOIN dfq USING (dig)""".stripMargin,
     // Unigram-LM training replayed end-to-end; the engine's Viterbi DP
     // is re-derived as brute enumeration + one argmin (equivalence by
     // extension-monotonicity — see graft.llm.Unigram).
