@@ -487,6 +487,46 @@ object Dedup {
       d: Int = 2): DataFrame =
     winnowedPairsCore(docs, Some(isNew), k, w, maxDf, Some((m, d)))
 
+  /** The dedup ACTION on [[duplicateSpans]]' table (Lee et al. 2022's
+    * actual intervention): every token position of the HIGHER doc of
+    * a pair covered by any shared span is CUT, the survivor doc keeps
+    * its copy, and each document is re-assembled in token order —
+    * span-level removal instead of whole-document dropping, which is
+    * the whole point of localizing the spans.
+    *
+    * Scale shape: the span table is sparse (pairs × spans); covered
+    * positions explode to ≤ Σ span_len rows; the cut is one
+    * (doc, pos)-keyed left-anti join and the re-assembly one
+    * doc-keyed aggregate — the [[boilerplateStrip]] rebuild pattern.
+    *
+    * @return (doc_id, n_tokens, n_cut, clean_text) for every doc
+    */
+  def cutDuplicateSpans(docs: DataFrame, n: Int = 8,
+      maxDf: Int = 64): DataFrame = {
+    val spans = duplicateSpans(docs, n, maxDf)
+    val covered = spans.select(col("doc_b").as("doc_id"),
+        explode(sequence(col("start_b"),
+          col("start_b") + col("span_len") - 1)).as("pos"))
+      .distinct()
+    val toks = spread(docs.where(col("text").isNotNull))
+      .select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("p0", "tk")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tk"))
+      .localCheckpoint(true) // feeds totals AND the anti-join
+    val total = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_tokens"))
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(sort_array(collect_list(struct(col("pos"),
+          col("tk")))).getField("tk"), " ").as("clean_text"))
+    total.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .cast("int").as("n_cut"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** BYTE-granular content-defined chunk dedup over binary payloads
     * (FastCDC/LBFS normalized cutting — the multimodal counterpart of
     * the token-level [[cdcChunks]]): payloads split at windowed-hash

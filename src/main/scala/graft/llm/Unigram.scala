@@ -202,6 +202,30 @@ object Unigram {
       .select(col("piece"), length(col("piece")).as("n_chars"),
         col("cnt"))
 
+  /** Per-document token counts under the trained unigram vocabulary —
+    * the [[Bpe.bpeEncode]] analog: each doc charged the summed piece
+    * count of its words (words beyond `maxWordLen` are untrainable
+    * and excluded, mirrored by the oracle's inner join). Segmentation
+    * table is vocab-bounded and broadcasts; the roll-up is one
+    * doc-keyed aggregate.
+    * @return (doc_id, n_words, n_pieces)
+    */
+  def unigramEncode(docs: DataFrame, maxPieceLen: Int = 4,
+      seedSize: Int = 60, emIters: Int = 2, vocabSize: Int = 40,
+      maxWordLen: Int = 16): DataFrame = {
+    val segs = train(docs, maxPieceLen, seedSize, emIters, vocabSize,
+        maxWordLen)._2
+      .select(col("word"), col("np"))
+    TextOps.spread(docs)
+      .where(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("word"))
+      .join(broadcast(segs), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_words"),
+        sum(col("np")).cast("int").as("n_pieces"))
+  }
+
   /** The shipped segmentations: (word, freq, n_pieces, seg). */
   def unigramSegment(docs: DataFrame, maxPieceLen: Int = 4,
       seedSize: Int = 60, emIters: Int = 2, vocabSize: Int = 40,

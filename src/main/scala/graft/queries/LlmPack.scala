@@ -132,6 +132,16 @@ object LlmPack extends QueryPack {
     // family's doc-level flags cannot provide.
     "q236_dup_spans" -> ((s, d) =>
       Dedup.duplicateSpans(t("documents")(s, d))),
+    // The dedup ACTION on the q236 span table: covered positions of
+    // the higher doc cut, survivor keeps its copy, docs re-assembled
+    // in token order — span-level removal, not document dropping.
+    "q241_span_cut" -> ((s, d) =>
+      Dedup.cutDuplicateSpans(t("documents")(s, d))),
+    // Per-doc token counts under the q238 unigram vocabulary (the
+    // q145 bpeEncode analog — the second tokenizer's inference side).
+    "q242_unigram_encode" -> ((s, d) =>
+      graft.llm.Unigram.unigramEncode(t("documents")(s, d),
+        maxWordLen = 8)),
     // BYTE-granular FastCDC chunk dedup over binary payloads (the
     // native FastCdc cut-point expression + digest-df groupBy): the
     // storage-dedup / multimodal counterpart of the token-level q179.
@@ -1010,6 +1020,47 @@ object LlmPack extends QueryPack {
        |         md5(string_agg(t, ' ' ORDER BY p)) AS dig
        |  FROM a GROUP BY 1, 2)""".stripMargin
 
+  /** q236/q241 shared derivation: 8-token md5-48 anchors, df ≤ 64
+    * stop-anchor cap, diagonal gaps-and-islands → maximal spans.
+    * `tok` (doc_id, token array) is exposed for the q241 cut.
+    * NB: interpolated into outer stripMargin'd strings — no line may
+    * START with '|' after this val's own stripMargin, or the second
+    * strip eats one bar of a '||' concat operator. */
+  private val dupSpanCtes =
+    s"""tok AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |nn AS (SELECT doc_id, w FROM tok WHERE len(w) >= 8),
+       |gi AS (SELECT doc_id, w,
+       |         CAST(unnest(range(1, len(w) - 6)) AS INTEGER) AS i
+       |       FROM nn),
+       |g AS (SELECT doc_id, i,
+       |        w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+       |        w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' ||
+       |        w[i+6] || ' ' || w[i+7] AS gram
+       |      FROM gi),
+       |h AS (SELECT doc_id, i,
+       |        ${OracleSql.md5Int48("md5(gram)")} AS h
+       |      FROM g),
+       |keep AS (SELECT h FROM h GROUP BY h
+       |         HAVING count(DISTINCT doc_id) <= 64),
+       |occ AS (SELECT t.* FROM h t JOIN keep USING (h)),
+       |m AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, a.i AS ia, b.i AS ib,
+       |         a.i - b.i AS diag
+       |  FROM occ a JOIN occ b
+       |    ON a.h = b.h AND a.doc_id < b.doc_id),
+       |isl AS (
+       |  SELECT *, ia - row_number() OVER (
+       |    PARTITION BY da, db, diag ORDER BY ia) AS grp
+       |  FROM m),
+       |spans AS (
+       |  SELECT da AS doc_a, db AS doc_b,
+       |         CAST(min(ia) AS INTEGER) AS start_a,
+       |         CAST(min(ib) AS INTEGER) AS start_b,
+       |         CAST(count(*) + 7 AS INTEGER) AS span_len
+       |  FROM isl GROUP BY da, db, diag, grp)""".stripMargin
+
   private val winnowPairCtes =
     s"""tok AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
@@ -1191,38 +1242,37 @@ object LlmPack extends QueryPack {
     // Same anchor derivation (8-token grams, 48-bit md5, df ≤ 64),
     // same diagonal islands — offsets/lengths are exact integers.
     "q236_dup_spans" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
-         |  FROM documents WHERE text IS NOT NULL),
-         |nn AS (SELECT doc_id, w FROM tok WHERE len(w) >= 8),
-         |gi AS (SELECT doc_id, w,
-         |         CAST(unnest(range(1, len(w) - 6)) AS INTEGER) AS i
-         |       FROM nn),
-         |g AS (SELECT doc_id, i,
-         |        w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
-         |          || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6]
-         |          || ' ' || w[i+7] AS gram
-         |      FROM gi),
-         |h AS (SELECT doc_id, i,
-         |        ${OracleSql.md5Int48("md5(gram)")} AS h
-         |      FROM g),
-         |keep AS (SELECT h FROM h GROUP BY h
-         |         HAVING count(DISTINCT doc_id) <= 64),
-         |occ AS (SELECT t.* FROM h t JOIN keep USING (h)),
-         |m AS (
-         |  SELECT a.doc_id AS da, b.doc_id AS db, a.i AS ia, b.i AS ib,
-         |         a.i - b.i AS diag
-         |  FROM occ a JOIN occ b
-         |    ON a.h = b.h AND a.doc_id < b.doc_id),
-         |isl AS (
-         |  SELECT *, ia - row_number() OVER (
-         |    PARTITION BY da, db, diag ORDER BY ia) AS grp
-         |  FROM m)
-         |SELECT da AS doc_a, db AS doc_b,
-         |       CAST(min(ia) AS INTEGER) AS start_a,
-         |       CAST(min(ib) AS INTEGER) AS start_b,
-         |       CAST(count(*) + 7 AS INTEGER) AS span_len
-         |FROM isl GROUP BY da, db, diag, grp""".stripMargin,
+      s"""WITH $dupSpanCtes
+         |SELECT doc_a, doc_b, start_a, start_b, span_len
+         |FROM spans""".stripMargin,
+    // The CUT composed on the span table: every token position of the
+    // HIGHER doc covered by any span is removed, the survivor
+    // re-assembled in token order — the Lee et al. dedup ACTION.
+    "q241_span_cut" ->
+      s"""WITH $dupSpanCtes,
+         |cov AS (
+         |  SELECT DISTINCT doc_b AS doc_id,
+         |         CAST(unnest(range(start_b, start_b + span_len))
+         |           AS INTEGER) AS pos
+         |  FROM spans),
+         |tk2 AS (
+         |  SELECT doc_id,
+         |         CAST(unnest(range(1, len(w) + 1)) AS INTEGER) AS pos, w
+         |  FROM tok),
+         |tk3 AS (SELECT doc_id, pos, w[pos] AS tk FROM tk2),
+         |tot AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens
+         |        FROM tk3 GROUP BY 1),
+         |kept AS (
+         |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |         string_agg(t.tk, ' ' ORDER BY t.pos) AS clean_text
+         |  FROM tk3 t LEFT JOIN cov c
+         |    ON t.doc_id = c.doc_id AND t.pos = c.pos
+         |  WHERE c.pos IS NULL GROUP BY 1)
+         |SELECT t.doc_id, t.n_tokens,
+         |       CAST(t.n_tokens - coalesce(k.n_kept, 0) AS INTEGER)
+         |         AS n_cut,
+         |       coalesce(k.clean_text, '') AS clean_text
+         |FROM tot t LEFT JOIN kept k USING (doc_id)""".stripMargin,
     // Delta contract: the same selection CTEs filtered to pairs
     // involving a new doc (the stop-fp cap is world-global in both).
     "q137_winnow_delta" ->
@@ -2099,6 +2149,18 @@ object LlmPack extends QueryPack {
         |SELECT word, (b).freq AS freq, CAST((b).np AS INTEGER) AS n_pieces,
         |       array_to_string((b).pieces, ' ') AS seg
         |FROM bestf""".stripMargin),
+    // The encode side: q145's doc-join shape over the unigram
+    // segmentations (inner join mirrors the maxWordLen exclusion).
+    "q242_unigram_encode" ->
+      (unigramChain(withFinal = true) + """,
+        |dw AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(trim(text)) > 0)
+        |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_words,
+        |       CAST(sum((b).np) AS INTEGER) AS n_pieces
+        |FROM dw JOIN bestf USING (word) GROUP BY 1""".stripMargin),
     // Full oracle for the LSH ANN path: the md5-parity hyperplanes are
     // re-derived in SQL (planes → sign-bit buckets → OR-construction
     // candidates → exact cosine → ranked top-k), so the probabilistic
