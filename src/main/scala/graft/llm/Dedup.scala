@@ -747,6 +747,18 @@ object Dedup {
       deltaPred: Option[Column], bits: Int = simhashBits): DataFrame =
     pairsFromFp(fpFrame(docs, bits), maxHamming, deltaPred, bits)
 
+  /** The banded Hamming pair join over ANY fingerprint frame — the
+    * machinery behind [[simhashPairs]] opened to other 64-bit
+    * perceptual fingerprints (image aHash,
+    * [[graft.llm.Multimodal.aHashPayloads]]). `fp` must carry
+    * (doc_id, simhash bit string, fpl packed long); output is
+    * (da, db, hamming) with hamming ≤ maxHamming, pigeonhole-complete
+    * for maxHamming < 4.
+    */
+  def fpPairs(fp: DataFrame, maxHamming: Int = 3,
+      bits: Int = simhashBits64): DataFrame =
+    pairsFromFp(fp, maxHamming, deltaPred = None, bits)
+
   /** EDIT-DISTANCE–VERIFIED near-dup pairs: [[simhashPairs]]
     * candidates re-checked with exact Levenshtein over each side's
     * first `prefixLen` characters — the record-linkage verify step

@@ -283,6 +283,124 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------
+  // Image perceptual hashing: average-hash near-dup detection
+  // ---------------------------------------------------------------
+
+  /** 64-bit average hash (aHash) of a decoded image — the standard
+    * perceptual fingerprint of LAION-class image dedup pipelines:
+    * integer grayscale (r+g+b)/3, nearest-neighbor 8×8 grid (cell
+    * (i, j) reads source pixel (i·w/8, j·h/8) — the [[resamplePpm]]
+    * top-left-anchor convention), then bit k = j·8+i set iff the cell
+    * is at-or-above the grid mean. The mean compare is the EXACT
+    * integer inequality 64·g ≥ Σg — no division, no float — so the
+    * hash is bit-identical in any engine. Returns (packed long with
+    * bit k at position 63−k, '0'/'1' string with bit k at index k) —
+    * the [[graft.functions.SimHashFp]] fingerprint contract, so the
+    * banded Hamming pair machinery applies unchanged.
+    */
+  def aHash(img: PpmImage): (Long, String) = {
+    val g8 = new Array[Long](64)
+    var sum = 0L
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        val src = ((j * img.height / 8) * img.width + i * img.width / 8) * 3
+        val g = ((img.pixels(src) & 0xff) + (img.pixels(src + 1) & 0xff) +
+          (img.pixels(src + 2) & 0xff)) / 3
+        g8(j * 8 + i) = g
+        sum += g
+        i += 1
+      }
+      j += 1
+    }
+    var fp = 0L
+    val sb = new StringBuilder(64)
+    var k = 0
+    while (k < 64) {
+      val bit = 64L * g8(k) >= sum
+      if (bit) fp |= 1L << (63 - k)
+      sb.append(if (bit) '1' else '0')
+      k += 1
+    }
+    (fp, sb.toString)
+  }
+
+  /** Partition-streaming aHash: (doc_id, payload) → (doc_id, simhash
+    * bit string, fpl packed long) for every payload that parses as
+    * PPM — the fingerprint frame [[graft.llm.Dedup.fpPairs]] consumes.
+    * Codec-only `mapPartitions` (the documented exception); payloads
+    * never leave their partition, only the 10-byte fingerprint rows
+    * shuffle downstream.
+    */
+  def aHashPayloads(frame: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("simhash", StringType),
+      StructField("fpl", LongType)))
+    val idIdx = frame.schema.fieldIndex("doc_id")
+    val payloadIdx = frame.schema.fieldIndex("payload")
+    frame.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodePpm(r.getAs[Array[Byte]](payloadIdx)).map { img =>
+          val (fp, bits) = aHash(img)
+          Row(r.getLong(idIdx), bits, fp)
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Deterministic NOISY synthetic image family for the perceptual-
+    * hash gate: groups of four consecutive doc_ids share one md5-
+    * derived 16×12 base image (channel c of pixel (x, y) = the
+    * (2c+1, 2c+2) md5 nibbles of `base:x:y` — content-diverse, unlike
+    * [[syntheticPpm]]'s gradient, whose relative-to-mean bit pattern
+    * is id-independent and would pair everything with everything);
+    * replicas k = id mod 4 > 0 brighten the sparse pixel set
+    * (x + 3y) mod 13 = 0 by k, clamped at 255 — small perceptual
+    * noise, so in-group Hamming stays tiny while cross-group hashes
+    * are independent 64-bit draws.
+    */
+  def syntheticNoisyPpm(docId: Long): Array[Byte] = {
+    val base = docId - (docId % 4)
+    val k = (docId % 4).toInt
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val pixels = new Array[Byte](3 * 16 * 12)
+    var y = 0
+    while (y < 12) {
+      var x = 0
+      while (x < 16) {
+        val hex = md.digest(s"$base:$x:$y".getBytes("UTF-8"))
+        var c = 0
+        while (c < 3) {
+          var v = hex(c) & 0xff
+          if (k > 0 && (x + 3 * y) % 13 == 0) v = math.min(255, v + k)
+          pixels((y * 16 + x) * 3 + c) = v.toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    encodePpm(PpmImage(16, 12, 255, pixels))
+  }
+
+  /** (doc_id) → (doc_id, payload) with [[syntheticNoisyPpm]] images —
+    * the injection frame for the aHash near-dup gate.
+    */
+  def syntheticNoisyPpmFrame(ids: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    ids.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, syntheticNoisyPpm(id))
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  // ---------------------------------------------------------------
   // Audio: dependency-free RIFF/WAV PCM16 mono codec + frame features
   // ---------------------------------------------------------------
 

@@ -254,6 +254,37 @@ object Similarity {
         col("cos"))
   }
 
+  /** STANDALONE k-means training artifact — the [[lloydCells]]
+    * quantizer q71/q139 embed, exposed as its own operator: the
+    * centroid table (cell, pos, component) plus per-cell population,
+    * the model a production pipeline persists and re-loads for
+    * assignment-only passes (IVF indexing, SemDeDup cells, corpus
+    * clustering). Same deterministic init (the nlist lowest vec_ids)
+    * and broadcast/argmin shape; component values — per-(cell, dim)
+    * means — are rounded at the float edge like every shipped float.
+    *
+    * @return (cell, n_vecs, pos, c) — nlist × dim rows
+    */
+  def kmeans(embeddings: DataFrame, nlist: Int = 16,
+      iters: Int = 2): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      asDouble(col("embedding")).as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+    val (cents, assigned) = lloydCells(e, nlist, iters)
+    val sizes = assigned.groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"))
+    cents.select(explode(col("ca")).as("s"))
+      .select(col("s.cell").as("cell"),
+        posexplode(col("s.c")).as(Seq("pos", "cv")))
+      .join(sizes, Seq("cell"), "left_outer")
+      .select(col("cell"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+        col("pos"),
+        // shared explicit floor rounding (engines' round() builtins
+        // disagree at exact grid ties, and means of short cells land
+        // on them)
+        (floor(col("cv") * 1e4 + 0.5) / 1e4).cast("float").as("c"))
+  }
+
   /** Product-quantization ANN (Jégou et al. 2011, "Product
     * quantization for nearest neighbor search"): split each vector
     * into `m` subspaces, k-means each subspace into `ksub` codewords,

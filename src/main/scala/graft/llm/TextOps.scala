@@ -462,6 +462,60 @@ object TextOps {
         round(col("slp") / col("n_bigrams"), 4).as("avg_logp"))
   }
 
+  /** Kneser–Ney–smoothed bigram LM score — [[lmScore]]'s production
+    * upgrade: the CCNet-class perplexity filter with the smoothing
+    * real LMs ship (interpolated KN, absolute discount D = 0.75 —
+    * exact in binary):
+    * {{{
+    *   P(w2|w1) = max(c(w1,w2) − D, 0)/c(w1)
+    *            + (D·N1+(w1·)/c(w1)) · N1+(·w2)/N1+(··)
+    * }}}
+    * Continuation probability N1+(·w2)/T rescues frequent-but-
+    * promiscuous contexts ("San Francisco" vs bare "Francisco") —
+    * the KN insight plain MLE bigrams miss. Every input to the fixed
+    * IEEE sequence is an exact integer count, so scores are
+    * cross-engine reproducible to the q124 contract.
+    *
+    * Scale shape: all four model tables are vocabulary-bounded hash
+    * aggregates off ONE bigram pass (the bigram-type table is
+    * checkpointed at its four-consumer fan-out); scoring is a g-keyed
+    * equi-join — no windows, no per-doc state.
+    *
+    * @return (doc_id, n_bigrams, avg_logp_kn)
+    */
+  def lmScoreKn(docs: DataFrame): DataFrame = {
+    val toks = spread(docs.where(col("text").isNotNull))
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+    val bi = toks.where(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("w")) - 1)).as("i"), col("w"))
+      .select(col("doc_id"),
+        element_at(col("w"), col("i")).as("w1"),
+        element_at(col("w"), col("i") + 1).as("w2"),
+        concat_ws(" ", slice(col("w"), col("i"), lit(2))).as("g"))
+    val bc = bi.groupBy(col("w1"), col("w2"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds pc, ct, tot AND the prob table
+    val pc = bc.groupBy(col("w1"))
+      .agg(sum(col("c")).as("cw"), count(lit(1)).as("t1"))
+    val ct = bc.groupBy(col("w2")).agg(count(lit(1)).as("tc"))
+    val tot = bc.agg(count(lit(1)).as("tot"))
+    val p = bc.join(pc, "w1").join(ct, "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("g"),
+        log(greatest(col("c") - lit(0.75), lit(0.0)) / col("cw") +
+          (lit(0.75) * col("t1") / col("cw")) *
+            (col("tc") / col("tot"))).as("lp"))
+    val sc = bi.join(p, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        sum(col("lp")).as("slp"))
+    toks.select(col("doc_id")).join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0)).as("n_bigrams"),
+        round(col("slp") / col("n_bigrams"), 4).as("avg_logp_kn"))
+  }
+
   /** Per-language top-k n-grams by corpus OCCURRENCE count (document
     * frequency carried alongside) — the boilerplate-mining pass that
     * feeds the viral caps ([[Dedup.winnowedPairs]]' `maxDf`,

@@ -137,6 +137,19 @@ object Analytics extends QueryPack {
         t("part")(s, d).select(col("p_partkey").as("id")), e, iters = 5)
     }),
 
+    // WEIGHTED shortest paths over the same graph (frontier
+    // Bellman–Ford, 3 relaxation rounds): edge length = inverse
+    // co-purchase frequency 10⁶ DIV w — strong ties are short — so
+    // dist reads "how tightly is this part connected to the seed
+    // hubs?". Exact BIGINT distances; same seeds as q209.
+    "q243_sssp" -> ((s, d) => {
+      val parts = t("part")(s, d).select(col("p_partkey").as("id"))
+      val e = coPurchaseEdgesW(s, d)
+        .select(col("a"), col("b"), expr("1000000L DIV w").as("len"))
+      graft.graph.Sssp.distances(parts, e,
+        parts.where(col("id") % 500 === 0), rounds = 3)
+    }),
+
     // Degree-oriented triangle counting over the same co-purchase
     // graph: wedges generate only at each triangle's lowest-(deg, id)
     // corner, so one celebrity part cannot explode the wedge join
@@ -1403,6 +1416,44 @@ object Analytics extends QueryPack {
          |      GROUP BY 1, 2),
          |${graft.graph.PageRank.oracleCteWeighted(5)}
          |SELECT id, CAST(r AS BIGINT) AS rank_fp FROM r5""".stripMargin,
+
+    // Full Bellman–Ford unrolled 3 rounds (relax-from-everything +
+    // min-merge per stage) — provably equal to the engine's
+    // frontier-pruned rounds: a node that did not improve at r−1 had
+    // its out-edges relaxed at the same value in an earlier round, so
+    // the candidate is already folded into d_{r−1}. MATERIALIZED per
+    // stage (the q126 inlining discipline). Integer // division.
+    "q243_sssp" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+        |         1000000 // CAST(count(*) AS BIGINT) AS len
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey <> b.l_partkey
+        |  GROUP BY 1, 2),
+        |d0 AS MATERIALIZED (
+        |  SELECT p_partkey AS id, CAST(0 AS BIGINT) AS d
+        |  FROM part WHERE p_partkey % 500 = 0),
+        |r1 AS MATERIALIZED (
+        |  SELECT e.dst AS id, min(d0.d + e.len) AS d
+        |  FROM d0 JOIN e ON e.src = d0.id GROUP BY 1),
+        |d1 AS MATERIALIZED (
+        |  SELECT id, min(d) AS d FROM (
+        |    SELECT * FROM d0 UNION ALL SELECT * FROM r1) GROUP BY 1),
+        |r2 AS MATERIALIZED (
+        |  SELECT e.dst AS id, min(d1.d + e.len) AS d
+        |  FROM d1 JOIN e ON e.src = d1.id GROUP BY 1),
+        |d2 AS MATERIALIZED (
+        |  SELECT id, min(d) AS d FROM (
+        |    SELECT * FROM d1 UNION ALL SELECT * FROM r2) GROUP BY 1),
+        |r3 AS MATERIALIZED (
+        |  SELECT e.dst AS id, min(d2.d + e.len) AS d
+        |  FROM d2 JOIN e ON e.src = d2.id GROUP BY 1),
+        |d3 AS MATERIALIZED (
+        |  SELECT id, min(d) AS d FROM (
+        |    SELECT * FROM d2 UNION ALL SELECT * FROM r3) GROUP BY 1)
+        |SELECT p.p_partkey AS id, coalesce(d3.d, -1) AS dist
+        |FROM part p LEFT JOIN d3 ON d3.id = p.p_partkey""".stripMargin,
 
     // All five PageRank rounds unrolled with the SAME integer
     // floor-division arithmetic — bit-exact, no float tolerance.

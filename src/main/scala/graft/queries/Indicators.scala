@@ -397,6 +397,54 @@ object Indicators extends QueryPack {
             .cast("float").as("fcast"))
     }),
 
+    // Extension: rolling-origin one-step forecast BACKTEST — the
+    // forecast-accuracy report the smoothing family exists for: per
+    // symbol, every bar from the second on is predicted by (a) the
+    // Holt forecast carried from the PREVIOUS bar and (b) the naive
+    // random-walk carry (yesterday's close), and the two MAEs meet in
+    // MASE = Σ|e_holt| / Σ|e_naive| (< 1 ⇔ the model beats the
+    // carry). Determinism: per-row errors are floor-rounded into
+    // exact 1e−4 integer units BEFORE summation (the chi2
+    // order-independence discipline over the kernel's bit-identical
+    // doubles); each shipped stat is ONE division of exact longs.
+    "q247_forecast_backtest" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{abs, count, floor, lag, sum}
+      def r4(c: org.apache.spark.sql.Column) =
+        (floor(c * 1e4 + 0.5) / 1e4).cast("float")
+      val bars = Bars.daily(t("events")(s, d))
+        .select(col("id"),
+          org.apache.spark.sql.functions.unix_timestamp(
+            col("dt").cast("timestamp")).as("tkey"),
+          col("close"))
+      // the kernel frame carries (id, tkey, kernel cols) — join the
+      // close back on the (id, tkey) key for the error terms
+      val k = bars.join(
+        Recursive.applyKernel(bars, Seq("level", "trend", "fcast"))(
+          c => graft.ts.TaKernels.holt(c))
+          .select(col("id"), col("tkey"), col("fcast")),
+        Seq("id", "tkey"))
+      val w = Window.partitionBy(col("id")).orderBy(col("tkey"))
+      val er = k.select(col("id"), col("close"),
+          lag(col("fcast"), 1).over(w).as("fp"),
+          lag(col("close"), 1).over(w).as("cp"))
+        .where(col("fp").isNotNull && col("cp").isNotNull)
+        .select(col("id"),
+          floor(abs(col("close") - col("fp")) * 1e4 + 0.5).as("ehi"),
+          floor(abs(col("close") - col("cp")) * 1e4 + 0.5).as("eni"))
+      er.groupBy(col("id"))
+        .agg(count(lit(1)).as("n_evals"),
+          sum(col("ehi")).as("sh"), sum(col("eni")).as("sn"))
+        .select(col("id"), col("n_evals"),
+          r4(col("sh").cast("double") / 1e4 / col("n_evals"))
+            .as("mae_holt"),
+          r4(col("sn").cast("double") / 1e4 / col("n_evals"))
+            .as("mae_naive"),
+          when(col("sn") > 0,
+            r4(col("sh").cast("double") / col("sn").cast("double")))
+            .as("mase"))
+    }),
+
     // Extension: Holt–Winters additive triple smoothing — q186's
     // level/trend plus a period-7 seasonal state on the same kernel
     // path; the oracle's recursive CTE carries the trailing 7
@@ -709,6 +757,57 @@ object Indicators extends QueryPack {
          |       CAST(round(h.l + h.b, 4) AS REAL) AS fcast
          |FROM num n LEFT JOIN h ON n.id = h.id AND n.rn = h.rn"""
         .stripMargin,
+
+    // The backtest replays q186's recursion, carries each bar's
+    // forecast to the NEXT bar via lag, floor-rounds per-row errors
+    // into exact integer 1e−4 units before summation, and ships each
+    // stat as one division of exact longs (CAST the HUGEINT sums).
+    "q247_forecast_backtest" ->
+      s"""WITH RECURSIVE ${Bars.oracleCte},
+         |num AS MATERIALIZED (
+         |  SELECT id, dt, close,
+         |         CAST(row_number() OVER (PARTITION BY id ORDER BY dt)
+         |           AS INTEGER) AS rn
+         |  FROM daily),
+         |x2 AS MATERIALIZED (SELECT id, close AS c2 FROM num WHERE rn = 2),
+         |h AS (
+         |  SELECT n.id, n.rn, n.close AS l, (x2.c2 - n.close) AS b
+         |  FROM num n JOIN x2 ON n.id = x2.id WHERE n.rn = 1
+         |  UNION ALL
+         |  SELECT n.id, n.rn,
+         |    0.2 * n.close + (1 - 0.2) * (h.l + h.b),
+         |    0.1 * ((0.2 * n.close + (1 - 0.2) * (h.l + h.b)) - h.l)
+         |      + (1 - 0.1) * h.b
+         |  FROM num n JOIN h ON n.id = h.id AND n.rn = h.rn + 1),
+         |j AS MATERIALIZED (
+         |  SELECT n.id, n.rn, n.close, h.l + h.b AS f
+         |  FROM num n JOIN h ON n.id = h.id AND n.rn = h.rn),
+         |er AS (
+         |  SELECT id, close,
+         |         lag(f) OVER (PARTITION BY id ORDER BY rn) AS fp,
+         |         lag(close) OVER (PARTITION BY id ORDER BY rn) AS cp
+         |  FROM j),
+         |ei AS (
+         |  SELECT id,
+         |         CAST(floor(abs(close - fp) * 10000 + 0.5) AS BIGINT)
+         |           AS ehi,
+         |         CAST(floor(abs(close - cp) * 10000 + 0.5) AS BIGINT)
+         |           AS eni
+         |  FROM er WHERE fp IS NOT NULL AND cp IS NOT NULL),
+         |ag AS (
+         |  SELECT id, CAST(count(*) AS BIGINT) AS n_evals,
+         |         CAST(sum(ehi) AS BIGINT) AS sh,
+         |         CAST(sum(eni) AS BIGINT) AS sn
+         |  FROM ei GROUP BY 1)
+         |SELECT id, n_evals,
+         |  CAST(floor(CAST(sh AS DOUBLE) / 10000.0 / n_evals * 10000
+         |             + 0.5) / 10000 AS REAL) AS mae_holt,
+         |  CAST(floor(CAST(sn AS DOUBLE) / 10000.0 / n_evals * 10000
+         |             + 0.5) / 10000 AS REAL) AS mae_naive,
+         |  CAST(CASE WHEN sn > 0 THEN
+         |    floor(CAST(sh AS DOUBLE) / CAST(sn AS DOUBLE) * 10000 + 0.5)
+         |      / 10000 END AS REAL) AS mase
+         |FROM ag""".stripMargin,
 
     // Holt–Winters: the recursion needs s_{t−7}, so the recursive CTE
     // carries the trailing 7 seasonals as a LIST — sl[1] is always

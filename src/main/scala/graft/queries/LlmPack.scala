@@ -147,6 +147,22 @@ object LlmPack extends QueryPack {
     // storage-dedup / multimodal counterpart of the token-level q179.
     "q240_fastcdc_dedup" -> ((s, d) =>
       Dedup.fastCdcDedup(t("documents")(s, d))),
+    // 64-bit image average-hash (aHash) over deterministic noisy
+    // synthetic PPMs: decode → integer grayscale → 8×8 grid →
+    // above-mean bits (exact 64·g ≥ Σg compare) — the perceptual
+    // fingerprint of image-dedup pipelines.
+    "q244_image_ahash" -> ((s, d) =>
+      Multimodal.aHashPayloads(Multimodal.syntheticNoisyPpmFrame(
+        t("documents")(s, d).select(col("doc_id"))))
+        .select(col("doc_id"), col("simhash").as("ahash"))),
+    // Near-duplicate IMAGES: the banded Hamming pair join applied to
+    // the aHash fingerprints — base-sharing replicas (small pixel
+    // noise) pair at Hamming ≤ 3, unrelated images are independent
+    // 64-bit draws and never collide.
+    "q245_image_ahash_pairs" -> ((s, d) =>
+      Dedup.fpPairs(Multimodal.aHashPayloads(
+        Multimodal.syntheticNoisyPpmFrame(
+          t("documents")(s, d).select(col("doc_id")))), maxHamming = 3)),
     // Unigram-LM tokenizer training (Kudo 2018 / SentencePiece): seed
     // substring vocab → 2 hard-EM rounds (Viterbi E-step on scaled-ln
     // integer scores, frequency-weighted M-step with the char floor)
@@ -327,6 +343,11 @@ object LlmPack extends QueryPack {
     // filter): mean ln P(w_i | w_{i-1}) under the corpus's own bigram
     // distribution — no external LM, no smoothing, exact.
     "q124_lm_score" -> ((s, d) => TextOps.lmScore(t("documents")(s, d))),
+    // Kneser–Ney–smoothed bigram LM score — q124's production
+    // upgrade: interpolated KN with D = 0.75 (exact in binary),
+    // continuation probabilities from distinct bigram types.
+    "q248_lm_score_kn" -> ((s, d) =>
+      TextOps.lmScoreKn(t("documents")(s, d))),
     // Per-language top-5 trigrams by occurrence (df alongside): the
     // boilerplate-mining pass that feeds the viral caps with data.
     "q125_top_ngrams" -> ((s, d) => TextOps.topNgrams(t("documents")(s, d))),
@@ -462,6 +483,11 @@ object LlmPack extends QueryPack {
     "q226_ann_multiprobe" -> ((s, d) =>
       Similarity.lshMultiProbeTopK(t("embeddings")(s, d),
         col("vec_id") < 10)),
+    // The Lloyd quantizer q71/q139 embed, shipped as its own training
+    // artifact: centroid table + per-cell population — the persisted
+    // model of assignment-only production passes.
+    "q246_kmeans" -> ((s, d) =>
+      Similarity.kmeans(t("embeddings")(s, d))),
     "q71_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(t("embeddings")(s, d), col("vec_id") < 10)),
     // Product-quantization ANN: per-subspace codebooks + asymmetric
@@ -1060,6 +1086,55 @@ object LlmPack extends QueryPack {
        |         CAST(min(ib) AS INTEGER) AS start_b,
        |         CAST(count(*) + 7 AS INTEGER) AS span_len
        |  FROM isl GROUP BY da, db, diag, grp)""".stripMargin
+
+  /** q244/q245 shared derivation: the noisy synthetic image family +
+    * the aHash chain replayed arithmetically — md5-nibble channels,
+    * clamped sparse noise, integer grayscale, the (i·16//8, j·12//8)
+    * grid, exact 64·g ≥ Σg bits. `f` = (doc_id, ahash bit string);
+    * MATERIALIZED when the consumer references it twice (q245's self
+    * join). NB: interpolated into outer stripMargin'd strings — no
+    * line may start with '|' (the '||' concat stays at line ends).
+    */
+  private def imageAHashCtes(materializeF: Boolean): String = {
+    val mat = if (materializeF) " MATERIALIZED" else ""
+    s"""d AS (SELECT doc_id, doc_id - doc_id % 4 AS base,
+       |        CAST(doc_id % 4 AS INTEGER) AS k FROM documents),
+       |px AS (SELECT doc_id, k, CAST(x AS INTEGER) AS x,
+       |         CAST(y AS INTEGER) AS y,
+       |         md5(CAST(base AS VARCHAR) || ':' ||
+       |             CAST(x AS VARCHAR) || ':' ||
+       |             CAST(y AS VARCHAR)) AS hh
+       |       FROM d, range(16) tx(x), range(12) ty(y)),
+       |cv AS (SELECT doc_id, k, x, y,
+       |         ${OracleSql.md5IntN("hh", 1, 2)} AS v0,
+       |         ${OracleSql.md5IntN("hh", 3, 2)} AS v1,
+       |         ${OracleSql.md5IntN("hh", 5, 2)} AS v2
+       |       FROM px),
+       |nz AS (SELECT doc_id, x, y,
+       |         CASE WHEN k > 0 AND (x + 3*y) % 13 = 0
+       |              THEN least(255, v0 + k) ELSE v0 END AS p0,
+       |         CASE WHEN k > 0 AND (x + 3*y) % 13 = 0
+       |              THEN least(255, v1 + k) ELSE v1 END AS p1,
+       |         CASE WHEN k > 0 AND (x + 3*y) % 13 = 0
+       |              THEN least(255, v2 + k) ELSE v2 END AS p2
+       |       FROM cv),
+       |gr AS (SELECT doc_id, x, y, (p0 + p1 + p2) // 3 AS g FROM nz),
+       |g8 AS (SELECT c.doc_id, c.j * 8 + c.i AS kpos, g.g
+       |       FROM (SELECT doc_id, CAST(i AS INTEGER) AS i,
+       |               CAST(j AS INTEGER) AS j,
+       |               CAST((i * 16) // 8 AS INTEGER) AS sx,
+       |               CAST((j * 12) // 8 AS INTEGER) AS sy
+       |             FROM d, range(8) ti(i), range(8) tj(j)) c
+       |       JOIN gr g ON g.doc_id = c.doc_id AND g.x = c.sx
+       |        AND g.y = c.sy),
+       |tot AS (SELECT doc_id, sum(g) AS s FROM g8 GROUP BY 1),
+       |bt AS (SELECT g8.doc_id, kpos,
+       |         CASE WHEN 64 * g >= s THEN '1' ELSE '0' END AS b
+       |       FROM g8 JOIN tot USING (doc_id)),
+       |f AS$mat (
+       |  SELECT doc_id, string_agg(b, '' ORDER BY kpos) AS ahash
+       |  FROM bt GROUP BY 1)""".stripMargin
+  }
 
   private val winnowPairCtes =
     s"""tok AS (
@@ -1808,6 +1883,24 @@ object LlmPack extends QueryPack {
     // vectors (no ties in practice — verified hash-identical at
     // sf0.001/0.01/0.1); the output cosine is computed from the
     // ORIGINAL vectors, so centroid float drift cannot reach it.
+    // The SAME Lloyd chain as q71/q139 (shared CTE builder), surfaced
+    // as the centroid table: per-(cell, dim) means + cell sizes, the
+    // shared-floor rounding at the float edge.
+    "q246_kmeans" -> {
+      val dim = Similarity.defaultDim
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+         |${OracleSql.lloydChain(dim, 16, 2)},
+         |sizes AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+         |          FROM af GROUP BY 1),
+         |grid AS (SELECT cell, CAST(i AS INTEGER) AS pos,
+         |           CAST(floor(c[CAST(i AS INT) + 1] * 10000 + 0.5)
+         |                / 10000 AS REAL) AS c
+         |         FROM c2, range($dim) t(i))
+         |SELECT g.cell, coalesce(s.n_vecs, 0) AS n_vecs, g.pos, g.c
+         |FROM grid g LEFT JOIN sizes s USING (cell)""".stripMargin
+    },
     "q71_ann_ivf" -> {
       val dim = Similarity.defaultDim
       def sq(a: String, b: String) = OracleSql.sqDistSql(dim, a, b)
@@ -2137,6 +2230,23 @@ object LlmPack extends QueryPack {
          |        FROM dg GROUP BY 1)
          |SELECT g.doc_id, g.chunk_idx, g.start, g.n_bytes, g.dig, dfq.df
          |FROM dg g JOIN dfq USING (dig)""".stripMargin,
+    // The aHash chain replayed arithmetically over the same synthetic
+    // image family — channels, noise, grayscale, grid, bits.
+    "q244_image_ahash" ->
+      s"""WITH ${imageAHashCtes(materializeF = false)}
+         |SELECT doc_id, ahash FROM f""".stripMargin,
+    // Naive all-pairs Hamming over the bit strings (the q119 oracle
+    // pattern) — the banded join must reproduce it exactly at ≤ 3.
+    "q245_image_ahash_pairs" ->
+      s"""WITH ${imageAHashCtes(materializeF = true)},
+         |p AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db,
+         |         CAST(list_sum(list_transform(range(1, 65),
+         |           i -> CASE WHEN substr(a.ahash, CAST(i AS INT), 1)
+         |                       <> substr(b.ahash, CAST(i AS INT), 1)
+         |                THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
+         |  FROM f a JOIN f b ON a.doc_id < b.doc_id)
+         |SELECT da, db, hamming FROM p WHERE hamming <= 3""".stripMargin,
     // Unigram-LM training replayed end-to-end; the engine's Viterbi DP
     // is re-derived as brute enumeration + one argmin (equivalence by
     // extension-monotonicity — see graft.llm.Unigram).
@@ -2261,6 +2371,33 @@ object LlmPack extends QueryPack {
         |SELECT t.doc_id,
         |       COALESCE(sc.n_bigrams, 0) AS n_bigrams,
         |       round(sc.slp / sc.n_bigrams, 4) AS avg_logp
+        |FROM tok t LEFT JOIN sc USING (doc_id)""".stripMargin,
+    // Interpolated Kneser–Ney replayed: the same four model tables
+    // from the bigram-type CTE, the same fixed IEEE sequence
+    // (discounted MLE term + interpolation weight × continuation).
+    "q248_lm_score_kn" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |idx AS (SELECT doc_id, generate_subscripts(w, 1) AS i, w FROM tok),
+        |bi AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2,
+        |              w[i] || ' ' || w[i+1] AS g
+        |       FROM idx WHERE i + 1 <= len(w)),
+        |bc AS MATERIALIZED (
+        |  SELECT w1, w2, g, count(*) AS c FROM bi GROUP BY 1, 2, 3),
+        |pc AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cw,
+        |              CAST(count(*) AS BIGINT) AS t1 FROM bc GROUP BY 1),
+        |ct AS (SELECT w2, CAST(count(*) AS BIGINT) AS tc FROM bc GROUP BY 1),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM bc),
+        |p AS (SELECT g,
+        |        ln(greatest(c - 0.75, 0.0) / cw
+        |           + (0.75 * t1 / cw) * (CAST(tc AS DOUBLE) / tot)) AS lp
+        |      FROM bc JOIN pc USING (w1) JOIN ct USING (w2) CROSS JOIN tt),
+        |sc AS (SELECT b.doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
+        |              sum(p.lp) AS slp
+        |       FROM bi b JOIN p USING (g) GROUP BY 1)
+        |SELECT t.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+        |       round(sc.slp / sc.n_bigrams, 4) AS avg_logp_kn
         |FROM tok t LEFT JOIN sc USING (doc_id)""".stripMargin,
     // Per-language trigram occurrence counts + doc frequency, exact
     // global top-5 on the (cnt desc, gram) total order — an

@@ -1,0 +1,70 @@
+package graft
+
+import graft.llm.{Dedup, Multimodal}
+import graft.llm.Multimodal.PpmImage
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-checked cases for the image average-hash (aHash) family:
+  * kernel bit patterns, the noisy synthetic family's in-group /
+  * cross-group Hamming contract, and the banded pair join vs a naive
+  * scan.
+  */
+class ImageHashSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def img(w: Int, h: Int)(g: (Int, Int) => Int): PpmImage = {
+    val px = new Array[Byte](3 * w * h)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      px((y * w + x) * 3 + c) = g(x, y).toByte
+    PpmImage(w, h, 255, px)
+  }
+
+  private def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+
+  test("aHash: uniform image is all ones (64·g ≥ Σg at equality)") {
+    val (fp, bits) = Multimodal.aHash(img(8, 8)((_, _) => 100))
+    assert(fp == -1L && bits == "1" * 64)
+  }
+
+  test("aHash: left-bright half sets exactly the left 4 columns") {
+    val (fp, bits) = Multimodal.aHash(img(8, 8)((x, _) =>
+      if (x < 4) 200 else 10))
+    assert(bits == "1111000011110000111100001111000011110000111100001111000011110000")
+    assert(java.lang.Long.bitCount(fp) == 32)
+  }
+
+  test("aHash: 16×12 image strides the (2i, 3j/2) grid") {
+    // bright only at source pixels the 8×8 grid reads from row 0
+    // (sy = 0 for j = 0 only): top row bright → 8 set bits
+    val (_, bits) = Multimodal.aHash(img(16, 12)((_, y) =>
+      if (y == 0) 255 else 0))
+    assert(bits == "1" * 8 + "0" * 56)
+  }
+
+  test("noisy synthetic family: in-group Hamming ≤ 3, cross-group far") {
+    def fp(id: Long): Long = {
+      val im = Multimodal.decodePpm(Multimodal.syntheticNoisyPpm(id)).get
+      Multimodal.aHash(im)._1
+    }
+    for (k <- 1L to 3L)
+      assert(hamming(fp(0), fp(k)) <= 3, s"replica $k drifted")
+    // different md5-derived bases: independent 64-bit draws
+    assert(hamming(fp(0), fp(4)) > 10)
+    assert(hamming(fp(8), fp(12)) > 10)
+  }
+
+  test("fpPairs over aHash frame == naive all-pairs scan at ≤ 3") {
+    import spark.implicits._
+    val ids = (0L until 40L).toDF("doc_id")
+    val fps = Multimodal.aHashPayloads(
+      Multimodal.syntheticNoisyPpmFrame(ids)).cache()
+    val got = Dedup.fpPairs(fps, maxHamming = 3, bits = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val raw = fps.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val want = (for {
+      a <- raw.keys; b <- raw.keys if a < b
+      h = hamming(raw(a), raw(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(got == want && got.nonEmpty)
+  }
+}

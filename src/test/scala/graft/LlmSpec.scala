@@ -605,6 +605,28 @@ class LlmSpec extends AnyFunSuite {
     assert(m(0L) > m(2L))
   }
 
+  test("lmScoreKn: hand-computed interpolated KN probabilities") {
+    import spark.implicits._
+    // bigrams: (a b)×2, (a c)×1 → cw(a)=3, t1(a)=2, tc(b)=tc(c)=1,
+    // T=2, D=0.75:
+    //   P(b|a) = (2−.75)/3 + (.75·2/3)·(1/2) = 2/3
+    //   P(c|a) = (1−.75)/3 + (.75·2/3)·(1/2) = 1/3   (sums to 1)
+    val mixed = Seq((0L, "a b"), (1L, "a b"), (2L, "a c"))
+      .toDF("doc_id", "text")
+    val m = TextOps.lmScoreKn(mixed).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+    val pb = (2 - 0.75) / 3 + (0.75 * 2 / 3) * (1.0 / 2)
+    val pcv = (1 - 0.75) / 3 + (0.75 * 2 / 3) * (1.0 / 2)
+    assert(m(0L) == r4(math.log(pb)))
+    assert(m(2L) == r4(math.log(pcv)))
+    assert(m(0L) > m(2L))
+    // KN discounts the common phrase relative to plain MLE (mass
+    // reserved for the continuation term): P_KN(b|a) < 2/3 + eps
+    assert(pb < 2.0 / 3 + 1e-12 && pcv > 1.0 / 3 - 1e-12)
+  }
+
   test("top ngrams: local prune equals the naive global window at any layout") {
     import org.apache.spark.sql.expressions.Window
     // independent derivation: full global window, no pruning

@@ -261,6 +261,44 @@ class PlanSpec extends AnyFunSuite {
       s"wide shuffle rows: ${widths.mkString(",")}")
   }
 
+  test("sssp rounds carry only (id, distance) — no wide rows") {
+    // same contract as the pagerank gate: three Bellman–Ford rounds
+    // shuffle nothing beyond the node key + tentative distance (+ the
+    // improved flag on the merge)
+    import spark.implicits._
+    val edges = Seq((0L, 1L, 2L), (1L, 0L, 2L)).toDF("a", "b", "len")
+    val nodes = Seq(0L, 1L).toDF("id")
+    val before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val widths =
+      try graft.graph.Sssp
+        .distances(nodes, edges, Seq(0L).toDF("id"), 3,
+          checkpoint = false)
+        .queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e }
+        .map(_.output.length)
+      finally spark.conf.set("spark.sql.adaptive.enabled", before)
+    assert(widths.nonEmpty && widths.forall(_ <= 3),
+      s"wide shuffle rows: ${widths.mkString(",")}")
+  }
+
+  test("q245: image payloads never enter a shuffle — only 10-byte " +
+      "fingerprint rows move") {
+    val shuffledCols = plan("q245_image_ahash_pairs")
+      .collect { case e: ShuffleExchangeExec => e }
+      .flatMap(_.output.map(_.name))
+    assert(!shuffledCols.contains("payload"),
+      s"payload entered a shuffle: ${shuffledCols.mkString(",")}")
+  }
+
+  test("q246: k-means plans no sort-merge join and no Expand") {
+    // centroids travel as one broadcast row; assignment is a map;
+    // only the (cell, dim) recompute and the size count shuffle
+    val p = plan("q246_kmeans")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty, s"$p")
+    assert(p.collect { case e: ExpandExec => e }.isEmpty)
+  }
+
   test("q168: z-order block stats — scalar bounds + ONE block pass") {
     // two exchanges total: the 1-row min/max bounds aggregate (single-
     // partition scalar, then broadcast) and the bounded ≤2^blockBits

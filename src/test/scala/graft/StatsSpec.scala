@@ -131,6 +131,27 @@ class StatsSpec extends AnyFunSuite {
     assert(r == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> -1, 6L -> -1))
   }
 
+  test("sssp: cheap long path beats short heavy edge; round bound; unreached") {
+    import spark.implicits._
+    val nodes = (1L to 6L).toDF("id")
+    // 1→2 direct costs 10; 1→3→4→2 costs 1+1+1 = 3 but needs 3 rounds;
+    // 5 hangs off 2; 6 isolated. Symmetrize.
+    val e0 = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 4L, 1L),
+      (4L, 2L, 1L), (2L, 5L, 2L))
+    val edges = (e0 ++ e0.map(t => (t._2, t._1, t._3)))
+      .toDF("a", "b", "len")
+    def run(r: Int) = graft.graph.Sssp
+      .distances(nodes, edges, Seq(1L).toDF("id"), r)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // 2 rounds: the 3-edge detour is out of radius → 2 keeps cost 10
+    assert(run(2) == Map(1L -> 0, 2L -> 10, 3L -> 1, 4L -> 2,
+      5L -> 12, 6L -> -1))
+    // 3 rounds: detour lands (3), and 5 improves through it next round
+    val d3 = run(3)
+    assert(d3(2L) == 3 && d3(4L) == 2 && d3(5L) == 12)
+    assert(run(4)(5L) == 5)
+  }
+
   test("weightedQuantiles: weight pulls the median; ties collapse first") {
     import spark.implicits._
     // values 1..4 with weight 1 except v=4 carrying weight 7:
