@@ -505,6 +505,37 @@ object Similarity {
         col("label").as("neg_label"), col("cos"))
   }
 
+  /** Johnson–Lindenstrauss random projection (Achlioptas 2003: ±1
+    * entries suffice for the JL guarantee): project each embedding
+    * onto `outDim` deterministic md5-parity ±1 hyperplanes — the SAME
+    * plane family the LSH buckets sign — scaled by 1/√outDim so
+    * expected pairwise distances are preserved. The dimensionality-
+    * reduction preprocessor for clustering/ANN over very wide
+    * embeddings: 64 → 16 dims cuts every downstream dot product 4×.
+    *
+    * Determinism: planes are plan-time literal arrays; each component
+    * is ONE fused left-to-right dot product (the q69 contract), the
+    * 1/√outDim scale is exact in binary for power-of-4 `outDim`
+    * (default 16 → 0.25), and the shipped value takes the shared
+    * floor rounding. Pure map — no shuffle at any corpus size.
+    *
+    * @return (vec_id, pos, p) — outDim rows per vector
+    */
+  def rpProject(embeddings: DataFrame, outDim: Int = 16,
+      dim: Int = defaultDim): DataFrame = {
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val e = embeddings.select(col("vec_id"),
+      asDouble(col("embedding")).as("v"))
+    val comps = (0 until outDim).map { p =>
+      val plane = array((0 until dim).map(j => lit(planeSign(p, j))): _*)
+      struct(lit(p).as("pos"), dot(col("v"), plane).as("pv"))
+    }
+    e.select(col("vec_id"), explode(array(comps: _*)).as("c"))
+      .select(col("vec_id"), col("c.pos").as("pos"),
+        (floor(col("c.pv") * lit(scale) * 1e4 + 0.5) / 1e4)
+          .cast("float").as("p"))
+  }
+
   val numTables = 4
   val bitsPerTable = 4
 

@@ -70,6 +70,50 @@ object Layout {
     ranged.sortWithinPartitions(col("zkey"))
   }
 
+  /** Append a HILBERT-curve key over two long/int columns — the
+    * better-locality sibling of [[withZKey]]: consecutive Hilbert
+    * keys are always grid neighbors, where the Z curve jumps across
+    * the space at every quadrant seam, so range-partitioned files
+    * cover tighter rectangles (smaller footer-stats spans → more
+    * pruning). Same exact-integer bucketization; the xy2d walk runs
+    * as a native codegen'd expression
+    * ([[graft.functions.HilbertIndex]]) because its per-level
+    * rotation would grow 3^bits nodes as unrolled Columns.
+    */
+  def withHilbertKey(df: DataFrame, colA: String, colB: String,
+      bits: Int = 10, keyName: String = "hkey"): DataFrame = {
+    require(bits >= 1 && 2 * bits <= 62, s"bits out of range: $bits")
+    val bounds = df.agg(
+      min(col(colA)).as("mn_a"), max(col(colA)).as("mx_a"),
+      min(col(colB)).as("mn_b"), max(col(colB)).as("mx_b"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(keyName,
+        org.apache.spark.sql.GraftSqlShims.column(
+          graft.functions.HilbertIndex(
+            org.apache.spark.sql.GraftSqlShims.expression(
+              bucket(col(colA), col("mn_a"), col("mx_a"), bits)),
+            org.apache.spark.sql.GraftSqlShims.expression(
+              bucket(col(colB), col("mn_b"), col("mx_b"), bits)),
+            bits)))
+      .drop("mn_a", "mx_a", "mn_b", "mx_b")
+  }
+
+  /** [[zBlockStats]] on the Hilbert key: per-block row counts +
+    * min/max spans of both dimensions — the rectangle audit that lets
+    * the two curves' locality be COMPARED on the same table.
+    */
+  def hilbertBlockStats(df: DataFrame, colA: String, colB: String,
+      bits: Int = 10, blockBits: Int = 6): DataFrame = {
+    require(blockBits >= 1 && blockBits <= 2 * bits, "blockBits out of range")
+    withHilbertKey(df, colA, colB, bits)
+      .withColumn("block",
+        shiftright(col("hkey"), 2 * bits - blockBits).cast("int"))
+      .groupBy(col("block"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(colA)).as("min_a"), max(col(colA)).as("max_a"),
+        min(col(colB)).as("min_b"), max(col(colB)).as("max_b"))
+  }
+
   /** The audit that makes the layout's value measurable without writing
     * files: split the Z-key space into `2^blockBits` equal blocks (a
     * block ≈ one file after the layout pass) and report each block's

@@ -394,6 +394,30 @@ object LlmPack extends QueryPack {
       CountMinFrame.estimate(top, col("gram"), cm)
         .select(col("gram"), col("cnt"), col("cm_est"))
     }),
+    // Day-2 count-min REGISTER maintenance (the q220 HLL pattern for
+    // CM): the standing corpus' cells union the batch's cells and
+    // re-sum — per-cell sums commute, so the merged state answers
+    // every probe IDENTICALLY to the one-pass sketch (q132's oracle
+    // shared verbatim). The day-2 cost is the batch scan + a ≤ d·w-row
+    // state merge; the standing corpus is never rescanned.
+    "q249_cms_day2" -> ((s, d) => {
+      import graft.functions.CountMinFrame
+      val g = TextOps.spread(
+          t("documents")(s, d).where(col("text").isNotNull))
+        .select(col("doc_id"), explode(TextOps.shingleMultiset(
+          TextOps.tokens(col("text")), 3)).as("gram"))
+      val old = CountMinFrame.sketch(
+        g.where(col("doc_id") % 3 =!= 0), col("gram"), lit(1L))
+      val batch = CountMinFrame.sketch(
+        g.where(col("doc_id") % 3 === 0), col("gram"), lit(1L))
+      val merged = old.unionByName(batch)
+        .groupBy(col("cm_row"), col("cm_bucket"))
+        .agg(sum(col("cm_count")).as("cm_count"))
+      val top = g.groupBy("gram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("gram")).limit(20)
+      CountMinFrame.estimate(top, col("gram"), merged)
+        .select(col("gram"), col("cnt"), col("cm_est"))
+    }),
     // Bloom-filter-as-a-DataFrame: the new batch's top-200 trigrams
     // probed against a filter built over the standing corpus' trigram
     // set — output carries the exact membership answer AND the
@@ -488,6 +512,11 @@ object LlmPack extends QueryPack {
     // model of assignment-only production passes.
     "q246_kmeans" -> ((s, d) =>
       Similarity.kmeans(t("embeddings")(s, d))),
+    // Johnson–Lindenstrauss random projection: 64 → 16 dims via the
+    // md5-parity ±1 plane family, 1/√16 = 0.25 exact scale — the
+    // dimensionality-reduction preprocessor, a pure map.
+    "q250_rp_project" -> ((s, d) =>
+      Similarity.rpProject(t("embeddings")(s, d))),
     "q71_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(t("embeddings")(s, d), col("vec_id") < 10)),
     // Product-quantization ANN: per-subspace codebooks + asymmetric
@@ -1086,6 +1115,35 @@ object LlmPack extends QueryPack {
        |         CAST(min(ib) AS INTEGER) AS start_b,
        |         CAST(count(*) + 7 AS INTEGER) AS span_len
        |  FROM isl GROUP BY da, db, diag, grp)""".stripMargin
+
+  /** q132/q249 shared oracle: the count-min grid and the minima
+    * re-derived exactly — same 4 row salts, same md5-high-16 mod 64
+    * buckets, same per-cell sums, same (cnt desc, gram) top-20 total
+    * order. q249's day-2 merge shares it verbatim (per-cell sums
+    * commute, so merged state == one-pass state).
+    */
+  private lazy val cmsOracle: String = {
+    val b = OracleSql.md5High16(
+      "md5(CAST(j AS VARCHAR) || ':' || gram)")
+    s"""WITH $tokCte,
+       |idx AS (SELECT doc_id, generate_subscripts(w, 1) AS i, w FROM tok),
+       |g AS (SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+       |      FROM idx WHERE i + 2 <= len(w)),
+       |counts AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1),
+       |js AS (SELECT unnest(range(4)) AS j),
+       |cells AS (SELECT j, CAST(($b) % 64 AS INTEGER) AS b,
+       |            sum(cnt) AS total
+       |          FROM counts CROSS JOIN js GROUP BY 1, 2),
+       |top AS (SELECT gram, cnt FROM counts
+       |        ORDER BY cnt DESC, gram LIMIT 20)
+       |SELECT t.gram, t.cnt, CAST(min(c.total) AS BIGINT) AS cm_est
+       |FROM top t CROSS JOIN js
+       |JOIN cells c ON c.j = js.j
+       |  AND c.b = CAST((${OracleSql.md5High16(
+            "md5(CAST(js.j AS VARCHAR) || ':' || t.gram)")}) % 64
+            AS INTEGER)
+       |GROUP BY 1, 2""".stripMargin
+  }
 
   /** q244/q245 shared derivation: the noisy synthetic image family +
     * the aHash chain replayed arithmetically — md5-nibble channels,
@@ -1901,6 +1959,28 @@ object LlmPack extends QueryPack {
          |SELECT g.cell, coalesce(s.n_vecs, 0) AS n_vecs, g.pos, g.c
          |FROM grid g LEFT JOIN sizes s USING (cell)""".stripMargin
     },
+    // The projection replayed: same md5-parity planes (the q69 CTE
+    // convention), one list_dot_product per (vector, plane), exact
+    // 0.25 scale, shared floor rounding.
+    "q250_rp_project" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |pj AS (
+         |  SELECT p, j,
+         |         CASE WHEN (strpos('0123456789abcdef',
+         |                substr(md5(p || ':' || j), 1, 1)) - 1) % 2 = 0
+         |              THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE)
+         |         END AS sgn
+         |  FROM range(16) t1(p), range(${Similarity.defaultDim}) t2(j)),
+         |planes AS (SELECT p, list(sgn ORDER BY j) AS pl
+         |           FROM pj GROUP BY p),
+         |dots AS (
+         |  SELECT vec_id, CAST(p AS INTEGER) AS pos,
+         |         list_dot_product(v, pl) AS d
+         |  FROM e, planes)
+         |SELECT vec_id, pos,
+         |       CAST(floor(d * 0.25 * 10000 + 0.5) / 10000 AS REAL) AS p
+         |FROM dots""".stripMargin,
     "q71_ann_ivf" -> {
       val dim = Similarity.defaultDim
       def sq(a: String, b: String) = OracleSql.sqDistSql(dim, a, b)
@@ -2517,28 +2597,12 @@ object LlmPack extends QueryPack {
     // The sketch grid and the minima re-derived exactly: same 4 row
     // salts, same md5-high-16 mod 64 buckets, same per-cell sums, same
     // (cnt desc, gram) top-20 total order.
-    "q132_cms_counts" -> {
-      val b = OracleSql.md5High16(
-        "md5(CAST(j AS VARCHAR) || ':' || gram)")
-      s"""WITH $tokCte,
-         |idx AS (SELECT doc_id, generate_subscripts(w, 1) AS i, w FROM tok),
-         |g AS (SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
-         |      FROM idx WHERE i + 2 <= len(w)),
-         |counts AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1),
-         |js AS (SELECT unnest(range(4)) AS j),
-         |cells AS (SELECT j, CAST(($b) % 64 AS INTEGER) AS b,
-         |            sum(cnt) AS total
-         |          FROM counts CROSS JOIN js GROUP BY 1, 2),
-         |top AS (SELECT gram, cnt FROM counts
-         |        ORDER BY cnt DESC, gram LIMIT 20)
-         |SELECT t.gram, t.cnt, CAST(min(c.total) AS BIGINT) AS cm_est
-         |FROM top t CROSS JOIN js
-         |JOIN cells c ON c.j = js.j
-         |  AND c.b = CAST((${OracleSql.md5High16(
-              "md5(CAST(js.j AS VARCHAR) || ':' || t.gram)")}) % 64
-              AS INTEGER)
-         |GROUP BY 1, 2""".stripMargin
-    },
+    "q132_cms_counts" -> cmsOracle,
+    // Identical-answer contract on SKETCH STATE (the q220 HLL pattern
+    // for count-min): old-corpus cells union batch cells re-summed ==
+    // the one-pass sketch because per-cell sums commute — shares
+    // q132's oracle VERBATIM.
+    "q249_cms_day2" -> cmsOracle,
 
     // The KMV estimator re-derived to the bit: distinct keys ranked by
     // md5, the k-th hash fraction (first 12 nibbles / 2^48 — exact in

@@ -308,6 +308,15 @@ object LoadIngest extends QueryPack {
     // integer bucketization, no rank pass, no float edge.
     "q168_zorder" -> ((s, d) => graft.load.Layout.zBlockStats(
       t("lineitem")(s, d), "l_partkey", "l_suppkey",
+      bits = 10, blockBits = 6)),
+
+    // Hilbert-curve layout audit — q168's Morton sibling with strictly
+    // better locality (consecutive keys are always grid neighbors, no
+    // quadrant seams): same exact-integer bucket ranks, the xy2d walk
+    // as a native codegen'd expression, same per-block rectangle
+    // report so the two curves are comparable on the same table.
+    "q251_hilbert" -> ((s, d) => graft.load.Layout.hilbertBlockStats(
+      t("lineitem")(s, d), "l_partkey", "l_suppkey",
       bits = 10, blockBits = 6)))
 
   /** The star schema's seven structural FK edges plus the deliberate
@@ -646,6 +655,48 @@ object LoadIngest extends QueryPack {
          |FROM c, t""".stripMargin
     },
 
+    // The xy2d walk unrolled 10 levels: per level, the quadrant digit
+    // folds into hd (s²·((3·rx) xor ry)) and the frame rotates — the
+    // FULL-GRID flip (n−1−coord), matching the engine kernel, because
+    // an s−1 flip goes negative once higher consumed bits are set.
+    // Every stage MATERIALIZED: each references both coords twice, so
+    // inlining would grow 3^10 scans (the q194 discipline).
+    "q251_hilbert" -> {
+      val bits = 10
+      val n1 = (1L << bits) - 1
+      val stages = (0 until bits).map { i =>
+        val s = 1L << (bits - 1 - i)
+        s"""r$i AS MATERIALIZED (
+           |  SELECT a, sb, hd, hx, hy,
+           |         (hx // $s) % 2 AS rx, (hy // $s) % 2 AS ry
+           |  FROM h$i),
+           |h${i + 1} AS MATERIALIZED (
+           |  SELECT a, sb,
+           |         hd + $s * $s * xor(3 * rx, ry) AS hd,
+           |         CASE WHEN ry = 0
+           |              THEN (CASE WHEN rx = 1 THEN $n1 - hy ELSE hy END)
+           |              ELSE hx END AS hx,
+           |         CASE WHEN ry = 0
+           |              THEN (CASE WHEN rx = 1 THEN $n1 - hx ELSE hx END)
+           |              ELSE hy END AS hy
+           |  FROM r$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH b AS (
+         |  SELECT min(l_partkey) AS mna, max(l_partkey) AS mxa,
+         |         min(l_suppkey) AS mnb, max(l_suppkey) AS mxb
+         |  FROM lineitem),
+         |h0 AS (
+         |  SELECT l_partkey AS a, l_suppkey AS sb, CAST(0 AS BIGINT) AS hd,
+         |         ((l_partkey - mna) * 1024) // (mxa - mna + 1) AS hx,
+         |         ((l_suppkey - mnb) * 1024) // (mxb - mnb + 1) AS hy
+         |  FROM lineitem, b),
+         |$stages
+         |SELECT CAST(hd // ${1L << 14} AS INTEGER) AS block,
+         |       count(*) AS n_rows,
+         |       min(a) AS min_a, max(a) AS max_a,
+         |       min(sb) AS min_b, max(sb) AS max_b
+         |FROM h$bits GROUP BY 1""".stripMargin
+    },
     "q168_zorder" -> {
       // the 2x10-bit Morton interleave as exact integer arithmetic
       val z = (0 until 10).map(i =>
