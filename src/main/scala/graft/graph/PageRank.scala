@@ -99,6 +99,79 @@ object PageRank {
     ranks.select(col("id"), col("r").as("rank_fp"))
   }
 
+  /** PERSONALIZED [[run]]: the random surfer teleports only to a seed
+    * set instead of uniformly — rank becomes "proximity to the seeds"
+    * (the recommendation / related-entities primitive: seed = a user's
+    * parts, ranks = what the co-purchase graph pulls toward them).
+    * Same exact-integer contract: r0 = scale div |S| on seeds (0
+    * elsewhere), teleport term = (15·scale/100) div |S| on seeds (0
+    * elsewhere), every other step identical to [[run]] — so all
+    * rounds stay bit-exact under the hash gate.
+    *
+    * Scale shape: identical to [[run]] plus one broadcast-joined seed
+    * flag on the node spine (seeds are a tiny set by construction).
+    *
+    * @param seeds one row per seed vertex, column `id`
+    */
+  def runPersonalized(nodes: DataFrame, edges: DataFrame,
+      seeds: DataFrame, iters: Int = 5,
+      checkpoint: Boolean = true): DataFrame = {
+    def cp(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint(true) else df
+    val sd = seeds.select(col("id")).distinct()
+    val nS = broadcast(sd.agg(count(lit(1)).as("n_seeds")))
+    val spine = cp(nodes.select(col("id"))
+      .join(broadcast(sd.withColumn("is_seed", lit(1))), Seq("id"),
+        "left_outer")
+      .crossJoin(nS)
+      .select(col("id"),
+        when(col("is_seed") === 1,
+          expr(s"${scale * 15 / 100} div n_seeds"))
+          .otherwise(lit(0L)).as("tele"),
+        when(col("is_seed") === 1, expr(s"$scale div n_seeds"))
+          .otherwise(lit(0L)).as("r0")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val eDeg = cp(edges.join(deg, "src"))
+    var ranks = cp(spine.select(col("id"), col("r0").as("r")))
+    for (_ <- 1 to iters) {
+      val sums = eDeg.join(ranks, col("src") === col("id"))
+        .select(col("dst"), expr("r div d").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = cp(spine.join(sums, col("id") === col("dst"), "left_outer")
+        .select(col("id"),
+          (col("tele") + expr("(85 * coalesce(s, 0)) div 100")).as("r")))
+    }
+    ranks.select(col("id"), col("r").as("rank_fp"))
+  }
+
+  /** Unrolled DuckDB CTE chain re-deriving [[runPersonalized]]
+    * exactly: expects CTEs `n(id)`, `e(src, dst)`, `sd(id)` (distinct
+    * seeds) in scope; select from `r$iters`. */
+  def oracleCtePersonalized(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT sp.id, sp.tele + (85 * coalesce(x.s, 0)) // 100 AS r
+         |  FROM sp LEFT JOIN (
+         |    SELECT e.dst, sum(p.r // deg.d) AS s
+         |    FROM e JOIN r${i - 1} p ON e.src = p.id
+         |    JOIN deg ON deg.src = e.src
+         |    GROUP BY 1) x ON sp.id = x.dst)""".stripMargin
+    }
+    (s"""deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+        |ns AS (SELECT count(*) AS c FROM sd),
+        |sp AS (
+        |  SELECT n.id,
+        |         CASE WHEN sd.id IS NOT NULL
+        |              THEN ${scale * 15 / 100} // (SELECT c FROM ns)
+        |              ELSE 0 END AS tele,
+        |         CASE WHEN sd.id IS NOT NULL
+        |              THEN $scale // (SELECT c FROM ns)
+        |              ELSE 0 END AS r0
+        |  FROM n LEFT JOIN sd ON n.id = sd.id),
+        |r0 AS (SELECT id, r0 AS r FROM sp)""".stripMargin +: rounds)
+      .mkString(",\n")
+  }
+
   /** Unrolled DuckDB CTE chain re-deriving [[runWeighted]] exactly:
     * expects CTEs `n(id)` and `e(src, dst, w)` in scope. */
   def oracleCteWeighted(iters: Int): String = {

@@ -99,6 +99,70 @@ object Retrieval {
         explode(slice(TextOps.tokens(col("text")), 1, width)).as("term"))
       .distinct()
 
+  /** Integer DCG discount weights w_r = round(10^6 / log2(r+1)),
+    * r = 1..k, computed ONCE at plan-build time in Scala and embedded
+    * as the SAME integer literals in both the Spark plan and the
+    * DuckDB oracle — so the classic logarithmic NDCG discount carries
+    * ZERO cross-engine libm risk (the engines never evaluate log2;
+    * they consume identical longs). */
+  def dcgWeights(k: Int): Seq[Long] =
+    (1 to k).map(r => math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+
+  /** Offline ranking-quality evaluation — the NDCG@k / MRR report the
+    * retrieval family ([[bm25TopK]], [[rrfFuse]], the dense ANN pack)
+    * is TUNED by. Graded relevance = `n_terms` (matched query terms —
+    * an exact integer already riding the ranked list), gain = 2^rel−1
+    * (the burges exponential form), discount = the integer
+    * [[dcgWeights]]. Per query:
+    *
+    *   dcg  = Σ_r w_r · (2^rel_r − 1)         (exact long)
+    *   idcg = the same sum with gains sorted descending (exact long;
+    *          tie order cannot change the value — equal gains swap)
+    *   ndcg = dcg / idcg                       (ONE IEEE division)
+    *   self_rank / rr: the rank at which the query retrieved its own
+    *          source document (queries are derived FROM documents, so
+    *          self-retrieval is ground truth) — MRR's per-query term.
+    *
+    * Determinism: every sum is a sum of exact longs (order-free); the
+    * only float ops are the final ndcg and rr divisions of exact
+    * integers + the shared floor(x·1e6+0.5)/1e6 edge. idcg > 0 always
+    * (a retrieved doc matched ≥ 1 term) but the guard stays for ANSI.
+    *
+    * Scale shape: input is already a top-k list (≤ k rows per query),
+    * so the whole evaluation is metadata-sized next to retrieval: one
+    * ≤ k-row-per-query window + one groupBy on query_id.
+    *
+    * @param ranked (query_id, rank, doc_id, n_terms, …) top-k list
+    * @return (query_id, n_ret, self_rank, rr, dcg, idcg, ndcg)
+    */
+  def evalRanking(ranked: DataFrame, k: Int = 10): DataFrame = {
+    val w = dcgWeights(k)
+    val wCol = element_at(array(w.map(lit(_)): _*), col("rank"))
+    val g = ranked.select(col("query_id"), col("rank"), col("doc_id"),
+      expr("shiftleft(CAST(1 AS BIGINT), n_terms) - 1").as("gain"))
+    val ideal = Window.partitionBy(col("query_id"))
+      .orderBy(col("gain").desc, col("doc_id"))
+    val per = g
+      .withColumn("irank", row_number().over(ideal))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).cast("int").as("n_ret"),
+        max(when(col("doc_id") === col("query_id"), col("rank")))
+          .cast("int").as("sr"),
+        sum(wCol * col("gain")).as("dcg"),
+        sum(element_at(array(w.map(lit(_)): _*), col("irank"))
+          * col("gain")).as("idcg"))
+    per.select(col("query_id"), col("n_ret"),
+      coalesce(col("sr"), lit(-1)).as("self_rank"),
+      when(col("sr").isNotNull,
+        (floor(lit(1.0) / col("sr") * 1e6 + 0.5) / 1e6))
+        .cast("float").as("rr"),
+      col("dcg"), col("idcg"),
+      when(col("idcg") > 0,
+        floor(col("dcg").cast("double") / col("idcg").cast("double")
+          * 1e6 + 0.5) / 1e6)
+        .cast("float").as("ndcg"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al.) of a sparse and a dense
     * ranking — the standard hybrid-retrieval combiner: score =
     * Σ 1/(K + rank) over the rankers that returned the candidate,

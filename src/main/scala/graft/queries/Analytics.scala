@@ -137,6 +137,19 @@ object Analytics extends QueryPack {
         t("part")(s, d).select(col("p_partkey").as("id")), e, iters = 5)
     }),
 
+    // PERSONALIZED PageRank from the q243 seed hub set: teleport mass
+    // lands only on the seeds, so rank = exact-integer proximity to
+    // them over the co-purchase graph — the related-entities /
+    // recommendation primitive. Same bit-exact fixed-point contract
+    // as q170; the seed flag rides the node spine as a broadcast.
+    "q252_ppr" -> ((s, d) => {
+      val parts = t("part")(s, d).select(col("p_partkey").as("id"))
+      val e = coPurchaseEdges(s, d)
+        .select(col("a").as("src"), col("b").as("dst"))
+      graft.graph.PageRank.runPersonalized(parts, e,
+        parts.where(col("id") % 500 === 0), iters = 5)
+    }),
+
     // WEIGHTED shortest paths over the same graph (frontier
     // Bellman–Ford, 3 relaxation rounds): edge length = inverse
     // co-purchase frequency 10⁶ DIV w — strong ties are short — so
@@ -1454,6 +1467,18 @@ object Analytics extends QueryPack {
         |    SELECT * FROM d2 UNION ALL SELECT * FROM r3) GROUP BY 1)
         |SELECT p.p_partkey AS id, coalesce(d3.d, -1) AS dist
         |FROM part p LEFT JOIN d3 ON d3.id = p.p_partkey""".stripMargin,
+
+    // The personalized walk unrolled with the same integer
+    // floor-division arithmetic — seed-conditional teleport, bit-exact.
+    "q252_ppr" ->
+      s"""WITH n AS (SELECT p_partkey AS id FROM part),
+         |e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         |      FROM lineitem a JOIN lineitem b
+         |        ON a.l_orderkey = b.l_orderkey
+         |       AND a.l_partkey <> b.l_partkey),
+         |sd AS (SELECT id FROM n WHERE id % 500 = 0),
+         |${graft.graph.PageRank.oracleCtePersonalized(5)}
+         |SELECT id, CAST(r AS BIGINT) AS rank_fp FROM r5""".stripMargin,
 
     // All five PageRank rounds unrolled with the SAME integer
     // floor-division arithmetic — bit-exact, no float tolerance.

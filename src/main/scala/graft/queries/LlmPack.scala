@@ -533,6 +533,17 @@ object LlmPack extends QueryPack {
       val docs = t("documents")(s, d)
       Retrieval.bm25TopK(docs, Retrieval.sampleQueries(docs))
     }),
+    // Ranking-quality evaluation over the q165 BM25 run: NDCG@10 with
+    // integer DCG weights (round(1e6/log2(r+1)) — plan-time literals
+    // shared with the oracle, so the log discount carries zero libm
+    // risk), graded relevance = matched-term count, gain = 2^rel−1,
+    // plus the MRR self-retrieval term (queries derive FROM docs, so
+    // retrieving your own source doc is ground truth).
+    "q253_retrieval_eval" -> ((s, d) => {
+      val docs = t("documents")(s, d)
+      Retrieval.evalRanking(
+        Retrieval.bm25TopK(docs, Retrieval.sampleQueries(docs)))
+    }),
     // Bigram-PMI collocations: the phrase-mining signal (tokenizer
     // merge candidates, domain-term discovery) — exact bigram counts,
     // self-consistent marginals, floor-rounded ln at the edge, total
@@ -2056,6 +2067,50 @@ object LlmPack extends QueryPack {
          |       CAST(score AS REAL) AS score
          |FROM sparse
          |WHERE rank <= 10""".stripMargin,
+    // The eval replayed over the same bm25 CTE block: identical
+    // integer DCG weight literals (generated by the same Scala call
+    // that built the plan), 2^rel−1 gains via bit shift, ideal order
+    // by (gain desc, doc_id), one IEEE division per shipped float.
+    "q253_retrieval_eval" -> {
+      val w = Retrieval.dcgWeights(10)
+        .zipWithIndex.map { case (wt, i) => s"(${i + 1}, ${wt})" }
+        .mkString(", ")
+      s"""WITH $bm25Ctes,
+         |wts AS (SELECT * FROM (VALUES $w) AS t(r, wt)),
+         |rl AS (SELECT query_id, rank, doc_id, n_terms
+         |       FROM sparse WHERE rank <= 10),
+         |g AS (SELECT query_id, rank, doc_id,
+         |             (CAST(1 AS BIGINT) << n_terms) - 1 AS gain
+         |      FROM rl),
+         |ig AS (SELECT query_id, gain,
+         |              row_number() OVER (PARTITION BY query_id
+         |                ORDER BY gain DESC, doc_id) AS irank
+         |       FROM g),
+         |per AS (
+         |  SELECT g.query_id,
+         |         CAST(count(*) AS INTEGER) AS n_ret,
+         |         CAST(max(CASE WHEN g.doc_id = g.query_id
+         |                       THEN g.rank END) AS INTEGER) AS sr,
+         |         CAST(sum(w1.wt * g.gain) AS BIGINT) AS dcg
+         |  FROM g JOIN wts w1 ON w1.r = g.rank
+         |  GROUP BY 1),
+         |iper AS (
+         |  SELECT ig.query_id,
+         |         CAST(sum(w2.wt * ig.gain) AS BIGINT) AS idcg
+         |  FROM ig JOIN wts w2 ON w2.r = ig.irank
+         |  GROUP BY 1)
+         |SELECT p.query_id, p.n_ret,
+         |       coalesce(p.sr, -1) AS self_rank,
+         |       CAST(CASE WHEN p.sr IS NOT NULL
+         |            THEN floor(CAST(1 AS DOUBLE) / p.sr * 1e6 + 0.5) / 1e6
+         |            END AS REAL) AS rr,
+         |       p.dcg, i.idcg,
+         |       CAST(CASE WHEN i.idcg > 0
+         |            THEN floor(CAST(p.dcg AS DOUBLE)
+         |                 / CAST(i.idcg AS DOUBLE) * 1e6 + 0.5) / 1e6
+         |            END AS REAL) AS ndcg
+         |FROM per p JOIN iper i USING (query_id)""".stripMargin
+    },
     // Adjacent pairs via 1-based list indexing over range(1, len);
     // marginals/total from the bigram table itself; same fixed IEEE
     // ratio order and floor rounding.
