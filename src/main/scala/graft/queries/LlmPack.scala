@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.llm.{Dedup, Multimodal, Retrieval, Similarity, TextOps}
+import graft.llm.{Dedup, Multimodal, Pca, Retrieval, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 
 /** LLM training-data pipeline operators over the documents/embeddings
@@ -517,6 +517,18 @@ object LlmPack extends QueryPack {
     // dimensionality-reduction preprocessor, a pure map.
     "q250_rp_project" -> ((s, d) =>
       Similarity.rpProject(t("embeddings")(s, d))),
+    // PCA leading eigenvector by power iteration — the q170 exact-
+    // integer iterative contract on a linear-algebra kernel: quantized
+    // components, moment-identity covariance (exact BIGINT), sign-safe
+    // magnitude down-scale, 8 rounds of C·v with deterministic-pivot
+    // renormalization (two correctly-rounded casts + one IEEE divide
+    // per component per round). Loadings in 1e-6 fixed point.
+    "q254_pca_loadings" -> ((s, d) =>
+      Pca.loadings(t("embeddings")(s, d))),
+    // PC-1 score per vector: exact Σ q_j·loading_j BIGINT — the 1-D
+    // slicing/curriculum axis; map-only with the loadings broadcast.
+    "q255_pca_scores" -> ((s, d) =>
+      Pca.scores(t("embeddings")(s, d))),
     "q71_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(t("embeddings")(s, d), col("vec_id") < 10)),
     // Product-quantization ANN: per-subspace codebooks + asymmetric
@@ -1992,6 +2004,20 @@ object LlmPack extends QueryPack {
          |SELECT vec_id, pos,
          |       CAST(floor(d * 0.25 * 10000 + 0.5) / 10000 AS REAL) AS p
          |FROM dots""".stripMargin,
+    // The full power iteration replayed: same quantization grid, same
+    // exact covariance, same sign-safe scaling, all 8 rounds unrolled
+    // MATERIALIZED with the identical pivot/floor arithmetic.
+    "q254_pca_loadings" ->
+      s"""WITH ${graft.llm.Pca.oracleQuantCte},
+         |${graft.llm.Pca.oracleCte(Similarity.defaultDim, 8)}
+         |SELECT CAST(j AS INTEGER) AS pos, v AS loading_fp
+         |FROM v8""".stripMargin,
+    "q255_pca_scores" ->
+      s"""WITH ${graft.llm.Pca.oracleQuantCte},
+         |${graft.llm.Pca.oracleCte(Similarity.defaultDim, 8)}
+         |SELECT q.vec_id, CAST(sum(q.q * v.v) AS BIGINT) AS pc1_fp
+         |FROM q JOIN v8 v ON v.j = q.i
+         |GROUP BY 1""".stripMargin,
     "q71_ann_ivf" -> {
       val dim = Similarity.defaultDim
       def sq(a: String, b: String) = OracleSql.sqDistSql(dim, a, b)
