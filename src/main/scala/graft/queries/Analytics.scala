@@ -150,6 +150,22 @@ object Analytics extends QueryPack {
         parts.where(col("id") % 500 === 0), iters = 5)
     }),
 
+    // HITS hubs/authorities over the bipartite customer→part purchase
+    // graph (the directed graph where the two scores genuinely
+    // differ): exact-integer mutual recursion, deterministic-pivot
+    // renormalization each half-round — all 5 rounds bit-exact.
+    "q256_hits" -> ((s, d) => {
+      val e = t("orders")(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(t("lineitem")(s, d)
+          .select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
+        .distinct()
+      graft.graph.Hits.run(
+        t("customer")(s, d).select(col("c_custkey").as("id")),
+        t("part")(s, d).select(col("p_partkey").as("id")), e, iters = 5)
+    }),
+
     // WEIGHTED shortest paths over the same graph (frontier
     // Bellman–Ford, 3 relaxation rounds): edge length = inverse
     // co-purchase frequency 10⁶ DIV w — strong ties are short — so
@@ -1467,6 +1483,19 @@ object Analytics extends QueryPack {
         |    SELECT * FROM d2 UNION ALL SELECT * FROM r3) GROUP BY 1)
         |SELECT p.p_partkey AS id, coalesce(d3.d, -1) AS dist
         |FROM part p LEFT JOIN d3 ON d3.id = p.p_partkey""".stripMargin,
+
+    // All five HITS rounds unrolled with the identical pivot/floor
+    // arithmetic — hub and authority halves both bit-exact.
+    "q256_hits" ->
+      s"""WITH hs AS (SELECT c_custkey AS id FROM customer),
+         |as_ AS (SELECT p_partkey AS id FROM part),
+         |e AS MATERIALIZED (
+         |  SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |${graft.graph.Hits.oracleCte(5)}
+         |SELECT id, 'hub' AS kind, s AS score_fp FROM h5
+         |UNION ALL
+         |SELECT id, 'auth' AS kind, s AS score_fp FROM a5""".stripMargin,
 
     // The personalized walk unrolled with the same integer
     // floor-division arithmetic — seed-conditional teleport, bit-exact.
