@@ -407,6 +407,16 @@ object Indicators extends QueryPack {
     // exact 1e−4 integer units BEFORE summation (the chi2
     // order-independence discipline over the kernel's bit-identical
     // doubles); each shipped stat is ONE division of exact longs.
+    // Banded dynamic-time-warping distance (Sakoe–Chiba) between the
+    // q189-style watchlist and a cohort of symbols, over hourly-bar
+    // closes quantized to the exact 1e-4 grid — the elastic shape
+    // similarity fixed-offset cross-correlation cannot align. The DP
+    // runs as a native codegen'd kernel; the pair space is
+    // watchlist×cohort with the watchlist broadcast.
+    "q257_dtw" -> ((s, d) => graft.ts.Dtw.pairDistances(
+      Bars.hourly(t("events")(s, d)),
+      col("id") % 100 === 0, col("id") % 13 === 3)),
+
     "q247_forecast_backtest" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions.{abs, count, floor, lag, sum}
@@ -757,6 +767,68 @@ object Indicators extends QueryPack {
          |       CAST(round(h.l + h.b, 4) AS REAL) AS fcast
          |FROM num n LEFT JOIN h ON n.id = h.id AND n.rn = h.rn"""
         .stripMargin,
+
+    // The banded DP replayed as an anti-diagonal recursive CTE: state
+    // rows carry diagonals d (age 0) and d−1 (age 1); each step the
+    // age-0 cells feed (i+1,j)/(i,j+1), the age-1 cells feed
+    // (i+1,j+1), a min-merge + banded-cost join produces diagonal
+    // d+1, and age-0 rows re-emit as age-1 until the pair's final
+    // diagonal. Identical exact-integer arithmetic to the kernel —
+    // min over EXISTING cells only, so no infinity sentinel is needed
+    // on either side.
+    "q257_dtw" ->
+      s"""WITH RECURSIVE
+         |${Bars.oracleCteHourly},
+         |ser AS MATERIALIZED (
+         |  SELECT id,
+         |         list(CAST(floor(close * 1e4 + 0.5) AS BIGINT)
+         |              ORDER BY t) AS q,
+         |         count(*) AS len
+         |  FROM hourly GROUP BY 1),
+         |pr AS MATERIALIZED (
+         |  SELECT a.id AS ida, b.id AS idb, a.q AS qa, b.q AS qb,
+         |         a.len AS la, b.len AS lb,
+         |         6 + abs(a.len - b.len) AS w
+         |  FROM ser a, ser b WHERE a.id % 100 = 0 AND b.id % 13 = 3),
+         |lens AS MATERIALIZED (SELECT ida, idb, la, lb FROM pr),
+         |ci AS (SELECT ida, idb, qa, qb, lb, w,
+         |              unnest(range(1, la + 1)) AS i
+         |       FROM pr),
+         |cost AS MATERIALIZED (
+         |  SELECT ida, idb, i, j, abs(qa[i] - qb[j]) AS c FROM (
+         |    SELECT ida, idb, qa, qb, i,
+         |           unnest(range(greatest(1, i - w),
+         |                        least(lb, i + w) + 1)) AS j
+         |    FROM ci) t),
+         |dp AS (
+         |  SELECT c.ida, c.idb, 2 AS diag, 1 AS i, c.c AS val, 0 AS age
+         |  FROM cost c WHERE c.i = 1 AND c.j = 1
+         |  UNION ALL
+         |  SELECT * FROM (
+         |    WITH feeds AS (
+         |      SELECT ida, idb, diag + 1 AS nd, i + 1 AS ni, val
+         |      FROM dp WHERE age = 0
+         |      UNION ALL
+         |      SELECT ida, idb, diag + 1, i, val FROM dp WHERE age = 0
+         |      UNION ALL
+         |      SELECT ida, idb, diag + 2, i + 1, val FROM dp WHERE age = 1),
+         |    mn AS (SELECT ida, idb, nd, ni, min(val) AS mv
+         |           FROM feeds GROUP BY 1, 2, 3, 4)
+         |    SELECT m.ida, m.idb, m.nd AS diag, m.ni AS i,
+         |           c.c + m.mv AS val, 0 AS age
+         |    FROM mn m JOIN cost c
+         |      ON c.ida = m.ida AND c.idb = m.idb AND c.i = m.ni
+         |     AND c.j = m.nd - m.ni
+         |    UNION ALL
+         |    SELECT p.ida, p.idb, p.diag, p.i, p.val, 1
+         |    FROM dp p JOIN lens l ON l.ida = p.ida AND l.idb = p.idb
+         |    WHERE p.age = 0 AND p.diag < l.la + l.lb))
+         |SELECT d.ida AS id_a, d.idb AS id_b,
+         |       CAST(l.la AS INTEGER) AS len_a,
+         |       CAST(l.lb AS INTEGER) AS len_b,
+         |       d.val AS dtw
+         |FROM dp d JOIN lens l ON l.ida = d.ida AND l.idb = d.idb
+         |WHERE d.age = 0 AND d.i = l.la AND d.diag = l.la + l.lb""".stripMargin,
 
     // The backtest replays q186's recursion, carries each bar's
     // forecast to the NEXT bar via lag, floor-rounds per-row errors
