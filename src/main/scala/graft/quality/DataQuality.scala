@@ -360,6 +360,71 @@ object DataQuality {
       d: Int = 2): DataFrame =
     refIntegrityCore(edges, Some((m, d)))
 
+  /** k-anonymity / l-diversity audit (Sweeney; Machanavajjhala) over
+    * a quasi-identifier tuple — the privacy gate a training-data
+    * release runs before shipping records containing demographic
+    * attributes: every equivalence class (identical QI values) must
+    * hold ≥ k members, and the sensitive attribute must take ≥ l
+    * distinct values inside it (k alone does not stop homogeneity
+    * attacks). Output is the full class table with both verdicts —
+    * exact integer counts only, trivially hash-stable.
+    *
+    * Scale shape: ONE hash aggregate keyed by the QI tuple with
+    * map-side partials (count + distinct-sensitive via a two-level
+    * aggregate); at 100 TB the class table is |QI domain|-bounded —
+    * orders smaller than the data. The production variant filters
+    * `!k_ok || !l_ok` before shipping; the audit ships every class
+    * so the oracle pins the whole matrix.
+    */
+  def kAnonymityAudit(df: DataFrame, qis: Seq[String],
+      sensitive: String, k: Int, l: Int): DataFrame =
+    df.groupBy(qis.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col(sensitive)).as("n_sens"))
+      .select(qis.map(col) ++ Seq(col("n"), col("n_sens"),
+        (col("n") >= k).as("k_ok"), (col("n_sens") >= l).as("l_ok")): _*)
+
+  /** Full-domain generalization to k-anonymity (Samarati's minimal
+    * generalization over a fixed lattice): climb
+    * (qi1, qi2) → (g1, qi2) → (g1, ANY) → (ANY, ANY) and release at
+    * the FIRST level whose smallest equivalence class reaches k —
+    * minimal information loss within the lattice, deterministic
+    * because the lattice order is fixed. Output: every row with its
+    * released (generalized) QI values plus the chosen level.
+    *
+    * Scale shape: the level choice needs only the three min-class
+    * sizes — three QI-domain-bounded aggregates reduced to ONE
+    * broadcast scalar row; the release itself is a map-only CASE
+    * projection. No shuffle touches the full data beyond the three
+    * bounded aggregates.
+    *
+    * @param df      rows carrying `qi1`, `qi2`, and `g1` (the
+    *                coarsening of qi1, e.g. region for nation)
+    */
+  def kAnonymize(df: DataFrame, qi1: String, qi2: String, g1: String,
+      idCol: String, k: Int): DataFrame = {
+    def minClass(cols: Seq[Column]): DataFrame =
+      df.groupBy(cols: _*).agg(count(lit(1)).as("n"))
+        .agg(min(col("n")).as("m"))
+    val ms = broadcast(
+      minClass(Seq(col(qi1), col(qi2))).select(col("m").as("m0"))
+        .crossJoin(minClass(Seq(col(g1), col(qi2)))
+          .select(col("m").as("m1")))
+        .crossJoin(minClass(Seq(col(g1))).select(col("m").as("m2"))))
+    val level = when(col("m0") >= k, 0)
+      .when(col("m1") >= k, 1)
+      .when(col("m2") >= k, 2)
+      .otherwise(3)
+    df.crossJoin(ms)
+      .select(col(idCol),
+        level.cast("int").as("level"),
+        when(level === 0, col(qi1).cast("string"))
+          .when(level <= 2, col(g1).cast("string"))
+          .otherwise(lit("*")).as("rel_qi1"),
+        when(level <= 1, col(qi2).cast("string"))
+          .otherwise(lit("*")).as("rel_qi2"))
+  }
+
   private def refIntegrityCore(edges: Seq[FkEdge],
       bloomGate: Option[(Long, Int)]): DataFrame =
     edges.map { e =>

@@ -289,6 +289,29 @@ object LoadIngest extends QueryPack {
         ev.where(to_date(col("ts")) >= cut), "value")
     }),
 
+    // k-anonymity + l-diversity audit over the customer demographic
+    // quasi-identifiers (nation × market segment), sensitive attribute
+    // = account balance: every equivalence class with its size, its
+    // sensitive diversity, and both privacy verdicts — the release
+    // gate for demographic training data. Exact integers only.
+    "q258_kanon_audit" -> ((s, d) =>
+      DataQuality.kAnonymityAudit(t("customer")(s, d),
+        Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 10, l = 8)),
+
+    // Minimal full-domain generalization to k-anonymity (Samarati):
+    // climb (nation, segment) → (region, segment) → (region, *) →
+    // (*, *), release at the first level whose SMALLEST class ≥ k.
+    // Level choice = three bounded aggregates reduced to one
+    // broadcast scalar; the release is a map-only CASE projection.
+    "q259_kanon_release" -> ((s, d) => {
+      val c = t("customer")(s, d).join(
+        broadcast(t("nation")(s, d)
+          .select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      DataQuality.kAnonymize(c, "c_nationkey", "c_mktsegment",
+        "n_regionkey", "c_custkey", k = 8)
+    }),
+
     // Small-file compaction planner over a (month, supplier) pseudo
     // file manifest: size-DESC next-fit binning by exact integer
     // prefix sums — the metadata-only maintenance pass that turns
@@ -421,6 +444,41 @@ object LoadIngest extends QueryPack {
          |       CAST(month(dt) AS INTEGER) AS month,
          |       CAST(day(dt) AS INTEGER) AS day
          |FROM daily""".stripMargin,
+    // Class counts + two-level distinct re-derived; verdicts as
+    // boolean comparisons of exact integers.
+    "q258_kanon_audit" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT c_acctbal) AS BIGINT) AS n_sens,
+        |       count(*) >= 10 AS k_ok,
+        |       count(DISTINCT c_acctbal) >= 8 AS l_ok
+        |FROM customer GROUP BY 1, 2""".stripMargin,
+
+    // The three lattice minima as scalar CTEs, the same first-level-
+    // reaching-k choice, the same CASE-projected release.
+    "q259_kanon_release" ->
+      """WITH j AS (
+        |  SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment,
+        |         n.n_regionkey
+        |  FROM customer c JOIN nation n
+        |    ON c.c_nationkey = n.n_nationkey),
+        |m0 AS (SELECT min(n) AS m0 FROM (
+        |  SELECT count(*) AS n FROM j GROUP BY c_nationkey, c_mktsegment)),
+        |m1 AS (SELECT min(n) AS m1 FROM (
+        |  SELECT count(*) AS n FROM j GROUP BY n_regionkey, c_mktsegment)),
+        |m2 AS (SELECT min(n) AS m2 FROM (
+        |  SELECT count(*) AS n FROM j GROUP BY n_regionkey)),
+        |lv AS (SELECT CASE WHEN m0 >= 8 THEN 0 WHEN m1 >= 8 THEN 1
+        |                   WHEN m2 >= 8 THEN 2 ELSE 3 END AS level
+        |       FROM m0, m1, m2)
+        |SELECT j.c_custkey, CAST(lv.level AS INTEGER) AS level,
+        |       CASE WHEN lv.level = 0 THEN CAST(j.c_nationkey AS VARCHAR)
+        |            WHEN lv.level <= 2 THEN CAST(j.n_regionkey AS VARCHAR)
+        |            ELSE '*' END AS rel_qi1,
+        |       CASE WHEN lv.level <= 1 THEN c_mktsegment
+        |            ELSE '*' END AS rel_qi2
+        |FROM j, lv""".stripMargin,
+
     // Equi-depth reference deciles off the window scan, current side
     // range-joined to the highest reachable bucket, 0.5 continuity
     // counts, floor-rounded cells, DECIMAL headline sum.
