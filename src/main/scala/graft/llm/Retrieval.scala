@@ -163,6 +163,94 @@ object Retrieval {
         .cast("float").as("ndcg"))
   }
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    * 1998) — the diversification pass between retrieval and
+    * consumption: greedily pick k results maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-picked, so the
+    * list covers the query instead of repeating its best match.
+    *
+    * Exact-integer contract throughout (no float anywhere):
+    * relevance = per-query min–max-normalized rank score on a 0..10⁴
+    * integer grid ((10⁴·(rel−min)) div range); diversity = 3-shingle
+    * Jaccard on the SAME grid ((10⁴·|A∩B|) div |A∪B| — set counts
+    * from exploded distinct-shingle rows, engine-neutral); objective
+    * = 7·rel − 3·maxsim (λ = 0.7 as an integer 7/3 split); argmax =
+    * struct-min on (−mmr, doc_id), the deterministic-tie discipline.
+    * So every greedy round is bit-exact under the hash gate.
+    *
+    * Scale shape: candidates are an already-top-k list (≤ k per
+    * query), so shingle sets, the ≤ k²-per-query pair similarities,
+    * and the k greedy rounds are all metadata-sized next to the
+    * retrieval; each round is one bounded groupBy + two bounded
+    * joins, checkpointed (iterative-operator discipline).
+    *
+    * @param ranked (query_id, rank, doc_id, score, …) top-k list
+    * @param docs   (doc_id, text) for the shingle diversity signal
+    * @return (query_id, pick_rank, doc_id, mmr_fp)
+    */
+  def mmrRerank(ranked: DataFrame, docs: DataFrame,
+      k: Int = 5): DataFrame = {
+    val cand0 = ranked.select(col("query_id"), col("doc_id"),
+      floor(col("score") * 1e4 + 0.5).cast("long").as("r0"))
+    val bounds = cand0.groupBy(col("query_id"))
+      .agg(min(col("r0")).as("rmin"), max(col("r0")).as("rmax"))
+    val cand = cand0.join(bounds, "query_id")
+      .select(col("query_id"), col("doc_id"),
+        when(col("rmax") > col("rmin"),
+          expr("(10000 * (r0 - rmin)) div (rmax - rmin)"))
+          .otherwise(lit(10000L)).as("rel"))
+      .localCheckpoint(true)
+    // distinct 3-shingle rows for candidate docs only
+    val sh = cand.select(col("doc_id")).distinct()
+      .join(TextOps.spread(docs.where(col("text").isNotNull)), "doc_id")
+      .select(col("doc_id"),
+        explode(array_distinct(
+          TextOps.shingleMultiset(TextOps.tokens(col("text")), 3)))
+          .as("sh"))
+      .localCheckpoint(true)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val pairs = cand.select(col("query_id"), col("doc_id").as("da"))
+      .join(cand.select(col("query_id"), col("doc_id").as("db")),
+        "query_id")
+      .where(col("da") =!= col("db"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("da"), col("sh")), "da")
+      .join(sh.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
+      .groupBy(col("query_id"), col("da"), col("db"))
+      .agg(count(lit(1)).as("ni"))
+    val sims = pairs
+      .join(inter, Seq("query_id", "da", "db"), "left_outer")
+      .join(sizes.select(col("doc_id").as("da"), col("nsh").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("nsh").as("nb")), "db")
+      .select(col("query_id"), col("da").as("doc_id"),
+        col("db").as("pd"),
+        expr("(10000 * coalesce(ni, 0)) div (na + nb - coalesce(ni, 0))")
+          .as("sim"))
+      .localCheckpoint(true)
+    var state = cand.withColumn("ms", lit(0L))
+    var out: DataFrame = null
+    for (t <- 1 to k) {
+      val pick = state
+        .withColumn("mmr", lit(7L) * col("rel") - lit(3L) * col("ms"))
+        .groupBy(col("query_id"))
+        .agg(min(struct((-col("mmr")).as("nm"), col("doc_id").as("d")))
+          .as("p"))
+        .select(col("query_id"), col("p.d").as("pd"),
+          (-col("p.nm")).as("pmmr"))
+      val picked = pick.select(col("query_id"),
+        lit(t).cast("int").as("pick_rank"), col("pd").as("doc_id"),
+        col("pmmr").as("mmr_fp"))
+      out = if (out == null) picked else out.unionByName(picked)
+      state = state.join(pick, "query_id")
+        .where(col("doc_id") =!= col("pd"))
+        .join(sims, Seq("query_id", "doc_id", "pd"), "left_outer")
+        .select(col("query_id"), col("doc_id"), col("rel"),
+          greatest(col("ms"), coalesce(col("sim"), lit(0L))).as("ms"))
+        .localCheckpoint(true)
+    }
+    out
+  }
+
   /** Reciprocal-rank fusion (Cormack et al.) of a sparse and a dense
     * ranking — the standard hybrid-retrieval combiner: score =
     * Σ 1/(K + rank) over the rankers that returned the candidate,

@@ -556,6 +556,15 @@ object LlmPack extends QueryPack {
       Retrieval.evalRanking(
         Retrieval.bm25TopK(docs, Retrieval.sampleQueries(docs)))
     }),
+    // MMR diversified re-ranking of the q165 BM25 lists: greedy
+    // λ=0.7 relevance-vs-diversity picks with min–max-normalized
+    // integer relevance and 3-shingle Jaccard diversity — no float
+    // anywhere, every greedy round bit-exact.
+    "q260_mmr" -> ((s, d) => {
+      val docs = t("documents")(s, d)
+      Retrieval.mmrRerank(
+        Retrieval.bm25TopK(docs, Retrieval.sampleQueries(docs)), docs)
+    }),
     // Bigram-PMI collocations: the phrase-mining signal (tokenizer
     // merge candidates, domain-term discovery) — exact bigram counts,
     // self-consistent marginals, floor-rounded ln at the edge, total
@@ -2136,6 +2145,80 @@ object LlmPack extends QueryPack {
          |                 / CAST(i.idcg AS DOUBLE) * 1e6 + 0.5) / 1e6
          |            END AS REAL) AS ndcg
          |FROM per p JOIN iper i USING (query_id)""".stripMargin
+    },
+    // The greedy rounds unrolled: same integer normalization, same
+    // distinct-shingle Jaccard, struct-min argmax (−mmr, doc_id),
+    // per-round state MATERIALIZED.
+    "q260_mmr" -> {
+      val rounds = (1 to 5).map { t =>
+        s"""pk$t AS MATERIALIZED (
+           |  SELECT query_id,
+           |         min(struct_pack(nm := -(7 * rel - 3 * ms),
+           |                         d := doc_id)) AS p
+           |  FROM u${t - 1} GROUP BY 1),
+           |pt$t AS (SELECT query_id,
+           |                struct_extract(p, 'd') AS pd,
+           |                -struct_extract(p, 'nm') AS pmmr
+           |         FROM pk$t),
+           |u$t AS MATERIALIZED (
+           |  SELECT u.query_id, u.doc_id, u.rel,
+           |         greatest(u.ms, coalesce(s.sim, CAST(0 AS BIGINT)))
+           |           AS ms
+           |  FROM u${t - 1} u
+           |  JOIN pt$t p ON u.query_id = p.query_id
+           |  LEFT JOIN sims s ON s.query_id = u.query_id
+           |   AND s.da = u.doc_id AND s.db = p.pd
+           |  WHERE u.doc_id <> p.pd)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to 5).map { t =>
+        s"""SELECT query_id, CAST($t AS INTEGER) AS pick_rank,
+           |       pd AS doc_id, CAST(pmmr AS BIGINT) AS mmr_fp
+           |FROM pt$t""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $bm25Ctes,
+         |cand AS MATERIALIZED (
+         |  SELECT query_id, doc_id,
+         |         CAST(floor(score * 1e4 + 0.5) AS BIGINT) AS r0
+         |  FROM sparse WHERE rank <= 10),
+         |bounds AS (SELECT query_id, min(r0) AS rmin, max(r0) AS rmax
+         |           FROM cand GROUP BY 1),
+         |candn AS MATERIALIZED (
+         |  SELECT c.query_id, c.doc_id,
+         |         CASE WHEN b.rmax > b.rmin
+         |              THEN (10000 * (c.r0 - b.rmin)) // (b.rmax - b.rmin)
+         |              ELSE CAST(10000 AS BIGINT) END AS rel
+         |  FROM cand c JOIN bounds b ON c.query_id = b.query_id),
+         |cd AS (SELECT DISTINCT doc_id FROM cand),
+         |sh AS MATERIALIZED (
+         |  SELECT DISTINCT t.doc_id,
+         |         w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS sh
+         |  FROM (SELECT toks.doc_id, w, unnest(range(1, len(w) - 1)) AS i
+         |        FROM toks JOIN cd ON toks.doc_id = cd.doc_id) t
+         |  WHERE i + 2 <= len(w)),
+         |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.query_id, a.doc_id AS da, b.doc_id AS db
+         |  FROM cand a JOIN cand b ON a.query_id = b.query_id
+         |   AND a.doc_id <> b.doc_id),
+         |inter AS (
+         |  SELECT p.query_id, p.da, p.db, count(*) AS ni
+         |  FROM pairs p JOIN sh x ON x.doc_id = p.da
+         |  JOIN sh y ON y.doc_id = p.db AND y.sh = x.sh
+         |  GROUP BY 1, 2, 3),
+         |sims AS MATERIALIZED (
+         |  SELECT p.query_id, p.da, p.db,
+         |         (10000 * coalesce(i.ni, 0))
+         |           // (sa.nsh + sb.nsh - coalesce(i.ni, 0)) AS sim
+         |  FROM pairs p
+         |  LEFT JOIN inter i ON i.query_id = p.query_id
+         |   AND i.da = p.da AND i.db = p.db
+         |  JOIN sizes sa ON sa.doc_id = p.da
+         |  JOIN sizes sb ON sb.doc_id = p.db),
+         |u0 AS MATERIALIZED (
+         |  SELECT query_id, doc_id, rel, CAST(0 AS BIGINT) AS ms
+         |  FROM candn),
+         |$rounds
+         |$out""".stripMargin
     },
     // Adjacent pairs via 1-based list indexing over range(1, len);
     // marginals/total from the bigram table itself; same fixed IEEE
