@@ -425,6 +425,47 @@ object DataQuality {
           .otherwise(lit("*")).as("rel_qi2"))
   }
 
+  /** Differentially-private count release (the Laplace mechanism,
+    * Dwork et al. 2006): per-group counts + Laplace(Δf/ε) noise,
+    * Δf = 1 for counting queries. The released-statistics layer of a
+    * privacy-aware pipeline, beside the structural [[kAnonymityAudit]]
+    * gate.
+    *
+    * Noise is SEEDED, not sampled: u = (md5₄₈(salt:key) + 0.5)/2⁴⁸ is
+    * an exact dyadic uniform in (0,1) (the KMV fraction construction),
+    * pushed through the Laplace inverse CDF
+    * −b·sgn(u−½)·ln(1−2|u−½|). Every step before the ln is exact in
+    * binary and u = ½ is unreachable (h is an integer), so both
+    * engines evaluate ln on the identical double; the shared
+    * floor(x·10⁴+0.5)/10⁴ edge absorbs libm ulp drift (the PMI
+    * discipline). Deterministic noise means the release REPLAYS —
+    * rerunning the pipeline cannot leak a fresh noise draw for the
+    * same key (the "sticky noise" property practical DP systems
+    * need) — while remaining a true Laplace draw over the key
+    * population.
+    *
+    * Scale shape: one keyed hash aggregate with map-side partials,
+    * then a pure map — nothing else.
+    *
+    * The audit form ships the exact count BESIDE the noisy release so
+    * the oracle pins both; the production release drops `n`.
+    */
+  def dpNoisyCounts(df: DataFrame, keyCols: Seq[String],
+      eps: Double = 1.0, salt: String = "dp"): DataFrame = {
+    val key = concat_ws(":", lit(salt) +:
+      keyCols.map(c => col(c).cast("string")): _*)
+    val h = conv(substring(md5(key), 1, 12), 16, 10).cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(281474976710656.0)
+    val d = u - lit(0.5)
+    val t = lit(1.0) - lit(2.0) * abs(d)
+    val raw = when(d >= 0, -log(t)).otherwise(log(t)) * lit(1.0 / eps)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .select(keyCols.map(col) ++ Seq(col("n"),
+        (floor((col("n").cast("double") + raw) * 1e4 + 0.5) / 1e4)
+          .cast("float").as("noisy")): _*)
+  }
+
   private def refIntegrityCore(edges: Seq[FkEdge],
       bloomGate: Option[(Long, Int)]): DataFrame =
     edges.map { e =>

@@ -312,6 +312,17 @@ object LoadIngest extends QueryPack {
         "n_regionkey", "c_custkey", k = 8)
     }),
 
+    // Laplace-mechanism DP count release over (event_type, day) cells,
+    // ε = 1: md5-seeded exact dyadic uniforms through the inverse CDF
+    // — deterministic ("sticky") noise that replays, floor-rounded at
+    // the shared 1e-4 edge. Audit form ships the exact count beside
+    // the noisy release so the oracle pins both.
+    "q261_dp_release" -> ((s, d) =>
+      DataQuality.dpNoisyCounts(
+        t("events")(s, d)
+          .select(col("event_type"), to_date(col("ts")).as("day")),
+        Seq("event_type", "day"))),
+
     // Small-file compaction planner over a (month, supplier) pseudo
     // file manifest: size-DESC next-fit binning by exact integer
     // prefix sums — the metadata-only maintenance pass that turns
@@ -444,6 +455,29 @@ object LoadIngest extends QueryPack {
          |       CAST(month(dt) AS INTEGER) AS month,
          |       CAST(day(dt) AS INTEGER) AS day
          |FROM daily""".stripMargin,
+    // The seeded Laplace draw replayed: same exact dyadic uniform
+    // (KMV nibble sum), same inverse-CDF operation order, shared
+    // floor edge.
+    "q261_dp_release" -> {
+      val hv = graft.queries.OracleSql.md5Int48(
+        "md5('dp:' || event_type || ':' || CAST(day AS VARCHAR))")
+      s"""WITH c AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |h AS (SELECT event_type, day, n, $hv AS hv FROM c),
+         |u AS (SELECT event_type, day, n,
+         |        (CAST(hv AS DOUBLE) + 0.5) / 281474976710656.0 AS u
+         |      FROM h),
+         |x AS (SELECT event_type, day, n, u - 0.5 AS d,
+         |             1 - 2 * abs(u - 0.5) AS t
+         |      FROM u)
+         |SELECT event_type, day, CAST(n AS BIGINT) AS n,
+         |       CAST(floor((CAST(n AS DOUBLE) +
+         |              (CASE WHEN d >= 0 THEN -ln(t) ELSE ln(t) END)
+         |                * 1.0) * 1e4 + 0.5) / 1e4 AS REAL) AS noisy
+         |FROM x""".stripMargin
+    },
+
     // Class counts + two-level distinct re-derived; verdicts as
     // boolean comparisons of exact integers.
     "q258_kanon_audit" ->
