@@ -113,6 +113,66 @@ object Bpe {
   def bpeVocab(docs: DataFrame, nMerges: Int = 8): DataFrame =
     bpeState(docs, nMerges)._2
 
+  /** WordPiece-style tokenizer training (Schuster & Nakajima 2012;
+    * Wu et al. 2016): the THIRD of the tokenizer-training families
+    * real pipelines use, beside frequency-greedy BPE ([[bpeState]])
+    * and the unigram LM ([[Unigram]]). Same merge loop as BPE but the
+    * round winner maximizes the LIKELIHOOD gain
+    * score = ln cnt(lhs,rhs) − ln cnt(lhs) − ln cnt(rhs)
+    * (merge the pair whose joint frequency most exceeds what its
+    * parts predict — a PMI objective) instead of raw pair frequency.
+    *
+    * Determinism: counts are exact frequency-weighted longs; the
+    * score is the scaled-ln integer floor((lnC−lnL)−lnR)·10⁶ (the
+    * [[Unigram]] discipline — ln on identical exact-integer-valued
+    * doubles, 10⁻⁶ grid absorbing libm ulp), ties to (lhs, rhs)
+    * binary order. Merge application and scale shape are exactly
+    * [[bpeState]]'s: vocab-bounded per-round aggregates (pair counts
+    * + symbol unigram counts), broadcast 1-row argmax, per-round
+    * checkpoints.
+    *
+    * @return _1: (rank, lhs, rhs, cnt, score_fp) merge table;
+    *         _2: (word, freq, sym) post-merge segmentations
+    */
+  def wordPieceState(docs: DataFrame,
+      nMerges: Int): (DataFrame, DataFrame) = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    var words = TextOps.spread(docs)
+      .where(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("sym", concat(lit(" "), concat_ws(" ", expr(
+          "transform(sequence(1, length(word)), i -> substr(word, i, 1))")),
+        lit(" </w> ")))
+      .localCheckpoint(true)
+    var merges: DataFrame = null
+    (1 to nMerges).foreach { r =>
+      val syms = words
+        .select(col("freq"),
+          explode(split(trim(col("sym")), " ")).as("s"))
+        .groupBy(col("s")).agg(sum(col("freq")).as("c"))
+      val best = pairsOf(words)
+        .join(syms.select(col("s").as("lhs"), col("c").as("cl")), "lhs")
+        .join(syms.select(col("s").as("rhs"), col("c").as("cr")), "rhs")
+        .withColumn("score_fp",
+          floor((log(col("cnt")) - log(col("cl")) - log(col("cr")))
+            * 1e6).cast("long"))
+        .orderBy(col("score_fp").desc, col("lhs"), col("rhs")).limit(1)
+        .select(lit(r).cast("int").as("rank"),
+          col("lhs"), col("rhs"), col("cnt"), col("score_fp"))
+        .localCheckpoint(true)
+      merges = if (merges == null) best else merges.unionByName(best)
+      words = words.crossJoin(
+          broadcast(best.select(col("lhs"), col("rhs"))))
+        .withColumn("sym", expr("replace(sym, " +
+          "' ' || lhs || ' ' || rhs || ' ', ' ' || lhs || rhs || ' ')"))
+        .drop("lhs", "rhs")
+        .localCheckpoint(true)
+    }
+    (merges, words.select(col("word"), col("freq"),
+      trim(col("sym")).as("sym")))
+  }
+
   /** ENCODE with a trained merge table (the inference side): apply
     * `merges` rank order 1..nMerges to a word frame carrying `sym`
     * symbol strings — the same greedy leftmost-first fusion as

@@ -643,6 +643,14 @@ object LlmPack extends QueryPack {
     // vocabulary (each word charged its post-merge symbol count).
     "q145_bpe_encode" -> ((s, d) =>
       graft.llm.Bpe.bpeEncode(t("documents")(s, d))),
+    // WordPiece-style training (likelihood-scored merges): the same
+    // loop as q143 but the round winner maximizes the PMI objective
+    // ln cnt(pair) − ln cnt(lhs) − ln cnt(rhs) as a scaled-ln integer
+    // — the third tokenizer-training family, merge table + vocab.
+    "q262_wp_merges" -> ((s, d) =>
+      graft.llm.Bpe.wordPieceState(t("documents")(s, d), 8)._1),
+    "q263_wp_vocab" -> ((s, d) =>
+      graft.llm.Bpe.wordPieceState(t("documents")(s, d), 8)._2),
     // Int8-quantized ANN (the memory scale path): ranking runs on
     // exact integer dots of QuantizeI8 codes, so the oracle re-derives
     // the byte codes in SQL and the whole quantized pipeline sits
@@ -804,6 +812,56 @@ object LlmPack extends QueryPack {
        |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
        |  FROM d),
        |w1 AS (
+       |  SELECT word, count(*) AS freq,
+       |         ' ' || array_to_string(list_transform(range(length(word)),
+       |                 i -> substr(word, CAST(i AS INT) + 1, 1)), ' ')
+       |           || ' </w> ' AS sym
+       |  FROM tk GROUP BY 1),
+       |${(1 to nMerges).map(round).mkString(",\n")}"""
+      .stripMargin
+  }
+
+  /** The WordPiece training loop unrolled as CTEs (q262/q263): the
+    * [[bpeChain]] structure with a per-round symbol-unigram count CTE
+    * and the likelihood argmax — scaled-ln integer scores, every
+    * DuckDB sum CAST to BIGINT before its single DOUBLE conversion.
+    */
+  private def wpChain(nMerges: Int): String = {
+    def round(r: Int): String =
+      s"""p$r AS MATERIALIZED (
+         |  SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, s[CAST(i AS INT) + 1] AS lhs,
+         |           s[CAST(i AS INT) + 2] AS rhs
+         |    FROM (SELECT freq, s, unnest(range(len(s) - 1)) AS i
+         |          FROM (SELECT freq, string_split(trim(sym), ' ') AS s
+         |                FROM w$r)))
+         |  GROUP BY 1, 2),
+         |sc$r AS MATERIALIZED (
+         |  SELECT s, CAST(sum(freq) AS BIGINT) AS c FROM (
+         |    SELECT freq, unnest(string_split(trim(sym), ' ')) AS s
+         |    FROM w$r)
+         |  GROUP BY 1),
+         |b$r AS MATERIALIZED (
+         |  SELECT CAST($r AS INTEGER) AS rank, p.lhs, p.rhs, p.cnt,
+         |         CAST(floor((ln(CAST(p.cnt AS DOUBLE))
+         |             - ln(CAST(a.c AS DOUBLE))
+         |             - ln(CAST(b.c AS DOUBLE))) * 1e6) AS BIGINT)
+         |           AS score_fp
+         |  FROM p$r p JOIN sc$r a ON a.s = p.lhs
+         |  JOIN sc$r b ON b.s = p.rhs
+         |  ORDER BY score_fp DESC, p.lhs, p.rhs LIMIT 1),
+         |w${r + 1} AS MATERIALIZED (
+         |  SELECT word, freq,
+         |         replace(sym, ' ' || lhs || ' ' || rhs || ' ',
+         |                 ' ' || lhs || rhs || ' ') AS sym
+         |  FROM w$r, b$r)""".stripMargin
+    s"""WITH d AS (
+       |  SELECT text FROM documents
+       |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+       |tk AS (
+       |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+       |  FROM d),
+       |w1 AS MATERIALIZED (
        |  SELECT word, count(*) AS freq,
        |         ' ' || array_to_string(list_transform(range(length(word)),
        |                 i -> substr(word, CAST(i AS INT) + 1, 1)), ' ')
@@ -2401,6 +2459,13 @@ object LlmPack extends QueryPack {
         .mkString("\nUNION ALL\n")),
     "q144_bpe_vocab" ->
       (bpeChain(8) +
+        "\nSELECT word, freq, trim(sym) AS sym FROM w9"),
+    "q262_wp_merges" ->
+      (wpChain(8) + "\n" + (1 to 8).map(r =>
+        s"SELECT rank, lhs, rhs, cnt, score_fp FROM b$r")
+        .mkString("\nUNION ALL\n")),
+    "q263_wp_vocab" ->
+      (wpChain(8) +
         "\nSELECT word, freq, trim(sym) AS sym FROM w9"),
     "q145_bpe_encode" ->
       (bpeChain(8) + """,
