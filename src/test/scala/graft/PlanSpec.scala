@@ -420,6 +420,80 @@ class PlanSpec extends AnyFunSuite {
       s"expected the single id exchange:\n$p")
   }
 
+  test("q251: hilbert block stats — scalar bounds + ONE block pass") {
+    // the q168 contract on the Hilbert key: the 1-row min/max bounds
+    // aggregate and the bounded block groupBy; the fact rows never
+    // shuffle for a join
+    val p = plan("q251_hilbert")
+    val n = p.collect { case e: ShuffleExchangeExec => e }.length
+    assert(n == 2, s"q251 planned $n exchanges")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty)
+  }
+
+  test("personalized pagerank rounds carry only narrow rows") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (1L, 0L), (1L, 2L)).toDF("src", "dst")
+    val nodes = Seq(0L, 1L, 2L).toDF("id")
+    val seeds = Seq(0L).toDF("id")
+    val before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val widths =
+      try graft.graph.PageRank
+        .runPersonalized(nodes, edges, seeds, iters = 3,
+          checkpoint = false)
+        .queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e }
+        .map(_.output.length)
+      finally spark.conf.set("spark.sql.adaptive.enabled", before)
+    // node key + teleport/r0/rank/contribution columns, never wide
+    assert(widths.nonEmpty && widths.forall(_ <= 4),
+      s"wide shuffle rows: ${widths.mkString(",")}")
+  }
+
+  test("hits rounds carry only narrow rows") {
+    import spark.implicits._
+    val edges = Seq((0L, 10L), (1L, 10L), (1L, 11L)).toDF("src", "dst")
+    val hubs = Seq(0L, 1L).toDF("id")
+    val auths = Seq(10L, 11L).toDF("id")
+    val before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val widths =
+      try graft.graph.Hits
+        .run(hubs, auths, edges, iters = 2, checkpoint = false)
+        .queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e }
+        .map(_.output.length)
+      finally spark.conf.set("spark.sql.adaptive.enabled", before)
+    assert(widths.nonEmpty && widths.forall(_ <= 3),
+      s"wide shuffle rows: ${widths.mkString(",")}")
+  }
+
+  test("q255: pca scoring joins the loadings via broadcast only") {
+    val p = plan("q255_pca_scores")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty, s"$p")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty)
+  }
+
+  test("q257: dtw pairs via broadcast nested loop, never a data sort") {
+    val p = plan("q257_dtw")
+    assert(p.collect {
+      case j: org.apache.spark.sql.execution.joins
+        .BroadcastNestedLoopJoinExec => j
+    }.nonEmpty, "watchlist side must broadcast under the pair join")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty)
+  }
+
+  test("q261: dp release is ONE keyed aggregate + a pure map") {
+    val p = plan("q261_dp_release")
+    val n = p.collect { case e: ShuffleExchangeExec => e }.length
+    assert(n == 1, s"q261 planned $n exchanges")
+  }
+
+  test("q259: the k-anonymize release joins only via broadcast") {
+    val p = plan("q259_kanon_release")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty, s"$p")
+  }
+
   test("q230: auc aggregates value counts map-side before the scan") {
     val p = plan("q230_auc")
     // the per-value count feeding the midrank scan must partially
