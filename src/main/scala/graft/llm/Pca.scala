@@ -55,8 +55,14 @@ object Pca {
       .select(col("vec_id"), col("i"),
         floor(col("x") * grid + 0.5).cast("long").as("q"))
 
-  /** The down-scaled exact covariance frame (i, j, c) — dim² rows. */
-  private def covScaled(qs: DataFrame): DataFrame = {
+  /** The mergeable MOMENT state of a corpus: second moments
+    * (i, j, s_ij), first moments (i, s_i), and the vector count — the
+    * sketch-state form of the covariance (every field an exact long
+    * SUM, so day-2 maintenance is `unionByName` + re-sum, the
+    * [[graft.functions.HllFrame]] register contract on linear-algebra
+    * state: merged moments answer IDENTICALLY to a one-pass build).
+    */
+  def moments(qs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val a = qs.select(col("vec_id"), col("i"), col("q"))
     val b = qs.select(col("vec_id").as("vid2"), col("i").as("j"),
       col("q").as("q2"))
@@ -65,6 +71,18 @@ object Pca {
       .agg(sum(col("q") * col("q2")).as("s_ij"))
     val si = qs.groupBy(col("i")).agg(sum(col("q")).as("s_i"))
     val n = qs.agg(countDistinct(col("vec_id")).as("n"))
+    (sij, si, n)
+  }
+
+  /** The down-scaled exact covariance frame (i, j, c) — dim² rows. */
+  private def covScaled(qs: DataFrame): DataFrame = {
+    val (sij, si, n) = moments(qs)
+    covFromMoments(sij, si, n)
+  }
+
+  /** [[covScaled]] from an (optionally merged) moment state. */
+  def covFromMoments(sij: DataFrame, si: DataFrame,
+      n: DataFrame): DataFrame = {
     val c = sij
       .join(si, "i")
       .join(si.select(col("i").as("j"), col("s_i").as("s_j")), "j")
@@ -86,10 +104,33 @@ object Pca {
   /** Leading eigenvector loadings: (pos, loading_fp) — `dim` rows,
     * loading in 10⁻⁶ fixed-point units, pivot component = +10⁶. */
   def loadings(embeddings: DataFrame, dim: Int = Similarity.defaultDim,
-      iters: Int = 8): DataFrame = {
-    val spark = embeddings.sparkSession
+      iters: Int = 8): DataFrame =
+    loadingsFromCov(covScaled(quantized(embeddings, dim)), dim, iters)
+
+  /** Day-2 maintenance of the PCA state: per-batch [[moments]] merged
+    * by union + re-sum — exact long sums commute, so the merged state
+    * yields loadings IDENTICAL to a one-pass build (the q249/q220
+    * identical-answer contract on linear-algebra state). Day-2 cost =
+    * the batch's moment pass + a ≤ dim²-row merge; the standing
+    * corpus is never rescanned.
+    */
+  def loadingsDay2(old: DataFrame, batch: DataFrame,
+      dim: Int = Similarity.defaultDim, iters: Int = 8): DataFrame = {
+    val (aSij, aSi, aN) = moments(quantized(old, dim))
+    val (bSij, bSi, bN) = moments(quantized(batch, dim))
+    val sij = aSij.unionByName(bSij).groupBy(col("i"), col("j"))
+      .agg(sum(col("s_ij")).as("s_ij"))
+    val si = aSi.unionByName(bSi).groupBy(col("i"))
+      .agg(sum(col("s_i")).as("s_i"))
+    val n = aN.unionByName(bN).agg(sum(col("n")).as("n"))
+    loadingsFromCov(covFromMoments(sij, si, n), dim, iters)
+  }
+
+  private def loadingsFromCov(cov0: DataFrame, dim: Int,
+      iters: Int): DataFrame = {
+    val spark = cov0.sparkSession
     import spark.implicits._
-    val cov = covScaled(quantized(embeddings, dim)).localCheckpoint(true)
+    val cov = cov0.localCheckpoint(true)
     var v = (0 until dim).map(j => (j, vScale)).toDF("j", "v")
       .localCheckpoint(true)
     for (_ <- 1 to iters) {

@@ -529,6 +529,17 @@ object LlmPack extends QueryPack {
     // slicing/curriculum axis; map-only with the loadings broadcast.
     "q255_pca_scores" -> ((s, d) =>
       Pca.scores(t("embeddings")(s, d))),
+    // Day-2 PCA register maintenance: moments of a standing corpus
+    // and a new batch merged by union + re-sum — loadings IDENTICAL
+    // to the one-pass build (q254's oracle shared verbatim); the
+    // standing corpus is never rescanned in production (here both
+    // halves derive from the fixture split to prove the contract).
+    "q264_pca_day2" -> ((s, d) => {
+      val e = t("embeddings")(s, d)
+      Pca.loadingsDay2(
+        e.where(col("vec_id") % 3 =!= 0),
+        e.where(col("vec_id") % 3 === 0))
+    }),
     "q71_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(t("embeddings")(s, d), col("vec_id") < 10)),
     // Product-quantization ANN: per-subspace codebooks + asymmetric
@@ -820,6 +831,15 @@ object LlmPack extends QueryPack {
        |${(1 to nMerges).map(round).mkString(",\n")}"""
       .stripMargin
   }
+
+  /** q254/q264 shared oracle: the power iteration replayed in full —
+    * q264's day-2 moment merge shares it verbatim (exact long sums
+    * commute, so merged moments == one-pass moments). */
+  private lazy val pcaLoadingsOracle: String =
+    s"""WITH ${graft.llm.Pca.oracleQuantCte},
+       |${graft.llm.Pca.oracleCte(Similarity.defaultDim, 8)}
+       |SELECT CAST(j AS INTEGER) AS pos, v AS loading_fp
+       |FROM v8""".stripMargin
 
   /** The WordPiece training loop unrolled as CTEs (q262/q263): the
     * [[bpeChain]] structure with a per-round symbol-unigram count CTE
@@ -2074,11 +2094,12 @@ object LlmPack extends QueryPack {
     // The full power iteration replayed: same quantization grid, same
     // exact covariance, same sign-safe scaling, all 8 rounds unrolled
     // MATERIALIZED with the identical pivot/floor arithmetic.
-    "q254_pca_loadings" ->
-      s"""WITH ${graft.llm.Pca.oracleQuantCte},
-         |${graft.llm.Pca.oracleCte(Similarity.defaultDim, 8)}
-         |SELECT CAST(j AS INTEGER) AS pos, v AS loading_fp
-         |FROM v8""".stripMargin,
+    "q254_pca_loadings" -> pcaLoadingsOracle,
+    // Identical-answer contract on the PCA MOMENT state (the q249/
+    // q220 pattern on linear algebra): split moments re-summed == the
+    // one-pass covariance because exact long sums commute — shares
+    // q254's oracle VERBATIM.
+    "q264_pca_day2" -> pcaLoadingsOracle,
     "q255_pca_scores" ->
       s"""WITH ${graft.llm.Pca.oracleQuantCte},
          |${graft.llm.Pca.oracleCte(Similarity.defaultDim, 8)}
