@@ -150,6 +150,62 @@ object Analytics extends QueryPack {
         parts.where(col("id") % 500 === 0), iters = 5)
     }),
 
+    // Item-based collaborative filtering (Sarwar et al. 2001) over
+    // the purchase data: recommend to each seed customer the parts
+    // most co-purchased with their basket — score(c, p) =
+    // Σ_{p' ∈ basket(c)} w(p', p) on the memoized weighted co-purchase
+    // edges, owned parts anti-joined out, top-5 by (score desc, p).
+    // Exact integer counts end to end; the candidate space is
+    // basket(seeds) ⋈ edges — seed-bounded, never all-pairs.
+    "q265_itemcf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val basket = t("orders")(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t("lineitem")(s, d)
+          .select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+      val seedBasket = basket.where(col("c") % 100 === 0)
+        .localCheckpoint(true)
+      val scores = seedBasket
+        .join(coPurchaseEdgesW(s, d)
+          .select(col("a").as("p"), col("b").as("cand"), col("w")), "p")
+        .groupBy(col("c"), col("cand"))
+        .agg(sum(col("w")).as("score"))
+        .join(seedBasket.select(col("c"), col("p").as("cand")),
+          Seq("c", "cand"), "left_anti")
+      val rk = Window.partitionBy(col("c"))
+        .orderBy(col("score").desc, col("cand"))
+      scores.withColumn("rank", row_number().over(rk).cast("int"))
+        .where(col("rank") <= 5)
+        .select(col("c").as("custkey"), col("rank"),
+          col("cand").as("partkey"), col("score"))
+    }),
+
+    // TextRank keyword extraction (Mihalcea & Tarau 2004): the word
+    // co-occurrence graph (adjacent tokens, both directions, distinct)
+    // run through the exact-integer PageRank — graph-structural
+    // keyword salience that needs no training. Composes q170's walk
+    // on a text-derived graph; bit-exact like every rank here.
+    "q266_textrank" -> ((s, d) => {
+      val toks = graft.llm.TextOps.spread(
+          t("documents")(s, d).where(col("text").isNotNull))
+        .select(graft.llm.TextOps.tokens(col("text")).as("w"))
+        .where(size(col("w")) >= 2)
+      val bi = toks.select(explode(expr(
+          "transform(sequence(1, size(w) - 1), " +
+            "i -> struct(w[i-1] AS a, w[i] AS b))")).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .where(col("a") =!= col("b"))
+      val edges = bi.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(bi.select(col("b").as("src"), col("a").as("dst")))
+        .distinct()
+      val nodes = edges.select(col("src").as("id")).distinct()
+      graft.graph.PageRank.run(nodes, edges, iters = 5)
+        .select(col("id").as("word"), col("rank_fp"))
+    }),
+
     // HITS hubs/authorities over the bipartite customer→part purchase
     // graph (the directed graph where the two scores genuinely
     // differ): exact-integer mutual recursion, deterministic-pivot
@@ -1483,6 +1539,54 @@ object Analytics extends QueryPack {
         |    SELECT * FROM d2 UNION ALL SELECT * FROM r3) GROUP BY 1)
         |SELECT p.p_partkey AS id, coalesce(d3.d, -1) AS dist
         |FROM part p LEFT JOIN d3 ON d3.id = p.p_partkey""".stripMargin,
+
+    // The CF recommendation re-derived: basket, weighted co-purchase
+    // edges, the same seed-bounded score sum, anti-join via NULL
+    // left join, the same (score desc, cand) top-5 total order.
+    "q265_itemcf" ->
+      """WITH basket AS MATERIALIZED (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |sb AS MATERIALIZED (SELECT * FROM basket WHERE c % 100 = 0),
+        |e AS MATERIALIZED (
+        |  SELECT a.l_partkey AS p, b.l_partkey AS cand,
+        |         CAST(count(*) AS BIGINT) AS w
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey <> b.l_partkey
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT sb.c, e.cand, CAST(sum(e.w) AS BIGINT) AS score
+        |  FROM sb JOIN e ON e.p = sb.p
+        |  GROUP BY 1, 2),
+        |fl AS (SELECT sc.* FROM sc LEFT JOIN sb
+        |         ON sb.c = sc.c AND sb.p = sc.cand
+        |       WHERE sb.p IS NULL),
+        |rk AS (SELECT c, cand, score,
+        |              row_number() OVER (PARTITION BY c
+        |                ORDER BY score DESC, cand) AS rank
+        |       FROM fl)
+        |SELECT c AS custkey, CAST(rank AS INTEGER) AS rank,
+        |       cand AS partkey, score
+        |FROM rk WHERE rank <= 5""".stripMargin,
+
+    // The word graph + all five integer PageRank rounds re-derived.
+    "q266_textrank" ->
+      s"""WITH toks AS (
+         |  SELECT string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents WHERE text IS NOT NULL),
+         |bi AS (
+         |  SELECT w[i] AS a, w[i + 1] AS b FROM (
+         |    SELECT w, unnest(range(1, len(w))) AS i
+         |    FROM toks WHERE len(w) >= 2)
+         |  WHERE w[i] <> w[i + 1]),
+         |e AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT a AS src, b AS dst FROM bi
+         |    UNION ALL SELECT b, a FROM bi)),
+         |n AS (SELECT DISTINCT src AS id FROM e),
+         |${graft.graph.PageRank.oracleCte(5)}
+         |SELECT id AS word, CAST(r AS BIGINT) AS rank_fp FROM r5""".stripMargin,
 
     // All five HITS rounds unrolled with the identical pivot/floor
     // arithmetic — hub and authority halves both bit-exact.
