@@ -198,10 +198,14 @@ object Analytics extends QueryPack {
             "i -> struct(w[i-1] AS a, w[i] AS b))")).as("e"))
         .select(col("e.a").as("a"), col("e.b").as("b"))
         .where(col("a") =!= col("b"))
+      // the walk consumes the node spine every round — checkpoint the
+      // corpus-derived frames ONCE or each round re-tokenizes the text
       val edges = bi.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(bi.select(col("b").as("src"), col("a").as("dst")))
         .distinct()
+        .localCheckpoint(true)
       val nodes = edges.select(col("src").as("id")).distinct()
+        .localCheckpoint(true)
       graft.graph.PageRank.run(nodes, edges, iters = 5)
         .select(col("id").as("word"), col("rank_fp"))
     }),
