@@ -75,7 +75,10 @@ object Triangles {
       .unionByName(canon.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("d"))
 
-  private def perNodeFromCanon(canon: DataFrame,
+  /** The degree-oriented, bloom-gated triangle stream (n1, n2, n3)
+    * over a canonical edge set — factored so [[Truss]] can re-count
+    * per-EDGE support per peeling round on the same machinery. */
+  private[graph] def trianglesOf(canon: DataFrame,
       deg: DataFrame): DataFrame = {
     // orient from (degree, id)-smaller to larger
     val du = deg.select(col("id").as("u"), col("d").as("du"))
@@ -118,8 +121,13 @@ object Triangles {
     val gated = graft.functions.BloomFrame
       .mayContain(wedges, wkey, bloom, 1L << 22, 2)
       .where(col("bf_maybe")).drop("bf_maybe")
-    val tris = gated.join(closing, Seq("x", "y"))
+    gated.join(closing, Seq("x", "y"))
       .select(col("src").as("n1"), col("x").as("n2"), col("y").as("n3"))
+  }
+
+  private def perNodeFromCanon(canon: DataFrame,
+      deg: DataFrame): DataFrame = {
+    val tris = trianglesOf(canon, deg)
     val nodes = deg.select(col("id"))
     val counts = tris
       .select(explode(array(col("n1"), col("n2"), col("n3"))).as("id"))
@@ -127,4 +135,12 @@ object Triangles {
     nodes.join(counts, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
+
+  /** Package-private canonicalization for [[Truss]]. */
+  private[graph] def canonicalOf(edges: DataFrame): DataFrame =
+    canonical(edges)
+
+  /** Package-private degree helper for [[Truss]]. */
+  private[graph] def degreesOf(canon: DataFrame): DataFrame =
+    degrees(canon)
 }

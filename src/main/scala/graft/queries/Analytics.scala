@@ -150,6 +150,18 @@ object Analytics extends QueryPack {
         parts.where(col("id") % 500 === 0), iters = 5)
     }),
 
+    // k-truss peeling (k = 3, 3 rounds) over the REPEAT co-purchase
+    // subgraph (w ≥ 2): every surviving edge sits in ≥ 1 triangle of
+    // survivors — a stronger community core than k-core's degree
+    // peel. Triangle support re-enumerated per round on the shrinking
+    // edge set via the degree-oriented bloom-gated stream; exact
+    // integer counts only. The fixtures exercise both regimes:
+    // triangle-rich at sf0.001, empty truss at sf0.1.
+    "q267_ktruss" -> ((s, d) =>
+      graft.graph.Truss.kTruss(
+        coPurchaseEdgesW(s, d).where(col("w") >= 2)
+          .select(col("a"), col("b")), k = 3, rounds = 3)),
+
     // Item-based collaborative filtering (Sarwar et al. 2001) over
     // the purchase data: recommend to each seed customer the parts
     // most co-purchased with their basket — score(c, p) =
@@ -1543,6 +1555,43 @@ object Analytics extends QueryPack {
         |    SELECT * FROM d2 UNION ALL SELECT * FROM r3) GROUP BY 1)
         |SELECT p.p_partkey AS id, coalesce(d3.d, -1) AS dist
         |FROM part p LEFT JOIN d3 ON d3.id = p.p_partkey""".stripMargin,
+
+    // All three peeling rounds unrolled: naive a<b<c triple join per
+    // round (an INDEPENDENT triangle formulation, the q172 contract),
+    // per-edge support via unnested edge triples, the same >= k-2 = 1
+    // filter, final support recounted on the survivors.
+    "q267_ktruss" -> {
+      def round(r: Int): String =
+        s"""t$r AS MATERIALIZED (
+           |  SELECT x.u AS a, x.v AS b, y.v AS c
+           |  FROM e${r - 1} x JOIN e${r - 1} y ON y.u = x.v
+           |  JOIN e${r - 1} z ON z.u = x.u AND z.v = y.v),
+           |s$r AS MATERIALIZED (
+           |  SELECT ed[1] AS u, ed[2] AS v, count(*) AS sup FROM (
+           |    SELECT unnest([[a, b], [a, c], [b, c]]) AS ed FROM t$r)
+           |  GROUP BY 1, 2),
+           |e$r AS MATERIALIZED (
+           |  SELECT e.u, e.v FROM e${r - 1} e
+           |  LEFT JOIN s$r s ON s.u = e.u AND s.v = e.v
+           |  WHERE coalesce(s.sup, 0) >= 1)""".stripMargin
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey
+         |   AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |${(1 to 3).map(round).mkString(",\n")},
+         |tf AS (
+         |  SELECT x.u AS a, x.v AS b, y.v AS c
+         |  FROM e3 x JOIN e3 y ON y.u = x.v
+         |  JOIN e3 z ON z.u = x.u AND z.v = y.v),
+         |sf AS (
+         |  SELECT ed[1] AS u, ed[2] AS v, count(*) AS sup FROM (
+         |    SELECT unnest([[a, b], [a, c], [b, c]]) AS ed FROM tf)
+         |  GROUP BY 1, 2)
+         |SELECT e.u, e.v, CAST(coalesce(s.sup, 0) AS BIGINT) AS support
+         |FROM e3 e LEFT JOIN sf s ON s.u = e.u AND s.v = e.v""".stripMargin
+    },
 
     // The CF recommendation re-derived: basket, weighted co-purchase
     // edges, the same seed-bounded score sum, anti-join via NULL
