@@ -100,6 +100,12 @@ object ScaleSmoke {
     run("winnowed_pairs_q113")(graft.llm.Dedup.winnowedPairs(docs))
     run("dup_spans_q236")(graft.llm.Dedup.duplicateSpans(docs))
     run("fastcdc_dedup_q240")(graft.llm.Dedup.fastCdcDedup(docs))
+    run("ppr_q252")(graft.graph.PageRank.runPersonalized(
+      part, edges.select(col("a").as("src"), col("b").as("dst")),
+      part.where(col("id") % 500 === 0), iters = 5))
+    run("ktruss_q267")(graft.graph.Truss.kTruss(
+      pairs.where(col("w") >= 2).select(col("a"), col("b")),
+      k = 3, rounds = 3))
     spark.stop()
   }
 }
