@@ -162,6 +162,17 @@ object Analytics extends QueryPack {
         coPurchaseEdgesW(s, d).where(col("w") >= 2)
           .select(col("a"), col("b")), k = 3, rounds = 3)),
 
+    // Resource-Allocation link prediction (Zhou et al. 2009) on the
+    // repeat co-purchase subgraph: for non-adjacent pairs, score =
+    // Σ 1/deg(z) over common neighbors as the exact long Σ 10⁶ div d
+    // — RA is the exact-arithmetic member of the classic index family
+    // (Adamic–Adar's 1/ln d would put libm in the sum). Candidates
+    // only via wedges (Σ deg² bounded), top-50 TakeOrdered.
+    "q268_linkpred" -> ((s, d) =>
+      graft.graph.LinkPred.resourceAllocation(
+        coPurchaseEdgesW(s, d).where(col("w") >= 2)
+          .select(col("a"), col("b")))),
+
     // Item-based collaborative filtering (Sarwar et al. 2001) over
     // the purchase data: recommend to each seed customer the parts
     // most co-purchased with their basket — score(c, p) =
@@ -1555,6 +1566,33 @@ object Analytics extends QueryPack {
         |    SELECT * FROM d2 UNION ALL SELECT * FROM r3) GROUP BY 1)
         |SELECT p.p_partkey AS id, coalesce(d3.d, -1) AS dist
         |FROM part p LEFT JOIN d3 ON d3.id = p.p_partkey""".stripMargin,
+
+    // Wedge candidates + anti-join + the same exact integer RA sum
+    // and (ra desc, a, b) top-50 total order.
+    "q268_linkpred" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |d AS MATERIALIZED (
+        |  SELECT id, count(*) AS dg FROM (
+        |    SELECT u AS id FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY 1),
+        |nb AS (SELECT u AS z, v AS n FROM e
+        |       UNION ALL SELECT v, u FROM e),
+        |w AS (SELECT x.z, x.n AS a, y.n AS b
+        |      FROM nb x JOIN nb y ON x.z = y.z AND x.n < y.n),
+        |cand AS (
+        |  SELECT w.a, w.b, CAST(count(*) AS BIGINT) AS n_common,
+        |         CAST(sum(1000000 // d.dg) AS BIGINT) AS ra_fp
+        |  FROM w JOIN d ON d.id = w.z
+        |  LEFT JOIN e ON e.u = w.a AND e.v = w.b
+        |  WHERE e.u IS NULL
+        |  GROUP BY 1, 2)
+        |SELECT a, b, n_common, ra_fp FROM cand
+        |ORDER BY ra_fp DESC, a, b LIMIT 50""".stripMargin,
 
     // All three peeling rounds unrolled: naive a<b<c triple join per
     // round (an INDEPENDENT triangle formulation, the q172 contract),
