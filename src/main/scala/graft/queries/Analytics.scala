@@ -173,6 +173,31 @@ object Analytics extends QueryPack {
         coPurchaseEdgesW(s, d).where(col("w") >= 2)
           .select(col("a"), col("b")))),
 
+    // Synchronous label-propagation community detection (Raghavan et
+    // al. 2007, 4 rounds) on the repeat co-purchase subgraph: labels
+    // start as node ids, every node adopts its neighborhood's most
+    // frequent label, ties to the smallest — fully deterministic, no
+    // RNG/visit order, exact integer labels bit-exact under the hash
+    // gate. The assignment-producing community op beside q232's
+    // modularity METRIC and q267's structural core.
+    "q269_label_prop" -> ((s, d) =>
+      graft.graph.LabelProp.run(
+        coPurchaseEdgesW(s, d).where(col("w") >= 2)
+          .select(col("a"), col("b")), rounds = 4)),
+
+    // Deterministic seeded random walks (DeepWalk, Perozzi et al.
+    // 2014) from the q243/q252 seed hubs over the full co-purchase
+    // graph: 4 hops, next hop = md5-argmin over the neighbor set (the
+    // common-random-number discipline of the sampling operators), so
+    // the stochastic operator still carries the full hash-gate
+    // oracle. The graph-embedding training-corpus generator; isolated
+    // seeds keep only their step-0 row (dead-end contract).
+    "q270_random_walks" -> ((s, d) =>
+      graft.graph.RandomWalk.walks(
+        coPurchaseEdges(s, d).select(col("a"), col("b")),
+        t("part")(s, d).where(col("p_partkey") % 100 === 0)
+          .select(col("p_partkey").as("id")), steps = 4)),
+
     // Item-based collaborative filtering (Sarwar et al. 2001) over
     // the purchase data: recommend to each seed customer the parts
     // most co-purchased with their basket — score(c, p) =
@@ -1593,6 +1618,35 @@ object Analytics extends QueryPack {
         |  GROUP BY 1, 2)
         |SELECT a, b, n_common, ra_fp FROM cand
         |ORDER BY ra_fp DESC, a, b LIMIT 50""".stripMargin,
+
+    // All four synchronous rounds unrolled: per-(node, label)
+    // neighbor counts + the row_number (cnt desc, lbl) argmax — the
+    // engine's min(struct(-cnt, lbl)) re-derived — then community
+    // sizes on the final labels.
+    "q269_label_prop" ->
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey
+         |   AND a.l_partkey <> b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |${graft.graph.LabelProp.oracleCte(4)}
+         |SELECT l.id, l.lbl, CAST(c.csize AS BIGINT) AS csize
+         |FROM l4 l JOIN csz c USING (lbl)""".stripMargin,
+
+    // The walk unrolled hop by hop: per-hop md5 draw over the
+    // neighbor set, row_number (h, dst) argmin, step frames unioned.
+    "q270_random_walks" ->
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey
+         |   AND a.l_partkey <> b.l_partkey
+         |  GROUP BY 1, 2),
+         |sd AS (SELECT p_partkey AS id FROM part
+         |       WHERE p_partkey % 100 = 0),
+         |${graft.graph.RandomWalk.oracleCte(4)}
+         |${graft.graph.RandomWalk.oracleSelect(4)}""".stripMargin,
 
     // All three peeling rounds unrolled: naive a<b<c triple join per
     // round (an INDEPENDENT triangle formulation, the q172 contract),
