@@ -277,6 +277,127 @@ object EventAnalytics {
       .limit(k)
   }
 
+  /** Bounded sequential-pattern mining (the GSP/PrefixSpan family,
+    * Srikant & Agrawal 1996): support counts for ordered length-3
+    * event-type sequences across sessions — "signup → view →
+    * purchase happens in N sessions" — the sequence-mining report
+    * beside [[topPaths]]' exact-path counts and [[transitions]]'
+    * first-order matrix.
+    *
+    * Contract: sessions by the gap rule ([[graft.queries.Analytics]]
+    * q18); each session abstracts to its DISTINCT event types in
+    * first-occurrence order (the standard "item appears once per
+    * sequence" reduction — it bounds the per-session pattern count by
+    * C(|types|, 3) instead of C(length, 3)); a pattern (t1, t2, t3)
+    * is supported by a session iff the three types occur in that
+    * relative order. Support ≥ `minSupport`, top-`k` under the total
+    * order (n desc, t1, t2, t3).
+    *
+    * Scale shape: the distinct-type reduction is a session-keyed
+    * aggregate riding the session window's own shuffle; the triple
+    * enumeration is two self-equi-joins on the session key with
+    * rank inequalities as residuals — per-session fan-out ≤
+    * C(|type domain|, 3), a constant; the support count is map-side
+    * combined and the top-k is a TakeOrdered, never a global sort.
+    *
+    * @return ≤ k rows (t1, t2, t3, n_sessions)
+    */
+  def seqPatterns(events: DataFrame, gapS: Long = 21600L,
+      minSupport: Long = 2L, k: Int = 50): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    val prev = lag(col("t"), 1).over(w)
+    val sess = events
+      .select(col("user_id"), col("ts").cast("long").as("t"),
+        col("event_id"), col("event_type"))
+      .withColumn("sid", sum(
+        when(prev.isNull || col("t") - prev > gapS, 1L).otherwise(0L))
+        .over(w))
+    val firsts = sess
+      .groupBy(col("user_id"), col("sid"), col("event_type"))
+      .agg(min(struct(col("t"), col("event_id"))).as("f"))
+    val rw = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("f.t"), col("f.event_id"))
+    // ≤ |type domain| rows per session enter the rank window
+    val ranked = firsts.withColumn("rk", row_number().over(rw))
+      .select(col("user_id"), col("sid"), col("event_type"), col("rk"))
+      .localCheckpoint(true) // fans into the 3-way self-join
+    def leg(i: Int) = ranked.select(col("user_id"), col("sid"),
+      col("event_type").as(s"t$i"), col("rk").as(s"r$i"))
+    leg(1)
+      .join(leg(2), Seq("user_id", "sid")).where(col("r2") > col("r1"))
+      .join(leg(3), Seq("user_id", "sid")).where(col("r3") > col("r2"))
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .where(col("n_sessions") >= minSupport)
+      .orderBy(col("n_sessions").desc, col("t1"), col("t2"), col("t3"))
+      .limit(k)
+  }
+
+  /** Multi-touch attribution over the four classic models at once —
+    * first-touch, last-touch, linear, and position-based/U-shaped
+    * (40/20/40) — the marketing-analytics allocation of conversion
+    * credit across the touchpoint channels that preceded it.
+    *
+    * Contract: a conversion is each `convType` event; its touchpoints
+    * are the same user's non-conversion events with
+    * `ct − lookbackS ≤ t < ct`, ordered by (t, event_id). Credit is
+    * EXACT INTEGER basis points (10000 per converted conversion):
+    * linear gives each touch `10000 div n` with the remainder to the
+    * last touch; U-shaped gives 40%/40% to first/last, the middle
+    * 20% split `2000 div (n−2)` with the remainder to the last middle
+    * touch (n = 1 → all 10000, n = 2 → 5000/5000). Every model sums
+    * to exactly 10000 per conversion, so channel totals are
+    * bit-exact — no float credit anywhere. Touchless conversions
+    * attribute nothing (standard).
+    *
+    * Scale shape: the conversion×touch pairing is a user-keyed
+    * equi-join with the lookback range as a residual predicate —
+    * fan-out bounded per user by the window, never cross-user; pos
+    * and n ride ONE conversion-keyed window sort; the channel report
+    * is a map-side-combined groupBy, |channels| rows out.
+    *
+    * @return (channel, n_touches, n_conversions, first_fp, last_fp,
+    *         linear_fp, ushape_fp)
+    */
+  def attribution(events: DataFrame, convType: String = "purchase",
+      lookbackS: Long = 7L * 86400L): DataFrame = {
+    val ev = events.select(col("user_id"),
+      col("ts").cast("long").as("t"), col("event_id"), col("event_type"))
+    val conv = ev.where(col("event_type") === convType)
+      .select(col("user_id"), col("t").as("ct"),
+        col("event_id").as("conv_id"))
+    val touch = ev.where(col("event_type") =!= convType)
+      .select(col("user_id"), col("t"), col("event_id"),
+        col("event_type").as("channel"))
+    val pairs = conv.join(touch, Seq("user_id"))
+      .where(col("t") < col("ct") && col("t") >= col("ct") - lookbackS)
+    val wOrd = Window.partitionBy(col("conv_id"))
+      .orderBy(col("t"), col("event_id"))
+    val wAll = Window.partitionBy(col("conv_id"))
+    val ranked = pairs
+      .withColumn("pos", row_number().over(wOrd).cast("long"))
+      .withColumn("nt", count(lit(1)).over(wAll))
+    val first = when(col("pos") === 1, lit(10000L)).otherwise(lit(0L))
+    val last = when(col("pos") === col("nt"), lit(10000L))
+      .otherwise(lit(0L))
+    val linear = expr("10000 div nt") +
+      when(col("pos") === col("nt"), expr("10000 % nt")).otherwise(lit(0L))
+    val ushape = when(col("nt") === 1, lit(10000L))
+      .when(col("nt") === 2, lit(5000L))
+      .when(col("pos") === 1 || col("pos") === col("nt"), lit(4000L))
+      .otherwise(expr("2000 div (nt - 2)") +
+        when(col("pos") === col("nt") - 1, expr("2000 % (nt - 2)"))
+          .otherwise(lit(0L)))
+    ranked
+      .select(col("channel"), col("conv_id"), first.as("ffp"),
+        last.as("lfp"), linear.as("linfp"), ushape.as("ufp"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        count_distinct(col("conv_id")).as("n_conversions"),
+        sum(col("ffp")).as("first_fp"), sum(col("lfp")).as("last_fp"),
+        sum(col("linfp")).as("linear_fp"), sum(col("ufp")).as("ushape_fp"))
+  }
+
   /** Goh–Barabási burstiness per user — B = (σ − μ)/(σ + μ) of the
     * inter-event gaps, in [−1, 1]: −1 = metronome (bot cadence),
     * 0 = Poisson, → 1 = bursty human. The behavioral-forensics signal

@@ -198,6 +198,24 @@ object Analytics extends QueryPack {
         t("part")(s, d).where(col("p_partkey") % 100 === 0)
           .select(col("p_partkey").as("id")), steps = 4)),
 
+    // Multi-touch attribution: conversion credit for each purchase
+    // split across the user's prior-7-day touch channels under all
+    // four classic models at once (first/last/linear/U-shaped) in
+    // exact integer basis points — every model sums to precisely
+    // 10000 per attributed conversion, so the channel totals are
+    // bit-exact under the hash gate.
+    "q271_attribution" -> ((s, d) =>
+      graft.ops.EventAnalytics.attribution(t("events")(s, d))),
+
+    // Sequential patterns (GSP/PrefixSpan class): support counts for
+    // ordered length-3 type sequences over gap-rule sessions, each
+    // session reduced to its distinct types in first-occurrence
+    // order — the sequence-mining report beside q210's exact paths
+    // and q175's transition matrix.
+    "q272_seq_patterns" -> ((s, d) =>
+      graft.ops.EventAnalytics.seqPatterns(t("events")(s, d),
+        gapS = sessionGapS)),
+
     // Item-based collaborative filtering (Sarwar et al. 2001) over
     // the purchase data: recommend to each seed customer the parts
     // most co-purchased with their basket — score(c, p) =
@@ -1647,6 +1665,80 @@ object Analytics extends QueryPack {
          |       WHERE p_partkey % 100 = 0),
          |${graft.graph.RandomWalk.oracleCte(4)}
          |${graft.graph.RandomWalk.oracleSelect(4)}""".stripMargin,
+
+    // The same (pos, n) window per conversion and the same integer
+    // basis-point CASEs — each model provably sums to 10000 per
+    // conversion on both engines.
+    "q271_attribution" ->
+      """WITH ev AS (SELECT user_id,
+        |              CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |              event_id, event_type FROM events),
+        |conv AS (SELECT user_id, t AS ct, event_id AS conv_id
+        |         FROM ev WHERE event_type = 'purchase'),
+        |tch AS (SELECT user_id, t, event_id, event_type AS channel
+        |        FROM ev WHERE event_type <> 'purchase'),
+        |p AS (SELECT c.conv_id, tc.channel, tc.t, tc.event_id
+        |      FROM conv c JOIN tch tc ON tc.user_id = c.user_id
+        |       AND tc.t < c.ct AND tc.t >= c.ct - 604800),
+        |r AS (SELECT *,
+        |        CAST(row_number() OVER (PARTITION BY conv_id
+        |          ORDER BY t, event_id) AS BIGINT) AS pos,
+        |        CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT)
+        |          AS nt
+        |      FROM p),
+        |cr AS (SELECT channel, conv_id,
+        |         CASE WHEN pos = 1 THEN 10000 ELSE 0 END AS ffp,
+        |         CASE WHEN pos = nt THEN 10000 ELSE 0 END AS lfp,
+        |         10000 // nt + CASE WHEN pos = nt THEN 10000 % nt
+        |                           ELSE 0 END AS linfp,
+        |         CASE WHEN nt = 1 THEN 10000
+        |              WHEN nt = 2 THEN 5000
+        |              WHEN pos = 1 OR pos = nt THEN 4000
+        |              ELSE 2000 // (nt - 2) +
+        |                   CASE WHEN pos = nt - 1 THEN 2000 % (nt - 2)
+        |                        ELSE 0 END
+        |         END AS ufp
+        |       FROM r)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+        |       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+        |       CAST(sum(ffp) AS BIGINT) AS first_fp,
+        |       CAST(sum(lfp) AS BIGINT) AS last_fp,
+        |       CAST(sum(linfp) AS BIGINT) AS linear_fp,
+        |       CAST(sum(ufp) AS BIGINT) AS ushape_fp
+        |FROM cr GROUP BY 1""".stripMargin,
+
+    // Session gap rule, first-occurrence distinct-type ranks, the
+    // ordered triple enumeration, and the same (n desc, t1, t2, t3)
+    // top-50 total order.
+    "q272_seq_patterns" ->
+      s"""WITH e AS (SELECT user_id,
+         |             CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         |             event_id, event_type FROM events),
+         |l AS (SELECT *, lag(t) OVER (PARTITION BY user_id
+         |        ORDER BY t, event_id) AS prev FROM e),
+         |s AS (SELECT *, CAST(sum(CASE WHEN prev IS NULL
+         |          OR t - prev > $sessionGapS THEN 1 ELSE 0 END)
+         |        OVER (PARTITION BY user_id ORDER BY t, event_id)
+         |        AS BIGINT) AS sid FROM l),
+         |fo AS (SELECT user_id, sid, event_type, t, event_id FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY
+         |             user_id, sid, event_type
+         |           ORDER BY t, event_id) AS rn FROM s)
+         |       WHERE rn = 1),
+         |rk AS (SELECT user_id, sid, event_type,
+         |         row_number() OVER (PARTITION BY user_id, sid
+         |           ORDER BY t, event_id) AS rk
+         |       FROM fo),
+         |p AS (SELECT a.event_type AS t1, b.event_type AS t2,
+         |             c.event_type AS t3
+         |      FROM rk a
+         |      JOIN rk b ON b.user_id = a.user_id AND b.sid = a.sid
+         |       AND b.rk > a.rk
+         |      JOIN rk c ON c.user_id = a.user_id AND c.sid = a.sid
+         |       AND c.rk > b.rk)
+         |SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n_sessions
+         |FROM p GROUP BY 1, 2, 3 HAVING count(*) >= 2
+         |ORDER BY n_sessions DESC, t1, t2, t3 LIMIT 50""".stripMargin,
 
     // All three peeling rounds unrolled: naive a<b<c triple join per
     // round (an INDEPENDENT triangle formulation, the q172 contract),

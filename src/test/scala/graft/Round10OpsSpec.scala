@@ -69,6 +69,67 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(got(1L) == 4L)
   }
 
+  test("attribution: hand-solved 3-touch credit split with remainders") {
+    import spark.implicits._
+    // user 1: click@10, view@20, click@30 → purchase@50 (one conv);
+    // user 2: touchless purchase; user 3: touch outside the 7-day
+    // lookback. Linear 10000//3 = 3333 rem 1 → last; U = 4000/2000/4000.
+    val ev = Seq(
+      (1L, 10L, 101L, "click"), (1L, 20L, 102L, "view"),
+      (1L, 30L, 103L, "click"), (1L, 50L, 104L, "purchase"),
+      (2L, 5L, 201L, "purchase"),
+      (3L, 1000L, 301L, "click"),
+      (3L, 1000L + 604801L, 302L, "purchase"))
+      .toDF("user_id", "t", "event_id", "event_type")
+      .withColumn("ts", col("t").cast("timestamp")).drop("t")
+    val got = ops.EventAnalytics.attribution(ev).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    assert(got == Map(
+      "click" -> (2L, 1L, 10000L, 10000L, 6667L, 8000L),
+      "view" -> (1L, 1L, 0L, 0L, 3333L, 2000L)))
+  }
+
+  test("attribution: every model sums to 10000 per conversion") {
+    import spark.implicits._
+    val ev = (1 to 40).map { i =>
+      (i.toLong % 5, i.toLong * 100, i.toLong,
+        if (i % 7 == 0) "purchase" else s"ch${i % 3}")
+    }.toDF("user_id", "t", "event_id", "event_type")
+      .withColumn("ts", col("t").cast("timestamp")).drop("t")
+    val tot = ops.EventAnalytics.attribution(ev)
+      .agg(sum("n_conversions"), sum("first_fp"), sum("last_fp"),
+        sum("linear_fp"), sum("ushape_fp")).collect()(0)
+    // n_conversions double-counts convs across channels; recompute
+    // the attributed-conversion count directly for the invariant
+    val nConv = ops.EventAnalytics.attribution(ev)
+      .agg(sum(col("first_fp"))).collect()(0).getLong(0) / 10000L
+    for (i <- 2 to 4)
+      assert(tot.getLong(i) == nConv * 10000L, s"model col $i leaks credit")
+  }
+
+  test("seqPatterns: first-occurrence order, support threshold") {
+    import spark.implicits._
+    // three single-session users: two share signup→view→purchase
+    // (one with a repeated view that must NOT double-count), one has
+    // view→signup→purchase — below minSupport = 2.
+    val ev = Seq(
+      (1L, 10L, 1L, "signup"), (1L, 20L, 2L, "view"),
+      (1L, 30L, 3L, "purchase"), (1L, 40L, 4L, "view"),
+      (2L, 10L, 5L, "view"), (2L, 20L, 6L, "signup"),
+      (2L, 30L, 7L, "purchase"),
+      (3L, 10L, 8L, "signup"), (3L, 20L, 9L, "view"),
+      (3L, 30L, 10L, "purchase"))
+      .toDF("user_id", "t", "event_id", "event_type")
+      .withColumn("ts", col("t").cast("timestamp")).drop("t")
+    val got = ops.EventAnalytics.seqPatterns(ev, gapS = 21600L,
+        minSupport = 2L, k = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getLong(3)).toMap
+    assert(got == Map(("signup", "view", "purchase") -> 2L))
+  }
+
   test("randomWalk: replays identically (common-random-number draw)") {
     val pairs = sym(Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L)))
     val seeds = { import spark.implicits._; Seq(1L, 2L).toDF("id") }
