@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Statistical-testing surface: the χ² independence audit — "is
@@ -461,5 +462,98 @@ object Stats {
           .cast("float").as("s_at_cp"),
         round(col("m.rk").cast("double") / col("n"), 4).cast("float")
           .as("frac_through"))
+  }
+
+  private def r6(c: Column): Column =
+    (floor(c * 1e6 + 0.5) / 1e6).cast("float")
+
+  /** Reliability diagram + Expected Calibration Error (Guo et al.
+    * 2017) of a [0, 1] score against a boolean label — the
+    * calibration side of classifier evaluation next to [[auc]]'s
+    * discrimination: per equal-width bin, mean predicted confidence
+    * vs realized accuracy, and ECE = Σ n_b/N · |acc_b − conf_b|.
+    *
+    * Determinism: bin assignment is a per-row IEEE floor (identical
+    * input → identical bin cross-engine); n/n_pos are exact longs;
+    * conf/acc/gap/ECE are fixed IEEE sequences over one double sum
+    * each, under the shared floor rounding at the edge.
+    *
+    * Scale shape: ONE map-side-combined groupBy to `bins` rows; the
+    * ECE scalar re-aggregates the bin frame and broadcasts back —
+    * no second pass over the data.
+    *
+    * @return one row per non-empty bin: (bin, n, n_pos, confidence,
+    *         accuracy, gap, ece) — ece repeated as the report scalar
+    */
+  def calibration(df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    val s = col(scoreCol)
+    val rows = df.where(s.isNotNull && col(labelCol).isNotNull)
+      .select(least(lit(bins - 1), floor(s * bins)).cast("int").as("bin"),
+        s.as("sc"), when(col(labelCol), 1L).otherwise(0L).as("y"))
+    val per = rows.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(col("sc")).as("ss"))
+      .localCheckpoint(true) // feeds the report AND the ECE scalar
+    val conf = col("ss") / col("n")
+    val acc = col("n_pos").cast("double") / col("n")
+    val gap = abs(acc - conf)
+    val ece = per.agg((sum(gap * col("n")) / sum(col("n"))).as("e"))
+    per.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n"), col("n_pos"),
+        r6(conf).as("confidence"), r6(acc).as("accuracy"),
+        r6(gap).as("gap"), r6(col("e")).as("ece"))
+  }
+
+  /** Kaplan–Meier product-limit survival estimator (Kaplan & Meier
+    * 1958) over right-censored durations — the churn/retention curve
+    * done properly: censored subjects leave the risk set without
+    * counting as events.
+    *
+    * Input is one row per subject: an integral duration and a 0/1
+    * event indicator (1 = event observed, 0 = censored at that
+    * duration). Per distinct duration t: d = events, c = censored,
+    * n_risk = subjects with duration ≥ t; S(t) = Π_{t'≤t}
+    * (1 − d/n). The product is carried as exp(Σ ln((n−d)/n)) over the
+    * duration-ordered prefix — a fixed IEEE sequence (the duration
+    * table is value-ordered on both engines), with (n−d)/n exact
+    * integer ratios and the shared floor rounding at the edge; a
+    * prefix factor of exactly zero (d = n) is tracked by an integer
+    * flag scan so S collapses to 0.0 exactly, never through ln(0).
+    *
+    * Scale shape: the heavy reduction is the per-duration groupBy
+    * (map-side combined); n_risk and both prefix scans ride the
+    * |distinct durations|-sized table — metadata-sized (bounded by
+    * the observation span in days), the documented single-partition
+    * window exception.
+    *
+    * @return (t, n_risk, d, c, survival) one row per distinct duration
+    */
+  def kaplanMeier(df: DataFrame, durCol: String,
+      eventCol: String): DataFrame = {
+    val per = df.where(col(durCol).isNotNull)
+      .groupBy(col(durCol).as("t"))
+      .agg(sum(when(col(eventCol) === 1, 1L).otherwise(0L)).as("d"),
+        sum(when(col(eventCol) === 1, 0L).otherwise(1L)).as("c"))
+      .localCheckpoint(true) // feeds the total AND the scans
+    val tot = broadcast(per.agg(sum(col("d") + col("c")).as("nt")))
+    val scanned = Scan.globalRunningSum(per, Seq("t"),
+      col("d") + col("c"), "cum")
+    val withRisk = scanned.crossJoin(tot)
+      .select(col("t"), col("d"), col("c"),
+        (col("nt") - col("cum") + col("d") + col("c")).as("n_risk"))
+    // |distinct durations| rows — metadata-sized window is correct
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val term = when(col("d") < col("n_risk"),
+      log((col("n_risk") - col("d")).cast("double") /
+        col("n_risk").cast("double"))).otherwise(lit(0d))
+    val zero = when(col("d") === col("n_risk"), 1L).otherwise(0L)
+    withRisk
+      .withColumn("lnS", sum(term).over(w))
+      .withColumn("nz", sum(zero).over(w))
+      .select(col("t"), col("n_risk"), col("d"), col("c"),
+        when(col("nz") > 0, lit(0f))
+          .otherwise(r6(exp(col("lnS")))).as("survival"))
   }
 }

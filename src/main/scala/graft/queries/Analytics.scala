@@ -216,6 +216,44 @@ object Analytics extends QueryPack {
       graft.ops.EventAnalytics.seqPatterns(t("events")(s, d),
         gapS = sessionGapS)),
 
+    // Reliability diagram + ECE (Guo et al. 2017): is the min-max-
+    // normalized event value CALIBRATED as a purchase probability?
+    // The calibration half of classifier evaluation beside q230's
+    // AUC discrimination; score normalization rides two broadcast
+    // scalars (the q07 shape), guarded against a constant column.
+    "q273_calibration" -> ((s, d) => {
+      val ev = t("events")(s, d).where(col("value").isNotNull)
+      val mm = broadcast(ev.agg(min("value").as("mn"),
+        max("value").as("mx")))
+      val scored = ev.crossJoin(mm).select(
+        when(col("mx") =!= col("mn"),
+          (col("value") - col("mn")) / (col("mx") - col("mn")))
+          .otherwise(lit(0.5d)).as("score"),
+        (col("event_type") === "purchase").as("label"))
+      graft.ops.Stats.calibration(scored, "score", "label", 10)
+    }),
+
+    // Kaplan–Meier time-to-conversion: duration = hours from a
+    // user's first event to their FIRST purchase (event observed);
+    // users who never purchase are right-censored at their last
+    // activity — the product-limit curve that counts censoring
+    // correctly, beside q174's naive cohort matrix.
+    "q274_survival_km" -> ((s, d) => {
+      val ev = t("events")(s, d)
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("ts").cast("long").as("tt"),
+          col("event_type"))
+      val per = ev.groupBy("user_id")
+        .agg(min("tt").as("ft"), max("tt").as("lt"),
+          min(when(col("event_type") === "purchase", col("tt")))
+            .as("fp"))
+      val subj = per.select(
+        when(col("fp").isNotNull, expr("(fp - ft) div 3600"))
+          .otherwise(expr("(lt - ft) div 3600")).as("dur"),
+        when(col("fp").isNotNull, 1).otherwise(0).as("ev"))
+      graft.ops.Stats.kaplanMeier(subj, "dur", "ev")
+    }),
+
     // Item-based collaborative filtering (Sarwar et al. 2001) over
     // the purchase data: recommend to each seed customer the parts
     // most co-purchased with their basket — score(c, p) =
@@ -1739,6 +1777,75 @@ object Analytics extends QueryPack {
          |SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n_sessions
          |FROM p GROUP BY 1, 2, 3 HAVING count(*) >= 2
          |ORDER BY n_sessions DESC, t1, t2, t3 LIMIT 50""".stripMargin,
+
+    // Same min-max score, same per-row IEEE bin floor, exact bin
+    // counts, and the shared floor rounding on conf/acc/gap/ECE.
+    "q273_calibration" ->
+      """WITH f AS (SELECT value, event_type FROM events
+        |           WHERE value IS NOT NULL),
+        |mm AS (SELECT min(value) AS mn, max(value) AS mx FROM f),
+        |sc AS (SELECT CASE WHEN mx <> mn
+        |                THEN (value - mn) / (mx - mn)
+        |                ELSE 0.5 END AS s,
+        |              CASE WHEN event_type = 'purchase'
+        |                THEN 1 ELSE 0 END AS y
+        |       FROM f, mm),
+        |b AS (SELECT CAST(least(9, floor(s * 10)) AS INTEGER) AS bin,
+        |             s, y FROM sc),
+        |per AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(y) AS BIGINT) AS n_pos, sum(s) AS ss
+        |        FROM b GROUP BY 1),
+        |ec AS (SELECT sum(abs(CAST(n_pos AS DOUBLE) / n - ss / n) * n)
+        |                / sum(n) AS e FROM per)
+        |SELECT bin, n, n_pos,
+        |       CAST(floor(ss / n * 1e6 + 0.5) / 1e6 AS REAL)
+        |         AS confidence,
+        |       CAST(floor(CAST(n_pos AS DOUBLE) / n * 1e6 + 0.5) / 1e6
+        |         AS REAL) AS accuracy,
+        |       CAST(floor(abs(CAST(n_pos AS DOUBLE) / n - ss / n)
+        |         * 1e6 + 0.5) / 1e6 AS REAL) AS gap,
+        |       CAST(floor(e * 1e6 + 0.5) / 1e6 AS REAL) AS ece
+        |FROM per, ec""".stripMargin,
+
+    // Durations, censoring flags, per-duration (d, c), the n_at_risk
+    // reverse scan, and the same exp(Σ ln((n−d)/n)) prefix product
+    // with the d = n zero-flag — all re-derived value-ordered.
+    "q274_survival_km" ->
+      """WITH ev AS (SELECT user_id,
+        |              CAST(floor(epoch(ts)) AS BIGINT) AS tt,
+        |              event_type
+        |            FROM events
+        |            WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |per AS (SELECT user_id, min(tt) AS ft, max(tt) AS lt,
+        |               min(CASE WHEN event_type = 'purchase'
+        |                   THEN tt END) AS fp
+        |        FROM ev GROUP BY 1),
+        |subj AS (SELECT CASE WHEN fp IS NOT NULL
+        |                  THEN (fp - ft) // 3600
+        |                  ELSE (lt - ft) // 3600 END AS dur,
+        |                CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END
+        |                  AS e
+        |         FROM per),
+        |pt AS (SELECT dur AS t, CAST(sum(e) AS BIGINT) AS d,
+        |              CAST(sum(1 - e) AS BIGINT) AS c
+        |       FROM subj GROUP BY 1),
+        |tot AS (SELECT sum(d + c) AS nt FROM pt),
+        |rk AS (SELECT t, d, c,
+        |              CAST(nt - sum(d + c) OVER (ORDER BY t) + d + c
+        |                AS BIGINT) AS n_risk
+        |       FROM pt, tot),
+        |scn AS (SELECT *,
+        |          sum(CASE WHEN d < n_risk
+        |                THEN ln(CAST(n_risk - d AS DOUBLE) / n_risk)
+        |                ELSE 0 END) OVER (ORDER BY t) AS lnS,
+        |          sum(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+        |            OVER (ORDER BY t) AS nz
+        |        FROM rk)
+        |SELECT t, n_risk, d, c,
+        |       CASE WHEN nz > 0 THEN CAST(0 AS REAL)
+        |            ELSE CAST(floor(exp(lnS) * 1e6 + 0.5) / 1e6 AS REAL)
+        |       END AS survival
+        |FROM scn""".stripMargin,
 
     // All three peeling rounds unrolled: naive a<b<c triple join per
     // round (an INDEPENDENT triangle formulation, the q172 contract),

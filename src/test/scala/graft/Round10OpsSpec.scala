@@ -130,6 +130,43 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(got == Map(("signup", "view", "purchase") -> 2L))
   }
 
+  test("kaplanMeier: textbook curve with censoring and a zero tail") {
+    import spark.implicits._
+    // (dur, event): censored subjects shrink the risk set without
+    // moving S; the final d = n row collapses S to exactly 0.
+    val subj = Seq((1L, 1), (2L, 0), (3L, 1), (3L, 1), (4L, 0),
+      (5L, 1)).toDF("dur", "ev")
+    val got = ops.Stats.kaplanMeier(subj, "dur", "ev").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getFloat(4)))
+      .toMap
+    def near(a: Float, b: Double) = math.abs(a - b) < 1e-6
+    assert(got(1L)._1 == 6L && got(1L)._2 == 1L && near(got(1L)._4, 0.833333))
+    assert(got(2L)._1 == 5L && got(2L)._3 == 1L && near(got(2L)._4, 0.833333))
+    assert(got(3L)._1 == 4L && got(3L)._2 == 2L && near(got(3L)._4, 0.416667))
+    assert(got(4L)._1 == 2L && near(got(4L)._4, 0.416667))
+    assert(got(5L)._1 == 1L && got(5L)._4 == 0f, "d = n must pin S to 0")
+  }
+
+  test("calibration: hand-computed bins and ECE") {
+    import spark.implicits._
+    val df = Seq((0.05, false), (0.15, true), (0.18, false),
+      (0.95, true), (0.99, true), (1.0, true)).toDF("score", "label")
+    val got = ops.Stats.calibration(df, "score", "label", 10).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        r.getFloat(3), r.getFloat(4), r.getFloat(5), r.getFloat(6)))
+      .toMap
+    def near(a: Float, b: Double) = math.abs(a - b) < 1e-6
+    assert(got.keySet == Set(0, 1, 9), "score 1.0 must clamp to bin 9")
+    assert(got(0) == (1L, 0L, 0.05f, 0f, 0.05f, got(0)._6))
+    assert(got(1)._1 == 2L && got(1)._2 == 1L)
+    assert(near(got(1)._3, 0.165) && near(got(1)._4, 0.5) &&
+      near(got(1)._5, 0.335))
+    assert(got(9)._1 == 3L && near(got(9)._3, 0.98) && got(9)._4 == 1f)
+    // ECE = (1·0.05 + 2·0.335 + 3·0.02) / 6 = 0.13, same on all rows
+    assert(got.values.forall(v => near(v._6, 0.13)))
+  }
+
   test("randomWalk: replays identically (common-random-number draw)") {
     val pairs = sym(Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L)))
     val seeds = { import spark.implicits._; Seq(1L, 2L).toDF("id") }
