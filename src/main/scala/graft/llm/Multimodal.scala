@@ -350,6 +350,101 @@ object Multimodal {
     }(RowEncoder.encoderFor(outSchema))
   }
 
+  // ---------------------------------------------------------------
+  // Image perceptual hashing: DCT hash (pHash)
+  // ---------------------------------------------------------------
+
+  /** Fixed-point integer DCT-II basis tables for the 16×12 synthetic
+    * family: `dctCosX(u)(x) = round(cos(π(2x+1)u/32) · 2¹⁴)` and
+    * `dctCosY(v)(y) = round(cos(π(2y+1)v/24) · 2¹⁴)`. Generated ONCE
+    * here (libm cos at table-build time only) and inlined as literal
+    * VALUES into the DuckDB oracle — so neither engine's QUERY path
+    * touches libm and the transform is exact 64-bit integer
+    * arithmetic on both sides.
+    */
+  val dctCosX: Array[Array[Long]] = Array.tabulate(8, 16) { (u, x) =>
+    Math.round(Math.cos(Math.PI * (2 * x + 1) * u / 32.0) * 16384.0)
+  }
+  val dctCosY: Array[Array[Long]] = Array.tabulate(8, 12) { (v, y) =>
+    Math.round(Math.cos(Math.PI * (2 * y + 1) * v / 24.0) * 16384.0)
+  }
+
+  /** 64-bit DCT hash (pHash) of a decoded 16×12 image — the
+    * frequency-domain perceptual fingerprint next to [[aHash]]'s
+    * spatial mean compare: integer grayscale (r+g+b)/3, the 8×8
+    * low-frequency block of the 2-D DCT-II via the fixed-point
+    * [[dctCosX]]/[[dctCosY]] tables (coef(u, v) =
+    * Σ g·cx·cy, exact longs — |coef| ≤ 255·192·2²⁸ ≪ 2⁶³), then
+    * bit k = v·8+u set iff the AC coefficient EXCEEDS the median AC
+    * coefficient (the 32nd smallest of the 63, a well-defined
+    * multiset rank — tie order irrelevant); the DC bit is 0 by
+    * convention. pHash survives brightness shifts aHash flips on
+    * (DC absorbs them), the reason pipelines run both.
+    *
+    * Returns the [[graft.functions.SimHashFp]] (packed long, bit
+    * string) contract, so the banded Hamming pair machinery applies
+    * unchanged. None for dimensions ≠ 16×12 (the tables are
+    * family-fixed).
+    */
+  def pHash(img: PpmImage): Option[(Long, String)] = {
+    if (img.width != 16 || img.height != 12) return None
+    val g = new Array[Long](192)
+    var p = 0
+    while (p < 192) {
+      g(p) = ((img.pixels(p * 3) & 0xff) + (img.pixels(p * 3 + 1) & 0xff) +
+        (img.pixels(p * 3 + 2) & 0xff)) / 3
+      p += 1
+    }
+    val coef = new Array[Long](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0L
+        var y = 0
+        while (y < 12) {
+          var x = 0
+          while (x < 16) {
+            s += g(y * 16 + x) * dctCosX(u)(x) * dctCosY(v)(y)
+            x += 1
+          }
+          y += 1
+        }
+        coef(v * 8 + u) = s
+        u += 1
+      }
+      v += 1
+    }
+    val med = coef.drop(1).sorted.apply(31)
+    var fp = 0L
+    val sb = new StringBuilder(64)
+    var k = 0
+    while (k < 64) {
+      val bit = k > 0 && coef(k) > med
+      if (bit) fp |= 1L << (63 - k)
+      sb.append(if (bit) '1' else '0')
+      k += 1
+    }
+    Some((fp, sb.toString))
+  }
+
+  /** Partition-streaming [[pHash]]: the [[aHashPayloads]] shape —
+    * codec-only `mapPartitions`, 10-byte fingerprint rows out. */
+  def pHashPayloads(frame: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("simhash", StringType),
+      StructField("fpl", LongType)))
+    val idIdx = frame.schema.fieldIndex("doc_id")
+    val payloadIdx = frame.schema.fieldIndex("payload")
+    frame.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodePpm(r.getAs[Array[Byte]](payloadIdx)).flatMap(pHash)
+          .map { case (fp, bits) => Row(r.getLong(idIdx), bits, fp) }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
   /** Deterministic NOISY synthetic image family for the perceptual-
     * hash gate: groups of four consecutive doc_ids share one md5-
     * derived 16×12 base image (channel c of pixel (x, y) = the

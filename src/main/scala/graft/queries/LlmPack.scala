@@ -163,6 +163,22 @@ object LlmPack extends QueryPack {
       Dedup.fpPairs(Multimodal.aHashPayloads(
         Multimodal.syntheticNoisyPpmFrame(
           t("documents")(s, d).select(col("doc_id")))), maxHamming = 3)),
+    // 64-bit DCT hash (pHash) over the same synthetic image family:
+    // exact-integer 2-D DCT-II via fixed-point cosine tables (shared
+    // verbatim with the oracle — no libm in either query path), bits
+    // from the strict median-AC compare. The frequency-domain
+    // perceptual fingerprint that shrugs off the brightness shifts
+    // aHash flips on.
+    "q275_image_phash" -> ((s, d) =>
+      Multimodal.pHashPayloads(Multimodal.syntheticNoisyPpmFrame(
+        t("documents")(s, d).select(col("doc_id"))))
+        .select(col("doc_id"), col("simhash").as("phash"))),
+    // Near-duplicate images under pHash: the q245 banded Hamming
+    // pair join applied to the DCT fingerprints.
+    "q276_phash_pairs" -> ((s, d) =>
+      Dedup.fpPairs(Multimodal.pHashPayloads(
+        Multimodal.syntheticNoisyPpmFrame(
+          t("documents")(s, d).select(col("doc_id")))), maxHamming = 3)),
     // Unigram-LM tokenizer training (Kudo 2018 / SentencePiece): seed
     // substring vocab → 2 hard-EM rounds (Viterbi E-step on scaled-ln
     // integer scores, frequency-weighted M-step with the char floor)
@@ -1263,8 +1279,10 @@ object LlmPack extends QueryPack {
     * join). NB: interpolated into outer stripMargin'd strings — no
     * line may start with '|' (the '||' concat stays at line ends).
     */
-  private def imageAHashCtes(materializeF: Boolean): String = {
-    val mat = if (materializeF) " MATERIALIZED" else ""
+  /** The synthetic-image decode chain (channels, noise, grayscale)
+    * shared by the aHash and pHash oracles — ends at `gr(doc_id, x,
+    * y, g)`. */
+  private val imageGrayCtes: String =
     s"""d AS (SELECT doc_id, doc_id - doc_id % 4 AS base,
        |        CAST(doc_id % 4 AS INTEGER) AS k FROM documents),
        |px AS (SELECT doc_id, k, CAST(x AS INTEGER) AS x,
@@ -1286,7 +1304,12 @@ object LlmPack extends QueryPack {
        |         CASE WHEN k > 0 AND (x + 3*y) % 13 = 0
        |              THEN least(255, v2 + k) ELSE v2 END AS p2
        |       FROM cv),
-       |gr AS (SELECT doc_id, x, y, (p0 + p1 + p2) // 3 AS g FROM nz),
+       |gr AS (SELECT doc_id, x, y, (p0 + p1 + p2) // 3 AS g FROM nz)"""
+      .stripMargin
+
+  private def imageAHashCtes(materializeF: Boolean): String = {
+    val mat = if (materializeF) " MATERIALIZED" else ""
+    s"""$imageGrayCtes,
        |g8 AS (SELECT c.doc_id, c.j * 8 + c.i AS kpos, g.g
        |       FROM (SELECT doc_id, CAST(i AS INTEGER) AS i,
        |               CAST(j AS INTEGER) AS j,
@@ -1302,6 +1325,40 @@ object LlmPack extends QueryPack {
        |f AS$mat (
        |  SELECT doc_id, string_agg(b, '' ORDER BY kpos) AS ahash
        |  FROM bt GROUP BY 1)""".stripMargin
+  }
+
+  /** The [[graft.llm.Multimodal.pHash]] chain: the SAME fixed-point
+    * DCT basis tables the engine uses, inlined as literal VALUES (no
+    * libm in either engine's query path), the exact integer
+    * coefficient sums, the 32nd-smallest-AC median, and the strict
+    * `>` bit rule with the DC bit forced 0. */
+  private def imagePHashCtes(materializeF: Boolean): String = {
+    val mat = if (materializeF) " MATERIALIZED" else ""
+    def rows(tab: Array[Array[Long]]): String =
+      tab.zipWithIndex.flatMap { case (r, u) =>
+        r.zipWithIndex.map { case (c, x) => s"($u,$x,$c)" }
+      }.mkString(", ")
+    s"""$imageGrayCtes,
+       |cx AS (SELECT * FROM (VALUES ${rows(Multimodal.dctCosX)})
+       |       t(u, x, c)),
+       |cy AS (SELECT * FROM (VALUES ${rows(Multimodal.dctCosY)})
+       |       t(v, y, c)),
+       |coef AS MATERIALIZED (
+       |  SELECT g.doc_id, cy.v * 8 + cx.u AS kpos,
+       |         sum(g.g * cx.c * cy.c) AS fc
+       |  FROM gr g JOIN cx ON cx.x = g.x JOIN cy ON cy.y = g.y
+       |  GROUP BY 1, 2),
+       |med AS (SELECT doc_id, max(fc) AS m FROM (
+       |    SELECT doc_id, fc, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY fc, kpos) AS rn
+       |    FROM coef WHERE kpos > 0) WHERE rn <= 32 GROUP BY 1),
+       |pb AS (SELECT c.doc_id, kpos,
+       |         CASE WHEN kpos > 0 AND fc > m THEN '1' ELSE '0' END
+       |           AS b
+       |       FROM coef c JOIN med USING (doc_id)),
+       |ph AS$mat (
+       |  SELECT doc_id, string_agg(b, '' ORDER BY kpos) AS phash
+       |  FROM pb GROUP BY 1)""".stripMargin
   }
 
   private val winnowPairCtes =
@@ -2576,6 +2633,23 @@ object LlmPack extends QueryPack {
          |                       <> substr(b.ahash, CAST(i AS INT), 1)
          |                THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
          |  FROM f a JOIN f b ON a.doc_id < b.doc_id)
+         |SELECT da, db, hamming FROM p WHERE hamming <= 3""".stripMargin,
+    // The DCT chain replayed arithmetically — shared gray CTEs, the
+    // inlined integer basis tables, coefficient sums, median rank 32.
+    "q275_image_phash" ->
+      s"""WITH ${imagePHashCtes(materializeF = false)}
+         |SELECT doc_id, phash FROM ph""".stripMargin,
+    // Naive all-pairs Hamming over the pHash bit strings (the q245
+    // oracle pattern) — the banded join must reproduce it at ≤ 3.
+    "q276_phash_pairs" ->
+      s"""WITH ${imagePHashCtes(materializeF = true)},
+         |p AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db,
+         |         CAST(list_sum(list_transform(range(1, 65),
+         |           i -> CASE WHEN substr(a.phash, CAST(i AS INT), 1)
+         |                       <> substr(b.phash, CAST(i AS INT), 1)
+         |                THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
+         |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id)
          |SELECT da, db, hamming FROM p WHERE hamming <= 3""".stripMargin,
     // Unigram-LM training replayed end-to-end; the engine's Viterbi DP
     // is re-derived as brute enumeration + one argmin (equivalence by

@@ -67,4 +67,27 @@ class ImageHashSpec extends AnyFunSuite {
     } yield (a, b, h)).toSet
     assert(got == want && got.nonEmpty)
   }
+
+  test("pHash: DC bit 0, ≤ 31 ones, brightness-shift invariant") {
+    def fp(id: Long) = Multimodal.pHash(
+      Multimodal.decodePpm(Multimodal.syntheticNoisyPpm(id)).get).get
+    val (l0, b0) = fp(0)
+    assert(b0.length == 64 && b0.head == '0', "DC bit must be 0")
+    // bits are strictly-above-median AC coefs: at most 31 of 63
+    assert(java.lang.Long.bitCount(l0) <= 31)
+    // a GLOBAL brightness shift lands entirely in the DC coefficient:
+    // pHash unchanged (the property aHash does not have)
+    val im = Multimodal.decodePpm(Multimodal.syntheticNoisyPpm(0)).get
+    val brighter = im.copy(pixels = im.pixels.map(p =>
+      math.min(255, (p & 0xff) + 40).toByte))
+    assert(Multimodal.pHash(brighter).get._2 == b0,
+      "uniform brightness shift must not move pHash")
+    // replicas stay near, cross-group hashes are independent draws
+    for (k <- 1L to 3L) assert(hamming(l0, fp(k)._1) <= 3)
+    assert(hamming(l0, fp(4)._1) > 10)
+  }
+
+  test("pHash: rejects non-16×12 dimensions") {
+    assert(Multimodal.pHash(img(8, 8)((_, _) => 7)).isEmpty)
+  }
 }
