@@ -504,4 +504,69 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(partials.nonEmpty, "no map-side partial aggregation")
   }
+
+  test("label propagation rounds: hash-aggregate argmax, no window") {
+    import spark.implicits._
+    val pairs = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L)).toDF("a", "b")
+    val before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = graft.graph.LabelProp.run(pairs, rounds = 3,
+          checkpoint = false)
+        .queryExecution.executedPlan
+      // the per-node winner is min(struct(-cnt, lbl)) — never a
+      // row_number window sort over the (node, label) count frame
+      assert(p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, "LPA argmax regressed to a window sort")
+      val widths = p.collect { case e: ShuffleExchangeExec => e }
+        .map(_.output.length)
+      assert(widths.nonEmpty && widths.forall(_ <= 3),
+        s"wide shuffle rows: ${widths.mkString(",")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", before)
+  }
+
+  test("random walks: frontier rounds shuffle only narrow rows") {
+    import spark.implicits._
+    val pairs = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L)).toDF("a", "b")
+    val seeds = Seq(0L, 1L).toDF("id")
+    val before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = graft.graph.RandomWalk.walks(pairs, seeds, steps = 3,
+          checkpoint = false)
+        .queryExecution.executedPlan
+      assert(p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, "hop argmin regressed to a window sort")
+      // (walk_id, node/dst, h) — the md5 draw never widens a shuffle
+      val widths = p.collect { case e: ShuffleExchangeExec => e }
+        .map(_.output.length)
+      assert(widths.nonEmpty && widths.forall(_ <= 3),
+        s"wide shuffle rows: ${widths.mkString(",")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", before)
+  }
+
+  test("q271/q272: every window is keyed — no single-partition data " +
+      "window; q272 top-k is TakeOrdered") {
+    for (q <- Seq("q271_attribution", "q272_seq_patterns")) {
+      val p = plan(q)
+      val unkeyed = p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }
+      assert(unkeyed.isEmpty, s"$q plans an unpartitioned window")
+    }
+    assert(plan("q272_seq_patterns").collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, "q272 top-k lost its TakeOrdered plan")
+  }
+
+  test("q273/q274: report scalars broadcast back — no sort-merge join") {
+    for (q <- Seq("q273_calibration", "q274_survival_km")) {
+      val p = plan(q)
+      assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty,
+        s"$q plans a sort-merge join")
+    }
+  }
 }
