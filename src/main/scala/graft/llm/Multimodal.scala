@@ -628,6 +628,83 @@ object Multimodal {
     encodeWav(WavAudio(rate, Array.tabulate(nSamples)(i =>
       ((docId * 13 + i * 17) % 2048 - 1024).toShort)))
 
+  // ---------------------------------------------------------------
+  // Audio fingerprinting: energy-difference near-dup detection
+  // ---------------------------------------------------------------
+
+  /** 64-bit audio fingerprint — the single-band time-derivative form
+    * of the Haitsma–Kalker energy-difference fingerprint ("A Highly
+    * Robust Audio Fingerprinting System", 2002): frame the PCM into
+    * `frameSamples`-sample windows, E(t) = Σx² per frame (exact
+    * long), bit t = 1 iff E(t+1) > E(t). Sign-of-derivative bits
+    * survive small additive noise (only frames with near-equal
+    * energies can flip) while unrelated signals draw independent
+    * bits — the audio member of the perceptual-hash family next to
+    * [[aHash]]/[[pHash]], all integer arithmetic end to end.
+    *
+    * Input is the [[decodeWavFrame]] shape; docs shorter than 65
+    * frames are dropped (the fingerprint needs its full 64 diffs).
+    * A pure map per doc — array HOFs, zero shuffles at any corpus
+    * size — emitting the [[graft.functions.SimHashFp]] (bit string,
+    * packed long) contract so the banded Hamming pair machinery
+    * applies unchanged.
+    */
+  def audioFingerprint(decoded: DataFrame,
+      frameSamples: Int = 16): DataFrame = {
+    val fs = lit(frameSamples)
+    val energies = transform(sequence(lit(0), lit(64)),
+      t => aggregate(slice(col("samples"), t * fs + 1, fs),
+        lit(0L), (acc, x) => acc + x.cast("long") * x))
+    val withBits = decoded
+      .where(col("n_samples") >= (65 * frameSamples))
+      .withColumn("en", energies)
+      .withColumn("bits", concat_ws("", transform(sequence(lit(0), lit(63)),
+        t => when(element_at(col("en"), t + 2) >
+          element_at(col("en"), t + 1), "1").otherwise("0"))))
+    // pack the bit string into the signed 64-bit fingerprint long
+    // (the Dedup.fpFrame idiom)
+    withBits.select(col("doc_id"), col("bits").as("simhash"),
+      conv(col("bits"), 2, -10).cast("long").as("fpl"))
+  }
+
+  /** Noisy synthetic WAV family for the fingerprint gate (the
+    * [[syntheticNoisyPpm]] pattern in audio): groups of four
+    * consecutive doc_ids share one 1040-sample (65-frame) base
+    * signal whose sample i is md5-derived (the first 3 nibbles of
+    * `base:i`, mod 2048, centered) — content-diverse, unlike
+    * [[syntheticWav]]'s sawtooth, whose phase-shifted copies keep
+    * near-identical energy-derivative patterns and would pair
+    * everything with everything; replicas k = id mod 4 > 0 add +k to
+    * the sparse sample set i mod 11 = 0 — tiny additive noise, so
+    * in-group Hamming stays small while cross-group fingerprints are
+    * independent 64-bit draws.
+    */
+  def syntheticNoisyWav(docId: Long): Array[Byte] = {
+    val base = docId - (docId % 4)
+    val k = (docId % 4).toInt
+    val md = java.security.MessageDigest.getInstance("MD5")
+    encodeWav(WavAudio(8000, Array.tabulate(1040) { i =>
+      val hex = md.digest(s"$base:$i".getBytes("UTF-8"))
+      val h3 = ((hex(0) & 0xff) << 4) | ((hex(1) & 0xf0) >> 4)
+      val v = h3 % 2048 - 1024
+      (if (k > 0 && i % 11 == 0) v + k else v).toShort
+    }))
+  }
+
+  /** (doc_id) → (doc_id, payload) with [[syntheticNoisyWav]] audio —
+    * the injection frame for the fingerprint near-dup gate. */
+  def syntheticNoisyWavFrame(ids: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    ids.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, syntheticNoisyWav(id))
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
   /** (doc_id) → (doc_id, payload) WAV frames with id-derived lengths
     * (64 + id mod 64 samples @ 8 kHz) — the q176 injection frame. */
   def syntheticWavFrame(ids: DataFrame): DataFrame = {

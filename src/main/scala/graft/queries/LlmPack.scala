@@ -179,6 +179,24 @@ object LlmPack extends QueryPack {
       Dedup.fpPairs(Multimodal.pHashPayloads(
         Multimodal.syntheticNoisyPpmFrame(
           t("documents")(s, d).select(col("doc_id")))), maxHamming = 3)),
+    // 64-bit audio fingerprint (the single-band form of Haitsma &
+    // Kalker 2002's energy-difference fingerprint): WAV decode →
+    // 16-sample frame energies (exact Σx²) → sign-of-derivative
+    // bits — the audio member of the perceptual-hash family, all
+    // integer, zero shuffles in the map stage.
+    "q277_audio_fp" -> ((s, d) =>
+      Multimodal.audioFingerprint(Multimodal.decodeWavFrame(
+        Multimodal.syntheticNoisyWavFrame(
+          t("documents")(s, d).select(col("doc_id")))))
+        .select(col("doc_id"), col("simhash").as("afp"))),
+    // Near-duplicate audio: the banded Hamming pair join over the
+    // energy-difference fingerprints (replicas = tiny additive
+    // noise pair close; unrelated sawtooth bases decorrelate).
+    "q278_audio_fp_pairs" -> ((s, d) =>
+      Dedup.fpPairs(Multimodal.audioFingerprint(
+        Multimodal.decodeWavFrame(Multimodal.syntheticNoisyWavFrame(
+          t("documents")(s, d).select(col("doc_id"))))),
+        maxHamming = 3)),
     // Unigram-LM tokenizer training (Kudo 2018 / SentencePiece): seed
     // substring vocab → 2 hard-EM rounds (Viterbi E-step on scaled-ln
     // integer scores, frequency-weighted M-step with the char floor)
@@ -1359,6 +1377,36 @@ object LlmPack extends QueryPack {
        |ph AS$mat (
        |  SELECT doc_id, string_agg(b, '' ORDER BY kpos) AS phash
        |  FROM pb GROUP BY 1)""".stripMargin
+  }
+
+  /** The [[graft.llm.Multimodal.audioFingerprint]] chain over the
+    * noisy synthetic WAV family: samples re-derived arithmetically,
+    * exact integer frame energies, sign-of-derivative bits. */
+  private def audioFpCtes(materializeF: Boolean): String = {
+    val mat = if (materializeF) " MATERIALIZED" else ""
+    s"""wd AS (SELECT doc_id, doc_id - doc_id % 4 AS base,
+       |         CAST(doc_id % 4 AS INTEGER) AS k FROM documents),
+       |sh AS (SELECT doc_id, k, CAST(i AS INTEGER) AS i,
+       |         md5(CAST(base AS VARCHAR) || ':' ||
+       |             CAST(i AS VARCHAR)) AS hh
+       |       FROM wd, range(1040) t(i)),
+       |sm AS (SELECT doc_id, k, i,
+       |         ${OracleSql.md5IntN("hh", 1, 3)} % 2048 - 1024 AS v0
+       |       FROM sh),
+       |pv AS (SELECT doc_id, i,
+       |         CASE WHEN k > 0 AND i % 11 = 0 THEN v0 + k ELSE v0 END
+       |           AS v
+       |       FROM sm),
+       |en AS (SELECT doc_id, i // 16 AS fr, sum(v * v) AS e
+       |       FROM pv GROUP BY 1, 2),
+       |dfs AS (SELECT a.doc_id, a.fr AS t,
+       |          CASE WHEN b.e > a.e THEN '1' ELSE '0' END AS bit
+       |        FROM en a JOIN en b ON b.doc_id = a.doc_id
+       |         AND b.fr = a.fr + 1
+       |        WHERE a.fr < 64),
+       |afr AS$mat (
+       |  SELECT doc_id, string_agg(bit, '' ORDER BY t) AS afp
+       |  FROM dfs GROUP BY 1)""".stripMargin
   }
 
   private val winnowPairCtes =
@@ -2650,6 +2698,22 @@ object LlmPack extends QueryPack {
          |                       <> substr(b.phash, CAST(i AS INT), 1)
          |                THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
          |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id)
+         |SELECT da, db, hamming FROM p WHERE hamming <= 3""".stripMargin,
+    // Sawtooth samples, frame energies, and derivative bits all
+    // re-derived arithmetically.
+    "q277_audio_fp" ->
+      s"""WITH ${audioFpCtes(materializeF = false)}
+         |SELECT doc_id, afp FROM afr""".stripMargin,
+    // Naive all-pairs Hamming over the audio fingerprints.
+    "q278_audio_fp_pairs" ->
+      s"""WITH ${audioFpCtes(materializeF = true)},
+         |p AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db,
+         |         CAST(list_sum(list_transform(range(1, 65),
+         |           i -> CASE WHEN substr(a.afp, CAST(i AS INT), 1)
+         |                       <> substr(b.afp, CAST(i AS INT), 1)
+         |                THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
+         |  FROM afr a JOIN afr b ON a.doc_id < b.doc_id)
          |SELECT da, db, hamming FROM p WHERE hamming <= 3""".stripMargin,
     // Unigram-LM training replayed end-to-end; the engine's Viterbi DP
     // is re-derived as brute enumeration + one argmin (equivalence by

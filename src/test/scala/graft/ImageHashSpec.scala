@@ -90,4 +90,30 @@ class ImageHashSpec extends AnyFunSuite {
   test("pHash: rejects non-16×12 dimensions") {
     assert(Multimodal.pHash(img(8, 8)((_, _) => 7)).isEmpty)
   }
+
+  test("audio fingerprint: derivative bits, noise contract, length gate") {
+    import spark.implicits._
+    val ids = (0L until 24L).toDF("doc_id")
+    val fps = Multimodal.audioFingerprint(Multimodal.decodeWavFrame(
+      Multimodal.syntheticNoisyWavFrame(ids))).cache()
+    val m = fps.collect().map(r => r.getLong(0) ->
+      (r.getString(1), r.getLong(2))).toMap
+    assert(m.size == 24 && m.values.forall(_._1.length == 64))
+    // in-group replicas: tiny additive noise, Hamming ≤ 3
+    for (k <- 1L to 3L)
+      assert(hamming(m(0L)._2, m(k)._2) <= 3, s"replica $k drifted")
+    // md5-derived bases: independent 64-bit draws
+    assert(hamming(m(0L)._2, m(4L)._2) > 10)
+    // hand-check bit 0 against the raw energies of doc 0
+    val audio = Multimodal.decodeWav(Multimodal.syntheticNoisyWav(0L)).get
+    def energy(f: Int) = (0 until 16).map { j =>
+      val v = audio.samples(f * 16 + j).toLong; v * v
+    }.sum
+    assert(m(0L)._1.head == (if (energy(1) > energy(0)) '1' else '0'))
+    // a doc shorter than 65 frames is dropped, not mis-hashed
+    val short = Multimodal.audioFingerprint(Multimodal.decodeWavFrame(
+      Seq((99L, Multimodal.syntheticWav(99L, 1000, 8000)))
+        .toDF("doc_id", "payload")))
+    assert(short.count() == 0)
+  }
 }
