@@ -821,6 +821,57 @@ object Dedup {
       .where(col("jw") >= minSim)
   }
 
+  /** Sorted-neighborhood record linkage (Hernández & Stolfo 1995) —
+    * the OTHER classic blocking scheme next to [[jaroVerifiedPairs]]'
+    * fingerprint bands: sort all records by a compact key (here the
+    * lowercased text head), slide a `window`-record window down the
+    * sorted order, and verify only pairs inside it. Catches the
+    * prefix-typo near-dups hash blocking scatters (a one-char head
+    * edit moves a simhash band but not the sort position) — real
+    * linkage stacks run BOTH passes and union the pairs.
+    *
+    * Scale shape: the global sort position comes from the
+    * DISTRIBUTED two-level scan ([[graft.ops.Scan.globalRunningSum]]
+    * over the unique (key, doc_id) order) — never a single-task
+    * row_number; the neighbor pairing is an equi-join on rank blocks
+    * of width `window − 1` (each record probes its own and the
+    * previous block — fan-out exactly 2), with the rank-distance
+    * bound as a residual; the Jaro–Winkler verify is the same
+    * codegen'd scalar kernel, applied only inside windows.
+    *
+    * @return (da, db, rank_dist, jw) with jw ≥ minSim, da before db
+    *         in sort order
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, window: Int = 5,
+      minSim: Double = 0.9, keyLen: Int = 16,
+      prefixLen: Int = 200): DataFrame = {
+    require(window >= 2, "a neighborhood needs at least two records")
+    val g = window - 1
+    val keyed = docs.where(col("text").isNotNull)
+      .select(col("doc_id"),
+        lower(substring(trim(col("text")), 1, keyLen)).as("k"),
+        substring(col("text"), 1, prefixLen).as("pfx"))
+    val ranked = graft.ops.Scan
+      .globalRunningSum(keyed, Seq("k", "doc_id"), lit(1L), "rn")
+      .localCheckpoint(true) // both sides of the neighbor join
+    def jw(a: Column, b: Column): Column =
+      GraftSqlShims.column(graft.functions.JaroWinkler(
+        GraftSqlShims.expression(a), GraftSqlShims.expression(b)))
+    val a = ranked.select(col("doc_id").as("da"), col("pfx").as("pa"),
+      col("rn").as("ra"), expr(s"(rn - 1) div $g").as("blk"))
+    val b = ranked.select(col("doc_id").as("db"), col("pfx").as("pb"),
+      col("rn").as("rb"),
+      explode(array(expr(s"(rn - 1) div $g"),
+        expr(s"(rn - 1) div $g - 1"))).as("blk"))
+    a.join(b, "blk")
+      .where(col("rb") > col("ra") && col("rb") - col("ra") <= g)
+      .select(col("da"), col("db"),
+        (col("rb") - col("ra")).as("rank_dist"),
+        (floor(jw(col("pa"), col("pb")) * 1e4 + 0.5) / 1e4)
+          .cast("float").as("jw"))
+      .where(col("jw") >= minSim)
+  }
+
   /** The pair family's fingerprint frame: (doc_id, simhash, fpl) — the
     * bit string parsed to a long ONCE per doc; candidates then carry
     * two longs and the verify is bit_count(xor) — scalar codegen, no

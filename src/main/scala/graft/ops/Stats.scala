@@ -467,6 +467,114 @@ object Stats {
   private def r6(c: Column): Column =
     (floor(c * 1e6 + 0.5) / 1e6).cast("float")
 
+  /** Poisson(1) CDF thresholds on the 48-bit uniform scale —
+    * `thresholds(k) = round(P(X ≤ k) · 2⁴⁸)` for k = 0..7. Built once
+    * with libm exp and INLINED into the DuckDB oracle as literals
+    * (the [[graft.llm.Multimodal.dctCosX]] discipline), so the
+    * per-row weight draw is pure integer compares on both engines.
+    */
+  val poissonCdf48: Array[Long] = {
+    var fact = 1.0
+    var cdf = 0.0
+    (0 to 7).map { k =>
+      if (k > 0) fact *= k
+      cdf += math.exp(-1.0) / fact
+      math.round(cdf * 281474976710656.0)
+    }.toArray
+  }
+
+  /** Poisson-bootstrap confidence interval for the mean (Chamandy et
+    * al. 2012, "Estimating Uncertainty for Massive Data Streams" —
+    * the bootstrap that actually runs at scale): instead of resampling
+    * n rows B times (impossible distributed), every row draws an
+    * independent Poisson(1) replication WEIGHT per replicate — the
+    * large-n limit of multinomial resampling — so all B replicates
+    * ride ONE pass: explode ×B, weight via a seeded md5 48-bit
+    * uniform cut against [[poissonCdf48]] (deterministic
+    * common-random-number draws, the [[graft.quality.DataQuality]]
+    * Laplace discipline), then a map-side-combined groupBy to B rows.
+    *
+    * The percentile CI is read off the sorted B replicate means at
+    * ranks ⌊0.025·B⌋+1 and ⌈0.975·B⌉ — a B-element array on the
+    * driver-side result row, metadata-sized. Replicate means are
+    * IEEE ratios of a weighted double sum hedged by the shared floor
+    * rounding; a replicate with all-zero weights (probability ≈ e⁻ⁿ)
+    * is dropped and surfaces via n_boot.
+    *
+    * @return one row (n, n_boot, est, ci_lo, ci_hi)
+    */
+  def bootstrapMeanCI(df: DataFrame, valueCol: String, idCol: String,
+      b: Int = 64, salt: String = "boot"): DataFrame = {
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(idCol).cast("string").as("id"),
+        col(valueCol).cast("double").as("x"))
+      .localCheckpoint(true) // feeds the point estimate AND replicates
+    val pt = broadcast(base.agg(count(lit(1)).as("n"),
+      avg(col("x")).as("est")))
+    val ex = base.select(col("id"), col("x"),
+      explode(sequence(lit(0), lit(b - 1))).as("r"))
+    val h = conv(substring(md5(concat_ws(":", lit(salt), col("id"),
+      col("r"))), 1, 12), 16, 10).cast("long")
+    val w = poissonCdf48.zipWithIndex.foldRight(lit(8L): Column) {
+      case ((t, k), acc) => when(h < t, lit(k.toLong)).otherwise(acc)
+    }
+    val reps = ex.select(col("r"), w.as("w"), col("x"))
+      .groupBy(col("r"))
+      .agg(sum(col("w") * col("x")).as("sx"), sum(col("w")).as("sw"))
+      .where(col("sw") > 0)
+      .select((col("sx") / col("sw")).as("m"))
+    val loRank = (0.025 * b).toInt + 1
+    val hiRank = math.ceil(0.975 * b).toInt
+    reps.agg(sort_array(collect_list(col("m"))).as("ms"),
+        count(lit(1)).as("nb"))
+      .crossJoin(pt)
+      .select(col("n"), col("nb").cast("int").as("n_boot"),
+        r6(col("est")).as("est"),
+        r6(element_at(col("ms"), loRank)).as("ci_lo"),
+        r6(element_at(col("ms"), hiRank)).as("ci_hi"))
+  }
+
+  /** K-fold leakage-safe target encoding (the mean-target categorical
+    * encoder of Micci-Barreca 2001 — the CatBoost-style feature every
+    * tabular pipeline ships): for category c and fold f, the encoding
+    * is the smoothed target mean over c's rows in the OTHER folds —
+    * (S_c − S_cf + m·μ) / (N_c − N_cf + m) with prior weight `m` —
+    * so a row never sees its own target (the leakage q115/q126 audit
+    * hunts, prevented by construction here).
+    *
+    * Determinism: the target rides as exact integer cents (2-decimal
+    * source), all counts/sums are exact decimals off ONE map-side-
+    * combined (cat, fold) groupBy; per-cat and global totals
+    * re-aggregate that bounded frame; the encoding is one fixed IEEE
+    * sequence under the shared floor rounding. A category confined to
+    * one fold degrades to the prior mean (denominator ≥ m — never an
+    * ANSI fault).
+    *
+    * @return (cat, fold, n_oof, enc) — |categories|·K rows; apply by
+    *         broadcast-joining onto (cat, fold) at any fact size
+    */
+  def targetEncoding(df: DataFrame, catCol: String, targetCol: String,
+      foldCol: String, m: Long = 10L): DataFrame = {
+    val y = cents(col(targetCol))
+    val perFold = df.where(col(targetCol).isNotNull)
+      .groupBy(col(catCol).as("cat"), col(foldCol).as("fold"))
+      .agg(count(lit(1)).as("nf"),
+        sum(y.cast("decimal(38,0)")).as("sf"))
+      .localCheckpoint(true) // feeds per-cat AND global totals
+    val perCat = perFold.groupBy(col("cat"))
+      .agg(sum(col("nf")).as("nc"), sum(col("sf")).as("sc"))
+    val glob = broadcast(perFold.agg(sum(col("nf")).as("ng"),
+      sum(col("sf")).as("sg")))
+    perFold.join(perCat, "cat").crossJoin(glob)
+      .select(col("cat"), col("fold"),
+        (col("nc") - col("nf")).cast("long").as("n_oof"),
+        r6(((col("sc") - col("sf")).cast("double") / 100.0 +
+            lit(m.toDouble) * (col("sg").cast("double") / 100.0 /
+              col("ng"))) /
+          ((col("nc") - col("nf")).cast("double") + lit(m.toDouble)))
+          .as("enc"))
+  }
+
   /** Reliability diagram + Expected Calibration Error (Guo et al.
     * 2017) of a [0, 1] score against a boolean label — the
     * calibration side of classifier evaluation next to [[auc]]'s

@@ -216,6 +216,30 @@ object Analytics extends QueryPack {
       graft.ops.EventAnalytics.seqPatterns(t("events")(s, d),
         gapS = sessionGapS)),
 
+    // Poisson-bootstrap CI for the mean event value (Chamandy et al.
+    // 2012 — the bootstrap that runs at scale): every row draws a
+    // seeded md5 Poisson(1) weight per replicate, 64 replicates ride
+    // one pass, CI read off the sorted replicate means. The
+    // uncertainty primitive the point estimates lack.
+    "q280_bootstrap_ci" -> ((s, d) =>
+      graft.ops.Stats.bootstrapMeanCI(t("events")(s, d), "value",
+        "event_id")),
+
+    // K-fold leakage-safe target encoding (Micci-Barreca 2001 /
+    // CatBoost lineage): smoothed out-of-fold brand→price means over
+    // lineitem⋈part, m = 10 prior — the tabular feature encoder
+    // whose leakage the q115/q126 audits hunt, prevented by
+    // construction.
+    "q281_target_encoding" -> ((s, d) => {
+      val li = t("lineitem")(s, d)
+        .join(broadcast(t("part")(s, d)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .withColumn("fold", pmod(col("l_orderkey"), lit(5L)).cast("int"))
+      graft.ops.Stats.targetEncoding(li, "p_brand", "l_extendedprice",
+        "fold")
+    }),
+
     // Reliability diagram + ECE (Guo et al. 2017): is the min-max-
     // normalized event value CALIBRATED as a purchase probability?
     // The calibration half of classifier evaluation beside q230's
@@ -1777,6 +1801,67 @@ object Analytics extends QueryPack {
          |SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n_sessions
          |FROM p GROUP BY 1, 2, 3 HAVING count(*) >= 2
          |ORDER BY n_sessions DESC, t1, t2, t3 LIMIT 50""".stripMargin,
+
+    // The weight draw re-derived: same md5 48-bit uniform, the same
+    // inlined Poisson CDF thresholds (integer compares only), the
+    // same rank-2/rank-63 percentile reads.
+    "q280_bootstrap_ci" -> {
+      val caseW = graft.ops.Stats.poissonCdf48.zipWithIndex
+        .map { case (t, k) => s"WHEN h < $t THEN $k" }
+        .mkString("\n        |            ")
+      s"""WITH base AS (SELECT CAST(event_id AS VARCHAR) AS id,
+        |                CAST(value AS DOUBLE) AS x
+        |              FROM events WHERE value IS NOT NULL),
+        |ex AS (SELECT id, x, CAST(r AS INTEGER) AS r
+        |       FROM base, range(64) t(r)),
+        |hx AS (SELECT x, r, md5('boot:' || id || ':' ||
+        |         CAST(r AS VARCHAR)) AS hh FROM ex),
+        |hw AS (SELECT x, r, ${OracleSql.md5Int48("hh")} AS h FROM hx),
+        |ww AS (SELECT x, r,
+        |         CASE $caseW
+        |              ELSE 8 END AS w FROM hw),
+        |rep AS (SELECT r, sum(w * x) AS sx,
+        |               CAST(sum(w) AS BIGINT) AS sw
+        |        FROM ww GROUP BY 1),
+        |ms AS (SELECT sx / sw AS m,
+        |              row_number() OVER (ORDER BY sx / sw) AS rn,
+        |              count(*) OVER () AS nb
+        |       FROM rep WHERE sw > 0),
+        |pt AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(x) AS est
+        |       FROM base)
+        |SELECT pt.n, CAST(ms0.nb AS INTEGER) AS n_boot,
+        |       CAST(floor(pt.est * 1e6 + 0.5) / 1e6 AS REAL) AS est,
+        |       CAST(floor(lo.m * 1e6 + 0.5) / 1e6 AS REAL) AS ci_lo,
+        |       CAST(floor(hi.m * 1e6 + 0.5) / 1e6 AS REAL) AS ci_hi
+        |FROM pt, (SELECT DISTINCT nb FROM ms) ms0,
+        |     (SELECT m FROM ms WHERE rn = 2) lo,
+        |     (SELECT m FROM ms WHERE rn = 63) hi""".stripMargin
+    },
+
+    // Per-(cat, fold) exact cent moments, the same out-of-fold
+    // smoothing sequence, floor-rounded at the edge.
+    "q281_target_encoding" ->
+      """WITH f AS (SELECT p.p_brand AS cat,
+        |             CAST(l.l_orderkey % 5 AS INTEGER) AS fold,
+        |             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |               AS yc
+        |           FROM lineitem l
+        |           JOIN part p ON l.l_partkey = p.p_partkey
+        |           WHERE l.l_extendedprice IS NOT NULL),
+        |pf AS (SELECT cat, fold, CAST(count(*) AS BIGINT) AS nf,
+        |              CAST(sum(yc) AS BIGINT) AS sf
+        |       FROM f GROUP BY 1, 2),
+        |pc AS (SELECT cat, CAST(sum(nf) AS BIGINT) AS nc,
+        |              CAST(sum(sf) AS BIGINT) AS sc
+        |       FROM pf GROUP BY 1),
+        |g AS (SELECT CAST(sum(nf) AS BIGINT) AS ng,
+        |             CAST(sum(sf) AS BIGINT) AS sg FROM pf)
+        |SELECT pf.cat, pf.fold, nc - nf AS n_oof,
+        |       CAST(floor(((CAST(sc - sf AS DOUBLE) / 100.0
+        |           + 10.0 * (CAST(sg AS DOUBLE) / 100.0 / ng))
+        |         / (CAST(nc - nf AS DOUBLE) + 10.0)) * 1e6 + 0.5)
+        |         / 1e6 AS REAL) AS enc
+        |FROM pf JOIN pc USING (cat), g""".stripMargin,
 
     // Same min-max score, same per-row IEEE bin floor, exact bin
     // counts, and the shared floor rounding on conf/acc/gap/ECE.

@@ -241,6 +241,13 @@ object LlmPack extends QueryPack {
     // even grid-tie scores identical cross-engine.
     "q224_jaro_linkage" -> ((s, d) =>
       Dedup.jaroVerifiedPairs(t("documents")(s, d))),
+    // Sorted-neighborhood blocking (Hernández & Stolfo 1995): the
+    // OTHER classic linkage blocking next to q224's fingerprint
+    // bands — global sort-key rank via the distributed two-level
+    // scan, window-5 neighbor pairs via rank-block equi-join, the
+    // same codegen'd Jaro–Winkler verify.
+    "q279_sorted_neighborhood" -> ((s, d) =>
+      Dedup.sortedNeighborhoodPairs(t("documents")(s, d))),
     // Entity resolution end-to-end: the q224 linkage pairs close into
     // clusters (pointer-jumped CC, smallest doc_id canonical) — the
     // "same real-world entity" grouping record linkage exists for.
@@ -1838,6 +1845,25 @@ object LlmPack extends QueryPack {
          |         JOIN documents b ON p.db = b.doc_id
          |  WHERE p.hamming <= 3)
          |WHERE jw >= 0.9""".stripMargin,
+    // The same sort-key ranks re-derived by row_number, the naive
+    // rank-distance join, the same floor-rounded DuckDB-vendored
+    // RapidFuzz kernel q224 pinned.
+    "q279_sorted_neighborhood" ->
+      """WITH kd AS (SELECT doc_id,
+        |              lower(substr(trim(text), 1, 16)) AS k,
+        |              substr(text, 1, 200) AS pfx
+        |            FROM documents WHERE text IS NOT NULL),
+        |rk AS (SELECT doc_id, pfx,
+        |         CAST(row_number() OVER (ORDER BY k, doc_id)
+        |           AS BIGINT) AS rn
+        |       FROM kd),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |             b.rn - a.rn AS rank_dist,
+        |             CAST(floor(jaro_winkler_similarity(a.pfx, b.pfx)
+        |               * 1e4 + 0.5) / 1e4 AS REAL) AS jw
+        |      FROM rk a JOIN rk b
+        |        ON b.rn > a.rn AND b.rn <= a.rn + 4)
+        |SELECT da, db, rank_dist, jw FROM p WHERE jw >= 0.9""".stripMargin,
     // The q224 pair rule closed into components by recursive
     // reachability with min-label — the q82 derivation over the
     // LINKAGE edge set; every doc a vertex (singletons included).

@@ -167,6 +167,65 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(got.values.forall(v => near(v._6, 0.13)))
   }
 
+  test("sortedNeighborhood: window blocks, verifies, and excludes") {
+    import spark.implicits._
+    // three near-identical texts sort adjacently and pair; the "m"
+    // text is similar to nothing nearby; window = 5 so the distant
+    // "zz" near-dup of "aa..." (rank gap > 4) must NOT pair
+    val docs = Seq(
+      (1L, "aa quick brown fox jumps over the lazy dog"),
+      (2L, "aa quick brown fox jumps over the lazy doge"),
+      (3L, "ab quick brown fox jumps over the lazy dog"),
+      (4L, "ba colorless green ideas sleep furiously"),
+      (5L, "bb seventeen submarines hummed beneath ice"),
+      (6L, "bc quarterly revenue grew nine percent"),
+      (7L, "ca metal oxide semiconductors drift slowly"),
+      (8L, "zz quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val got = llm.Dedup.sortedNeighborhoodPairs(docs, window = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)) && got.contains((1L, 3L)) &&
+      got.contains((2L, 3L)))
+    assert(!got.exists(p => p._1 == 8L || p._2 == 8L),
+      "rank-distant near-dup must stay outside the window")
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("bootstrapMeanCI: deterministic, contains the estimate, full B") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i.toLong, (i % 37).toDouble))
+      .toDF("id", "v")
+    def run(salt: String) = ops.Stats
+      .bootstrapMeanCI(df, "v", "id", salt = salt).collect()(0)
+    val a = run("boot")
+    assert(a.getLong(0) == 500L && a.getInt(1) == 64)
+    val (lo, est, hi) = (a.getFloat(3), a.getFloat(2), a.getFloat(4))
+    assert(lo <= est && est <= hi && lo < hi)
+    // seeded draws replay bit-identically; a new salt moves the CI
+    assert(run("boot") == a)
+    val b = run("boot2")
+    assert(b.getFloat(3) != lo || b.getFloat(4) != hi)
+  }
+
+  test("targetEncoding: hand-computed out-of-fold smoothed means") {
+    import spark.implicits._
+    // global mean 17.50; A/0 → (20 + 175)/11, A/1 → (20·? see below),
+    // B/0 has zero out-of-fold rows → exactly the prior mean
+    val df = Seq(("A", 0, 10.0), ("A", 0, 10.0), ("A", 1, 20.0),
+      ("B", 0, 30.0)).toDF("cat", "fold", "y")
+    val got = ops.Stats.targetEncoding(df, "cat", "y", "fold")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getFloat(3))).toMap
+    // float ulp at ~17.7 is ~2e-6 — tolerance must sit above it
+    def near(a: Float, b: Double) = math.abs(a - b) < 1e-5
+    assert(got.size == 3)
+    assert(got(("A", 0))._1 == 1L &&
+      near(got(("A", 0))._2, 195.0 / 11))   // (20 + 10·17.5) / (1+10)
+    assert(got(("A", 1))._1 == 2L &&
+      near(got(("A", 1))._2, 195.0 / 12))   // (20 + 175) / (2+10)
+    assert(got(("B", 0))._1 == 0L && near(got(("B", 0))._2, 17.5))
+  }
+
   test("randomWalk: replays identically (common-random-number draw)") {
     val pairs = sym(Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L)))
     val seeds = { import spark.implicits._; Seq(1L, 2L).toDF("id") }
