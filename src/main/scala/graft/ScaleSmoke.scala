@@ -106,6 +106,13 @@ object ScaleSmoke {
     run("ktruss_q267")(graft.graph.Truss.kTruss(
       pairs.where(col("w") >= 2).select(col("a"), col("b")),
       k = 3, rounds = 3))
+    run("label_prop_q269")(graft.graph.LabelProp.run(
+      pairs.where(col("w") >= 2).select(col("a"), col("b")),
+      rounds = 4))
+    run("random_walks_q270")(graft.graph.RandomWalk.walks(
+      edges, part.where(col("id") % 100 === 0), steps = 4))
+    run("sorted_neighborhood_q279")(
+      graft.llm.Dedup.sortedNeighborhoodPairs(docs))
     spark.stop()
   }
 }

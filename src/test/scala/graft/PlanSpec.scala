@@ -569,4 +569,51 @@ class PlanSpec extends AnyFunSuite {
         s"$q plans a sort-merge join")
     }
   }
+
+  test("q277: the audio fingerprint map stage plans ZERO exchanges") {
+    val p = plan("q277_audio_fp")
+    assert(p.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"codec + fingerprint must stay a pure map:\n$p")
+  }
+
+  test("q279: neighbor pairing is an equi-join — never cartesian") {
+    val p = plan("q279_sorted_neighborhood")
+    assert(p.collect {
+      case j: org.apache.spark.sql.execution.joins
+        .BroadcastNestedLoopJoinExec => j
+      case c: org.apache.spark.sql.execution.joins
+        .CartesianProductExec => c
+    }.isEmpty, "window blocking regressed to an unbounded join")
+  }
+
+  test("q280: replicate sums partially aggregate map-side") {
+    val p = plan("q280_bootstrap_ci")
+    val partials = p.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+        if a.aggregateExpressions.exists(_.mode == Partial) => a
+    }
+    assert(partials.nonEmpty,
+      "the ×B explode must combine before its shuffle")
+  }
+
+  test("q281: the brand dim joins via broadcast") {
+    // targetEncoding's eager checkpoint hides the fact-side stage
+    // from the final plan (the q232 situation) — assert the shape on
+    // the pre-checkpoint fact⋈dim frame the query builds
+    import org.apache.spark.sql.functions.{broadcast, col, pmod, lit}
+    val before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .join(broadcast(spark.read.parquet(s"$dir/part.parquet")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .withColumn("fold", pmod(col("l_orderkey"), lit(5L)).cast("int"))
+        .groupBy(col("p_brand"), col("fold"))
+        .count()
+      val p = li.queryExecution.executedPlan
+      assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty)
+      assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", before)
+  }
 }
