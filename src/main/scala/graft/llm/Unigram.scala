@@ -193,14 +193,41 @@ object Unigram {
     (pruned, finalSegs)
   }
 
+  // Projection views over precomputed [[train]] artifacts — the
+  // memoized-frame entry points: a caller that serves several query
+  // surfaces (vocab, segmentations, encode) runs train() ONCE,
+  // checkpoints its two frames, and derives each surface from them.
+
+  /** [[unigramTrain]]'s surface from a precomputed pruned vocab. */
+  def vocabView(pruned: DataFrame): DataFrame =
+    pruned.select(col("piece"), length(col("piece")).as("n_chars"),
+      col("cnt"))
+
+  /** [[unigramSegment]]'s surface from precomputed segmentations. */
+  def segmentView(finalSegs: DataFrame): DataFrame =
+    finalSegs.select(col("word"), col("freq"),
+      col("np").cast("int").as("n_pieces"),
+      concat_ws(" ", col("pieces")).as("seg"))
+
+  /** [[unigramEncode]]'s surface from precomputed segmentations. */
+  def encodeView(docs: DataFrame, finalSegs: DataFrame): DataFrame = {
+    val segs = finalSegs.select(col("word"), col("np"))
+    TextOps.spread(docs)
+      .where(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("word"))
+      .join(broadcast(segs), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_words"),
+        sum(col("np")).cast("int").as("n_pieces"))
+  }
+
   /** The trained vocabulary: (piece, n_chars, cnt). */
   def unigramTrain(docs: DataFrame, maxPieceLen: Int = 4,
       seedSize: Int = 60, emIters: Int = 2, vocabSize: Int = 40,
       maxWordLen: Int = 16): DataFrame =
-    trainVocab(docs, maxPieceLen, seedSize, emIters, vocabSize,
-        maxWordLen)._1
-      .select(col("piece"), length(col("piece")).as("n_chars"),
-        col("cnt"))
+    vocabView(trainVocab(docs, maxPieceLen, seedSize, emIters,
+      vocabSize, maxWordLen)._1)
 
   /** Per-document token counts under the trained unigram vocabulary —
     * the [[Bpe.bpeEncode]] analog: each doc charged the summed piece
@@ -212,26 +239,14 @@ object Unigram {
     */
   def unigramEncode(docs: DataFrame, maxPieceLen: Int = 4,
       seedSize: Int = 60, emIters: Int = 2, vocabSize: Int = 40,
-      maxWordLen: Int = 16): DataFrame = {
-    val segs = train(docs, maxPieceLen, seedSize, emIters, vocabSize,
-        maxWordLen)._2
-      .select(col("word"), col("np"))
-    TextOps.spread(docs)
-      .where(col("text").isNotNull && length(trim(col("text"))) > 0)
-      .select(col("doc_id"),
-        explode(TextOps.tokens(col("text"))).as("word"))
-      .join(broadcast(segs), Seq("word"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("int").as("n_words"),
-        sum(col("np")).cast("int").as("n_pieces"))
-  }
+      maxWordLen: Int = 16): DataFrame =
+    encodeView(docs, train(docs, maxPieceLen, seedSize, emIters,
+      vocabSize, maxWordLen)._2)
 
   /** The shipped segmentations: (word, freq, n_pieces, seg). */
   def unigramSegment(docs: DataFrame, maxPieceLen: Int = 4,
       seedSize: Int = 60, emIters: Int = 2, vocabSize: Int = 40,
       maxWordLen: Int = 16): DataFrame =
-    train(docs, maxPieceLen, seedSize, emIters, vocabSize, maxWordLen)._2
-      .select(col("word"), col("freq"),
-        col("np").cast("int").as("n_pieces"),
-        concat_ws(" ", col("pieces")).as("seg"))
+    segmentView(train(docs, maxPieceLen, seedSize, emIters, vocabSize,
+      maxWordLen)._2)
 }
