@@ -534,6 +534,71 @@ object Stats {
         r6(element_at(col("ms"), hiRank)).as("ci_hi"))
   }
 
+  /** Split conformal prediction intervals (Papadopoulos et al. 2002;
+    * the Lei et al. 2018 formulation) — distribution-free coverage:
+    * fit a point predictor on the train fold (per-group mean), take
+    * q̂ = the ⌈(n+1)(1−α)⌉-th smallest absolute calibration residual,
+    * and the interval μ ± q̂ covers a fresh point with probability
+    * ≥ 1−α, no matter the distribution. The uncertainty wrapper for
+    * ANY predictor; evaluated here on a held-out test fold.
+    *
+    * Determinism: target rides as exact cents; μ = ⌊S/n⌋ exact (the
+    * double division's error is ≪ 1/n, so the floor is the true
+    * integer on both engines); residuals are exact longs; q̂ is an
+    * exact ORDER STATISTIC — per-(group, residual) counts + a
+    * group-keyed running-count window, min residual with run ≥ k
+    * (the [[weightedQuantiles]] discipline — never a per-row sort);
+    * k clamps to n_cal (the k > n guarantee is vacuous — documented).
+    *
+    * Scale shape: three passes over one checkpointed (g, yc, sp)
+    * projection — two map-side-combined groupBys and one keyed
+    * window over per-VALUE counts; parallelism = |groups|.
+    *
+    * @param alphaPct miscoverage α in percent (10 → 90% intervals)
+    * @return (g, mu_cents, n_cal, k, qhat_cents, n_test, n_covered,
+    *         coverage) one row per group
+    */
+  def conformalInterval(df: DataFrame, groupCol: String,
+      targetCol: String, splitCol: String,
+      alphaPct: Int = 10): DataFrame = {
+    val rows = df.where(col(targetCol).isNotNull)
+      .select(col(groupCol).as("g"), cents(col(targetCol)).as("yc"),
+        col(splitCol).as("sp"))
+      .localCheckpoint(true) // feeds fit, calibration, and coverage
+    val mu = rows.where(col("sp") === 0).groupBy(col("g"))
+      .agg(count(lit(1)).as("n_tr"),
+        sum(col("yc").cast("decimal(38,0)")).as("s_tr"))
+      .select(col("g"),
+        floor(col("s_tr").cast("double") / col("n_tr")).cast("long")
+          .as("mu"))
+    val cal = rows.where(col("sp") === 1).join(mu, "g")
+      .select(col("g"), abs(col("yc") - col("mu")).as("r"))
+    val perVal = cal.groupBy(col("g"), col("r"))
+      .agg(count(lit(1)).as("c"))
+    val nCal = cal.groupBy(col("g")).agg(count(lit(1)).as("n_cal"))
+    val run = Window.partitionBy(col("g")).orderBy(col("r"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val scanned = perVal.withColumn("run", sum(col("c")).over(run))
+      .join(nCal, "g")
+      .withColumn("k",
+        expr(s"((n_cal + 1) * ${100 - alphaPct} + 99) div 100"))
+    val qhat = scanned
+      .groupBy(col("g"), col("n_cal"), col("k"))
+      .agg(min(when(col("run") >= least(col("k"), col("n_cal")),
+        col("r"))).as("qhat"))
+    rows.where(col("sp") === 2).join(mu, "g").join(qhat, "g")
+      .groupBy(col("g"), col("mu"), col("n_cal"), col("k"),
+        col("qhat"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(abs(col("yc") - col("mu")) <= col("qhat"), 1L)
+          .otherwise(0L)).as("n_covered"))
+      .select(col("g"), col("mu").as("mu_cents"), col("n_cal"),
+        col("k"), col("qhat").as("qhat_cents"), col("n_test"),
+        col("n_covered"),
+        r6(col("n_covered").cast("double") / col("n_test"))
+          .as("coverage"))
+  }
+
   /** K-fold leakage-safe target encoding (the mean-target categorical
     * encoder of Micci-Barreca 2001 — the CatBoost-style feature every
     * tabular pipeline ships): for category c and fold f, the encoding

@@ -240,6 +240,18 @@ object Analytics extends QueryPack {
         "fold")
     }),
 
+    // Split conformal prediction (Papadopoulos et al. 2002): per-
+    // priority mean fit on fold 0, q̂ = ⌈(n+1)·0.9⌉-th smallest
+    // calibration residual on fold 1, distribution-free ±q̂ coverage
+    // evaluated on fold 2 — the uncertainty wrapper beside q280's
+    // bootstrap and q273's calibration, exact order statistics via
+    // the per-value-count scan.
+    "q282_conformal" -> ((s, d) =>
+      graft.ops.Stats.conformalInterval(
+        t("orders")(s, d).withColumn("sp",
+          pmod(col("o_orderkey"), lit(3L)).cast("int")),
+        "o_orderpriority", "o_totalprice", "sp")),
+
     // Reliability diagram + ECE (Guo et al. 2017): is the min-max-
     // normalized event value CALIBRATED as a purchase probability?
     // The calibration half of classifier evaluation beside q230's
@@ -1862,6 +1874,44 @@ object Analytics extends QueryPack {
         |         / (CAST(nc - nf AS DOUBLE) + 10.0)) * 1e6 + 0.5)
         |         / 1e6 AS REAL) AS enc
         |FROM pf JOIN pc USING (cat), g""".stripMargin,
+
+    // Folds, integer-cent residuals, the same clamped-k order
+    // statistic from per-value counts, coverage re-counted on fold 2.
+    "q282_conformal" ->
+      """WITH rws AS (SELECT o_orderpriority AS g,
+        |              CAST(round(o_totalprice * 100) AS BIGINT) AS yc,
+        |              CAST(o_orderkey % 3 AS INTEGER) AS sp
+        |            FROM orders WHERE o_totalprice IS NOT NULL),
+        |mu AS (SELECT g, CAST(CAST(sum(yc) AS HUGEINT) // count(*)
+        |         AS BIGINT) AS mu
+        |       FROM rws WHERE sp = 0 GROUP BY 1),
+        |cal AS (SELECT r.g, abs(r.yc - mu.mu) AS r
+        |        FROM rws r JOIN mu USING (g) WHERE sp = 1),
+        |pv AS (SELECT g, r, count(*) AS c FROM cal GROUP BY 1, 2),
+        |nc AS (SELECT g, CAST(count(*) AS BIGINT) AS n_cal
+        |       FROM cal GROUP BY 1),
+        |sc AS (SELECT pv.g, pv.r,
+        |              sum(pv.c) OVER (PARTITION BY pv.g
+        |                ORDER BY pv.r) AS run,
+        |              nc.n_cal,
+        |              ((nc.n_cal + 1) * 90 + 99) // 100 AS k
+        |       FROM pv JOIN nc USING (g)),
+        |qh AS (SELECT g, n_cal, CAST(k AS BIGINT) AS k,
+        |              CAST(min(CASE WHEN run >= least(k, n_cal)
+        |                THEN r END) AS BIGINT) AS qhat
+        |       FROM sc GROUP BY 1, 2, 3),
+        |ts AS (SELECT r.g, r.yc, mu.mu FROM rws r JOIN mu USING (g)
+        |       WHERE sp = 2)
+        |SELECT ts.g, ts.mu AS mu_cents, q.n_cal, q.k,
+        |       q.qhat AS qhat_cents,
+        |       CAST(count(*) AS BIGINT) AS n_test,
+        |       CAST(sum(CASE WHEN abs(ts.yc - ts.mu) <= q.qhat
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+        |       CAST(floor(CAST(sum(CASE WHEN abs(ts.yc - ts.mu)
+        |           <= q.qhat THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / count(*) * 1e6 + 0.5) / 1e6 AS REAL) AS coverage
+        |FROM ts JOIN qh q USING (g)
+        |GROUP BY 1, 2, 3, 4, 5""".stripMargin,
 
     // Same min-max score, same per-row IEEE bin floor, exact bin
     // counts, and the shared floor rounding on conf/acc/gap/ECE.

@@ -226,6 +226,24 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(got(("B", 0))._1 == 0L && near(got(("B", 0))._2, 17.5))
   }
 
+  test("conformalInterval: hand-solved μ, clamped k, q̂, coverage") {
+    import spark.implicits._
+    // train μ = 15.00; cal residuals {1.00, 2.00, 10.00} → k =
+    // ⌈4·0.9⌉ = 4 clamps to n_cal = 3 → q̂ = 10.00; test: 16.00
+    // covered, 30.00 not
+    val df = Seq(("A", 10.0, 0), ("A", 20.0, 0),
+      ("A", 14.0, 1), ("A", 17.0, 1), ("A", 25.0, 1),
+      ("A", 16.0, 2), ("A", 30.0, 2)).toDF("g", "y", "sp")
+    val r = ops.Stats.conformalInterval(df, "g", "y", "sp").collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getLong(1) == 1500L)         // mu_cents
+    assert(row.getLong(2) == 3L && row.getLong(3) == 4L)
+    assert(row.getLong(4) == 1000L)         // qhat_cents
+    assert(row.getLong(5) == 2L && row.getLong(6) == 1L)
+    assert(math.abs(row.getFloat(7) - 0.5f) < 1e-6)
+  }
+
   test("randomWalk: replays identically (common-random-number draw)") {
     val pairs = sym(Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L)))
     val seeds = { import spark.implicits._; Seq(1L, 2L).toDF("id") }
