@@ -759,6 +759,14 @@ object Dedup {
       bits: Int = simhashBits64): DataFrame =
     pairsFromFp(fp, maxHamming, deltaPred = None, bits)
 
+  /** Day-2 [[fpPairs]]: only pairs touching a row matching `newPred`
+    * (the q120 delta contract at the FINGERPRINT-frame level —
+    * old×old discarded inside the band join, so a day's increment
+    * pays increment×corpus, never corpus²). */
+  def fpPairsDelta(fp: DataFrame, newPred: Column, maxHamming: Int = 3,
+      bits: Int = simhashBits64): DataFrame =
+    pairsFromFp(fp, maxHamming, Some(newPred), bits)
+
   /** EDIT-DISTANCE–VERIFIED near-dup pairs: [[simhashPairs]]
     * candidates re-checked with exact Levenshtein over each side's
     * first `prefixLen` characters — the record-linkage verify step

@@ -229,6 +229,33 @@ object LlmPack extends QueryPack {
       Dedup.fpPairs(Multimodal.pHashPayloads(
         Multimodal.syntheticNoisyPpmFrame(
           t("documents")(s, d).select(col("doc_id")))), maxHamming = 3)),
+    // Near-dup image CLUSTERS: the q276 pHash pairs closed into
+    // components (pointer-jumped CC, smallest doc_id canonical) —
+    // the q229 entity-resolution composition on the image side, i.e.
+    // the keep-one-per-cluster action image dedup actually ships.
+    "q283_image_dup_clusters" -> ((s, d) => {
+      val ids = t("documents")(s, d).select(col("doc_id"))
+      val pairs = Dedup.fpPairs(Multimodal.pHashPayloads(
+          Multimodal.syntheticNoisyPpmFrame(ids)), maxHamming = 3)
+        .select(col("da").as("a"), col("db").as("b"))
+      val labels = graft.graph.ConnectedComponents.run(
+          ids.select(col("doc_id").as("id")), pairs)
+        .select(col("id").as("doc_id"), col("component").as("cluster"))
+      val sizes = labels.groupBy(col("cluster"))
+        .agg(count(lit(1)).cast("int").as("cluster_size"))
+      labels.join(sizes, "cluster")
+        .select(col("doc_id"), col("cluster"), col("cluster_size"),
+          (col("doc_id") === col("cluster")).as("is_canonical"))
+    }),
+    // Day-2 image dedup: the q276 pair family restricted to pairs
+    // touching the new batch (doc_id % 3 = 0, the q120 delta
+    // convention) — old×old pruned inside the band join, so the
+    // daily increment pays increment×corpus, never corpus².
+    "q284_phash_delta" -> ((s, d) =>
+      Dedup.fpPairsDelta(Multimodal.pHashPayloads(
+        Multimodal.syntheticNoisyPpmFrame(
+          t("documents")(s, d).select(col("doc_id")))),
+        col("doc_id") % 3 === 0, maxHamming = 3)),
     // 64-bit audio fingerprint (the single-band form of Haitsma &
     // Kalker 2002's energy-difference fingerprint): WAV decode →
     // 16-sample frame energies (exact Σx²) → sign-of-derivative
@@ -2763,6 +2790,44 @@ object LlmPack extends QueryPack {
          |                THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
          |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id)
          |SELECT da, db, hamming FROM p WHERE hamming <= 3""".stripMargin,
+    // The q276 pair table closed by recursive min-label reachability
+    // (the q229 derivation) over the pHash fingerprints.
+    "q283_image_dup_clusters" ->
+      s"""WITH RECURSIVE ${imagePHashCtes(materializeF = true)},
+         |p AS MATERIALIZED (
+         |  SELECT a.doc_id AS da, b.doc_id AS db
+         |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+         |  WHERE list_sum(list_transform(range(1, 65),
+         |          i -> CASE WHEN substr(a.phash, CAST(i AS INT), 1)
+         |                      <> substr(b.phash, CAST(i AS INT), 1)
+         |               THEN 1 ELSE 0 END)) <= 3),
+         |edges AS MATERIALIZED (
+         |  SELECT da AS src, db AS dst FROM p
+         |  UNION ALL SELECT db, da FROM p),
+         |reach AS (
+         |  SELECT doc_id AS v, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT e.dst AS v, re.r AS r
+         |  FROM reach re JOIN edges e ON e.src = re.v),
+         |cc AS (SELECT v AS doc_id, min(r) AS cluster FROM reach
+         |       GROUP BY 1),
+         |cs AS (SELECT cluster, CAST(count(*) AS INTEGER)
+         |         AS cluster_size FROM cc GROUP BY 1)
+         |SELECT c.doc_id, c.cluster, s.cluster_size,
+         |       c.doc_id = c.cluster AS is_canonical
+         |FROM cc c JOIN cs s USING (cluster)""".stripMargin,
+    // q276's naive all-pairs scan with the delta membership filter.
+    "q284_phash_delta" ->
+      s"""WITH ${imagePHashCtes(materializeF = true)},
+         |p AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db,
+         |         CAST(list_sum(list_transform(range(1, 65),
+         |           i -> CASE WHEN substr(a.phash, CAST(i AS INT), 1)
+         |                       <> substr(b.phash, CAST(i AS INT), 1)
+         |                THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
+         |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id)
+         |SELECT da, db, hamming FROM p
+         |WHERE hamming <= 3 AND (da % 3 = 0 OR db % 3 = 0)""".stripMargin,
     // Sawtooth samples, frame energies, and derivative bits all
     // re-derived arithmetically.
     "q277_audio_fp" ->

@@ -91,6 +91,22 @@ class ImageHashSpec extends AnyFunSuite {
     assert(Multimodal.pHash(img(8, 8)((_, _) => 7)).isEmpty)
   }
 
+  test("fpPairsDelta == fpPairs filtered to new-touching pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ids = (0L until 32L).toDF("doc_id")
+    val fps = Multimodal.pHashPayloads(
+      Multimodal.syntheticNoisyPpmFrame(ids)).cache()
+    val isNew = col("doc_id") % 3 === 0
+    val got = Dedup.fpPairsDelta(fps, isNew, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Dedup.fpPairs(fps, maxHamming = 3)
+      .where(col("da") % 3 === 0 || col("db") % 3 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+    assert(got.forall(p => p._1 % 3 == 0 || p._2 % 3 == 0))
+  }
+
   test("audio fingerprint: derivative bits, noise contract, length gate") {
     import spark.implicits._
     val ids = (0L until 24L).toDF("doc_id")
