@@ -1794,15 +1794,17 @@ object Analytics extends QueryPack {
          |          OR t - prev > $sessionGapS THEN 1 ELSE 0 END)
          |        OVER (PARTITION BY user_id ORDER BY t, event_id)
          |        AS BIGINT) AS sid FROM l),
-         |fo AS (SELECT user_id, sid, event_type, t, event_id FROM (
+         |fo AS MATERIALIZED (
+         |  SELECT user_id, sid, event_type, t, event_id FROM (
          |         SELECT *, row_number() OVER (PARTITION BY
          |             user_id, sid, event_type
          |           ORDER BY t, event_id) AS rn FROM s)
          |       WHERE rn = 1),
-         |rk AS (SELECT user_id, sid, event_type,
+         |rk AS MATERIALIZED (
+         |  SELECT user_id, sid, event_type,
          |         row_number() OVER (PARTITION BY user_id, sid
          |           ORDER BY t, event_id) AS rk
-         |       FROM fo),
+         |  FROM fo),
          |p AS (SELECT a.event_type AS t1, b.event_type AS t2,
          |             c.event_type AS t3
          |      FROM rk a
