@@ -644,27 +644,54 @@ object Multimodal {
     *
     * Input is the [[decodeWavFrame]] shape; docs shorter than 65
     * frames are dropped (the fingerprint needs its full 64 diffs).
-    * A pure map per doc — array HOFs, zero shuffles at any corpus
-    * size — emitting the [[graft.functions.SimHashFp]] (bit string,
-    * packed long) contract so the banded Hamming pair machinery
-    * applies unchanged.
+    * A pure partition-streamed map per doc — zero shuffles at any
+    * corpus size — emitting the [[graft.functions.SimHashFp]] (bit
+    * string, packed long) contract so the banded Hamming pair
+    * machinery applies unchanged.
     */
   def audioFingerprint(decoded: DataFrame,
       frameSamples: Int = 16): DataFrame = {
-    val fs = lit(frameSamples)
-    val energies = transform(sequence(lit(0), lit(64)),
-      t => aggregate(slice(col("samples"), t * fs + 1, fs),
-        lit(0L), (acc, x) => acc + x.cast("long") * x))
-    val withBits = decoded
-      .where(col("n_samples") >= (65 * frameSamples))
-      .withColumn("en", energies)
-      .withColumn("bits", concat_ws("", transform(sequence(lit(0), lit(63)),
-        t => when(element_at(col("en"), t + 2) >
-          element_at(col("en"), t + 1), "1").otherwise("0"))))
-    // pack the bit string into the signed 64-bit fingerprint long
-    // (the Dedup.fpFrame idiom)
-    withBits.select(col("doc_id"), col("bits").as("simhash"),
-      conv(col("bits"), 2, -10).cast("long").as("fpl"))
+    // JVM kernel, not array HOFs: the interpreted aggregate/slice
+    // chain costs ~ms per row AND Catalyst re-evaluates it per band
+    // explode and join side — the one-pass mapPartitions form is the
+    // aHashPayloads discipline (opaque 10-byte fingerprint rows out).
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("simhash", StringType),
+      StructField("fpl", LongType)))
+    val idIdx = decoded.schema.fieldIndex("doc_id")
+    val smIdx = decoded.schema.fieldIndex("samples")
+    decoded.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val xs = r.getSeq[Int](smIdx)
+        if (xs.length < 65 * frameSamples) None
+        else {
+          val en = new Array[Long](65)
+          var f = 0
+          while (f < 65) {
+            var s = 0L
+            var j = 0
+            while (j < frameSamples) {
+              val v = xs(f * frameSamples + j).toLong
+              s += v * v
+              j += 1
+            }
+            en(f) = s
+            f += 1
+          }
+          var fp = 0L
+          val sb = new StringBuilder(64)
+          var t = 0
+          while (t < 64) {
+            val bit = en(t + 1) > en(t)
+            if (bit) fp |= 1L << (63 - t)
+            sb.append(if (bit) '1' else '0')
+            t += 1
+          }
+          Some(Row(r.getLong(idIdx), sb.toString, fp))
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
   }
 
   /** Noisy synthetic WAV family for the fingerprint gate (the

@@ -467,19 +467,23 @@ object Stats {
   private def r6(c: Column): Column =
     (floor(c * 1e6 + 0.5) / 1e6).cast("float")
 
-  /** Poisson(1) CDF thresholds on the 48-bit uniform scale —
-    * `thresholds(k) = round(P(X ≤ k) · 2⁴⁸)` for k = 0..7. Built once
-    * with libm exp and INLINED into the DuckDB oracle as literals
-    * (the [[graft.llm.Multimodal.dctCosX]] discipline), so the
-    * per-row weight draw is pure integer compares on both engines.
+  /** Poisson(1) CDF thresholds on the 16-bit uniform scale —
+    * `thresholds(k) = round(P(X ≤ k) · 2¹⁶)` for k = 0..7 (all
+    * < 2¹⁶, so weight 8 stays reachable). Built once with libm exp
+    * and INLINED into the DuckDB oracle as literals (the
+    * [[graft.llm.Multimodal.dctCosX]] discipline), so the per-draw
+    * weight is pure integer compares on both engines. 16 bits give
+    * probability resolution 1.5·10⁻⁵ — immaterial for bootstrap
+    * replication counts — and let ONE md5 serve EIGHT replicate
+    * draws (4 nibbles each), an 8× cut in digest work.
     */
-  val poissonCdf48: Array[Long] = {
+  val poissonCdf16: Array[Long] = {
     var fact = 1.0
     var cdf = 0.0
     (0 to 7).map { k =>
       if (k > 0) fact *= k
       cdf += math.exp(-1.0) / fact
-      math.round(cdf * 281474976710656.0)
+      math.round(cdf * 65536.0)
     }.toArray
   }
 
@@ -505,17 +509,25 @@ object Stats {
     */
   def bootstrapMeanCI(df: DataFrame, valueCol: String, idCol: String,
       b: Int = 64, salt: String = "boot"): DataFrame = {
+    require(b % 8 == 0, "replicate count must pack 8 draws per digest")
     val base = df.where(col(valueCol).isNotNull)
       .select(col(idCol).cast("string").as("id"),
         col(valueCol).cast("double").as("x"))
       .localCheckpoint(true) // feeds the point estimate AND replicates
     val pt = broadcast(base.agg(count(lit(1)).as("n"),
       avg(col("x")).as("est")))
-    val ex = base.select(col("id"), col("x"),
-      explode(sequence(lit(0), lit(b - 1))).as("r"))
-    val h = conv(substring(md5(concat_ws(":", lit(salt), col("id"),
-      col("r"))), 1, 12), 16, 10).cast("long")
-    val w = poissonCdf48.zipWithIndex.foldRight(lit(8L): Column) {
+    val ex = base.select(col("x"),
+        explode(sequence(lit(0), lit(b / 8 - 1))).as("blk"),
+        col("id"))
+      .withColumn("hh", md5(concat_ws(":", lit(salt), col("id"),
+        col("blk"))))
+      .select(col("x"), col("blk"),
+        explode(sequence(lit(0), lit(7))).as("j"), col("hh"))
+      .select(col("x"), (col("blk") * 8 + col("j")).as("r"),
+        expr("cast(conv(substring(hh, 1 + 4 * j, 4), 16, 10) as long)")
+          .as("h"))
+    val h = col("h")
+    val w = poissonCdf16.zipWithIndex.foldRight(lit(8L): Column) {
       case ((t, k), acc) => when(h < t, lit(k.toLong)).otherwise(acc)
     }
     val reps = ex.select(col("r"), w.as("w"), col("x"))
@@ -532,6 +544,96 @@ object Stats {
         r6(col("est")).as("est"),
         r6(element_at(col("ms"), loRank)).as("ci_lo"),
         r6(element_at(col("ms"), hiRank)).as("ci_hi"))
+  }
+
+  /** Theil–Sen robust trend estimator (Theil 1950; Sen 1968): slope =
+    * MEDIAN of all pairwise slopes (y_j−y_i)/(x_j−x_i), intercept =
+    * median of (y_i − m·x_i) — the trend line one outlier day cannot
+    * drag, beside [[olsFit]]'s least squares (breakdown point 29%
+    * vs 0%).
+    *
+    * Operates on a BOUNDED pre-aggregated series (calendar-sized, the
+    * [[acf]]/[[cusumChangepoint]] input shape), so the C(n,2) pair
+    * frame is days² — bounded at any fact-table size. Determinism:
+    * x/y exact integers (day ordinal, cents); every pairwise slope is
+    * ONE IEEE division of exact longs — bit-identical cross-engine —
+    * and both medians are exact ORDER STATISTICS at rank ⌈N/2⌉ read
+    * off the DISTRIBUTED two-level scan over the (value, tiebreak)
+    * order ([[graft.ops.Scan]] — never a single-task sort of the pair
+    * frame); the unrounded median slope feeds the residuals, rounding
+    * only at the edge.
+    *
+    * @return one row (n_points, n_pairs, slope_cents_per_x, intercept_cents)
+    */
+  def theilSen(series: DataFrame, xCol: String,
+      valueCol: String): DataFrame = {
+    val base = series
+      .where(col(xCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(xCol).cast("long").as("x"), cents(col(valueCol)).as("y"))
+      .localCheckpoint(true) // feeds pairs AND residuals
+    val pairs = base.as("a").join(base.as("b"),
+        col("a.x") < col("b.x"))
+      .select(((col("b.y") - col("a.y")).cast("double") /
+        (col("b.x") - col("a.x")).cast("double")).as("m"),
+        col("a.x").as("x1"), col("b.x").as("x2"))
+      .localCheckpoint(true) // the count and the scan both read it
+    def medianOf(df: DataFrame, v: String, keys: Seq[String],
+        out: String): DataFrame = {
+      val n = df.agg(count(lit(1)).as("n"))
+      val scanned = Scan.globalRunningSum(df, keys, lit(1L), "rn")
+      scanned.crossJoin(broadcast(n))
+        .agg(max(col("n")).as("n"),
+          min(when(col("rn") >= expr("(n + 1) div 2"), col(v))).as(out))
+    }
+    val slope = medianOf(pairs, "m", Seq("m", "x1", "x2"), "slope")
+      .select(col("n").as("n_pairs"), col("slope"))
+    val resid = base.crossJoin(broadcast(slope))
+      .select(col("n_pairs"), col("slope"),
+        (col("y").cast("double") - col("slope") *
+          col("x").cast("double")).as("b0"), col("x"))
+    val icept = medianOf(resid, "b0", Seq("b0", "x"), "icept")
+    icept.crossJoin(broadcast(slope))
+      .select(col("n").as("n_points"), col("n_pairs"),
+        r6(col("slope")).as("slope_cents_per_x"),
+        r6(col("icept")).as("intercept_cents"))
+  }
+
+  /** Mann–Kendall trend test (Mann 1945; Kendall 1975) on the same
+    * bounded series: S = Σ_{i<j} sign(y_j − y_i) — the nonparametric
+    * "is there a monotone trend?" companion to [[theilSen]]'s slope,
+    * the standard pairing in environmental/ops monitoring.
+    *
+    * Exact arithmetic: S and the tie-corrected variance numerator
+    * n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) are exact longs (ties from one
+    * bounded per-value groupBy); z = (S ∓ 1)/√(Var) is one
+    * correctly-rounded sqrt + division under the shared floor edge,
+    * NULL when Var = 0 (constant series — never an ANSI fault).
+    *
+    * @return one row (n_points, s, var18_num, z)
+    */
+  def mannKendall(series: DataFrame, xCol: String,
+      valueCol: String): DataFrame = {
+    val base = series
+      .where(col(xCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(xCol).cast("long").as("x"), cents(col(valueCol)).as("y"))
+      .localCheckpoint(true) // pairs + ties + n
+    val s = base.as("a").join(base.as("b"), col("a.x") < col("b.x"))
+      .agg(sum(signum((col("b.y") - col("a.y")).cast("double"))
+        .cast("long")).as("s"))
+    val ties = base.groupBy(col("y")).agg(count(lit(1)).as("t"))
+      .agg(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5))
+        .as("tt"))
+    val n = base.agg(count(lit(1)).as("n"))
+    s.crossJoin(broadcast(n)).crossJoin(broadcast(ties))
+      .select(col("n").as("n_points"), col("s"),
+        (col("n") * (col("n") - 1) * (col("n") * 2 + 5) -
+          coalesce(col("tt"), lit(0L))).as("var18_num"))
+      .select(col("n_points"), col("s"), col("var18_num"),
+        when(col("var18_num") > 0,
+          r6((col("s").cast("double") -
+            signum(col("s").cast("double"))) /
+            sqrt(col("var18_num").cast("double") / 18.0)))
+          .as("z"))
   }
 
   /** Split conformal prediction intervals (Papadopoulos et al. 2002;

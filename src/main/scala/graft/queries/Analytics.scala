@@ -240,6 +240,30 @@ object Analytics extends QueryPack {
         "fold")
     }),
 
+    // Theil–Sen robust trend of daily revenue (median of pairwise
+    // slopes, median-residual intercept): the trend line one outlier
+    // day cannot drag, beside q203's least squares — exact-integer
+    // inputs, bit-identical IEEE pair slopes, medians as distributed
+    // order statistics (never a single-task sort).
+    "q285_theil_sen" -> ((s, d) =>
+      graft.ops.Stats.theilSen(
+        t("orders")(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("odate"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+          .withColumn("xd", datediff(col("odate"), lit("1970-01-01"))),
+        "xd", "rev")),
+
+    // Mann–Kendall monotone-trend test on the same series: exact
+    // integer S and tie-corrected variance numerator, one sqrt at
+    // the edge — the nonparametric companion to q285's slope.
+    "q286_mann_kendall" -> ((s, d) =>
+      graft.ops.Stats.mannKendall(
+        t("orders")(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("odate"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+          .withColumn("xd", datediff(col("odate"), lit("1970-01-01"))),
+        "xd", "rev")),
+
     // Split conformal prediction (Papadopoulos et al. 2002): per-
     // priority mean fit on fold 0, q̂ = ⌈(n+1)·0.9⌉-th smallest
     // calibration residual on fold 1, distribution-free ±q̂ coverage
@@ -1816,21 +1840,30 @@ object Analytics extends QueryPack {
          |FROM p GROUP BY 1, 2, 3 HAVING count(*) >= 2
          |ORDER BY n_sessions DESC, t1, t2, t3 LIMIT 50""".stripMargin,
 
-    // The weight draw re-derived: same md5 48-bit uniform, the same
-    // inlined Poisson CDF thresholds (integer compares only), the
-    // same rank-2/rank-63 percentile reads.
+    // The weight draw re-derived: same per-block md5, the same eight
+    // 16-bit nibble-group uniforms per digest, the same inlined
+    // Poisson CDF thresholds (integer compares only), the same
+    // rank-2/rank-63 percentile reads.
     "q280_bootstrap_ci" -> {
-      val caseW = graft.ops.Stats.poissonCdf48.zipWithIndex
+      val caseW = graft.ops.Stats.poissonCdf16.zipWithIndex
         .map { case (t, k) => s"WHEN h < $t THEN $k" }
         .mkString("\n        |            ")
+      val h16 = (0 until 4).map { i =>
+        s"(strpos('0123456789abcdef', substr(hh, 1 + 4 * j + $i, 1))" +
+          s" - 1) * ${math.pow(16, 3 - i).toLong}.0"
+      }.mkString("\n        |           + ")
       s"""WITH base AS (SELECT CAST(event_id AS VARCHAR) AS id,
         |                CAST(value AS DOUBLE) AS x
         |              FROM events WHERE value IS NOT NULL),
-        |ex AS (SELECT id, x, CAST(r AS INTEGER) AS r
-        |       FROM base, range(64) t(r)),
-        |hx AS (SELECT x, r, md5('boot:' || id || ':' ||
-        |         CAST(r AS VARCHAR)) AS hh FROM ex),
-        |hw AS (SELECT x, r, ${OracleSql.md5Int48("hh")} AS h FROM hx),
+        |ex AS (SELECT id, x, CAST(blk AS INTEGER) AS blk
+        |       FROM base, range(8) t(blk)),
+        |hx AS (SELECT x, blk, md5('boot:' || id || ':' ||
+        |         CAST(blk AS VARCHAR)) AS hh FROM ex),
+        |hj AS (SELECT x, blk, CAST(j AS INTEGER) AS j, hh
+        |       FROM hx, range(8) tj(j)),
+        |hw AS (SELECT x, blk * 8 + j AS r,
+        |         CAST(($h16) AS BIGINT) AS h
+        |       FROM hj),
         |ww AS (SELECT x, r,
         |         CASE $caseW
         |              ELSE 8 END AS w FROM hw),
@@ -1876,6 +1909,73 @@ object Analytics extends QueryPack {
         |         / (CAST(nc - nf AS DOUBLE) + 10.0)) * 1e6 + 0.5)
         |         / 1e6 AS REAL) AS enc
         |FROM pf JOIN pc USING (cat), g""".stripMargin,
+
+    // The pair slopes, both rank-⌈N/2⌉ medians, and the residual
+    // sequence re-derived with identical IEEE steps.
+    "q285_theil_sen" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS odate,
+        |                CAST(round(sum(CAST(o_totalprice
+        |                  AS DECIMAL(18,2))) * 100) AS BIGINT) AS y
+        |              FROM orders GROUP BY 1),
+        |b AS MATERIALIZED (
+        |  SELECT CAST(odate - DATE '1970-01-01' AS BIGINT) AS x, y
+        |  FROM daily),
+        |p AS MATERIALIZED (
+        |  SELECT CAST(b2.y - b1.y AS DOUBLE) / (b2.x - b1.x) AS m,
+        |         b1.x AS x1, b2.x AS x2
+        |  FROM b b1 JOIN b b2 ON b1.x < b2.x),
+        |np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p),
+        |rs AS (SELECT m, row_number() OVER (ORDER BY m, x1, x2) AS rn
+        |       FROM p),
+        |sl AS (SELECT min(CASE WHEN rn >=
+        |         (SELECT (n + 1) // 2 FROM np) THEN m END) AS slope
+        |       FROM rs),
+        |rd AS (SELECT CAST(y AS DOUBLE) -
+        |         (SELECT slope FROM sl) * CAST(x AS DOUBLE) AS b0, x
+        |       FROM b),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rd),
+        |ri AS (SELECT b0, row_number() OVER (ORDER BY b0, x) AS rn
+        |       FROM rd),
+        |ic AS (SELECT min(CASE WHEN rn >=
+        |         (SELECT (n + 1) // 2 FROM nn) THEN b0 END) AS icept
+        |       FROM ri)
+        |SELECT (SELECT n FROM nn) AS n_points,
+        |       (SELECT n FROM np) AS n_pairs,
+        |       CAST(floor((SELECT slope FROM sl) * 1e6 + 0.5) / 1e6
+        |         AS REAL) AS slope_cents_per_x,
+        |       CAST(floor((SELECT icept FROM ic) * 1e6 + 0.5) / 1e6
+        |         AS REAL) AS intercept_cents""".stripMargin,
+
+    // Exact S, the tie-corrected variance numerator, the same
+    // continuity-corrected z.
+    "q286_mann_kendall" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS odate,
+        |                CAST(round(sum(CAST(o_totalprice
+        |                  AS DECIMAL(18,2))) * 100) AS BIGINT) AS y
+        |              FROM orders GROUP BY 1),
+        |b AS MATERIALIZED (
+        |  SELECT CAST(odate - DATE '1970-01-01' AS BIGINT) AS x, y
+        |  FROM daily),
+        |s AS (SELECT CAST(sum(CASE WHEN b2.y > b1.y THEN 1
+        |               WHEN b2.y < b1.y THEN -1 ELSE 0 END)
+        |        AS BIGINT) AS s
+        |      FROM b b1 JOIN b b2 ON b1.x < b2.x),
+        |tt AS (SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+        |         AS tt
+        |       FROM (SELECT count(*) AS t FROM b GROUP BY y)),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+        |v AS (SELECT nn.n, s.s,
+        |             nn.n * (nn.n - 1) * (2 * nn.n + 5)
+        |               - coalesce(tt.tt, 0) AS var18_num
+        |      FROM nn, s, tt)
+        |SELECT n AS n_points, s, var18_num,
+        |       CASE WHEN var18_num > 0 THEN
+        |         CAST(floor((CAST(s AS DOUBLE)
+        |             - sign(CAST(s AS DOUBLE)))
+        |           / sqrt(CAST(var18_num AS DOUBLE) / 18.0)
+        |           * 1e6 + 0.5) / 1e6 AS REAL)
+        |       END AS z
+        |FROM v""".stripMargin,
 
     // Folds, integer-cent residuals, the same clamped-k order
     // statistic from per-value counts, coverage re-counted on fold 2.

@@ -244,6 +244,34 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(math.abs(row.getFloat(7) - 0.5f) < 1e-6)
   }
 
+  test("theilSen: the outlier day cannot drag the median slope") {
+    import spark.implicits._
+    // (0,1.00) (1,2.00) (2,3.00) (3,10.00): five of six pairwise
+    // slopes say 100 c/x or more, median = 100; OLS would say ~270.
+    val df = Seq((0L, 1.0), (1L, 2.0), (2L, 3.0), (3L, 10.0))
+      .toDF("xd", "v")
+    val r = ops.Stats.theilSen(df, "xd", "v").collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 6L)
+    assert(r.getFloat(2) == 100f, "slope")
+    assert(r.getFloat(3) == 100f, "intercept = median residual")
+  }
+
+  test("mannKendall: monotone series z, constant series NULL") {
+    import spark.implicits._
+    val up = Seq((0L, 1.0), (1L, 2.0), (2L, 3.0), (3L, 10.0))
+      .toDF("xd", "v")
+    val r = ops.Stats.mannKendall(up, "xd", "v").collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 6L)
+    assert(r.getLong(2) == 4L * 3L * 13L)
+    val expZ = (math.floor((6.0 - 1.0) / math.sqrt(156.0 / 18.0)
+      * 1e6 + 0.5) / 1e6).toFloat
+    assert(r.getFloat(3) == expZ)
+    // constant series: every pair ties → Var = 0 → z NULL, no fault
+    val flat = Seq((0L, 5.0), (1L, 5.0), (2L, 5.0)).toDF("xd", "v")
+    val f = ops.Stats.mannKendall(flat, "xd", "v").collect()(0)
+    assert(f.getLong(1) == 0L && f.getLong(2) == 0L && f.isNullAt(3))
+  }
+
   test("randomWalk: replays identically (common-random-number draw)") {
     val pairs = sym(Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L)))
     val seeds = { import spark.implicits._; Seq(1L, 2L).toDF("id") }
