@@ -780,6 +780,66 @@ object Stats {
         r6(gap).as("gap"), r6(col("e")).as("ece"))
   }
 
+  /** Isotonic calibration by pool-adjacent-violators (Ayer et al.
+    * 1955; as a probability calibrator Zadrozny & Elkan 2002) — the
+    * nonparametric upgrade of [[calibration]]'s raw reliability
+    * diagram: pool adjacent score bins until empirical accuracy is
+    * non-decreasing in score; the pooled rates are the UNIQUE
+    * isotonic regression (independent of merge order), the mapping
+    * real platforms apply to classifier outputs.
+    *
+    * Determinism: bins and counts are exact ([[calibration]]'s
+    * contract); violation tests are exact integer CROSS-MULTIPLES
+    * (pos_l·n_r > pos_r·n_l — no rate division until the edge); the
+    * engine merges the LEFTMOST violator per round for bins−1 fixed
+    * rounds (enough to reach the unique fixed point from ≤ bins
+    * blocks), and the oracle unrolls the same rule, so every
+    * intermediate state — not just the unique answer — matches.
+    *
+    * Scale shape: one map-side-combined groupBy to ≤ bins rows;
+    * every PAV round is a self-join + 1-row broadcast + regroup on
+    * the ≤ bins-row block frame — metadata-sized at any input.
+    *
+    * @return (bin, n, n_pos, iso_p) — iso_p non-decreasing in bin
+    */
+  def isotonicCalibration(df: DataFrame, scoreCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    val s = col(scoreCol)
+    val per = df.where(s.isNotNull && col(labelCol).isNotNull)
+      .select(least(lit(bins - 1), floor(s * bins)).cast("long")
+        .as("bin"), when(col(labelCol), 1L).otherwise(0L).as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+      // blocks must chain on the RANK of PRESENT bins — an empty bin
+      // would otherwise break l.hi + 1 = r.lo adjacency and leave a
+      // violation unpooled across the gap; ≤ bins rows, the
+      // documented metadata-sized window exception
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("bin"))).cast("long"))
+      .localCheckpoint(true) // feeds the rounds AND the final join
+    var st = per.select(col("rk").as("lo"), col("rk").as("hi"),
+      col("n_pos").as("pos"), col("n").as("bn"))
+    for (_ <- 1 until bins) {
+      val vp = broadcast(st.as("l")
+        .join(st.as("r"), col("l.hi") + 1 === col("r.lo"))
+        .where(col("l.pos") * col("r.bn") > col("r.pos") * col("l.bn"))
+        .agg(min(struct(col("l.lo").as("vlo"), col("r.lo").as("rlo")))
+          .as("v")))
+      st = st.crossJoin(vp)
+        .select(when(col("lo") === col("v.vlo") ||
+            col("lo") === col("v.rlo"), col("v.vlo"))
+          .otherwise(col("lo")).as("g"),
+          col("lo"), col("hi"), col("pos"), col("bn"))
+        .groupBy(col("g"))
+        .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"),
+          sum(col("pos")).as("pos"), sum(col("bn")).as("bn"))
+        .localCheckpoint(true)
+    }
+    per.join(st, col("rk") >= col("lo") && col("rk") <= col("hi"))
+      .select(col("bin").cast("int").as("bin"), col("n"), col("n_pos"),
+        r6(col("pos").cast("double") / col("bn")).as("iso_p"))
+  }
+
   /** Kaplan–Meier product-limit survival estimator (Kaplan & Meier
     * 1958) over right-censored durations — the churn/retention curve
     * done properly: censored subjects leave the risk set without

@@ -293,6 +293,24 @@ object Analytics extends QueryPack {
       graft.ops.Stats.calibration(scored, "score", "label", 10)
     }),
 
+    // Isotonic calibration by pool-adjacent-violators (Ayer et al.
+    // 1955; Zadrozny & Elkan 2002): q273's reliability bins pooled
+    // until accuracy is non-decreasing in score — the UNIQUE
+    // isotonic regression, via exact integer cross-multiple
+    // violation tests and 9 fixed leftmost-merge rounds on the
+    // metadata-sized block frame.
+    "q287_isotonic" -> ((s, d) => {
+      val ev = t("events")(s, d).where(col("value").isNotNull)
+      val mm = broadcast(ev.agg(min("value").as("mn"),
+        max("value").as("mx")))
+      val scored = ev.crossJoin(mm).select(
+        when(col("mx") =!= col("mn"),
+          (col("value") - col("mn")) / (col("mx") - col("mn")))
+          .otherwise(lit(0.5d)).as("score"),
+        (col("event_type") === "purchase").as("label"))
+      graft.ops.Stats.isotonicCalibration(scored, "score", "label", 10)
+    }),
+
     // Kaplan–Meier time-to-conversion: duration = hours from a
     // user's first event to their FIRST purchase (event observed);
     // users who never purchase are right-censored at their last
@@ -2043,6 +2061,52 @@ object Analytics extends QueryPack {
         |         * 1e6 + 0.5) / 1e6 AS REAL) AS gap,
         |       CAST(floor(e * 1e6 + 0.5) / 1e6 AS REAL) AS ece
         |FROM per, ec""".stripMargin,
+
+    // The same bins, then all 9 leftmost-merge PAV rounds unrolled
+    // with the same exact cross-multiple violation rule.
+    "q287_isotonic" -> {
+      def round(i: Int): String =
+        s"""vp$i AS (SELECT min(struct_pack(vlo := l.lo, rlo := r.lo))
+           |           AS v
+           |  FROM st${i - 1} l JOIN st${i - 1} r ON l.hi + 1 = r.lo
+           |  WHERE l.pos * r.bn > r.pos * l.bn),
+           |st$i AS MATERIALIZED (
+           |  SELECT min(lo) AS lo, max(hi) AS hi,
+           |         sum(pos) AS pos, sum(bn) AS bn
+           |  FROM (SELECT CASE WHEN lo = (SELECT (v).vlo FROM vp$i)
+           |                      OR lo = (SELECT (v).rlo FROM vp$i)
+           |                 THEN (SELECT (v).vlo FROM vp$i)
+           |                 ELSE lo END AS g, lo, hi, pos, bn
+           |        FROM st${i - 1})
+           |  GROUP BY g)""".stripMargin
+      s"""WITH f AS (SELECT value, event_type FROM events
+         |           WHERE value IS NOT NULL),
+         |mm AS (SELECT min(value) AS mn, max(value) AS mx FROM f),
+         |sc AS (SELECT CASE WHEN mx <> mn
+         |                THEN (value - mn) / (mx - mn)
+         |                ELSE 0.5 END AS s,
+         |              CASE WHEN event_type = 'purchase'
+         |                THEN 1 ELSE 0 END AS y
+         |       FROM f, mm),
+         |per AS MATERIALIZED (
+         |  SELECT bin, n, n_pos,
+         |         CAST(row_number() OVER (ORDER BY bin) AS BIGINT)
+         |           AS rk
+         |  FROM (SELECT CAST(least(9, floor(s * 10)) AS BIGINT)
+         |            AS bin,
+         |          CAST(count(*) AS BIGINT) AS n,
+         |          CAST(sum(y) AS BIGINT) AS n_pos
+         |        FROM sc GROUP BY 1)),
+         |st0 AS MATERIALIZED (
+         |  SELECT rk AS lo, rk AS hi, n_pos AS pos, n AS bn
+         |  FROM per),
+         |${(1 to 9).map(round).mkString(",\n")}
+         |SELECT CAST(p.bin AS INTEGER) AS bin, p.n, p.n_pos,
+         |       CAST(floor(CAST(st9.pos AS DOUBLE) / st9.bn * 1e6
+         |         + 0.5) / 1e6 AS REAL) AS iso_p
+         |FROM per p JOIN st9 ON p.rk >= st9.lo AND p.rk <= st9.hi"""
+        .stripMargin
+    },
 
     // Durations, censoring flags, per-duration (d, c), the n_at_risk
     // reverse scan, and the same exp(Σ ln((n−d)/n)) prefix product

@@ -272,6 +272,23 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(f.getLong(1) == 0L && f.getLong(2) == 0L && f.isNullAt(3))
   }
 
+  test("isotonicCalibration: pools violators, bridges empty bins") {
+    import spark.implicits._
+    // bins 0 (1/2), 1 (0/2), 9 (1/1): 0–1 violate → pool to 1/4;
+    // bin 9 stays above
+    val df = Seq((0.01, true), (0.05, false), (0.11, false),
+      (0.15, false), (0.99, true)).toDF("score", "label")
+    val got = ops.Stats.isotonicCalibration(df, "score", "label")
+      .collect().map(r => r.getInt(0) -> r.getFloat(3)).toMap
+    assert(got == Map(0 -> 0.25f, 1 -> 0.25f, 9 -> 1.0f))
+    // a violation ACROSS an empty-bin gap must still pool (blocks
+    // chain on present-bin rank, not bin id)
+    val gap = Seq((0.01, true), (0.99, false)).toDF("score", "label")
+    val g = ops.Stats.isotonicCalibration(gap, "score", "label")
+      .collect().map(r => r.getInt(0) -> r.getFloat(3)).toMap
+    assert(g == Map(0 -> 0.5f, 9 -> 0.5f))
+  }
+
   test("randomWalk: replays identically (common-random-number draw)") {
     val pairs = sym(Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L)))
     val seeds = { import spark.implicits._; Seq(1L, 2L).toDF("id") }
