@@ -780,6 +780,59 @@ object Stats {
         r6(gap).as("gap"), r6(col("e")).as("ece"))
   }
 
+  /** CUPED variance reduction (Deng et al. 2013 — "Improving the
+    * Sensitivity of Online Controlled Experiments") — the A/B-testing
+    * workhorse: adjust each unit's metric by its PRE-period covariate,
+    * ŷ = y − θ(x − x̄) with θ = cov(x, y)/var(x), shrinking metric
+    * variance by exactly corr²(x, y) and with it the experiment's
+    * required sample size.
+    *
+    * Determinism: inputs are exact integer units (the caller scales
+    * its metric); all six moments ride ONE map-side-combined
+    * aggregate in DECIMAL(38,0); θ, the variances, and the reduction
+    * are one fixed IEEE sequence over exact moments ([[olsFit]]'s
+    * discipline), zero-variance guarded (constant covariate → NULL θ,
+    * unadjusted variance reported, 0 reduction — never an ANSI
+    * fault), shared floor rounding at the edge.
+    *
+    * @param units one row per experiment unit: exact-integer pre
+    *              covariate `xCol` and metric `yCol`
+    * @param unit  integer units per NATURAL unit (e.g. 1e4 for
+    *              1e-4-scaled metrics): variances report divided by
+    *              unit² so the ×1e6 rounding floor cannot overflow
+    *              its long on large squared-unit magnitudes
+    * @return one row (n_units, theta, var_y, var_adj, reduction_pct)
+    *         — variances in natural squared units
+    */
+  def cuped(units: DataFrame, xCol: String, yCol: String,
+      unit: Double = 1.0): DataFrame = {
+    def dec19(c: Column) = c.cast("decimal(19,0)")
+    val m = units
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(col(xCol).cast("decimal(38,0)")).as("sx"),
+        sum(col(yCol).cast("decimal(38,0)")).as("sy"),
+        sum((dec19(col(xCol)) * dec19(col(xCol))).cast("decimal(38,0)"))
+          .as("sxx"),
+        sum((dec19(col(xCol)) * dec19(col(yCol))).cast("decimal(38,0)"))
+          .as("sxy"),
+        sum((dec19(col(yCol)) * dec19(col(yCol))).cast("decimal(38,0)"))
+          .as("syy"))
+    def d(c: String) = col(c).cast("double")
+    val n = col("n")
+    val vx = d("sxx") / n - (d("sx") / n) * (d("sx") / n)
+    val vy = d("syy") / n - (d("sy") / n) * (d("sy") / n)
+    val cxy = d("sxy") / n - (d("sx") / n) * (d("sy") / n)
+    val u2 = lit(unit * unit)
+    m.select(col("n").as("n_units"),
+      when(vx > 0, r6(cxy / vx)).as("theta"),
+      r6(vy / u2).as("var_y"),
+      when(vx > 0, r6((vy - cxy * cxy / vx) / u2))
+        .otherwise(r6(vy / u2)).as("var_adj"),
+      when(vx > 0 && vy > 0, r6(cxy * cxy / (vx * vy) * 100.0))
+        .otherwise(lit(0f)).as("reduction_pct"))
+  }
+
   /** Isotonic calibration by pool-adjacent-violators (Ayer et al.
     * 1955; as a probability calibrator Zadrozny & Elkan 2002) — the
     * nonparametric upgrade of [[calibration]]'s raw reliability

@@ -293,6 +293,26 @@ object Analytics extends QueryPack {
       graft.ops.Stats.calibration(scored, "score", "label", 10)
     }),
 
+    // CUPED variance reduction (Deng et al. 2013): each user's
+    // last-15-days metric adjusted by their first-15-days covariate
+    // — θ = cov/var over exact per-user integer sums, variance drops
+    // by corr² exactly, the sample-size lever every experimentation
+    // platform ships.
+    "q288_cuped" -> ((s, d) => {
+      val ev = t("events")(s, d)
+        .where(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .select(col("user_id"), col("ts").cast("long").as("tt"),
+          floor(col("value") * 1e4 + 0.5).cast("long").as("v4"))
+      val t0 = broadcast(ev.agg(min("tt").as("t0")))
+      val per = ev.crossJoin(t0).groupBy(col("user_id"))
+        .agg(sum(when(col("tt") < col("t0") + 1296000L, col("v4"))
+          .otherwise(0L)).as("x"),
+          sum(when(col("tt") >= col("t0") + 1296000L, col("v4"))
+            .otherwise(0L)).as("y"))
+      graft.ops.Stats.cuped(per, "x", "y", unit = 1e4)
+    }),
+
     // Isotonic calibration by pool-adjacent-violators (Ayer et al.
     // 1955; Zadrozny & Elkan 2002): q273's reliability bins pooled
     // until accuracy is non-decreasing in score — the UNIQUE
@@ -2061,6 +2081,60 @@ object Analytics extends QueryPack {
         |         * 1e6 + 0.5) / 1e6 AS REAL) AS gap,
         |       CAST(floor(e * 1e6 + 0.5) / 1e6 AS REAL) AS ece
         |FROM per, ec""".stripMargin,
+
+    // The per-user split sums, the same six decimal moments, the
+    // same fixed IEEE θ/variance sequence with the zero guards.
+    "q288_cuped" ->
+      """WITH ev AS (SELECT user_id,
+        |              CAST(floor(epoch(ts)) AS BIGINT) AS tt,
+        |              CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS v4
+        |            FROM events
+        |            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |              AND value IS NOT NULL),
+        |t0 AS (SELECT min(tt) AS t0 FROM ev),
+        |per AS (SELECT user_id,
+        |          CAST(sum(CASE WHEN tt < t0 + 1296000 THEN v4
+        |            ELSE 0 END) AS BIGINT) AS x,
+        |          CAST(sum(CASE WHEN tt >= t0 + 1296000 THEN v4
+        |            ELSE 0 END) AS BIGINT) AS y
+        |        FROM ev, t0 GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(x) AS HUGEINT) AS sx,
+        |             CAST(sum(y) AS HUGEINT) AS sy,
+        |             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT)
+        |               AS sxx,
+        |             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT)
+        |               AS sxy,
+        |             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT)
+        |               AS syy
+        |      FROM per),
+        |v AS (SELECT n,
+        |        CAST(sxx AS DOUBLE) / n
+        |          - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)
+        |          AS vx,
+        |        CAST(syy AS DOUBLE) / n
+        |          - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)
+        |          AS vy,
+        |        CAST(sxy AS DOUBLE) / n
+        |          - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)
+        |          AS cxy
+        |      FROM m)
+        |SELECT n AS n_units,
+        |       CASE WHEN vx > 0 THEN
+        |         CAST(floor(cxy / vx * 1e6 + 0.5) / 1e6 AS REAL)
+        |       END AS theta,
+        |       CAST(floor(vy / 1e8 * 1e6 + 0.5) / 1e6 AS REAL)
+        |         AS var_y,
+        |       CASE WHEN vx > 0 THEN
+        |         CAST(floor((vy - cxy * cxy / vx) / 1e8 * 1e6 + 0.5)
+        |           / 1e6 AS REAL)
+        |       ELSE CAST(floor(vy / 1e8 * 1e6 + 0.5) / 1e6 AS REAL)
+        |       END AS var_adj,
+        |       CASE WHEN vx > 0 AND vy > 0 THEN
+        |         CAST(floor(cxy * cxy / (vx * vy) * 100.0 * 1e6 + 0.5)
+        |           / 1e6 AS REAL)
+        |       ELSE CAST(0 AS REAL) END AS reduction_pct
+        |FROM v""".stripMargin,
 
     // The same bins, then all 9 leftmost-merge PAV rounds unrolled
     // with the same exact cross-multiple violation rule.

@@ -229,6 +229,45 @@ object LlmPack extends QueryPack {
       Dedup.fpPairs(Multimodal.pHashPayloads(
         Multimodal.syntheticNoisyPpmFrame(
           t("documents")(s, d).select(col("doc_id")))), maxHamming = 3)),
+    // Cohen's kappa label audit (Cohen 1960): does the DECLARED lang
+    // column agree with the n-gram detector BEYOND CHANCE? The
+    // inter-annotator-agreement statistic over the (declared,
+    // detected) confusion matrix — po/pe from exact counts and
+    // margin products, chance-corrected κ = (po − pe)/(1 − pe) —
+    // the label-quality gate raw accuracy overstates when one class
+    // dominates. Confusion cells + the broadcast summary row.
+    "q289_label_agreement" -> ((s, d) => {
+      val docs = t("documents")(s, d)
+        .where(col("text").isNotNull && col("lang").isNotNull)
+      val pred = TextOps.langId(docs)
+        .select(col("doc_id"), col("predicted_lang"))
+      val cells = docs.select(col("doc_id"), col("lang").as("declared"))
+        .join(pred, "doc_id")
+        .groupBy(col("declared"), col("predicted_lang").as("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // feeds margins, total, agree, output
+      val tot = cells.agg(sum(col("n")).as("nn"))
+      val agree = cells.where(col("declared") === col("predicted"))
+        .agg(coalesce(sum(col("n")), lit(0L)).as("na"))
+      val rws = cells.groupBy(col("declared")).agg(sum(col("n")).as("rn_"))
+      val cls = cells.groupBy(col("predicted")).agg(sum(col("n")).as("cn_"))
+      val pen = rws.join(cls, col("declared") === col("predicted"))
+        .agg(coalesce(sum(col("rn_").cast("decimal(19,0)") *
+          col("cn_").cast("decimal(19,0)")),
+          lit(0).cast("decimal(38,0)")).as("pen"))
+      def r6f(c: org.apache.spark.sql.Column) =
+        (floor(c * 1e6 + 0.5) / 1e6).cast("float")
+      val po = col("na").cast("double") / col("nn")
+      val pe = col("pen").cast("double") /
+        (col("nn").cast("double") * col("nn").cast("double"))
+      val summary = broadcast(tot.crossJoin(agree).crossJoin(pen)
+        .select(col("nn").as("n_total"), r6f(po).as("po"),
+          r6f(pe).as("pe"),
+          when(pe < 1, r6f((po - pe) / (lit(1d) - pe))).as("kappa")))
+      cells.crossJoin(summary)
+        .select(col("declared"), col("predicted"), col("n"),
+          col("n_total"), col("po"), col("pe"), col("kappa"))
+    }),
     // Near-dup image CLUSTERS: the q276 pHash pairs closed into
     // components (pointer-jumped CC, smallest doc_id canonical) —
     // the q229 entity-resolution composition on the image side, i.e.
@@ -2790,6 +2829,44 @@ object LlmPack extends QueryPack {
          |                THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
          |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id)
          |SELECT da, db, hamming FROM p WHERE hamming <= 3""".stripMargin,
+    // The detector re-derived (q63's CTEs), the confusion matrix,
+    // exact margin products, the same chance-corrected κ.
+    "q289_label_agreement" ->
+      s"""WITH $tokCte,
+         |sc AS (
+         |$langScoreUnion),
+         |pr AS (SELECT doc_id, lang AS predicted FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY score DESC, lang) AS rn FROM sc)
+         |       WHERE rn = 1),
+         |dc AS (SELECT doc_id, lang AS declared FROM documents
+         |       WHERE text IS NOT NULL AND lang IS NOT NULL),
+         |cells AS MATERIALIZED (
+         |  SELECT declared, predicted, CAST(count(*) AS BIGINT) AS n
+         |  FROM dc JOIN pr USING (doc_id) GROUP BY 1, 2),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells),
+         |ag AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS na
+         |       FROM cells WHERE declared = predicted),
+         |rws AS (SELECT declared AS l, sum(n) AS rn_ FROM cells
+         |        GROUP BY 1),
+         |cls AS (SELECT predicted AS l, sum(n) AS cn_ FROM cells
+         |        GROUP BY 1),
+         |pen AS (SELECT coalesce(sum(CAST(rn_ AS HUGEINT) * cn_), 0)
+         |          AS pen FROM rws JOIN cls USING (l)),
+         |sm AS (SELECT nn, na,
+         |              CAST(na AS DOUBLE) / nn AS po,
+         |              CAST(pen AS DOUBLE)
+         |                / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))
+         |                AS pe
+         |       FROM tot, ag, pen)
+         |SELECT c.declared, c.predicted, c.n, sm.nn AS n_total,
+         |       CAST(floor(po * 1e6 + 0.5) / 1e6 AS REAL) AS po,
+         |       CAST(floor(pe * 1e6 + 0.5) / 1e6 AS REAL) AS pe,
+         |       CASE WHEN pe < 1 THEN
+         |         CAST(floor((po - pe) / (1 - pe) * 1e6 + 0.5) / 1e6
+         |           AS REAL)
+         |       END AS kappa
+         |FROM cells c, sm""".stripMargin,
     // The q276 pair table closed by recursive min-label reachability
     // (the q229 derivation) over the pHash fingerprints.
     "q283_image_dup_clusters" ->

@@ -289,6 +289,23 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(g == Map(0 -> 0.5f, 9 -> 0.5f))
   }
 
+  test("cuped: perfect covariate removes all variance; constant guard") {
+    import spark.implicits._
+    val perfect = Seq((0L, 0L), (10L, 10L), (20L, 20L)).toDF("x", "y")
+    val r = ops.Stats.cuped(perfect, "x", "y").collect()(0)
+    def near(a: Float, b: Double) = math.abs(a - b) < 1e-4
+    assert(r.getLong(0) == 3L)
+    assert(near(r.getFloat(1), 1.0))        // theta
+    assert(near(r.getFloat(2), 500.0 / 3 - 100))  // var_y = 66.667
+    assert(near(r.getFloat(3), 0.0), "perfect covariate → var_adj 0")
+    assert(near(r.getFloat(4), 100.0))
+    // constant covariate: θ undefined, variance unadjusted, 0 gain
+    val flat = Seq((5L, 1L), (5L, 2L), (5L, 3L)).toDF("x", "y")
+    val f = ops.Stats.cuped(flat, "x", "y").collect()(0)
+    assert(f.isNullAt(1) && f.getFloat(3) == f.getFloat(2) &&
+      f.getFloat(4) == 0f)
+  }
+
   test("randomWalk: replays identically (common-random-number draw)") {
     val pairs = sym(Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L)))
     val seeds = { import spark.implicits._; Seq(1L, 2L).toDF("id") }
