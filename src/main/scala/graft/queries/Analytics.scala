@@ -293,6 +293,27 @@ object Analytics extends QueryPack {
       graft.ops.Stats.calibration(scored, "score", "label", 10)
     }),
 
+    // Sample-ratio-mismatch check (the SRM guardrail of Fabijan et
+    // al. 2019 — the first thing every experimentation platform
+    // tests, because a broken randomizer invalidates everything
+    // downstream): distinct units per arm under the hash split vs
+    // the expected 50/50, χ² = (n0 − n1)²/N against the 3.841 1-df
+    // critical value — exact counts, ONE IEEE division, the flag
+    // compared on the unrounded value.
+    "q290_srm" -> ((s, d) => {
+      val chi2 = (col("n0") - col("n1")).cast("double") *
+        (col("n0") - col("n1")) / col("n")
+      t("events")(s, d).where(col("user_id").isNotNull)
+        .select(col("user_id"), pmod(col("user_id"), lit(2L)).as("arm"))
+        .distinct()
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"))
+        .select(col("n").as("n_units"), col("n0"), col("n1"),
+          (floor(chi2 * 1e6 + 0.5) / 1e6).cast("float").as("chi2"),
+          (chi2 > 3.841459).as("srm_flag"))
+    }),
+
     // CUPED variance reduction (Deng et al. 2013): each user's
     // last-15-days metric adjusted by their first-15-days covariate
     // — θ = cov/var over exact per-user integer sums, variance drops
@@ -2081,6 +2102,24 @@ object Analytics extends QueryPack {
         |         * 1e6 + 0.5) / 1e6 AS REAL) AS gap,
         |       CAST(floor(e * 1e6 + 0.5) / 1e6 AS REAL) AS ece
         |FROM per, ec""".stripMargin,
+
+    // The same distinct-unit arm counts and the same one-division χ².
+    "q290_srm" ->
+      """WITH arms AS (SELECT DISTINCT user_id,
+        |               CAST(user_id % 2 AS BIGINT) AS arm
+        |             FROM events WHERE user_id IS NOT NULL),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+        |               AS BIGINT) AS n0,
+        |             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+        |               AS BIGINT) AS n1
+        |      FROM arms)
+        |SELECT n AS n_units, n0, n1,
+        |       CAST(floor(CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / n
+        |         * 1e6 + 0.5) / 1e6 AS REAL) AS chi2,
+        |       CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / n > 3.841459
+        |         AS srm_flag
+        |FROM m""".stripMargin,
 
     // The per-user split sums, the same six decimal moments, the
     // same fixed IEEE θ/variance sequence with the zero guards.
