@@ -72,45 +72,69 @@ object Bench {
       }
     } catch { case _: Throwable => () } // warm-up must never fail the bench
     // Fixed CALIBRATION probe (r8 verdict): an unchanging measurement —
-    // full lineitem scan → groupBy(l_returnflag) 4-way agg — run
-    // median-of-3 AFTER warm-up and recorded as calib_sec. This code is
+    // full lineitem scan → groupBy(l_returnflag) 4-way agg. This code is
     // frozen: never registered, never optimized. Drift adjudication
     // becomes mechanical — divide a suspect per-query ratio between two
     // artifacts by their calib_sec ratio before calling it a regression.
-    val calibSec = {
-      val ts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        spark.read.parquet(s"$sfDir/lineitem.parquet")
-          .groupBy(col("l_returnflag"))
-          .agg(expr("sum(l_quantity)"), expr("sum(l_extendedprice)"),
-            expr("avg(l_discount)"), expr("count(*)"))
-          .collect()
-        (System.nanoTime() - t0) / 1e9
-      }
-      math.rint(median(ts) * 1000) / 1000
+    def calibProbe(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("sum(l_quantity)"), expr("sum(l_extendedprice)"),
+          expr("avg(l_discount)"), expr("count(*)"))
+        .collect()
+      (System.nanoTime() - t0) / 1e9
     }
+    // median-of-3 AFTER warm-up, recorded as calib_sec (the r8 contract)
+    val calibSec =
+      math.rint(median((1 to 3).map(_ => calibProbe())) * 1000) / 1000
     val only = args.toSet // optional query-name filter for local iteration
     val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.isEmpty || only.contains(q._1))
-    // pass-major sampling: all queries once, then again — see scaladoc
-    val samples = collection.mutable.Map.empty[String, List[Double]]
+    // pass-major sampling: all queries once, then again — see scaladoc.
+    // Each sample remembers its PASS so it can be calib-normalized.
+    val samples = collection.mutable.Map.empty[String, List[(Int, Double)]]
       .withDefaultValue(Nil)
     val errors = collection.mutable.Map.empty[String, Int]
       .withDefaultValue(0)
-    for (pass <- 1 to nSamples; (name, fn) <- queryList) {
-      val t0 = System.nanoTime()
-      try {
-        // bit_xor (not sum): xxhash64 values span the full long range
-        // and ANSI mode (Spark 4 default) faults on sum overflow.
-        val df = fn(spark, sfDir)
-          .select(xxhash64(struct(col("*"))).as("h"))
-        df.agg(expr("bit_xor(h)")).collect()
-        samples(name) = samples(name) :+ ((System.nanoTime() - t0) / 1e9)
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED (pass $pass): ${e.getMessage}")
-          errors(name) += 1
+    // PER-PASS calibration (r10/r11 verdict item #1): the single
+    // pre-run probe cannot see a mid-run load burst — four straight
+    // rounds needed a judge idle re-bench to adjudicate phantom 3–7×
+    // "regressions" (r11: q183 102.6 s artifact vs 11.0 s idle). The
+    // frozen probe therefore runs again at the START of every sample
+    // pass; calib_per_pass makes the artifact self-adjudicating, and
+    // the normalized medians below divide each sample by its pass's
+    // load factor before taking the median.
+    val calibPerPass = Array.fill(nSamples)(0.0)
+    for (pass <- 1 to nSamples) {
+      calibPerPass(pass - 1) = math.rint(calibProbe() * 1000) / 1000
+      for ((name, fn) <- queryList) {
+        val t0 = System.nanoTime()
+        try {
+          // bit_xor (not sum): xxhash64 values span the full long range
+          // and ANSI mode (Spark 4 default) faults on sum overflow.
+          val df = fn(spark, sfDir)
+            .select(xxhash64(struct(col("*"))).as("h"))
+          df.agg(expr("bit_xor(h)")).collect()
+          samples(name) =
+            samples(name) :+ (pass -> (System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED (pass $pass): ${e.getMessage}")
+            errors(name) += 1
+        }
       }
+    }
+    // Normalization reference: the most-idle observed pass. A sample
+    // taken on a pass whose probe read 2× the reference is halved
+    // before the median — a load burst that hits 2 of 3 passes can no
+    // longer outvote the idle sample (exactly the r11 q183 shape:
+    // raw samples 102.6/20.8/184.8 → median 102.6, where the idle
+    // truth was ~11; the burst passes' probes would have exposed it).
+    val calibRef = calibPerPass.filter(_ > 0).minOption.getOrElse(1.0)
+    def normalize(pass: Int, secs: Double): Double = {
+      val c = calibPerPass(pass - 1)
+      if (c > 0) secs * calibRef / c else secs
     }
     // failed = zero successful passes; errored-but-recovered = flaky
     // (median over the successful samples stands)
@@ -118,16 +142,30 @@ object Bench {
     val flaky = queryList.map(_._1)
       .filter(n => errors(n) > 0 && samples(n).nonEmpty)
     val results = queryList.map { case (name, _) =>
-      name -> (if (failed.contains(name)) -1.0 else median(samples(name)))
+      name -> (if (failed.contains(name)) -1.0
+        else median(samples(name).map(_._2)))
+    }
+    // calib-normalized medians: each sample divided by its own pass's
+    // load factor first — the self-adjudicating number a drift audit
+    // should read before the raw one
+    val resultsNorm = queryList.map { case (name, _) =>
+      name -> (if (failed.contains(name)) -1.0
+        else median(samples(name).map { case (p, v) => normalize(p, v) }))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val qsNorm = resultsNorm.map { case (k, v) =>
+      "\"" + k + "\":" + math.rint(v * 1000) / 1000
+    }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val totalNorm = math.rint(resultsNorm.collect {
+      case (_, v) if v >= 0 => v }.sum * 1000) / 1000
+    val calibPerPassJson = calibPerPass.mkString("[", ",", "]")
     val failedJson = failed.toList.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val flakyJson = flaky.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val samplesJson = results.map { case (k, _) =>
-      "\"" + k + "\":" + samples(k).map(v => math.rint(v * 1000) / 1000)
-        .mkString("[", ",", "]")
+      "\"" + k + "\":" + samples(k).map { case (_, v) =>
+        math.rint(v * 1000) / 1000 }.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     // The driver keeps only a ~2000-char tail of the output: r4's
     // full-name map outgrew it, and at 203 queries (r7) even the
@@ -144,14 +182,14 @@ object Bench {
       "\"" + k.takeWhile(_ != '_') + "\":" + math.rint(v * 1000) / 1000
     }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","calib_sec":$calibSec,"queries":$qs,"samples":$samplesJson,"n_samples":$nSamples,"failed":$failedJson,"flaky":$flakyJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","value_norm":$totalNorm,"calib_sec":$calibSec,"calib_per_pass":$calibPerPassJson,"queries":$qs,"queries_norm":$qsNorm,"samples":$samplesJson,"n_samples":$nSamples,"failed":$failedJson,"flaky":$flakyJson,"sf":"$sfDir"}"""
     // only full runs refresh the committed artifact — an args-filtered
     // local iteration must not clobber the full-query record
     if (only.isEmpty) java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_queries.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     println(s"""{"metric":"total_all_queries","value":$total,"unit":"sec","queries":$qsShort,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"calib_sec":$calibSec,"queries":$qsTop,"queries_shown":"slowest20","n_samples":$nSamples,"failed":$failedJson,"flaky":$flakyJson,"sf":"$sfDir","queries_file":"bench_queries.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","value_norm":$totalNorm,"n_queries":${results.size},"calib_sec":$calibSec,"calib_per_pass":$calibPerPassJson,"queries":$qsTop,"queries_shown":"slowest20","n_samples":$nSamples,"failed":$failedJson,"flaky":$flakyJson,"sf":"$sfDir","queries_file":"bench_queries.json"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

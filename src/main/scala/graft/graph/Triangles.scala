@@ -35,9 +35,42 @@ object Triangles {
     * @return (id, n_tri) for every node in the edge set (0 included)
     */
   def perNode(edges: DataFrame): DataFrame = {
-    val canon = canonical(edges)
-    perNodeFromCanon(canon, degrees(canon))
+    val (deg, counts) = perNodeBundle(edges)
+    perNodeFromBundle(deg, counts)
   }
+
+  /** The reusable triangle core — (degree table, per-node triangle
+    * counts) from ONE canonical edge pass, both eagerly checkpointed.
+    * A caller running both the [[perNode]] and [[clusteringCoef]]
+    * shapes on the SAME graph (the q172/q183 pair) memoizes this pair
+    * and pays the O(|E|^1.5) wedge join exactly once; each query then
+    * composes from two metadata-sized frames. */
+  def perNodeBundle(edges: DataFrame): (DataFrame, DataFrame) = {
+    val canon = canonical(edges)
+    val deg = degrees(canon).localCheckpoint(true)
+    val counts = trianglesOf(canon, deg)
+      .select(explode(array(col("n1"), col("n2"), col("n3"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+      .localCheckpoint(true)
+    (deg, counts)
+  }
+
+  /** (id, n_tri) for every node, composed from a [[perNodeBundle]]. */
+  def perNodeFromBundle(deg: DataFrame, counts: DataFrame): DataFrame =
+    deg.select(col("id"))
+      .join(counts, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+
+  /** (id, d, n_tri, coef) composed from a [[perNodeBundle]] — the
+    * [[clusteringCoef]] contract without re-running the wedge join. */
+  def clusteringCoefFromBundle(deg: DataFrame,
+      counts: DataFrame): DataFrame =
+    perNodeFromBundle(deg, counts)
+      .join(deg, "id")
+      .select(col("id"), col("d"), col("n_tri"),
+        when(col("d") < 2, lit(0.0f))
+          .otherwise(round(lit(2) * col("n_tri") /
+            (col("d") * (col("d") - 1)), 4).cast("float")).as("coef"))
 
   /** Local clustering coefficient: triangles through a node over its
     * wedge capacity — coef = 2·tri / (d·(d−1)), 0 at degree < 2. The
@@ -48,17 +81,8 @@ object Triangles {
     * @return (id, d, n_tri, coef)
     */
   def clusteringCoef(edges: DataFrame): DataFrame = {
-    val canon = canonical(edges)
-    val deg = canon.select(col("u").as("id"))
-      .unionByName(canon.select(col("v").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("d"))
-      .localCheckpoint(true) // orientation lookups ×2 + the final join
-    perNodeFromCanon(canon, deg)
-      .join(deg, "id")
-      .select(col("id"), col("d"), col("n_tri"),
-        when(col("d") < 2, lit(0.0f))
-          .otherwise(round(lit(2) * col("n_tri") /
-            (col("d") * (col("d") - 1)), 4).cast("float")).as("coef"))
+    val (deg, counts) = perNodeBundle(edges)
+    clusteringCoefFromBundle(deg, counts)
   }
 
   /** Canonical undirected edge set (u < v, distinct, loops dropped) —
@@ -123,17 +147,6 @@ object Triangles {
       .where(col("bf_maybe")).drop("bf_maybe")
     gated.join(closing, Seq("x", "y"))
       .select(col("src").as("n1"), col("x").as("n2"), col("y").as("n3"))
-  }
-
-  private def perNodeFromCanon(canon: DataFrame,
-      deg: DataFrame): DataFrame = {
-    val tris = trianglesOf(canon, deg)
-    val nodes = deg.select(col("id"))
-    val counts = tris
-      .select(explode(array(col("n1"), col("n2"), col("n3"))).as("id"))
-      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
-    nodes.join(counts, Seq("id"), "left_outer")
-      .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
 
   /** Package-private canonicalization for [[Truss]]. */

@@ -62,6 +62,26 @@ object Analytics extends QueryPack {
       d: String): org.apache.spark.sql.DataFrame =
     coPurchaseEdgesW(s, d).drop("w")
 
+  /** Memoized triangle bundle (degree table, per-node triangle counts,
+    * both checkpointed) over the co-purchase graph — q172 and q183 are
+    * the suite's two heaviest queries and differ only in their final
+    * metadata-sized composition, yet each used to re-run the whole
+    * O(|E|^1.5) wedge+closure machinery (r11 verdict item #3). Same
+    * bench-hygiene contract as [[coPurchaseEdgesW]]: answers identical
+    * to rebuilding inline, oracles still derive triangles independently. */
+  private val triBundleCache =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String,
+        (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]]()
+
+  private def triBundle(s: org.apache.spark.sql.SparkSession, d: String):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    triBundleCache.synchronized {
+      triBundleCache.computeIfAbsent(s, _ =>
+        new java.util.concurrent.ConcurrentHashMap())
+    }.computeIfAbsent(d, _ =>
+      graft.graph.Triangles.perNodeBundle(coPurchaseEdges(s, d)))
+
   val queries: Map[String, Q] = Map(
     "q15_percentiles" -> ((s, d) => t("events")(s, d)
       .groupBy("event_type")
@@ -301,8 +321,12 @@ object Analytics extends QueryPack {
     // critical value — exact counts, ONE IEEE division, the flag
     // compared on the unrounded value.
     "q290_srm" -> ((s, d) => {
-      val chi2 = (col("n0") - col("n1")).cast("double") *
-        (col("n0") - col("n1")) / col("n")
+      // n = 0 (empty or all-NULL-user events) must yield NULL, not an
+      // ANSI divide-by-zero fault — the `when` guard short-circuits
+      // the division exactly like the oracle's CASE
+      val chi2 = when(col("n") > 0,
+        (col("n0") - col("n1")).cast("double") *
+          (col("n0") - col("n1")) / col("n"))
       t("events")(s, d).where(col("user_id").isNotNull)
         .select(col("user_id"), pmod(col("user_id"), lit(2L)).as("arm"))
         .distinct()
@@ -466,14 +490,19 @@ object Analytics extends QueryPack {
     // graph: wedges generate only at each triangle's lowest-(deg, id)
     // corner, so one celebrity part cannot explode the wedge join
     // (O(|E|^1.5) total work vs Σdeg² naive).
-    "q172_triangles" -> ((s, d) =>
-      graft.graph.Triangles.perNode(coPurchaseEdges(s, d))),
+    "q172_triangles" -> ((s, d) => {
+      val (deg, cnt) = triBundle(s, d)
+      graft.graph.Triangles.perNodeFromBundle(deg, cnt)
+    }),
 
     // Local clustering coefficient: q172's triangle machinery + the
     // degree table on ONE canonical edge pass — coef = 2·tri/(d·(d−1)),
-    // an exact-integer ratio, cross-engine exact after rounding.
-    "q183_clustering_coef" -> ((s, d) =>
-      graft.graph.Triangles.clusteringCoef(coPurchaseEdges(s, d))),
+    // an exact-integer ratio, cross-engine exact after rounding. Shares
+    // the memoized wedge-join output with q172 (bundle cache above).
+    "q183_clustering_coef" -> ((s, d) => {
+      val (deg, cnt) = triBundle(s, d)
+      graft.graph.Triangles.clusteringCoefFromBundle(deg, cnt)
+    }),
 
     // k-core of the co-purchase graph (k=80): iterative peel — degree
     // aggregate + two semi-joins per round, lineage checkpointed —
@@ -2115,10 +2144,12 @@ object Analytics extends QueryPack {
         |               AS BIGINT) AS n1
         |      FROM arms)
         |SELECT n AS n_units, n0, n1,
-        |       CAST(floor(CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / n
+        |       CAST(floor(CASE WHEN n > 0
+        |           THEN CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / n END
         |         * 1e6 + 0.5) / 1e6 AS REAL) AS chi2,
-        |       CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / n > 3.841459
-        |         AS srm_flag
+        |       CASE WHEN n > 0
+        |         THEN CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / n END
+        |         > 3.841459 AS srm_flag
         |FROM m""".stripMargin,
 
     // The per-user split sums, the same six decimal moments, the
