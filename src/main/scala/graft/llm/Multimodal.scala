@@ -745,4 +745,126 @@ object Multimodal {
       }
     }(RowEncoder.encoderFor(outSchema))
   }
+
+  // ---------------------------------------------------------------
+  // Frame sequences: scene-cut (shot-boundary) detection
+  // ---------------------------------------------------------------
+
+  /** Byte length of one [[syntheticVideo]] frame: the 8×8 P6 encoding
+    * ("P6\n8 8\n255\n" header = 11 bytes + 192 RGB bytes). Constant
+    * across frames, so [[sampleFrames]] recovers frame boundaries
+    * exactly. */
+  val videoFrameBytes = 203
+
+  /** Deterministic synthetic VIDEO payload: `nf = 6 + id mod 4`
+    * concatenated 8×8 P6 frames ([[videoFrameBytes]] each) with a
+    * SCENE CUT at frame `c = 2 + id mod 3` — channel (x, y, ch) of
+    * frame f is `(id·7 + sx·3 + sy·5 + ch·11 + f) mod 256` where
+    * (sx, sy) = (x, y) before the cut and (7−x, 7−y) after it.
+    * Consecutive same-scene frames drift by +1, which aHash is
+    * invariant to except at mod-256 wraps (a uniform shift moves
+    * every cell and the mean together — Hamming ≈ 0); the cut FLIPS
+    * the spatial gradient, complementing the hash's half-plane
+    * (Hamming ≈ 62 on wrap-free ids). A uniform brightness shift
+    * would NOT register — the detector sees structure, not exposure,
+    * exactly the perceptual-hash contract. Pure arithmetic, so the
+    * oracle re-derives every frame's hash without a decoder.
+    */
+  def syntheticVideo(docId: Long): Array[Byte] = {
+    val nf = 6 + (docId % 4).toInt
+    val cut = 2 + (docId % 3).toInt
+    val out = new java.io.ByteArrayOutputStream(nf * videoFrameBytes)
+    var f = 0
+    while (f < nf) {
+      val flip = f >= cut
+      val pixels = new Array[Byte](192)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val sx = if (flip) 7 - x else x
+          val sy = if (flip) 7 - y else y
+          var ch = 0
+          while (ch < 3) {
+            pixels((y * 8 + x) * 3 + ch) =
+              ((docId * 7 + sx * 3 + sy * 5 + ch * 11 + f) % 256).toByte
+            ch += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      out.write(encodePpm(PpmImage(8, 8, 255, pixels)))
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** (doc_id) → (doc_id, payload) with [[syntheticVideo]] payloads —
+    * the injection frame for the scene-cut gate. */
+  def syntheticVideoFrame(ids: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    ids.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, syntheticVideo(id))
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Per-FRAME [[aHash]]: (doc_id, frame_id, frame) → (doc_id,
+    * frame_id, simhash, fpl) for every frame that parses as PPM —
+    * [[aHashPayloads]] keyed by (doc, frame) so a sampled frame
+    * sequence can be hashed in place. Codec-only `mapPartitions`;
+    * frame bytes never shuffle, only 12-byte hash rows do. */
+  def aHashFrames(frames: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame_id", IntegerType, nullable = false),
+      StructField("simhash", StringType),
+      StructField("fpl", LongType)))
+    val idIdx = frames.schema.fieldIndex("doc_id")
+    val fidIdx = frames.schema.fieldIndex("frame_id")
+    val frIdx = frames.schema.fieldIndex("frame")
+    frames.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodePpm(r.getAs[Array[Byte]](frIdx)).map { img =>
+          val (fp, bits) = aHash(img)
+          Row(r.getLong(idIdx), r.getInt(fidIdx), bits, fp)
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Scene-cut (shot-boundary) detection over a frame sequence: cut
+    * the payload into frames ([[sampleFrames]], every frame), aHash
+    * each, and flag consecutive-frame Hamming jumps ≥ `threshold` —
+    * the standard perceptual-hash shot detector (adjacent frames
+    * within a shot hash near-identically; a cut scrambles the bits).
+    *
+    * Scale shape: the codec stage is zero-exchange `mapPartitions`
+    * (frame bytes never leave their partition); the lag window
+    * shuffles only (doc_id, frame_id, fpl) rows once on doc_id, and
+    * the Hamming compare is codegen'd `bit_count(xor)` on packed
+    * longs — no string ops in the hot path.
+    *
+    * @return (doc_id, frame_id, hamming, is_cut) — one row per frame
+    *         with a predecessor; is_cut ⟺ hamming ≥ threshold
+    */
+  def sceneCuts(video: DataFrame, frameBytes: Int,
+      threshold: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = sampleFrames(video, frameBytes, everyN = 1)
+      .select(col("doc_id"), col("frame_id"), col("frame"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_id"))
+    val ham = bit_count(col("fpl").bitwiseXOR(col("prev_fpl")))
+    aHashFrames(frames)
+      .withColumn("prev_fpl", lag(col("fpl"), 1).over(w))
+      .where(col("prev_fpl").isNotNull)
+      .select(col("doc_id"), col("frame_id"),
+        ham.cast("int").as("hamming"),
+        (ham >= threshold).as("is_cut"))
+  }
 }

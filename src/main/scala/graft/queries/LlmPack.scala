@@ -313,6 +313,43 @@ object LlmPack extends QueryPack {
         Multimodal.decodeWavFrame(Multimodal.syntheticNoisyWavFrame(
           t("documents")(s, d).select(col("doc_id"))))),
         maxHamming = 3)),
+    // Near-dup audio CLUSTERS: q278's fingerprint pairs closed into
+    // components (pointer-jumped CC, smallest doc_id canonical) —
+    // the q283 composition on the audio side, completing the
+    // fp → pairs → clusters → delta matrix for both modalities.
+    "q291_audio_dup_clusters" -> ((s, d) => {
+      val ids = t("documents")(s, d).select(col("doc_id"))
+      val pairs = Dedup.fpPairs(Multimodal.audioFingerprint(
+          Multimodal.decodeWavFrame(
+            Multimodal.syntheticNoisyWavFrame(ids))), maxHamming = 3)
+        .select(col("da").as("a"), col("db").as("b"))
+      val labels = graft.graph.ConnectedComponents.run(
+          ids.select(col("doc_id").as("id")), pairs)
+        .select(col("id").as("doc_id"), col("component").as("cluster"))
+      val sizes = labels.groupBy(col("cluster"))
+        .agg(count(lit(1)).cast("int").as("cluster_size"))
+      labels.join(sizes, "cluster")
+        .select(col("doc_id"), col("cluster"), col("cluster_size"),
+          (col("doc_id") === col("cluster")).as("is_canonical"))
+    }),
+    // Day-2 audio dedup: q278's pair family restricted to pairs
+    // touching the new batch (doc_id % 3 = 0, the q120/q284 delta
+    // convention) — old×old pruned inside the band join, so the
+    // daily increment pays increment×corpus, never corpus².
+    "q292_audio_fp_delta" -> ((s, d) =>
+      Dedup.fpPairsDelta(Multimodal.audioFingerprint(
+        Multimodal.decodeWavFrame(Multimodal.syntheticNoisyWavFrame(
+          t("documents")(s, d).select(col("doc_id"))))),
+        col("doc_id") % 3 === 0, maxHamming = 3)),
+    // Scene-cut (shot-boundary) detection over the synthetic video
+    // family: frames recovered by q88's sampler, per-frame aHash, one
+    // lag window per doc, cut where the consecutive-frame Hamming
+    // jump ≥ 16 — the frame-SEQUENCE member of the multimodal matrix
+    // (q88 samples frames; this models their temporal structure).
+    "q293_scene_cuts" -> ((s, d) =>
+      Multimodal.sceneCuts(Multimodal.syntheticVideoFrame(
+        t("documents")(s, d).select(col("doc_id"))),
+        frameBytes = Multimodal.videoFrameBytes)),
     // Unigram-LM tokenizer training (Kudo 2018 / SentencePiece): seed
     // substring vocab → 2 hard-EM rounds (Viterbi E-step on scaled-ln
     // integer scores, frequency-weighted M-step with the char floor)
@@ -2921,6 +2958,84 @@ object LlmPack extends QueryPack {
          |                THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
          |  FROM afr a JOIN afr b ON a.doc_id < b.doc_id)
          |SELECT da, db, hamming FROM p WHERE hamming <= 3""".stripMargin,
+    // The q278 pair table closed by recursive min-label reachability
+    // (the q283 derivation) over the audio fingerprints.
+    "q291_audio_dup_clusters" ->
+      s"""WITH RECURSIVE ${audioFpCtes(materializeF = true)},
+         |p AS MATERIALIZED (
+         |  SELECT a.doc_id AS da, b.doc_id AS db
+         |  FROM afr a JOIN afr b ON a.doc_id < b.doc_id
+         |  WHERE list_sum(list_transform(range(1, 65),
+         |          i -> CASE WHEN substr(a.afp, CAST(i AS INT), 1)
+         |                      <> substr(b.afp, CAST(i AS INT), 1)
+         |               THEN 1 ELSE 0 END)) <= 3),
+         |edges AS MATERIALIZED (
+         |  SELECT da AS src, db AS dst FROM p
+         |  UNION ALL SELECT db, da FROM p),
+         |reach AS (
+         |  SELECT doc_id AS v, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT e.dst AS v, re.r AS r
+         |  FROM reach re JOIN edges e ON e.src = re.v),
+         |cc AS (SELECT v AS doc_id, min(r) AS cluster FROM reach
+         |       GROUP BY 1),
+         |cs AS (SELECT cluster, CAST(count(*) AS INTEGER)
+         |         AS cluster_size FROM cc GROUP BY 1)
+         |SELECT c.doc_id, c.cluster, s.cluster_size,
+         |       c.doc_id = c.cluster AS is_canonical
+         |FROM cc c JOIN cs s USING (cluster)""".stripMargin,
+    // q278's naive all-pairs scan with the delta membership filter.
+    "q292_audio_fp_delta" ->
+      s"""WITH ${audioFpCtes(materializeF = true)},
+         |p AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db,
+         |         CAST(list_sum(list_transform(range(1, 65),
+         |           i -> CASE WHEN substr(a.afp, CAST(i AS INT), 1)
+         |                       <> substr(b.afp, CAST(i AS INT), 1)
+         |                THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
+         |  FROM afr a JOIN afr b ON a.doc_id < b.doc_id)
+         |SELECT da, db, hamming FROM p
+         |WHERE hamming <= 3 AND (da % 3 = 0 OR db % 3 = 0)""".stripMargin,
+    // The whole video chain re-derived arithmetically: synthetic
+    // frame pixels, integer grayscale, the exact 64·g ≥ Σg aHash bit
+    // rule per frame, and the lag-window Hamming jump — no decoder.
+    "q293_scene_cuts" ->
+      """WITH vd AS (SELECT doc_id,
+        |         CAST(6 + doc_id % 4 AS INTEGER) AS nf,
+        |         CAST(2 + doc_id % 3 AS INTEGER) AS c
+        |       FROM documents),
+        |fr AS (SELECT doc_id, c, CAST(f AS INTEGER) AS f
+        |       FROM vd, range(9) t(f) WHERE f < nf),
+        |sp AS (SELECT doc_id, f,
+        |         CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,
+        |         doc_id * 7
+        |           + CASE WHEN f >= c THEN (7 - x) * 3 ELSE x * 3 END
+        |           + CASE WHEN f >= c THEN (7 - y) * 5 ELSE y * 5 END
+        |           + f AS b0
+        |       FROM fr, range(8) tx(x), range(8) ty(y)),
+        |px AS (SELECT doc_id, f, x, y,
+        |         (b0 % 256 + (b0 + 11) % 256 + (b0 + 22) % 256) // 3
+        |           AS g
+        |       FROM sp),
+        |sm AS (SELECT doc_id, f, sum(g) AS s FROM px GROUP BY 1, 2),
+        |bt AS (SELECT p.doc_id, p.f, p.y * 8 + p.x AS k,
+        |         CASE WHEN 64 * p.g >= sm.s THEN '1' ELSE '0' END AS b
+        |       FROM px p JOIN sm ON sm.doc_id = p.doc_id
+        |        AND sm.f = p.f),
+        |ah AS (SELECT doc_id, f, string_agg(b, '' ORDER BY k) AS h
+        |       FROM bt GROUP BY 1, 2),
+        |lg AS (SELECT doc_id, f, h,
+        |         lag(h) OVER (PARTITION BY doc_id ORDER BY f) AS ph
+        |       FROM ah),
+        |hm AS (SELECT doc_id, f,
+        |         CAST(list_sum(list_transform(range(1, 65),
+        |           i -> CASE WHEN substr(h, CAST(i AS INT), 1)
+        |                       <> substr(ph, CAST(i AS INT), 1)
+        |                THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
+        |       FROM lg WHERE ph IS NOT NULL)
+        |SELECT doc_id, f AS frame_id, hamming,
+        |       hamming >= 16 AS is_cut
+        |FROM hm""".stripMargin,
     // Unigram-LM training replayed end-to-end; the engine's Viterbi DP
     // is re-derived as brute enumeration + one argmin (equivalence by
     // extension-monotonicity — see graft.llm.Unigram).

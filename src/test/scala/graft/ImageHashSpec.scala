@@ -132,4 +132,44 @@ class ImageHashSpec extends AnyFunSuite {
         .toDF("doc_id", "payload")))
     assert(short.count() == 0)
   }
+
+  test("sceneCuts: two-scene synthetic fires exactly at the cut frame") {
+    import spark.implicits._
+    // doc 0: nf = 6 frames, cut at frame 2 (scene 0 = frames 0-1,
+    // scene 1 = frames 2-5); doc 1: nf = 7, cut at frame 3
+    val ids = Seq(0L, 1L).toDF("doc_id")
+    val got = Multimodal.sceneCuts(Multimodal.syntheticVideoFrame(ids),
+        frameBytes = Multimodal.videoFrameBytes)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getInt(2), r.getBoolean(3))).toMap
+    // every frame with a predecessor is present
+    assert(got.keySet == Set((0L, 1), (0L, 2), (0L, 3), (0L, 4), (0L, 5),
+      (1L, 1), (1L, 2), (1L, 3), (1L, 4), (1L, 5), (1L, 6)))
+    // the cut frame is flagged, all same-scene transitions are not
+    assert(got((0L, 2))._2 && got((1L, 3))._2)
+    for (((doc, f), (ham, cut)) <- got if !(doc == 0L && f == 2)
+        if !(doc == 1L && f == 3)) {
+      assert(!cut, s"false cut at ($doc, $f) hamming $ham")
+      assert(ham < 16)
+    }
+    // the flagged jumps are far above threshold headroom
+    assert(got((0L, 2))._1 >= 16 && got((1L, 3))._1 >= 16)
+    // cross-check one frame's hash against a directly-built image:
+    // frame 0 of doc 0 is scene 0, f = 0 → channel = x·3 + y·5 + ch·11
+    val direct = Multimodal.aHash(img(8, 8)((x, y) => 0) // placeholder
+      .copy(pixels = {
+        val px = new Array[Byte](192)
+        for (y <- 0 until 8; x <- 0 until 8; c <- 0 until 3)
+          px((y * 8 + x) * 3 + c) = ((x * 3 + y * 5 + c * 11) % 256).toByte
+        px
+      }))
+    val frames = Multimodal.aHashFrames(Multimodal.sampleFrames(
+        Multimodal.syntheticVideoFrame(ids),
+        Multimodal.videoFrameBytes, everyN = 1)
+      .select($"doc_id", $"frame_id", $"frame"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(3))
+      .toMap
+    assert(frames((0L, 0)) == direct._1)
+  }
 }
