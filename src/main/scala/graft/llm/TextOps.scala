@@ -516,6 +516,84 @@ object TextOps {
         round(col("slp") / col("n_bigrams"), 4).as("avg_logp_kn"))
   }
 
+  /** Kneser–Ney–smoothed TRIGRAM LM score — the order-3 member above
+    * [[lmScoreKn]], the model class CCNet-style perplexity filters
+    * actually run. Interpolated KN, absolute discount D = 0.75
+    * (exact in binary), three levels:
+    * {{{
+    *   P3(w|u,v) = max(c(uvw) − D, 0)/c(uv·)
+    *             + (D·N1+(uv·)/c(uv·)) · P2(w|v)
+    *   P2(w|v)   = max(N1+(·vw) − D, 0)/N1+(·v·)
+    *             + (D·N1+(v·)/N1+(·v·)) · P1(w)
+    *   P1(w)     = N1+(·w)/N1+(··)
+    * }}}
+    * The top level discounts raw trigram counts against the trigram
+    * CONTEXT total c(uv·) = Σ_w c(uvw); the middle level is built
+    * entirely from continuation counts (the KN insight: "Francisco"
+    * is frequent but occurs after almost nothing); the unigram floor
+    * is type-frequency over bigram types. Every divided quantity is
+    * an exact integer count, and the IEEE evaluation order is fixed,
+    * so scores are cross-engine reproducible like q124/q248.
+    *
+    * Scale shape: N1+(·vw)/N1+(·v·)/c(uv·) are vocabulary-bounded
+    * hash aggregates off ONE distinct-trigram pass (checkpointed at
+    * its four-consumer fan-out); N1+(v·)/N1+(·w)/N1+(··) off ONE
+    * distinct-bigram groupBy; scoring is a g-keyed equi-join — no
+    * windows, no per-doc state, AQE splits the hot-gram skew.
+    *
+    * @return (doc_id, n_trigrams, avg_logp_kn3) — NULL score for
+    *         docs with < 3 tokens
+    */
+  def lmScoreKn3(docs: DataFrame): DataFrame = {
+    val toks = spread(docs.where(col("text").isNotNull))
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+    val tri = toks.where(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("w")) - 2)).as("i"), col("w"))
+      .select(col("doc_id"),
+        element_at(col("w"), col("i")).as("u"),
+        element_at(col("w"), col("i") + 1).as("v"),
+        element_at(col("w"), col("i") + 2).as("w3"),
+        concat_ws(" ", slice(col("w"), col("i"), lit(3))).as("g"))
+    val tg = tri.groupBy(col("u"), col("v"), col("w3"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds ctx, cont, mid AND the prob table
+    val ctx = tg.groupBy(col("u"), col("v"))
+      .agg(sum(col("c")).as("cuv"), count(lit(1)).as("t12"))
+    val cont = tg.groupBy(col("v"), col("w3"))
+      .agg(count(lit(1)).as("nvw"))
+    val mid = tg.groupBy(col("v")).agg(count(lit(1)).as("n3v"))
+    val bt = toks.where(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("w")) - 1)).as("i"), col("w"))
+      .select(element_at(col("w"), col("i")).as("b1"),
+        element_at(col("w"), col("i") + 1).as("b2"))
+      .distinct()
+      .localCheckpoint(true) // feeds t1, cw, tot
+    val t1 = bt.groupBy(col("b1")).agg(count(lit(1)).as("t1"))
+      .withColumnRenamed("b1", "v")
+    val cw = bt.groupBy(col("b2")).agg(count(lit(1)).as("ncw"))
+      .withColumnRenamed("b2", "w3")
+    val tot = bt.agg(count(lit(1)).as("tot"))
+    val p = tg.join(ctx, Seq("u", "v")).join(cont, Seq("v", "w3"))
+      .join(mid, "v").join(t1, "v").join(cw, "w3")
+      .crossJoin(broadcast(tot))
+      .select(col("g"),
+        log(greatest(col("c") - lit(0.75), lit(0.0)) / col("cuv") +
+          (lit(0.75) * col("t12") / col("cuv")) *
+            (greatest(col("nvw") - lit(0.75), lit(0.0)) / col("n3v") +
+              (lit(0.75) * col("t1") / col("n3v")) *
+                (col("ncw").cast("double") / col("tot")))).as("lp"))
+    val sc = tri.join(p, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_trigrams"),
+        sum(col("lp")).as("slp"))
+    toks.select(col("doc_id")).join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0)).as("n_trigrams"),
+        round(col("slp") / col("n_trigrams"), 4).as("avg_logp_kn3"))
+  }
+
   /** Per-language top-k n-grams by corpus OCCURRENCE count (document
     * frequency carried alongside) — the boilerplate-mining pass that
     * feeds the viral caps ([[Dedup.winnowedPairs]]' `maxDf`,

@@ -205,6 +205,16 @@ object Analytics extends QueryPack {
         coPurchaseEdgesW(s, d).where(col("w") >= 2)
           .select(col("a"), col("b")), rounds = 4)),
 
+    // One-level Louvain modularity ascent over the same graph as
+    // q269 — the OPTIMIZATION member beside the q232 scorer and the
+    // q269 LPA heuristic: deterministic community-handshake rounds,
+    // exact-integer ΔQ in q232's common-denominator form, guaranteed
+    // non-decreasing Q every round.
+    "q295_louvain" -> ((s, d) =>
+      graft.graph.Louvain.oneLevel(
+        coPurchaseEdgesW(s, d).where(col("w") >= 2)
+          .select(col("a"), col("b")), rounds = 4)),
+
     // Deterministic seeded random walks (DeepWalk, Perozzi et al.
     // 2014) from the q243/q252 seed hubs over the full co-purchase
     // graph: 4 hops, next hop = md5-argmin over the neighbor set (the
@@ -1837,6 +1847,20 @@ object Analytics extends QueryPack {
          |${graft.graph.LabelProp.oracleCte(4)}
          |SELECT l.id, l.lbl, CAST(c.csize AS BIGINT) AS csize
          |FROM l4 l JOIN csz c USING (lbl)""".stripMargin,
+
+    // The handshake rounds unrolled move by move: per-round ΔQ
+    // candidates, per-node argmax, per-community best, the two-sided
+    // handshake join, and the label patch — all exact integers.
+    "q295_louvain" ->
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey
+         |   AND a.l_partkey <> b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |${graft.graph.Louvain.oracleCte(4)}
+         |SELECT l.id, l.c AS community, z.csize
+         |FROM l4 l JOIN csz z USING (c)""".stripMargin,
 
     // The walk unrolled hop by hop: per-hop md5 draw over the
     // neighbor set, row_number (h, dst) argmin, step frames unioned.

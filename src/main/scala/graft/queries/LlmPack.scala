@@ -540,6 +540,12 @@ object LlmPack extends QueryPack {
     // continuation probabilities from distinct bigram types.
     "q248_lm_score_kn" -> ((s, d) =>
       TextOps.lmScoreKn(t("documents")(s, d))),
+    // Kneser–Ney-smoothed TRIGRAM LM score — the order-3 model the
+    // CCNet-class perplexity filter actually runs: discounted raw
+    // trigram counts backing off to continuation-count bigrams and a
+    // type-frequency unigram floor.
+    "q294_lm_score_kn3" -> ((s, d) =>
+      TextOps.lmScoreKn3(t("documents")(s, d))),
     // Per-language top-5 trigrams by occurrence (df alongside): the
     // boilerplate-mining pass that feeds the viral caps with data.
     "q125_top_ngrams" -> ((s, d) => TextOps.topNgrams(t("documents")(s, d))),
@@ -3187,6 +3193,47 @@ object LlmPack extends QueryPack {
         |       FROM bi b JOIN p USING (g) GROUP BY 1)
         |SELECT t.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
         |       round(sc.slp / sc.n_bigrams, 4) AS avg_logp_kn
+        |FROM tok t LEFT JOIN sc USING (doc_id)""".stripMargin,
+    // The full three-level KN chain re-derived: trigram counts and
+    // context totals, continuation-type tables off the distinct
+    // trigram and bigram sets, the same fixed IEEE backoff sequence.
+    "q294_lm_score_kn3" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |idx AS (SELECT doc_id, generate_subscripts(w, 1) AS i, w FROM tok),
+        |tri AS (SELECT doc_id, w[i] AS u, w[i+1] AS v, w[i+2] AS w3,
+        |              w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |        FROM idx WHERE i + 2 <= len(w)),
+        |tg AS MATERIALIZED (
+        |  SELECT u, v, w3, g, count(*) AS c FROM tri GROUP BY 1, 2, 3, 4),
+        |ctx AS (SELECT u, v, CAST(sum(c) AS BIGINT) AS cuv,
+        |               CAST(count(*) AS BIGINT) AS t12 FROM tg GROUP BY 1, 2),
+        |cont AS (SELECT v, w3, CAST(count(*) AS BIGINT) AS nvw
+        |         FROM tg GROUP BY 1, 2),
+        |mid AS (SELECT v, CAST(count(*) AS BIGINT) AS n3v FROM tg GROUP BY 1),
+        |bt AS MATERIALIZED (
+        |  SELECT DISTINCT w[i] AS b1, w[i+1] AS b2
+        |  FROM idx WHERE i + 1 <= len(w)),
+        |ts1 AS (SELECT b1 AS v, CAST(count(*) AS BIGINT) AS t1
+        |        FROM bt GROUP BY 1),
+        |cwt AS (SELECT b2 AS w3, CAST(count(*) AS BIGINT) AS ncw
+        |        FROM bt GROUP BY 1),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM bt),
+        |p AS (SELECT g,
+        |        ln(greatest(c - 0.75, 0.0) / cuv
+        |           + (0.75 * t12 / cuv)
+        |             * (greatest(nvw - 0.75, 0.0) / n3v
+        |                + (0.75 * t1 / n3v)
+        |                  * (CAST(ncw AS DOUBLE) / tot))) AS lp
+        |      FROM tg JOIN ctx USING (u, v) JOIN cont USING (v, w3)
+        |        JOIN mid USING (v) JOIN ts1 USING (v)
+        |        JOIN cwt USING (w3) CROSS JOIN tt),
+        |sc AS (SELECT t.doc_id, CAST(count(*) AS INTEGER) AS n_trigrams,
+        |              sum(p.lp) AS slp
+        |       FROM tri t JOIN p USING (g) GROUP BY 1)
+        |SELECT t.doc_id, COALESCE(sc.n_trigrams, 0) AS n_trigrams,
+        |       round(sc.slp / sc.n_trigrams, 4) AS avg_logp_kn3
         |FROM tok t LEFT JOIN sc USING (doc_id)""".stripMargin,
     // Per-language trigram occurrence counts + doc frequency, exact
     // global top-5 on the (cnt desc, gram) total order — an

@@ -51,4 +51,72 @@ class Round12OpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(direct == per)
   }
+
+  test("louvain: hand-walked moves, Q(Louvain) >= Q(LPA)") {
+    import spark.implicits._
+    def sym(es: Seq[(Long, Long)]) =
+      (es ++ es.map(_.swap)).toDF("a", "b")
+    def qMod(edges: org.apache.spark.sql.DataFrame,
+        labels: org.apache.spark.sql.DataFrame): Float =
+      graft.graph.Modularity.byPartition(edges, labels)
+        .select("q_mod").head().getFloat(0)
+    // star 10-{7,8,9}: LPA (1 round) separates hub from leaves
+    // (Q = -0.5); Louvain's handshake merges one leaf per round until
+    // all four share a community (Q = 0) — hand-walked: r1 moves 7
+    // into {10} (the id-ranked winner of the 4-way dq=6 tie), r2 adds
+    // 8 (dq=4), r3 adds 9 (dq=2), r4 idle.
+    // NOTE: Louvain keeps its default checkpointing here — each round
+    // references the label frame ~6 times, so an uncheckpointed
+    // 4-round lineage grows ~6^r and stalls Catalyst analysis
+    val star = sym(Seq((10L, 7L), (10L, 8L), (10L, 9L)))
+    val louv = graft.graph.Louvain.oneLevel(star, rounds = 4)
+    assert(louv.select("community").distinct().count() == 1)
+    val lpaStar = graft.graph.LabelProp.run(star, rounds = 1,
+        checkpoint = false)
+      .select(col("id"), col("lbl").as("community"))
+    val louvStar = louv.select(col("id"), col("community"))
+    assert(qMod(star, louvStar) == 0.0f)
+    assert(qMod(star, lpaStar) == -0.5f)
+    // barbell: both find the two triangles — equality at the optimum.
+    // Louvain hand-walk: r1 pairs (1,2) and (5,6); r2 pulls 3 into
+    // {1,2} and 4 into {5,6} (dq=32 each); r3/r4 idle.
+    val barbell = sym(Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)))
+    val louvB = graft.graph.Louvain.oneLevel(barbell, rounds = 4)
+      .select(col("id"), col("community"))
+    val got = louvB.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(got(1L), got(2L), got(3L)).size == 1)
+    assert(Set(got(4L), got(5L), got(6L)).size == 1)
+    assert(got(1L) != got(4L))
+    val lpaB = graft.graph.LabelProp.run(barbell, rounds = 4,
+        checkpoint = false)
+      .select(col("id"), col("lbl").as("community"))
+    assert(qMod(barbell, louvB) >= qMod(barbell, lpaB))
+  }
+
+  test("lmScoreKn3: hand-computed three-sentence corpus") {
+    import spark.implicits._
+    // corpus: "a b c" / "a b c d" / "x y"
+    // trigram counts: (a,b,c)=2, (b,c,d)=1
+    //   ctx (a,b): cuv=2, t12=1; (b,c): cuv=1, t12=1
+    //   cont (b,c)=1, (c,d)=1; mid b=1, c=1
+    // distinct bigram types {(a,b),(b,c),(c,d),(x,y)} → tot=4,
+    //   t1(b)=1, t1(c)=1, ncw(c)=1, ncw(d)=1
+    // P2(c|b) = max(1−.75,0)/1 + (.75·1/1)·(1/4) = 0.4375
+    // P3(c|a,b) = max(2−.75,0)/2 + (.75·1/2)·0.4375 = 0.7890625
+    // P2(d|c)  = 0.25 + .75·(1/4) = 0.4375
+    // P3(d|b,c) = max(1−.75,0)/1 + (.75·1/1)·0.4375 = 0.578125
+    val lp1 = math.log(0.7890625)
+    val lp2 = math.log(0.578125)
+    def r4(x: Double) = math.round(x * 1e4) / 1e4
+    val docs = Seq((1L, "a b c"), (2L, "a b c d"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val got = graft.llm.TextOps.lmScoreKn3(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    assert(got(1L) == (1, Some(r4(lp1))))
+    assert(got(2L) == (2, Some(r4((lp1 + lp2) / 2))))
+    assert(got(3L) == (0, None)) // < 3 tokens: zero trigrams, NULL
+  }
 }
