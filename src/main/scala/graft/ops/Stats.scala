@@ -833,6 +833,90 @@ object Stats {
         .otherwise(lit(0f)).as("reduction_pct"))
   }
 
+  /** mSPRT always-valid sequential test (Johari, Koomen, Pekelis &
+    * Walsh 2017) — the peeking-safe member of the experimentation
+    * family beside [[cuped]] and the SRM guardrail: a normal-mixture
+    * sequential probability ratio over the DAILY-bucketed two-arm
+    * metric stream, whose always-valid p-value may be inspected after
+    * every day without inflating false positives (the property
+    * fixed-horizon t/χ² tests lose under continuous monitoring).
+    *
+    * Per day d (cumulative through d, exact integer sums in —
+    * [[cuped]]'s decimal discipline):
+    * {{{
+    *   Y   = mean₁ − mean₀                (natural units)
+    *   V   = σ̂²_pooled · (1/n₀ + 1/n₁)
+    *   lnΛ = ½·ln(V/(V+τ²)) + τ²·Y² / (2·V·(V+τ²))
+    *   p_d = min_{d' ≤ d} min(1, e^{−lnΛ_{d'}})   (monotone ↓)
+    * }}}
+    * Reject when p ≤ α — at any peek, with the α guarantee holding
+    * over the whole stream. The IEEE sequence is fixed (one ln, one
+    * exp, explicit multiply order), so outputs are cross-engine
+    * reproducible under the shared floor rounding.
+    *
+    * Scale shape: one map-side-combined groupBy to ≤ |days| rows;
+    * the cumulative and running-min windows run on that
+    * metadata-sized frame (single ordered task by design — days,
+    * not facts). Days where either arm is empty or the pooled
+    * variance is 0 carry NULL lnΛ; the running min skips them.
+    *
+    * @param obs    one row per observation: `dayCol` (integer day),
+    *               `armCol` (0/1), `v4Col` (unit-scaled exact
+    *               integer metric)
+    * @param unit   integer units per natural unit (1e4 for
+    *               1e-4-scaled metrics)
+    * @return (day, n0, n1, diff, log_lr, p_av, reject) — cumulative
+    *         counts, rounded diff/lnΛ/p, reject on the unrounded p
+    */
+  def msprt(obs: DataFrame, dayCol: String, armCol: String,
+      v4Col: String, unit: Double = 1.0, tau2: Double = 1.0,
+      alpha: Double = 0.05): DataFrame = {
+    def dec19(c: Column) = c.cast("decimal(19,0)")
+    val arm = col(armCol)
+    val v = col(v4Col)
+    def armSum(a: Int, e: Column) =
+      sum(when(arm === a, e.cast("decimal(38,0)"))
+        .otherwise(lit(0).cast("decimal(38,0)")))
+    val daily = obs.groupBy(col(dayCol).as("day"))
+      .agg(
+        sum(when(arm === 0, 1L).otherwise(0L)).as("dn0"),
+        sum(when(arm === 1, 1L).otherwise(0L)).as("dn1"),
+        armSum(0, v).as("ds0"), armSum(1, v).as("ds1"),
+        armSum(0, dec19(v) * dec19(v)).as("dq0"),
+        armSum(1, dec19(v) * dec19(v)).as("dq1"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily.select(col("day"),
+      sum(col("dn0")).over(w).as("n0"),
+      sum(col("dn1")).over(w).as("n1"),
+      sum(col("ds0")).over(w).as("s0"),
+      sum(col("ds1")).over(w).as("s1"),
+      sum(col("dq0")).over(w).as("q0"),
+      sum(col("dq1")).over(w).as("q1"))
+    def d(c: String) = col(c).cast("double")
+    val u2 = lit(unit * unit)
+    val bothArms = col("n0") > 0 && col("n1") > 0
+    val diff = when(bothArms,
+      (d("s1") / col("n1") - d("s0") / col("n0")) / lit(unit))
+    val vp = ((d("q0") - d("s0") * d("s0") / col("n0")) +
+      (d("q1") - d("s1") * d("s1") / col("n1"))) /
+      (col("n0") + col("n1")) / u2
+    val vn = vp * (d("n0") + d("n1")) / (d("n0") * d("n1"))
+    val llr = when(bothArms && vp > 0,
+      lit(0.5) * log(vn / (vn + lit(tau2))) +
+        (lit(tau2) * diff * diff) /
+          (lit(2.0) * vn * (vn + lit(tau2))))
+    cum.withColumn("llr", llr)
+      .withColumn("p_raw",
+        min(when(col("llr").isNotNull,
+          least(lit(1.0), exp(-col("llr"))))).over(w))
+      .select(col("day"), col("n0"), col("n1"),
+        r6(diff).as("diff"), r6(col("llr")).as("log_lr"),
+        r6(col("p_raw")).as("p_av"),
+        when(col("p_raw").isNotNull, col("p_raw") <= lit(alpha))
+          .as("reject"))
+  }
+
   /** Isotonic calibration by pool-adjacent-violators (Ayer et al.
     * 1955; as a probability calibrator Zadrozny & Elkan 2002) — the
     * nonparametric upgrade of [[calibration]]'s raw reliability

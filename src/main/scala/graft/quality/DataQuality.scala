@@ -425,6 +425,67 @@ object DataQuality {
           .otherwise(lit("*")).as("rel_qi2"))
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    * member above [[kAnonymityAudit]] in the privacy ladder: k stops
+    * re-identification, l stops homogeneity, but a class whose
+    * sensitive values are diverse yet SKEWED against the population
+    * still leaks ("everyone in this class earns above the 90th
+    * percentile"). t-closeness bounds, per equivalence class, the
+    * Earth Mover's Distance between the class's sensitive
+    * distribution and the GLOBAL one over the ordered value domain:
+    * {{{
+    *   EMD = Σ_i |Σ_{j≤i} (p_j − q_j)| / (m − 1)
+    * }}}
+    * Computed as EXACT RATIONALS on the common denominator n_c·N:
+    * the running sum accumulates integer `ccnt·N − gcnt·n_c` terms,
+    * absolute partial sums add exactly (decimal), and the single
+    * IEEE division happens once per class at the edge — so the audit
+    * is hash-stable like the rest of the family.
+    *
+    * Scale shape: class table and global value histogram are bounded
+    * hash aggregates; the dense class × domain grid is
+    * |classes|·|distinct values| — domain-bounded, independent of row
+    * count (a 100 TB run buckets the sensitive domain first, the
+    * q231 PSI decile move, shrinking m without changing this plan).
+    * The cumulative runs per class over the ordered domain — bounded
+    * partitions, no global sort.
+    *
+    * @return one row per class: (qis..., n, emd, t_ok) — emd rounded
+    *         to 6 places, t_ok compared on the unrounded value
+    */
+  def tCloseness(df: DataFrame, qis: Seq[String], sensitive: String,
+      t: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dec19(c: Column) = c.cast("decimal(19,0)")
+    val qiCols = qis.map(col)
+    val base = df.where(col(sensitive).isNotNull)
+      .select(qiCols :+ col(sensitive).as("sv"): _*)
+    val gv = base.groupBy(col("sv")).agg(count(lit(1)).as("gcnt"))
+    val gtot = base.agg(count(lit(1)).as("nn"),
+      count_distinct(col("sv")).as("m"))
+    val classes = base.groupBy(qiCols: _*).agg(count(lit(1)).as("nc"))
+    val cc = base.groupBy(qiCols :+ col("sv"): _*)
+      .agg(count(lit(1)).as("ccnt"))
+    val grid = classes.crossJoin(gv)
+      .join(cc, qis :+ "sv", "left").na.fill(0L, Seq("ccnt"))
+      .crossJoin(broadcast(gtot))
+    val w = Window.partitionBy(qiCols: _*).orderBy(col("sv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.withColumn("cd",
+      sum((dec19(col("ccnt")) * dec19(col("nn")) -
+        dec19(col("gcnt")) * dec19(col("nc"))).cast("decimal(38,0)"))
+        .over(w))
+    val ag = cum
+      .groupBy(qiCols ++ Seq(col("nc"), col("nn"), col("m")): _*)
+      .agg(sum(abs(col("cd"))).as("sad"))
+    val emdRaw = when(col("m") > 1,
+      col("sad").cast("double") / col("nc") / col("nn") /
+        (col("m") - 1)).otherwise(lit(0.0))
+    ag.select(qiCols ++ Seq(col("nc").as("n"),
+      (floor(emdRaw * 1e6 + 0.5) / 1e6).cast("float").as("emd"),
+      (emdRaw <= t).as("t_ok")): _*)
+  }
+
   /** Differentially-private count release (the Laplace mechanism,
     * Dwork et al. 2006): per-group counts + Laplace(Δf/ε) noise,
     * Δf = 1 for counting queries. The released-statistics layer of a

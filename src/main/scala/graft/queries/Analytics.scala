@@ -348,6 +348,21 @@ object Analytics extends QueryPack {
           (chi2 > 3.841459).as("srm_flag"))
     }),
 
+    // mSPRT always-valid sequential test (Johari et al. 2017): the
+    // peeking-safe member of the experimentation family beside
+    // q288/q290 — daily cumulative two-arm metric stream under the
+    // hash split, normal-mixture likelihood ratio, monotone
+    // always-valid p inspectable after every day.
+    "q296_msprt" -> ((s, d) => {
+      val ev = t("events")(s, d)
+        .where(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .select(expr("cast(ts as long) div 86400").as("day"),
+          pmod(col("user_id"), lit(2L)).as("arm"),
+          floor(col("value") * 1e4 + 0.5).cast("long").as("v4"))
+      graft.ops.Stats.msprt(ev, "day", "arm", "v4", unit = 1e4)
+    }),
+
     // CUPED variance reduction (Deng et al. 2013): each user's
     // last-15-days metric adjusted by their first-15-days covariate
     // — θ = cov/var over exact per-user integer sums, variance drops
@@ -2175,6 +2190,72 @@ object Analytics extends QueryPack {
         |         THEN CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / n END
         |         > 3.841459 AS srm_flag
         |FROM m""".stripMargin,
+
+    // The same daily cumulative integer sums, the same one-ln one-exp
+    // IEEE sequence, the same guarded running min.
+    "q296_msprt" ->
+      """WITH ev AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |         CAST(user_id % 2 AS BIGINT) AS arm,
+        |         CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS v4
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |daily AS (SELECT day,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS dn0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS dn1,
+        |    sum(CASE WHEN arm = 0 THEN CAST(v4 AS HUGEINT) ELSE 0 END)
+        |      AS ds0,
+        |    sum(CASE WHEN arm = 1 THEN CAST(v4 AS HUGEINT) ELSE 0 END)
+        |      AS ds1,
+        |    sum(CASE WHEN arm = 0 THEN CAST(v4 AS HUGEINT) * v4
+        |        ELSE 0 END) AS dq0,
+        |    sum(CASE WHEN arm = 1 THEN CAST(v4 AS HUGEINT) * v4
+        |        ELSE 0 END) AS dq1
+        |  FROM ev GROUP BY 1),
+        |cum AS (SELECT day,
+        |    CAST(sum(dn0) OVER w AS BIGINT) AS n0,
+        |    CAST(sum(dn1) OVER w AS BIGINT) AS n1,
+        |    sum(ds0) OVER w AS s0, sum(ds1) OVER w AS s1,
+        |    sum(dq0) OVER w AS q0, sum(dq1) OVER w AS q1
+        |  FROM daily WINDOW w AS (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |st AS (SELECT day, n0, n1,
+        |    CASE WHEN n0 > 0 AND n1 > 0 THEN
+        |      (CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0) / 1e4
+        |    END AS diff,
+        |    CASE WHEN n0 > 0 AND n1 > 0 THEN
+        |      ((CAST(q0 AS DOUBLE)
+        |          - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / n0)
+        |       + (CAST(q1 AS DOUBLE)
+        |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1))
+        |      / (n0 + n1) / 1e8
+        |    END AS vp
+        |  FROM cum),
+        |vt AS (SELECT *, CASE WHEN vp > 0 THEN
+        |    vp * (CAST(n0 AS DOUBLE) + n1) / (CAST(n0 AS DOUBLE) * n1)
+        |  END AS vn FROM st),
+        |lr AS (SELECT day, n0, n1, diff,
+        |    CASE WHEN vn IS NOT NULL THEN
+        |      0.5 * ln(vn / (vn + 1.0))
+        |      + (1.0 * diff * diff) / (2.0 * vn * (vn + 1.0))
+        |    END AS llr
+        |  FROM vt),
+        |pp AS (SELECT day, n0, n1, diff, llr,
+        |    min(CASE WHEN llr IS NOT NULL
+        |        THEN least(1.0, exp(-llr)) END)
+        |      OVER (ORDER BY day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS p_raw
+        |  FROM lr)
+        |SELECT day, n0, n1,
+        |  CAST(floor(diff * 1e6 + 0.5) / 1e6 AS REAL) AS diff,
+        |  CAST(floor(llr * 1e6 + 0.5) / 1e6 AS REAL) AS log_lr,
+        |  CAST(floor(p_raw * 1e6 + 0.5) / 1e6 AS REAL) AS p_av,
+        |  CASE WHEN p_raw IS NOT NULL THEN p_raw <= 0.05 END AS reject
+        |FROM pp""".stripMargin,
 
     // The per-user split sums, the same six decimal moments, the
     // same fixed IEEE θ/variance sequence with the zero guards.

@@ -298,6 +298,14 @@ object LoadIngest extends QueryPack {
       DataQuality.kAnonymityAudit(t("customer")(s, d),
         Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 10, l = 8)),
 
+    // t-closeness audit over the same classes as q258: exact-rational
+    // EMD between each class's account-balance distribution and the
+    // global one over the ordered value domain — the skew leak k and
+    // l cannot see, completing the privacy ladder.
+    "q297_tcloseness" -> ((s, d) =>
+      DataQuality.tCloseness(t("customer")(s, d),
+        Seq("c_nationkey", "c_mktsegment"), "c_acctbal", t = 0.2)),
+
     // Minimal full-domain generalization to k-anonymity (Samarati):
     // climb (nation, segment) → (region, segment) → (region, *) →
     // (*, *), release at the first level whose SMALLEST class ≥ k.
@@ -487,6 +495,44 @@ object LoadIngest extends QueryPack {
         |       count(*) >= 10 AS k_ok,
         |       count(DISTINCT c_acctbal) >= 8 AS l_ok
         |FROM customer GROUP BY 1, 2""".stripMargin,
+
+    // The dense class × domain grid, the same HUGEINT running
+    // rational numerators, one division per class at the edge.
+    "q297_tcloseness" ->
+      """WITH b AS (SELECT c_nationkey, c_mktsegment, c_acctbal AS sv
+        |           FROM customer WHERE c_acctbal IS NOT NULL),
+        |gv AS (SELECT sv, CAST(count(*) AS BIGINT) AS gcnt
+        |       FROM b GROUP BY 1),
+        |gt AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+        |              CAST(count(DISTINCT sv) AS BIGINT) AS m FROM b),
+        |cl AS (SELECT c_nationkey, c_mktsegment,
+        |              CAST(count(*) AS BIGINT) AS nc
+        |       FROM b GROUP BY 1, 2),
+        |cc AS (SELECT c_nationkey, c_mktsegment, sv,
+        |              CAST(count(*) AS BIGINT) AS ccnt
+        |       FROM b GROUP BY 1, 2, 3),
+        |grid AS (
+        |  SELECT cl.c_nationkey, cl.c_mktsegment, cl.nc, gv.sv,
+        |         gv.gcnt, coalesce(cc.ccnt, 0) AS ccnt
+        |  FROM cl CROSS JOIN gv
+        |  LEFT JOIN cc ON cc.c_nationkey = cl.c_nationkey
+        |   AND cc.c_mktsegment = cl.c_mktsegment AND cc.sv = gv.sv),
+        |cum AS (
+        |  SELECT c_nationkey, c_mktsegment, nc, nn, m,
+        |    sum(CAST(ccnt AS HUGEINT) * nn - CAST(gcnt AS HUGEINT) * nc)
+        |      OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY sv
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cd
+        |  FROM grid, gt),
+        |ag AS (SELECT c_nationkey, c_mktsegment, nc, nn, m,
+        |              sum(abs(cd)) AS sad
+        |       FROM cum GROUP BY 1, 2, 3, 4, 5)
+        |SELECT c_nationkey, c_mktsegment, nc AS n,
+        |  CAST(floor(CASE WHEN m > 1 THEN
+        |      CAST(sad AS DOUBLE) / nc / nn / (m - 1) ELSE 0.0 END
+        |    * 1e6 + 0.5) / 1e6 AS REAL) AS emd,
+        |  (CASE WHEN m > 1 THEN CAST(sad AS DOUBLE) / nc / nn / (m - 1)
+        |        ELSE 0.0 END) <= 0.2 AS t_ok
+        |FROM ag""".stripMargin,
 
     // The three lattice minima as scalar CTEs, the same first-level-
     // reaching-k choice, the same CASE-projected release.

@@ -94,6 +94,57 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(qMod(barbell, louvB) >= qMod(barbell, lpaB))
   }
 
+  test("tCloseness: hand-computed EMD over a three-value domain") {
+    import spark.implicits._
+    // global: values 1/2/3 three times each (q = 1/3 each, m = 3);
+    // class A = (1,1,2): cum diffs 1/3, 1/3, 0 → EMD = (2/3)/2 = 1/3;
+    // class B mirrors A; class C = (1,2,3) matches global → EMD 0
+    val df = Seq(
+      ("A", 1), ("A", 1), ("A", 2),
+      ("B", 2), ("B", 3), ("B", 3),
+      ("C", 1), ("C", 2), ("C", 3)).toDF("grp", "sv")
+    val got = graft.quality.DataQuality
+      .tCloseness(df, Seq("grp"), "sv", t = 0.2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getFloat(2), r.getBoolean(3))).toMap
+    assert(got("A") == (3L, 0.333333f, false))
+    assert(got("B") == (3L, 0.333333f, false))
+    assert(got("C") == (3L, 0.0f, true))
+  }
+
+  test("msprt: hand-computed two-arm two-day fixture, monotone p") {
+    import spark.implicits._
+    // day 1: arm0 {1.0, 3.0}, arm1 {2.0, 6.0}; day 2: arm0 {2.0},
+    // arm1 {8.0} — at 1e4 scaling
+    val obs = Seq(
+      (1L, 0L, 10000L), (1L, 0L, 30000L),
+      (1L, 1L, 20000L), (1L, 1L, 60000L),
+      (2L, 0L, 20000L), (2L, 1L, 80000L)).toDF("day", "arm", "v4")
+    // scalar re-derivation in the engine's exact IEEE order
+    def llrOf(n0: Long, n1: Long, s0: Double, s1: Double,
+        q0: Double, q1: Double): (Double, Double) = {
+      val diff = (s1 / n1 - s0 / n0) / 1e4
+      val vp = ((q0 - s0 * s0 / n0) + (q1 - s1 * s1 / n1)) /
+        (n0 + n1) / 1e8
+      val vn = vp * (n0.toDouble + n1) / (n0.toDouble * n1)
+      val llr = 0.5 * math.log(vn / (vn + 1.0)) +
+        (1.0 * diff * diff) / (2.0 * vn * (vn + 1.0))
+      (diff, llr)
+    }
+    val (d1, l1) = llrOf(2, 2, 4e4, 8e4, 1e9, 4e9)
+    val (d2, l2) = llrOf(3, 3, 6e4, 16e4, 1.4e9, 1.04e10)
+    val p1 = math.min(1.0, math.exp(-l1))
+    val p2 = math.min(p1, math.min(1.0, math.exp(-l2)))
+    def r6(x: Double) = (math.floor(x * 1e6 + 0.5) / 1e6).toFloat
+    val got = graft.ops.Stats.msprt(obs, "day", "arm", "v4", unit = 1e4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getFloat(3), r.getFloat(4),
+          r.getFloat(5), r.getBoolean(6))).toMap
+    assert(got(1L) == (2L, 2L, r6(d1), r6(l1), r6(p1), p1 <= 0.05))
+    assert(got(2L) == (3L, 3L, r6(d2), r6(l2), r6(p2), p2 <= 0.05))
+    assert(p2 <= p1) // always-valid p never rises
+  }
+
   test("lmScoreKn3: hand-computed three-sentence corpus") {
     import spark.implicits._
     // corpus: "a b c" / "a b c d" / "x y"
