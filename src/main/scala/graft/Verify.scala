@@ -44,6 +44,25 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Run-metadata stamp (r11 advice): a byte-identical correctness
+    // artifact cannot distinguish a genuine re-run from a copy; this
+    // sidecar makes each dump independently attributable to an actual
+    // replay (timestamp, JVM, host, query count, git head if present).
+    val head = try {
+      val p = new ProcessBuilder("git", "rev-parse", "HEAD")
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
+      if (p.waitFor() == 0) out else "unknown"
+    } catch { case _: Throwable => "unknown" }
+    val meta = Seq(
+      "ts_epoch_ms" -> System.currentTimeMillis.toString,
+      "sf_dir" -> q(sfDir),
+      "n_queries" -> SparkEntry.queries.size.toString,
+      "git_head" -> q(head),
+      "jvm" -> q(System.getProperty("java.version")),
+      "host" -> q(java.net.InetAddress.getLocalHost.getHostName))
+    Files.writeString(Paths.get(s"$outDir/run_meta.json"),
+      meta.map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }
