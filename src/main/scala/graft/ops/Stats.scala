@@ -1028,4 +1028,213 @@ object Stats {
         when(col("nz") > 0, lit(0f))
           .otherwise(r6(exp(col("lnS")))).as("survival"))
   }
+
+  /** Delta-method variance for a RATIO metric (Deng, Knoblich & Lu
+    * 2018, "Applying the Delta Method in Metric Analytics") — the
+    * readout every experimentation platform needs when the metric is
+    * a ratio of sums across randomization units (revenue-per-event,
+    * clicks-per-view): the naive per-row variance is WRONG because
+    * rows within a user are correlated; the correct variance comes
+    * from the user-level joint moments of (Y_u, N_u):
+    * {{{
+    *   R        = ΣY_u / ΣN_u            (per arm)
+    *   Var(R)   ≈ (σ²_Y − 2R·σ_YN + R²·σ²_N) / (n·μ_N²)
+    *   z        = (R₁ − R₀) / √(Var₀ + Var₁)
+    * }}}
+    *
+    * Determinism: per-user sums are exact integers; the six per-arm
+    * moments ride DECIMAL(38,0) off ONE map-side-combined aggregate
+    * ([[cuped]]'s discipline); the delta formula is one fixed IEEE
+    * sequence per arm with population (÷n) variances; round-to-6 +
+    * REAL at the edge, z guarded on se > 0.
+    *
+    * Scale shape: one per-user groupBy (map-side combined), one
+    * 12-sum single-row aggregate — no window, no second scan.
+    *
+    * @param obs  one row per observation: `idCol` (unit), `armCol`
+    *             (0/1), `v4Col` (unit-scaled exact integer metric)
+    * @param unit integer units per natural unit (1e4 for 1e-4 scale)
+    * @return one row (n0, n1, r0, r1, diff, se, z)
+    */
+  def deltaRatio(obs: DataFrame, idCol: String, armCol: String,
+      v4Col: String, unit: Double = 1.0): DataFrame = {
+    def dec19(c: Column) = c.cast("decimal(19,0)")
+    val per = obs.groupBy(col(idCol).as("uid"), col(armCol).as("arm"))
+      .agg(sum(col(v4Col).cast("decimal(38,0)")).as("yu"),
+        count(lit(1)).as("nu"))
+    def armSum(a: Int, e: Column) =
+      sum(when(col("arm") === a, e.cast("decimal(38,0)"))
+        .otherwise(lit(0).cast("decimal(38,0)")))
+    val moments = Seq(0, 1).flatMap { a =>
+      Seq(
+        sum(when(col("arm") === a, 1L).otherwise(0L)).as(s"n$a"),
+        armSum(a, col("yu")).as(s"sy$a"),
+        armSum(a, col("nu")).as(s"sn$a"),
+        armSum(a, (dec19(col("yu")) * dec19(col("yu")))
+          .cast("decimal(38,0)")).as(s"syy$a"),
+        armSum(a, (dec19(col("yu")) * dec19(col("nu")))
+          .cast("decimal(38,0)")).as(s"syn$a"),
+        armSum(a, (dec19(col("nu")) * dec19(col("nu")))
+          .cast("decimal(38,0)")).as(s"snn$a"))
+    }
+    val m = per.agg(moments.head, moments.tail: _*)
+    def d(c: String) = col(c).cast("double")
+    val u1 = lit(unit)
+    val u2 = lit(unit * unit)
+    def arm(a: Int) = {
+      val n = col(s"n$a")
+      val ok = n > 0 && col(s"sn$a") > 0
+      val r = when(ok, d(s"sy$a") / d(s"sn$a") / u1)
+      val mun = when(ok, d(s"sn$a") / n)
+      val vy = (d(s"syy$a") / n - (d(s"sy$a") / n) * (d(s"sy$a") / n)) / u2
+      val cyn = (d(s"syn$a") / n - (d(s"sy$a") / n) * (d(s"sn$a") / n)) / u1
+      val vnn = d(s"snn$a") / n - (d(s"sn$a") / n) * (d(s"sn$a") / n)
+      val vr = when(ok && mun > 0,
+        (vy - lit(2.0) * r * cyn + r * r * vnn) / (n * mun * mun))
+      (r, vr)
+    }
+    val (r0, v0) = arm(0)
+    val (r1, v1) = arm(1)
+    val se = when(v0.isNotNull && v1.isNotNull, sqrt(v0 + v1))
+    m.select(col("n0"), col("n1"),
+      r6(r0).as("r0"), r6(r1).as("r1"),
+      r6(r1 - r0).as("diff"), r6(se).as("se"),
+      when(se > 0, r6((r1 - r0) / se)).as("z"))
+  }
+
+  /** Two-sided normal p-value from a z column via the Abramowitz &
+    * Stegun 26.2.17 polynomial (|error| < 7.5·10⁻⁸) — the standard
+    * CDF approximation that needs only `exp` + a fixed Horner
+    * polynomial, so BOTH engines evaluate the identical IEEE
+    * sequence (no libm `erf` in either query path, the
+    * [[graft.llm.Multimodal.dctCosX]] inline-constants discipline).
+    * NULL z → NULL p.
+    */
+  def normTwoSidedP(z: Column): Column = {
+    val az = abs(z)
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = ((((lit(1.330274429) * t + lit(-1.821255978)) * t +
+      lit(1.781477937)) * t + lit(-0.356563782)) * t +
+      lit(0.319381530)) * t
+    val phi = exp(az * az * lit(-0.5)) * lit(0.3989422804014327)
+    lit(2.0) * phi * poly
+  }
+
+  /** Benjamini–Hochberg step-up FDR correction (Benjamini &
+    * Hochberg 1995) over a FAMILY of test p-values — the multiple-
+    * testing member of the experimentation family: testing m
+    * segments at per-test α inflates the family false-positive rate
+    * toward m·α; BH caps the expected FALSE-DISCOVERY proportion at
+    * α instead, the standard correction for per-segment metric
+    * scans.
+    * {{{
+    *   rank p ascending (ties by key);  raw_i = p_i · m / i
+    *   p_adj_i = min(1, min_{j ≥ i} raw_j)      (step-up monotone)
+    * }}}
+    *
+    * Operates on a BOUNDED family frame (one row per segment —
+    * metadata-sized at any fact volume, the documented single-task
+    * window exception); rows with NULL p are passed through
+    * unadjusted and excluded from m. The adjusted value is exact
+    * given the p's: one multiply + divide per row, a running min,
+    * round-to-6 at the edge; the flag compares the UNROUNDED value.
+    *
+    * @return input columns + (m_tests, rank, p_adj, signif)
+    */
+  def bhFdr(family: DataFrame, keyCol: String, pCol: String,
+      alpha: Double = 0.1): DataFrame = {
+    val p = col(pCol)
+    val valid = family.where(p.isNotNull)
+    val mT = broadcast(valid.agg(count(lit(1)).as("m_tests")))
+    val wr = Window.orderBy(p.asc, col(keyCol).asc)
+    val ranked = valid.crossJoin(mT)
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .withColumn("p_raw_adj",
+        p * col("m_tests").cast("double") / col("rank"))
+    val wm = Window.orderBy(col("rank").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val adj = least(lit(1.0), min(col("p_raw_adj")).over(wm))
+    val adjusted = ranked
+      .withColumn("p_adj_u", adj)
+      .withColumn("signif", col("p_adj_u") <= lit(alpha))
+      .withColumn("p_adj", r6(col("p_adj_u"))).drop("p_raw_adj", "p_adj_u")
+    val nulls = family.where(p.isNull).crossJoin(mT)
+      .withColumn("rank", lit(null).cast("long"))
+      .withColumn("signif", lit(null).cast("boolean"))
+      .withColumn("p_adj", lit(null).cast("float"))
+    adjusted.unionByName(nulls)
+  }
+
+  /** Fisher randomization (permutation) test for the two-arm mean
+    * difference (Fisher 1935; Ernst 2004 for the modern framing) —
+    * the EXACT-inference member beside [[welchT]]'s asymptotics and
+    * [[bootstrapMeanCI]]'s resampling: re-randomize the ARM
+    * assignment at the unit level B times and ask how often the
+    * permuted |mean difference| reaches the observed one; under the
+    * sharp null the observed split is one of the B+1 exchangeable
+    * draws, so p = (1 + #{|Δ_b| ≥ |Δ_obs|}) / (B + 1) needs no
+    * normality, no variance formula, no asymptotics.
+    *
+    * Replicates ride ONE pass ([[bootstrapMeanCI]]'s packing): per
+    * (unit, block) one seeded md5 digest serves EIGHT 16-bit draws;
+    * bit_b = draw < 2¹⁵ reassigns the unit's arm with common random
+    * numbers, so both engines draw the identical permutations. All
+    * per-replicate sums are exact integers (per-unit sums in
+    * DECIMAL(38,0)); each Δ_b is the same two-division IEEE
+    * sequence as Δ_obs; the ≥ compare runs on UNROUNDED doubles.
+    * Replicates where either arm lands empty (probability ≈ 2⁻ⁿ)
+    * are dropped and surface via b_used.
+    *
+    * Scale shape: one per-unit groupBy, explode ×B/8 → map-side-
+    * combined regroup to B rows, a broadcast totals row; the
+    * B-row frame is metadata-sized.
+    *
+    * @return one row (n_units, b_used, diff_obs, n_ge, p_perm)
+    */
+  def permutationTest(obs: DataFrame, idCol: String, armCol: String,
+      v4Col: String, unit: Double = 1.0, b: Int = 64,
+      salt: String = "perm"): DataFrame = {
+    require(b % 8 == 0, "replicate count must pack 8 draws per digest")
+    val per = obs.groupBy(col(idCol).cast("string").as("id"))
+      .agg(sum(col(v4Col).cast("decimal(38,0)")).as("yu"),
+        min(col(armCol)).as("arm"))
+      .localCheckpoint(true) // feeds the observed row AND replicates
+    val tot = broadcast(per.agg(count(lit(1)).as("n"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1o"),
+      sum(col("yu")).as("s"),
+      sum(when(col("arm") === 1, col("yu"))
+        .otherwise(lit(0).cast("decimal(38,0)"))).as("s1o")))
+    val ex = per.select(col("id"), col("yu"),
+        explode(sequence(lit(0), lit(b / 8 - 1))).as("blk"))
+      .withColumn("hh", md5(concat_ws(":", lit(salt), col("id"),
+        col("blk"))))
+      .select(col("yu"), col("blk"),
+        explode(sequence(lit(0), lit(7))).as("j"), col("hh"))
+      .select(col("yu"), (col("blk") * 8 + col("j")).as("r"),
+        (expr("cast(conv(substring(hh, 1 + 4 * j, 4), 16, 10) as long)")
+          < lit(32768L)).as("bit"))
+    val reps = ex.groupBy(col("r"))
+      .agg(sum(when(col("bit"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("bit"), col("yu"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("s1"))
+    def dd(c: Column) = c.cast("double")
+    val u1 = lit(unit)
+    val diffOf = (s1: Column, n1: Column, s: Column, n: Column) =>
+      (dd(s1) / n1 - dd(s - s1) / (n - n1)) / u1
+    val stat = reps.crossJoin(tot)
+      .where(col("n1") > 0 && col("n1") < col("n"))
+      .select(col("n"),
+        diffOf(col("s1"), col("n1"), col("s"), col("n")).as("db"),
+        when(col("n1o") > 0 && col("n1o") < col("n"),
+          diffOf(col("s1o"), col("n1o"), col("s"), col("n")))
+          .as("dobs"))
+    stat.groupBy(col("n"), col("dobs")) // constants → one group
+      .agg(count(lit(1)).as("bu"),
+        sum(when(abs(col("db")) >= abs(col("dobs")), 1L)
+          .otherwise(0L)).as("n_ge"))
+      .select(col("n").as("n_units"), col("bu").cast("int").as("b_used"),
+        r6(col("dobs")).as("diff_obs"), col("n_ge"),
+        r6((col("n_ge") + lit(1L)).cast("double") /
+          (col("bu") + lit(1L))).as("p_perm"))
+  }
 }

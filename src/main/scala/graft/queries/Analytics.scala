@@ -363,6 +363,86 @@ object Analytics extends QueryPack {
       graft.ops.Stats.msprt(ev, "day", "arm", "v4", unit = 1e4)
     }),
 
+    // Delta-method ratio-metric readout (Deng, Knoblich & Lu 2018):
+    // value-per-EVENT under user-level randomization — rows within a
+    // user are correlated, so the correct variance comes from the
+    // user-level joint (Y_u, N_u) moments, not per-row variance; the
+    // missing workhorse beside q288's CUPED and q296's mSPRT.
+    "q298_delta_ratio" -> ((s, d) => {
+      val ev = t("events")(s, d)
+        .where(col("user_id").isNotNull && col("value").isNotNull)
+        .select(col("user_id"),
+          pmod(col("user_id"), lit(2L)).as("arm"),
+          floor(col("value") * 1e4 + 0.5).cast("long").as("v4"))
+      graft.ops.Stats.deltaRatio(ev, "user_id", "arm", "v4",
+        unit = 1e4)
+    }),
+
+    // Benjamini–Hochberg FDR correction (1995) over the per-segment
+    // metric scan: one two-arm z-test per event_type (exact integer
+    // moments, A&S 26.2.17 normal tail — exp + a fixed Horner
+    // polynomial, no libm erf in either engine), then the step-up
+    // adjustment capping the expected false-discovery proportion —
+    // the multiple-testing member of the experimentation family.
+    "q299_bh_fdr" -> ((s, d) => {
+      val dec38 = (c: org.apache.spark.sql.Column) =>
+        c.cast("decimal(38,0)")
+      val zero38 = lit(0).cast("decimal(38,0)")
+      val ev = t("events")(s, d)
+        .where(col("user_id").isNotNull && col("value").isNotNull &&
+          col("event_type").isNotNull)
+        .select(col("event_type"),
+          pmod(col("user_id"), lit(2L)).as("arm"),
+          floor(col("value") * 1e4 + 0.5).cast("long").as("v4"))
+      val m = ev.groupBy(col("event_type")).agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 0, dec38(col("v4"))).otherwise(zero38))
+          .as("s0"),
+        sum(when(col("arm") === 1, dec38(col("v4"))).otherwise(zero38))
+          .as("s1"),
+        sum(when(col("arm") === 0,
+          (dec38(col("v4")) * col("v4")).cast("decimal(38,0)"))
+          .otherwise(zero38)).as("q0"),
+        sum(when(col("arm") === 1,
+          (dec38(col("v4")) * col("v4")).cast("decimal(38,0)"))
+          .otherwise(zero38)).as("q1"))
+      def dd(c: String) = col(c).cast("double")
+      def mean(a: Int) = dd(s"s$a") / col(s"n$a") / lit(1e4)
+      def vr(a: Int) =
+        (dd(s"q$a") / col(s"n$a") -
+          (dd(s"s$a") / col(s"n$a")) * (dd(s"s$a") / col(s"n$a"))) /
+          lit(1e8)
+      val both = col("n0") > 0 && col("n1") > 0
+      val se = when(both, sqrt(vr(1) / col("n1") + vr(0) / col("n0")))
+      val z = when(se > 0, (mean(1) - mean(0)) / se)
+      val fam = m.select(col("event_type"),
+          (col("n0") + col("n1")).as("n"), z.as("z_u"))
+        .withColumn("p_u",
+          graft.ops.Stats.normTwoSidedP(col("z_u")))
+      graft.ops.Stats.bhFdr(fam, "event_type", "p_u", alpha = 0.1)
+        .select(col("event_type"), col("n"),
+          (floor(col("z_u") * 1e6 + 0.5) / 1e6).cast("float").as("z"),
+          (floor(col("p_u") * 1e6 + 0.5) / 1e6).cast("float")
+            .as("p_value"),
+          col("m_tests"), col("rank"), col("p_adj"), col("signif"))
+    }),
+
+    // Fisher randomization (permutation) test: the EXACT-inference
+    // member beside q201's asymptotics and q280's bootstrap — 64
+    // seeded unit-level arm re-randomizations ride one pass (the
+    // q280 digest packing), p = (1 + #{|Δ_b| ≥ |Δ_obs|}) / 65 with
+    // no normality assumption anywhere.
+    "q300_permutation_test" -> ((s, d) => {
+      val ev = t("events")(s, d)
+        .where(col("user_id").isNotNull && col("value").isNotNull)
+        .select(col("user_id"),
+          pmod(col("user_id"), lit(2L)).as("arm"),
+          floor(col("value") * 1e4 + 0.5).cast("long").as("v4"))
+      graft.ops.Stats.permutationTest(ev, "user_id", "arm", "v4",
+        unit = 1e4)
+    }),
+
     // CUPED variance reduction (Deng et al. 2013): each user's
     // last-15-days metric adjusted by their first-15-days covariate
     // — θ = cov/var over exact per-user integer sums, variance drops
@@ -2256,6 +2336,219 @@ object Analytics extends QueryPack {
         |  CAST(floor(p_raw * 1e6 + 0.5) / 1e6 AS REAL) AS p_av,
         |  CASE WHEN p_raw IS NOT NULL THEN p_raw <= 0.05 END AS reject
         |FROM pp""".stripMargin,
+
+    // The same per-user (Y_u, N_u) sums, the same twelve HUGEINT
+    // moments, the same delta-method IEEE sequence per arm.
+    "q298_delta_ratio" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+        |         CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS v4
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |per AS (SELECT user_id, arm, sum(CAST(v4 AS HUGEINT)) AS yu,
+        |          CAST(count(*) AS BIGINT) AS nu
+        |        FROM ev GROUP BY 1, 2),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    sum(CASE WHEN arm = 0 THEN yu ELSE 0 END) AS sy0,
+        |    sum(CASE WHEN arm = 1 THEN yu ELSE 0 END) AS sy1,
+        |    sum(CASE WHEN arm = 0 THEN CAST(nu AS HUGEINT) ELSE 0 END)
+        |      AS sn0,
+        |    sum(CASE WHEN arm = 1 THEN CAST(nu AS HUGEINT) ELSE 0 END)
+        |      AS sn1,
+        |    sum(CASE WHEN arm = 0 THEN yu * yu ELSE 0 END) AS syy0,
+        |    sum(CASE WHEN arm = 1 THEN yu * yu ELSE 0 END) AS syy1,
+        |    sum(CASE WHEN arm = 0 THEN yu * nu ELSE 0 END) AS syn0,
+        |    sum(CASE WHEN arm = 1 THEN yu * nu ELSE 0 END) AS syn1,
+        |    sum(CASE WHEN arm = 0 THEN CAST(nu AS HUGEINT) * nu
+        |        ELSE 0 END) AS snn0,
+        |    sum(CASE WHEN arm = 1 THEN CAST(nu AS HUGEINT) * nu
+        |        ELSE 0 END) AS snn1
+        |  FROM per),
+        |st AS (SELECT *,
+        |    CASE WHEN n0 > 0 AND sn0 > 0 THEN
+        |      CAST(sy0 AS DOUBLE) / CAST(sn0 AS DOUBLE) / 1e4
+        |    END AS r0,
+        |    CASE WHEN n1 > 0 AND sn1 > 0 THEN
+        |      CAST(sy1 AS DOUBLE) / CAST(sn1 AS DOUBLE) / 1e4
+        |    END AS r1,
+        |    CASE WHEN n0 > 0 AND sn0 > 0 THEN
+        |      CAST(sn0 AS DOUBLE) / n0 END AS mun0,
+        |    CASE WHEN n1 > 0 AND sn1 > 0 THEN
+        |      CAST(sn1 AS DOUBLE) / n1 END AS mun1
+        |  FROM m),
+        |vv AS (SELECT *,
+        |    CASE WHEN n0 > 0 AND sn0 > 0 AND mun0 > 0 THEN
+        |      ((CAST(syy0 AS DOUBLE) / n0
+        |          - (CAST(sy0 AS DOUBLE) / n0)
+        |            * (CAST(sy0 AS DOUBLE) / n0)) / 1e8
+        |       - 2.0 * r0 * ((CAST(syn0 AS DOUBLE) / n0
+        |          - (CAST(sy0 AS DOUBLE) / n0)
+        |            * (CAST(sn0 AS DOUBLE) / n0)) / 1e4)
+        |       + r0 * r0 * (CAST(snn0 AS DOUBLE) / n0
+        |          - (CAST(sn0 AS DOUBLE) / n0)
+        |            * (CAST(sn0 AS DOUBLE) / n0)))
+        |      / (n0 * mun0 * mun0)
+        |    END AS vr0,
+        |    CASE WHEN n1 > 0 AND sn1 > 0 AND mun1 > 0 THEN
+        |      ((CAST(syy1 AS DOUBLE) / n1
+        |          - (CAST(sy1 AS DOUBLE) / n1)
+        |            * (CAST(sy1 AS DOUBLE) / n1)) / 1e8
+        |       - 2.0 * r1 * ((CAST(syn1 AS DOUBLE) / n1
+        |          - (CAST(sy1 AS DOUBLE) / n1)
+        |            * (CAST(sn1 AS DOUBLE) / n1)) / 1e4)
+        |       + r1 * r1 * (CAST(snn1 AS DOUBLE) / n1
+        |          - (CAST(sn1 AS DOUBLE) / n1)
+        |            * (CAST(sn1 AS DOUBLE) / n1)))
+        |      / (n1 * mun1 * mun1)
+        |    END AS vr1
+        |  FROM st),
+        |sf AS (SELECT *,
+        |    CASE WHEN vr0 IS NOT NULL AND vr1 IS NOT NULL THEN
+        |      sqrt(vr0 + vr1) END AS se
+        |  FROM vv)
+        |SELECT n0, n1,
+        |  CAST(floor(r0 * 1e6 + 0.5) / 1e6 AS REAL) AS r0,
+        |  CAST(floor(r1 * 1e6 + 0.5) / 1e6 AS REAL) AS r1,
+        |  CAST(floor((r1 - r0) * 1e6 + 0.5) / 1e6 AS REAL) AS diff,
+        |  CAST(floor(se * 1e6 + 0.5) / 1e6 AS REAL) AS se,
+        |  CASE WHEN se > 0 THEN
+        |    CAST(floor((r1 - r0) / se * 1e6 + 0.5) / 1e6 AS REAL)
+        |  END AS z
+        |FROM sf""".stripMargin,
+
+    // The same per-segment exact moments, the same A&S 26.2.17
+    // Horner polynomial (exp only — no libm erf), the same step-up
+    // running min; NULL-p segments pass through unadjusted.
+    "q299_bh_fdr" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(user_id % 2 AS BIGINT) AS arm,
+        |         CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS v4
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |m AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    sum(CASE WHEN arm = 0 THEN CAST(v4 AS HUGEINT) ELSE 0 END)
+        |      AS s0,
+        |    sum(CASE WHEN arm = 1 THEN CAST(v4 AS HUGEINT) ELSE 0 END)
+        |      AS s1,
+        |    sum(CASE WHEN arm = 0 THEN CAST(v4 AS HUGEINT) * v4
+        |        ELSE 0 END) AS q0,
+        |    sum(CASE WHEN arm = 1 THEN CAST(v4 AS HUGEINT) * v4
+        |        ELSE 0 END) AS q1
+        |  FROM ev GROUP BY 1),
+        |zz AS (SELECT event_type, n0 + n1 AS n,
+        |    CASE WHEN n0 > 0 AND n1 > 0 THEN
+        |      sqrt((CAST(q1 AS DOUBLE) / n1
+        |              - (CAST(s1 AS DOUBLE) / n1)
+        |                * (CAST(s1 AS DOUBLE) / n1)) / 1e8 / n1
+        |           + (CAST(q0 AS DOUBLE) / n0
+        |              - (CAST(s0 AS DOUBLE) / n0)
+        |                * (CAST(s0 AS DOUBLE) / n0)) / 1e8 / n0)
+        |    END AS se,
+        |    CASE WHEN n0 > 0 AND n1 > 0 THEN
+        |      CAST(s1 AS DOUBLE) / n1 / 1e4
+        |        - CAST(s0 AS DOUBLE) / n0 / 1e4
+        |    END AS md
+        |  FROM m),
+        |zv AS (SELECT event_type, n,
+        |    CASE WHEN se > 0 THEN md / se END AS z_u
+        |  FROM zz),
+        |az AS (SELECT *, abs(z_u) AS a,
+        |    1.0 / (1.0 + 0.2316419 * abs(z_u)) AS tt
+        |  FROM zv),
+        |pv AS (SELECT event_type, n, z_u,
+        |    2.0 * (exp(a * a * (-0.5)) * 0.3989422804014327)
+        |      * (((((1.330274429 * tt - 1.821255978) * tt
+        |          + 1.781477937) * tt - 0.356563782) * tt
+        |          + 0.319381530) * tt) AS p_u
+        |  FROM az),
+        |mt AS (SELECT CAST(count(*) AS BIGINT) AS m_tests FROM pv
+        |       WHERE p_u IS NOT NULL),
+        |rk AS (SELECT *, CAST(row_number() OVER (ORDER BY p_u,
+        |         event_type) AS BIGINT) AS rank
+        |       FROM pv WHERE p_u IS NOT NULL),
+        |ra AS (SELECT rk.*, m_tests,
+        |         p_u * CAST(m_tests AS DOUBLE) / rank AS p_raw
+        |       FROM rk, mt),
+        |ad AS (SELECT *, least(1.0, min(p_raw)
+        |         OVER (ORDER BY rank DESC ROWS BETWEEN UNBOUNDED
+        |           PRECEDING AND CURRENT ROW)) AS p_adj_u
+        |       FROM ra)
+        |SELECT event_type, n,
+        |  CAST(floor(z_u * 1e6 + 0.5) / 1e6 AS REAL) AS z,
+        |  CAST(floor(p_u * 1e6 + 0.5) / 1e6 AS REAL) AS p_value,
+        |  m_tests, rank,
+        |  CAST(floor(p_adj_u * 1e6 + 0.5) / 1e6 AS REAL) AS p_adj,
+        |  p_adj_u <= 0.1 AS signif
+        |FROM ad
+        |UNION ALL
+        |SELECT event_type, n, CAST(NULL AS REAL),
+        |  CAST(NULL AS REAL), m_tests, CAST(NULL AS BIGINT),
+        |  CAST(NULL AS REAL), CAST(NULL AS BOOLEAN)
+        |FROM pv, mt WHERE p_u IS NULL""".stripMargin,
+
+    // The q280 digest idiom: the same seeded md5 16-bit draws cut at
+    // 2¹⁵ reassign each unit's arm, the same exact per-replicate
+    // HUGEINT sums, the same two-division Δ sequence, the ≥ compare
+    // on unrounded doubles.
+    "q300_permutation_test" -> {
+      val h16 = (0 until 4).map { i =>
+        s"(strpos('0123456789abcdef', substr(hh, 1 + 4 * j + $i, 1))" +
+          s" - 1) * ${math.pow(16, 3 - i).toLong}.0"
+      }.mkString("\n        |           + ")
+      s"""WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS id,
+        |              CAST(user_id % 2 AS BIGINT) AS arm,
+        |              CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS v4
+        |            FROM events
+        |            WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |per AS (SELECT id, sum(CAST(v4 AS HUGEINT)) AS yu,
+        |               min(arm) AS arm
+        |        FROM ev GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |          CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n1o,
+        |          sum(yu) AS s,
+        |          sum(CASE WHEN arm = 1 THEN yu ELSE 0 END) AS s1o
+        |        FROM per),
+        |ex AS (SELECT id, yu, CAST(blk AS INTEGER) AS blk
+        |       FROM per, range(8) t(blk)),
+        |hx AS (SELECT yu, blk, md5('perm:' || id || ':' ||
+        |         CAST(blk AS VARCHAR)) AS hh FROM ex),
+        |hj AS (SELECT yu, blk, CAST(j AS INTEGER) AS j, hh
+        |       FROM hx, range(8) tj(j)),
+        |hb AS (SELECT yu, blk * 8 + j AS r,
+        |         (CAST(($h16) AS BIGINT) < 32768) AS bit
+        |       FROM hj),
+        |reps AS (SELECT r,
+        |           CAST(sum(CASE WHEN bit THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS n1,
+        |           sum(CASE WHEN bit THEN yu ELSE 0 END) AS s1
+        |         FROM hb GROUP BY 1),
+        |stat AS (SELECT n,
+        |    (CAST(s1 AS DOUBLE) / n1
+        |       - CAST(s - s1 AS DOUBLE) / (n - n1)) / 1e4 AS db,
+        |    CASE WHEN n1o > 0 AND n1o < n THEN
+        |      (CAST(s1o AS DOUBLE) / n1o
+        |         - CAST(s - s1o AS DOUBLE) / (n - n1o)) / 1e4
+        |    END AS dobs
+        |  FROM reps, tot WHERE n1 > 0 AND n1 < n)
+        |SELECT n AS n_units, CAST(count(*) AS INTEGER) AS b_used,
+        |  CAST(floor(dobs * 1e6 + 0.5) / 1e6 AS REAL) AS diff_obs,
+        |  CAST(sum(CASE WHEN abs(db) >= abs(dobs) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_ge,
+        |  CAST(floor(CAST(sum(CASE WHEN abs(db) >= abs(dobs)
+        |        THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+        |      / (count(*) + 1) * 1e6 + 0.5) / 1e6 AS REAL) AS p_perm
+        |FROM stat GROUP BY n, dobs""".stripMargin
+    },
 
     // The per-user split sums, the same six decimal moments, the
     // same fixed IEEE θ/variance sequence with the zero guards.

@@ -170,4 +170,74 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(got(2L) == (2, Some(r4((lp1 + lp2) / 2))))
     assert(got(3L) == (0, None)) // < 3 tokens: zero trigrams, NULL
   }
+
+  test("deltaRatio: hand-computed two-arm user-level fixture") {
+    import spark.implicits._
+    // arm 0: user 10 (v4 sums 30000, n=2), user 12 (30000, n=1)
+    //   → R0 = 60000/3/1e4 = 2.0; varY=0, cov=0, varN=0.25,
+    //     VarR0 = (4·0.25)/(2·2.25) = 0.2222…
+    // arm 1: user 11 (60000, n=3), user 13 (40000, n=1)
+    //   → R1 = 2.5; varY=1, cov=1, varN=1,
+    //     VarR1 = (1 − 5 + 6.25)/(2·4) = 0.28125
+    // se = √0.5034722… ≈ 0.7095578, z = 0.5/se ≈ 0.7046627
+    val obs = Seq(
+      (10L, 0, 10000L), (10L, 0, 20000L), (12L, 0, 30000L),
+      (11L, 1, 20000L), (11L, 1, 20000L), (11L, 1, 20000L),
+      (13L, 1, 40000L)).toDF("uid", "arm", "v4")
+    val r = graft.ops.Stats.deltaRatio(obs, "uid", "arm", "v4",
+      unit = 1e4).collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getFloat(2) == 2.0f && r.getFloat(3) == 2.5f)
+    assert(r.getFloat(4) == 0.5f)
+    assert(math.abs(r.getFloat(5) - 0.7095578) < 1e-5)
+    assert(math.abs(r.getFloat(6) - 0.7046627) < 1e-5)
+  }
+
+  test("normTwoSidedP + bhFdr: A&S tail and the step-up fixture") {
+    import spark.implicits._
+    // A&S 26.2.17: two-sided p at z = 1.959964 is 0.05 to < 7.5e-8
+    val p196 = Seq(1.959964).toDF("z")
+      .select(graft.ops.Stats.normTwoSidedP(col("z")).as("p"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(p196 - 0.05) < 1e-6)
+    // step-up: p = [.01,.02,.03,.5], m = 4 → raw = [.04,.04,.04,.5],
+    // tail-min adj = [.04,.04,.04,.5]; NULL p passes through
+    val fam = Seq(("a", Some(0.01)), ("b", Some(0.02)),
+      ("c", Some(0.03)), ("d", Some(0.5)), ("e", None))
+      .toDF("k", "p")
+    val got = graft.ops.Stats.bhFdr(fam, "k", "p", alpha = 0.1)
+      .collect().map { r =>
+        r.getString(0) -> (r.getLong(r.fieldIndex("m_tests")),
+          if (r.isNullAt(r.fieldIndex("p_adj"))) None
+          else Some(r.getFloat(r.fieldIndex("p_adj"))),
+          if (r.isNullAt(r.fieldIndex("signif"))) None
+          else Some(r.getBoolean(r.fieldIndex("signif"))))
+      }.toMap
+    assert(got("a") == ((4L, Some(0.04f), Some(true))))
+    assert(got("b") == ((4L, Some(0.04f), Some(true))))
+    assert(got("c") == ((4L, Some(0.04f), Some(true))))
+    assert(got("d") == ((4L, Some(0.5f), Some(false))))
+    assert(got("e") == ((4L, None, None)))
+  }
+
+  test("permutationTest: replay-identical, separated arms at min p") {
+    import spark.implicits._
+    // 10 units per arm, arm 1 shifted by +100 units: no re-draw of
+    // 20 exchangeable units reproduces |Δ| = 100 except the observed
+    // split or its complement (≈ 2⁻¹⁹ per replicate) → n_ge = 0 and
+    // p = 1/65, the always-attainable floor at B = 64
+    val obs = (0L until 20L).map(u =>
+      (u, (u % 2).toInt, if (u % 2 == 1) 1000000L else 0L))
+      .toDF("uid", "arm", "v4")
+    val r = graft.ops.Stats.permutationTest(obs, "uid", "arm", "v4",
+      unit = 1e4).collect()(0)
+    assert(r.getLong(0) == 20L && r.getInt(1) == 64)
+    assert(r.getFloat(2) == 100.0f)
+    assert(r.getLong(3) == 0L)
+    assert(math.abs(r.getFloat(4) - 1.0 / 65) < 1e-5)
+    // common random numbers: a replay is value-for-value identical
+    val again = graft.ops.Stats.permutationTest(obs, "uid", "arm",
+      "v4", unit = 1e4).collect()(0)
+    assert(r == again)
+  }
 }
