@@ -350,6 +350,66 @@ object Multimodal {
     }(RowEncoder.encoderFor(outSchema))
   }
 
+  /** 64-bit DIFFERENCE hash (dHash, gradient hash — Krawetz 2013's
+    * "kind of like a hash" family member beside [[aHash]]'s mean and
+    * [[pHash]]'s DCT): on the SAME 8×8 grayscale grid as [[aHash]],
+    * bit (j, i) = g(j, i) < g(j, (i+1) mod 8) — the sign of the
+    * horizontal brightness GRADIENT, with the row closed by the
+    * wrap-around compare so all 64 bits are defined. A uniform
+    * brightness shift (no wrap) leaves every difference — hence the
+    * hash — EXACTLY unchanged (strictly stronger than aHash's
+    * mean-tracking near-invariance, spec-pinned); a spatial-gradient
+    * flip reverses the comparisons. Pure integer arithmetic, so the
+    * oracle re-derives every bit from the shared grayscale CTEs with
+    * one grid self-join.
+    */
+  def dHash(img: PpmImage): (Long, String) = {
+    val g8 = new Array[Long](64)
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        val src = ((j * img.height / 8) * img.width + i * img.width / 8) * 3
+        g8(j * 8 + i) = ((img.pixels(src) & 0xff) +
+          (img.pixels(src + 1) & 0xff) +
+          (img.pixels(src + 2) & 0xff)) / 3
+        i += 1
+      }
+      j += 1
+    }
+    var fp = 0L
+    val sb = new StringBuilder(64)
+    var k = 0
+    while (k < 64) {
+      val nb = (k / 8) * 8 + (k % 8 + 1) % 8
+      val bit = g8(k) < g8(nb)
+      if (bit) fp |= 1L << (63 - k)
+      sb.append(if (bit) '1' else '0')
+      k += 1
+    }
+    (fp, sb.toString)
+  }
+
+  /** Partition-streaming [[dHash]]: the [[aHashPayloads]] contract
+    * (codec-only `mapPartitions`, zero exchanges, 10-byte hash rows
+    * the only shuffle payload) with the gradient kernel. */
+  def dHashPayloads(frame: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("simhash", StringType),
+      StructField("fpl", LongType)))
+    val idIdx = frame.schema.fieldIndex("doc_id")
+    val payloadIdx = frame.schema.fieldIndex("payload")
+    frame.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodePpm(r.getAs[Array[Byte]](payloadIdx)).map { img =>
+          val (fp, bits) = dHash(img)
+          Row(r.getLong(idIdx), bits, fp)
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
   // ---------------------------------------------------------------
   // Image perceptual hashing: DCT hash (pHash)
   // ---------------------------------------------------------------

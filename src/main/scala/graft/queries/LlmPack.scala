@@ -213,6 +213,17 @@ object LlmPack extends QueryPack {
       Dedup.fpPairs(Multimodal.aHashPayloads(
         Multimodal.syntheticNoisyPpmFrame(
           t("documents")(s, d).select(col("doc_id")))), maxHamming = 3)),
+    // 64-bit difference hash (dHash) — the GRADIENT member completing
+    // the spatial/frequency perceptual-hash trio beside q244's mean
+    // (aHash) and q275's DCT (pHash): sign of the horizontal
+    // brightness difference on the same 8×8 grid, wrap-closed rows —
+    // exactly invariant to uniform brightness shifts (spec-pinned;
+    // aHash is only near-invariant, pHash absorbs them in DC).
+    "q301_image_dhash" -> ((s, d) =>
+      Multimodal.dHashPayloads(Multimodal.syntheticNoisyPpmFrame(
+        t("documents")(s, d).select(col("doc_id"))))
+        .select(col("doc_id"), col("simhash").as("dhash"))),
+
     // 64-bit DCT hash (pHash) over the same synthetic image family:
     // exact-integer 2-D DCT-II via fixed-point cosine tables (shared
     // verbatim with the oracle — no libm in either query path), bits
@@ -2843,6 +2854,25 @@ object LlmPack extends QueryPack {
     "q244_image_ahash" ->
       s"""WITH ${imageAHashCtes(materializeF = false)}
          |SELECT doc_id, ahash FROM f""".stripMargin,
+    // The shared grayscale grid, one kpos self-join for the
+    // wrap-closed horizontal neighbor, the strict < gradient bit.
+    "q301_image_dhash" ->
+      s"""WITH $imageGrayCtes,
+         |g8 AS (SELECT c.doc_id, c.j * 8 + c.i AS kpos, g.g
+         |       FROM (SELECT doc_id, CAST(i AS INTEGER) AS i,
+         |               CAST(j AS INTEGER) AS j,
+         |               CAST((i * 16) // 8 AS INTEGER) AS sx,
+         |               CAST((j * 12) // 8 AS INTEGER) AS sy
+         |             FROM d, range(8) ti(i), range(8) tj(j)) c
+         |       JOIN gr g ON g.doc_id = c.doc_id AND g.x = c.sx
+         |        AND g.y = c.sy),
+         |bt AS (SELECT a.doc_id, a.kpos,
+         |         CASE WHEN a.g < b.g THEN '1' ELSE '0' END AS b
+         |       FROM g8 a JOIN g8 b ON b.doc_id = a.doc_id
+         |        AND b.kpos = (a.kpos // 8) * 8
+         |              + (a.kpos % 8 + 1) % 8)
+         |SELECT doc_id, string_agg(b, '' ORDER BY kpos) AS dhash
+         |FROM bt GROUP BY 1""".stripMargin,
     // Naive all-pairs Hamming over the bit strings (the q119 oracle
     // pattern) — the banded join must reproduce it exactly at ≤ 3.
     "q245_image_ahash_pairs" ->

@@ -91,6 +91,23 @@ class ImageHashSpec extends AnyFunSuite {
     assert(Multimodal.pHash(img(8, 8)((_, _) => 7)).isEmpty)
   }
 
+  test("dHash: gradient bits, exact brightness-shift invariance") {
+    // strictly increasing row gradient: g(x) < g(x+1) for x < 7,
+    // wrap compare g(7) > g(0) → every row "11111110"
+    val inc = img(8, 8)((x, _) => 10 + 20 * x)
+    val (fpInc, bitsInc) = Multimodal.dHash(inc)
+    assert(bitsInc == "11111110" * 8)
+    // a uniform brightness shift leaves every difference — hence the
+    // hash — EXACTLY unchanged (stronger than aHash's mean tracking)
+    val brighter = img(8, 8)((x, _) => 10 + 20 * x + 40)
+    assert(Multimodal.dHash(brighter) == ((fpInc, bitsInc)))
+    // the spatial flip reverses every strict comparison
+    val dec = img(8, 8)((x, _) => 10 + 20 * (7 - x))
+    assert(Multimodal.dHash(dec)._2 == "00000001" * 8)
+    // constant image: no strict inequality anywhere → all zeros
+    assert(Multimodal.dHash(img(8, 8)((_, _) => 99))._2 == "0" * 64)
+  }
+
   test("fpPairsDelta == fpPairs filtered to new-touching pairs") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
