@@ -1165,6 +1165,129 @@ object Stats {
     adjusted.unionByName(nulls)
   }
 
+  /** EWMA control chart (Roberts 1959; Lucas & Saccucci 1990) over a
+    * keyed bounded series — the process-monitoring member beside
+    * [[cusumChangepoint]]'s retrospective locator: z_t = λ·x_t +
+    * (1−λ)·z_{t−1} seeded at the process mean, flagged against the
+    * EXACT time-varying limits μ ± L·σ·√(λ/(2−λ)·(1−(1−λ)^{2t})) —
+    * small persistent mean shifts surface long before a Shewhart
+    * chart sees them.
+    *
+    * The recursion runs through the NATIVE [[graft.functions
+    * .TaAggregates.Ema]] window aggregate (α = 0.2 via n = 9),
+    * seed-resumed at (count = n, acc = μ̂) so every row takes the
+    * 0.2·x + 0.8·z branch — the same fixed IEEE sequence the oracle's
+    * recursive CTE unrolls. μ̂/σ̂ come from exact DECIMAL cent
+    * moments; the limit factor uses exp/ln (the [[msprt]]
+    * precedent), and the out-of-control flag compares UNROUNDED
+    * values.
+    *
+    * Scale shape: one map-side-combined daily groupBy; the
+    * recursion and limits run on the ≤ |keys|-row series frame (the
+    * documented metadata-sized window exception).
+    *
+    * @return (k, x, ewma, center, ucl, lcl, ooc) — one row per key
+    */
+  def ewmaChart(series: DataFrame, keyCol: String,
+      valueCol: String): DataFrame = {
+    val base = series
+      .select(col(keyCol).as("k"), cents(col(valueCol)).as("xc"))
+      .localCheckpoint(true) // feeds the moments row AND the chart
+    val m = broadcast(base.agg(count(lit(1)).as("n"),
+      sum(col("xc").cast("decimal(38,0)")).as("s"),
+      sum((col("xc").cast("decimal(19,0)") *
+        col("xc").cast("decimal(19,0)")).cast("decimal(38,0)"))
+        .as("q")))
+    val mu = col("s").cast("double") / col("n") / 100.0
+    val sig = sqrt(col("q").cast("double") / col("n") / 10000.0 -
+      mu * mu)
+    val wOrd = Window.orderBy(col("k"))
+    val w = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val fac = sqrt((lit(0.2) / lit(1.8)) *
+      (lit(1.0) - exp(col("rkd") * log(lit(0.64)))))
+    val ucl = mu + lit(3.0) * sig * fac
+    val lcl = mu - lit(3.0) * sig * fac
+    base.crossJoin(m)
+      .withColumn("xd", col("xc").cast("double") / 100.0)
+      .withColumn("z", graft.functions.TaFunctions
+        .ema(col("xd"), 9, struct(lit(9L), mu)).over(w))
+      .withColumn("rkd", row_number().over(wOrd).cast("double"))
+      .select(col("k"), r6(col("xd")).as("x"), r6(col("z")).as("ewma"),
+        r6(mu).as("center"), r6(ucl).as("ucl"), r6(lcl).as("lcl"),
+        (col("z") > ucl || col("z") < lcl).as("ooc"))
+  }
+
+  /** Delete-one-BUCKET jackknife for the two-arm mean difference
+    * (Quenouille 1956; Tukey 1958; the bucketed form is the
+    * experimentation-platform standard — e.g. Tang et al. 2010's
+    * overlapping-experiment infrastructure): units hash into B
+    * buckets, θ_(b) recomputes the difference with bucket b's units
+    * DELETED, and Var_JK = (B−1)·(E[θ²_(b)] − E[θ_(b)]²) — the
+    * assumption-free variance that captures within-unit correlation
+    * the per-row formula misses (the nonparametric sibling of
+    * [[deltaRatio]]).
+    *
+    * Determinism: per-(bucket, arm) sums exact DECIMAL(38,0); each
+    * θ_(b) is one fixed IEEE sequence off exact totals; the
+    * cross-bucket moments run on FLOOR-SCALED micro-unit integers
+    * (the shared rounding floor — double sums over buckets would be
+    * order-dependent), so every aggregate is order-independent.
+    * Buckets whose deletion empties an arm drop out and surface via
+    * b_used.
+    *
+    * Scale shape: one map-side-combined (bucket, arm) groupBy → ≤ 2B
+    * rows; everything after is metadata-sized.
+    *
+    * @return one row (b_used, theta, se_jk, z)
+    */
+  def jackknifeDiff(obs: DataFrame, idCol: String, armCol: String,
+      v4Col: String, unit: Double = 1.0, buckets: Int = 32)
+      : DataFrame = {
+    def dec38(c: Column) = c.cast("decimal(38,0)")
+    val zero38 = lit(0).cast("decimal(38,0)")
+    val per = obs
+      .select(pmod(col(idCol), lit(buckets.toLong)).as("bkt"),
+        col(armCol).as("arm"), col(v4Col).as("v"))
+      .groupBy(col("bkt"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0b"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1b"),
+        sum(when(col("arm") === 0, dec38(col("v"))).otherwise(zero38))
+          .as("s0b"),
+        sum(when(col("arm") === 1, dec38(col("v"))).otherwise(zero38))
+          .as("s1b"))
+      .localCheckpoint(true) // feeds the totals row AND the LOO pass
+    val tot = broadcast(per.agg(sum(col("n0b")).as("nn0"),
+      sum(col("n1b")).as("nn1"),
+      sum(col("s0b")).as("ss0"), sum(col("s1b")).as("ss1")))
+    def dd(c: Column) = c.cast("double")
+    val u1 = lit(unit)
+    val thetaB = when(col("nn1") - col("n1b") > 0 &&
+        col("nn0") - col("n0b") > 0,
+      (dd(col("ss1") - col("s1b")) / (col("nn1") - col("n1b")) -
+        dd(col("ss0") - col("s0b")) / (col("nn0") - col("n0b"))) / u1)
+    val loo = per.crossJoin(tot)
+      .select(floor(thetaB * 1e6 + 0.5).cast("long").as("t6"),
+        col("nn0"), col("nn1"), col("ss0"), col("ss1"))
+      .where(col("t6").isNotNull)
+    val theta = when(col("nn0") > 0 && col("nn1") > 0,
+      (dd(col("ss1")) / col("nn1") - dd(col("ss0")) / col("nn0")) / u1)
+    val agg = loo.groupBy(col("nn0"), col("nn1"), col("ss0"),
+        col("ss1")) // constants → one map-side group
+      .agg(count(lit(1)).as("b"),
+        sum(dec38(col("t6"))).as("st"),
+        sum((col("t6").cast("decimal(19,0)") *
+          col("t6").cast("decimal(19,0)")).cast("decimal(38,0)"))
+          .as("stt"))
+    val tBar = dd(col("st")) / col("b") / 1e6
+    val varJk = (col("b") - 1) *
+      (dd(col("stt")) / col("b") / 1e12 - tBar * tBar)
+    val se = when(col("b") > 1 && varJk > 0, sqrt(varJk))
+    agg.select(col("b").cast("int").as("b_used"),
+      r6(theta).as("theta"), r6(se).as("se_jk"),
+      when(se > 0, r6(theta / se)).as("z"))
+  }
+
   /** Fisher randomization (permutation) test for the two-arm mean
     * difference (Fisher 1935; Ernst 2004 for the modern framing) —
     * the EXACT-inference member beside [[welchT]]'s asymptotics and

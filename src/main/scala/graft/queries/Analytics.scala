@@ -443,6 +443,32 @@ object Analytics extends QueryPack {
         unit = 1e4)
     }),
 
+    // EWMA control chart (Roberts 1959) on the q205 daily-revenue
+    // series: the native Ema window aggregate seed-resumed at the
+    // process mean, exact time-varying limits — the monitoring
+    // member beside q205's retrospective CUSUM locator.
+    "q302_ewma_chart" -> ((s, d) =>
+      graft.ops.Stats.ewmaChart(
+        t("orders")(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("odate"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("rev")),
+        "odate", "rev")),
+
+    // Delete-one-bucket jackknife (Quenouille 1956; Tukey 1958) for
+    // the two-arm mean difference: 32 user-hash buckets, each θ_(b)
+    // recomputed with the bucket deleted — the assumption-free
+    // variance beside q298's delta method.
+    "q303_jackknife" -> ((s, d) => {
+      val ev = t("events")(s, d)
+        .where(col("user_id").isNotNull && col("value").isNotNull)
+        .select(col("user_id"),
+          pmod(col("user_id"), lit(2L)).as("arm"),
+          floor(col("value") * 1e4 + 0.5).cast("long").as("v4"))
+      graft.ops.Stats.jackknifeDiff(ev, "user_id", "arm", "v4",
+        unit = 1e4, buckets = 32)
+    }),
+
     // CUPED variance reduction (Deng et al. 2013): each user's
     // last-15-days metric adjusted by their first-15-days covariate
     // — θ = cov/var over exact per-user integer sums, variance drops
@@ -2549,6 +2575,103 @@ object Analytics extends QueryPack {
         |      / (count(*) + 1) * 1e6 + 0.5) / 1e6 AS REAL) AS p_perm
         |FROM stat GROUP BY n, dobs""".stripMargin
     },
+
+    // The q205 daily series, the EMA recursion unrolled by a
+    // recursive CTE from the same mean seed, the same exp/ln limit
+    // factor, the flag on unrounded values.
+    "q302_ewma_chart" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS k,
+        |         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |           AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |srt AS (SELECT k, x, row_number() OVER (ORDER BY k) AS rk
+        |        FROM daily),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(x AS HUGEINT)) AS s,
+        |         sum(CAST(x AS HUGEINT) * x) AS q
+        |       FROM daily),
+        |st AS (SELECT n, CAST(s AS DOUBLE) / n / 100.0 AS mu,
+        |         sqrt(CAST(q AS DOUBLE) / n / 10000.0
+        |           - (CAST(s AS DOUBLE) / n / 100.0)
+        |             * (CAST(s AS DOUBLE) / n / 100.0)) AS sig
+        |       FROM mm),
+        |rec AS (
+        |  SELECT rk, k, CAST(x AS DOUBLE) / 100.0 AS xd,
+        |         0.2 * (CAST(x AS DOUBLE) / 100.0) + 0.8 * mu AS z
+        |  FROM srt, st WHERE rk = 1
+        |  UNION ALL
+        |  SELECT s2.rk, s2.k, CAST(s2.x AS DOUBLE) / 100.0,
+        |         0.2 * (CAST(s2.x AS DOUBLE) / 100.0) + 0.8 * rec.z
+        |  FROM srt s2 JOIN rec ON s2.rk = rec.rk + 1),
+        |lim AS (SELECT rk, k, xd, z, mu,
+        |          mu + 3.0 * sig * sqrt((0.2 / 1.8)
+        |            * (1.0 - exp(rk * ln(0.64)))) AS ucl,
+        |          mu - 3.0 * sig * sqrt((0.2 / 1.8)
+        |            * (1.0 - exp(rk * ln(0.64)))) AS lcl
+        |        FROM rec, st)
+        |SELECT k,
+        |  CAST(floor(xd * 1e6 + 0.5) / 1e6 AS REAL) AS x,
+        |  CAST(floor(z * 1e6 + 0.5) / 1e6 AS REAL) AS ewma,
+        |  CAST(floor(mu * 1e6 + 0.5) / 1e6 AS REAL) AS center,
+        |  CAST(floor(ucl * 1e6 + 0.5) / 1e6 AS REAL) AS ucl,
+        |  CAST(floor(lcl * 1e6 + 0.5) / 1e6 AS REAL) AS lcl,
+        |  (z > ucl OR z < lcl) AS ooc
+        |FROM lim""".stripMargin,
+
+    // The same (bucket, arm) HUGEINT sums, the same guarded
+    // leave-one-out sequence, cross-bucket moments on the floor-
+    // scaled micro-unit integers.
+    "q303_jackknife" ->
+      """WITH ev AS (
+        |  SELECT CAST(user_id % 32 AS BIGINT) AS bkt,
+        |         CAST(user_id % 2 AS BIGINT) AS arm,
+        |         CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS v4
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |per AS (SELECT bkt,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n0b,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1b,
+        |    sum(CASE WHEN arm = 0 THEN CAST(v4 AS HUGEINT) ELSE 0 END)
+        |      AS s0b,
+        |    sum(CASE WHEN arm = 1 THEN CAST(v4 AS HUGEINT) ELSE 0 END)
+        |      AS s1b
+        |  FROM ev GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n0b) AS BIGINT) AS nn0,
+        |          CAST(sum(n1b) AS BIGINT) AS nn1,
+        |          sum(s0b) AS ss0, sum(s1b) AS ss1
+        |        FROM per),
+        |loo AS (SELECT CAST(floor(
+        |    (CAST(ss1 - s1b AS DOUBLE) / (nn1 - n1b)
+        |       - CAST(ss0 - s0b AS DOUBLE) / (nn0 - n0b)) / 1e4
+        |    * 1e6 + 0.5) AS BIGINT) AS t6
+        |  FROM per, tot
+        |  WHERE nn1 - n1b > 0 AND nn0 - n0b > 0),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS b,
+        |          sum(CAST(t6 AS HUGEINT)) AS st,
+        |          sum(CAST(t6 AS HUGEINT) * t6) AS stt
+        |        FROM loo),
+        |fin AS (SELECT b,
+        |    CASE WHEN nn0 > 0 AND nn1 > 0 THEN
+        |      (CAST(ss1 AS DOUBLE) / nn1
+        |         - CAST(ss0 AS DOUBLE) / nn0) / 1e4
+        |    END AS theta,
+        |    (b - 1) * (CAST(stt AS DOUBLE) / b / 1e12
+        |      - (CAST(st AS DOUBLE) / b / 1e6)
+        |        * (CAST(st AS DOUBLE) / b / 1e6)) AS varjk
+        |  FROM agg, tot),
+        |sf AS (SELECT *, CASE WHEN b > 1 AND varjk > 0 THEN
+        |         sqrt(varjk) END AS se
+        |       FROM fin)
+        |SELECT CAST(b AS INTEGER) AS b_used,
+        |  CAST(floor(theta * 1e6 + 0.5) / 1e6 AS REAL) AS theta,
+        |  CAST(floor(se * 1e6 + 0.5) / 1e6 AS REAL) AS se_jk,
+        |  CASE WHEN se > 0 THEN
+        |    CAST(floor(theta / se * 1e6 + 0.5) / 1e6 AS REAL)
+        |  END AS z
+        |FROM sf""".stripMargin,
 
     // The per-user split sums, the same six decimal moments, the
     // same fixed IEEE θ/variance sequence with the zero guards.

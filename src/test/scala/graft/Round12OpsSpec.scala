@@ -240,4 +240,43 @@ class Round12OpsSpec extends AnyFunSuite {
       "v4", unit = 1e4).collect()(0)
     assert(r == again)
   }
+
+  test("ewmaChart: mean-seeded recursion, tail shift flags ooc") {
+    import spark.implicits._
+    // 20 days at 10.00 then 10 at 11.00: μ = 10.3333…, σ ≈ 0.4714;
+    // the EWMA drifts to ~10.0 then climbs — by day 30 it crosses
+    // the time-varying UCL (a Shewhart chart never would: max x is
+    // only 1.4σ above μ). Expected values from the same recursion.
+    val xs = Seq.fill(20)(10.0) ++ Seq.fill(10)(11.0)
+    val series = xs.zipWithIndex.map { case (v, i) => (i + 1, v) }
+      .toDF("k", "v")
+    val got = graft.ops.Stats.ewmaChart(series, "k", "v")
+      .orderBy("k").collect()
+    val mu = xs.sum / xs.length
+    val zs = xs.scanLeft(mu)((z, x) => 0.2 * x + 0.8 * z).tail
+    def r6(x: Double) = (math.floor(x * 1e6 + 0.5) / 1e6).toFloat
+    got.zip(zs).foreach { case (row, z) =>
+      assert(row.getFloat(row.fieldIndex("ewma")) == r6(z))
+      assert(row.getFloat(row.fieldIndex("center")) == r6(mu))
+    }
+    val ooc = got.map(r => r.getInt(0) -> r.getBoolean(r.fieldIndex("ooc")))
+      .toMap
+    assert(!ooc(1) && !ooc(20))
+    assert(ooc(30), "persistent +1 shift must trip the UCL by day 30")
+  }
+
+  test("jackknifeDiff: hand-solved four-bucket fixture") {
+    import spark.implicits._
+    // arm 0: units 0 (v 10), 2 (v 20); arm 1: units 1 (30), 3 (50)
+    // θ̂ = 40 − 15 = 25; θ_(b) = [20, 35, 30, 15] over 4 buckets
+    // → var_JK = 3 · (687.5 − 625) = 187.5, se = 13.693064
+    val obs = Seq((0L, 0, 10L), (2L, 0, 20L), (1L, 1, 30L),
+      (3L, 1, 50L)).toDF("uid", "arm", "v4")
+    val r = graft.ops.Stats.jackknifeDiff(obs, "uid", "arm", "v4",
+      unit = 1.0, buckets = 4).collect()(0)
+    assert(r.getInt(0) == 4)
+    assert(r.getFloat(1) == 25.0f)
+    assert(math.abs(r.getFloat(2) - 13.693064) < 1e-5)
+    assert(math.abs(r.getFloat(3) - 25.0 / math.sqrt(187.5)) < 1e-5)
+  }
 }
