@@ -88,6 +88,66 @@ object Retrieval {
         col("doc_id"), col("n_terms"), col("score").cast("float").as("score"))
   }
 
+  /** Query-likelihood ranking with Dirichlet-prior smoothing (Zhai &
+    * Lafferty 2001) — the language-modeling twin of [[bm25TopK]],
+    * the other classical sparse ranking function real IR stacks run
+    * side by side with BM25. Zhai's rank-equivalent decomposition
+    * confines scoring to MATCHED postings plus one per-doc length
+    * term, so the plan is [[bm25TopK]]'s exactly:
+    * {{{
+    *   score(q, d) = Σ_{t ∈ q∩d} ln(1 + tf / (μ·p(t|C)))
+    *                 + |q| · ln(μ / (dl + μ))
+    *   p(t|C) = cf_t / |C|
+    * }}}
+    * Candidates are docs matching ≥ 1 query term (the standard
+    * inverted-index restriction — a zero-match doc scores only its
+    * length term and never enters a sane top-k).
+    *
+    * Scale/determinism contract shared with [[bm25TopK]]: postings /
+    * collection frequencies / total-token count are exact integers
+    * off two map-side-combined aggregates; the query side broadcasts;
+    * scores round to 4 before ranking with doc_id tie-break; the
+    * two-phase top-k keeps any query's candidate list out of a
+    * single sort task.
+    *
+    * @return (query_id, rank, doc_id, n_terms, score)
+    */
+  def qlTopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
+      mu: Double = 100.0): DataFrame = {
+    val toks = TextOps.spread(docs.where(col("text").isNotNull))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+    val postings = toks
+      .select(col("doc_id"), size(col("w")).as("dl"),
+        explode(col("w")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val cf = postings.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+    val stats = toks.agg(sum(size(col("w"))).as("tot"))
+    val nq = queries.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("nq"))
+    val termPart = log(lit(1.0) + col("tf") /
+      (lit(mu) * (col("cf").cast("double") / col("tot"))))
+    val scored = postings
+      .join(broadcast(queries.join(cf, "term")), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast("int").as("n_terms"),
+        sum(termPart).as("s1"))
+      .join(broadcast(nq), "query_id")
+      .withColumn("score", round(col("s1") +
+        col("nq") * log(lit(mu) / (col("dl") + lit(mu))), 4))
+    val local = Window.partitionBy(spark_partition_id(), col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val global = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored
+      .withColumn("lrk", row_number().over(local)).where(col("lrk") <= k)
+      .withColumn("rank", row_number().over(global))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("doc_id"), col("n_terms"), col("score").cast("float").as("score"))
+  }
+
   /** Deterministic query derivation for the registered audit: every
     * `every`-th doc queries the corpus with the distinct terms of its
     * own first `width` tokens (set semantics — order-free, so both

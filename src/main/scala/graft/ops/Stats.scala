@@ -1288,6 +1288,59 @@ object Stats {
       when(se > 0, r6(theta / se)).as("z"))
   }
 
+  /** Power analysis / minimum-detectable-effect readout (the planning
+    * half every experimentation platform ships next to its readouts —
+    * Kohavi, Tang & Xu 2020 ch. 17's standard formulas): given the
+    * CURRENT unit counts and pooled variance, the smallest true
+    * effect a two-sided α = 0.05 test detects with 80% power, plus
+    * the per-arm sample size a 1%-relative effect would need:
+    * {{{
+    *   MDE    = (z_{α/2} + z_β) · √(σ² · (1/n₀ + 1/n₁))
+    *   n_req  = ⌈2·(z_{α/2} + z_β)²·σ² / (0.01·μ)²⌉   (per arm)
+    * }}}
+    * z_{0.025} = 1.959964 and z_{0.2} = 0.841621 are inlined as the
+    * SAME literals in both engines (the quantile function never runs
+    * in a query path — the [[graft.llm.Multimodal.dctCosX]]
+    * discipline).
+    *
+    * Determinism: per-unit sums then n/Σ/Σ² moments exact in
+    * DECIMAL(38,0) ([[cuped]]'s shape); one fixed IEEE sequence to
+    * MDE; guards on empty arms / zero variance / zero mean.
+    *
+    * @return one row (n0, n1, mean, sd, mde_abs, mde_rel_pct,
+    *         n_req_1pct)
+    */
+  def powerMde(obs: DataFrame, idCol: String, armCol: String,
+      v4Col: String, unit: Double = 1.0): DataFrame = {
+    def dec19(c: Column) = c.cast("decimal(19,0)")
+    val per = obs.groupBy(col(idCol).as("uid"))
+      .agg(sum(col(v4Col).cast("decimal(38,0)")).as("yu"),
+        min(col(armCol)).as("arm"))
+    val m = per.agg(count(lit(1)).as("n"),
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(col("yu")).as("s"),
+      sum((dec19(col("yu")) * dec19(col("yu"))).cast("decimal(38,0)"))
+        .as("q"))
+    def d(c: String) = col(c).cast("double")
+    val u1 = lit(unit)
+    val u2 = lit(unit * unit)
+    val mean = when(col("n") > 0, d("s") / col("n") / u1)
+    val v = when(col("n") > 0,
+      (d("q") / col("n") - (d("s") / col("n")) * (d("s") / col("n"))) / u2)
+    val kz = lit(1.959964) + lit(0.841621)
+    val mde = when(col("n0") > 0 && col("n1") > 0 && v > 0,
+      kz * sqrt(v * (lit(1.0) / col("n0") + lit(1.0) / col("n1"))))
+    val rel = when(mean > 0, mde / mean * lit(100.0))
+    val nReq = when(mean > 0 && v > 0,
+      ceil(lit(2.0) * (kz * kz) * v /
+        ((lit(0.01) * mean) * (lit(0.01) * mean))).cast("long"))
+    m.select(col("n0"), col("n1"), r6(mean).as("mean"),
+      when(v > 0, r6(sqrt(v))).as("sd"),
+      r6(mde).as("mde_abs"), r6(rel).as("mde_rel_pct"),
+      nReq.as("n_req_1pct"))
+  }
+
   /** Fisher randomization (permutation) test for the two-arm mean
     * difference (Fisher 1935; Ernst 2004 for the modern framing) —
     * the EXACT-inference member beside [[welchT]]'s asymptotics and

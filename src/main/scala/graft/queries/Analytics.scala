@@ -469,6 +469,20 @@ object Analytics extends QueryPack {
         unit = 1e4, buckets = 32)
     }),
 
+    // Power / minimum-detectable-effect readout (Kohavi, Tang & Xu
+    // 2020 ch. 17): the PLANNING half of the experimentation family —
+    // the smallest effect the current per-user sample detects at
+    // α=0.05 / 80% power, and the per-arm n a 1%-relative effect
+    // would need; z quantiles inlined as shared literals.
+    "q305_power_mde" -> ((s, d) => {
+      val ev = t("events")(s, d)
+        .where(col("user_id").isNotNull && col("value").isNotNull)
+        .select(col("user_id"),
+          pmod(col("user_id"), lit(2L)).as("arm"),
+          floor(col("value") * 1e4 + 0.5).cast("long").as("v4"))
+      graft.ops.Stats.powerMde(ev, "user_id", "arm", "v4", unit = 1e4)
+    }),
+
     // CUPED variance reduction (Deng et al. 2013): each user's
     // last-15-days metric adjusted by their first-15-days covariate
     // — θ = cov/var over exact per-user integer sums, variance drops
@@ -2575,6 +2589,55 @@ object Analytics extends QueryPack {
         |      / (count(*) + 1) * 1e6 + 0.5) / 1e6 AS REAL) AS p_perm
         |FROM stat GROUP BY n, dobs""".stripMargin
     },
+
+    // The same per-user HUGEINT moments, the same inlined z
+    // literals, the same fixed MDE sequence and guarded ceil.
+    "q305_power_mde" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+        |         CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS v4
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |per AS (SELECT user_id, sum(CAST(v4 AS HUGEINT)) AS yu,
+        |               min(arm) AS arm
+        |        FROM ev GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    sum(yu) AS s, sum(yu * yu) AS q
+        |  FROM per),
+        |st AS (SELECT n0, n1,
+        |    CASE WHEN n > 0 THEN CAST(s AS DOUBLE) / n / 1e4 END
+        |      AS mean,
+        |    CASE WHEN n > 0 THEN
+        |      (CAST(q AS DOUBLE) / n
+        |         - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+        |      / 1e8
+        |    END AS v
+        |  FROM m),
+        |md AS (SELECT *,
+        |    CASE WHEN n0 > 0 AND n1 > 0 AND v > 0 THEN
+        |      (1.959964 + 0.841621)
+        |        * sqrt(v * (1.0 / n0 + 1.0 / n1))
+        |    END AS mde
+        |  FROM st)
+        |SELECT n0, n1,
+        |  CAST(floor(mean * 1e6 + 0.5) / 1e6 AS REAL) AS mean,
+        |  CASE WHEN v > 0 THEN
+        |    CAST(floor(sqrt(v) * 1e6 + 0.5) / 1e6 AS REAL)
+        |  END AS sd,
+        |  CAST(floor(mde * 1e6 + 0.5) / 1e6 AS REAL) AS mde_abs,
+        |  CASE WHEN mean > 0 THEN
+        |    CAST(floor(mde / mean * 100.0 * 1e6 + 0.5) / 1e6 AS REAL)
+        |  END AS mde_rel_pct,
+        |  CASE WHEN mean > 0 AND v > 0 THEN
+        |    CAST(ceil(2.0 * ((1.959964 + 0.841621)
+        |        * (1.959964 + 0.841621)) * v
+        |      / ((0.01 * mean) * (0.01 * mean))) AS BIGINT)
+        |  END AS n_req_1pct
+        |FROM md""".stripMargin,
 
     // The q205 daily series, the EMA recursion unrolled by a
     // recursive CTE from the same mean seed, the same exp/ln limit

@@ -762,6 +762,15 @@ object LlmPack extends QueryPack {
     // Postings + df are the q67 TF-IDF aggregates; the query set rides
     // a broadcast; ranking is the q125 two-phase top-k.
     "q165_bm25" -> ((s, d) => bm25Run(s, d)),
+    // Query-likelihood ranking with Dirichlet-prior smoothing (Zhai
+    // & Lafferty 2001): the language-modeling twin of q165 run over
+    // the SAME query fixture — Zhai's decomposition confines scoring
+    // to matched postings + one per-doc length term, so the plan is
+    // BM25's exactly.
+    "q304_ql_dirichlet" -> ((s, d) => {
+      val docs = t("documents")(s, d)
+      Retrieval.qlTopK(docs, Retrieval.sampleQueries(docs))
+    }),
     // Ranking-quality evaluation over the q165 BM25 run: NDCG@10 with
     // integer DCG weights (round(1e6/log2(r+1)) — plan-time literals
     // shared with the oracle, so the log discount carries zero libm
@@ -2470,6 +2479,46 @@ object LlmPack extends QueryPack {
          |       CAST(score AS REAL) AS score
          |FROM sparse
          |WHERE rank <= 10""".stripMargin,
+    // The same postings/query CTEs with collection-frequency and
+    // total-token stats, Zhai's matched-term + length-term split,
+    // round-4 before the (score desc, doc_id) ranking.
+    "q304_ql_dirichlet" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf FROM (
+        |    SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM toks)
+        |  GROUP BY 1, 2, 3),
+        |cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf
+        |       FROM tf GROUP BY 1),
+        |stats AS (SELECT CAST(sum(len(w)) AS BIGINT) AS tot FROM toks),
+        |qterms AS (
+        |  SELECT DISTINCT query_id, term FROM (
+        |    SELECT doc_id AS query_id, unnest(w[1:6]) AS term
+        |    FROM toks WHERE doc_id % 101 = 0)),
+        |nq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS nq
+        |       FROM qterms GROUP BY 1),
+        |scored AS (
+        |  SELECT qterms.query_id, tf.doc_id, tf.dl,
+        |         CAST(count(*) AS INTEGER) AS n_terms,
+        |         sum(ln(1.0 + tf.tf
+        |           / (100.0 * (CAST(c.cf AS DOUBLE) / s.tot)))) AS s1
+        |  FROM tf JOIN qterms ON tf.term = qterms.term
+        |  JOIN cf c ON c.term = tf.term
+        |  CROSS JOIN stats s
+        |  GROUP BY 1, 2, 3),
+        |fin AS (
+        |  SELECT scored.query_id, doc_id, n_terms,
+        |         round(s1 + nq.nq * ln(100.0 / (dl + 100.0)), 4)
+        |           AS score
+        |  FROM scored JOIN nq ON nq.query_id = scored.query_id),
+        |sparse AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) AS rank FROM fin)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id,
+        |       n_terms, CAST(score AS REAL) AS score
+        |FROM sparse WHERE rank <= 10""".stripMargin,
     // The eval replayed over the same bm25 CTE block: identical
     // integer DCG weight literals (generated by the same Scala call
     // that built the plan), 2^rel−1 gains via bit shift, ideal order

@@ -265,6 +265,49 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(ooc(30), "persistent +1 shift must trip the UCL by day 30")
   }
 
+  test("qlTopK: hand-solved Dirichlet query-likelihood ranking") {
+    import spark.implicits._
+    // corpus: d1 "apple banana apple", d2 "apple cherry",
+    // d3 "durian durian"; query {apple, banana}; μ = 100, |C| = 7
+    val docs = Seq((1L, "apple banana apple"), (2L, "apple cherry"),
+      (3L, "durian durian")).toDF("doc_id", "text")
+    val q = Seq((9L, "apple"), (9L, "banana")).toDF("query_id", "term")
+    def sc(parts: Seq[(Long, Double)], nq: Int, dl: Int): Double = {
+      val s1 = parts.map { case (tf, p) =>
+        math.log(1.0 + tf / (100.0 * p)) }.sum
+      math.round((s1 + nq * math.log(100.0 / (dl + 100))) * 1e4) / 1e4.toDouble
+    }
+    val exp1 = sc(Seq((2L, 3.0 / 7), (1L, 1.0 / 7)), 2, 3)
+    val exp2 = sc(Seq((1L, 3.0 / 7)), 2, 2)
+    val got = graft.llm.Retrieval.qlTopK(docs, q).orderBy("rank")
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getFloat(4)))
+    // d3 shares no term → never a candidate; d1 outranks d2
+    assert(got.toSeq == Seq((1, 1L, 2, exp1.toFloat),
+      (2, 2L, 1, exp2.toFloat)))
+  }
+
+  test("powerMde: hand-solved four-user fixture") {
+    import spark.implicits._
+    // per-user metrics [10, 20, 30, 40], arm = uid % 2:
+    // μ = 25, σ² = 125, MDE = 2.801585·√(125·1) and the 1%-effect
+    // per-arm n from the same constants
+    val obs = Seq((0L, 0, 10L), (1L, 1, 20L), (2L, 0, 30L),
+      (3L, 1, 40L)).toDF("uid", "arm", "v4")
+    val r = graft.ops.Stats.powerMde(obs, "uid", "arm", "v4",
+      unit = 1.0).collect()(0)
+    val kz = 1.959964 + 0.841621
+    val mde = kz * math.sqrt(125.0 * (1.0 / 2 + 1.0 / 2))
+    def r6(x: Double) = (math.floor(x * 1e6 + 0.5) / 1e6).toFloat
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getFloat(2) == 25.0f)
+    assert(r.getFloat(3) == r6(math.sqrt(125.0)))
+    assert(r.getFloat(4) == r6(mde))
+    assert(r.getFloat(5) == r6(mde / 25.0 * 100.0))
+    assert(r.getLong(6) ==
+      math.ceil(2.0 * (kz * kz) * 125.0 / (0.25 * 0.25)).toLong)
+  }
+
   test("jackknifeDiff: hand-solved four-bucket fixture") {
     import spark.implicits._
     // arm 0: units 0 (v 10), 2 (v 20); arm 1: units 1 (30), 3 (50)
