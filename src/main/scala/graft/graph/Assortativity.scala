@@ -1,0 +1,60 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Degree assortativity — Newman 2002's degree-correlation
+  * coefficient: the Pearson correlation of endpoint degrees over the
+  * edge set. r > 0 means hubs attach to hubs (social networks),
+  * r < 0 means hubs attach to leaves (technological / co-purchase
+  * graphs) — the one-number mixing summary that tells you whether
+  * hub-targeted sampling or degree-salting is the right 100 TB move
+  * before running anything heavier.
+  *
+  * Operates on the DISTINCT directed SYMMETRIC pair set (both
+  * orientations present, the repo's graph contract), which makes the
+  * correlation symmetric by construction — no half-edge bookkeeping.
+  *
+  * Determinism: degrees are exact integer counts; the six moments
+  * over the edge frame ride DECIMAL(38,0) off ONE map-side-combined
+  * aggregate (the [[graft.ops.Stats.spearman]] shape); r is one
+  * fixed IEEE sequence, round-4 at the edge, NULL when either degree
+  * variance is 0 (a regular graph has no mixing to correlate —
+  * never an ANSI fault).
+  *
+  * Scale shape: one degree groupBy (map-side combined), one src-keyed
+  * and one dst-keyed equi-join to attach degrees, one single-row
+  * aggregate — no window, no sort, O(|E|) shuffle.
+  */
+object Assortativity {
+
+  /** @param edges (a, b) distinct directed symmetric pairs
+    * @return one row (m_edges, r) — m_edges the DIRECTED edge count
+    */
+  def degreeCorrelation(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("a").as("id"))
+      .agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true) // joined on both endpoints
+    val pairs = edges
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    val m = pairs.agg(count(lit(1)).as("n"),
+      sum(dec(col("da")).cast("decimal(38,0)")).as("sx"),
+      sum(dec(col("db")).cast("decimal(38,0)")).as("sy"),
+      sum((dec(col("da")) * dec(col("da"))).cast("decimal(38,0)"))
+        .as("sxx"),
+      sum((dec(col("da")) * dec(col("db"))).cast("decimal(38,0)"))
+        .as("sxy"),
+      sum((dec(col("db")) * dec(col("db"))).cast("decimal(38,0)"))
+        .as("syy"))
+    def d(c: String) = col(c).cast("double")
+    val dn = col("n").cast("double")
+    val den = (dn * d("sxx") - d("sx") * d("sx")) *
+      (dn * d("syy") - d("sy") * d("sy"))
+    m.select(col("n").as("m_edges"),
+      when(den > 0,
+        round((dn * d("sxy") - d("sx") * d("sy")) / sqrt(den), 4)
+          .cast("float")).as("r"))
+  }
+}

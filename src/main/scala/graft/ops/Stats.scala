@@ -1341,6 +1341,72 @@ object Stats {
       nReq.as("n_req_1pct"))
   }
 
+  /** Winsorized two-arm readout (the heavy-tail standard practice —
+    * Kohavi et al. 2020 ch. 22's metric-capping guidance): clamp the
+    * metric at the EXACT global p-th percentile order statistic, then
+    * the two-arm mean difference and z on the capped values — one
+    * outlier purchase stops dominating the readout, the reason every
+    * revenue metric ships capped.
+    *
+    * The cap is the ⌈p·n/100⌉-th smallest value located EXACTLY:
+    * per-value counts (map-side combined) + ONE distributed global
+    * scan ([[graft.ops.Scan.globalRunningSum]] — never a single-task
+    * sort), with the rank in PURE INTEGERS ((p·n + p) div 100·… —
+    * no float rank anywhere). Clamping happens in the integer
+    * domain, so every downstream moment is exact; the z readout is
+    * the same fixed IEEE sequence as the per-segment tests.
+    *
+    * Scale shape: one value-keyed groupBy, the metadata-cost scan, a
+    * broadcast cap row, one single-row moment aggregate.
+    *
+    * @return one row (n0, n1, cap, mean0, mean1, diff, z)
+    */
+  def winsorizedDiff(obs: DataFrame, armCol: String, v4Col: String,
+      unit: Double = 1.0, pct: Int = 99): DataFrame = {
+    val base = obs.select(col(armCol).as("arm"), col(v4Col).as("v"))
+    val counts = base.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // feeds the scan AND the totals row
+    val n = counts.agg(sum(col("cnt")).as("n"))
+    val cap = broadcast(Scan.globalRunningSum(counts, Seq("v"),
+        col("cnt"), "rt")
+      .crossJoin(broadcast(n))
+      .where(col("rt") >=
+        expr(s"($pct * n + $pct) div 100"))
+      .agg(min(col("v")).as("cap")))
+    def dec38(c: Column) = c.cast("decimal(38,0)")
+    val zero38 = lit(0).cast("decimal(38,0)")
+    val vc = least(col("v"), col("cap"))
+    val m = base.crossJoin(cap).groupBy(col("cap"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 0, dec38(vc)).otherwise(zero38))
+          .as("s0"),
+        sum(when(col("arm") === 1, dec38(vc)).otherwise(zero38))
+          .as("s1"),
+        sum(when(col("arm") === 0,
+          (vc.cast("decimal(19,0)") * vc.cast("decimal(19,0)"))
+            .cast("decimal(38,0)")).otherwise(zero38)).as("q0"),
+        sum(when(col("arm") === 1,
+          (vc.cast("decimal(19,0)") * vc.cast("decimal(19,0)"))
+            .cast("decimal(38,0)")).otherwise(zero38)).as("q1"))
+    def d(c: String) = col(c).cast("double")
+    val u1 = lit(unit)
+    val u2 = lit(unit * unit)
+    def mean(a: Int) = d(s"s$a") / col(s"n$a") / u1
+    def vr(a: Int) =
+      (d(s"q$a") / col(s"n$a") -
+        (d(s"s$a") / col(s"n$a")) * (d(s"s$a") / col(s"n$a"))) / u2
+    val both = col("n0") > 0 && col("n1") > 0
+    val se = when(both, sqrt(vr(1) / col("n1") + vr(0) / col("n0")))
+    val diff = when(both, mean(1) - mean(0))
+    m.select(col("n0"), col("n1"),
+      r6(col("cap").cast("double") / u1).as("cap"),
+      r6(when(col("n0") > 0, mean(0))).as("mean0"),
+      r6(when(col("n1") > 0, mean(1))).as("mean1"),
+      r6(diff).as("diff"),
+      when(se > 0, r6(diff / se)).as("z"))
+  }
+
   /** Fisher randomization (permutation) test for the two-arm mean
     * difference (Fisher 1935; Ernst 2004 for the modern framing) —
     * the EXACT-inference member beside [[welchT]]'s asymptotics and

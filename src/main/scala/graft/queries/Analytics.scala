@@ -483,6 +483,26 @@ object Analytics extends QueryPack {
       graft.ops.Stats.powerMde(ev, "user_id", "arm", "v4", unit = 1e4)
     }),
 
+    // Winsorized two-arm readout (Kohavi et al. 2020 ch. 22): clamp
+    // at the EXACT global p99 order statistic (pure-integer rank via
+    // the distributed scan), then the capped mean difference + z —
+    // the heavy-tail practice every revenue metric ships with.
+    "q306_winsorized" -> ((s, d) => {
+      val ev = t("events")(s, d)
+        .where(col("user_id").isNotNull && col("value").isNotNull)
+        .select(pmod(col("user_id"), lit(2L)).as("arm"),
+          floor(col("value") * 1e4 + 0.5).cast("long").as("v4"))
+      graft.ops.Stats.winsorizedDiff(ev, "arm", "v4", unit = 1e4)
+    }),
+
+    // Degree assortativity (Newman 2002) of the co-purchase graph:
+    // Pearson correlation of endpoint degrees over the directed
+    // symmetric edge set — the one-number mixing summary beside
+    // q172/q183's local clustering.
+    "q307_assortativity" -> ((s, d) =>
+      graft.graph.Assortativity.degreeCorrelation(
+        coPurchaseEdges(s, d))),
+
     // CUPED variance reduction (Deng et al. 2013): each user's
     // last-15-days metric adjusted by their first-15-days covariate
     // — θ = cov/var over exact per-user integer sums, variance drops
@@ -2589,6 +2609,101 @@ object Analytics extends QueryPack {
         |      / (count(*) + 1) * 1e6 + 0.5) / 1e6 AS REAL) AS p_perm
         |FROM stat GROUP BY n, dobs""".stripMargin
     },
+
+    // The same per-value counts + running-sum rank (pure-integer
+    // (99n+99)//100), the same integer clamp and z sequence.
+    "q306_winsorized" ->
+      """WITH ev AS (
+        |  SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+        |         CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |counts AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt
+        |           FROM ev GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM counts),
+        |sc AS (SELECT v, sum(cnt) OVER (ORDER BY v
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS rt
+        |       FROM counts),
+        |cp AS (SELECT min(v) AS cap FROM sc, tot
+        |       WHERE rt >= (99 * n + 99) // 100),
+        |cl AS (SELECT arm, least(v, cap) AS vc, cap FROM ev, cp),
+        |m AS (SELECT cap,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    sum(CASE WHEN arm = 0 THEN CAST(vc AS HUGEINT) ELSE 0 END)
+        |      AS s0,
+        |    sum(CASE WHEN arm = 1 THEN CAST(vc AS HUGEINT) ELSE 0 END)
+        |      AS s1,
+        |    sum(CASE WHEN arm = 0 THEN CAST(vc AS HUGEINT) * vc
+        |        ELSE 0 END) AS q0,
+        |    sum(CASE WHEN arm = 1 THEN CAST(vc AS HUGEINT) * vc
+        |        ELSE 0 END) AS q1
+        |  FROM cl GROUP BY 1),
+        |st AS (SELECT *,
+        |    CASE WHEN n0 > 0 THEN CAST(s0 AS DOUBLE) / n0 / 1e4 END
+        |      AS m0,
+        |    CASE WHEN n1 > 0 THEN CAST(s1 AS DOUBLE) / n1 / 1e4 END
+        |      AS m1,
+        |    CASE WHEN n0 > 0 AND n1 > 0 THEN
+        |      sqrt((CAST(q1 AS DOUBLE) / n1
+        |              - (CAST(s1 AS DOUBLE) / n1)
+        |                * (CAST(s1 AS DOUBLE) / n1)) / 1e8 / n1
+        |           + (CAST(q0 AS DOUBLE) / n0
+        |              - (CAST(s0 AS DOUBLE) / n0)
+        |                * (CAST(s0 AS DOUBLE) / n0)) / 1e8 / n0)
+        |    END AS se,
+        |    CASE WHEN n0 > 0 AND n1 > 0 THEN
+        |      CAST(s1 AS DOUBLE) / n1 / 1e4
+        |        - CAST(s0 AS DOUBLE) / n0 / 1e4
+        |    END AS df
+        |  FROM m)
+        |SELECT n0, n1,
+        |  CAST(floor(CAST(cap AS DOUBLE) / 1e4 * 1e6 + 0.5) / 1e6
+        |    AS REAL) AS cap,
+        |  CAST(floor(m0 * 1e6 + 0.5) / 1e6 AS REAL) AS mean0,
+        |  CAST(floor(m1 * 1e6 + 0.5) / 1e6 AS REAL) AS mean1,
+        |  CAST(floor(df * 1e6 + 0.5) / 1e6 AS REAL) AS diff,
+        |  CASE WHEN se > 0 THEN
+        |    CAST(floor(df / se * 1e6 + 0.5) / 1e6 AS REAL)
+        |  END AS z
+        |FROM st""".stripMargin,
+
+    // The q172 edge CTE kept DIRECTED, exact integer degrees, the
+    // q218 six-moment Pearson sequence, NULL on zero variance.
+    "q307_assortativity" ->
+      """WITH ce AS (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS deg
+        |        FROM ce GROUP BY 1),
+        |p AS (SELECT dda.deg AS da, ddb.deg AS db
+        |      FROM ce JOIN deg dda ON dda.id = ce.a
+        |      JOIN deg ddb ON ddb.id = ce.b),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        sum(CAST(da AS HUGEINT)) AS sx,
+        |        sum(CAST(db AS HUGEINT)) AS sy,
+        |        sum(CAST(da AS HUGEINT) * da) AS sxx,
+        |        sum(CAST(da AS HUGEINT) * db) AS sxy,
+        |        sum(CAST(db AS HUGEINT) * db) AS syy
+        |      FROM p),
+        |dn AS (SELECT *,
+        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS den
+        |  FROM m)
+        |SELECT n AS m_edges,
+        |  CASE WHEN den > 0 THEN
+        |    CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / sqrt(den), 4) AS REAL)
+        |  END AS r
+        |FROM dn""".stripMargin,
 
     // The same per-user HUGEINT moments, the same inlined z
     // literals, the same fixed MDE sequence and guarded ceil.

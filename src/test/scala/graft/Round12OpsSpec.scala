@@ -308,6 +308,40 @@ class Round12OpsSpec extends AnyFunSuite {
       math.ceil(2.0 * (kz * kz) * 125.0 / (0.25 * 0.25)).toLong)
   }
 
+  test("winsorizedDiff: exact p99 cap, hand-solved clamped means") {
+    import spark.implicits._
+    // values 1..100 once each, arm = v % 2: rank ⌈99·100/100⌉ = 99
+    // → cap = 99, the lone 100 clamps; arm-0 evens mean becomes
+    // (2+4+…+98+99)/50 = 50.98, arm-1 odds stay 50.0
+    val obs = (1L to 100L).map(v => ((v % 2).toInt, v))
+      .toDF("arm", "v4")
+    val r = graft.ops.Stats.winsorizedDiff(obs, "arm", "v4",
+      unit = 1.0).collect()(0)
+    assert(r.getLong(0) == 50L && r.getLong(1) == 50L)
+    assert(r.getFloat(2) == 99.0f)
+    assert(r.getFloat(3) == 50.98f && r.getFloat(4) == 50.0f)
+    assert(math.abs(r.getFloat(5) - (-0.98f)) < 1e-6)
+  }
+
+  test("assortativity: triangle + pendant hand-solved to -0.7143") {
+    import spark.implicits._
+    // deg(1)=3, deg(2)=deg(3)=2, deg(4)=1 → Pearson over the 8
+    // directed endpoint-degree pairs = -20/28 = -0.714286 (hubs
+    // attach to leaves → disassortative)
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("a", "b")
+    val r = graft.graph.Assortativity.degreeCorrelation(edges)
+      .collect()(0)
+    assert(r.getLong(0) == 8L)
+    assert(r.getFloat(1) == -0.7143f)
+    // a regular graph (triangle alone) has zero degree variance →
+    // NULL, never a fault
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    val rr = graft.graph.Assortativity.degreeCorrelation(
+      (tri ++ tri.map(_.swap)).toDF("a", "b")).collect()(0)
+    assert(rr.isNullAt(1))
+  }
+
   test("jackknifeDiff: hand-solved four-bucket fixture") {
     import spark.implicits._
     // arm 0: units 0 (v 10), 2 (v 20); arm 1: units 1 (30), 3 (50)
