@@ -57,4 +57,48 @@ object Assortativity {
         round((dn * d("sxy") - d("sx") * d("sy")) / sqrt(den), 4)
           .cast("float")).as("r"))
   }
+
+  /** Rich-club coefficient (Zhou & Mondragón 2004; Colizza et al.
+    * 2006's normalization caveat noted, unnormalized form shipped):
+    * for each degree threshold k, the edge DENSITY among the nodes
+    * of degree > k — φ(k) = E_{>k} / (N_{>k}·(N_{>k}−1)) on the
+    * directed symmetric pair set. Rising φ(k) means the hubs form a
+    * club; the companion of [[degreeCorrelation]]'s one-number
+    * mixing summary.
+    *
+    * Determinism: exact integer degrees, E/N exact conditional
+    * counts, ONE division per k at the edge, NULL when fewer than 2
+    * nodes clear the threshold.
+    *
+    * Scale shape: the degree-attached pair frame is built once
+    * (degree groupBy + two equi-joins, [[degreeCorrelation]]'s plan)
+    * and swept for ALL thresholds in one crossJoin-×|ks| aggregate —
+    * |ks| is a literal handful, so the sweep costs one map pass over
+    * O(|E|) rows; no per-k join rounds.
+    *
+    * @return one row per k: (k, n_nodes, m_edges, phi)
+    */
+  def richClub(edges: DataFrame,
+      ks: Seq[Int] = Seq(2, 4, 8, 16, 32)): DataFrame = {
+    val deg = edges.groupBy(col("a").as("id"))
+      .agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true) // endpoint joins AND the node sweep
+    val kf = ks.map(k => s"($k)").mkString(",")
+    val pairs = edges
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+    val kdf = pairs.sparkSession.sql(s"SELECT * FROM VALUES $kf t(k)")
+    val eK = pairs.crossJoin(broadcast(kdf)).groupBy(col("k"))
+      .agg(sum(when(col("da") > col("k") && col("db") > col("k"), 1L)
+        .otherwise(0L)).as("m_edges"))
+    val nK = deg.crossJoin(broadcast(kdf)).groupBy(col("k"))
+      .agg(sum(when(col("deg") > col("k"), 1L).otherwise(0L))
+        .as("n_nodes"))
+    eK.join(nK, "k")
+      .select(col("k"), col("n_nodes"), col("m_edges"),
+        when(col("n_nodes") > 1,
+          (floor(col("m_edges").cast("double") /
+            (col("n_nodes").cast("double") * (col("n_nodes") - 1))
+            * 1e6 + 0.5) / 1e6).cast("float")).as("phi"))
+  }
 }

@@ -51,6 +51,147 @@ object Stats {
         col("chi2").cast("float").as("chi2"), col("dof"))
   }
 
+  /** G-test of independence (log-likelihood ratio; Sokal & Rohlf
+    * 1981's recommended default over Pearson's χ² for small expected
+    * counts) + Cramér's V effect size (Cramér 1946) on the same
+    * contingency table as [[chiSquare]]: G = 2·Σ o·ln(o/e), and
+    * V = √(χ²/(n·(min(r,c)−1))) — the magnitude readout a bare
+    * p-statistic lacks.
+    *
+    * Determinism contract shared with [[chiSquare]]: exact integer
+    * cells/marginals, per-cell contributions rounded to 4 at the
+    * cell, headline totals as DECIMAL sums of the rounded cells
+    * (order-independent), V one sqrt off the decimal χ². Observed
+    * cells have o ≥ 1, so ln(o/e) never sees zero.
+    *
+    * Scale shape: [[chiSquare]]'s — one map-side-combined groupBy to
+    * ≤ |A|·|B| cells, bounded marginals, broadcast totals.
+    *
+    * @return one row per observed cell: (a, b, o, e, chi2, g, dof,
+    *         cramers_v) — totals repeated per row
+    */
+  def gTest(df: DataFrame, a: String, b: String): DataFrame = {
+    val cells = df.groupBy(col(a), col(b))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint(true) // feeds marginals, total and the cell join
+    val rt = cells.groupBy(col(a)).agg(sum("o").as("rt"))
+    val ct = cells.groupBy(col(b)).agg(sum("o").as("ct"))
+    val n = cells.agg(sum("o").as("n"))
+    val withE = cells.join(rt, a).join(ct, b).crossJoin(broadcast(n))
+      .withColumn("e", col("rt").cast("double") * col("ct") / col("n"))
+      .withColumn("contrib",
+        round((col("o") - col("e")) * (col("o") - col("e")) / col("e"), 4))
+      .withColumn("gc",
+        round(lit(2.0) * col("o") * log(col("o") / col("e")), 4))
+    val total = withE.agg(
+      sum(col("contrib").cast("decimal(18,4)")).cast("double").as("chi2"),
+      sum(col("gc").cast("decimal(18,4)")).cast("double").as("g"),
+      max(col("n")).as("nn"),
+      ((countDistinct(col(a)) - 1) * (countDistinct(col(b)) - 1))
+        .cast("int").as("dof"),
+      (least(countDistinct(col(a)), countDistinct(col(b))) - 1)
+        .cast("long").as("mind"))
+    withE.crossJoin(broadcast(total))
+      .select(col(a), col(b), col("o"),
+        round(col("e"), 2).cast("float").as("e"),
+        col("chi2").cast("float").as("chi2"),
+        col("g").cast("float").as("g"), col("dof"),
+        when(col("mind") > 0,
+          r6(sqrt(col("chi2") / (col("nn") * col("mind")))))
+          .as("cramers_v"))
+  }
+
+  /** Cochran–Mantel–Haenszel stratified 2×2 test (Cochran 1954;
+    * Mantel & Haenszel 1959) — "is the arm→outcome association real
+    * AFTER controlling for the stratifying confounder?", the
+    * stratified member beside [[chiSquare]]'s marginal test and the
+    * guard against Simpson-paradox readouts:
+    * {{{
+    *   χ²_CMH = (Σ_k (a_k − E_k))² / Σ_k V_k            (1 df)
+    *   E_k = n1_k·m1_k/n_k
+    *   V_k = n1_k·n0_k·m1_k·m0_k / (n_k²·(n_k−1))
+    * }}}
+    * (no continuity correction — both engines compute the same raw
+    * statistic).
+    *
+    * Determinism: the four margins per stratum are exact integers
+    * off ONE map-side-combined groupBy; each stratum's (a−E) and V
+    * are fixed IEEE sequences, FLOOR-SCALED to micro-units and
+    * integer-summed across strata ([[jackknifeDiff]]'s discipline —
+    * double sums over strata would be order-dependent); one final
+    * square/divide, flag on the UNROUNDED value vs the 3.841459
+    * 1-df critical point ([[graft.queries.Analytics]] q290's).
+    *
+    * @return one row (n_strata, chi2, signif)
+    */
+  def cmh(df: DataFrame, stratumCol: String, armCol: String,
+      outcomeCol: String): DataFrame = {
+    val arm = col(armCol)
+    val out = col(outcomeCol)
+    val per = df.groupBy(col(stratumCol).as("k"))
+      .agg(count(lit(1)).as("nt"),
+        sum(when(arm === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(out, 1L).otherwise(0L)).as("m1"),
+        sum(when(arm === 1 && out, 1L).otherwise(0L)).as("a"))
+    def d(c: Column) = c.cast("double")
+    val e = d(col("n1")) * col("m1") / col("nt")
+    val v = d(col("n1")) * (col("nt") - col("n1")) * col("m1") *
+      (col("nt") - col("m1")) /
+      (d(col("nt")) * col("nt") * (col("nt") - 1))
+    val terms = per.where(col("nt") > 1)
+      .select(floor((col("a") - e) * 1e6 + 0.5).cast("long").as("u6"),
+        floor(v * 1e6 + 0.5).cast("long").as("v6"))
+    val agg = terms.agg(count(lit(1)).as("n_strata"),
+      sum(col("u6").cast("decimal(38,0)")).as("su"),
+      sum(col("v6").cast("decimal(38,0)")).as("sv"))
+    val num = d(col("su")) / 1e6
+    val den = d(col("sv")) / 1e6
+    val chi2 = when(den > 0, num * num / den)
+    agg.select(col("n_strata"), r6(chi2).as("chi2"),
+      when(chi2.isNotNull, chi2 > 3.841459).as("signif"))
+  }
+
+  /** Kendall's τ-b rank correlation (Kendall 1938; the tie-corrected
+    * b form) on a BOUNDED pre-aggregated series — the pair-counting
+    * sibling of [[spearman]]'s rank moments: concordant minus
+    * discordant over the tie-corrected pair counts,
+    * {{{
+    *   τ_b = (nc − nd) / √((n0 − n1)·(n0 − n2))
+    *   n0 = C(n,2),  n1 = #{pairs tied in x},  n2 = #{tied in y}
+    * }}}
+    * Everything up to the final sqrt/divide is EXACT INTEGER pair
+    * counting off the C(n,2) self-join ([[theilSen]]'s bounded-input
+    * contract — days², independent of fact volume); NULL when either
+    * variable is constant (never an ANSI fault).
+    *
+    * @return one row (n_points, nc, nd, tau_b)
+    */
+  def kendallTau(series: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val base = series
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(keyCol).as("k"), cents(col(xCol)).as("x"),
+        cents(col(yCol)).as("y"))
+      .localCheckpoint(true) // both sides of the pair join
+    val pairs = base.as("a").join(base.as("b"), col("a.k") < col("b.k"))
+      .select(signum((col("b.x") - col("a.x")).cast("double"))
+          .cast("int").as("cx"),
+        signum((col("b.y") - col("a.y")).cast("double"))
+          .cast("int").as("cy"))
+    val agg = pairs.agg(count(lit(1)).as("n0"),
+      sum(when(col("cx") * col("cy") > 0, 1L).otherwise(0L)).as("nc"),
+      sum(when(col("cx") * col("cy") < 0, 1L).otherwise(0L)).as("nd"),
+      sum(when(col("cx") === 0, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("cy") === 0, 1L).otherwise(0L)).as("n2"))
+    val np = broadcast(base.agg(count(lit(1)).as("n_points")))
+    def d(c: Column) = c.cast("double")
+    val den = d(col("n0") - col("n1")) * (col("n0") - col("n2"))
+    val tau = when(den > 0,
+      d(col("nc") - col("nd")) / sqrt(den))
+    agg.crossJoin(np).select(col("n_points"), col("nc"), col("nd"),
+      r6(tau).as("tau_b"))
+  }
+
   /** Exact integer cents of a 2-decimal money double — the repo's
     * exact-moment currency: decimal cast (unambiguous for 2-decimal
     * sources) then ×100, so every downstream sum/product is integer

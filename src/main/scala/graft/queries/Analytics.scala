@@ -483,6 +483,49 @@ object Analytics extends QueryPack {
       graft.ops.Stats.powerMde(ev, "user_id", "arm", "v4", unit = 1e4)
     }),
 
+    // Cochran–Mantel–Haenszel stratified 2×2 (Cochran 1954; Mantel
+    // & Haenszel 1959): arm→conversion association CONTROLLING for
+    // day-of-week — the Simpson-paradox guard beside q197's marginal
+    // χ²; micro-unit integer sums across strata.
+    "q308_cmh" -> ((s, d) => {
+      val ev = t("events")(s, d)
+        .where(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull)
+        .select(dayofweek(to_date(col("ts"))).as("dow"),
+          pmod(col("user_id"), lit(2L)).as("arm"),
+          (col("event_type") === "purchase").as("conv"))
+      graft.ops.Stats.cmh(ev, "dow", "arm", "conv")
+    }),
+
+    // G-test (log-likelihood ratio) + Cramér's V on q197's
+    // event_type × day-of-week table: the LLR twin of Pearson's χ²
+    // plus the EFFECT-SIZE readout a bare statistic lacks.
+    "q309_gtest" -> ((s, d) =>
+      graft.ops.Stats.gTest(
+        t("events")(s, d)
+          .withColumn("dow", dayofweek(to_date(col("ts")))),
+        "event_type", "dow")),
+
+    // Rich-club coefficient (Zhou & Mondragón 2004) of the
+    // co-purchase graph: edge density among nodes of degree > k for
+    // a threshold ladder — do the hubs form a club? The companion of
+    // q307's assortativity, one map sweep for all thresholds.
+    "q310_rich_club" -> ((s, d) =>
+      graft.graph.Assortativity.richClub(coPurchaseEdges(s, d))),
+
+    // Kendall's τ-b (1938) between daily revenue and daily order
+    // count on the bounded series: exact concordant/discordant/tie
+    // pair counts, one sqrt at the edge — the pair-counting sibling
+    // of q218's Spearman.
+    "q311_kendall_tau" -> ((s, d) =>
+      graft.ops.Stats.kendallTau(
+        t("orders")(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("odate"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("rev"),
+            count(lit(1)).cast("double").as("cnt")),
+        "odate", "rev", "cnt")),
+
     // Winsorized two-arm readout (Kohavi et al. 2020 ch. 22): clamp
     // at the EXACT global p99 order statistic (pure-integer rank via
     // the distributed scan), then the capped mean difference + z —
@@ -2609,6 +2652,147 @@ object Analytics extends QueryPack {
         |      / (count(*) + 1) * 1e6 + 0.5) / 1e6 AS REAL) AS p_perm
         |FROM stat GROUP BY n, dobs""".stripMargin
     },
+
+    // The same four exact margins per stratum, the same fixed E/V
+    // sequences floor-scaled to micro-units, the same final square.
+    "q308_cmh" ->
+      """WITH ev AS (
+        |  SELECT CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INTEGER)
+        |           AS dow,
+        |         CAST(user_id % 2 AS BIGINT) AS arm,
+        |         (event_type = 'purchase') AS conv
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |per AS (SELECT dow AS k, CAST(count(*) AS BIGINT) AS nt,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    CAST(sum(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS m1,
+        |    CAST(sum(CASE WHEN arm = 1 AND conv THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a
+        |  FROM ev GROUP BY 1),
+        |terms AS (SELECT
+        |    CAST(floor((a - CAST(n1 AS DOUBLE) * m1 / nt) * 1e6 + 0.5)
+        |      AS BIGINT) AS u6,
+        |    CAST(floor(CAST(n1 AS DOUBLE) * (nt - n1) * m1 * (nt - m1)
+        |        / (CAST(nt AS DOUBLE) * nt * (nt - 1)) * 1e6 + 0.5)
+        |      AS BIGINT) AS v6
+        |  FROM per WHERE nt > 1),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+        |          sum(CAST(u6 AS HUGEINT)) AS su,
+        |          sum(CAST(v6 AS HUGEINT)) AS sv
+        |        FROM terms),
+        |fin AS (SELECT n_strata,
+        |    CASE WHEN CAST(sv AS DOUBLE) / 1e6 > 0 THEN
+        |      (CAST(su AS DOUBLE) / 1e6) * (CAST(su AS DOUBLE) / 1e6)
+        |        / (CAST(sv AS DOUBLE) / 1e6)
+        |    END AS chi2
+        |  FROM agg)
+        |SELECT n_strata,
+        |  CAST(floor(chi2 * 1e6 + 0.5) / 1e6 AS REAL) AS chi2,
+        |  CASE WHEN chi2 IS NOT NULL THEN chi2 > 3.841459 END
+        |    AS signif
+        |FROM fin""".stripMargin,
+
+    // q197's cell/marginal CTEs with BOTH per-cell contributions
+    // (Pearson + LLR) rounded at the cell, decimal totals, the same
+    // one-sqrt Cramér's V.
+    "q309_gtest" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(dayofweek(CAST(ts AS DATE)) + 1
+        |           AS INTEGER) AS dow, count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, sum(o) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT dow, sum(o) AS ct FROM cells GROUP BY 1),
+        |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |we AS (
+        |  SELECT c.event_type, c.dow, c.o,
+        |         CAST(rt.rt AS DOUBLE) * ct.ct / n.n AS e
+        |  FROM cells c JOIN rt USING (event_type)
+        |  JOIN ct USING (dow), n),
+        |wc AS (SELECT *,
+        |         round((o - e) * (o - e) / e, 4) AS contrib,
+        |         round(2.0 * o * ln(o / e), 4) AS gc
+        |       FROM we),
+        |tot AS (SELECT
+        |    CAST(sum(CAST(contrib AS DECIMAL(18,4))) AS DOUBLE)
+        |      AS chi2,
+        |    CAST(sum(CAST(gc AS DECIMAL(18,4))) AS DOUBLE) AS g,
+        |    CAST((count(DISTINCT event_type) - 1)
+        |      * (count(DISTINCT dow) - 1) AS INTEGER) AS dof,
+        |    CAST(least(count(DISTINCT event_type),
+        |      count(DISTINCT dow)) - 1 AS BIGINT) AS mind
+        |  FROM wc)
+        |SELECT wc.event_type, wc.dow, wc.o,
+        |  CAST(round(wc.e, 2) AS REAL) AS e,
+        |  CAST(tot.chi2 AS REAL) AS chi2, CAST(tot.g AS REAL) AS g,
+        |  tot.dof,
+        |  CASE WHEN tot.mind > 0 THEN
+        |    CAST(floor(sqrt(tot.chi2 / (n.n * tot.mind)) * 1e6 + 0.5)
+        |      / 1e6 AS REAL)
+        |  END AS cramers_v
+        |FROM wc, tot, n""".stripMargin,
+
+    // The q172 edge CTE kept directed, exact degrees, one
+    // conditional-count sweep over the threshold ladder, one
+    // division per k.
+    "q310_rich_club" ->
+      """WITH ce AS (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS deg
+        |        FROM ce GROUP BY 1),
+        |ks AS (SELECT * FROM (VALUES (2),(4),(8),(16),(32)) t(k)),
+        |p AS (SELECT dda.deg AS da, ddb.deg AS db
+        |      FROM ce JOIN deg dda ON dda.id = ce.a
+        |      JOIN deg ddb ON ddb.id = ce.b),
+        |ek AS (SELECT k, CAST(sum(CASE WHEN da > k AND db > k
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS m_edges
+        |       FROM p, ks GROUP BY 1),
+        |nk AS (SELECT k, CAST(sum(CASE WHEN deg > k THEN 1 ELSE 0
+        |           END) AS BIGINT) AS n_nodes
+        |       FROM deg, ks GROUP BY 1)
+        |SELECT ek.k, n_nodes, m_edges,
+        |  CASE WHEN n_nodes > 1 THEN
+        |    CAST(floor(CAST(m_edges AS DOUBLE)
+        |        / (CAST(n_nodes AS DOUBLE) * (n_nodes - 1))
+        |      * 1e6 + 0.5) / 1e6 AS REAL)
+        |  END AS phi
+        |FROM ek JOIN nk USING (k)""".stripMargin,
+
+    // The q205 daily series with the order count beside revenue,
+    // exact sign-pair counting, the same tie-corrected denominator.
+    "q311_kendall_tau" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS k,
+        |         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |           AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |         CAST(count(*) AS BIGINT) * 100 AS y
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT sign(b.x - a.x) AS cx, sign(b.y - a.y) AS cy
+        |      FROM daily a JOIN daily b ON a.k < b.k),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN cx * cy > 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nc,
+        |    CAST(sum(CASE WHEN cx * cy < 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nd,
+        |    CAST(sum(CASE WHEN cx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    CAST(sum(CASE WHEN cy = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n2
+        |  FROM p),
+        |np AS (SELECT CAST(count(*) AS BIGINT) AS n_points
+        |       FROM daily)
+        |SELECT n_points, nc, nd,
+        |  CASE WHEN CAST(n0 - n1 AS DOUBLE) * (n0 - n2) > 0 THEN
+        |    CAST(floor(CAST(nc - nd AS DOUBLE)
+        |        / sqrt(CAST(n0 - n1 AS DOUBLE) * (n0 - n2))
+        |      * 1e6 + 0.5) / 1e6 AS REAL)
+        |  END AS tau_b
+        |FROM agg, np""".stripMargin,
 
     // The same per-value counts + running-sum rank (pure-integer
     // (99n+99)//100), the same integer clamp and z sequence.

@@ -342,6 +342,80 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(rr.isNullAt(1))
   }
 
+  test("cmh: null stratum-balanced table at 0, hand-solved effect") {
+    import spark.implicits._
+    def stratum(k: String, a1c: Int, a1n: Int, a0c: Int, a0n: Int) =
+      Seq.fill(a1c)((k, 1, true)) ++ Seq.fill(a1n)((k, 1, false)) ++
+        Seq.fill(a0c)((k, 0, true)) ++ Seq.fill(a0n)((k, 0, false))
+    // perfectly balanced strata: every a_k = E_k → χ² exactly 0
+    val nul = (stratum("a", 5, 5, 5, 5) ++ stratum("b", 5, 5, 5, 5))
+      .toDF("k", "arm", "conv")
+    val r0 = graft.ops.Stats.cmh(nul, "k", "arm", "conv").collect()(0)
+    assert(r0.getLong(0) == 2L && r0.getFloat(1) == 0.0f &&
+      !r0.getBoolean(2))
+    // two identical effect strata: nt=40, n1=20, m1=20, a=15 →
+    // per stratum a−E = 5, V = 160000/62400; χ² from the same
+    // micro-unit sequence
+    val eff = (stratum("a", 15, 5, 5, 15) ++ stratum("b", 15, 5, 5, 15))
+      .toDF("k", "arm", "conv")
+    val r1 = graft.ops.Stats.cmh(eff, "k", "arm", "conv").collect()(0)
+    val v6 = math.floor(
+      20.0 * 20 * 20 * 20 / (40.0 * 40 * 39) * 1e6 + 0.5).toLong
+    val chi2 = 10.0 * 10.0 / (2 * v6 / 1e6)
+    def r6(x: Double) = (math.floor(x * 1e6 + 0.5) / 1e6).toFloat
+    assert(r1.getFloat(1) == r6(chi2) && r1.getBoolean(2))
+  }
+
+  test("gTest: 2x2 [[30,10],[10,30]] hand-solved chi2/G/V") {
+    import spark.implicits._
+    val rows = Seq.fill(30)(("a1", "b1")) ++ Seq.fill(10)(("a1", "b2")) ++
+      Seq.fill(10)(("a2", "b1")) ++ Seq.fill(30)(("a2", "b2"))
+    val df = rows.toDF("x", "y")
+    val got = graft.ops.Stats.gTest(df, "x", "y").collect()
+    assert(got.length == 4)
+    val r = got(0)
+    def rd4(v: Double) = math.round(v * 1e4) / 1e4
+    val gExp = 2 * rd4(2.0 * 30 * math.log(30.0 / 20)) +
+      2 * rd4(2.0 * 10 * math.log(10.0 / 20))
+    assert(r.getFloat(r.fieldIndex("chi2")) == 20.0f)
+    assert(math.abs(r.getFloat(r.fieldIndex("g")) - gExp) < 1e-4)
+    assert(r.getInt(r.fieldIndex("dof")) == 1)
+    // V = √(20/(80·1)) = 0.5 exactly
+    assert(r.getFloat(r.fieldIndex("cramers_v")) == 0.5f)
+  }
+
+  test("richClub: 4-clique + pendant — the club is fully dense") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("a", "b")
+    val got = graft.graph.Assortativity.richClub(edges, Seq(1, 3))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getFloat(3)))).toMap
+    // deg: 1→4, 2/3/4→3, 5→1; k=1 club = {1,2,3,4}, all 12 directed
+    // clique edges present → φ = 1.0; k=3 club = {1} alone → NULL
+    assert(got(1) == ((4L, 12L, Some(1.0f))))
+    assert(got(3) == ((1L, 0L, None)))
+  }
+
+  test("kendallTau: perfect discordance and the tie-corrected form") {
+    import spark.implicits._
+    val neg = Seq((1, 1.0, 3.0), (2, 2.0, 2.0), (3, 3.0, 1.0))
+      .toDF("k", "x", "y")
+    val r0 = graft.ops.Stats.kendallTau(neg, "k", "x", "y").collect()(0)
+    assert(r0.getLong(0) == 3L && r0.getFloat(3) == -1.0f)
+    // x = [1,2,2,3], y = [1,2,3,4]: one x-tie pair → nc=5, nd=0,
+    // τ_b = 5/√(5·6)
+    val tied = Seq((1, 1.0, 1.0), (2, 2.0, 2.0), (3, 2.0, 3.0),
+      (4, 3.0, 4.0)).toDF("k", "x", "y")
+    val r1 = graft.ops.Stats.kendallTau(tied, "k", "x", "y")
+      .collect()(0)
+    assert(r1.getLong(1) == 5L && r1.getLong(2) == 0L)
+    def r6(x: Double) = (math.floor(x * 1e6 + 0.5) / 1e6).toFloat
+    assert(r1.getFloat(3) == r6(5.0 / math.sqrt(30.0)))
+  }
+
   test("jackknifeDiff: hand-solved four-bucket fixture") {
     import spark.implicits._
     // arm 0: units 0 (v 10), 2 (v 20); arm 1: units 1 (30), 3 (50)
