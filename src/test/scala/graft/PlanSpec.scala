@@ -616,4 +616,52 @@ class PlanSpec extends AnyFunSuite {
       assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty)
     } finally spark.conf.set("spark.sql.adaptive.enabled", before)
   }
+
+  test("q300: permutation replicates combine map-side; q298/q305 " +
+    "reduce in one pass") {
+    val p = plan("q300_permutation_test")
+    val partials = p.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+        if a.aggregateExpressions.exists(_.mode == Partial) => a
+    }
+    assert(partials.nonEmpty,
+      "the ×B explode must combine before its shuffle")
+    // the one-pass moment readouts never sort and never SMJ
+    for (q <- Seq("q298_delta_ratio", "q305_power_mde")) {
+      val pp = plan(q)
+      assert(pp.collect { case j: SortMergeJoinExec => j }.isEmpty, q)
+      assert(pp.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }.isEmpty, q)
+    }
+  }
+
+  test("q304: the query side broadcasts into the postings join") {
+    val p = plan("q304_ql_dirichlet")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty)
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty)
+  }
+
+  test("q306: the p99 scan shuffles counts, not rows; no SMJ") {
+    // the winsorize pass must aggregate per VALUE before any
+    // exchange (count frame ≪ fact frame) and attach the cap by
+    // broadcast, never a sort-merge join against the fact table
+    val p = plan("q306_winsorized")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty)
+    val partials = p.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+        if a.aggregateExpressions.exists(_.mode == Partial) => a
+    }
+    assert(partials.nonEmpty)
+  }
+
+  test("q307/q310: degree attachment is an equi-join, never cartesian") {
+    for (q <- Seq("q307_assortativity", "q310_rich_club")) {
+      val p = plan(q)
+      assert(p.collect {
+        case c: org.apache.spark.sql.execution.joins
+          .CartesianProductExec => c
+      }.isEmpty, q)
+    }
+  }
 }
