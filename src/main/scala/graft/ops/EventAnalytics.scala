@@ -398,6 +398,65 @@ object EventAnalytics {
         sum(col("linfp")).as("linear_fp"), sum(col("ufp")).as("ushape_fp"))
   }
 
+  /** TIME-DECAY multi-touch attribution — the recency-weighted member
+    * completing [[attribution]]'s first/last/linear/U-shaped set (the
+    * standard five-model lineup of marketing-attribution platforms):
+    * each touch earns weight 2^(−⌊Δ/86400⌋) — a one-day half-life —
+    * and a conversion's 10 000 basis points split proportionally.
+    *
+    * The decay is PURE INTEGER: w = 10⁶ / 2^days is exact for the
+    * 7-day lookback (10⁶ = 2⁶·5⁶·… so every halving down to 15 625
+    * divides evenly), inlined as a 7-branch CASE of literals in both
+    * engines — zero libm, zero floats anywhere. Credit is
+    * (10⁴·w) div Σw with the integer remainder assigned to the
+    * MOST-RECENT touch (the model's own bias direction), so every
+    * conversion's credits sum to exactly 10 000 ([[attribution]]'s
+    * contract).
+    *
+    * Scale shape: [[attribution]]'s — the conv⋈touch pair join keyed
+    * on user_id, windows keyed per conv_id (never global), one
+    * channel groupBy out.
+    *
+    * @return (channel, n_touches, n_conversions, decay_fp)
+    */
+  def attributionDecay(events: DataFrame,
+      convType: String = "purchase",
+      lookbackS: Long = 7L * 86400L): DataFrame = {
+    val ev = events.select(col("user_id"),
+      col("ts").cast("long").as("t"), col("event_id"), col("event_type"))
+    val conv = ev.where(col("event_type") === convType)
+      .select(col("user_id"), col("t").as("ct"),
+        col("event_id").as("conv_id"))
+    val touch = ev.where(col("event_type") =!= convType)
+      .select(col("user_id"), col("t"), col("event_id"),
+        col("event_type").as("channel"))
+    val pairs = conv.join(touch, Seq("user_id"))
+      .where(col("t") < col("ct") && col("t") >= col("ct") - lookbackS)
+    val dd = expr("(ct - t) div 86400")
+    val w6 = when(dd === 0, 1000000L).when(dd === 1, 500000L)
+      .when(dd === 2, 250000L).when(dd === 3, 125000L)
+      .when(dd === 4, 62500L).when(dd === 5, 31250L)
+      .otherwise(15625L)
+    val wOrd = Window.partitionBy(col("conv_id"))
+      .orderBy(col("t"), col("event_id"))
+    val wAll = Window.partitionBy(col("conv_id"))
+    val ranked = pairs
+      .withColumn("pos", row_number().over(wOrd).cast("long"))
+      .withColumn("nt", count(lit(1)).over(wAll))
+      .withColumn("w6", w6)
+      .withColumn("sw", sum(col("w6")).over(wAll))
+      .withColumn("base", expr("(10000 * w6) div sw"))
+      .withColumn("sbase", sum(col("base")).over(wAll))
+    val fp = col("base") + when(col("pos") === col("nt"),
+      lit(10000L) - col("sbase")).otherwise(lit(0L))
+    ranked
+      .select(col("channel"), col("conv_id"), fp.as("dfp"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        count_distinct(col("conv_id")).as("n_conversions"),
+        sum(col("dfp")).as("decay_fp"))
+  }
+
   /** Goh–Barabási burstiness per user — B = (σ − μ)/(σ + μ) of the
     * inter-event gaps, in [−1, 1]: −1 = metronome (bot cadence),
     * 0 = Poisson, → 1 = bursty human. The behavioral-forensics signal

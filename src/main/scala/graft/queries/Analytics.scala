@@ -526,6 +526,13 @@ object Analytics extends QueryPack {
             count(lit(1)).cast("double").as("cnt")),
         "odate", "rev", "cnt")),
 
+    // Time-decay attribution: the recency-weighted member completing
+    // q271's first/last/linear/U-shaped lineup — pure-integer
+    // one-day-half-life weights (10⁶/2^days, exact for the 7-day
+    // lookback), remainder to the most-recent touch.
+    "q312_attribution_decay" -> ((s, d) =>
+      graft.ops.EventAnalytics.attributionDecay(t("events")(s, d))),
+
     // Winsorized two-arm readout (Kohavi et al. 2020 ch. 22): clamp
     // at the EXACT global p99 order statistic (pure-integer rank via
     // the distributed scan), then the capped mean difference + z —
@@ -2652,6 +2659,45 @@ object Analytics extends QueryPack {
         |      / (count(*) + 1) * 1e6 + 0.5) / 1e6 AS REAL) AS p_perm
         |FROM stat GROUP BY n, dobs""".stripMargin
     },
+
+    // q271's pair/rank CTEs with the 7-literal integer weight CASE,
+    // the same div/remainder split, remainder to pos = nt.
+    "q312_attribution_decay" ->
+      """WITH ev AS (SELECT user_id,
+        |              CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |              event_id, event_type FROM events),
+        |conv AS (SELECT user_id, t AS ct, event_id AS conv_id
+        |         FROM ev WHERE event_type = 'purchase'),
+        |tch AS (SELECT user_id, t, event_id, event_type AS channel
+        |        FROM ev WHERE event_type <> 'purchase'),
+        |p AS (SELECT c.conv_id, tc.channel, tc.t, tc.event_id,
+        |             CASE (c.ct - tc.t) // 86400
+        |               WHEN 0 THEN 1000000 WHEN 1 THEN 500000
+        |               WHEN 2 THEN 250000 WHEN 3 THEN 125000
+        |               WHEN 4 THEN 62500 WHEN 5 THEN 31250
+        |               ELSE 15625 END AS w6
+        |      FROM conv c JOIN tch tc ON tc.user_id = c.user_id
+        |       AND tc.t < c.ct AND tc.t >= c.ct - 604800),
+        |r AS (SELECT *,
+        |        CAST(row_number() OVER (PARTITION BY conv_id
+        |          ORDER BY t, event_id) AS BIGINT) AS pos,
+        |        CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT)
+        |          AS nt,
+        |        CAST(sum(w6) OVER (PARTITION BY conv_id) AS BIGINT)
+        |          AS sw
+        |      FROM p),
+        |b AS (SELECT *, (10000 * CAST(w6 AS BIGINT)) // sw AS base
+        |      FROM r),
+        |cr AS (SELECT channel, conv_id,
+        |         base + CASE WHEN pos = nt THEN
+        |           10000 - CAST(sum(base) OVER (PARTITION BY conv_id)
+        |             AS BIGINT) ELSE 0 END AS dfp
+        |       FROM b)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+        |       CAST(count(DISTINCT conv_id) AS BIGINT)
+        |         AS n_conversions,
+        |       CAST(sum(dfp) AS BIGINT) AS decay_fp
+        |FROM cr GROUP BY 1""".stripMargin,
 
     // The same four exact margins per stratum, the same fixed E/V
     // sequences floor-scaled to micro-units, the same final square.

@@ -416,6 +416,28 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(r1.getFloat(3) == r6(5.0 / math.sqrt(30.0)))
   }
 
+  test("attributionDecay: integer halving weights, remainder to the " +
+    "most recent touch, credits sum to exactly 10000") {
+    import spark.implicits._
+    // touches at 0.5/1.5/3.5 days before the conversion → weights
+    // 10⁶/5·10⁵/1.25·10⁵, sw = 1 625 000; floor credits 6153/3076/769
+    // leave remainder 2 for the most-recent touch (view)
+    val T = 1000000L
+    val ev = Seq(
+      (1L, 10L, T, "purchase"),
+      (2L, 10L, T - 43200L, "view"),
+      (3L, 10L, T - 129600L, "click"),
+      (4L, 10L, T - 302400L, "email"))
+      .toDF("event_id", "user_id", "tt", "event_type")
+      .withColumn("ts", col("tt").cast("timestamp")).drop("tt")
+    val got = graft.ops.EventAnalytics.attributionDecay(ev)
+      .collect().map(r => r.getString(0) ->
+        r.getLong(r.fieldIndex("decay_fp"))).toMap
+    assert(got == Map("view" -> 6155L, "click" -> 3076L,
+      "email" -> 769L))
+    assert(got.values.sum == 10000L)
+  }
+
   test("jackknifeDiff: hand-solved four-bucket fixture") {
     import spark.implicits._
     // arm 0: units 0 (v 10), 2 (v 20); arm 1: units 1 (30), 3 (50)
