@@ -285,6 +285,110 @@ object Similarity {
         (floor(col("cv") * 1e4 + 0.5) / 1e4).cast("float").as("c"))
   }
 
+  /** SIMPLIFIED silhouette (Hruschka, de Castro & Campello 2004 —
+    * the centroid-based form large-scale libraries ship, O(N·k)
+    * instead of the full pairwise O(N²)): per point, a = distance to
+    * its OWN centroid, b = the nearest OTHER centroid, s = (b − a) /
+    * max(a, b) ∈ [−1, 1] — the clustering-quality readout for the
+    * [[kmeans]] training artifact (well-separated cells → s → 1).
+    *
+    * Determinism: distances are the [[graft.functions.SqDiffSum]]
+    * fixed-order fold both engines share; per-point s is one fixed
+    * IEEE sequence (0 at the a = b = 0 degenerate), FLOOR-SCALED to
+    * micro-units before the per-cell mean (cross-point double sums
+    * would be order-dependent — the CMH/jackknife discipline).
+    *
+    * Scale shape: assignment + the k distances per point are a pure
+    * map against the broadcast one-row centroid array ([[lloydCells]]'
+    * contract); one (vec_id)-keyed aggregate, one cell-keyed
+    * aggregate, |cells| rows out.
+    *
+    * @return (cell, n_vecs, mean_sil) per non-empty cell
+    */
+  def silhouette(embeddings: DataFrame, nlist: Int = 16,
+      iters: Int = 2): DataFrame = {
+    val (_, ab) = silhouetteAb(embeddings, nlist, iters)
+    val a = sqrt(col("a2"))
+    val b = sqrt(col("b2"))
+    val mx = greatest(a, b)
+    val sil = when(mx > 0, (b - a) / mx).otherwise(lit(0.0))
+    ab.select(col("cell"),
+        floor(sil * 1e6 + 0.5).cast("long").as("s6"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("s6").cast("decimal(38,0)")).as("ss"))
+      .select(col("cell"), col("n_vecs"),
+        (floor(col("ss").cast("double") / col("n_vecs") / 1e6
+          * 1e6 + 0.5) / 1e6).cast("float").as("mean_sil"))
+  }
+
+  /** Davies–Bouldin index (Davies & Bouldin 1979) over the same
+    * [[lloydCells]] artifact — the worst-case-overlap companion of
+    * [[silhouette]]'s per-point view: per cluster, scatter S_i =
+    * mean distance to centroid; DB = mean_i max_{j≠i} (S_i + S_j) /
+    * d(c_i, c_j) — lower is better, the metric that punishes the
+    * single most-confusable cluster pair.
+    *
+    * Same determinism contract: fixed-order distance folds, scatter
+    * means off micro-unit integer sums, the max over an exactly-k²
+    * metadata frame, the final mean again micro-scaled.
+    *
+    * @return one row (n_clusters, db_index)
+    */
+  def daviesBouldin(embeddings: DataFrame, nlist: Int = 16,
+      iters: Int = 2): DataFrame = {
+    val (cents, ab) = silhouetteAb(embeddings, nlist, iters)
+    val scatter = ab.select(col("cell"),
+        floor(sqrt(col("a2")) * 1e6 + 0.5).cast("long").as("a6"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("a6").cast("decimal(38,0)")).as("sa"))
+      .select(col("cell"),
+        (col("sa").cast("double") / col("n") / 1e6).as("sc"))
+      .localCheckpoint(true) // both sides of the cluster-pair frame
+    val cf = cents.select(explode(col("ca")).as("s"))
+      .select(col("s.cell").as("cell"), col("s.c").as("c"))
+    val pairs = cf.as("i").join(cf.as("j"),
+        col("i.cell") =!= col("j.cell"))
+      .select(col("i.cell").as("ci"), col("j.cell").as("cj"),
+        sqrt(graft.functions.SqDiffSum(col("i.c"), col("j.c")))
+          .as("m"))
+    val rij = pairs
+      .join(scatter.select(col("cell").as("ci"), col("sc").as("si")),
+        "ci")
+      .join(scatter.select(col("cell").as("cj"), col("sc").as("sj")),
+        "cj")
+      .where(col("m") > 0)
+      .select(col("ci"), ((col("si") + col("sj")) / col("m")).as("r"))
+    rij.groupBy(col("ci")).agg(max(col("r")).as("mr"))
+      .select(floor(col("mr") * 1e6 + 0.5).cast("long").as("m6"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("m6").cast("decimal(38,0)")).as("sm"))
+      .select(col("n_clusters"),
+        (floor(col("sm").cast("double") / col("n_clusters") / 1e6
+          * 1e6 + 0.5) / 1e6).cast("float").as("db_index"))
+  }
+
+  /** Shared (centroids, per-point a²/b²) chain for [[silhouette]] /
+    * [[daviesBouldin]]: a² = squared distance to the OWN centroid,
+    * b² = to the nearest OTHER. */
+  private def silhouetteAb(embeddings: DataFrame, nlist: Int,
+      iters: Int): (DataFrame, DataFrame) = {
+    val e = embeddings.select(col("vec_id"),
+      asDouble(col("embedding")).as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+    val (cents, assigned) = lloydCells(e, nlist, iters)
+    val ab = assigned.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cell"),
+        explode(cellDists(col("v"))).as("s"))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(min(when(col("s.cell") === col("cell"), col("s.d")))
+        .as("a2"),
+        min(when(col("s.cell") =!= col("cell"), col("s.d")))
+          .as("b2"))
+    (cents, ab)
+  }
+
   /** Product-quantization ANN (Jégou et al. 2011, "Product
     * quantization for nearest neighbor search"): split each vector
     * into `m` subspaces, k-means each subspace into `ksub` codewords,

@@ -721,6 +721,17 @@ object LlmPack extends QueryPack {
     // model of assignment-only production passes.
     "q246_kmeans" -> ((s, d) =>
       Similarity.kmeans(t("embeddings")(s, d))),
+    // Simplified (centroid-based) silhouette over the q246 artifact
+    // (Hruschka et al. 2004): the O(N·k) clustering-quality readout —
+    // per point (b − a)/max(a, b) against own vs nearest-other
+    // centroid, per-cell means off micro-unit integer sums.
+    "q313_silhouette" -> ((s, d) =>
+      Similarity.silhouette(t("embeddings")(s, d))),
+    // Davies–Bouldin index (1979) over the same artifact: the
+    // worst-case-overlap companion — mean over clusters of the most
+    // confusable pair ratio (S_i + S_j)/d(c_i, c_j).
+    "q314_davies_bouldin" -> ((s, d) =>
+      Similarity.daviesBouldin(t("embeddings")(s, d))),
     // Johnson–Lindenstrauss random projection: 64 → 16 dims via the
     // md5-parity ±1 plane family, 1/√16 = 0.25 exact scale — the
     // dimensionality-reduction preprocessor, a pure map.
@@ -2366,6 +2377,67 @@ object LlmPack extends QueryPack {
          |         FROM c2, range($dim) t(i))
          |SELECT g.cell, coalesce(s.n_vecs, 0) AS n_vecs, g.pos, g.c
          |FROM grid g LEFT JOIN sizes s USING (cell)""".stripMargin
+    },
+    // The same Lloyd chain, all-cell distances off one af × c2
+    // product, the same fixed s sequence micro-scaled per cell.
+    "q313_silhouette" -> {
+      val dim = Similarity.defaultDim
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+         |${OracleSql.lloydChain(dim, 16, 2)},
+         |dm AS (SELECT af.vec_id, af.cell, c.cell AS c2c,
+         |         ${OracleSql.sqDistSql(dim, "af.v", "c.c")} AS d
+         |       FROM af, c2 c),
+         |ab AS (SELECT vec_id, cell,
+         |         min(CASE WHEN c2c = cell THEN d END) AS a2,
+         |         min(CASE WHEN c2c <> cell THEN d END) AS b2
+         |       FROM dm GROUP BY 1, 2),
+         |s6 AS (SELECT cell, CAST(floor(
+         |    CASE WHEN greatest(sqrt(a2), sqrt(b2)) > 0 THEN
+         |      (sqrt(b2) - sqrt(a2)) / greatest(sqrt(a2), sqrt(b2))
+         |    ELSE 0.0 END * 1e6 + 0.5) AS BIGINT) AS s6
+         |  FROM ab)
+         |SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(floor(CAST(sum(CAST(s6 AS HUGEINT)) AS DOUBLE)
+         |      / count(*) / 1e6 * 1e6 + 0.5) / 1e6 AS REAL)
+         |    AS mean_sil
+         |FROM s6 GROUP BY 1""".stripMargin
+    },
+    // The same chain; scatter means off micro-unit sums, the k²
+    // centroid-pair ratios, max per cluster, micro-scaled final mean.
+    "q314_davies_bouldin" -> {
+      val dim = Similarity.defaultDim
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+         |${OracleSql.lloydChain(dim, 16, 2)},
+         |dm AS (SELECT af.vec_id, af.cell, c.cell AS c2c,
+         |         ${OracleSql.sqDistSql(dim, "af.v", "c.c")} AS d
+         |       FROM af, c2 c),
+         |ab AS (SELECT vec_id, cell,
+         |         min(CASE WHEN c2c = cell THEN d END) AS a2
+         |       FROM dm GROUP BY 1, 2),
+         |sc AS (SELECT cell,
+         |         CAST(sum(CAST(CAST(floor(sqrt(a2) * 1e6 + 0.5)
+         |             AS BIGINT) AS HUGEINT)) AS DOUBLE)
+         |           / count(*) / 1e6 AS sc
+         |       FROM ab GROUP BY 1),
+         |cp AS (SELECT i.cell AS ci, j.cell AS cj,
+         |         sqrt(${OracleSql.sqDistSql(dim, "i.c", "j.c")}) AS m
+         |       FROM c2 i, c2 j WHERE i.cell <> j.cell),
+         |rij AS (SELECT ci, (si.sc + sj.sc) / m AS r
+         |        FROM cp JOIN sc si ON si.cell = cp.ci
+         |        JOIN sc sj ON sj.cell = cp.cj
+         |        WHERE m > 0),
+         |mx AS (SELECT ci, CAST(floor(max(r) * 1e6 + 0.5) AS BIGINT)
+         |         AS m6
+         |       FROM rij GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(floor(CAST(sum(CAST(m6 AS HUGEINT)) AS DOUBLE)
+         |      / count(*) / 1e6 * 1e6 + 0.5) / 1e6 AS REAL)
+         |    AS db_index
+         |FROM mx""".stripMargin
     },
     // The projection replayed: same md5-parity planes (the q69 CTE
     // convention), one list_dot_product per (vector, plane), exact

@@ -438,6 +438,29 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(got.values.sum == 10000L)
   }
 
+  test("silhouette + daviesBouldin: hand-traced two-cluster Lloyd") {
+    import spark.implicits._
+    // vecs (0,0),(0,2),(10,10),(10,12); init = two lowest ids →
+    // after 2 Lloyd rounds centroids settle at (0,1) and (10,11),
+    // every point at distance 1 from its own centroid
+    val emb = Seq((1L, Seq(0f, 0f)), (2L, Seq(0f, 2f)),
+      (3L, Seq(10f, 10f)), (4L, Seq(10f, 12f)))
+      .toDF("vec_id", "embedding")
+    def m6(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    def r6(x: Double) = (math.floor(x * 1e6 + 0.5) / 1e6).toFloat
+    def s(b: Double) = (math.sqrt(b) - 1.0) / math.sqrt(b)
+    val sil = graft.llm.Similarity.silhouette(emb, nlist = 2,
+      iters = 2).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getFloat(2))).toMap
+    val exp = r6((m6(s(221)) + m6(s(181))) / 2.0 / 1e6)
+    assert(sil(1) == ((2L, exp)) && sil(2) == ((2L, exp)))
+    // S₁ = S₂ = 1, centroid gap √200 → DB = 2/√200 for both clusters
+    val db = graft.llm.Similarity.daviesBouldin(emb, nlist = 2,
+      iters = 2).collect()(0)
+    assert(db.getLong(0) == 2L)
+    assert(db.getFloat(1) == r6(m6(2.0 / math.sqrt(200.0)) / 1e6))
+  }
+
   test("jackknifeDiff: hand-solved four-bucket fixture") {
     import spark.implicits._
     // arm 0: units 0 (v 10), 2 (v 20); arm 1: units 1 (30), 3 (50)
