@@ -614,6 +614,46 @@ object TextOps {
     *
     * @return (lang, rank, gram, cnt, df), rank 1..k by (cnt desc, gram)
     */
+  /** Distinct-n diversity (Li, Galley, Brockett, Gao & Dolan 2016):
+    * the unique-n-gram ratio over the corpus for n = 1..`maxN` — the
+    * standard repetitiveness/diversity readout for a training-data
+    * slice (a templated or degenerate source scores near 0, natural
+    * prose near its type/token ceiling). Complements the PER-DOC
+    * repetition gate (q83) with the CORPUS-level view the per-doc
+    * gate cannot see: a million distinct docs sharing one template
+    * pass q83 and crater distinct-3.
+    *
+    * Determinism: total and distinct counts are exact integers off
+    * one gram groupBy per n; the ratio is one IEEE division under
+    * the shared floor rounding.
+    *
+    * Scale shape: per n, one map-side explode + an exact distinct
+    * (the q08 contract — swap in the q127 KMV sketch at the
+    * documented extreme scale); the n-sweep is a literal handful of
+    * unioned one-row aggregates.
+    *
+    * @return (n, total_ngrams, distinct_ngrams, distinct_ratio)
+    */
+  def distinctNgrams(docs: DataFrame, maxN: Int = 3): DataFrame = {
+    val toks = spread(docs.where(col("text").isNotNull))
+      .select(tokens(col("text")).as("w"))
+      .localCheckpoint(true) // swept once per n
+    (1 to maxN).map { n =>
+      toks.where(size(col("w")) >= n)
+        .select(explode(sequence(lit(1), size(col("w")) - (n - 1)))
+          .as("i"), col("w"))
+        .select(concat_ws(" ", slice(col("w"), col("i"), lit(n)))
+          .as("gram"))
+        .agg(count(lit(1)).as("total_ngrams"),
+          countDistinct(col("gram")).as("distinct_ngrams"))
+        .select(lit(n).as("n"), col("total_ngrams"),
+          col("distinct_ngrams"),
+          (floor(col("distinct_ngrams").cast("double") /
+            col("total_ngrams") * 1e6 + 0.5) / 1e6).cast("float")
+            .as("distinct_ratio"))
+    }.reduce(_ unionByName _)
+  }
+
   def topNgrams(docs: DataFrame, n: Int = 3, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = spread(docs.where(col("text").isNotNull))

@@ -992,6 +992,16 @@ object Analytics extends QueryPack {
         parts.where(col("id") % 500 === 0), rounds = 3)
     }),
 
+    // Hop plot + 90%-effective diameter (Palmer et al. 2002's ANF
+    // summary, exact over the q209 seeded BFS at radius 4): how wide
+    // is the co-purchase graph really — integer 10·cum ≥ 9·total
+    // rule, no float in the decision.
+    "q315_hop_plot" -> ((s, d) => {
+      val parts = t("part")(s, d).select(col("p_partkey").as("id"))
+      graft.graph.Bfs.hopPlot(parts, coPurchaseEdges(s, d),
+        parts.where(col("id") % 500 === 0), rounds = 4)
+    }),
+
     // Top-20 session paths: gap-rule sessions → ordered event-type
     // path strings → map-side-combined counts → TakeOrdered top-k
     // with a total (n desc, path) order.
@@ -1470,6 +1480,39 @@ object Analytics extends QueryPack {
         |d AS (SELECT id, min(hop) AS hop FROM walk GROUP BY 1)
         |SELECT p.p_partkey AS id, CAST(coalesce(d.hop, -1) AS INTEGER) AS hop
         |FROM part p LEFT JOIN d ON d.id = p.p_partkey""".stripMargin,
+
+    // q209's recursive walk at radius 4, per-hop counts, the window
+    // cumulative, the same integer 90% rule.
+    "q315_hop_plot" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey <> b.l_partkey),
+        |seeds AS (SELECT p_partkey AS id FROM part
+        |          WHERE p_partkey % 500 = 0),
+        |walk(id, hop) AS (
+        |  SELECT id, 0 FROM seeds
+        |  UNION
+        |  SELECT e.v, w.hop + 1 FROM walk w JOIN e ON e.u = w.id
+        |  WHERE w.hop < 4),
+        |dd AS (SELECT id, min(hop) AS hop FROM walk GROUP BY 1),
+        |per AS (SELECT CAST(hop AS INTEGER) AS hop,
+        |          CAST(count(*) AS BIGINT) AS n_first
+        |        FROM dd GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_first) AS BIGINT) AS tot FROM per),
+        |cum AS (SELECT hop, n_first,
+        |          CAST(sum(n_first) OVER (ORDER BY hop
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) AS cum_reached
+        |        FROM per),
+        |ed AS (SELECT CAST(min(hop) AS INTEGER) AS eff_diameter
+        |       FROM cum, tot WHERE cum_reached * 10 >= tot * 9)
+        |SELECT hop, n_first, cum_reached,
+        |  CAST(floor(CAST(cum_reached AS DOUBLE) / tot * 1e6 + 0.5)
+        |    / 1e6 AS REAL) AS frac,
+        |  ed.eff_diameter
+        |FROM cum, tot, ed""".stripMargin,
 
     "q210_top_paths" ->
       s"""WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,

@@ -727,6 +727,12 @@ object LlmPack extends QueryPack {
     // centroid, per-cell means off micro-unit integer sums.
     "q313_silhouette" -> ((s, d) =>
       Similarity.silhouette(t("embeddings")(s, d))),
+    // Distinct-n corpus diversity (Li et al. 2016): the unique-n-gram
+    // ratio for n = 1..3 — the corpus-level repetitiveness readout
+    // the per-doc q83 gate cannot see (a million docs sharing one
+    // template pass q83 and crater distinct-3).
+    "q316_distinct_ngrams" -> ((s, d) =>
+      TextOps.distinctNgrams(t("documents")(s, d))),
     // Davies–Bouldin index (1979) over the same artifact: the
     // worst-case-overlap companion — mean over clusters of the most
     // confusable pair ratio (S_i + S_j)/d(c_i, c_j).
@@ -3390,6 +3396,33 @@ object LlmPack extends QueryPack {
     // global top-5 on the (cnt desc, gram) total order — an
     // independent derivation with no local-prune stage, so a pruning
     // bug that dropped a global winner cannot agree with it.
+    // Three unioned gram blocks off the q125 token CTE — exact
+    // total/distinct counts, one division per n.
+    "q316_distinct_ngrams" ->
+      """WITH tok AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |idx AS (SELECT w, generate_subscripts(w, 1) AS i FROM tok),
+        |g1 AS (SELECT w[i] AS gram FROM idx WHERE i <= len(w)),
+        |g2 AS (SELECT w[i] || ' ' || w[i+1] AS gram FROM idx
+        |       WHERE i + 1 <= len(w)),
+        |g3 AS (SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+        |       FROM idx WHERE i + 2 <= len(w)),
+        |u AS (
+        |  SELECT 1 AS n, CAST(count(*) AS BIGINT) AS total_ngrams,
+        |         CAST(count(DISTINCT gram) AS BIGINT)
+        |           AS distinct_ngrams FROM g1
+        |  UNION ALL
+        |  SELECT 2, CAST(count(*) AS BIGINT),
+        |         CAST(count(DISTINCT gram) AS BIGINT) FROM g2
+        |  UNION ALL
+        |  SELECT 3, CAST(count(*) AS BIGINT),
+        |         CAST(count(DISTINCT gram) AS BIGINT) FROM g3)
+        |SELECT CAST(n AS INTEGER) AS n, total_ngrams, distinct_ngrams,
+        |  CAST(floor(CAST(distinct_ngrams AS DOUBLE) / total_ngrams
+        |    * 1e6 + 0.5) / 1e6 AS REAL) AS distinct_ratio
+        |FROM u""".stripMargin,
+
     "q125_top_ngrams" ->
       """WITH tok AS (
         |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS w

@@ -461,6 +461,34 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(db.getFloat(1) == r6(m6(2.0 / math.sqrt(200.0)) / 1e6))
   }
 
+  test("hopPlot: path graph, integer 90% rule picks the last hop") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("a", "b")
+    val nodes = (1L to 5L).toDF("id")
+    val seeds = Seq(1L).toDF("id")
+    val got = graft.graph.Bfs.hopPlot(nodes, edges, seeds, rounds = 4)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getFloat(3), r.getInt(4)))
+      .toMap
+    // one node first reached per hop; 4·10 < 5·9 so 90% needs hop 4
+    assert(got(0) == ((1L, 1L, 0.2f, 4)))
+    assert(got(2) == ((1L, 3L, 0.6f, 4)))
+    assert(got(4) == ((1L, 5L, 1.0f, 4)))
+  }
+
+  test("distinctNgrams: hand-counted two-doc corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a"), (2L, "a b"))
+      .toDF("doc_id", "text")
+    val got = graft.llm.TextOps.distinctNgrams(docs).collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getFloat(3))).toMap
+    assert(got(1) == ((5L, 2L, 0.4f)))
+    assert(got(2) == ((3L, 2L, 0.666667f)))
+    assert(got(3) == ((1L, 1L, 1.0f)))
+  }
+
   test("jackknifeDiff: hand-solved four-bucket fixture") {
     import spark.implicits._
     // arm 0: units 0 (v 10), 2 (v 20); arm 1: units 1 (30), 3 (50)
