@@ -192,6 +192,102 @@ object Stats {
       r6(tau).as("tau_b"))
   }
 
+  /** Jarque–Bera normality test (Jarque & Bera 1980) — the moment-
+    * based normality check beside the distribution-shape battery
+    * (q199 KS against a reference sample, q192 Benford): skewness
+    * and excess kurtosis off exact integer raw moments,
+    * {{{
+    *   JB = n·(S²/6 + (K−3)²/24)    ~ χ²(2) under normality
+    * }}}
+    * Rejects heavy tails and asymmetry — the two ways real metric
+    * distributions break the normal assumptions the z/t readouts
+    * lean on, which is exactly when [[winsorizedDiff]] or the
+    * [[permutationTest]] should replace them.
+    *
+    * Determinism: Σx..Σx⁴ ride DECIMAL(38,0) off ONE map-side-
+    * combined aggregate (x in CENT scale so the 4th power stays
+    * inside 38 digits at warehouse row counts); central moments and
+    * JB are one fixed IEEE sequence; flag on the UNROUNDED value vs
+    * the 5.991465 2-df critical point.
+    *
+    * @return one row (n, skew, kurt_excess, jb, signif)
+    */
+  def jarqueBera(df: DataFrame, valueCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val x = cents(col(valueCol))
+    val m = df.where(col(valueCol).isNotNull)
+      .select(x.as("x"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("s1"),
+        sum((dec(col("x")) * dec(col("x"))).cast("decimal(38,0)"))
+          .as("s2"),
+        sum((dec(col("x")) * dec(col("x")) * dec(col("x")))
+          .cast("decimal(38,0)")).as("s3"),
+        sum((dec(col("x")) * dec(col("x")) * dec(col("x")) *
+          dec(col("x"))).cast("decimal(38,0)")).as("s4"))
+    def d(c: String) = col(c).cast("double")
+    val n = col("n")
+    val mu = d("s1") / n
+    val r2 = d("s2") / n
+    val r3 = d("s3") / n
+    val r4 = d("s4") / n
+    val m2 = r2 - mu * mu
+    val m3 = r3 - lit(3.0) * mu * r2 + lit(2.0) * mu * mu * mu
+    val m4 = r4 - lit(4.0) * mu * r3 + lit(6.0) * mu * mu * r2 -
+      lit(3.0) * mu * mu * mu * mu
+    val sk = when(m2 > 0, m3 / sqrt(m2 * m2 * m2))
+    val ku = when(m2 > 0, m4 / (m2 * m2))
+    val jb = when(m2 > 0, n * (sk * sk / lit(6.0) +
+      (ku - lit(3.0)) * (ku - lit(3.0)) / lit(24.0)))
+    m.select(col("n"), r6(sk).as("skew"),
+      r6(ku - lit(3.0)).as("kurt_excess"), r6(jb).as("jb"),
+      when(jb.isNotNull, jb > 5.991465).as("signif"))
+  }
+
+  /** Cliff's delta ordinal effect size (Cliff 1993) — the magnitude
+    * companion of [[mannWhitneyU]]'s rank-sum test (the U tells you
+    * the difference is real; δ tells you whether anyone should
+    * care):
+    * {{{
+    *   δ = (#{x₁ > x₀} − #{x₁ < x₀}) / (n₁·n₀)   ∈ [−1, 1]
+    * }}}
+    * EXACT INTEGER pair counting with no n₁·n₀ pair frame: per-value
+    * (c₀, c₁) counts + ONE distributed global scan give, for each
+    * value v, the count of group-0 mass strictly below/above it —
+    * Σ c₁(v)·below₀(v) and the mirror are exact DECIMAL products,
+    * and δ is ONE division at the edge ([[mannWhitneyU]]'s plan
+    * shape; never a pair join).
+    *
+    * @return one row (n0, n1, n_gt, n_lt, delta)
+    */
+  def cliffsDelta(df: DataFrame, valueCol: String, groupCol: String,
+      g1: String, g0: String): DataFrame = {
+    val counts = df.where(col(groupCol).isin(g1, g0) &&
+        col(valueCol).isNotNull)
+      .groupBy(cents(col(valueCol)).as("v"))
+      .agg(sum(when(col(groupCol) === g1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col(groupCol) === g0, 1L).otherwise(0L)).as("c0"))
+      .localCheckpoint(true) // feeds the scan AND the totals row
+    val n = broadcast(counts.agg(sum(col("c1")).as("n1"),
+      sum(col("c0")).as("n0")))
+    val scanned = Scan.globalRunningSum(counts, Seq("v"), col("c0"),
+      "rt0")
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val below0 = col("rt0") - col("c0")
+    val agg = scanned.crossJoin(n)
+      .agg(max(col("n0")).as("n0"), max(col("n1")).as("n1"),
+        sum((dec(col("c1")) * dec(below0)).cast("decimal(38,0)"))
+          .as("n_gt"),
+        sum((dec(col("c1")) * dec(col("n0") - col("rt0")))
+          .cast("decimal(38,0)")).as("n_lt"))
+    val den = col("n1").cast("double") * col("n0")
+    agg.select(col("n0"), col("n1"),
+      col("n_gt").cast("long").as("n_gt"),
+      col("n_lt").cast("long").as("n_lt"),
+      when(den > 0, r6((col("n_gt") - col("n_lt")).cast("double") / den))
+        .as("delta"))
+  }
+
   /** Exact integer cents of a 2-decimal money double — the repo's
     * exact-moment currency: decimal cast (unambiguous for 2-decimal
     * sources) then ×100, so every downstream sum/product is integer

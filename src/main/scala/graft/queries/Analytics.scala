@@ -914,6 +914,20 @@ object Analytics extends QueryPack {
       graft.ops.Stats.mannWhitneyU(t("events")(s, d), "value",
         "event_type", "view", "purchase")),
 
+    // Jarque–Bera normality test (1980): skew/kurtosis off exact
+    // cent moments — the moment-based check that tells you when the
+    // z/t readouts need the q306 winsorize or q300 permutation
+    // fallback.
+    "q317_jarque_bera" -> ((s, d) =>
+      graft.ops.Stats.jarqueBera(t("events")(s, d), "value")),
+
+    // Cliff's delta (1993): the ordinal effect size companion of
+    // q202's U — same view-vs-purchase split, exact pair counting
+    // via the scan, never a pair join.
+    "q318_cliffs_delta" -> ((s, d) =>
+      graft.ops.Stats.cliffsDelta(t("events")(s, d), "value",
+        "event_type", "purchase", "view")),
+
     // Exact ROC-AUC: does event value separate purchases from the
     // rest? The q202 midrank scan normalized to P(pos > neg).
     "q230_auc" -> ((s, d) =>
@@ -2702,6 +2716,84 @@ object Analytics extends QueryPack {
         |      / (count(*) + 1) * 1e6 + 0.5) / 1e6 AS REAL) AS p_perm
         |FROM stat GROUP BY n, dobs""".stripMargin
     },
+
+    // The same four HUGEINT raw moments in cent scale, the same
+    // central-moment and JB sequences, flag on the unrounded value.
+    "q317_jarque_bera" ->
+      """WITH f AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        sum(CAST(x AS HUGEINT)) AS s1,
+        |        sum(CAST(x AS HUGEINT) * x) AS s2,
+        |        sum(CAST(x AS HUGEINT) * x * x) AS s3,
+        |        sum(CAST(x AS HUGEINT) * x * x * x) AS s4
+        |      FROM f),
+        |st AS (SELECT n, CAST(s1 AS DOUBLE) / n AS mu,
+        |         CAST(s2 AS DOUBLE) / n AS r2,
+        |         CAST(s3 AS DOUBLE) / n AS r3,
+        |         CAST(s4 AS DOUBLE) / n AS r4
+        |       FROM m),
+        |c AS (SELECT n, r2 - mu * mu AS m2,
+        |        r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+        |        r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+        |          - 3.0 * mu * mu * mu * mu AS m4
+        |      FROM st),
+        |k AS (SELECT n,
+        |        CASE WHEN m2 > 0 THEN m3 / sqrt(m2 * m2 * m2) END
+        |          AS sk,
+        |        CASE WHEN m2 > 0 THEN m4 / (m2 * m2) END AS ku
+        |      FROM c),
+        |j AS (SELECT n, sk, ku,
+        |        CASE WHEN sk IS NOT NULL THEN
+        |          n * (sk * sk / 6.0
+        |            + (ku - 3.0) * (ku - 3.0) / 24.0)
+        |        END AS jb
+        |      FROM k)
+        |SELECT n,
+        |  CAST(floor(sk * 1e6 + 0.5) / 1e6 AS REAL) AS skew,
+        |  CAST(floor((ku - 3.0) * 1e6 + 0.5) / 1e6 AS REAL)
+        |    AS kurt_excess,
+        |  CAST(floor(jb * 1e6 + 0.5) / 1e6 AS REAL) AS jb,
+        |  CASE WHEN jb IS NOT NULL THEN jb > 5.991465 END AS signif
+        |FROM j""".stripMargin,
+
+    // The q202 per-value counts + one running scan: exact
+    // strictly-above/below HUGEINT pair products, one division.
+    "q318_cliffs_delta" ->
+      """WITH f AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS v, event_type
+        |  FROM events
+        |  WHERE event_type IN ('purchase', 'view')
+        |    AND value IS NOT NULL),
+        |counts AS (SELECT v,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+        |        ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1
+        |        ELSE 0 END) AS BIGINT) AS c0
+        |  FROM f GROUP BY 1),
+        |nn AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |         CAST(sum(c0) AS BIGINT) AS n0
+        |       FROM counts),
+        |sc AS (SELECT v, c1, c0,
+        |         CAST(sum(c0) OVER (ORDER BY v ROWS BETWEEN
+        |           UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           AS rt0
+        |       FROM counts),
+        |agg AS (SELECT max(nn.n0) AS n0, max(nn.n1) AS n1,
+        |          sum(CAST(c1 AS HUGEINT) * (rt0 - c0)) AS n_gt,
+        |          sum(CAST(c1 AS HUGEINT) * (nn.n0 - rt0)) AS n_lt
+        |        FROM sc, nn)
+        |SELECT n0, n1, CAST(n_gt AS BIGINT) AS n_gt,
+        |  CAST(n_lt AS BIGINT) AS n_lt,
+        |  CASE WHEN CAST(n1 AS DOUBLE) * n0 > 0 THEN
+        |    CAST(floor(CAST(n_gt - n_lt AS DOUBLE)
+        |        / (CAST(n1 AS DOUBLE) * n0) * 1e6 + 0.5) / 1e6
+        |      AS REAL)
+        |  END AS delta
+        |FROM agg""".stripMargin,
 
     // q271's pair/rank CTEs with the 7-literal integer weight CASE,
     // the same div/remainder split, remainder to pos = nt.

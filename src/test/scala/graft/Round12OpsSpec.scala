@@ -489,6 +489,33 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(got(3) == ((1L, 1L, 1.0f)))
   }
 
+  test("jarqueBera: symmetric uniform fixture hand-solved") {
+    import spark.implicits._
+    // [1..5]: skew exactly 0, m2 = 2, m4 = 6.8 → K = 1.7,
+    // JB = 5·(1.3²/24) = 0.3520833…
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 5.0).toDF("value")
+    val r = graft.ops.Stats.jarqueBera(df, "value").collect()(0)
+    def r6(x: Double) = (math.floor(x * 1e6 + 0.5) / 1e6).toFloat
+    assert(r.getLong(0) == 5L)
+    assert(r.getFloat(1) == 0.0f)
+    assert(r.getFloat(2) == r6(-1.3))
+    assert(r.getFloat(3) == r6(5.0 * (1.3 * 1.3 / 24.0)))
+    assert(!r.getBoolean(4))
+  }
+
+  test("cliffsDelta: hand-counted pairs with a tie") {
+    import spark.implicits._
+    // purchase [3,5] vs view [1,3,4]: 4 greater, 1 less, 1 tie →
+    // δ = 3/6 = 0.5
+    val df = Seq(("purchase", 3.0), ("purchase", 5.0), ("view", 1.0),
+      ("view", 3.0), ("view", 4.0)).toDF("event_type", "value")
+    val r = graft.ops.Stats.cliffsDelta(df, "value", "event_type",
+      "purchase", "view").collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 4L && r.getLong(3) == 1L)
+    assert(r.getFloat(4) == 0.5f)
+  }
+
   test("jackknifeDiff: hand-solved four-bucket fixture") {
     import spark.implicits._
     // arm 0: units 0 (v 10), 2 (v 20); arm 1: units 1 (30), 3 (50)
