@@ -1644,6 +1644,115 @@ object Stats {
       when(se > 0, r6(diff / se)).as("z"))
   }
 
+  /** Holm step-down FWER correction (Holm 1979) — the FAMILY-WISE
+    * companion of [[bhFdr]]'s false-discovery control: when even one
+    * false positive is unacceptable (launch/no-launch on any
+    * segment), Holm uniformly beats plain Bonferroni at the same
+    * guarantee:
+    * {{{
+    *   rank p ascending;  raw_i = p_i · (m − i + 1)
+    *   p_adj_i = min(1, max_{j ≤ i} raw_j)   (step-down monotone ↑)
+    * }}}
+    * Same frame contract as [[bhFdr]]: metadata-sized family, NULL-p
+    * rows pass through unadjusted and out of m, the flag compares
+    * the UNROUNDED adjusted value.
+    *
+    * @return input columns + (m_tests, rank, p_adj, signif)
+    */
+  def holmAdjust(family: DataFrame, keyCol: String, pCol: String,
+      alpha: Double = 0.05): DataFrame = {
+    val p = col(pCol)
+    val valid = family.where(p.isNotNull)
+    val mT = broadcast(valid.agg(count(lit(1)).as("m_tests")))
+    val wr = Window.orderBy(p.asc, col(keyCol).asc)
+    val ranked = valid.crossJoin(mT)
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .withColumn("p_raw_adj",
+        p * (col("m_tests") - col("rank") + 1).cast("double"))
+    val wm = Window.orderBy(col("rank").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val adj = least(lit(1.0), max(col("p_raw_adj")).over(wm))
+    val adjusted = ranked
+      .withColumn("p_adj_u", adj)
+      .withColumn("signif", col("p_adj_u") <= lit(alpha))
+      .withColumn("p_adj", r6(col("p_adj_u")))
+      .drop("p_raw_adj", "p_adj_u")
+    val nulls = family.where(p.isNull).crossJoin(mT)
+      .withColumn("rank", lit(null).cast("long"))
+      .withColumn("signif", lit(null).cast("boolean"))
+      .withColumn("p_adj", lit(null).cast("float"))
+    adjusted.unionByName(nulls)
+  }
+
+  /** Empirical-Bayes (James–Stein-style) shrinkage of per-segment
+    * means (Efron & Morris 1975; the "small segments borrow
+    * strength" estimator every metrics platform applies before
+    * ranking segments): method-of-moments variance components,
+    * {{{
+    *   σ̂²  = pooled within-segment variance
+    *   τ̂²  = max(0, Var_g(mean_g)·k/(k−1) − σ̂²·avg_g(1/n_g))
+    *   B_g = (σ̂²/n_g) / (σ̂²/n_g + τ̂²)
+    *   eb_g = μ̂ + (1 − B_g)·(mean_g − μ̂)
+    * }}}
+    * A tiny segment (large σ̂²/n) shrinks hard toward the grand
+    * mean; a huge one barely moves — exactly the ranking fix for
+    * noisy-small-segment league tables.
+    *
+    * Determinism: per-segment n/Σ/Σ² exact DECIMAL; every
+    * CROSS-SEGMENT aggregate (within-SS, mean-of-means, var of
+    * means, avg 1/n) runs on FLOOR-SCALED micro-unit integers (the
+    * [[cmh]] discipline); the per-segment shrink is one fixed IEEE
+    * sequence; B_g NULL only in the fully degenerate σ̂² = τ̂² = 0
+    * frame.
+    *
+    * @return (segment, n, mean_raw, shrink_b, mean_eb) per segment
+    */
+  def ebShrink(df: DataFrame, segCol: String, valueCol: String)
+      : DataFrame = {
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val x = cents(col(valueCol))
+    val per = df.where(col(valueCol).isNotNull &&
+        col(segCol).isNotNull)
+      .select(col(segCol).as("g"), x.as("x"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"),
+        sum(col("x").cast("decimal(38,0)")).as("sg"),
+        sum((dec(col("x")) * dec(col("x"))).cast("decimal(38,0)"))
+          .as("qg"))
+      .localCheckpoint(true) // the cross-segment row AND the output
+    def d(c: Column) = c.cast("double")
+    val meanG = d(col("sg")) / col("ng") / 100.0
+    val sswG = (d(col("qg")) - d(col("sg")) * d(col("sg")) /
+      col("ng")) / 1e4
+    val micro = per.select(col("ng"), col("sg"),
+      floor(meanG * 1e6 + 0.5).cast("long").as("m6"),
+      floor(sswG * 1e6 + 0.5).cast("long").as("w6"),
+      floor(lit(1.0) / col("ng") * 1e6 + 0.5).cast("long").as("i6"))
+    val tot = broadcast(micro.agg(count(lit(1)).as("k"),
+      sum(col("ng")).as("nn"),
+      sum(col("sg")).as("ss"),
+      sum(col("w6").cast("decimal(38,0)")).as("sw"),
+      sum(col("m6").cast("decimal(38,0)")).as("sm"),
+      sum((dec(col("m6")) * dec(col("m6"))).cast("decimal(38,0)"))
+        .as("smm"),
+      sum(col("i6").cast("decimal(38,0)")).as("si")))
+    val sig2 = d(col("sw")) / 1e6 / col("nn")
+    val mu = d(col("ss")) / col("nn") / 100.0
+    val mbar = d(col("sm")) / col("k") / 1e6
+    val vb = d(col("smm")) / col("k") / 1e12 - mbar * mbar
+    val vbs = when(col("k") > 1,
+      vb * col("k") / (col("k") - 1)).otherwise(lit(0.0))
+    val ainv = d(col("si")) / col("k") / 1e6
+    val tau2 = greatest(lit(0.0), vbs - sig2 * ainv)
+    val sv = sig2 / col("ng")
+    val b = when(sv + tau2 > 0, sv / (sv + tau2))
+    per.crossJoin(tot)
+      .select(col("g").as("segment"), col("ng").as("n"),
+        r6(meanG).as("mean_raw"), r6(b).as("shrink_b"),
+        r6(when(b.isNotNull,
+          mu + (lit(1.0) - b) * (meanG - mu))).as("mean_eb"))
+  }
+
   /** Fisher randomization (permutation) test for the two-arm mean
     * difference (Fisher 1935; Ernst 2004 for the modern framing) —
     * the EXACT-inference member beside [[welchT]]'s asymptotics and

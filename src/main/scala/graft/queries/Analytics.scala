@@ -428,6 +428,61 @@ object Analytics extends QueryPack {
           col("m_tests"), col("rank"), col("p_adj"), col("signif"))
     }),
 
+    // Holm step-down FWER correction (1979) over the q299 family:
+    // the companion for when even ONE false segment launch is
+    // unacceptable — uniformly beats Bonferroni at the same
+    // guarantee.
+    "q319_holm" -> ((s, d) => {
+      val dec38 = (c: org.apache.spark.sql.Column) =>
+        c.cast("decimal(38,0)")
+      val zero38 = lit(0).cast("decimal(38,0)")
+      val ev = t("events")(s, d)
+        .where(col("user_id").isNotNull && col("value").isNotNull &&
+          col("event_type").isNotNull)
+        .select(col("event_type"),
+          pmod(col("user_id"), lit(2L)).as("arm"),
+          floor(col("value") * 1e4 + 0.5).cast("long").as("v4"))
+      val m = ev.groupBy(col("event_type")).agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 0, dec38(col("v4"))).otherwise(zero38))
+          .as("s0"),
+        sum(when(col("arm") === 1, dec38(col("v4"))).otherwise(zero38))
+          .as("s1"),
+        sum(when(col("arm") === 0,
+          (dec38(col("v4")) * col("v4")).cast("decimal(38,0)"))
+          .otherwise(zero38)).as("q0"),
+        sum(when(col("arm") === 1,
+          (dec38(col("v4")) * col("v4")).cast("decimal(38,0)"))
+          .otherwise(zero38)).as("q1"))
+      def dd(c: String) = col(c).cast("double")
+      def mean(a: Int) = dd(s"s$a") / col(s"n$a") / lit(1e4)
+      def vr(a: Int) =
+        (dd(s"q$a") / col(s"n$a") -
+          (dd(s"s$a") / col(s"n$a")) * (dd(s"s$a") / col(s"n$a"))) /
+          lit(1e8)
+      val both = col("n0") > 0 && col("n1") > 0
+      val se = when(both, sqrt(vr(1) / col("n1") + vr(0) / col("n0")))
+      val z = when(se > 0, (mean(1) - mean(0)) / se)
+      val fam = m.select(col("event_type"),
+          (col("n0") + col("n1")).as("n"), z.as("z_u"))
+        .withColumn("p_u",
+          graft.ops.Stats.normTwoSidedP(col("z_u")))
+      graft.ops.Stats.holmAdjust(fam, "event_type", "p_u",
+        alpha = 0.05)
+        .select(col("event_type"), col("n"),
+          (floor(col("p_u") * 1e6 + 0.5) / 1e6).cast("float")
+            .as("p_value"),
+          col("m_tests"), col("rank"), col("p_adj"), col("signif"))
+    }),
+
+    // Empirical-Bayes shrinkage of per-event-type means (Efron &
+    // Morris 1975): small noisy segments borrow strength toward the
+    // grand mean — the ranking fix for segment league tables.
+    "q320_eb_shrink" -> ((s, d) =>
+      graft.ops.Stats.ebShrink(t("events")(s, d), "event_type",
+        "value")),
+
     // Fisher randomization (permutation) test: the EXACT-inference
     // member beside q201's asymptotics and q280's bootstrap — 64
     // seeded unit-level arm re-randomizations ride one pass (the
@@ -2661,6 +2716,133 @@ object Analytics extends QueryPack {
         |  CAST(NULL AS REAL), m_tests, CAST(NULL AS BIGINT),
         |  CAST(NULL AS REAL), CAST(NULL AS BOOLEAN)
         |FROM pv, mt WHERE p_u IS NULL""".stripMargin,
+
+    // q299's moment/polynomial CTEs with the step-DOWN arithmetic:
+    // raw = p·(m − i + 1), running MAX ascending, flag unrounded.
+    "q319_holm" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(user_id % 2 AS BIGINT) AS arm,
+        |         CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS v4
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |m AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    sum(CASE WHEN arm = 0 THEN CAST(v4 AS HUGEINT) ELSE 0 END)
+        |      AS s0,
+        |    sum(CASE WHEN arm = 1 THEN CAST(v4 AS HUGEINT) ELSE 0 END)
+        |      AS s1,
+        |    sum(CASE WHEN arm = 0 THEN CAST(v4 AS HUGEINT) * v4
+        |        ELSE 0 END) AS q0,
+        |    sum(CASE WHEN arm = 1 THEN CAST(v4 AS HUGEINT) * v4
+        |        ELSE 0 END) AS q1
+        |  FROM ev GROUP BY 1),
+        |zz AS (SELECT event_type, n0 + n1 AS n,
+        |    CASE WHEN n0 > 0 AND n1 > 0 THEN
+        |      sqrt((CAST(q1 AS DOUBLE) / n1
+        |              - (CAST(s1 AS DOUBLE) / n1)
+        |                * (CAST(s1 AS DOUBLE) / n1)) / 1e8 / n1
+        |           + (CAST(q0 AS DOUBLE) / n0
+        |              - (CAST(s0 AS DOUBLE) / n0)
+        |                * (CAST(s0 AS DOUBLE) / n0)) / 1e8 / n0)
+        |    END AS se,
+        |    CASE WHEN n0 > 0 AND n1 > 0 THEN
+        |      CAST(s1 AS DOUBLE) / n1 / 1e4
+        |        - CAST(s0 AS DOUBLE) / n0 / 1e4
+        |    END AS md
+        |  FROM m),
+        |zv AS (SELECT event_type, n,
+        |    CASE WHEN se > 0 THEN md / se END AS z_u
+        |  FROM zz),
+        |az AS (SELECT *, abs(z_u) AS a,
+        |    1.0 / (1.0 + 0.2316419 * abs(z_u)) AS tt
+        |  FROM zv),
+        |pv AS (SELECT event_type, n,
+        |    2.0 * (exp(a * a * (-0.5)) * 0.3989422804014327)
+        |      * (((((1.330274429 * tt - 1.821255978) * tt
+        |          + 1.781477937) * tt - 0.356563782) * tt
+        |          + 0.319381530) * tt) AS p_u
+        |  FROM az),
+        |mt AS (SELECT CAST(count(*) AS BIGINT) AS m_tests FROM pv
+        |       WHERE p_u IS NOT NULL),
+        |rk AS (SELECT *, CAST(row_number() OVER (ORDER BY p_u,
+        |         event_type) AS BIGINT) AS rank
+        |       FROM pv WHERE p_u IS NOT NULL),
+        |ra AS (SELECT rk.*, m_tests,
+        |         p_u * CAST(m_tests - rank + 1 AS DOUBLE) AS p_raw
+        |       FROM rk, mt),
+        |ad AS (SELECT *, least(1.0, max(p_raw)
+        |         OVER (ORDER BY rank ASC ROWS BETWEEN UNBOUNDED
+        |           PRECEDING AND CURRENT ROW)) AS p_adj_u
+        |       FROM ra)
+        |SELECT event_type, n,
+        |  CAST(floor(p_u * 1e6 + 0.5) / 1e6 AS REAL) AS p_value,
+        |  m_tests, rank,
+        |  CAST(floor(p_adj_u * 1e6 + 0.5) / 1e6 AS REAL) AS p_adj,
+        |  p_adj_u <= 0.05 AS signif
+        |FROM ad
+        |UNION ALL
+        |SELECT event_type, n, CAST(NULL AS REAL), m_tests,
+        |  CAST(NULL AS BIGINT), CAST(NULL AS REAL),
+        |  CAST(NULL AS BOOLEAN)
+        |FROM pv, mt WHERE p_u IS NULL""".stripMargin,
+
+    // The same per-segment HUGEINT moments, every cross-segment
+    // aggregate on micro-unit integers, the same shrink sequence.
+    "q320_eb_shrink" ->
+      """WITH f AS (SELECT event_type AS g,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |per AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+        |          sum(CAST(x AS HUGEINT)) AS sg,
+        |          sum(CAST(x AS HUGEINT) * x) AS qg
+        |        FROM f GROUP BY 1),
+        |micro AS (SELECT g, ng, sg,
+        |    CAST(floor(CAST(sg AS DOUBLE) / ng / 100.0 * 1e6 + 0.5)
+        |      AS BIGINT) AS m6,
+        |    CAST(floor((CAST(qg AS DOUBLE)
+        |        - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng)
+        |      / 1e4 * 1e6 + 0.5) AS BIGINT) AS w6,
+        |    CAST(floor(1.0 / ng * 1e6 + 0.5) AS BIGINT) AS i6
+        |  FROM per),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |          CAST(sum(ng) AS BIGINT) AS nn, sum(sg) AS ss,
+        |          sum(CAST(w6 AS HUGEINT)) AS sw,
+        |          sum(CAST(m6 AS HUGEINT)) AS sm,
+        |          sum(CAST(m6 AS HUGEINT) * m6) AS smm,
+        |          sum(CAST(i6 AS HUGEINT)) AS si
+        |        FROM micro),
+        |st AS (SELECT k, nn,
+        |         CAST(sw AS DOUBLE) / 1e6 / nn AS sig2,
+        |         CAST(ss AS DOUBLE) / nn / 100.0 AS mu,
+        |         CAST(sm AS DOUBLE) / k / 1e6 AS mbar,
+        |         CAST(smm AS DOUBLE) / k / 1e12 AS m2m,
+        |         CAST(si AS DOUBLE) / k / 1e6 AS ainv
+        |       FROM tot),
+        |vt AS (SELECT *, greatest(0.0,
+        |         (CASE WHEN k > 1 THEN
+        |            (m2m - mbar * mbar) * k / (k - 1)
+        |          ELSE 0.0 END) - sig2 * ainv) AS tau2
+        |       FROM st),
+        |fin AS (SELECT p.g, p.ng,
+        |          CAST(p.sg AS DOUBLE) / p.ng / 100.0 AS mg,
+        |          sig2 / p.ng AS sv, tau2, mu
+        |        FROM per p, vt),
+        |fb AS (SELECT *, CASE WHEN sv + tau2 > 0 THEN
+        |         sv / (sv + tau2) END AS b
+        |       FROM fin)
+        |SELECT g AS segment, ng AS n,
+        |  CAST(floor(mg * 1e6 + 0.5) / 1e6 AS REAL) AS mean_raw,
+        |  CAST(floor(b * 1e6 + 0.5) / 1e6 AS REAL) AS shrink_b,
+        |  CASE WHEN b IS NOT NULL THEN
+        |    CAST(floor((mu + (1.0 - b) * (mg - mu)) * 1e6 + 0.5)
+        |      / 1e6 AS REAL)
+        |  END AS mean_eb
+        |FROM fb""".stripMargin,
 
     // The q280 digest idiom: the same seeded md5 16-bit draws cut at
     // 2¹⁵ reassign each unit's arm, the same exact per-replicate

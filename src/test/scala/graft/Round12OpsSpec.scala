@@ -516,6 +516,51 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(r.getFloat(4) == 0.5f)
   }
 
+  test("holmAdjust: step-down running max, NULL passthrough") {
+    import spark.implicits._
+    // p = [.01,.04,.03,.9], m = 4 → raw = [.04,.09,.08,.9] in rank
+    // order [.01,.03,.04,.9] → running max [.04,.09,.09,.9]
+    val fam = Seq(("a", Some(0.01)), ("b", Some(0.04)),
+      ("c", Some(0.03)), ("d", Some(0.9)), ("e", None))
+      .toDF("k", "p")
+    val got = graft.ops.Stats.holmAdjust(fam, "k", "p", alpha = 0.05)
+      .collect().map { r =>
+        r.getString(0) -> (
+          if (r.isNullAt(r.fieldIndex("p_adj"))) None
+          else Some(r.getFloat(r.fieldIndex("p_adj"))),
+          if (r.isNullAt(r.fieldIndex("signif"))) None
+          else Some(r.getBoolean(r.fieldIndex("signif"))))
+      }.toMap
+    assert(got("a") == ((Some(0.04f), Some(true))))
+    assert(got("c") == ((Some(0.09f), Some(false))))
+    assert(got("b") == ((Some(0.09f), Some(false))))
+    assert(got("d") == ((Some(0.9f), Some(false))))
+    assert(got("e") == ((None, None)))
+  }
+
+  test("ebShrink: zero within-noise means no shrinkage; noisy " +
+    "segments shrink by the hand-solved factor") {
+    import spark.implicits._
+    // σ̂² = 0 → B = 0, eb = raw exactly
+    val clean = (Seq.fill(4)(("a", 10.0)) ++ Seq.fill(4)(("b", 20.0)))
+      .toDF("g", "v")
+    val g0 = graft.ops.Stats.ebShrink(clean, "g", "v").collect()
+      .map(r => r.getString(0) -> (r.getFloat(3), r.getFloat(4)))
+      .toMap
+    assert(g0("a") == ((0.0f, 10.0f)) && g0("b") == ((0.0f, 20.0f)))
+    // [9,11,9,11] vs [19,21,19,21]: σ̂² = 1, τ̂² = 50 − 0.25,
+    // B = 0.25/50 = 0.005, eb_a = 15 + 0.995·(10−15)
+    val noisy = (Seq(9.0, 11.0, 9.0, 11.0).map(("a", _)) ++
+      Seq(19.0, 21.0, 19.0, 21.0).map(("b", _))).toDF("g", "v")
+    val g1 = graft.ops.Stats.ebShrink(noisy, "g", "v").collect()
+      .map(r => r.getString(0) -> (r.getFloat(3), r.getFloat(4)))
+      .toMap
+    def r6(x: Double) = (math.floor(x * 1e6 + 0.5) / 1e6).toFloat
+    val b = 0.25 / (0.25 + 49.75)
+    assert(g1("a") == ((r6(b), r6(15.0 + (1.0 - b) * -5.0))))
+    assert(g1("b") == ((r6(b), r6(15.0 + (1.0 - b) * 5.0))))
+  }
+
   test("jackknifeDiff: hand-solved four-bucket fixture") {
     import spark.implicits._
     // arm 0: units 0 (v 10), 2 (v 20); arm 1: units 1 (30), 3 (50)
