@@ -375,6 +375,12 @@ object Indicators extends QueryPack {
     "q191_seasonal" -> ((s, d) =>
       graft.ts.Seasonal.decompose(Bars.daily(t("events")(s, d)))),
 
+    // Trend/seasonal strength (Hyndman & Athanasopoulos FPP) over
+    // the q191 decomposition: F_T/F_S per symbol off exact scaled
+    // moments — model trend, seasonality, both, or neither?
+    "q321_seasonal_strength" -> ((s, d) =>
+      graft.ts.Seasonal.strength(Bars.daily(t("events")(s, d)))),
+
     // Extension: Holt's linear (double exponential) smoothing — the
     // one-step forecast on top of the EMA family, via the J4
     // groupByKey kernel path; expression shapes match the recursive
@@ -741,6 +747,65 @@ object Indicators extends QueryPack {
          |            THEN (de.detr_s - se.seasonal_s) / 10000.0 END AS REAL)
          |         AS resid
          |FROM de LEFT JOIN se USING (id, dow)""".stripMargin,
+
+    // q191's tr/de/se CTEs, exact scaled component moments, the two
+    // guarded F readouts.
+    "q321_seasonal_strength" ->
+      s"""WITH ${Bars.oracleCte},
+         |tr AS (
+         |  SELECT id, dt, close,
+         |         CASE WHEN count(*) OVER w = 7
+         |              THEN round(avg(close) OVER w, 4) END AS trend,
+         |         CAST(dayofweek(dt) + 1 AS INTEGER) AS dow
+         |  FROM daily
+         |  WINDOW w AS (PARTITION BY id ORDER BY dt
+         |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         |de AS (SELECT *, CAST(round((close - trend) * 10000)
+         |         AS BIGINT) AS detr_s FROM tr),
+         |se AS (SELECT id, dow,
+         |         CASE WHEN sum(detr_s) >= 0
+         |              THEN (2 * sum(detr_s) + count(*))
+         |                // (2 * count(*))
+         |              ELSE -((2 * -sum(detr_s) + count(*))
+         |                // (2 * count(*)))
+         |         END AS seasonal_s
+         |       FROM de WHERE detr_s IS NOT NULL GROUP BY 1, 2),
+         |ro AS (SELECT de.id,
+         |         de.detr_s - se.seasonal_s AS rs,
+         |         de.detr_s AS srs,
+         |         CAST(round(de.trend * 10000) AS BIGINT)
+         |           + (de.detr_s - se.seasonal_s) AS trs
+         |       FROM de JOIN se USING (id, dow)
+         |       WHERE de.detr_s IS NOT NULL),
+         |m AS (SELECT id, CAST(count(*) AS BIGINT) AS n,
+         |        sum(CAST(rs AS HUGEINT)) AS s_rs,
+         |        sum(CAST(rs AS HUGEINT) * rs) AS q_rs,
+         |        sum(CAST(srs AS HUGEINT)) AS s_srs,
+         |        sum(CAST(srs AS HUGEINT) * srs) AS q_srs,
+         |        sum(CAST(trs AS HUGEINT)) AS s_trs,
+         |        sum(CAST(trs AS HUGEINT) * trs) AS q_trs
+         |      FROM ro GROUP BY 1),
+         |v AS (SELECT id, n,
+         |        (CAST(q_rs AS DOUBLE) / n
+         |          - (CAST(s_rs AS DOUBLE) / n)
+         |            * (CAST(s_rs AS DOUBLE) / n)) / 1e8 AS vr,
+         |        (CAST(q_srs AS DOUBLE) / n
+         |          - (CAST(s_srs AS DOUBLE) / n)
+         |            * (CAST(s_srs AS DOUBLE) / n)) / 1e8 AS vsr,
+         |        (CAST(q_trs AS DOUBLE) / n
+         |          - (CAST(s_trs AS DOUBLE) / n)
+         |            * (CAST(s_trs AS DOUBLE) / n)) / 1e8 AS vtr
+         |      FROM m)
+         |SELECT id, n,
+         |  CASE WHEN vtr > 0 THEN
+         |    CAST(floor(greatest(0.0, 1.0 - vr / vtr) * 1e6 + 0.5)
+         |      / 1e6 AS REAL)
+         |  END AS f_trend,
+         |  CASE WHEN vsr > 0 THEN
+         |    CAST(floor(greatest(0.0, 1.0 - vr / vsr) * 1e6 + 0.5)
+         |      / 1e6 AS REAL)
+         |  END AS f_seasonal
+         |FROM v""".stripMargin,
 
     "q186_holt" ->
       s"""WITH RECURSIVE ${Bars.oracleCte},

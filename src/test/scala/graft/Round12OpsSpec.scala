@@ -561,6 +561,28 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(g1("b") == ((r6(b), r6(15.0 + (1.0 - b) * 5.0))))
   }
 
+  test("seasonal strength: pure trend pins F_T = 1, pure weekly " +
+    "pins F_S = 1, each NULLs the other") {
+    import spark.implicits._
+    // id 1: close = t (pure linear trend) → residual exactly 0,
+    //   Var(S+R) = 0 → F_T = 1, F_S NULL
+    // id 2: close = f(weekday), flat trend → residual exactly 0,
+    //   Var(T+R) = 0 → F_S = 1, F_T NULL
+    val days = (0 until 28).map(i =>
+      java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+        .plusDays(i.toLong)))
+    val bars = days.zipWithIndex.flatMap { case (dt, i) =>
+      val dowV = 10.0 + (i % 7) * 2.0
+      Seq((1L, dt, 100.0 + i), (2L, dt, dowV))
+    }.toDF("id", "dt", "close")
+    val got = graft.ts.Seasonal.strength(bars).collect()
+      .map(r => r.getLong(0) -> (
+        if (r.isNullAt(2)) None else Some(r.getFloat(2)),
+        if (r.isNullAt(3)) None else Some(r.getFloat(3)))).toMap
+    assert(got(1L) == ((Some(1.0f), None)))
+    assert(got(2L) == ((None, Some(1.0f))))
+  }
+
   test("jackknifeDiff: hand-solved four-bucket fixture") {
     import spark.implicits._
     // arm 0: units 0 (v 10), 2 (v 20); arm 1: units 1 (30), 3 (50)
