@@ -113,6 +113,11 @@ object ScaleSmoke {
       edges, part.where(col("id") % 100 === 0), steps = 4))
     run("sorted_neighborhood_q279")(
       graft.llm.Dedup.sortedNeighborhoodPairs(docs))
+    run("louvain_q295")(graft.graph.Louvain.oneLevel(
+      pairs.where(col("w") >= 2).select(col("a"), col("b")),
+      rounds = 4))
+    run("hop_plot_q315")(graft.graph.Bfs.hopPlot(
+      part, edges, part.where(col("id") % 500 === 0), rounds = 4))
     spark.stop()
   }
 }
