@@ -881,6 +881,32 @@ object Analytics extends QueryPack {
       graft.ops.Concentration.gini(units, "cents", "o_custkey")
     }),
 
+    // Herfindahl–Hirschman concentration of lineitem revenue by
+    // brand (Hirschman 1945): HHI = Σx_g²/(Σx)² exact to the one
+    // division, + the effective-number inverse and top share — the
+    // antitrust/marketplace-health number beside q200's Gini.
+    "q322_hhi" -> ((s, d) => {
+      val rev = t("lineitem")(s, d)
+        .join(broadcast(t("part")(s, d)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg((sum(col("l_extendedprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("cents"))
+      graft.ops.Concentration.hhi(rev, "cents")
+    }),
+
+    // Theil T inequality (1967) of per-customer revenue: the
+    // entropy-based measure that decomposes additively across
+    // subgroups — q200's Gini companion, micro-unit term sums.
+    "q323_theil" -> ((s, d) => {
+      val units = t("orders")(s, d)
+        .groupBy(col("o_custkey"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("cents"))
+      graft.ops.Concentration.theil(units, "cents")
+    }),
+
     // Distributed global prefix scan: cumulative revenue by order day
     // WITHOUT the single-partition window — range-repartition, local
     // scans, a metadata-sized offset scan broadcast back. Daily sums
@@ -1827,6 +1853,55 @@ object Analytics extends QueryPack {
         |       count(*) AS n_events,
         |       CAST(round(sum(value), 4) AS REAL) AS total_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    // Per-brand HUGEINT revenue, Σx² and (Σx)² exact, one division.
+    "q322_hhi" ->
+      """WITH rev AS (
+        |  SELECT p.p_brand,
+        |         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+        |           * 100 AS BIGINT) AS x
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |        sum(CAST(x AS HUGEINT)) AS t,
+        |        sum(CAST(x AS HUGEINT) * x) AS q,
+        |        CAST(max(x) AS BIGINT) AS mx
+        |      FROM rev),
+        |h AS (SELECT *, CASE WHEN t > 0 THEN
+        |        CAST(q AS DOUBLE) / (CAST(t AS DOUBLE)
+        |          * CAST(t AS DOUBLE)) END AS hh
+        |      FROM m)
+        |SELECT n_groups,
+        |  CAST(floor(hh * 1e6 + 0.5) / 1e6 AS REAL) AS hhi,
+        |  CASE WHEN hh > 0 THEN
+        |    CAST(floor(1.0 / hh * 1e6 + 0.5) / 1e6 AS REAL)
+        |  END AS effective_n,
+        |  CASE WHEN t > 0 THEN
+        |    CAST(floor(CAST(mx AS DOUBLE) / CAST(t AS DOUBLE)
+        |      * 1e6 + 0.5) / 1e6 AS REAL)
+        |  END AS top_share
+        |FROM h""".stripMargin,
+
+    // q200's per-customer cents, one exact μ ratio, each x·ln(x/μ)/μ
+    // term micro-scaled and integer-summed, one division.
+    "q323_theil" ->
+      """WITH u AS (
+        |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |           AS BIGINT) AS x
+        |  FROM orders GROUP BY o_custkey),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |          sum(CAST(x AS HUGEINT)) AS t
+        |        FROM u),
+        |terms AS (SELECT n, CAST(floor(
+        |    (CASE WHEN x > 0 THEN
+        |       (x / (CAST(t AS DOUBLE) / n))
+        |         * ln(x / (CAST(t AS DOUBLE) / n))
+        |     ELSE 0.0 END) * 1e6 + 0.5) AS BIGINT) AS t6
+        |  FROM u, tot)
+        |SELECT n AS n_units,
+        |  CAST(floor(CAST(sum(CAST(t6 AS HUGEINT)) AS DOUBLE)
+        |      / n / 1e6 * 1e6 + 0.5) / 1e6 AS REAL) AS theil_t
+        |FROM terms GROUP BY n""".stripMargin,
+
     "q200_gini" ->
       """WITH u AS (
         |  SELECT o_custkey AS uid,

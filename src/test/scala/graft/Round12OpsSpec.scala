@@ -583,6 +583,33 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(got(2L) == ((None, Some(1.0f))))
   }
 
+  test("hhi: hand-solved three-player market; monopoly pins 1.0") {
+    import spark.implicits._
+    val m3 = Seq(50L, 30L, 20L).toDF("cents")
+    val r = graft.ops.Concentration.hhi(m3, "cents").collect()(0)
+    def r6(x: Double) = (math.floor(x * 1e6 + 0.5) / 1e6).toFloat
+    assert(r.getLong(0) == 3L)
+    assert(r.getFloat(1) == 0.38f)
+    assert(r.getFloat(2) == r6(1.0 / 0.38))
+    assert(r.getFloat(3) == 0.5f)
+    val mono = graft.ops.Concentration.hhi(Seq(100L).toDF("cents"),
+      "cents").collect()(0)
+    assert(mono.getFloat(1) == 1.0f && mono.getFloat(2) == 1.0f)
+  }
+
+  test("theil: equality pins exactly 0, one-holds-all pins ln N") {
+    import spark.implicits._
+    val eq = Seq(10L, 10L, 10L, 10L).toDF("cents")
+    assert(graft.ops.Concentration.theil(eq, "cents")
+      .collect()(0).getFloat(1) == 0.0f)
+    // [40,0,0,0]: μ = 10, the lone term 4·ln4 → T = ln 4
+    val all = Seq(40L, 0L, 0L, 0L).toDF("cents")
+    val t6 = math.floor(4.0 * math.log(4.0) * 1e6 + 0.5)
+    def r6(x: Double) = (math.floor(x * 1e6 + 0.5) / 1e6).toFloat
+    assert(graft.ops.Concentration.theil(all, "cents")
+      .collect()(0).getFloat(1) == r6(t6 / 4.0 / 1e6))
+  }
+
   test("jackknifeDiff: hand-solved four-bucket fixture") {
     import spark.implicits._
     // arm 0: units 0 (v 10), 2 (v 20); arm 1: units 1 (30), 3 (50)
