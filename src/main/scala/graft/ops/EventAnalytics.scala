@@ -407,7 +407,10 @@ object EventAnalytics {
     * The decay is PURE INTEGER: w = 10⁶ / 2^days is exact for the
     * 7-day lookback (10⁶ = 2⁶·5⁶·… so every halving down to 15 625
     * divides evenly), inlined as a 7-branch CASE of literals in both
-    * engines — zero libm, zero floats anywhere. Credit is
+    * engines — zero libm, zero floats anywhere. The lookback window
+    * is half-open (ct − lookback, ct): day indices run exactly 0..6,
+    * so every branch of the CASE is a true halving (2⁻⁷ would be the
+    * non-integer 7 812.5). Credit is
     * (10⁴·w) div Σw with the integer remainder assigned to the
     * MOST-RECENT touch (the model's own bias direction), so every
     * conversion's credits sum to exactly 10 000 ([[attribution]]'s
@@ -431,7 +434,7 @@ object EventAnalytics {
       .select(col("user_id"), col("t"), col("event_id"),
         col("event_type").as("channel"))
     val pairs = conv.join(touch, Seq("user_id"))
-      .where(col("t") < col("ct") && col("t") >= col("ct") - lookbackS)
+      .where(col("t") < col("ct") && col("t") > col("ct") - lookbackS)
     val dd = expr("(ct - t) div 86400")
     val w6 = when(dd === 0, 1000000L).when(dd === 1, 500000L)
       .when(dd === 2, 250000L).when(dd === 3, 125000L)

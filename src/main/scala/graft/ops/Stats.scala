@@ -1504,18 +1504,22 @@ object Stats {
       (dd(col("ss1") - col("s1b")) / (col("nn1") - col("n1b")) -
         dd(col("ss0") - col("s0b")) / (col("nn0") - col("n0b"))) / u1)
     val loo = per.crossJoin(tot)
-      .select(floor(thetaB * 1e6 + 0.5).cast("long").as("t6"),
-        col("nn0"), col("nn1"), col("ss0"), col("ss1"))
+      .select(floor(thetaB * 1e6 + 0.5).cast("long").as("t6"))
       .where(col("t6").isNotNull)
     val theta = when(col("nn0") > 0 && col("nn1") > 0,
       (dd(col("ss1")) / col("nn1") - dd(col("ss0")) / col("nn0")) / u1)
-    val agg = loo.groupBy(col("nn0"), col("nn1"), col("ss0"),
-        col("ss1")) // constants → one map-side group
+    // BARE agg, not a groupBy on the constant totals (r12 advice): a
+    // degenerate fixture whose every bucket-deletion empties an arm
+    // leaves loo EMPTY, and a groupBy would emit zero rows while the
+    // oracle's GROUP-BY-less aggregate emits one b_used = 0 row — the
+    // bare agg + broadcast-totals crossJoin matches it in both engines
+    val agg = loo
       .agg(count(lit(1)).as("b"),
         sum(dec38(col("t6"))).as("st"),
         sum((col("t6").cast("decimal(19,0)") *
           col("t6").cast("decimal(19,0)")).cast("decimal(38,0)"))
           .as("stt"))
+      .crossJoin(tot)
     val tBar = dd(col("st")) / col("b") / 1e6
     val varJk = (col("b") - 1) *
       (dd(col("stt")) / col("b") / 1e12 - tBar * tBar)
@@ -1588,8 +1592,10 @@ object Stats {
     * The cap is the ⌈p·n/100⌉-th smallest value located EXACTLY:
     * per-value counts (map-side combined) + ONE distributed global
     * scan ([[graft.ops.Scan.globalRunningSum]] — never a single-task
-    * sort), with the rank in PURE INTEGERS ((p·n + p) div 100·… —
-    * no float rank anywhere). Clamping happens in the integer
+    * sort), with the rank in PURE INTEGERS ((p·n + 99) div 100 is
+    * ⌈p·n/100⌉ for every p, not just the default 99 — r12 advice:
+    * the earlier (p·n + p) form shifted the order statistic whenever
+    * p·n mod 100 ∈ 1..(99−p)). Clamping happens in the integer
     * domain, so every downstream moment is exact; the z readout is
     * the same fixed IEEE sequence as the per-segment tests.
     *
@@ -1608,7 +1614,7 @@ object Stats {
         col("cnt"), "rt")
       .crossJoin(broadcast(n))
       .where(col("rt") >=
-        expr(s"($pct * n + $pct) div 100"))
+        expr(s"($pct * n + 99) div 100"))
       .agg(min(col("v")).as("cap")))
     def dec38(c: Column) = c.cast("decimal(38,0)")
     val zero38 = lit(0).cast("decimal(38,0)")

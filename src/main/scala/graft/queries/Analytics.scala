@@ -3069,7 +3069,7 @@ object Analytics extends QueryPack {
         |               WHEN 4 THEN 62500 WHEN 5 THEN 31250
         |               ELSE 15625 END AS w6
         |      FROM conv c JOIN tch tc ON tc.user_id = c.user_id
-        |       AND tc.t < c.ct AND tc.t >= c.ct - 604800),
+        |       AND tc.t < c.ct AND tc.t > c.ct - 604800),
         |r AS (SELECT *,
         |        CAST(row_number() OVER (PARTITION BY conv_id
         |          ORDER BY t, event_id) AS BIGINT) AS pos,
