@@ -39,4 +39,8 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     packs.flatMap(_.oracleSql).toMap
+
+  /** Query name → owning pack, for per-family bench subtotals. */
+  def families: Map[String, String] =
+    packs.flatMap(p => p.queries.keys.map(_ -> p.packName)).toMap
 }

@@ -53,24 +53,44 @@ object Louvain {
     * @return (id, community, csize) — final community + its size
     */
   def oneLevel(pairs: DataFrame, rounds: Int = 4,
+      checkpoint: Boolean = true): DataFrame =
+    oneLevelW(pairs.select(col("a"), col("b"), lit(1L).as("w")),
+      rounds, checkpoint)
+
+  /** WEIGHTED one-level ascent — the form the CONTRACTED graph of
+    * [[twoLevel]] needs: `edges(a, b, w)` symmetric directed with
+    * self-loops allowed (a = b). A supernode's strength k_i = Σw over
+    * its out-edges INCLUDING the self-loop (the intra-community mass
+    * travels with the node), while k_{i,c} — the mover's weight into a
+    * candidate community — EXCLUDES it (a self-loop contributes the
+    * same intra mass wherever i sits, so it cancels out of ΔQ). With
+    * those two conventions the exact-integer gain formula is unchanged:
+    * ΔQ·M²/2 = M·(k_{i,b} − k_{i,a\i}) − k_i·(d_b − d_a + k_i), all
+    * long sums of long weights ([[oneLevel]] is the w = 1 no-loop
+    * special case).
+    */
+  def oneLevelW(edges: DataFrame, rounds: Int = 4,
       checkpoint: Boolean = true): DataFrame = {
     def cp(df: DataFrame): DataFrame =
       if (checkpoint) df.localCheckpoint(true) else df
-    val e = cp(pairs.select(col("a").as("src"), col("b").as("dst")))
+    val e = cp(edges.select(col("a").as("src"), col("b").as("dst"),
+      col("w")))
     val deg = cp(e.groupBy(col("src").as("id"))
-      .agg(count(lit(1)).as("k")))
-    val m = e.agg(count(lit(1)).as("m"))
+      .agg(sum(col("w")).as("k")))
+    val m = e.agg(sum(col("w")).as("m"))
     var lbl = cp(deg.select(col("id"), col("id").as("c")))
     for (_ <- 1 to rounds) {
       // community degree sums under the current labels
       val dc = lbl.join(deg, "id")
         .groupBy(col("c")).agg(sum(col("k")).as("dc"))
-      // k_{i,c}: the node's edge count into each neighboring community
-      // feeds candidates AND the ka lookup — checkpoint the fan-out
-      val kc = cp(e.join(lbl.withColumnRenamed("id", "dst")
+      // k_{i,c}: the node's edge weight into each neighboring community
+      // (self-loops excluded — they move with the node); feeds
+      // candidates AND the ka lookup — checkpoint the fan-out
+      val kc = cp(e.where(col("src") =!= col("dst"))
+        .join(lbl.withColumnRenamed("id", "dst")
           .withColumnRenamed("c", "cn"), "dst")
         .groupBy(col("src").as("id"), col("cn"))
-        .agg(count(lit(1)).as("kc")))
+        .agg(sum(col("w")).as("kc")))
       val ka = kc.join(lbl, "id").where(col("cn") === col("c"))
         .select(col("id"), col("kc").as("ka"))
       val cand = kc.join(lbl, "id").where(col("cn") =!= col("c"))
@@ -116,54 +136,112 @@ object Louvain {
       .select(col("id"), col("c").as("community"), col("csize"))
   }
 
+  /** MULTI-LEVEL Louvain (Blondel et al. 2008, the full algorithm):
+    * after the level-1 ascent converges its rounds, the graph is
+    * CONTRACTED — every community becomes a supernode, parallel edges
+    * sum into weights, intra-community edges become self-loops — and a
+    * second weighted ascent runs on the contracted graph. One level
+    * alone leaves mega-communities unsplit on large graphs; the
+    * contraction step is what lets later levels merge whole
+    * communities at once. Because the contraction preserves M, the
+    * degree sums, and the intra masses, modularity of the level-2
+    * labeling ON THE ORIGINAL GRAPH is exactly the contracted graph's
+    * modularity — so Q(level 2) ≥ Q(level 1) by the same per-round
+    * ascent guarantee (pinned in Round13OpsSpec via [[Modularity]]).
+    *
+    * Scale shape: level 1 is [[oneLevel]] (O(|E|)-shuffle rounds); the
+    * contraction is ONE groupBy on the label-annotated edge list
+    * (|communities|² worst-case but ≤ |E| rows real); level 2 runs on
+    * the contracted graph — orders of magnitude smaller, the whole
+    * point of the method.
+    *
+    * @return (id, c1, community, csize) — the node's level-1 and final
+    *         level-2 communities + the level-2 community's ORIGINAL
+    *         node count
+    */
+  def twoLevel(pairs: DataFrame, rounds1: Int = 4, rounds2: Int = 4,
+      checkpoint: Boolean = true): DataFrame = {
+    def cp(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint(true) else df
+    val lbl1 = cp(oneLevel(pairs, rounds1, checkpoint)
+      .select(col("id"), col("community").as("c1")))
+    val e2 = pairs
+      .join(lbl1.select(col("id").as("a"), col("c1").as("ca")), "a")
+      .join(lbl1.select(col("id").as("b"), col("c1").as("cb")), "b")
+      .groupBy(col("ca").as("a"), col("cb").as("b"))
+      .agg(count(lit(1)).as("w"))
+    val l2 = oneLevelW(e2, rounds2, checkpoint)
+      .select(col("id").as("c1"), col("community").as("c2"))
+    val fin = cp(lbl1.join(l2, "c1"))
+    val sizes = fin.groupBy(col("c2")).agg(count(lit(1)).as("csize"))
+    fin.join(sizes, "c2")
+      .select(col("id"), col("c1"), col("c2").as("community"),
+        col("csize"))
+  }
+
   /** Unrolled DuckDB CTE chain re-deriving [[oneLevel]] exactly:
     * expects a symmetric `e(src, dst)` in scope, emits `deg`, `mm`,
     * `l0..l$rounds` and `csz`; select `id, c, csize` from
     * `l$rounds JOIN csz`. */
-  def oracleCte(rounds: Int): String = {
+  def oracleCte(rounds: Int): String = oracleCteW(rounds, "", "e",
+    weighted = false)
+
+  /** The weighted/suffixed generalization ([[oneLevelW]]'s oracle):
+    * reads `$edges(src, dst, w)` (self-loops allowed), emits
+    * `deg$sfx`, `mm$sfx`, `l$sfx0..l$sfx$rounds`, `csz$sfx` — the
+    * suffix keeps a level-2 unroll from colliding with level-1's CTE
+    * names in the same WITH chain. `weighted = false` reproduces
+    * [[oracleCte]]'s count-based text exactly (no `w` column read). */
+  def oracleCteW(rounds: Int, sfx: String, edges: String,
+      weighted: Boolean = true): String = {
+    val wSum = if (weighted) "sum(w)" else "count(*)"
+    // self-loop guard only matters when loops can exist (weighted /
+    // contracted graphs) — the unweighted pair-set contract has none
+    val noLoop = if (weighted) "WHERE e.src <> e.dst " else ""
     val steps = (1 to rounds).map { i =>
-      s"""dc$i AS (SELECT c, CAST(sum(k) AS BIGINT) AS dc
-         |  FROM l${i - 1} JOIN deg USING (id) GROUP BY 1),
-         |kc$i AS MATERIALIZED (
-         |  SELECT e.src AS id, l.c AS cn, CAST(count(*) AS BIGINT) AS kc
-         |  FROM e JOIN l${i - 1} l ON l.id = e.dst GROUP BY 1, 2),
-         |cand$i AS (
+      s"""dc$sfx$i AS (SELECT c, CAST(sum(k) AS BIGINT) AS dc
+         |  FROM l$sfx${i - 1} JOIN deg$sfx USING (id) GROUP BY 1),
+         |kc$sfx$i AS MATERIALIZED (
+         |  SELECT e.src AS id, l.c AS cn, CAST($wSum AS BIGINT) AS kc
+         |  FROM $edges e JOIN l$sfx${i - 1} l ON l.id = e.dst
+         |  ${noLoop}GROUP BY 1, 2),
+         |cand$sfx$i AS (
          |  SELECT k0.id, l.c AS a, k0.cn AS b,
-         |         2 * (mm.m * (k0.kc - coalesce(ka.kc, 0))
+         |         2 * (mm$sfx.m * (k0.kc - coalesce(ka.kc, 0))
          |              - d.k * (dcb.dc - dca.dc + d.k)) AS dq
-         |  FROM kc$i k0
-         |  JOIN l${i - 1} l USING (id)
-         |  JOIN deg d USING (id)
-         |  JOIN dc$i dca ON dca.c = l.c
-         |  JOIN dc$i dcb ON dcb.c = k0.cn
-         |  LEFT JOIN kc$i ka ON ka.id = k0.id AND ka.cn = l.c
-         |  CROSS JOIN mm
+         |  FROM kc$sfx$i k0
+         |  JOIN l$sfx${i - 1} l USING (id)
+         |  JOIN deg$sfx d USING (id)
+         |  JOIN dc$sfx$i dca ON dca.c = l.c
+         |  JOIN dc$sfx$i dcb ON dcb.c = k0.cn
+         |  LEFT JOIN kc$sfx$i ka ON ka.id = k0.id AND ka.cn = l.c
+         |  CROSS JOIN mm$sfx
          |  WHERE k0.cn <> l.c),
-         |nb$i AS (SELECT id, a, b, dq FROM (
+         |nb$sfx$i AS (SELECT id, a, b, dq FROM (
          |    SELECT *, row_number() OVER (PARTITION BY id
          |      ORDER BY dq DESC, b) AS rn
-         |    FROM cand$i WHERE dq > 0) WHERE rn = 1),
-         |tch$i AS (SELECT a AS comm, id, b, dq FROM nb$i
-         |          UNION ALL SELECT b AS comm, id, b, dq FROM nb$i),
-         |bst$i AS (SELECT comm, id, b FROM (
+         |    FROM cand$sfx$i WHERE dq > 0) WHERE rn = 1),
+         |tch$sfx$i AS (SELECT a AS comm, id, b, dq FROM nb$sfx$i
+         |          UNION ALL SELECT b AS comm, id, b, dq FROM nb$sfx$i),
+         |bst$sfx$i AS (SELECT comm, id, b FROM (
          |    SELECT *, row_number() OVER (PARTITION BY comm
          |      ORDER BY dq DESC, id, b) AS rn
-         |    FROM tch$i) WHERE rn = 1),
-         |mv$i AS (SELECT n.id, n.b FROM nb$i n
-         |  JOIN bst$i p ON p.comm = n.a AND p.id = n.id AND p.b = n.b
-         |  JOIN bst$i q ON q.comm = n.b AND q.id = n.id AND q.b = n.b),
-         |l$i AS MATERIALIZED (
+         |    FROM tch$sfx$i) WHERE rn = 1),
+         |mv$sfx$i AS (SELECT n.id, n.b FROM nb$sfx$i n
+         |  JOIN bst$sfx$i p ON p.comm = n.a AND p.id = n.id AND p.b = n.b
+         |  JOIN bst$sfx$i q ON q.comm = n.b AND q.id = n.id AND q.b = n.b),
+         |l$sfx$i AS MATERIALIZED (
          |  SELECT l.id, coalesce(m.b, l.c) AS c
-         |  FROM l${i - 1} l LEFT JOIN mv$i m USING (id))""".stripMargin
+         |  FROM l$sfx${i - 1} l LEFT JOIN mv$sfx$i m USING (id))""".stripMargin
     }
-    (s"""deg AS MATERIALIZED (
-        |  SELECT src AS id, CAST(count(*) AS BIGINT) AS k
-        |  FROM e GROUP BY 1),
-        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
-        |l0 AS MATERIALIZED (SELECT id, id AS c FROM deg)""".stripMargin
+    (s"""deg$sfx AS MATERIALIZED (
+        |  SELECT src AS id, CAST($wSum AS BIGINT) AS k
+        |  FROM $edges GROUP BY 1),
+        |mm$sfx AS (SELECT CAST($wSum AS BIGINT) AS m FROM $edges),
+        |l${sfx}0 AS MATERIALIZED (SELECT id, id AS c FROM deg$sfx)""".stripMargin
       +: steps :+
-      s"""csz AS (SELECT c, CAST(count(*) AS BIGINT) AS csize
-         |        FROM l$rounds GROUP BY 1)""".stripMargin)
+      s"""csz$sfx AS (SELECT c, CAST(count(*) AS BIGINT) AS csize
+         |        FROM l$sfx$rounds GROUP BY 1)""".stripMargin)
       .mkString(",\n")
   }
 }

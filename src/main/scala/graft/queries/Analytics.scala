@@ -82,6 +82,19 @@ object Analytics extends QueryPack {
     }.computeIfAbsent(d, _ =>
       graft.graph.Triangles.perNodeBundle(coPurchaseEdges(s, d)))
 
+  // Bench-visibility registration (r12 advice): the bench clears these
+  // caches each sample pass and rebuilds them as explicit `b_*` line
+  // items, so the O(|E|^1.5) triangle build is measured and counted in
+  // the artifact instead of vanishing into one discarded sample.
+  graft.SharedBuilds.register("copurchase_edges")(s =>
+    coPurchaseCache.synchronized {
+      Option(coPurchaseCache.get(s)).foreach(_.clear())
+    })((s, d) => { coPurchaseEdgesW(s, d); () })
+  graft.SharedBuilds.register("tri_bundle")(s =>
+    triBundleCache.synchronized {
+      Option(triBundleCache.get(s)).foreach(_.clear())
+    })((s, d) => { triBundle(s, d); () })
+
   val queries: Map[String, Q] = Map(
     "q15_percentiles" -> ((s, d) => t("events")(s, d)
       .groupBy("event_type")
@@ -214,6 +227,20 @@ object Analytics extends QueryPack {
       graft.graph.Louvain.oneLevel(
         coPurchaseEdgesW(s, d).where(col("w") >= 2)
           .select(col("a"), col("b")), rounds = 4)),
+
+    // MULTI-LEVEL Louvain (Blondel et al. 2008, the full algorithm):
+    // the q295 level-1 labeling contracted — communities → supernodes,
+    // parallel edges → weights, intra edges → self-loops — and a
+    // second WEIGHTED handshake ascent on the contracted graph. The
+    // contraction preserves M/degree-sums/intra masses, so
+    // Q(level 2) ≥ Q(level 1) on the original graph (pinned in
+    // Round13OpsSpec); the level-2 graph is orders of magnitude
+    // smaller — the step that makes Louvain tractable at billions of
+    // edges.
+    "q324_louvain_multilevel" -> ((s, d) =>
+      graft.graph.Louvain.twoLevel(
+        coPurchaseEdgesW(s, d).where(col("w") >= 2)
+          .select(col("a"), col("b")), rounds1 = 4, rounds2 = 4)),
 
     // Deterministic seeded random walks (DeepWalk, Perozzi et al.
     // 2014) from the q243/q252 seed hubs over the full co-purchase
@@ -2253,6 +2280,32 @@ object Analytics extends QueryPack {
          |${graft.graph.Louvain.oracleCte(4)}
          |SELECT l.id, l.c AS community, z.csize
          |FROM l4 l JOIN csz z USING (c)""".stripMargin,
+
+    // Level 1 unrolled as in q295, then the contraction groupBy
+    // (community-pair weights, intra edges as self-loops), then the
+    // WEIGHTED handshake unrolled with suffixed CTE names — both
+    // levels exact integers end-to-end.
+    "q324_louvain_multilevel" ->
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey
+         |   AND a.l_partkey <> b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |${graft.graph.Louvain.oracleCte(4)},
+         |e2 AS MATERIALIZED (
+         |  SELECT la.c AS src, lb.c AS dst,
+         |         CAST(count(*) AS BIGINT) AS w
+         |  FROM e JOIN l4 la ON la.id = e.src
+         |         JOIN l4 lb ON lb.id = e.dst
+         |  GROUP BY 1, 2),
+         |${graft.graph.Louvain.oracleCteW(4, "y", "e2")},
+         |fin AS (SELECT l.id, l.c AS c1, y.c AS c2
+         |        FROM l4 l JOIN ly4 y ON y.id = l.c),
+         |csz2 AS (SELECT c2, CAST(count(*) AS BIGINT) AS csize
+         |         FROM fin GROUP BY 1)
+         |SELECT f.id, f.c1, f.c2 AS community, z.csize
+         |FROM fin f JOIN csz2 z USING (c2)""".stripMargin,
 
     // The walk unrolled hop by hop: per-hop md5 draw over the
     // neighbor set, row_number (h, dst) argmin, step frames unioned.

@@ -81,6 +81,48 @@ object LlmPack extends QueryPack {
       (pruned, segs.localCheckpoint(true))
     })
 
+  /** Memoized Lloyd k-means bundle (one-row centroid array + assigned
+    * (vec_id, v, n2, cell), both checkpointed) at the default
+    * nlist = 16 / iters = 2 config — FIVE queries consume the same
+    * training artifact (q71 IVF, q139 SemDeDup, q246 k-means table,
+    * q313 silhouette, q314 Davies–Bouldin × bench samples), and each
+    * used to re-run the 2-iteration Lloyd chain from scratch (r12
+    * verdict item #2). Same hygiene contract as [[bm25Run]]:
+    * identical answers, independent oracles.
+    */
+  private val lloydCache =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String,
+        (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]]()
+
+  private def lloydBundle(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) =
+    lloydCache.synchronized {
+      lloydCache.computeIfAbsent(s, _ =>
+        new java.util.concurrent.ConcurrentHashMap())
+    }.computeIfAbsent(d, _ => {
+      val (cents, assigned) =
+        Similarity.lloydArtifact(t("embeddings")(s, d))
+      (cents.localCheckpoint(true), assigned.localCheckpoint(true))
+    })
+
+  // Bench-visibility registration (r12 advice): each memoized build is
+  // cleared per sample pass and rebuilt as its own timed `b_*` line
+  // item — see [[graft.SharedBuilds]].
+  graft.SharedBuilds.register("bm25_run")(s =>
+    bm25Cache.synchronized {
+      Option(bm25Cache.get(s)).foreach(_.clear())
+    })((s, d) => { bm25Run(s, d); () })
+  graft.SharedBuilds.register("unigram_train")(s =>
+    unigramCache.synchronized {
+      Option(unigramCache.get(s)).foreach(_.clear())
+    })((s, d) => { unigramTrained(s, d); () })
+  graft.SharedBuilds.register("lloyd_bundle")(s =>
+    lloydCache.synchronized {
+      Option(lloydCache.get(s)).foreach(_.clear())
+    })((s, d) => { lloydBundle(s, d); () })
+
   private def extensionSession(): org.apache.spark.sql.SparkSession =
     synchronized {
       import org.apache.spark.sql.SparkSession
@@ -719,14 +761,18 @@ object LlmPack extends QueryPack {
     // The Lloyd quantizer q71/q139 embed, shipped as its own training
     // artifact: centroid table + per-cell population — the persisted
     // model of assignment-only production passes.
-    "q246_kmeans" -> ((s, d) =>
-      Similarity.kmeans(t("embeddings")(s, d))),
+    "q246_kmeans" -> ((s, d) => {
+      val (cents, assigned) = lloydBundle(s, d)
+      Similarity.kmeansFrom(cents, assigned)
+    }),
     // Simplified (centroid-based) silhouette over the q246 artifact
     // (Hruschka et al. 2004): the O(N·k) clustering-quality readout —
     // per point (b − a)/max(a, b) against own vs nearest-other
     // centroid, per-cell means off micro-unit integer sums.
-    "q313_silhouette" -> ((s, d) =>
-      Similarity.silhouette(t("embeddings")(s, d))),
+    "q313_silhouette" -> ((s, d) => {
+      val (cents, assigned) = lloydBundle(s, d)
+      Similarity.silhouetteFrom(cents, assigned)
+    }),
     // Distinct-n corpus diversity (Li et al. 2016): the unique-n-gram
     // ratio for n = 1..3 — the corpus-level repetitiveness readout
     // the per-doc q83 gate cannot see (a million docs sharing one
@@ -736,8 +782,10 @@ object LlmPack extends QueryPack {
     // Davies–Bouldin index (1979) over the same artifact: the
     // worst-case-overlap companion — mean over clusters of the most
     // confusable pair ratio (S_i + S_j)/d(c_i, c_j).
-    "q314_davies_bouldin" -> ((s, d) =>
-      Similarity.daviesBouldin(t("embeddings")(s, d))),
+    "q314_davies_bouldin" -> ((s, d) => {
+      val (cents, assigned) = lloydBundle(s, d)
+      Similarity.daviesBouldinFrom(cents, assigned)
+    }),
     // Johnson–Lindenstrauss random projection: 64 → 16 dims via the
     // md5-parity ±1 plane family, 1/√16 = 0.25 exact scale — the
     // dimensionality-reduction preprocessor, a pure map.
@@ -766,8 +814,10 @@ object LlmPack extends QueryPack {
         e.where(col("vec_id") % 3 =!= 0),
         e.where(col("vec_id") % 3 === 0))
     }),
-    "q71_ann_ivf" -> ((s, d) =>
-      Similarity.ivfTopK(t("embeddings")(s, d), col("vec_id") < 10)),
+    "q71_ann_ivf" -> ((s, d) => {
+      val (cents, assigned) = lloydBundle(s, d)
+      Similarity.ivfTopKFrom(cents, assigned, col("vec_id") < 10)
+    }),
     // Product-quantization ANN: per-subspace codebooks + asymmetric
     // distance — the 4-byte-per-vector memory path. Codebook build,
     // encoding, and the fixed-order ADC fold are all deterministic,
@@ -843,7 +893,7 @@ object LlmPack extends QueryPack {
     // plus the greedy lowest-id keeper rule, so the whole semantic-
     // dedup verdict sits under the hash gate.
     "q139_semdedup" -> ((s, d) =>
-      Similarity.semDedup(t("embeddings")(s, d))),
+      Similarity.semDedupFrom(lloydBundle(s, d)._2)),
     // Hard-negative mining: top-k nearest with a DIFFERENT label —
     // q68's brute-force shape with the exclusion predicate in the join.
     "q141_hard_negatives" -> ((s, d) =>

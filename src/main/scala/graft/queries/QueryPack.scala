@@ -26,6 +26,9 @@ trait QueryPack {
   def queries: Map[String, Q]
   def oracleSql: Map[String, String]
 
+  /** Family label for per-pack bench subtotals (BENCH `families` map). */
+  def packName: String = getClass.getSimpleName.stripSuffix("$")
+
   /** Load a fixture table for a query body. */
   protected def t(name: String)(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, name)
