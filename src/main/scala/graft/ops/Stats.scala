@@ -1154,6 +1154,111 @@ object Stats {
           .as("reject"))
   }
 
+  /** Published O'Brien–Fleming critical constants C_B(K) for two-sided
+    * α = 0.05 equally-spaced group-sequential designs (Jennison &
+    * Turnbull 2000, "Group Sequential Methods", Table 2.3); the look-k
+    * boundary is u_k = C_B·√(K/k). Computed at PLAN TIME and inlined
+    * as the same literals in both engines — the z-quantile discipline
+    * ([[powerMde]]): no quantile function ever runs in a query path. */
+  def obfBounds(looks: Int): Seq[Double] = {
+    val cb = Map(1 -> 1.960, 2 -> 1.977, 3 -> 2.004, 4 -> 2.024,
+      5 -> 2.040)(looks)
+    (1 to looks).map(k => cb * math.sqrt(looks.toDouble / k))
+  }
+
+  /** O'Brien–Fleming group-sequential test (O'Brien & Fleming 1979) —
+    * the SCHEDULED-interim half of sequential practice beside
+    * [[msprt]]'s continuous-peeking half: K equally-spaced looks over
+    * the experiment's day span, a cumulative two-arm z at each look,
+    * and the conservative-early OBF boundary u_k = C_B·√(K/k) (nearly
+    * unspendable at look 1 — 4.56σ for K = 5 — relaxing to ≈ z_{α/2}
+    * at the final look, so the fixed-horizon test is almost
+    * undiluted).
+    *
+    * Determinism: daily cumulative moments are [[msprt]]'s exact
+    * integers; look cutoff days are pure integer arithmetic on
+    * (min, max) day; each look reads the LAST cumulative row ≤ its
+    * cutoff via an exact struct-argmax; z is one fixed IEEE sequence;
+    * boundaries are plan-time literals ([[obfBounds]]); the crossing
+    * verdict compares the UNROUNDED z.
+    *
+    * Scale shape: one map-side-combined groupBy to ≤ |days| rows;
+    * the cumulative window and the K-row look join run on that
+    * metadata-sized frame (the [[msprt]] exception).
+    *
+    * @return one row per look: (look, cut_day, day, n0, n1, diff, z,
+    *         bound, crossed, first_cross_look) — first_cross_look
+    *         repeated (NULL when no look crosses)
+    */
+  def obrienFleming(obs: DataFrame, dayCol: String, armCol: String,
+      v4Col: String, unit: Double = 1.0, looks: Int = 5): DataFrame = {
+    def dec19(c: Column) = c.cast("decimal(19,0)")
+    val arm = col(armCol)
+    val v = col(v4Col)
+    def armSum(a: Int, e: Column) =
+      sum(when(arm === a, e.cast("decimal(38,0)"))
+        .otherwise(lit(0).cast("decimal(38,0)")))
+    val daily = obs.groupBy(col(dayCol).as("day"))
+      .agg(
+        sum(when(arm === 0, 1L).otherwise(0L)).as("dn0"),
+        sum(when(arm === 1, 1L).otherwise(0L)).as("dn1"),
+        armSum(0, v).as("ds0"), armSum(1, v).as("ds1"),
+        armSum(0, dec19(v) * dec19(v)).as("dq0"),
+        armSum(1, dec19(v) * dec19(v)).as("dq1"))
+      .localCheckpoint(true) // feeds the span row AND the cum window
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily.select(col("day"),
+      sum(col("dn0")).over(w).as("n0"),
+      sum(col("dn1")).over(w).as("n1"),
+      sum(col("ds0")).over(w).as("s0"),
+      sum(col("ds1")).over(w).as("s1"),
+      sum(col("dq0")).over(w).as("q0"),
+      sum(col("dq1")).over(w).as("q1"))
+    val span = daily.agg(min(col("day")).as("d0"),
+      max(col("day")).as("d1"))
+    val cuts = span
+      .select(explode(array((1 to looks).map(lit): _*)).as("look"),
+        col("d0"), col("d1"))
+      .select(col("look"),
+        expr(s"d0 + ((d1 - d0 + 1) * look) div $looks - 1")
+          .as("cut_day"))
+    val atLook = cum.join(broadcast(cuts), col("day") <= col("cut_day"))
+      .groupBy(col("look"), col("cut_day"))
+      .agg(max(struct(col("day"), col("n0"), col("n1"), col("s0"),
+        col("s1"), col("q0"), col("q1"))).as("st"))
+      .select(col("look"), col("cut_day"), col("st.day").as("day"),
+        col("st.n0").as("n0"), col("st.n1").as("n1"),
+        col("st.s0").as("s0"), col("st.s1").as("s1"),
+        col("st.q0").as("q0"), col("st.q1").as("q1"))
+    def d(c: String) = col(c).cast("double")
+    val u2 = lit(unit * unit)
+    val bothArms = col("n0") > 0 && col("n1") > 0
+    val diff = when(bothArms,
+      (d("s1") / col("n1") - d("s0") / col("n0")) / lit(unit))
+    val vp = ((d("q0") - d("s0") * d("s0") / col("n0")) +
+      (d("q1") - d("s1") * d("s1") / col("n1"))) /
+      (col("n0") + col("n1")) / u2
+    val vn = vp * (d("n0") + d("n1")) / (d("n0") * d("n1"))
+    val z = when(bothArms && vp > 0, diff / sqrt(vn))
+    val bound = obfBounds(looks).zipWithIndex.foldLeft(
+      lit(Double.NaN)) { case (acc, (u, i)) =>
+        when(col("look") === (i + 1), lit(u)).otherwise(acc) }
+    val looked = atLook
+      .withColumn("z_raw", z)
+      .withColumn("bound_raw", bound)
+      .withColumn("crossed",
+        when(col("z_raw").isNotNull, abs(col("z_raw")) >= col("bound_raw")))
+      .localCheckpoint(true) // feeds the first-cross row AND the output
+    val fc = broadcast(looked
+      .agg(min(when(col("crossed"), col("look"))).as("first_cross_look")))
+    looked.crossJoin(fc)
+      .select(col("look"), col("cut_day"), col("day"), col("n0"),
+        col("n1"), r6(diff).as("diff"), r6(col("z_raw")).as("z"),
+        r6(col("bound_raw")).as("bound"), col("crossed"),
+        col("first_cross_look"))
+  }
+
   /** Isotonic calibration by pool-adjacent-violators (Ayer et al.
     * 1955; as a probability calibrator Zadrozny & Elkan 2002) — the
     * nonparametric upgrade of [[calibration]]'s raw reliability

@@ -242,6 +242,20 @@ object Analytics extends QueryPack {
         coPurchaseEdgesW(s, d).where(col("w") >= 2)
           .select(col("a"), col("b")), rounds1 = 4, rounds2 = 4)),
 
+    // The ACTUAL ANF algorithm (Palmer et al. 2002) beside q315's
+    // seeded-exact hop plot: every node carries an m = 16 HLL register
+    // frame of its h-ball, one register-wise-max round along the edges
+    // advances ALL balls at O(|E|·m)/round — full-graph neighborhood
+    // function + sketched effective diameter, where exact would be
+    // all-pairs BFS. Linear-counting small-range correction as a CASE
+    // of plan-time literals (m fixed → 15 possible values of
+    // m·ln(m/V) — libm never runs in a query path).
+    "q325_anf_diameter" -> ((s, d) =>
+      graft.graph.Anf.neighborhood(
+        t("part")(s, d).select(col("p_partkey").as("id")),
+        coPurchaseEdgesW(s, d).where(col("w") >= 2)
+          .select(col("a"), col("b")), rounds = 4)),
+
     // Deterministic seeded random walks (DeepWalk, Perozzi et al.
     // 2014) from the q243/q252 seed hubs over the full co-purchase
     // graph: 4 hops, next hop = md5-argmin over the neighbor set (the
@@ -388,6 +402,23 @@ object Analytics extends QueryPack {
           pmod(col("user_id"), lit(2L)).as("arm"),
           floor(col("value") * 1e4 + 0.5).cast("long").as("v4"))
       graft.ops.Stats.msprt(ev, "day", "arm", "v4", unit = 1e4)
+    }),
+
+    // O'Brien–Fleming group-sequential boundaries (1979): the
+    // SCHEDULED-interim half of sequential practice beside q296's
+    // continuous peeking — five equally-spaced looks over the day
+    // span, cumulative two-arm z per look, the conservative-early
+    // u_k = C_B·√(K/k) boundary as plan-time literals (Jennison &
+    // Turnbull Table 2.3 — no quantile function in any query path).
+    "q326_obrien_fleming" -> ((s, d) => {
+      val ev = t("events")(s, d)
+        .where(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .select(expr("cast(ts as long) div 86400").as("day"),
+          pmod(col("user_id"), lit(2L)).as("arm"),
+          floor(col("value") * 1e4 + 0.5).cast("long").as("v4"))
+      graft.ops.Stats.obrienFleming(ev, "day", "arm", "v4",
+        unit = 1e4, looks = 5)
     }),
 
     // Delta-method ratio-metric readout (Deng, Knoblich & Lu 2018):
@@ -2307,6 +2338,28 @@ object Analytics extends QueryPack {
          |SELECT f.id, f.c1, f.c2 AS community, z.csize
          |FROM fin f JOIN csz2 z USING (c2)""".stripMargin,
 
+    // The register frames unrolled round by round (f0..f4), the
+    // per-hop nr/sp readouts with the SAME plan-time linear-counting
+    // literals, the exact centi-unit sums, the integer 90% rule.
+    "q325_anf_diameter" ->
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey
+         |   AND a.l_partkey <> b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |nds AS (SELECT p_partkey AS id FROM part),
+         |${graft.graph.Anf.oracleCte(4)},
+         |tt AS (SELECT anf_c AS tot FROM anf WHERE hop = 4),
+         |ed AS (SELECT CAST(min(hop) AS INTEGER) AS eff_diameter
+         |       FROM anf, tt WHERE anf_c * 10 >= tot * 9)
+         |SELECT CAST(anf.hop AS INTEGER) AS hop, anf.n_nodes,
+         |  anf.anf_c,
+         |  CAST(floor(CAST(anf_c AS DOUBLE) / tot * 1e6 + 0.5) / 1e6
+         |    AS REAL) AS frac,
+         |  ed.eff_diameter
+         |FROM anf, tt, ed""".stripMargin,
+
     // The walk unrolled hop by hop: per-hop md5 draw over the
     // neighbor set, row_number (h, dst) argmin, step frames unioned.
     "q270_random_walks" ->
@@ -2686,6 +2739,82 @@ object Analytics extends QueryPack {
         |  CAST(floor(p_raw * 1e6 + 0.5) / 1e6 AS REAL) AS p_av,
         |  CASE WHEN p_raw IS NOT NULL THEN p_raw <= 0.05 END AS reject
         |FROM pp""".stripMargin,
+
+    // q296's daily cumulative integer sums, integer look cutoffs off
+    // (min, max) day, the latest cum row per look, the SAME plan-time
+    // boundary literals, the crossing verdict on the unrounded z.
+    "q326_obrien_fleming" -> {
+      val bounds = graft.ops.Stats.obfBounds(5)
+      val boundCase = bounds.zipWithIndex.map { case (u, i) =>
+        s"WHEN ${i + 1} THEN $u" }.mkString(" ")
+      s"""WITH ev AS (
+         |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         |         CAST(user_id % 2 AS BIGINT) AS arm,
+         |         CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS v4
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |    AND value IS NOT NULL),
+         |daily AS (SELECT day,
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS dn0,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS dn1,
+         |    sum(CASE WHEN arm = 0 THEN CAST(v4 AS HUGEINT) ELSE 0 END)
+         |      AS ds0,
+         |    sum(CASE WHEN arm = 1 THEN CAST(v4 AS HUGEINT) ELSE 0 END)
+         |      AS ds1,
+         |    sum(CASE WHEN arm = 0 THEN CAST(v4 AS HUGEINT) * v4
+         |        ELSE 0 END) AS dq0,
+         |    sum(CASE WHEN arm = 1 THEN CAST(v4 AS HUGEINT) * v4
+         |        ELSE 0 END) AS dq1
+         |  FROM ev GROUP BY 1),
+         |cum AS (SELECT day,
+         |    CAST(sum(dn0) OVER w AS BIGINT) AS n0,
+         |    CAST(sum(dn1) OVER w AS BIGINT) AS n1,
+         |    sum(ds0) OVER w AS s0, sum(ds1) OVER w AS s1,
+         |    sum(dq0) OVER w AS q0, sum(dq1) OVER w AS q1
+         |  FROM daily WINDOW w AS (ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |sp AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+         |cuts AS (SELECT CAST(k AS INTEGER) AS look,
+         |    d0 + ((d1 - d0 + 1) * k) // 5 - 1 AS cut_day
+         |  FROM sp, range(1, 6) t(k)),
+         |al AS (SELECT look, cut_day, day, n0, n1, s0, s1, q0, q1
+         |  FROM (SELECT c.*, u.day, u.n0, u.n1, u.s0, u.s1, u.q0, u.q1,
+         |          row_number() OVER (PARTITION BY c.look
+         |            ORDER BY u.day DESC) AS rn
+         |        FROM cuts c JOIN cum u ON u.day <= c.cut_day) x
+         |  WHERE rn = 1),
+         |st AS (SELECT look, cut_day, day, n0, n1,
+         |    CASE WHEN n0 > 0 AND n1 > 0 THEN
+         |      (CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0) / 1e4
+         |    END AS diff,
+         |    CASE WHEN n0 > 0 AND n1 > 0 THEN
+         |      ((CAST(q0 AS DOUBLE)
+         |          - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / n0)
+         |       + (CAST(q1 AS DOUBLE)
+         |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1))
+         |      / (n0 + n1) / 1e8
+         |    END AS vp
+         |  FROM al),
+         |zz AS (SELECT *,
+         |    CASE WHEN vp > 0 THEN diff / sqrt(vp
+         |      * (CAST(n0 AS DOUBLE) + n1) / (CAST(n0 AS DOUBLE) * n1))
+         |    END AS z_raw,
+         |    CASE look $boundCase END AS bound_raw
+         |  FROM st),
+         |cr AS (SELECT *, CASE WHEN z_raw IS NOT NULL
+         |      THEN abs(z_raw) >= bound_raw END AS crossed
+         |  FROM zz),
+         |fc AS (SELECT CAST(min(CASE WHEN crossed THEN look END)
+         |         AS INTEGER) AS first_cross_look FROM cr)
+         |SELECT look, cut_day, day, n0, n1,
+         |  CAST(floor(diff * 1e6 + 0.5) / 1e6 AS REAL) AS diff,
+         |  CAST(floor(z_raw * 1e6 + 0.5) / 1e6 AS REAL) AS z,
+         |  CAST(floor(bound_raw * 1e6 + 0.5) / 1e6 AS REAL) AS bound,
+         |  crossed, fc.first_cross_look
+         |FROM cr, fc""".stripMargin
+    },
 
     // The same per-user (Y_u, N_u) sums, the same twelve HUGEINT
     // moments, the same delta-method IEEE sequence per arm.

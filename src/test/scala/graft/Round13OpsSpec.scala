@@ -45,6 +45,32 @@ class Round13OpsSpec extends AnyFunSuite {
       == 12L)
   }
 
+  test("obrien-fleming: hand-solved two-look fixture") {
+    import spark.implicits._
+    // day 1: weak effect — diff = 1, vp = 1, vn = 1, z = 1 < u1 =
+    // 1.977·√2 ≈ 2.796 (no cross); day 2 adds a strong arm-1 batch —
+    // cumulative diff = 6, vp = 13.5, vn = 6.75, z = 6/√6.75 ≈
+    // 2.3094 > u2 = 1.977 (cross). All moments hand-computed.
+    val obs = Seq(
+      (1L, 0L, 0L), (1L, 0L, 2L), (1L, 1L, 1L), (1L, 1L, 3L),
+      (2L, 0L, 0L), (2L, 0L, 2L), (2L, 1L, 11L), (2L, 1L, 13L))
+      .toDF("day", "arm", "v4")
+    val out = graft.ops.Stats.obrienFleming(obs, "day", "arm", "v4",
+      unit = 1.0, looks = 2)
+      .orderBy("look").collect()
+    assert(out.length == 2)
+    val l1 = out(0); val l2 = out(1)
+    assert(l1.getFloat(l1.fieldIndex("z")) == 1.0f)
+    assert(!l1.getBoolean(l1.fieldIndex("crossed")))
+    assert(l2.getFloat(l2.fieldIndex("z")) == 2.309401f)
+    assert(l2.getFloat(l2.fieldIndex("bound")) == 1.977f)
+    assert(l2.getBoolean(l2.fieldIndex("crossed")))
+    assert(l1.getInt(l1.fieldIndex("first_cross_look")) == 2)
+    // boundary is conservative-early: u1 > u2
+    assert(l1.getFloat(l1.fieldIndex("bound")) >
+      l2.getFloat(l2.fieldIndex("bound")))
+  }
+
   test("louvain oneLevelW: weighted graph with self-loops, exact ascent") {
     import spark.implicits._
     // two supernodes {1, 2} with self-loop mass and a HEAVY bridge:
