@@ -739,6 +739,30 @@ object TextOps {
         length(col("clean_text")).as("n_chars_clean"))
   }
 
+  /** NFKC + case-fold normalization — the TOKENIZER-INPUT pass
+    * upstream of the [[canonicalize]] dedup pass: compatibility
+    * variants (ligatures, fullwidth forms, superscripts, roman
+    * numerals, no-break spaces) fold onto their plain forms and case
+    * collapses, so vocabulary statistics ([[graft.llm.Bpe]],
+    * [[tfIdf]]) stop splitting across visually-equivalent spellings.
+    * Runs in the native [[graft.functions.NfkcCaseFold]] kernel
+    * (NFKC → lowercase(ROOT) → NFKC, idempotent); pure map, zero
+    * shuffles, ASCII-lowercase rows pay one scan and no copy.
+    *
+    * @return (doc_id, norm_text, changed, n_chars_raw, n_chars_norm)
+    */
+  def nfkcFold(docs: DataFrame): DataFrame = {
+    val nk = org.apache.spark.sql.GraftSqlShims.column(
+      graft.functions.NfkcCaseFold(
+        org.apache.spark.sql.GraftSqlShims.expression(col("text"))))
+    spread(docs).where(col("text").isNotNull)
+      .select(col("doc_id"), col("text"), nk.as("norm_text"))
+      .select(col("doc_id"), col("norm_text"),
+        (col("norm_text") =!= col("text")).as("changed"),
+        length(col("text")).as("n_chars_raw"),
+        length(col("norm_text")).as("n_chars_norm"))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text
     * — the exact-dedup key.
     */

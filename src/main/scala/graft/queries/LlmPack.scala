@@ -569,6 +569,37 @@ object LlmPack extends QueryPack {
     // the oracle performs the identical injection before DuckDB's own
     // nfc_normalize + RE2 cascade — every rule is exercised, not
     // vacuously green.
+    // NFKC + case-fold tokenizer-input normalization (the q110
+    // injection trick for the compatibility axis): the ASCII fixture
+    // is NFKC-invariant, so deterministic ligature/fullwidth/
+    // superscript/roman-numeral/angstrom/NBSP/uppercase tails keyed on
+    // doc_id exercise every folding class; DuckDB has no NFKC, so the
+    // oracle injects the PRE-FOLDED literals — the expected output is
+    // known at plan time precisely because the injection is.
+    "q327_nfkc_fold" -> ((s, d) => TextOps.nfkcFold(
+      t("documents")(s, d).where(col("text").isNotNull)
+        .select(col("doc_id"), concat(
+          col("text"),
+          // fi-ligature + fullwidth TEST \u2192 " file test"
+          when(col("doc_id") % 4 === 0,
+            lit(" \uFB01le \uFF34\uFF25\uFF33\uFF34"))
+            .otherwise(lit("")),
+          // superscript 2/3 + micro sign \u2192 " 23 \u03BCm"
+          when(col("doc_id") % 4 === 1,
+            lit(" \u00B2\u00B3 \u00B5m"))
+            .otherwise(lit("")),
+          // roman XII + ff-ligature + roman IX \u2192 " xiiffix"
+          when(col("doc_id") % 4 === 2,
+            lit(" \u216B\uFB00\u2168"))
+            .otherwise(lit("")),
+          // angstrom sign + NBSP + uppercase \u2192 " \u00E5 units"
+          when(col("doc_id") % 5 === 0,
+            lit(" \u212B\u00A0UNITS"))
+            .otherwise(lit("")),
+          // plain ASCII case fold \u2192 " mixedcase"
+          when(col("doc_id") % 7 === 0, lit(" MixedCASE"))
+            .otherwise(lit(""))).as("text")))),
+
     "q110_text_canon" -> ((s, d) => TextOps.canonicalize(
       t("documents")(s, d).where(col("text").isNotNull)
         .select(col("doc_id"), concat(
@@ -1937,6 +1968,41 @@ object LlmPack extends QueryPack {
          |FROM j JOIN sp a ON j.da = a.doc_id
          |       JOIN sp b ON j.db = b.doc_id
          |WHERE j.jaccard >= 0.3 AND a.split <> b.split""".stripMargin,
+
+    // DuckDB has no NFKC, so the oracle's norm side injects the
+    // PRE-FOLDED literals (chr() codepoints): the injection is a
+    // plan-time constant, so its folded image is too — the raw side
+    // carries the original codepoints for changed/n_chars_raw, and the
+    // base fixture text (ASCII) folds by plain lower().
+    "q327_nfkc_fold" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text,
+        |    text ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' ' || chr(64257) || 'le '
+        |      || chr(65332) || chr(65317) || chr(65331) || chr(65332)
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 1 THEN ' ' || chr(178) || chr(179)
+        |      || ' ' || chr(181) || 'm' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 2 THEN ' ' || chr(8555)
+        |      || chr(64256) || chr(8552) ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' ' || chr(8491) || chr(160)
+        |      || 'UNITS' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' MixedCASE' ELSE '' END
+        |      AS raw,
+        |    lower(text) ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' file test' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 1 THEN ' 23 ' || chr(956) || 'm'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 2 THEN ' xiiffix' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' ' || chr(229) || ' units'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' mixedcase' ELSE '' END
+        |      AS norm_text
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, norm_text, norm_text <> raw AS changed,
+        |  CAST(length(raw) AS INTEGER) AS n_chars_raw,
+        |  CAST(length(norm_text) AS INTEGER) AS n_chars_norm
+        |FROM inj""".stripMargin,
 
     // Identical injection (chr() codepoints = the Scala \u escapes),
     // then DuckDB's own nfc_normalize + RE2 cascade. Both engines

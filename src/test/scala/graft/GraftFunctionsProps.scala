@@ -226,4 +226,41 @@ object GraftFunctionsProps extends Properties("GraftFunctions") {
         .map { case (x, y) => BigInt(x.toInt) * BigInt(y.toInt) }.sum
       BigInt(got) == want
     }
+
+  // ligature, fullwidth, superscript, micro, angstrom, NBSP,
+  // roman XII, pre-composed E-acute, combining acute, ASCII upper
+  private val mixedText: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumChar, Gen.oneOf(' ', '.', ','),
+    Gen.oneOf('\uFB01', '\uFF34', '\u00B2', '\u00B5', '\u212B',
+      '\u00A0', '\u216B', '\u00C9', '\u0301', 'A', 'Z')))
+    .map(_.mkString)
+
+  property("NfkcCaseFold is idempotent") =
+    Prop.forAll(mixedText) { s =>
+      val once = graft.functions.NfkcCaseFold.fold(s)
+      graft.functions.NfkcCaseFold.fold(once) == once
+    }
+
+  property("NfkcCaseFold: lowercase-ASCII passthrough (same object)") =
+    Prop.forAll(Gen.listOf(Gen.oneOf(
+      Gen.choose('a', 'z'), Gen.oneOf(' ', '.', '0', '9')))
+      .map(_.mkString)) { s =>
+      val u = UTF8String.fromString(s)
+      val e = graft.functions.NfkcCaseFold(
+        Literal.create(null, StringType))
+      e.compute(u).asInstanceOf[AnyRef] eq u
+    }
+
+  property("NfkcCaseFold matches Normalizer reference") =
+    Prop.forAll(mixedText) { s =>
+      val e = graft.functions.NfkcCaseFold(
+        Literal.create(null, StringType))
+      val got = e.compute(UTF8String.fromString(s)).toString
+      val want = java.text.Normalizer.normalize(
+        java.text.Normalizer.normalize(s,
+          java.text.Normalizer.Form.NFKC)
+          .toLowerCase(java.util.Locale.ROOT),
+        java.text.Normalizer.Form.NFKC)
+      got == want
+    }
 }
