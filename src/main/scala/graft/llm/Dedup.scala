@@ -502,8 +502,41 @@ object Dedup {
     * @return (doc_id, n_tokens, n_cut, clean_text) for every doc
     */
   def cutDuplicateSpans(docs: DataFrame, n: Int = 8,
-      maxDf: Int = 64): DataFrame = {
-    val spans = duplicateSpans(docs, n, maxDf)
+      maxDf: Int = 64): DataFrame =
+    rebuildAfterCut(docs, duplicateSpans(docs, n, maxDf))
+
+  /** HARDENED span-cut with Lee et al. 2022's actual
+    * deduplicate-text-datasets semantics — two upgrades over
+    * [[cutDuplicateSpans]]:
+    *
+    *  1. CONFIGURABLE MIN-MATCH LENGTH: detection still runs on
+    *     n-token anchors, but only maximal spans of ≥ `minMatch`
+    *     tokens are cut (the paper detects with a suffix array and
+    *     cuts at 50 tokens; decoupling the anchor granularity from the
+    *     cut threshold is what makes that tunable).
+    *  2. ALL-BUT-FIRST-OCCURRENCE cut priority: the span table
+    *     includes WITHIN-DOCUMENT repeats ([[duplicateSpansSelf]]),
+    *     and the cut side of every pair is the LATER occurrence in
+    *     (doc_id, position) order — so of ALL occurrences of a
+    *     duplicated span across the corpus, exactly the first survives
+    *     (each later occurrence is the `b` side of its pair with the
+    *     first), including the second copy inside a single document,
+    *     which the cross-doc-only form leaves standing.
+    *
+    * @return (doc_id, n_tokens, n_cut, clean_text) for every doc
+    */
+  def cutSpansAllButFirst(docs: DataFrame, n: Int = 8,
+      minMatch: Int = 12, maxDf: Int = 64): DataFrame = {
+    require(minMatch >= n, s"minMatch $minMatch below anchor length $n")
+    rebuildAfterCut(docs, duplicateSpansSelf(docs, n, maxDf)
+      .where(col("span_len") >= minMatch))
+  }
+
+  /** Shared cut + re-assembly: every token position of the `b` side
+    * covered by a span is removed and each doc rebuilt in token order
+    * (the [[boilerplateStrip]] rebuild pattern). */
+  private def rebuildAfterCut(docs: DataFrame,
+      spans: DataFrame): DataFrame = {
     val covered = spans.select(col("doc_b").as("doc_id"),
         explode(sequence(col("start_b"),
           col("start_b") + col("span_len") - 1)).as("pos"))
@@ -610,7 +643,24 @@ object Dedup {
     *         token offsets of each maximal shared span, doc_a < doc_b
     */
   def duplicateSpans(docs: DataFrame, n: Int = 8,
-      maxDf: Int = 64): DataFrame = {
+      maxDf: Int = 64): DataFrame =
+    duplicateSpansCore(docs, n, maxDf, includeSelf = false)
+
+  /** [[duplicateSpans]] EXTENDED with within-document repeats: the
+    * occurrence-pair predicate admits (doc, i) < (doc, j) self pairs
+    * beside cross-doc ones, so a span repeated INSIDE one document
+    * (template boilerplate, chorus text) is localized exactly like a
+    * cross-doc one. Everything else — anchors, df cap, diagonal
+    * islands — is [[duplicateSpans]] verbatim; a self pair's diagonal
+    * ia − ib ≠ 0 and each ia still occurs once per diagonal, so the
+    * gaps-and-islands collapse is unchanged. doc_a = doc_b marks the
+    * self rows. */
+  def duplicateSpansSelf(docs: DataFrame, n: Int = 8,
+      maxDf: Int = 64): DataFrame =
+    duplicateSpansCore(docs, n, maxDf, includeSelf = true)
+
+  private def duplicateSpansCore(docs: DataFrame, n: Int,
+      maxDf: Int, includeSelf: Boolean): DataFrame = {
     require(n >= 2, "span anchor length must be >= 2 tokens")
     val toks = spread(docs.where(col("text").isNotNull))
       .select(col("doc_id"), TextOps.tokens(col("text")).as("wd"))
@@ -630,7 +680,11 @@ object Dedup {
     val occ = grams.join(keep, Seq("h")).localCheckpoint(true)
     val a = occ.select(col("h"), col("doc_id").as("da"), col("i").as("ia"))
     val b = occ.select(col("h"), col("doc_id").as("db"), col("i").as("ib"))
-    val m = a.join(b, Seq("h")).where(col("da") < col("db"))
+    val pairPred =
+      if (includeSelf) col("da") < col("db") ||
+        (col("da") === col("db") && col("ia") < col("ib"))
+      else col("da") < col("db")
+    val m = a.join(b, Seq("h")).where(pairPred)
     // gaps-and-islands per (pair, diagonal): each ia occurs at most
     // once per diagonal (ib = ia − diag is determined), so
     // ia − row_number() is constant exactly along consecutive runs

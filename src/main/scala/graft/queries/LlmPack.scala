@@ -229,6 +229,14 @@ object LlmPack extends QueryPack {
     // in token order — span-level removal, not document dropping.
     "q241_span_cut" -> ((s, d) =>
       Dedup.cutDuplicateSpans(t("documents")(s, d))),
+    // The HARDENED cut with Lee et al. 2022's deduplicate-text-
+    // datasets semantics: within-doc repeats join the span table,
+    // only spans >= 12 tokens are cut (anchor granularity decoupled
+    // from the cut threshold), and the cut side is always the LATER
+    // occurrence in (doc, pos) order — of all occurrences of a
+    // duplicated span corpus-wide, exactly the first survives.
+    "q328_span_cut_first" -> ((s, d) =>
+      Dedup.cutSpansAllButFirst(t("documents")(s, d))),
     // Per-doc token counts under the q238 unigram vocabulary (the
     // q145 bpeEncode analog — the second tokenizer's inference side).
     "q242_unigram_encode" -> ((s, d) =>
@@ -1497,7 +1505,7 @@ object LlmPack extends QueryPack {
     * NB: interpolated into outer stripMargin'd strings — no line may
     * START with '|' after this val's own stripMargin, or the second
     * strip eats one bar of a '||' concat operator. */
-  private val dupSpanCtes =
+  private def dupSpanCtesFor(pairPred: String): String =
     s"""tok AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
        |  FROM documents WHERE text IS NOT NULL),
@@ -1520,7 +1528,7 @@ object LlmPack extends QueryPack {
        |  SELECT a.doc_id AS da, b.doc_id AS db, a.i AS ia, b.i AS ib,
        |         a.i - b.i AS diag
        |  FROM occ a JOIN occ b
-       |    ON a.h = b.h AND a.doc_id < b.doc_id),
+       |    ON a.h = b.h AND ($pairPred)),
        |isl AS (
        |  SELECT *, ia - row_number() OVER (
        |    PARTITION BY da, db, diag ORDER BY ia) AS grp
@@ -1531,6 +1539,13 @@ object LlmPack extends QueryPack {
        |         CAST(min(ib) AS INTEGER) AS start_b,
        |         CAST(count(*) + 7 AS INTEGER) AS span_len
        |  FROM isl GROUP BY da, db, diag, grp)""".stripMargin
+
+  private val dupSpanCtes = dupSpanCtesFor("a.doc_id < b.doc_id")
+
+  /** q328's self-inclusive span table: cross-doc pairs plus
+    * within-doc (i < j) occurrence pairs. */
+  private val dupSpanSelfCtes = dupSpanCtesFor(
+    "a.doc_id < b.doc_id OR (a.doc_id = b.doc_id AND a.i < b.i)")
 
   /** q132/q249 shared oracle: the count-min grid and the minima
     * re-derived exactly — same 4 row salts, same md5-high-16 mod 64
@@ -1875,6 +1890,34 @@ object LlmPack extends QueryPack {
          |         CAST(unnest(range(start_b, start_b + span_len))
          |           AS INTEGER) AS pos
          |  FROM spans),
+         |tk2 AS (
+         |  SELECT doc_id,
+         |         CAST(unnest(range(1, len(w) + 1)) AS INTEGER) AS pos, w
+         |  FROM tok),
+         |tk3 AS (SELECT doc_id, pos, w[pos] AS tk FROM tk2),
+         |tot AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens
+         |        FROM tk3 GROUP BY 1),
+         |kept AS (
+         |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |         string_agg(t.tk, ' ' ORDER BY t.pos) AS clean_text
+         |  FROM tk3 t LEFT JOIN cov c
+         |    ON t.doc_id = c.doc_id AND t.pos = c.pos
+         |  WHERE c.pos IS NULL GROUP BY 1)
+         |SELECT t.doc_id, t.n_tokens,
+         |       CAST(t.n_tokens - coalesce(k.n_kept, 0) AS INTEGER)
+         |         AS n_cut,
+         |       coalesce(k.clean_text, '') AS clean_text
+         |FROM tot t LEFT JOIN kept k USING (doc_id)""".stripMargin,
+    // q241's rebuild over the SELF-inclusive span table filtered to
+    // span_len >= 12 — the all-but-first-occurrence cut.
+    "q328_span_cut_first" ->
+      s"""WITH $dupSpanSelfCtes,
+         |sp2 AS (SELECT * FROM spans WHERE span_len >= 12),
+         |cov AS (
+         |  SELECT DISTINCT doc_b AS doc_id,
+         |         CAST(unnest(range(start_b, start_b + span_len))
+         |           AS INTEGER) AS pos
+         |  FROM sp2),
          |tk2 AS (
          |  SELECT doc_id,
          |         CAST(unnest(range(1, len(w) + 1)) AS INTEGER) AS pos, w

@@ -71,6 +71,32 @@ class Round13OpsSpec extends AnyFunSuite {
       l2.getFloat(l2.fieldIndex("bound")))
   }
 
+  test("span cut all-but-first: within-doc repeat, min-match, priority") {
+    import spark.implicits._
+    val s12 = (1 to 12).map(i => s"s$i").mkString(" ") // the 12-token span
+    val s8 = (5 to 12).map(i => s"s$i").mkString(" ") // its 8-token tail
+    val docs = Seq(
+      (1L, s"$s12 x1 x2 $s12"), // span twice WITHIN one doc (26 tokens)
+      (2L, s"y1 y2 $s12 y3"), // cross-doc copy (15 tokens)
+      (3L, s"z1 $s8 z2 z3")) // only 8 shared tokens < minMatch (11)
+      .toDF("doc_id", "text")
+    val out = graft.llm.Dedup.cutSpansAllButFirst(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    // doc 1: the SECOND in-doc occurrence (pos 15..26) is cut — the
+    // first survives (all-but-first priority)
+    assert(out(1L) == ((26, 12, s"$s12 x1 x2")))
+    // doc 2: its copy is a later occurrence than doc 1's -> fully cut
+    assert(out(2L) == ((15, 12, "y1 y2 y3")))
+    // doc 3: 8-token overlap detected by the anchors but BELOW the
+    // 12-token min-match -> untouched
+    assert(out(3L) == ((11, 0, s"z1 $s8 z2 z3")))
+    // contrast: the cross-doc-only cut leaves doc 1's internal repeat
+    val old = graft.llm.Dedup.cutDuplicateSpans(docs)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(old(1L) == 0, "cross-doc-only form must not self-cut")
+  }
+
   test("louvain oneLevelW: weighted graph with self-loops, exact ascent") {
     import spark.implicits._
     // two supernodes {1, 2} with self-loop mass and a HEAVY bridge:
