@@ -118,6 +118,13 @@ object ScaleSmoke {
       rounds = 4))
     run("hop_plot_q315")(graft.graph.Bfs.hopPlot(
       part, edges, part.where(col("id") % 500 === 0), rounds = 4))
+    run("louvain_2level_q324")(graft.graph.Louvain.twoLevel(
+      pairs.where(col("w") >= 2).select(col("a"), col("b")), 4, 4))
+    run("anf_q325")(graft.graph.Anf.neighborhood(
+      part, pairs.where(col("w") >= 2).select(col("a"), col("b")),
+      rounds = 4))
+    run("span_cut_first_q328")(
+      graft.llm.Dedup.cutSpansAllButFirst(docs))
     spark.stop()
   }
 }

@@ -58,6 +58,53 @@ object Assortativity {
           .cast("float")).as("r"))
   }
 
+  /** CATEGORICAL (discrete-attribute) assortativity — Newman 2003's
+    * mixing coefficient, the attribute sibling of
+    * [[degreeCorrelation]]: over the directed symmetric pair set with
+    * endpoint labels (brand, language, community), with e_ij = edges
+    * from class i to class j and a_i = Σ_j e_ij the marginals,
+    * {{{
+    *   r = (Σᵢ e_ii/M − Σᵢ (a_i/M)²) / (1 − Σᵢ (a_i/M)²)
+    * }}}
+    * — 1 = perfectly assortative (edges only within classes), 0 =
+    * random mixing, negative = disassortative. Over the COMMON
+    * denominator this is the exact-integer form
+    * (M·Σe_ii − Σa_i²) / (M² − Σa_i²): every aggregate an exact
+    * long/DECIMAL off the label-annotated edge frame, ONE division at
+    * the edge, NULL when every edge lands in one class (den = 0).
+    *
+    * Scale shape: two broadcast label joins onto the edge list (the
+    * [[Modularity.byPartition]] plan), one |classes|²-bounded groupBy,
+    * metadata-sized algebra after.
+    *
+    * @param edges  (a, b) distinct directed symmetric pairs
+    * @param labels (id, cls)
+    * @return one row (n_classes, m_edges, r_assort)
+    */
+  def byCategory(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val la = labels.select(col("id").as("a"), col("cls").as("ca"))
+    val lb = labels.select(col("id").as("b"), col("cls").as("cb"))
+    val cells = edges.join(broadcast(la), "a").join(broadcast(lb), "b")
+      .groupBy(col("ca"), col("cb")).agg(count(lit(1)).as("e"))
+      .localCheckpoint(true) // feeds M, the diagonal AND the marginals
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val marg = cells.groupBy(col("ca"))
+      .agg(sum(col("e")).as("ai"),
+        sum(when(col("ca") === col("cb"), col("e")).otherwise(0L))
+          .as("eii"))
+    val m = marg.agg(count(lit(1)).cast("int").as("n_classes"),
+      sum(col("ai")).as("mm"), sum(dec(col("eii"))).as("se"),
+      sum((col("ai").cast("decimal(19,0)") *
+        col("ai").cast("decimal(19,0)")).cast("decimal(38,0)"))
+        .as("sa2"))
+    def d(c: String) = col(c).cast("double")
+    val num = d("mm") * d("se") - d("sa2")
+    val den = d("mm") * d("mm") - d("sa2")
+    m.select(col("n_classes"), col("mm").as("m_edges"),
+      when(den > 0, (floor(num / den * 1e6 + 0.5) / 1e6).cast("float"))
+        .as("r_assort"))
+  }
+
   /** Rich-club coefficient (Zhou & Mondragón 2004; Colizza et al.
     * 2006's normalization caveat noted, unnormalized form shipped):
     * for each degree threshold k, the edge DENSITY among the nodes

@@ -72,7 +72,9 @@ object Louvain {
   def oneLevelW(edges: DataFrame, rounds: Int = 4,
       checkpoint: Boolean = true): DataFrame = {
     def cp(df: DataFrame): DataFrame =
-      if (checkpoint) df.localCheckpoint(true) else df
+      if (checkpoint)
+        org.apache.spark.sql.GraftSqlShims.localCheckpointFreshStats(df)
+      else df
     val e = cp(edges.select(col("a").as("src"), col("b").as("dst"),
       col("w")))
     val deg = cp(e.groupBy(col("src").as("id"))
@@ -162,7 +164,9 @@ object Louvain {
   def twoLevel(pairs: DataFrame, rounds1: Int = 4, rounds2: Int = 4,
       checkpoint: Boolean = true): DataFrame = {
     def cp(df: DataFrame): DataFrame =
-      if (checkpoint) df.localCheckpoint(true) else df
+      if (checkpoint)
+        org.apache.spark.sql.GraftSqlShims.localCheckpointFreshStats(df)
+      else df
     val lbl1 = cp(oneLevel(pairs, rounds1, checkpoint)
       .select(col("id"), col("community").as("c1")))
     val e2 = pairs

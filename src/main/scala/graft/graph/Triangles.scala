@@ -72,6 +72,32 @@ object Triangles {
           .otherwise(round(lit(2) * col("n_tri") /
             (col("d") * (col("d") - 1)), 4).cast("float")).as("coef"))
 
+  /** GLOBAL transitivity (Newman 2003's one-number triangle-density
+    * summary — the graph-level companion of the per-node
+    * [[clusteringCoef]]): T = closed wedges / all wedges =
+    * 3·triangles / Σ d(d−1)/2. Composed from a [[perNodeBundle]] —
+    * two metadata-sized aggregates, ZERO extra wedge work (Σ n_tri
+    * over corners is exactly 3× the triangle count). d(d−1) is even,
+    * so the wedge sum is an exact integer `div`; the single division
+    * happens once at the edge under the shared floor rounding.
+    * @return one row (n_nodes, n_triangles, n_wedges, transitivity —
+    *         NULL on a wedge-free graph)
+    */
+  def transitivityFromBundle(deg: DataFrame,
+      counts: DataFrame): DataFrame = {
+    val w = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    val c = counts.agg(coalesce(sum(col("n_tri")), lit(0L))
+      .as("n_closed"))
+    w.crossJoin(broadcast(c))
+      .select(col("n_nodes"),
+        expr("n_closed div 3").as("n_triangles"),
+        col("n_wedges"),
+        when(col("n_wedges") > 0,
+          (floor(col("n_closed").cast("double") / col("n_wedges")
+            * 1e6 + 0.5) / 1e6).cast("float")).as("transitivity"))
+  }
+
   /** Local clustering coefficient: triangles through a node over its
     * wedge capacity — coef = 2·tri / (d·(d−1)), 0 at degree < 2. The
     * standard tight-neighborhood score (co-purchase cliques, near-dup

@@ -223,6 +223,68 @@ object Retrieval {
         .cast("float").as("ndcg"))
   }
 
+  /** Average precision / precision / recall @ k against an
+    * INDEPENDENT corpus-wide relevance oracle — the missing half of
+    * [[evalRanking]]: NDCG/MRR grade what the ranker RETURNED, while
+    * recall and AP need to know what it MISSED, so relevance here is
+    * re-derived over the whole corpus (rel(q, d) = d matches ≥
+    * `minTerms` of q's terms — the same exact integer the ranked
+    * list already carries as `n_terms`, extended to every doc).
+    *
+    * AP is PURE INTEGER fixed point (no float sum over ranks, whose
+    * order-dependence would break the hash gate): with c_r = relevant
+    * in the top r, term_r = (10⁶·c_r) div r and
+    * ap6 = (Σ_{r ≤ k, rel_r} term_r) div min(R, k) — integer `div`
+    * truncation is part of the metric's contract, identical in both
+    * engines. P@k and recall are single divisions of exact integers
+    * at the edge.
+    *
+    * Scale shape: the relevance recount is one distinct (doc, term)
+    * projection joined to the ≤ |Q|·width broadcast term set — the
+    * same bounded shape as the scoring join, count-only; everything
+    * after runs on ≤ k rows per query.
+    *
+    * @param ranked  (query_id, rank, doc_id, n_terms, …) top-k list
+    * @param docs    (doc_id, text) — the corpus for the recount
+    * @param queries (query_id, term) — the query term sets
+    * @return (query_id, n_rel_corpus, n_rel_at_k, p_at_k,
+    *         recall_at_k, ap_at_k) — NULL recall/AP when R = 0
+    */
+  def apAtK(ranked: DataFrame, docs: DataFrame, queries: DataFrame,
+      k: Int = 10, minTerms: Int = 3): DataFrame = {
+    val dt = TextOps.spread(docs.where(col("text").isNotNull))
+      .select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("term"))
+      .distinct()
+    val relAll = dt.join(broadcast(queries), "term")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("nm"))
+      .where(col("nm") >= minTerms)
+    val rCorpus = relAll.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_rel_corpus"))
+    val rel = ranked.where(col("rank") <= k)
+      .select(col("query_id"), col("rank"),
+        when(col("n_terms") >= minTerms, 1L).otherwise(0L).as("rel"))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val per = rel.withColumn("c", sum(col("rel")).over(wq))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).cast("int").as("n_ret"),
+        sum(col("rel")).cast("int").as("n_rel_at_k"),
+        sum(col("rel") * expr("(1000000 * c) div `rank`")).as("apn"))
+    per.join(broadcast(rCorpus), Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_rel_corpus"))
+      .select(col("query_id"), col("n_rel_corpus"), col("n_rel_at_k"),
+        (floor(col("n_rel_at_k").cast("double") / k * 1e6 + 0.5) / 1e6)
+          .cast("float").as("p_at_k"),
+        when(col("n_rel_corpus") > 0,
+          floor(col("n_rel_at_k").cast("double") / col("n_rel_corpus")
+            * 1e6 + 0.5) / 1e6).cast("float").as("recall_at_k"),
+        when(col("n_rel_corpus") > 0,
+          expr(s"apn div least(n_rel_corpus, $k)").cast("double") / 1e6)
+          .cast("float").as("ap_at_k"))
+  }
+
   /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
     * 1998) — the diversification pass between retrieval and
     * consumption: greedily pick k results maximizing

@@ -654,6 +654,111 @@ object TextOps {
     }.reduce(_ unionByName _)
   }
 
+  /** Shared scaled-ln least-squares slope: each point's (ln x, ln y)
+    * is FLOOR-SCALED to micro-unit longs first (the CMH/Theil
+    * discipline — a float sum over points would be order-dependent),
+    * the four moments ride exact DECIMAL, and the slope is one fixed
+    * IEEE sequence. The 10⁶ scaling cancels out of the slope. */
+  private def logLogMoments(pts: DataFrame, xc: Column,
+      yc: Column): DataFrame = {
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    pts.select(
+        floor(log(xc.cast("double")) * 1e6 + 0.5).cast("long").as("x6"),
+        floor(log(yc.cast("double")) * 1e6 + 0.5).cast("long").as("y6"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x6").cast("decimal(38,0)")).as("sx"),
+        sum(col("y6").cast("decimal(38,0)")).as("sy"),
+        sum((d19(col("x6")) * d19(col("x6"))).cast("decimal(38,0)"))
+          .as("sxx"),
+        sum((d19(col("x6")) * d19(col("y6"))).cast("decimal(38,0)"))
+          .as("sxy"))
+  }
+
+  private def slopeCol: Column = {
+    def d(c: String) = col(c).cast("double")
+    val den = d("n") * d("sxx") - d("sx") * d("sx")
+    when(den > 0, floor((d("n") * d("sxy") - d("sx") * d("sy")) / den
+      * 1e6 + 0.5) / 1e6)
+  }
+
+  /** Heaps'-law vocabulary-growth curve (Heaps 1978; the V = K·nᵝ
+    * empirical law): distinct-vocabulary size vs cumulative token
+    * count at `checkpoints` equally-spaced doc_id cutoffs, plus the
+    * fitted growth exponent β — the corpus-level readout that sizes
+    * tokenizer vocabularies and predicts how much NEW text moves the
+    * vocabulary (β ≈ 0.4–0.6 for natural corpora; β → 1 flags
+    * synthetic/id-heavy text, β → 0 a closed template vocabulary).
+    *
+    * The distributed trick: "distinct terms among docs ≤ cut" needs
+    * NO per-cut rescan — each term's FIRST-SEEN doc id (one term
+    * groupBy) makes every cutoff a bounded conditional count, so the
+    * whole curve costs one explode + two groupBys + a ×checkpoints
+    * broadcast sweep ([[graft.graph.Assortativity.richClub]]'s
+    * pattern). β via [[logLogMoments]]' scaled-integer OLS.
+    *
+    * @return one row per checkpoint: (chk, cut_id, n_tokens,
+    *         n_distinct, heaps_beta repeated)
+    */
+  def heapsLaw(docs: DataFrame, checkpoints: Int = 10): DataFrame = {
+    val toks = spread(docs.where(col("text").isNotNull))
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .localCheckpoint(true) // feeds span, per-doc counts, first-seen
+    val span = toks.agg(min(col("doc_id")).as("d0"),
+      max(col("doc_id")).as("d1"))
+    val cuts = broadcast(span
+      .select(explode(array((1 to checkpoints).map(lit): _*)).as("chk"),
+        col("d0"), col("d1"))
+      .select(col("chk"),
+        expr(s"d0 + ((d1 - d0 + 1) * chk) div $checkpoints - 1")
+          .as("cut")))
+    val perDoc = toks.select(col("doc_id"), size(col("w")).as("nt"))
+    val firstSeen = toks
+      .select(col("doc_id"), explode(col("w")).as("term"))
+      .groupBy(col("term")).agg(min(col("doc_id")).as("fd"))
+    val tc = perDoc.crossJoin(cuts).groupBy(col("chk"), col("cut"))
+      .agg(sum(when(col("doc_id") <= col("cut"), col("nt"))
+        .otherwise(0L)).as("n_tokens"))
+    val dc = firstSeen.crossJoin(cuts).groupBy(col("chk"), col("cut"))
+      .agg(sum(when(col("fd") <= col("cut"), 1L).otherwise(0L))
+        .as("n_distinct"))
+    val pts = tc.join(dc, Seq("chk", "cut"))
+      .where(col("n_tokens") > 0 && col("n_distinct") > 0)
+      .localCheckpoint(true) // feeds the fit AND the output rows
+    val beta = broadcast(logLogMoments(pts, col("n_tokens"),
+        col("n_distinct"))
+      .select(slopeCol.cast("float").as("heaps_beta")))
+    pts.crossJoin(beta)
+      .select(col("chk"), col("cut").as("cut_id"), col("n_tokens"),
+        col("n_distinct"), col("heaps_beta"))
+  }
+
+  /** Zipf rank–frequency slope over the top-`topN` terms (Zipf 1949):
+    * the fitted exponent of freq ∝ rank^s — s ≈ −1 for natural text;
+    * a flat slope flags templated/synthetic corpora, a steep one a
+    * boilerplate-dominated vocabulary. Term counts are exact; the
+    * top-N cut is a TakeOrdered reduction (orderBy + limit — never a
+    * global sort), ranks a window over exactly topN rows, and the fit
+    * [[logLogMoments]]' scaled-integer OLS.
+    *
+    * @return one row (n_terms, top_cnt, zipf_slope)
+    */
+  def zipfSlope(docs: DataFrame, topN: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = spread(docs.where(col("text").isNotNull))
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("term")).limit(topN)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("term"))).cast("long"))
+      .localCheckpoint(true) // feeds the fit AND the summary row
+    val m = logLogMoments(top, col("rnk"), col("cnt"))
+      .select(col("n").cast("int").as("n_terms"),
+        slopeCol.cast("float").as("zipf_slope"))
+    top.agg(max(when(col("rnk") === 1, col("cnt"))).as("top_cnt"))
+      .crossJoin(broadcast(m))
+      .select(col("n_terms"), col("top_cnt"), col("zipf_slope"))
+  }
+
   def topNgrams(docs: DataFrame, n: Int = 3, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = spread(docs.where(col("text").isNotNull))

@@ -666,6 +666,17 @@ object Analytics extends QueryPack {
       graft.graph.Assortativity.degreeCorrelation(
         coPurchaseEdges(s, d))),
 
+    // CATEGORICAL assortativity (Newman 2003's mixing coefficient):
+    // do parts co-purchase within their own BRAND? — the attribute
+    // sibling of q307's degree mixing, exact-integer
+    // (M·Σe_ii − Σa_i²)/(M² − Σa_i²) over the bounded brand×brand
+    // mixing matrix.
+    "q333_brand_mixing" -> ((s, d) =>
+      graft.graph.Assortativity.byCategory(
+        coPurchaseEdges(s, d),
+        t("part")(s, d).select(col("p_partkey").as("id"),
+          col("p_brand").as("cls")))),
+
     // CUPED variance reduction (Deng et al. 2013): each user's
     // last-15-days metric adjusted by their first-15-days covariate
     // — θ = cov/var over exact per-user integer sums, variance drops
@@ -830,6 +841,15 @@ object Analytics extends QueryPack {
     "q183_clustering_coef" -> ((s, d) => {
       val (deg, cnt) = triBundle(s, d)
       graft.graph.Triangles.clusteringCoefFromBundle(deg, cnt)
+    }),
+
+    // Global transitivity (Newman 2003): 3·triangles / wedges — the
+    // graph-level triangle-density number beside q183's per-node
+    // coefficients, composed from the SAME memoized bundle with zero
+    // extra wedge work (two metadata-sized aggregates).
+    "q329_transitivity" -> ((s, d) => {
+      val (deg, cnt) = triBundle(s, d)
+      graft.graph.Triangles.transitivityFromBundle(deg, cnt)
     }),
 
     // k-core of the co-purchase graph (k=80): iterative peel — degree
@@ -3509,6 +3529,39 @@ object Analytics extends QueryPack {
         |  END AS r
         |FROM dn""".stripMargin,
 
+    // The q307 edge CTE + brand labels both ends, the bounded mixing
+    // matrix, and the exact common-denominator coefficient.
+    "q333_brand_mixing" ->
+      """WITH ce AS (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey <> b.l_partkey),
+        |lb AS (SELECT p_partkey AS id, p_brand AS cls FROM part),
+        |cells AS (SELECT la.cls AS ca, lbb.cls AS cb,
+        |            CAST(count(*) AS BIGINT) AS e
+        |          FROM ce JOIN lb la ON la.id = ce.a
+        |          JOIN lb lbb ON lbb.id = ce.b
+        |          GROUP BY 1, 2),
+        |marg AS (SELECT ca, CAST(sum(e) AS BIGINT) AS ai,
+        |           CAST(sum(CASE WHEN ca = cb THEN e ELSE 0 END)
+        |             AS BIGINT) AS eii
+        |         FROM cells GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS INTEGER) AS n_classes,
+        |        CAST(sum(ai) AS BIGINT) AS mm,
+        |        sum(CAST(eii AS HUGEINT)) AS se,
+        |        sum(CAST(ai AS HUGEINT) * ai) AS sa2
+        |      FROM marg)
+        |SELECT n_classes, mm AS m_edges,
+        |  CAST(CASE WHEN CAST(mm AS DOUBLE) * CAST(mm AS DOUBLE)
+        |      - CAST(sa2 AS DOUBLE) > 0 THEN
+        |    floor((CAST(mm AS DOUBLE) * CAST(se AS DOUBLE)
+        |        - CAST(sa2 AS DOUBLE))
+        |      / (CAST(mm AS DOUBLE) * CAST(mm AS DOUBLE)
+        |        - CAST(sa2 AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |  END AS REAL) AS r_assort
+        |FROM m""".stripMargin,
+
     // The same per-user HUGEINT moments, the same inlined z
     // literals, the same fixed MDE sequence and guarded ceil.
     "q305_power_mde" ->
@@ -3938,6 +3991,35 @@ object Analytics extends QueryPack {
         |cnt AS (SELECT id, count(*) AS n_tri FROM corners GROUP BY 1)
         |SELECT n.id, coalesce(cnt.n_tri, 0) AS n_tri
         |FROM nodes n LEFT JOIN cnt USING (id)""".stripMargin,
+
+    // q172's independent naive triple-join triangle set + the degree
+    // CTE: wedges = Σ d(d−1)//2 (exact — d(d−1) even), closed =
+    // 3·|tri|, one guarded division at the edge.
+    "q329_transitivity" ->
+      """WITH ce AS MATERIALIZED (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+        |         greatest(a.l_partkey, b.l_partkey) AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey <> b.l_partkey),
+        |tri AS (
+        |  SELECT x.u AS a, x.v AS b, y.v AS c
+        |  FROM ce x JOIN ce y ON y.u = x.v
+        |  JOIN ce z ON z.u = x.u AND z.v = y.v),
+        |deg AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+        |    SELECT u AS id FROM ce UNION ALL SELECT v FROM ce)
+        |  GROUP BY 1),
+        |w AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |        CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+        |      FROM deg),
+        |c AS (SELECT CAST(3 * count(*) AS BIGINT) AS n_closed FROM tri)
+        |SELECT n_nodes, CAST(n_closed // 3 AS BIGINT) AS n_triangles,
+        |  n_wedges,
+        |  CAST(CASE WHEN n_wedges > 0 THEN
+        |    floor(CAST(n_closed AS DOUBLE) / n_wedges * 1e6 + 0.5) / 1e6
+        |  END AS REAL) AS transitivity
+        |FROM w, c""".stripMargin,
 
     "q194_kcore" ->
       s"""WITH e0 AS MATERIALIZED (

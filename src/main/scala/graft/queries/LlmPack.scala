@@ -818,6 +818,17 @@ object LlmPack extends QueryPack {
     // template pass q83 and crater distinct-3).
     "q316_distinct_ngrams" -> ((s, d) =>
       TextOps.distinctNgrams(t("documents")(s, d))),
+    // Heaps'-law vocabulary growth: V vs cumulative tokens at 10
+    // doc_id cutoffs + the fitted beta exponent — per-term FIRST-SEEN
+    // doc id makes every cutoff a bounded conditional count (no
+    // per-cut rescan); scaled-integer log-log OLS.
+    "q331_heaps_law" -> ((s, d) =>
+      TextOps.heapsLaw(t("documents")(s, d))),
+    // Zipf rank-frequency slope over the top-100 terms: TakeOrdered
+    // cut (never a global sort), ranks over exactly 100 rows, the
+    // same scaled-integer log-log OLS.
+    "q332_zipf_slope" -> ((s, d) =>
+      TextOps.zipfSlope(t("documents")(s, d))),
     // Davies–Bouldin index (1979) over the same artifact: the
     // worst-case-overlap companion — mean over clusters of the most
     // confusable pair ratio (S_i + S_j)/d(c_i, c_j).
@@ -885,6 +896,15 @@ object LlmPack extends QueryPack {
     // retrieving your own source doc is ground truth).
     "q253_retrieval_eval" -> ((s, d) =>
       Retrieval.evalRanking(bm25Run(s, d))),
+    // AP/P/R@10 against an INDEPENDENT corpus-wide relevance recount
+    // (docs matching >= 3 query terms): q253's NDCG/MRR grade what the
+    // ranker returned; recall and AP see what it missed. AP in pure
+    // integer fixed point — (1e6*c_r) div r summed, div min(R, k).
+    "q330_ap_at_k" -> ((s, d) => {
+      val docs = t("documents")(s, d)
+      Retrieval.apAtK(bm25Run(s, d), docs,
+        Retrieval.sampleQueries(docs))
+    }),
     // MMR diversified re-ranking of the q165 BM25 lists: greedy
     // λ=0.7 relevance-vs-diversity picks with min–max-normalized
     // integer relevance and 3-shingle Jaccard diversity — no float
@@ -2760,6 +2780,40 @@ object LlmPack extends QueryPack {
     // integer DCG weight literals (generated by the same Scala call
     // that built the plan), 2^rel−1 gains via bit shift, ideal order
     // by (gain desc, doc_id), one IEEE division per shipped float.
+    // The same corpus-wide >= 3-term relevance recount off the shared
+    // postings CTEs, the same integer (1e6*c)//r AP fixed point.
+    "q330_ap_at_k" ->
+      s"""WITH $bm25Ctes,
+         |dt AS (SELECT DISTINCT doc_id, term FROM (
+         |    SELECT doc_id, unnest(w) AS term FROM toks) u),
+         |relall AS (
+         |  SELECT q.query_id, dt.doc_id, count(*) AS nm
+         |  FROM dt JOIN qterms q USING (term)
+         |  GROUP BY 1, 2 HAVING count(*) >= 3),
+         |rc AS (SELECT query_id, CAST(count(*) AS BIGINT)
+         |         AS n_rel_corpus FROM relall GROUP BY 1),
+         |lst AS (SELECT query_id, rank,
+         |          CASE WHEN n_terms >= 3 THEN 1 ELSE 0 END AS rel
+         |        FROM sparse WHERE rank <= 10),
+         |cum AS (SELECT *, CAST(sum(rel) OVER (PARTITION BY query_id
+         |          ORDER BY rank) AS BIGINT) AS c FROM lst),
+         |per AS (SELECT query_id,
+         |          CAST(sum(rel) AS INTEGER) AS n_rel_at_k,
+         |          CAST(sum(rel * ((1000000 * c) // rank)) AS BIGINT)
+         |            AS apn
+         |        FROM cum GROUP BY 1)
+         |SELECT p.query_id,
+         |  coalesce(r.n_rel_corpus, 0) AS n_rel_corpus, p.n_rel_at_k,
+         |  CAST(floor(CAST(p.n_rel_at_k AS DOUBLE) / 10 * 1e6 + 0.5)
+         |    / 1e6 AS REAL) AS p_at_k,
+         |  CAST(CASE WHEN r.n_rel_corpus > 0 THEN
+         |    floor(CAST(p.n_rel_at_k AS DOUBLE) / r.n_rel_corpus
+         |      * 1e6 + 0.5) / 1e6 END AS REAL) AS recall_at_k,
+         |  CAST(CASE WHEN r.n_rel_corpus > 0 THEN
+         |    CAST(p.apn // least(r.n_rel_corpus, 10) AS DOUBLE) / 1e6
+         |  END AS REAL) AS ap_at_k
+         |FROM per p LEFT JOIN rc r USING (query_id)""".stripMargin,
+
     "q253_retrieval_eval" -> {
       val w = Retrieval.dcgWeights(10)
         .zipWithIndex.map { case (wt, i) => s"(${i + 1}, ${wt})" }
@@ -3581,6 +3635,89 @@ object LlmPack extends QueryPack {
         |  CAST(floor(CAST(distinct_ngrams AS DOUBLE) / total_ngrams
         |    * 1e6 + 0.5) / 1e6 AS REAL) AS distinct_ratio
         |FROM u""".stripMargin,
+
+    // The same first-seen trick (min doc_id per term), the same
+    // integer cutoffs and conditional counts, the same micro-scaled
+    // log-log moments and one-division slope.
+    "q331_heaps_law" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |sp AS (SELECT min(doc_id) AS d0, max(doc_id) AS d1 FROM tok),
+        |cuts AS (SELECT CAST(j AS INTEGER) AS chk,
+        |    d0 + ((d1 - d0 + 1) * j) // 10 - 1 AS cut
+        |  FROM sp, range(1, 11) t(j)),
+        |pd AS (SELECT doc_id, len(w) AS nt FROM tok),
+        |fs AS (SELECT term, min(doc_id) AS fd FROM (
+        |    SELECT doc_id, unnest(w) AS term FROM tok) u GROUP BY 1),
+        |tc AS (SELECT chk, cut,
+        |    CAST(sum(CASE WHEN doc_id <= cut THEN nt ELSE 0 END)
+        |      AS BIGINT) AS n_tokens
+        |  FROM pd CROSS JOIN cuts GROUP BY 1, 2),
+        |dc AS (SELECT chk, cut,
+        |    CAST(sum(CASE WHEN fd <= cut THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_distinct
+        |  FROM fs CROSS JOIN cuts GROUP BY 1, 2),
+        |pts AS (SELECT chk, cut, n_tokens, n_distinct,
+        |    CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5)
+        |      AS BIGINT) AS x6,
+        |    CAST(floor(ln(CAST(n_distinct AS DOUBLE)) * 1e6 + 0.5)
+        |      AS BIGINT) AS y6
+        |  FROM tc JOIN dc USING (chk, cut)
+        |  WHERE n_tokens > 0 AND n_distinct > 0),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x6 AS HUGEINT)) AS sx,
+        |    sum(CAST(y6 AS HUGEINT)) AS sy,
+        |    sum(CAST(x6 AS HUGEINT) * x6) AS sxx,
+        |    sum(CAST(x6 AS HUGEINT) * y6) AS sxy
+        |  FROM pts),
+        |sl AS (SELECT CAST(CASE WHEN
+        |      CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 THEN
+        |    floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * 1e6 + 0.5) / 1e6 END AS REAL) AS heaps_beta FROM mm)
+        |SELECT p.chk, p.cut AS cut_id, p.n_tokens, p.n_distinct,
+        |  sl.heaps_beta
+        |FROM pts p, sl""".stripMargin,
+
+    // The same exact counts, (cnt desc, term) total-order top-100,
+    // and micro-scaled log-log slope.
+    "q332_zipf_slope" ->
+      """WITH tok AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |tcnt AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(w) AS term FROM tok) u GROUP BY 1),
+        |top AS (SELECT term, cnt, CAST(row_number() OVER (
+        |      ORDER BY cnt DESC, term) AS BIGINT) AS rnk
+        |  FROM tcnt ORDER BY cnt DESC, term LIMIT 100),
+        |pts AS (SELECT rnk, cnt,
+        |    CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |      AS x6,
+        |    CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |      AS y6
+        |  FROM top),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x6 AS HUGEINT)) AS sx,
+        |    sum(CAST(y6 AS HUGEINT)) AS sy,
+        |    sum(CAST(x6 AS HUGEINT) * x6) AS sxx,
+        |    sum(CAST(x6 AS HUGEINT) * y6) AS sxy
+        |  FROM pts),
+        |tp AS (SELECT max(CASE WHEN rnk = 1 THEN cnt END) AS top_cnt
+        |       FROM pts)
+        |SELECT CAST(mm.n AS INTEGER) AS n_terms, tp.top_cnt,
+        |  CAST(CASE WHEN
+        |      CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 THEN
+        |    floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * 1e6 + 0.5) / 1e6 END AS REAL) AS zipf_slope
+        |FROM mm, tp""".stripMargin,
 
     "q125_top_ngrams" ->
       """WITH tok AS (

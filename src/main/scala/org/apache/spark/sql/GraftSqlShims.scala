@@ -14,4 +14,27 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlShims {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Eager local checkpoint WITH A STATISTICS RESET — the iterative-
+    * operator fix for SPARK-level exponential stats compounding:
+    * `Dataset.localCheckpoint` truncates the LINEAGE but (since the
+    * LogicalRDD originStats change) PRESERVES the original plan's
+    * estimated statistics. In a loop of join-dense rounds the
+    * size-in-bytes estimate — a PRODUCT over join children — then
+    * compounds exponentially across rounds: measured on the two-level
+    * Louvain contraction, the estimate reached a 116k-BIT BigInt at
+    * the contracted edge frame and 77M bits two rounds later, at
+    * which point the DRIVER spends tens of seconds per plan in
+    * BigInteger Toom-Cook multiplications (545 s for a 34k-edge
+    * level-2 graph). Rebuilding the frame from the checkpointed
+    * InternalRow RDD drops originStats (fresh LogicalRDD, default
+    * leaf size) with ZERO data copies — the rows pass through
+    * untouched.
+    */
+  def localCheckpointFreshStats(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint(true)
+    val spark = cp.sparkSession.asInstanceOf[classic.SparkSession]
+    spark.internalCreateDataFrame(
+      cp.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

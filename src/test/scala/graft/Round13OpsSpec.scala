@@ -97,6 +97,80 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(old(1L) == 0, "cross-doc-only form must not self-cut")
   }
 
+  test("transitivity: triangle + pendant hand-solved") {
+    // edges {1-2, 1-3, 2-3, 3-4}: degrees (2, 2, 3, 1) -> wedges
+    // 1+1+3+0 = 5; one triangle -> closed = 3; T = 3/5 = 0.6
+    val e = sym(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)))
+    val (deg, cnt) = graft.graph.Triangles.perNodeBundle(e)
+    val r = graft.graph.Triangles.transitivityFromBundle(deg, cnt)
+      .head()
+    assert(r.getLong(r.fieldIndex("n_nodes")) == 4L)
+    assert(r.getLong(r.fieldIndex("n_triangles")) == 1L)
+    assert(r.getLong(r.fieldIndex("n_wedges")) == 5L)
+    assert(r.getFloat(r.fieldIndex("transitivity")) == 0.6f)
+  }
+
+  test("categorical assortativity: perfect vs mixed fixtures") {
+    import spark.implicits._
+    def labels(m: (Long, String)*) = m.toSeq.toDF("id", "cls")
+    // only-within-class edges -> r = 1 exactly
+    val eIn = sym(Seq((1L, 2L), (3L, 4L)))
+    val lab = labels(1L -> "x", 2L -> "x", 3L -> "y", 4L -> "y")
+    val r1 = graft.graph.Assortativity.byCategory(eIn, lab).head()
+    assert(r1.getFloat(r1.fieldIndex("r_assort")) == 1.0f)
+    // hand-solved mixed case: edges 1-2 (xx), 3-4 (yy), 1-3 (xy):
+    // directed M = 6, e_xx = e_yy = 2, a_x = a_y = 3 ->
+    // r = (6*4 - 18)/(36 - 18) = 6/18 = 0.333333
+    val eMix = sym(Seq((1L, 2L), (3L, 4L), (1L, 3L)))
+    val r2 = graft.graph.Assortativity.byCategory(eMix, lab).head()
+    assert(r2.getInt(r2.fieldIndex("n_classes")) == 2)
+    assert(r2.getLong(r2.fieldIndex("m_edges")) == 6L)
+    assert(r2.getFloat(r2.fieldIndex("r_assort")) == 0.333333f)
+  }
+
+  test("heaps beta = 1 on an all-new-vocabulary corpus; zipf ~ -1") {
+    import spark.implicits._
+    // every doc contributes only unseen tokens -> V = tokens exactly
+    // at every checkpoint -> the log-log fit is y = x, beta = 1
+    val docs = (1L to 20L).map(i =>
+      (i, (1 to 5).map(j => s"t${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val h = graft.llm.TextOps.heapsLaw(docs).collect()
+    assert(h.length == 10)
+    assert(h.forall(r =>
+      r.getLong(r.fieldIndex("n_tokens")) ==
+        r.getLong(r.fieldIndex("n_distinct"))))
+    assert(h.head.getFloat(h.head.fieldIndex("heaps_beta")) == 1.0f)
+    // freq = 12/rank exactly -> slope -1 (up to the micro flooring)
+    val z = (1 to 4).flatMap(r => Seq.fill(12 / r)((1L, s"w$r")))
+      .zipWithIndex.map { case ((_, w), i) => (i.toLong, w) }
+    val zd = z.map { case (i, w) => (i, w) }.toDF("doc_id", "text")
+    val zr = graft.llm.TextOps.zipfSlope(zd, topN = 4).head()
+    assert(zr.getInt(zr.fieldIndex("n_terms")) == 4)
+    assert(zr.getLong(zr.fieldIndex("top_cnt")) == 12L)
+    assert(math.abs(zr.getFloat(zr.fieldIndex("zipf_slope")) + 1.0f)
+      < 1e-3)
+  }
+
+  test("apAtK: hand-solved relevance recount and integer AP") {
+    import spark.implicits._
+    // query terms {a,b,c,d}; corpus relevance (>= 3 matches):
+    // d1, d3 retrieved + d4 missed -> R = 3; list rel = (1, 0, 1)
+    val ranked = Seq((9L, 1, 1L, 3), (9L, 2, 2L, 1), (9L, 3, 3L, 4))
+      .toDF("query_id", "rank", "doc_id", "n_terms")
+    val docs = Seq((1L, "a b c x"), (2L, "a x y z"),
+      (3L, "a b c d"), (4L, "a b d q")).toDF("doc_id", "text")
+    val queries = Seq((9L, "a"), (9L, "b"), (9L, "c"), (9L, "d"))
+      .toDF("query_id", "term")
+    val r = graft.llm.Retrieval.apAtK(ranked, docs, queries).head()
+    assert(r.getLong(r.fieldIndex("n_rel_corpus")) == 3L)
+    assert(r.getInt(r.fieldIndex("n_rel_at_k")) == 2)
+    assert(r.getFloat(r.fieldIndex("p_at_k")) == 0.2f)
+    assert(r.getFloat(r.fieldIndex("recall_at_k")) == 0.666667f)
+    // apn = (1e6*1) div 1 + (1e6*2) div 3 = 1666666; div 3 = 555555
+    assert(r.getFloat(r.fieldIndex("ap_at_k")) == 0.555555f)
+  }
+
   test("louvain oneLevelW: weighted graph with self-loops, exact ascent") {
     import spark.implicits._
     // two supernodes {1, 2} with self-loop mass and a HEAVY bridge:
