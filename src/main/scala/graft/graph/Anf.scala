@@ -109,7 +109,8 @@ object Anf {
     var frame = init(nodes).localCheckpoint(true)
     var hops = Seq.empty[DataFrame]
     for (h <- 0 to rounds) {
-      if (h > 0) frame = round(frame, e).localCheckpoint(true)
+      if (h > 0) frame = org.apache.spark.sql.GraftSqlShims
+        .localCheckpointFreshStats(round(frame, e))
       hops = hops :+ estimateC(frame)
         .agg(count(lit(1)).as("n_nodes"), sum(col("est_c")).as("anf_c"))
         .select(lit(h).as("hop"), col("n_nodes"), col("anf_c"))

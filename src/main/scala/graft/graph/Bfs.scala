@@ -42,8 +42,10 @@ object Bfs {
         .select(col("b").as("id")).distinct()
         .join(labeled.select("id"), Seq("id"), "left_anti")
         .withColumn("hop", lit(r))
-        .localCheckpoint(true)
-      labeled = labeled.unionByName(next).localCheckpoint(true)
+        .transform(org.apache.spark.sql.GraftSqlShims
+          .localCheckpointFreshStats)
+      labeled = org.apache.spark.sql.GraftSqlShims
+        .localCheckpointFreshStats(labeled.unionByName(next))
       frontier = next
     }
     nodes.select(col("id"))

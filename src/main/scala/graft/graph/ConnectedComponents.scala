@@ -73,7 +73,8 @@ object ConnectedComponents {
           Seq("component"), "left")
         .select(col("id"),
           coalesce(col("c2"), col("component")).as("component"))
-        .localCheckpoint(true)
+        .transform(org.apache.spark.sql.GraftSqlShims
+          .localCheckpointFreshStats)
       val s = next.agg(sum(col("component").cast("decimal(38,0)")))
         .first.getDecimal(0)
       done = s == prevSum

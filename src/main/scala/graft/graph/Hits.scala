@@ -41,7 +41,9 @@ object Hits {
   def run(hubs: DataFrame, auths: DataFrame, edges: DataFrame,
       iters: Int = 5, checkpoint: Boolean = true): DataFrame = {
     def cp(df: DataFrame): DataFrame =
-      if (checkpoint) df.localCheckpoint(true) else df
+      if (checkpoint)
+        org.apache.spark.sql.GraftSqlShims.localCheckpointFreshStats(df)
+      else df
     val e = cp(edges.select(col("src"), col("dst")))
     val hSpine = hubs.select(col("id"))
     val aSpine = auths.select(col("id"))

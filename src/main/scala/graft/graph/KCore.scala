@@ -54,7 +54,8 @@ object KCore {
         .join(keep.select(col("id").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("id").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
-        .localCheckpoint(true)
+        .transform(org.apache.spark.sql.GraftSqlShims
+          .localCheckpointFreshStats)
       val n2 = e2.count()
       fixed = n2 == nEdges
       e = e2; nEdges = n2; round += 1

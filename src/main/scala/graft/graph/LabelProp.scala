@@ -39,7 +39,9 @@ object LabelProp {
   def run(pairs: DataFrame, rounds: Int = 4,
       checkpoint: Boolean = true): DataFrame = {
     def cp(df: DataFrame): DataFrame =
-      if (checkpoint) df.localCheckpoint(true) else df
+      if (checkpoint)
+        org.apache.spark.sql.GraftSqlShims.localCheckpointFreshStats(df)
+      else df
     val e = cp(pairs.select(col("a").as("src"), col("b").as("dst")))
     var lbl = cp(e.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl")))

@@ -48,7 +48,9 @@ object PageRank {
   def run(nodes: DataFrame, edges: DataFrame, iters: Int = 5,
       checkpoint: Boolean = true): DataFrame = {
     def cp(df: DataFrame): DataFrame =
-      if (checkpoint) df.localCheckpoint(true) else df
+      if (checkpoint)
+        org.apache.spark.sql.GraftSqlShims.localCheckpointFreshStats(df)
+      else df
     val n = nodes.select(col("id"))
     val nN = broadcast(n.agg(count(lit(1)).as("n_nodes")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
@@ -79,7 +81,9 @@ object PageRank {
   def runWeighted(nodes: DataFrame, edges: DataFrame, iters: Int = 5,
       checkpoint: Boolean = true): DataFrame = {
     def cp(df: DataFrame): DataFrame =
-      if (checkpoint) df.localCheckpoint(true) else df
+      if (checkpoint)
+        org.apache.spark.sql.GraftSqlShims.localCheckpointFreshStats(df)
+      else df
     val n = nodes.select(col("id"))
     val nN = broadcast(n.agg(count(lit(1)).as("n_nodes")))
     val deg = edges.groupBy(col("src")).agg(sum(col("w")).as("d"))
@@ -117,7 +121,9 @@ object PageRank {
       seeds: DataFrame, iters: Int = 5,
       checkpoint: Boolean = true): DataFrame = {
     def cp(df: DataFrame): DataFrame =
-      if (checkpoint) df.localCheckpoint(true) else df
+      if (checkpoint)
+        org.apache.spark.sql.GraftSqlShims.localCheckpointFreshStats(df)
+      else df
     val sd = seeds.select(col("id")).distinct()
     val nS = broadcast(sd.agg(count(lit(1)).as("n_seeds")))
     val spine = cp(nodes.select(col("id"))

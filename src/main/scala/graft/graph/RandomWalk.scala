@@ -36,7 +36,9 @@ object RandomWalk {
   def walks(pairs: DataFrame, seeds: DataFrame, steps: Int = 4,
       checkpoint: Boolean = true): DataFrame = {
     def cp(df: DataFrame): DataFrame =
-      if (checkpoint) df.localCheckpoint(true) else df
+      if (checkpoint)
+        org.apache.spark.sql.GraftSqlShims.localCheckpointFreshStats(df)
+      else df
     val e = cp(pairs.select(col("a").as("src"), col("b").as("dst")))
     var cur = seeds.select(col("id").as("walk_id"), col("id").as("node"))
     var out = cur.select(col("walk_id"), lit(0).cast("int").as("step"),

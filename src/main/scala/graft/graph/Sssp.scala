@@ -38,7 +38,9 @@ object Sssp {
   def distances(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
       rounds: Int, checkpoint: Boolean = true): DataFrame = {
     def cp(df: DataFrame): DataFrame =
-      if (checkpoint) df.localCheckpoint(true) else df
+      if (checkpoint)
+        org.apache.spark.sql.GraftSqlShims.localCheckpointFreshStats(df)
+      else df
     val e = edges.select(col("a"), col("b"), col("len").cast("long"))
     var dist = cp(seeds.select(col("id")).distinct()
       .withColumn("d", lit(0L)))

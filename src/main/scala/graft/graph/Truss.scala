@@ -48,7 +48,8 @@ object Truss {
         .join(support(canon), Seq("u", "v"), "left_outer")
         .where(coalesce(col("sup"), lit(0L)) >= k - 2)
         .select(col("u"), col("v"))
-        .localCheckpoint(true)
+        .transform(org.apache.spark.sql.GraftSqlShims
+          .localCheckpointFreshStats)
     }
     canon.join(support(canon), Seq("u", "v"), "left_outer")
       .select(col("u"), col("v"),
