@@ -555,6 +555,73 @@ object Multimodal {
     }(RowEncoder.encoderFor(outSchema))
   }
 
+  /** Sobel edge-energy features per image — the classic gradient
+    * FEATURE-EXTRACTION pass of a multimodal training pipeline
+    * (blur/blank-image filtering, complexity stratification) beside
+    * the perceptual-hash DEDUP family: integer grayscale (r+g+b)/3,
+    * the 3×3 Sobel kernels at every interior pixel, magnitude
+    * |gx| + |gy| (L1 — exact integers, no sqrt), reduced to per-image
+    * totals. A near-blank scrape scores ~0 edge energy; a dense
+    * texture maxes n_edges — the two tails a curation pass cuts.
+    *
+    * Everything is EXACT integer arithmetic on the decoded bytes, so
+    * the synthetic-image oracle re-derives every feature; the kernel
+    * is the codec-only `mapPartitions` exception (payload bytes never
+    * leave their partition, 7 small columns shuffle out).
+    *
+    * @return (doc_id, w, h, n_interior, edge_energy, n_edges
+    *         — |gx|+|gy| ≥ 128 — and max_grad)
+    */
+  def sobelFeatures(frame: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("w", IntegerType),
+      StructField("h", IntegerType),
+      StructField("n_interior", IntegerType),
+      StructField("edge_energy", LongType),
+      StructField("n_edges", IntegerType),
+      StructField("max_grad", IntegerType)))
+    val idIdx = frame.schema.fieldIndex("doc_id")
+    val payloadIdx = frame.schema.fieldIndex("payload")
+    frame.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodePpm(r.getAs[Array[Byte]](payloadIdx)).map { img =>
+          val w = img.width
+          val h = img.height
+          def g(x: Int, y: Int): Int = {
+            val p = (y * w + x) * 3
+            ((img.pixels(p) & 0xff) + (img.pixels(p + 1) & 0xff) +
+              (img.pixels(p + 2) & 0xff)) / 3
+          }
+          var energy = 0L
+          var nEdges = 0
+          var mx = 0
+          var n = 0
+          var y = 1
+          while (y < h - 1) {
+            var x = 1
+            while (x < w - 1) {
+              val gx = (g(x + 1, y - 1) + 2 * g(x + 1, y) +
+                g(x + 1, y + 1)) -
+                (g(x - 1, y - 1) + 2 * g(x - 1, y) + g(x - 1, y + 1))
+              val gy = (g(x - 1, y + 1) + 2 * g(x, y + 1) +
+                g(x + 1, y + 1)) -
+                (g(x - 1, y - 1) + 2 * g(x, y - 1) + g(x + 1, y - 1))
+              val m = math.abs(gx) + math.abs(gy)
+              energy += m
+              if (m >= 128) nEdges += 1
+              if (m > mx) mx = m
+              n += 1
+              x += 1
+            }
+            y += 1
+          }
+          Row(r.getLong(idIdx), w, h, n, energy, nEdges, mx)
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
   // ---------------------------------------------------------------
   // Audio: dependency-free RIFF/WAV PCM16 mono codec + frame features
   // ---------------------------------------------------------------

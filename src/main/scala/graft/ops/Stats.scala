@@ -1017,6 +1017,100 @@ object Stats {
         r6(gap).as("gap"), r6(col("e")).as("ece"))
   }
 
+  /** Murphy decomposition of the Brier score (Murphy 1973):
+    * BS = reliability − resolution + uncertainty — the forecast-
+    * verification companion of [[calibration]]'s ECE readout:
+    * reliability penalizes miscalibrated bins (like ECE but squared),
+    * resolution REWARDS forecasts that separate outcomes, and
+    * uncertainty ȳ(1−ȳ) is the task's irreducible floor. A model can
+    * have perfect calibration and zero skill — the decomposition is
+    * what tells those apart.
+    *
+    * Determinism (tighter than [[calibration]]'s raw-double score
+    * sums): scores are FLOOR-QUANTIZED to micro-units per row first
+    * (s6 = ⌊s·10⁶ + 0.5⌋), so the raw Brier sum Σ(s6 − 10⁶·y)² is an
+    * EXACT integer, bins derive from s6 by integer div, per-bin
+    * conf/acc are single divisions of exact integers, and the
+    * cross-bin reliability/resolution sums ride micro-scaled longs
+    * (the CMH discipline). The metric is defined ON the quantized
+    * scores — documented, and identical in both engines.
+    *
+    * Scale shape: one map-side-combined groupBy to ≤ bins rows + one
+    * exact global aggregate; everything after is metadata-sized.
+    *
+    * @return one row (n, base_rate, brier, reliability, resolution,
+    *         uncertainty)
+    */
+  def brierDecomposition(df: DataFrame, scoreCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    val s6 = floor(col(scoreCol) * 1e6 + 0.5).cast("long")
+    val rows = df.where(col(scoreCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .select(s6.as("s6"), when(col(labelCol), 1L).otherwise(0L).as("y"))
+      .select(least(lit(bins - 1), expr(s"(s6 * $bins) div 1000000"))
+        .as("bin"), col("s6"), col("y"))
+    val per = rows.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(col("s6").cast("decimal(38,0)")).as("ss6"),
+        sum(((col("s6") - col("y") * 1000000L).cast("decimal(19,0)") *
+          (col("s6") - col("y") * 1000000L).cast("decimal(19,0)"))
+          .cast("decimal(38,0)")).as("sq"))
+      .localCheckpoint(true) // feeds totals AND the bin terms
+    val tot = per.agg(sum(col("n")).as("nn"),
+      sum(col("n_pos")).as("pp"), sum(col("sq")).as("qq"))
+    def d(c: String) = col(c).cast("double")
+    val conf = d("ss6") / col("n") / 1e6
+    val acc = d("n_pos") / col("n")
+    val yBar = d("pp") / col("nn")
+    val relT = floor(col("n") * (conf - acc) * (conf - acc)
+      * 1e6 + 0.5).cast("long")
+    val resT = floor(col("n") * (acc - yBar) * (acc - yBar)
+      * 1e6 + 0.5).cast("long")
+    val terms = per.crossJoin(broadcast(tot))
+      .agg(sum(relT.cast("decimal(38,0)")).as("rel6"),
+        sum(resT.cast("decimal(38,0)")).as("res6"))
+    tot.crossJoin(broadcast(terms))
+      .select(col("nn").as("n"), r6(yBar).as("base_rate"),
+        r6(d("qq") / col("nn") / 1e12).as("brier"),
+        r6(d("rel6") / col("nn") / 1e6).as("reliability"),
+        r6(d("res6") / col("nn") / 1e6).as("resolution"),
+        r6(yBar * (lit(1.0) - yBar)).as("uncertainty"))
+  }
+
+  /** Wilson score interval per segment (Wilson 1927) — the
+    * proportion-CI every dashboard should use instead of the Wald
+    * ±z√(p(1−p)/n) (which collapses at p near 0/1 and small n):
+    * {{{
+    *   (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+    * }}}
+    * z = 1.959964 inlined as the same literal in both engines (the
+    * [[powerMde]] quantile discipline). Counts are exact longs off
+    * one map-side-combined groupBy; the interval is one fixed IEEE
+    * sequence per segment row; n = 0 rows cannot exist (a group
+    * exists only with rows).
+    *
+    * @return one row per segment: (segment, n, n_pos, p_hat, lo, hi)
+    */
+  def wilsonInterval(df: DataFrame, segCol: String,
+      posCol: String): DataFrame = {
+    val z = 1.959964
+    val z2 = z * z
+    val per = df.where(col(segCol).isNotNull && col(posCol).isNotNull)
+      .groupBy(col(segCol).as("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(posCol), 1L).otherwise(0L)).as("n_pos"))
+    def d(c: String) = col(c).cast("double")
+    val p = d("n_pos") / col("n")
+    val denom = lit(1.0) + lit(z2) / col("n")
+    val center = p + lit(z2) / (lit(2.0) * col("n"))
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / col("n") +
+      lit(z2) / (lit(4.0) * col("n") * col("n")))
+    per.select(col("segment"), col("n"), col("n_pos"),
+      r6(p).as("p_hat"),
+      r6((center - half) / denom).as("lo"),
+      r6((center + half) / denom).as("hi"))
+  }
+
   /** CUPED variance reduction (Deng et al. 2013 — "Improving the
     * Sensitivity of Online Controlled Experiments") — the A/B-testing
     * workhorse: adjust each unit's metric by its PRE-period covariate,

@@ -364,6 +364,42 @@ object Analytics extends QueryPack {
       graft.ops.Stats.calibration(scored, "score", "label", 10)
     }),
 
+    // Murphy decomposition of the Brier score (1973) over the q273
+    // scored stream: BS = reliability − resolution + uncertainty —
+    // what separates "calibrated but useless" from "sharp": a model
+    // can ace q273's ECE with zero resolution. Scores micro-quantized
+    // per row FIRST, so the raw Brier sum is an exact integer.
+    "q334_brier" -> ((s, d) => {
+      val ev = t("events")(s, d).where(col("value").isNotNull)
+      val mm = broadcast(ev.agg(min("value").as("mn"),
+        max("value").as("mx")))
+      val scored = ev.crossJoin(mm).select(
+        when(col("mx") =!= col("mn"),
+          (col("value") - col("mn")) / (col("mx") - col("mn")))
+          .otherwise(lit(0.5d)).as("score"),
+        (col("event_type") === "purchase").as("label"))
+      graft.ops.Stats.brierDecomposition(scored, "score", "label", 10)
+    }),
+
+    // Wilson score interval (1927) per event_type for the proportion
+    // of above-mean-value rows — the proportion CI dashboards should
+    // use instead of Wald (which collapses near p = 0/1 and small n);
+    // the above-mean flag is an exact integer CROSS-MULTIPLY
+    // (v4·n > Σv4 — no float mean), z = 1.959964 a plan-time literal.
+    "q335_wilson" -> ((s, d) => {
+      val ev = t("events")(s, d)
+        .where(col("event_type").isNotNull && col("value").isNotNull)
+        .select(col("event_type"),
+          floor(col("value") * 1e4 + 0.5).cast("long").as("v4"))
+      val tot = broadcast(ev.agg(count(lit(1)).as("nn"),
+        sum(col("v4").cast("decimal(38,0)")).as("sv")))
+      val flagged = ev.crossJoin(tot)
+        .select(col("event_type"),
+          (col("v4").cast("decimal(38,0)") * col("nn") > col("sv"))
+            .as("above"))
+      graft.ops.Stats.wilsonInterval(flagged, "event_type", "above")
+    }),
+
     // Sample-ratio-mismatch check (the SRM guardrail of Fabijan et
     // al. 2019 — the first thing every experimentation platform
     // tests, because a broken randomizer invalidates everything
@@ -2673,6 +2709,89 @@ object Analytics extends QueryPack {
         |         * 1e6 + 0.5) / 1e6 AS REAL) AS gap,
         |       CAST(floor(e * 1e6 + 0.5) / 1e6 AS REAL) AS ece
         |FROM per, ec""".stripMargin,
+
+    // q273's scored stream micro-quantized per row, integer-exact
+    // Brier sum, the same bin sums and micro-scaled rel/res terms.
+    "q334_brier" ->
+      """WITH f AS (SELECT value, event_type FROM events
+        |           WHERE value IS NOT NULL),
+        |mm AS (SELECT min(value) AS mn, max(value) AS mx FROM f),
+        |sc AS (SELECT CASE WHEN mx <> mn
+        |                THEN (value - mn) / (mx - mn)
+        |                ELSE 0.5 END AS s,
+        |              CASE WHEN event_type = 'purchase'
+        |                THEN 1 ELSE 0 END AS y
+        |       FROM f, mm),
+        |q AS (SELECT CAST(floor(s * 1e6 + 0.5) AS BIGINT) AS s6, y
+        |      FROM sc),
+        |b AS (SELECT least(9, (s6 * 10) // 1000000) AS bin, s6, y
+        |      FROM q),
+        |per AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |          CAST(sum(y) AS BIGINT) AS n_pos,
+        |          sum(CAST(s6 AS HUGEINT)) AS ss6,
+        |          sum(CAST(s6 - y * 1000000 AS HUGEINT)
+        |            * (s6 - y * 1000000)) AS sq
+        |        FROM b GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |          CAST(sum(n_pos) AS BIGINT) AS pp,
+        |          sum(sq) AS qq FROM per),
+        |tm AS (SELECT
+        |    sum(CAST(floor(n * (CAST(ss6 AS DOUBLE) / n / 1e6
+        |          - CAST(n_pos AS DOUBLE) / n)
+        |        * (CAST(ss6 AS DOUBLE) / n / 1e6
+        |          - CAST(n_pos AS DOUBLE) / n) * 1e6 + 0.5)
+        |      AS HUGEINT)) AS rel6,
+        |    sum(CAST(floor(n * (CAST(n_pos AS DOUBLE) / n
+        |          - CAST(pp AS DOUBLE) / nn)
+        |        * (CAST(n_pos AS DOUBLE) / n
+        |          - CAST(pp AS DOUBLE) / nn) * 1e6 + 0.5)
+        |      AS HUGEINT)) AS res6
+        |  FROM per, tot)
+        |SELECT nn AS n,
+        |  CAST(floor(CAST(pp AS DOUBLE) / nn * 1e6 + 0.5) / 1e6
+        |    AS REAL) AS base_rate,
+        |  CAST(floor(CAST(qq AS DOUBLE) / nn / 1e12 * 1e6 + 0.5) / 1e6
+        |    AS REAL) AS brier,
+        |  CAST(floor(CAST(rel6 AS DOUBLE) / nn / 1e6 * 1e6 + 0.5) / 1e6
+        |    AS REAL) AS reliability,
+        |  CAST(floor(CAST(res6 AS DOUBLE) / nn / 1e6 * 1e6 + 0.5) / 1e6
+        |    AS REAL) AS resolution,
+        |  CAST(floor(CAST(pp AS DOUBLE) / nn
+        |      * (1.0 - CAST(pp AS DOUBLE) / nn) * 1e6 + 0.5) / 1e6
+        |    AS REAL) AS uncertainty
+        |FROM tot, tm""".stripMargin,
+
+    // The same exact cross-multiply flag, counts, and the one fixed
+    // IEEE Wilson sequence with the shared z literal.
+    "q335_wilson" -> {
+      val z = 1.959964
+      val z2 = z * z
+      s"""WITH ev AS (SELECT event_type,
+         |    CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS v4
+         |  FROM events
+         |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+         |          sum(CAST(v4 AS HUGEINT)) AS sv FROM ev),
+         |fl AS (SELECT event_type,
+         |         CAST(v4 AS HUGEINT) * nn > sv AS above
+         |       FROM ev, tot),
+         |per AS (SELECT event_type AS segment,
+         |          CAST(count(*) AS BIGINT) AS n,
+         |          CAST(sum(CASE WHEN above THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_pos
+         |        FROM fl GROUP BY 1),
+         |w AS (SELECT segment, n, n_pos,
+         |        CAST(n_pos AS DOUBLE) / n AS p FROM per)
+         |SELECT segment, n, n_pos,
+         |  CAST(floor(p * 1e6 + 0.5) / 1e6 AS REAL) AS p_hat,
+         |  CAST(floor((p + $z2 / (2.0 * n)
+         |      - $z * sqrt(p * (1.0 - p) / n + $z2 / (4.0 * n * n)))
+         |    / (1.0 + $z2 / n) * 1e6 + 0.5) / 1e6 AS REAL) AS lo,
+         |  CAST(floor((p + $z2 / (2.0 * n)
+         |      + $z * sqrt(p * (1.0 - p) / n + $z2 / (4.0 * n * n)))
+         |    / (1.0 + $z2 / n) * 1e6 + 0.5) / 1e6 AS REAL) AS hi
+         |FROM w""".stripMargin
+    },
 
     // The same distinct-unit arm counts and the same one-division χ².
     "q290_srm" ->

@@ -263,6 +263,15 @@ object LlmPack extends QueryPack {
       Dedup.fpPairs(Multimodal.aHashPayloads(
         Multimodal.syntheticNoisyPpmFrame(
           t("documents")(s, d).select(col("doc_id")))), maxHamming = 3)),
+    // Sobel edge-energy FEATURE EXTRACTION per image (the gradient
+    // pass of multimodal curation — blank/blur filtering, complexity
+    // stratification — beside the q244/q275/q301 dedup hashes):
+    // integer grayscale, 3x3 kernels at interior pixels, L1 magnitude
+    // — exact integers end-to-end, the synthetic-image oracle
+    // re-derives every feature arithmetically.
+    "q336_sobel_features" -> ((s, d) =>
+      Multimodal.sobelFeatures(Multimodal.syntheticNoisyPpmFrame(
+        t("documents")(s, d).select(col("doc_id"))))),
     // 64-bit difference hash (dHash) — the GRADIENT member completing
     // the spatial/frequency perceptual-hash trio beside q244's mean
     // (aHash) and q275's DCT (pHash): sign of the horizontal
@@ -3225,6 +3234,29 @@ object LlmPack extends QueryPack {
          |                THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
          |  FROM f a JOIN f b ON a.doc_id < b.doc_id)
          |SELECT da, db, hamming FROM p WHERE hamming <= 3""".stripMargin,
+    // The shared gray CTEs + a 3x3 neighbor join with the Sobel
+    // weights as CASE-free integer products dx*(2-|dy|) / dy*(2-|dx|)
+    // — every feature an exact integer.
+    "q336_sobel_features" ->
+      s"""WITH $imageGrayCtes,
+         |nb AS (SELECT a.doc_id, a.x, a.y,
+         |         CAST(sum(b.g * (b.x - a.x) * (2 - abs(b.y - a.y)))
+         |           AS BIGINT) AS gx,
+         |         CAST(sum(b.g * (b.y - a.y) * (2 - abs(b.x - a.x)))
+         |           AS BIGINT) AS gy
+         |       FROM gr a JOIN gr b ON b.doc_id = a.doc_id
+         |         AND abs(b.x - a.x) <= 1 AND abs(b.y - a.y) <= 1
+         |       WHERE a.x BETWEEN 1 AND 14 AND a.y BETWEEN 1 AND 10
+         |       GROUP BY 1, 2, 3),
+         |m AS (SELECT doc_id, abs(gx) + abs(gy) AS mg FROM nb)
+         |SELECT doc_id, CAST(16 AS INTEGER) AS w,
+         |  CAST(12 AS INTEGER) AS h,
+         |  CAST(count(*) AS INTEGER) AS n_interior,
+         |  CAST(sum(mg) AS BIGINT) AS edge_energy,
+         |  CAST(sum(CASE WHEN mg >= 128 THEN 1 ELSE 0 END) AS INTEGER)
+         |    AS n_edges,
+         |  CAST(max(mg) AS INTEGER) AS max_grad
+         |FROM m GROUP BY 1""".stripMargin,
     // The DCT chain replayed arithmetically — shared gray CTEs, the
     // inlined integer basis tables, coefficient sums, median rank 32.
     "q275_image_phash" ->

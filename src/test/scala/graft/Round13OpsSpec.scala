@@ -171,6 +171,67 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(r.getFloat(r.fieldIndex("ap_at_k")) == 0.555555f)
   }
 
+  test("brier decomposition: perfect sharp forecasts hand-solved") {
+    import spark.implicits._
+    // scores {0, 0, 1, 1} with labels matching exactly: brier = 0,
+    // reliability = 0, base = 0.5, uncertainty = 0.25, and resolution
+    // recovers the full uncertainty (perfectly sharp)
+    val df = Seq((0.0, false), (0.0, false), (1.0, true), (1.0, true))
+      .toDF("score", "label")
+    val r = graft.ops.Stats.brierDecomposition(df, "score", "label")
+      .head()
+    assert(r.getLong(r.fieldIndex("n")) == 4L)
+    assert(r.getFloat(r.fieldIndex("base_rate")) == 0.5f)
+    assert(r.getFloat(r.fieldIndex("brier")) == 0.0f)
+    assert(r.getFloat(r.fieldIndex("reliability")) == 0.0f)
+    assert(r.getFloat(r.fieldIndex("resolution")) == 0.25f)
+    assert(r.getFloat(r.fieldIndex("uncertainty")) == 0.25f)
+  }
+
+  test("wilson interval: exact boundary pins at p = 0 and p = 1") {
+    import spark.implicits._
+    // Wilson at p-hat = 0: half = z^2/2n = center, so lo = 0 EXACTLY
+    // (the Wald interval would report an impossible negative); dually
+    // hi = 1 exactly at p-hat = 1
+    val df = Seq(("a", false), ("a", false), ("a", false),
+      ("b", true), ("b", true)).toDF("seg", "pos")
+    val out = graft.ops.Stats.wilsonInterval(df, "seg", "pos")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a"); val b = out("b")
+    assert(a.getFloat(a.fieldIndex("p_hat")) == 0.0f)
+    assert(a.getFloat(a.fieldIndex("lo")) == 0.0f)
+    assert(a.getFloat(a.fieldIndex("hi")) > 0.0f)
+    assert(b.getFloat(b.fieldIndex("p_hat")) == 1.0f)
+    assert(b.getFloat(b.fieldIndex("hi")) == 1.0f)
+    assert(b.getFloat(b.fieldIndex("lo")) < 1.0f)
+  }
+
+  test("sobel features: flat image zero, vertical step edge hand-solved") {
+    import spark.implicits._
+    import graft.llm.Multimodal
+    def img(w: Int, h: Int, gv: (Int, Int) => Int): Array[Byte] = {
+      val px = new Array[Byte](3 * w * h)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        px((y * w + x) * 3 + c) = gv(x, y).toByte
+      Multimodal.encodePpm(Multimodal.PpmImage(w, h, 255, px))
+    }
+    val flat = img(6, 4, (_, _) => 100)
+    // left half 0 / right half 255: gx = 1020 at the two boundary
+    // columns of each interior row, gy = 0 — energy 4 * 1020
+    val step = img(6, 4, (x, _) => if (x < 3) 0 else 255)
+    val frame = Seq((1L, flat), (2L, step)).toDF("doc_id", "payload")
+    val out = Multimodal.sobelFeatures(frame)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val f = out(1L)
+    assert(f.getInt(f.fieldIndex("n_interior")) == 8)
+    assert(f.getLong(f.fieldIndex("edge_energy")) == 0L)
+    assert(f.getInt(f.fieldIndex("n_edges")) == 0)
+    val s = out(2L)
+    assert(s.getLong(s.fieldIndex("edge_energy")) == 4080L)
+    assert(s.getInt(s.fieldIndex("n_edges")) == 4)
+    assert(s.getInt(s.fieldIndex("max_grad")) == 1020)
+  }
+
   test("louvain oneLevelW: weighted graph with self-loops, exact ascent") {
     import spark.implicits._
     // two supernodes {1, 2} with self-loop mass and a HEAVY bridge:
