@@ -34,7 +34,28 @@ object GraftSqlShims {
   def localCheckpointFreshStats(df: DataFrame): DataFrame = {
     val cp = df.localCheckpoint(true)
     val spark = cp.sparkSession.asInstanceOf[classic.SparkSession]
-    spark.internalCreateDataFrame(
-      cp.queryExecution.toRdd, df.schema, isStreaming = false)
+    cp.queryExecution.optimizedPlan match {
+      case lr: execution.LogicalRDD =>
+        // TRUTHFUL stats, not merely absent ones: a bare reset leaves
+        // the leaf at defaultSizeInBytes (never broadcastable), which
+        // measured ~25% slower per iterative query at sf0.1 — the
+        // static planner stopped broadcasting the per-round label/
+        // degree frames. The block manager already knows the EXACT
+        // materialized size of the just-checkpointed RDD (UnsafeRow
+        // blocks — no extra job, no estimation), so attach that.
+        val measured = spark.sparkContext.getRDDStorageInfo
+          .find(_.id == lr.rdd.id)
+          .map(i => BigInt(i.memSize + i.diskSize))
+          .filter(_ > 0)
+        val stats = catalyst.plans.logical.Statistics(
+          sizeInBytes = measured.getOrElse(
+            BigInt(spark.sessionState.conf.defaultSizeInBytes)))
+        classic.Dataset.ofRows(spark, execution.LogicalRDD(
+          lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
+          lr.isStreaming, lr.stream)(spark, Some(stats), None))
+      case _ => // non-LogicalRDD plan (never in practice): plain reset
+        spark.internalCreateDataFrame(
+          cp.queryExecution.toRdd, df.schema, isStreaming = false)
+    }
   }
 }
