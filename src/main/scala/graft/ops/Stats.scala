@@ -523,6 +523,59 @@ object Stats {
       .orderBy(col("lag"))
   }
 
+  /** Partial autocorrelation function by Durbin–Levinson (Durbin
+    * 1960) — the ARIMA order-identification companion of [[acf]]: the
+    * ACF of an AR(p) process decays forever, but its PACF CUTS OFF
+    * after lag p — φ_{k,k} is the correlation at lag k with the
+    * intermediate lags regressed out, so "how many AR terms does this
+    * series need" reads directly off where the PACF dies.
+    *
+    * The recursion
+    * {{{
+    *   φ_{k,k} = (ρ_k − Σ_{j<k} φ_{k−1,j}·ρ_{k−j})
+    *           / (1 − Σ_{j<k} φ_{k−1,j}·ρ_j)
+    *   φ_{k,j} = φ_{k−1,j} − φ_{k,k}·φ_{k−1,k−j}
+    * }}}
+    * is UNROLLED AT PLAN TIME over the ≤ 5 requested lags — a fixed
+    * IEEE expression tree over [[acf]]'s round-4 ρ values, evaluated
+    * on a ONE-ROW frame (lags pivoted wide), so determinism is
+    * inherited from the ACF's and the whole PACF costs one extra
+    * metadata-sized select. Denominator-zero lags (degenerate series)
+    * carry NULL, which the recursion propagates — never an ANSI
+    * fault.
+    *
+    * @return (lag, pacf) for lag = 1..maxLag
+    */
+  def pacf(series: DataFrame, keyCol: String, valueCol: String,
+      maxLag: Int = 5): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 5,
+      s"pacf unrolls at plan time; maxLag $maxLag outside 1..5")
+    val rho = acf(series, keyCol, valueCol, maxLag)
+      .select(col("lag"), col("r").cast("double").as("r"))
+    val wide = rho.agg(
+      max(when(col("lag") === 1, col("r"))).as("r1"),
+      (2 to maxLag).map(l =>
+        max(when(col("lag") === l, col("r"))).as(s"r$l")): _*)
+    var phi = Map[(Int, Int), Column]((1, 1) -> col("r1"))
+    for (k <- 2 to maxLag) {
+      val num = col(s"r$k") -
+        (1 until k).map(j => phi((k - 1, j)) * col(s"r${k - j}"))
+          .reduce(_ + _)
+      val den = lit(1.0) -
+        (1 until k).map(j => phi((k - 1, j)) * col(s"r$j"))
+          .reduce(_ + _)
+      val pkk = when(den =!= 0.0, num / den)
+      phi = phi + ((k, k) -> pkk)
+      for (j <- 1 until k)
+        phi = phi + ((k, j) ->
+          (phi((k - 1, j)) - pkk * phi((k - 1, k - j))))
+    }
+    wide.select(explode(array((1 to maxLag).map(k =>
+        struct(lit(k).as("lag"), r6(phi((k, k))).as("pacf"))): _*))
+        .as("e"))
+      .select(col("e.lag"), col("e.pacf"))
+  }
+
   /** Per-group WEIGHTED quantiles (lower/type-1: the smallest value
     * whose cumulative weight reaches p% of the group total) — the
     * "median price weighted by traded quantity" shape plain

@@ -1145,6 +1145,16 @@ object Analytics extends QueryPack {
           .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev")),
         "odate", "rev", 7)),
 
+    // PACF by plan-time-unrolled Durbin-Levinson over the q204 daily
+    // series: the ARIMA order-identification readout — where the PACF
+    // cuts off is how many AR terms the series needs; a fixed IEEE
+    // algebra over the ACF's round-4 values on a one-row frame.
+    "q337_pacf" -> ((s, d) =>
+      graft.ops.Stats.pacf(t("orders")(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("odate"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev")),
+        "odate", "rev", 5)),
+
     // CUSUM mean-shift changepoint on the same daily series: argmax
     // |Σ(xᵢ−x̄)| carried as the EXACT integer n·runₖ−k·t, scan via the
     // distributed two-level prefix sum.
@@ -1560,6 +1570,79 @@ object Analytics extends QueryPack {
         |         * (CAST(n_pairs AS DOUBLE) * syy - sy * sy)), 4) AS REAL)
         |    AS r
         |FROM m""".stripMargin,
+
+    // q204's ACF CTEs at 5 lags pivoted wide, then the SAME
+    // Durbin-Levinson algebra as stepwise CTE columns (value-
+    // equivalent to the engine's inlined plan-time unroll), the
+    // shared floor rounding on each diagonal element.
+    "q337_pacf" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS odate,
+        |         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |           AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |idx AS (SELECT x, row_number() OVER (ORDER BY odate) AS i
+        |        FROM daily),
+        |p AS (SELECT l.lag, a.x AS x, b.x AS y
+        |      FROM (SELECT unnest(generate_series(1, 5)) AS lag) l
+        |      JOIN idx a ON true
+        |      JOIN idx b ON b.i = a.i - l.lag),
+        |m AS (SELECT lag, count(*) AS n_pairs,
+        |        CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+        |        CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+        |        CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+        |        CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+        |        CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+        |      FROM p GROUP BY 1),
+        |r AS (SELECT lag,
+        |        CAST(CAST(round((CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+        |          / sqrt((CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+        |               * (CAST(n_pairs AS DOUBLE) * syy - sy * sy)), 4)
+        |          AS REAL) AS DOUBLE) AS rr
+        |      FROM m),
+        |w AS (SELECT
+        |        max(CASE WHEN lag = 1 THEN rr END) AS r1,
+        |        max(CASE WHEN lag = 2 THEN rr END) AS r2,
+        |        max(CASE WHEN lag = 3 THEN rr END) AS r3,
+        |        max(CASE WHEN lag = 4 THEN rr END) AS r4,
+        |        max(CASE WHEN lag = 5 THEN rr END) AS r5
+        |      FROM r),
+        |a2 AS (SELECT *, r1 AS p11 FROM w),
+        |b2 AS (SELECT *, CASE WHEN 1.0 - (p11 * r1) <> 0
+        |         THEN (r2 - (p11 * r1)) / (1.0 - (p11 * r1)) END AS p22
+        |       FROM a2),
+        |c2 AS (SELECT *, p11 - p22 * p11 AS p21 FROM b2),
+        |b3 AS (SELECT *, CASE WHEN 1.0 - (p21 * r1 + p22 * r2) <> 0
+        |         THEN (r3 - (p21 * r2 + p22 * r1))
+        |            / (1.0 - (p21 * r1 + p22 * r2)) END AS p33
+        |       FROM c2),
+        |c3 AS (SELECT *, p21 - p33 * p22 AS p31,
+        |         p22 - p33 * p21 AS p32 FROM b3),
+        |b4 AS (SELECT *,
+        |         CASE WHEN 1.0 - (p31 * r1 + p32 * r2 + p33 * r3) <> 0
+        |         THEN (r4 - (p31 * r3 + p32 * r2 + p33 * r1))
+        |            / (1.0 - (p31 * r1 + p32 * r2 + p33 * r3)) END
+        |           AS p44
+        |       FROM c3),
+        |c4 AS (SELECT *, p31 - p44 * p33 AS p41,
+        |         p32 - p44 * p32 AS p42, p33 - p44 * p31 AS p43
+        |       FROM b4),
+        |b5 AS (SELECT *,
+        |         CASE WHEN 1.0
+        |             - (p41 * r1 + p42 * r2 + p43 * r3 + p44 * r4) <> 0
+        |         THEN (r5 - (p41 * r4 + p42 * r3 + p43 * r2 + p44 * r1))
+        |            / (1.0
+        |             - (p41 * r1 + p42 * r2 + p43 * r3 + p44 * r4)) END
+        |           AS p55
+        |       FROM c4),
+        |u AS (SELECT 1 AS lag, p11 AS ph FROM b5
+        |      UNION ALL SELECT 2, p22 FROM b5
+        |      UNION ALL SELECT 3, p33 FROM b5
+        |      UNION ALL SELECT 4, p44 FROM b5
+        |      UNION ALL SELECT 5, p55 FROM b5)
+        |SELECT CAST(lag AS INTEGER) AS lag,
+        |  CAST(floor(ph * 1e6 + 0.5) / 1e6 AS REAL) AS pacf
+        |FROM u""".stripMargin,
 
     // The argmax rides the EXACT integer numerator n·runₖ − k·t; the
     // struct-min tie-break (earliest key) matches the engine's.

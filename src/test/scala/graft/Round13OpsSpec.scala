@@ -232,6 +232,20 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(s.getInt(s.fieldIndex("max_grad")) == 1020)
   }
 
+  test("pacf: period-2 series pins lag 1 = -1 and the NULL guard") {
+    import spark.implicits._
+    // x = 1,2,1,2,...: per-lag Pearson is exactly -1, +1, -1, +1, -1;
+    // Durbin-Levinson: phi_11 = -1, then den_2 = 1 - (-1)(-1) = 0 ->
+    // NULL, propagated through every later diagonal (the guard path)
+    val s = (1 to 40).map(i => (i, if (i % 2 == 0) 2.0 else 1.0))
+      .toDF("k", "v")
+    val out = graft.ops.Stats.pacf(s, "k", "v", 5)
+      .collect().map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getFloat(1)))).toMap
+    assert(out(1) == Some(-1.0f))
+    assert(out(2).isEmpty && out(3).isEmpty && out(5).isEmpty)
+  }
+
   test("louvain oneLevelW: weighted graph with self-loops, exact ascent") {
     import spark.implicits._
     // two supernodes {1, 2} with self-loop mass and a HEAVY bridge:
