@@ -556,22 +556,32 @@ object Stats {
       max(when(col("lag") === 1, col("r"))).as("r1"),
       (2 to maxLag).map(l =>
         max(when(col("lag") === l, col("r"))).as(s"r$l")): _*)
-    var phi = Map[(Int, Int), Column]((1, 1) -> col("r1"))
+    // Each recursion level is MATERIALIZED as columns on the one-row
+    // frame (an eager checkpoint per level): a fully-inlined unroll
+    // re-substitutes every φ reference, growing the expression tree
+    // ~3^k — measured ~6 s of pure driver analysis/codegen at k = 5.
+    // Leveling keeps every tree a few nodes; the k−1 extra jobs run
+    // on one local row.
+    def pcol(k: Int, j: Int): Column = col(s"p_${k}_$j")
+    var cur = wide.withColumn("p_1_1", col("r1"))
+      .localCheckpoint(true)
     for (k <- 2 to maxLag) {
       val num = col(s"r$k") -
-        (1 until k).map(j => phi((k - 1, j)) * col(s"r${k - j}"))
+        (1 until k).map(j => pcol(k - 1, j) * col(s"r${k - j}"))
           .reduce(_ + _)
       val den = lit(1.0) -
-        (1 until k).map(j => phi((k - 1, j)) * col(s"r$j"))
+        (1 until k).map(j => pcol(k - 1, j) * col(s"r$j"))
           .reduce(_ + _)
-      val pkk = when(den =!= 0.0, num / den)
-      phi = phi + ((k, k) -> pkk)
-      for (j <- 1 until k)
-        phi = phi + ((k, j) ->
-          (phi((k - 1, j)) - pkk * phi((k - 1, k - j))))
+      cur = cur
+        .withColumn(s"p_${k}_$k", when(den =!= 0.0, num / den))
+        .localCheckpoint(true)
+      if (k < maxLag)
+        cur = cur.select(col("*") +:
+          (1 until k).map(j => (pcol(k - 1, j) -
+            pcol(k, k) * pcol(k - 1, k - j)).as(s"p_${k}_$j")): _*)
     }
-    wide.select(explode(array((1 to maxLag).map(k =>
-        struct(lit(k).as("lag"), r6(phi((k, k))).as("pacf"))): _*))
+    cur.select(explode(array((1 to maxLag).map(k =>
+        struct(lit(k).as("lag"), r6(pcol(k, k)).as("pacf"))): _*))
         .as("e"))
       .select(col("e.lag"), col("e.pacf"))
   }
