@@ -536,13 +536,16 @@ object Stats {
     *           / (1 − Σ_{j<k} φ_{k−1,j}·ρ_j)
     *   φ_{k,j} = φ_{k−1,j} − φ_{k,k}·φ_{k−1,k−j}
     * }}}
-    * is UNROLLED AT PLAN TIME over the ≤ 5 requested lags — a fixed
-    * IEEE expression tree over [[acf]]'s round-4 ρ values, evaluated
-    * on a ONE-ROW frame (lags pivoted wide), so determinism is
-    * inherited from the ACF's and the whole PACF costs one extra
-    * metadata-sized select. Denominator-zero lags (degenerate series)
-    * carry NULL, which the recursion propagates — never an ANSI
-    * fault.
+    * is UNROLLED AT PLAN TIME over the ≤ 5 requested lags — fixed
+    * IEEE algebra over [[acf]]'s round-4 ρ values on a ONE-ROW frame
+    * (lags pivoted wide), each recursion LEVEL materialized as
+    * columns behind an eager checkpoint (a fully-inlined unroll
+    * re-substitutes every φ reference, growing the tree ~3^k —
+    * measured ~5 s of pure driver analysis/codegen at k = 5; leveled,
+    * the whole PACF costs k−1 one-local-row jobs). Determinism is
+    * inherited from the ACF's. Denominator-zero lags (degenerate
+    * series) carry NULL, which the recursion propagates — never an
+    * ANSI fault.
     *
     * @return (lag, pacf) for lag = 1..maxLag
     */
