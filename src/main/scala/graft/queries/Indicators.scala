@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.mart.{Channels, IndicatorDay, Trend}
+import graft.mart.{BandChannels, Channels, Flow, IndicatorDay, Trend, Trix}
 import graft.ts.{Bars, Recursive}
 import org.apache.spark.sql.functions.{col, lit, when}
 
@@ -244,6 +244,115 @@ object Indicators extends QueryPack {
        |    JOIN wmdm m ON a.id = m.id AND a.rn = m.rn)),
        |${wilderCte("wadx", "dxs", "dx", n + 1, n)}""".stripMargin
 
+  /** One SMA-seeded EMA recursive CTE (α = 2/(n+1)): the [[wilderCte]]
+    * twin for [[graft.functions.Ema]]'s recurrence. `src` must be dense
+    * in rn per id starting at `start`, so the seed (n-row avg) lands at
+    * rn = start + n − 1.
+    */
+  private def emaCteFrom(name: String, src: String, valCol: String,
+      start: Int, n: Int): String =
+    s"""$name AS (
+       |  SELECT id, rn, sa AS a FROM (
+       |    SELECT id, rn, avg($valCol) OVER (PARTITION BY id ORDER BY rn
+       |      ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW) AS sa
+       |    FROM $src) WHERE rn = ${start + n - 1}
+       |  UNION ALL
+       |  SELECT s.id, s.rn, (CAST(2 AS DOUBLE)/${n + 1}) * s.$valCol
+       |           + (1 - CAST(2 AS DOUBLE)/${n + 1}) * e.a
+       |  FROM $src s JOIN $name e ON s.id = e.id AND s.rn = e.rn + 1)"""
+      .stripMargin
+
+  /** q342 oracle: Keltner bands — EMA(tp, 20) recursion + Wilder
+    * ATR(10) over the delta rows, joined back to the bar spine.
+    */
+  private val keltnerBlock: String =
+    s"""WITH RECURSIVE
+       |${Bars.oracleCteHourly},
+       |scaled AS MATERIALIZED (
+       |  SELECT *, high*nm AS hs, low*nm AS ls, close*nm AS cs,
+       |         (high*nm + low*nm + close*nm) / 3.0 AS tp
+       |  FROM (SELECT *, $defaultNmCase AS nm FROM hourly)),
+       |num AS MATERIALIZED (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY id ORDER BY t) AS INTEGER) AS rn FROM scaled),
+       |deltas AS MATERIALIZED (
+       |  SELECT id, rn,
+       |         greatest(hs - ls, abs(hs - pc), abs(ls - pc)) AS tr
+       |  FROM (SELECT *,
+       |          lag(cs) OVER (PARTITION BY id ORDER BY rn) AS pc
+       |        FROM num)
+       |  WHERE pc IS NOT NULL),
+       |${emaCteFrom("kema", "num", "tp", 1, 20)},
+       |${wilderCte("katr", "deltas", "tr", 2, 10)}""".stripMargin
+
+  /** q343 oracle: the TRIX triple-EMA chain — each stage's recursive
+    * CTE consumes the previous stage's (dense-from-seed) output.
+    */
+  private val trixBlock: String =
+    s"""WITH RECURSIVE
+       |${Bars.oracleCteHourly},
+       |scaled AS MATERIALIZED (
+       |  SELECT *, close*nm AS cs
+       |  FROM (SELECT *, $defaultNmCase AS nm FROM hourly)),
+       |num AS MATERIALIZED (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY id ORDER BY t) AS INTEGER) AS rn FROM scaled),
+       |${emaCteFrom("te1", "num", "cs", 1, 15)},
+       |${emaCteFrom("te2", "te1", "a", 15, 15)},
+       |${emaCteFrom("te3", "te2", "a", 29, 15)}""".stripMargin
+
+  /** q338–q340 oracle prefix: the [[graft.mart.Flow]] delta/frame-sum
+    * stack re-derived as pure window SQL (no recursion in this family).
+    * Mirrors `Flow.indicators` operation-for-operation; REAL edge casts
+    * absorb the engines' different sliding-sum summation trees.
+    */
+  private val flowBlock: String =
+    s"""WITH ${Bars.oracleCteHourly},
+       |scaled AS (
+       |  SELECT *, high*nm AS hs, low*nm AS ls, close*nm AS cs,
+       |         (high*nm + low*nm + close*nm) / 3.0 AS tp
+       |  FROM (SELECT *, $defaultNmCase AS nm FROM hourly)),
+       |s1 AS (
+       |  SELECT *,
+       |    CAST(row_number() OVER (PARTITION BY id ORDER BY t) AS INTEGER) AS rn,
+       |    lag(tp) OVER (PARTITION BY id ORDER BY t) AS ptp,
+       |    lag(hs) OVER (PARTITION BY id ORDER BY t) AS ph,
+       |    lag(ls) OVER (PARTITION BY id ORDER BY t) AS pl,
+       |    lag(cs) OVER (PARTITION BY id ORDER BY t) AS pc
+       |  FROM scaled),
+       |s2 AS (
+       |  SELECT *,
+       |    CASE WHEN ptp IS NOT NULL THEN
+       |      CASE WHEN tp > ptp THEN tp * volume
+       |           ELSE CAST(0 AS DOUBLE) END END AS posmf,
+       |    CASE WHEN ptp IS NOT NULL THEN
+       |      CASE WHEN tp < ptp THEN tp * volume
+       |           ELSE CAST(0 AS DOUBLE) END END AS negmf,
+       |    CASE WHEN pc IS NOT NULL THEN
+       |      greatest(hs - ls, abs(hs - pc), abs(ls - pc)) END AS tr,
+       |    CASE WHEN pl IS NOT NULL THEN abs(hs - pl) END AS vmp,
+       |    CASE WHEN ph IS NOT NULL THEN abs(ls - ph) END AS vmm,
+       |    (CASE WHEN hs <> ls THEN ((cs - ls) - (hs - cs)) / (hs - ls)
+       |          ELSE CAST(0 AS DOUBLE) END) * volume AS mfv
+       |  FROM s1),
+       |s3 AS (
+       |  SELECT *,
+       |    sum(posmf)  OVER w14 AS pos_s,
+       |    sum(negmf)  OVER w14 AS neg_s,
+       |    sum(tr)     OVER w14 AS tr_s,
+       |    sum(vmp)    OVER w14 AS vmp_s,
+       |    sum(vmm)    OVER w14 AS vmm_s,
+       |    sum(mfv)    OVER (PARTITION BY id ORDER BY t
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ad,
+       |    sum(mfv)    OVER w20 AS mfv_s,
+       |    sum(volume) OVER w20 AS vol_s
+       |  FROM s2
+       |  WINDOW w14 AS (PARTITION BY id ORDER BY t
+       |           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+       |         w20 AS (PARTITION BY id ORDER BY t
+       |           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))"""
+      .stripMargin
+
   private val hourlyBlock =
     withBlock(Bars.oracleCteHourly, "hourly", "t")
   private val dailyBlock =
@@ -345,6 +454,39 @@ object Indicators extends QueryPack {
     // member and anchor, evaluated as a HOF fold over the frame's
     // collect_list (no self-join).
     "q161_vwap_channel" -> ((s, d) => Channels.hourly(t("events")(s, d))),
+
+    // Extension: MFI(14) — the volume-weighted RSI sibling; typical-
+    // price money flow split by delta sign, ratio over the last 14
+    // delta rows. Lag + frame sums only, same one-sort plan as q160.
+    "q338_mfi" -> ((s, d) => Flow.hourly(t("events")(s, d))
+      .select(col("id"), col("t"), col("mfi"))),
+
+    // Extension: Chaikin A/D line (running Σ of money-flow volume)
+    // + CMF(20) — the close-location volume-confirmation pair.
+    "q339_chaikin_ad" -> ((s, d) => Flow.hourly(t("events")(s, d))
+      .select(col("id"), col("t"), col("ad"), col("cmf"))),
+
+    // Extension: Vortex VI±(14) — |h−prev_l| / |l−prev_h| sums over
+    // true range, the crossover trend-reversal pair.
+    "q340_vortex" -> ((s, d) => Flow.hourly(t("events")(s, d))
+      .select(col("id"), col("t"), col("vi_plus"), col("vi_minus"))),
+
+    // Extension: Donchian(20) breakout channel — pure bounded-frame
+    // max/min on the shared one-sort mart plan.
+    "q341_donchian" -> ((s, d) => BandChannels.hourly(t("events")(s, d))
+      .select(col("id"), col("t"),
+        col("don_upper"), col("don_lower"), col("don_mid"))),
+
+    // Extension: Keltner(EMA20 of tp, ±2·ATR(10)) — the native
+    // SMA-seeded EMA composed with the Wilder ATR, both running
+    // aggregates on one (id, t) sort.
+    "q342_keltner" -> ((s, d) => BandChannels.hourly(t("events")(s, d))
+      .select(col("id"), col("t"),
+        col("kel_center"), col("kel_upper"), col("kel_lower"))),
+
+    // Extension: TRIX(15) — 1-bar ROC of a TRIPLE EMA chain, three
+    // recurrences leveled onto materialized columns over one sort.
+    "q343_trix" -> ((s, d) => Trix.hourly(t("events")(s, d))),
 
     // Extension: daily TWAP — each price weighted by how long it held
     // (to the next event, the last to midnight); the benchmark-
@@ -645,6 +787,78 @@ object Indicators extends QueryPack {
          |         CASE WHEN md <> 0 THEN (tp - tp_sma) / (0.015 * md)
          |              ELSE CAST(0 AS DOUBLE) END END AS REAL) AS cci
          |FROM s2""".stripMargin,
+    // MFI(14): the flow block's sign-split money-flow ratio.
+    "q338_mfi" ->
+      s"""$flowBlock
+         |SELECT id, t,
+         |       CAST(CASE WHEN rn >= 15 THEN
+         |         CASE WHEN pos_s + neg_s <> 0
+         |              THEN (100 * pos_s) / (pos_s + neg_s)
+         |              ELSE CAST(0 AS DOUBLE) END END AS REAL) AS mfi
+         |FROM s3""".stripMargin,
+    // Chaikin A/D running sum + CMF(20) frame ratio.
+    "q339_chaikin_ad" ->
+      s"""$flowBlock
+         |SELECT id, t, CAST(ad AS REAL) AS ad,
+         |       CAST(CASE WHEN rn >= 20 THEN
+         |         CASE WHEN vol_s <> 0 THEN mfv_s / vol_s
+         |              ELSE CAST(0 AS DOUBLE) END END AS REAL) AS cmf
+         |FROM s3""".stripMargin,
+    // Vortex VI±(14): movement sums over the true-range sum.
+    "q340_vortex" ->
+      s"""$flowBlock
+         |SELECT id, t,
+         |       CAST(CASE WHEN rn >= 15 THEN
+         |         CASE WHEN tr_s <> 0 THEN vmp_s / tr_s
+         |              ELSE CAST(0 AS DOUBLE) END END AS REAL) AS vi_plus,
+         |       CAST(CASE WHEN rn >= 15 THEN
+         |         CASE WHEN tr_s <> 0 THEN vmm_s / tr_s
+         |              ELSE CAST(0 AS DOUBLE) END END AS REAL) AS vi_minus
+         |FROM s3""".stripMargin,
+    // Donchian(20): bounded-frame max/min channel.
+    "q341_donchian" ->
+      s"""WITH ${Bars.oracleCteHourly},
+         |scaled AS (
+         |  SELECT *, high*nm AS hs, low*nm AS ls
+         |  FROM (SELECT *, $defaultNmCase AS nm FROM hourly)),
+         |s1 AS (
+         |  SELECT *,
+         |    CAST(row_number() OVER (PARTITION BY id ORDER BY t)
+         |      AS INTEGER) AS rn,
+         |    max(hs) OVER (PARTITION BY id ORDER BY t
+         |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS hh,
+         |    min(ls) OVER (PARTITION BY id ORDER BY t
+         |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS ll
+         |  FROM scaled)
+         |SELECT id, t,
+         |       CAST(CASE WHEN rn >= 20 THEN hh END AS REAL) AS don_upper,
+         |       CAST(CASE WHEN rn >= 20 THEN ll END AS REAL) AS don_lower,
+         |       CAST(CASE WHEN rn >= 20 THEN (hh + ll) / 2.0 END AS REAL)
+         |         AS don_mid
+         |FROM s1""".stripMargin,
+    // Keltner: EMA(tp,20) center ± 2·ATR(10), masked to rows where
+    // both recurrences are warm.
+    "q342_keltner" ->
+      s"""$keltnerBlock
+         |SELECT n.id, n.t,
+         |       CAST(CASE WHEN e.a IS NOT NULL AND a.a IS NOT NULL
+         |            THEN e.a END AS REAL) AS kel_center,
+         |       CAST(e.a + 2.0 * a.a AS REAL) AS kel_upper,
+         |       CAST(e.a - 2.0 * a.a AS REAL) AS kel_lower
+         |FROM num n
+         |LEFT JOIN kema e ON n.id = e.id AND n.rn = e.rn
+         |LEFT JOIN katr a ON n.id = a.id AND n.rn = a.rn""".stripMargin,
+    // TRIX(15): the third EMA stage plus its 1-bar ROC, both off the
+    // te3 recursion joined back to the bar spine.
+    "q343_trix" ->
+      s"""$trixBlock
+         |SELECT n.id, n.t, CAST(e.a AS REAL) AS e3,
+         |       CAST(CASE WHEN p.a IS NOT NULL THEN
+         |         CASE WHEN p.a <> 0 THEN (100 * (e.a - p.a)) / p.a
+         |              ELSE CAST(0 AS DOUBLE) END END AS REAL) AS trix
+         |FROM num n
+         |LEFT JOIN te3 e ON n.id = e.id AND n.rn = e.rn
+         |LEFT JOIN te3 p ON n.id = p.id AND n.rn = p.rn + 1""".stripMargin,
     // The incremental-refresh gate: FULL-history recompute, filtered to
     // the engine's refresh window.
     "q99_incremental_mart" -> incrementalOracle(incrementalCutT),
