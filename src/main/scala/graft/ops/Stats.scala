@@ -2096,4 +2096,272 @@ object Stats {
         r6((col("n_ge") + lit(1L)).cast("double") /
           (col("bu") + lit(1L))).as("p_perm"))
   }
+
+  /** χ²(df) 0.95 quantiles, df = 1..7, as plan-time literals (the
+    * q308 3.841459 discipline — libm never runs in a query path).
+    */
+  private val chi2q95: Map[Int, Double] = Map(
+    1 -> 3.841459, 2 -> 5.991465, 3 -> 7.814728, 4 -> 9.487729,
+    5 -> 11.070498, 6 -> 12.591587, 7 -> 14.067140)
+
+  /** Ljung–Box portmanteau test (Ljung & Box 1978) — "is this series
+    * white noise AT ALL?", the joint-significance companion of [[acf]]'s
+    * per-lag readout: Q = n(n+2)·Σ_{k≤h} ρ_k²/(n−k) ~ χ²(h). The ARIMA
+    * residual-diagnostic gate: fit residuals failing it mean the model
+    * left structure on the table.
+    *
+    * Determinism: ρ are [[acf]]'s round-4 values; the lag sum is
+    * UNROLLED in lag order as one fixed IEEE expression on the
+    * lag-pivoted ONE-ROW frame (never a float sum over grouped rows);
+    * n is an exact count; the reject flag compares the UNROUNDED Q to
+    * the plan-time χ² literal.
+    *
+    * @return one row (n, df, q_stat, reject_95)
+    */
+  def ljungBox(series: DataFrame, keyCol: String, valueCol: String,
+      maxLag: Int = 7): DataFrame = {
+    require(chi2q95.contains(maxLag), s"ljungBox df $maxLag outside 1..7")
+    val rho = acf(series, keyCol, valueCol, maxLag)
+      .select(col("lag"), col("r").cast("double").as("r"))
+    val wide = rho.agg(
+      max(when(col("lag") === 1, col("r"))).as("r1"),
+      (2 to maxLag).map(l =>
+        max(when(col("lag") === l, col("r"))).as(s"r$l")): _*)
+    val n = series.agg(count(lit(1)).as("n"))
+    val dn = col("n").cast("double")
+    val q = (1 to maxLag).map(k =>
+        col(s"r$k") * col(s"r$k") / (dn - lit(k.toDouble)))
+      .reduce(_ + _) * dn * (dn + lit(2.0))
+    wide.crossJoin(broadcast(n)).select(col("n"), lit(maxLag).as("df"),
+      round(q, 4).cast("float").as("q_stat"),
+      (q > lit(chi2q95(maxLag))).as("reject_95"))
+  }
+
+  /** Dickey–Fuller unit-root test (Dickey & Fuller 1979, with
+    * constant) + the AR(1) mean-reversion half-life: regress
+    * Δy_t = a + b·y_{t−1} + ε — b ≈ 0 means a random walk (unit
+    * root), b < 0 with a large-negative t means the series reverts,
+    * and then φ = 1+b gives half-life = −ln 2 / ln φ, the "how long
+    * until a shock half-decays" number position-sizing reads.
+    *
+    * Determinism: y in exact cents, Δy and y_{t−1} exact longs off
+    * ONE unpartitioned lag over the metadata-sized series (the [[acf]]
+    * contract), all six regression moments exact DECIMAL(38,0), the
+    * slope/t/half-life one fixed IEEE sequence on a one-row frame;
+    * the stationarity flag compares the UNROUNDED t to the asymptotic
+    * 5% τ_μ literal −2.86 (Fuller 1976 Table 8.5.2).
+    *
+    * @return one row (n_pairs, slope, t_stat, stationary_95, half_life)
+    */
+  def dickeyFuller(series: DataFrame, keyCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.orderBy(col(keyCol))
+    val x = cents(col(valueCol))
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val pairs = series.select(x.as("y"), lag(x, 1).over(w).as("yl"))
+      .where(col("yl").isNotNull)
+      .select(col("yl"), (col("y") - col("yl")).as("dy"))
+    val m = pairs.agg(count(lit(1)).as("n"),
+      sum(col("yl").cast("decimal(38,0)")).as("sx"),
+      sum(col("dy").cast("decimal(38,0)")).as("sy"),
+      sum((dec(col("yl")) * dec(col("yl"))).cast("decimal(38,0)")).as("sxx"),
+      sum((dec(col("yl")) * dec(col("dy"))).cast("decimal(38,0)")).as("sxy"),
+      sum((dec(col("dy")) * dec(col("dy"))).cast("decimal(38,0)")).as("syy"))
+    val dn = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val sxxC = dn * d("sxx") - d("sx") * d("sx")
+    val sxyC = dn * d("sxy") - d("sx") * d("sy")
+    val syyC = dn * d("syy") - d("sy") * d("sy")
+    val b = when(sxxC =!= 0.0, sxyC / sxxC)
+    val se = sqrt((syyC - b * sxyC) / ((dn - lit(2.0)) * sxxC))
+    val t = when(se =!= 0.0, b / se)
+    val phi = lit(1.0) + b
+    m.select(col("n").as("n_pairs"),
+      round(b, 6).cast("float").as("slope"),
+      round(t, 4).cast("float").as("t_stat"),
+      (t < lit(-2.86)).as("stationary_95"),
+      round(when(phi > lit(0.0) && phi < lit(1.0),
+        -log(lit(2.0)) / log(phi)), 4).cast("float").as("half_life"))
+  }
+
+  /** Lo–MacKinlay variance-ratio test statistic (Lo & MacKinlay
+    * 1988), arithmetic-difference form: VR(q) = Var(y_t − y_{t−q}) /
+    * (q·Var(y_t − y_{t−1})). A random walk gives VR = 1; VR < 1 means
+    * mean reversion (q-period shocks partially cancel), VR > 1
+    * momentum — the one-number "is there exploitable autocorrelation
+    * at horizon q" readout beside [[acf]]'s per-lag view.
+    *
+    * Determinism: both difference series are exact longs (lag of
+    * cents), population variances off exact DECIMAL moments, VR one
+    * IEEE division at the edge.
+    *
+    * @return one row (n_1, n_q, var_1, var_q, vr)
+    */
+  def varianceRatio(series: DataFrame, keyCol: String, valueCol: String,
+      q: Int = 5): DataFrame = {
+    val w = Window.orderBy(col(keyCol))
+    val x = cents(col(valueCol))
+    val diffs = series.select(x.as("y"),
+        lag(x, 1).over(w).as("y1"), lag(x, q).over(w).as("yq"))
+      .select((col("y") - col("y1")).as("d1"),
+        (col("y") - col("yq")).as("dq"))
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    def mom(c: String) = Seq(
+      count(when(col(c).isNotNull, lit(1))).as(s"n_$c"),
+      sum(col(c).cast("decimal(38,0)")).as(s"s_$c"),
+      sum((dec(col(c)) * dec(col(c))).cast("decimal(38,0)")).as(s"ss_$c"))
+    val allMoms = mom("d1") ++ mom("dq")
+    val m2 = diffs.agg(allMoms.head, allMoms.tail: _*)
+    def varOf(c: String): Column = {
+      val dn = col(s"n_$c").cast("double")
+      (dn * col(s"ss_$c").cast("double") -
+        col(s"s_$c").cast("double") * col(s"s_$c").cast("double")) /
+        (dn * dn)
+    }
+    val v1 = varOf("d1"); val vq = varOf("dq")
+    m2.select(col("n_d1").as("n_1"), col("n_dq").as("n_q"),
+      round(v1, 4).cast("float").as("var_1"),
+      round(vq, 4).cast("float").as("var_q"),
+      round(when(v1 =!= 0.0, vq / (lit(q.toDouble) * v1)), 4)
+        .cast("float").as("vr"))
+  }
+
+  /** ln 2 as a shared plan-time literal (both engines inline this
+    * exact double, so no libm log(2) ever runs in a query path).
+    */
+  private val ln2 = 0.6931471805599453
+
+  /** Hurst exponent by rescaled-range analysis (Hurst 1951; Mandelbrot
+    * & Wallis 1969): H > 0.5 = trending/persistent, < 0.5 = mean
+    * reverting, = 0.5 = random walk. Per block size m ∈ sizes the
+    * series is cut into full m-row blocks; each block's R/S is the
+    * range of cumulative mean-deviations over the block stddev; H is
+    * the log-log slope of mean R/S against m.
+    *
+    * Determinism, the whole point of this formulation: with y in exact
+    * cents, m·Z_k = m·prefix_k − k·S is an EXACT long (so the range
+    * R·m is exact), and m²·var = m·Σy² − S² is exact DECIMAL — so each
+    * block's R/S = (R·m)/√(m·Σy²−S²) is ONE IEEE division of exact
+    * values. Cross-block means go through micro-unit flooring (the CMH
+    * order-independence discipline). With sizes (s, 2s, 4s) the 3-point
+    * log-log OLS slope collapses to (ln r̄₂ − ln r̄₀)/(2·ln 2) — two
+    * lns on one-row values against the shared [[ln2]] literal.
+    *
+    * Scale shape: the block cut is ONE exchange keyed (size, block) —
+    * at a real 100 TB series the unpartitioned index window is the
+    * documented metadata-series contract ([[acf]]); blocks then
+    * aggregate map-side.
+    *
+    * @return one row per size (size, n_blocks, rs_mean) + the shared
+    *         hurst column
+    */
+  def hurstRs(series: DataFrame, keyCol: String, valueCol: String,
+      sizes: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    require(sizes.size == 3 && sizes(1) == 2 * sizes.head &&
+      sizes(2) == 4 * sizes.head, s"sizes must be (s,2s,4s): $sizes")
+    val idx = series.select(cents(col(valueCol)).as("y"),
+      (row_number().over(Window.orderBy(col(keyCol))) - 1).as("i"))
+    val perSize = sizes.map { m =>
+      val wb = Window.partitionBy(col("blk"))
+      val wrun = Window.partitionBy(col("blk")).orderBy(col("i"))
+      val b = idx.select(col("y"), col("i"),
+          floor(col("i") / lit(m)).cast("long").as("blk"))
+        .select(col("blk"),
+          row_number().over(wrun).as("k"),
+          sum(col("y")).over(wrun.rowsBetween(
+            Window.unboundedPreceding, 0)).as("pre"),
+          sum(col("y")).over(wb).as("s"),
+          count(lit(1)).over(wb).as("cnt"),
+          sum((col("y").cast("decimal(19,0)") *
+            col("y").cast("decimal(19,0)")).cast("decimal(38,0)"))
+            .over(wb).as("syy"))
+        .select(col("*"),
+          (lit(m.toLong) * col("pre") - col("k") * col("s")).as("z"))
+        .select(col("blk"), col("k"), col("cnt"), col("s"), col("syy"),
+          max(col("z")).over(wb).as("zmax"),
+          min(col("z")).over(wb).as("zmin"))
+        .where(col("k") === 1 && col("cnt") === m)
+      val den = sqrt((lit(m.toLong).cast("decimal(19,0)") * col("syy") -
+        col("s").cast("decimal(38,0)") * col("s").cast("decimal(38,0)"))
+        .cast("double"))
+      b.where(den =!= 0.0)
+        .select(((col("zmax") - col("zmin")).cast("double") / den)
+          .as("rs"))
+        .select(floor(col("rs") * lit(1e6)).cast("long").as("rs_micro"))
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(col("rs_micro")).as("sum_micro"))
+        .select(lit(m).as("size"), col("n_blocks"), col("sum_micro"))
+    }.reduce(_ unionByName _)
+    val stats = perSize.select(col("size"), col("n_blocks"),
+      round(col("sum_micro").cast("double") /
+        (col("n_blocks").cast("double") * lit(1e6)), 4)
+        .cast("float").as("rs_mean"))
+    val h = stats.agg(
+      max(when(col("size") === sizes.head, col("rs_mean").cast("double")))
+        .as("v0"),
+      max(when(col("size") === sizes(2), col("rs_mean").cast("double")))
+        .as("v2"))
+      .select(round((log(col("v2")) - log(col("v0"))) /
+        lit(2.0 * ln2), 4).cast("float").as("hurst"))
+    stats.crossJoin(broadcast(h))
+  }
+
+  /** Discrete-period periodogram: normalized DFT power at candidate
+    * periods 2..maxPeriod over the mean-centered series — "is there a
+    * weekly cycle in daily revenue", the hypothesis-free companion of
+    * [[graft.ts.Seasonal]]'s fixed-7 decomposition. The dominant flag
+    * marks the argmax period.
+    *
+    * Determinism: y in exact cents, the per-row cos/sin products
+    * FLOOR-SCALED to integers before the cross-row sum (the micro-unit
+    * discipline — float sums over rows are order-dependent; cos args
+    * are k·(2π/p) with k = i mod p an exact int, so both engines
+    * evaluate libm on bit-identical inputs), mean-correction and the
+    * power ratio one fixed IEEE sequence per period on the bounded
+    * period frame; power is normalized by n·SS (exact moments) so the
+    * readout is scale-free.
+    *
+    * @return one row per period (period, power_frac, dominant)
+    */
+  def periodogram(series: DataFrame, keyCol: String, valueCol: String,
+      maxPeriod: Int = 10): DataFrame = {
+    val idx = series.select(cents(col(valueCol)).as("y"),
+      (row_number().over(Window.orderBy(col(keyCol))) - 1).as("i"))
+    val tot = idx.agg(count(lit(1)).as("n"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
+      sum((col("y").cast("decimal(19,0)") * col("y").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")).as("syy"))
+    val periods = (2 to maxPeriod).map(p => lit(p))
+    val summed = idx.select(col("y"), col("i"),
+        explode(array(periods: _*)).as("p"))
+      .select(col("p"),
+        ((col("i") % col("p")).cast("double") *
+          (lit(2.0 * math.Pi) / col("p").cast("double"))).as("a"),
+        col("y"))
+      .select(col("p"),
+        floor(col("y").cast("double") * cos(col("a"))).cast("long")
+          .as("yc"),
+        floor(col("y").cast("double") * sin(col("a"))).cast("long")
+          .as("ys"),
+        floor(lit(1e6) * cos(col("a"))).cast("long").as("c6"),
+        floor(lit(1e6) * sin(col("a"))).cast("long").as("s6"))
+      .groupBy(col("p"))
+      .agg(sum(col("yc")).as("syc"), sum(col("ys")).as("sys"),
+        sum(col("c6")).as("sc6"), sum(col("s6")).as("ss6"))
+    val dn = col("n").cast("double")
+    val mu = col("sy").cast("double") / dn
+    val cC = col("syc").cast("double") -
+      mu * (col("sc6").cast("double") / lit(1e6))
+    val sS = col("sys").cast("double") -
+      mu * (col("ss6").cast("double") / lit(1e6))
+    val ss = (dn * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")) / dn
+    val frac = when(ss =!= 0.0, (cC * cC + sS * sS) / (dn * ss))
+    val scored = summed.crossJoin(broadcast(tot))
+      .select(col("p").as("period"), frac.as("frac"))
+    scored.select(col("period"),
+      round(col("frac"), 4).cast("float").as("power_frac"),
+      (col("frac") === max(col("frac")).over(
+        Window.partitionBy(lit(1)))).as("dominant"))
+  }
 }

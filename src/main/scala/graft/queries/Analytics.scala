@@ -1155,6 +1155,54 @@ object Analytics extends QueryPack {
           .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev")),
         "odate", "rev", 5)),
 
+    // Ljung–Box portmanteau over the q204 ACF: is the daily-revenue
+    // series white noise AT ALL — the joint test the per-lag readout
+    // can't make; lag sum plan-time unrolled on the pivoted one-row
+    // frame, reject flag vs the plan-time χ²(7) literal.
+    "q344_ljung_box" -> ((s, d) =>
+      graft.ops.Stats.ljungBox(t("orders")(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("odate"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev")),
+        "odate", "rev", 7)),
+
+    // Dickey–Fuller unit-root test + AR(1) half-life on daily revenue:
+    // Δy on y_{t−1} from exact DECIMAL moments, t vs the asymptotic
+    // τ_μ literal — random walk or mean-reverting, and how fast.
+    "q345_dickey_fuller" -> ((s, d) =>
+      graft.ops.Stats.dickeyFuller(t("orders")(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("odate"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev")),
+        "odate", "rev")),
+
+    // Lo–MacKinlay variance ratio VR(5): q-period vs 1-period change
+    // variance off exact difference moments — horizon-5 momentum or
+    // reversion in one number.
+    "q346_variance_ratio" -> ((s, d) =>
+      graft.ops.Stats.varianceRatio(t("orders")(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("odate"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev")),
+        "odate", "rev", 5)),
+
+    // Hurst exponent by rescaled range over block sizes 8/16/32:
+    // every block's R/S is ONE IEEE division of exact integers
+    // (m·Z_k and m²·var are exact), micro-floored cross-block means,
+    // H from the collapsed 3-point log-log slope.
+    "q347_hurst" -> ((s, d) =>
+      graft.ops.Stats.hurstRs(t("orders")(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("odate"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev")),
+        "odate", "rev")),
+
+    // Discrete periodogram at periods 2..10 on mean-centered daily
+    // revenue: per-row cos/sin products floor-scaled to integers
+    // before the cross-row sums (bit-identical libm args in both
+    // engines), dominant-period argmax flag.
+    "q348_periodogram" -> ((s, d) =>
+      graft.ops.Stats.periodogram(t("orders")(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("odate"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev")),
+        "odate", "rev", 10)),
+
     // CUSUM mean-shift changepoint on the same daily series: argmax
     // |Σ(xᵢ−x̄)| carried as the EXACT integer n·runₖ−k·t, scan via the
     // distributed two-level prefix sum.
@@ -1669,6 +1717,218 @@ object Analytics extends QueryPack {
         |    AS s_at_cp,
         |  CAST(round(CAST(m.rk AS DOUBLE) / n, 4) AS REAL) AS frac_through
         |FROM f""".stripMargin,
+
+    // q204's ACF CTEs at 7 lags pivoted wide, the same left-assoc
+    // lag-sum unroll, reject vs the shared plan-time χ²(7) literal.
+    "q344_ljung_box" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS odate,
+        |         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |           AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |idx AS (SELECT x, row_number() OVER (ORDER BY odate) AS i FROM daily),
+        |p AS (SELECT l.lag, a.x AS x, b.x AS y
+        |      FROM (SELECT unnest(generate_series(1, 7)) AS lag) l
+        |      JOIN idx a ON true
+        |      JOIN idx b ON b.i = a.i - l.lag),
+        |m AS (SELECT lag, count(*) AS n_pairs,
+        |        CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+        |        CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+        |        CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+        |        CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+        |        CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+        |      FROM p GROUP BY 1),
+        |r AS (SELECT lag,
+        |        CAST(CAST(round((CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+        |          / sqrt((CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+        |               * (CAST(n_pairs AS DOUBLE) * syy - sy * sy)), 4)
+        |          AS REAL) AS DOUBLE) AS rr
+        |      FROM m),
+        |w AS (SELECT
+        |        max(CASE WHEN lag = 1 THEN rr END) AS r1,
+        |        max(CASE WHEN lag = 2 THEN rr END) AS r2,
+        |        max(CASE WHEN lag = 3 THEN rr END) AS r3,
+        |        max(CASE WHEN lag = 4 THEN rr END) AS r4,
+        |        max(CASE WHEN lag = 5 THEN rr END) AS r5,
+        |        max(CASE WHEN lag = 6 THEN rr END) AS r6,
+        |        max(CASE WHEN lag = 7 THEN rr END) AS r7
+        |      FROM r),
+        |c AS (SELECT count(*) AS n FROM daily),
+        |s AS (SELECT n, ((r1*r1)/(CAST(n AS DOUBLE) - 1.0)
+        |        + (r2*r2)/(CAST(n AS DOUBLE) - 2.0)
+        |        + (r3*r3)/(CAST(n AS DOUBLE) - 3.0)
+        |        + (r4*r4)/(CAST(n AS DOUBLE) - 4.0)
+        |        + (r5*r5)/(CAST(n AS DOUBLE) - 5.0)
+        |        + (r6*r6)/(CAST(n AS DOUBLE) - 6.0)
+        |        + (r7*r7)/(CAST(n AS DOUBLE) - 7.0))
+        |        * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) AS qq
+        |      FROM w, c)
+        |SELECT n, 7 AS df, CAST(round(qq, 4) AS REAL) AS q_stat,
+        |       qq > 14.06714 AS reject_95
+        |FROM s""".stripMargin,
+
+    // Δy-on-lag OLS off the same exact HUGEINT moments; asymptotic
+    // τ_μ literal; half-life via the shared ln algebra.
+    "q345_dickey_fuller" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS odate,
+        |         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |           AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |idx AS (SELECT x, row_number() OVER (ORDER BY odate) AS i FROM daily),
+        |p AS (SELECT b.x AS yl, a.x - b.x AS dy
+        |      FROM idx a JOIN idx b ON b.i = a.i - 1),
+        |m AS (SELECT count(*) AS n,
+        |        CAST(sum(CAST(yl AS HUGEINT)) AS DOUBLE) AS sx,
+        |        CAST(sum(CAST(dy AS HUGEINT)) AS DOUBLE) AS sy,
+        |        CAST(sum(CAST(yl AS HUGEINT) * yl) AS DOUBLE) AS sxx,
+        |        CAST(sum(CAST(yl AS HUGEINT) * dy) AS DOUBLE) AS sxy,
+        |        CAST(sum(CAST(dy AS HUGEINT) * dy) AS DOUBLE) AS syy
+        |      FROM p),
+        |e AS (SELECT n, CAST(n AS DOUBLE) AS dn, sx, sy, sxx, sxy, syy
+        |      FROM m),
+        |f AS (SELECT *, dn*sxx - sx*sx AS sxxc, dn*sxy - sx*sy AS sxyc,
+        |        dn*syy - sy*sy AS syyc FROM e),
+        |g AS (SELECT *, CASE WHEN sxxc <> 0 THEN sxyc / sxxc END AS b
+        |      FROM f),
+        |h AS (SELECT *, sqrt((syyc - b * sxyc) / ((dn - 2.0) * sxxc))
+        |        AS se FROM g),
+        |i AS (SELECT *, CASE WHEN se <> 0 THEN b / se END AS t,
+        |        1.0 + b AS phi FROM h)
+        |SELECT n AS n_pairs, CAST(round(b, 6) AS REAL) AS slope,
+        |       CAST(round(t, 4) AS REAL) AS t_stat,
+        |       t < -2.86 AS stationary_95,
+        |       CAST(round(CASE WHEN phi > 0 AND phi < 1
+        |         THEN -ln(2) / ln(phi) END, 4) AS REAL) AS half_life
+        |FROM i""".stripMargin,
+
+    // 1-period vs q-period difference variances off exact moments.
+    "q346_variance_ratio" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS odate,
+        |         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |           AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |idx AS (SELECT x, row_number() OVER (ORDER BY odate) AS i FROM daily),
+        |dd AS (SELECT a.x - b1.x AS d1, a.x - b5.x AS dq
+        |       FROM idx a
+        |       LEFT JOIN idx b1 ON b1.i = a.i - 1
+        |       LEFT JOIN idx b5 ON b5.i = a.i - 5),
+        |m AS (SELECT count(d1) AS n1,
+        |        CAST(sum(CAST(d1 AS HUGEINT)) AS DOUBLE) AS s1,
+        |        CAST(sum(CAST(d1 AS HUGEINT) * d1) AS DOUBLE) AS ss1,
+        |        count(dq) AS n2,
+        |        CAST(sum(CAST(dq AS HUGEINT)) AS DOUBLE) AS s2,
+        |        CAST(sum(CAST(dq AS HUGEINT) * dq) AS DOUBLE) AS ss2
+        |      FROM dd),
+        |v AS (SELECT n1, n2,
+        |        (CAST(n1 AS DOUBLE) * ss1 - s1*s1)
+        |          / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)) AS v1,
+        |        (CAST(n2 AS DOUBLE) * ss2 - s2*s2)
+        |          / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS vq
+        |      FROM m)
+        |SELECT n1 AS n_1, n2 AS n_q,
+        |       CAST(round(v1, 4) AS REAL) AS var_1,
+        |       CAST(round(vq, 4) AS REAL) AS var_q,
+        |       CAST(round(CASE WHEN v1 <> 0 THEN vq / (5.0 * v1) END, 4)
+        |         AS REAL) AS vr
+        |FROM v""".stripMargin,
+
+    // Per-(size, block) exact prefix/total windows, the exact-integer
+    // z and denominator, micro-floored R/S, the collapsed log-log
+    // slope with the shared 2·ln2 literal.
+    "q347_hurst" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS odate,
+        |         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |           AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |idx AS (SELECT x AS y,
+        |          row_number() OVER (ORDER BY odate) - 1 AS i FROM daily),
+        |bl AS (SELECT sz.m,
+        |         CAST(floor(CAST(i AS DOUBLE) / sz.m) AS BIGINT) AS blk,
+        |         y, i
+        |       FROM idx, (VALUES (8), (16), (32)) AS sz(m)),
+        |ws AS (SELECT m, blk,
+        |         row_number() OVER (PARTITION BY m, blk ORDER BY i) AS k,
+        |         sum(y) OVER (PARTITION BY m, blk ORDER BY i
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre,
+        |         sum(y) OVER (PARTITION BY m, blk) AS s,
+        |         count(*) OVER (PARTITION BY m, blk) AS cnt,
+        |         sum(CAST(y AS HUGEINT) * y)
+        |           OVER (PARTITION BY m, blk) AS syy
+        |       FROM bl),
+        |z AS (SELECT *, CAST(m AS BIGINT) * pre - CAST(k AS BIGINT) * s
+        |        AS zz FROM ws),
+        |r AS (SELECT m, blk, k, cnt, s, syy,
+        |        max(zz) OVER (PARTITION BY m, blk) AS zmax,
+        |        min(zz) OVER (PARTITION BY m, blk) AS zmin FROM z),
+        |b1 AS (SELECT *, sqrt(CAST(CAST(m AS HUGEINT) * syy
+        |          - CAST(s AS HUGEINT) * s AS DOUBLE)) AS den
+        |       FROM r WHERE k = 1 AND cnt = m),
+        |rs AS (SELECT m, CAST(floor((CAST(zmax - zmin AS DOUBLE) / den)
+        |          * 1000000.0) AS BIGINT) AS rs_micro
+        |       FROM b1 WHERE den <> 0),
+        |sz2 AS (SELECT m AS size, count(*) AS n_blocks,
+        |          sum(rs_micro) AS sum_micro FROM rs GROUP BY 1),
+        |st AS (SELECT size, n_blocks,
+        |         CAST(round(CAST(sum_micro AS DOUBLE)
+        |           / (CAST(n_blocks AS DOUBLE) * 1000000.0), 4) AS REAL)
+        |           AS rs_mean
+        |       FROM sz2),
+        |h AS (SELECT CAST(round(
+        |         (ln(CAST(max(CASE WHEN size = 32 THEN rs_mean END)
+        |             AS DOUBLE))
+        |        - ln(CAST(max(CASE WHEN size = 8 THEN rs_mean END)
+        |             AS DOUBLE))) / 1.3862943611198906, 4) AS REAL)
+        |         AS hurst FROM st)
+        |SELECT st.size, st.n_blocks, st.rs_mean, h.hurst FROM st, h"""
+        .stripMargin,
+
+    // Floored cos/sin term sums per period, the same mean-correction
+    // and n·SS normalization, argmax dominant flag.
+    "q348_periodogram" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS odate,
+        |         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |           AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |idx AS (SELECT x AS y,
+        |          row_number() OVER (ORDER BY odate) - 1 AS i FROM daily),
+        |tot AS (SELECT count(*) AS n, sum(CAST(y AS HUGEINT)) AS sy,
+        |          sum(CAST(y AS HUGEINT) * y) AS syy FROM idx),
+        |tt AS (SELECT pp.p,
+        |         CAST(i % pp.p AS DOUBLE)
+        |           * (6.283185307179586 / CAST(pp.p AS DOUBLE)) AS a,
+        |         y
+        |       FROM idx, (SELECT CAST(unnest(generate_series(2, 10))
+        |                    AS INTEGER) AS p) pp),
+        |ft AS (SELECT p,
+        |         CAST(floor(CAST(y AS DOUBLE) * cos(a)) AS BIGINT) AS yc,
+        |         CAST(floor(CAST(y AS DOUBLE) * sin(a)) AS BIGINT) AS ys,
+        |         CAST(floor(1000000.0 * cos(a)) AS BIGINT) AS c6,
+        |         CAST(floor(1000000.0 * sin(a)) AS BIGINT) AS s6
+        |       FROM tt),
+        |ag AS (SELECT p, sum(yc) AS syc, sum(ys) AS sys,
+        |         sum(c6) AS sc6, sum(s6) AS ss6 FROM ft GROUP BY 1),
+        |sc AS (SELECT p AS period,
+        |         CASE WHEN ss <> 0
+        |           THEN (cc*cc + sv*sv) / (dn*ss) END AS frac
+        |       FROM (
+        |         SELECT p, CAST(n AS DOUBLE) AS dn,
+        |           CAST(syc AS DOUBLE)
+        |             - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |               * (CAST(sc6 AS DOUBLE) / 1000000.0) AS cc,
+        |           CAST(sys AS DOUBLE)
+        |             - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |               * (CAST(ss6 AS DOUBLE) / 1000000.0) AS sv,
+        |           (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+        |             / CAST(n AS DOUBLE) AS ss
+        |         FROM ag, tot))
+        |SELECT period, CAST(round(frac, 4) AS REAL) AS power_frac,
+        |       frac = max(frac) OVER () AS dominant
+        |FROM sc""".stripMargin,
 
     "q206_cube" ->
       """SELECT l_returnflag, l_linestatus,
