@@ -2364,4 +2364,272 @@ object Stats {
       (col("frac") === max(col("frac")).over(
         Window.partitionBy(lit(1)))).as("dominant"))
   }
+
+  /** Levene's test for equality of variances (Levene 1960, mean-based
+    * form) — the gate in FRONT of ANOVA/t readouts: both assume equal
+    * group variances, and this is the one-way ANOVA on the absolute
+    * deviations z_gi = |x_gi − x̄_g| that checks it.
+    *
+    * Determinism: with x in exact cents, n_g·z_gi = |n_g·x − Σx_g| is
+    * an EXACT long (the Hurst m·Z trick), so every per-group moment of
+    * z is exact DECIMAL over the n_g² denominator; per-group readouts
+    * (Σz, within-SS, n·(z̄_g − z̄)²) are fixed IEEE sequences
+    * CENTI-FLOORED before any cross-group sum (the CMH discipline;
+    * centi not micro so the within-SS stays inside long at warehouse
+    * row counts). At 100 TB row counts swap the n_g·x long product
+    * for DECIMAL.
+    *
+    * Scale shape: one groupBy for (n, Σx), a broadcast join back, one
+    * map-side groupBy for the z moments — the group frame is bounded
+    * (|groups| rows) and all cross-group algebra runs on it.
+    *
+    * @return one row (k, n, ss_between, ss_within, w_stat)
+    */
+  def levene(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    val x = cents(col(valueCol))
+    val dfN = df.where(col(valueCol).isNotNull)
+    val g1 = dfN.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("ng"), sum(x.cast("decimal(38,0)")).as("sxg"))
+    val rows = dfN.select(col(groupCol).as("g"), x.as("x"))
+      .join(broadcast(g1), "g")
+      .select(col("g"), col("ng"),
+        abs(col("ng").cast("decimal(19,0)") * col("x").cast("decimal(19,0)")
+          - col("sxg")).cast("decimal(38,0)").as("z"))
+    val g2 = rows.groupBy(col("g"), col("ng"))
+      .agg(sum(col("z")).as("sz"),
+        sum((col("z") * col("z")).cast("decimal(38,0)")).as("szz"))
+    val dn = col("ng").cast("double")
+    val sumzG = col("sz").cast("double") / dn          // Σ z (z-units)
+    val withinG = col("szz").cast("double") / (dn * dn) -
+      (col("sz").cast("double") * col("sz").cast("double")) /
+        (dn * dn * dn)
+    val perG = g2.select(col("g"), col("ng"),
+      floor(sumzG * lit(100.0)).cast("long").as("sz_c"),
+      floor(withinG * lit(100.0)).cast("long").as("w_c"))
+    val tot = perG.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+      sum(col("sz_c")).as("szt"), sum(col("w_c")).as("sswt"))
+    val zbar = (col("szt").cast("double") / lit(100.0)) /
+      col("n").cast("double")
+    val btermG = col("ng").cast("double") *
+      ((col("sz_c").cast("double") / lit(100.0)) /
+        col("ng").cast("double") - zbar) *
+      ((col("sz_c").cast("double") / lit(100.0)) /
+        col("ng").cast("double") - zbar)
+    val ssb = perG.crossJoin(broadcast(tot))
+      .select(col("k"), col("n"), col("sswt"),
+        floor(btermG * lit(100.0)).cast("long").as("b_c"))
+      .groupBy(col("k"), col("n"), col("sswt"))
+      .agg(sum(col("b_c")).as("ssbt"))
+    val dN = col("n").cast("double"); val dk = col("k").cast("double")
+    val ssbD = col("ssbt").cast("double") / lit(100.0)
+    val sswD = col("sswt").cast("double") / lit(100.0)
+    ssb.select(col("k"), col("n"),
+      round(ssbD / lit(1e4), 2).cast("float").as("ss_between"),
+      round(sswD / lit(1e4), 2).cast("float").as("ss_within"),
+      round(when(sswD =!= 0.0,
+        ((dN - dk) / (dk - lit(1.0))) * (ssbD / sswD)), 4)
+        .cast("float").as("w_stat"))
+  }
+
+  /** Cochran–Armitage trend test (Cochran 1954; Armitage 1955): is a
+    * binary rate MONOTONE in an ordered factor — the "does purchase
+    * share trend across the week" question a bare χ² (which ignores
+    * the ordering) cannot answer.
+    *
+    * Determinism: T·N = Σ s_i·(N·r_i − n_i·R) is an exact long over
+    * the bounded score frame; the variance pieces are exact counts;
+    * z is one fixed IEEE sequence; the reject flag compares the
+    * UNROUNDED |z| to the plan-time two-sided 5% literal.
+    *
+    * @return one row (n, r, z_trend, increasing, reject_95)
+    */
+  def cochranArmitage(df: DataFrame, scoreCol: String,
+      successCol: String): DataFrame = {
+    val per = df.where(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol).cast("long").as("s"))
+      .agg(count(lit(1)).as("ni"),
+        sum(when(col(successCol), 1L).otherwise(0L)).as("ri"))
+    val tot = per.agg(sum(col("ni")).as("n"), sum(col("ri")).as("r"),
+      sum(col("s") * col("ni")).as("sns"),
+      sum(col("s") * col("s") * col("ni")).as("snss"))
+    val tn = per.crossJoin(broadcast(tot))
+      .select(col("n"), col("r"), col("sns"), col("snss"),
+        (col("s") * (col("n") * col("ri") - col("ni") * col("r")))
+          .as("term"))
+      .groupBy(col("n"), col("r"), col("sns"), col("snss"))
+      .agg(sum(col("term")).as("tn"))
+    val dN = col("n").cast("double"); val dR = col("r").cast("double")
+    val den = sqrt(dR * (dN - dR) *
+      (dN * col("snss").cast("double") -
+        col("sns").cast("double") * col("sns").cast("double")) / dN)
+    val z = when(den =!= 0.0, col("tn").cast("double") / den)
+    tn.select(col("n"), col("r"),
+      round(z, 4).cast("float").as("z_trend"),
+      (col("tn") > 0L).as("increasing"),
+      (abs(z) > lit(1.959964)).as("reject_95"))
+  }
+
+  /** McNemar's test with continuity correction (McNemar 1947; Edwards
+    * 1948) — the PAIRED marginal-change test: did the same units flip
+    * state between two periods, where an unpaired compare would wash
+    * out in between-unit variance? χ² = (|b−c|−1)²/(b+c) on the two
+    * discordant counts.
+    *
+    * Determinism: b and c are exact counts off one per-unit groupBy;
+    * the statistic is one fixed IEEE sequence; reject on the
+    * UNROUNDED value vs the plan-time χ²(1) literal.
+    *
+    * @param pairs frame with (y1, y2) boolean columns, one row per unit
+    * @return one row (n_pairs, b, c, chi2, reject_95)
+    */
+  def mcnemar(pairs: DataFrame, y1: String = "y1",
+      y2: String = "y2"): DataFrame = {
+    val m = pairs.agg(count(lit(1)).as("n_pairs"),
+      sum(when(col(y1) && !col(y2), 1L).otherwise(0L)).as("b"),
+      sum(when(!col(y1) && col(y2), 1L).otherwise(0L)).as("c"))
+    val bc = (col("b") + col("c")).cast("double")
+    val num = abs(col("b") - col("c")).cast("double") - lit(1.0)
+    val chi2 = when(bc =!= 0.0, num * num / bc)
+    m.select(col("n_pairs"), col("b"), col("c"),
+      round(chi2, 4).cast("float").as("chi2"),
+      (chi2 > lit(chi2q95(1))).as("reject_95"))
+  }
+
+  /** Durbin–Watson statistic (Durbin & Watson 1950) on the residuals
+    * of the series' OLS time trend: DW ≈ 2(1−ρ̂₁) of the residuals —
+    * THE regression-diagnostic the q203-style OLS reports need before
+    * anyone trusts their standard errors (positive autocorrelation
+    * makes them lies).
+    *
+    * Determinism: trend slope/intercept off exact DECIMAL moments (the
+    * [[dickeyFuller]] algebra), per-row residuals one fixed IEEE
+    * sequence on exact inputs, CENTI-FLOORED to longs before the
+    * lagged squared sums (exact DECIMAL thereafter) — so the ratio is
+    * one IEEE division of exact values.
+    *
+    * @return one row (n, dw, rho1)
+    */
+  def durbinWatson(series: DataFrame, keyCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.orderBy(col(keyCol))
+    val idx = series.select(cents(col(valueCol)).as("y"),
+      row_number().over(w).cast("long").as("i"))
+    val m = idx.agg(count(lit(1)).as("n"),
+      sum(col("i").cast("decimal(38,0)")).as("si"),
+      sum((col("i") * col("i")).cast("decimal(38,0)")).as("sii"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
+      sum((col("i").cast("decimal(19,0)") * col("y").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")).as("siy"))
+    val dn = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val b = (dn * d("siy") - d("si") * d("sy")) /
+      (dn * d("sii") - d("si") * d("si"))
+    val a = (d("sy") - b * d("si")) / dn
+    val fit = idx.crossJoin(broadcast(m.select(
+      col("n"), b.as("b"), a.as("a"))))
+    val res = fit.select(col("n"), col("i"),
+      floor((col("y").cast("double") - col("a") -
+        col("b") * col("i").cast("double")) * lit(100.0)).cast("long")
+        .as("ec"))
+    val lagd = res.select(col("n"), col("ec"),
+      (col("ec") - lag(col("ec"), 1).over(Window.orderBy(col("i"))))
+        .as("dd"))
+    val sums = lagd.groupBy(col("n"))
+      .agg(sum((col("ec").cast("decimal(19,0)") *
+          col("ec").cast("decimal(19,0)")).cast("decimal(38,0)")).as("see"),
+        sum((col("dd").cast("decimal(19,0)") *
+          col("dd").cast("decimal(19,0)")).cast("decimal(38,0)")).as("sdd"))
+    val dw = when(col("see") =!= lit(0).cast("decimal(38,0)"),
+      col("sdd").cast("double") / col("see").cast("double"))
+    sums.select(col("n"),
+      round(dw, 4).cast("float").as("dw"),
+      round(lit(1.0) - dw / lit(2.0), 4).cast("float").as("rho1"))
+  }
+
+  /** Breusch–Pagan heteroskedasticity test (Breusch & Pagan 1979,
+    * Koenker's studentized LM form): do the OLS residuals' SQUARES
+    * trend with the regressor — the "your error bars depend on x"
+    * diagnostic that, with [[durbinWatson]], decides whether a q203
+    * fit's standard errors mean anything. LM = n·R²_aux of e² on x,
+    * ~ χ²(1).
+    *
+    * Determinism: main fit off exact DECIMAL moments; residuals one
+    * fixed IEEE sequence floored to exact cent longs; u = e² then
+    * EXACT, the aux-regression moments exact DECIMAL, LM one fixed
+    * sequence; reject on the unrounded LM vs the plan-time χ²(1)
+    * literal.
+    *
+    * @return one row (n, lm, reject_95)
+    */
+  def breuschPagan(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val pts = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(cents(col(xCol)).as("x"), cents(col(yCol)).as("y"))
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val m = pts.agg(count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"),
+      sum((dec(col("x")) * dec(col("x"))).cast("decimal(38,0)")).as("sxx"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
+      sum((dec(col("x")) * dec(col("y"))).cast("decimal(38,0)")).as("sxy"))
+    val dn = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val b = (dn * d("sxy") - d("sx") * d("sy")) /
+      (dn * d("sxx") - d("sx") * d("sx"))
+    val a = (d("sy") - b * d("sx")) / dn
+    val fit = pts.crossJoin(broadcast(m.select(col("n"), col("sx"),
+      col("sxx"), b.as("b"), a.as("a"))))
+    val u = fit.select(col("n"), col("sx"), col("sxx"), col("x"),
+      floor(col("y").cast("double") - col("a") -
+        col("b") * col("x").cast("double")).cast("long").as("ec"))
+      .select(col("n"), col("sx"), col("sxx"), col("x"),
+        (col("ec").cast("decimal(19,0)") * col("ec").cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("u"))
+    val aux = u.groupBy(col("n"), col("sx"), col("sxx"))
+      .agg(sum(col("u")).as("su"),
+        sum((dec(col("x")) * col("u")).cast("decimal(38,0)")).as("sxu"),
+        sum((col("u") * col("u")).cast("decimal(38,0)")).as("suu"))
+    val covN = dn * d("sxu") - d("sx") * d("su")
+    val vxN = dn * d("sxx") - d("sx") * d("sx")
+    val vuN = dn * d("suu") - d("su") * d("su")
+    val r2 = when(vxN =!= 0.0 && vuN =!= 0.0,
+      covN * covN / (vxN * vuN))
+    val lm = dn * r2
+    aux.select(col("n"), round(lm, 4).cast("float").as("lm"),
+      (lm > lit(chi2q95(1))).as("reject_95"))
+  }
+
+  /** Grubbs' outlier test (Grubbs 1950): G = max|x−x̄|/s with the
+    * offending value — the single-outlier screen before any
+    * moment-based readout; its arithmetic is the reason it ships:
+    * G = max|n·x − Σx| / √(n·(n·Σx² − (Σx)²)/(n−1)) — the deviation
+    * argmax is an EXACT integer struct-max and G is ONE IEEE division
+    * of exact values, no per-row float ever.
+    *
+    * @return one row (n, outlier, g_stat)
+    */
+  def grubbs(df: DataFrame, valueCol: String): DataFrame = {
+    val x = cents(col(valueCol))
+    val dfN = df.where(col(valueCol).isNotNull)
+    val tot = dfN.agg(count(lit(1)).as("n"),
+      sum(x.cast("decimal(38,0)")).as("sx"),
+      sum((x.cast("decimal(19,0)") * x.cast("decimal(19,0)"))
+        .cast("decimal(38,0)")).as("sxx"))
+    val dev = dfN.crossJoin(broadcast(tot))
+      .select(col("n"), col("sx"), col("sxx"),
+        abs(col("n").cast("decimal(19,0)") * x.cast("decimal(19,0)")
+          - col("sx")).cast("decimal(38,0)").as("dev"),
+        x.as("xv"))
+    val top = dev.groupBy(col("n"), col("sx"), col("sxx"))
+      .agg(max(struct(col("dev"), col("xv"))).as("m"))
+    val dn = col("n").cast("double")
+    val den = sqrt(dn * (dn * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")) /
+      (dn - lit(1.0)))
+    top.select(col("n"),
+      round(col("m.xv").cast("double") / lit(100.0), 2)
+        .cast("float").as("outlier"),
+      round(when(den =!= 0.0, col("m.dev").cast("double") / den), 4)
+        .cast("float").as("g_stat"))
+  }
 }

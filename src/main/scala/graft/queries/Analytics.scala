@@ -1203,6 +1203,65 @@ object Analytics extends QueryPack {
           .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev")),
         "odate", "rev", 10)),
 
+    // Levene's equal-variance gate in front of the q217/q201 family:
+    // one-way ANOVA on |x − x̄_g| with the exact n·z trick per group
+    // and centi-floored cross-group sums.
+    "q349_levene" -> ((s, d) =>
+      graft.ops.Stats.levene(t("events")(s, d), "value", "event_type")),
+
+    // Cochran–Armitage: does purchase share TREND across the week —
+    // the ordered-factor question q197's χ² ignores; exact integer
+    // T·N over the bounded weekday frame.
+    "q350_cochran_armitage" -> ((s, d) =>
+      graft.ops.Stats.cochranArmitage(t("events")(s, d)
+          .where(col("ts").isNotNull)
+          .withColumn("wd", dayofweek(col("ts")))
+          .withColumn("is_purchase", col("event_type") === "purchase"),
+        "wd", "is_purchase")),
+
+    // McNemar paired flip test: same users, purchase in the first vs
+    // second half of the window — integer-compare half split, exact
+    // discordant counts, continuity-corrected χ² vs the χ²(1) literal.
+    "q351_mcnemar" -> ((s, d) => {
+      val ev = t("events")(s, d).where(col("user_id").isNotNull &&
+        col("ts").isNotNull)
+      val b0 = ev.agg(min(to_date(col("ts"))).as("d0"),
+        max(to_date(col("ts"))).as("d1"))
+      val pairs = ev.crossJoin(broadcast(b0))
+        .groupBy(col("user_id"))
+        .agg(
+          (max(when(col("event_type") === "purchase" &&
+            datediff(to_date(col("ts")), col("d0")) * 2 <
+              datediff(col("d1"), col("d0")), 1).otherwise(0)) === 1)
+            .as("y1"),
+          (max(when(col("event_type") === "purchase" &&
+            datediff(to_date(col("ts")), col("d0")) * 2 >=
+              datediff(col("d1"), col("d0")), 1).otherwise(0)) === 1)
+            .as("y2"))
+      graft.ops.Stats.mcnemar(pairs)
+    }),
+
+    // Durbin–Watson on the daily-revenue TREND residuals — the serial-
+    // correlation diagnostic that decides whether q203-style standard
+    // errors mean anything; centi-floored residuals, exact sums.
+    "q352_durbin_watson" -> ((s, d) =>
+      graft.ops.Stats.durbinWatson(t("orders")(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("odate"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev")),
+        "odate", "rev")),
+
+    // Breusch–Pagan: do the q203-fit residual SQUARES trend with
+    // quantity — the heteroskedasticity half of the diagnostic pair;
+    // floored residuals make the aux moments exact.
+    "q353_breusch_pagan" -> ((s, d) =>
+      graft.ops.Stats.breuschPagan(t("lineitem")(s, d),
+        "l_quantity", "l_extendedprice")),
+
+    // Grubbs single-outlier screen on order totals: exact integer
+    // deviation argmax, G one IEEE division of exact values.
+    "q354_grubbs" -> ((s, d) =>
+      graft.ops.Stats.grubbs(t("orders")(s, d), "o_totalprice")),
+
     // CUSUM mean-shift changepoint on the same daily series: argmax
     // |Σ(xᵢ−x̄)| carried as the EXACT integer n·runₖ−k·t, scan via the
     // distributed two-level prefix sum.
@@ -1929,6 +1988,228 @@ object Analytics extends QueryPack {
         |SELECT period, CAST(round(frac, 4) AS REAL) AS power_frac,
         |       frac = max(frac) OVER () AS dominant
         |FROM sc""".stripMargin,
+
+    // Exact per-group n·z deviations, centi-floored cross-group sums,
+    // the same W sequence.
+    "q349_levene" ->
+      """WITH rows_ AS (
+        |  SELECT event_type AS g,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |g1 AS (SELECT g, count(*) AS ng,
+        |         sum(CAST(x AS HUGEINT)) AS sxg FROM rows_ GROUP BY 1),
+        |rz AS (SELECT r.g, g1.ng,
+        |         abs(CAST(g1.ng AS HUGEINT) * r.x - g1.sxg) AS z
+        |       FROM rows_ r JOIN g1 USING (g)),
+        |g2 AS (SELECT g, ng, sum(z) AS sz, sum(z * z) AS szz
+        |       FROM rz GROUP BY 1, 2),
+        |pg AS (SELECT g, ng,
+        |         CAST(floor((CAST(sz AS DOUBLE) / CAST(ng AS DOUBLE))
+        |           * 100.0) AS BIGINT) AS sz_c,
+        |         CAST(floor((CAST(szz AS DOUBLE)
+        |             / (CAST(ng AS DOUBLE) * CAST(ng AS DOUBLE))
+        |           - (CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))
+        |             / (CAST(ng AS DOUBLE) * CAST(ng AS DOUBLE)
+        |                * CAST(ng AS DOUBLE))) * 100.0) AS BIGINT) AS w_c
+        |       FROM g2),
+        |tot AS (SELECT count(*) AS k, sum(ng) AS n, sum(sz_c) AS szt,
+        |          sum(w_c) AS sswt FROM pg),
+        |sb AS (SELECT k, n, sswt, sum(CAST(floor(CAST(ng AS DOUBLE)
+        |         * ((CAST(sz_c AS DOUBLE) / 100.0) / CAST(ng AS DOUBLE)
+        |            - zbar)
+        |         * ((CAST(sz_c AS DOUBLE) / 100.0) / CAST(ng AS DOUBLE)
+        |            - zbar) * 100.0) AS BIGINT)) AS ssbt
+        |      FROM (SELECT pg.*, tot.k, tot.n, tot.sswt,
+        |              (CAST(tot.szt AS DOUBLE) / 100.0)
+        |                / CAST(tot.n AS DOUBLE) AS zbar
+        |            FROM pg, tot)
+        |      GROUP BY 1, 2, 3)
+        |SELECT k, CAST(n AS BIGINT) AS n,
+        |  CAST(round(CAST(ssbt AS DOUBLE) / 100.0 / 10000.0, 2) AS REAL)
+        |    AS ss_between,
+        |  CAST(round(CAST(sswt AS DOUBLE) / 100.0 / 10000.0, 2) AS REAL)
+        |    AS ss_within,
+        |  CAST(round(CASE WHEN CAST(sswt AS DOUBLE) / 100.0 <> 0 THEN
+        |    ((CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+        |      / (CAST(k AS DOUBLE) - 1.0))
+        |    * ((CAST(ssbt AS DOUBLE) / 100.0)
+        |      / (CAST(sswt AS DOUBLE) / 100.0)) END, 4) AS REAL)
+        |    AS w_stat
+        |FROM sb""".stripMargin,
+
+    // Exact integer T·N over the weekday frame; the test is invariant
+    // to the engines' different weekday origins (Spark Sun=1, DuckDB
+    // Sun=0) because T and Var are score-shift-invariant.
+    "q350_cochran_armitage" ->
+      """WITH per AS (
+        |  SELECT CAST(dayofweek(ts) AS BIGINT) AS s, count(*) AS ni,
+        |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |             END) AS ri
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT sum(ni) AS n, sum(ri) AS r,
+        |          sum(s * ni) AS sns, sum(s * s * ni) AS snss FROM per),
+        |tn AS (SELECT n, r, sns, snss,
+        |         sum(s * (n * ri - ni * r)) AS tn
+        |       FROM per, tot GROUP BY 1, 2, 3, 4),
+        |z AS (SELECT n, r, tn,
+        |        CASE WHEN den <> 0
+        |          THEN CAST(tn AS DOUBLE) / den END AS zz
+        |      FROM (SELECT *,
+        |              sqrt(CAST(r AS DOUBLE) * (CAST(n AS DOUBLE)
+        |                  - CAST(r AS DOUBLE))
+        |                * (CAST(n AS DOUBLE) * CAST(snss AS DOUBLE)
+        |                  - CAST(sns AS DOUBLE) * CAST(sns AS DOUBLE))
+        |                / CAST(n AS DOUBLE)) AS den
+        |            FROM tn))
+        |SELECT CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS r,
+        |       CAST(round(zz, 4) AS REAL) AS z_trend,
+        |       tn > 0 AS increasing, abs(zz) > 1.959964 AS reject_95
+        |FROM z""".stripMargin,
+
+    // Integer-compare half split per user, exact discordant counts,
+    // the same continuity-corrected sequence.
+    "q351_mcnemar" ->
+      """WITH b0 AS (SELECT min(CAST(ts AS DATE)) AS d0,
+        |              max(CAST(ts AS DATE)) AS d1 FROM events
+        |            WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |u AS (SELECT user_id,
+        |        max(CASE WHEN event_type = 'purchase'
+        |              AND datediff('day', d0, CAST(ts AS DATE)) * 2
+        |                < datediff('day', d0, d1)
+        |            THEN 1 ELSE 0 END) AS y1i,
+        |        max(CASE WHEN event_type = 'purchase'
+        |              AND datediff('day', d0, CAST(ts AS DATE)) * 2
+        |                >= datediff('day', d0, d1)
+        |            THEN 1 ELSE 0 END) AS y2i
+        |      FROM events, b0
+        |      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |      GROUP BY 1),
+        |m AS (SELECT count(*) AS n_pairs,
+        |        sum(CASE WHEN y1i = 1 AND y2i = 0 THEN 1 ELSE 0 END) AS b,
+        |        sum(CASE WHEN y1i = 0 AND y2i = 1 THEN 1 ELSE 0 END) AS c
+        |      FROM u)
+        |SELECT n_pairs, CAST(b AS BIGINT) AS b, CAST(c AS BIGINT) AS c,
+        |  CAST(round(CASE WHEN b + c <> 0 THEN
+        |    (CAST(abs(b - c) AS DOUBLE) - 1.0)
+        |      * (CAST(abs(b - c) AS DOUBLE) - 1.0)
+        |      / CAST(b + c AS DOUBLE) END, 4) AS REAL) AS chi2,
+        |  (CASE WHEN b + c <> 0 THEN
+        |    (CAST(abs(b - c) AS DOUBLE) - 1.0)
+        |      * (CAST(abs(b - c) AS DOUBLE) - 1.0)
+        |      / CAST(b + c AS DOUBLE) END) > 3.841459 AS reject_95
+        |FROM m""".stripMargin,
+
+    // Trend fit off exact moments, centi-floored residuals, exact
+    // lagged squared sums.
+    "q352_durbin_watson" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS odate,
+        |         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |           AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |idx AS (SELECT x AS y, CAST(row_number() OVER (ORDER BY odate)
+        |          AS BIGINT) AS i FROM daily),
+        |m AS (SELECT count(*) AS n,
+        |        sum(CAST(i AS HUGEINT)) AS si,
+        |        sum(CAST(i AS HUGEINT) * i) AS sii,
+        |        sum(CAST(y AS HUGEINT)) AS sy,
+        |        sum(CAST(i AS HUGEINT) * y) AS siy FROM idx),
+        |c AS (SELECT n,
+        |        (CAST(n AS DOUBLE) * CAST(siy AS DOUBLE)
+        |          - CAST(si AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(sii AS DOUBLE)
+        |          - CAST(si AS DOUBLE) * CAST(si AS DOUBLE)) AS b,
+        |        CAST(sy AS DOUBLE) AS syd, CAST(si AS DOUBLE) AS sid
+        |      FROM m),
+        |c2 AS (SELECT n, b, (syd - b * sid) / CAST(n AS DOUBLE) AS a
+        |       FROM c),
+        |r AS (SELECT c2.n, idx.i,
+        |        CAST(floor((CAST(y AS DOUBLE) - a
+        |          - b * CAST(i AS DOUBLE)) * 100.0) AS BIGINT) AS ec
+        |      FROM idx, c2),
+        |l AS (SELECT n, ec, ec - lag(ec) OVER (ORDER BY i) AS dd FROM r),
+        |s AS (SELECT n, sum(CAST(ec AS HUGEINT) * ec) AS see,
+        |        sum(CAST(dd AS HUGEINT) * dd) AS sdd FROM l GROUP BY 1)
+        |SELECT n,
+        |  CAST(round(CASE WHEN see <> 0
+        |    THEN CAST(sdd AS DOUBLE) / CAST(see AS DOUBLE) END, 4)
+        |    AS REAL) AS dw,
+        |  CAST(round(1.0 - (CASE WHEN see <> 0
+        |    THEN CAST(sdd AS DOUBLE) / CAST(see AS DOUBLE) END) / 2.0, 4)
+        |    AS REAL) AS rho1
+        |FROM s""".stripMargin,
+
+    // Main fit off exact moments, floored cent residuals, exact aux
+    // moments, the same LM sequence.
+    "q353_breusch_pagan" ->
+      """WITH pts AS (
+        |  SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS x,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |           AS BIGINT) AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |m AS (SELECT count(*) AS n,
+        |        sum(CAST(x AS HUGEINT)) AS sx,
+        |        sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |        sum(CAST(y AS HUGEINT)) AS sy,
+        |        sum(CAST(x AS HUGEINT) * y) AS sxy FROM pts),
+        |c AS (SELECT n, sx, sxx,
+        |        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+        |        CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
+        |      FROM m),
+        |c2 AS (SELECT n, sx, sxx, b,
+        |         (syd - b * sxd) / CAST(n AS DOUBLE) AS a FROM c),
+        |r AS (SELECT c2.n, c2.sx, c2.sxx, pts.x,
+        |        CAST(floor(CAST(y AS DOUBLE) - a
+        |          - b * CAST(x AS DOUBLE)) AS BIGINT) AS ec
+        |      FROM pts, c2),
+        |uu AS (SELECT n, sx, sxx, x, CAST(ec AS HUGEINT) * ec AS u
+        |       FROM r),
+        |x2 AS (SELECT n, sx, sxx, sum(u) AS su,
+        |         sum(CAST(x AS HUGEINT) * u) AS sxu,
+        |         sum(u * u) AS suu FROM uu GROUP BY 1, 2, 3),
+    |f AS (SELECT n,
+        |        CAST(n AS DOUBLE) * (CASE WHEN vxn <> 0 AND vun <> 0
+        |          THEN covn * covn / (vxn * vun) END) AS lm
+        |      FROM (SELECT n,
+        |              CAST(n AS DOUBLE) * CAST(sxu AS DOUBLE)
+        |                - CAST(sx AS DOUBLE) * CAST(su AS DOUBLE) AS covn,
+        |              CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vxn,
+        |              CAST(n AS DOUBLE) * CAST(suu AS DOUBLE)
+        |                - CAST(su AS DOUBLE) * CAST(su AS DOUBLE) AS vun
+        |            FROM x2))
+        |SELECT n, CAST(round(lm, 4) AS REAL) AS lm,
+        |       lm > 3.841459 AS reject_95
+        |FROM f""".stripMargin,
+
+    // Exact integer deviation struct-argmax, one IEEE division.
+    "q354_grubbs" ->
+      """WITH t AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |           AS BIGINT) AS x
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |m AS (SELECT count(*) AS n, sum(CAST(x AS HUGEINT)) AS sx,
+        |        sum(CAST(x AS HUGEINT) * x) AS sxx FROM t),
+        |d AS (SELECT n, sx, sxx,
+        |        abs(CAST(n AS HUGEINT) * x - sx) AS dev, x FROM t, m),
+        |top AS (SELECT n, sx, sxx,
+        |          max(struct_pack(dev := dev, xv := x)) AS mm
+        |        FROM d GROUP BY 1, 2, 3)
+        |SELECT n,
+        |  CAST(round(CAST(mm.xv AS DOUBLE) / 100.0, 2) AS REAL)
+        |    AS outlier,
+        |  CAST(round(CASE WHEN den <> 0
+        |    THEN CAST(mm.dev AS DOUBLE) / den END, 4) AS REAL) AS g_stat
+        |FROM (SELECT *, sqrt(CAST(n AS DOUBLE)
+        |        * (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) - 1.0)) AS den
+        |      FROM top)""".stripMargin,
 
     "q206_cube" ->
       """SELECT l_returnflag, l_linestatus,
