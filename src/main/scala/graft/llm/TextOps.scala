@@ -929,6 +929,153 @@ object TextOps {
           .cast("float"))
   }
 
+  /** ln 2 as a plan-time literal (shared discipline — no libm log(2)
+    * in a query path).
+    */
+  private val ln2 = 0.6931471805599453
+
+  /** Jensen–Shannon divergence between two corpus slices' unigram
+    * distributions (Lin 1991) — the symmetric, always-finite drift
+    * readout for "did today's crawl change vocabulary": KL blows up
+    * on unseen terms, JSD ∈ [0, ln 2] never does. JSD = ½KL(P‖M) +
+    * ½KL(Q‖M), M = (P+Q)/2.
+    *
+    * Determinism: both distributions come from ONE conditional-sum
+    * term groupBy (exact longs); each term's contribution is a fixed
+    * IEEE sequence on exact ratios, PICO-floored (1e12 — JSD terms
+    * are ≤ ln 2, so vocab·7e11 stays inside long) before the
+    * cross-term sum; one division pair at the edge. jsd_norm = JSD/ln2
+    * against the shared plan-time literal.
+    *
+    * Scale shape: one term-keyed exchange; the term frame is
+    * vocabulary-bounded and the readout one row.
+    *
+    * @param isB row predicate naming the second slice
+    * @return one row (n_terms, na, nb, jsd, jsd_norm)
+    */
+  def jsDivergence(docs: DataFrame, isB: Column): DataFrame = {
+    val toks = spread(docs.where(col("text").isNotNull))
+      .select(isB.as("b"), explode(tokens(col("text"))).as("term"))
+    val counts = toks.groupBy(col("term"))
+      .agg(sum(when(col("b"), 0L).otherwise(1L)).as("ca"),
+        sum(when(col("b"), 1L).otherwise(0L)).as("cb"))
+    val tot = counts.agg(count(lit(1)).as("n_terms"),
+      sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val p = col("ca").cast("double") / col("na").cast("double")
+    val q = col("cb").cast("double") / col("nb").cast("double")
+    val mm = (p + q) / lit(2.0)
+    val contrib =
+      when(col("ca") > 0L, p * log(p / mm)).otherwise(lit(0.0)) +
+        when(col("cb") > 0L, q * log(q / mm)).otherwise(lit(0.0))
+    counts.crossJoin(broadcast(tot))
+      .select(col("n_terms"), col("na"), col("nb"),
+        floor(contrib * lit(1e12)).cast("long").as("c12"))
+      .groupBy(col("n_terms"), col("na"), col("nb"))
+      .agg(sum(col("c12")).as("s12"))
+      .select(col("n_terms"), col("na"), col("nb"),
+        round(col("s12").cast("double") / lit(2e12), 6)
+          .cast("float").as("jsd"),
+        round(col("s12").cast("double") / lit(2e12) / lit(ln2), 4)
+          .cast("float").as("jsd_norm"))
+  }
+
+  /** Flesch reading ease per document (Flesch 1948) — the classic
+    * readability score joining the q62/q87 quality family: 206.835 −
+    * 1.015·(words/sentences) − 84.6·(syllables/words), with syllables
+    * approximated as vowel-group runs ([aeiouy]+, the standard
+    * resource-free heuristic) and sentences as [.!?]+ runs clamped to
+    * ≥ 1. Pure map kernel — exact integer counts per row (identical
+    * greedy-regex semantics in both engines), one fixed IEEE sequence
+    * per doc, no shuffle at all.
+    *
+    * @return (doc_id, n_words, n_syllables, n_sentences, flesch)
+    */
+  def flesch(docs: DataFrame): DataFrame = {
+    val base = docs.where(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_words"),
+        regexp_count(col("text"), lit("[aeiouy]+")).cast("long")
+          .as("n_syllables"),
+        greatest(regexp_count(col("text"), lit("[.!?]+")).cast("long"),
+          lit(1L)).as("n_sentences"))
+    base.select(col("doc_id"), col("n_words"), col("n_syllables"),
+      col("n_sentences"),
+      round(when(col("n_words") > 0L,
+        lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") /
+            col("n_sentences").cast("double")) -
+          lit(84.6) * (col("n_syllables").cast("double") /
+            col("n_words").cast("double"))), 2)
+        .cast("float").as("flesch"))
+  }
+
+  /** ROUGE-1/2 F-scores over candidate near-dup pairs (Lin 2004) —
+    * the n-gram-overlap VERIFICATION metric summarization eval and
+    * near-dup adjudication share: clipped-multiset overlap
+    * Σ min(cnt_a, cnt_b) per gram order, P = ov/|b|, R = ov/|a|,
+    * F = 2PR/(P+R).
+    *
+    * Determinism: gram counts and overlaps exact longs; P/R/F one
+    * fixed IEEE sequence per pair on exact ratios, F = 0 when the
+    * overlap is empty (both engines, never NULL).
+    *
+    * Scale shape: the quadratic is CONFINED to `pairs` (the caller's
+    * banded/prefix-filtered candidate set); grams join pair-bounded
+    * on (doc, gram) equi-keys.
+    *
+    * @param pairs candidate frame with (da, db)
+    * @return (da, db, ov1, rouge1_f, ov2, rouge2_f)
+    */
+  def rougePairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val toks = spread(docs.where(col("text").isNotNull))
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+    def gramCounts(n: Int): DataFrame = {
+      val g =
+        if (n == 1) toks.select(col("doc_id"), explode(col("w")).as("g"))
+        else toks.where(size(col("w")) >= n)
+          .select(col("doc_id"),
+            explode(sequence(lit(1), size(col("w")) - (n - 1))).as("i"),
+            col("w"))
+          .select(col("doc_id"),
+            concat_ws(" ", slice(col("w"), col("i"), lit(n))).as("g"))
+      g.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+    }
+    def side(n: Int, tag: String): (DataFrame, DataFrame) = {
+      val gc = gramCounts(n)
+      val ov = pairs
+        .join(gc.select(col("doc_id").as("da"), col("g"),
+          col("cnt").as("cnta")), Seq("da"))
+        .join(gc.select(col("doc_id").as("db"), col("g"),
+          col("cnt").as("cntb")), Seq("db", "g"))
+        .groupBy(col("da"), col("db"))
+        .agg(sum(least(col("cnta"), col("cntb"))).as(s"ov$tag"))
+      val tots = gc.groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as(s"tot$tag"))
+      (ov, tots)
+    }
+    val (o1, t1) = side(1, "1"); val (o2, t2) = side(2, "2")
+    def f(ov: Column, ta: Column, tb: Column): Column = {
+      val pr = ov.cast("double") / tb.cast("double")
+      val rr = ov.cast("double") / ta.cast("double")
+      when(pr + rr > 0.0, lit(2.0) * pr * rr / (pr + rr))
+        .otherwise(lit(0.0))
+    }
+    pairs
+      .join(o1, Seq("da", "db"), "left")
+      .join(o2, Seq("da", "db"), "left")
+      .join(t1.select(col("doc_id").as("da"), col("tot1").as("ta1")), "da")
+      .join(t1.select(col("doc_id").as("db"), col("tot1").as("tb1")), "db")
+      .join(t2.select(col("doc_id").as("da"), col("tot2").as("ta2")), "da")
+      .join(t2.select(col("doc_id").as("db"), col("tot2").as("tb2")), "db")
+      .select(col("da"), col("db"),
+        coalesce(col("ov1"), lit(0L)).as("ov1"),
+        round(f(coalesce(col("ov1"), lit(0L)), col("ta1"), col("tb1")), 4)
+          .cast("float").as("rouge1_f"),
+        coalesce(col("ov2"), lit(0L)).as("ov2"),
+        round(f(coalesce(col("ov2"), lit(0L)), col("ta2"), col("tb2")), 4)
+          .cast("float").as("rouge2_f"))
+  }
+
   /** The interpreted higher-order `aggregate` fold [[rollingFingerprint]]
     * replaced — kept as the executable spec the native kernel is pinned
     * against bit-for-bit (GraftFunctionsProps). HOF lambdas run

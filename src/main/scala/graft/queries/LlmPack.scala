@@ -833,6 +833,26 @@ object LlmPack extends QueryPack {
     // per-cut rescan); scaled-integer log-log OLS.
     "q331_heaps_law" -> ((s, d) =>
       TextOps.heapsLaw(t("documents")(s, d))),
+    // Jensen–Shannon vocabulary drift between the even/odd doc_id
+    // slices (the day-1/day-2 stand-in): symmetric, always finite —
+    // pico-floored per-term contributions, one vocab-bounded groupBy.
+    "q355_js_divergence" -> ((s, d) =>
+      TextOps.jsDivergence(t("documents")(s, d),
+        col("doc_id") % 2 === 1)),
+    // Flesch reading ease per doc: vowel-group syllable heuristic,
+    // clamped sentence count, pure map kernel beside q62's quality
+    // score.
+    "q356_flesch" -> ((s, d) =>
+      TextOps.flesch(t("documents")(s, d))),
+    // ROUGE-1/2 F over the q64 candidate pairs: clipped-multiset
+    // n-gram overlap — the verification metric on top of the dedup
+    // candidate machinery; quadratic confined to the prefix-filtered
+    // pair set.
+    "q357_rouge" -> ((s, d) => {
+      val docs = t("documents")(s, d)
+      TextOps.rougePairs(docs,
+        Dedup.jaccardPairsPrefix(docs).select(col("da"), col("db")))
+    }),
     // Zipf rank-frequency slope over the top-100 terms: TakeOrdered
     // cut (never a global sort), ranks over exactly 100 rows, the
     // same scaled-integer log-log OLS.
@@ -2165,6 +2185,112 @@ object LlmPack extends QueryPack {
          |        ORDER BY score DESC, lang) AS rn FROM sc)
          |WHERE rn = 1""".stripMargin,
     "q64_jaccard_pairs" -> jaccardOracle(0.3),
+    // One conditional-sum term groupBy, pico-floored contributions,
+    // the shared ln2 literal at the edge.
+    "q355_js_divergence" ->
+      s"""WITH $tokCte,
+         |tt AS (SELECT (doc_id % 2 = 1) AS b, unnest(w) AS term
+         |       FROM tok),
+         |counts AS (SELECT term,
+         |    sum(CASE WHEN b THEN 0 ELSE 1 END) AS ca,
+         |    sum(CASE WHEN b THEN 1 ELSE 0 END) AS cb
+         |  FROM tt GROUP BY 1),
+         |tot AS (SELECT count(*) AS n_terms, sum(ca) AS na,
+         |          sum(cb) AS nb FROM counts),
+         |c12 AS (SELECT n_terms, na, nb,
+         |          CAST(floor(((CASE WHEN ca > 0
+         |              THEN p * ln(p / mm) ELSE 0.0 END)
+         |            + (CASE WHEN cb > 0
+         |              THEN q * ln(q / mm) ELSE 0.0 END))
+         |            * 1000000000000.0) AS BIGINT) AS c12
+         |        FROM (SELECT *, (p + q) / 2.0 AS mm FROM (
+         |          SELECT counts.ca, counts.cb, tot.n_terms, tot.na,
+         |            tot.nb,
+         |            CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) AS p,
+         |            CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) AS q
+         |          FROM counts, tot))),
+         |s AS (SELECT n_terms, na, nb, sum(c12) AS s12
+         |      FROM c12 GROUP BY 1, 2, 3)
+         |SELECT n_terms, CAST(na AS BIGINT) AS na,
+         |  CAST(nb AS BIGINT) AS nb,
+         |  CAST(round(CAST(s12 AS DOUBLE) / 2000000000000.0, 6) AS REAL)
+         |    AS jsd,
+         |  CAST(round(CAST(s12 AS DOUBLE) / 2000000000000.0
+         |    / 0.6931471805599453, 4) AS REAL) AS jsd_norm
+         |FROM s""".stripMargin,
+    // Identical greedy-regex vowel/sentence runs, the same fixed
+    // score sequence.
+    "q356_flesch" ->
+      s"""WITH $tokCte,
+         |b AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+         |        CAST(length(regexp_extract_all(text, '[aeiouy]+'))
+         |          AS BIGINT) AS n_syllables,
+         |        greatest(CAST(length(regexp_extract_all(text, '[.!?]+'))
+         |          AS BIGINT), CAST(1 AS BIGINT)) AS n_sentences
+         |      FROM tok)
+         |SELECT doc_id, n_words, n_syllables, n_sentences,
+         |  CAST(round(CASE WHEN n_words > 0 THEN 206.835
+         |    - 1.015 * (CAST(n_words AS DOUBLE)
+         |      / CAST(n_sentences AS DOUBLE))
+         |    - 84.6 * (CAST(n_syllables AS DOUBLE)
+         |      / CAST(n_words AS DOUBLE)) END, 2) AS REAL) AS flesch
+         |FROM b""".stripMargin,
+    // The q64 pair derivation + clipped-multiset gram overlaps + the
+    // same F sequence with the empty-overlap 0 contract.
+    "q357_rouge" ->
+      s"""WITH $shingleCtes,
+         |cp AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+         |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |pairs AS (SELECT da, db FROM (
+         |    SELECT da, db, round(CAST(common AS DOUBLE)
+         |        / (x.n_sh + y.n_sh - common), 4) AS j
+         |    FROM cp JOIN sizes x ON da = x.doc_id
+         |            JOIN sizes y ON db = y.doc_id)
+         |  WHERE j >= 0.3),
+         |g1 AS (SELECT doc_id, g, count(*) AS cnt FROM
+         |        (SELECT doc_id, unnest(w) AS g FROM tok) GROUP BY 1, 2),
+         |g2 AS (SELECT doc_id, g, count(*) AS cnt FROM
+         |        (SELECT doc_id, w[i] || ' ' || w[i+1] AS g FROM idx
+         |         WHERE i + 1 <= len(w)) GROUP BY 1, 2),
+         |t1 AS (SELECT doc_id, sum(cnt) AS tot FROM g1 GROUP BY 1),
+         |t2 AS (SELECT doc_id, sum(cnt) AS tot FROM g2 GROUP BY 1),
+         |o1 AS (SELECT p.da, p.db, sum(least(a.cnt, b.cnt)) AS ov
+         |       FROM pairs p
+         |       JOIN g1 a ON a.doc_id = p.da
+         |       JOIN g1 b ON b.doc_id = p.db AND b.g = a.g
+         |       GROUP BY 1, 2),
+         |o2 AS (SELECT p.da, p.db, sum(least(a.cnt, b.cnt)) AS ov
+         |       FROM pairs p
+         |       JOIN g2 a ON a.doc_id = p.da
+         |       JOIN g2 b ON b.doc_id = p.db AND b.g = a.g
+         |       GROUP BY 1, 2),
+         |jj AS (SELECT p.da, p.db,
+         |         COALESCE(o1.ov, 0) AS ov1, COALESCE(o2.ov, 0) AS ov2,
+         |         ta1.tot AS ta1, tb1.tot AS tb1,
+         |         ta2.tot AS ta2, tb2.tot AS tb2
+         |       FROM pairs p
+         |       LEFT JOIN o1 ON o1.da = p.da AND o1.db = p.db
+         |       LEFT JOIN o2 ON o2.da = p.da AND o2.db = p.db
+         |       JOIN t1 ta1 ON ta1.doc_id = p.da
+         |       JOIN t1 tb1 ON tb1.doc_id = p.db
+         |       JOIN t2 ta2 ON ta2.doc_id = p.da
+         |       JOIN t2 tb2 ON tb2.doc_id = p.db),
+         |rr AS (SELECT *,
+         |         CAST(ov1 AS DOUBLE) / CAST(tb1 AS DOUBLE) AS pr1,
+         |         CAST(ov1 AS DOUBLE) / CAST(ta1 AS DOUBLE) AS rr1,
+         |         CAST(ov2 AS DOUBLE) / CAST(tb2 AS DOUBLE) AS pr2,
+         |         CAST(ov2 AS DOUBLE) / CAST(ta2 AS DOUBLE) AS rr2
+         |       FROM jj)
+         |SELECT da, db, CAST(ov1 AS BIGINT) AS ov1,
+         |  CAST(round(CASE WHEN pr1 + rr1 > 0
+         |    THEN 2.0 * pr1 * rr1 / (pr1 + rr1)
+         |    ELSE 0.0 END, 4) AS REAL) AS rouge1_f,
+         |  CAST(ov2 AS BIGINT) AS ov2,
+         |  CAST(round(CASE WHEN pr2 + rr2 > 0
+         |    THEN 2.0 * pr2 * rr2 / (pr2 + rr2)
+         |    ELSE 0.0 END, 4) AS REAL) AS rouge2_f
+         |FROM rr""".stripMargin,
     // The exact pair contract restricted to pairs involving a "new"
     // doc (doc_id % 3 = 0) — an independent all-pairs derivation, so
     // a delta join that silently dropped old-side candidates (or kept
