@@ -1328,6 +1328,29 @@ object Analytics extends QueryPack {
         parts.where(col("id") % 500 === 0), rounds = 4)
     }),
 
+    // k-pivot Brandes betweenness over the co-purchase graph (every-
+    // 500th part as pivot, radius 3): exact long σ path counts by
+    // (src, id)-keyed frontier joins; the backward dependency levels
+    // in micro-unit INTEGER floor-div arithmetic — order-independent
+    // sums, the quantization mirrored exactly by the oracle's
+    // unrolled levels.
+    "q358_betweenness" -> ((s, d) => {
+      val parts = t("part")(s, d).select(col("p_partkey").as("id"))
+      graft.graph.Centrality.betweennessSeeded(parts,
+        coPurchaseEdges(s, d), parts.where(col("id") % 500 === 0),
+        rounds = 3)
+    }),
+
+    // Seeded harmonic closeness (defined on disconnected graphs,
+    // unlike classic closeness): Σ 10⁶ div dist exact integers over
+    // the same per-source distance table.
+    "q359_closeness" -> ((s, d) => {
+      val parts = t("part")(s, d).select(col("p_partkey").as("id"))
+      graft.graph.Centrality.harmonicCloseness(parts,
+        coPurchaseEdges(s, d), parts.where(col("id") % 500 === 0),
+        rounds = 3)
+    }),
+
     // Top-20 session paths: gap-rule sessions → ordered event-type
     // path strings → map-side-combined counts → TakeOrdered top-k
     // with a total (n desc, path) order.
@@ -2346,6 +2369,103 @@ object Analytics extends QueryPack {
         |    / 1e6 AS REAL) AS frac,
         |  ed.eff_diameter
         |FROM cum, tot, ed""".stripMargin,
+
+    // Per-source walk + min-dist, σ levels as round-unrolled sums,
+    // backward δ levels in the same micro-unit integer floor-div.
+    "q358_betweenness" ->
+      """WITH RECURSIVE e AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey <> b.l_partkey),
+        |seeds AS (SELECT p_partkey AS id FROM part
+        |          WHERE p_partkey % 500 = 0),
+        |walk(src, id, hop) AS (
+        |  SELECT id, id, 0 FROM seeds
+        |  UNION
+        |  SELECT w.src, e.v, w.hop + 1 FROM walk w JOIN e ON e.u = w.id
+        |  WHERE w.hop < 3),
+        |d AS MATERIALIZED (SELECT src, id, min(hop) AS dist FROM walk
+        |     GROUP BY 1, 2),
+        |sg0 AS MATERIALIZED (SELECT src, id, CAST(1 AS BIGINT) AS sigma FROM d
+        |        WHERE dist = 0),
+        |sg1 AS MATERIALIZED (SELECT p.src, dd.id, sum(p.sigma) AS sigma
+        |        FROM sg0 p JOIN e ON e.u = p.id
+        |        JOIN d dd ON dd.src = p.src AND dd.id = e.v
+        |          AND dd.dist = 1
+        |        GROUP BY 1, 2),
+        |sg2 AS MATERIALIZED (SELECT p.src, dd.id, sum(p.sigma) AS sigma
+        |        FROM sg1 p JOIN e ON e.u = p.id
+        |        JOIN d dd ON dd.src = p.src AND dd.id = e.v
+        |          AND dd.dist = 2
+        |        GROUP BY 1, 2),
+        |sg3 AS MATERIALIZED (SELECT p.src, dd.id, sum(p.sigma) AS sigma
+        |        FROM sg2 p JOIN e ON e.u = p.id
+        |        JOIN d dd ON dd.src = p.src AND dd.id = e.v
+        |          AND dd.dist = 3
+        |        GROUP BY 1, 2),
+        |dl3 AS MATERIALIZED (SELECT src, id, CAST(0 AS BIGINT) AS du FROM d
+        |        WHERE dist = 3),
+        |dl2 AS MATERIALIZED (SELECT l.src, l.id, CAST(COALESCE(s.du2, 0) AS BIGINT)
+        |            AS du
+        |        FROM (SELECT src, id FROM d WHERE dist = 2) l
+        |        LEFT JOIN (
+        |          SELECT v.src, v.id,
+        |            sum(v.sigma * (1000000 + COALESCE(w3.du, 0))
+        |                // sw.sigma) AS du2
+        |          FROM sg2 v
+        |          JOIN e ON e.u = v.id
+        |          JOIN d dw ON dw.src = v.src AND dw.id = e.v
+        |            AND dw.dist = 3
+        |          JOIN sg3 sw ON sw.src = v.src AND sw.id = e.v
+        |          LEFT JOIN dl3 w3 ON w3.src = v.src AND w3.id = e.v
+        |          GROUP BY 1, 2) s ON s.src = l.src AND s.id = l.id),
+        |dl1 AS MATERIALIZED (SELECT l.src, l.id, CAST(COALESCE(s.du2, 0) AS BIGINT)
+        |            AS du
+        |        FROM (SELECT src, id FROM d WHERE dist = 1) l
+        |        LEFT JOIN (
+        |          SELECT v.src, v.id,
+        |            sum(v.sigma * (1000000 + COALESCE(w2.du, 0))
+        |                // sw.sigma) AS du2
+        |          FROM sg1 v
+        |          JOIN e ON e.u = v.id
+        |          JOIN d dw ON dw.src = v.src AND dw.id = e.v
+        |            AND dw.dist = 2
+        |          JOIN sg2 sw ON sw.src = v.src AND sw.id = e.v
+        |          LEFT JOIN dl2 w2 ON w2.src = v.src AND w2.id = e.v
+        |          GROUP BY 1, 2) s ON s.src = l.src AND s.id = l.id),
+        |bc AS (SELECT id, sum(du) AS bcu FROM (
+        |         SELECT src, id, du FROM dl1
+        |         UNION ALL SELECT src, id, du FROM dl2
+        |         UNION ALL SELECT src, id, du FROM dl3) GROUP BY 1)
+        |SELECT p.p_partkey AS id,
+        |  CAST(round(COALESCE(bc.bcu, 0) / 1000000.0, 4) AS REAL) AS bc
+        |FROM part p LEFT JOIN bc ON bc.id = p.p_partkey""".stripMargin,
+
+    // The same per-source distance table, 10⁶ div dist exact terms.
+    "q359_closeness" ->
+      """WITH RECURSIVE e AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey <> b.l_partkey),
+        |seeds AS (SELECT p_partkey AS id FROM part
+        |          WHERE p_partkey % 500 = 0),
+        |walk(src, id, hop) AS (
+        |  SELECT id, id, 0 FROM seeds
+        |  UNION
+        |  SELECT w.src, e.v, w.hop + 1 FROM walk w JOIN e ON e.u = w.id
+        |  WHERE w.hop < 3),
+        |d AS MATERIALIZED (SELECT src, id, min(hop) AS dist FROM walk
+        |     GROUP BY 1, 2),
+        |h AS (SELECT id, count(*) AS n_reached,
+        |        sum(1000000 // dist) AS hu
+        |      FROM d WHERE dist > 0 GROUP BY 1)
+        |SELECT p.p_partkey AS id,
+        |  CAST(COALESCE(h.n_reached, 0) AS BIGINT) AS n_reached,
+        |  CAST(round(COALESCE(h.hu, 0) / 1000000.0, 4) AS REAL)
+        |    AS harmonic
+        |FROM part p LEFT JOIN h ON h.id = p.p_partkey""".stripMargin,
 
     "q210_top_paths" ->
       s"""WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
