@@ -2632,4 +2632,209 @@ object Stats {
       round(when(den =!= 0.0, col("m.dev").cast("double") / den), 4)
         .cast("float").as("g_stat"))
   }
+
+  /** Wilcoxon signed-rank test (Wilcoxon 1945), normal approximation
+    * with tie correction — the PAIRED nonparametric companion of
+    * [[mannWhitneyU]]: same units measured twice, ranks of |Δ|, W⁺ =
+    * rank-sum of the positive side. Zero differences are dropped
+    * (Wilcoxon's rule).
+    *
+    * Determinism: Δ exact cents, midranks in 2× integer units via the
+    * [[graft.ops.Scan.globalRunningSum]] distributed scan (never a
+    * per-row rank sort), W⁺·2 and the tie sum exact DECIMAL, z one
+    * fixed IEEE sequence; reject on unrounded |z| vs the plan-time
+    * literal.
+    *
+    * @param pairs one row per unit with (x1, x2) value columns
+    * @return one row (n, w_plus, z, reject_95)
+    */
+  def wilcoxonSignedRank(pairs: DataFrame, x1: String = "x1",
+      x2: String = "x2"): DataFrame = {
+    val nz = pairs.where(col(x1).isNotNull && col(x2).isNotNull)
+      .select((cents(col(x2)) - cents(col(x1))).as("d"))
+      .where(col("d") =!= 0L)
+      .select(abs(col("d")).as("a"), (col("d") > 0L).as("pos"))
+    val counts = nz.groupBy(col("a"))
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("cp"),
+        count(lit(1)).as("ct"))
+      .localCheckpoint(true) // feeds the scan AND the totals row
+    val n = counts.agg(sum(col("ct")).as("n"))
+    val scanned = Scan.globalRunningSum(counts, Seq("a"),
+      col("ct"), "rt")
+    val ar2 = ((col("rt") - col("ct")) * 2 + col("ct") + 1)
+      .cast("decimal(19,0)")
+    val tc = col("ct").cast("decimal(12,0)")
+    val moments = scanned.agg(
+      sum((col("cp").cast("decimal(19,0)") * ar2).cast("decimal(38,0)"))
+        .as("w2"),
+      sum((tc * tc * tc - tc).cast("decimal(38,0)")).as("ties"))
+    val dn = col("n").cast("double")
+    val wPlus = col("w2").cast("double") / lit(2.0)
+    val mu = dn * (dn + 1.0) / lit(4.0)
+    val varW = dn * (dn + 1.0) * (lit(2.0) * dn + 1.0) / lit(24.0) -
+      col("ties").cast("double") / lit(48.0)
+    val z = when(varW > 0.0, (wPlus - mu) / sqrt(varW))
+    moments.crossJoin(broadcast(n)).select(col("n"),
+      round(wPlus, 1).cast("float").as("w_plus"),
+      round(z, 4).cast("float").as("z"),
+      (abs(z) > lit(1.959964)).as("reject_95"))
+  }
+
+  /** Shared two-group exact moments: per group g ∈ {g1, g2},
+    * (n, Σx, Σx²) in cents as one conditional aggregate.
+    */
+  private def twoGroupMoments(df: DataFrame, valueCol: String,
+      groupCol: String, g1: String, g2: String): DataFrame = {
+    val x = cents(col(valueCol))
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    df.where(col(groupCol).isin(g1, g2) && col(valueCol).isNotNull)
+      .agg(
+        sum(when(col(groupCol) === g1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col(groupCol) === g1, x.cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("s1"),
+        sum(when(col(groupCol) === g1, (dec(x) * dec(x))
+          .cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("ss1"),
+        sum(when(col(groupCol) === g2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col(groupCol) === g2, x.cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("s2"),
+        sum(when(col(groupCol) === g2, (dec(x) * dec(x))
+          .cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("ss2"))
+  }
+
+  /** TOST equivalence test (Schuirmann 1987): two one-sided tests
+    * against a ± margin — the NON-INFERIORITY readout a plain t-test
+    * cannot give ("failing to reject ≠ equivalent"): equivalent at
+    * 5% iff BOTH t_lower = (Δ+m)/se and t_upper = (m−Δ)/se exceed
+    * z₀.₉₅. All moments exact DECIMAL; one fixed IEEE sequence; flag
+    * on the unrounded min vs the plan-time 1.644854 literal.
+    *
+    * @param margin equivalence half-width in VALUE units
+    * @return one row (n1, n2, diff, t_lower, t_upper, equivalent_95)
+    */
+  def tost(df: DataFrame, valueCol: String, groupCol: String,
+      g1: String, g2: String, margin: Double): DataFrame = {
+    val m = twoGroupMoments(df, valueCol, groupCol, g1, g2)
+    def d(c: String) = col(c).cast("double")
+    val dn1 = d("n1"); val dn2 = d("n2")
+    val m1 = d("s1") / dn1; val m2 = d("s2") / dn2
+    val v1 = (dn1 * d("ss1") - d("s1") * d("s1")) /
+      (dn1 * (dn1 - 1.0))
+    val v2 = (dn2 * d("ss2") - d("s2") * d("s2")) /
+      (dn2 * (dn2 - 1.0))
+    val se = sqrt(v1 / dn1 + v2 / dn2)
+    val diff = m2 - m1
+    val mc = lit(margin * 100.0)
+    val tL = when(se =!= 0.0, (diff + mc) / se)
+    val tU = when(se =!= 0.0, (mc - diff) / se)
+    m.select(col("n1"), col("n2"),
+      round(diff / lit(100.0), 4).cast("float").as("diff"),
+      round(tL, 4).cast("float").as("t_lower"),
+      round(tU, 4).cast("float").as("t_upper"),
+      (least(tL, tU) > lit(1.644854)).as("equivalent_95"))
+  }
+
+  /** Cohen's d + Hedges' g standardized effect sizes (Cohen 1969;
+    * Hedges 1981) — the PARAMETRIC magnitude companion of q318's
+    * ordinal Cliff's δ: pooled-SD standardized mean difference, with
+    * Hedges' small-sample bias correction (1 − 3/(4N−9)). Moments
+    * exact DECIMAL, one fixed IEEE sequence, scale-invariant (cents
+    * cancel).
+    *
+    * @return one row (n1, n2, cohens_d, hedges_g)
+    */
+  def cohensD(df: DataFrame, valueCol: String, groupCol: String,
+      g1: String, g2: String): DataFrame = {
+    val m = twoGroupMoments(df, valueCol, groupCol, g1, g2)
+    def d(c: String) = col(c).cast("double")
+    val dn1 = d("n1"); val dn2 = d("n2")
+    val v1 = (dn1 * d("ss1") - d("s1") * d("s1")) /
+      (dn1 * (dn1 - 1.0))
+    val v2 = (dn2 * d("ss2") - d("s2") * d("s2")) /
+      (dn2 * (dn2 - 1.0))
+    val sp = sqrt(((dn1 - 1.0) * v1 + (dn2 - 1.0) * v2) /
+      (dn1 + dn2 - 2.0))
+    val cd = when(sp =!= 0.0, (d("s2") / dn2 - d("s1") / dn1) / sp)
+    val g = cd * (lit(1.0) - lit(3.0) /
+      (lit(4.0) * (dn1 + dn2) - lit(9.0)))
+    m.select(col("n1"), col("n2"),
+      round(cd, 4).cast("float").as("cohens_d"),
+      round(g, 4).cast("float").as("hedges_g"))
+  }
+
+  /** Fixed-effect inverse-variance meta-analysis + heterogeneity
+    * (Cochran 1954's Q; Higgins & Thompson 2002's I²) — pool a
+    * per-segment treatment effect into one estimate and ask whether
+    * the segments even agree: θ̂ = Σwθ/Σw with w = 1/v_g, Q =
+    * Σw(θ_g−θ̂)² ~ χ²(k−1), I² = max(0, (Q−(k−1))/Q).
+    *
+    * Determinism: per-segment arm moments exact DECIMAL off ONE
+    * conditional groupBy; θ_g/v_g/w one fixed IEEE sequence per
+    * segment in VALUE units, w and wθ MICRO-floored before the
+    * cross-segment sums (CMH discipline); θ̂/se one division pair;
+    * the Q pass re-walks the bounded segment frame with micro-floored
+    * terms. Segments need n ≥ 2 per arm and v > 0 (same rule both
+    * engines).
+    *
+    * @return one row (k, theta, se, q_stat, i2)
+    */
+  def metaFixed(df: DataFrame, segmentCol: String, valueCol: String,
+      groupCol: String, g1: String, g2: String): DataFrame = {
+    val x = cents(col(valueCol))
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val per = df.where(col(groupCol).isin(g1, g2) &&
+        col(valueCol).isNotNull && col(segmentCol).isNotNull)
+      .groupBy(col(segmentCol).as("seg"))
+      .agg(
+        sum(when(col(groupCol) === g1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col(groupCol) === g1, x.cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("s1"),
+        sum(when(col(groupCol) === g1, (dec(x) * dec(x))
+          .cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("ss1"),
+        sum(when(col(groupCol) === g2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col(groupCol) === g2, x.cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("s2"),
+        sum(when(col(groupCol) === g2, (dec(x) * dec(x))
+          .cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("ss2"))
+    def d(c: String) = col(c).cast("double")
+    val dn1 = d("n1"); val dn2 = d("n2")
+    // effect and variance in VALUE units (cents/100)
+    val th = (d("s2") / dn2 - d("s1") / dn1) / lit(100.0)
+    val v1 = (dn1 * d("ss1") - d("s1") * d("s1")) /
+      (dn1 * (dn1 - 1.0)) / lit(1e4)
+    val v2 = (dn2 * d("ss2") - d("s2") * d("s2")) /
+      (dn2 * (dn2 - 1.0)) / lit(1e4)
+    val vg = v1 / dn1 + v2 / dn2
+    val eligible = per
+      .where(col("n1") >= 2L && col("n2") >= 2L)
+      .select(col("seg"), th.as("th"), vg.as("vg"))
+      .where(col("vg") > 0.0)
+      .select(col("seg"), col("th"),
+        floor(lit(1e6) / col("vg")).cast("long").as("w_u"),
+        floor(lit(1e6) * col("th") / col("vg")).cast("long").as("wt_u"))
+      .localCheckpoint(true) // feeds the pool row AND the Q pass
+    val pool = eligible.agg(count(lit(1)).as("k"),
+      sum(col("w_u")).as("sw"), sum(col("wt_u")).as("swt"))
+    val theta = col("swt").cast("double") / col("sw").cast("double")
+    val qRows = eligible.crossJoin(broadcast(
+        pool.select(col("k"), col("sw"), col("swt"), theta.as("theta"))))
+      .select(col("k"), col("sw"), col("theta"),
+        floor(col("w_u").cast("double") *
+          (col("th") - col("theta")) * (col("th") - col("theta")))
+          .cast("long").as("q_u"))
+      .groupBy(col("k"), col("sw"), col("theta"))
+      .agg(sum(col("q_u")).as("sq"))
+    val q = col("sq").cast("double") / lit(1e6)
+    val dk = col("k").cast("double")
+    qRows.select(col("k"),
+      round(col("theta"), 4).cast("float").as("theta"),
+      round(lit(1.0) / sqrt(col("sw").cast("double") / lit(1e6)), 6)
+        .cast("float").as("se"),
+      round(q, 4).cast("float").as("q_stat"),
+      round(when(q > 0.0, greatest(lit(0.0), (q - (dk - 1.0)) / q)), 4)
+        .cast("float").as("i2"))
+  }
 }

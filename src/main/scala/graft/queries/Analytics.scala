@@ -1262,6 +1262,49 @@ object Analytics extends QueryPack {
     "q354_grubbs" -> ((s, d) =>
       graft.ops.Stats.grubbs(t("orders")(s, d), "o_totalprice")),
 
+    // TOST equivalence: is purchase value equivalent to view value
+    // within ±$5 — the non-inferiority question a failed t-test
+    // cannot answer; both one-sided t's vs the z₀.₉₅ literal.
+    "q360_tost" -> ((s, d) =>
+      graft.ops.Stats.tost(t("events")(s, d), "value", "event_type",
+        "view", "purchase", margin = 5.0)),
+
+    // Cohen's d + Hedges' g: the parametric effect-size companion of
+    // q318's Cliff's δ on the same arm split.
+    "q361_cohens_d" -> ((s, d) =>
+      graft.ops.Stats.cohensD(t("events")(s, d), "value", "event_type",
+        "view", "purchase")),
+
+    // Fixed-effect inverse-variance meta-analysis across weekday
+    // segments + Cochran's Q / I² heterogeneity: do the segments even
+    // agree on the purchase−view effect; micro-floored weights.
+    "q362_meta_fixed" -> ((s, d) =>
+      graft.ops.Stats.metaFixed(t("events")(s, d)
+          .where(col("ts").isNotNull)
+          .withColumn("wd", dayofweek(col("ts"))),
+        "wd", "value", "event_type", "view", "purchase")),
+
+    // Wilcoxon signed-rank on per-user value change between window
+    // halves — the paired nonparametric sibling of q202; midranks via
+    // the distributed scan, tie-corrected normal approximation.
+    "q363_wilcoxon_signed" -> ((s, d) => {
+      val ev = t("events")(s, d).where(col("user_id").isNotNull &&
+        col("ts").isNotNull && col("value").isNotNull)
+      val b0 = ev.agg(min(to_date(col("ts"))).as("d0"),
+        max(to_date(col("ts"))).as("d1"))
+      val z = lit(0).cast("decimal(18,2)")
+      val early = datediff(to_date(col("ts")), col("d0")) * 2 <
+        datediff(col("d1"), col("d0"))
+      val pairs = ev.crossJoin(broadcast(b0))
+        .groupBy(col("user_id"))
+        .agg(
+          coalesce(sum(when(early, col("value").cast("decimal(18,2)"))),
+            z).as("x1"),
+          coalesce(sum(when(!early, col("value").cast("decimal(18,2)"))),
+            z).as("x2"))
+      graft.ops.Stats.wilcoxonSignedRank(pairs)
+    }),
+
     // CUSUM mean-shift changepoint on the same daily series: argmax
     // |Σ(xᵢ−x̄)| carried as the EXACT integer n·runₖ−k·t, scan via the
     // distributed two-level prefix sum.
@@ -2233,6 +2276,193 @@ object Analytics extends QueryPack {
         |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |        / (CAST(n AS DOUBLE) - 1.0)) AS den
         |      FROM top)""".stripMargin,
+
+    // The q201 moment CTEs + both one-sided t's vs the z literal.
+    "q360_tost" ->
+      """WITH f AS (
+        |  SELECT event_type AS g,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM events
+        |  WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL),
+        |m AS (SELECT
+        |    sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS n1,
+        |    CAST(sum(CAST(x AS HUGEINT)) FILTER (g = 'view')
+        |      AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) FILTER (g = 'view')
+        |      AS DOUBLE) AS ss1,
+        |    sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS n2,
+        |    CAST(sum(CAST(x AS HUGEINT)) FILTER (g = 'purchase')
+        |      AS DOUBLE) AS s2,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) FILTER (g = 'purchase')
+        |      AS DOUBLE) AS ss2
+        |  FROM f),
+        |c AS (SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |        s2 / CAST(n2 AS DOUBLE) - s1 / CAST(n1 AS DOUBLE)
+        |          AS diff,
+        |        sqrt((CAST(n1 AS DOUBLE) * ss1 - s1 * s1)
+        |            / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0))
+        |            / CAST(n1 AS DOUBLE)
+        |          + (CAST(n2 AS DOUBLE) * ss2 - s2 * s2)
+        |            / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0))
+        |            / CAST(n2 AS DOUBLE)) AS se
+        |      FROM m),
+        |e AS (SELECT *,
+        |        CASE WHEN se <> 0 THEN (diff + 500.0) / se END AS tl,
+        |        CASE WHEN se <> 0 THEN (500.0 - diff) / se END AS tu
+        |      FROM c)
+        |SELECT n1, n2,
+        |  CAST(round(diff / 100.0, 4) AS REAL) AS diff,
+        |  CAST(round(tl, 4) AS REAL) AS t_lower,
+        |  CAST(round(tu, 4) AS REAL) AS t_upper,
+        |  least(tl, tu) > 1.644854 AS equivalent_95
+        |FROM e""".stripMargin,
+
+    // Pooled-SD standardized difference + the Hedges correction.
+    "q361_cohens_d" ->
+      """WITH f AS (
+        |  SELECT event_type AS g,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM events
+        |  WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL),
+        |m AS (SELECT
+        |    sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS n1,
+        |    CAST(sum(CAST(x AS HUGEINT)) FILTER (g = 'view')
+        |      AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) FILTER (g = 'view')
+        |      AS DOUBLE) AS ss1,
+        |    sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS n2,
+        |    CAST(sum(CAST(x AS HUGEINT)) FILTER (g = 'purchase')
+        |      AS DOUBLE) AS s2,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) FILTER (g = 'purchase')
+        |      AS DOUBLE) AS ss2
+        |  FROM f),
+        |c AS (SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |        CAST(n1 AS DOUBLE) AS dn1, CAST(n2 AS DOUBLE) AS dn2,
+        |        s1, s2, ss1, ss2 FROM m),
+        |e AS (SELECT *,
+        |        sqrt(((dn1 - 1.0) * ((dn1 * ss1 - s1 * s1)
+        |            / (dn1 * (dn1 - 1.0)))
+        |          + (dn2 - 1.0) * ((dn2 * ss2 - s2 * s2)
+        |            / (dn2 * (dn2 - 1.0))))
+        |          / (dn1 + dn2 - 2.0)) AS sp
+        |      FROM c),
+        |g AS (SELECT *, CASE WHEN sp <> 0
+        |        THEN (s2 / dn2 - s1 / dn1) / sp END AS cd FROM e)
+        |SELECT n1, n2,
+        |  CAST(round(cd, 4) AS REAL) AS cohens_d,
+        |  CAST(round(cd * (1.0 - 3.0 / (4.0 * (dn1 + dn2) - 9.0)), 4)
+        |    AS REAL) AS hedges_g
+        |FROM g""".stripMargin,
+
+    // Per-weekday arm moments, micro-floored weights, the pooled θ̂
+    // and the Q re-walk of the bounded segment frame.
+    "q362_meta_fixed" ->
+      """WITH f AS (
+        |  SELECT CAST(dayofweek(ts) AS BIGINT) AS seg, event_type AS g,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM events
+        |  WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |per AS (SELECT seg,
+        |    sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS n1,
+        |    CAST(sum(CAST(x AS HUGEINT)) FILTER (g = 'view')
+        |      AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) FILTER (g = 'view')
+        |      AS DOUBLE) AS ss1,
+        |    sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS n2,
+        |    CAST(sum(CAST(x AS HUGEINT)) FILTER (g = 'purchase')
+        |      AS DOUBLE) AS s2,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) FILTER (g = 'purchase')
+        |      AS DOUBLE) AS ss2
+        |  FROM f GROUP BY 1),
+        |el AS (SELECT seg, th,
+        |         CAST(floor(1000000.0 / vg) AS BIGINT) AS w_u,
+        |         CAST(floor(1000000.0 * th / vg) AS BIGINT) AS wt_u
+        |       FROM (
+        |         SELECT seg,
+        |           (s2 / CAST(n2 AS DOUBLE) - s1 / CAST(n1 AS DOUBLE))
+        |             / 100.0 AS th,
+        |           ((CAST(n1 AS DOUBLE) * ss1 - s1 * s1)
+        |             / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0))
+        |             / 10000.0) / CAST(n1 AS DOUBLE)
+        |           + ((CAST(n2 AS DOUBLE) * ss2 - s2 * s2)
+        |             / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0))
+        |             / 10000.0) / CAST(n2 AS DOUBLE) AS vg
+        |         FROM per WHERE n1 >= 2 AND n2 >= 2)
+        |       WHERE vg > 0),
+        |pool AS (SELECT count(*) AS k, sum(w_u) AS sw,
+        |           sum(wt_u) AS swt FROM el),
+        |th0 AS (SELECT k, sw,
+        |          CAST(swt AS DOUBLE) / CAST(sw AS DOUBLE) AS theta
+        |        FROM pool),
+        |qq AS (SELECT t.k, t.sw, t.theta,
+        |         sum(CAST(floor(CAST(e.w_u AS DOUBLE)
+        |           * (e.th - t.theta) * (e.th - t.theta)) AS BIGINT))
+        |           AS sq
+        |       FROM el e, th0 t GROUP BY 1, 2, 3)
+        |SELECT k,
+        |  CAST(round(theta, 4) AS REAL) AS theta,
+        |  CAST(round(1.0 / sqrt(CAST(sw AS DOUBLE) / 1000000.0), 6)
+        |    AS REAL) AS se,
+        |  CAST(round(CAST(sq AS DOUBLE) / 1000000.0, 4) AS REAL)
+        |    AS q_stat,
+        |  CAST(round(CASE WHEN CAST(sq AS DOUBLE) / 1000000.0 > 0
+        |    THEN greatest(0.0, (CAST(sq AS DOUBLE) / 1000000.0
+        |      - (CAST(k AS DOUBLE) - 1.0))
+        |      / (CAST(sq AS DOUBLE) / 1000000.0)) END, 4) AS REAL)
+        |    AS i2
+        |FROM qq""".stripMargin,
+
+    // The q351 half split on value sums, midranks via the running
+    // scan, the tie-corrected z.
+    "q363_wilcoxon_signed" ->
+      """WITH b0 AS (SELECT min(CAST(ts AS DATE)) AS d0,
+        |              max(CAST(ts AS DATE)) AS d1 FROM events
+        |            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |              AND value IS NOT NULL),
+        |u AS (SELECT user_id,
+        |        CAST(CAST(COALESCE(sum(CASE WHEN
+        |            datediff('day', d0, CAST(ts AS DATE)) * 2
+        |              < datediff('day', d0, d1)
+        |            THEN CAST(value AS DECIMAL(18,2)) END), 0)
+        |          AS DECIMAL(18,2)) * 100 AS BIGINT) AS x1,
+        |        CAST(CAST(COALESCE(sum(CASE WHEN NOT (
+        |            datediff('day', d0, CAST(ts AS DATE)) * 2
+        |              < datediff('day', d0, d1))
+        |            THEN CAST(value AS DECIMAL(18,2)) END), 0)
+        |          AS DECIMAL(18,2)) * 100 AS BIGINT) AS x2
+        |      FROM events, b0
+        |      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |        AND value IS NOT NULL
+        |      GROUP BY 1),
+        |dd AS (SELECT abs(x2 - x1) AS a, x2 - x1 > 0 AS pos
+        |       FROM u WHERE x2 - x1 <> 0),
+        |c AS (SELECT a, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+        |        count(*) AS ct FROM dd GROUP BY 1),
+        |s AS (SELECT *, sum(ct) OVER (ORDER BY a
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rt
+        |      FROM c),
+        |m AS (SELECT
+        |        sum(CAST(cp AS HUGEINT)
+        |          * (2 * (rt - ct) + ct + 1)) AS w2,
+        |        sum(CAST(ct AS HUGEINT) * ct * ct - ct) AS ties
+        |      FROM s),
+        |n AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM c),
+        |z AS (SELECT n, CAST(w2 AS DOUBLE) / 2.0 AS wp,
+        |        CASE WHEN CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+        |            * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+        |            - CAST(ties AS DOUBLE) / 48.0 > 0
+        |        THEN (CAST(w2 AS DOUBLE) / 2.0
+        |            - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+        |              / 4.0)
+        |          / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+        |            * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+        |            - CAST(ties AS DOUBLE) / 48.0) END AS zz
+        |      FROM m, n)
+        |SELECT n, CAST(round(wp, 1) AS REAL) AS w_plus,
+        |       CAST(round(zz, 4) AS REAL) AS z,
+        |       abs(zz) > 1.959964 AS reject_95
+        |FROM z""".stripMargin,
 
     "q206_cube" ->
       """SELECT l_returnflag, l_linestatus,
