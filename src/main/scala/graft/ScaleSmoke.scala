@@ -125,6 +125,11 @@ object ScaleSmoke {
       rounds = 4))
     run("span_cut_first_q328")(
       graft.llm.Dedup.cutSpansAllButFirst(docs))
+    run("betweenness_q358")(graft.graph.Centrality.betweennessSeeded(
+      part, edges, part.where(col("id") % 500 === 0), rounds = 3))
+    run("rouge_q357")(graft.llm.TextOps.rougePairs(docs,
+      graft.llm.Dedup.jaccardPairsPrefix(docs)
+        .select(col("da"), col("db"))))
     spark.stop()
   }
 }
