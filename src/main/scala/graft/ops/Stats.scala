@@ -2633,6 +2633,86 @@ object Stats {
         .cast("float").as("g_stat"))
   }
 
+  /** ln 9 as a plan-time literal (the entropy normalizer for the
+    * 9-period candidate grid; no libm log(9) in a query path).
+    */
+  private val ln9 = 2.1972245773362196
+
+  /** Spectral entropy over the [[periodogram]] candidate grid
+    * (Goerg 2013's forecastability ω, discretized): H = −Σ p̂ ln p̂ /
+    * ln k of the re-normalized power fractions — near 0 means one
+    * period dominates (forecastable), near 1 means white-noise-flat.
+    * The one-number triage in front of the seasonal-decomposition
+    * machinery.
+    *
+    * Determinism: consumes the periodogram's ROUND-4 fractions (the
+    * ACF→PACF layering precedent), pivoted wide so normalization and
+    * the entropy sum are ONE fixed IEEE sequence on a one-row frame —
+    * no float sum over grouped rows; zero fractions contribute 0.
+    *
+    * @return one row (n_periods, entropy)
+    */
+  def spectralEntropy(series: DataFrame, keyCol: String,
+      valueCol: String, maxPeriod: Int = 10): DataFrame = {
+    val pg = periodogram(series, keyCol, valueCol, maxPeriod)
+      .select(col("period"), col("power_frac").cast("double").as("f"))
+    val wide = pg.agg(
+      max(when(col("period") === 2, col("f"))).as("f2"),
+      (3 to maxPeriod).map(p =>
+        max(when(col("period") === p, col("f"))).as(s"f$p")): _*)
+    val tot = (2 to maxPeriod).map(p => col(s"f$p")).reduce(_ + _)
+    val ent = (2 to maxPeriod).map { p =>
+      val q = col(s"f$p") / tot
+      when(col(s"f$p") > 0.0, -(q * log(q))).otherwise(lit(0.0))
+    }.reduce(_ + _) / lit(ln9)
+    wide.select(lit(maxPeriod - 1).as("n_periods"),
+      round(when(tot > 0.0, ent), 4).cast("float").as("entropy"))
+  }
+
+  /** Shewhart X̄ control chart over daily subgroups (Shewhart 1931)
+    * — the SCHEDULED-subgroup companion of q302's EWMA chart: per
+    * day, is the subgroup mean outside x̄ ± 3·s/√n_d? Catches large
+    * shifts immediately where the EWMA accumulates small ones.
+    *
+    * Determinism: per-day and global moments exact DECIMAL off one
+    * map-side groupBy; limits and the flag one fixed IEEE sequence
+    * per day, flag on UNROUNDED values via the squared form
+    * n_d·(x̄_d−x̄)² > 9s² (no sqrt in the decision).
+    *
+    * @return one row per day (okey, n, xbar, lcl, ucl, out_of_control)
+    */
+  def xbarChart(df: DataFrame, keyCol: String,
+      valueCol: String): DataFrame = {
+    val x = cents(col(valueCol))
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val per = df.where(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(keyCol).as("okey"))
+      .agg(count(lit(1)).as("n"),
+        sum(x.cast("decimal(38,0)")).as("s"),
+        sum((dec(x) * dec(x)).cast("decimal(38,0)")).as("ss"))
+    val tot = per.agg(sum(col("n")).as("nt"), sum(col("s")).as("st"),
+      sum(col("ss")).as("sst"))
+    val dn = col("nt").cast("double")
+    val mu = col("st").cast("double") / dn
+    val s2 = (dn * col("sst").cast("double") -
+      col("st").cast("double") * col("st").cast("double")) / (dn * dn)
+    val j = per.crossJoin(broadcast(tot.select(mu.as("mu"),
+      s2.as("s2"))))
+    val dnd = col("n").cast("double")
+    val xb = col("s").cast("double") / dnd
+    val halfW = lit(3.0) * sqrt(col("s2") / dnd)
+    // the subgroup mean lands on exact half-cents, where double
+    // round(_, 2) diverges between engines — round it as the exact
+    // integer (2s+n) div 2n instead (half-up on positives)
+    val xbC = expr("(2 * cast(s as bigint) + n) div (2 * n)")
+    j.select(col("okey"), col("n"),
+      (xbC.cast("double") / lit(100.0)).cast("float").as("xbar"),
+      round((col("mu") - halfW) / lit(100.0), 2).cast("float").as("lcl"),
+      round((col("mu") + halfW) / lit(100.0), 2).cast("float").as("ucl"),
+      (dnd * (xb - col("mu")) * (xb - col("mu")) >
+        lit(9.0) * col("s2")).as("out_of_control"))
+  }
+
   /** Wilcoxon signed-rank test (Wilcoxon 1945), normal approximation
     * with tie correction — the PAIRED nonparametric companion of
     * [[mannWhitneyU]]: same units measured twice, ranks of |Δ|, W⁺ =

@@ -1305,6 +1305,34 @@ object Analytics extends QueryPack {
       graft.ops.Stats.wilcoxonSignedRank(pairs)
     }),
 
+    // Spectral entropy over the q348 grid: one-number forecastability
+    // triage — flat spectrum ⇒ don't bother modeling seasonality.
+    "q364_spectral_entropy" -> ((s, d) =>
+      graft.ops.Stats.spectralEntropy(t("orders")(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("odate"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev")),
+        "odate", "rev", 10)),
+
+    // Shewhart X̄ chart on daily order-value subgroups: the scheduled
+    // SPC companion of q302's EWMA — big shifts flag immediately;
+    // squared-form decision, no sqrt in the flag.
+    "q365_xbar_chart" -> ((s, d) =>
+      graft.ops.Stats.xbarChart(t("orders")(s, d)
+          .withColumn("odate", to_date(col("o_orderdate"))),
+        "odate", "o_totalprice")),
+
+    // RFM quintile segmentation per customer: three exact-integer
+    // quintile scans (never an ntile sort), tied values share bins
+    // by construction.
+    "q366_rfm" -> ((s, d) =>
+      graft.ops.Segmentation.rfmQuintiles(t("orders")(s, d))),
+
+    // Funnel time-to-convert quantiles (first view → first purchase
+    // at-or-after): exact order statistics off the distributed scan.
+    "q367_time_to_convert" -> ((s, d) =>
+      graft.ops.Segmentation.timeToConvert(t("events")(s, d),
+        "view", "purchase")),
+
     // CUSUM mean-shift changepoint on the same daily series: argmax
     // |Σ(xᵢ−x̄)| carried as the EXACT integer n·runₖ−k·t, scan via the
     // distributed two-level prefix sum.
@@ -2463,6 +2491,189 @@ object Analytics extends QueryPack {
         |       CAST(round(zz, 4) AS REAL) AS z,
         |       abs(zz) > 1.959964 AS reject_95
         |FROM z""".stripMargin,
+
+    // The q348 CTEs + the round-4 fractions pivoted wide, the same
+    // normalize/entropy unroll against the ln9 literal.
+    "q364_spectral_entropy" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS odate,
+        |         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |           AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |idx AS (SELECT x AS y,
+        |          row_number() OVER (ORDER BY odate) - 1 AS i FROM daily),
+        |tot AS (SELECT count(*) AS n, sum(CAST(y AS HUGEINT)) AS sy,
+        |          sum(CAST(y AS HUGEINT) * y) AS syy FROM idx),
+        |tt AS (SELECT pp.p,
+        |         CAST(i % pp.p AS DOUBLE)
+        |           * (6.283185307179586 / CAST(pp.p AS DOUBLE)) AS a,
+        |         y
+        |       FROM idx, (SELECT CAST(unnest(generate_series(2, 10))
+        |                    AS INTEGER) AS p) pp),
+        |ft AS (SELECT p,
+        |         CAST(floor(CAST(y AS DOUBLE) * cos(a)) AS BIGINT) AS yc,
+        |         CAST(floor(CAST(y AS DOUBLE) * sin(a)) AS BIGINT) AS ys,
+        |         CAST(floor(1000000.0 * cos(a)) AS BIGINT) AS c6,
+        |         CAST(floor(1000000.0 * sin(a)) AS BIGINT) AS s6
+        |       FROM tt),
+        |ag AS (SELECT p, sum(yc) AS syc, sum(ys) AS sys,
+        |         sum(c6) AS sc6, sum(s6) AS ss6 FROM ft GROUP BY 1),
+        |sc AS (SELECT p AS period,
+        |         CAST(CAST(round(CASE WHEN ss <> 0
+        |           THEN (cc*cc + sv*sv) / (dn*ss) END, 4) AS REAL)
+        |           AS DOUBLE) AS f
+        |       FROM (
+        |         SELECT p, CAST(n AS DOUBLE) AS dn,
+        |           CAST(syc AS DOUBLE)
+        |             - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |               * (CAST(sc6 AS DOUBLE) / 1000000.0) AS cc,
+        |           CAST(sys AS DOUBLE)
+        |             - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |               * (CAST(ss6 AS DOUBLE) / 1000000.0) AS sv,
+        |           (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+        |             / CAST(n AS DOUBLE) AS ss
+        |         FROM ag, tot)),
+        |w AS (SELECT
+        |        max(CASE WHEN period = 2 THEN f END) AS f2,
+        |        max(CASE WHEN period = 3 THEN f END) AS f3,
+        |        max(CASE WHEN period = 4 THEN f END) AS f4,
+        |        max(CASE WHEN period = 5 THEN f END) AS f5,
+        |        max(CASE WHEN period = 6 THEN f END) AS f6,
+        |        max(CASE WHEN period = 7 THEN f END) AS f7,
+        |        max(CASE WHEN period = 8 THEN f END) AS f8,
+        |        max(CASE WHEN period = 9 THEN f END) AS f9,
+        |        max(CASE WHEN period = 10 THEN f END) AS f10
+        |      FROM sc),
+        |e AS (SELECT f2 + f3 + f4 + f5 + f6 + f7 + f8 + f9 + f10
+        |        AS tt2, * FROM w)
+        |SELECT 9 AS n_periods,
+        |  CAST(round(CASE WHEN tt2 > 0 THEN
+        |    ((CASE WHEN f2 > 0 THEN -((f2/tt2) * ln(f2/tt2))
+        |       ELSE CAST(0 AS DOUBLE) END)
+        |   + (CASE WHEN f3 > 0 THEN -((f3/tt2) * ln(f3/tt2))
+        |       ELSE CAST(0 AS DOUBLE) END)
+        |   + (CASE WHEN f4 > 0 THEN -((f4/tt2) * ln(f4/tt2))
+        |       ELSE CAST(0 AS DOUBLE) END)
+        |   + (CASE WHEN f5 > 0 THEN -((f5/tt2) * ln(f5/tt2))
+        |       ELSE CAST(0 AS DOUBLE) END)
+        |   + (CASE WHEN f6 > 0 THEN -((f6/tt2) * ln(f6/tt2))
+        |       ELSE CAST(0 AS DOUBLE) END)
+        |   + (CASE WHEN f7 > 0 THEN -((f7/tt2) * ln(f7/tt2))
+        |       ELSE CAST(0 AS DOUBLE) END)
+        |   + (CASE WHEN f8 > 0 THEN -((f8/tt2) * ln(f8/tt2))
+        |       ELSE CAST(0 AS DOUBLE) END)
+        |   + (CASE WHEN f9 > 0 THEN -((f9/tt2) * ln(f9/tt2))
+        |       ELSE CAST(0 AS DOUBLE) END)
+        |   + (CASE WHEN f10 > 0 THEN -((f10/tt2) * ln(f10/tt2))
+        |       ELSE CAST(0 AS DOUBLE) END))
+        |   / 2.1972245773362196 END, 4) AS REAL) AS entropy
+        |FROM e""".stripMargin,
+
+    // Per-day exact moments + global limits, squared-form flag.
+    "q365_xbar_chart" ->
+      """WITH f AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS okey,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |           AS BIGINT) AS x
+        |  FROM orders
+        |  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+        |per AS (SELECT okey, count(*) AS n,
+        |          sum(CAST(x AS HUGEINT)) AS s,
+        |          sum(CAST(x AS HUGEINT) * x) AS ss FROM f GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS dn,
+        |          CAST(sum(s) AS DOUBLE) AS std,
+        |          CAST(sum(ss) AS DOUBLE) AS sstd FROM per),
+        |g AS (SELECT std / dn AS mu,
+        |        (dn * sstd - std * std) / (dn * dn) AS s2 FROM tot)
+        |SELECT okey, n,
+        |  CAST(CAST((2 * CAST(s AS BIGINT) + n) // (2 * n) AS DOUBLE)
+        |    / 100.0 AS REAL) AS xbar,
+        |  CAST(round((mu - 3.0 * sqrt(s2 / CAST(n AS DOUBLE))) / 100.0,
+        |    2) AS REAL) AS lcl,
+        |  CAST(round((mu + 3.0 * sqrt(s2 / CAST(n AS DOUBLE))) / 100.0,
+        |    2) AS REAL) AS ucl,
+        |  CAST(n AS DOUBLE)
+        |    * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) - mu)
+        |    * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) - mu)
+        |    > 9.0 * s2 AS out_of_control
+        |FROM per, g""".stripMargin,
+
+    // Three exact-integer quintile scans joined back on the metric
+    // values; tied values share bins by construction.
+    "q366_rfm" ->
+      """WITH per AS (
+        |  SELECT o_custkey AS cust, max(CAST(o_orderdate AS DATE))
+        |           AS last_d,
+        |         count(*) AS frequency,
+        |         sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |           AS BIGINT)) AS mon_c
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_totalprice IS NOT NULL
+        |  GROUP BY 1),
+        |mx AS (SELECT max(last_d) AS d1 FROM per),
+        |base AS (SELECT cust,
+        |           CAST(datediff('day', last_d, d1) AS INTEGER)
+        |             AS recency_days,
+        |           frequency, mon_c FROM per, mx),
+        |rb AS (SELECT v, CAST(((rt - ct) * 5) // n + 1 AS INTEGER)
+        |           AS r_bin
+        |       FROM (SELECT v, ct, sum(ct) OVER (ORDER BY v
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |               AS rt, sum(ct) OVER () AS n
+        |             FROM (SELECT recency_days AS v, count(*) AS ct
+        |                   FROM base GROUP BY 1))),
+        |fb AS (SELECT v, CAST(((rt - ct) * 5) // n + 1 AS INTEGER)
+        |           AS f_bin
+        |       FROM (SELECT v, ct, sum(ct) OVER (ORDER BY v
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |               AS rt, sum(ct) OVER () AS n
+        |             FROM (SELECT frequency AS v, count(*) AS ct
+        |                   FROM base GROUP BY 1))),
+        |mb AS (SELECT v, CAST(((rt - ct) * 5) // n + 1 AS INTEGER)
+        |           AS m_bin
+        |       FROM (SELECT v, ct, sum(ct) OVER (ORDER BY v
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |               AS rt, sum(ct) OVER () AS n
+        |             FROM (SELECT mon_c AS v, count(*) AS ct
+        |                   FROM base GROUP BY 1)))
+        |SELECT b.cust, b.recency_days, b.frequency,
+        |  CAST(round(CAST(b.mon_c AS DOUBLE) / 100.0, 2) AS REAL)
+        |    AS monetary,
+        |  rb.r_bin, fb.f_bin, mb.m_bin,
+        |  'r' || rb.r_bin || 'f' || fb.f_bin || 'm' || mb.m_bin AS rfm
+        |FROM base b
+        |JOIN rb ON rb.v = b.recency_days
+        |JOIN fb ON fb.v = b.frequency
+        |JOIN mb ON mb.v = b.mon_c""".stripMargin,
+
+    // First-view anchor, first at-or-after purchase, exact order
+    // statistics off the running scan.
+    "q367_time_to_convert" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS t
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |firsts AS (SELECT user_id,
+        |             min(CASE WHEN event_type = 'view' THEN t END) AS t0
+        |           FROM ev GROUP BY 1),
+        |f2 AS (SELECT * FROM firsts WHERE t0 IS NOT NULL),
+        |conv AS (SELECT e.user_id, f2.t0, min(e.t) AS t1
+        |         FROM ev e JOIN f2 ON e.user_id = f2.user_id
+        |         WHERE e.event_type = 'purchase' AND e.t >= f2.t0
+        |         GROUP BY 1, 2),
+        |d AS (SELECT t1 - t0 AS delta FROM conv),
+        |c AS (SELECT delta, count(*) AS ct FROM d GROUP BY 1),
+        |s AS (SELECT delta, ct, sum(ct) OVER (ORDER BY delta
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rt,
+        |        sum(ct) OVER () AS n FROM c)
+        |SELECT CAST(max(n) AS BIGINT) AS n_converted,
+        |  min(CASE WHEN rt * 4 >= n * 1 THEN delta END) AS p25_s,
+        |  min(CASE WHEN rt * 2 >= n * 1 THEN delta END) AS p50_s,
+        |  min(CASE WHEN rt * 4 >= n * 3 THEN delta END) AS p75_s,
+        |  min(CASE WHEN rt * 10 >= n * 9 THEN delta END) AS p90_s
+        |FROM s""".stripMargin,
 
     "q206_cube" ->
       """SELECT l_returnflag, l_linestatus,
