@@ -105,11 +105,65 @@ object Centrality {
       .select(col("src"), col("id"))
       .join(delta, Seq("src", "id"))
       .groupBy(col("id")).agg(sum(col("delta_u")).as("bc_u"))
+    // micro totals land on exact half-points where double round(_,4)
+    // diverges between engines — round as integers instead (half-up)
     nodes.select(col("id"))
       .join(bc, Seq("id"), "left")
       .select(col("id"),
-        round(coalesce(col("bc_u"), lit(0L)).cast("double") /
-          lit(1e6), 4).cast("float").as("bc"))
+        (expr("(coalesce(bc_u, 0) + 50) div 100").cast("double") /
+          lit(1e4)).cast("float").as("bc"))
+  }
+
+  /** Seeded EDGE betweenness (Girvan & Newman 2002's community-
+    * splitting signal; Brandes 2001's edge form): the dependency each
+    * shortest-path-DAG edge (v, w) carries is exactly the backward
+    * term σ_v·(10⁶+δᵤ(w)) div σ_w — the same exact micro-unit integer
+    * the node accumulation sums — here emitted per UNDIRECTED edge
+    * key (least, greatest) and summed across levels and sources.
+    * Unlike node betweenness, edges OUT OF the sources count (they
+    * carry every path that starts there).
+    *
+    * @return (u, v, eb) for every edge on some seeded shortest path
+    */
+  def edgeBetweennessSeeded(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    val e = edges.select(col("a"), col("b"))
+    val ds = distSigma(edges, seeds, rounds).localCheckpoint(true)
+    var delta = ds.where(col("dist") === rounds)
+      .select(col("src"), col("id"), lit(0L).as("delta_u"))
+      .localCheckpoint(true)
+    var acc: Option[DataFrame] = None
+    for (r <- (rounds - 1) to 0 by -1) {
+      val lvl = ds.where(col("dist") === r)
+      val succ = ds.where(col("dist") === r + 1)
+        .select(col("src"), col("id").as("w"), col("sigma").as("sw"))
+        .join(delta.select(col("src"), col("id").as("w"),
+          col("delta_u")), Seq("src", "w"), "left")
+        .select(col("src"), col("w"),
+          col("sw"), coalesce(col("delta_u"), lit(0L)).as("dw"))
+      val terms = lvl.select(col("src"), col("id"), col("sigma"))
+        .join(e.select(col("a").as("id"), col("b").as("w")), Seq("id"))
+        .join(succ, Seq("src", "w"))
+        .select(col("src"), col("id"), col("w"),
+          expr("sigma * (1000000 + dw) div sw").as("t"))
+        .transform(GraftSqlShims.localCheckpointFreshStats)
+      val contrib = terms.groupBy(col("src"), col("id"))
+        .agg(sum(col("t")).as("delta_u"))
+      val lvlDelta = lvl.select(col("src"), col("id"))
+        .join(contrib, Seq("src", "id"), "left")
+        .select(col("src"), col("id"),
+          coalesce(col("delta_u"), lit(0L)).as("delta_u"))
+        .transform(GraftSqlShims.localCheckpointFreshStats)
+      delta = GraftSqlShims.localCheckpointFreshStats(
+        delta.unionByName(lvlDelta))
+      val et = terms.select(least(col("id"), col("w")).as("u"),
+        greatest(col("id"), col("w")).as("v"), col("t"))
+      acc = Some(acc.map(_.unionByName(et)).getOrElse(et))
+    }
+    acc.get.groupBy(col("u"), col("v")).agg(sum(col("t")).as("eb_u"))
+      .select(col("u"), col("v"),
+        (expr("(eb_u + 50) div 100").cast("double") /
+          lit(1e4)).cast("float").as("eb"))
   }
 
   /** Seeded harmonic closeness (Marchiori & Latora 2000; Boldi &
@@ -131,7 +185,7 @@ object Centrality {
       .join(h, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_reached"), lit(0L)).as("n_reached"),
-        round(coalesce(col("h_u"), lit(0L)).cast("double") / lit(1e6), 4)
-          .cast("float").as("harmonic"))
+        (expr("(coalesce(h_u, 0) + 50) div 100").cast("double") /
+          lit(1e4)).cast("float").as("harmonic"))
   }
 }

@@ -2633,6 +2633,62 @@ object Stats {
         .cast("float").as("g_stat"))
   }
 
+  /** Granger-causality F test, lag-1 form (Granger 1969): does
+    * yesterday's x improve today's y prediction BEYOND what
+    * yesterday's y already gives — the restricted (y_t ~ y_{t−1}) vs
+    * unrestricted (y_t ~ y_{t−1} + x_{t−1}) SSE comparison,
+    * F = (SSE_r − SSE_u)/(SSE_u/(n−3)) ~ F(1, n−3). Predictive
+    * precedence, not causation — but the standard first question for
+    * any pair of business series.
+    *
+    * Determinism: both series in exact cents, the lag pairs one
+    * metadata-series window, all ten regression moments exact
+    * DECIMAL(38,0); the two-regressor normal equations solved in
+    * CLOSED FORM (Cramer) on the n-scaled centered sums — one fixed
+    * IEEE sequence on a one-row frame; the n-scaling cancels in F.
+    * Reject flag vs the asymptotic F(1,∞) = z² literal 3.841459.
+    *
+    * @return one row (n, f_stat, x_helps_95)
+    */
+  def grangerLite(series: DataFrame, keyCol: String, yCol: String,
+      xCol: String): DataFrame = {
+    val w = Window.orderBy(col("k"))
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val p = series.select(col(keyCol).as("k"), cents(col(yCol)).as("yv"),
+        cents(col(xCol)).as("xv"))
+      .select(col("yv").as("y"),
+        lag(col("yv"), 1).over(w).as("u"),
+        lag(col("xv"), 1).over(w).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull)
+    val m = p.agg(count(lit(1)).as("n"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
+      sum(col("u").cast("decimal(38,0)")).as("su"),
+      sum(col("v").cast("decimal(38,0)")).as("sv"),
+      sum((dec(col("y")) * dec(col("y"))).cast("decimal(38,0)")).as("syy"),
+      sum((dec(col("y")) * dec(col("u"))).cast("decimal(38,0)")).as("syu"),
+      sum((dec(col("y")) * dec(col("v"))).cast("decimal(38,0)")).as("syv"),
+      sum((dec(col("u")) * dec(col("u"))).cast("decimal(38,0)")).as("suu"),
+      sum((dec(col("u")) * dec(col("v"))).cast("decimal(38,0)")).as("suv"),
+      sum((dec(col("v")) * dec(col("v"))).cast("decimal(38,0)")).as("svv"))
+    val dn = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val cyy = dn * d("syy") - d("sy") * d("sy")
+    val cyu = dn * d("syu") - d("sy") * d("su")
+    val cyv = dn * d("syv") - d("sy") * d("sv")
+    val cuu = dn * d("suu") - d("su") * d("su")
+    val cuv = dn * d("suv") - d("su") * d("sv")
+    val cvv = dn * d("svv") - d("sv") * d("sv")
+    val det = cuu * cvv - cuv * cuv
+    val b = (cyu * cvv - cyv * cuv) / det
+    val c = (cyv * cuu - cyu * cuv) / det
+    val sseU = cyy - b * cyu - c * cyv
+    val sseR = cyy - cyu * cyu / cuu
+    val f = when(det =!= 0.0 && cuu =!= 0.0 && sseU > 0.0,
+      (sseR - sseU) / (sseU / (dn - lit(3.0))))
+    m.select(col("n"), round(f, 4).cast("float").as("f_stat"),
+      (f > lit(3.841459)).as("x_helps_95"))
+  }
+
   /** ln 9 as a plan-time literal (the entropy normalizer for the
     * 9-period candidate grid; no libm log(9) in a query path).
     */

@@ -1333,6 +1333,27 @@ object Analytics extends QueryPack {
       graft.ops.Segmentation.timeToConvert(t("events")(s, d),
         "view", "purchase")),
 
+    // Granger lag-1 F test: does yesterday's ORDER COUNT improve
+    // today's revenue prediction beyond yesterday's revenue —
+    // restricted-vs-unrestricted SSE off ten exact moments, Cramer
+    // closed form, one-row frame.
+    "q369_granger" -> ((s, d) =>
+      graft.ops.Stats.grangerLite(t("orders")(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("odate"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"),
+            count(lit(1)).as("n_orders")),
+        "odate", "rev", "n_orders")),
+
+    // Seeded EDGE betweenness (the Girvan–Newman splitting signal):
+    // the q358 backward terms emitted per undirected edge instead of
+    // accumulated per node — same exact micro-unit integer floor-div.
+    "q370_edge_betweenness" -> ((s, d) => {
+      val parts = t("part")(s, d).select(col("p_partkey").as("id"))
+      graft.graph.Centrality.edgeBetweennessSeeded(
+        coPurchaseEdges(s, d), parts.where(col("id") % 500 === 0),
+        rounds = 3)
+    }),
+
     // CUSUM mean-shift changepoint on the same daily series: argmax
     // |Σ(xᵢ−x̄)| carried as the EXACT integer n·runₖ−k·t, scan via the
     // distributed two-level prefix sum.
@@ -2675,6 +2696,134 @@ object Analytics extends QueryPack {
         |  min(CASE WHEN rt * 10 >= n * 9 THEN delta END) AS p90_s
         |FROM s""".stripMargin,
 
+    // Lag pairs off the daily CTE, ten HUGEINT moments, the same
+    // Cramer closed form and F.
+    "q369_granger" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS odate,
+        |         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |           AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+        |         CAST(CAST(count(*) AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS x
+        |  FROM orders GROUP BY 1),
+        |idx AS (SELECT y, x, row_number() OVER (ORDER BY odate) AS i
+        |        FROM daily),
+        |p AS (SELECT a.y AS y, b.y AS u, b.x AS v
+        |      FROM idx a JOIN idx b ON b.i = a.i - 1),
+        |m AS (SELECT count(*) AS n,
+        |        CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+        |        CAST(sum(CAST(u AS HUGEINT)) AS DOUBLE) AS su,
+        |        CAST(sum(CAST(v AS HUGEINT)) AS DOUBLE) AS sv,
+        |        CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+        |        CAST(sum(CAST(y AS HUGEINT) * u) AS DOUBLE) AS syu,
+        |        CAST(sum(CAST(y AS HUGEINT) * v) AS DOUBLE) AS syv,
+        |        CAST(sum(CAST(u AS HUGEINT) * u) AS DOUBLE) AS suu,
+        |        CAST(sum(CAST(u AS HUGEINT) * v) AS DOUBLE) AS suv,
+        |        CAST(sum(CAST(v AS HUGEINT) * v) AS DOUBLE) AS svv
+        |      FROM p),
+        |c AS (SELECT n, CAST(n AS DOUBLE) AS dn,
+        |        CAST(n AS DOUBLE) * syy - sy * sy AS cyy,
+        |        CAST(n AS DOUBLE) * syu - sy * su AS cyu,
+        |        CAST(n AS DOUBLE) * syv - sy * sv AS cyv,
+        |        CAST(n AS DOUBLE) * suu - su * su AS cuu,
+        |        CAST(n AS DOUBLE) * suv - su * sv AS cuv,
+        |        CAST(n AS DOUBLE) * svv - sv * sv AS cvv
+        |      FROM m),
+        |g AS (SELECT *, cuu * cvv - cuv * cuv AS det FROM c),
+        |h AS (SELECT *,
+        |        (cyu * cvv - cyv * cuv) / det AS b,
+        |        (cyv * cuu - cyu * cuv) / det AS cc FROM g),
+        |j AS (SELECT *, cyy - b * cyu - cc * cyv AS sseu,
+        |        cyy - cyu * cyu / cuu AS sser FROM h),
+        |k AS (SELECT n,
+        |        CASE WHEN det <> 0 AND cuu <> 0 AND sseu > 0
+        |          THEN (sser - sseu) / (sseu / (dn - 3.0)) END AS f
+        |      FROM j)
+        |SELECT n, CAST(round(f, 4) AS REAL) AS f_stat,
+        |       f > 3.841459 AS x_helps_95
+        |FROM k""".stripMargin,
+
+    // The q358 forward CTEs with per-edge term tables MATERIALIZED;
+    // levels 2, 1 AND 0 (edges out of the sources carry paths),
+    // grouped on the undirected key.
+    "q370_edge_betweenness" ->
+      """WITH RECURSIVE e AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey <> b.l_partkey),
+        |seeds AS (SELECT p_partkey AS id FROM part
+        |          WHERE p_partkey % 500 = 0),
+        |walk(src, id, hop) AS (
+        |  SELECT id, id, 0 FROM seeds
+        |  UNION
+        |  SELECT w.src, e.v, w.hop + 1 FROM walk w JOIN e ON e.u = w.id
+        |  WHERE w.hop < 3),
+        |d AS MATERIALIZED (SELECT src, id, min(hop) AS dist FROM walk
+        |     GROUP BY 1, 2),
+        |sg0 AS MATERIALIZED (SELECT src, id, CAST(1 AS BIGINT) AS sigma
+        |        FROM d WHERE dist = 0),
+        |sg1 AS MATERIALIZED (SELECT p.src, dd.id, sum(p.sigma) AS sigma
+        |        FROM sg0 p JOIN e ON e.u = p.id
+        |        JOIN d dd ON dd.src = p.src AND dd.id = e.v
+        |          AND dd.dist = 1
+        |        GROUP BY 1, 2),
+        |sg2 AS MATERIALIZED (SELECT p.src, dd.id, sum(p.sigma) AS sigma
+        |        FROM sg1 p JOIN e ON e.u = p.id
+        |        JOIN d dd ON dd.src = p.src AND dd.id = e.v
+        |          AND dd.dist = 2
+        |        GROUP BY 1, 2),
+        |sg3 AS MATERIALIZED (SELECT p.src, dd.id, sum(p.sigma) AS sigma
+        |        FROM sg2 p JOIN e ON e.u = p.id
+        |        JOIN d dd ON dd.src = p.src AND dd.id = e.v
+        |          AND dd.dist = 3
+        |        GROUP BY 1, 2),
+        |dl3 AS MATERIALIZED (SELECT src, id, CAST(0 AS BIGINT) AS du
+        |        FROM d WHERE dist = 3),
+        |t2 AS MATERIALIZED (SELECT v.src, v.id AS vid, e.v AS wid,
+        |          v.sigma * (1000000 + COALESCE(w3.du, 0))
+        |            // sw.sigma AS t
+        |        FROM sg2 v JOIN e ON e.u = v.id
+        |        JOIN d dw ON dw.src = v.src AND dw.id = e.v
+        |          AND dw.dist = 3
+        |        JOIN sg3 sw ON sw.src = v.src AND sw.id = e.v
+        |        LEFT JOIN dl3 w3 ON w3.src = v.src AND w3.id = e.v),
+        |dl2 AS MATERIALIZED (SELECT l.src, l.id,
+        |          CAST(COALESCE(s.du2, 0) AS BIGINT) AS du
+        |        FROM (SELECT src, id FROM d WHERE dist = 2) l
+        |        LEFT JOIN (SELECT src, vid, sum(t) AS du2 FROM t2
+        |                   GROUP BY 1, 2) s
+        |          ON s.src = l.src AND s.vid = l.id),
+        |t1 AS MATERIALIZED (SELECT v.src, v.id AS vid, e.v AS wid,
+        |          v.sigma * (1000000 + COALESCE(w2.du, 0))
+        |            // sw.sigma AS t
+        |        FROM sg1 v JOIN e ON e.u = v.id
+        |        JOIN d dw ON dw.src = v.src AND dw.id = e.v
+        |          AND dw.dist = 2
+        |        JOIN sg2 sw ON sw.src = v.src AND sw.id = e.v
+        |        LEFT JOIN dl2 w2 ON w2.src = v.src AND w2.id = e.v),
+        |dl1 AS MATERIALIZED (SELECT l.src, l.id,
+        |          CAST(COALESCE(s.du2, 0) AS BIGINT) AS du
+        |        FROM (SELECT src, id FROM d WHERE dist = 1) l
+        |        LEFT JOIN (SELECT src, vid, sum(t) AS du2 FROM t1
+        |                   GROUP BY 1, 2) s
+        |          ON s.src = l.src AND s.vid = l.id),
+        |t0 AS MATERIALIZED (SELECT v.src, v.id AS vid, e.v AS wid,
+        |          v.sigma * (1000000 + COALESCE(w1.du, 0))
+        |            // sw.sigma AS t
+        |        FROM sg0 v JOIN e ON e.u = v.id
+        |        JOIN d dw ON dw.src = v.src AND dw.id = e.v
+        |          AND dw.dist = 1
+        |        JOIN sg1 sw ON sw.src = v.src AND sw.id = e.v
+        |        LEFT JOIN dl1 w1 ON w1.src = v.src AND w1.id = e.v),
+        |ets AS (SELECT vid, wid, t FROM t2
+        |        UNION ALL SELECT vid, wid, t FROM t1
+        |        UNION ALL SELECT vid, wid, t FROM t0)
+        |SELECT least(vid, wid) AS u, greatest(vid, wid) AS v,
+        |  CAST(CAST((sum(t) + 50) // 100 AS DOUBLE) / 10000.0 AS REAL)
+        |    AS eb
+        |FROM ets GROUP BY 1, 2""".stripMargin,
+
     "q206_cube" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
@@ -2880,7 +3029,8 @@ object Analytics extends QueryPack {
         |         UNION ALL SELECT src, id, du FROM dl2
         |         UNION ALL SELECT src, id, du FROM dl3) GROUP BY 1)
         |SELECT p.p_partkey AS id,
-        |  CAST(round(COALESCE(bc.bcu, 0) / 1000000.0, 4) AS REAL) AS bc
+        |  CAST(CAST((COALESCE(bc.bcu, 0) + 50) // 100 AS DOUBLE)
+        |    / 10000.0 AS REAL) AS bc
         |FROM part p LEFT JOIN bc ON bc.id = p.p_partkey""".stripMargin,
 
     // The same per-source distance table, 10⁶ div dist exact terms.
@@ -2904,8 +3054,8 @@ object Analytics extends QueryPack {
         |      FROM d WHERE dist > 0 GROUP BY 1)
         |SELECT p.p_partkey AS id,
         |  CAST(COALESCE(h.n_reached, 0) AS BIGINT) AS n_reached,
-        |  CAST(round(COALESCE(h.hu, 0) / 1000000.0, 4) AS REAL)
-        |    AS harmonic
+        |  CAST(CAST((COALESCE(h.hu, 0) + 50) // 100 AS DOUBLE)
+        |    / 10000.0 AS REAL) AS harmonic
         |FROM part p LEFT JOIN h ON h.id = p.p_partkey""".stripMargin,
 
     "q210_top_paths" ->

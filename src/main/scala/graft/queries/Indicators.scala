@@ -545,6 +545,27 @@ object Indicators extends QueryPack {
             .cast("float").as("fcast"))
     }),
 
+    // Extension: local-level Kalman filter (Harvey 1989) on daily
+    // closes — the adaptive-gain smoother the EMA family approximates
+    // with a constant gain; J4 groupByKey kernel, recursion mirrored
+    // op-for-op by the oracle's recursive CTE.
+    "q371_kalman" -> ((s, d) => {
+      val bars = Bars.daily(t("events")(s, d))
+        .select(col("id"),
+          org.apache.spark.sql.functions.unix_timestamp(
+            col("dt").cast("timestamp")).as("tkey"),
+          col("close"))
+      Recursive.applyKernel(bars, Seq("level", "gain", "innovation"))(
+          c => graft.ts.TaKernels.kalman(c))
+        .select(col("id"), col("tkey"),
+          org.apache.spark.sql.functions.round(col("level"), 4)
+            .cast("float").as("level"),
+          org.apache.spark.sql.functions.round(col("gain"), 6)
+            .cast("float").as("gain"),
+          org.apache.spark.sql.functions.round(col("innovation"), 4)
+            .cast("float").as("innovation"))
+    }),
+
     // Extension: rolling-origin one-step forecast BACKTEST — the
     // forecast-accuracy report the smoothing family exists for: per
     // symbol, every bar from the second on is predicted by (a) the
@@ -859,6 +880,36 @@ object Indicators extends QueryPack {
          |FROM num n
          |LEFT JOIN te3 e ON n.id = e.id AND n.rn = e.rn
          |LEFT JOIN te3 p ON n.id = p.id AND n.rn = p.rn + 1""".stripMargin,
+    // The local-level recursion replayed: (l, p) state stepped rn by
+    // rn, the gain expression repeated where the kernel names it —
+    // same value, deterministic.
+    "q371_kalman" ->
+      s"""WITH RECURSIVE ${Bars.oracleCte},
+         |num AS MATERIALIZED (
+         |  SELECT id, dt, close,
+         |         CAST(row_number() OVER (PARTITION BY id ORDER BY dt)
+         |           AS INTEGER) AS rn
+         |  FROM daily),
+         |k AS (
+         |  SELECT id, rn, close AS l, CAST(4 AS DOUBLE) AS p,
+         |         CAST(NULL AS DOUBLE) AS g, CAST(NULL AS DOUBLE) AS e
+         |  FROM num WHERE rn = 1
+         |  UNION ALL
+         |  SELECT n.id, n.rn,
+         |    k.l + ((k.p + 1.0) / ((k.p + 1.0) + 4.0)) * (n.close - k.l),
+         |    (1 - (k.p + 1.0) / ((k.p + 1.0) + 4.0)) * (k.p + 1.0),
+         |    (k.p + 1.0) / ((k.p + 1.0) + 4.0),
+         |    n.close - k.l
+         |  FROM num n JOIN k ON n.id = k.id AND n.rn = k.rn + 1)
+         |SELECT n.id,
+         |       CAST(floor(epoch(CAST(n.dt AS TIMESTAMP))) AS BIGINT)
+         |         AS tkey,
+         |       CAST(round(k.l, 4) AS REAL) AS level,
+         |       CAST(round(k.g, 6) AS REAL) AS gain,
+         |       CAST(round(k.e, 4) AS REAL) AS innovation
+         |FROM num n LEFT JOIN k ON n.id = k.id AND n.rn = k.rn"""
+        .stripMargin,
+
     // The incremental-refresh gate: FULL-history recompute, filtered to
     // the engine's refresh window.
     "q99_incremental_mart" -> incrementalOracle(incrementalCutT),

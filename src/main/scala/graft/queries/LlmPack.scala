@@ -513,6 +513,14 @@ object LlmPack extends QueryPack {
     // re-derives the components with a recursive reachability CTE.
     "q82_dup_clusters" -> ((s, d) =>
       Dedup.dupClusters(t("documents")(s, d))),
+    // Cluster-SIZE distribution over the q82 components: the
+    // curation readout that sizes the dedup problem — how much of the
+    // corpus sits in big near-dup families vs singletons.
+    "q368_cluster_sizes" -> ((s, d) =>
+      Dedup.dupClusters(t("documents")(s, d))
+        .groupBy(col("cluster_size"))
+        .agg(countDistinct(col("cluster")).as("n_clusters"),
+          count(lit(1)).as("n_docs"))),
     // q82's INCREMENTAL form: standing labels over the old two-thirds
     // + only the delta pairs, reconciled by incremental CC. Output is
     // required to be IDENTICAL to the full recompute, so it shares
@@ -2459,6 +2467,13 @@ object LlmPack extends QueryPack {
     // min reachable id. MATERIALIZED on the CTEs the recursive half
     // re-reads (DuckDB re-evaluates plain CTEs per iteration).
     "q82_dup_clusters" -> dupClustersOracle,
+    // The q82 component derivation wrapped, grouped by size.
+    "q368_cluster_sizes" ->
+      s"""SELECT cluster_size,
+         |  CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+         |  count(*) AS n_docs
+         |FROM ($dupClustersOracle)
+         |GROUP BY 1""".stripMargin,
     // Identical answer contract: the incremental path must reproduce
     // the full recompute, so q133 shares q82's oracle verbatim.
     "q133_day2_clusters" -> dupClustersOracle,

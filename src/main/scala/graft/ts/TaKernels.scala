@@ -159,6 +159,47 @@ object TaKernels {
     * doubles are bit-identical before the rounded float edge.
     * @return Array(level, trend, seasonal, forecast)
     */
+  /** Local-level Kalman filter (Harvey 1989 §2) with fixed process/
+    * observation variances — the optimal-recursive smoother the EMA
+    * family approximates with a CONSTANT gain: here the gain adapts,
+    * starting high (trust the data while uncertain) and settling to
+    * the steady state K* the variance ratio q/r implies.
+    * {{{
+    *   x̂₁ = y₁, P₁ = r
+    *   P⁻ = P + q;  K = P⁻/(P⁻ + r)
+    *   e  = y − x̂;  x̂ ← x̂ + K·e;  P ← (1−K)·P⁻
+    * }}}
+    * Expression shapes mirror the oracle's recursive CTE op-for-op
+    * (K's expression is repeated where the kernel names it — same
+    * value, deterministic), so the doubles are bit-identical before
+    * the rounded float edge. Bar 1 emits level only (no prior →
+    * gain/innovation NaN).
+    * @return Array(level, gain, innovation)
+    */
+  def kalman(closes: Array[Double], q: Double = 1.0,
+      r: Double = 4.0): Array[Array[Double]] = {
+    val n = closes.length
+    val lvl = Array.fill(n)(Double.NaN)
+    val gain = Array.fill(n)(Double.NaN)
+    val innov = Array.fill(n)(Double.NaN)
+    if (n >= 1) {
+      var x = closes(0)
+      var p = r
+      lvl(0) = x
+      var t = 1
+      while (t < n) {
+        val pp = p + q
+        val k = pp / (pp + r)
+        val e = closes(t) - x
+        x = x + k * e
+        p = (1 - k) * pp
+        lvl(t) = x; gain(t) = k; innov(t) = e
+        t += 1
+      }
+    }
+    Array(lvl, gain, innov)
+  }
+
   def holtWinters(closes: Array[Double], m: Int = 7, alpha: Double = 0.2,
       beta: Double = 0.1, gamma: Double = 0.3): Array[Array[Double]] = {
     val n = closes.length
