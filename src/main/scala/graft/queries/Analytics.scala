@@ -1333,6 +1333,17 @@ object Analytics extends QueryPack {
       graft.ops.Segmentation.timeToConvert(t("events")(s, d),
         "view", "purchase")),
 
+    // GROUPING SETS completes the grouping matrix beside q16's ROLLUP
+    // and q206's CUBE: two independent marginals + the grand total in
+    // ONE Expand pass — never three scans unioned.
+    "q372_grouping_sets" -> ((s, d) => t("lineitem")(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        round(sum("l_quantity"), 2).cast("float").as("sum_qty"))),
+
     // Granger lag-1 F test: does yesterday's ORDER COUNT improve
     // today's revenue prediction beyond yesterday's revenue —
     // restricted-vs-unrestricted SSE off ten exact moments, Cramer
@@ -2695,6 +2706,16 @@ object Analytics extends QueryPack {
         |  min(CASE WHEN rt * 4 >= n * 3 THEN delta END) AS p75_s,
         |  min(CASE WHEN rt * 10 >= n * 9 THEN delta END) AS p90_s
         |FROM s""".stripMargin,
+
+    "q372_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER)
+        |         AS gid,
+        |       count(*) AS n,
+        |       CAST(round(sum(l_quantity), 2) AS REAL) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
+        .stripMargin,
 
     // Lag pairs off the daily CTE, ten HUGEINT moments, the same
     // Cramer closed form and F.

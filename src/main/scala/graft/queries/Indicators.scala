@@ -566,6 +566,25 @@ object Indicators extends QueryPack {
             .cast("float").as("innovation"))
     }),
 
+    // Extension: Kaufman adaptive MA (1995) on daily closes — the
+    // EMA whose gain ADAPTS to the efficiency ratio; J4 kernel with
+    // the sc constants string-interpolated into the oracle so both
+    // engines inline identical doubles.
+    "q373_kama" -> ((s, d) => {
+      val bars = Bars.daily(t("events")(s, d))
+        .select(col("id"),
+          org.apache.spark.sql.functions.unix_timestamp(
+            col("dt").cast("timestamp")).as("tkey"),
+          col("close"))
+      Recursive.applyKernel(bars, Seq("kama", "er"))(
+          c => graft.ts.TaKernels.kama(c))
+        .select(col("id"), col("tkey"),
+          org.apache.spark.sql.functions.round(col("kama"), 4)
+            .cast("float").as("kama"),
+          org.apache.spark.sql.functions.round(col("er"), 6)
+            .cast("float").as("er"))
+    }),
+
     // Extension: rolling-origin one-step forecast BACKTEST — the
     // forecast-accuracy report the smoothing family exists for: per
     // symbol, every bar from the second on is predicted by (a) the
@@ -909,6 +928,50 @@ object Indicators extends QueryPack {
          |       CAST(round(k.e, 4) AS REAL) AS innovation
          |FROM num n LEFT JOIN k ON n.id = k.id AND n.rn = k.rn"""
         .stripMargin,
+
+    // ER off a materialized lag/frame CTE, then the adaptive-gain
+    // recursion with the interpolated sc constants.
+    "q373_kama" -> {
+      val df = graft.ts.TaKernels.kamaFastSlowDiff
+      val sl = graft.ts.TaKernels.kamaSlow
+      s"""WITH RECURSIVE ${Bars.oracleCte},
+         |num AS MATERIALIZED (
+         |  SELECT id, dt, close,
+         |         CAST(row_number() OVER (PARTITION BY id ORDER BY dt)
+         |           AS INTEGER) AS rn
+         |  FROM daily),
+         |d1 AS MATERIALIZED (
+         |  SELECT *, abs(close - lag(close) OVER
+         |    (PARTITION BY id ORDER BY rn)) AS ad
+         |  FROM num),
+         |erc AS MATERIALIZED (
+         |  SELECT id, rn, dt, close,
+         |    CASE WHEN rn >= 11 THEN
+         |      CASE WHEN den <> 0 THEN abs(close - l10) / den
+         |           ELSE CAST(0 AS DOUBLE) END END AS er
+         |  FROM (SELECT *,
+         |          lag(close, 10) OVER (PARTITION BY id ORDER BY rn)
+         |            AS l10,
+         |          sum(ad) OVER (PARTITION BY id ORDER BY rn
+         |            ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS den
+         |        FROM d1)),
+         |k AS (
+         |  SELECT id, rn, close AS kama FROM erc WHERE rn = 10
+         |  UNION ALL
+         |  SELECT e.id, e.rn,
+         |    k.kama + ((e.er * $df + $sl) * (e.er * $df + $sl))
+         |      * (e.close - k.kama)
+         |  FROM erc e JOIN k ON e.id = k.id AND e.rn = k.rn + 1)
+         |SELECT n.id,
+         |       CAST(floor(epoch(CAST(n.dt AS TIMESTAMP))) AS BIGINT)
+         |         AS tkey,
+         |       CAST(round(k.kama, 4) AS REAL) AS kama,
+         |       CAST(round(n2.er, 6) AS REAL) AS er
+         |FROM num n
+         |LEFT JOIN k ON n.id = k.id AND n.rn = k.rn
+         |LEFT JOIN erc n2 ON n.id = n2.id AND n.rn = n2.rn
+         |  AND n2.er IS NOT NULL""".stripMargin
+    },
 
     // The incremental-refresh gate: FULL-history recompute, filtered to
     // the engine's refresh window.

@@ -200,6 +200,47 @@ object TaKernels {
     Array(lvl, gain, innov)
   }
 
+  /** Kaufman adaptive moving average (Kaufman 1995): an EMA whose
+    * gain ADAPTS to the efficiency ratio — trending markets get the
+    * fast constant, choppy ones the slow — the data-driven answer to
+    * "which EMA period": ER = |y_t − y_{t−n}| / Σ|Δy| over the last n
+    * bars (0 on flat windows), sc = (ER·(fast−slow)+slow)², KAMA
+    * seeded at the n-th bar's price. Constants are computed ONCE here
+    * and string-interpolated into the oracle so both engines inline
+    * the identical doubles.
+    * @return Array(kama, er)
+    */
+  def kama(closes: Array[Double], n: Int = 10, fast: Int = 2,
+      slow: Int = 30): Array[Array[Double]] = {
+    val len = closes.length
+    val fa = 2.0 / (fast + 1); val sl = 2.0 / (slow + 1)
+    val df = fa - sl
+    val k = Array.fill(len)(Double.NaN)
+    val er = Array.fill(len)(Double.NaN)
+    if (len >= n) {
+      k(n - 1) = closes(n - 1)
+      var t = n
+      while (t < len) {
+        var den = 0.0
+        var i = t - n + 1
+        while (i <= t) { den += math.abs(closes(i) - closes(i - 1)); i += 1 }
+        val e = if (den != 0.0) math.abs(closes(t) - closes(t - n)) / den
+          else 0.0
+        val s1 = e * df + sl
+        val sc = s1 * s1
+        k(t) = k(t - 1) + sc * (closes(t) - k(t - 1))
+        er(t) = e
+        t += 1
+      }
+    }
+    Array(k, er)
+  }
+
+  /** The [[kama]] constants exposed for the oracle's literal
+    * interpolation (identical doubles both engines). */
+  val kamaFastSlowDiff: Double = 2.0 / 3 - 2.0 / 31
+  val kamaSlow: Double = 2.0 / 31
+
   def holtWinters(closes: Array[Double], m: Int = 7, alpha: Double = 0.2,
       beta: Double = 0.1, gamma: Double = 0.3): Array[Array[Double]] = {
     val n = closes.length
