@@ -555,6 +555,41 @@ object Multimodal {
     }(RowEncoder.encoderFor(outSchema))
   }
 
+  /** 16-bin grayscale histogram per image — the raw material of the
+    * entropy/contrast low-information filter beside [[sobelFeatures]]'
+    * gradient energy: a near-blank scrape concentrates in one bin, a
+    * busy photograph spreads. Counts are EXACT integers (bin =
+    * gray div 16 with the shared (r+g+b)/3 integer grayscale), emitted
+    * as 16 named columns so the downstream entropy is a FIXED
+    * expression over them — never a float sum across grouped bin rows.
+    * Codec-only mapPartitions: payload bytes never leave their
+    * partition; 18 small columns shuffle out.
+    */
+  def grayHistogram(frame: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_pixels", IntegerType)) ++
+      (0 until 16).map(i => StructField(s"b$i", IntegerType)))
+    val payloadIdx = frame.schema.fieldIndex("payload")
+    frame.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodePpm(r.getAs[Array[Byte]](payloadIdx)).map { img =>
+          val counts = new Array[Int](16)
+          var i = 0
+          val n = img.width * img.height
+          while (i < n) {
+            val p = i * 3
+            val g = ((img.pixels(p) & 0xff) + (img.pixels(p + 1) & 0xff) +
+              (img.pixels(p + 2) & 0xff)) / 3
+            counts(g / 16) += 1
+            i += 1
+          }
+          Row.fromSeq(r.getLong(0) +: n +: counts.toSeq)
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
   /** Sobel edge-energy features per image — the classic gradient
     * FEATURE-EXTRACTION pass of a multimodal training pipeline
     * (blur/blank-image filtering, complexity stratification) beside

@@ -853,4 +853,42 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
         col("cos"))
   }
+
+  /** Embedding L2-norm audit — the "broken embeddings" QA gate every
+    * vector pipeline needs before indexing: an all-zeros vector, a
+    * half-written row, or an unnormalized batch all show up as norm
+    * outliers. Norms² are EXACT integers on the [[graft.llm.Pca]]
+    * 1e-4 quantization grid (Σq², one map-side groupBy); the outlier
+    * rule is a z-score on norm² from exact DECIMAL moments — one
+    * fixed IEEE sequence per vector, flag on the UNROUNDED |z| > 3.
+    *
+    * @return (vec_id, norm, z, outlier)
+    */
+  def embeddingNorms(embeddings: DataFrame): DataFrame = {
+    val grid = 10000L
+    val q = embeddings.select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("i", "x")))
+      .select(col("vec_id"),
+        floor(col("x") * grid + 0.5).cast("long").as("q"))
+    val per = q.groupBy(col("vec_id"))
+      .agg(sum((col("q").cast("decimal(19,0)") * col("q")
+        .cast("decimal(19,0)")).cast("decimal(38,0)")).as("n2"))
+      .localCheckpoint(true) // feeds the moment row AND the output
+    val m = per.agg(count(lit(1)).as("n"),
+      sum(col("n2")).as("s"),
+      sum((col("n2") * col("n2")).cast("decimal(38,0)")).as("ss"))
+    val dn = col("n").cast("double")
+    val mu = col("s").cast("double") / dn
+    val sd = sqrt((dn * col("ss").cast("double") -
+      col("s").cast("double") * col("s").cast("double")) / (dn * dn))
+    val j = per.crossJoin(broadcast(m.select(mu.as("mu"), sd.as("sd"))))
+    val z = when(col("sd") =!= 0.0,
+      (col("n2").cast("double") - col("mu")) / col("sd"))
+    j.select(col("vec_id"),
+      round(sqrt(col("n2").cast("double")) / lit(grid.toDouble), 4)
+        .cast("float").as("norm"),
+      round(z, 4).cast("float").as("z"),
+      (abs(z) > lit(3.0)).as("outlier"))
+  }
 }

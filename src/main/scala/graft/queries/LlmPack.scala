@@ -272,6 +272,48 @@ object LlmPack extends QueryPack {
     "q336_sobel_features" -> ((s, d) =>
       Multimodal.sobelFeatures(Multimodal.syntheticNoisyPpmFrame(
         t("documents")(s, d).select(col("doc_id"))))),
+    // Grayscale-histogram entropy per image — the low-information
+    // filter beside q336's edge energy: blank scrapes concentrate in
+    // one bin; the 16 bin counts come out as named columns so the
+    // entropy is one fixed expression, ln16 a plan-time literal.
+    "q374_image_entropy" -> ((s, d) => {
+      val h = Multimodal.grayHistogram(Multimodal.syntheticNoisyPpmFrame(
+        t("documents")(s, d).select(col("doc_id"))))
+      val tot = col("n_pixels").cast("double")
+      val ent = (0 until 16).map { i =>
+        val p = col(s"b$i").cast("double") / tot
+        when(col(s"b$i") > 0, -(p * log(p))).otherwise(lit(0.0))
+      }.reduce(_ + _)
+      h.select(col("doc_id"), col("n_pixels"),
+        round(ent / lit(2.772588722239781), 4).cast("float")
+          .as("entropy_norm"))
+    }),
+    // Per-doc silence audit over the q176 window features: a window
+    // is silent when its energy is under a quarter of the doc mean —
+    // the exact-integer cross-multiply 4·e·n < Σe, no division in
+    // the rule.
+    "q375_audio_silence" -> ((s, d) => {
+      val af = Multimodal.audioFeatures(Multimodal.decodeWavFrame(
+        Multimodal.syntheticWavFrame(
+          t("documents")(s, d).select(col("doc_id")))))
+      val tot = af.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"), sum(col("energy")).as("tot_e"))
+      af.join(tot, "doc_id")
+        .select(col("doc_id"), col("n_windows"),
+          (col("energy") * col("n_windows") * 4 < col("tot_e"))
+            .as("silent"))
+        .groupBy(col("doc_id"), col("n_windows"))
+        .agg(sum(when(col("silent"), 1L).otherwise(0L)).as("n_silent"))
+        .select(col("doc_id"), col("n_windows"), col("n_silent"),
+          round(col("n_silent").cast("double") /
+            col("n_windows").cast("double"), 4).cast("float")
+            .as("silence_ratio"))
+    }),
+    // Embedding L2-norm audit — the broken-embeddings QA gate before
+    // any indexing: exact Σq² on the PCA quantization grid, z-score
+    // outlier rule on exact moments.
+    "q376_embedding_norms" -> ((s, d) =>
+      Similarity.embeddingNorms(t("embeddings")(s, d))),
     // 64-bit difference hash (dHash) — the GRADIENT member completing
     // the spatial/frequency perceptual-hash trio beside q244's mean
     // (aHash) and q275's DCT (pHash): sign of the horizontal
@@ -3398,6 +3440,76 @@ object LlmPack extends QueryPack {
          |    AS n_edges,
          |  CAST(max(mg) AS INTEGER) AS max_grad
          |FROM m GROUP BY 1""".stripMargin,
+    // The shared gray CTEs binned div 16, counts pivoted to named
+    // columns, the same fixed entropy unroll with the ln16 literal.
+    "q374_image_entropy" -> {
+      val bins = (0 until 16).map(i =>
+        s"""CAST(sum(CASE WHEN bin = $i THEN c ELSE 0 END) AS BIGINT)
+           |           AS b$i""".stripMargin).mkString(",\n         ")
+      val terms = (0 until 16).map(i =>
+        s"""(CASE WHEN b$i > 0 THEN
+           |    -((CAST(b$i AS DOUBLE) / CAST(n_pixels AS DOUBLE))
+           |      * ln(CAST(b$i AS DOUBLE) / CAST(n_pixels AS DOUBLE)))
+           |    ELSE CAST(0 AS DOUBLE) END)""".stripMargin)
+        .mkString("\n   + ")
+      s"""WITH $imageGrayCtes,
+         |hb AS (SELECT doc_id, CAST(g // 16 AS INTEGER) AS bin,
+         |         count(*) AS c FROM gr GROUP BY 1, 2),
+         |np AS (SELECT doc_id, CAST(sum(c) AS INTEGER) AS n_pixels
+         |       FROM hb GROUP BY 1),
+         |w2 AS (SELECT doc_id,
+         |         $bins
+         |       FROM hb GROUP BY 1)
+         |SELECT w2.doc_id, np.n_pixels,
+         |  CAST(round((
+         |   $terms
+         |   ) / 2.772588722239781, 4) AS REAL) AS entropy_norm
+         |FROM w2 JOIN np USING (doc_id)""".stripMargin
+    },
+    // The q176 window CTEs re-grouped: per-window energies, per-doc
+    // totals, the integer cross-multiply silence rule.
+    "q375_audio_silence" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(64 + doc_id % 64 AS INTEGER) AS ns
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, CAST(t.i AS INTEGER) AS i,
+        |         CAST((doc_id * 13 + t.i * 17) % 2048 - 1024 AS BIGINT)
+        |           AS x
+        |  FROM d, range(0, 128) t(i) WHERE t.i < ns),
+        |wf AS (SELECT doc_id, CAST(i // 32 AS INTEGER) AS win,
+        |         CAST(sum(x * x) AS BIGINT) AS energy
+        |       FROM s GROUP BY 1, 2),
+        |t AS (SELECT doc_id, count(*) AS n_windows,
+        |        sum(energy) AS tot_e FROM wf GROUP BY 1)
+        |SELECT wf.doc_id, CAST(t.n_windows AS BIGINT) AS n_windows,
+        |  CAST(sum(CASE WHEN wf.energy * t.n_windows * 4 < t.tot_e
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_silent,
+        |  CAST(round(CAST(sum(CASE WHEN wf.energy * t.n_windows * 4
+        |      < t.tot_e THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(t.n_windows AS DOUBLE), 4) AS REAL) AS silence_ratio
+        |FROM wf JOIN t USING (doc_id)
+        |GROUP BY wf.doc_id, t.n_windows""".stripMargin,
+    // The PCA quantization CTE, exact Σq² per vector, z off exact
+    // moments.
+    "q376_embedding_norms" ->
+      s"""WITH ${graft.llm.Pca.oracleQuantCte},
+         |per AS (SELECT vec_id, sum(CAST(q AS HUGEINT) * q) AS n2
+         |        FROM q GROUP BY 1),
+         |m AS (SELECT count(*) AS n, CAST(sum(n2) AS DOUBLE) AS s,
+         |        CAST(sum(n2 * n2) AS DOUBLE) AS ss FROM per),
+         |g AS (SELECT s / CAST(n AS DOUBLE) AS mu,
+         |        sqrt((CAST(n AS DOUBLE) * ss - s * s)
+         |          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS sd
+         |      FROM m)
+         |SELECT vec_id,
+         |  CAST(round(sqrt(CAST(n2 AS DOUBLE)) / 10000.0, 4) AS REAL)
+         |    AS norm,
+         |  CAST(round(CASE WHEN sd <> 0
+         |    THEN (CAST(n2 AS DOUBLE) - mu) / sd END, 4) AS REAL) AS z,
+         |  abs(CASE WHEN sd <> 0
+         |    THEN (CAST(n2 AS DOUBLE) - mu) / sd END) > 3.0 AS outlier
+         |FROM per, g""".stripMargin,
     // The DCT chain replayed arithmetically — shared gray CTEs, the
     // inlined integer basis tables, coefficient sums, median rank 32.
     "q275_image_phash" ->
