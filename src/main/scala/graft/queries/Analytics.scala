@@ -82,6 +82,38 @@ object Analytics extends QueryPack {
     }.computeIfAbsent(d, _ =>
       graft.graph.Triangles.perNodeBundle(coPurchaseEdges(s, d)))
 
+  /** Memoized Brandes bundle (forward dist/σ table + backward
+    * per-DAG-edge dependency terms) over the co-purchase graph from
+    * the every-500th-part pivots at radius 3 — q358 (node
+    * betweenness), q359 (closeness) and q370 (edge betweenness) all
+    * compose from it; without sharing, each re-ran the 7-round
+    * forward + 4-level backward iteration (30–40 s each at sf0.1).
+    * Same bench-hygiene contract as [[triBundle]]: cleared and timed
+    * as its own `b_*` line item per sample pass, answers identical
+    * to rebuilding inline, oracles still unroll the walk
+    * independently. */
+  private val brandesCache =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String,
+        (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]]()
+
+  private def brandesBundle(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) =
+    brandesCache.synchronized {
+      brandesCache.computeIfAbsent(s, _ =>
+        new java.util.concurrent.ConcurrentHashMap())
+    }.computeIfAbsent(d, _ => {
+      val parts = t("part")(s, d).select(col("p_partkey").as("id"))
+      graft.graph.Centrality.brandesTerms(coPurchaseEdges(s, d),
+        parts.where(col("id") % 500 === 0), rounds = 3)
+    })
+
+  graft.SharedBuilds.register("dist_brandes")(s =>
+    brandesCache.synchronized {
+      Option(brandesCache.get(s)).foreach(_.clear())
+    })((s, d) => { brandesBundle(s, d); () })
+
   // Bench-visibility registration (r12 advice): the bench clears these
   // caches each sample pass and rebuilds them as explicit `b_*` line
   // items, so the O(|E|^1.5) triangle build is measured and counted in
@@ -1358,12 +1390,9 @@ object Analytics extends QueryPack {
     // Seeded EDGE betweenness (the Girvan–Newman splitting signal):
     // the q358 backward terms emitted per undirected edge instead of
     // accumulated per node — same exact micro-unit integer floor-div.
-    "q370_edge_betweenness" -> ((s, d) => {
-      val parts = t("part")(s, d).select(col("p_partkey").as("id"))
-      graft.graph.Centrality.edgeBetweennessSeeded(
-        coPurchaseEdges(s, d), parts.where(col("id") % 500 === 0),
-        rounds = 3)
-    }),
+    "q370_edge_betweenness" -> ((s, d) =>
+      graft.graph.Centrality.edgeBetweennessFrom(
+        brandesBundle(s, d)._2)),
 
     // CUSUM mean-shift changepoint on the same daily series: argmax
     // |Σ(xᵢ−x̄)| carried as the EXACT integer n·runₖ−k·t, scan via the
@@ -1439,9 +1468,8 @@ object Analytics extends QueryPack {
     // unrolled levels.
     "q358_betweenness" -> ((s, d) => {
       val parts = t("part")(s, d).select(col("p_partkey").as("id"))
-      graft.graph.Centrality.betweennessSeeded(parts,
-        coPurchaseEdges(s, d), parts.where(col("id") % 500 === 0),
-        rounds = 3)
+      graft.graph.Centrality.betweennessFrom(parts,
+        brandesBundle(s, d)._2)
     }),
 
     // Seeded harmonic closeness (defined on disconnected graphs,
@@ -1449,9 +1477,8 @@ object Analytics extends QueryPack {
     // the same per-source distance table.
     "q359_closeness" -> ((s, d) => {
       val parts = t("part")(s, d).select(col("p_partkey").as("id"))
-      graft.graph.Centrality.harmonicCloseness(parts,
-        coPurchaseEdges(s, d), parts.where(col("id") % 500 === 0),
-        rounds = 3)
+      graft.graph.Centrality.harmonicClosenessFrom(parts,
+        brandesBundle(s, d)._1)
     }),
 
     // Top-20 session paths: gap-rule sessions → ordered event-type
