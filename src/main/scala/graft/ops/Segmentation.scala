@@ -75,6 +75,87 @@ object Segmentation {
           lit("m"), col("m_bin")).as("rfm"))
   }
 
+  /** Pareto concentration deciles — the 80/20 curve beside q200's
+    * Gini and q322's HHI: customers ranked by lifetime revenue
+    * (DESC, customer-key tie-break — a TOTAL order, so tied values
+    * split deterministically), cut into rank deciles by the integer
+    * rule ((rk−1)·10) div n, each decile's revenue share and the
+    * cumulative share. Ranks come from ONE distributed scan over the
+    * per-customer frame — never a single-task sort; the 10-row decile
+    * frame is the documented metadata window exception.
+    *
+    * @return 10 rows (decile, n_customers, revenue, rev_share,
+    *         cum_share)
+    */
+  def paretoDeciles(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = orders.where(col("o_custkey").isNotNull &&
+        col("o_totalprice").isNotNull)
+      .groupBy(col("o_custkey").as("cust"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev"))
+      .select((-col("rev")).as("nr"), col("cust"), col("rev"))
+    val scanned = Scan.globalRunningSum(per, Seq("nr", "cust"),
+      lit(1L), "rk")
+    val tot = per.agg(count(lit(1)).as("n"),
+      sum(col("rev").cast("decimal(38,0)")).as("t"))
+    val dd = scanned.crossJoin(broadcast(tot))
+      .groupBy(expr("((rk - 1) * 10) div n").cast("int").as("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("rev").cast("decimal(38,0)")).as("rev_c"),
+        max(col("t")).as("t"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dd.withColumn("cum_c", sum(col("rev_c")).over(w))
+      .select(col("decile"), col("n_customers"),
+        round(col("rev_c").cast("double") / lit(100.0), 2)
+          .cast("float").as("revenue"),
+        round(col("rev_c").cast("double") / col("t").cast("double"), 4)
+          .cast("float").as("rev_share"),
+        round(col("cum_c").cast("double") / col("t").cast("double"), 4)
+          .cast("float").as("cum_share"))
+  }
+
+  /** Session bounce-rate rollup over the shared gap-rule sessions
+    * (q18's contract): single-event-session share, events per
+    * session, session duration — the engagement headline trio.
+    * Exact counts; the three readouts one IEEE division each on a
+    * one-row frame.
+    *
+    * @return one row (n_sessions, n_bounce, bounce_rate,
+    *         avg_events, avg_duration_s)
+    */
+  def bounceRate(events: DataFrame, gapS: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events.where(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("t"),
+        col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+    val flagged = ev.select(col("*"),
+      when(lag(col("t"), 1).over(w).isNull ||
+        col("t") - lag(col("t"), 1).over(w) > gapS, 1L)
+        .otherwise(0L).as("is_new"))
+    val sessions = flagged.select(col("user_id"), col("t"),
+        sum(col("is_new")).over(w.rowsBetween(
+          Window.unboundedPreceding, 0)).as("sid"))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("t")) - min(col("t"))).as("dur"))
+    sessions.agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("n_bounce"),
+        sum(col("n_events")).as("tot_ev"), sum(col("dur")).as("tot_dur"))
+      .select(col("n_sessions"), col("n_bounce"),
+        round(col("n_bounce").cast("double") /
+          col("n_sessions").cast("double"), 4).cast("float")
+          .as("bounce_rate"),
+        round(col("tot_ev").cast("double") /
+          col("n_sessions").cast("double"), 4).cast("float")
+          .as("avg_events"),
+        round(col("tot_dur").cast("double") /
+          col("n_sessions").cast("double"), 2).cast("float")
+          .as("avg_duration_s"))
+  }
+
   /** Funnel time-to-convert quantiles: per user, seconds from FIRST
     * `from` event to FIRST `to` event at-or-after it; p25/p50/p75/p90
     * as exact order statistics (value at rank ⌈q·n⌉ — the smallest

@@ -767,6 +767,69 @@ object Stats {
           .as("frac_through"))
   }
 
+  /** Binary segmentation, one level (Scott & Knott 1974; the
+    * standard multiple-changepoint recursion over [[cusumChangepoint]]):
+    * find the global CUSUM argmax, split there, and re-run the CUSUM
+    * INSIDE each half — three changepoints from ONE scan. The
+    * segment-local statistic needs no rescan: with (run, rk) the
+    * global prefix sums and (run₁, rk₁) the split row's, the left
+    * half's n·S is rk₁·run − rk·run₁ and the right half's is
+    * (n−rk₁)(run−run₁) − (rk−rk₁)(t−run₁) — exact DECIMAL algebra on
+    * the same scanned frame, split row delivered by a broadcast
+    * one-row crossJoin (never a driver-side collect).
+    *
+    * Determinism: the q205 contract throughout — exact integers into
+    * struct argmins with total tie-breaks, one division at each edge.
+    *
+    * @return 3 rows (segment ∈ full/left/right, n_points, cp_key,
+    *         s_at_cp, frac_through)
+    */
+  def binarySegmentation(series: DataFrame, keyCol: String,
+      valueCol: String): DataFrame = {
+    val x = cents(col(valueCol))
+    val base = series.select(col(keyCol).as("k"), x.as("x"))
+      .localCheckpoint(true)
+    val tot = base.agg(count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("t"))
+    val scanned = Scan.globalRunningSums(base, Seq("k"),
+        Seq(col("x") -> "run", lit(1L) -> "rk"))
+      .crossJoin(broadcast(tot))
+      .localCheckpoint(true) // feeds the split row AND both halves
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def argmaxOf(df: DataFrame, num: Column, nSeg: Column,
+        rkSeg: Column, label: String): DataFrame =
+      df.select(struct((-abs(num)).as("na"), col("k"), num.as("num"),
+          rkSeg.as("rks"), nSeg.as("ns")).as("s"))
+        .agg(min(col("s")).as("m"))
+        .select(lit(label).as("segment"),
+          col("m.ns").cast("long").as("n_points"),
+          col("m.k").as("cp_key"),
+          round(col("m.num").cast("double") /
+            col("m.ns").cast("double") / 100.0, 4)
+            .cast("float").as("s_at_cp"),
+          round(col("m.rks").cast("double") /
+            col("m.ns").cast("double"), 4).cast("float")
+            .as("frac_through"))
+    val numFull = dec(col("n")) * col("run") - dec(col("rk")) * col("t")
+    val full = argmaxOf(scanned, numFull, col("n").cast("decimal(38,0)"),
+      dec(col("rk")), "full")
+    val cp1 = scanned
+      .select(struct((-abs(numFull)).as("na"), col("k"),
+        col("run").as("run1"), col("rk").as("rk1")).as("s"))
+      .agg(min(col("s")).as("m"))
+      .select(col("m.k").as("k1"), col("m.run1").as("run1"),
+        col("m.rk1").as("rk1"))
+    val j = scanned.crossJoin(broadcast(cp1))
+    val left = argmaxOf(j.where(col("rk") <= col("rk1")),
+      dec(col("rk1")) * col("run") - dec(col("rk")) * col("run1"),
+      dec(col("rk1")), dec(col("rk")), "left")
+    val right = argmaxOf(j.where(col("rk") > col("rk1")),
+      dec(col("n") - col("rk1")) * (col("run") - col("run1")) -
+        dec(col("rk") - col("rk1")) * (col("t") - col("run1")),
+      dec(col("n") - col("rk1")), dec(col("rk") - col("rk1")), "right")
+    full.unionByName(left).unionByName(right)
+  }
+
   private def r6(c: Column): Column =
     (floor(c * 1e6 + 0.5) / 1e6).cast("float")
 

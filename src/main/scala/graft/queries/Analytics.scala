@@ -1394,6 +1394,29 @@ object Analytics extends QueryPack {
       graft.graph.Centrality.edgeBetweennessFrom(
         brandesBundle(s, d)._2)),
 
+    // Binary segmentation over the q205 CUSUM: split at the global
+    // argmax, re-run the CUSUM INSIDE each half from the SAME scan —
+    // segment-local statistics are exact algebra on the global prefix
+    // sums plus the broadcast split row; three changepoints, one scan.
+    "q377_binary_seg" -> ((s, d) =>
+      graft.ops.Stats.binarySegmentation(t("orders")(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("odate"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev")),
+        "odate", "rev")),
+
+    // Session bounce-rate rollup over the shared gap-rule sessions:
+    // single-event share, events/session, duration — the engagement
+    // headline trio beside q18/q210.
+    "q378_bounce_rate" -> ((s, d) =>
+      graft.ops.Segmentation.bounceRate(t("events")(s, d),
+        sessionGapS)),
+
+    // Pareto concentration deciles (the 80/20 curve beside Gini/HHI):
+    // rank deciles by the integer rule off one distributed scan,
+    // per-decile and cumulative revenue shares.
+    "q379_pareto" -> ((s, d) =>
+      graft.ops.Segmentation.paretoDeciles(t("orders")(s, d))),
+
     // CUSUM mean-shift changepoint on the same daily series: argmax
     // |Σ(xᵢ−x̄)| carried as the EXACT integer n·runₖ−k·t, scan via the
     // distributed two-level prefix sum.
@@ -2871,6 +2894,122 @@ object Analytics extends QueryPack {
         |  CAST(CAST((sum(t) + 50) // 100 AS DOUBLE) / 10000.0 AS REAL)
         |    AS eb
         |FROM ets GROUP BY 1, 2""".stripMargin,
+
+    // The q205 scan CTEs + struct-min split row + the same segment-
+    // local algebra on the global prefix sums.
+    "q377_binary_seg" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS k,
+        |         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |           AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT count(*) AS n, sum(CAST(x AS HUGEINT)) AS tt
+        |      FROM daily),
+        |s AS (SELECT k,
+        |        sum(CAST(x AS HUGEINT)) OVER (ORDER BY k
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS run,
+        |        CAST(row_number() OVER (ORDER BY k) AS HUGEINT) AS rk
+        |      FROM daily),
+        |j AS (SELECT s.*, CAST(t.n AS HUGEINT) AS n, t.tt FROM s, t),
+        |fx AS (SELECT min(struct_pack(
+        |         na := -abs(n * run - rk * tt), k := k,
+        |         num := n * run - rk * tt, rks := rk, ns := n)) AS m
+        |       FROM j),
+        |c1 AS (SELECT min(struct_pack(
+        |         na := -abs(n * run - rk * tt), k := k,
+        |         run1 := run, rk1 := rk)) AS m FROM j),
+        |l AS (SELECT min(struct_pack(
+        |        na := -abs(c.m.rk1 * run - rk * c.m.run1), k := k,
+        |        num := c.m.rk1 * run - rk * c.m.run1, rks := rk,
+        |        ns := c.m.rk1)) AS m
+        |      FROM j, c1 c WHERE rk <= c.m.rk1),
+        |r AS (SELECT min(struct_pack(
+        |        na := -abs((n - c.m.rk1) * (run - c.m.run1)
+        |          - (rk - c.m.rk1) * (tt - c.m.run1)), k := k,
+        |        num := (n - c.m.rk1) * (run - c.m.run1)
+        |          - (rk - c.m.rk1) * (tt - c.m.run1),
+        |        rks := rk - c.m.rk1, ns := n - c.m.rk1)) AS m
+        |      FROM j, c1 c WHERE rk > c.m.rk1)
+        |SELECT 'full' AS segment, CAST(m.ns AS BIGINT) AS n_points,
+        |  m.k AS cp_key,
+        |  CAST(round(CAST(m.num AS DOUBLE) / CAST(m.ns AS DOUBLE)
+        |    / 100.0, 4) AS REAL) AS s_at_cp,
+        |  CAST(round(CAST(m.rks AS DOUBLE) / CAST(m.ns AS DOUBLE), 4)
+        |    AS REAL) AS frac_through
+        |FROM fx
+        |UNION ALL
+        |SELECT 'left', CAST(m.ns AS BIGINT), m.k,
+        |  CAST(round(CAST(m.num AS DOUBLE) / CAST(m.ns AS DOUBLE)
+        |    / 100.0, 4) AS REAL),
+        |  CAST(round(CAST(m.rks AS DOUBLE) / CAST(m.ns AS DOUBLE), 4)
+        |    AS REAL)
+        |FROM l
+        |UNION ALL
+        |SELECT 'right', CAST(m.ns AS BIGINT), m.k,
+        |  CAST(round(CAST(m.num AS DOUBLE) / CAST(m.ns AS DOUBLE)
+        |    / 100.0, 4) AS REAL),
+        |  CAST(round(CAST(m.rks AS DOUBLE) / CAST(m.ns AS DOUBLE), 4)
+        |    AS REAL)
+        |FROM r""".stripMargin,
+
+    // The q210 session CTEs rolled up to the engagement trio.
+    "q378_bounce_rate" ->
+      s"""WITH e AS (
+         |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         |         event_id
+         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |l AS (SELECT *, lag(t) OVER
+         |        (PARTITION BY user_id ORDER BY t, event_id) AS prev
+         |      FROM e),
+         |f AS (SELECT *, CASE WHEN prev IS NULL OR t - prev > $sessionGapS
+         |        THEN 1 ELSE 0 END AS is_new FROM l),
+         |s AS (SELECT *, sum(is_new) OVER
+         |        (PARTITION BY user_id ORDER BY t, event_id) AS sid
+         |      FROM f),
+         |g AS (SELECT user_id, sid, count(*) AS n_events,
+         |        max(t) - min(t) AS dur FROM s GROUP BY 1, 2),
+         |a AS (SELECT count(*) AS ns,
+         |        sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS nb,
+         |        sum(n_events) AS te, sum(dur) AS td FROM g)
+         |SELECT CAST(ns AS BIGINT) AS n_sessions,
+         |  CAST(nb AS BIGINT) AS n_bounce,
+         |  CAST(round(CAST(nb AS DOUBLE) / CAST(ns AS DOUBLE), 4)
+         |    AS REAL) AS bounce_rate,
+         |  CAST(round(CAST(te AS DOUBLE) / CAST(ns AS DOUBLE), 4)
+         |    AS REAL) AS avg_events,
+         |  CAST(round(CAST(td AS DOUBLE) / CAST(ns AS DOUBLE), 2)
+         |    AS REAL) AS avg_duration_s
+         |FROM a""".stripMargin,
+
+    // Rank deciles off the (rev DESC, cust) total order, integer
+    // decile rule, cumulative shares over the 10-row frame.
+    "q379_pareto" ->
+      """WITH per AS (
+        |  SELECT o_custkey AS cust,
+        |         sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |           AS BIGINT)) AS rev
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+        |  GROUP BY 1),
+        |s AS (SELECT rev, CAST(row_number() OVER
+        |        (ORDER BY rev DESC, cust) AS BIGINT) AS rk FROM per),
+        |t AS (SELECT count(*) AS n, sum(rev) AS tt FROM per),
+        |d AS (SELECT CAST(((rk - 1) * 10) // n AS INTEGER) AS decile,
+        |        count(*) AS n_customers, sum(s.rev) AS rev_c,
+        |        max(t.tt) AS tt
+        |      FROM s, t GROUP BY 1),
+        |c AS (SELECT *, sum(rev_c) OVER (ORDER BY decile
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        AS cum_c FROM d)
+        |SELECT decile, CAST(n_customers AS BIGINT) AS n_customers,
+        |  CAST(round(CAST(rev_c AS DOUBLE) / 100.0, 2) AS REAL)
+        |    AS revenue,
+        |  CAST(round(CAST(rev_c AS DOUBLE) / CAST(tt AS DOUBLE), 4)
+        |    AS REAL) AS rev_share,
+        |  CAST(round(CAST(cum_c AS DOUBLE) / CAST(tt AS DOUBLE), 4)
+        |    AS REAL) AS cum_share
+        |FROM c""".stripMargin,
 
     "q206_cube" ->
       """SELECT l_returnflag, l_linestatus,
