@@ -70,6 +70,53 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Cohort lifetime-value curves — the REVENUE sibling of
+    * [[retention]]'s activity matrix: users cohorted by first-activity
+    * day, purchase value accumulated by day offset, emitted as
+    * cumulative LTV per cohort member. The "when does a cohort pay
+    * back" readout every growth team reads next to retention.
+    *
+    * Determinism: purchase values exact cents (DECIMAL sums), cohort
+    * sizes exact counts; the cumulative ride a per-cohort window over
+    * the bounded (cohort × offsets) frame; LTV-per-user one division
+    * at the edge.
+    *
+    * Scale shape: one distinct-activity pass (the retention plan), a
+    * broadcast-joinable cohort map, one (cohort, offset) groupBy; the
+    * cumulative window partitions by cohort_day — bounded frames.
+    *
+    * @return (cohort_day, offset_day, cohort_size, rev, cum_rev,
+    *         ltv_per_user)
+    */
+  def cohortLtv(events: DataFrame): DataFrame = {
+    val ev = events.where(col("user_id").isNotNull && col("ts").isNotNull)
+    val cohort = ev.select(col("user_id"), to_date(col("ts")).as("dt"))
+      .groupBy(col("user_id")).agg(min(col("dt")).as("cohort_day"))
+    val sizes = cohort.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val rev = ev.where(col("event_type") === "purchase" &&
+        col("value").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("dt"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("v"))
+      .join(cohort, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("dt"), col("cohort_day")).as("offset_day"))
+      .agg(sum(col("v").cast("decimal(38,0)")).as("rev_c"))
+    val w = Window.partitionBy(col("cohort_day")).orderBy(col("offset_day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    rev.join(sizes, "cohort_day")
+      .withColumn("cum_c", sum(col("rev_c")).over(w))
+      .select(col("cohort_day"), col("offset_day"), col("cohort_size"),
+        round(col("rev_c").cast("double") / lit(100.0), 2)
+          .cast("float").as("rev"),
+        round(col("cum_c").cast("double") / lit(100.0), 2)
+          .cast("float").as("cum_rev"),
+        // cum/(100·size) lands on exact half-points — integer half-up
+        (expr("(2 * cast(cum_c as bigint) * 100 + cohort_size)" +
+          " div (2 * cohort_size)").cast("double") / lit(1e4))
+          .cast("float").as("ltv_per_user"))
+  }
+
   /** Funnel DROP-OFF table at SESSION granularity — the conversion
     * report product analytics actually ships: sessionize (gap rule),
     * run the in-order step chain WITHIN each session (the session is

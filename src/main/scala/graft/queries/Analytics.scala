@@ -1394,6 +1394,12 @@ object Analytics extends QueryPack {
       graft.graph.Centrality.edgeBetweennessFrom(
         brandesBundle(s, d)._2)),
 
+    // Cohort LTV curves — q174's retention matrix with MONEY: exact
+    // cent sums per (cohort, offset), cumulative per cohort, LTV per
+    // member; "when does a cohort pay back".
+    "q380_cohort_ltv" -> ((s, d) =>
+      graft.ops.EventAnalytics.cohortLtv(t("events")(s, d))),
+
     // Binary segmentation over the q205 CUSUM: split at the global
     // argmax, re-run the CUSUM INSIDE each half from the SAME scan —
     // segment-local statistics are exact algebra on the global prefix
@@ -2894,6 +2900,40 @@ object Analytics extends QueryPack {
         |  CAST(CAST((sum(t) + 50) // 100 AS DOUBLE) / 10000.0 AS REAL)
         |    AS eb
         |FROM ets GROUP BY 1, 2""".stripMargin,
+
+    // The q174 cohort CTEs + cent sums + the per-cohort cumulative.
+    "q380_cohort_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_type, value FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |cohort AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        |           FROM ev GROUP BY 1),
+        |sizes AS (SELECT cohort_day, count(*) AS cohort_size
+        |          FROM cohort GROUP BY 1),
+        |rev AS (SELECT c.cohort_day,
+        |          CAST(datediff('day', c.cohort_day, CAST(e.ts AS DATE))
+        |            AS INTEGER) AS offset_day,
+        |          sum(CAST(CAST(e.value AS DECIMAL(18,2)) * 100
+        |            AS BIGINT)) AS rev_c
+        |        FROM ev e JOIN cohort c USING (user_id)
+        |        WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+        |        GROUP BY 1, 2),
+        |c2 AS (SELECT r.cohort_day, r.offset_day, r.rev_c,
+        |         s.cohort_size,
+        |         sum(r.rev_c) OVER (PARTITION BY r.cohort_day
+        |           ORDER BY r.offset_day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS cum_c
+        |       FROM rev r JOIN sizes s USING (cohort_day))
+        |SELECT cohort_day, offset_day,
+        |  CAST(cohort_size AS BIGINT) AS cohort_size,
+        |  CAST(round(CAST(rev_c AS DOUBLE) / 100.0, 2) AS REAL) AS rev,
+        |  CAST(round(CAST(cum_c AS DOUBLE) / 100.0, 2) AS REAL)
+        |    AS cum_rev,
+        |  CAST(CAST((2 * CAST(cum_c AS BIGINT) * 100 + cohort_size)
+        |    // (2 * cohort_size) AS DOUBLE) / 10000.0 AS REAL)
+        |    AS ltv_per_user
+        |FROM c2""".stripMargin,
 
     // The q205 scan CTEs + struct-min split row + the same segment-
     // local algebra on the global prefix sums.
