@@ -664,4 +664,49 @@ class PlanSpec extends AnyFunSuite {
       }.isEmpty, q)
     }
   }
+
+  test("q338/q343: the flow and TRIX marts stack every window on " +
+      "ONE sort — no joins, no extra exchange") {
+    Seq("q338_mfi", "q343_trix").foreach { q =>
+      val p = plan(q)
+      assert(p.collect { case s: SortMergeJoinExec => s }.isEmpty &&
+        p.collect { case b: BroadcastHashJoinExec => b }.isEmpty, q)
+      // bar groupBy + window partitioning: exactly two exchanges
+      val ex = p.collect { case e: ShuffleExchangeExec => e }
+      assert(ex.size <= 2, s"$q planned ${ex.size} exchanges")
+    }
+  }
+
+  test("q366/q379: the quintile/decile cuts never plan a global " +
+      "fact-width sort (the scan's metadata offset window excepted)") {
+    Seq("q366_rfm", "q379_pareto").foreach { q =>
+      val p = plan(q)
+      val wide = p.collect {
+        case s: org.apache.spark.sql.execution.SortExec
+            if s.global && s.child.output.length > 3 => s
+      }
+      assert(wide.isEmpty, s"$q plans a global sort over wide rows")
+    }
+  }
+
+  test("q349: Levene's group-stat attach is a broadcast join") {
+    val p = plan("q349_levene")
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "per-group (n, Σx) should broadcast back onto the fact rows")
+    assert(p.collect { case s: SortMergeJoinExec => s }.isEmpty,
+      "no sort-merge join in the Levene plan")
+  }
+
+  test("q374: the image-entropy payload stage plans zero exchanges " +
+      "before the codec map") {
+    // histogram columns come out of mapPartitions — the only
+    // exchanges allowed are AFTER the 18-column narrow frame
+    val p = plan("q374_image_entropy")
+    val scans = p.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    // entropy is a pure projection over the histogram columns: no
+    // aggregate exchange at all
+    val ex = p.collect { case e: ShuffleExchangeExec => e }
+    assert(ex.isEmpty, s"entropy planned ${ex.size} exchanges")
+  }
 }
