@@ -767,6 +767,86 @@ object Stats {
           .as("frac_through"))
   }
 
+  /** Per-group standardized moments — skewness and excess kurtosis
+    * beside the global q317 Jarque–Bera: the distribution-shape
+    * profile per segment ("which event types are heavy-tailed"), from
+    * the same exact DECIMAL raw-moment discipline (Σx..Σx⁴ in CENT
+    * scale, central moments and the standardized ratios one fixed
+    * IEEE sequence per group on the bounded group frame).
+    *
+    * @return (g, n, mean, sd, skewness, kurtosis_excess)
+    */
+  def groupMoments(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    val x = cents(col(valueCol))
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val m = df.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(x.cast("decimal(38,0)")).as("s1"),
+        sum((dec(x) * dec(x)).cast("decimal(38,0)")).as("s2"),
+        sum((dec(x) * dec(x) * dec(x)).cast("decimal(38,0)")).as("s3"),
+        sum((dec(x) * dec(x) * dec(x) * dec(x)).cast("decimal(38,0)"))
+          .as("s4"))
+    val dn = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val mu = d("s1") / dn
+    val m2 = d("s2") / dn - mu * mu
+    val m3 = d("s3") / dn - lit(3.0) * mu * (d("s2") / dn) +
+      lit(2.0) * mu * mu * mu
+    val m4 = d("s4") / dn - lit(4.0) * mu * (d("s3") / dn) +
+      lit(6.0) * mu * mu * (d("s2") / dn) -
+      lit(3.0) * mu * mu * mu * mu
+    val sd = sqrt(m2)
+    m.select(col("g"), col("n"),
+      round(mu / lit(100.0), 4).cast("float").as("mean"),
+      round(when(m2 > 0.0, sd) / lit(100.0), 4).cast("float").as("sd"),
+      round(when(m2 > 0.0, m3 / (sd * sd * sd)), 4)
+        .cast("float").as("skewness"),
+      round(when(m2 > 0.0, m4 / (m2 * m2) - lit(3.0)), 4)
+        .cast("float").as("kurtosis_excess"))
+  }
+
+  /** Median absolute deviation — the ROBUST scale estimate the
+    * z/stddev family falls back to when q317 says the tails are
+    * heavy: med = exact order statistic, MAD = median of |x − med|,
+    * both via per-value counts + the distributed scan (TWO scans, no
+    * single-task sort anywhere); the consistency-scaled robust sigma
+    * uses the 1.4826 literal. Everything before the edge is an exact
+    * integer.
+    *
+    * @return one row (n, median, mad, robust_sd)
+    */
+  def medianAbsDeviation(df: DataFrame, valueCol: String): DataFrame = {
+    val x = cents(col(valueCol))
+    def medOf(vals: DataFrame): DataFrame = {
+      // vals: (v) exact longs; median = smallest v with 2·cum ≥ n
+      val counts = vals.groupBy(col("v")).agg(count(lit(1)).as("ct"))
+        .localCheckpoint(true)
+      val n = counts.agg(sum(col("ct")).as("n"))
+      Scan.globalRunningSum(counts, Seq("v"), col("ct"), "rt")
+        .crossJoin(broadcast(n))
+        .agg(max(col("n")).as("n"),
+          min(when(col("rt") * 2 >= col("n"), col("v"))).as("med"))
+    }
+    val base = df.where(col(valueCol).isNotNull).select(x.as("v"))
+      .localCheckpoint(true) // feeds both scans
+    val m1 = medOf(base)
+    val dev = base.crossJoin(broadcast(m1))
+      .select(abs(col("v") - col("med")).as("v"),
+        col("n").as("n0"), col("med").as("med0"))
+    val m2 = medOf(dev.select(col("v")))
+    m1.select(col("n"), col("med")).crossJoin(broadcast(
+        m2.select(col("med").as("mad_c"))))
+      .select(col("n"),
+        round(col("med").cast("double") / lit(100.0), 2)
+          .cast("float").as("median"),
+        round(col("mad_c").cast("double") / lit(100.0), 2)
+          .cast("float").as("mad"),
+        round(col("mad_c").cast("double") * lit(1.4826) / lit(100.0), 4)
+          .cast("float").as("robust_sd"))
+  }
+
   /** Binary segmentation, one level (Scott & Knott 1974; the
     * standard multiple-changepoint recursion over [[cusumChangepoint]]):
     * find the global CUSUM argmax, split there, and re-run the CUSUM

@@ -1394,6 +1394,20 @@ object Analytics extends QueryPack {
       graft.graph.Centrality.edgeBetweennessFrom(
         brandesBundle(s, d)._2)),
 
+    // Per-event-type skewness/kurtosis — the distribution-shape
+    // profile per segment beside the global q317 JB; exact cent
+    // raw moments to the 4th power.
+    "q381_group_moments" -> ((s, d) =>
+      graft.ops.Stats.groupMoments(t("events")(s, d), "value",
+        "event_type")),
+
+    // Median absolute deviation of order totals — the robust scale
+    // the z family falls back to on heavy tails: two distributed
+    // order-statistic scans, exact integers to the edge.
+    "q382_mad" -> ((s, d) =>
+      graft.ops.Stats.medianAbsDeviation(t("orders")(s, d),
+        "o_totalprice")),
+
     // Cohort LTV curves — q174's retention matrix with MONEY: exact
     // cent sums per (cohort, offset), cumulative per cohort, LTV per
     // member; "when does a cohort pay back".
@@ -2900,6 +2914,71 @@ object Analytics extends QueryPack {
         |  CAST(CAST((sum(t) + 50) // 100 AS DOUBLE) / 10000.0 AS REAL)
         |    AS eb
         |FROM ets GROUP BY 1, 2""".stripMargin,
+
+    // Exact HUGEINT raw moments to x⁴, the same central-moment and
+    // standardized sequences per group.
+    "q381_group_moments" ->
+      """WITH f AS (
+        |  SELECT event_type AS g,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT g, count(*) AS n,
+        |        CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS s1,
+        |        CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS s2,
+        |        CAST(sum(CAST(x AS HUGEINT) * x * x) AS DOUBLE) AS s3,
+        |        CAST(sum(CAST(x AS HUGEINT) * x * x * x) AS DOUBLE)
+        |          AS s4
+        |      FROM f GROUP BY 1),
+        |e AS (SELECT g, n, CAST(n AS DOUBLE) AS dn, s1, s2, s3, s4,
+        |        s1 / CAST(n AS DOUBLE) AS mu FROM m),
+        |e2 AS (SELECT *,
+        |         s2 / dn - mu * mu AS m2,
+        |         s3 / dn - 3.0 * mu * (s2 / dn) + 2.0 * mu * mu * mu
+        |           AS m3,
+        |         s4 / dn - 4.0 * mu * (s3 / dn)
+        |           + 6.0 * mu * mu * (s2 / dn)
+        |           - 3.0 * mu * mu * mu * mu AS m4
+        |       FROM e)
+        |SELECT g, n,
+        |  CAST(round(mu / 100.0, 4) AS REAL) AS mean,
+        |  CAST(round((CASE WHEN m2 > 0 THEN sqrt(m2) END) / 100.0, 4)
+        |    AS REAL) AS sd,
+        |  CAST(round(CASE WHEN m2 > 0
+        |    THEN m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)) END, 4) AS REAL)
+        |    AS skewness,
+        |  CAST(round(CASE WHEN m2 > 0
+        |    THEN m4 / (m2 * m2) - 3.0 END, 4) AS REAL)
+        |    AS kurtosis_excess
+        |FROM e2""".stripMargin,
+
+    // Two scan passes: median, then median of |x − med|; the same
+    // integer rank rules and the 1.4826 literal.
+    "q382_mad" ->
+      """WITH t AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |           AS BIGINT) AS v
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |c1 AS (SELECT v, count(*) AS ct FROM t GROUP BY 1),
+        |s1 AS (SELECT v, ct, sum(ct) OVER (ORDER BY v
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS rt, sum(ct) OVER () AS n FROM c1),
+        |m1 AS (SELECT CAST(max(n) AS BIGINT) AS n,
+        |         min(CASE WHEN rt * 2 >= n THEN v END) AS med FROM s1),
+        |d AS (SELECT abs(t.v - m1.med) AS v FROM t, m1),
+        |c2 AS (SELECT v, count(*) AS ct FROM d GROUP BY 1),
+        |s2 AS (SELECT v, ct, sum(ct) OVER (ORDER BY v
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS rt, sum(ct) OVER () AS n FROM c2),
+        |m2 AS (SELECT min(CASE WHEN rt * 2 >= n THEN v END) AS mad_c
+        |       FROM s2)
+        |SELECT m1.n,
+        |  CAST(round(CAST(m1.med AS DOUBLE) / 100.0, 2) AS REAL)
+        |    AS median,
+        |  CAST(round(CAST(m2.mad_c AS DOUBLE) / 100.0, 2) AS REAL)
+        |    AS mad,
+        |  CAST(round(CAST(m2.mad_c AS DOUBLE) * 1.4826 / 100.0, 4)
+        |    AS REAL) AS robust_sd
+        |FROM m1, m2""".stripMargin,
 
     // The q174 cohort CTEs + cent sums + the per-cohort cumulative.
     "q380_cohort_ltv" ->

@@ -100,4 +100,30 @@ class TsStatsSpec extends AnyFunSuite {
       assert(byP(p).getAs[Float]("power_frac") < 0.1f, s"period $p")
     }
   }
+
+  test("groupMoments: symmetric fixture pins skew 0, uniform kurtosis") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0)).toDF("g", "v")
+    val r = graft.ops.Stats.groupMoments(df, "v", "g").collect().head
+    assert(r.getAs[Float]("mean") == 2.0f)
+    assert(r.getAs[Float]("skewness") == 0.0f)
+    // 3-point uniform: m4/m2^2 = 1.5 -> excess -1.5
+    assert(r.getAs[Float]("kurtosis_excess") == -1.5f)
+  }
+
+  test("groupMoments: constant group drives the NULL variance guards") {
+    val df = Seq(("c", 5.0), ("c", 5.0)).toDF("g", "v")
+    val r = graft.ops.Stats.groupMoments(df, "v", "g").collect().head
+    assert(r.isNullAt(r.fieldIndex("skewness")))
+    assert(r.isNullAt(r.fieldIndex("sd")))
+  }
+
+  test("medianAbsDeviation: hand-solved {1,2,4,8,100}") {
+    val df = Seq(1.0, 2.0, 4.0, 8.0, 100.0).toDF("v")
+    val r = graft.ops.Stats.medianAbsDeviation(df, "v").collect().head
+    assert(r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Float]("median") == 4.0f)
+    // |x-4| = {3,2,0,4,96} -> median 3
+    assert(r.getAs[Float]("mad") == 3.0f)
+    assert(math.abs(r.getAs[Float]("robust_sd") - 3 * 1.4826) < 1e-4)
+  }
 }
