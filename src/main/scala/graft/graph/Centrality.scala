@@ -97,7 +97,15 @@ object Centrality {
         .join(e.select(col("a").as("id"), col("b").as("w")), Seq("id"))
         .join(succ, Seq("src", "w"))
         .select(col("src"), col("id"), col("w"), lit(r).as("vdist"),
-          expr("sigma * (1000000 + dw) div sw").as("t"))
+          // decimal(38,0) multiply (r13 advice): sigma is an EXACT
+          // shortest-path count and grows combinatorially on dense
+          // neighborhoods — a pure-Long product would WRAP silently at
+          // scale while the oracle's BIGINT multiply errors. Widening
+          // to 38 digits keeps the math exact far past any realistic
+          // seeded-radius sigma (the oracle mirrors with HUGEINT); the
+          // div result is a Long again.
+          expr("cast(sigma as decimal(38,0)) * (1000000 + dw) div sw")
+            .as("t"))
         .transform(GraftSqlShims.localCheckpointFreshStats)
       val contrib = terms.groupBy(col("src"), col("id"))
         .agg(sum(col("t")).as("delta_u"))

@@ -1017,7 +1017,11 @@ object TextOps {
     *
     * Determinism: gram counts and overlaps exact longs; P/R/F one
     * fixed IEEE sequence per pair on exact ratios, F = 0 when the
-    * overlap is empty (both engines, never NULL).
+    * overlap is empty (both engines, never NULL). A pair is EMITTED
+    * only when both docs have ≥ n tokens for every gram order (the
+    * per-doc bigram-total joins are inner): a candidate pair whose
+    * side has fewer than 2 tokens is dropped, not scored 0 — the
+    * oracle mirrors the drop.
     *
     * Scale shape: the quadratic is CONFINED to `pairs` (the caller's
     * banded/prefix-filtered candidate set); grams join pair-bounded

@@ -84,6 +84,10 @@ object Segmentation {
     * per-customer frame — never a single-task sort; the 10-row decile
     * frame is the documented metadata window exception.
     *
+    * Assumes n ≥ 10 customers (always true of the TPC-H-shaped
+    * fixture): with fewer, the integer rule degenerates to one
+    * decile row per customer and the numbering no longer spans 0–9.
+    *
     * @return 10 rows (decile, n_customers, revenue, rev_share,
     *         cum_share)
     */

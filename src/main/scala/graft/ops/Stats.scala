@@ -2835,7 +2835,21 @@ object Stats {
   /** ln 9 as a plan-time literal (the entropy normalizer for the
     * 9-period candidate grid; no libm log(9) in a query path).
     */
-  private val ln9 = 2.1972245773362196
+  /** ln(maxPeriod − 1) normalizers for [[spectralEntropy]] as
+    * PLAN-TIME literals keyed by maxPeriod (r13 advice: the single
+    * hardcoded ln 9 silently mis-normalized any maxPeriod ≠ 10 call).
+    * Literals rather than `math.log` at plan time so an oracle can
+    * quote the exact same 17-digit constant. */
+  private val lnPeriods: Map[Int, Double] = Map(
+    4 -> 1.0986122886681098, // ln 3
+    5 -> 1.3862943611198906, // ln 4
+    6 -> 1.6094379124341003, // ln 5
+    7 -> 1.791759469228055, // ln 6
+    8 -> 1.9459101490553132, // ln 7
+    9 -> 2.0794415416798357, // ln 8
+    10 -> 2.1972245773362196, // ln 9
+    11 -> 2.302585092994046, // ln 10
+    12 -> 2.3978952727983707) // ln 11
 
   /** Spectral entropy over the [[periodogram]] candidate grid
     * (Goerg 2013's forecastability ω, discretized): H = −Σ p̂ ln p̂ /
@@ -2853,6 +2867,9 @@ object Stats {
     */
   def spectralEntropy(series: DataFrame, keyCol: String,
       valueCol: String, maxPeriod: Int = 10): DataFrame = {
+    require(lnPeriods.contains(maxPeriod),
+      s"spectralEntropy: maxPeriod=$maxPeriod has no plan-time ln " +
+        s"literal (supported: ${lnPeriods.keys.toSeq.sorted})")
     val pg = periodogram(series, keyCol, valueCol, maxPeriod)
       .select(col("period"), col("power_frac").cast("double").as("f"))
     val wide = pg.agg(
@@ -2863,7 +2880,7 @@ object Stats {
     val ent = (2 to maxPeriod).map { p =>
       val q = col(s"f$p") / tot
       when(col(s"f$p") > 0.0, -(q * log(q))).otherwise(lit(0.0))
-    }.reduce(_ + _) / lit(ln9)
+    }.reduce(_ + _) / lit(lnPeriods(maxPeriod))
     wide.select(lit(maxPeriod - 1).as("n_periods"),
       round(when(tot > 0.0, ent), 4).cast("float").as("entropy"))
   }

@@ -2872,7 +2872,7 @@ object Analytics extends QueryPack {
         |dl3 AS MATERIALIZED (SELECT src, id, CAST(0 AS BIGINT) AS du
         |        FROM d WHERE dist = 3),
         |t2 AS MATERIALIZED (SELECT v.src, v.id AS vid, e.v AS wid,
-        |          v.sigma * (1000000 + COALESCE(w3.du, 0))
+        |          CAST(v.sigma AS HUGEINT) * (1000000 + COALESCE(w3.du, 0))
         |            // sw.sigma AS t
         |        FROM sg2 v JOIN e ON e.u = v.id
         |        JOIN d dw ON dw.src = v.src AND dw.id = e.v
@@ -2886,7 +2886,7 @@ object Analytics extends QueryPack {
         |                   GROUP BY 1, 2) s
         |          ON s.src = l.src AND s.vid = l.id),
         |t1 AS MATERIALIZED (SELECT v.src, v.id AS vid, e.v AS wid,
-        |          v.sigma * (1000000 + COALESCE(w2.du, 0))
+        |          CAST(v.sigma AS HUGEINT) * (1000000 + COALESCE(w2.du, 0))
         |            // sw.sigma AS t
         |        FROM sg1 v JOIN e ON e.u = v.id
         |        JOIN d dw ON dw.src = v.src AND dw.id = e.v
@@ -2900,7 +2900,7 @@ object Analytics extends QueryPack {
         |                   GROUP BY 1, 2) s
         |          ON s.src = l.src AND s.vid = l.id),
         |t0 AS MATERIALIZED (SELECT v.src, v.id AS vid, e.v AS wid,
-        |          v.sigma * (1000000 + COALESCE(w1.du, 0))
+        |          CAST(v.sigma AS HUGEINT) * (1000000 + COALESCE(w1.du, 0))
         |            // sw.sigma AS t
         |        FROM sg0 v JOIN e ON e.u = v.id
         |        JOIN d dw ON dw.src = v.src AND dw.id = e.v
@@ -3307,7 +3307,7 @@ object Analytics extends QueryPack {
         |        FROM (SELECT src, id FROM d WHERE dist = 2) l
         |        LEFT JOIN (
         |          SELECT v.src, v.id,
-        |            sum(v.sigma * (1000000 + COALESCE(w3.du, 0))
+        |            sum(CAST(v.sigma AS HUGEINT) * (1000000 + COALESCE(w3.du, 0))
         |                // sw.sigma) AS du2
         |          FROM sg2 v
         |          JOIN e ON e.u = v.id
@@ -3321,7 +3321,7 @@ object Analytics extends QueryPack {
         |        FROM (SELECT src, id FROM d WHERE dist = 1) l
         |        LEFT JOIN (
         |          SELECT v.src, v.id,
-        |            sum(v.sigma * (1000000 + COALESCE(w2.du, 0))
+        |            sum(CAST(v.sigma AS HUGEINT) * (1000000 + COALESCE(w2.du, 0))
         |                // sw.sigma) AS du2
         |          FROM sg1 v
         |          JOIN e ON e.u = v.id

@@ -107,9 +107,37 @@ object LlmPack extends QueryPack {
       (cents.localCheckpoint(true), assigned.localCheckpoint(true))
     })
 
+  /** Memoized near-dup cluster frame ([[graft.llm.Dedup.dupClusters]]
+    * output: doc_id, cluster, cluster_size, is_canonical) — FOUR
+    * queries consume the same simhash-pair + pointer-jumped-CC build
+    * (q82 clusters, q85 cluster dedup, q149 balanced sample, q368
+    * size distribution × bench samples), each ~5 s at sf0.1, and each
+    * used to re-run the whole family from scratch (r13 verdict item
+    * #1 — the q172/q183 story repeating). q133's DAY-2 incremental
+    * form stays un-memoized on purpose: its point is exercising the
+    * delta-reconciliation path, not the full recompute. Same hygiene
+    * contract as [[bm25Run]]: identical answers, independent oracles.
+    */
+  private val dupClustersCache =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[
+        String, org.apache.spark.sql.DataFrame]]()
+
+  private def dupClustersBuilt(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    dupClustersCache.synchronized {
+      dupClustersCache.computeIfAbsent(s, _ =>
+        new java.util.concurrent.ConcurrentHashMap())
+    }.computeIfAbsent(d, _ =>
+      Dedup.dupClusters(t("documents")(s, d)).localCheckpoint(true))
+
   // Bench-visibility registration (r12 advice): each memoized build is
   // cleared per sample pass and rebuilt as its own timed `b_*` line
   // item — see [[graft.SharedBuilds]].
+  graft.SharedBuilds.register("dup_clusters")(s =>
+    dupClustersCache.synchronized {
+      Option(dupClustersCache.get(s)).foreach(_.clear())
+    })((s, d) => { dupClustersBuilt(s, d); () })
   graft.SharedBuilds.register("bm25_run")(s =>
     bm25Cache.synchronized {
       Option(bm25Cache.get(s)).foreach(_.clear())
@@ -553,13 +581,12 @@ object LlmPack extends QueryPack {
     // Near-dup clusters: connected components over the simhash pair
     // graph (min-label propagation to a fixpoint); the oracle
     // re-derives the components with a recursive reachability CTE.
-    "q82_dup_clusters" -> ((s, d) =>
-      Dedup.dupClusters(t("documents")(s, d))),
+    "q82_dup_clusters" -> ((s, d) => dupClustersBuilt(s, d)),
     // Cluster-SIZE distribution over the q82 components: the
     // curation readout that sizes the dedup problem — how much of the
     // corpus sits in big near-dup families vs singletons.
     "q368_cluster_sizes" -> ((s, d) =>
-      Dedup.dupClusters(t("documents")(s, d))
+      dupClustersBuilt(s, d)
         .groupBy(col("cluster_size"))
         .agg(countDistinct(col("cluster")).as("n_clusters"),
           count(lit(1)).as("n_docs"))),
@@ -580,14 +607,14 @@ object LlmPack extends QueryPack {
     // near-dup cluster (quality desc, doc_id tie-break on ROUNDED
     // scores, so both engines agree on the winner).
     "q85_cluster_dedup" -> ((s, d) =>
-      Dedup.clusterDedup(t("documents")(s, d))),
+      Dedup.clusterDedup(t("documents")(s, d), dupClustersBuilt(s, d))),
     // SOFT near-dup dedup: every doc keeps with rate sqrt(size)/size
     // (√n expected survivors per cluster) — the diversity-preserving
     // alternative to q85's keep-one rule. sqrt and divide are exactly
     // rounded in IEEE, so the rate AND the verdict sit under the hash
     // gate with no rounding hedge.
     "q149_cluster_sample" -> ((s, d) =>
-      graft.llm.Corpus.clusterBalancedSample(t("documents")(s, d))),
+      graft.llm.Corpus.clusterBalancedSample(dupClustersBuilt(s, d), "cbs")),
     // Gopher-style quality gate: rule metrics + per-rule flags + keep.
     "q87_gopher_filter" -> ((s, d) =>
       TextOps.gopherFilter(t("documents")(s, d))),

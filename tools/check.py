@@ -66,8 +66,11 @@ def cell_eq(a, b):
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = {a.split("=", 1)[0]: (a.split("=", 1)[1] if "=" in a else "")
+            for a in sys.argv[1:] if a.startswith("--")}
+    sf_dir, out_dir = args[0], args[1]
+    only = set(args[2:])
     con = duckdb.connect()
     for t in TABLES:
         try:
@@ -75,7 +78,29 @@ def main():
         except Exception as e:
             print(f"WARN: no view for {t}: {e}")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # r13 hardening: an empty dump must never "pass" silently — the
+    # round-13 driver artifact came back {} while the engine was green.
+    # Fail loudly on an empty oracle map, and cross-check the dump
+    # against graft.Verify's own run_meta.json query count when the
+    # full (un-filtered) gate is being run.
+    if not oracles:
+        print("FAIL: oracle_sql.json is EMPTY — verify dump is broken "
+              "or was never run; refusing to pass an empty gate")
+        sys.exit(2)
+    meta = {}
+    try:
+        meta = json.load(open(f"{out_dir}/run_meta.json"))
+    except Exception as e:
+        print(f"WARN: run_meta.json unreadable: {e}")
+    if not only and meta.get("n_queries") is not None:
+        n_meta = int(meta["n_queries"])
+        if n_meta != len(oracles):
+            print(f"FAIL: oracle_sql.json has {len(oracles)} entries but "
+                  f"run_meta.json says SparkEntry.queries has {n_meta} — "
+                  f"partial dump; refusing to pass")
+            sys.exit(2)
     n_pass = n_fail = 0
+    failed_names = []
     for name in sorted(oracles):
         if only and name not in only:
             continue
@@ -88,6 +113,7 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
             n_fail += 1
+            failed_names.append(name)
             continue
         try:
             want_rel = con.sql(sql)
@@ -95,20 +121,24 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             n_fail += 1
+            failed_names.append(name)
             continue
         skew = dtype_skew(got_rel, want_rel)
         if skew:
             print(f"FAIL {name}: dtype skew (col, spark, oracle): {skew}")
             n_fail += 1
+            failed_names.append(name)
             continue
         got, want = canon(got), canon(want)
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: columns {list(got.columns)} vs oracle {list(want.columns)}")
             n_fail += 1
+            failed_names.append(name)
             continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} vs oracle {len(want)}")
             n_fail += 1
+            failed_names.append(name)
             continue
         bad = []
         for c in got.columns:
@@ -123,10 +153,26 @@ def main():
         if bad:
             print(f"FAIL {name}: {len(bad)}+ cell mismatches, first: {bad[:3]}")
             n_fail += 1
+            failed_names.append(name)
         else:
             print(f"PASS {name} ({len(got)} rows, {len(got.columns)} cols)")
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    # Self-check artifact (r13 advice #3): a committed per-round summary
+    # (count + git head + pass/fail) so an empty/missing driver artifact
+    # is immediately diagnosable against the builder's own run.
+    if "--summary" in opts and opts["--summary"]:
+        summary = {
+            "n_pass": n_pass,
+            "n_fail": n_fail,
+            "n_oracles": len(oracles),
+            "failed": sorted(failed_names),
+            "sf_dir": sf_dir,
+            "run_meta": meta,
+        }
+        with open(opts["--summary"], "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+        print(f"summary -> {opts['--summary']}")
     sys.exit(1 if n_fail else 0)
 
 
