@@ -23,6 +23,16 @@ import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
   * query and the median discards it. All raw samples are recorded in
   * bench_queries.json under "samples".
   *
+  * Wall-time control (r13): queries whose every sample so far ran
+  * under SPARK_GRAFT_BENCH_FAST_CUTOFF (default 0.5 s) are not
+  * re-sampled on later passes — a burst can only inflate a sample, so
+  * a sub-cutoff measurement proves the query fast; `b_*` builds and
+  * anything slower keep full median-of-N. The artifact reports the
+  * skipped count (`fast_single_sample`) and, for the dominant `b_*`
+  * entries, the raw [min,max] sample spread (`build_spread`) so a
+  * run-to-run instability like r13's b_dist_brandes 27↔125 s swing is
+  * adjudicable from the compact line alone.
+  *
   * Failures are NOT swallowed, but one bad PASS does not condemn a
   * working query: a query is `"failed"` (−1 in the per-query map,
   * nonzero exit) only when EVERY pass threw; a query that threw on
@@ -43,6 +53,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val nSamples = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "3").toInt.max(1)
+    // queries measuring under this on every sample so far skip later
+    // passes (single-sample mode); 0 disables the skip entirely
+    val fastCutoff = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_FAST_CUTOFF", "0.5").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -139,6 +153,20 @@ object Bench {
         }
       }
       for ((name, fn) <- queryList) {
+        // FAST-QUERY single-sample mode (r13 verdict item #8): a query
+        // whose every sample so far ran under the cutoff is genuinely
+        // fast — load bursts only INFLATE a measurement, so a
+        // sub-cutoff pass-1 sample cannot hide a slow query — and is
+        // not re-sampled on later passes. At r13's shape this skips
+        // ~200 sub-0.5 s queries × 2 passes (~2/3 of their bench wall)
+        // while every `b_*` build and every slow query keeps full
+        // median-of-3 regression visibility. Skipped queries are
+        // counted in the artifact (`fast_single_sample`) — no silent
+        // caps.
+        val allFast = samples(name).nonEmpty &&
+          samples(name).forall(_._2 < fastCutoff)
+        if (pass > 1 && allFast) ()
+        else {
         val t0 = System.nanoTime()
         try {
           // bit_xor (not sum): xxhash64 values span the full long range
@@ -152,6 +180,7 @@ object Bench {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED (pass $pass): ${e.getMessage}")
             errors(name) += 1
+        }
         }
       }
     }
@@ -225,6 +254,21 @@ object Bench {
     val driftJson = driftSuspect.sorted.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     val buildsJson = buildNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // per-build [min,max] sample spread in the COMPACT line (r13
+    // verdict item #2): the b_dist_brandes 27 s ↔ 125 s builder/driver
+    // swing was invisible because raw samples live only in
+    // bench_queries.json, which the driver's tail discards. The `b_*`
+    // set is small (7 entries), so their spread fits the 2000-char tail
+    // and a run-to-run instability is adjudicable from the artifact.
+    val buildSpreadJson = buildNames.map { n =>
+      val vs = samples(n).map(_._2)
+      val lo = if (vs.isEmpty) -1.0 else math.rint(vs.min * 1000) / 1000
+      val hi = if (vs.isEmpty) -1.0 else math.rint(vs.max * 1000) / 1000
+      "\"" + n + "\":[" + lo + "," + hi + "]"
+    }.mkString("{", ",", "}")
+    val nFastSingle = queryList.map(_._1)
+      .count(n => samples(n).length == 1 && nSamples > 1 &&
+        !failed.contains(n) && errors(n) == 0)
     val familiesJson = families.map { case (f, v) =>
       "\"" + f + "\":" + v }.mkString("{", ",", "}")
     val samplesJson = results.map { case (k, _) =>
@@ -250,14 +294,14 @@ object Bench {
       "\"" + shortKey(k) + "\":" + math.rint(v * 1000) / 1000
     }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","value_norm":$totalNorm,"calib_sec":$calibSec,"calib_per_pass":$calibPerPassJson,"queries":$qs,"queries_norm":$qsNorm,"samples":$samplesJson,"n_samples":$nSamples,"failed":$failedJson,"flaky":$flakyJson,"drift_suspect":$driftJson,"shared_builds":$buildsJson,"families":$familiesJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","value_norm":$totalNorm,"calib_sec":$calibSec,"calib_per_pass":$calibPerPassJson,"queries":$qs,"queries_norm":$qsNorm,"samples":$samplesJson,"n_samples":$nSamples,"fast_single_sample":$nFastSingle,"fast_cutoff":$fastCutoff,"failed":$failedJson,"flaky":$flakyJson,"drift_suspect":$driftJson,"shared_builds":$buildsJson,"build_spread":$buildSpreadJson,"families":$familiesJson,"sf":"$sfDir"}"""
     // only full runs refresh the committed artifact — an args-filtered
     // local iteration must not clobber the full-query record
     if (only.isEmpty) java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_queries.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     println(s"""{"metric":"total_all_queries","value":$total,"unit":"sec","queries":$qsShort,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","value_norm":$totalNorm,"n_queries":${results.size},"calib_sec":$calibSec,"calib_per_pass":$calibPerPassJson,"queries":$qsTop,"queries_shown":"slowest20","n_samples":$nSamples,"failed":$failedJson,"flaky":$flakyJson,"drift_suspect":$driftJson,"shared_builds":$buildsJson,"sf":"$sfDir","queries_file":"bench_queries.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","value_norm":$totalNorm,"n_queries":${results.size},"calib_sec":$calibSec,"calib_per_pass":$calibPerPassJson,"queries":$qsTop,"queries_shown":"slowest20","n_samples":$nSamples,"fast_single_sample":$nFastSingle,"failed":$failedJson,"flaky":$flakyJson,"drift_suspect":$driftJson,"shared_builds":$buildsJson,"build_spread":$buildSpreadJson,"sf":"$sfDir","queries_file":"bench_queries.json"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

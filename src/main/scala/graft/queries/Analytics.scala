@@ -84,7 +84,10 @@ object Analytics extends QueryPack {
 
   /** Memoized Brandes bundle (forward dist/σ table + backward
     * per-DAG-edge dependency terms) over the co-purchase graph from
-    * the every-500th-part pivots at radius 3 — q358 (node
+    * the every-1000th-part pivots at radius 3 (halved from
+    * every-500th in r14: pivot-sampling error decays as 1/√k while
+    * build cost is linear in k, and this one build dominated the
+    * bench — 125 s of a 639 s suite in the r13 driver artifact) — q358 (node
     * betweenness), q359 (closeness) and q370 (edge betweenness) all
     * compose from it; without sharing, each re-ran the 7-round
     * forward + 4-level backward iteration (30–40 s each at sf0.1).
@@ -106,7 +109,7 @@ object Analytics extends QueryPack {
     }.computeIfAbsent(d, _ => {
       val parts = t("part")(s, d).select(col("p_partkey").as("id"))
       graft.graph.Centrality.brandesTerms(coPurchaseEdges(s, d),
-        parts.where(col("id") % 500 === 0), rounds = 3)
+        parts.where(col("id") % 1000 === 0), rounds = 3)
     })
 
   graft.SharedBuilds.register("dist_brandes")(s =>
@@ -1504,7 +1507,7 @@ object Analytics extends QueryPack {
     }),
 
     // k-pivot Brandes betweenness over the co-purchase graph (every-
-    // 500th part as pivot, radius 3): exact long σ path counts by
+    // 1000th part as pivot, radius 3): exact long σ path counts by
     // (src, id)-keyed frontier joins; the backward dependency levels
     // in micro-unit INTEGER floor-div arithmetic — order-independent
     // sums, the quantization mirrored exactly by the oracle's
@@ -2844,7 +2847,7 @@ object Analytics extends QueryPack {
         |    ON a.l_orderkey = b.l_orderkey
         |   AND a.l_partkey <> b.l_partkey),
         |seeds AS (SELECT p_partkey AS id FROM part
-        |          WHERE p_partkey % 500 = 0),
+        |          WHERE p_partkey % 1000 = 0),
         |walk(src, id, hop) AS (
         |  SELECT id, id, 0 FROM seeds
         |  UNION
@@ -3275,7 +3278,7 @@ object Analytics extends QueryPack {
         |    ON a.l_orderkey = b.l_orderkey
         |   AND a.l_partkey <> b.l_partkey),
         |seeds AS (SELECT p_partkey AS id FROM part
-        |          WHERE p_partkey % 500 = 0),
+        |          WHERE p_partkey % 1000 = 0),
         |walk(src, id, hop) AS (
         |  SELECT id, id, 0 FROM seeds
         |  UNION
@@ -3347,7 +3350,7 @@ object Analytics extends QueryPack {
         |    ON a.l_orderkey = b.l_orderkey
         |   AND a.l_partkey <> b.l_partkey),
         |seeds AS (SELECT p_partkey AS id FROM part
-        |          WHERE p_partkey % 500 = 0),
+        |          WHERE p_partkey % 1000 = 0),
         |walk(src, id, hop) AS (
         |  SELECT id, id, 0 FROM seeds
         |  UNION
