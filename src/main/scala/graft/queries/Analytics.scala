@@ -840,6 +840,25 @@ object Analytics extends QueryPack {
           col("cand").as("partkey"), col("score"))
     }),
 
+    // ALS-style implicit-feedback matrix factorization at rank 1
+    // (Hu-Koren-Volinsky weighting, 2 alternations) over the
+    // customer×part purchase counts — the MODEL-BASED recommendation
+    // member beside q265's neighborhood item-CF. Exact fixed-point
+    // integer rounds (the q170/q254 discipline): decimal(38,0) sums,
+    // integer floor-div solves, per-round renormalization to 10⁶ —
+    // bit-exact under the hash gate; the oracle unrolls both rounds
+    // as MATERIALIZED CTEs.
+    "q385_implicit_mf" -> ((s, d) => {
+      val ratings = t("orders")(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t("lineitem")(s, d)
+          .select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.ops.ImplicitMf.run(ratings, alpha = 10L, iters = 2)
+    }),
+
     // TextRank keyword extraction (Mihalcea & Tarau 2004): the word
     // co-occurrence graph (adjacent tokens, both directions, distinct)
     // run through the exact-integer PageRank — graph-structural
@@ -5677,6 +5696,16 @@ object Analytics extends QueryPack {
         |SELECT c AS custkey, CAST(rank AS INTEGER) AS rank,
         |       cand AS partkey, score
         |FROM rk WHERE rank <= 5""".stripMargin,
+
+    // Both ALS rounds unrolled as MATERIALIZED CTEs over the same
+    // HUGEINT fixed-point recursion (generator beside the engine code
+    // so round count/α stay in lockstep).
+    "q385_implicit_mf" ->
+      s"""WITH ${graft.ops.ImplicitMf.oracleCte(alpha = 10L, iters = 2)}
+         |SELECT 'user' AS kind, id, CAST(f AS BIGINT) AS f FROM u2
+         |UNION ALL
+         |SELECT 'item' AS kind, id, CAST(f AS BIGINT) AS f FROM v2"""
+        .stripMargin,
 
     // The word graph + all five integer PageRank rounds re-derived.
     "q266_textrank" ->

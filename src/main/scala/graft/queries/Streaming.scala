@@ -148,7 +148,28 @@ object Streaming extends QueryPack {
           month(col("dt")).cast("int").as("m"),
           dayofmonth(col("dt")).cast("int").as("dom"),
           datediff(col("dt"), lit("2024-01-01").cast("date")).cast("int")
-            .as("days_since_jan1"))))
+            .as("days_since_jan1"))),
+
+    // Windowed heavy hitters, exact scalable form: per event-time day,
+    // the event types crossing an absolute frequency threshold — one
+    // (window, key) hash aggregate; window totals re-aggregated from
+    // the count frame and attached by broadcast (never a second fact
+    // scan). The batch member of the streaming frequency alarm
+    // (graft.stream.HeavyHitters.windowed).
+    "q383_heavy_hitters" -> ((s, d) =>
+      graft.stream.HeavyHitters.exactBatch(
+        t("events")(s, d), "event_type", minCount = 60L,
+        windowLenS = 86400L)),
+    // The REAL SpaceSaving kernel (insert/fold/emit — the streaming
+    // form's state transition) folded per window as a batch query.
+    // m = 32 ≥ the key cardinality puts it in the summary's exact
+    // regime, so the output is required IDENTICAL to q383 and shares
+    // its oracle verbatim (the q133 identical-answer contract);
+    // above-capacity eviction behavior is pinned by HeavyHittersSpec.
+    "q384_space_saving" -> ((s, d) =>
+      graft.stream.HeavyHitters.spaceSavingBatch(
+        t("events")(s, d), "event_type", m = 32, minCount = 60L,
+        windowLenS = 86400L).toDF()))
 
   private val tsFmt =
     "strftime(make_timestamp(CAST(%s AS BIGINT)*1000000), '%%Y-%%m-%%d %%H:%%M:%%S')"
@@ -212,5 +233,25 @@ object Streaming extends QueryPack {
         |       CAST(month(dt) AS INTEGER) AS m,
         |       CAST(day(dt) AS INTEGER) AS dom,
         |       CAST(dt - DATE '2024-01-01' AS INTEGER) AS days_since_jan1
-        |FROM d""".stripMargin)
+        |FROM d""".stripMargin,
+
+    // Exact per-(day, key) counts with an absolute threshold; window
+    // totals summed from the count frame. q384 runs the SpaceSaving
+    // fold in its exact regime and must match this verbatim.
+    "q383_heavy_hitters" -> heavyHittersOracle,
+    "q384_space_saving" -> heavyHittersOracle)
+
+  private lazy val heavyHittersOracle: String =
+    """WITH f AS (
+      |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 * 86400 AS ws,
+      |         event_type AS key
+      |  FROM events WHERE event_type IS NOT NULL),
+      |c AS (SELECT ws, key, CAST(count(*) AS BIGINT) AS est
+      |      FROM f GROUP BY 1, 2),
+      |tot AS (SELECT ws, CAST(sum(est) AS BIGINT) AS n_window
+      |        FROM c GROUP BY 1)
+      |SELECT c.ws AS window_start, c.key, c.est,
+      |       CAST(0 AS BIGINT) AS err, TRUE AS guaranteed, t.n_window
+      |FROM c JOIN tot t ON t.ws = c.ws
+      |WHERE c.est >= 60""".stripMargin
 }

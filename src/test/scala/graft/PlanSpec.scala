@@ -677,6 +677,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q32–q41: every IndicatorDay.hourly projection keeps the " +
+      "one-sort mart plan — no joins, two exchanges, one window sort") {
+    // r13 verdict item #5: q34/q38 drifted +43–48% r12→r13 while three
+    // new window families landed near the same mart. This pins the
+    // plan shape for the WHOLE q32-family so any future family can't
+    // silently split the mart's single (id, tkey) window sort.
+    Seq("q32_ema", "q33_macd", "q34_rsi", "q35_bollinger", "q36_obv",
+        "q37_stoch", "q38_ichimoku", "q39_aroon", "q41_sma").foreach { q =>
+      val p = plan(q)
+      assert(p.collect { case s: SortMergeJoinExec => s }.isEmpty &&
+        p.collect { case b: BroadcastHashJoinExec => b }.isEmpty, q)
+      val ex = p.collect { case e: ShuffleExchangeExec => e }
+      assert(ex.size <= 2, s"$q planned ${ex.size} exchanges")
+      val sorts = p.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s }
+      assert(sorts.size <= 1, s"$q planned ${sorts.size} sorts")
+    }
+  }
+
   test("q366/q379: the quintile/decile cuts never plan a global " +
       "fact-width sort (the scan's metadata offset window excepted)") {
     Seq("q366_rfm", "q379_pareto").foreach { q =>
