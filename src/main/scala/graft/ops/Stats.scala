@@ -397,6 +397,120 @@ object Stats {
       }, 4).cast("float").as("z"))
   }
 
+  /** BENFORD first-digit conformity audit (Newcomb 1881; Benford
+    * 1938) — the fraud/synthetic-data smell test on a money-like
+    * column: natural multi-scale magnitudes put digit d first with
+    * probability log₁₀(1+1/d); fabricated or truncated data doesn't.
+    * χ²(8) goodness-of-fit plus the mean-absolute-deviation score
+    * (Nigrini's conformity reading, insensitive to N).
+    *
+    * Determinism: values become exact integer cents; the first digit
+    * is a plan-time CASE ladder over powers of 10 (pure integer
+    * compares — no log10/float anywhere near the bucketing); the 9
+    * digit counts are conditional sums on ONE row, so χ² and MAD
+    * unroll digit-by-digit as fixed IEEE sequences against plan-time
+    * Benford literals. One map-side aggregate over the fact table.
+    *
+    * @return one row (n, chi2, mad, reject_95)
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    // first digit of a positive long: CASE ladder over 10^18..10^0
+    // (folded 0→18 so the LARGEST power ends outermost)
+    val firstDigit = (0 to 18).foldLeft(lit(0L): Column) {
+      (acc, k) =>
+        val p = BigDecimal(10).pow(k).toLongExact
+        when(col("cv") >= p, expr(s"cv div ${p}L")).otherwise(acc)
+    }
+    val base = df.where(col(valueCol).isNotNull)
+      .select(cents(col(valueCol)).as("cv"))
+      .where(col("cv") > 0)
+      .select(firstDigit.as("d"))
+    val one = base.agg(
+      sum(when(col("d") === 1, 1L).otherwise(0L)).as("n1"),
+      (2 to 9).map(d =>
+        sum(when(col("d") === d, 1L).otherwise(0L)).as(s"n$d")): _*)
+    val pB = (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d)).toMap
+    one.select({
+      val n = (1 to 9).map(d => col(s"n$d")).reduce(_ + _)
+      val nn = n.cast("double")
+      val chi2 = (1 to 9).map { d =>
+        val e = nn * lit(pB(d))
+        val diff = col(s"n$d").cast("double") - e
+        diff * diff / e
+      }.reduce(_ + _)
+      val mad = (1 to 9).map { d =>
+        abs(col(s"n$d").cast("double") / nn - lit(pB(d)))
+      }.reduce(_ + _) / 9.0
+      Seq(n.as("n"), round(chi2, 4).cast("float").as("chi2"),
+        round(mad, 6).cast("float").as("mad"),
+        (chi2 > lit(chi2q95(8))).as("reject_95"))
+    }: _*)
+  }
+
+  /** KRUSKAL–WALLIS H (1952) with tie correction — the k-GROUP member
+    * of the rank-test family: [[mannWhitneyU]] generalized past two
+    * groups exactly as one-way ANOVA generalizes [[welchT]], for "did
+    * ANY of these variants shift the metric?" over heavy-tailed
+    * columns.
+    *
+    * Same rank machinery as [[mannWhitneyU]]: per-value counts + ONE
+    * distributed global scan ([[Scan.globalRunningSum]]) for midranks
+    * in HALF-RANK (2×) integer units; per-group rank sums and the
+    * tie moment ride DECIMAL off the same one-row aggregate. The
+    * groups are EXPLICIT parameters (the [[welchT]]/DriftMonitor
+    * plan-time discipline), so Σ_g R̄²_g/n_g unrolls in group order
+    * as one fixed IEEE expression on the one-row frame — never a
+    * float sum over grouped rows. H_c = H / (1 − Σ(t³−t)/(N³−N));
+    * the 95% gate is the χ²(k−1) plan-time literal table.
+    *
+    * Scale shape: one value-keyed groupBy with k conditional counts
+    * (map-side combined), the metadata-cost global scan, one
+    * single-row aggregate.
+    *
+    * @return one row (n, n_groups, h, reject_95)
+    */
+  def kruskalWallis(df: DataFrame, valueCol: String, groupCol: String,
+      groups: Seq[String]): DataFrame = {
+    val k = groups.size
+    require(k >= 2, "Kruskal-Wallis needs at least two groups")
+    require(chi2q95.contains(k - 1), s"no chi2 literal for df ${k - 1}")
+    val counts = df.where(col(groupCol).isin(groups: _*) &&
+        col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("v"))
+      .agg(groups.zipWithIndex.map { case (g, j) =>
+        sum(when(col(groupCol) === g, 1L).otherwise(0L)).as(s"c$j")
+      }.head, groups.zipWithIndex.tail.map { case (g, j) =>
+        sum(when(col(groupCol) === g, 1L).otherwise(0L)).as(s"c$j")
+      }: _*)
+    val ct = groups.indices.map(j => col(s"c$j")).reduce(_ + _)
+    val scanned = Scan.globalRunningSum(counts, Seq("v"), ct, "rt")
+    val ar2 = ((col("rt") - ct) * 2 + ct + 1).cast("decimal(19,0)")
+    val tc = ct.cast("decimal(12,0)")
+    val aggs =
+      groups.indices.map(j =>
+        sum((col(s"c$j").cast("decimal(19,0)") * ar2)
+          .cast("decimal(38,0)")).as(s"r2x$j")) ++
+      groups.indices.map(j => sum(col(s"c$j")).as(s"n$j")) :+
+      sum((tc * tc * tc - tc).cast("decimal(38,0)")).as("ties")
+    val m = scanned.agg(aggs.head, aggs.tail: _*)
+    val nTot = groups.indices.map(j => col(s"n$j")).reduce(_ + _)
+    m.select({
+      val nn = nTot.cast("double")
+      // Σ_g R_g²/n_g with R_g = r2x_g/2, unrolled in group order
+      val sumR = groups.indices.map { j =>
+        val r = col(s"r2x$j").cast("double") / 2.0
+        r * r / col(s"n$j").cast("double")
+      }.reduce(_ + _)
+      val h = lit(12.0) / (nn * (nn + 1.0)) * sumR -
+        lit(3.0) * (nn + 1.0)
+      val hc = h / (lit(1.0) -
+        col("ties").cast("double") / (nn * nn * nn - nn))
+      Seq(nTot.as("n"), lit(k).cast("int").as("n_groups"),
+        round(hc, 4).cast("float").as("h"),
+        (hc > lit(chi2q95(k - 1))).as("reject_95"))
+    }: _*)
+  }
+
   /** Exact ROC-AUC of a score against a boolean label — the
     * classifier-evaluation headline stat, via its rank identity
     * AUC = (R₊ − n₊(n₊+1)/2) / (n₊·n₋): P(score of a positive >
@@ -2245,7 +2359,8 @@ object Stats {
     */
   private val chi2q95: Map[Int, Double] = Map(
     1 -> 3.841459, 2 -> 5.991465, 3 -> 7.814728, 4 -> 9.487729,
-    5 -> 11.070498, 6 -> 12.591587, 7 -> 14.067140)
+    5 -> 11.070498, 6 -> 12.591587, 7 -> 14.067140, 8 -> 15.507313,
+    9 -> 16.918978)
 
   /** Ljung–Box portmanteau test (Ljung & Box 1978) — "is this series
     * white noise AT ALL?", the joint-significance companion of [[acf]]'s

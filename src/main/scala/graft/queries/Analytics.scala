@@ -130,6 +130,90 @@ object Analytics extends QueryPack {
       Option(triBundleCache.get(s)).foreach(_.clear())
     })((s, d) => { triBundle(s, d); () })
 
+  /** q386's plan-time group list — ORDER matters: the engine's
+    * Σ R̄²/n unrolls in this order and the oracle mirrors it. */
+  private val kwGroups =
+    Seq("click", "error", "purchase", "signup", "view")
+
+  private lazy val kruskalOracle: String = {
+    val cs = kwGroups.indices.map(j =>
+      s"count(*) FILTER (g = '${kwGroups(j)}') AS c$j").mkString(",\n        |      ")
+    val ct = kwGroups.indices.map(j => s"c$j").mkString(" + ")
+    val rs = kwGroups.indices.map(j =>
+      s"CAST(sum(CAST(c$j AS HUGEINT) * (2 * (rt - ($ct)) + ($ct) + 1)) AS DOUBLE) AS r$j").mkString(",\n        |        ")
+    val ns = kwGroups.indices.map(j =>
+      s"CAST(sum(c$j) AS BIGINT) AS n$j").mkString(", ")
+    val nTot = kwGroups.indices.map(j => s"n$j").mkString(" + ")
+    val sumR = kwGroups.indices.map(j =>
+      s"(r$j / 2.0) * (r$j / 2.0) / CAST(n$j AS DOUBLE)").mkString(" + ")
+    s"""WITH f AS (
+       |  SELECT value AS v, event_type AS g FROM events
+       |  WHERE event_type IN (${kwGroups.map("'" + _ + "'").mkString(", ")})
+       |    AND value IS NOT NULL),
+       |c AS (SELECT v,
+       |      $cs
+       |      FROM f GROUP BY 1),
+       |s AS (SELECT *, sum($ct) OVER (ORDER BY v
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rt
+       |      FROM c),
+       |m AS (SELECT
+       |        $rs,
+       |        CAST(sum(CAST($ct AS HUGEINT) * ($ct) * ($ct)
+       |          - ($ct)) AS DOUBLE) AS ties,
+       |        $ns
+       |      FROM s),
+       |k AS (SELECT *, CAST($nTot AS DOUBLE) AS nn,
+       |        12.0 / (CAST($nTot AS DOUBLE) * (CAST($nTot AS DOUBLE) + 1.0))
+       |          * ($sumR)
+       |          - 3.0 * (CAST($nTot AS DOUBLE) + 1.0) AS h0
+       |      FROM m)
+       |SELECT CAST($nTot AS BIGINT) AS n,
+       |  CAST(${kwGroups.size} AS INTEGER) AS n_groups,
+       |  CAST(round(h0 / (1.0 - ties / (nn * nn * nn - nn)), 4) AS REAL)
+       |    AS h,
+       |  h0 / (1.0 - ties / (nn * nn * nn - nn)) > 9.487729 AS reject_95
+       |FROM k""".stripMargin
+  }
+
+  private lazy val benfordOracle: String = {
+    // the SAME Scala-rendered log10(1+1/d) doubles the engine plans
+    // with — both sides parse the identical decimal string
+    val pB = (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d)).toMap
+    val ladder = (18 to 1 by -1).map { k =>
+      val p = BigDecimal(10).pow(k).toLongExact
+      s"WHEN cv >= $p THEN cv // $p"
+    }.mkString("\n       |            ")
+    val counts = (1 to 9).map(d =>
+      s"count(*) FILTER (d = $d) AS n$d").mkString(", ")
+    val nTot = (1 to 9).map(d => s"n$d").mkString(" + ")
+    val chi2 = (1 to 9).map { d =>
+      val e = s"nn * ${pB(d)}"
+      s"(CAST(n$d AS DOUBLE) - $e) * (CAST(n$d AS DOUBLE) - $e) / ($e)"
+    }.mkString("\n       |          + ")
+    val mad = (1 to 9).map(d =>
+      s"abs(CAST(n$d AS DOUBLE) / nn - ${pB(d)})")
+      .mkString("\n       |          + ")
+    s"""WITH b AS (
+       |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |           AS cv
+       |  FROM orders WHERE o_totalprice IS NOT NULL),
+       |d AS (SELECT CASE
+       |            $ladder
+       |            ELSE cv END AS d
+       |      FROM b WHERE cv > 0),
+       |m AS (SELECT $counts FROM d),
+       |k AS (SELECT *, CAST($nTot AS DOUBLE) AS nn FROM m),
+       |x AS (SELECT $nTot AS n,
+       |        $chi2 AS chi2,
+       |        ($mad) / 9.0 AS mad
+       |      FROM k)
+       |SELECT CAST(n AS BIGINT) AS n,
+       |  CAST(round(chi2, 4) AS REAL) AS chi2,
+       |  CAST(round(mad, 6) AS REAL) AS mad,
+       |  chi2 > 15.507313 AS reject_95
+       |FROM x""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q15_percentiles" -> ((s, d) => t("events")(s, d)
       .groupBy("event_type")
@@ -1170,6 +1254,32 @@ object Analytics extends QueryPack {
     "q317_jarque_bera" -> ((s, d) =>
       graft.ops.Stats.jarqueBera(t("events")(s, d), "value")),
 
+    // Kruskal–Wallis H across ALL FIVE event types — the k-group
+    // member completing the rank-test family (q202 two-group U, q318
+    // Wilcoxon paired, q349 Levene): same midrank machinery (per-value
+    // counts + one global scan, 2× integer rank units), Σ R̄²/n
+    // unrolled over the plan-time group list on a one-row frame.
+    "q386_kruskal_wallis" -> ((s, d) =>
+      graft.ops.Stats.kruskalWallis(t("events")(s, d), "value",
+        "event_type", kwGroups)),
+
+    // Benford first-digit conformity of order totals: exact integer
+    // cents, plan-time CASE ladder for the digit, χ²(8) + Nigrini MAD
+    // against the log10(1+1/d) literals.
+    "q387_benford" -> ((s, d) =>
+      graft.ops.Stats.benford(t("orders")(s, d), "o_totalprice")),
+
+    // Gap-rule sessionization run through the STREAMING keyed-state
+    // operator (graft.stream.Sessions — flatMapGroupsWithState with
+    // event-time timeouts) in its batch-parity form: emits exactly
+    // the GAP-CLOSED sessions (each user's trailing session is the
+    // one a live stream would still hold open; the timeout path that
+    // eventually closes it is pinned by SessionsSpec).
+    "q388_stream_sessions" -> ((s, d) =>
+      graft.stream.Sessions.gapSessions(
+        t("events")(s, d).select(col("ts"), col("user_id"),
+          col("event_id")), gapSeconds = 21600L).toDF()),
+
     // Cliff's delta (1993): the ordinal effect size companion of
     // q202's U — same view-vs-purchase split, exact pair counting
     // via the scan, never a pair join.
@@ -1813,6 +1923,42 @@ object Analytics extends QueryPack {
         |           / (2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
         |           * 1e6 + 0.5) / 1e6 AS REAL) END AS auc
         |FROM m, n""".stripMargin,
+
+    // Same midrank scan with five FILTER counts; Σ R̄²/n, H and the
+    // tie correction mirror the engine's group-ordered IEEE sequence.
+    "q386_kruskal_wallis" -> kruskalOracle,
+
+    // Digit ladder, χ² and MAD re-derived against the SAME
+    // Scala-rendered log10(1+1/d) literals the engine plans with.
+    "q387_benford" -> benfordOracle,
+
+    // Independent windowed derivation of the gap rule; the engine's
+    // batch form must emit every session EXCEPT each user's last.
+    "q388_stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |         event_id
+        |  FROM events WHERE user_id IS NOT NULL),
+        |s AS (SELECT user_id, t, event_id,
+        |        CASE WHEN lag(t) OVER w IS NULL
+        |               OR t - lag(t) OVER w > 21600 THEN 1
+        |             ELSE 0 END AS brk
+        |      FROM e
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |s2 AS (SELECT user_id, t,
+        |         sum(brk) OVER (PARTITION BY user_id
+        |           ORDER BY t, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS sid
+        |       FROM s),
+        |g AS (SELECT user_id, sid, min(t) AS session_start,
+        |        max(t) AS session_end,
+        |        CAST(count(*) AS BIGINT) AS n_events
+        |      FROM s2 GROUP BY 1, 2),
+        |mx AS (SELECT user_id, max(sid) AS last_sid FROM g GROUP BY 1)
+        |SELECT g.user_id, g.session_start, g.session_end, g.n_events
+        |FROM g JOIN mx ON mx.user_id = g.user_id
+        |WHERE g.sid < mx.last_sid""".stripMargin,
 
     "q202_mann_whitney" ->
       """WITH f AS (

