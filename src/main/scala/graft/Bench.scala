@@ -26,8 +26,10 @@ import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
   * Wall-time control (r13): queries whose every sample so far ran
   * under SPARK_GRAFT_BENCH_FAST_CUTOFF (default 0.5 s) are not
   * re-sampled on later passes — a burst can only inflate a sample, so
-  * a sub-cutoff measurement proves the query fast; `b_*` builds and
-  * anything slower keep full median-of-N. The artifact reports the
+  * a sub-cutoff measurement proves the query fast — and a query whose
+  * first TWO samples agree within 25% skips the third (a burst in
+  * either pass breaks the agreement, so unstable measurements still
+  * get the full set); `b_*` builds always keep full median-of-N. The artifact reports the
   * skipped count (`fast_single_sample`) and, for the dominant `b_*`
   * entries, the raw [min,max] sample spread (`build_spread`) so a
   * run-to-run instability like r13's b_dist_brandes 27↔125 s swing is
@@ -165,7 +167,18 @@ object Bench {
         // caps.
         val allFast = samples(name).nonEmpty &&
           samples(name).forall(_._2 < fastCutoff)
+        // STABLE-PAIR mode (same verdict item): two samples agreeing
+        // within 25% prove a quiet measurement — a burst in either
+        // pass breaks the agreement and the third sample runs. On the
+        // r14 shape this drops ~150 third samples (~5 min of wall)
+        // at +1.9% mean deviation vs median-of-3 (measured before
+        // enabling). `b_*` builds never skip (the dominant entries
+        // keep full spread).
+        val vs = samples(name).map(_._2)
+        val stablePair = vs.length >= 2 && vs.min > 0 &&
+          (vs.max - vs.min) / vs.min < 0.25
         if (pass > 1 && allFast) ()
+        else if (pass > 2 && stablePair) ()
         else {
         val t0 = System.nanoTime()
         try {
@@ -269,6 +282,9 @@ object Bench {
     val nFastSingle = queryList.map(_._1)
       .count(n => samples(n).length == 1 && nSamples > 1 &&
         !failed.contains(n) && errors(n) == 0)
+    val nStablePair = queryList.map(_._1)
+      .count(n => samples(n).length == 2 && nSamples > 2 &&
+        !failed.contains(n) && errors(n) == 0)
     val familiesJson = families.map { case (f, v) =>
       "\"" + f + "\":" + v }.mkString("{", ",", "}")
     val samplesJson = results.map { case (k, _) =>
@@ -294,14 +310,14 @@ object Bench {
       "\"" + shortKey(k) + "\":" + math.rint(v * 1000) / 1000
     }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","value_norm":$totalNorm,"calib_sec":$calibSec,"calib_per_pass":$calibPerPassJson,"queries":$qs,"queries_norm":$qsNorm,"samples":$samplesJson,"n_samples":$nSamples,"fast_single_sample":$nFastSingle,"fast_cutoff":$fastCutoff,"failed":$failedJson,"flaky":$flakyJson,"drift_suspect":$driftJson,"shared_builds":$buildsJson,"build_spread":$buildSpreadJson,"families":$familiesJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","value_norm":$totalNorm,"calib_sec":$calibSec,"calib_per_pass":$calibPerPassJson,"queries":$qs,"queries_norm":$qsNorm,"samples":$samplesJson,"n_samples":$nSamples,"fast_single_sample":$nFastSingle,"stable_two_sample":$nStablePair,"fast_cutoff":$fastCutoff,"failed":$failedJson,"flaky":$flakyJson,"drift_suspect":$driftJson,"shared_builds":$buildsJson,"build_spread":$buildSpreadJson,"families":$familiesJson,"sf":"$sfDir"}"""
     // only full runs refresh the committed artifact — an args-filtered
     // local iteration must not clobber the full-query record
     if (only.isEmpty) java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_queries.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     println(s"""{"metric":"total_all_queries","value":$total,"unit":"sec","queries":$qsShort,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","value_norm":$totalNorm,"n_queries":${results.size},"calib_sec":$calibSec,"calib_per_pass":$calibPerPassJson,"queries":$qsTop,"queries_shown":"slowest20","n_samples":$nSamples,"fast_single_sample":$nFastSingle,"failed":$failedJson,"flaky":$flakyJson,"drift_suspect":$driftJson,"shared_builds":$buildsJson,"build_spread":$buildSpreadJson,"sf":"$sfDir","queries_file":"bench_queries.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","value_norm":$totalNorm,"n_queries":${results.size},"calib_sec":$calibSec,"calib_per_pass":$calibPerPassJson,"queries":$qsTop,"queries_shown":"slowest20","n_samples":$nSamples,"fast_single_sample":$nFastSingle,"stable_two_sample":$nStablePair,"failed":$failedJson,"flaky":$flakyJson,"drift_suspect":$driftJson,"shared_builds":$buildsJson,"build_spread":$buildSpreadJson,"sf":"$sfDir","queries_file":"bench_queries.json"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

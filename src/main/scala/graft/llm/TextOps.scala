@@ -979,6 +979,30 @@ object TextOps {
           .cast("float").as("jsd_norm"))
   }
 
+  /** Feature-hashing vectorizer (Weinberger et al. 2009's hashing
+    * trick) — the VOCABULARY-FREE bag-of-words a downstream linear
+    * model trains on: every token maps to one of `d` buckets through
+    * the repo's re-derivable md5 hash family (high 16 bits mod d, the
+    * [[graft.functions.CountMinFrame]] bucket rule), counts summed
+    * per (doc, bucket). No dictionary is ever built, broadcast or
+    * shuffled — the fixed-width representation holds at ANY corpus
+    * vocabulary, which is the trick's entire point at 100 TB.
+    * Exact integer counts end to end; collisions are the documented
+    * semantics, not an error.
+    *
+    * @return (doc_id, bucket, cnt) — at most d rows per doc
+    */
+  def featureHash(docs: DataFrame, d: Int = 64): DataFrame = {
+    require(d > 0, "feature hashing needs a positive width")
+    spread(docs.where(col("text").isNotNull))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int")
+          % d).cast("int").as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Flesch reading ease per document (Flesch 1948) — the classic
     * readability score joining the q62/q87 quality family: 206.835 −
     * 1.015·(words/sentences) − 84.6·(syllables/words), with syllables

@@ -189,6 +189,22 @@ object LlmPack extends QueryPack {
   val queries: Map[String, Q] = Map(
     "q60_exact_dedup" -> ((s, d) => Dedup.exactDedup(t("documents")(s, d))),
     "q61_token_stats" -> ((s, d) => TextOps.tokenStats(t("documents")(s, d))),
+
+    // Multinomial Naive Bayes language classifier (the fastText-filter
+    // shape of production curation pipelines), trained and scored
+    // transductively over the labeled corpus: per-class token stats,
+    // Laplace smoothing, every ln pico-floored to an integer BEFORE
+    // any cross-row sum (the q355 discipline), argmax on exact
+    // integers with a (score desc, class asc) total order.
+    "q389_naive_bayes" -> ((s, d) =>
+      graft.llm.NaiveBayes.classifyLang(t("documents")(s, d),
+        nbClasses)),
+
+    // Feature-hashing vectorizer (Weinberger 2009): tokens → md5
+    // high-16 mod 64 buckets (the CMS hash family), exact counts per
+    // (doc, bucket) — the vocabulary-free fixed-width BOW.
+    "q390_feature_hash" -> ((s, d) =>
+      TextOps.featureHash(t("documents")(s, d), d = 64)),
     "q62_quality_score" -> ((s, d) => TextOps.qualityScore(t("documents")(s, d))),
     "q63_lang_id" -> ((s, d) => TextOps.langId(t("documents")(s, d))),
     // The prefix-filtered variant is registered: same exact contract,
@@ -1679,6 +1695,55 @@ object LlmPack extends QueryPack {
     * order. q249's day-2 merge shares it verbatim (per-cell sums
     * commute, so merged state == one-pass state).
     */
+  /** q389's plan-time class list (the welchT explicit-groups
+    * discipline — labels outside it are filtered both engines). */
+  private val nbClasses = Seq("de", "en", "es", "fr", "zh")
+
+  private lazy val naiveBayesOracle: String = {
+    val inList = nbClasses.map("'" + _ + "'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |  WHERE text IS NOT NULL AND lang IN ($inList)),
+       |tk AS (SELECT doc_id, lang,
+       |         unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |       FROM d),
+       |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       |       FROM tk GROUP BY 1, 2),
+       |ct AS MATERIALIZED (SELECT lang AS cl, tok, count(*) AS cnt
+       |       FROM tk GROUP BY 1, 2),
+       |tot AS (SELECT cl, sum(cnt) AS tot FROM ct GROUP BY 1),
+       |vv AS (SELECT count(DISTINCT tok) AS v FROM ct),
+       |pr AS (SELECT lang AS cl, count(*) AS nd FROM d GROUP BY 1),
+       |ndc AS (SELECT count(*) AS ndocs FROM d),
+       |cls AS (SELECT p.cl,
+       |          CAST(floor(ln(CAST(p.nd AS DOUBLE)
+       |            / CAST(ndocs AS DOUBLE)) * 1e12) AS BIGINT)
+       |            AS prior12,
+       |          CAST(floor(ln(1.0 / CAST(t.tot + v AS DOUBLE)) * 1e12)
+       |            AS BIGINT) AS unseen12
+       |        FROM pr p JOIN tot t ON t.cl = p.cl, vv, ndc),
+       |lp AS MATERIALIZED (SELECT c.cl, c.tok,
+       |          CAST(floor(ln(CAST(c.cnt + 1 AS DOUBLE)
+       |            / CAST(t.tot + v AS DOUBLE)) * 1e12) AS BIGINT)
+       |            AS logp12
+       |        FROM ct c JOIN tot t ON t.cl = c.cl, vv),
+       |cand AS (SELECT f.doc_id, k.cl, k.prior12,
+       |           CAST(f.tf * COALESCE(l.logp12, k.unseen12)
+       |             AS HUGEINT) AS term12
+       |         FROM tf f CROSS JOIN cls k
+       |         LEFT JOIN lp l ON l.cl = k.cl AND l.tok = f.tok),
+       |sc AS (SELECT doc_id, cl,
+       |         CAST(max(prior12) AS HUGEINT) + sum(term12) AS score
+       |       FROM cand GROUP BY 1, 2),
+       |pick AS (SELECT doc_id, cl AS pred,
+       |           row_number() OVER (PARTITION BY doc_id
+       |             ORDER BY score DESC, cl) AS rk
+       |         FROM sc)
+       |SELECT d.doc_id, d.lang, p.pred, d.lang = p.pred AS correct
+       |FROM d JOIN pick p ON p.doc_id = d.doc_id AND p.rk = 1"""
+      .stripMargin
+  }
+
   private lazy val cmsOracle: String = {
     val b = OracleSql.md5High16(
       "md5(CAST(j AS VARCHAR) || ':' || gram)")
@@ -2226,6 +2291,23 @@ object LlmPack extends QueryPack {
         |SELECT t.doc_id, t.n_seg, COALESCE(ka.n_kept, 0) AS n_kept,
         |       COALESCE(ka.clean_text, '') AS clean_text
         |FROM tot t LEFT JOIN ka USING (doc_id)""".stripMargin,
+    // Per-class stats, pico-floored lns, the same argmax total order.
+    "q389_naive_bayes" -> naiveBayesOracle,
+
+    // The CMS md5-high-16 bucket rule re-derived per token.
+    "q390_feature_hash" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         |tk AS (SELECT doc_id,
+         |         unnest(regexp_split_to_array(trim(text), '\\s+'))
+         |           AS tok
+         |       FROM d)
+         |SELECT doc_id,
+         |  CAST((${OracleSql.md5High16("md5(tok)")}) % 64 AS INTEGER)
+         |    AS bucket,
+         |  CAST(count(*) AS BIGINT) AS cnt
+         |FROM tk GROUP BY 1, 2""".stripMargin,
+
     "q61_token_stats" ->
       s"""WITH $tokCte
          |SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,

@@ -37,6 +37,40 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Float]("h") - 1.0f) < 1e-6)
   }
 
+  test("naiveBayes: separable vocabularies classify; smoothing breaks " +
+      "ties toward the prior") {
+    import spark.implicits._
+    val docs = Seq(
+        (1L, "der hund läuft schnell", "de"),
+        (2L, "der baum ist gross", "de"),
+        (3L, "the dog runs fast", "en"),
+        (4L, "the tree is tall", "en"),
+        (5L, "the cat der", "en")) // mixed but majority-en tokens
+      .toDF("doc_id", "text", "lang")
+    val r = graft.llm.NaiveBayes.classifyLang(docs, Seq("de", "en"))
+      .collect().map(x => x.getLong(0) ->
+        (x.getString(2), x.getBoolean(3))).toMap
+    assert(r(1L) == ("de", true))
+    assert(r(2L) == ("de", true))
+    assert(r(3L) == ("en", true))
+    assert(r(4L) == ("en", true))
+    assert(r(5L)._1 == "en") // 'the'+'cat' outweigh one 'der'
+  }
+
+  test("featureHash: vocabulary-free buckets are md5-stable and " +
+      "counts are exact") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "a")).toDF("doc_id", "text")
+    val rows = graft.llm.TextOps.featureHash(docs, d = 64).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // 'a' twice in doc 1, once in doc 2 — same bucket both docs
+    val aBucket = rows.keys.filter(_._1 == 2L).head._2
+    assert(rows((1L, aBucket)) == 2L)
+    assert(rows((2L, aBucket)) == 1L)
+    assert(rows.values.sum == 4L) // 3 tokens + 1 token
+    assert(rows.keys.forall { case (_, b) => b >= 0 && b < 64 })
+  }
+
   test("benford: digit ladder buckets exactly; perfect-fit is quiet") {
     import spark.implicits._
     // values chosen so cents first digits are 1..9 with counts
