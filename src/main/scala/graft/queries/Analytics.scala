@@ -1269,6 +1269,25 @@ object Analytics extends QueryPack {
     "q387_benford" -> ((s, d) =>
       graft.ops.Stats.benford(t("orders")(s, d), "o_totalprice")),
 
+    // Logistic regression (purchase probability vs event value) fit
+    // by TWO Newton steps, fully distributed: five pico-floored
+    // sufficient statistics per step + a closed-form Cramer solve; β
+    // threads between steps as a broadcast one-row frame (never a
+    // driver collect). Step 1 at β = 0 is libm-free (p = 1/2
+    // everywhere); step 2's σ runs on bit-identical double inputs.
+    "q391_logistic" -> ((s, d) =>
+      graft.ops.MlLite.logisticNewton(t("events")(s, d), "value",
+        col("event_type") === "purchase")),
+
+    // CART decision stump (best "value ≤ v" split for purchase vs
+    // rest by weighted Gini): per-value class counts + the global
+    // prefix scan give every candidate's exact left/right counts;
+    // the score is an exact integer div, so the argmax is an integer
+    // compare under a (score desc, value asc) total order.
+    "q392_decision_stump" -> ((s, d) =>
+      graft.ops.MlLite.decisionStump(t("events")(s, d), "value",
+        col("event_type") === "purchase")),
+
     // Gap-rule sessionization run through the STREAMING keyed-state
     // operator (graft.stream.Sessions — flatMapGroupsWithState with
     // event-time timeouts) in its batch-parity form: emits exactly
@@ -1923,6 +1942,113 @@ object Analytics extends QueryPack {
         |           / (2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
         |           * 1e6 + 0.5) / 1e6 AS REAL) END AS auc
         |FROM m, n""".stripMargin,
+
+    // Both Newton steps replayed: exact step-1 statistics, step-2
+    // sigmoids pico-floored, the same Cramer sequence per step.
+    "q391_logistic" ->
+      """WITH f AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cv,
+        |         CASE WHEN event_type = 'purchase' THEN 1.0
+        |              ELSE 0.0 END AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS MATERIALIZED (
+        |  SELECT CAST(cv AS DOUBLE) * 0.0001 AS x, y FROM f),
+        |s1 AS (SELECT
+        |    CAST(250000000000 AS HUGEINT) * count(*) AS sw,
+        |    sum(CAST(floor(x * 0.25 * 1e12) AS HUGEINT)) AS swx,
+        |    sum(CAST(floor(x * x * 0.25 * 1e12) AS HUGEINT)) AS swxx,
+        |    sum(CAST(floor((y - 0.5) * 1e12) AS HUGEINT)) AS sr,
+        |    sum(CAST(floor((y - 0.5) * x * 1e12) AS HUGEINT)) AS srx
+        |  FROM b),
+        |d1 AS (SELECT CAST(sw AS DOUBLE) / 1e12 AS sw,
+        |         CAST(swx AS DOUBLE) / 1e12 AS swx,
+        |         CAST(swxx AS DOUBLE) / 1e12 AS swxx,
+        |         CAST(sr AS DOUBLE) / 1e12 AS sr,
+        |         CAST(srx AS DOUBLE) / 1e12 AS srx
+        |       FROM s1),
+        |b1 AS (SELECT
+        |    0.0 + CASE WHEN sw * swxx - swx * swx <> 0.0 THEN
+        |      (swxx * sr - swx * srx) / (sw * swxx - swx * swx)
+        |      ELSE 0.0 END AS b0,
+        |    0.0 + CASE WHEN sw * swxx - swx * swx <> 0.0 THEN
+        |      (sw * srx - swx * sr) / (sw * swxx - swx * swx)
+        |      ELSE 0.0 END AS b1
+        |  FROM d1),
+        |s2 AS (SELECT b0, b1,
+        |    sum(CAST(floor((1.0 / (1.0 + exp(-(b0 + b1 * x))))
+        |      * (1.0 - 1.0 / (1.0 + exp(-(b0 + b1 * x))))
+        |      * 1e12) AS HUGEINT)) AS sw,
+        |    sum(CAST(floor((1.0 / (1.0 + exp(-(b0 + b1 * x))))
+        |      * (1.0 - 1.0 / (1.0 + exp(-(b0 + b1 * x))))
+        |      * x * 1e12) AS HUGEINT)) AS swx,
+        |    sum(CAST(floor((1.0 / (1.0 + exp(-(b0 + b1 * x))))
+        |      * (1.0 - 1.0 / (1.0 + exp(-(b0 + b1 * x))))
+        |      * x * x * 1e12) AS HUGEINT)) AS swxx,
+        |    sum(CAST(floor((y - 1.0 / (1.0 + exp(-(b0 + b1 * x))))
+        |      * 1e12) AS HUGEINT)) AS sr,
+        |    sum(CAST(floor((y - 1.0 / (1.0 + exp(-(b0 + b1 * x))))
+        |      * x * 1e12) AS HUGEINT)) AS srx
+        |  FROM b, b1 GROUP BY b0, b1),
+        |d2 AS (SELECT b0 AS pb0, b1 AS pb1,
+        |         CAST(sw AS DOUBLE) / 1e12 AS sw,
+        |         CAST(swx AS DOUBLE) / 1e12 AS swx,
+        |         CAST(swxx AS DOUBLE) / 1e12 AS swxx,
+        |         CAST(sr AS DOUBLE) / 1e12 AS sr,
+        |         CAST(srx AS DOUBLE) / 1e12 AS srx
+        |       FROM s2),
+        |b2 AS (SELECT
+        |    pb0 + CASE WHEN sw * swxx - swx * swx <> 0.0 THEN
+        |      (swxx * sr - swx * srx) / (sw * swxx - swx * swx)
+        |      ELSE 0.0 END AS b0,
+        |    pb1 + CASE WHEN sw * swxx - swx * swx <> 0.0 THEN
+        |      (sw * srx - swx * sr) / (sw * swxx - swx * swx)
+        |      ELSE 0.0 END AS b1
+        |  FROM d2),
+        |cn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(y) AS BIGINT) AS n_pos FROM b)
+        |SELECT n, n_pos,
+        |  CAST(round(b0, 6) AS REAL) AS intercept,
+        |  CAST(round(b1, 6) AS REAL) AS slope
+        |FROM cn, b2""".stripMargin,
+
+    // The prefix-scan candidate table + exact integer score argmax.
+    "q392_decision_stump" ->
+      """WITH f AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS v,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+        |           AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT v, CAST(count(*) AS BIGINT) AS c,
+        |        CAST(sum(y) AS BIGINT) AS p
+        |      FROM f GROUP BY 1),
+        |s AS (SELECT v,
+        |        sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |          PRECEDING AND CURRENT ROW) AS nl,
+        |        sum(p) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |          PRECEDING AND CURRENT ROW) AS pl
+        |      FROM c),
+        |t AS (SELECT sum(c) AS nt, sum(p) AS pt FROM c),
+        |k AS (SELECT v, nl, pl, nt - nl AS nr, pt - pl AS pr, nt,
+        |        CAST(pl AS HUGEINT) * pl
+        |          + CAST(nl - pl AS HUGEINT) * (nl - pl) AS ga,
+        |        CAST(pt - pl AS HUGEINT) * (pt - pl)
+        |          + CAST((nt - nl) - (pt - pl) AS HUGEINT)
+        |            * ((nt - nl) - (pt - pl)) AS gb
+        |      FROM s, t WHERE nl < nt),
+        |k2 AS (SELECT *, (ga * nr + gb * nl) * 1000000
+        |         // (CAST(nl AS HUGEINT) * nr) AS score_fp
+        |       FROM k),
+        |best AS (SELECT *, row_number() OVER
+        |           (ORDER BY score_fp DESC, v) AS rk
+        |         FROM k2)
+        |SELECT v AS split_cents, CAST(nl AS BIGINT) AS n_left,
+        |  CAST(pl AS BIGINT) AS pos_left, CAST(nr AS BIGINT) AS n_right,
+        |  CAST(pr AS BIGINT) AS pos_right,
+        |  CAST(round(1.0 - CAST(score_fp AS DOUBLE) / 1e6
+        |    / CAST(nt AS DOUBLE), 6) AS REAL) AS gini
+        |FROM best WHERE rk = 1""".stripMargin,
 
     // Same midrank scan with five FILTER counts; Σ R̄²/n, H and the
     // tie correction mirror the engine's group-ordered IEEE sequence.

@@ -37,6 +37,40 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Float]("h") - 1.0f) < 1e-6)
   }
 
+  test("logisticNewton: separable labels give a positive slope; " +
+      "flipping labels flips it") {
+    import spark.implicits._
+    val df = Seq((1.0, "a"), (2.0, "a"), (3.0, "p"), (4.0, "p"),
+        (1.5, "a"), (3.5, "p"))
+      .toDF("value", "event_type")
+    val r = graft.ops.MlLite.logisticNewton(df, "value",
+      col("event_type") === "p", xScale = 1e-2).collect().head
+    assert(r.getAs[Long]("n") == 6L && r.getAs[Long]("n_pos") == 3L)
+    assert(r.getAs[Float]("slope") > 0f)
+    val rf = graft.ops.MlLite.logisticNewton(df, "value",
+      col("event_type") === "a", xScale = 1e-2).collect().head
+    assert(rf.getAs[Float]("slope") < 0f)
+    // symmetry of the logit: flipped labels negate the slope exactly
+    // at every Newton step (p ↦ 1−p), up to the pico quantization
+    assert(math.abs(r.getAs[Float]("slope") +
+      rf.getAs[Float]("slope")) < 1e-4)
+  }
+
+  test("decisionStump: a perfectly separable split scores gini 0 at " +
+      "the boundary value") {
+    import spark.implicits._
+    val df = Seq((1.0, "a"), (2.0, "a"), (3.0, "p"), (4.0, "p"))
+      .toDF("value", "event_type")
+    val r = graft.ops.MlLite.decisionStump(df, "value",
+      col("event_type") === "p").collect().head
+    assert(r.getAs[Long]("split_cents") == 200L)
+    assert(r.getAs[Long]("n_left") == 2L &&
+      r.getAs[Long]("pos_left") == 0L)
+    assert(r.getAs[Long]("n_right") == 2L &&
+      r.getAs[Long]("pos_right") == 2L)
+    assert(r.getAs[Float]("gini") == 0f)
+  }
+
   test("naiveBayes: separable vocabularies classify; smoothing breaks " +
       "ties toward the prior") {
     import spark.implicits._
