@@ -358,6 +358,10 @@ object Indicators extends QueryPack {
   private val dailyBlock =
     withBlock(Bars.oracleCte, "daily", "dt")
   // The forex-family block: no exceptional-symbol scaling path.
+  /** √365 as the SAME Scala-rendered double in both engines (q393's
+    * annualizer — never sqrt(365) in a query path). */
+  private val sqrt365Lit: Double = math.sqrt(365.0)
+
   private val hourlyBlockNoScale =
     withBlock(Bars.oracleCteHourly, "hourly", "t",
       nmCase = "CAST(1 AS DOUBLE)")
@@ -549,6 +553,21 @@ object Indicators extends QueryPack {
     // closes — the adaptive-gain smoother the EMA family approximates
     // with a constant gain; J4 groupByKey kernel, recursion mirrored
     // op-for-op by the oracle's recursive CTE.
+    // Annualized Sharpe + Sortino per symbol (rf = 0, MAR = 0, √365
+    // — crypto trades every day) over the q189 micro-scaled exact
+    // returns: integer moment sums, fixed IEEE ratios per symbol.
+    "q393_sharpe_sortino" -> ((s, d) =>
+      graft.ts.RiskMetrics.sharpeSortino(
+        Bars.daily(t("events")(s, d)))),
+
+    // CAPM per symbol against the equal-weight market return (beta /
+    // daily alpha / R²): the per-day market mean quantized back to
+    // the micro grid by a PORTABLE floor division (Spark div
+    // truncates, DuckDB // floors — market returns go negative), then
+    // exact decimal OLS moments per symbol.
+    "q394_capm" -> ((s, d) =>
+      graft.ts.RiskMetrics.capm(Bars.daily(t("events")(s, d)))),
+
     "q371_kalman" -> ((s, d) => {
       val bars = Bars.daily(t("events")(s, d))
         .select(col("id"),
@@ -902,6 +921,97 @@ object Indicators extends QueryPack {
     // The local-level recursion replayed: (l, p) state stepped rn by
     // rn, the gain expression repeated where the kernel names it —
     // same value, deterministic.
+    // q189's return CTEs + the same exact moment algebra per symbol.
+    "q393_sharpe_sortino" ->
+      s"""WITH ${Bars.oracleCte},
+         |r0 AS (
+         |  SELECT id, dt,
+         |         CASE WHEN lag(close) OVER (PARTITION BY id ORDER BY dt)
+         |                   <> 0
+         |              THEN close / lag(close)
+         |                     OVER (PARTITION BY id ORDER BY dt) - 1
+         |         END AS r
+         |  FROM daily),
+         |r AS (SELECT id, dt,
+         |        CAST(round(LEAST(GREATEST(r, -10), 10) * 1e6, 0)
+         |          AS BIGINT) AS rs
+         |      FROM r0 WHERE r IS NOT NULL),
+         |g AS (SELECT id, count(*) AS n,
+         |        CAST(sum(rs) AS BIGINT) AS s1,
+         |        CAST(sum(CAST(rs AS HUGEINT) * rs) AS HUGEINT) AS s2,
+         |        CAST(sum(CAST(LEAST(rs, 0) AS HUGEINT)
+         |          * LEAST(rs, 0)) AS HUGEINT) AS sn2
+         |      FROM r GROUP BY 1 HAVING count(*) >= 10)
+         |SELECT id, CAST(n AS INTEGER) AS n,
+         |  CAST(round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+         |    * 365.0 / 1e6, 6) AS REAL) AS ann_ret,
+         |  CAST(round(CASE WHEN
+         |      (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+         |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+         |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) > 0.0
+         |    THEN CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+         |      / sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+         |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+         |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+         |      * $sqrt365Lit
+         |    END, 4) AS REAL) AS sharpe,
+         |  CAST(round(CASE WHEN CAST(sn2 AS DOUBLE)
+         |        / CAST(n AS DOUBLE) > 0.0
+         |    THEN CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+         |      / sqrt(CAST(sn2 AS DOUBLE) / CAST(n AS DOUBLE))
+         |      * $sqrt365Lit
+         |    END, 4) AS REAL) AS sortino
+         |FROM g""".stripMargin,
+
+    // The same return CTEs + the portable-floor market mean + exact
+    // per-symbol OLS moments.
+    "q394_capm" ->
+      s"""WITH ${Bars.oracleCte},
+         |r0 AS (
+         |  SELECT id, dt,
+         |         CASE WHEN lag(close) OVER (PARTITION BY id ORDER BY dt)
+         |                   <> 0
+         |              THEN close / lag(close)
+         |                     OVER (PARTITION BY id ORDER BY dt) - 1
+         |         END AS r
+         |  FROM daily),
+         |r AS MATERIALIZED (SELECT id, dt,
+         |        CAST(round(LEAST(GREATEST(r, -10), 10) * 1e6, 0)
+         |          AS BIGINT) AS rs
+         |      FROM r0 WHERE r IS NOT NULL),
+         |mkt AS (SELECT dt,
+         |          CAST((ms - ((ms % mc) + mc) % mc) / mc AS BIGINT)
+         |            AS xm
+         |        FROM (SELECT dt, CAST(sum(rs) AS BIGINT) AS ms,
+         |                count(*) AS mc
+         |              FROM r GROUP BY 1)),
+         |g AS (SELECT id, count(*) AS n,
+         |        CAST(sum(xm) AS BIGINT) AS sx,
+         |        CAST(sum(rs) AS BIGINT) AS sy,
+         |        CAST(sum(CAST(xm AS HUGEINT) * rs) AS HUGEINT) AS sxy,
+         |        CAST(sum(CAST(xm AS HUGEINT) * xm) AS HUGEINT) AS sxx,
+         |        CAST(sum(CAST(rs AS HUGEINT) * rs) AS HUGEINT) AS syy
+         |      FROM r JOIN mkt USING (dt)
+         |      GROUP BY 1 HAVING count(*) >= 10),
+         |v AS (SELECT id, n,
+         |        CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+         |        CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+         |        CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cv,
+         |        CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+         |      FROM g)
+         |SELECT id, CAST(n AS INTEGER) AS n,
+         |  CAST(round(CASE WHEN vx > 0.0 THEN cv / vx END, 4) AS REAL)
+         |    AS beta,
+         |  CAST(round(CASE WHEN vx > 0.0 THEN
+         |      (syd - cv / vx * sxd) / CAST(n AS DOUBLE) / 1e6
+         |    END, 8) AS REAL) AS alpha_daily,
+         |  CAST(round(CASE WHEN vx > 0.0 AND vy > 0.0 THEN
+         |      cv * cv / (vx * vy) END, 4) AS REAL) AS r2
+         |FROM v""".stripMargin,
+
     "q371_kalman" ->
       s"""WITH RECURSIVE ${Bars.oracleCte},
          |num AS MATERIALIZED (

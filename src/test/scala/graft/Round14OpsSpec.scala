@@ -37,6 +37,31 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Float]("h") - 1.0f) < 1e-6)
   }
 
+  test("riskMetrics: constant returns give NULL sharpe; a single " +
+      "symbol IS the market (beta 1, alpha 0, r2 1)") {
+    import spark.implicits._
+    // closes 100, 110, 121: two +10% returns — zero variance
+    val bars = Seq((1L, "2024-01-01", 100.0), (1L, "2024-01-02", 110.0),
+        (1L, "2024-01-03", 121.0))
+      .toDF("id", "dts", "close")
+      .select(col("id"), to_date(col("dts")).as("dt"), col("close"))
+    val ss = graft.ts.RiskMetrics.sharpeSortino(bars, minObs = 2)
+      .collect().head
+    assert(ss.getAs[Int]("n") == 2)
+    assert(ss.isNullAt(ss.fieldIndex("sharpe"))) // zero variance
+    assert(ss.isNullAt(ss.fieldIndex("sortino"))) // no downside
+    assert(math.abs(ss.getAs[Float]("ann_ret") - 36.5f) < 0.01f)
+    // varied returns so vx > 0: the only symbol is the market
+    val bars2 = Seq((1L, "2024-01-01", 100.0), (1L, "2024-01-02", 110.0),
+        (1L, "2024-01-03", 99.0), (1L, "2024-01-04", 120.0))
+      .toDF("id", "dts", "close")
+      .select(col("id"), to_date(col("dts")).as("dt"), col("close"))
+    val c = graft.ts.RiskMetrics.capm(bars2, minObs = 2).collect().head
+    assert(c.getAs[Float]("beta") == 1.0f)
+    assert(c.getAs[Float]("r2") == 1.0f)
+    assert(math.abs(c.getAs[Float]("alpha_daily")) < 1e-6f)
+  }
+
   test("logisticNewton: separable labels give a positive slope; " +
       "flipping labels flips it") {
     import spark.implicits._
