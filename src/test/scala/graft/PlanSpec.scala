@@ -677,6 +677,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("round-14 families: heavy hitters broadcast their totals; " +
+      "MF/NB/logistic plan no cartesian products; the stump plans " +
+      "no global fact-width sort") {
+    val p383 = plan("q383_heavy_hitters")
+    assert(p383.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "window totals should broadcast onto the count frame")
+    assert(p383.collect { case j: SortMergeJoinExec => j }.isEmpty)
+    for (q <- Seq("q385_implicit_mf", "q389_naive_bayes",
+        "q391_logistic", "q394_capm")) {
+      val p = plan(q)
+      assert(p.collect {
+        case c: org.apache.spark.sql.execution.joins
+          .CartesianProductExec => c
+      }.isEmpty, s"$q plans a cartesian product")
+    }
+    val p392 = plan("q392_decision_stump")
+    val wide = p392.collect {
+      case s: org.apache.spark.sql.execution.SortExec
+          if s.global && s.child.output.length > 4 => s
+    }
+    assert(wide.isEmpty, "stump plans a global sort over wide rows")
+  }
+
   test("q32–q41: every IndicatorDay.hourly projection keeps the " +
       "one-sort mart plan — no joins, two exchanges, one window sort") {
     // r13 verdict item #5: q34/q38 drifted +43–48% r12→r13 while three
