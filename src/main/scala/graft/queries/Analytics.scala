@@ -1299,6 +1299,16 @@ object Analytics extends QueryPack {
         t("events")(s, d).select(col("ts"), col("user_id"),
           col("event_id")), gapSeconds = 21600L).toDF()),
 
+    // Per-user alert throttling (1 h cooldown, greedy: the first
+    // event passes, suppressed events don't reset the clock) — the
+    // batch-parity form of the transformWithState streaming
+    // suppressor (graft.stream.Throttle, this engine's first TWS
+    // user); the oracle unrolls the greedy recursion per user.
+    "q395_alert_throttle" -> ((s, d) =>
+      graft.stream.Throttle.throttledBatch(
+        t("events")(s, d).select(col("ts"), col("user_id"),
+          col("event_id")), cooldownS = 3600L).toDF()),
+
     // Cliff's delta (1993): the ordinal effect size companion of
     // q202's U — same view-vs-purchase split, exact pair counting
     // via the scan, never a pair join.
@@ -1942,6 +1952,30 @@ object Analytics extends QueryPack {
         |           / (2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
         |           * 1e6 + 0.5) / 1e6 AS REAL) END AS auc
         |FROM m, n""".stripMargin,
+
+    // The greedy cooldown recursion unrolled per user: first event
+    // emits, each later event compares against the CARRIED last-emit.
+    "q395_alert_throttle" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |         event_id
+        |  FROM events WHERE user_id IS NOT NULL),
+        |num AS MATERIALIZED (
+        |  SELECT user_id, t, event_id,
+        |         CAST(row_number() OVER (PARTITION BY user_id
+        |           ORDER BY t, event_id) AS INTEGER) AS rn
+        |  FROM e),
+        |k AS (
+        |  SELECT user_id, rn, t, event_id, TRUE AS emitted, t AS lastt
+        |  FROM num WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.user_id, n.rn, n.t, n.event_id,
+        |    n.t >= k.lastt + 3600,
+        |    CASE WHEN n.t >= k.lastt + 3600 THEN n.t ELSE k.lastt END
+        |  FROM num n JOIN k ON n.user_id = k.user_id
+        |    AND n.rn = k.rn + 1)
+        |SELECT user_id, t AS ts_s, event_id
+        |FROM k WHERE emitted""".stripMargin,
 
     // Both Newton steps replayed: exact step-1 statistics, step-2
     // sigmoids pico-floored, the same Cramer sequence per step.
