@@ -49,4 +49,21 @@ object Pipelines {
   /** S4 — console debug sink (candles.py:107-108). */
   def consoleSink(df: DataFrame): StreamingQuery =
     df.writeStream.format("console").start()
+
+  /** CROSS-micro-batch PK dedup with BOUNDED state — the native
+    * `dropDuplicatesWithinWatermark` operator: a key is dropped as a
+    * duplicate while it stays inside the watermark delay of its first
+    * sighting, and its dedup state is EVICTED once the watermark
+    * passes — the state bound that lets a dedup stream run for months
+    * (plain `dropDuplicates` on a stream retains every key forever).
+    * Complements [[parquetSink]]'s per-batch dedup: that one is
+    * within-batch only; this one spans batches inside the lateness
+    * horizon. Semantics pinned in StreamingSpec, including the
+    * eviction (a key re-arriving after the watermark passed is
+    * admitted again — by design: it is a NEW event at that point).
+    */
+  def dedupWithinWatermark(df: DataFrame, keys: Seq[String],
+      lateness: String = "30 minutes"): DataFrame =
+    df.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 }

@@ -678,4 +678,42 @@ class StreamingSpec extends AnyFunSuite {
       .toSet
     assert(streamed == batch)
   }
+
+  test("dropDuplicatesWithinWatermark: cross-batch dup dropped inside " +
+      "the horizon, state evicted after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val out = tmp("ddww-out")
+    val mem = MemoryStream[(Long, Long)]
+    val events = mem.toDF().toDF("epoch", "event_id")
+      .select(timestamp_seconds(col("epoch")).as("ts"), col("event_id"))
+    val q = Pipelines.dedupWithinWatermark(events, Seq("event_id"),
+        lateness = "10 minutes")
+      .select(col("event_id"), col("ts").cast("long").as("ts_s"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp("ddww-ckpt"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(s"$out/t")
+      }.start()
+    val h = 1700000000L
+    // batch 1: key 1 admitted
+    mem.addData((h, 1L))
+    q.processAllAvailable()
+    // batch 2: the SAME key inside the horizon — dropped even though
+    // it arrives in a DIFFERENT micro-batch (the cross-batch property
+    // the per-batch dropDuplicates cannot give)
+    mem.addData((h + 60, 1L))
+    q.processAllAvailable()
+    // batch 3: advance the watermark far past key 1's state...
+    mem.addData((h + 7200, 2L))
+    q.processAllAvailable()
+    // ...then key 1 again: its dedup state was EVICTED, so this is a
+    // NEW event and is admitted (bounded-state semantics, by design)
+    mem.addData((h + 7300, 1L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(s"$out/t").orderBy("ts_s").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((1L, h), (2L, h + 7200), (1L, h + 7300)))
+  }
 }
