@@ -1269,6 +1269,15 @@ object Analytics extends QueryPack {
     "q387_benford" -> ((s, d) =>
       graft.ops.Stats.benford(t("orders")(s, d), "o_totalprice")),
 
+    // Chunked RANGE JOIN: event values routed into a DERIVED decile
+    // band table (exact order-statistic boundaries) via the
+    // band→chunk explode + hash equi-join rewrite — the plan device
+    // Spark lacks natively (a raw lo<=v<hi join plans as
+    // BroadcastNestedLoopJoin probing every band per row). PlanSpec
+    // gates the equi-join shape.
+    "q396_range_join" -> ((s, d) =>
+      graft.ops.RangeJoin.bandRollup(t("events")(s, d), "value")),
+
     // Logistic regression (purchase probability vs event value) fit
     // by TWO Newton steps, fully distributed: five pico-floored
     // sufficient statistics per step + a closed-form Cramer solve; β
@@ -1976,6 +1985,36 @@ object Analytics extends QueryPack {
         |    AND n.rn = k.rn + 1)
         |SELECT user_id, t AS ts_s, event_id
         |FROM k WHERE emitted""".stripMargin,
+
+    // The same decile boundaries + a plain BETWEEN theta join — an
+    // INDEPENDENT formulation of the chunked equi-join's semantics.
+    "q396_range_join" ->
+      """WITH f AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT v, count(*) AS c FROM f GROUP BY 1),
+        |s AS (SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN
+        |        UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM c),
+        |t AS (SELECT sum(c) AS n, max(v) AS vmax FROM c),
+        |ks AS (SELECT unnest(range(10)) AS band_id),
+        |b0 AS (SELECT ks.band_id, min(s.v) AS lo
+        |       FROM s, t, ks
+        |       WHERE s.cum >= ks.band_id * t.n // 10 + 1
+        |       GROUP BY 1),
+        |bands AS (SELECT band_id, lo,
+        |            COALESCE(lead(lo) OVER (ORDER BY band_id),
+        |              (SELECT vmax + 1 FROM t)) AS hi
+        |          FROM b0),
+        |j AS (SELECT band_id, lo, hi, v
+        |      FROM f JOIN bands ON v >= lo AND v < hi)
+        |SELECT CAST(band_id AS INTEGER) AS band_id,
+        |  CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(CAST(sum(CAST(v AS HUGEINT)) AS DOUBLE) / 100.0,
+        |    2) AS REAL) AS mass
+        |FROM j GROUP BY 1, 2, 3""".stripMargin,
 
     // Both Newton steps replayed: exact step-1 statistics, step-2
     // sigmoids pico-floored, the same Cramer sequence per step.

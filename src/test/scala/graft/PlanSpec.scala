@@ -692,6 +692,22 @@ class PlanSpec extends AnyFunSuite {
           .CartesianProductExec => c
       }.isEmpty, s"$q plans a cartesian product")
     }
+    // the chunked rewrite's entire point: the FACT-side band join
+    // must plan as a hash EQUI-join on the chunk key — never the
+    // nested-loop a raw lo<=v<hi join gives. (The band DERIVATION's
+    // one-row global-aggregate broadcasts legitimately plan as
+    // broadcast nested loops — the house crossJoin(broadcast(tot))
+    // pattern — so the gate keys on the chunk join specifically.)
+    val p396 = plan("q396_range_join")
+    assert(p396.collect {
+      case c: org.apache.spark.sql.execution.joins
+        .CartesianProductExec => c
+    }.isEmpty)
+    val chunkJoins =
+      (p396.collect { case j: BroadcastHashJoinExec => j.leftKeys } ++
+        p396.collect { case j: SortMergeJoinExec => j.leftKeys })
+        .filter(_.exists(_.references.exists(_.name == "chunk")))
+    assert(chunkJoins.nonEmpty, "the band join should hash on chunk")
     val p392 = plan("q392_decision_stump")
     val wide = p392.collect {
       case s: org.apache.spark.sql.execution.SortExec

@@ -37,6 +37,26 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Float]("h") - 1.0f) < 1e-6)
   }
 
+  test("rangeJoin: chunked equi-join routes every value into exactly " +
+      "one band, ties at a boundary go right") {
+    import spark.implicits._
+    val facts = Seq(0L, 5L, 10L, 10L, 15L, 99L).toDF("v")
+    val bands = Seq((0, 0L, 10L), (1, 10L, 50L), (2, 50L, 100L))
+      .toDF("band_id", "lo", "hi")
+    val got = graft.ops.RangeJoin.chunked(facts, bands, chunkWidth = 8L)
+      .groupBy("band_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // 0,5 → band 0; 10,10,15 → band 1 (boundary 10 goes RIGHT); 99 → 2
+    assert(got == Map(0 -> 2L, 1 -> 3L, 2 -> 1L))
+    // an empty band (lo >= hi) neither explodes nor matches
+    val bands2 = Seq((0, 0L, 10L), (1, 10L, 10L), (2, 10L, 100L))
+      .toDF("band_id", "lo", "hi")
+    val got2 = graft.ops.RangeJoin.chunked(facts, bands2, 8L)
+      .groupBy("band_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(0 -> 2L, 2 -> 4L))
+  }
+
   test("riskMetrics: constant returns give NULL sharpe; a single " +
       "symbol IS the market (beta 1, alpha 0, r2 1)") {
     import spark.implicits._
