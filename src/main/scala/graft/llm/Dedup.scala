@@ -532,6 +532,77 @@ object Dedup {
       .where(col("span_len") >= minMatch))
   }
 
+  /** ExactSubstr deduplication at the production 50-token grain (Lee
+    * et al. 2022 "Deduplicating Training Data Makes Language Models
+    * Better", deduplicate-text-datasets): every position whose
+    * k-token gram occurs MORE THAN ONCE in the corpus — across docs
+    * or within one — is marked, and overlapping/adjacent marked
+    * windows merge into maximal spans. The contract is
+    * OCCURRENCE-COUNT based, so unlike the pair-diagonal family
+    * ([[duplicateSpans]]) there is NO pair join, NO df cap, and no
+    * approximation: any ≥ k-token span shared verbatim anywhere is
+    * localized in every copy, exactly the paper's ExactSubstr rule
+    * (the suffix array it builds single-node is replaced by one
+    * corpus-wide gram shuffle).
+    *
+    * Pipeline: token k-grams per position (a pure map; md5 anchors,
+    * collision odds ≈ m²/2¹²⁸ — at 100 TB the same pipe runs on the
+    * [[graft.functions.RollingFp]] rolling kernel to skip the
+    * per-position concat) → one window count partitioned by gram
+    * hash (the ONLY shuffle; map-side nothing to combine but
+    * positions spread uniformly by hash) → per-doc gaps-and-islands
+    * (positions i, j merge when j − i ≤ k, i.e. the windows overlap
+    * or touch) → (min, max + k − 1) spans.
+    *
+    * Determinism: offsets are exact integers; island breaks are
+    * integer compares — the full hash gate applies.
+    *
+    * @return (doc_id, span_start, span_end, n_tokens) — 1-based
+    *         inclusive token offsets of each maximal duplicated span
+    */
+  def exactSubstrSpans(docs: DataFrame, k: Int = 50): DataFrame = {
+    require(k >= 2, "ExactSubstr grain must be >= 2 tokens")
+    val grams = spread(docs.where(col("text").isNotNull))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("wd"))
+      .where(size(col("wd")) >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("wd")) - (k - 1))).as("i"),
+        col("wd"))
+      .select(col("doc_id"), col("i"),
+        md5(concat_ws(" ", slice(col("wd"), col("i"), lit(k)))).as("h"))
+    // corpus-wide occurrence count in ONE shuffle (window over the
+    // gram hash — no groupBy + join back)
+    val marked = grams
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .where(col("occ") > 1)
+      .select(col("doc_id"), col("i"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    marked
+      .withColumn("brk",
+        when(col("i") - lag(col("i"), 1).over(w) > k, 1).otherwise(0))
+      .withColumn("isl", sum(col("brk")).over(w))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("i")).cast("int").as("span_start"),
+        (max(col("i")) + (k - 1)).cast("int").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("n_tokens"))
+  }
+
+  /** The ExactSubstr CUT: every token position covered by a
+    * [[exactSubstrSpans]] span is removed — ALL occurrences of a
+    * duplicated ≥ k-token span, the released tool's default (the
+    * all-but-first variant at the 50 grain is [[cutSpansAllButFirst]]
+    * with minMatch = 50) — and each doc is re-assembled in token
+    * order.
+    *
+    * @return (doc_id, n_tokens, n_cut, clean_text) for every doc
+    */
+  def exactSubstrCut(docs: DataFrame, k: Int = 50): DataFrame =
+    rebuildAfterCut(docs, exactSubstrSpans(docs, k)
+      .select(col("doc_id").as("doc_b"),
+        col("span_start").as("start_b"),
+        (col("span_end") - col("span_start") + 1).as("span_len")))
+
   /** Shared cut + re-assembly: every token position of the `b` side
     * covered by a span is removed and each doc rebuilt in token order
     * (the [[boilerplateStrip]] rebuild pattern). */

@@ -126,7 +126,12 @@ object MlLite {
       struct(col("v"), col("nl"), col("pl"), col("nr"), col("pr"),
         col("score_fp"), col("nt")),
       struct((-col("score_fp")).as("ns"), col("v"))).as("s"))
-    best.select(col("s.v").as("split_cents"),
+    // degenerate input (no rows, or one distinct value → no candidate
+    // split) must yield ZERO rows, matching the oracle's
+    // row_number()+rk=1 formulation — not one all-NULL aggregate row
+    // (r14 advice).
+    best.where(col("s").isNotNull)
+      .select(col("s.v").as("split_cents"),
       col("s.nl").as("n_left"), col("s.pl").as("pos_left"),
       col("s.nr").as("n_right"), col("s.pr").as("pos_right"),
       round(lit(1.0) -

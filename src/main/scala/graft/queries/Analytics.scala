@@ -943,6 +943,24 @@ object Analytics extends QueryPack {
       graft.ops.ImplicitMf.run(ratings, alpha = 10L, iters = 2)
     }),
 
+    // Rank-2 implicit MF (r15): latent 2-vectors, per-entity 2×2
+    // normal equations solved by exact-integer Cramer (q391's
+    // discipline), dense part as THREE broadcast scalars, per-column
+    // renormalization — proving the rank-k generalization claim in
+    // ImplicitMf's scale note. Signed factors: Spark `div` and DuckDB
+    // `//` both truncate toward zero (spec-pinned), so the
+    // quantization agrees on negatives too.
+    "q397_implicit_mf2" -> ((s, d) => {
+      val ratings = t("orders")(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t("lineitem")(s, d)
+          .select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.ops.ImplicitMf.run2(ratings, alpha = 10L, iters = 2)
+    }),
+
     // TextRank keyword extraction (Mihalcea & Tarau 2004): the word
     // co-occurrence graph (adjacent tokens, both directions, distinct)
     // run through the exact-integer PageRank — graph-structural
@@ -6050,6 +6068,18 @@ object Analytics extends QueryPack {
          |SELECT 'user' AS kind, id, CAST(f AS BIGINT) AS f FROM u2
          |UNION ALL
          |SELECT 'item' AS kind, id, CAST(f AS BIGINT) AS f FROM v2"""
+        .stripMargin,
+
+    // Both rank-2 rounds unrolled as MATERIALIZED CTEs over the same
+    // HUGEINT Cramer recursion (generator beside the engine code so
+    // round count/α/seed stay in lockstep).
+    "q397_implicit_mf2" ->
+      s"""WITH ${graft.ops.ImplicitMf.oracleCte2(alpha = 10L, iters = 2)}
+         |SELECT 'user' AS kind, id, CAST(f1 AS BIGINT) AS f1,
+         |       CAST(f2 AS BIGINT) AS f2 FROM u2
+         |UNION ALL
+         |SELECT 'item' AS kind, id, CAST(f1 AS BIGINT) AS f1,
+         |       CAST(f2 AS BIGINT) AS f2 FROM v2"""
         .stripMargin,
 
     // The word graph + all five integer PageRank rounds re-derived.

@@ -287,6 +287,12 @@ object Indicators extends QueryPack {
 
   /** q343 oracle: the TRIX triple-EMA chain — each stage's recursive
     * CTE consumes the previous stage's (dense-from-seed) output.
+    * Each stage reads the PREVIOUS stage through a MATERIALIZED
+    * snapshot (te1m/te2m/te3m): DuckDB inlines non-materialized CTE
+    * references, so a recursion joining another recursion directly
+    * re-runs the inner recursion once per outer STEP — O(n³) for the
+    * chain; the r15 gate timing caught q343 at 500 s of the 502 s
+    * total. Snapshots make each stage run once (~1 s).
     */
   private val trixBlock: String =
     s"""WITH RECURSIVE
@@ -298,8 +304,11 @@ object Indicators extends QueryPack {
        |  SELECT *, CAST(row_number() OVER (
        |    PARTITION BY id ORDER BY t) AS INTEGER) AS rn FROM scaled),
        |${emaCteFrom("te1", "num", "cs", 1, 15)},
-       |${emaCteFrom("te2", "te1", "a", 15, 15)},
-       |${emaCteFrom("te3", "te2", "a", 29, 15)}""".stripMargin
+       |te1m AS MATERIALIZED (SELECT * FROM te1),
+       |${emaCteFrom("te2", "te1m", "a", 15, 15)},
+       |te2m AS MATERIALIZED (SELECT * FROM te2),
+       |${emaCteFrom("te3", "te2m", "a", 29, 15)},
+       |te3m AS MATERIALIZED (SELECT * FROM te3)""".stripMargin
 
   /** q338–q340 oracle prefix: the [[graft.mart.Flow]] delta/frame-sum
     * stack re-derived as pure window SQL (no recursion in this family).
@@ -916,8 +925,8 @@ object Indicators extends QueryPack {
          |         CASE WHEN p.a <> 0 THEN (100 * (e.a - p.a)) / p.a
          |              ELSE CAST(0 AS DOUBLE) END END AS REAL) AS trix
          |FROM num n
-         |LEFT JOIN te3 e ON n.id = e.id AND n.rn = e.rn
-         |LEFT JOIN te3 p ON n.id = p.id AND n.rn = p.rn + 1""".stripMargin,
+         |LEFT JOIN te3m e ON n.id = e.id AND n.rn = e.rn
+         |LEFT JOIN te3m p ON n.id = p.id AND n.rn = p.rn + 1""".stripMargin,
     // The local-level recursion replayed: (l, p) state stepped rn by
     // rn, the gain expression repeated where the kernel names it —
     // same value, deterministic.

@@ -281,6 +281,18 @@ object LlmPack extends QueryPack {
     // duplicated span corpus-wide, exactly the first survives.
     "q328_span_cut_first" -> ((s, d) =>
       Dedup.cutSpansAllButFirst(t("documents")(s, d))),
+    // ExactSubstr at the PRODUCTION 50-token grain (Lee et al. 2022's
+    // actual contract, r15): positions whose 50-gram occurs > 1×
+    // corpus-wide (across docs OR within one), merged to maximal
+    // spans — occurrence-count based, so no pair join, no df cap, no
+    // approximation, unlike the q236 pair-diagonal family.
+    "q398_exact_substr" -> ((s, d) =>
+      Dedup.exactSubstrSpans(t("documents")(s, d))),
+    // The ExactSubstr CUT: all occurrences of every duplicated
+    // ≥ 50-token span removed (the released tool's default), docs
+    // re-assembled in token order.
+    "q399_exact_substr_cut" -> ((s, d) =>
+      Dedup.exactSubstrCut(t("documents")(s, d))),
     // Per-doc token counts under the q238 unigram vocabulary (the
     // q145 bpeEncode analog — the second tokenizer's inference side).
     "q242_unigram_encode" -> ((s, d) =>
@@ -1684,6 +1696,35 @@ object LlmPack extends QueryPack {
 
   private val dupSpanCtes = dupSpanCtesFor("a.doc_id < b.doc_id")
 
+  /** q398/q399 shared derivation: 50-token grams per position (md5 of
+    * the joined slice), corpus-wide occurrence count via one window
+    * (QUALIFY), per-doc gaps-and-islands (gap > 50 breaks), maximal
+    * spans. `tok` is exposed for the q399 rebuild. */
+  private val exactSubstrCtes: String =
+    s"""tok AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |gi AS (SELECT doc_id, w,
+       |         CAST(unnest(range(1, len(w) - 48)) AS INTEGER) AS i
+       |       FROM tok WHERE len(w) >= 50),
+       |h AS (SELECT doc_id, i,
+       |        md5(array_to_string(w[i:i+49], ' ')) AS h
+       |      FROM gi),
+       |mk AS (SELECT doc_id, i FROM h
+       |       QUALIFY count(*) OVER (PARTITION BY h) > 1),
+       |br AS (SELECT doc_id, i,
+       |         CASE WHEN i - lag(i) OVER (
+       |             PARTITION BY doc_id ORDER BY i) > 50
+       |           THEN 1 ELSE 0 END AS brk
+       |       FROM mk),
+       |il AS (SELECT doc_id, i, sum(brk) OVER (
+       |         PARTITION BY doc_id ORDER BY i) AS isl
+       |       FROM br),
+       |spans AS (
+       |  SELECT doc_id, CAST(min(i) AS INTEGER) AS span_start,
+       |         CAST(max(i) + 49 AS INTEGER) AS span_end
+       |  FROM il GROUP BY doc_id, isl)""".stripMargin
+
   /** q328's self-inclusive span table: cross-doc pairs plus
     * within-doc (i < j) occurrence pairs. */
   private val dupSpanSelfCtes = dupSpanCtesFor(
@@ -2079,6 +2120,40 @@ object LlmPack extends QueryPack {
          |cov AS (
          |  SELECT DISTINCT doc_b AS doc_id,
          |         CAST(unnest(range(start_b, start_b + span_len))
+         |           AS INTEGER) AS pos
+         |  FROM spans),
+         |tk2 AS (
+         |  SELECT doc_id,
+         |         CAST(unnest(range(1, len(w) + 1)) AS INTEGER) AS pos, w
+         |  FROM tok),
+         |tk3 AS (SELECT doc_id, pos, w[pos] AS tk FROM tk2),
+         |tot AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens
+         |        FROM tk3 GROUP BY 1),
+         |kept AS (
+         |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |         string_agg(t.tk, ' ' ORDER BY t.pos) AS clean_text
+         |  FROM tk3 t LEFT JOIN cov c
+         |    ON t.doc_id = c.doc_id AND t.pos = c.pos
+         |  WHERE c.pos IS NULL GROUP BY 1)
+         |SELECT t.doc_id, t.n_tokens,
+         |       CAST(t.n_tokens - coalesce(k.n_kept, 0) AS INTEGER)
+         |         AS n_cut,
+         |       coalesce(k.clean_text, '') AS clean_text
+         |FROM tot t LEFT JOIN kept k USING (doc_id)""".stripMargin,
+    // ExactSubstr at the 50-token grain: the same gram derivation,
+    // duplicated positions via one QUALIFY window, islands re-derived.
+    "q398_exact_substr" ->
+      s"""WITH $exactSubstrCtes
+         |SELECT doc_id, span_start, span_end,
+         |       CAST(span_end - span_start + 1 AS INTEGER) AS n_tokens
+         |FROM spans""".stripMargin,
+    // q398's spans driven through the q241 rebuild (all occurrences
+    // cut).
+    "q399_exact_substr_cut" ->
+      s"""WITH $exactSubstrCtes,
+         |cov AS (
+         |  SELECT DISTINCT doc_id,
+         |         CAST(unnest(range(span_start, span_end + 1))
          |           AS INTEGER) AS pos
          |  FROM spans),
          |tk2 AS (

@@ -166,10 +166,13 @@ object Streaming extends QueryPack {
     // regime, so the output is required IDENTICAL to q383 and shares
     // its oracle verbatim (the q133 identical-answer contract);
     // above-capacity eviction behavior is pinned by HeavyHittersSpec.
+    // requireExact ENFORCES the precondition: if the fixture ever
+    // grows past 32 distinct keys in a window, the query fails loudly
+    // instead of silently diverging from the shared oracle.
     "q384_space_saving" -> ((s, d) =>
       graft.stream.HeavyHitters.spaceSavingBatch(
         t("events")(s, d), "event_type", m = 32, minCount = 60L,
-        windowLenS = 86400L).toDF()))
+        windowLenS = 86400L, requireExact = true).toDF()))
 
   private val tsFmt =
     "strftime(make_timestamp(CAST(%s AS BIGINT)*1000000), '%%Y-%%m-%%d %%H:%%M:%%S')"

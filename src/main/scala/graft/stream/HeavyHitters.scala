@@ -139,13 +139,24 @@ object HeavyHitters {
     * batch jobs.
     */
   def spaceSavingBatch(events: DataFrame, keyCol: String, m: Int,
-      minCount: Long, windowLenS: Long = 3600L): Dataset[HH] = {
+      minCount: Long, windowLenS: Long = 3600L,
+      requireExact: Boolean = false): Dataset[HH] = {
     val s = events.sparkSession
     import s.implicits._
     windowedKeys(events, keyCol, windowLenS).as[KeyedRow]
       .groupByKey(_.ws)
       .flatMapGroups { (ws: Long, rows: Iterator[KeyedRow]) =>
-        emit(ws, fold(emptyState, rows.map(_.key), m), minCount)
+        val st = fold(emptyState, rows.map(_.key), m)
+        // exact regime ⟺ no eviction ever fired ⟺ every error bound
+        // is 0. The identical-answer contract vs [[exactBatch]] (the
+        // shared-oracle queries) holds ONLY here; `requireExact`
+        // enforces the precondition loudly instead of letting a
+        // grown fixture silently diverge at the gate (r14 advice).
+        if (requireExact && st.errs.valuesIterator.exists(_ != 0L))
+          throw new IllegalStateException(
+            s"SpaceSaving window $ws exceeded m=$m distinct keys — " +
+              "exact-regime (shared-oracle) contract violated")
+        emit(ws, st, minCount)
       }
   }
 

@@ -54,7 +54,12 @@ object Sessions {
           closed += SessionOut(uid, s.start, s.last, s.n)
           cur = Some(SessState(e.tsS, e.tsS, 1L))
         case Some(s) =>
-          cur = Some(SessState(s.start, math.max(s.last, e.tsS), s.n + 1))
+          // min on start too: an in-watermark but out-of-order event
+          // that predates the open session's first event must fold in
+          // order-independently, or the emitted session_start would
+          // depend on micro-batch boundaries (r14 advice).
+          cur = Some(SessState(math.min(s.start, e.tsS),
+            math.max(s.last, e.tsS), s.n + 1))
         case None =>
           cur = Some(SessState(e.tsS, e.tsS, 1L))
       }
@@ -77,7 +82,7 @@ object Sessions {
     // the watermarked `ts` column must SURVIVE into the stateful
     // operator's input (the event-time-timeout checker resolves the
     // watermark off the child's output attributes)
-    withWm.where(col("user_id").isNotNull)
+    withWm.where(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("ts"), col("user_id").cast("long").as("uid"),
         col("ts").cast("long").as("tsS"),
         col("event_id").cast("long").as("eid"))

@@ -78,7 +78,7 @@ object Throttle {
       cooldownS: Long = 3600L): Dataset[Passed] = {
     val s = events.sparkSession
     import s.implicits._
-    events.where(col("user_id").isNotNull)
+    events.where(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id").cast("long").as("uid"),
         col("ts").cast("long").as("tsS"),
         col("event_id").cast("long").as("eid"))
@@ -96,7 +96,7 @@ object Throttle {
       cooldownS: Long = 3600L): Dataset[Passed] = {
     val s = events.sparkSession
     import s.implicits._
-    events.where(col("user_id").isNotNull)
+    events.where(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id").cast("long").as("uid"),
         col("ts").cast("long").as("tsS"),
         col("event_id").cast("long").as("eid"))

@@ -28,6 +28,26 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(st2.counts == st.counts && st2.errs == st.errs)
   }
 
+  test("batch: requireExact fails loudly when a window exceeds m " +
+      "distinct keys (shared-oracle precondition enforced)") {
+    import spark.implicits._
+    val df = (1 to 10).map(i => (1000L + i, s"k$i"))
+      .toDF("epoch", "event_type")
+      .select(org.apache.spark.sql.functions
+        .timestamp_seconds(org.apache.spark.sql.functions.col("epoch"))
+        .as("ts"), org.apache.spark.sql.functions.col("event_type"))
+    // m = 4 < 10 distinct keys in one day window → eviction → throw
+    val ex = intercept[org.apache.spark.SparkException] {
+      HeavyHitters.spaceSavingBatch(df, "event_type", m = 4,
+        minCount = 1L, windowLenS = 86400L, requireExact = true)
+        .collect()
+    }
+    assert(ex.getMessage != null)
+    // same data without the gate: runs, keeps the ε-guarantee
+    assert(HeavyHitters.spaceSavingBatch(df, "event_type", m = 4,
+      minCount = 1L, windowLenS = 86400L).collect().nonEmpty)
+  }
+
   test("kernel: SpaceSaving guarantees above capacity, any fold order") {
     // 3 heavy keys + 20 singletons, m = 4: for every retained key
     // est >= true and est - err <= true; every key with

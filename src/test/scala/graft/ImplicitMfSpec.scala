@@ -45,6 +45,52 @@ class ImplicitMfSpec extends AnyFunSuite {
     assert(factors(planted, parts = 1) == factors(planted, parts = 7))
   }
 
+  private def factors2(rows: Seq[(Long, Long, Long)],
+      parts: Int = 1): Map[(String, Long), (Long, Long)] = {
+    import spark.implicits._
+    val ratings = rows.toDF("u", "i", "cnt").repartition(parts)
+    ImplicitMf.run2(ratings).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+  }
+
+  // planted rank-2 block structure rank 1 provably CANNOT separate:
+  // two disjoint user×item blocks with IDENTICAL counts — rank 1 sees
+  // the same engagement everywhere and assigns every user the same
+  // scalar, while rank 2's seeded second coordinate lets the blocks
+  // pull apart in direction.
+  private val planted2 = Seq(
+    (1L, 11L, 5L), (1L, 12L, 5L), (2L, 11L, 5L), (2L, 12L, 5L),
+    (3L, 13L, 5L), (3L, 14L, 5L), (4L, 13L, 5L), (4L, 14L, 5L))
+
+  test("rank 2 separates equal-engagement blocks rank 1 cannot") {
+    // rank 1: by symmetry every user gets the identical factor —
+    // the blocks are provably inseparable at rank 1
+    val f1 = factors(planted2)
+    assert(Seq(1L, 2L, 3L, 4L).map(u => f1(("user", u))).distinct
+      .size == 1)
+    // rank 2: within-block users tie exactly, across blocks differ
+    val f2 = factors2(planted2)
+    assert(f2(("user", 1L)) == f2(("user", 2L)))
+    assert(f2(("user", 3L)) == f2(("user", 4L)))
+    assert(f2(("user", 1L)) != f2(("user", 3L)),
+      s"blocks not separated: ${f2.toSeq.sortBy(_._1.toString)}")
+    // renormalization contract: per column max |f| = 1e6 per kind
+    val users = Seq(1L, 2L, 3L, 4L).map(u => f2(("user", u)))
+    assert(users.map(x => math.abs(x._1)).max == 1000000L)
+  }
+
+  test("rank 2 determinism: partitioning cannot move a factor; " +
+      "truncation toward zero on negatives matches DuckDB //") {
+    assert(factors2(planted2, parts = 1) == factors2(planted2, parts = 7))
+    // the signed-quantization precondition: Spark div truncates
+    // toward zero exactly like DuckDB's // (-7 div 2 = -3, not -4)
+    import spark.implicits._
+    val d = Seq((-7L, 2L), (7L, -2L), (-7L, -2L)).toDF("a", "b")
+      .selectExpr("a div b").as[Long].collect().toSeq
+    assert(d == Seq(-3L, -3L, 3L))
+  }
+
   test("single round is already the closed-form rank-1 solve") {
     import spark.implicits._
     // one user, one item, cnt=1: c=11, v0=1e6, G=1e12

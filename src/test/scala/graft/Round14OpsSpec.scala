@@ -116,6 +116,18 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(r.getAs[Float]("gini") == 0f)
   }
 
+  test("decisionStump: degenerate input (one distinct value / no " +
+      "rows) yields ZERO rows, matching the oracle's rk=1 form") {
+    import spark.implicits._
+    val one = Seq((5.0, "a"), (5.0, "p"), (5.0, "p"))
+      .toDF("value", "event_type")
+    assert(graft.ops.MlLite.decisionStump(one, "value",
+      col("event_type") === "p").count() == 0L)
+    val empty = Seq.empty[(Double, String)].toDF("value", "event_type")
+    assert(graft.ops.MlLite.decisionStump(empty, "value",
+      col("event_type") === "p").count() == 0L)
+  }
+
   test("naiveBayes: separable vocabularies classify; smoothing breaks " +
       "ties toward the prior") {
     import spark.implicits._

@@ -34,6 +34,53 @@ class SessionsSpec extends AnyFunSuite {
     assert(c3.isEmpty)
   }
 
+  test("kernel: an out-of-order event predating the open session's " +
+      "start folds in order-independently (start moves earlier)") {
+    val open = Some(Sessions.SessState(200, 200, 1))
+    val (c, o) = Sessions.foldEvents(1L, open,
+      Seq(Sessions.Ev(1, 150, 9)), 60L)
+    assert(c.isEmpty && o.contains(Sessions.SessState(150, 200, 2)))
+  }
+
+  test("streaming: cross-batch out-of-order event inside the " +
+      "lateness horizon yields the same session_start as in-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val out = tmp("sess-ooo-out")
+    val mem = MemoryStream[(Long, Long, Long)]
+    val events = mem.toDF().toDF("epoch", "user_id", "event_id")
+      .select(timestamp_seconds(col("epoch")).as("ts"),
+        col("user_id"), col("event_id"))
+    val q = Sessions.gapSessions(events, gapSeconds = 3600L,
+        lateness = "10 minutes")
+      .toDF()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp("sess-ooo-ckpt"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(s"$out/t")
+      }.start()
+    val h = 1700000000L
+    // batch 1 opens the session at h+600; batch 2 delivers an
+    // out-of-order event at h+60, strictly inside the lateness
+    // horizon (watermark after batch 1 = h+600-600 = h) —
+    // session_start must move EARLIER, to h+60, exactly as if both
+    // events had arrived in one batch
+    mem.addData((h + 600, 1L, 1L))
+    q.processAllAvailable()
+    mem.addData((h + 60, 1L, 2L))
+    q.processAllAvailable()
+    // gap event closes the session
+    mem.addData((h + 7800, 1L, 3L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(s"$out/t")
+      .orderBy("session_start").collect()
+    assert(rows.length == 1, rows.mkString(";"))
+    assert(rows(0).getAs[Long]("session_start") == h + 60 &&
+      rows(0).getAs[Long]("session_end") == h + 600 &&
+      rows(0).getAs[Long]("n_events") == 2L)
+  }
+
   test("streaming: close by gap event, close by timeout, late row " +
       "cannot resurrect an emitted session") {
     implicit val sqlCtx = spark.sqlContext
