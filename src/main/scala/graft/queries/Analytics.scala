@@ -1336,6 +1336,18 @@ object Analytics extends QueryPack {
         t("events")(s, d).select(col("ts"), col("user_id"),
           col("event_id")), cooldownS = 3600L).toDF()),
 
+    // STREAMING ANN ADMISSION in its batch-parity form (r15): each
+    // doc fingerprints to a 64-bit SimHash, keys by its leading
+    // 16-bit band, and is admitted iff no previously-ADMITTED
+    // fingerprint in its bucket sits within Hamming 3 — greedy over
+    // admitted-only state (the q395 shape), folding in doc_id order.
+    // The online twin (transformWithState, per-bucket ListState,
+    // TTL eviction) is pinned by AnnAdmissionSpec; the oracle unrolls
+    // the greedy recursion per bucket carrying the admitted LIST.
+    "q400_ann_admission" -> ((s, d) =>
+      graft.stream.AnnAdmission.admittedBatch(
+        t("documents")(s, d), maxHamming = 3).toDF()),
+
     // Cliff's delta (1993): the ordinal effect size companion of
     // q202's U — same view-vs-purchase split, exact pair counting
     // via the scan, never a pair join.
@@ -2003,6 +2015,48 @@ object Analytics extends QueryPack {
         |    AND n.rn = k.rn + 1)
         |SELECT user_id, t AS ts_s, event_id
         |FROM k WHERE emitted""".stripMargin,
+
+    // The greedy admission recursion unrolled per bucket: the 64-bit
+    // simhash re-derived (the q118 bit definition), leading 16 bits
+    // as the bucket, the admitted set carried as a LIST of bit
+    // strings, Hamming via bit_count(xor) on BIT. rows_ is
+    // MATERIALIZED — the recursive half re-references it, and DuckDB
+    // re-inlines non-materialized CTEs per step (the q343 lesson).
+    "q400_ann_admission" ->
+      s"""WITH RECURSIVE t2 AS (
+         |  SELECT doc_id,
+         |         unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |  FROM documents WHERE text IS NOT NULL),
+         |h AS (SELECT doc_id, md5(tok) AS h FROM t2),
+         |c AS (SELECT doc_id,
+         |    ${graft.queries.OracleSql.simhashColsN(
+               graft.llm.Dedup.simhashBits64)}
+         |  FROM h GROUP BY doc_id),
+         |fp AS (SELECT doc_id,
+         |    ${graft.queries.OracleSql.simhashConcatN(
+               graft.llm.Dedup.simhashBits64)} AS simhash
+         |  FROM c),
+         |rows_ AS MATERIALIZED (
+         |  SELECT substr(simhash, 1, 16) AS bucket, doc_id, simhash,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY substr(simhash, 1, 16)
+         |           ORDER BY doc_id) AS INTEGER) AS rn
+         |  FROM fp),
+         |adm AS (
+         |  SELECT bucket, rn, doc_id, simhash, TRUE AS ok,
+         |         [simhash] AS admitted
+         |  FROM rows_ WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.bucket, r.rn, r.doc_id, r.simhash,
+         |    len(list_filter(a.admitted, s ->
+         |      bit_count(xor(s::BIT, r.simhash::BIT)) <= 3)) = 0,
+         |    CASE WHEN len(list_filter(a.admitted, s ->
+         |           bit_count(xor(s::BIT, r.simhash::BIT)) <= 3)) = 0
+         |         THEN list_append(a.admitted, r.simhash)
+         |         ELSE a.admitted END
+         |  FROM adm a JOIN rows_ r
+         |    ON r.bucket = a.bucket AND r.rn = a.rn + 1)
+         |SELECT doc_id, bucket, ok AS admitted FROM adm""".stripMargin,
 
     // The same decile boundaries + a plain BETWEEN theta join — an
     // INDEPENDENT formulation of the chunked equi-join's semantics.
