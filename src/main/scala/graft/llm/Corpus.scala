@@ -515,6 +515,47 @@ object Corpus {
       .select(col("doc_id"), col("lang"), col("weight"), col("rk"))
   }
 
+  /** Systematic probability-proportional-to-size sampling (Madow
+    * 1949) — the OTHER classic weighted draw beside [[weightedSample]]'s
+    * A-ES reservoir: k selection points march through the cumulative
+    * weight line at step W/k, and each document is hit once per point
+    * landing in its weight interval — so inclusion count is
+    * DETERMINISTIC (⌈k·wᵢ/W⌉ or ⌊k·wᵢ/W⌋, exactly proportional up to
+    * rounding), Σ hits = k exactly, and a document heavier than W/k
+    * is drawn with multiplicity (the PPS convention). Zero randomness:
+    * the offset is fixed at the interval END (points at m·W/k,
+    * m = 1..k) — production would hash-derive the offset; determinism
+    * is this engine's contract.
+    *
+    * All arithmetic exact integers: cumulative weights from the
+    * two-level [[graft.ops.Scan.globalRunningSums]] (never a
+    * single-task sort), hits per doc = ⌈cumᵢ·k/W⌉ − ⌈cumᵢ₋₁·k/W⌉ in
+    * decimal(38,0) ceil-division — both engines compute the identical
+    * counts at any partitioning.
+    *
+    * @param weightCol positive size/quality weight (NULL/≤0 rows are
+    *                  ineligible)
+    * @return sampled docs only: (doc_id, w, cum, n_hits ≥ 1)
+    */
+  def ppsSystematic(docs: DataFrame, weightCol: String,
+      k: Int = 50): DataFrame = {
+    require(k >= 1, "PPS sample size must be >= 1")
+    val w = docs
+      .where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col("doc_id"), col(weightCol).cast("long").as("w"))
+    val scanned = graft.ops.Scan.globalRunningSums(w, Seq("doc_id"),
+      Seq(col("w") -> "cum"))
+    val tot = w.agg(sum(col("w")).cast("decimal(38,0)").as("wt"))
+    scanned.crossJoin(broadcast(tot))
+      .withColumn("hi",
+        expr(s"(cast(cum as decimal(38,0)) * $k + wt - 1) div wt"))
+      .withColumn("lo",
+        expr(s"((cast(cum as decimal(38,0)) - w) * $k + wt - 1) div wt"))
+      .where(col("hi") > col("lo"))
+      .select(col("doc_id"), col("w"), col("cum"),
+        (col("hi") - col("lo")).cast("int").as("n_hits"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, arXiv:2302.03169 —
     * "Data Selection for Language Models via Importance Resampling"):
     * score every corpus document by how much its HASHED-UNIGRAM

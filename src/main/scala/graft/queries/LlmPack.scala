@@ -782,6 +782,13 @@ object LlmPack extends QueryPack {
     // md5-hash u makes even the random draw oracle-checkable.
     "q130_weighted_sample" -> ((s, d) =>
       graft.llm.Corpus.weightedSample(t("documents")(s, d))),
+    // Systematic PPS sampling (Madow 1949, r15): k = 50 selection
+    // points march the cumulative n_chars line — deterministic hit
+    // counts exactly proportional to size up to rounding, Σ hits = k,
+    // heavy docs drawn with multiplicity; exact-integer ceil-division
+    // off the two-level global scan, zero randomness.
+    "q401_pps_sample" -> ((s, d) =>
+      graft.llm.Corpus.ppsSystematic(t("documents")(s, d), "n_chars")),
     // Count-min-as-a-DataFrame: trigram occurrences pressed into a
     // fixed 4×64 coordinate grid (≤ d·w rows regardless of key
     // cardinality), then the exact top-20 grams probed back — output
@@ -4298,6 +4305,25 @@ object LlmPack extends QueryPack {
          |        ORDER BY rank_key DESC, doc_id) AS rk FROM k)
          |WHERE rk <= 50""".stripMargin
     },
+
+    // The systematic PPS walk re-derived: same doc_id-ordered
+    // cumulative weights (window sum, BIGINT-cast — the engine's scan
+    // emits long), same HUGEINT ceil-division hit counts.
+    "q401_pps_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |s AS (SELECT doc_id, w,
+        |        CAST(sum(w) OVER (ORDER BY doc_id ROWS BETWEEN
+        |          UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM w),
+        |t AS (SELECT CAST(sum(w) AS HUGEINT) AS wt FROM w),
+        |h AS (SELECT doc_id, w, cum,
+        |        (CAST(cum AS HUGEINT) * 50 + wt - 1) // wt AS hi,
+        |        ((CAST(cum AS HUGEINT) - w) * 50 + wt - 1) // wt AS lo
+        |      FROM s, t)
+        |SELECT doc_id, w, cum, CAST(hi - lo AS INTEGER) AS n_hits
+        |FROM h WHERE hi > lo""".stripMargin,
 
     // The sketch grid and the minima re-derived exactly: same 4 row
     // salts, same md5-high-16 mod 64 buckets, same per-cell sums, same

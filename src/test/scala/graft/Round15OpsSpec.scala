@@ -50,6 +50,26 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(got == Set((5L, 1, 12, 12), (6L, 1, 12, 12)))
   }
 
+  test("ppsSystematic: hit counts exactly proportional up to " +
+      "rounding, sum of hits = k, light docs still reachable") {
+    import spark.implicits._
+    val d = Seq((1L, 10L), (2L, 30L), (3L, 60L))
+      .toDF("doc_id", "n_chars")
+    // k = 10, W = 100, points at 10,20,...,100: hits 1/3/6 exactly
+    val g10 = graft.llm.Corpus.ppsSystematic(d, "n_chars", k = 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(g10 == Map(1L -> 1, 2L -> 3, 3L -> 6))
+    // k = 3: ceil rounding still reaches the light doc, sum stays 3
+    val g3 = graft.llm.Corpus.ppsSystematic(d, "n_chars", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(g3 == Map(1L -> 1, 2L -> 1, 3L -> 1))
+    // partitioning independence (the global-scan contract)
+    val g10b = graft.llm.Corpus.ppsSystematic(d.repartition(7),
+      "n_chars", k = 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(g10b == g10)
+  }
+
   test("exactSubstrCut: all occurrences cut, docs re-assembled, " +
       "unique docs pass through with n_cut = 0") {
     val d = docs(
