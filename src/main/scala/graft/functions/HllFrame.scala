@@ -43,24 +43,33 @@ object HllFrame {
     * nibbles). */
   val wBits = 48
 
+  /** Register index of one value — the first p md5 bits. Exposed
+    * per-row so the streaming twin ([[graft.stream.DistinctCounter]])
+    * derives IDENTICAL registers from the same expressions. */
+  def regCol(value: Column): Column =
+    conv(substring(md5(value.cast("string")), 1, p / 4), 16, 10)
+      .cast("int")
+
+  /** Rank of one value — leading-zero count of the next 48 md5 bits
+    * + 1; bin() emits no leading zeros, so lz = 48 − len(bin) —
+    * except w = 0, where bin is "0" and the rank saturates at 49. */
+  def rankCol(value: Column): Column = {
+    val w = conv(substring(md5(value.cast("string")), p / 4 + 1,
+      wBits / 4), 16, 10).cast("long")
+    when(w === 0, wBits + 1)
+      .otherwise(lit(wBits + 1) - length(bin(w)))
+  }
+
   /** Per-key register frame: (keys..., reg, mr) with mr = max rank.
     * This is the MERGEABLE sketch state — union more data by unioning
     * frames and re-aggregating max(mr).
     */
-  def registers(df: DataFrame, keys: Seq[String], value: Column): DataFrame = {
-    val h = md5(value.cast("string"))
-    val w = conv(substring(h, p / 4 + 1, wBits / 4), 16, 10).cast("long")
+  def registers(df: DataFrame, keys: Seq[String], value: Column): DataFrame =
     df.where(value.isNotNull)
-      .select(keys.map(col) :+
-        conv(substring(h, 1, p / 4), 16, 10).cast("int").as("reg") :+
-        // rank = leading zeros of the 48-bit word + 1; bin() emits no
-        // leading zeros, so lz = 48 − len(bin) — except w = 0, where
-        // bin is "0" and the rank saturates at 49
-        when(w === 0, wBits + 1)
-          .otherwise(lit(wBits + 1) - length(bin(w))).as("rank"): _*)
+      .select(keys.map(col) :+ regCol(value).as("reg") :+
+        rankCol(value).as("rank"): _*)
       .groupBy(keys.map(col) :+ col("reg"): _*)
       .agg(max(col("rank")).as("mr"))
-  }
 
   /** Cardinality estimate per key group from a [[registers]] frame:
     * (keys..., n_registers, est). `est` = α·m²/Σ2^(−Mⱼ) with empty
@@ -68,17 +77,26 @@ object HllFrame {
     * doc for why no small-range correction is applied.
     */
   def estimate(regs: DataFrame, keys: Seq[String]): DataFrame = {
-    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / m)
     val sPresent = sum(expr(s"shiftleft(1L, ${wBits + 1} - mr)"))
     val g = regs.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).cast("int").as("n_registers"),
         sPresent.as("s_present"))
-    // absent registers carry rank 0 → 2^(49−0) each, exact integers
+    g.select(keys.map(col) :+ col("n_registers") :+
+      estCol.as("est"): _*)
+  }
+
+  /** The raw-estimator projection over (n_registers, s_present)
+    * columns — [[estimate]]'s arithmetic, exposed so the streaming
+    * twin's state-fold output runs through the IDENTICAL fixed IEEE
+    * expression (absent registers carry rank 0 → 2^49 each, exact
+    * integers end to end; one double division at the edge).
+    */
+  def estCol: Column = {
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / m)
     val sTotal = col("s_present") +
       (lit(m.toLong) - col("n_registers")) * lit(1L << (wBits + 1))
-    g.select(keys.map(col) :+ col("n_registers") :+
-      round(alpha * m * m * lit(math.pow(2.0, wBits + 1)) / sTotal, 2)
-        .cast("float").as("est"): _*)
+    round(alpha * m * m * lit(math.pow(2.0, wBits + 1)) / sTotal, 2)
+      .cast("float")
   }
 
   /** One-shot: [[registers]] → [[estimate]]. */

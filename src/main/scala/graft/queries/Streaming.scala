@@ -172,7 +172,20 @@ object Streaming extends QueryPack {
     "q384_space_saving" -> ((s, d) =>
       graft.stream.HeavyHitters.spaceSavingBatch(
         t("events")(s, d), "event_type", m = 32, minCount = 60L,
-        windowLenS = 86400L, requireExact = true).toDF()))
+        windowLenS = 86400L, requireExact = true).toDF()),
+
+    // Streaming windowed CARDINALITY counter (r15): per event-time
+    // day, the approximate distinct user count from the engine's
+    // deterministic HLL (md5 registers, exact-integer denominator) —
+    // state O(256 registers) per open window regardless of user
+    // cardinality. The register fold is max — commutative — so unlike
+    // q384 there is NO exact-regime caveat: this batch form runs the
+    // real streaming kernel and is fully hash-gated with no
+    // precondition. Completes the bounded-state streaming trio
+    // (frequency q383/q384, distribution DriftMonitor, cardinality).
+    "q402_stream_hll" -> ((s, d) =>
+      graft.stream.DistinctCounter.exactBatch(
+        t("events")(s, d), col("user_id"), windowLenS = 86400L)))
 
   private val tsFmt =
     "strftime(make_timestamp(CAST(%s AS BIGINT)*1000000), '%%Y-%%m-%%d %%H:%%M:%%S')"
@@ -242,7 +255,38 @@ object Streaming extends QueryPack {
     // totals summed from the count frame. q384 runs the SpaceSaving
     // fold in its exact regime and must match this verbatim.
     "q383_heavy_hitters" -> heavyHittersOracle,
-    "q384_space_saving" -> heavyHittersOracle)
+    "q384_space_saving" -> heavyHittersOracle,
+
+    // The windowed HLL re-derived: same md5 register/rank slices as
+    // the q208 audit oracle, keyed by the day window; absent
+    // registers carry 2^49 each; one double division + round(_, 2)
+    // at the edge.
+    "q402_stream_hll" -> {
+      val reg = OracleSql.md5IntN("h", 1, 2)
+      val w = OracleSql.md5IntN("h", 3, 12)
+      s"""WITH f AS (SELECT DISTINCT
+         |             CAST(floor(epoch(ts)) AS BIGINT) // 86400
+         |               * 86400 AS ws,
+         |             CAST(user_id AS VARCHAR) AS ud
+         |           FROM events
+         |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |hh AS (SELECT ws, md5(ud) AS h FROM f),
+         |r AS (SELECT ws, $reg AS reg, $w AS wd FROM hh),
+         |rk AS (SELECT ws, reg,
+         |         max(CASE WHEN wd = 0 THEN 49
+         |             ELSE 49 - length(bin(wd)) END) AS mr
+         |       FROM r GROUP BY 1, 2),
+         |g AS (SELECT ws, CAST(count(*) AS INTEGER) AS n_registers,
+         |        CAST(sum(1::BIGINT << (49 - mr)) AS BIGINT) AS sp
+         |      FROM rk GROUP BY 1)
+         |SELECT ws AS window_start, n_registers,
+         |       CAST(round(0.7213 / (1.0 + 1.079 / 256) * 256 * 256
+         |           * 562949953421312.0
+         |           / CAST(sp + CAST(256 - n_registers AS BIGINT)
+         |                  * 562949953421312 AS DOUBLE), 2)
+         |         AS REAL) AS est
+         |FROM g""".stripMargin
+    })
 
   private lazy val heavyHittersOracle: String =
     """WITH f AS (
