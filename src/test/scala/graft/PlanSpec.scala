@@ -767,4 +767,43 @@ class PlanSpec extends AnyFunSuite {
     val ex = p.collect { case e: ShuffleExchangeExec => e }
     assert(ex.isEmpty, s"entropy planned ${ex.size} exchanges")
   }
+
+  test("r15 family: no cartesian anywhere; MF2 scalars broadcast; " +
+      "ExactSubstr never sort-merge-joins; PPS offsets broadcast") {
+    // q397 rank-2 MF: the final plan reads the half-steps' eager
+    // localCheckpoints (the interior ratings-join/broadcast shape is
+    // the rank-1 plan, asserted by construction — broadcast() on
+    // every one-row frame); the visible plan must stay cartesian-free
+    val p397 = plan("q397_implicit_mf2")
+    assert(p397.collect {
+      case c: org.apache.spark.sql.execution.joins
+        .CartesianProductExec => c
+    }.isEmpty, "MF2 plans a real cartesian")
+    // q398 ExactSubstr: occurrence counting is a WINDOW over the gram
+    // hash — no join of any kind in the span path
+    val p398 = plan("q398_exact_substr")
+    assert(p398.collect { case s: SortMergeJoinExec => s }.isEmpty &&
+      p398.collect { case b: BroadcastHashJoinExec => b }.isEmpty,
+      "ExactSubstr spans should be join-free (one window shuffle)")
+    // q400 admission / q402 HLL: keyed-state batch kernels — no
+    // cartesian, no sort-merge join
+    Seq("q400_ann_admission", "q402_stream_hll").foreach { q =>
+      val p = plan(q)
+      assert(p.collect {
+        case c: org.apache.spark.sql.execution.joins
+          .CartesianProductExec => c
+      }.isEmpty, q)
+      assert(p.collect { case s: SortMergeJoinExec => s }.isEmpty, q)
+    }
+    // q401 PPS: the scan's partition offsets and the 1-row total
+    // broadcast; no global fact-width sort
+    val p401 = plan("q401_pps_sample")
+    assert(p401.collect { case s: SortMergeJoinExec => s }.isEmpty,
+      "PPS should join offsets/total by broadcast only")
+    val wide = p401.collect {
+      case s: org.apache.spark.sql.execution.SortExec
+          if s.global && s.child.output.length > 3 => s
+    }
+    assert(wide.isEmpty, "PPS plans a global sort over wide rows")
+  }
 }
