@@ -1348,6 +1348,26 @@ object Analytics extends QueryPack {
       graft.stream.AnnAdmission.admittedBatch(
         t("documents")(s, d), maxHamming = 3).toDF()),
 
+    // Isotonic calibration (r15): reliability bins (the q379 integer
+    // rank rule, 50 bins) + pool-adjacent-violators via the
+    // Robertson–Wright–Dykstra minimax identity, all on micro-floored
+    // exact integers (floor is monotone, so the integer minimax IS
+    // the floored PAV fit). The monotone map from raw score to
+    // empirical purchase rate — the non-parametric calibrator beside
+    // q391's parametric logistic.
+    "q403_isotonic" -> ((s, d) =>
+      graft.ops.Calibration.isotonicBins(t("events")(s, d), "value",
+        col("event_type") === "purchase", nBins = 50)),
+
+    // Split-conformal threshold (r15): the ⌈(n+1)(1−α)⌉-th smallest
+    // calibration score (α = 10%, exact integer rank rule) plus the
+    // held-out coverage audit — the finite-sample-guaranteed gate a
+    // score-based admission pipeline should prefer over an ad-hoc
+    // percentile.
+    "q404_conformal" -> ((s, d) =>
+      graft.ops.Calibration.conformalThreshold(t("events")(s, d),
+        "value", col("event_id") % 5 === 0, alphaPct = 10)),
+
     // Cliff's delta (1993): the ordinal effect size companion of
     // q202's U — same view-vs-purchase split, exact pair counting
     // via the scan, never a pair join.
@@ -2057,6 +2077,85 @@ object Analytics extends QueryPack {
          |  FROM adm a JOIN rows_ r
          |    ON r.bucket = a.bucket AND r.rn = a.rn + 1)
          |SELECT doc_id, bucket, ok AS admitted FROM adm""".stripMargin,
+
+    // The PAV minimax re-derived: same cent quantization, same
+    // first-row bin rule, same HUGEINT interval averages, same
+    // max-of-min triangle.
+    "q403_isotonic" ->
+      """WITH c AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS v,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+        |           AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT v, CAST(count(*) AS BIGINT) AS ct,
+        |        CAST(sum(y) AS BIGINT) AS py
+        |      FROM c GROUP BY 1),
+        |s AS (SELECT v, ct, py,
+        |        CAST(sum(ct) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |          PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM g),
+        |n AS (SELECT CAST(sum(ct) AS HUGEINT) AS n FROM g),
+        |b AS (SELECT CAST((CAST(cum - ct AS HUGEINT) * 50) // n
+        |          AS BIGINT) AS bin, ct, py
+        |      FROM s, n),
+        |bb AS (SELECT bin, CAST(sum(ct) AS BIGINT) AS nb,
+        |         CAST(sum(py) AS BIGINT) AS pb
+        |       FROM b GROUP BY 1),
+        |pre AS MATERIALIZED (
+        |  SELECT bin, nb, pb,
+        |    CAST(sum(nb) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+        |    CAST(sum(pb) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cp
+        |  FROM bb),
+        |pa AS MATERIALIZED (
+        |  SELECT pj.j, pk.k,
+        |         (CAST(pk.cpk - pj.cpj AS HUGEINT) * 1000000)
+        |           // (pk.cnk - pj.cnj) AS a
+        |  FROM (SELECT bin AS j, cn - nb AS cnj, cp - pb AS cpj
+        |        FROM pre) pj
+        |  JOIN (SELECT bin AS k, cn AS cnk, cp AS cpk FROM pre) pk
+        |    ON pj.j <= pk.k),
+        |f AS (SELECT i.bin AS i, i.nb, i.pb, pa.j, min(pa.a) AS mn
+        |      FROM pre i JOIN pa ON pa.j <= i.bin AND pa.k >= i.bin
+        |      GROUP BY 1, 2, 3, 4),
+        |ff AS (SELECT i, nb, pb, max(mn) AS fit FROM f GROUP BY 1, 2, 3)
+        |SELECT CAST(i AS INTEGER) AS bin, nb AS n, pb AS pos,
+        |       CAST((CAST(pb AS HUGEINT) * 1000000) // nb AS BIGINT)
+        |         AS rate_micro,
+        |       CAST(fit AS BIGINT) AS fit_micro
+        |FROM ff""".stripMargin,
+
+    // The conformal rank rule re-derived: same calibration split,
+    // same ⌈(n+1)(1−α)⌉ integer rank, same held-out audit.
+    "q404_conformal" ->
+      """WITH b AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS v,
+        |         event_id % 5 = 0 AS cal
+        |  FROM events WHERE value IS NOT NULL),
+        |cc AS (SELECT v, CAST(count(*) AS BIGINT) AS ct
+        |       FROM b WHERE cal GROUP BY 1),
+        |s AS (SELECT v, CAST(sum(ct) OVER (ORDER BY v ROWS BETWEEN
+        |        UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM cc),
+        |n AS (SELECT CAST(sum(ct) AS BIGINT) AS n_cal FROM cc),
+        |kk AS (SELECT n_cal, ((n_cal + 1) * 90 + 99) // 100 AS k
+        |       FROM n),
+        |q AS (SELECT max(n_cal) AS n_cal, max(k) AS k_rank,
+        |        coalesce(min(CASE WHEN cum >= k THEN v END), max(v))
+        |          AS qhat
+        |      FROM s, kk)
+        |SELECT q.n_cal, q.k_rank, q.qhat AS qhat_cents,
+        |       CAST(count(*) AS BIGINT) AS n_test,
+        |       CAST(sum(CASE WHEN t.v <= q.qhat THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_covered,
+        |       CAST((CAST(sum(CASE WHEN t.v <= q.qhat THEN 1 ELSE 0
+        |           END) AS HUGEINT) * 1000000) // count(*) AS BIGINT)
+        |         AS coverage_micro
+        |FROM b t, q WHERE NOT t.cal
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     // The same decile boundaries + a plain BETWEEN theta join — an
     // INDEPENDENT formulation of the chunked equi-join's semantics.

@@ -70,6 +70,50 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(g10b == g10)
   }
 
+  test("isotonicBins: the classic PAV pooling case, hand-solved") {
+    import spark.implicits._
+    // three singleton bins with rates [1, 0, 1]: PAV pools the first
+    // two to 1/2 and leaves the third — fits [0.5, 0.5, 1.0]
+    val df = Seq((1.00, "purchase"), (2.00, "view"), (3.00, "purchase"))
+      .toDF("value", "event_type")
+    val got = graft.ops.Calibration.isotonicBins(df, "value",
+        col("event_type") === "purchase", nBins = 3)
+      .collect().map(r => r.getInt(0) -> r.getLong(4)).toMap
+    assert(got == Map(0 -> 500000L, 1 -> 500000L, 2 -> 1000000L))
+  }
+
+  test("isotonicBins: the fit is non-decreasing in bin (the PAV " +
+      "contract) on non-monotone raw rates") {
+    import spark.implicits._
+    val rows = (1 to 400).map { i =>
+      // sawtooth positive rate over an increasing score
+      (i.toDouble, if ((i / 7 + i) % 3 == 0) "purchase" else "view")
+    }
+    val df = rows.toDF("value", "event_type")
+    val fit = graft.ops.Calibration.isotonicBins(df, "value",
+        col("event_type") === "purchase", nBins = 20)
+      .orderBy("bin").collect().map(_.getLong(4)).toSeq
+    assert(fit == fit.sorted, s"fit not monotone: $fit")
+    assert(fit.distinct.size > 1, "degenerate all-equal fit")
+  }
+
+  test("conformalThreshold: exact rank rule and coverage audit, " +
+      "hand-solved at n_cal = 100") {
+    import spark.implicits._
+    // cal scores 1..100, test scores 1..100: k = ceil(101*0.9) = 91,
+    // qhat = 91.00, covered = 91 of 100
+    val df = ((1 to 100).map(i => (i.toDouble, true)) ++
+        (1 to 100).map(i => (i.toDouble, false)))
+      .toDF("value", "cal")
+    val r = graft.ops.Calibration.conformalThreshold(df, "value",
+      col("cal"), alphaPct = 10).collect().head
+    assert(r.getAs[Long]("n_cal") == 100L)
+    assert(r.getAs[Long]("k_rank") == 91L)
+    assert(r.getAs[Long]("qhat_cents") == 9100L)
+    assert(r.getAs[Long]("n_covered") == 91L)
+    assert(r.getAs[Long]("coverage_micro") == 910000L)
+  }
+
   test("exactSubstrCut: all occurrences cut, docs re-assembled, " +
       "unique docs pass through with n_cut = 0") {
     val d = docs(
