@@ -11,14 +11,20 @@ import org.apache.spark.sql.functions._
   *    (pool-adjacent-violators, computed by the Robertson–Wright–
   *    Dykstra minimax identity fit_i = max_{j≤i} min_{k≥i}
   *    avg(y_j..y_k)): the monotone calibration map from raw score to
-  *    empirical positive rate, the standard non-parametric
-  *    calibrator beside Platt scaling (which needs the q391 logistic
-  *    machinery and distributional assumptions this one avoids).
+  *    empirical positive rate. The engine already fits PAV by
+  *    ITERATIVE leftmost-violator pooling
+  *    ([[Stats.isotonicCalibration]], q287 — bins−1 checkpointed
+  *    rounds); this is the CLOSED-FORM twin: one bounded triangle,
+  *    zero iterations, zero checkpoints — the plan a scheduler
+  *    prefers when the bin count is plan-time — and an independent
+  *    derivation of the same unique fixed point.
   *  - [[conformalThreshold]] — split-conformal prediction (Vovk et
   *    al.; the Angelopoulos–Bates tutorial formulation): the
-  *    ⌈(n+1)(1−α)⌉-th smallest calibration score is the threshold
-  *    with a finite-sample ≥ 1−α coverage GUARANTEE, audited here
-  *    against the held-out remainder.
+  *    ⌈(n+1)(1−α)⌉-th smallest calibration score is the ONE-SIDED
+  *    threshold with a finite-sample ≥ 1−α coverage GUARANTEE,
+  *    audited against the held-out remainder — the admission-gate
+  *    member beside [[Stats.conformalInterval]]'s per-group μ ± q̂
+  *    prediction intervals (q293-family).
   *
   * Determinism: scores quantize to exact cents; bins come from the
   * integer rank rule off the distributed scan (the q379 decile

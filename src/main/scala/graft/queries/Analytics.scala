@@ -1348,13 +1348,13 @@ object Analytics extends QueryPack {
       graft.stream.AnnAdmission.admittedBatch(
         t("documents")(s, d), maxHamming = 3).toDF()),
 
-    // Isotonic calibration (r15): reliability bins (the q379 integer
-    // rank rule, 50 bins) + pool-adjacent-violators via the
-    // Robertson–Wright–Dykstra minimax identity, all on micro-floored
-    // exact integers (floor is monotone, so the integer minimax IS
-    // the floored PAV fit). The monotone map from raw score to
-    // empirical purchase rate — the non-parametric calibrator beside
-    // q391's parametric logistic.
+    // Isotonic calibration, CLOSED FORM (r15): reliability bins (the
+    // q379 integer rank rule, 50 bins) + pool-adjacent-violators via
+    // the Robertson–Wright–Dykstra minimax identity, all on
+    // micro-floored exact integers (floor is monotone, so the integer
+    // minimax IS the floored PAV fit). The one-shot zero-iteration
+    // twin of q287's leftmost-violator rounds — same unique fixed
+    // point, independently derived, no checkpointed loop in the plan.
     "q403_isotonic" -> ((s, d) =>
       graft.ops.Calibration.isotonicBins(t("events")(s, d), "value",
         col("event_type") === "purchase", nBins = 50)),
