@@ -1703,6 +1703,21 @@ object Analytics extends QueryPack {
           col("est"))
     }),
 
+    // Luby's maximal independent set (1986, r15) over the co-purchase
+    // graph, 3 rounds: per round every active vertex draws a
+    // round-salted 48-bit md5 priority and wins iff its (priority,
+    // id) tuple beats every active neighbor's min — adjacent winners
+    // impossible by the total order, so independence holds by
+    // construction; winners' neighborhoods deactivate. The
+    // conflict-free anchor-selection primitive over a similarity
+    // graph. Bounded rounds: still-active vertices report 0 honestly.
+    "q405_luby_mis" -> ((s, d) =>
+      graft.graph.Mis.luby(
+        t("part")(s, d).select(col("p_partkey").as("id")),
+        coPurchaseEdges(s, d).select(col("a").as("src"),
+          col("b").as("dst")),
+        rounds = 3)),
+
     // Multi-source BFS hop distance over the co-purchase graph
     // (seeds = part keys ≡ 0 mod 500), 3 frontier rounds: per-round
     // cost tracks frontier×degree, not the labeled set; unreached
@@ -1914,6 +1929,53 @@ object Analytics extends QueryPack {
 
   /** The q208 HLL audit derivation — shared VERBATIM by q220 (the
     * day-2 merged-register identical-answer contract). */
+  /** q405's three Luby rounds unrolled (generator so round count and
+    * priority salt stay in lockstep with graph/Mis.scala). Each CTE
+    * chain: priorities over the active set → min active-neighbor
+    * (priority, id) via a window → winners by row-value compare →
+    * neighborhood exclusion → next active set. */
+  private lazy val lubyMisOracle: String = {
+    def pri(r: Int) =
+      OracleSql.md5Int48(s"md5('mis$r:' || CAST(id AS VARCHAR))")
+    def round(r: Int): String =
+      s"""p$r AS MATERIALIZED (
+         |  SELECT id, ${pri(r)} AS p FROM a${r - 1}),
+         |nb$r AS (
+         |  SELECT id, pd, did FROM (
+         |    SELECT e.u AS id, p2.p AS pd, p2.id AS did,
+         |           row_number() OVER (PARTITION BY e.u
+         |             ORDER BY p2.p, p2.id) AS rn
+         |    FROM e JOIN p$r p2 ON p2.id = e.v
+         |           JOIN p$r p1 ON p1.id = e.u)
+         |  WHERE rn = 1),
+         |w$r AS MATERIALIZED (
+         |  SELECT p.id FROM p$r p LEFT JOIN nb$r n USING (id)
+         |  WHERE n.id IS NULL OR (p.p, p.id) < (n.pd, n.did)),
+         |x$r AS MATERIALIZED (
+         |  SELECT DISTINCT e.v AS id FROM e JOIN w$r w ON e.u = w.id),
+         |a$r AS MATERIALIZED (
+         |  SELECT id FROM a${r - 1}
+         |  WHERE id NOT IN (SELECT id FROM w$r)
+         |    AND id NOT IN (SELECT id FROM x$r))""".stripMargin
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey
+       |   AND a.l_partkey <> b.l_partkey),
+       |a0 AS (SELECT p_partkey AS id FROM part),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT id,
+       |  CAST(CASE
+       |    WHEN id IN (SELECT id FROM w1 UNION ALL SELECT id FROM w2
+       |                UNION ALL SELECT id FROM w3) THEN 1
+       |    WHEN id IN (SELECT id FROM x1 UNION ALL SELECT id FROM x2
+       |                UNION ALL SELECT id FROM x3) THEN -1
+       |    ELSE 0 END AS INTEGER) AS state
+       |FROM a0""".stripMargin
+  }
+
   private lazy val hllAuditOracle: String = {
       val reg = OracleSql.md5IntN("h", 1, 2)
       val w = OracleSql.md5IntN("h", 3, 12)
@@ -3755,6 +3817,14 @@ object Analytics extends QueryPack {
     // UNION-distinct recursion: the working set is (id, hop) pairs,
     // bounded by |V|·rounds; min(hop) = true hop distance whatever
     // expansion order produced it.
+    // All three Luby rounds unrolled: same round-salted md5
+    // priorities, same (priority, id) tuple compare via row values,
+    // same winner/exclusion sets. Winners never collide with
+    // exclusions across rounds (a later winner can never neighbor an
+    // earlier one — it would have been deactivated), so the CASE is
+    // order-free.
+    "q405_luby_mis" -> lubyMisOracle,
+
     "q209_bfs_hops" ->
       """WITH RECURSIVE e AS (
         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v

@@ -70,6 +70,38 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(g10b == g10)
   }
 
+  test("luby MIS: independence, domination of excluded vertices, " +
+      "isolated vertices always win, partitioning-independent") {
+    import spark.implicits._
+    // path 1-2-3-4-5, triangle 6-7-8, isolated 9
+    val vs = (1L to 9L).toDF("id")
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+        (6L, 7L), (7L, 8L), (6L, 8L))
+      .toDF("src", "dst")
+    val st = graft.graph.Mis.luby(vs, es, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(st(9L) == 1, "isolated vertex must join the MIS in round 1")
+    val mis = st.filter(_._2 == 1).keySet
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (6L, 7L), (7L, 8L), (6L, 8L))
+    // independence: no edge inside the MIS
+    und.foreach { case (a, b) =>
+      assert(!(mis(a) && mis(b)), s"adjacent MIS vertices $a-$b")
+    }
+    // domination: every excluded vertex has an MIS neighbor
+    st.filter(_._2 == -1).keys.foreach { v =>
+      val nbrs = und.collect { case (a, b) if a == v => b
+        case (a, b) if b == v => a }
+      assert(nbrs.exists(mis), s"excluded $v has no MIS neighbor")
+    }
+    // 3 rounds decide this small graph completely, deterministically
+    assert(!st.values.exists(_ == 0), s"undecided remain: $st")
+    val st2 = graft.graph.Mis.luby(vs.repartition(5),
+      es.repartition(3), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(st2 == st)
+  }
+
   test("isotonicBins: the classic PAV pooling case, hand-solved") {
     import spark.implicits._
     // three singleton bins with rates [1, 0, 1]: PAV pools the first
