@@ -183,6 +183,28 @@ object ImplicitMf {
       .withColumn("a12", expr("g12 + s12"))
       .withColumn("a22", expr(s"cast($lambdaFp as decimal(38,0)) + g22 + s22"))
       .withColumn("det", expr("a11 * a22 - a12 * a12"))
+      // LOUD overflow guard (r15 advice): decimal(38,0) overflow is
+      // non-ANSI NULL on the Spark side while the DuckDB HUGEINT twin
+      // raises — a grown fixture would fail asymmetrically (silent
+      // NULL factors vs oracle error). Two overflow points, both
+      // bounded via cheap double approximations (order-of-magnitude
+      // accuracy is all a loudness guard needs): each b·a product must
+      // stay under 1e38 (the intermediate decimal multiply), and the
+      // Cramer difference must stay under 1e38/lambdaFp = 1e26 (the
+      // ×lambdaFp numerator scaling below). When either bound trips
+      // the Spark side now fails as loudly as the oracle.
+      .where(expr(
+        "assert_true(abs(cast(b1 as double)) * abs(cast(a22 as double))" +
+          " < 4.9e37 and abs(cast(b2 as double)) * abs(cast(a12 as double))" +
+          " < 4.9e37 and abs(cast(b2 as double)) * abs(cast(a11 as double))" +
+          " < 4.9e37 and abs(cast(b1 as double)) * abs(cast(a12 as double))" +
+          " < 4.9e37" +
+          " and abs(cast(b1 as double) * cast(a22 as double)" +
+          " - cast(b2 as double) * cast(a12 as double)) < 4.9e25" +
+          " and abs(cast(b2 as double) * cast(a11 as double)" +
+          " - cast(b1 as double) * cast(a12 as double)) < 4.9e25," +
+          " 'mf2 Cramer numerator approaching decimal(38,0) overflow')" +
+          " is null"))
       .select(col("id"),
         expr(s"(b1 * a22 - b2 * a12) * $lambdaFp div det").as("x1"),
         expr(s"(b2 * a11 - b1 * a12) * $lambdaFp div det").as("x2"))

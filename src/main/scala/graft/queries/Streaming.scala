@@ -264,12 +264,13 @@ object Streaming extends QueryPack {
     "q402_stream_hll" -> {
       val reg = OracleSql.md5IntN("h", 1, 2)
       val w = OracleSql.md5IntN("h", 3, 12)
-      s"""WITH f AS (SELECT DISTINCT
-         |             CAST(floor(epoch(ts)) AS BIGINT) // 86400
-         |               * 86400 AS ws,
+      s"""WITH ep AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es,
          |             CAST(user_id AS VARCHAR) AS ud
          |           FROM events
          |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |f AS (SELECT DISTINCT
+         |             es - ((es % 86400 + 86400) % 86400) AS ws, ud
+         |           FROM ep),
          |hh AS (SELECT ws, md5(ud) AS h FROM f),
          |r AS (SELECT ws, $reg AS reg, $w AS wd FROM hh),
          |rk AS (SELECT ws, reg,
@@ -289,10 +290,11 @@ object Streaming extends QueryPack {
     })
 
   private lazy val heavyHittersOracle: String =
-    """WITH f AS (
-      |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 * 86400 AS ws,
-      |         event_type AS key
+    """WITH ep AS (
+      |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, event_type AS key
       |  FROM events WHERE event_type IS NOT NULL),
+      |f AS (
+      |  SELECT es - ((es % 86400 + 86400) % 86400) AS ws, key FROM ep),
       |c AS (SELECT ws, key, CAST(count(*) AS BIGINT) AS est
       |      FROM f GROUP BY 1, 2),
       |tot AS (SELECT ws, CAST(sum(est) AS BIGINT) AS n_window
