@@ -69,7 +69,7 @@ case class RollingFp(child: Expression) extends UnaryExpression {
 }
 
 object RollingFp {
-  private val digest = new ThreadLocal[java.security.MessageDigest] {
+  private[functions] val digest = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }

@@ -293,6 +293,13 @@ object LlmPack extends QueryPack {
     // re-assembled in token order.
     "q399_exact_substr_cut" -> ((s, d) =>
       Dedup.exactSubstrCut(t("documents")(s, d))),
+    // q398's contract on the RollingGramFp rolling kernel (r16 — the
+    // stated 100 TB path): O(tokens) per-position gram hashes, dup
+    // marking via map-side-combined groupBy count + hash-probe semi
+    // join instead of a window over the gram hash. Output identical
+    // to q398; shares its oracle verbatim (the q383/q384 contract).
+    "q406_exact_substr_rolling" -> ((s, d) =>
+      Dedup.exactSubstrSpansRolling(t("documents")(s, d))),
     // Per-doc token counts under the q238 unigram vocabulary (the
     // q145 bpeEncode analog — the second tokenizer's inference side).
     "q242_unigram_encode" -> ((s, d) =>
@@ -1732,6 +1739,15 @@ object LlmPack extends QueryPack {
        |         CAST(max(i) + 49 AS INTEGER) AS span_end
        |  FROM il GROUP BY doc_id, isl)""".stripMargin
 
+  /** The q398/q406 shared output projection over [[exactSubstrCtes]]
+    * — one oracle, two engine formulations (md5 window vs rolling
+    * kernel + semi-join), identical answers required. */
+  private lazy val exactSubstrSpansSql: String =
+    s"""WITH $exactSubstrCtes
+       |SELECT doc_id, span_start, span_end,
+       |       CAST(span_end - span_start + 1 AS INTEGER) AS n_tokens
+       |FROM spans""".stripMargin
+
   /** q328's self-inclusive span table: cross-doc pairs plus
     * within-doc (i < j) occurrence pairs. */
   private val dupSpanSelfCtes = dupSpanCtesFor(
@@ -2149,11 +2165,11 @@ object LlmPack extends QueryPack {
          |FROM tot t LEFT JOIN kept k USING (doc_id)""".stripMargin,
     // ExactSubstr at the 50-token grain: the same gram derivation,
     // duplicated positions via one QUALIFY window, islands re-derived.
-    "q398_exact_substr" ->
-      s"""WITH $exactSubstrCtes
-         |SELECT doc_id, span_start, span_end,
-         |       CAST(span_end - span_start + 1 AS INTEGER) AS n_tokens
-         |FROM spans""".stripMargin,
+    "q398_exact_substr" -> exactSubstrSpansSql,
+    // The rolling-kernel form is required identical to q398 (different
+    // gram hash, same >1-occurrence positions) — oracle shared
+    // verbatim.
+    "q406_exact_substr_rolling" -> exactSubstrSpansSql,
     // q398's spans driven through the q241 rebuild (all occurrences
     // cut).
     "q399_exact_substr_cut" ->

@@ -806,4 +806,29 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(wide.isEmpty, "PPS plans a global sort over wide rows")
   }
+
+  test("q406 rolling ExactSubstr: dup marking is a hash-probe semi " +
+      "join (never a sort of the gram frame) over a partial count") {
+    val p = plan("q406_exact_substr_rolling")
+    // the shuffle_hash hint must hold: sorting the corpus-wide gram
+    // frame is exactly what this form exists to avoid
+    assert(p.collect { case s: SortMergeJoinExec => s }.isEmpty,
+      "rolling ExactSubstr sort-merge-joins the gram frame")
+    val shj = p.collect {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(shj.nonEmpty && shj.forall(_.joinType.sql == "LEFT SEMI"),
+      "dup marking should be a LEFT SEMI shuffled hash join")
+    // the count branch must partial-aggregate (hot grams collapse
+    // map-side before the shuffle — the whole point vs the window)
+    val partialAggs = p.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+          if a.aggregateExpressions.exists(_.mode == Partial) => a
+    }
+    assert(partialAggs.nonEmpty,
+      "gram occurrence count should map-side combine")
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty)
+  }
 }
