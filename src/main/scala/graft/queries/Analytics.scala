@@ -1348,6 +1348,19 @@ object Analytics extends QueryPack {
       graft.stream.AnnAdmission.admittedBatch(
         t("documents")(s, d), maxHamming = 3).toDF()),
 
+    // MULTI-BAND admission (r16 — closes q400's honestly-documented
+    // single-band miss): all 4 16-bit bands of the 64-bit SimHash run
+    // the greedy fold per (band, value) bucket, then a doc-keyed
+    // arbiter admits iff NO band found an admitted neighbor. By
+    // pigeonhole (maxHamming 3 < 4 bands) candidate coverage is
+    // complete, and two arbiter-admitted docs can never sit within
+    // Hamming 3 (see AnnAdmission's invariant note). The oracle runs
+    // the q400 recursion per (band, value) bucket and folds the four
+    // flags with bool_and.
+    "q407_ann_admission_bands" -> ((s, d) =>
+      graft.stream.AnnAdmission.admittedBatchBands(
+        t("documents")(s, d), maxHamming = 3)),
+
     // Isotonic calibration, CLOSED FORM (r15): reliability bins (the
     // q379 integer rank rule, 50 bins) + pool-adjacent-violators via
     // the Robertson–Wright–Dykstra minimax identity, all on
@@ -2139,6 +2152,55 @@ object Analytics extends QueryPack {
          |  FROM adm a JOIN rows_ r
          |    ON r.bucket = a.bucket AND r.rn = a.rn + 1)
          |SELECT doc_id, bucket, ok AS admitted FROM adm""".stripMargin,
+
+    // The q400 recursion per (band, 16-bit value) bucket — 4 buckets
+    // per doc — folded by a doc-keyed bool_and arbiter (the r16
+    // multi-band contract; bucket keys render differently across
+    // engines but only the GROUPING matters, and the bit substrings
+    // partition identically to the engine's numeric slices).
+    "q407_ann_admission_bands" ->
+      s"""WITH RECURSIVE t2 AS (
+         |  SELECT doc_id,
+         |         unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |  FROM documents WHERE text IS NOT NULL),
+         |h AS (SELECT doc_id, md5(tok) AS h FROM t2),
+         |c AS (SELECT doc_id,
+         |    ${graft.queries.OracleSql.simhashColsN(
+               graft.llm.Dedup.simhashBits64)}
+         |  FROM h GROUP BY doc_id),
+         |fp AS (SELECT doc_id,
+         |    ${graft.queries.OracleSql.simhashConcatN(
+               graft.llm.Dedup.simhashBits64)} AS simhash
+         |  FROM c),
+         |bnd AS (SELECT CAST(b.b AS VARCHAR) || ':' ||
+         |          substr(f.simhash, CAST(b.b * 16 + 1 AS INT), 16)
+         |            AS bucket,
+         |        f.doc_id, f.simhash
+         |        FROM fp f, (SELECT unnest(range(4)) AS b) b),
+         |rows_ AS MATERIALIZED (
+         |  SELECT bucket, doc_id, simhash,
+         |         CAST(row_number() OVER (PARTITION BY bucket
+         |           ORDER BY doc_id) AS INTEGER) AS rn
+         |  FROM bnd),
+         |adm AS (
+         |  SELECT bucket, rn, doc_id, simhash, TRUE AS ok,
+         |         [simhash] AS admitted
+         |  FROM rows_ WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.bucket, r.rn, r.doc_id, r.simhash,
+         |    len(list_filter(a.admitted, s ->
+         |      bit_count(xor(s::BIT, r.simhash::BIT)) <= 3)) = 0,
+         |    CASE WHEN len(list_filter(a.admitted, s ->
+         |           bit_count(xor(s::BIT, r.simhash::BIT)) <= 3)) = 0
+         |         THEN list_append(a.admitted, r.simhash)
+         |         ELSE a.admitted END
+         |  FROM adm a JOIN rows_ r
+         |    ON r.bucket = a.bucket AND r.rn = a.rn + 1)
+         |SELECT doc_id,
+         |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS INTEGER)
+         |    AS n_bands_ok,
+         |  bool_and(ok) AS admitted
+         |FROM adm GROUP BY doc_id""".stripMargin,
 
     // The PAV minimax re-derived: same cent quantization, same
     // first-row bin rule, same HUGEINT interval averages, same

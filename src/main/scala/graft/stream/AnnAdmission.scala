@@ -26,10 +26,11 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode,
   *
   * Bucketing is the LSH approximation, stated honestly: only
   * SAME-BUCKET near-dups are rejected (a pair within Hamming 3 that
-  * differs inside the leading band escapes — the q119 family closes
-  * that with 4 bands; an admission gate keeps ONE bucket so each doc
-  * has exactly one admission authority and the greedy rule stays
-  * well-defined).
+  * differs inside the leading band escapes — the MULTI-BAND family
+  * below closes that by pigeonhole with 4 bands and a doc-keyed
+  * arbiter; this single-band form keeps ONE bucket so each doc has
+  * exactly one admission authority and the plain greedy rule applies
+  * unmodified).
   *
   * The streaming form is the engine's second `transformWithState`
   * user: per-bucket `ListState[Long]` of admitted fingerprints,
@@ -138,5 +139,116 @@ object AnnAdmission {
       .flatMapGroups { (_: String, rows: Iterator[Cand]) =>
         foldAdmit(rows.toSeq.sortBy(_.docId), Nil, maxHamming)._1.iterator
       }
+  }
+
+  // ---- MULTI-BAND admission (r15 verdict #4) ---------------------
+  //
+  // The single-band form above honestly documents its miss: a pair
+  // within Hamming `maxHamming` that differs inside the leading band
+  // lands in different buckets and escapes. The q119 4-band contract
+  // closes it by PIGEONHOLE: with maxHamming < bandCount, any pair
+  // within range agrees on at least one full band — so candidate
+  // coverage is COMPLETE. Two stages keep the greedy rule
+  // well-defined with one admission authority per doc:
+  //
+  //  stage 1 — each (band, 16-bit value) bucket folds its docs in
+  //    doc_id order against BUCKET-LOCAL admitted state (the exact
+  //    [[foldAdmit]] kernel; a doc joins the bucket's state iff the
+  //    bucket's own greedy admits it);
+  //  stage 2 — a doc-keyed arbiter admits iff NO band found an
+  //    admitted neighbor (AND over the 4 flags).
+  //
+  // Invariant (why this is safe): two arbiter-admitted docs can never
+  // sit within Hamming maxHamming. If they did, they'd share a band
+  // value; the earlier doc carried every band flag true, hence
+  // entered THAT bucket's state, hence the later doc's fold saw it
+  // and flagged false — contradiction. The trade, stated honestly:
+  // bucket-local state is a SUPERSET of the arbiter-admitted set, so
+  // a doc can be rejected for proximity to a band-admitted-but-
+  // arbiter-rejected doc — the admitted set is independent and
+  // deterministic but not maximal (the greedy-LSH family's standard
+  // trade).
+  //
+  // Scale shape: one exchange keyed by (band, value) — 4× the rows of
+  // the single-band form, 2¹⁸ buckets — plus one doc-keyed 4-row
+  // aggregation (map-side combinable); state unchanged per bucket.
+
+  /** (docId, fpl) fingerprint frame — the 64-bit SimHash map shared
+    * by both admission families. */
+  def fingerprints(docs: DataFrame): DataFrame =
+    graft.llm.Dedup.simhash(docs, graft.llm.Dedup.simhashBits64)
+      .select(col("doc_id").cast("long").as("docId"),
+        conv(col("simhash"), 2, -10).cast("long").as("fpl"))
+
+  /** Per-band candidates from a (docId, fpl) frame: `bandCount` rows
+    * per doc keyed "band:sliceValue" (the numeric 16-bit slice — the
+    * key never leaves the engine, so its rendering is free; only the
+    * GROUPING must match the oracle's substring buckets, which it
+    * does bit for bit).
+    */
+  def bandCandidates(fp: DataFrame, bandCount: Int = 4): DataFrame = {
+    require(64 % bandCount == 0, s"bandCount $bandCount must divide 64")
+    val width = 64 / bandCount
+    val mask = (1L << width) - 1
+    fp.select(explode(array((0 until bandCount).map { b =>
+        struct(
+          concat(lit(s"$b:"),
+            shiftright(col("fpl"), (bandCount - 1 - b) * width)
+              .bitwiseAND(lit(mask)).cast("string")).as("bucket"),
+          col("docId"), col("fpl"))
+      }: _*)).as("e"))
+      .select(col("e.bucket").as("bucket"), col("e.docId").as("docId"),
+        col("e.fpl").as("fpl"))
+  }
+
+  /** Stage-1 flags, batch form: the [[foldAdmit]] kernel per
+    * (band, value) bucket from empty state. */
+  def bandFlagsBatch(fp: DataFrame, maxHamming: Int = 3,
+      bandCount: Int = 4): Dataset[Admit] = {
+    require(maxHamming < bandCount,
+      s"pigeonhole completeness needs maxHamming < $bandCount")
+    val s = fp.sparkSession
+    import s.implicits._
+    bandCandidates(fp, bandCount).as[Cand]
+      .groupByKey(_.bucket)
+      .flatMapGroups { (_: String, rows: Iterator[Cand]) =>
+        foldAdmit(rows.toSeq.sortBy(_.docId), Nil, maxHamming)._1.iterator
+      }
+  }
+
+  /** Stage-2 arbiter: one admission authority per doc — admitted iff
+    * every band's greedy found no admitted neighbor. */
+  def arbiter(flags: DataFrame): DataFrame =
+    flags.groupBy(col("doc_id"))
+      .agg(sum(when(col("admitted"), 1).otherwise(0)).cast("int")
+          .as("n_bands_ok"),
+        min(col("admitted")).as("admitted"))
+
+  /** Batch multi-band admission over (doc_id, text) — the oracle-gated
+    * member: (doc_id, n_bands_ok, admitted). */
+  def admittedBatchBands(docs: DataFrame, maxHamming: Int = 3,
+      bandCount: Int = 4): DataFrame =
+    arbiter(bandFlagsBatch(fingerprints(docs), maxHamming, bandCount)
+      .toDF())
+
+  /** Streaming stage-1 flags: the [[AdmitProcessor]] per (band, value)
+    * bucket — RocksDB ListState per bucket, optional TTL, exactly the
+    * single-band form's state machine over 4× the keys. The stage-2
+    * arbiter composes downstream per micro-batch (all 4 flags of a doc
+    * are emitted in the doc's own micro-batch, so a per-batch
+    * [[arbiter]] over the flag frame — e.g. inside foreachBatch — is
+    * complete; the spec exercises exactly that composition).
+    */
+  def bandFlags(docs: DataFrame, maxHamming: Int = 3,
+      bandCount: Int = 4, ttlMs: Long = 0L): Dataset[Admit] = {
+    require(maxHamming < bandCount,
+      s"pigeonhole completeness needs maxHamming < $bandCount")
+    val s = docs.sparkSession
+    import s.implicits._
+    bandCandidates(fingerprints(docs), bandCount).as[Cand]
+      .groupByKey(_.bucket)
+      .transformWithState(new AdmitProcessor(maxHamming, ttlMs),
+        if (ttlMs > 0) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
   }
 }

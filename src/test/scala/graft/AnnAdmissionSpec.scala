@@ -48,6 +48,108 @@ class AnnAdmissionSpec extends AnyFunSuite {
     assert(got(1L) && !got(2L) && got(3L))
   }
 
+  test("multi-band: a cross-band near-dup the single-band form ADMITS " +
+      "is REJECTED by the 4-band arbiter (pigeonhole completeness)") {
+    import spark.implicits._
+    // hamming(fp1, fp2) = 1, but the differing bit (62) sits INSIDE
+    // band 0 — the single-band (leading 16 bits) buckets differ, so
+    // the q400 form admits both; bands 1–3 agree, so the arbiter
+    // must reject doc 2.
+    val fp = Seq((1L, 0L), (2L, 1L << 62)).toDF("docId", "fpl")
+    val flags = AnnAdmission.bandFlagsBatch(fp, maxHamming = 3).toDF()
+    val band0 = flags.where(col("bucket").startsWith("0:")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("admitted"))
+      .toMap
+    assert(band0 == Map(1L -> true, 2L -> true),
+      "band 0 alone should MISS the pair (that is the documented gap)")
+    val arb = AnnAdmission.arbiter(flags).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_bands_ok"), r.getAs[Boolean]("admitted")))
+      .toMap
+    assert(arb == Map(1L -> ((4, true)), 2L -> ((1, false))),
+      "the 4-band arbiter must reject the cross-band near-dup")
+  }
+
+  test("multi-band: two arbiter-admitted docs are never within " +
+      "maxHamming of each other (the independence invariant) and an " +
+      "exact dup fails all 4 bands") {
+    import spark.implicits._
+    val docs = Seq(
+        (1L, "alpha beta gamma delta epsilon"),
+        (2L, "alpha beta gamma delta epsilon"), // exact dup of 1
+        (3L, "totally different words entirely here"))
+      .toDF("doc_id", "text")
+    val got = AnnAdmission.admittedBatchBands(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_bands_ok"), r.getAs[Boolean]("admitted")))
+      .toMap
+    assert(got(1L) == ((4, true)) && got(2L) == ((0, false)) &&
+      got(3L) == ((4, true)))
+    // invariant on the real fixture: no admitted pair within Hamming 3
+    val fx = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val fps = AnnAdmission.fingerprints(fx)
+    val admitted = AnnAdmission.admittedBatchBands(fx)
+      .where(col("admitted")).select(col("doc_id").as("docId"))
+      .join(fps, "docId").select(col("docId"), col("fpl"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    for (Seq((da, fa), (db, fb)) <- admitted.toSeq.combinations(2))
+      assert(java.lang.Long.bitCount(fa ^ fb) > 3,
+        s"admitted docs $da and $db are near-dups")
+  }
+
+  test("multi-band streaming: bandFlags + per-batch arbiter matches " +
+      "the batch form, with cross-batch rejects via per-band state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val out = tmp("annb-out")
+      val mem = MemoryStream[(Long, String)]
+      val docs = mem.toDF().toDF("doc_id", "text")
+      val q = AnnAdmission.bandFlags(docs, maxHamming = 3)
+        .toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", tmp("annb-ckpt"))
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          // stage-2 arbiter per micro-batch: all 4 flags of a doc
+          // arrive in its own batch, so the fold is complete here
+          AnnAdmission.arbiter(b).write.mode("append").parquet(s"$out/t")
+        }.start()
+      mem.addData((1L, "alpha beta gamma delta epsilon"),
+        (2L, "totally different words entirely here"))
+      q.processAllAvailable()
+      mem.addData((3L, "alpha beta gamma delta epsilon"), // dup of 1
+        (4L, "yet another unrelated document text"))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.read.parquet(s"$out/t").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Int]("n_bands_ok"), r.getAs[Boolean]("admitted")))
+        .toMap
+      val batch = AnnAdmission.admittedBatchBands(Seq(
+          (1L, "alpha beta gamma delta epsilon"),
+          (2L, "totally different words entirely here"),
+          (3L, "alpha beta gamma delta epsilon"),
+          (4L, "yet another unrelated document text"))
+        .toDF("doc_id", "text")).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Int]("n_bands_ok"), r.getAs[Boolean]("admitted")))
+        .toMap
+      assert(got == batch && !got(3L)._2 && got(3L)._1 == 0)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState lifecycle: admit, cross-batch reject via " +
       "ListState, TTL eviction re-opens the slot; parity with batch") {
     implicit val sqlCtx = spark.sqlContext

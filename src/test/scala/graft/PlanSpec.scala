@@ -785,9 +785,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p398.collect { case s: SortMergeJoinExec => s }.isEmpty &&
       p398.collect { case b: BroadcastHashJoinExec => b }.isEmpty,
       "ExactSubstr spans should be join-free (one window shuffle)")
-    // q400 admission / q402 HLL: keyed-state batch kernels — no
-    // cartesian, no sort-merge join
-    Seq("q400_ann_admission", "q402_stream_hll").foreach { q =>
+    // q400/q407 admission / q402 HLL: keyed-state batch kernels — no
+    // cartesian, no sort-merge join (q407's arbiter is a doc-keyed
+    // hash aggregate, never a join of the flag frame)
+    Seq("q400_ann_admission", "q407_ann_admission_bands",
+        "q402_stream_hll").foreach { q =>
       val p = plan(q)
       assert(p.collect {
         case c: org.apache.spark.sql.execution.joins
