@@ -185,7 +185,22 @@ object Streaming extends QueryPack {
     // (frequency q383/q384, distribution DriftMonitor, cardinality).
     "q402_stream_hll" -> ((s, d) =>
       graft.stream.DistinctCounter.exactBatch(
-        t("events")(s, d), col("user_id"), windowLenS = 86400L)))
+        t("events")(s, d), col("user_id"), windowLenS = 86400L)),
+
+    // Streaming windowed QUANTILES (r16): per event-time day, the
+    // (p50, p90, p99) latency/size profile from the deterministic
+    // bottom-k-by-hash sample (the q103 kernel keyed by window) —
+    // state O(k = 200 rows) per open window regardless of
+    // cardinality. Bottom-k under the md5 total order is a
+    // commutative merge (the KMV law), so like q402 — and unlike
+    // q384 — the batch form runs the real streaming kernel with NO
+    // exact-regime precondition and is fully hash-gated. Completes
+    // the bounded-state streaming quartet (frequency q383/q384,
+    // cardinality q402, distribution DriftMonitor, quantiles).
+    "q408_stream_quantiles" -> ((s, d) =>
+      graft.stream.QuantileSketch.exactBatch(
+        t("events")(s, d), col("value"), col("event_id"),
+        k = 200, windowLenS = 86400L)))
 
   private val tsFmt =
     "strftime(make_timestamp(CAST(%s AS BIGINT)*1000000), '%%Y-%%m-%%d %%H:%%M:%%S')"
@@ -287,7 +302,35 @@ object Streaming extends QueryPack {
          |                  * 562949953421312 AS DOUBLE), 2)
          |         AS REAL) AS est
          |FROM g""".stripMargin
-    })
+    },
+
+    // The q103 sketch re-derived per day window: same md5 row-hash
+    // ranking, same k = 200, same floor(p·(n−1)) + 1 selection over
+    // the value-sorted sample; n_rows counts the filtered window
+    // rows (the kernel's own count).
+    "q408_stream_quantiles" ->
+      """WITH ep AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, value,
+        |         md5(CAST(event_id AS VARCHAR)) AS h
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_id IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |f AS (SELECT es - ((es % 86400 + 86400) % 86400) AS ws,
+        |        value, h
+        |      FROM ep),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY ws
+        |        ORDER BY h) AS rk FROM f),
+        |s AS (SELECT ws, value FROM r WHERE rk <= 200),
+        |g AS (SELECT ws, list(value ORDER BY value) AS vs
+        |      FROM s GROUP BY 1),
+        |c AS (SELECT ws, CAST(count(*) AS BIGINT) AS n_rows
+        |      FROM f GROUP BY 1)
+        |SELECT g.ws AS window_start, c.n_rows,
+        |       CAST(len(vs) AS INTEGER) AS n_sample,
+        |       vs[CAST(floor(0.5 * (len(vs)-1)) AS INT) + 1] AS p50,
+        |       vs[CAST(floor(0.9 * (len(vs)-1)) AS INT) + 1] AS p90,
+        |       vs[CAST(floor(0.99 * (len(vs)-1)) AS INT) + 1] AS p99
+        |FROM g JOIN c USING (ws)""".stripMargin)
 
   private lazy val heavyHittersOracle: String =
     """WITH ep AS (

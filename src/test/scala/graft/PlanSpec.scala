@@ -789,7 +789,7 @@ class PlanSpec extends AnyFunSuite {
     // cartesian, no sort-merge join (q407's arbiter is a doc-keyed
     // hash aggregate, never a join of the flag frame)
     Seq("q400_ann_admission", "q407_ann_admission_bands",
-        "q402_stream_hll").foreach { q =>
+        "q402_stream_hll", "q408_stream_quantiles").foreach { q =>
       val p = plan(q)
       assert(p.collect {
         case c: org.apache.spark.sql.execution.joins
