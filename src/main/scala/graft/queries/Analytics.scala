@@ -1942,53 +1942,6 @@ object Analytics extends QueryPack {
 
   /** The q208 HLL audit derivation — shared VERBATIM by q220 (the
     * day-2 merged-register identical-answer contract). */
-  /** q405's three Luby rounds unrolled (generator so round count and
-    * priority salt stay in lockstep with graph/Mis.scala). Each CTE
-    * chain: priorities over the active set → min active-neighbor
-    * (priority, id) via a window → winners by row-value compare →
-    * neighborhood exclusion → next active set. */
-  private lazy val lubyMisOracle: String = {
-    def pri(r: Int) =
-      OracleSql.md5Int48(s"md5('mis$r:' || CAST(id AS VARCHAR))")
-    def round(r: Int): String =
-      s"""p$r AS MATERIALIZED (
-         |  SELECT id, ${pri(r)} AS p FROM a${r - 1}),
-         |nb$r AS (
-         |  SELECT id, pd, did FROM (
-         |    SELECT e.u AS id, p2.p AS pd, p2.id AS did,
-         |           row_number() OVER (PARTITION BY e.u
-         |             ORDER BY p2.p, p2.id) AS rn
-         |    FROM e JOIN p$r p2 ON p2.id = e.v
-         |           JOIN p$r p1 ON p1.id = e.u)
-         |  WHERE rn = 1),
-         |w$r AS MATERIALIZED (
-         |  SELECT p.id FROM p$r p LEFT JOIN nb$r n USING (id)
-         |  WHERE n.id IS NULL OR (p.p, p.id) < (n.pd, n.did)),
-         |x$r AS MATERIALIZED (
-         |  SELECT DISTINCT e.v AS id FROM e JOIN w$r w ON e.u = w.id),
-         |a$r AS MATERIALIZED (
-         |  SELECT id FROM a${r - 1}
-         |  WHERE id NOT IN (SELECT id FROM w$r)
-         |    AND id NOT IN (SELECT id FROM x$r))""".stripMargin
-    s"""WITH e AS MATERIALIZED (
-       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-       |  FROM lineitem a JOIN lineitem b
-       |    ON a.l_orderkey = b.l_orderkey
-       |   AND a.l_partkey <> b.l_partkey),
-       |a0 AS (SELECT p_partkey AS id FROM part),
-       |${round(1)},
-       |${round(2)},
-       |${round(3)}
-       |SELECT id,
-       |  CAST(CASE
-       |    WHEN id IN (SELECT id FROM w1 UNION ALL SELECT id FROM w2
-       |                UNION ALL SELECT id FROM w3) THEN 1
-       |    WHEN id IN (SELECT id FROM x1 UNION ALL SELECT id FROM x2
-       |                UNION ALL SELECT id FROM x3) THEN -1
-       |    ELSE 0 END AS INTEGER) AS state
-       |FROM a0""".stripMargin
-  }
-
   private lazy val hllAuditOracle: String = {
       val reg = OracleSql.md5IntN("h", 1, 2)
       val w = OracleSql.md5IntN("h", 3, 12)
@@ -2017,6 +1970,19 @@ object Analytics extends QueryPack {
          |       CAST(round(e.est, 2) AS REAL) AS est
          |FROM e JOIN x USING (event_type)""".stripMargin
   }
+
+  /** q405: the shared Luby round generator ([[OracleSql.lubyMisCtes]]
+    * — also feeds q409's dup-graph anchors) over the co-purchase
+    * edge set. */
+  private lazy val lubyMisOracle: String =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey
+       |   AND a.l_partkey <> b.l_partkey),
+       |a0 AS (SELECT p_partkey AS id FROM part),
+       |${OracleSql.lubyMisCtes(3)}
+       |SELECT id, state FROM mis_state""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // Exact HUGEINT cent moments re-derive the engine's DECIMAL(38,0)
@@ -3876,9 +3842,6 @@ object Analytics extends QueryPack {
         |  CAST(sum(n_orders) AS BIGINT) AS n_orders
         |FROM d GROUP BY 1""".stripMargin,
 
-    // UNION-distinct recursion: the working set is (id, hop) pairs,
-    // bounded by |V|·rounds; min(hop) = true hop distance whatever
-    // expansion order produced it.
     // All three Luby rounds unrolled: same round-salted md5
     // priorities, same (priority, id) tuple compare via row values,
     // same winner/exclusion sets. Winners never collide with
@@ -3887,6 +3850,9 @@ object Analytics extends QueryPack {
     // order-free.
     "q405_luby_mis" -> lubyMisOracle,
 
+    // UNION-distinct recursion: the working set is (id, hop) pairs,
+    // bounded by |V|·rounds; min(hop) = true hop distance whatever
+    // expansion order produced it.
     "q209_bfs_hops" ->
       """WITH RECURSIVE e AS (
         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v

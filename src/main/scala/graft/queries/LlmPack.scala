@@ -643,6 +643,25 @@ object LlmPack extends QueryPack {
     // scores, so both engines agree on the winner).
     "q85_cluster_dedup" -> ((s, d) =>
       Dedup.clusterDedup(t("documents")(s, d), dupClustersBuilt(s, d))),
+    // MIS-canonical anchors (r16 — graph/Mis.scala's motivating use
+    // wired to the dedup pipeline): Luby MIS over the SAME near-dup
+    // edge set the q82 clusters are built from, composed with the
+    // memoized cluster labels — per cluster a set of MUTUALLY
+    // DISSIMILAR representatives touching every cluster (vs q85's
+    // single keep-one canonical): a singleton cluster's doc wins
+    // round 1 unopposed, and a non-singleton cluster's min-priority
+    // active vertex always wins round 1, so every cluster holds ≥ 1
+    // anchor (spec-asserted, with anchor independence).
+    "q409_mis_anchors" -> ((s, d) => {
+      val docs = t("documents")(s, d)
+      val edges = Dedup.simhashPairs(docs, maxHamming = 3)
+        .select(col("da").as("src"), col("db").as("dst"))
+      val mis = graft.graph.Mis.luby(
+        docs.select(col("doc_id").as("id")), edges, rounds = 3)
+      dupClustersBuilt(s, d).select(col("doc_id"), col("cluster"))
+        .join(mis.withColumnRenamed("id", "doc_id"), "doc_id")
+        .select(col("doc_id"), col("cluster"), col("state"))
+    }),
     // SOFT near-dup dedup: every doc keeps with rate sqrt(size)/size
     // (√n expected survivors per cluster) — the diversity-preserving
     // alternative to q85's keep-one rule. sqrt and divide are exactly
@@ -2716,6 +2735,28 @@ object LlmPack extends QueryPack {
     // min reachable id. MATERIALIZED on the CTEs the recursive half
     // re-reads (DuckDB re-evaluates plain CTEs per iteration).
     "q82_dup_clusters" -> dupClustersOracle,
+    // MIS anchors: the q82 edge/cluster derivations composed with the
+    // q405 Luby round generator (OracleSql.lubyMisCtes) over the SAME
+    // symmetric near-dup edge set — one recursion for the cluster
+    // labels, three unrolled rounds for the anchor states.
+    "q409_mis_anchors" ->
+      s"""WITH RECURSIVE $simhashPairCtes,
+         |prs AS MATERIALIZED (SELECT da, db FROM p WHERE hamming <= 3),
+         |e AS MATERIALIZED (
+         |  SELECT da AS u, db AS v FROM prs
+         |  UNION ALL
+         |  SELECT db AS u, da AS v FROM prs),
+         |reach AS (
+         |  SELECT doc_id AS v, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT e.v AS v, re.r AS r
+         |  FROM reach re JOIN e ON e.u = re.v),
+         |cc AS (SELECT v AS doc_id, min(r) AS cluster FROM reach
+         |       GROUP BY 1),
+         |a0 AS (SELECT doc_id AS id FROM documents),
+         |${OracleSql.lubyMisCtes(3)}
+         |SELECT c.doc_id, c.cluster, m.state
+         |FROM cc c JOIN mis_state m ON m.id = c.doc_id""".stripMargin,
     // The q82 component derivation wrapped, grouped by size.
     "q368_cluster_sizes" ->
       s"""SELECT cluster_size,

@@ -190,4 +190,53 @@ private[queries] object OracleSql {
       s"min(((${a(j)} * x1) % $M + (${b(j)} * x2) % $M + $j) % $M) AS h$j"
     }.mkString(",\n    ")
   }
+
+  /** [[graft.graph.Mis.luby]]'s rounds unrolled (q405 over the
+    * co-purchase graph, q409 over the near-dup graph — generator so
+    * round count and priority salt stay in lockstep with
+    * graph/Mis.scala). Expects upstream CTEs `e(u, v)` (SYMMETRIC
+    * edge list) and `a0(id)` (initial active set); emits round CTEs
+    * `p1..a{rounds}` plus `mis_state(id, state)` over a0. Each round:
+    * priorities over the active set → min active-neighbor
+    * (priority, id) via a window → winners by row-value compare →
+    * neighborhood exclusion → next active set. Winners never collide
+    * with exclusions across rounds (a later winner can never neighbor
+    * an earlier one — it would have been deactivated), so the state
+    * CASE is order-free.
+    */
+  def lubyMisCtes(rounds: Int): String = {
+    def pri(r: Int) =
+      md5Int48(s"md5('mis$r:' || CAST(id AS VARCHAR))")
+    def round(r: Int): String =
+      s"""p$r AS MATERIALIZED (
+         |  SELECT id, ${pri(r)} AS p FROM a${r - 1}),
+         |nb$r AS (
+         |  SELECT id, pd, did FROM (
+         |    SELECT e.u AS id, p2.p AS pd, p2.id AS did,
+         |           row_number() OVER (PARTITION BY e.u
+         |             ORDER BY p2.p, p2.id) AS rn
+         |    FROM e JOIN p$r p2 ON p2.id = e.v
+         |           JOIN p$r p1 ON p1.id = e.u)
+         |  WHERE rn = 1),
+         |w$r AS MATERIALIZED (
+         |  SELECT p.id FROM p$r p LEFT JOIN nb$r n USING (id)
+         |  WHERE n.id IS NULL OR (p.p, p.id) < (n.pd, n.did)),
+         |x$r AS MATERIALIZED (
+         |  SELECT DISTINCT e.v AS id FROM e JOIN w$r w ON e.u = w.id),
+         |a$r AS MATERIALIZED (
+         |  SELECT id FROM a${r - 1}
+         |  WHERE id NOT IN (SELECT id FROM w$r)
+         |    AND id NOT IN (SELECT id FROM x$r))""".stripMargin
+    val ws = (1 to rounds).map(r => s"SELECT id FROM w$r")
+      .mkString(" UNION ALL ")
+    val xs = (1 to rounds).map(r => s"SELECT id FROM x$r")
+      .mkString(" UNION ALL ")
+    s"""${(1 to rounds).map(round).mkString(",\n")},
+       |mis_state AS (
+       |  SELECT id,
+       |    CAST(CASE WHEN id IN ($ws) THEN 1
+       |      WHEN id IN ($xs) THEN -1
+       |      ELSE 0 END AS INTEGER) AS state
+       |  FROM a0)""".stripMargin
+  }
 }

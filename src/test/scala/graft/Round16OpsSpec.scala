@@ -95,6 +95,35 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(rolling.contains((1L, 3, 8, 6)) && rolling.contains((2L, 2, 7, 6)))
   }
 
+  // ---- MIS anchors over the dup-cluster graph --------------------
+
+  test("MIS anchors: every near-dup cluster contains >= 1 anchor " +
+      "(round-1 win argument) and no two anchors are adjacent") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val edges = graft.llm.Dedup.simhashPairs(docs, maxHamming = 3)
+      .select(col("da").as("src"), col("db").as("dst"))
+    val mis = graft.graph.Mis.luby(
+      docs.select(col("doc_id").as("id")), edges, rounds = 3)
+    val labels = graft.llm.Dedup
+      .dupClusters(docs, maxHamming = 3)
+      .select(col("doc_id"), col("cluster"))
+    val st = labels.join(mis.withColumnRenamed("id", "doc_id"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // coverage: every cluster holds at least one state-1 anchor
+    val byCluster = st.groupBy(_._2)
+    assert(byCluster.nonEmpty)
+    for ((cl, ms) <- byCluster)
+      assert(ms.exists(_._3 == 1),
+        s"cluster $cl has no anchor (states ${ms.map(_._3).toSeq})")
+    // independence: no near-dup edge joins two anchors
+    val anchors = st.filter(_._3 == 1).map(_._1).toSet
+    val adjacentAnchors = edges.collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .filter { case (a, b) => anchors(a) && anchors(b) }
+    assert(adjacentAnchors.isEmpty,
+      s"adjacent anchors: ${adjacentAnchors.toSeq}")
+  }
+
   test("exactSubstrSpansRolling: identical spans to the md5 form on " +
       "the real documents fixture at the production grain") {
     val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
