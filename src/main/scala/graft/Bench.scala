@@ -35,6 +35,18 @@ import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
   * run-to-run instability like r13's b_dist_brandes 27↔125 s swing is
   * adjudicable from the compact line alone.
   *
+  * Contention robustness (r16): every measured sample gets an ADJACENT
+  * ~50 ms frozen micro-probe and normalizes by it against the
+  * most-idle probe of the run — mid-pass bursts the pass-boundary
+  * calibration cannot see (the BENCH_r15 failure mode) now correct
+  * per sample. The headline carries `value_min` (sum of per-query min
+  * raw samples — the noise-floor estimator; bursts only inflate) and
+  * `value_kind` marks the normalized semantics of `value`. Shared
+  * `b_*` builds are timed in a DEDICATED repeat block before the query
+  * passes and billed once, instead of re-executing (and absorbing
+  * contention) inside every pass; the block's last rebuild leaves all
+  * caches warm so every query pass sees identical bundle state.
+  *
   * Failures are NOT swallowed, but one bad PASS does not condemn a
   * working query: a query is `"failed"` (−1 in the per-query map,
   * nonzero exit) only when EVERY pass threw; a query that threw on
@@ -104,34 +116,91 @@ object Bench {
     // median-of-3 AFTER warm-up, recorded as calib_sec (the r8 contract)
     val calibSec =
       math.rint(median((1 to 3).map(_ => calibProbe())) * 1000) / 1000
+    // MICRO-calibration probe (r15 verdict item #1): BENCH_r15 proved
+    // contention is finer-grained than a pass — a mid-pass burst
+    // inflated two contiguous query stretches 3–6× while the
+    // pass-boundary probe read only 2.7× off, and with 2 of 3 samples
+    // hit the median kept a bad one. So a frozen ~25 ms CPU probe runs
+    // ADJACENT to every measured sample and each sample normalizes by
+    // ITS OWN probe, not by the pass-boundary value. The probe is an
+    // ALLOCATION-FREE driver-side integer loop on purpose: it measures
+    // the CPU cycles host contention actually steals, while staying
+    // immune to the JVM-state noise (GC backlog, JIT queues after a
+    // heavy query) that made a Spark-job probe spread 3× on an idle
+    // box (measured before landing). Like calibProbe, this code is
+    // frozen: never registered, never optimized.
+    var microSink = 0L
+    def microProbe(): Double = {
+      val t0 = System.nanoTime()
+      var acc = 0x9E3779B97F4A7C15L
+      var i = 0L
+      while (i < 20000000L) {
+        acc = acc * 6364136223846793005L + i
+        acc ^= (acc >>> 29)
+        i += 1
+      }
+      microSink = acc // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
+    microProbe() // absorb the probe's own JIT warm-up
     val only = args.toSet // optional query-name filter for local iteration
     val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.isEmpty || only.contains(q._1))
-    // SHARED-BUILD line items (r12 advice): the memoized bundles
-    // (co-purchase edges, triangle bundle, BM25 run, unigram training,
-    // Lloyd k-means) are cleared at the start of every sample pass and
-    // rebuilt as their own timed `b_*` entries — measured median-of-3,
-    // counted in the total, listed under "shared_builds" — so caching
-    // a bundle can never move its build cost out of the artifact.
-    // Name-sorted = dependency-ordered (copurchase_edges < tri_bundle),
-    // so a dependent bundle's time is only its own increment. Filtered
+    // SHARED-BUILD line items (r12 advice, restructured per r15 #2):
+    // the memoized bundles (co-purchase edges, triangle bundle, BM25
+    // run, unigram training, Lloyd k-means, …) are timed as their own
+    // `b_*` entries in a DEDICATED repeat block BEFORE the query
+    // passes — cleared and rebuilt nSamples times back-to-back, median
+    // recorded, counted ONCE in the total — instead of re-executing
+    // inside every query pass, where they absorbed the worst of the
+    // driver-host contention (r15 build_spread [14.9, 195.2] on
+    // b_dist_brandes) and re-billed deterministic inputs per pass.
+    // The block's LAST rebuild leaves every cache warm, so all query
+    // passes see identical bundle state. Name-sorted =
+    // dependency-ordered (copurchase_edges < tri_bundle), so a
+    // dependent bundle's time is only its own increment. Filtered
     // local runs skip the explicit phase (the first consuming sample
     // pays the build, as before).
     val sharedBuilds = if (only.isEmpty) SharedBuilds.all else Nil
     // pass-major sampling: all queries once, then again — see scaladoc.
-    // Each sample remembers its PASS so it can be calib-normalized.
-    val samples = collection.mutable.Map.empty[String, List[(Int, Double)]]
-      .withDefaultValue(Nil)
+    // Each sample remembers its PASS and its adjacent micro-probe
+    // reading so it can be normalized per sample.
+    val samples =
+      collection.mutable.Map.empty[String, List[(Int, Double, Double)]]
+        .withDefaultValue(Nil)
     val errors = collection.mutable.Map.empty[String, Int]
       .withDefaultValue(0)
+    // rep 0 is an UNRECORDED warm-up: the first execution of each
+    // build's heavy plan carries one-off JIT/codegen compilation that
+    // inflated rep-1 spreads past the 2× adjudication bar even on a
+    // quiet box (measured: b_tri_bundle [8.9, 15.1] at sf0.01 with
+    // rep 1 always the outlier); the recorded reps then measure
+    // steady-state rebuild cost, which is the number a regression
+    // audit should compare.
+    for (rep <- 0 to nSamples) {
+      for (b <- sharedBuilds) b.clear(spark)
+      for (b <- sharedBuilds) {
+        val bn = "b_" + b.name
+        val mp = microProbe()
+        val t0 = System.nanoTime()
+        try {
+          b.force(spark, sfDir)
+          if (rep > 0) samples(bn) =
+            samples(bn) :+ ((rep, (System.nanoTime() - t0) / 1e9, mp))
+        } catch {
+          case e: Throwable =>
+            System.err.println(
+              s"[bench] $bn FAILED (build rep $rep): ${e.getMessage}")
+            if (rep > 0) errors(bn) += 1
+        }
+      }
+    }
     // PER-PASS calibration (r10/r11 verdict item #1): the single
-    // pre-run probe cannot see a mid-run load burst — four straight
-    // rounds needed a judge idle re-bench to adjudicate phantom 3–7×
-    // "regressions" (r11: q183 102.6 s artifact vs 11.0 s idle). The
-    // frozen probe therefore runs again at the START of every sample
-    // pass; calib_per_pass makes the artifact self-adjudicating, and
-    // the normalized medians below divide each sample by its pass's
-    // load factor before taking the median.
+    // pre-run probe cannot see a mid-run load burst. The frozen probe
+    // runs again at the START of every sample pass; calib_per_pass
+    // keeps the artifact self-adjudicating at pass grain (drift
+    // flagging below still reads it) — the normalized medians now use
+    // the finer per-sample micro probes.
     val calibPerPass = Array.fill(nSamples)(0.0)
     for (pass <- 1 to nSamples) {
       // median-of-3 probes per pass (r12 advice): a single unreplicated
@@ -139,21 +208,6 @@ object Bench {
       // for ~1 s of extra wall per pass.
       calibPerPass(pass - 1) =
         math.rint(median((1 to 3).map(_ => calibProbe())) * 1000) / 1000
-      for (b <- sharedBuilds) b.clear(spark)
-      for (b <- sharedBuilds) {
-        val bn = "b_" + b.name
-        val t0 = System.nanoTime()
-        try {
-          b.force(spark, sfDir)
-          samples(bn) =
-            samples(bn) :+ (pass -> (System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            System.err.println(
-              s"[bench] $bn FAILED (pass $pass): ${e.getMessage}")
-            errors(bn) += 1
-        }
-      }
       for ((name, fn) <- queryList) {
         // FAST-QUERY single-sample mode (r13 verdict item #8): a query
         // whose every sample so far ran under the cutoff is genuinely
@@ -180,6 +234,7 @@ object Bench {
         if (pass > 1 && allFast) ()
         else if (pass > 2 && stablePair) ()
         else {
+        val mp = microProbe()
         val t0 = System.nanoTime()
         try {
           // bit_xor (not sum): xxhash64 values span the full long range
@@ -188,7 +243,7 @@ object Bench {
             .select(xxhash64(struct(col("*"))).as("h"))
           df.agg(expr("bit_xor(h)")).collect()
           samples(name) =
-            samples(name) :+ (pass -> (System.nanoTime() - t0) / 1e9)
+            samples(name) :+ ((pass, (System.nanoTime() - t0) / 1e9, mp))
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED (pass $pass): ${e.getMessage}")
@@ -197,17 +252,26 @@ object Bench {
         }
       }
     }
-    // Normalization reference: the most-idle observed pass. A sample
-    // taken on a pass whose probe read 2× the reference is halved
-    // before the median — a load burst that hits 2 of 3 passes can no
-    // longer outvote the idle sample (exactly the r11 q183 shape:
-    // raw samples 102.6/20.8/184.8 → median 102.6, where the idle
-    // truth was ~11; the burst passes' probes would have exposed it).
-    val calibRef = calibPerPass.filter(_ > 0).minOption.getOrElse(1.0)
-    def normalize(pass: Int, secs: Double): Double = {
-      val c = calibPerPass(pass - 1)
-      if (c > 0) secs * calibRef / c else secs
-    }
+    // Normalization reference: the ~10th-percentile MICRO probe of the
+    // run (r15 #1 — per sample, not per pass), with a 1.5× DEADBAND:
+    // a sample is rescaled ONLY when its adjacent probe is clearly
+    // elevated. Two deliberate choices, both measured on a quiet
+    // sf0.01 run before landing: (a) the strict min of ~10³ noisy
+    // ~80 ms probes is biased LOW (order statistics), which deflated
+    // every normalized median below the value_min noise floor —
+    // p10 is a stable quiet-machine estimate; (b) without the
+    // deadband, probe jitter (GC, JIT) injects ±10–20% noise into
+    // every sample — the failure mode this exists for is 3–6× bursts
+    // (BENCH_r15 q102–q108/q273–q282), which clear 1.5× with margin,
+    // while a quiet run passes through with raw == normalized.
+    val microsAll = samples.values.flatten.map(_._3).filter(_ > 0)
+      .toSeq.sorted
+    val microRef =
+      if (microsAll.isEmpty) 1.0 else microsAll((microsAll.size - 1) / 10)
+    def normalize(micro: Double, secs: Double): Double =
+      if (microRef > 0 && micro > microRef * 1.5)
+        secs * microRef / micro
+      else secs
     // builds lead the measured list: `b_*` sorts before `q*`, and the
     // per-family subtotals below bucket them under "SharedBuilds"
     val buildNames = sharedBuilds.map("b_" + _.name)
@@ -226,8 +290,17 @@ object Bench {
     // should read before the raw one
     val resultsNorm = measuredNames.map { name =>
       name -> (if (failed.contains(name)) -1.0
-        else median(samples(name).map { case (p, v) => normalize(p, v) }))
+        else median(samples(name).map { case (_, v, m) => normalize(m, v) }))
     }
+    // value_min (r15 #1b): sum of per-query MIN raw samples — the
+    // standard noise-floor estimator for warm benchmarks. Bursts only
+    // inflate, so the min is the closest observation to the quiet
+    // truth; a comparison that reads value_min is immune to any
+    // contention that spared at least one sample per query.
+    val valueMin = math.rint(measuredNames.flatMap { n =>
+      val vs = samples(n).map(_._2)
+      if (vs.isEmpty) None else Some(vs.min)
+    }.sum * 1000) / 1000
     // drift-suspect self-labeling (r12 verdict item #1): a query whose
     // samples spread >3× while the per-pass probes stayed uniform
     // (<1.5× spread) was hit by a QUERY-LOCAL load burst the pass-level
@@ -288,8 +361,14 @@ object Bench {
     val familiesJson = families.map { case (f, v) =>
       "\"" + f + "\":" + v }.mkString("{", ",", "}")
     val samplesJson = results.map { case (k, _) =>
-      "\"" + k + "\":" + samples(k).map { case (_, v) =>
+      "\"" + k + "\":" + samples(k).map { case (_, v, _) =>
         math.rint(v * 1000) / 1000 }.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    // adjacent micro-probe readings per sample (full artifact only):
+    // the per-sample load context a drift audit divides by
+    val microsJson = results.map { case (k, _) =>
+      "\"" + k + "\":" + samples(k).map { case (_, _, m) =>
+        math.rint(m * 10000) / 10000 }.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     // The driver keeps only a ~2000-char tail of the output: r4's
     // full-name map outgrew it, and at 203 queries (r7) even the
@@ -312,20 +391,30 @@ object Bench {
     val qsTop = resultsNorm.sortBy(-_._2).take(20).map { case (k, v) =>
       "\"" + shortKey(k) + "\":" + math.rint(v * 1000) / 1000
     }.mkString("{", ",", "}")
+    // "value_kind":"norm" (r15 advice #3): an explicit schema marker
+    // for the r14 semantic change of "value" from raw to normalized —
+    // parsers comparing artifacts across rounds can branch on it
+    // instead of inferring from value == value_norm.
+    val mref = math.rint(microRef * 10000) / 10000
     val fullLine =
-      s"""{"metric":"total","value":$totalNorm,"unit":"sec","value_raw":$total,"value_norm":$totalNorm,"calib_sec":$calibSec,"calib_per_pass":$calibPerPassJson,"queries":$qs,"queries_norm":$qsNorm,"samples":$samplesJson,"n_samples":$nSamples,"fast_single_sample":$nFastSingle,"stable_two_sample":$nStablePair,"fast_cutoff":$fastCutoff,"failed":$failedJson,"flaky":$flakyJson,"drift_suspect":$driftJson,"shared_builds":$buildsJson,"build_spread":$buildSpreadJson,"families":$familiesJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalNorm,"unit":"sec","value_kind":"norm","value_raw":$total,"value_norm":$totalNorm,"value_min":$valueMin,"calib_sec":$calibSec,"calib_per_pass":$calibPerPassJson,"micro_ref":$mref,"queries":$qs,"queries_norm":$qsNorm,"samples":$samplesJson,"micros":$microsJson,"n_samples":$nSamples,"fast_single_sample":$nFastSingle,"stable_two_sample":$nStablePair,"fast_cutoff":$fastCutoff,"failed":$failedJson,"flaky":$flakyJson,"drift_suspect":$driftJson,"shared_builds":$buildsJson,"build_spread":$buildSpreadJson,"families":$familiesJson,"sf":"$sfDir"}"""
     // only full runs refresh the committed artifact — an args-filtered
     // local iteration must not clobber the full-query record
     if (only.isEmpty) java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_queries.json"),
       (fullLine + "\n").getBytes("UTF-8"))
+    // filtered local iteration: full detail to stdout instead (the
+    // committed artifact stays untouched)
+    else println(fullLine)
     println(s"""{"metric":"total_all_queries","value":$total,"unit":"sec","queries":$qsShort,"sf":"$sfDir"}""")
-    // HEADLINE value = the calib-NORMALIZED total (r14 verdict #3):
-    // BENCH_r14's raw medians were distorted by a 5× calib swing
-    // across passes on a contended driver host; the normalized number
-    // is the one that survives a noisy machine. value_raw keeps the
-    // raw total alongside for continuity with r1–r14 artifacts.
-    println(s"""{"metric":"total","value":$totalNorm,"unit":"sec","value_raw":$total,"value_norm":$totalNorm,"n_queries":${results.size},"calib_sec":$calibSec,"calib_per_pass":$calibPerPassJson,"queries":$qsTop,"queries_shown":"slowest20_norm","n_samples":$nSamples,"fast_single_sample":$nFastSingle,"stable_two_sample":$nStablePair,"failed":$failedJson,"flaky":$flakyJson,"drift_suspect":$driftJson,"shared_builds":$buildsJson,"build_spread":$buildSpreadJson,"sf":"$sfDir","queries_file":"bench_queries.json"}""")
+    // HEADLINE value = the NORMALIZED total (r14 verdict #3, per-sample
+    // since r16): raw medians are distorted by driver-host contention;
+    // the per-sample-normalized number is the one that survives a
+    // noisy machine. value_raw keeps the raw total for continuity with
+    // r1–r14 artifacts; value_min is the noise-floor companion (sum of
+    // per-query min samples) a comparison should prefer when the run
+    // was contended.
+    println(s"""{"metric":"total","value":$totalNorm,"unit":"sec","value_kind":"norm","value_raw":$total,"value_norm":$totalNorm,"value_min":$valueMin,"n_queries":${results.size},"calib_sec":$calibSec,"calib_per_pass":$calibPerPassJson,"micro_ref":$mref,"queries":$qsTop,"queries_shown":"slowest20_norm","n_samples":$nSamples,"fast_single_sample":$nFastSingle,"stable_two_sample":$nStablePair,"failed":$failedJson,"flaky":$flakyJson,"drift_suspect":$driftJson,"shared_builds":$buildsJson,"build_spread":$buildSpreadJson,"sf":"$sfDir","queries_file":"bench_queries.json"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
