@@ -71,13 +71,13 @@ object Bench {
     // passes (single-sample mode); 0 disables the skip entirely
     val fastCutoff = sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_FAST_CUTOFF", "0.5").toDouble
-    val spark = SparkSession.builder()
+    val spark = SessionTuning(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Absorb JVM/codegen/session warm-up outside the measured loop so
@@ -161,7 +161,12 @@ object Bench {
     // dependent bundle's time is only its own increment. Filtered
     // local runs skip the explicit phase (the first consuming sample
     // pays the build, as before).
-    val sharedBuilds = if (only.isEmpty) SharedBuilds.all else Nil
+    // filtered runs may name `b_*` entries to time JUST those builds
+    // in the dedicated repeat block (local optimization iteration);
+    // unnamed builds keep the lazy first-consumer behavior.
+    val sharedBuilds =
+      if (only.isEmpty) SharedBuilds.all
+      else SharedBuilds.all.filter(b => only.contains("b_" + b.name))
     // pass-major sampling: all queries once, then again — see scaladoc.
     // Each sample remembers its PASS and its adjacent micro-probe
     // reading so it can be normalized per sample.

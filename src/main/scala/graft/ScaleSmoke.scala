@@ -36,13 +36,13 @@ object ScaleSmoke {
     // fixed partition count — the knob a real cluster turns with data
     // volume. Overridable so the smoke can DEMONSTRATE the knob.
     val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val spark = SparkSession.builder()
+    val spark = SessionTuning(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val shift = 1000000000L

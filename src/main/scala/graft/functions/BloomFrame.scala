@@ -85,11 +85,53 @@ object BloomFrame {
     */
   def mayContain(probes: DataFrame, key: Column, bloom: DataFrame,
       m: Long = 1L << 20, d: Int = 4): DataFrame =
-    (0 until d).foldLeft(probes.withColumn("bf_maybe", key.isNotNull)) {
+    mayContainPos(probes, i => pos(key, i, m), key.isNotNull, bloom, d)
+
+  /** FAST-HASH bit position i of a multi-column key: xxhash64 seeded
+    * by i — whole-stage-codegen native, no string materialization, no
+    * cryptographic digest. NOT re-derivable in the DuckDB oracles
+    * (xxhash64 is Spark-internal), so this family is ONLY for
+    * TRANSPARENT join-pruning gates — places where false positives are
+    * discarded by a later exact join and no query ever outputs the
+    * probe verdict. Oracle-pinned bloom surfaces (the q134 probe
+    * audit) must stay on the md5 family above.
+    */
+  private def posFast(keyCols: Seq[Column], i: Int, m: Long): Column =
+    pmod(xxhash64(lit(i) +: keyCols: _*), lit(m))
+
+  /** [[build]] on the fast-hash family (guide §4: keep the hot path on
+    * codegen-native expressions). Same (chunk, bits) grid contract;
+    * rows where ANY key column is NULL are skipped, mirroring the
+    * md5 family's NULL-key rule for the single-column case.
+    */
+  def buildFast(keys: DataFrame, keyCols: Seq[Column], m: Long = 1L << 20,
+      d: Int = 4): DataFrame = {
+    require(d > 0, "bloom filter needs d > 0")
+    require(m >= 64 && m % 64 == 0,
+      "bloom filter width m must be a positive multiple of 64")
+    val ps = (0 until d).map(i => posFast(keyCols, i, m))
+    keys.where(keyCols.map(_.isNotNull).reduce(_ && _))
+      .select(explode(array(ps: _*)).as("p"))
+      .select(shiftright(col("p"), 6).as("bf_chunk"),
+        col("p").bitwiseAND(lit(63L)).cast("int").as("bit"))
+      .groupBy("bf_chunk")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("bf_bits"))
+  }
+
+  /** [[mayContain]] on the fast-hash family — pair with [[buildFast]]
+    * (same m, d, key column list). */
+  def mayContainFast(probes: DataFrame, keyCols: Seq[Column],
+      bloom: DataFrame, m: Long = 1L << 20, d: Int = 4): DataFrame =
+    mayContainPos(probes, i => posFast(keyCols, i, m),
+      keyCols.map(_.isNotNull).reduce(_ && _), bloom, d)
+
+  private def mayContainPos(probes: DataFrame, posOf: Int => Column,
+      keyPresent: Column, bloom: DataFrame, d: Int): DataFrame =
+    (0 until d).foldLeft(probes.withColumn("bf_maybe", keyPresent)) {
       (df, i) =>
         val g = bloom.select(col("bf_chunk").as(s"__bfc$i"),
           col("bf_bits").as(s"__bfb$i"))
-        df.withColumn(s"__bfp$i", pos(key, i, m))
+        df.withColumn(s"__bfp$i", posOf(i))
           .join(broadcast(g),
             shiftright(col(s"__bfp$i"), 6) === col(s"__bfc$i"), "left")
           .withColumn("bf_maybe", col("bf_maybe") && coalesce(

@@ -35,12 +35,21 @@ object KCore {
     * (id, core_deg): the vertices surviving `maxRounds` rounds of
     * k-peeling with their degree inside the surviving subgraph.
     */
-  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 8): DataFrame = {
+  /** @param symmetricDistinct input-contract flag (the
+    *        [[Triangles.perNodeBundle]] rule): true promises a
+    *        loop-free distinct directed symmetric pair set, replacing
+    *        the canonicalization dedup exchange with a map-side
+    *        `a < b` filter — identical canonical edge set. */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 8,
+      symmetricDistinct: Boolean = false): DataFrame = {
     require(k >= 1 && maxRounds >= 1, s"bad k-core params ($k, $maxRounds)")
-    var e = edges.where(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("u"),
-        greatest(col("a"), col("b")).as("v"))
-      .distinct()
+    var e = (if (symmetricDistinct)
+        edges.where(col("a") < col("b"))
+          .select(col("a").as("u"), col("b").as("v"))
+      else edges.where(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .distinct())
       .localCheckpoint(true)
     var nEdges = e.count()
     var round = 0

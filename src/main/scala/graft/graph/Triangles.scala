@@ -44,9 +44,21 @@ object Triangles {
     * A caller running both the [[perNode]] and [[clusteringCoef]]
     * shapes on the SAME graph (the q172/q183 pair) memoizes this pair
     * and pays the O(|E|^1.5) wedge join exactly once; each query then
-    * composes from two metadata-sized frames. */
-  def perNodeBundle(edges: DataFrame): (DataFrame, DataFrame) = {
-    val canon = canonical(edges)
+    * composes from two metadata-sized frames.
+    *
+    * @param symmetricDistinct the input CONTRACT flag (guide §2.4 —
+    *        remove shuffles the caller can prove unnecessary): true
+    *        promises `edges` is a loop-free DISTINCT DIRECTED
+    *        SYMMETRIC pair set (both orientations present exactly
+    *        once — the co-purchase frame's groupBy-output shape), so
+    *        canonicalization is the shuffle-free `a < b` filter
+    *        instead of a full dedup exchange of the edge list.
+    *        Identical output by construction: {(u,v) : u < v,
+    *        (u,v) ∈ E} IS the distinct least/greatest image when both
+    *        orientations exist and ids are distinct. */
+  def perNodeBundle(edges: DataFrame,
+      symmetricDistinct: Boolean = false): (DataFrame, DataFrame) = {
+    val canon = canonical(edges, symmetricDistinct)
     val deg = degrees(canon).localCheckpoint(true)
     val counts = trianglesOf(canon, deg)
       .select(explode(array(col("n1"), col("n2"), col("n3"))).as("id"))
@@ -112,12 +124,19 @@ object Triangles {
   }
 
   /** Canonical undirected edge set (u < v, distinct, loops dropped) —
-    * checkpointed: it feeds degree + both orientation lookups. */
-  private def canonical(edges: DataFrame): DataFrame =
-    edges.where(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("u"),
-        greatest(col("a"), col("b")).as("v"))
-      .distinct()
+    * checkpointed: it feeds degree + both orientation lookups. With
+    * the [[perNodeBundle]] `symmetricDistinct` contract the dedup
+    * exchange is replaced by a map-side `a < b` filter. */
+  private def canonical(edges: DataFrame,
+      symmetricDistinct: Boolean = false): DataFrame =
+    (if (symmetricDistinct)
+      edges.where(col("a") < col("b"))
+        .select(col("a").as("u"), col("b").as("v"))
+    else
+      edges.where(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .distinct())
       .localCheckpoint(true)
 
   private def degrees(canon: DataFrame): DataFrame =
@@ -164,12 +183,16 @@ object Triangles {
     // shuffle; no false negatives, and false positives still fail the
     // exact (x, y) equi-join — identical output, wedge shuffle cut by
     // ~the non-closing fraction (measured 20.6 s → 9.5 s at sf0.1).
-    val wkey = concat(col("x").cast("string"), lit(":"),
-      col("y").cast("string"))
-    val bloom = graft.functions.BloomFrame.build(
-      closing.select(wkey.as("bk")), col("bk"), 1L << 22, 2)
+    // fast-hash family (guide §4): the gate is transparent — false
+    // positives fail the exact (x, y) equi-join — so the oracle-
+    // rederivable md5 digest is pure overhead here; xxhash64 over the
+    // two raw long columns stays inside whole-stage codegen and skips
+    // the per-wedge string materialization entirely (measured: the
+    // md5 probe was the wedge stage's hottest expression).
+    val bloom = graft.functions.BloomFrame.buildFast(
+      closing, Seq(col("x"), col("y")), 1L << 22, 2)
     val gated = graft.functions.BloomFrame
-      .mayContain(wedges, wkey, bloom, 1L << 22, 2)
+      .mayContainFast(wedges, Seq(col("x"), col("y")), bloom, 1L << 22, 2)
       .where(col("bf_maybe")).drop("bf_maybe")
     gated.join(closing, Seq("x", "y"))
       .select(col("src").as("n1"), col("x").as("n2"), col("y").as("n3"))

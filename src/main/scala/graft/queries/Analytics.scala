@@ -80,7 +80,11 @@ object Analytics extends QueryPack {
       triBundleCache.computeIfAbsent(s, _ =>
         new java.util.concurrent.ConcurrentHashMap())
     }.computeIfAbsent(d, _ =>
-      graft.graph.Triangles.perNodeBundle(coPurchaseEdges(s, d)))
+      // symmetricDistinct: the co-purchase frame is a groupBy output
+      // with both orientations and no loops — the a<b fast path skips
+      // the canonicalization dedup exchange (guide §2.4)
+      graft.graph.Triangles.perNodeBundle(coPurchaseEdges(s, d),
+        symmetricDistinct = true))
 
   /** Memoized Brandes bundle (forward dist/σ table + backward
     * per-DAG-edge dependency terms) over the co-purchase graph from
@@ -1051,7 +1055,7 @@ object Analytics extends QueryPack {
     // round cap == the true 80-core; oracle unrolls the same peel.
     "q194_kcore" -> ((s, d) =>
       graft.graph.KCore.kCore(coPurchaseEdges(s, d), k = 80,
-        maxRounds = 8)),
+        maxRounds = 8, symmetricDistinct = true)),
 
     // Burstiness forensics: B = (σ−μ)/(σ+μ) of per-user inter-event
     // gaps — exact integer moments, fixed IEEE edge; metronome bots
