@@ -64,8 +64,11 @@ object Centrality {
           "left_anti")
         .select(col("src"), col("id"), lit(r).as("dist"), col("sigma"))
         .transform(GraftSqlShims.localCheckpointFreshStats)
-      labeled = GraftSqlShims.localCheckpointFreshStats(
-        labeled.unionByName(next))
+      // plain union of ALREADY-CHECKPOINTED per-round frames: the
+      // accumulated set is only anti-joined/scanned, so re-copying all
+      // rows into a fresh checkpoint every round bought nothing
+      // (guide §1.2 — don't compute things you throw away)
+      labeled = labeled.unionByName(next)
       frontier = next
     }
     labeled
@@ -81,22 +84,44 @@ object Centrality {
       rounds: Int): (DataFrame, DataFrame) = {
     val e = edges.select(col("a"), col("b"))
     val ds = distSigma(edges, seeds, rounds).localCheckpoint(true)
-    var delta = ds.where(col("dist") === rounds)
-      .select(col("src"), col("id"), lit(0L).as("delta_u"))
-      .localCheckpoint(true)
+    // The SHORTEST-PATH-DAG EDGE SET, built in ONE pass (guide §2.4 /
+    // §1.2): (src, id, w, vdist, sigma, sw) for every DAG edge id→w
+    // (dist(w) = dist(id)+1 under the same src). The per-level
+    // formulation re-joined the FULL edge list once per backward level
+    // — three shuffles of e and three |lvl|×degree intermediates whose
+    // union is exactly this frame. The backward recursion below then
+    // touches only node-sized delta frames; the edge list never enters
+    // the loop.
+    val dagE = ds.select(col("src"), col("id"), col("dist"), col("sigma"))
+      .join(e.select(col("a").as("id"), col("b").as("w")), Seq("id"))
+      .join(ds.select(col("src"), col("id").as("w"),
+        col("dist").as("wdist"), col("sigma").as("sw")), Seq("src", "w"))
+      .where(col("wdist") === col("dist") + 1)
+      .select(col("src"), col("id"), col("w"), col("dist").as("vdist"),
+        col("sigma"), col("sw"))
+      .transform(GraftSqlShims.localCheckpointFreshStats)
+    // Backward recursion, level by level (inherent sequencing: t(v→w)
+    // needs δ of the DEEPER level). prevDelta is the PREVIOUS level's
+    // complete node spine — at the deepest level every dw is 0, and
+    // every later level left-joins the full spine, so coalesce(…, 0)
+    // reproduces the old init-with-zeros ∪ union-accumulation exactly
+    // (a node has ONE dist per src, so only the adjacent level's rows
+    // could ever match).
+    var prevDelta: Option[DataFrame] = None
     var acc: Option[DataFrame] = None
     for (r <- (rounds - 1) to 0 by -1) {
-      val lvl = ds.where(col("dist") === r)
-      val succ = ds.where(col("dist") === r + 1)
-        .select(col("src"), col("id").as("w"), col("sigma").as("sw"))
-        .join(delta.select(col("src"), col("id").as("w"),
-          col("delta_u")), Seq("src", "w"), "left")
-        .select(col("src"), col("w"),
-          col("sw"), coalesce(col("delta_u"), lit(0L)).as("dw"))
-      val terms = lvl.select(col("src"), col("id"), col("sigma"))
-        .join(e.select(col("a").as("id"), col("b").as("w")), Seq("id"))
-        .join(succ, Seq("src", "w"))
-        .select(col("src"), col("id"), col("w"), lit(r).as("vdist"),
+      val lvlE = dagE.where(col("vdist") === r)
+      val withDw = prevDelta match {
+        case Some(pd) => lvlE
+          .join(pd.select(col("src"), col("id").as("w"), col("delta_u")),
+            Seq("src", "w"), "left")
+          .select(col("src"), col("id"), col("w"), col("vdist"),
+            col("sigma"), col("sw"),
+            coalesce(col("delta_u"), lit(0L)).as("dw"))
+        case None => lvlE.withColumn("dw", lit(0L))
+      }
+      val terms = withDw
+        .select(col("src"), col("id"), col("w"), col("vdist"),
           // decimal(38,0) multiply (r13 advice): sigma is an EXACT
           // shortest-path count and grows combinatorially on dense
           // neighborhoods — a pure-Long product would WRAP silently at
@@ -109,13 +134,13 @@ object Centrality {
         .transform(GraftSqlShims.localCheckpointFreshStats)
       val contrib = terms.groupBy(col("src"), col("id"))
         .agg(sum(col("t")).as("delta_u"))
-      val lvlDelta = lvl.select(col("src"), col("id"))
+      val lvlDelta = ds.where(col("dist") === r)
+        .select(col("src"), col("id"))
         .join(contrib, Seq("src", "id"), "left")
         .select(col("src"), col("id"),
           coalesce(col("delta_u"), lit(0L)).as("delta_u"))
         .transform(GraftSqlShims.localCheckpointFreshStats)
-      delta = GraftSqlShims.localCheckpointFreshStats(
-        delta.unionByName(lvlDelta))
+      prevDelta = Some(lvlDelta)
       acc = Some(acc.map(_.unionByName(terms)).getOrElse(terms))
     }
     (ds, GraftSqlShims.localCheckpointFreshStats(acc.get))
