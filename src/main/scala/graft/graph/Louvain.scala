@@ -77,28 +77,33 @@ object Louvain {
       else df
     val e = cp(edges.select(col("a").as("src"), col("b").as("dst"),
       col("w")))
-    val deg = cp(e.groupBy(col("src").as("id"))
-      .agg(sum(col("w")).as("k")))
-    val m = e.agg(sum(col("w")).as("m"))
-    var lbl = cp(deg.select(col("id"), col("id").as("c")))
-    for (_ <- 1 to rounds) {
-      // community degree sums under the current labels
-      val dc = lbl.join(deg, "id")
-        .groupBy(col("c")).agg(sum(col("k")).as("dc"))
+    // labels CARRY the node strength k (guide §2.4 — two operations
+    // keyed the same way share one pass): dc and the candidate
+    // assembly used to re-join the separate degree table every round
+    val m = cp(e.agg(sum(col("w")).as("m"))) // 1 row, aggregated ONCE
+    var lbl = cp(e.groupBy(col("src").as("id"))
+      .agg(sum(col("w")).as("k"))
+      .select(col("id"), col("id").as("c"), col("k")))
+    var round = 1
+    var converged = false
+    while (round <= rounds && !converged) {
+      // community degree sums under the current labels — off lbl's own
+      // k, no join
+      val dc = lbl.groupBy(col("c")).agg(sum(col("k")).as("dc"))
       // k_{i,c}: the node's edge weight into each neighboring community
-      // (self-loops excluded — they move with the node); feeds
-      // candidates AND the ka lookup — checkpoint the fan-out
-      val kc = cp(e.where(col("src") =!= col("dst"))
-        .join(lbl.withColumnRenamed("id", "dst")
-          .withColumnRenamed("c", "cn"), "dst")
+      // (self-loops excluded — they move with the node), annotated with
+      // the mover's own (c, k) in ONE join; feeds candidates AND the
+      // ka lookup — checkpoint the fan-out
+      val kcl = cp(e.where(col("src") =!= col("dst"))
+        .join(lbl.select(col("id").as("dst"), col("c").as("cn")), "dst")
         .groupBy(col("src").as("id"), col("cn"))
-        .agg(sum(col("w")).as("kc")))
-      val ka = kc.join(lbl, "id").where(col("cn") === col("c"))
+        .agg(sum(col("w")).as("kc"))
+        .join(lbl, "id"))
+      val ka = kcl.where(col("cn") === col("c"))
         .select(col("id"), col("kc").as("ka"))
-      val cand = kc.join(lbl, "id").where(col("cn") =!= col("c"))
+      val cand = kcl.where(col("cn") =!= col("c"))
         .select(col("id"), col("c").as("a"), col("cn").as("b"),
-          col("kc").as("kb"))
-        .join(deg, "id")
+          col("kc").as("kb"), col("k"))
         .join(dc.select(col("c").as("a"), col("dc").as("da")), "a")
         .join(dc.select(col("c").as("b"), col("dc").as("db")), "b")
         .join(ka, Seq("id"), "left").na.fill(0L, Seq("ka"))
@@ -123,15 +128,22 @@ object Louvain {
         .agg(min(struct((-col("dq")).as("nd"), col("id"), col("b")))
           .as("w"))
         .select(col("comm"), col("w.id").as("wid"), col("w.b").as("wb"))
-      val movers = nb
+      val movers = cp(nb
         .join(best, col("a") === col("comm") &&
           col("id") === col("wid") && col("b") === col("wb"))
         .drop("comm", "wid", "wb")
         .join(best, col("b") === col("comm") &&
           col("id") === col("wid") && col("b") === col("wb"))
-        .select(col("id"), col("b").as("newc"))
-      lbl = cp(lbl.join(movers, Seq("id"), "left")
-        .select(col("id"), coalesce(col("newc"), col("c")).as("c")))
+        .select(col("id"), col("b").as("newc")))
+      // FIXPOINT EARLY EXIT (pure savings, identical output): no
+      // applied moves ⇒ labels unchanged ⇒ dc/kc/cand identical next
+      // round ⇒ every remaining round is a no-op — exactly the rounds
+      // the oracle unrolls as label-preserving steps
+      if (checkpoint && movers.isEmpty) converged = true
+      else lbl = cp(lbl.join(movers, Seq("id"), "left")
+        .select(col("id"), coalesce(col("newc"), col("c")).as("c"),
+          col("k")))
+      round += 1
     }
     val sizes = lbl.groupBy(col("c")).agg(count(lit(1)).as("csize"))
     lbl.join(sizes, "c")
