@@ -41,15 +41,31 @@ object Mis {
     conv(substring(md5(concat(lit(s"mis$round:"), id.cast("string"))),
       1, 12), 16, 10).cast("long")
 
+  /** @param edgeShape input-contract flag (guide §2.4 — skip shuffles
+    *        the caller can prove unnecessary), one of:
+    *        - `"raw"` (default): arbitrary directed pairs — symmetrize
+    *          with a union and dedup with a distinct, as always;
+    *        - `"symmetric"`: already a loop-free DISTINCT directed
+    *          symmetric pair set (both orientations present once — the
+    *          co-purchase frame) — used as-is, no union, no distinct;
+    *        - `"canonical"`: loop-free UNIQUE one-orientation pairs
+    *          (src < dst per row — the near-dup pair contract) — union
+    *          of the two orientations is distinct by construction, so
+    *          only the distinct is skipped.
+    *        All three yield the identical undirected edge set. */
   def luby(vertices: DataFrame, edges: DataFrame,
-      rounds: Int = 3): DataFrame = {
+      rounds: Int = 3, edgeShape: String = "raw"): DataFrame = {
     require(rounds >= 1, "Luby needs at least one round")
     // both directions once: the neighborhood tests below are symmetric
-    val und = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"),
-        col("src").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
+    val swapped = edges.select(col("dst").as("src"), col("src").as("dst"))
+    val und = (edgeShape match {
+      case "symmetric" => edges.select(col("src"), col("dst"))
+      case "canonical" =>
+        edges.select(col("src"), col("dst")).unionByName(swapped)
+      case _ =>
+        edges.select(col("src"), col("dst")).unionByName(swapped)
+          .distinct()
+    }).localCheckpoint(true)
     var st = vertices.select(col("id"), lit(0).as("state"))
       .localCheckpoint(true)
     for (r <- 1 to rounds) {
@@ -69,14 +85,15 @@ object Mis {
       val excluded = und
         .join(winners.select(col("id").as("src")), "src")
         .select(col("dst").as("id")).distinct()
+      // winners and excluded are DISJOINT (two adjacent winners are
+      // impossible), so both verdicts ride ONE mark union and one join
+      val marks = winners.select(col("id"), lit(1).as("mk"))
+        .unionByName(excluded.select(col("id"), lit(-1).as("mk")))
       st = st
-        .join(winners.withColumn("w", lit(1)), Seq("id"), "left")
-        .join(excluded.withColumn("e", lit(1)), Seq("id"), "left")
+        .join(marks, Seq("id"), "left")
         .select(col("id"),
           when(col("state") =!= 0, col("state"))
-            .when(col("w") === 1, lit(1))
-            .when(col("e") === 1, lit(-1))
-            .otherwise(lit(0)).as("state"))
+            .otherwise(coalesce(col("mk"), lit(0))).as("state"))
         .localCheckpoint(true)
     }
     st.select(col("id"), col("state").cast("int").as("state"))

@@ -1733,7 +1733,7 @@ object Analytics extends QueryPack {
         t("part")(s, d).select(col("p_partkey").as("id")),
         coPurchaseEdges(s, d).select(col("a").as("src"),
           col("b").as("dst")),
-        rounds = 3)),
+        rounds = 3, edgeShape = "symmetric")),
 
     // Multi-source BFS hop distance over the co-purchase graph
     // (seeds = part keys ≡ 0 mod 500), 3 frontier rounds: per-round

@@ -657,7 +657,8 @@ object LlmPack extends QueryPack {
       val edges = Dedup.simhashPairs(docs, maxHamming = 3)
         .select(col("da").as("src"), col("db").as("dst"))
       val mis = graft.graph.Mis.luby(
-        docs.select(col("doc_id").as("id")), edges, rounds = 3)
+        docs.select(col("doc_id").as("id")), edges, rounds = 3,
+        edgeShape = "canonical") // simhashPairs emits da < db once
       dupClustersBuilt(s, d).select(col("doc_id"), col("cluster"))
         .join(mis.withColumnRenamed("id", "doc_id"), "doc_id")
         .select(col("doc_id"), col("cluster"), col("state"))
