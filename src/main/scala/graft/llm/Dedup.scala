@@ -848,11 +848,13 @@ object Dedup {
     // gated side (instead of silently dropping it from BOTH sides)
     // keeps the identical-output contract for nullable predicates
     val isNewRow = coalesce(col("nw"), lit(false))
-    val bloom = graft.functions.BloomFrame.build(
-      t.where(isNewRow).select(key.cast("string").as("bk")),
-      col("bk"), m, d)
-    graft.functions.BloomFrame.mayContain(
-        t.where(!isNewRow), key.cast("string"), bloom, m, d)
+    // fast-hash family (guide §4): this gate is transparent — false
+    // positives still fail the downstream exact equi-join — so the
+    // md5 digest per probe was pure overhead
+    val bloom = graft.functions.BloomFrame.buildFast(
+      t.where(isNewRow), Seq(key), m, d)
+    graft.functions.BloomFrame.mayContainFast(
+        t.where(!isNewRow), Seq(key), bloom, m, d)
       .where(col("bf_maybe")).drop("bf_maybe")
       .unionByName(t.where(isNewRow))
   }
@@ -1110,12 +1112,15 @@ object Dedup {
           .as("e"))
       .select(col("doc_id"), col("fpl"), col("nw"), col("e.band"),
         col("e.bits"))
-    val bandKey = concat(col("band").cast("string"), lit(":"), col("bits"))
+    // fast-hash family over the raw (band, bits) pair — the gate is
+    // transparent (false positives fail the exact band equi-join), so
+    // no oracle ever sees these bit positions
+    val bandKeyCols = Seq(col("band"), col("bits"))
     val newB = bands.where(col("nw"))
-    val bloom = graft.functions.BloomFrame.build(
-      newB.select(bandKey.as("bk")), col("bk"), m, d)
-    val gatedOld = graft.functions.BloomFrame.mayContain(
-        bands.where(!col("nw")), bandKey, bloom, m, d)
+    val bloom = graft.functions.BloomFrame.buildFast(
+      newB, bandKeyCols, m, d)
+    val gatedOld = graft.functions.BloomFrame.mayContainFast(
+        bands.where(!col("nw")), bandKeyCols, bloom, m, d)
       .where(col("bf_maybe")).drop("bf_maybe")
     // x is always a NEW band row; y ranges over gated-old ∪ new. A
     // new×old pair appears once (its old end only ever on y); new×new

@@ -538,10 +538,14 @@ object DataQuality {
       val p0 = e.parent.select(col(e.parentKey).as("pk"))
       val p = bloomGate match {
         case Some((m, dd)) =>
-          val bloom = graft.functions.BloomFrame.build(
-            c.select(col("fk").cast("string").as("bk")), col("bk"), m, dd)
-          graft.functions.BloomFrame.mayContain(
-              p0, col("pk").cast("string"), bloom, m, dd)
+          // fast-hash family: the gate only prunes parents before the
+          // exact anti-join, so the oracle never sees the positions.
+          // Both sides hash the same string cast (child and parent key
+          // types may differ per edge; the cast unifies them).
+          val bloom = graft.functions.BloomFrame.buildFast(
+            c, Seq(col("fk").cast("string")), m, dd)
+          graft.functions.BloomFrame.mayContainFast(
+              p0, Seq(col("pk").cast("string")), bloom, m, dd)
             .where(col("bf_maybe")).drop("bf_maybe")
         case None => p0
       }
