@@ -186,6 +186,9 @@ object Bench {
       for (b <- sharedBuilds) b.clear(spark)
       for (b <- sharedBuilds) {
         val bn = "b_" + b.name
+        // guide §1.5: label jobs so an event-log profile attributes
+        // every job to its bench entry
+        spark.sparkContext.setJobDescription(s"$bn rep$rep")
         val mp = microProbe()
         val t0 = System.nanoTime()
         try {
@@ -239,6 +242,7 @@ object Bench {
         if (pass > 1 && allFast) ()
         else if (pass > 2 && stablePair) ()
         else {
+        spark.sparkContext.setJobDescription(s"$name pass$pass")
         val mp = microProbe()
         val t0 = System.nanoTime()
         try {

@@ -39,8 +39,19 @@ object SessionTuning {
       sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false")
     val shjThreshold =
       sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "64m")
-    b.config("spark.sql.join.preferSortMergeJoin", preferSmj)
+    val tuned = b
+      .config("spark.sql.join.preferSortMergeJoin", preferSmj)
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         shjThreshold)
+    // measurement hook (guide §1/§7): SPARK_GRAFT_EVENTLOG=<dir>
+    // enables the standard Spark event log so a profiling run's
+    // per-job/stage timings can be attributed offline; unset (the
+    // driver's shape) writes nothing
+    sys.env.get("SPARK_GRAFT_EVENTLOG") match {
+      case Some(dir) =>
+        tuned.config("spark.eventLog.enabled", "true")
+          .config("spark.eventLog.dir", dir)
+      case None => tuned
+    }
   }
 }

@@ -471,10 +471,20 @@ object DataQuality {
       .crossJoin(broadcast(gtot))
     val w = Window.partitionBy(qiCols: _*).orderBy(col("sv"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = grid.withColumn("cd",
-      sum((dec19(col("ccnt")) * dec19(col("nn")) -
-        dec19(col("gcnt")) * dec19(col("nc"))).cast("decimal(38,0)"))
-        .over(w))
+    // cumsum distributes over the linear combination:
+    //   cum(ccnt·nn − gcnt·nc) = nn·cum(ccnt) − nc·cum(gcnt)
+    // so the WINDOW accumulates plain long counts (bounded by n — no
+    // overflow) and the wide decimal multiply runs ONCE per row after
+    // it, instead of a BigDecimal product + BigDecimal accumulation
+    // per grid row (guide §1.2 per-task work: measured, the decimal
+    // window was the whole query's single hottest job). Identical
+    // exact integers.
+    val cum = grid
+      .withColumn("ccum", sum(col("ccnt")).over(w))
+      .withColumn("gcum", sum(col("gcnt")).over(w))
+      .withColumn("cd",
+        (dec19(col("ccum")) * dec19(col("nn")) -
+          dec19(col("gcum")) * dec19(col("nc"))).cast("decimal(38,0)"))
     val ag = cum
       .groupBy(qiCols ++ Seq(col("nc"), col("nn"), col("m")): _*)
       .agg(sum(abs(col("cd"))).as("sad"))
