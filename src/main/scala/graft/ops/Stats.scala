@@ -1130,28 +1130,34 @@ object Stats {
     val base = series
       .where(col(xCol).isNotNull && col(valueCol).isNotNull)
       .select(col(xCol).cast("long").as("x"), cents(col(valueCol)).as("y"))
-      .localCheckpoint(true) // feeds pairs AND residuals
+      .localCheckpoint(true) // feeds pairs, residuals AND the counts
     val pairs = base.as("a").join(base.as("b"),
         col("a.x") < col("b.x"))
       .select(((col("b.y") - col("a.y")).cast("double") /
         (col("b.x") - col("a.x")).cast("double")).as("m"),
         col("a.x").as("x1"), col("b.x").as("x2"))
-      .localCheckpoint(true) // the count and the scan both read it
+    // counts come from the CHEAP side (guide §1.2): x values are
+    // distinct (pre-aggregated series), so |pairs| = C(n,2) exactly —
+    // no count pass (and no materialization) of the quadratic pair
+    // frame, whose only consumer is now the median scan itself
     def medianOf(df: DataFrame, v: String, keys: Seq[String],
-        out: String): DataFrame = {
-      val n = df.agg(count(lit(1)).as("n"))
+        out: String, nDf: DataFrame): DataFrame = {
       val scanned = Scan.globalRunningSum(df, keys, lit(1L), "rn")
-      scanned.crossJoin(broadcast(n))
+      scanned.crossJoin(broadcast(nDf))
         .agg(max(col("n")).as("n"),
           min(when(col("rn") >= expr("(n + 1) div 2"), col(v))).as(out))
     }
-    val slope = medianOf(pairs, "m", Seq("m", "x1", "x2"), "slope")
+    val nPoints = base.agg(count(lit(1)).as("n"))
+    val nPairs = nPoints.select((col("n") * (col("n") - 1) / 2)
+      .cast("long").as("n"))
+    val slope = medianOf(pairs, "m", Seq("m", "x1", "x2"), "slope",
+        nPairs)
       .select(col("n").as("n_pairs"), col("slope"))
     val resid = base.crossJoin(broadcast(slope))
       .select(col("n_pairs"), col("slope"),
         (col("y").cast("double") - col("slope") *
           col("x").cast("double")).as("b0"), col("x"))
-    val icept = medianOf(resid, "b0", Seq("b0", "x"), "icept")
+    val icept = medianOf(resid, "b0", Seq("b0", "x"), "icept", nPoints)
     icept.crossJoin(broadcast(slope))
       .select(col("n").as("n_points"), col("n_pairs"),
         r6(col("slope")).as("slope_cents_per_x"),
