@@ -434,6 +434,26 @@ object Corpus {
       .select(col("doc_id"), col("cluster"), split.as("split"))
   }
 
+  /** [[leakSafeSplits]] over PRECOMPUTED cluster labels
+    * ([[Dedup.dupClusters]] output shape) — a pipeline that already
+    * holds the near-dup clusters (the shared q82 build) should not
+    * re-run the whole simhash + connected-components machinery just
+    * to key the split rule on the cluster id.
+    */
+  def leakSafeSplitsFromClusters(clusters: DataFrame,
+      cuts: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      salt: String = "spl"): DataFrame = {
+    require(cuts.nonEmpty && math.abs(cuts.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val u = hash16(col("cluster"), salt).cast("double") / lit(65536.0)
+    val bounds = splitBounds(cuts)
+    val split = bounds.init.reverse.foldLeft(lit(bounds.last._1)) {
+      case (acc, (nm, ub)) => when(u < ub, lit(nm)).otherwise(acc)
+    }
+    clusters.select(col("doc_id"), col("cluster"), split.as("split"))
+  }
+
   /** Per-source document cap (the C4/RefinedWeb cap-per-domain step):
     * keep at most `cap` documents per source, chosen as a
     * deterministic uniform sample (md5 order over `salt:doc_id`, so

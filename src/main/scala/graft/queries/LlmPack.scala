@@ -239,8 +239,11 @@ object LlmPack extends QueryPack {
     // near-dup cluster id, so no ≤3-Hamming pair can straddle a
     // boundary by construction (LlmSpec proves the audit over this
     // assignment is empty).
+    // composes from the SAME memoized cluster build as q82/q85/q149/
+    // q368 (identical labels; the split rule reads only the cluster
+    // id) instead of re-running simhash + CC from scratch
     "q126_leak_safe_splits" -> ((s, d) =>
-      graft.llm.Corpus.leakSafeSplits(t("documents")(s, d))),
+      graft.llm.Corpus.leakSafeSplitsFromClusters(dupClustersBuilt(s, d))),
     // The same audit under the SET-SIMILARITY definition: Jaccard ≥
     // 0.3 pairs straddling a split boundary, via the prefix-filtered
     // delta machinery (majority×majority pairs pruned inside the
