@@ -249,7 +249,11 @@ object Dedup {
     */
   def jaccardPairsPrefix(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.3): DataFrame = {
+    // candidate generation AND both sides of the exact verification
+    // read the shingle frame — materialize the tokenize+shingle pass
+    // once (the persisted-fingerprint-store shape of dupClustersDelta)
     val arrays = TextOps.shingleArrays(spread(docs), n)
+      .localCheckpoint(true)
     verifyExact(prefixCandidates(arrays, threshold, deltaOnly = false),
       arrays, threshold)
   }
@@ -286,8 +290,10 @@ object Dedup {
 
   private def jaccardDeltaCore(docs: DataFrame, isNew: Column, n: Int,
       threshold: Double, bloomGate: Option[(Long, Int)]): DataFrame = {
+    // same fan-out as jaccardPairsPrefix: one materialized shingle pass
     val arrays = spread(docs).select(col("doc_id"), isNew.as("nw"),
       TextOps.shingleSet(TextOps.tokens(col("text")), n).as("arr"))
+      .localCheckpoint(true)
     verifyExact(
       prefixCandidates(arrays, threshold, deltaOnly = true, bloomGate),
       arrays.select(col("doc_id"), col("arr")), threshold)
@@ -792,6 +798,11 @@ object Dedup {
     val toks = spread(docs.where(col("text").isNotNull))
       .select(col("doc_id"), TextOps.tokens(col("text")).as("wd"))
       .where(size(col("wd")) >= n)
+    // two consumers (the df-cap aggregate AND the occurrence join) —
+    // without the checkpoint each re-ran the tokenize + per-position
+    // n-token slice/concat/md5 pass, the pipeline's hottest map work
+    // (the repo's two-consumer-fan-out discipline; the narrow
+    // (doc_id, i, h) triple is what materializes, never the text)
     val grams = toks
       .select(col("doc_id"),
         explode(sequence(lit(1), size(col("wd")) - (n - 1))).as("i"),
@@ -800,6 +811,7 @@ object Dedup {
         conv(substring(
           md5(concat_ws(" ", slice(col("wd"), col("i"), lit(n)))),
           1, 12), 16, 10).cast("long").as("h"))
+      .localCheckpoint(true)
     // stop-anchor cap: viral boilerplate n-grams leave before the join
     val keep = grams.groupBy(col("h"))
       .agg(count_distinct(col("doc_id")).as("df"))
@@ -863,6 +875,11 @@ object Dedup {
       k: Int, w: Int, maxDf: Int,
       bloomGate: Option[(Long, Int)]): DataFrame = {
     val base = winnow(docs, k, w)
+    // NOTE (r16, measured): no checkpoint here on purpose — winnow
+    // ends in distinct(), an Exchange both consumers sit on, so
+    // exchange reuse already shares the whole winnow compute; an
+    // eager checkpoint only added a materialization job (+10% on the
+    // day-2 winnow composition).
     val s = deltaPred match {
       case Some(p) => base.withColumn("nw", p)
       case None => base
