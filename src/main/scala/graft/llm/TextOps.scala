@@ -1022,14 +1022,20 @@ object TextOps {
           .as("n_syllables"),
         greatest(regexp_count(col("text"), lit("[.!?]+")).cast("long"),
           lit(1L)).as("n_sentences"))
+    // floor(x·100 + 0.5)/100, NOT round(x, 2): the shared floor hedge
+    // every other float edge in the repo uses. Raw round() diverges
+    // between engines when the score lands on a .xx5 boundary —
+    // sf0.001's doc 493 does exactly that (Spark 85.16 vs DuckDB
+    // 85.17, found by the r16 full sf0.001 replay; latent since the
+    // query landed, the sf0.01 gate never hit a boundary doc).
     base.select(col("doc_id"), col("n_words"), col("n_syllables"),
       col("n_sentences"),
-      round(when(col("n_words") > 0L,
+      (floor((when(col("n_words") > 0L,
         lit(206.835) -
           lit(1.015) * (col("n_words").cast("double") /
             col("n_sentences").cast("double")) -
           lit(84.6) * (col("n_syllables").cast("double") /
-            col("n_words").cast("double"))), 2)
+            col("n_words").cast("double")))) * 100 + 0.5) / 100)
         .cast("float").as("flesch"))
   }
 

@@ -2499,7 +2499,9 @@ object LlmPack extends QueryPack {
          |    / 0.6931471805599453, 4) AS REAL) AS jsd_norm
          |FROM s""".stripMargin,
     // Identical greedy-regex vowel/sentence runs, the same fixed
-    // score sequence.
+    // score sequence; shared floor hedge (NOT round — a .xx5-boundary
+    // doc in the sf0.001 fixture exposed the engines' round()
+    // divergence, see TextOps.flesch).
     "q356_flesch" ->
       s"""WITH $tokCte,
          |b AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
@@ -2509,11 +2511,12 @@ object LlmPack extends QueryPack {
          |          AS BIGINT), CAST(1 AS BIGINT)) AS n_sentences
          |      FROM tok)
          |SELECT doc_id, n_words, n_syllables, n_sentences,
-         |  CAST(round(CASE WHEN n_words > 0 THEN 206.835
+         |  CAST(floor((CASE WHEN n_words > 0 THEN 206.835
          |    - 1.015 * (CAST(n_words AS DOUBLE)
          |      / CAST(n_sentences AS DOUBLE))
          |    - 84.6 * (CAST(n_syllables AS DOUBLE)
-         |      / CAST(n_words AS DOUBLE)) END, 2) AS REAL) AS flesch
+         |      / CAST(n_words AS DOUBLE)) END) * 100 + 0.5) / 100
+         |    AS REAL) AS flesch
          |FROM b""".stripMargin,
     // The q64 pair derivation + clipped-multiset gram overlaps + the
     // same F sequence with the empty-overlap 0 contract.
