@@ -46,8 +46,16 @@ object ConnectedComponents {
     */
   def run(nodes: DataFrame, edges: DataFrame,
       maxIters: Int = 50): DataFrame = {
-    val e = edges.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+    // materialize the caller's edge derivation BEFORE the orientation
+    // union: the union's two branches are separate physical subtrees,
+    // so a heavy pair producer (banded fingerprint join over an audio
+    // DSP chain, LSH cosine stage) would otherwise execute once per
+    // branch — plus once more for a broadcast build side, which
+    // ReuseExchange shares but a re-planned union branch does not
+    val e0 = edges.select(col("a").as("src"), col("b").as("dst"))
+      .localCheckpoint(true)
+    val e = e0
+      .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
     // round 0 fused: label(v) = min(v, min neighbor); also defines the
     // active (edge-touched) vertex set — isolated nodes skip the loop
@@ -120,6 +128,9 @@ object ConnectedComponents {
         Seq("b"), "left")
       .select(coalesce(col("pa"), col("a")).as("a"),
         coalesce(col("pb"), col("b")).as("b"))
+      // reps reads this twice and run() once more — and the new-edge
+      // producer is typically a heavy delta pair family; materialize
+      .localCheckpoint(true)
     val reps = contracted.select(col("a").as("id"))
       .unionByName(contracted.select(col("b").as("id"))).distinct()
     // rep → merged component over the contracted graph; each rep is

@@ -1169,7 +1169,14 @@ object Dedup {
       s"pigeonhole completeness needs maxHamming < $bandCount")
     require(bits % bandCount == 0, s"bits must be a multiple of $bandCount")
     val width = bits / bandCount
-    val fp = fpIn
+    // the fingerprint frame feeds BOTH sides of the band self-join;
+    // when the planner broadcasts one side, only the broadcast build
+    // is shared (ReuseExchange) and the stream side re-runs the whole
+    // fingerprint producer — for the heavy producers (audio DSP chain,
+    // image hashes) that doubles the dominant cost. The frame is
+    // narrow (doc_id, 64-bit string, long), so materializing it once
+    // is cheap at any scale next to recomputing the producer.
+    val fp = fpIn.localCheckpoint(true)
     val flagged = deltaPred match {
       case Some(p) => fp.withColumn("nw", p)
       case None => fp

@@ -770,7 +770,10 @@ object Similarity {
     val e = embeddings.select(col("vec_id"),
       asDouble(col("embedding")).as("v"))
       .withColumn("n2", dot(col("v"), col("v")))
-    val eb = withBuckets(e, dim)
+    // both sides of the bucket self-join read the plane-projection
+    // pass (numTables × bitsPerTable dots per vector); when one side
+    // broadcasts, the stream side re-runs it — materialize once
+    val eb = withBuckets(e, dim).localCheckpoint(true)
     eb.as("a").join(eb.as("b"),
         col("a.table") === col("b.table") &&
           col("a.bucket") === col("b.bucket") &&

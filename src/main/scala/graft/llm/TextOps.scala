@@ -547,16 +547,21 @@ object TextOps {
   def lmScoreKn3(docs: DataFrame): DataFrame = {
     val toks = spread(docs.where(col("text").isNotNull))
       .select(col("doc_id"), tokens(col("text")).as("w"))
+    // the tokenize+explode trigram pass feeds BOTH the count table
+    // and the per-occurrence scoring join — materialize it once as
+    // narrow (doc_id, g) rows; u/v/w3 are recovered by splitting g
+    // (tokens are \s+-split, so the 3-gram string round-trips exactly)
     val tri = toks.where(size(col("w")) >= 3)
       .select(col("doc_id"),
         explode(sequence(lit(1), size(col("w")) - 2)).as("i"), col("w"))
       .select(col("doc_id"),
-        element_at(col("w"), col("i")).as("u"),
-        element_at(col("w"), col("i") + 1).as("v"),
-        element_at(col("w"), col("i") + 2).as("w3"),
         concat_ws(" ", slice(col("w"), col("i"), lit(3))).as("g"))
-    val tg = tri.groupBy(col("u"), col("v"), col("w3"), col("g"))
-      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val tg = tri.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .withColumn("p3", split(col("g"), " "))
+      .select(element_at(col("p3"), 1).as("u"),
+        element_at(col("p3"), 2).as("v"),
+        element_at(col("p3"), 3).as("w3"), col("g"), col("c"))
       .localCheckpoint(true) // feeds ctx, cont, mid AND the prob table
     val ctx = tg.groupBy(col("u"), col("v"))
       .agg(sum(col("c")).as("cuv"), count(lit(1)).as("t12"))
@@ -1061,6 +1066,10 @@ object TextOps {
     * @return (da, db, ov1, rouge1_f, ov2, rouge2_f)
     */
   def rougePairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    // the candidate frame is read three times (both per-order overlap
+    // joins and the output spine) and is typically itself a banded/
+    // prefix-filtered join — materialize the (da, db) rows once
+    val cand = pairs.localCheckpoint(true)
     val toks = spread(docs.where(col("text").isNotNull))
       .select(col("doc_id"), tokens(col("text")).as("w"))
     def gramCounts(n: Int): DataFrame = {
@@ -1072,11 +1081,15 @@ object TextOps {
             col("w"))
           .select(col("doc_id"),
             concat_ws(" ", slice(col("w"), col("i"), lit(n))).as("g"))
+      // three consumers per order (da side, db side, per-doc totals)
+      // and no shared Exchange between them — materialize the
+      // tokenize+explode+count pass once per order
       g.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
     }
     def side(n: Int, tag: String): (DataFrame, DataFrame) = {
       val gc = gramCounts(n)
-      val ov = pairs
+      val ov = cand
         .join(gc.select(col("doc_id").as("da"), col("g"),
           col("cnt").as("cnta")), Seq("da"))
         .join(gc.select(col("doc_id").as("db"), col("g"),
@@ -1094,7 +1107,7 @@ object TextOps {
       when(pr + rr > 0.0, lit(2.0) * pr * rr / (pr + rr))
         .otherwise(lit(0.0))
     }
-    pairs
+    cand
       .join(o1, Seq("da", "db"), "left")
       .join(o2, Seq("da", "db"), "left")
       .join(t1.select(col("doc_id").as("da"), col("tot1").as("ta1")), "da")
