@@ -95,12 +95,68 @@ object Unigram {
 
   /** Bounded-state Viterbi: best segmentation per word under `vocab`
     * (piece, score), by the total order (−Σscore, n_pieces, pieces
-    * array). State is one row per (word, reached position); each of
-    * the `maxWordLen` steps extends open states by every matching
-    * piece (broadcast join) and keeps the per-state struct-min.
+    * array). One broadcast piece join + ONE (word)-keyed shuffle: the
+    * matching (piece, score) pairs of each word collect into a map and
+    * the whole left-to-right DP runs per row via the `aggregate`
+    * higher-order function — best(p) = struct-min over l of
+    * best(p−l) extended by word[p−l+1..p]. Per-position min pruning is
+    * exactly the extension-monotone argument in the object doc (two
+    * prefixes at one (word, pos) cover the same characters, so a
+    * common suffix never flips the first struct difference), hence
+    * identical output to the per-round frontier form kept below as
+    * [[viterbiRounds]] (equality asserted in LlmSpec). The loop form
+    * paid ~2 jobs × `maxWordLen` rounds of broadcast-join + struct-min
+    * shuffle + checkpoint per call — 3 calls per train made the EM
+    * job-count the build's dominant cost (guide §1.2/§2.1).
     * @return (word, freq, ns, np, pieces)
     */
-  private def viterbi(words: DataFrame, vocab: DataFrame,
+  private[graft] def viterbi(words: DataFrame, vocab: DataFrame,
+      maxPieceLen: Int, maxWordLen: Int): DataFrame = {
+    val v = broadcast(vocab.localCheckpoint(true))
+    val hits = words
+      .select(col("word"), col("freq"),
+        explode(sequence(lit(1), length(col("word")))).as("i"))
+      .select(col("word"), col("freq"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), length(col("word")) - col("i") + 1)))
+          .as("l"), col("i"))
+      .select(col("word"), col("freq"),
+        col("word").substr(col("i"), col("l")).as("piece"))
+      .join(v, Seq("piece"))
+    // vocab is unique per piece, so collect_set dedups repeated
+    // occurrences to one (piece, score) entry — no duplicate map keys
+    val wm = hits.groupBy(col("word"), col("freq"))
+      .agg(map_from_entries(
+        collect_set(struct(col("piece"), col("score")))).as("m"))
+    val init = array(struct(lit(0L).as("ns"), lit(0).as("np"),
+      array().cast("array<string>").as("pieces")))
+    // acc(i) = best state at position i−1; entry null when unreachable
+    // (array_min over an empty candidate set). All element_at indices
+    // are provably in range (l ≤ p ≤ |acc|), ANSI-safe; the map lookup
+    // uses try_element_at (missing piece → null candidate).
+    val dp = aggregate(
+      sequence(lit(1), length(col("word"))), init,
+      (acc, p) => concat(acc, array(array_min(filter(
+        transform(sequence(lit(1), least(lit(maxPieceLen), p)), l => {
+          val prev = element_at(acc, p - l + lit(1))
+          val pc = col("word").substr(p - l + lit(1), l)
+          val sc = try_element_at(col("m"), pc)
+          when(prev.isNotNull && sc.isNotNull,
+            struct((prev.getField("ns") - sc).as("ns"),
+              (prev.getField("np") + lit(1)).as("np"),
+              concat(prev.getField("pieces"), array(pc)).as("pieces")))
+        }), x => x.isNotNull)))))
+    wm.select(col("word"), col("freq"),
+        element_at(dp, length(col("word")) + 1).as("b"))
+      .where(col("b").isNotNull)
+      .select(col("word"), col("freq"), col("b.ns").as("ns"),
+        col("b.np").as("np"), col("b.pieces").as("pieces"))
+  }
+
+  /** The original per-round frontier Viterbi — kept (test-only) as the
+    * independent formulation LlmSpec asserts [[viterbi]] equal to.
+    */
+  private[graft] def viterbiRounds(words: DataFrame, vocab: DataFrame,
       maxPieceLen: Int, maxWordLen: Int): DataFrame = {
     val v = broadcast(vocab.localCheckpoint(true))
     var state = words.select(col("word"), col("freq"),

@@ -298,6 +298,37 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("unigram-LM: single-shuffle Viterbi ≡ per-round frontier form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // adversarial word table: ties (ab/ba same counts), words needing
+    // the coverage floor, a max-length word, np tie-breaks (a 2-piece
+    // vs 3-piece split of equal score mass is impossible under exact
+    // integer scores, but equal-ns different-pieces ties are not)
+    val words = Seq(
+      ("hello", 50L), ("world", 50L), ("hellohello", 7L),
+      ("abababab", 5L), ("babababa", 5L), ("zq", 1L), ("a", 9L),
+      ("mississippis", 3L), ("xxxxyyyyxxxx", 2L), ("qqqqqqqqqqqqqqqq", 1L)
+    ).toDF("word", "freq")
+    val vocab = Seq(
+      ("hello", 100L), ("hell", 40L), ("o", 60L), ("ab", 30L),
+      ("ba", 30L), ("abab", 9L), ("a", 25L), ("b", 25L), ("z", 1L),
+      ("q", 17L), ("w", 5L), ("r", 5L), ("l", 9L), ("d", 5L),
+      ("e", 7L), ("h", 7L), ("m", 2L), ("i", 8L), ("s", 8L),
+      ("p", 2L), ("x", 6L), ("y", 6L), ("xxxx", 3L), ("yy", 4L)
+    ).toDF("piece", "cnt")
+    val tot = vocab.agg(sum("cnt")).collect()(0).getLong(0)
+    val scored = vocab.select(col("piece"),
+      floor(log(col("cnt").cast("double") / lit(tot.toDouble)) * 1e6)
+        .cast("long").as("score"))
+    val a = graft.llm.Unigram.viterbi(words, scored, 4, 16)
+      .orderBy("word").collect().map(_.toSeq.toList).toList
+    val b = graft.llm.Unigram.viterbiRounds(words, scored, 4, 16)
+      .orderBy("word").collect().map(_.toSeq.toList).toList
+    assert(a == b, s"viterbi forms diverge:\n$a\nvs\n$b")
+    assert(a.nonEmpty && a.size == 10)
+  }
+
   test("winnowed delta pairs == full pairs filtered to involving-new") {
     val isNew = col("doc_id") % 3 === 0
     val full = Dedup.winnowedPairs(docs)
