@@ -407,12 +407,24 @@ object Dedup {
     * Expected density ≈ 2/(w+1) fingerprints per gram, so the per-doc
     * fingerprint set is a bounded sketch of the token stream.
     *
-    * Pure map per doc (gram hash + one windowed struct-min over the
-    * doc partition); the DISTINCT collapses the w-fold duplication of
-    * adjacent windows selecting the same gram — map-side partial
-    * aggregation does most of it before the shuffle. Gram hashes are
-    * md5-derived, so the oracle re-derives the exact selection in SQL.
-    * Docs shorter than k + w − 1 tokens emit nothing (no full window).
+    * PURE MAP per doc (guide §2.1 — shuffles removed outright): the
+    * grams, the sliding struct-min and the per-doc dedup all derive
+    * from the document's own token array, so the whole selection runs
+    * per ROW — hs(i) = (hash of gram i, −i), sel(i) = array_min over
+    * the w-slice at i, array_distinct collapses the w-fold duplication
+    * of adjacent windows selecting the same gram. The former
+    * formulation exploded every gram through a per-doc Window sort and
+    * a global DISTINCT — three Exchanges of |grams| rows for a
+    * selection that never needed to leave its row. `array_min` uses
+    * the same struct ordering as the window's `min(struct)`, and the
+    * per-doc `array_distinct` equals the global distinct because
+    * doc_id rode every row. Gram hashes are md5-derived, so the oracle
+    * re-derives the exact selection in SQL. Docs shorter than
+    * k + w − 1 tokens emit nothing (no full window).
+    *
+    * NOTE for consumers: the output no longer ends in an Exchange —
+    * a multi-consumer caller must checkpoint it (winnowedPairsCore
+    * does) or every consumer re-runs the md5-per-gram map.
     *
     * @return (doc_id, pos, fp) — selected gram position + 32-bit hash
     */
@@ -421,25 +433,18 @@ object Dedup {
     val toks = spread(docs.where(col("text").isNotNull))
       .select(col("doc_id"), TextOps.tokens(col("text")).as("wd"))
       .where(size(col("wd")) >= k + w - 1)
-    // ng = |grams| is known at explode time (size − k + 1) and rides
-    // the rows — no second unbounded Window pass over every gram
-    val grams = toks
-      .select(col("doc_id"), col("wd"),
-        (size(col("wd")) - (k - 1)).as("ng"),
-        explode(sequence(lit(1), size(col("wd")) - (k - 1))).as("i"))
-      .select(col("doc_id"), col("ng"), col("i"),
-        concat_ws(" ", slice(col("wd"), col("i"), lit(k))).as("g"))
-      .withColumn("h",
-        conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long"))
-    val frame = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-      .rowsBetween(0, w - 1)
-    grams
-      .withColumn("sel",
-        min(struct(col("h"), (-col("i")).as("ni"))).over(frame))
-      .where(col("i") <= col("ng") - (w - 1)) // full windows only
+    toks
+      .select(col("doc_id"),
+        transform(sequence(lit(1), size(col("wd")) - (k - 1)), i =>
+          struct(conv(substring(md5(concat_ws(" ",
+              slice(col("wd"), i, lit(k)))), 1, 8), 16, 10).cast("long")
+            .as("h"), (-i).as("ni"))).as("hs"))
+      .select(col("doc_id"),
+        explode(array_distinct(
+          transform(sequence(lit(1), size(col("hs")) - (w - 1)),
+            i => array_min(slice(col("hs"), i, lit(w)))))).as("sel"))
       .select(col("doc_id"), (-col("sel.ni")).cast("int").as("pos"),
         col("sel.h").as("fp"))
-      .distinct()
   }
 
   /** Substring-overlap candidate pairs from shared winnowed
@@ -874,12 +879,13 @@ object Dedup {
   private def winnowedPairsCore(docs: DataFrame, deltaPred: Option[Column],
       k: Int, w: Int, maxDf: Int,
       bloomGate: Option[(Long, Int)]): DataFrame = {
-    val base = winnow(docs, k, w)
-    // NOTE (r16, measured): no checkpoint here on purpose — winnow
-    // ends in distinct(), an Exchange both consumers sit on, so
-    // exchange reuse already shares the whole winnow compute; an
-    // eager checkpoint only added a materialization job (+10% on the
-    // day-2 winnow composition).
+    // winnow is now a pure map with NO terminal Exchange (see its
+    // doc), so the df cap, the keep join and both self-join sides
+    // would each re-run the md5-per-gram selection — materialize the
+    // narrow (doc_id, pos, fp) sketch once. (The r16 no-checkpoint
+    // note applied to the old distinct()-terminated form, whose
+    // Exchange the consumers shared via reuse.)
+    val base = winnow(docs, k, w).localCheckpoint(true)
     val s = deltaPred match {
       case Some(p) => base.withColumn("nw", p)
       case None => base
