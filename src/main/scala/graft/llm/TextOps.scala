@@ -373,24 +373,21 @@ object TextOps {
     "zh" -> Seq("zh", "join", "small", "column"))
 
   /** Language ID: per-language marker-hit counts → argmax with
-    * alphabetical tie-break (explode + rank, the shape that scales).
+    * alphabetical tie-break, computed per ROW as a struct `array_min`
+    * over the bounded language list — the former explode + per-doc
+    * rank Window shuffled |docs| × |langs| rows (and sorted them) for
+    * an argmax whose inputs never leave the document's row. Same
+    * total order ((−score, lang) min ≡ (score desc, lang) rank 1).
     */
   def langId(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = tokens(col("text"))
-    val scored = docs.select(col("doc_id") +: langMarkers.map {
-      case (lang, ms) => occurrenceCount(w, ms).as(s"score_$lang")
-    }: _*)
-    val long = scored.select(col("doc_id"), explode(array(langMarkers.map {
-      case (lang, _) => struct(lit(lang).as("lang"),
-        col(s"score_$lang").as("score"))
-    }: _*)).as("ls"))
-      .select(col("doc_id"), col("ls.lang"), col("ls.score"))
-    val rk = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("lang"))
-    long.withColumn("rn", row_number().over(rk)).where(col("rn") === 1)
-      .select(col("doc_id"), col("lang").as("predicted_lang"),
-        col("score").cast("int").as("marker_hits"))
+    val best = array_min(array(langMarkers.map {
+      case (lang, ms) => struct((-occurrenceCount(col("w"), ms)).as("ns"),
+        lit(lang).as("lang"))
+    }: _*))
+    docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), best.as("b"))
+      .select(col("doc_id"), col("b.lang").as("predicted_lang"),
+        (-col("b.ns")).cast("int").as("marker_hits"))
   }
 
   /** TF-IDF top-k terms per document: tf = in-doc term count, idf =
