@@ -397,20 +397,45 @@ object Bench {
     // top-20 map reads the NORMALIZED medians (r14 verdict #3): the
     // slowest-query list a plan audit reads first must not be
     // reshuffled by a driver-machine load burst.
-    val qsTop = resultsNorm.sortBy(-_._2).take(20).map { case (k, v) =>
+    val topEntries = resultsNorm.sortBy(-_._2).take(20)
+    val qsTop = topEntries.map { case (k, v) =>
       "\"" + shortKey(k) + "\":" + math.rint(v * 1000) / 1000
+    }.mkString("{", ",", "}")
+    // companion RAW-MIN map for the same slowest-20 keys (r16 verdict
+    // item #2, additions-only): the per-query noise-floor estimate a
+    // cross-round comparison should read when a run was contended —
+    // the r16 driver's q133 19.9s-raw/7.5s-normalized ambiguity is
+    // adjudicable from the compact line alone with this beside it.
+    val qsTopMin = topEntries.map { case (k, _) =>
+      val vs = samples(k).map(_._2)
+      val mn = if (vs.isEmpty) -1.0 else math.rint(vs.min * 1000) / 1000
+      "\"" + shortKey(k) + "\":" + mn
     }.mkString("{", ",", "}")
     // "value_kind":"norm" (r15 advice #3): an explicit schema marker
     // for the r14 semantic change of "value" from raw to normalized —
     // parsers comparing artifacts across rounds can branch on it
     // instead of inferring from value == value_norm.
     val mref = math.rint(microRef * 10000) / 10000
+    // cpus as a JSON number when numeric (the driver's shape), quoted
+    // otherwise (local[*]-style experiments must not break the line)
+    val cpusJson = if (cpus.forall(_.isDigit)) cpus else "\"" + cpus + "\""
     val fullLine =
-      s"""{"metric":"total","value":$totalNorm,"unit":"sec","value_kind":"norm","value_raw":$total,"value_norm":$totalNorm,"value_min":$valueMin,"calib_sec":$calibSec,"calib_per_pass":$calibPerPassJson,"micro_ref":$mref,"queries":$qs,"queries_norm":$qsNorm,"samples":$samplesJson,"micros":$microsJson,"n_samples":$nSamples,"fast_single_sample":$nFastSingle,"stable_two_sample":$nStablePair,"fast_cutoff":$fastCutoff,"failed":$failedJson,"flaky":$flakyJson,"drift_suspect":$driftJson,"shared_builds":$buildsJson,"build_spread":$buildSpreadJson,"families":$familiesJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalNorm,"unit":"sec","value_kind":"norm","value_raw":$total,"value_norm":$totalNorm,"value_min":$valueMin,"cpus":$cpusJson,"calib_sec":$calibSec,"calib_per_pass":$calibPerPassJson,"micro_ref":$mref,"queries":$qs,"queries_norm":$qsNorm,"samples":$samplesJson,"micros":$microsJson,"n_samples":$nSamples,"fast_single_sample":$nFastSingle,"stable_two_sample":$nStablePair,"fast_cutoff":$fastCutoff,"failed":$failedJson,"flaky":$flakyJson,"drift_suspect":$driftJson,"shared_builds":$buildsJson,"build_spread":$buildSpreadJson,"families":$familiesJson,"sf":"$sfDir"}"""
     // only full runs refresh the committed artifact — an args-filtered
-    // local iteration must not clobber the full-query record
+    // local iteration must not clobber the full-query record. A
+    // LOW-CORE SCALING run (SPARK_GRAFT_CPUS below the machine's core
+    // count — the driver's c8 pass) writes bench_queries_c<N>.json
+    // instead (r16 verdict item #2): the r16 driver's c8 run OVERWROTE
+    // the committed c32 artifact and the main run's full per-query
+    // samples were lost to the repo. `cpus` in the line itself keeps
+    // every artifact self-describing either way.
+    val hostCores = Runtime.getRuntime.availableProcessors
+    val artifactName =
+      if (cpus.forall(_.isDigit) && cpus.toInt < hostCores)
+        s"bench_queries_c$cpus.json"
+      else "bench_queries.json"
     if (only.isEmpty) java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_queries.json"),
+      java.nio.file.Paths.get(artifactName),
       (fullLine + "\n").getBytes("UTF-8"))
     // filtered local iteration: full detail to stdout instead (the
     // committed artifact stays untouched)
@@ -423,7 +448,7 @@ object Bench {
     // r1–r14 artifacts; value_min is the noise-floor companion (sum of
     // per-query min samples) a comparison should prefer when the run
     // was contended.
-    println(s"""{"metric":"total","value":$totalNorm,"unit":"sec","value_kind":"norm","value_raw":$total,"value_norm":$totalNorm,"value_min":$valueMin,"n_queries":${results.size},"calib_sec":$calibSec,"calib_per_pass":$calibPerPassJson,"micro_ref":$mref,"queries":$qsTop,"queries_shown":"slowest20_norm","n_samples":$nSamples,"fast_single_sample":$nFastSingle,"stable_two_sample":$nStablePair,"failed":$failedJson,"flaky":$flakyJson,"drift_suspect":$driftJson,"shared_builds":$buildsJson,"build_spread":$buildSpreadJson,"sf":"$sfDir","queries_file":"bench_queries.json"}""")
+    println(s"""{"metric":"total","value":$totalNorm,"unit":"sec","value_kind":"norm","value_raw":$total,"value_norm":$totalNorm,"value_min":$valueMin,"n_queries":${results.size},"cpus":$cpusJson,"calib_sec":$calibSec,"calib_per_pass":$calibPerPassJson,"micro_ref":$mref,"queries":$qsTop,"queries_min":$qsTopMin,"queries_shown":"slowest20_norm","n_samples":$nSamples,"fast_single_sample":$nFastSingle,"stable_two_sample":$nStablePair,"failed":$failedJson,"flaky":$flakyJson,"drift_suspect":$driftJson,"shared_builds":$buildsJson,"build_spread":$buildSpreadJson,"sf":"$sfDir","queries_file":"$artifactName"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

