@@ -60,12 +60,20 @@ object Hits {
     }
     var h = cp(hSpine.select(col("id"), lit(scale).as("s")))
     var a: DataFrame = null
-    for (_ <- 1 to iters) {
+    for (k <- 1 to iters) {
       val aSums = e.join(h, col("src") === col("id"))
         .groupBy(col("dst")).agg(sum(col("s")).as("t"))
-      a = cp(renorm(aSpine
+      // ONE materialization per full round (r17, guide §1.2): the
+      // half-round auth frame stays LAZY — h's checkpoint action
+      // evaluates it exactly once (its heavy aggregate is shared with
+      // its pivot subquery via exchange reuse, the r16 finding), so
+      // eagerly copying it out too only doubled the job count.
+      // Lineage stays bounded at depth 2. The LAST auth frame is
+      // checkpointed because the output union reads it directly.
+      a = renorm(aSpine
         .join(aSums, col("id") === col("dst"), "left_outer")
-        .select(col("id"), coalesce(col("t"), lit(0L)).as("s"))))
+        .select(col("id"), coalesce(col("t"), lit(0L)).as("s")))
+      if (k == iters) a = cp(a)
       val hSums = e.join(a, col("dst") === col("id"))
         .groupBy(col("src")).agg(sum(col("s")).as("t"))
       h = cp(renorm(hSpine

@@ -71,6 +71,20 @@ object Louvain {
     */
   def oneLevelW(edges: DataFrame, rounds: Int = 4,
       checkpoint: Boolean = true): DataFrame = {
+    val lbl = oneLevelLabelsW(edges, rounds, checkpoint)
+    val sizes = lbl.groupBy(col("c")).agg(count(lit(1)).as("csize"))
+    lbl.join(sizes, "c")
+      .select(col("id"), col("c").as("community"), col("csize"))
+  }
+
+  /** Bare final labels of [[oneLevelW]] — (id, c, k), checkpointed
+    * when `checkpoint` — for composed callers ([[twoLevel]]) that do
+    * not need the size decoration: the terminal groupBy + join (and
+    * one more checkpoint of their output) is skipped (r17, guide
+    * §1.2).
+    */
+  private[graft] def oneLevelLabelsW(edges: DataFrame, rounds: Int = 4,
+      checkpoint: Boolean = true): DataFrame = {
     def cp(df: DataFrame): DataFrame =
       if (checkpoint)
         org.apache.spark.sql.GraftSqlShims.localCheckpointFreshStats(df)
@@ -128,26 +142,33 @@ object Louvain {
         .agg(min(struct((-col("dq")).as("nd"), col("id"), col("b")))
           .as("w"))
         .select(col("comm"), col("w.id").as("wid"), col("w.b").as("wb"))
-      val movers = cp(nb
+      val movers = nb
         .join(best, col("a") === col("comm") &&
           col("id") === col("wid") && col("b") === col("wb"))
         .drop("comm", "wid", "wb")
         .join(best, col("b") === col("comm") &&
           col("id") === col("wid") && col("b") === col("wb"))
-        .select(col("id"), col("b").as("newc")))
+        .select(col("id"), col("b").as("newc"))
+      // ONE checkpoint per round (r17, guide §1.2): the applied-move
+      // update rides the label checkpoint as a `moved` flag instead of
+      // movers getting its own eager materialization first — the
+      // fixpoint test then reads the already-materialized frame. The
+      // flag is internal only (projected away at every exit).
+      val nextLbl = cp(lbl.join(movers, Seq("id"), "left")
+        .select(col("id"), coalesce(col("newc"), col("c")).as("c"),
+          col("k"), col("newc").isNotNull.as("moved")))
       // FIXPOINT EARLY EXIT (pure savings, identical output): no
       // applied moves ⇒ labels unchanged ⇒ dc/kc/cand identical next
       // round ⇒ every remaining round is a no-op — exactly the rounds
-      // the oracle unrolls as label-preserving steps
-      if (checkpoint && movers.isEmpty) converged = true
-      else lbl = cp(lbl.join(movers, Seq("id"), "left")
-        .select(col("id"), coalesce(col("newc"), col("c")).as("c"),
-          col("k")))
+      // the oracle unrolls as label-preserving steps. On the no-move
+      // round the PREVIOUS label frame stays current (nextLbl is a
+      // row-identical copy), so lbl is deliberately not replaced.
+      if (checkpoint && nextLbl.where(col("moved")).isEmpty)
+        converged = true
+      else lbl = nextLbl.drop("moved")
       round += 1
     }
-    val sizes = lbl.groupBy(col("c")).agg(count(lit(1)).as("csize"))
-    lbl.join(sizes, "c")
-      .select(col("id"), col("c").as("community"), col("csize"))
+    lbl
   }
 
   /** MULTI-LEVEL Louvain (Blondel et al. 2008, the full algorithm):
@@ -179,15 +200,24 @@ object Louvain {
       if (checkpoint)
         org.apache.spark.sql.GraftSqlShims.localCheckpointFreshStats(df)
       else df
-    val lbl1 = cp(oneLevel(pairs, rounds1, checkpoint)
-      .select(col("id"), col("community").as("c1")))
+    // the level-1 label frame is already checkpointed by the ascent
+    // loop — read it bare instead of decorating it with sizes and
+    // re-checkpointing the projection (r17, guide §1.2: the old form
+    // paid a groupBy + join + one more full-frame materialization for
+    // columns twoLevel never reads)
+    val lbl1 = oneLevelLabelsW(
+        pairs.select(col("a"), col("b"), lit(1L).as("w")),
+        rounds1, checkpoint)
+      .select(col("id"), col("c").as("c1"))
     val e2 = pairs
       .join(lbl1.select(col("id").as("a"), col("c1").as("ca")), "a")
       .join(lbl1.select(col("id").as("b"), col("c1").as("cb")), "b")
       .groupBy(col("ca").as("a"), col("cb").as("b"))
       .agg(count(lit(1)).as("w"))
-    val l2 = oneLevelW(e2, rounds2, checkpoint)
-      .select(col("id").as("c1"), col("community").as("c2"))
+    // level 2 likewise needs only the labels — its csize is recomputed
+    // over ORIGINAL nodes below, never read from the contracted ascent
+    val l2 = oneLevelLabelsW(e2, rounds2, checkpoint)
+      .select(col("id").as("c1"), col("c").as("c2"))
     val fin = cp(lbl1.join(l2, "c1"))
     val sizes = fin.groupBy(col("c2")).agg(count(lit(1)).as("csize"))
     fin.join(sizes, "c2")
